@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the harness tables (TESTDATA.md): one parquet file per
+  * table under the scale-factor directory. The reference engine's "table"
+  * is a single local parquet file (`/root/reference/pq2json/src/converter.rs:35`);
+  * here a table is whatever `spark.read.parquet` accepts — one file, a
+  * directory of files, a partitioned tree — so the same call scales from
+  * the sf0.001 harness file to a 100 TB multi-file dataset unchanged.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+}
+
+/** A named query (Spark side) plus, when SQL-expressible, the equivalent
+  * ANSI SQL the driver runs in DuckDB as the correctness oracle.
+  * Column names/aliases MUST match between the two — the harness sorts
+  * columns by name before hashing values.
+  */
+trait QueryModule {
+  def queries: Map[String, (SparkSession, String) => DataFrame]
+  def oracles: Map[String, String]
+}
