@@ -290,7 +290,8 @@ object RelationalQueries extends QueryModule {
          |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "q12_scalar_funcs" ->
       """SELECT p_partkey, UPPER(p_brand) AS brand_u, LENGTH(p_name) AS name_len,
-        |  SUBSTRING(p_type, 1, 5) AS type5, FLOOR(p_retailprice) AS price_floor,
+        |  SUBSTRING(p_type, 1, 5) AS type5,
+        |  CAST(FLOOR(p_retailprice) AS BIGINT) AS price_floor,
         |  ABS(p_size - 25) AS size_dist, p_partkey % 7 AS pk_mod,
         |  CONCAT_WS('|', p_brand, p_type) AS brand_type
         |FROM part ORDER BY p_partkey""".stripMargin,
