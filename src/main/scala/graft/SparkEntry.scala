@@ -13,7 +13,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private def modules: Seq[QueryModule] = Seq(
-    operators.RelationalQueries
+    operators.RelationalQueries,
+    functions.RenderQueries,
+    sources.MetadataQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

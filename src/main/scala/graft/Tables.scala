@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Loaders for the harness tables (TESTDATA.md): one parquet file per
   * table under the scale-factor directory. The reference engine's "table"
@@ -14,8 +15,20 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    if (name == "events") {
+      // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
+      // reader rejects outright ([PARQUET_TYPE_ILLEGAL]). Read the raw
+      // nanos as long, then truncate to the micros TimestampType domain —
+      // the same truncation DuckDB applies on read, so oracle comparisons
+      // see identical instants. `DIV` keeps the arithmetic integral.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(path).withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    } else {
+      spark.read.parquet(path)
+    }
+  }
 }
 
 /** A named query (Spark side) plus, when SQL-expressible, the equivalent

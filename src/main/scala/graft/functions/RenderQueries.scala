@@ -1,0 +1,97 @@
+package graft.functions
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Oracled queries over the Kusto render layer — the reference's actual
+  * core competency (`/root/reference/pq2json/src/converter.rs`): timestamp
+  * ticks/isostr/unixms rendering, date rendering, JSONL encode, CSV encode.
+  * Each runs the Spark-side render against a DuckDB reformulation of the
+  * same semantics, so the rendering rules themselves are hash-verified
+  * per round (not just unit-tested).
+  *
+  * All of these are narrow scan->project pipelines: no shuffle, fully
+  * parallel per file split, column-pruned at the parquet scan. They cost
+  * O(rows read) at any scale.
+  */
+object RenderQueries extends QueryModule {
+
+  import KustoRender._
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- timestamp rendering, all three modes, on a TIMESTAMP(MILLIS)
+    // column (converter.rs:307-332).
+    "q19_render_timestamp" -> ((s, dir) => {
+      Tables(s, dir, "lineitem")
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          timestampIso(col("l_shipdate")).as("iso_ts"),
+          timestampTicks(col("l_shipdate")).as("ticks"),
+          timestampUnixMs(col("l_shipdate")).as("unix_ms"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // --- TIMESTAMP(NANOS) ingestion (events): nanos -> micros -> millis
+    // truncation chain + ISO/date render (converter.rs:114-120,334-343).
+    "q20_render_events" -> ((s, dir) => {
+      Tables(s, dir, "events")
+        .select(
+          col("event_id"),
+          timestampIso(col("ts")).as("iso_ts"),
+          timestampUnixMs(col("ts")).as("unix_ms"),
+          dateIso(col("ts").cast("date")).as("day"))
+        .orderBy(col("event_id"))
+    }),
+
+    // --- JSONL encode (entry point 1, converter.rs:128-143): whole-row
+    // Kusto JSON with serde_json's sorted object keys.
+    "q21_render_json" -> ((s, dir) => {
+      val n = Tables(s, dir, "nation")
+      n.select(col("n_nationkey"),
+          org.apache.spark.sql.GraftShims.column(
+            KustoJsonExpr(
+              org.apache.spark.sql.GraftShims.expression(
+                struct(col("n_name"), col("n_nationkey"), col("n_regionkey"))),
+              KustoRenderOptions())).as("json"))
+        .orderBy(col("n_nationkey"))
+    }),
+
+    // --- CSV encode (entry point 2, converter.rs:145-188): ryu float text
+    // with trailing-zero strip, raw strings, trailing \r terminator.
+    "q22_render_csv" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      toKustoCsv(o).withColumn("o_orderkey",
+          split(col("line"), ",").getItem(0).cast("long"))
+        .select(col("o_orderkey"), col("line"))
+        .orderBy(col("o_orderkey"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q19_render_timestamp" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  strftime(date_trunc('millisecond', l_shipdate), '%Y-%m-%dT%H:%M:%S.%fZ') AS iso_ts,
+        |  epoch_ms(l_shipdate) * 10000 + 621355968000000000 AS ticks,
+        |  epoch_ms(l_shipdate) AS unix_ms
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q20_render_events" ->
+      """SELECT event_id,
+        |  strftime(date_trunc('millisecond', ts), '%Y-%m-%dT%H:%M:%S.%fZ') AS iso_ts,
+        |  epoch_ms(date_trunc('millisecond', ts)) AS unix_ms,
+        |  strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q21_render_json" ->
+      """SELECT n_nationkey,
+        |  CAST(to_json(struct_pack(n_name := n_name, n_nationkey := n_nationkey,
+        |                           n_regionkey := n_regionkey)) AS VARCHAR) AS json
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+    "q22_render_csv" ->
+      """SELECT o_orderkey,
+        |  o_orderkey || ',' || o_orderstatus || ','
+        |    || rtrim(rtrim(CAST(o_totalprice AS VARCHAR), '0'), '.')
+        |    || chr(13) AS line
+        |FROM orders ORDER BY o_orderkey""".stripMargin
+  )
+}

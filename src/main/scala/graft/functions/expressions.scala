@@ -1,0 +1,177 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block.BlockHelper
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Decimal -> plain (never scientific) string, the reference's
+  * `decimal_to_string` (`/root/reference/pq2json/src/converter.rs:345-371`).
+  * `java.math.BigDecimal.toPlainString` implements the identical
+  * zero-padding algorithm, so the whole expression stays codegen'd as one
+  * virtual call — no UDF, no fallback.
+  */
+case class DecimalPlainString(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(input.asInstanceOf[Decimal].toJavaBigDecimal.toPlainString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString($c.toJavaBigDecimal().toPlainString())")
+  override protected def withNewChildInternal(newChild: Expression): DecimalPlainString =
+    copy(child = newChild)
+}
+
+/** Binary -> array of unsigned byte numbers (0..255), the reference's
+  * `bytes_to_value` (`converter.rs:283-289` — JSON array of numbers, not
+  * base64). Codegen'd loop producing an UnsafeArrayData.
+  */
+case class BinaryToIntArray(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[Array[Byte]]
+    val out = new Array[Int](bytes.length)
+    var i = 0
+    while (i < bytes.length) { out(i) = bytes(i) & 0xff; i += 1 }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val i = ctx.freshName("i")
+      val arr = ctx.freshName("arr")
+      s"""
+         |int[] $arr = new int[$c.length];
+         |for (int $i = 0; $i < $c.length; $i++) { $arr[$i] = $c[$i] & 0xff; }
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($arr);
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(newChild: Expression): BinaryToIntArray =
+    copy(child = newChild)
+}
+
+/** Double -> shortest-round-trip text per [[Ryu]]; `csv=true` additionally
+  * strips trailing zeros (`converter.rs:196-197,210-212`). NaN/Inf -> null
+  * (`converter.rs:291-295`). Codegen is a static call into [[Ryu]].
+  */
+case class RyuDoubleString(child: Expression, csv: Boolean) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  private def render(d: Double): UTF8String =
+    if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d)) null
+    else UTF8String.fromString(if (csv) Ryu.shortestCsv(d) else Ryu.shortest(d))
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null else render(v.asInstanceOf[Double])
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val fn = if (csv) "shortestCsv" else "shortest"
+    ev.copy(code = code"""
+      ${childGen.code}
+      boolean ${ev.isNull} = true;
+      org.apache.spark.unsafe.types.UTF8String ${ev.value} = null;
+      if (!${childGen.isNull} && !java.lang.Double.isNaN(${childGen.value})
+          && !java.lang.Double.isInfinite(${childGen.value})) {
+        ${ev.isNull} = false;
+        ${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(graft.functions.Ryu.$fn(${childGen.value}));
+      }""")
+  }
+  override protected def withNewChildInternal(newChild: Expression): RyuDoubleString =
+    copy(child = newChild)
+}
+
+/** Whole-row JSONL encode: one JSON object per row with the reference's
+  * exact Kusto semantics (see [[KustoRowRenderer]]), the Spark counterpart
+  * of `top_level_rows_to_json` (`converter.rs:128-143`). Child must be a
+  * struct (typically `struct(df.columns*)`).
+  *
+  * CodegenFallback is deliberate: this is the terminal encode of an output
+  * sink (scan -> render -> write is a narrow, shuffle-free pipeline), so
+  * codegen would only fuse it with the row copy; the recursive any-schema
+  * walk is cleaner as one eval.
+  */
+case class KustoJsonExpr(child: Expression, opts: KustoRenderOptions)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = false
+
+  @transient private lazy val renderer =
+    new KustoRowRenderer(child.dataType.asInstanceOf[StructType], opts)
+
+  override def eval(input: InternalRow): Any = {
+    val row = child.eval(input).asInstanceOf[InternalRow]
+    val v = if (row == null) KObj(scala.collection.mutable.LinkedHashMap.empty)
+            else renderer.renderTopLevel(row)
+    UTF8String.fromString(KValue.toJson(v))
+  }
+  override protected def withNewChildInternal(newChild: Expression): KustoJsonExpr =
+    copy(child = newChild)
+}
+
+/** Whole-row CSV line encode mirroring `top_level_rows_to_csv`
+  * (`converter.rs:145-188`): fields rendered per `value_to_csv`, nested
+  * values embedded as JSON strings, Rust-csv quoting with `\r` terminator
+  * semantics. The emitted line ENDS WITH `\r`; writing with Spark's text
+  * sink (default `\n` separator) reproduces the reference's `\r\n` line
+  * endings (`write_record` terminator + `writeln!`, `converter.rs:184-185`).
+  *
+  * `missingSlots(i)` marks requested-but-absent projected columns, which
+  * render as empty fields in their requested position
+  * (`converter.rs:160-169`).
+  */
+case class KustoCsvLineExpr(child: Expression, opts: KustoRenderOptions,
+    missingSlots: Seq[Boolean]) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = false
+
+  @transient private lazy val schema = child.dataType.asInstanceOf[StructType]
+  @transient private lazy val renderer = new KustoRowRenderer(schema, opts)
+  @transient private lazy val fieldRenderers: Array[InternalRow => KValue] = {
+    // Render each top-level field independently (the CSV path never prunes
+    // the top level; omissions only apply inside nested values).
+    schema.fields.zipWithIndex.map { case (f, i) =>
+      val single = new KustoRowRenderer(StructType(Seq(f)), opts)
+      (row: InternalRow) => single.renderStruct(row) match {
+        case KObj(m) => m.getOrElse(f.name, KNull)
+        case _       => KNull
+      }
+    }
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val row = child.eval(input).asInstanceOf[InternalRow]
+    val sb = new java.lang.StringBuilder(64)
+    var present = 0
+    var first = true
+    missingSlots.foreach { missing =>
+      if (!first) sb.append(',')
+      first = false
+      if (!missing) {
+        val slice = row match {
+          case null => KNull
+          case r =>
+            val single = fieldRenderers(present)
+            if (r.isNullAt(present)) KNull
+            else single(projectField(r, present))
+        }
+        sb.append(KustoRowRenderer.csvQuote(KValue.toCsvField(slice)))
+        present += 1
+      }
+    }
+    sb.append('\r')
+    UTF8String.fromString(sb.toString)
+  }
+
+  private def projectField(row: InternalRow, i: Int): InternalRow = {
+    // Wrap the single field as a one-column row for the per-field renderer.
+    val dt = schema.fields(i).dataType
+    InternalRow(row.get(i, dt))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): KustoCsvLineExpr =
+    copy(child = newChild)
+}

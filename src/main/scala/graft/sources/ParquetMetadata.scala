@@ -1,0 +1,117 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.schema.{GroupType, LogicalTypeAnnotation, PrimitiveType, Type => PType}
+import org.apache.spark.sql.types._
+
+import scala.jdk.CollectionConverters._
+
+/** Metadata introspection operators — the reference's entry point 3
+  * (`/root/reference/pq2json/src/schema.rs`): Parquet schema dump, the
+  * Parquet -> Kusto (CSL) 8-type schema mapping, and per-row-group
+  * metadata. All are footer-only reads on the driver; no Spark job runs,
+  * exactly like the reference touches no data pages (`schema.rs` reads the
+  * footer only). At 100 TB these stay O(#files) driver-side calls (or can
+  * be distributed over a file list with `spark.parallelize` — footers are
+  * independent).
+  */
+object ParquetMetadata {
+
+  /** One column of the CSL schema report (`schema.rs:60-66` prints
+    * `{"name": ..., "type": ...}` JSON objects). */
+  final case class CslColumn(name: String, cslType: String)
+
+  /** Row-group metadata row; values are STRINGS in the reference's output
+    * (`schema.rs:129-135`). */
+  final case class RowGroupInfo(numberOfRows: String, totalByteSize: String)
+
+  private def footer(path: String) = {
+    val in = HadoopInputFile.fromPath(new Path(path), new Configuration())
+    val reader = ParquetFileReader.open(in)
+    try (reader.getFileMetaData, reader.getFooter)
+    finally reader.close()
+  }
+
+  /** Parquet schema tree + key-value metadata, the `--schema` op
+    * (`schema.rs:18-35`). */
+  def schemaString(path: String): String = {
+    val (meta, _) = footer(path)
+    meta.getSchema.toString
+  }
+
+  /** The `--cslschema` op (`schema.rs:43-109`): map each top-level field of
+    * the Parquet message type onto Kusto's 8-type surface. Exact port of
+    * the match at `schema.rs:81-104`, including the asymmetries:
+    * INT32/INT64-backed DECIMAL -> `real` while BYTE_ARRAY/FIXED-backed
+    * DECIMAL -> `decimal`, and any group (nested) type -> `dynamic`.
+    */
+  def cslSchema(path: String): Seq[CslColumn] = {
+    val (meta, _) = footer(path)
+    meta.getSchema.getFields.asScala.toSeq.map(f => CslColumn(f.getName, fieldCslType(f)))
+  }
+
+  private def fieldCslType(t: PType): String = t match {
+    case _: GroupType => "dynamic" // schema.rs:107
+    case p: PrimitiveType =>
+      import org.apache.parquet.schema.PrimitiveType.{PrimitiveTypeName => PTN}
+      val ann = p.getLogicalTypeAnnotation
+      def is[A <: LogicalTypeAnnotation](cls: Class[A]): Boolean =
+        ann != null && cls.isInstance(ann)
+      p.getPrimitiveTypeName match {
+        case PTN.BOOLEAN => "bool" // schema.rs:82
+        case PTN.BINARY => // BYTE_ARRAY in the Rust crate's naming
+          if (is(classOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation]) ||
+              is(classOf[LogicalTypeAnnotation.EnumLogicalTypeAnnotation]) ||
+              is(classOf[LogicalTypeAnnotation.JsonLogicalTypeAnnotation])) "string" // :84
+          else if (is(classOf[LogicalTypeAnnotation.DecimalLogicalTypeAnnotation])) "decimal" // :85
+          else "dynamic" // :86
+        case PTN.FIXED_LEN_BYTE_ARRAY =>
+          if (is(classOf[LogicalTypeAnnotation.DecimalLogicalTypeAnnotation])) "decimal" // :89
+          else "dynamic" // :90
+        case PTN.DOUBLE | PTN.FLOAT => "real" // :92
+        case PTN.INT32 =>
+          if (is(classOf[LogicalTypeAnnotation.DateLogicalTypeAnnotation])) "datetime" // :94
+          else if (is(classOf[LogicalTypeAnnotation.DecimalLogicalTypeAnnotation])) "real" // :95
+          else "int" // :96
+        case PTN.INT64 =>
+          if (is(classOf[LogicalTypeAnnotation.TimestampLogicalTypeAnnotation])) "datetime" // :99
+          else if (is(classOf[LogicalTypeAnnotation.DecimalLogicalTypeAnnotation])) "real" // :100
+          else "long" // :101
+        case PTN.INT96 => "datetime" // :103
+        case _ => "dynamic"
+      }
+  }
+
+  /** CSL mapping from a Spark logical schema (no footer available, e.g. an
+    * in-memory DataFrame). Physical-type distinctions are approximated by
+    * Spark's parquet writer defaults: decimals of precision <= 18 are
+    * INT32/INT64-backed (-> `real`, `schema.rs:95,100`), wider ones
+    * FLBA-backed (-> `decimal`, `schema.rs:89`).
+    */
+  def cslSchemaOf(schema: StructType): Seq[CslColumn] =
+    schema.fields.toSeq.map { f =>
+      val t = f.dataType match {
+        case BooleanType => "bool"
+        case StringType => "string"
+        case d: DecimalType => if (d.precision <= 18) "real" else "decimal"
+        case FloatType | DoubleType => "real"
+        case DateType | TimestampType | TimestampNTZType => "datetime"
+        case ByteType | ShortType | IntegerType => "int"
+        case LongType => "long"
+        case _ => "dynamic" // nested, binary, anything else — schema.rs:86,107
+      }
+      CslColumn(f.name, t)
+    }
+
+  /** The `--rowgroups` op (`schema.rs:118-143`): per row group
+    * `{numberOfRows, totalByteSize}` — string-typed like the reference. */
+  def rowGroups(path: String): Seq[RowGroupInfo] = {
+    val (_, blocks) = footer(path)
+    blocks.getBlocks.asScala.toSeq.map { b =>
+      RowGroupInfo(b.getRowCount.toString, b.getTotalByteSize.toString)
+    }
+  }
+}

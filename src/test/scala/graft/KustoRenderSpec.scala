@@ -1,0 +1,225 @@
+package graft
+
+import graft.functions._
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the reference's rendering semantics (FIXTURES.md §2) against the
+  * Kusto render layer: ryu float text, decimal plain strings, NaN/Inf->null,
+  * byte arrays, timestamp modes, JSON prune flags, CSV quoting quirks, and
+  * the CSL schema mapping. Citations are to
+  * /root/reference/pq2json/src/converter.rs unless noted.
+  */
+class KustoRenderSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  @transient var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("kusto-render-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  // ---- Ryu shortest float text (converter.rs:196-197, serde_json floats) --
+
+  test("ryu: shortest round-trip text, serde_json formatting") {
+    assert(Ryu.shortest(0.0) == "0.0")
+    assert(Ryu.shortest(-0.0) == "-0.0")
+    assert(Ryu.shortest(3.0) == "3.0")
+    assert(Ryu.shortest(0.1) == "0.1")
+    assert(Ryu.shortest(-2.5) == "-2.5")
+    assert(Ryu.shortest(100.0) == "100.0")
+    assert(Ryu.shortest(0.00001) == "0.00001")     // e10 = -5: positional
+    assert(Ryu.shortest(0.000001) == "1e-6")       // e10 = -6: scientific
+    assert(Ryu.shortest(1.0e300) == "1e300")
+    assert(Ryu.shortest(1.2345e-300) == "1.2345e-300")
+    assert(Ryu.shortest(123456789.123) == "123456789.123")
+    // round-trip property on awkward values
+    for (d <- Seq(1.0 / 3.0, math.Pi, 2.2250738585072014e-308, 1.7976931348623157e308)) {
+      assert(java.lang.Double.parseDouble(Ryu.shortest(d)) == d, s"round-trip $d")
+    }
+  }
+
+  test("ryu csv: trailing-zero strip, including the reference's 1e300 quirk") {
+    assert(Ryu.shortestCsv(3.0) == "3")            // "3.0" -> "3"
+    assert(Ryu.shortestCsv(2.50) == "2.5")
+    assert(Ryu.shortestCsv(112946.26) == "112946.26")
+    // converter.rs:210-212 strips '0' then '.' unconditionally — corrupting
+    // scientific output; reproduced bug-for-bug.
+    assert(Ryu.shortestCsv(1.0e300) == "1e3")
+  }
+
+  // ---- scalar render expressions -----------------------------------------
+
+  test("decimal renders as plain string, never scientific (converter.rs:345-371)") {
+    val df = spark.createDataFrame(
+      java.util.List.of(
+        Row(new java.math.BigDecimal("0.0000001")),   // toString would be 1E-7
+        Row(new java.math.BigDecimal("-0.0012300")),
+        Row(new java.math.BigDecimal("12.30")),
+        Row(null)),
+      StructType(Seq(StructField("d", DecimalType(20, 7)))))
+    val got = df.select(KustoRender.decimalPlain(col("d")).as("s"))
+      .collect().map(_.getString(0))
+    assert(got.toSeq == Seq("0.0000001", "-0.0012300", "12.3000000", null))
+  }
+
+  test("NaN and infinities render as null (converter.rs:291-295)") {
+    val df = spark.createDataFrame(
+      java.util.List.of(Row(Double.NaN), Row(Double.PositiveInfinity),
+        Row(Double.NegativeInfinity), Row(1.5)),
+      StructType(Seq(StructField("f", DoubleType))))
+    val got = df.select(KustoRender.finiteOrNull(col("f")).as("v"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getDouble(0))
+    assert(got.toSeq == Seq(null, null, null, 1.5))
+    val txt = df.select(KustoRender.doubleText(col("f")).as("s"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getString(0))
+    assert(txt.toSeq == Seq(null, null, null, "1.5"))
+  }
+
+  test("binary renders as array of unsigned byte numbers (converter.rs:283-289)") {
+    val df = spark.createDataFrame(
+      java.util.List.of(Row(Array[Byte](0, 127, -1, -128))),
+      StructType(Seq(StructField("b", BinaryType))))
+    val got = df.select(KustoRender.bytesAsIntArray(col("b")).as("a"))
+      .collect().head.getSeq[Int](0)
+    assert(got == Seq(0, 127, 255, 128))
+  }
+
+  test("u64 two's-complement reinterpret (converter.rs:297-303)") {
+    val df = spark.createDataFrame(
+      java.util.List.of(
+        Row(new java.math.BigDecimal("18446744073709551615")), // u64::MAX -> -1
+        Row(new java.math.BigDecimal("9223372036854775808")),  // i64::MAX+1 -> MIN
+        Row(new java.math.BigDecimal("42"))),
+      StructType(Seq(StructField("u", DecimalType(20, 0)))))
+    val got = df.select(KustoRender.u64ToLong(col("u")).as("l"))
+      .collect().map(_.getLong(0))
+    assert(got.toSeq == Seq(-1L, Long.MinValue, 42L))
+  }
+
+  test("timestamp modes: ticks, isostr (6 digits), unixms (converter.rs:305-332)") {
+    val df = spark.createDataFrame(
+      java.util.List.of(
+        Row(java.sql.Timestamp.from(java.time.Instant.ofEpochMilli(0L))),
+        Row(java.sql.Timestamp.from(java.time.Instant.parse("2024-01-02T03:04:05.678Z")))),
+      StructType(Seq(StructField("t", TimestampType))))
+    val got = df.select(
+      KustoRender.timestampTicks(col("t")).as("ticks"),
+      KustoRender.timestampIso(col("t")).as("iso"),
+      KustoRender.timestampUnixMs(col("t")).as("ms")).collect()
+    assert(got(0).getLong(0) == 621355968000000000L)
+    assert(got(0).getString(1) == "1970-01-01T00:00:00.000000Z")
+    assert(got(0).getLong(2) == 0L)
+    val ms = java.time.Instant.parse("2024-01-02T03:04:05.678Z").toEpochMilli
+    assert(got(1).getLong(0) == ms * 10000 + 621355968000000000L)
+    assert(got(1).getString(1) == "2024-01-02T03:04:05.678000Z")
+    assert(got(1).getLong(2) == ms)
+  }
+
+  // ---- whole-row JSON encode ---------------------------------------------
+
+  private def nestedDf = {
+    val schema = StructType(Seq(
+      StructField("s", StructType(Seq(
+        StructField("a", IntegerType), StructField("b", StringType)))),
+      StructField("l", ArrayType(IntegerType)),
+      StructField("m", MapType(IntegerType, StringType)),
+      StructField("x", LongType)))
+    spark.createDataFrame(
+      java.util.List.of(
+        Row(Row(1, "hi"), Seq(1, 2), Map(7 -> "seven"), 99L),
+        Row(Row(null, null), Seq(), Map[Int, String](), null)),
+      schema)
+  }
+
+  test("kusto json: sorted keys, nested structs/lists/maps, stringified map keys") {
+    val got = KustoRender.toKustoJson(nestedDf).collect().map(_.getString(0))
+    assert(got(0) == """{"l":[1,2],"m":{"7":"seven"},"s":{"a":1,"b":"hi"},"x":99}""")
+    assert(got(1) == """{"l":[],"m":{},"s":{"a":null,"b":null},"x":null}""")
+  }
+
+  test("kusto json: --prune omits nulls, collapses empty bags and lists (converter.rs:220-244)") {
+    val got = KustoRender.toKustoJson(nestedDf, KustoRenderOptions().pruned)
+      .collect().map(_.getString(0))
+    assert(got(0) == """{"l":[1,2],"m":{"7":"seven"},"s":{"a":1,"b":"hi"},"x":99}""")
+    // nulls dropped -> s empty -> null -> dropped; [] -> null -> dropped;
+    // {} -> null -> dropped; all-null top level -> {} (converter.rs:135-139)
+    assert(got(1) == "{}")
+  }
+
+  test("kusto json: string escaping matches serde_json") {
+    val df = spark.createDataFrame(
+      java.util.List.of(Row("a\"b\\c\n\td")),
+      StructType(Seq(StructField("s", StringType))))
+    val got = KustoRender.toKustoJson(df).collect().head.getString(0)
+    assert(got == "{\"s\":\"a\\\"b\\\\c\\n\\t\\u0001d\"}")
+  }
+
+  // ---- whole-row CSV encode ----------------------------------------------
+
+  test("kusto csv: quoting, \\r terminator, nested-as-json, missing columns (converter.rs:145-188)") {
+    val schema = StructType(Seq(
+      StructField("a", IntegerType),
+      StructField("txt", StringType),
+      StructField("f", DoubleType),
+      StructField("l", ArrayType(IntegerType))))
+    val df = spark.createDataFrame(
+      java.util.List.of(
+        Row(1, "plain", 2.50, Seq(1, 2)),
+        Row(2, "with,comma", 3.0, Seq()),
+        Row(3, "with\"quote", Double.NaN, null)),
+      schema)
+    val got = KustoRender.toKustoCsv(df).collect().map(_.getString(0))
+    assert(got(0) == "1,plain,2.5,\"[1,2]\"\r")
+    assert(got(1) == "2,\"with,comma\",3,[]\r")
+    assert(got(2) == "3,\"with\"\"quote\",,\r")
+    // projection with a missing column -> empty slot at requested position
+    val proj = KustoRender.toKustoCsv(df, Some(Seq("a", "nope", "txt")))
+      .collect().map(_.getString(0))
+    assert(proj(0) == "1,,plain\r")
+  }
+
+  // ---- metadata ops -------------------------------------------------------
+
+  test("csl schema mapping from parquet footer (schema.rs:74-109)") {
+    val dir = java.nio.file.Files.createTempDirectory("cslspec").toString
+    val schema = StructType(Seq(
+      StructField("b", BooleanType), StructField("s", StringType),
+      StructField("i", IntegerType), StructField("l", LongType),
+      StructField("f", FloatType), StructField("d", DoubleType),
+      StructField("dt", DateType), StructField("ts", TimestampType),
+      StructField("dec9", DecimalType(9, 2)), StructField("dec38", DecimalType(38, 10)),
+      StructField("bin", BinaryType),
+      StructField("nested", ArrayType(IntegerType))))
+    val df = spark.createDataFrame(
+      java.util.List.of(Row(true, "x", 1, 2L, 1.0f, 2.0,
+        java.sql.Date.valueOf("2024-01-01"),
+        java.sql.Timestamp.from(java.time.Instant.EPOCH),
+        new java.math.BigDecimal("1.00"), new java.math.BigDecimal("1.0000000000"),
+        Array[Byte](1), Seq(1))), schema)
+    df.coalesce(1).write.mode("overwrite").parquet(dir)
+    val file = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).head.getPath
+    val csl = graft.sources.ParquetMetadata.cslSchema(file).map(c => c.name -> c.cslType).toMap
+    assert(csl("b") == "bool" && csl("s") == "string")
+    assert(csl("i") == "int" && csl("l") == "long")
+    assert(csl("f") == "real" && csl("d") == "real")
+    assert(csl("dt") == "datetime" && csl("ts") == "datetime")
+    assert(csl("dec9") == "real")      // INT32-backed decimal (schema.rs:95)
+    assert(csl("dec38") == "decimal")  // FLBA-backed decimal (schema.rs:89)
+    assert(csl("bin") == "dynamic" && csl("nested") == "dynamic")
+    val rgs = graft.sources.ParquetMetadata.rowGroups(file)
+    assert(rgs.nonEmpty && rgs.head.numberOfRows == "1")
+  }
+}
