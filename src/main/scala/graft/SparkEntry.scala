@@ -15,7 +15,8 @@ object SparkEntry {
   private def modules: Seq[QueryModule] = Seq(
     operators.RelationalQueries,
     functions.RenderQueries,
-    sources.MetadataQueries
+    sources.MetadataQueries,
+    operators.LlmQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

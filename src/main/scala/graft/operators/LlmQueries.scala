@@ -1,0 +1,374 @@
+package graft.operators
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The LLM-training-data pipeline surface (BASELINE north star): text
+  * analysis, document fingerprinting, exact/fuzzy deduplication, and
+  * embedding similarity over the `documents` / `embeddings` tables.
+  *
+  * The reference has none of this (it is a converter); each operator here
+  * is designed Spark-first for the 100 TB case and then, where the
+  * semantics are SQL-expressible, hash-verified against DuckDB:
+  *
+  *   - Candidate generation is always BLOCKED (shingle join / LSH bands /
+  *     normalized-component buckets), never an O(n²) cross join, so the
+  *     shuffle volume scales with Σ bucket² rather than corpus².
+  *   - Fuzzy-dedup queries run on a corpus with PLANTED duplicates (each
+  *     doc unioned with a truncated/scaled copy at doc_id+10000) so recall
+  *     is deterministic and the oracle can assert exact pair sets.
+  *   - Double arithmetic is ordered identically on both engines (index-
+  *     order folds) and thresholds compare rounded values, so hashes match
+  *     bit-for-bit.
+  */
+object LlmQueries extends QueryModule {
+
+  // ---- shared text fragments (kept in sync with the DuckDB oracles) ------
+
+  /** whitespace-normalized lowercase text */
+  private val normSql = "lower(trim(regexp_replace(text, '\\\\s+', ' ')))"
+  /** whitespace tokens */
+  private val toksSql = "split(trim(text), '\\\\s+')"
+  /** distinct word 3-shingles of an array-of-tokens column `t` */
+  private def shinglesSql(t: String): String =
+    s"array_distinct(CASE WHEN size($t) >= 3 THEN " +
+    s"transform(sequence(1, size($t) - 2), i -> " +
+    s"concat_ws(' ', element_at($t, i), element_at($t, i + 1), element_at($t, i + 2))) " +
+    s"ELSE array() END)"
+
+  /** Documents plus an exact copy of each at doc_id + 10000. */
+  private def plantedExact(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+    d.unionByName(d.select((col("doc_id") + 10000).as("doc_id"), col("text")))
+  }
+
+  /** Documents plus a near-duplicate copy (last 5 tokens dropped). */
+  private def plantedNear(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+    d.unionByName(d.select((col("doc_id") + 10000).as("doc_id"),
+      expr(s"array_join(slice($toksSql, 1, greatest(size($toksSql) - 5, 1)), ' ')").as("text")))
+  }
+
+  /** Embeddings as double[] plus a 2x-scaled copy at vec_id + 100000.
+    * Scaling by a power of two is exact in IEEE arithmetic, so the copy's
+    * cosine against the original is exactly 1.0 and its normalized
+    * components are bit-identical — deterministic planted near-dups. */
+  private def plantedVecs(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    e.unionByName(e.select((col("vec_id") + 100000).as("vec_id"), col("label"),
+      expr("transform(v, x -> x * 2.0D)").as("v")))
+  }
+
+  /** Ordered-fold dot product and norms — index order on both engines. */
+  private val dotSql = "aggregate(zip_with(av, bv, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
+  private def normSqlOf(v: String) =
+    s"sqrt(aggregate($v, 0.0D, (acc, x) -> acc + x * x))"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // --- text analysis: token counting (whitespace + BPE-ish regex),
+    // punctuation/stopword profile, quality bucket. Narrow scan->project.
+    "q30_text_stats" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          length(col("text")).as("len_chars"),
+          expr(s"size($toksSql)").as("n_words"),
+          size(regexp_extract_all(col("text"), lit("\\w+|[^\\w\\s]"), lit(0))).as("n_bpe_tokens"),
+          size(regexp_extract_all(col("text"), lit("[^\\w\\s]"), lit(0))).as("n_punct"),
+          expr(s"size(filter($toksSql, t -> t IN ('the', 'a', 'and', 'of')))").as("n_stop"))
+        .withColumn("quality",
+          when(col("n_words").between(20, 1000) &&
+               col("n_punct") / col("len_chars") < 0.1, "good").otherwise("low"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- language ID: marker-stopword heuristic (deterministic n-gram-free
+    // variant; the content is synthetic so the score, not accuracy, is the
+    // verified artifact).
+    "q31_lang_id" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          expr(s"size(filter($toksSql, t -> t IN ('the', 'a', 'and', 'of', 'is')))").as("sc_en"),
+          expr(s"size(filter($toksSql, t -> t IN ('der', 'die', 'das', 'und', 'ist')))").as("sc_de"),
+          expr(s"size(filter($toksSql, t -> t IN ('le', 'la', 'et', 'les', 'est')))").as("sc_fr"),
+          expr(s"size(filter($toksSql, t -> t IN ('el', 'la', 'y', 'los', 'es')))").as("sc_es"))
+        .withColumn("guess",
+          when(col("sc_de") > col("sc_en"), "de")
+            .when(col("sc_fr") > col("sc_en"), "fr")
+            .when(col("sc_es") > col("sc_en"), "es")
+            .otherwise("en"))
+        .select(col("doc_id"), col("lang"), col("guess"),
+          (col("guess") === col("lang")).as("hit"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- document fingerprinting: md5 of normalized text (content hash).
+    // The rolling-hash variant is the RollingHash64 expression (unit-tested;
+    // not DuckDB-expressible).
+    "q32_fingerprint" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), md5(expr(normSql)).as("fp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- exact dedup at scale: hash-groupBy on the content fingerprint;
+    // map-side partial agg keeps shuffle at one row per distinct hash.
+    "q33_dedup_exact" -> ((s, dir) => {
+      plantedExact(s, dir)
+        .groupBy(md5(expr(normSql)).as("fp"))
+        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+        .orderBy(col("keeper"))
+    }),
+
+    // --- n-gram Jaccard dedup: shingle-join candidate generation (blocked;
+    // shuffle ~ Σ shingle-bucket², not corpus²) then exact set Jaccard.
+    "q34_ngram_jaccard" -> ((s, dir) => {
+      val sh = plantedNear(s, dir)
+        .select(col("doc_id"), expr(shinglesSql(toksSql)).as("sh"))
+        .select(col("doc_id"), size(col("sh")).as("sz"), explode(col("sh")).as("s"))
+      val a = sh.select(col("doc_id").as("doc_a"), col("sz").as("sz_a"), col("s"))
+      val b = sh.select(col("doc_id").as("doc_b"), col("sz").as("sz_b"), col("s"))
+      a.join(b, a("s") === b("s") && col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"), col("sz_a"), col("sz_b"))
+        .agg(count(lit(1)).as("inter"))
+        .withColumn("jac", col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
+        .filter(col("jac") >= 0.5)
+        .select(col("doc_a"), col("doc_b"), col("jac"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // --- MinHash + LSH dedup (not SQL-expressible -> rows-only check;
+    // recall pinned by LlmSpec): 16 minhashes over shingles, 4 bands of 4,
+    // band-bucket join for candidates, exact Jaccard verification.
+    "q35_minhash_lsh" -> ((s, dir) => {
+      val docs = plantedNear(s, dir)
+        .select(col("doc_id"), expr(shinglesSql(toksSql)).as("sh"))
+        .filter(size(col("sh")) > 0)
+      val sig = docs.withColumn("sig",
+        expr("""transform(sequence(0, 15), j ->
+                 array_min(transform(sh, t -> xxhash64(concat(t, j)))))"""))
+      val bands = sig.select(col("doc_id"), col("sh"),
+          posexplode(expr(
+            """transform(sequence(0, 3), b ->
+                 xxhash64(concat_ws(',', transform(slice(sig, b * 4 + 1, 4), x -> CAST(x AS STRING)))))""")))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
+      val a = bands.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
+        col("band"), col("bkey"))
+      val b = bands.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
+        col("band"), col("bkey"))
+      a.join(b, Seq("band", "bkey")).filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          (size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
+           size(array_union(col("sh_a"), col("sh_b")))).as("jac"))
+        .distinct()
+        .filter(col("jac") >= 0.5)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // --- SimHash dedup (rows-only): 64-bit simhash over distinct tokens,
+    // 4x16-bit band blocking, Hamming distance <= 6 via bit_count(xor).
+    "q36_simhash" -> ((s, dir) => {
+      val docs = plantedNear(s, dir)
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.simhash64(expr(toksSql)).as("sh"))
+      val banded = docs.select(col("doc_id"), col("sh"),
+        posexplode(expr("transform(sequence(0, 3), b -> shiftright(sh, b * 16) & 65535)")))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
+      val a = banded.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
+        col("band"), col("bkey"))
+      val b = banded.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
+        col("band"), col("bkey"))
+      a.join(b, Seq("band", "bkey")).filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 6)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // --- brute-force cosine top-k: the exact-search baseline. The query
+    // side (10 vectors) is broadcast, so the corpus scan never shuffles;
+    // at 100 TB this is one pass over the corpus per query batch.
+    "q37_knn_cosine" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("v").as("av"))
+      val c = e.select(col("vec_id").as("nbr_id"), col("v").as("bv"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("nbr_id").asc)
+      c.join(broadcast(q), col("query_id") =!= col("nbr_id"))
+        .withColumn("score",
+          round(expr(dotSql) / (expr(normSqlOf("av")) * expr(normSqlOf("bv"))), 4))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("query_id"), col("nbr_id"), col("score"), col("rnk"))
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
+    // --- embedding near-dup detection, blocked: candidates share
+    // (label, floor(normalized-first-component * 50)), so comparisons
+    // scale with Σ bucket² — the LSH-style scale path — while the planted
+    // 2x-scaled copies land in the same bucket deterministically.
+    "q38_dedup_embedding" -> ((s, dir) => {
+      val e = plantedVecs(s, dir)
+        .withColumn("bkt", floor(expr(s"element_at(v, 1) / ${normSqlOf("v")}") * 50))
+      val a = e.select(col("vec_id").as("vec_a"), col("label"), col("bkt"), col("v").as("av"))
+      val b = e.select(col("vec_id").as("vec_b"), col("label"), col("bkt"), col("v").as("bv"))
+      a.join(b, Seq("label", "bkt")).filter(col("vec_a") < col("vec_b"))
+        .withColumn("score",
+          round(expr(dotSql) / (expr(normSqlOf("av")) * expr(normSqlOf("bv"))), 4))
+        .filter(col("score") >= 0.99)
+        .select(col("vec_a"), col("vec_b"), col("score"))
+        .orderBy(col("vec_a"), col("vec_b"))
+    }),
+
+    // --- ANN via random-hyperplane LSH (rows-only): 8 Rademacher
+    // hyperplanes derived from a fixed LCG -> 8-bit sign bucket; probe only
+    // the query's bucket, exact cosine inside it. The scale path: bucket
+    // join replaces the corpus cross join.
+    "q39_ann_lsh" -> ((s, dir) => {
+      val planes: Column = array((0 until 8).map { j =>
+        array((0 until 64).map { i =>
+          // deterministic ±1 from a fixed multiplicative LCG (seed = j*64+i)
+          val x = (j * 64 + i + 1) * 6364136223846793005L + 1442695040888963407L
+          lit(if (((x >>> 33) & 1L) == 1L) 1.0 else -1.0)
+        }: _*)
+      }: _*)
+      val e = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        .withColumn("planes", planes)
+        .withColumn("bucket", expr(
+          """aggregate(sequence(0, 7), 0, (acc, j) -> acc + CASE WHEN
+               aggregate(zip_with(v, element_at(planes, j + 1), (x, p) -> x * p),
+                         0.0D, (s, x) -> s + x) > 0 THEN CAST(pow(2, j) AS INT) ELSE 0 END)"""))
+        .drop("planes")
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("v").as("av"), col("bucket"))
+      val c = e.select(col("vec_id").as("nbr_id"), col("v").as("bv"), col("bucket"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("nbr_id").asc)
+      c.join(broadcast(q), Seq("bucket")).filter(col("query_id") =!= col("nbr_id"))
+        .withColumn("score",
+          round(expr(dotSql) / (expr(normSqlOf("av")) * expr(normSqlOf("bv"))), 4))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("query_id"), col("nbr_id"), col("score"), col("rnk"))
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
+    // --- multimodal column plumbing: text bytes stand in for an opaque
+    // media blob; the "decode" is the deterministic stub MultimodalStub
+    // runs per-partition (the real image/audio libs are absent by design).
+    "q40_multimodal" -> ((s, dir) =>
+      MultimodalStub.extractFeatures(
+        Tables(s, dir, "documents").select(col("doc_id"),
+          col("text").cast(BinaryType).as("blob")))
+        .orderBy(col("doc_id")))
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q30_text_stats" ->
+      """SELECT doc_id, length(text) AS len_chars,
+        |  len(string_split_regex(trim(text), '\s+')) AS n_words,
+        |  len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_bpe_tokens,
+        |  len(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
+        |  len(list_filter(string_split_regex(trim(text), '\s+'),
+        |      t -> t IN ('the', 'a', 'and', 'of'))) AS n_stop,
+        |  CASE WHEN len(string_split_regex(trim(text), '\s+')) BETWEEN 20 AND 1000
+        |        AND len(regexp_extract_all(text, '[^\w\s]')) / length(text) < 0.1
+        |       THEN 'good' ELSE 'low' END AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q31_lang_id" ->
+      """WITH t AS (SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS tk
+        |           FROM documents),
+        |sc AS (SELECT doc_id, lang,
+        |  len(list_filter(tk, t -> t IN ('the', 'a', 'and', 'of', 'is'))) AS sc_en,
+        |  len(list_filter(tk, t -> t IN ('der', 'die', 'das', 'und', 'ist'))) AS sc_de,
+        |  len(list_filter(tk, t -> t IN ('le', 'la', 'et', 'les', 'est'))) AS sc_fr,
+        |  len(list_filter(tk, t -> t IN ('el', 'la', 'y', 'los', 'es'))) AS sc_es
+        |  FROM t)
+        |SELECT doc_id, lang,
+        |  CASE WHEN sc_de > sc_en THEN 'de' WHEN sc_fr > sc_en THEN 'fr'
+        |       WHEN sc_es > sc_en THEN 'es' ELSE 'en' END AS guess,
+        |  (CASE WHEN sc_de > sc_en THEN 'de' WHEN sc_fr > sc_en THEN 'fr'
+        |        WHEN sc_es > sc_en THEN 'es' ELSE 'en' END) = lang AS hit
+        |FROM sc ORDER BY doc_id""".stripMargin,
+    "q32_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q33_dedup_exact" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 10000, text FROM documents)
+        |SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+        |  MIN(doc_id) AS keeper, COUNT(*) AS n_copies
+        |FROM corpus GROUP BY 1 ORDER BY keeper""".stripMargin,
+    "q34_ngram_jaccard" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000,
+        |    array_to_string(string_split_regex(trim(text), '\s+')[1:greatest(
+        |      len(string_split_regex(trim(text), '\s+')) - 5, 1)], ' ')
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(tk) >= 3 THEN
+        |    list_transform(range(1, len(tk) - 1),
+        |      i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])
+        |    ELSE [] END) AS sh
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM corpus)),
+        |ex AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS s FROM sh)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  COUNT(*) / (a.sz + b.sz - COUNT(*)) AS jac
+        |FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        |GROUP BY a.doc_id, b.doc_id, a.sz, b.sz
+        |HAVING COUNT(*) / (a.sz + b.sz - COUNT(*)) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q37_knn_cosine" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |p AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+        |    round(list_dot_product(q.v, c.v) /
+        |      (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 4)
+        |      AS score
+        |  FROM e q JOIN e c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |        ORDER BY score DESC, nbr_id ASC) AS rnk FROM p)
+        |SELECT query_id, nbr_id, score, rnk FROM r WHERE rnk <= 5
+        |ORDER BY query_id, rnk""".stripMargin,
+    "q38_dedup_embedding" ->
+      """WITH base AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |              FROM embeddings),
+        |corpus AS (
+        |  SELECT vec_id, label, v FROM base
+        |  UNION ALL
+        |  SELECT vec_id + 100000, label, list_transform(v, x -> x * 2.0) FROM base),
+        |k AS (SELECT vec_id, label, v,
+        |        floor(v[1] / sqrt(list_dot_product(v, v)) * 50) AS bkt FROM corpus)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  round(list_dot_product(a.v, b.v) /
+        |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4)
+        |    AS score
+        |FROM k a JOIN k b ON a.label = b.label AND a.bkt = b.bkt
+        |  AND a.vec_id < b.vec_id
+        |WHERE round(list_dot_product(a.v, b.v) /
+        |  (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.99
+        |ORDER BY vec_a, vec_b""".stripMargin,
+    "q40_multimodal" ->
+      """SELECT doc_id,
+        |  octet_length(CAST(text AS BLOB)) AS n_bytes,
+        |  array_to_string(list_transform(range(1, 9),
+        |    i -> ascii(substr(text, CAST(i AS INT), 1))), ',') AS head_bytes,
+        |  octet_length(CAST(text AS BLOB)) % 640 AS fake_width,
+        |  3 AS fake_channels
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}
