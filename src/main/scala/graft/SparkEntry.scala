@@ -16,7 +16,8 @@ object SparkEntry {
     operators.RelationalQueries,
     functions.RenderQueries,
     sources.MetadataQueries,
-    operators.LlmQueries
+    operators.LlmQueries,
+    streaming.StreamingQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

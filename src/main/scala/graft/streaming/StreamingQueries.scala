@@ -1,0 +1,96 @@
+package graft.streaming
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Event-time windowing over the `events` stream table. The reference has
+  * no streaming at all (finite-file input, SURVEY §1.1); this is the
+  * Structured Streaming surface the Spark engine adds. Each builder below
+  * is ONE function applied to either a batch DataFrame (driver correctness
+  * gate, DuckDB oracle) or a `readStream` DataFrame (StreamingSpec runs the
+  * same code through MemoryStream + watermarks) — batch/stream parity by
+  * construction, which is exactly how Structured Streaming is meant to be
+  * used.
+  *
+  * Scale: watermark + windowed aggregation keeps state bounded to open
+  * windows per key; the tumbling/sliding aggs shuffle once on the window
+  * key, session windows shuffle on (user, session) with Spark's built-in
+  * session merge.
+  */
+object StreamingQueries extends QueryModule {
+
+  /** Exact order-insensitive double sum (see RelationalQueries doc). */
+  private def dsum(c: Column): Column = sum(c.cast(DecimalType(25, 6))).cast(DoubleType)
+
+  /** Tumbling 1-hour event-time windows. Watermark is a no-op in batch. */
+  def tumbling(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("n_events"), col("sum_value"))
+
+  /** Sliding 2-hour windows advancing every hour (each event in 2). */
+  def sliding(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "2 hours", "1 hour"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("n_events"), col("sum_value"))
+
+  /** Per-user session windows with a 6-hour inactivity gap. */
+  def sessions(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), "6 hours"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q50_stream_tumbling" -> ((s, dir) =>
+      tumbling(Tables(s, dir, "events")).orderBy(col("window_start"))),
+    "q51_stream_sliding" -> ((s, dir) =>
+      sliding(Tables(s, dir, "events")).orderBy(col("window_start"))),
+    "q52_stream_session" -> ((s, dir) =>
+      sessions(Tables(s, dir, "events")).orderBy(col("user_id"), col("session_start")))
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q50_stream_tumbling" ->
+      """SELECT date_trunc('hour', ts) AS window_start, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY window_start""".stripMargin,
+    // A 2h-long window sliding by 1h holds events whose hour-truncation is
+    // its start or start+1h: emit each event into both window starts.
+    "q51_stream_sliding" ->
+      """WITH assigned AS (
+        |  SELECT date_trunc('hour', ts) AS window_start, value FROM events
+        |  UNION ALL
+        |  SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR, value FROM events)
+        |SELECT window_start, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+        |FROM assigned GROUP BY 1 ORDER BY window_start""".stripMargin,
+    // Gaps-and-islands: a new session starts when the gap from the previous
+    // event of the same user is >= 6h (Spark merges only OVERLAPPING
+    // [ts, ts+gap) intervals); session end = last ts + gap.
+    "q52_stream_session" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |              >= INTERVAL 6 HOUR OR
+        |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events),
+        |numbered AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                     ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM marked)
+        |SELECT user_id, MIN(ts) AS session_start,
+        |  MAX(ts) + INTERVAL 6 HOUR AS session_end, COUNT(*) AS n_events
+        |FROM numbered GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin
+  )
+}

@@ -1,0 +1,151 @@
+package graft
+
+import graft.streaming.StreamingQueries
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.sql.Timestamp
+
+case class Ev(ts: Timestamp, user_id: Long, value: Double)
+case class UserCount(user_id: Long, n: Long)
+
+/** Proves the StreamingQueries builders are genuinely streamable: the SAME
+  * functions the batch correctness gate runs execute here under
+  * MemoryStream with watermarks, and results match the batch run on
+  * identical data. Also exercises mapGroupsWithState for custom state.
+  */
+class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  @transient var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("streaming-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def ts(s: String) = Timestamp.from(java.time.Instant.parse(s))
+
+  private val batch1 = Seq(
+    Ev(ts("2024-01-01T10:05:00Z"), 1, 1.0),
+    Ev(ts("2024-01-01T10:40:00Z"), 1, 2.0),
+    Ev(ts("2024-01-01T11:10:00Z"), 2, 3.0))
+  private val batch2 = Seq(
+    Ev(ts("2024-01-01T13:00:00Z"), 2, 4.0), // advances watermark to 12:00
+    Ev(ts("2024-01-01T10:59:00Z"), 1, 9.9)) // late, before watermark: dropped
+
+  test("tumbling window agg: stream (complete mode) matches batch") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = StreamingQueries.tumbling(mem.toDF())
+      .writeStream.format("memory").queryName("tumb").outputMode(OutputMode.Complete())
+      .start()
+    try {
+      mem.addData(batch1: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("tumb")
+        .select("window_start", "n_events", "sum_value")
+        .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2))).toSet
+      val batch = StreamingQueries.tumbling(batch1.toDF())
+        .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(streamed == batch)
+      assert(streamed.exists { case (w, n, s) =>
+        w == ts("2024-01-01T10:00:00Z") && n == 2 && s == 3.0 })
+    } finally q.stop()
+  }
+
+  test("watermark drops late data in append mode") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = StreamingQueries.tumbling(mem.toDF())
+      .writeStream.format("memory").queryName("late").outputMode(OutputMode.Append())
+      .start()
+    try {
+      mem.addData(batch1: _*)
+      q.processAllAvailable()
+      // Watermark advances AFTER a batch completes: first push the
+      // watermark past 11:00 (closing the 10:00 window) ...
+      mem.addData(Ev(ts("2024-01-01T13:00:00Z"), 2, 4.0))
+      q.processAllAvailable()
+      // ... then the 10:59 straggler arrives with watermark at 12:00 and
+      // its window already closed and evicted: dropped.
+      mem.addData(Ev(ts("2024-01-01T10:59:00Z"), 1, 9.9))
+      q.processAllAvailable()
+      val rows = spark.table("late")
+        .collect().map(r => r.getTimestamp(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      // the 10:00 window emitted WITHOUT the late 9.9 event
+      assert(rows(ts("2024-01-01T10:00:00Z")) == ((2L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("session windows: stream matches batch on identical data") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val data = Seq(
+      Ev(ts("2024-01-01T00:00:00Z"), 1, 1.0),
+      Ev(ts("2024-01-01T02:00:00Z"), 1, 1.0),  // same session (< 6h gap)
+      Ev(ts("2024-01-01T12:00:00Z"), 1, 1.0),  // new session (10h gap)
+      Ev(ts("2024-01-01T01:00:00Z"), 2, 1.0))
+    val evDf = data.toDF().withColumn("user_id", col("user_id"))
+    val mem = MemoryStream[Ev]
+    val q = StreamingQueries.sessions(mem.toDF())
+      .writeStream.format("memory").queryName("sess").outputMode(OutputMode.Complete())
+      .start()
+    try {
+      mem.addData(data: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("sess").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3))).toSet
+      val batch = StreamingQueries.sessions(evDf).collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3))).toSet
+      assert(streamed == batch)
+      assert(streamed.contains((1L, ts("2024-01-01T00:00:00Z"),
+        ts("2024-01-01T08:00:00Z"), 2L)))  // end = last ts + 6h gap
+      assert(streamed.size == 3)
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState: custom running state per key across batches") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val mem = MemoryStream[Ev]
+    val counted = mem.toDS()
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (uid: Long, evs: Iterator[Ev], state: GroupState[Long]) =>
+          val n = state.getOption.getOrElse(0L) + evs.size
+          state.update(n)
+          UserCount(uid, n)
+      }
+    val q = counted.toDF()
+      .writeStream.format("memory").queryName("mgws").outputMode(OutputMode.Update())
+      .start()
+    try {
+      mem.addData(batch1: _*) // user 1: 2 events, user 2: 1
+      q.processAllAvailable()
+      mem.addData(batch2: _*) // user 2: +1, user 1: +1
+      q.processAllAvailable()
+      val last = spark.table("mgws").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
+      assert(last == Map(1L -> 3L, 2L -> 2L))
+    } finally q.stop()
+  }
+}
