@@ -1,0 +1,154 @@
+package graft
+
+import graft.functions.{KustoRender, KustoRenderOptions, TimestampMode}
+import graft.sources.ParquetMetadata
+import org.apache.spark.sql.SparkSession
+
+/** CLI shim reproducing the reference's entry surface 1:1
+  * (`/root/reference/pq2json/src/main.rs:10-157`) over SparkSession — the
+  * acceptance surface for diff-testing against the reference binary.
+  *
+  *   pq2json [--csv] [-c/--columns JSON_ARRAY] [-o/--output FILE]
+  *           [--omit-nulls] [--omit-empty-bags] [--omit-empty-lists]
+  *           [-p/--prune] [-r/--convert-types] [-t/--timestamp MODE]
+  *           [--schema | --cslschema | --rowgroups] INPUT
+  *
+  * Faithfulness notes:
+  *   - `-o` actually works here; in the reference it is dead code
+  *     (`main.rs:127` queries `value_of("OUT_FILE")` but the arg is named
+  *     "output", so output always goes to stdout).
+  *   - errors print `ERROR: ...` on stderr and exit nonzero
+  *     (`main.rs:159-165`).
+  *   - conversion streams through `toLocalIterator`, so driver memory is
+  *     O(partition) — the Spark analogue of the reference's O(row)
+  *     streaming loop (`converter.rs:133`). Row order is scan order, which
+  *     for a single parquet file matches the reference's file order.
+  */
+object Pq2Json {
+
+  final case class Args(
+      input: String = null, output: Option[String] = None,
+      columns: Option[Seq[String]] = None, csv: Boolean = false,
+      schema: Boolean = false, cslSchema: Boolean = false,
+      rowGroups: Boolean = false, opts: KustoRenderOptions = KustoRenderOptions())
+
+  def parseArgs(argv: Array[String]): Args = {
+    var a = Args()
+    var i = 0
+    var omitNulls, omitBags, omitLists, prune = false
+    while (i < argv.length) {
+      argv(i) match {
+        case "--omit-nulls" => omitNulls = true
+        case "--omit-empty-bags" => omitBags = true
+        case "--omit-empty-lists" => omitLists = true
+        case "-p" | "--prune" => prune = true
+        case "-r" | "--convert-types" =>
+          a = a.copy(opts = a.opts.copy(convertTypes = true))
+        case "--csv" => a = a.copy(csv = true)
+        case "--schema" => a = a.copy(schema = true)
+        case "--cslschema" => a = a.copy(cslSchema = true)
+        case "--rowgroups" => a = a.copy(rowGroups = true)
+        case "-t" | "--timestamp" =>
+          i += 1
+          a = a.copy(opts = a.opts.copy(timestampMode = TimestampMode.parse(argv(i))))
+        case "-c" | "--columns" =>
+          i += 1
+          a = a.copy(columns = Some(parseJsonStringArray(argv(i))))
+        case "-o" | "--output" =>
+          i += 1
+          a = a.copy(output = Some(argv(i)))
+        case v if v.startsWith("-v") => // verbosity: accepted, unused
+        case other if a.input == null => a = a.copy(input = other)
+        case other => throw new IllegalArgumentException(s"unexpected argument: $other")
+      }
+      i += 1
+    }
+    require(a.input != null, "INPUT must be provided")
+    a = a.copy(opts = a.opts.copy(
+      omitNulls = omitNulls || prune,
+      omitEmptyBags = omitBags || prune,
+      omitEmptyLists = omitLists || prune))
+    a
+  }
+
+  /** `--columns` takes a JSON array of strings (`main.rs:142-145`). */
+  def parseJsonStringArray(s: String): Seq[String] = {
+    val t = s.trim
+    require(t.startsWith("[") && t.endsWith("]"), "expected a JSON array of column names")
+    val body = t.substring(1, t.length - 1).trim
+    if (body.isEmpty) Seq.empty
+    else body.split(",").toSeq.map { e =>
+      val v = e.trim
+      require(v.length >= 2 && v.startsWith("\"") && v.endsWith("\""),
+        "expected a JSON array of double-quoted column names")
+      v.substring(1, v.length - 1)
+    }
+  }
+
+  private def jsonEscape(s: String): String = {
+    val sb = new java.lang.StringBuilder
+    graft.functions.KValue.escapeInto(sb, s)
+    sb.toString
+  }
+
+  def run(spark: SparkSession, a: Args, out: java.io.PrintStream): Unit = {
+    if (a.schema) {
+      out.println("\n\nParquet metadata")
+      out.println("=================================================")
+      out.println(ParquetMetadata.schemaString(a.input))
+    } else if (a.cslSchema) {
+      out.println(ParquetMetadata.cslSchema(a.input)
+        .map(c => s"""{"name":${jsonEscape(c.name)},"type":"${c.cslType}"}""")
+        .mkString("[", ",", "]"))
+    } else if (a.rowGroups) {
+      out.println(ParquetMetadata.rowGroups(a.input)
+        .map(r => s"""{"numberOfRows":"${r.numberOfRows}","totalByteSize":"${r.totalByteSize}"}""")
+        .mkString("[", ",", "]"))
+    } else {
+      val df = spark.read.parquet(a.input)
+      val rendered =
+        if (a.csv) KustoRender.toKustoCsv(df, a.columns, a.opts)
+        else {
+          // JSON path ignores requested-but-missing columns
+          // (`converter.rs:81-84` only CSV emits null slots).
+          val projected = a.columns match {
+            case Some(cols) =>
+              val present = df.columns.toSet
+              df.select(cols.filter(present.contains).map(df.col): _*)
+            case None => df
+          }
+          KustoRender.toKustoJson(projected, a.opts)
+        }
+      // CSV lines already end in \r, so "\n" completes the reference's
+      // \r\n record terminator; JSON lines get plain \n (writeln!).
+      val it = rendered.toLocalIterator()
+      while (it.hasNext) { out.print(it.next().getString(0)); out.print("\n") }
+    }
+  }
+
+  def main(argv: Array[String]): Unit = {
+    try {
+      val a = parseArgs(argv)
+      val spark = SparkSession.builder()
+        .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+        .appName("pq2json")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      try {
+        val out = a.output match {
+          case Some(f) => new java.io.PrintStream(new java.io.FileOutputStream(f), false, "UTF-8")
+          case None => System.out
+        }
+        run(spark, a, out)
+        out.flush()
+        if (a.output.isDefined) out.close()
+      } finally spark.stop()
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"ERROR: ${e.getMessage}")
+        sys.exit(255) // the reference exits -1 (main.rs:163)
+    }
+  }
+}

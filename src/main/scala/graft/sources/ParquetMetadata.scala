@@ -43,10 +43,17 @@ object ParquetMetadata {
   }
 
   /** The `--cslschema` op (`schema.rs:43-109`): map each top-level field of
-    * the Parquet message type onto Kusto's 8-type surface. Exact port of
-    * the match at `schema.rs:81-104`, including the asymmetries:
+    * the Parquet message type onto Kusto's 8-type surface. Port of the
+    * match at `schema.rs:81-104`, including the asymmetries:
     * INT32/INT64-backed DECIMAL -> `real` while BYTE_ARRAY/FIXED-backed
     * DECIMAL -> `decimal`, and any group (nested) type -> `dynamic`.
+    *
+    * Documented divergence: the reference's parquet crate only sees legacy
+    * ConvertedTypes, for which naive (isAdjustedToUTC=false) and NANOS
+    * timestamps have no representation — it reports those INT64 columns as
+    * `long`. We read the modern LogicalTypeAnnotation and map every
+    * Timestamp annotation to `datetime`, which is the CSL-correct
+    * projection the `schema.rs:99` case expresses.
     */
   def cslSchema(path: String): Seq[CslColumn] = {
     val (meta, _) = footer(path)

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end CLI shim tests: flag parsing (main.rs:10-124 surface) and the
+  * three entry points over real harness parquet. */
+class Pq2JsonSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  @transient var spark: SparkSession = _
+  val dir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("pq2json-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def capture(args: Array[String]): String = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val ps = new java.io.PrintStream(bos, true, "UTF-8")
+    Pq2Json.run(spark, Pq2Json.parseArgs(args), ps)
+    bos.toString("UTF-8")
+  }
+
+  test("arg parsing: prune implies all three omissions; -t sets mode") {
+    val a = Pq2Json.parseArgs(Array("-p", "-t", "ticks", "in.parquet"))
+    assert(a.opts.omitNulls && a.opts.omitEmptyBags && a.opts.omitEmptyLists)
+    assert(a.opts.timestampMode == graft.functions.TimestampMode.Ticks)
+    assert(a.input == "in.parquet")
+    assertThrows[IllegalArgumentException](Pq2Json.parseArgs(Array("--bogus", "x")))
+    assertThrows[IllegalArgumentException](
+      Pq2Json.parseArgs(Array("-c", "not-json", "x")))
+  }
+
+  test("JSONL conversion: one sorted-key object per row") {
+    val out = capture(Array(s"$dir/region.parquet")).split("\n")
+    assert(out.length == 5)
+    assert(out(0).startsWith("{\"r_name\":"))
+    assert(out.forall(l => l.startsWith("{") && l.endsWith("}")))
+  }
+
+  test("CSV conversion with projection and missing column") {
+    val out = capture(Array("--csv", "-c", """["r_regionkey","nope","r_name"]""",
+      s"$dir/region.parquet")).split("\n")
+    assert(out.length == 5)
+    // missing col renders as an empty slot in requested position; \r ends
+    // the record (completed to \r\n by the line writer)
+    assert(out(0).matches("\\d+,,[A-Z ]+\r"))
+  }
+
+  test("cslschema and rowgroups entry points emit reference-shaped JSON") {
+    val csl = capture(Array("--cslschema", s"$dir/lineitem.parquet"))
+    assert(csl.trim.startsWith("""[{"name":"l_orderkey","type":"long"}"""))
+    val rg = capture(Array("--rowgroups", s"$dir/lineitem.parquet"))
+    assert(rg.trim.matches("""\[\{"numberOfRows":"\d+","totalByteSize":"\d+"\}.*"""))
+  }
+
+  test("schema entry point dumps the parquet schema") {
+    val s = capture(Array("--schema", s"$dir/region.parquet"))
+    assert(s.contains("r_regionkey") && s.contains("Parquet metadata"))
+  }
+}
