@@ -29,14 +29,32 @@ object LlmQueries extends QueryModule {
 
   /** whitespace-normalized lowercase text */
   private val normSql = "lower(trim(regexp_replace(text, '\\\\s+', ' ')))"
-  /** whitespace tokens */
+  /** whitespace tokens. IMPORTANT: never inline this inside an array
+    * lambda — the regex split would re-run per element (O(tokens²) per
+    * document; measured 49s -> 2s at sf0.1 when materialized once). Project
+    * it to a `tk` column first via [[withTokens]]. */
   private val toksSql = "split(trim(text), '\\\\s+')"
-  /** distinct word 3-shingles of an array-of-tokens column `t` */
+  private def withTokens(df: DataFrame): DataFrame =
+    df.withColumn("tk", expr(toksSql))
+  /** Distinct word 3-shingles of a tokens column — built from array-level
+    * slices fused with zip_with, NOT a positional lambda: CollapseProject
+    * re-inlines upstream projections into lambdas, so an
+    * `element_at(tk, i)` formulation re-evaluates the regex split once per
+    * ELEMENT after optimization (measured 49s at sf0.1); slices evaluate
+    * their (possibly re-inlined) input once per ROW. */
   private def shinglesSql(t: String): String =
     s"array_distinct(CASE WHEN size($t) >= 3 THEN " +
-    s"transform(sequence(1, size($t) - 2), i -> " +
-    s"concat_ws(' ', element_at($t, i), element_at($t, i + 1), element_at($t, i + 2))) " +
-    s"ELSE array() END)"
+    s"zip_with(zip_with(slice($t, 1, size($t) - 2), slice($t, 2, size($t) - 2), " +
+    s"(x, y) -> concat(x, ' ', y)), slice($t, 3, size($t) - 2), " +
+    s"(xy, z) -> concat(xy, ' ', z)) ELSE array() END)"
+  /** (doc_id, sz, h): exploded inverted index of hashed shingles — the
+    * candidate-generation backbone shared by the Jaccard/MinHash queries.
+    * 64-bit keys shuffle ~10x cheaper than the shingle strings. */
+  private def shingleIndex(s: SparkSession, dir: String): DataFrame =
+    withTokens(plantedNear(s, dir))
+      .select(col("doc_id"), expr(shinglesSql("tk")).as("sh"))
+      .select(col("doc_id"), size(col("sh")).as("sz"), explode(col("sh")).as("s"))
+      .select(col("doc_id"), col("sz"), xxhash64(col("s")).as("h"))
 
   /** Documents plus an exact copy of each at doc_id + 10000. */
   private def plantedExact(s: SparkSession, dir: String): DataFrame = {
@@ -47,8 +65,8 @@ object LlmQueries extends QueryModule {
   /** Documents plus a near-duplicate copy (last 5 tokens dropped). */
   private def plantedNear(s: SparkSession, dir: String): DataFrame = {
     val d = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
-    d.unionByName(d.select((col("doc_id") + 10000).as("doc_id"),
-      expr(s"array_join(slice($toksSql, 1, greatest(size($toksSql) - 5, 1)), ' ')").as("text")))
+    d.unionByName(withTokens(d).select((col("doc_id") + 10000).as("doc_id"),
+      expr("array_join(slice(tk, 1, greatest(size(tk) - 5, 1)), ' ')").as("text")))
   }
 
   /** Embeddings as double[] plus a 2x-scaled copy at vec_id + 100000.
@@ -73,13 +91,13 @@ object LlmQueries extends QueryModule {
     // --- text analysis: token counting (whitespace + BPE-ish regex),
     // punctuation/stopword profile, quality bucket. Narrow scan->project.
     "q30_text_stats" -> ((s, dir) => {
-      Tables(s, dir, "documents")
+      withTokens(Tables(s, dir, "documents"))
         .select(col("doc_id"),
           length(col("text")).as("len_chars"),
-          expr(s"size($toksSql)").as("n_words"),
+          expr("size(tk)").as("n_words"),
           size(regexp_extract_all(col("text"), lit("\\w+|[^\\w\\s]"), lit(0))).as("n_bpe_tokens"),
           size(regexp_extract_all(col("text"), lit("[^\\w\\s]"), lit(0))).as("n_punct"),
-          expr(s"size(filter($toksSql, t -> t IN ('the', 'a', 'and', 'of')))").as("n_stop"))
+          expr("size(filter(tk, t -> t IN ('the', 'a', 'and', 'of')))").as("n_stop"))
         .withColumn("quality",
           when(col("n_words").between(20, 1000) &&
                col("n_punct") / col("len_chars") < 0.1, "good").otherwise("low"))
@@ -90,12 +108,12 @@ object LlmQueries extends QueryModule {
     // variant; the content is synthetic so the score, not accuracy, is the
     // verified artifact).
     "q31_lang_id" -> ((s, dir) => {
-      Tables(s, dir, "documents")
+      withTokens(Tables(s, dir, "documents"))
         .select(col("doc_id"), col("lang"),
-          expr(s"size(filter($toksSql, t -> t IN ('the', 'a', 'and', 'of', 'is')))").as("sc_en"),
-          expr(s"size(filter($toksSql, t -> t IN ('der', 'die', 'das', 'und', 'ist')))").as("sc_de"),
-          expr(s"size(filter($toksSql, t -> t IN ('le', 'la', 'et', 'les', 'est')))").as("sc_fr"),
-          expr(s"size(filter($toksSql, t -> t IN ('el', 'la', 'y', 'los', 'es')))").as("sc_es"))
+          expr("size(filter(tk, t -> t IN ('the', 'a', 'and', 'of', 'is')))").as("sc_en"),
+          expr("size(filter(tk, t -> t IN ('der', 'die', 'das', 'und', 'ist')))").as("sc_de"),
+          expr("size(filter(tk, t -> t IN ('le', 'la', 'et', 'les', 'est')))").as("sc_fr"),
+          expr("size(filter(tk, t -> t IN ('el', 'la', 'y', 'los', 'es')))").as("sc_es"))
         .withColumn("guess",
           when(col("sc_de") > col("sc_en"), "de")
             .when(col("sc_fr") > col("sc_en"), "fr")
@@ -127,12 +145,10 @@ object LlmQueries extends QueryModule {
     // --- n-gram Jaccard dedup: shingle-join candidate generation (blocked;
     // shuffle ~ Σ shingle-bucket², not corpus²) then exact set Jaccard.
     "q34_ngram_jaccard" -> ((s, dir) => {
-      val sh = plantedNear(s, dir)
-        .select(col("doc_id"), expr(shinglesSql(toksSql)).as("sh"))
-        .select(col("doc_id"), size(col("sh")).as("sz"), explode(col("sh")).as("s"))
-      val a = sh.select(col("doc_id").as("doc_a"), col("sz").as("sz_a"), col("s"))
-      val b = sh.select(col("doc_id").as("doc_b"), col("sz").as("sz_b"), col("s"))
-      a.join(b, a("s") === b("s") && col("doc_a") < col("doc_b"))
+      val sh = shingleIndex(s, dir)
+      val a = sh.select(col("doc_id").as("doc_a"), col("sz").as("sz_a"), col("h"))
+      val b = sh.select(col("doc_id").as("doc_b"), col("sz").as("sz_b"), col("h"))
+      a.join(b, Seq("h")).filter(col("doc_a") < col("doc_b"))
         .groupBy(col("doc_a"), col("doc_b"), col("sz_a"), col("sz_b"))
         .agg(count(lit(1)).as("inter"))
         .withColumn("jac", col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
@@ -142,39 +158,49 @@ object LlmQueries extends QueryModule {
     }),
 
     // --- MinHash + LSH dedup (not SQL-expressible -> rows-only check;
-    // recall pinned by LlmSpec): 16 minhashes over shingles, 4 bands of 4,
-    // band-bucket join for candidates, exact Jaccard verification.
+    // recall pinned by LlmSpec): 16 minhashes (family xxhash64(h, j) over
+    // hashed shingles), 4 bands of 4, band-bucket join for candidates,
+    // exact Jaccard verification against the shingle index. Signatures are
+    // computed as 16 min-aggregates over the EXPLODED index, not nested
+    // array lambdas — partial aggregation makes this one cheap shuffle and
+    // sidesteps lambda re-inlining entirely.
     "q35_minhash_lsh" -> ((s, dir) => {
-      val docs = plantedNear(s, dir)
-        .select(col("doc_id"), expr(shinglesSql(toksSql)).as("sh"))
-        .filter(size(col("sh")) > 0)
-      val sig = docs.withColumn("sig",
-        expr("""transform(sequence(0, 15), j ->
-                 array_min(transform(sh, t -> xxhash64(concat(t, j)))))"""))
-      val bands = sig.select(col("doc_id"), col("sh"),
-          posexplode(expr(
-            """transform(sequence(0, 3), b ->
-                 xxhash64(concat_ws(',', transform(slice(sig, b * 4 + 1, 4), x -> CAST(x AS STRING)))))""")))
+      val idx = shingleIndex(s, dir)
+      val sigs = idx.groupBy(col("doc_id"))
+        .agg(first(col("sz")).as("sz"),
+          (0 until 16).map(j => min(xxhash64(col("h"), lit(j))).as(s"s$j")): _*)
+      val bandKey = (b: Int) =>
+        xxhash64((b * 4 until b * 4 + 4).map(j => col(s"s$j")): _*)
+      val bands = sigs.select(col("doc_id"), col("sz"),
+          posexplode(array((0 until 4).map(bandKey): _*)))
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
-      val a = bands.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
+      val ca = bands.select(col("doc_id").as("doc_a"), col("sz").as("sz_a"),
         col("band"), col("bkey"))
-      val b = bands.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
+      val cb = bands.select(col("doc_id").as("doc_b"), col("sz").as("sz_b"),
         col("band"), col("bkey"))
-      a.join(b, Seq("band", "bkey")).filter(col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b"),
-          (size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
-           size(array_union(col("sh_a"), col("sh_b")))).as("jac"))
+      val cand = ca.join(cb, Seq("band", "bkey"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("sz_a"), col("sz_b"))
         .distinct()
+      // exact |A∩B| for candidates only: the shingle join restricted to the
+      // (broadcast-small) candidate set.
+      val ia = idx.select(col("doc_id").as("doc_a"), col("h"))
+      val ib = idx.select(col("doc_id").as("doc_b"), col("h"))
+      ia.join(ib, Seq("h")).join(broadcast(cand), Seq("doc_a", "doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"), col("sz_a"), col("sz_b"))
+        .agg(count(lit(1)).as("inter"))
+        .withColumn("jac", col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
         .filter(col("jac") >= 0.5)
+        .select(col("doc_a"), col("doc_b"), col("jac"))
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
     // --- SimHash dedup (rows-only): 64-bit simhash over distinct tokens,
     // 4x16-bit band blocking, Hamming distance <= 6 via bit_count(xor).
     "q36_simhash" -> ((s, dir) => {
-      val docs = plantedNear(s, dir)
+      val docs = withTokens(plantedNear(s, dir))
         .select(col("doc_id"),
-          graft.functions.TextFunctions.simhash64(expr(toksSql)).as("sh"))
+          graft.functions.TextFunctions.simhash64(col("tk")).as("sh"))
       val banded = docs.select(col("doc_id"), col("sh"),
         posexplode(expr("transform(sequence(0, 3), b -> shiftright(sh, b * 16) & 65535)")))
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.ExplainMode
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions: the properties the 100 TB design depends on
+  * must hold in the ACTUAL plans, not just in intent — predicate pushdown
+  * reaching the parquet scan, column pruning in ReadSchema, broadcast
+  * joins for dimension tables, and shuffle-free render pipelines. A
+  * regression that silently turns a broadcast join into a sort-merge join
+  * or re-reads dropped columns fails here, not in a cluster bill.
+  */
+class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  @transient var spark: SparkSession = _
+  val dir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("plan-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+
+  test("q02 filter+project: predicates pushed to parquet, schema pruned to 4 columns") {
+    val p = plan("q02_filter_project")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("GreaterThan(l_quantity"), p)
+    // pruned read schema must not include unused columns
+    assert(!p.contains("l_extendedprice"), p)
+    assert(!p.contains("l_tax"), p)
+  }
+
+  test("q03/q04 star joins broadcast every dimension (no shuffle join)") {
+    for (q <- Seq("q03_join_broadcast", "q04_join_multiway")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q: $p")
+      assert(!p.contains("SortMergeJoin"), s"$q: $p")
+    }
+  }
+
+  test("q05 top-k plans as TakeOrderedAndProject (no global sort)") {
+    val p = plan("q05_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+  }
+
+  test("q01 aggregation has map-side partial aggregation") {
+    val p = plan("q01_agg_pricing")
+    assert(p.contains("HashAggregate"), p)
+    // partial + final pairs: at least two HashAggregate nodes
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+  }
+
+  test("render pipeline (q19) is shuffle-free scan->project apart from the output sort") {
+    val p = plan("q19_render_timestamp")
+    // only the final orderBy may exchange; no join/agg shuffles
+    assert(!p.contains("HashAggregate"), p)
+    assert(!p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"), p)
+  }
+
+  test("q37 knn: query side broadcast, corpus side never exchanged") {
+    val p = plan("q37_knn_cosine")
+    assert(p.contains("Broadcast"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("whole-stage codegen covers the relational hot paths") {
+    // AQE wraps the plan in AdaptiveSparkPlanExec, which the codegen
+    // explainer does not descend into before execution — check without it.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = SparkEntry.queries("q01_agg_pricing")(spark, dir).queryExecution
+        .explainString(ExplainMode.fromString("codegen"))
+      assert(p.contains("WholeStageCodegen subtrees"), p.take(500))
+      assert(!p.startsWith("Found 0 WholeStageCodegen"), p.take(200))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+}
