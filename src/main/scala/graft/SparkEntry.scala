@@ -17,6 +17,7 @@ object SparkEntry {
     functions.RenderQueries,
     sources.MetadataQueries,
     operators.LlmQueries,
+    operators.ExtendedQueries,
     streaming.StreamingQueries
   )
 

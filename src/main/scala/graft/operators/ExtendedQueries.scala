@@ -1,0 +1,97 @@
+package graft.operators
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Second tranche of the SURVEY §2.2 relational surface: Kusto-dynamic
+  * (JSON) column access, CUBE multi-dimensional aggregation, lag/lead
+  * windows, list flattening (explode/Generator), and HLL++ approximate
+  * distinct counting. Rounds out the scalar-function and operator rows of
+  * the inventory with oracled coverage.
+  */
+object ExtendedQueries extends QueryModule {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // --- Kusto `dynamic` access: the events.props JSON column queried via
+    // get_json_object — the engine's analogue of the reference's nested
+    // "dynamic" values (SURVEY §1.3: all nested data is Kusto dynamic).
+    "q41_dynamic_json" -> ((s, dir) => {
+      Tables(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy(col("event_type"))
+    }),
+
+    // --- CUBE: all 2^2 grouping combinations in one pass.
+    "q42_cube" -> ((s, dir) => {
+      Tables(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    }),
+
+    // --- lag/lead event-time deltas per user (windowed navigation).
+    "q43_lag_lead" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      Tables(s, dir, "events")
+        .filter(col("user_id") < 10)
+        .select(col("user_id"), col("ts"),
+          (unix_millis(col("ts")) - unix_millis(lag(col("ts"), 1).over(w)))
+            .as("ms_since_prev"),
+          lead(col("event_type"), 1).over(w).as("next_type"))
+        .orderBy(col("user_id"), col("ts"))
+    }),
+
+    // --- explode / Generator: flatten token arrays, top-20 vocabulary.
+    "q44_explode_tokens" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .select(explode(expr("split(trim(text), '\\\\s+')")).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token").asc)
+        .limit(20)
+    }),
+
+    // --- approximate distinct (HLL++): engine-specific estimate, so no
+    // DuckDB oracle; accuracy vs exact is pinned in ExtendedSpec.
+    "q45_approx_distinct" -> ((s, dir) => {
+      Tables(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q41_dynamic_json" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+        |  MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+        |  MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q42_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q43_lag_lead" ->
+      """SELECT user_id, ts,
+        |  epoch_ms(date_trunc('millisecond', ts)) -
+        |    epoch_ms(date_trunc('millisecond',
+        |      lag(ts) OVER (PARTITION BY user_id ORDER BY ts))) AS ms_since_prev,
+        |  lead(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS next_type
+        |FROM events WHERE user_id < 10 ORDER BY user_id, ts""".stripMargin,
+    "q44_explode_tokens" ->
+      """SELECT token, COUNT(*) AS n FROM (
+        |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+        |  FROM documents)
+        |GROUP BY token ORDER BY n DESC, token ASC LIMIT 20""".stripMargin
+  )
+}
