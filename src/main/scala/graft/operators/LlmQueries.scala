@@ -296,7 +296,44 @@ object LlmQueries extends QueryModule {
       MultimodalStub.extractFeatures(
         Tables(s, dir, "documents").select(col("doc_id"),
           col("text").cast(BinaryType).as("blob")))
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // --- ANN via IVF (rows-only): coarse cells from per-label centroids
+    // computed by the typed Centroid Aggregator (custom UDAF with map-side
+    // partial agg); queries probe only their nearest cell's posting list.
+    // At scale the centroid table is tiny (cells x dim) and broadcast;
+    // the corpus is scanned once to assign cells, once to probe.
+    "q46_ann_ivf" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      val centroid = udaf(new graft.functions.VectorAggregators.Centroid(64))
+      val cells = e.groupBy(col("label")).agg(centroid(col("v")).as("cv"))
+      // assign every vector (and query) to its nearest centroid by cosine
+      val withCell = e.join(broadcast(cells), Seq("label"))
+        .withColumn("cell_score",
+          expr(s"""aggregate(zip_with(v, cv, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)
+                   / (${normSqlOf("v")} * ${normSqlOf("cv")})"""))
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))
+            .orderBy(col("cell_score").desc, col("label").asc)))
+        .filter(col("rk") === 1)
+        .select(col("vec_id"), col("label").as("cell"), col("v"))
+      val q = withCell.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("v").as("av"), col("cell"))
+      val c = withCell.select(col("vec_id").as("nbr_id"), col("v").as("bv"), col("cell"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("nbr_id").asc)
+      c.join(broadcast(q), Seq("cell")).filter(col("query_id") =!= col("nbr_id"))
+        .withColumn("score",
+          round(expr(dotSql) / (expr(normSqlOf("av")) * expr(normSqlOf("bv"))), 4))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("query_id"), col("nbr_id"), col("score"), col("rnk"))
+        .orderBy(col("query_id"), col("rnk"))
+    })
   )
 
   def oracles: Map[String, String] = Map(

@@ -109,6 +109,22 @@ class LlmSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("IVF ANN: centroid aggregator cells partition the corpus; scores exact") {
+    val brute = q("q37_knn_cosine").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val ivf = q("q46_ann_ivf").collect()
+    assert(ivf.nonEmpty)
+    // IVF probes one cell, so its hits are a subset of the corpus with the
+    // same exact cosine computation as brute force.
+    ivf.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      brute.get(key).foreach(s => assert(s == r.getDouble(2)))
+    }
+    // every query that appears emits at most k=3 ranked neighbors
+    val byQuery = ivf.groupBy(_.getLong(0))
+    assert(byQuery.values.forall(_.length <= 3))
+  }
+
   test("multimodal stub: per-partition decode preserves ids and byte counts") {
     val out = q("q40_multimodal").collect()
     assert(out.length == 500)

@@ -121,6 +121,27 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming render pipeline: readStream -> Kusto JSONL -> sink (SURVEY §7 step 8)") {
+    // The reference's entire conversion pipeline, but over an unbounded
+    // parquet directory source: same render expressions, streaming sink.
+    val src = java.nio.file.Files.createTempDirectory("stream-src").toString
+    val sp = spark
+    Tables(sp, "/root/testdata/sf0.001", "region").write.mode("overwrite").parquet(src)
+    val schema = sp.read.parquet(src).schema
+    val streamed = graft.functions.KustoRender.toKustoJson(
+      sp.readStream.schema(schema).parquet(src))
+    val q = streamed.writeStream.format("memory").queryName("rjson")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      val lines = sp.table("rjson").collect().map(_.getString(0)).sorted
+      val batch = graft.functions.KustoRender.toKustoJson(sp.read.parquet(src))
+        .collect().map(_.getString(0)).sorted
+      assert(lines.length == 5)
+      assert(lines.toSeq == batch.toSeq) // stream/batch render parity
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState: custom running state per key across batches") {
     val sp = spark
     import sp.implicits._
