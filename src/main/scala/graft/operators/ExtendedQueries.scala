@@ -67,6 +67,36 @@ object ExtendedQueries extends QueryModule {
         .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
           count(lit(1)).as("n"))
         .orderBy(col("l_returnflag"))
+    }),
+
+    // --- pivot: event-type columns per day (conditional-agg reshaping).
+    "q47_pivot" -> ((s, dir) => {
+      Tables(s, dir, "events")
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy(col("day"))
+    }),
+
+    // --- exact interpolated percentiles (median/p90) per group.
+    "q48_percentile" -> ((s, dir) => {
+      Tables(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(percentile(col("l_quantity"), lit(0.5)).as("med"),
+          percentile(col("l_quantity"), lit(0.9)).as("p90"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // --- statistical aggregates: stddev/correlation (rounded — the two
+    // engines accumulate moments in different orders, so only the rounded
+    // values are portable).
+    "q49_stats" -> ((s, dir) => {
+      Tables(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"))
+        .orderBy(col("l_returnflag"))
     })
   )
 
@@ -92,6 +122,22 @@ object ExtendedQueries extends QueryModule {
       """SELECT token, COUNT(*) AS n FROM (
         |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
         |  FROM documents)
-        |GROUP BY token ORDER BY n DESC, token ASC LIMIT 20""".stripMargin
+        |GROUP BY token ORDER BY n DESC, token ASC LIMIT 20""".stripMargin,
+    "q47_pivot" ->
+      """SELECT date_trunc('day', ts) AS day,
+        |  COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+        |  COUNT(*) FILTER (WHERE event_type = 'view') AS view,
+        |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |  COUNT(*) FILTER (WHERE event_type = 'error') AS error
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+    "q48_percentile" ->
+      """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS med,
+        |  quantile_cont(l_quantity, 0.9) AS p90
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+    "q49_stats" ->
+      """SELECT l_returnflag, round(stddev_samp(l_quantity), 4) AS sd_qty,
+        |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin
   )
 }
