@@ -72,6 +72,11 @@ final class KustoRowRenderer(schema: StructType, opts: KustoRenderOptions)
   private val fieldNames: Array[String] = schema.fields.map(_.name)
   private val fieldRenders: Array[FieldRender] = schema.fields.map(f => renderOf(f.dataType))
 
+  /** Render one top-level field of a row (null-safe); used by the CSV line
+    * encoder to emit fields positionally without re-wrapping rows. */
+  def renderField(row: InternalRow, i: Int): KValue =
+    if (row.isNullAt(i)) KNull else fieldRenders(i)(row, i)
+
   /** Top level: null/pruned-empty row renders as `{}` (`converter.rs:135-139`). */
   def renderTopLevel(row: InternalRow): KValue = {
     val v = renderStruct(row)

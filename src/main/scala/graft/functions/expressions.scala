@@ -128,48 +128,29 @@ case class KustoCsvLineExpr(child: Expression, opts: KustoRenderOptions,
   override def dataType: DataType = StringType
   override def nullable: Boolean = false
 
-  @transient private lazy val schema = child.dataType.asInstanceOf[StructType]
-  @transient private lazy val renderer = new KustoRowRenderer(schema, opts)
-  @transient private lazy val fieldRenderers: Array[InternalRow => KValue] = {
-    // Render each top-level field independently (the CSV path never prunes
-    // the top level; omissions only apply inside nested values).
-    schema.fields.zipWithIndex.map { case (f, i) =>
-      val single = new KustoRowRenderer(StructType(Seq(f)), opts)
-      (row: InternalRow) => single.renderStruct(row) match {
-        case KObj(m) => m.getOrElse(f.name, KNull)
-        case _       => KNull
-      }
-    }
-  }
+  @transient private lazy val renderer =
+    new KustoRowRenderer(child.dataType.asInstanceOf[StructType], opts)
+  @transient private lazy val slots: Array[Boolean] = missingSlots.toArray
 
   override def eval(input: InternalRow): Any = {
     val row = child.eval(input).asInstanceOf[InternalRow]
     val sb = new java.lang.StringBuilder(64)
     var present = 0
-    var first = true
-    missingSlots.foreach { missing =>
-      if (!first) sb.append(',')
-      first = false
-      if (!missing) {
-        val slice = row match {
-          case null => KNull
-          case r =>
-            val single = fieldRenderers(present)
-            if (r.isNullAt(present)) KNull
-            else single(projectField(r, present))
-        }
-        sb.append(KustoRowRenderer.csvQuote(KValue.toCsvField(slice)))
+    var i = 0
+    while (i < slots.length) {
+      if (i > 0) sb.append(',')
+      if (!slots(i)) {
+        // CSV renders each top-level field independently; the top level is
+        // never pruned, omissions apply only inside nested values
+        // (converter.rs:158-182).
+        val v = if (row == null) KNull else renderer.renderField(row, present)
+        sb.append(KustoRowRenderer.csvQuote(KValue.toCsvField(v)))
         present += 1
       }
+      i += 1
     }
     sb.append('\r')
     UTF8String.fromString(sb.toString)
-  }
-
-  private def projectField(row: InternalRow, i: Int): InternalRow = {
-    // Wrap the single field as a one-column row for the per-field renderer.
-    val dt = schema.fields(i).dataType
-    InternalRow(row.get(i, dt))
   }
 
   override protected def withNewChildInternal(newChild: Expression): KustoCsvLineExpr =

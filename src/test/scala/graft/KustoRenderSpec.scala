@@ -50,6 +50,31 @@ class KustoRenderSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("ryu fuzz: 10k seeded random doubles round-trip and are shortest") {
+    val rnd = new scala.util.Random(42) // deterministic
+    var i = 0
+    while (i < 10000) {
+      val d = java.lang.Double.longBitsToDouble(rnd.nextLong())
+      if (!d.isNaN && !d.isInfinite) {
+        val s = Ryu.shortest(d)
+        assert(java.lang.Double.parseDouble(s) == d, s"round-trip $d -> $s")
+        // minimality: one fewer significant digit must NOT round-trip.
+        // significant digits = mantissa minus leading AND trailing zeros
+        // (positional zeros in "100.0"/"0.00001" are not significant).
+        val core = s.stripPrefix("-").takeWhile(_ != 'e').replace(".", "")
+        val sig = core.dropWhile(_ == '0').reverse.dropWhile(_ == '0').reverse
+        val nDigits = math.max(sig.length, 1)
+        if (nDigits > 1) {
+          val fewer = java.lang.String.format("%." + (nDigits - 2) + "e",
+            java.lang.Double.valueOf(d))
+          assert(java.lang.Double.parseDouble(fewer) != d,
+            s"$s not shortest: $fewer also round-trips")
+        }
+      }
+      i += 1
+    }
+  }
+
   test("ryu csv: trailing-zero strip, including the reference's 1e300 quirk") {
     assert(Ryu.shortestCsv(3.0) == "3")            // "3.0" -> "3"
     assert(Ryu.shortestCsv(2.50) == "2.5")
