@@ -103,6 +103,16 @@ final class KustoRowRenderer(schema: StructType, opts: KustoRenderOptions)
     case LongType => (g, i) => KNum(g.getLong(i).toString)
     case FloatType => (g, i) => doubleValue(g.getFloat(i).toDouble)
     case DoubleType => (g, i) => doubleValue(g.getDouble(i))
+    case d: DecimalType if opts.convertTypes && d.precision == 20 && d.scale == 0 =>
+      // Spark surfaces parquet UINT64 as Decimal(20,0); under
+      // --convert-types the reference reinterprets u64 as i64
+      // (`converter.rs:297-303`) and renders a NUMBER. BigInteger.longValue
+      // is exactly the two's-complement wrap. (Without convert-types a true
+      // DECIMAL(20,0) column is indistinguishable from u64 at the Spark
+      // schema level and renders as a decimal string — documented
+      // divergence from the reference's number rendering of raw u64.)
+      (g, i) => KNum(g.getDecimal(i, d.precision, d.scale)
+        .toJavaBigDecimal.toBigInteger.longValue().toString)
     case d: DecimalType =>
       (g, i) => KStr(g.getDecimal(i, d.precision, d.scale).toJavaBigDecimal.toPlainString)
     case StringType => (g, i) => KStr(g.getUTF8String(i).toString)

@@ -216,10 +216,10 @@ object LlmQueries extends QueryModule {
       val banded = docs.select(col("doc_id"), col("sh"),
         posexplode(expr("transform(sequence(0, 3), b -> shiftright(sh, b * 16) & 65535)")))
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
-      val a = banded.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
-        col("band"), col("bkey"))
-      val b = banded.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
-        col("band"), col("bkey"))
+      val a = banded.hint("shuffle_hash").select(col("doc_id").as("doc_a"),
+        col("sh").as("sh_a"), col("band"), col("bkey"))
+      val b = banded.hint("shuffle_hash").select(col("doc_id").as("doc_b"),
+        col("sh").as("sh_b"), col("band"), col("bkey"))
       a.join(b, Seq("band", "bkey")).filter(col("doc_a") < col("doc_b"))
         .select(col("doc_a"), col("doc_b"),
           bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))

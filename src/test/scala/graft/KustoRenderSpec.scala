@@ -152,6 +152,45 @@ class KustoRenderSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(1).getLong(2) == ms)
   }
 
+  test("json render: --convert-types reinterprets u64 (Decimal(20,0)) as i64 number") {
+    val df = spark.createDataFrame(
+      java.util.List.of(
+        Row(new java.math.BigDecimal("18446744073709551615")), // u64::MAX -> -1
+        Row(new java.math.BigDecimal("42"))),
+      StructType(Seq(StructField("u", DecimalType(20, 0)))))
+    val conv = KustoRender.toKustoJson(df,
+      KustoRenderOptions(convertTypes = true)).collect().map(_.getString(0))
+    assert(conv.toSeq == Seq("""{"u":-1}""", """{"u":42}"""))
+    val raw = KustoRender.toKustoJson(df).collect().map(_.getString(0))
+    assert(raw.toSeq == Seq("""{"u":"18446744073709551615"}""", """{"u":"42"}"""))
+  }
+
+  test("csl schema handles INT96 timestamps (legacy writers) as datetime") {
+    val dir = java.nio.file.Files.createTempDirectory("int96").toString
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
+    try {
+      val df = spark.createDataFrame(
+        java.util.List.of(Row(java.sql.Timestamp.from(java.time.Instant.EPOCH))),
+        StructType(Seq(StructField("t", TimestampType))))
+      df.coalesce(1).write.mode("overwrite").parquet(dir)
+      val file = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head.getPath
+      val csl = graft.sources.ParquetMetadata.cslSchema(file)
+      assert(csl == Seq(graft.sources.ParquetMetadata.CslColumn("t", "datetime")))
+    } finally spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+  }
+
+  test("csl schema from a Spark StructType (no footer)") {
+    val st = StructType(Seq(
+      StructField("s", StringType), StructField("l", LongType),
+      StructField("d", DoubleType), StructField("ts", TimestampType),
+      StructField("dec", DecimalType(38, 2)),
+      StructField("m", MapType(StringType, IntegerType))))
+    val got = graft.sources.ParquetMetadata.cslSchemaOf(st).map(c => c.name -> c.cslType)
+    assert(got == Seq("s" -> "string", "l" -> "long", "d" -> "real",
+      "ts" -> "datetime", "dec" -> "decimal", "m" -> "dynamic"))
+  }
+
   // ---- whole-row JSON encode ---------------------------------------------
 
   private def nestedDf = {
