@@ -97,6 +97,33 @@ object ExtendedQueries extends QueryModule {
         .agg(round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
           round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"))
         .orderBy(col("l_returnflag"))
+    }),
+
+    // --- EXCEPT (set difference): customers with no order above 400k.
+    "q53_except" -> ((s, dir) => {
+      val all = Tables(s, dir, "customer").select(col("c_custkey"))
+      val big = Tables(s, dir, "orders")
+        .filter(col("o_totalprice") > 400000.0)
+        .select(col("o_custkey").as("c_custkey"))
+      all.except(big).orderBy(col("c_custkey"))
+    }),
+
+    // --- rank/dense_rank/first/last window navigation (ties matter:
+    // o_orderpriority repeats, so rank and dense_rank diverge).
+    "q54_rank_windows" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_orderpriority").asc, col("o_orderkey").asc)
+      val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables(s, dir, "orders")
+        .filter(col("o_orderkey") < 200)
+        .select(col("o_orderstatus"), col("o_orderkey"),
+          rank().over(Window.partitionBy(col("o_orderstatus"))
+            .orderBy(col("o_orderpriority").asc)).as("rnk"),
+          dense_rank().over(Window.partitionBy(col("o_orderstatus"))
+            .orderBy(col("o_orderpriority").asc)).as("drnk"),
+          first(col("o_orderkey")).over(wf).as("first_key"),
+          last(col("o_orderkey")).over(wf).as("last_key"))
+        .orderBy(col("o_orderstatus"), col("o_orderkey"))
     })
   )
 
@@ -138,6 +165,23 @@ object ExtendedQueries extends QueryModule {
     "q49_stats" ->
       """SELECT l_returnflag, round(stddev_samp(l_quantity), 4) AS sd_qty,
         |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price
-        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+    "q53_except" ->
+      """SELECT c_custkey FROM customer
+        |EXCEPT SELECT o_custkey AS c_custkey FROM orders
+        |WHERE o_totalprice > 400000.0
+        |ORDER BY c_custkey""".stripMargin,
+    "q54_rank_windows" ->
+      """SELECT o_orderstatus, o_orderkey,
+        |  RANK() OVER (PARTITION BY o_orderstatus ORDER BY o_orderpriority ASC) AS rnk,
+        |  DENSE_RANK() OVER (PARTITION BY o_orderstatus ORDER BY o_orderpriority ASC) AS drnk,
+        |  FIRST_VALUE(o_orderkey) OVER (PARTITION BY o_orderstatus
+        |    ORDER BY o_orderpriority ASC, o_orderkey ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_key,
+        |  LAST_VALUE(o_orderkey) OVER (PARTITION BY o_orderstatus
+        |    ORDER BY o_orderpriority ASC, o_orderkey ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_key
+        |FROM orders WHERE o_orderkey < 200
+        |ORDER BY o_orderstatus, o_orderkey""".stripMargin
   )
 }
