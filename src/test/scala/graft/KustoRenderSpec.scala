@@ -191,6 +191,28 @@ class KustoRenderSpec extends AnyFunSuite with BeforeAndAfterAll {
       "ts" -> "datetime", "dec" -> "decimal", "m" -> "dynamic"))
   }
 
+  test("ticks overflow -> null; micros truncate to millis before rendering") {
+    val farFuture = java.time.Instant.ofEpochMilli(
+      (Long.MaxValue - 621355968000000000L) / 10000 + 1)
+    val micros = java.time.Instant.parse("2024-01-02T03:04:05.678901Z")
+    val df = spark.createDataFrame(
+      java.util.List.of(
+        Row(java.sql.Timestamp.from(farFuture)),
+        Row(java.sql.Timestamp.from(micros))),
+      StructType(Seq(StructField("t", TimestampType))))
+    val got = df.select(
+      KustoRender.timestampTicks(col("t")).as("ticks"),
+      KustoRender.timestampIso(col("t")).as("iso")).collect()
+    assert(got(0).isNullAt(0)) // checked_mul/add overflow -> null (converter.rs:310-315)
+    // micros -> millis truncation BEFORE rendering: .678901 -> .678000
+    assert(got(1).getString(1) == "2024-01-02T03:04:05.678000Z")
+    // and the whole-row JSON renderer agrees
+    val json = KustoRender.toKustoJson(df,
+      KustoRenderOptions(timestampMode = TimestampMode.Ticks))
+      .collect().map(_.getString(0))
+    assert(json(0) == """{"t":null}""")
+  }
+
   // ---- whole-row JSON encode ---------------------------------------------
 
   private def nestedDf = {
