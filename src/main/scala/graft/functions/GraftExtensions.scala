@@ -1,0 +1,66 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SQL-function registration for the engine's custom Catalyst expressions,
+  * so `spark.sql("SELECT kusto_decimal_plain(d) ...")` works alongside the
+  * Column API — the `SparkSessionExtensions` integration path for custom
+  * expression libraries.
+  *
+  * Two entry points:
+  *   - `GraftExtensions` for `spark.sql.extensions=graft.functions.GraftExtensions`
+  *     (applies at session build time),
+  *   - `GraftFunctions.register(spark)` for an already-running session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.definitions.foreach { case (id, info, builder) =>
+      ext.injectFunction((id, info, builder))
+    }
+}
+
+object GraftFunctions {
+
+  private def fn(name: String, usage: String)(
+      builder: Seq[Expression] => Expression) =
+    (FunctionIdentifier(name),
+      new ExpressionInfo("graft.functions", name, usage),
+      builder)
+
+  val definitions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    fn("kusto_decimal_plain",
+      "decimal -> plain (never scientific) string, reference decimal_to_string") {
+      args => DecimalPlainString(args.head)
+    },
+    fn("kusto_bytes_array",
+      "binary -> array of unsigned byte numbers, reference bytes_to_value") {
+      args => BinaryToIntArray(args.head)
+    },
+    fn("kusto_double_text",
+      "double -> shortest round-trip text (ryu), NaN/Inf -> null") {
+      args => RyuDoubleString(args.head, csv = false)
+    },
+    fn("kusto_double_csv",
+      "double -> ryu text with trailing zeros stripped (reference CSV form)") {
+      args => RyuDoubleString(args.head, csv = true)
+    },
+    fn("kusto_json",
+      "struct -> Kusto-semantics JSON object text (sorted keys, NaN->null, ...)") {
+      args => KustoJsonExpr(args.head, KustoRenderOptions())
+    },
+    fn("simhash64", "array<string> -> 64-bit SimHash over distinct tokens") {
+      args => SimHash64(args.head)
+    },
+    fn("rolling_hash64", "string -> 64-bit Rabin-Karp polynomial fingerprint") {
+      args => RollingHash64(args.head)
+    }
+  )
+
+  /** Register all functions on a live session's function registry. */
+  def register(spark: SparkSession): Unit =
+    definitions.foreach { case (id, info, builder) =>
+      org.apache.spark.sql.GraftShims.registerFunction(spark, id, info, builder)
+    }
+}

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The custom expressions are usable from plain SQL once registered —
+  * the SparkSessionExtensions / function-registry integration path. */
+class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  @transient var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("extensions-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.functions.GraftFunctions.register(spark)
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("custom expressions callable from SQL") {
+    val r = spark.sql(
+      """SELECT
+        |  kusto_decimal_plain(CAST(0.0000001 AS DECIMAL(20,7))) AS dec,
+        |  kusto_double_text(CAST(3.0 AS DOUBLE)) AS dt,
+        |  kusto_double_csv(CAST(3.0 AS DOUBLE)) AS dc,
+        |  kusto_bytes_array(CAST('AB' AS BINARY)) AS ba,
+        |  kusto_json(named_struct('b', 1, 'a', 'x')) AS js,
+        |  simhash64(array('a', 'b')) AS sh,
+        |  rolling_hash64('ab') AS rh
+      """.stripMargin).collect().head
+    assert(r.getString(0) == "0.0000001")
+    assert(r.getString(1) == "3.0")
+    assert(r.getString(2) == "3")
+    assert(r.getSeq[Int](3) == Seq(65, 66))
+    assert(r.getString(4) == """{"a":"x","b":1}""") // sorted keys
+    assert(r.getLong(6) == 'a'.toLong * 31 + 'b'.toLong)
+  }
+
+  test("registered functions run distributed over a table scan") {
+    val n = spark.sql(
+      """SELECT rolling_hash64(text) AS h
+        |FROM parquet.`/root/testdata/sf0.001/documents.parquet`
+      """.stripMargin).filter("h IS NOT NULL").count()
+    assert(n == 500)
+  }
+}
