@@ -226,8 +226,8 @@ object LlmQueries extends QueryModule {
       a.join(b, Seq("band", "bkey")).filter(col("doc_a") < col("doc_b"))
         .select(col("doc_a"), col("doc_b"),
           bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+        .filter(col("hamming") <= 6) // before distinct: shrink the dedup input
         .distinct()
-        .filter(col("hamming") <= 6)
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
