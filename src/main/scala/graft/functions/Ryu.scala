@@ -23,24 +23,41 @@ object Ryu {
     if (d == 0.0) return if (1.0 / d < 0) "-0.0" else "0.0"
     val neg = d < 0
     val ad = math.abs(d)
-    var digits: String = null
-    var exp10 = 0
-    var p = 1
-    while (digits == null && p <= 17) {
-      val s = java.lang.String.format("%." + (p - 1) + "e", java.lang.Double.valueOf(ad))
-      if (java.lang.Double.parseDouble(s) == ad) {
-        val ei = s.indexOf('e')
-        var mant = s.substring(0, ei).replace(".", "")
-        exp10 = java.lang.Integer.parseInt(s.substring(ei + 1))
-        var end = mant.length
-        while (end > 1 && mant.charAt(end - 1) == '0') end -= 1
-        mant = mant.substring(0, end)
-        digits = mant
-      } else p += 1
+    // Seed the shortest-digit search from the JDK's repr: Double.toString
+    // round-trips by contract and is at most a digit or two longer than
+    // shortest, so instead of trying 1..17 significant digits upward
+    // (~8-15 String.format calls per value) we start at the JDK's digit
+    // count and walk DOWN while the text still round-trips (~2-3 calls).
+    val jdk = java.lang.Double.toString(ad)
+    var jdkSig = 0
+    var seenNonZero = false
+    var zeroRun = 0
+    var i = 0
+    while (i < jdk.length && jdk.charAt(i) != 'E') {
+      val c = jdk.charAt(i)
+      if (c >= '1' && c <= '9') { seenNonZero = true; jdkSig += zeroRun + 1; zeroRun = 0 }
+      else if (c == '0' && seenNonZero) zeroRun += 1
+      i += 1
     }
-    if (digits == null) { // unreachable: 17 digits always round-trips
-      digits = java.lang.Double.toString(ad); return (if (neg) "-" else "") + digits
+    if (jdkSig == 0) jdkSig = 1
+    def fmt(p: Int): String =
+      java.lang.String.format("%." + (p - 1) + "e", java.lang.Double.valueOf(ad))
+    var p = jdkSig
+    var s = fmt(p)
+    while (java.lang.Double.parseDouble(s) != ad && p < 17) { p += 1; s = fmt(p) } // safety
+    var shrunk = true
+    while (p > 1 && shrunk) {
+      val s2 = fmt(p - 1)
+      if (java.lang.Double.parseDouble(s2) == ad) { p -= 1; s = s2 } else shrunk = false
     }
+    val ei = s.indexOf('e')
+    var digits = {
+      val mant = s.substring(0, ei).replace(".", "")
+      var end = mant.length
+      while (end > 1 && mant.charAt(end - 1) == '0') end -= 1
+      mant.substring(0, end)
+    }
+    val exp10 = java.lang.Integer.parseInt(s.substring(ei + 1))
     val sb = new java.lang.StringBuilder(24)
     if (neg) sb.append('-')
     if (exp10 >= -5 && exp10 < 16) {
