@@ -71,6 +71,10 @@ final class KustoRowRenderer(schema: StructType, opts: KustoRenderOptions)
 
   private val fieldNames: Array[String] = schema.fields.map(_.name)
   private val fieldRenders: Array[FieldRender] = schema.fields.map(f => renderOf(f.dataType))
+  /** Field indices in sorted-name order, precomputed once per schema so
+    * per-row object building inserts keys already sorted (see [[KObj]]). */
+  private val sortedFieldOrder: Array[Int] =
+    fieldNames.indices.sortBy(i => fieldNames(i)).toArray
 
   /** Render one top-level field of a row (null-safe); used by the CSV line
     * encoder to emit fields positionally without re-wrapping rows. */
@@ -85,11 +89,12 @@ final class KustoRowRenderer(schema: StructType, opts: KustoRenderOptions)
 
   def renderStruct(row: InternalRow): KValue = {
     val m = mutable.LinkedHashMap.empty[String, KValue]
-    var i = 0
-    while (i < fieldRenders.length) {
+    var j = 0
+    while (j < sortedFieldOrder.length) {
+      val i = sortedFieldOrder(j)
       val v = if (row.isNullAt(i)) KNull else fieldRenders(i)(row, i)
       if (!(opts.omitNulls && v.isNull)) m.put(fieldNames(i), v)
-      i += 1
+      j += 1
     }
     if (opts.omitEmptyBags && m.isEmpty) KNull else KObj(m)
   }
@@ -148,13 +153,18 @@ final class KustoRowRenderer(schema: StructType, opts: KustoRenderOptions)
       valOf: FieldRender): KValue = {
     val keys = map.keyArray()
     val vals = map.valueArray()
+    val n = map.numElements()
+    // dynamic keys: sort per value (BTreeMap semantics); dedup keeps the
+    // LAST occurrence like repeated BTreeMap inserts in the reference.
+    val order = Array.tabulate(n)(identity).sortBy(j => keyOf(keys, j))
     val m = mutable.LinkedHashMap.empty[String, KValue]
-    var j = 0
-    while (j < map.numElements()) {
+    var x = 0
+    while (x < n) {
+      val j = order(x)
       val k = keyOf(keys, j)
       val v = if (vals.isNullAt(j)) KNull else valOf(vals, j)
       if (!(opts.omitNulls && v.isNull)) m.put(k, v)
-      j += 1
+      x += 1
     }
     if (opts.omitEmptyBags && m.isEmpty) KNull else KObj(m)
   }

@@ -20,12 +20,11 @@ final case class KNum(text: String) extends KValue
 final case class KDouble(v: Double) extends KValue
 final case class KStr(v: String) extends KValue
 final case class KArr(v: mutable.ArrayBuffer[KValue]) extends KValue
-/** Insertion-ordered object — field order is source order, matching
-  * `serde_json::Map` with its default `preserve_order` off? The reference's
-  * serde_json uses a BTreeMap (keys sorted) unless the `preserve_order`
-  * feature is on; `Cargo.lock` resolves serde_json WITHOUT preserve_order,
-  * so keys serialize in SORTED order. We therefore sort keys at
-  * serialization time, not insertion time. */
+/** Object with keys ALREADY in sorted order. The reference's serde_json
+  * uses a BTreeMap (no `preserve_order` feature in its Cargo.lock), so keys
+  * serialize sorted; producers here insert in sorted order up front —
+  * structs via a schema-bound precomputed field order, maps by sorting the
+  * (dynamic) keys — and the serializer emits insertion order verbatim. */
 final case class KObj(v: mutable.LinkedHashMap[String, KValue]) extends KValue
 
 object KValue {
@@ -74,12 +73,12 @@ object KValue {
     case KObj(m) =>
       sb.append('{')
       var first = true
-      m.keysIterator.toArray.sorted.foreach { k =>
+      m.foreach { case (k, v) => // insertion order IS sorted order (see KObj)
         if (!first) sb.append(',')
         first = false
         escapeInto(sb, k)
         sb.append(':')
-        writeJson(sb, m(k))
+        writeJson(sb, v)
       }
       sb.append('}')
   }

@@ -19,14 +19,16 @@ import org.apache.spark.sql.types._
   *
   * Float-portability rule: DuckDB (the oracle) and Spark sum doubles in
   * different orders, so any SUM/AVG over a double column goes through an
-  * exact DECIMAL(25,6) intermediate and is cast back to DOUBLE — identical
-  * bits on both engines regardless of accumulation order.
+  * exact DECIMAL(38,6) intermediate and is cast back to DOUBLE — identical
+  * bits on both engines regardless of accumulation order. Precision 38 is
+  * the max on both engines and leaves ~1e32 of headroom: sums stay exact
+  * even at the 100 TB row counts the bench tables stand in for.
   */
 object RelationalQueries extends QueryModule {
 
   /** Exact, order-insensitive sum of a double expression (see class doc). */
-  private def dsum(c: Column): Column = sum(c.cast(DecimalType(25, 6))).cast(DoubleType)
-  private def dsumSql(e: String): String = s"CAST(SUM(CAST($e AS DECIMAL(25,6))) AS DOUBLE)"
+  private def dsum(c: Column): Column = sum(c.cast(DecimalType(38, 6))).cast(DoubleType)
+  private def dsumSql(e: String): String = s"CAST(SUM(CAST($e AS DECIMAL(38,6))) AS DOUBLE)"
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- aggregation (TPC-H Q1 shaped): scan → filter → hash-agg; partial

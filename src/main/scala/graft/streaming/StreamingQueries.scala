@@ -22,7 +22,7 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
 object StreamingQueries extends QueryModule {
 
   /** Exact order-insensitive double sum (see RelationalQueries doc). */
-  private def dsum(c: Column): Column = sum(c.cast(DecimalType(25, 6))).cast(DoubleType)
+  private def dsum(c: Column): Column = sum(c.cast(DecimalType(38, 6))).cast(DoubleType)
 
   /** Tumbling 1-hour event-time windows. Watermark is a no-op in batch. */
   def tumbling(events: DataFrame): DataFrame =
@@ -60,7 +60,7 @@ object StreamingQueries extends QueryModule {
   def oracles: Map[String, String] = Map(
     "q50_stream_tumbling" ->
       """SELECT date_trunc('hour', ts) AS window_start, COUNT(*) AS n_events,
-        |  CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+        |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1 ORDER BY window_start""".stripMargin,
     // A 2h-long window sliding by 1h holds events whose hour-truncation is
     // its start or start+1h: emit each event into both window starts.
@@ -70,7 +70,7 @@ object StreamingQueries extends QueryModule {
         |  UNION ALL
         |  SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR, value FROM events)
         |SELECT window_start, COUNT(*) AS n_events,
-        |  CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+        |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
         |FROM assigned GROUP BY 1 ORDER BY window_start""".stripMargin,
     // Gaps-and-islands: a new session starts when the gap from the previous
     // event of the same user is >= 6h (Spark merges only OVERLAPPING
