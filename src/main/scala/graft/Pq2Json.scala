@@ -71,18 +71,24 @@ object Pq2Json {
     a
   }
 
-  /** `--columns` takes a JSON array of strings (`main.rs:142-145`). */
+  /** `--columns` takes a JSON array of strings (`main.rs:142-145`). Parsed
+    * with Jackson (already on the Spark classpath) like the reference's
+    * serde_json parse, so names containing commas or escaped quotes work. */
   def parseJsonStringArray(s: String): Seq[String] = {
-    val t = s.trim
-    require(t.startsWith("[") && t.endsWith("]"), "expected a JSON array of column names")
-    val body = t.substring(1, t.length - 1).trim
-    if (body.isEmpty) Seq.empty
-    else body.split(",").toSeq.map { e =>
-      val v = e.trim
-      require(v.length >= 2 && v.startsWith("\"") && v.endsWith("\""),
-        "expected a JSON array of double-quoted column names")
-      v.substring(1, v.length - 1)
+    val node =
+      try new com.fasterxml.jackson.databind.ObjectMapper().readTree(s)
+      catch {
+        case e: com.fasterxml.jackson.core.JacksonException =>
+          throw new IllegalArgumentException(
+            s"expected a JSON array of column names: ${e.getMessage}")
+      }
+    require(node != null && node.isArray, "expected a JSON array of column names")
+    val out = Seq.newBuilder[String]
+    node.forEach { e =>
+      require(e.isTextual, "expected a JSON array of double-quoted column names")
+      out += e.asText()
     }
+    out.result()
   }
 
   private def jsonEscape(s: String): String = {

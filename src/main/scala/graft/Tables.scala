@@ -19,11 +19,16 @@ object Tables {
     val path = s"$dir/$name.parquet"
     if (name == "events") {
       // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-      // reader rejects outright ([PARQUET_TYPE_ILLEGAL]). Read the raw
-      // nanos as long, then truncate to the micros TimestampType domain —
-      // the same truncation DuckDB applies on read, so oracle comparisons
-      // see identical instants. `DIV` keeps the arithmetic integral.
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // reader rejects outright ([PARQUET_TYPE_ILLEGAL]). With
+      // spark.sql.legacy.parquet.nanosAsLong the raw nanos read as long,
+      // then truncate to the micros TimestampType domain — the same
+      // truncation DuckDB applies on read, so oracle comparisons see
+      // identical instants. `DIV` keeps the arithmetic integral. The flag
+      // is set ONCE at session build (Bench/Verify/specs) — loaders must
+      // not mutate session config as a side effect, so fail loudly here
+      // instead of setting it.
+      require(spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
+        "events table needs spark.sql.legacy.parquet.nanosAsLong=true set at session build")
       spark.read.parquet(path).withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
     } else {
       spark.read.parquet(path)

@@ -72,9 +72,12 @@ final class KustoRowRenderer(schema: StructType, opts: KustoRenderOptions)
   private val fieldNames: Array[String] = schema.fields.map(_.name)
   private val fieldRenders: Array[FieldRender] = schema.fields.map(f => renderOf(f.dataType))
   /** Field indices in sorted-name order, precomputed once per schema so
-    * per-row object building inserts keys already sorted (see [[KObj]]). */
+    * per-row object building inserts keys already sorted (see [[KObj]]).
+    * Sorted by UTF-8 bytes, not UTF-16 code units: serde_json's BTreeMap
+    * compares the keys' UTF-8 bytes, and the two orders differ when
+    * supplementary-plane keys mix with U+E000..U+FFFF keys. */
   private val sortedFieldOrder: Array[Int] =
-    fieldNames.indices.sortBy(i => fieldNames(i)).toArray
+    fieldNames.indices.sortBy(i => fieldNames(i))(Utf8Ordering).toArray
 
   /** Render one top-level field of a row (null-safe); used by the CSV line
     * encoder to emit fields positionally without re-wrapping rows. */
@@ -125,7 +128,7 @@ final class KustoRowRenderer(schema: StructType, opts: KustoRenderOptions)
     case DateType => (g, i) => dateValue(g.getInt(i))
     case TimestampType | TimestampNTZType =>
       val mode = opts.timestampMode
-      (g, i) => timestampValue(micros2millis(g.getLong(i)), mode)
+      (g, i) => timestampValue(g.getLong(i), mode)
     case st: StructType =>
       val nested = new KustoRowRenderer(st, opts)
       (g, i) => nested.renderStruct(g.getStruct(i, st.size))
@@ -154,9 +157,9 @@ final class KustoRowRenderer(schema: StructType, opts: KustoRenderOptions)
     val keys = map.keyArray()
     val vals = map.valueArray()
     val n = map.numElements()
-    // dynamic keys: sort per value (BTreeMap semantics); dedup keeps the
-    // LAST occurrence like repeated BTreeMap inserts in the reference.
-    val order = Array.tabulate(n)(identity).sortBy(j => keyOf(keys, j))
+    // dynamic keys: sort per value (BTreeMap semantics = UTF-8 byte order);
+    // dedup keeps the LAST occurrence like repeated BTreeMap inserts.
+    val order = Array.tabulate(n)(identity).sortBy(j => keyOf(keys, j))(Utf8Ordering)
     val m = mutable.LinkedHashMap.empty[String, KValue]
     var x = 0
     while (x < n) {
@@ -169,16 +172,21 @@ final class KustoRowRenderer(schema: StructType, opts: KustoRenderOptions)
     if (opts.omitEmptyBags && m.isEmpty) KNull else KObj(m)
   }
 
-  private def timestampValue(ms: Long, mode: TimestampMode): KValue = mode match {
+  private def timestampValue(us: Long, mode: TimestampMode): KValue = mode match {
     case TimestampMode.Ticks =>
       // Reference does u64 checked math (`converter.rs:309-316`); negative
       // millis reinterpret to huge u64 and overflow -> null either way.
+      val ms = micros2millis(us)
       if (ms < 0 || ms > (Long.MaxValue - TicksTillUnixTime) / 10000) KNull
       else KNum((ms * 10000 + TicksTillUnixTime).toString)
     case TimestampMode.UnixMs =>
-      // u64 passthrough (`converter.rs:330`): negatives print reinterpreted.
-      KNum(java.lang.Long.toUnsignedString(ms))
+      // u64 passthrough (`converter.rs:330`): the reference reinterprets the
+      // RAW micros as u64 and THEN divides, so pre-epoch values must use
+      // unsigned division of the micros, not floorDiv-then-reinterpret
+      // (us = -1e6 -> 18446744073708551, not 18446744073709550616).
+      KNum(java.lang.Long.toUnsignedString(java.lang.Long.divideUnsigned(us, 1000L)))
     case TimestampMode.IsoStr =>
+      val ms = micros2millis(us)
       if (ms < 0) KNull // u64 seconds out of chrono range -> null (`:322-325`)
       else KStr(IsoFmt.format(java.time.Instant.ofEpochMilli(ms)))
   }
@@ -188,9 +196,18 @@ object KustoRowRenderer {
   /** 100ns ticks from 0001-01-01 to 1970-01-01 (`converter.rs:305`). */
   val TicksTillUnixTime: Long = 621355968000000000L
 
+  // Locale.ROOT pins ASCII digits regardless of the JVM default locale.
   private val IsoFmt = DateTimeFormatter
-    .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'")
+    .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'", java.util.Locale.ROOT)
     .withZone(java.time.ZoneOffset.UTC)
+
+  /** serde_json BTreeMap key order = UTF-8 byte order. UTF8String.compareTo
+    * compares the underlying UTF-8 bytes unsigned-lexicographically, which
+    * differs from String's UTF-16 order for supplementary-plane text. */
+  val Utf8Ordering: Ordering[String] = new Ordering[String] {
+    def compare(a: String, b: String): Int =
+      UTF8String.fromString(a).compareTo(UTF8String.fromString(b))
+  }
 
   /** Micros -> millis truncation (`converter.rs:117-120`; Rust `/` on u64). */
   def micros2millis(us: Long): Long = Math.floorDiv(us, 1000L)

@@ -40,8 +40,11 @@ object Ryu {
       i += 1
     }
     if (jdkSig == 0) jdkSig = 1
+    // Locale.ROOT: default-locale %e would emit "1,5e+00" under comma-
+    // decimal locales (de_DE, ...) and the parse-back would throw.
     def fmt(p: Int): String =
-      java.lang.String.format("%." + (p - 1) + "e", java.lang.Double.valueOf(ad))
+      java.lang.String.format(java.util.Locale.ROOT, "%." + (p - 1) + "e",
+        java.lang.Double.valueOf(ad))
     var p = jdkSig
     var s = fmt(p)
     while (java.lang.Double.parseDouble(s) != ad && p < 17) { p += 1; s = fmt(p) } // safety

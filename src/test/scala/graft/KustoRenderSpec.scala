@@ -213,6 +213,39 @@ class KustoRenderSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(json(0) == """{"t":null}""")
   }
 
+  test("unixms reinterprets RAW micros as u64 before dividing (converter.rs:330)") {
+    // us = -1_000_000 -> u64 18446744073708551616, /1000 = 18446744073708551.
+    // floorDiv-then-reinterpret would give 18446744073709550616 — wrong.
+    val df = spark.createDataFrame(
+      java.util.List.of(
+        Row(java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(-1L))),
+        Row(java.sql.Timestamp.from(java.time.Instant.ofEpochMilli(1234L)))),
+      StructType(Seq(StructField("t", TimestampType))))
+    val got = KustoRender.toKustoJson(df,
+      KustoRenderOptions(timestampMode = TimestampMode.UnixMs))
+      .collect().map(_.getString(0))
+    assert(got(0) == """{"t":18446744073708551}""")
+    assert(got(1) == """{"t":1234}""")
+  }
+
+  test("json keys sort by UTF-8 bytes, not UTF-16 units (serde_json BTreeMap)") {
+    // U+1F600 (UTF-8 f0 9f 98 80) vs U+E000 (UTF-8 ee 80 80): UTF-16 puts
+    // the surrogate pair (0xD83D...) first, UTF-8 bytes put U+E000 first.
+    val emoji = new String(Character.toChars(0x1F600))
+    val pua = ""
+    val schema = StructType(Seq(
+      StructField(emoji, IntegerType), StructField(pua, IntegerType)))
+    val df = spark.createDataFrame(java.util.List.of(Row(1, 2)), schema)
+    val json = KustoRender.toKustoJson(df).collect().head.getString(0)
+    assert(json == s"""{"$pua":2,"$emoji":1}""")
+    // same for dynamic map keys
+    val mdf = spark.createDataFrame(
+      java.util.List.of(Row(Map(emoji -> 1, pua -> 2))),
+      StructType(Seq(StructField("m", MapType(StringType, IntegerType)))))
+    val mjson = KustoRender.toKustoJson(mdf).collect().head.getString(0)
+    assert(mjson == s"""{"m":{"$pua":2,"$emoji":1}}""")
+  }
+
   // ---- whole-row JSON encode ---------------------------------------------
 
   private def nestedDf = {

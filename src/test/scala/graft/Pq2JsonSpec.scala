@@ -41,6 +41,14 @@ class Pq2JsonSpec extends AnyFunSuite with BeforeAndAfterAll {
       Pq2Json.parseArgs(Array("-c", "not-json", "x")))
   }
 
+  test("--columns is a real JSON parse: commas and escapes inside names survive") {
+    assert(Pq2Json.parseJsonStringArray("""["a,b","c\"d","A"]""")
+      == Seq("a,b", "c\"d", "A"))
+    assert(Pq2Json.parseJsonStringArray("[]") == Seq.empty)
+    assertThrows[IllegalArgumentException](Pq2Json.parseJsonStringArray("[1,2]"))
+    assertThrows[IllegalArgumentException](Pq2Json.parseJsonStringArray("""{"a":1}"""))
+  }
+
   test("JSONL conversion: one sorted-key object per row") {
     val out = capture(Array(s"$dir/region.parquet")).split("\n")
     assert(out.length == 5)

@@ -21,6 +21,7 @@ class RenderGoldenSpec extends AnyFunSuite with BeforeAndAfterAll {
       .appName("render-golden-spec")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events TIMESTAMP(NANOS)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
