@@ -57,6 +57,24 @@ object RenderQueries extends QueryModule {
         .orderBy(col("n_nationkey"))
     }),
 
+    // --- NESTED JSONL encode: struct-in-struct, list and map columns
+    // through the recursive render (converter.rs:214-281), oracled against
+    // DuckDB's to_json of the same construction. Field names are chosen
+    // already-sorted so serde_json's BTreeMap order == construction order.
+    "q25_render_nested" -> ((s, dir) => {
+      val n = Tables(s, dir, "nation")
+      n.select(col("n_nationkey"),
+          org.apache.spark.sql.GraftShims.column(
+            KustoJsonExpr(
+              org.apache.spark.sql.GraftShims.expression(
+                struct(
+                  struct(col("n_name").as("name"), col("n_regionkey").as("rk")).as("info"),
+                  array(col("n_nationkey"), col("n_regionkey")).as("keys"),
+                  map(lit("n"), col("n_nationkey")).as("m"))),
+              KustoRenderOptions())).as("json"))
+        .orderBy(col("n_nationkey"))
+    }),
+
     // --- CSV encode (entry point 2, converter.rs:145-188): ryu float text
     // with trailing-zero strip, raw strings, trailing \r terminator.
     "q22_render_csv" -> ((s, dir) => {
@@ -86,6 +104,13 @@ object RenderQueries extends QueryModule {
       """SELECT n_nationkey,
         |  CAST(to_json(struct_pack(n_name := n_name, n_nationkey := n_nationkey,
         |                           n_regionkey := n_regionkey)) AS VARCHAR) AS json
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+    "q25_render_nested" ->
+      """SELECT n_nationkey,
+        |  CAST(to_json(struct_pack(
+        |    info := struct_pack(name := n_name, rk := n_regionkey),
+        |    keys := [n_nationkey, n_regionkey],
+        |    m := MAP {'n': n_nationkey})) AS VARCHAR) AS json
         |FROM nation ORDER BY n_nationkey""".stripMargin,
     "q22_render_csv" ->
       """SELECT o_orderkey,
