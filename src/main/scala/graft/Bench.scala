@@ -40,13 +40,24 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // Noise armor: report BOTH the first-run time and the min. The min is
+    // the plan's intrinsic cost (what a warm long-lived cluster pays); the
+    // first run additionally carries codegen/JIT warm-up and machine noise,
+    // so a regression is real only if it shows in the min column. Cheap
+    // queries (min < 1s) get a third run — they're the ones where one GC
+    // pause or page-cache miss distorts a min-of-2 the most, and the extra
+    // run costs almost nothing.
     val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
-      name -> math.min(once(name), once(name))
+      val first = once(name)
+      val second = once(name)
+      var best = math.min(first, second)
+      if (best < 1.0) best = math.min(best, once(name))
+      (name, first, best)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def jmap(f: ((String, Double, Double)) => Double): String =
+      results.map(r => "\"" + r._1 + "\":" + f(r)).mkString("{", ",", "}")
+    val total = results.map(_._3).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(_._3)},"queries_first":${jmap(_._2)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
