@@ -111,6 +111,25 @@ object Pq2Json {
         .map(r => s"""{"numberOfRows":"${r.numberOfRows}","totalByteSize":"${r.totalByteSize}"}""")
         .mkString("[", ",", "]"))
     } else {
+      // Fail fast on brotli-compressed inputs with a message that names
+      // the codec: the reference reads brotli (Cargo.toml:9) but Spark's
+      // parquet reader maps it to a nonexistent hadoop BrotliCodec class,
+      // which would otherwise surface as a mid-scan ClassNotFoundException.
+      // Footer-only ops (--schema/--cslschema/--rowgroups) stay available.
+      // Local paths only — remote filesystems skip the pre-check and get
+      // Spark's own error.
+      val f = new java.io.File(a.input)
+      val localFiles =
+        if (f.isFile) Seq(a.input)
+        else if (f.isDirectory)
+          f.listFiles().filter(_.getName.endsWith(".parquet")).map(_.getPath).toSeq
+        else Seq.empty
+      localFiles.find(p => ParquetMetadata.codecs(p).contains("BROTLI")).foreach { p =>
+        throw new IllegalArgumentException(
+          s"unsupported compression codec BROTLI in $p: no brotli parquet " +
+            "codec is available to Spark (the reference reads brotli via the " +
+            "Rust parquet crate); re-encode with snappy/zstd/gzip")
+      }
       val df = spark.read.parquet(a.input)
       val rendered =
         if (a.csv) KustoRender.toKustoCsv(df, a.columns, a.opts)

@@ -269,12 +269,19 @@ object LlmQueries extends QueryModule {
         .orderBy(col("vec_a"), col("vec_b"))
     }),
 
-    // --- ANN via random-hyperplane LSH (rows-only): 8 Rademacher
-    // hyperplanes derived from a fixed LCG -> 8-bit sign bucket; probe only
-    // the query's bucket, exact cosine inside it. The scale path: bucket
-    // join replaces the corpus cross join.
+    // --- ANN via random-hyperplane LSH (rows-only): the standard L-table
+    // banding — L=8 independent tables of B=4 Rademacher hyperplanes each
+    // (planes from a fixed LCG), candidates = union over tables of
+    // same-bucket pairs, exact cosine inside. One table of 8 bits has
+    // ~p^8 collision probability for the true neighbors (recall ~10% on
+    // this corpus); 8 tables of 4 bits give 1-(1-p^4)^8 (~70%) at the same
+    // per-table selectivity — the classic recall/cost dial. The scale
+    // path: corpus exploded xL, joined on (table, bucket); candidate count
+    // is L * Sigma bucket^2, never corpus^2, and B grows with corpus
+    // density to keep buckets bounded.
     "q39_ann_lsh" -> ((s, dir) => {
-      val planes: Column = array((0 until 8).map { j =>
+      val L = 8; val B = 4
+      val planes: Column = array((0 until L * B).map { j =>
         array((0 until 64).map { i =>
           // deterministic ±1 from a fixed multiplicative LCG (seed = j*64+i)
           val x = (j * 64 + i + 1) * 6364136223846793005L + 1442695040888963407L
@@ -284,18 +291,23 @@ object LlmQueries extends QueryModule {
       val e = Tables(s, dir, "embeddings")
         .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
         .withColumn("planes", planes)
-        .withColumn("bucket", expr(
-          """aggregate(sequence(0, 7), 0, (acc, j) -> acc + CASE WHEN
-               aggregate(zip_with(v, element_at(planes, j + 1), (x, p) -> x * p),
-                         0.0D, (s, x) -> s + x) > 0 THEN CAST(pow(2, j) AS INT) ELSE 0 END)"""))
-        .drop("planes")
+        .select(col("vec_id"), col("v"), explode(expr(
+          s"""transform(sequence(0, ${L - 1}), t -> named_struct(
+                'tbl', t,
+                'bucket', aggregate(sequence(0, ${B - 1}), 0, (acc, b) -> acc + CASE WHEN
+                  aggregate(zip_with(v, element_at(planes, t * $B + b + 1), (x, p) -> x * p),
+                            0.0D, (s, x) -> s + x) > 0 THEN CAST(pow(2, b) AS INT) ELSE 0 END)))"""))
+          .as("tb"))
+        .select(col("vec_id"), col("v"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
       val q = e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("query_id"), col("v").as("av"), col("bucket"))
-      val c = e.select(col("vec_id").as("nbr_id"), col("v").as("bv"), col("bucket"))
+        .select(col("vec_id").as("query_id"), col("v").as("av"), col("tbl"), col("bucket"))
+      val c = e.select(col("vec_id").as("nbr_id"), col("v").as("bv"), col("tbl"), col("bucket"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("query_id"))
         .orderBy(col("score").desc, col("nbr_id").asc)
-      c.join(broadcast(q), Seq("bucket")).filter(col("query_id") =!= col("nbr_id"))
+      c.join(broadcast(q), Seq("tbl", "bucket")).filter(col("query_id") =!= col("nbr_id"))
+        .select(col("query_id"), col("nbr_id"), col("av"), col("bv"))
+        .dropDuplicates("query_id", "nbr_id") // union of the L tables
         .withColumn("score",
           round(expr(dotSql) / (expr(normSqlOf("av")) * expr(normSqlOf("bv"))), 4))
         .withColumn("rnk", row_number().over(w))
@@ -325,16 +337,20 @@ object LlmQueries extends QueryModule {
           expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
       val centroid = udaf(new graft.functions.VectorAggregators.Centroid(64))
       val cells = e.groupBy(col("label")).agg(centroid(col("v")).as("cv"))
-      // assign every vector (and query) to its nearest centroid by cosine
-      val withCell = e.join(broadcast(cells), Seq("label"))
+        .select(col("label").as("cell"), col("cv"))
+      // assign every vector (and query) to its nearest centroid by cosine:
+      // a broadcast CROSS join against the (tiny) centroid table — each
+      // vector scores ALL cells, argmax wins. (An equi-join on label here
+      // would silently degrade cell assignment to "own label".)
+      val withCell = e.crossJoin(broadcast(cells))
         .withColumn("cell_score",
           expr(s"""aggregate(zip_with(v, cv, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)
                    / (${normSqlOf("v")} * ${normSqlOf("cv")})"""))
         .withColumn("rk", row_number().over(
           org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))
-            .orderBy(col("cell_score").desc, col("label").asc)))
+            .orderBy(col("cell_score").desc, col("cell").asc)))
         .filter(col("rk") === 1)
-        .select(col("vec_id"), col("label").as("cell"), col("v"))
+        .select(col("vec_id"), col("cell"), col("v"))
       val q = withCell.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("v").as("av"), col("cell"))
       val c = withCell.select(col("vec_id").as("nbr_id"), col("v").as("bv"), col("cell"))

@@ -54,12 +54,13 @@ object MetadataQueries extends QueryModule {
         |  ('events', 'value', 'real'),
         |  ('events', 'props', 'string')
         |) AS t(tbl, name, csl_type)""".stripMargin,
-    // t2 correctness always runs at sf0.01 (TESTDATA.md), so the oracle can
-    // introspect the same footer DuckDB-side via parquet_metadata().
+    // {SF_DIR} is substituted with the actual scale-factor directory when
+    // Verify dumps oracle_sql.json (Verify.main receives it), so the oracle
+    // introspects the SAME footer DuckDB-side whatever sf the run uses.
     "q24_rowgroups" ->
       """SELECT CAST(row_group_num_rows AS VARCHAR) AS num_rows,
         |  CAST(SUM(total_uncompressed_size) AS VARCHAR) AS total_byte_size
-        |FROM parquet_metadata('/root/testdata/sf0.01/lineitem.parquet')
+        |FROM parquet_metadata('{SF_DIR}/lineitem.parquet')
         |GROUP BY row_group_id, row_group_num_rows""".stripMargin
   )
 }

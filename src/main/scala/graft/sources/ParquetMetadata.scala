@@ -113,6 +113,18 @@ object ParquetMetadata {
       CslColumn(f.name, t)
     }
 
+  /** Distinct compression codec names used by any column chunk (footer
+    * read only). Used to fail fast with a clear message on codecs Spark
+    * has no decompressor for (brotli — the reference reads it via the
+    * Rust parquet crate, `/root/reference/pq2json/Cargo.toml:9`; Spark's
+    * parquet-hadoop maps it to a hadoop BrotliCodec class that does not
+    * exist on any stock classpath). */
+  def codecs(path: String): Set[String] = {
+    val (_, blocks) = footer(path)
+    blocks.getBlocks.asScala
+      .flatMap(_.getColumns.asScala.map(_.getCodec.name())).toSet
+  }
+
   /** The `--rowgroups` op (`schema.rs:118-143`): per row group
     * `{numberOfRows, totalByteSize}` — string-typed like the reference. */
   def rowGroups(path: String): Seq[RowGroupInfo] = {

@@ -41,6 +41,19 @@ class Pq2JsonSpec extends AnyFunSuite with BeforeAndAfterAll {
       Pq2Json.parseArgs(Array("-c", "not-json", "x")))
   }
 
+  test("brotli input: conversion fails with ERROR naming the codec; footer ops still work") {
+    // committed fixture (pyarrow, compression='brotli'): reference reads
+    // brotli (Cargo.toml:9); Spark has no codec for it
+    val brotli = getClass.getResource("/fixtures/brotli.parquet").getPath
+    val e = intercept[IllegalArgumentException](capture(Array(brotli)))
+    assert(e.getMessage.contains("BROTLI"))
+    // metadata entry points never touch data pages -> unaffected
+    val csl = graft.sources.ParquetMetadata.cslSchema(brotli)
+    assert(csl.map(c => c.name -> c.cslType) == Seq("a" -> "long", "s" -> "string"))
+    assert(graft.sources.ParquetMetadata.rowGroups(brotli).head.numberOfRows == "3")
+    assert(graft.sources.ParquetMetadata.codecs(brotli) == Set("BROTLI"))
+  }
+
   test("--columns is a real JSON parse: commas and escapes inside names survive") {
     assert(Pq2Json.parseJsonStringArray("""["a,b","c\"d","A"]""")
       == Seq("a,b", "c\"d", "A"))
