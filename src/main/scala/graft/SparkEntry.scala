@@ -18,6 +18,7 @@ object SparkEntry {
     sources.MetadataQueries,
     operators.LlmQueries,
     operators.ExtendedQueries,
+    operators.TemporalQueries,
     streaming.StreamingQueries
   )
 

@@ -23,6 +23,7 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       .appName("plan-spec")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events TIMESTAMP(NANOS)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -75,6 +76,26 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     val p = plan("q37_knn_cosine")
     assert(p.contains("Broadcast"), p)
     assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q26 as-of join plans with NO join operator (union + single-key window)") {
+    val p = plan("q26_asof_join")
+    // the naive as-of (equi-join then prune) explodes pairs; the union+
+    // running-last form must contain a Window and no join of any kind
+    assert(p.contains("Window"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q39 multi-table LSH: query side broadcast, no sort-merge join") {
+    val p = plan("q39_ann_lsh")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q29 content-hash split is map-side + one partial-agg shuffle") {
+    val p = plan("q29_train_split")
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p) // partial + final
+    assert(!p.contains("Join"), p)
   }
 
   test("whole-stage codegen covers the relational hot paths") {
