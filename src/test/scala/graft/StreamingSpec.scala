@@ -12,6 +12,9 @@ import java.sql.Timestamp
 
 case class Ev(ts: Timestamp, user_id: Long, value: Double)
 case class UserCount(user_id: Long, n: Long)
+case class Click(c_user: Long, c_ts: Timestamp)
+case class Purchase(p_user: Long, p_ts: Timestamp)
+case class Alert(user_id: Long, crossed: Long)
 
 /** Proves the StreamingQueries builders are genuinely streamable: the SAME
   * functions the batch correctness gate runs execute here under
@@ -140,6 +143,69 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
         .collect().map(_.getString(0)).sorted
       assert(lines.length == 5)
       assert(lines.toSeq == batch.toSeq) // stream/batch render parity
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join: purchases within 1h of a click, watermarked both sides") {
+    // The streaming form of q27's range join: two unbounded inputs joined
+    // on key + event-time interval. The watermarks bound join state — each
+    // side keeps only rows newer than (watermark - interval), which is what
+    // makes this viable on an unbounded stream.
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val mc = MemoryStream[Click]
+    val mp = MemoryStream[Purchase]
+    val joined = mc.toDF().withWatermark("c_ts", "1 hour")
+      .join(mp.toDF().withWatermark("p_ts", "1 hour"),
+        expr("c_user = p_user AND p_ts > c_ts AND p_ts <= c_ts + INTERVAL 1 HOUR"))
+      .select(col("c_user").as("user_id"), col("c_ts"), col("p_ts"))
+    val q = joined.writeStream.format("memory").queryName("ssj")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mc.addData(
+        Click(1, ts("2024-01-01T10:00:00Z")),
+        Click(1, ts("2024-01-01T12:00:00Z")),
+        Click(2, ts("2024-01-01T10:00:00Z")))
+      mp.addData(
+        Purchase(1, ts("2024-01-01T10:30:00Z")), // joins click@10 (same user, <=1h)
+        Purchase(1, ts("2024-01-01T11:30:00Z")), // joins nothing (>1h after 10:00)
+        Purchase(2, ts("2024-01-01T11:30:00Z"))) // wrong window for user 2
+      q.processAllAvailable()
+      val got = sp.table("ssj").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2))).toSet
+      assert(got == Set((1L, ts("2024-01-01T10:00:00Z"), ts("2024-01-01T10:30:00Z"))))
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState: zero-or-more alerts per user as thresholds are crossed") {
+    // Unlike mapGroupsWithState (exactly one row per key per batch),
+    // flatMapGroupsWithState emits an ITERATOR — here one alert per
+    // multiple-of-5 the user's running value-total crosses, possibly none.
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val mem = MemoryStream[Ev]
+    val alerts = mem.toDS()
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, evs: Iterator[Ev], state: GroupState[Double]) =>
+          val before = state.getOption.getOrElse(0.0)
+          val after = before + evs.map(_.value).sum
+          state.update(after)
+          ((before / 5).toLong + 1 to (after / 5).toLong)
+            .map(k => Alert(uid, k * 5)).iterator
+      }
+    val q = alerts.toDF().writeStream.format("memory").queryName("alerts")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(Ev(ts("2024-01-01T10:00:00Z"), 1, 3.0)) // total 3: no alert
+      q.processAllAvailable()
+      assert(sp.table("alerts").count() == 0)
+      mem.addData(Ev(ts("2024-01-01T10:10:00Z"), 1, 8.0)) // total 11: crosses 5 and 10
+      q.processAllAvailable()
+      val got = sp.table("alerts").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((1L, 5L), (1L, 10L)))
     } finally q.stop()
   }
 
