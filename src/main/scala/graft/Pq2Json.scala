@@ -30,7 +30,8 @@ object Pq2Json {
       input: String = null, output: Option[String] = None,
       columns: Option[Seq[String]] = None, csv: Boolean = false,
       schema: Boolean = false, cslSchema: Boolean = false,
-      rowGroups: Boolean = false, opts: KustoRenderOptions = KustoRenderOptions())
+      rowGroups: Boolean = false, distributed: Boolean = false,
+      opts: KustoRenderOptions = KustoRenderOptions())
 
   def parseArgs(argv: Array[String]): Args = {
     var a = Args()
@@ -57,6 +58,7 @@ object Pq2Json {
         case "-o" | "--output" =>
           i += 1
           a = a.copy(output = Some(argv(i)))
+        case "-d" | "--distributed" => a = a.copy(distributed = true)
         case v if v.startsWith("-v") => // verbosity: accepted, unused
         case other if a.input == null => a = a.copy(input = other)
         case other => throw new IllegalArgumentException(s"unexpected argument: $other")
@@ -64,6 +66,7 @@ object Pq2Json {
       i += 1
     }
     require(a.input != null, "INPUT must be provided")
+    require(!a.distributed || a.output.isDefined, "--distributed requires -o OUT_DIR")
     a = a.copy(opts = a.opts.copy(
       omitNulls = omitNulls || prune,
       omitEmptyBags = omitBags || prune,
@@ -146,8 +149,18 @@ object Pq2Json {
         }
       // CSV lines already end in \r, so "\n" completes the reference's
       // \r\n record terminator; JSON lines get plain \n (writeln!).
-      val it = rendered.toLocalIterator()
-      while (it.hasNext) { out.print(it.next().getString(0)); out.print("\n") }
+      if (a.distributed) {
+        // -d/--distributed: OUT is a DIRECTORY of part files written in
+        // parallel by every executor — the 100 TB path. The reference's
+        // single-ordered-file contract can't parallel-write (one writer,
+        // one order), so the streaming-through-the-driver default stays
+        // faithful and -d is the scale escape hatch; within each part
+        // file, line order is scan order.
+        rendered.write.mode("overwrite").text(a.output.get) // parseArgs requires -o
+      } else {
+        val it = rendered.toLocalIterator()
+        while (it.hasNext) { out.print(it.next().getString(0)); out.print("\n") }
+      }
     }
   }
 
@@ -162,13 +175,16 @@ object Pq2Json {
         .getOrCreate()
       spark.sparkContext.setLogLevel("ERROR")
       try {
-        val out = a.output match {
+        // distributed mode writes the directory itself — don't open (and
+        // truncate) the output path as a local file here
+        val localOut = a.output.filterNot(_ => a.distributed)
+        val out = localOut match {
           case Some(f) => new java.io.PrintStream(new java.io.FileOutputStream(f), false, "UTF-8")
           case None => System.out
         }
         run(spark, a, out)
         out.flush()
-        if (a.output.isDefined) out.close()
+        if (localOut.isDefined) out.close()
       } finally spark.stop()
     } catch {
       case e: Throwable =>

@@ -41,6 +41,21 @@ class Pq2JsonSpec extends AnyFunSuite with BeforeAndAfterAll {
       Pq2Json.parseArgs(Array("-c", "not-json", "x")))
   }
 
+  test("-d/--distributed: -o becomes a parallel-written part-file directory") {
+    val outDir = java.nio.file.Files.createTempDirectory("dist-out").toString + "/out"
+    capture(Array("-d", "-o", outDir, s"$dir/nation.parquet"))
+    val partLines = new java.io.File(outDir).listFiles()
+      .filter(f => f.getName.startsWith("part-") && !f.getName.endsWith(".crc"))
+      .flatMap(f => scala.io.Source.fromFile(f, "UTF-8").getLines())
+      .sorted.toSeq
+    val stdout = capture(Array(s"$dir/nation.parquet"))
+      .split("\n").toSeq.filter(_.nonEmpty).sorted
+    assert(partLines.length == 25)
+    assert(partLines == stdout) // same lines, distributed layout
+    assertThrows[IllegalArgumentException](
+      Pq2Json.parseArgs(Array("-d", "in.parquet"))) // -d without -o
+  }
+
   test("brotli input: conversion fails with ERROR naming the codec; footer ops still work") {
     // committed fixture (pyarrow, compression='brotli'): reference reads
     // brotli (Cargo.toml:9); Spark has no codec for it

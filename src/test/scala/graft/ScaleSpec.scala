@@ -84,6 +84,24 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hotSalts >= 4, s"hot key spread over only $hotSalts salts")
   }
 
+  test("hive-partitioned write: partition filter prunes directories at the scan") {
+    val dir = "/root/testdata/sf0.001"
+    val out = java.nio.file.Files.createTempDirectory("part-write").toString
+    Tables(spark, dir, "orders")
+      .write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    // one directory per status value on disk
+    val parts = new java.io.File(out).listFiles().map(_.getName)
+      .filter(_.startsWith("o_orderstatus=")).sorted.toSeq
+    assert(parts == Seq("o_orderstatus=F", "o_orderstatus=O", "o_orderstatus=P"))
+    val filtered = spark.read.parquet(out).filter(col("o_orderstatus") === "F")
+    val plan = filtered.queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    // the filter must prune partitions at planning, not scan-and-discard
+    assert(plan.contains("PartitionFilters: [isnotnull(o_orderstatus"), plan)
+    assert(filtered.count() ==
+      Tables(spark, dir, "orders").filter(col("o_orderstatus") === "F").count())
+  }
+
   test("parquet sink round-trips under every shipped codec") {
     val dir = "/root/testdata/sf0.001"
     val src = Tables(spark, dir, "nation")
