@@ -35,6 +35,20 @@ object ExtendedQueries extends QueryModule {
         .orderBy(col("event_type"))
     }),
 
+    // --- Kusto `dynamic` via Spark 4's native VariantType: parse once into
+    // the binary variant encoding, then typed path extraction — the
+    // engine-native representation for schemaless JSON columns (faster
+    // repeated access than per-path string re-parsing, and the column can
+    // be stored as variant in parquet downstream).
+    "q28_variant_json" -> ((s, dir) => {
+      Tables(s, dir, "events")
+        .select(col("event_id"), parse_json(col("props")).as("v"))
+        .select(col("event_id"),
+          variant_get(col("v"), "$.k", "int").as("k"))
+        .filter(col("k") > 90)
+        .orderBy(col("event_id"))
+    }),
+
     // --- CUBE: all 2^2 grouping combinations in one pass.
     "q42_cube" -> ((s, dir) => {
       Tables(s, dir, "orders")
@@ -141,6 +155,11 @@ object ExtendedQueries extends QueryModule {
         |  MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
         |  MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q28_variant_json" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+        |FROM events
+        |WHERE CAST(json_extract_string(props, '$.k') AS INT) > 90
+        |ORDER BY event_id""".stripMargin,
     "q42_cube" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
