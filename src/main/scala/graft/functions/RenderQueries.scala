@@ -3,6 +3,7 @@ package graft.functions
 import graft.{QueryModule, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{BinaryType, DecimalType}
 
 /** Oracled queries over the Kusto render layer — the reference's actual
   * core competency (`/root/reference/pq2json/src/converter.rs`): timestamp
@@ -84,7 +85,42 @@ object RenderQueries extends QueryModule {
           split(col("line"), ",").getItem(0).cast("long"))
         .select(col("o_orderkey"), col("line"))
         .orderBy(col("o_orderkey"))
-    })
+    }),
+
+    // --- decimal plain-string render (converter.rs:345-371): the harness
+    // has no decimal column, so cast one into existence — the render path
+    // (DecimalPlainString expression) is what's under test.
+    "q55_render_decimal" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders")
+      // double -> DECIMAL(18,4) rounds identically on both engines (the
+      // double's representation error is far below the scale); widening
+      // (18,4) -> (38,10) is then exact, avoiding engine-specific
+      // double->wide-decimal rounding at digits the double can't hold.
+      val d184 = col("o_totalprice").cast(DecimalType(18, 4))
+      o.select(col("o_orderkey"),
+          decimalPlain(d184).as("dec_str"),
+          decimalPlain((-d184).cast(DecimalType(38, 10))).as("neg_wide"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // --- binary -> unsigned-byte-array render (converter.rs:283-289) over
+    // real bytes (UTF-8 of ASCII names, so DuckDB can recompute per char).
+    "q56_render_binary" -> ((s, dir) => {
+      val n = Tables(s, dir, "nation")
+      n.select(col("n_nationkey"),
+          bytesAsIntArray(col("n_name").cast(BinaryType)).as("bytes"))
+        .orderBy(col("n_nationkey"))
+    }),
+
+    // --- u64 -> i64 two's-complement reinterpret (converter.rs:297-303)
+    // with values pushed above i64::MAX so the wrap actually happens.
+    "q57_convert_u64" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders")
+      val big = (col("o_orderkey").cast(DecimalType(20, 0)) +
+        lit(new java.math.BigDecimal("9223372036854775807")))
+      o.select(col("o_orderkey"), u64ToLong(big).as("reinterpreted"))
+        .orderBy(col("o_orderkey"))
+    }),
   )
 
   def oracles: Map[String, String] = Map(
@@ -117,6 +153,24 @@ object RenderQueries extends QueryModule {
         |  o_orderkey || ',' || o_orderstatus || ','
         |    || rtrim(rtrim(CAST(o_totalprice AS VARCHAR), '0'), '.')
         |    || chr(13) AS line
-        |FROM orders ORDER BY o_orderkey""".stripMargin
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q55_render_decimal" ->
+      """SELECT o_orderkey,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS VARCHAR) AS dec_str,
+        |  CAST(CAST(-CAST(o_totalprice AS DECIMAL(18,4)) AS DECIMAL(38,10)) AS VARCHAR) AS neg_wide
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q56_render_binary" ->
+      """SELECT n_nationkey,
+        |  list_transform(range(1, length(n_name) + 1),
+        |    i -> ascii(substr(n_name, CAST(i AS INT), 1))) AS bytes
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+    "q57_convert_u64" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN x > 9223372036854775807
+        |       THEN CAST(x - 18446744073709551616 AS BIGINT)
+        |       ELSE CAST(x AS BIGINT) END AS reinterpreted
+        |FROM (SELECT o_orderkey,
+        |        CAST(o_orderkey AS DECIMAL(20,0)) + 9223372036854775807 AS x
+        |      FROM orders) ORDER BY o_orderkey""".stripMargin
   )
 }
