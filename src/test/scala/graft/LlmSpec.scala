@@ -181,6 +181,49 @@ class LlmSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == expected)
   }
 
+  test("media probe: real PNG/JPEG/WAV header parsing over binary columns") {
+    import graft.operators.MultimodalStub
+    def png(w: Int, h: Int, colorType: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(33)
+      bb.put(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+      bb.putInt(13).put("IHDR".getBytes("US-ASCII"))
+      bb.putInt(w).putInt(h)
+      bb.put(8.toByte).put(colorType.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+      bb.putInt(0) // CRC not validated by the header probe
+      bb.array()
+    }
+    def jpeg(w: Int, h: Int): Array[Byte] = {
+      val app0 = Array[Byte](0xff.toByte, 0xe0.toByte, 0, 16) ++
+        "JFIF".getBytes("US-ASCII") ++ new Array[Byte](10)
+      val sof0 = Array[Byte](0xff.toByte, 0xc0.toByte, 0, 17, 8,
+        (h >> 8).toByte, h.toByte, (w >> 8).toByte, w.toByte, 3) ++ new Array[Byte](9)
+      Array[Byte](0xff.toByte, 0xd8.toByte) ++ app0 ++ sof0
+    }
+    def wav(sampleRate: Int, nch: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(44).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36)
+        .put("WAVE".getBytes("US-ASCII")).put("fmt ".getBytes("US-ASCII"))
+        .putInt(16).putShort(1.toShort).putShort(nch.toShort).putInt(sampleRate)
+      bb.array()
+    }
+    val df = spark.createDataFrame(
+      java.util.List.of(
+        Row(1L, png(640, 480, 6)),       // RGBA -> 4 channels
+        Row(2L, jpeg(1920, 1080)),
+        Row(3L, wav(44100, 2)),
+        Row(4L, "not media".getBytes("UTF-8"))),
+      StructType(Seq(StructField("doc_id", LongType, nullable = false),
+        StructField("blob", BinaryType))))
+    val got = MultimodalStub.probeMedia(df).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+      .toSet
+    assert(got == Set(
+      (1L, "png", 640, 480, 4),
+      (2L, "jpeg", 1920, 1080, 3),
+      (3L, "wav", 44100, 0, 2),
+      (4L, "unknown", 0, 0, 0)))
+  }
+
   test("multimodal stub: per-partition decode preserves ids and byte counts") {
     val out = q("q40_multimodal").collect()
     assert(out.length == 500)
