@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -33,10 +33,22 @@ object Fnv64 {
   * Input: ArrayType(StringType). Output: LongType. Distinct tokens only —
   * dedup semantics follow set similarity, not multiset.
   */
-case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
+case class SimHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+  override protected def nullSafeEval(input: Any): Any =
+    SimHash64.compute(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  // Codegen emits a static call instead of falling back: the expression
+  // stays inside the whole-stage-codegen span of q36's hot projection
+  // (a CodegenFallback here would interpret the WHOLE projection per row).
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHash64.compute($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+object SimHash64 {
+  /** Static so generated code can call it directly. */
+  def compute(arr: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
     val votes = new Array[Int](64)
     val seen = new java.util.HashSet[Long]()
     var i = 0
@@ -58,8 +70,6 @@ case class SimHash64(child: Expression) extends UnaryExpression with CodegenFall
     while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
     out
   }
-  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
-    copy(child = newChild)
 }
 
 /** Rolling polynomial fingerprint of a string (Rabin-Karp style):
@@ -67,17 +77,25 @@ case class SimHash64(child: Expression) extends UnaryExpression with CodegenFall
   * incremental — the building block for shift-resistant chunk
   * fingerprinting of large documents. Input StringType, output LongType.
   */
-case class RollingHash64(child: Expression) extends UnaryExpression with CodegenFallback {
+case class RollingHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
-  override protected def nullSafeEval(input: Any): Any = {
-    val bytes = input.asInstanceOf[UTF8String].getBytes
+  override protected def nullSafeEval(input: Any): Any =
+    RollingHash64.compute(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.RollingHash64.compute($c)")
+  override protected def withNewChildInternal(newChild: Expression): RollingHash64 =
+    copy(child = newChild)
+}
+
+object RollingHash64 {
+  /** Static so generated code can call it directly. */
+  def compute(s: UTF8String): Long = {
+    val bytes = s.getBytes
     var h = 0L
     var i = 0
     while (i < bytes.length) { h = h * 31L + (bytes(i) & 0xffL); i += 1 }
     h
   }
-  override protected def withNewChildInternal(newChild: Expression): RollingHash64 =
-    copy(child = newChild)
 }
 
 object TextFunctions {
