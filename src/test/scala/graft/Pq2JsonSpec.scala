@@ -56,6 +56,30 @@ class Pq2JsonSpec extends AnyFunSuite with BeforeAndAfterAll {
       Pq2Json.parseArgs(Array("-d", "in.parquet"))) // -d without -o
   }
 
+  test("-t modes flow through the CLI end-to-end (incl. pre-epoch unixms reinterpret)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val fixture = java.nio.file.Files.createTempDirectory("ts-modes").toString
+    spark.createDataFrame(
+      java.util.List.of(
+        Row(1L, java.sql.Timestamp.from(java.time.Instant.parse("2024-01-02T03:04:05.678Z"))),
+        Row(2L, java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(-1L)))),
+      StructType(Seq(StructField("id", LongType, nullable = false),
+        StructField("t", TimestampType))))
+      .coalesce(1).write.mode("overwrite").parquet(fixture)
+    val iso = capture(Array(fixture)).split("\n")
+    assert(iso(0) == """{"id":1,"t":"2024-01-02T03:04:05.678000Z"}""")
+    assert(iso(1) == """{"id":2,"t":null}""") // pre-epoch -> chrono-range null
+    val ticks = capture(Array("-t", "ticks", fixture)).split("\n")
+    val ms = java.time.Instant.parse("2024-01-02T03:04:05.678Z").toEpochMilli
+    assert(ticks(0) == s"""{"id":1,"t":${ms * 10000 + 621355968000000000L}}""")
+    assert(ticks(1) == """{"id":2,"t":null}""") // u64 overflow -> null
+    val unixms = capture(Array("-t", "unixms", fixture)).split("\n")
+    assert(unixms(0) == s"""{"id":1,"t":$ms}""")
+    // raw micros (-1s) reinterpreted u64 then /1000 (converter.rs:330)
+    assert(unixms(1) == """{"id":2,"t":18446744073708551}""")
+  }
+
   test("brotli input: conversion fails with ERROR naming the codec; footer ops still work") {
     // committed fixture (pyarrow, compression='brotli'): reference reads
     // brotli (Cargo.toml:9); Spark has no codec for it
