@@ -4,7 +4,6 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block.BlockHelper
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -89,25 +88,40 @@ case class RyuDoubleString(child: Expression, csv: Boolean) extends UnaryExpress
   * of `top_level_rows_to_json` (`converter.rs:128-143`). Child must be a
   * struct (typically `struct(df.columns*)`).
   *
-  * CodegenFallback is deliberate: this is the terminal encode of an output
-  * sink (scan -> render -> write is a narrow, shuffle-free pipeline), so
-  * codegen would only fuse it with the row copy; the recursive any-schema
-  * walk is cleaner as one eval.
+  * The recursive any-schema walk stays one method (schema-bound closures,
+  * see [[KustoRowRenderer]]); codegen embeds this expression as a
+  * reference object and calls [[renderRow]] directly, so the surrounding
+  * scan -> render projection remains inside the whole-stage-codegen span
+  * instead of dropping the whole projection to the interpreted path.
   */
 case class KustoJsonExpr(child: Expression, opts: KustoRenderOptions)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = StringType
   override def nullable: Boolean = false
 
   @transient private lazy val renderer =
     new KustoRowRenderer(child.dataType.asInstanceOf[StructType], opts)
 
-  override def eval(input: InternalRow): Any = {
-    val row = child.eval(input).asInstanceOf[InternalRow]
+  /** Public so generated code can call it on the embedded reference. */
+  def renderRow(row: InternalRow): UTF8String = {
     val v = if (row == null) KObj(scala.collection.mutable.LinkedHashMap.empty)
             else renderer.renderTopLevel(row)
     UTF8String.fromString(KValue.toJson(v))
   }
+
+  override def eval(input: InternalRow): Any =
+    renderRow(child.eval(input).asInstanceOf[InternalRow])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("kustoJsonExpr", this, classOf[KustoJsonExpr].getName)
+    val childGen = child.genCode(ctx)
+    ev.copy(code = code"""
+      ${childGen.code}
+      org.apache.spark.unsafe.types.UTF8String ${ev.value} =
+        $ref.renderRow(${childGen.isNull} ? null : ${childGen.value});""",
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+
   override protected def withNewChildInternal(newChild: Expression): KustoJsonExpr =
     copy(child = newChild)
 }
@@ -124,7 +138,7 @@ case class KustoJsonExpr(child: Expression, opts: KustoRenderOptions)
   * (`converter.rs:160-169`).
   */
 case class KustoCsvLineExpr(child: Expression, opts: KustoRenderOptions,
-    missingSlots: Seq[Boolean]) extends UnaryExpression with CodegenFallback {
+    missingSlots: Seq[Boolean]) extends UnaryExpression {
   override def dataType: DataType = StringType
   override def nullable: Boolean = false
 
@@ -132,8 +146,8 @@ case class KustoCsvLineExpr(child: Expression, opts: KustoRenderOptions,
     new KustoRowRenderer(child.dataType.asInstanceOf[StructType], opts)
   @transient private lazy val slots: Array[Boolean] = missingSlots.toArray
 
-  override def eval(input: InternalRow): Any = {
-    val row = child.eval(input).asInstanceOf[InternalRow]
+  /** Public so generated code can call it on the embedded reference. */
+  def renderLine(row: InternalRow): UTF8String = {
     val sb = new java.lang.StringBuilder(64)
     var present = 0
     var i = 0
@@ -151,6 +165,19 @@ case class KustoCsvLineExpr(child: Expression, opts: KustoRenderOptions,
     }
     sb.append('\r')
     UTF8String.fromString(sb.toString)
+  }
+
+  override def eval(input: InternalRow): Any =
+    renderLine(child.eval(input).asInstanceOf[InternalRow])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("kustoCsvExpr", this, classOf[KustoCsvLineExpr].getName)
+    val childGen = child.genCode(ctx)
+    ev.copy(code = code"""
+      ${childGen.code}
+      org.apache.spark.unsafe.types.UTF8String ${ev.value} =
+        $ref.renderLine(${childGen.isNull} ? null : ${childGen.value});""",
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
   }
 
   override protected def withNewChildInternal(newChild: Expression): KustoCsvLineExpr =
