@@ -98,6 +98,21 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("Join"), p)
   }
 
+  test("whole-row render encodes stay inside whole-stage codegen") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      for ((q, marker) <- Seq("q21_render_json" -> "kustojsonexpr",
+                              "q22_render_csv" -> "kustocsvlineexpr")) {
+        val p = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+        val renderLine = p.linesIterator.find(_.contains(marker))
+        // the Project holding the render expression must be starred (fused
+        // into a WholeStageCodegen subtree), not an interpreted island
+        assert(renderLine.exists(l => l.replaceFirst("^[+\\-\\s:]*", "").startsWith("*")),
+          s"$q render projection not codegen'd:\n${p.take(600)}")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("whole-stage codegen covers the relational hot paths") {
     // AQE wraps the plan in AdaptiveSparkPlanExec, which the codegen
     // explainer does not descend into before execution — check without it.
