@@ -54,7 +54,36 @@ object StreamingQueries extends QueryModule {
     "q51_stream_sliding" -> ((s, dir) =>
       sliding(Tables(s, dir, "events")).orderBy(col("window_start"))),
     "q52_stream_session" -> ((s, dir) =>
-      sessions(Tables(s, dir, "events")).orderBy(col("user_id"), col("session_start")))
+      sessions(Tables(s, dir, "events")).orderBy(col("user_id"), col("session_start"))),
+
+    // --- flatMapGroupsWithState in the correctness gate: one alert row
+    // per 100-unit threshold the user's value total crosses (zero or more
+    // rows per group — the iterator-output stateful API). Values sum as
+    // DECIMAL(38,6) (each value rounded to 6 dp first, matching DuckDB's
+    // SUM(CAST ... AS DECIMAL(38,6))) so the threshold count is exact and
+    // order-independent on both engines. Batch run = single "micro-batch"
+    // with empty initial state; StreamingSpec exercises the same API
+    // across real incremental batches.
+    "q58_stateful_alerts" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+      Tables(s, dir, "events")
+        .select(col("user_id"), col("value")).as[(Long, Double)]
+        .groupByKey(_._1)
+        .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+          (uid: Long, it: Iterator[(Long, Double)], state: GroupState[Long]) => {
+            var total = java.math.BigDecimal.ZERO
+            it.foreach { case (_, v) =>
+              total = total.add(new java.math.BigDecimal(v)
+                .setScale(6, java.math.RoundingMode.HALF_UP))
+            }
+            val n = total
+              .divideToIntegralValue(new java.math.BigDecimal(100)).longValueExact()
+            (1L to n).map(k => (uid, k * 100L)).iterator
+          })
+        .toDF("user_id", "crossed")
+        .orderBy(col("user_id"), col("crossed"))
+    })
   )
 
   def oracles: Map[String, String] = Map(
@@ -75,6 +104,13 @@ object StreamingQueries extends QueryModule {
     // Gaps-and-islands: a new session starts when the gap from the previous
     // event of the same user is >= 6h (Spark merges only OVERLAPPING
     // [ts, ts+gap) intervals); session end = last ts + gap.
+    "q58_stateful_alerts" ->
+      """WITH t AS (
+        |  SELECT user_id, SUM(CAST(value AS DECIMAL(38,6))) AS total
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id,
+        |  100 * unnest(generate_series(1, CAST(floor(total / 100) AS BIGINT))) AS crossed
+        |FROM t ORDER BY user_id, crossed""".stripMargin,
     "q52_stream_session" ->
       """WITH marked AS (
         |  SELECT user_id, ts,
