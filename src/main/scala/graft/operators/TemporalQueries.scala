@@ -23,29 +23,22 @@ object TemporalQueries extends QueryModule {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // --- AS-OF join: for every purchase event, the user's most recent
-    // click at-or-before it. Clicks are pre-deduped per (user, ts) so the
-    // tie-break is deterministic on both engines; equal timestamps sort
+    // click at-or-before it, via the reusable [[TemporalOps.asofJoin]]
+    // (union + running-last window, no join operator — PlanSpec asserts).
+    // Clicks are pre-deduped per (user, ts) so the tie-break is
+    // deterministic on both engines; equal timestamps sort
     // click-before-purchase to get `<=` semantics (DuckDB ASOF parity).
     "q26_asof_join" -> ((s, dir) => {
       val ev = Tables(s, dir, "events")
       val clicks = ev.filter(col("event_type") === "click")
         .groupBy(col("user_id"), col("ts"))
         .agg(max(col("event_id")).as("click_id"))
-        .select(col("user_id"), col("ts"), col("click_id"), lit(0).as("kind"),
-          lit(null).cast("long").as("event_id"))
+        .select(col("user_id"), col("click_id"), col("ts"))
       val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("ts"), lit(null).cast("long").as("click_id"),
-          lit(1).as("kind"), col("event_id"))
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts").asc, col("kind").asc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      clicks.unionByName(purchases)
-        .withColumn("asof_click_id", last(col("click_id"), ignoreNulls = true).over(w))
-        .withColumn("asof_click_ts",
-          last(when(col("kind") === 0, col("ts")), ignoreNulls = true).over(w))
-        .filter(col("kind") === 1)
+        .select(col("user_id"), col("event_id"), col("ts"))
+      TemporalOps.asofJoin(purchases, clicks, "user_id", "ts", "ts")
         .select(col("user_id"), col("event_id"), col("ts"),
-          col("asof_click_id"), col("asof_click_ts"))
+          col("asof_click_id"), col("asof_ts").as("asof_click_ts"))
         .orderBy(col("user_id"), col("event_id"))
     }),
 

@@ -102,6 +102,28 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
       Tables(spark, dir, "orders").filter(col("o_orderstatus") === "F").count())
   }
 
+  test("asofJoin: row-level carry (matched nulls stay null), <= ties, no-match nulls") {
+    import scala.jdk.CollectionConverters._
+    import graft.operators.TemporalOps
+    val left = spark.createDataFrame(
+      Seq(Row(1L, 10L, 100L), Row(1L, 20L, 250L), Row(2L, 30L, 50L)).asJava,
+      StructType(Seq(StructField("k", LongType), StructField("id", LongType),
+        StructField("t", LongType))))
+    val right = spark.createDataFrame(
+      // at t=100 exactly (ties -> <= includes it); value null at t=200
+      Seq(Row(1L, 100L, "a"), Row(1L, 200L, null)).asJava,
+      StructType(Seq(StructField("k", LongType), StructField("rt", LongType),
+        StructField("v", StringType))))
+    val got = TemporalOps.asofJoin(left, right, "k", "t", "rt")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(3)) null else r.getLong(3),
+        r.getString(4))).toSet
+    assert(got == Set(
+      (1L, 10L, 100L, "a"),   // tie at t=100 matches (<= semantics)
+      (1L, 20L, 200L, null),  // matched row's null v stays null (row-level)
+      (2L, 30L, null, null))) // no right row for key 2 at-or-before t=50
+  }
+
   test("parquet sink round-trips under every shipped codec") {
     val dir = "/root/testdata/sf0.001"
     val src = Tables(spark, dir, "nation")
