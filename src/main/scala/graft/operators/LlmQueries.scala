@@ -235,17 +235,21 @@ object LlmQueries extends QueryModule {
     // side (10 vectors) is broadcast, so the corpus scan never shuffles;
     // at 100 TB this is one pass over the corpus per query batch.
     "q37_knn_cosine" -> ((s, dir) => {
+      // norms project BEFORE the join: computed once per VECTOR on the
+      // scan side (n + q sqrt-folds), not once per PAIR after it (n*q);
+      // the per-pair work is the dot product alone. Bit-identical scores:
+      // same fold, same multiply, just hoisted.
       val e = Tables(s, dir, "embeddings")
         .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        .withColumn("nrm", expr(normSqlOf("v")))
       val q = e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("query_id"), col("v").as("av"))
-      val c = e.select(col("vec_id").as("nbr_id"), col("v").as("bv"))
+        .select(col("vec_id").as("query_id"), col("v").as("av"), col("nrm").as("anrm"))
+      val c = e.select(col("vec_id").as("nbr_id"), col("v").as("bv"), col("nrm").as("bnrm"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("query_id"))
         .orderBy(col("score").desc, col("nbr_id").asc)
       c.join(broadcast(q), col("query_id") =!= col("nbr_id"))
-        .withColumn("score",
-          round(expr(dotSql) / (expr(normSqlOf("av")) * expr(normSqlOf("bv"))), 4))
+        .withColumn("score", round(expr(dotSql) / (col("anrm") * col("bnrm")), 4))
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= 5)
         .select(col("query_id"), col("nbr_id"), col("score"), col("rnk"))
@@ -257,13 +261,16 @@ object LlmQueries extends QueryModule {
     // scale with Σ bucket² — the LSH-style scale path — while the planted
     // 2x-scaled copies land in the same bucket deterministically.
     "q38_dedup_embedding" -> ((s, dir) => {
+      // per-vector norm projected once, reused by the bucket AND the score
       val e = plantedVecs(s, dir)
-        .withColumn("bkt", floor(expr(s"element_at(v, 1) / ${normSqlOf("v")}") * 50))
-      val a = e.select(col("vec_id").as("vec_a"), col("label"), col("bkt"), col("v").as("av"))
-      val b = e.select(col("vec_id").as("vec_b"), col("label"), col("bkt"), col("v").as("bv"))
+        .withColumn("nrm", expr(normSqlOf("v")))
+        .withColumn("bkt", floor(expr("element_at(v, 1)") / col("nrm") * 50))
+      val a = e.select(col("vec_id").as("vec_a"), col("label"), col("bkt"),
+        col("v").as("av"), col("nrm").as("anrm"))
+      val b = e.select(col("vec_id").as("vec_b"), col("label"), col("bkt"),
+        col("v").as("bv"), col("nrm").as("bnrm"))
       a.join(b, Seq("label", "bkt")).filter(col("vec_a") < col("vec_b"))
-        .withColumn("score",
-          round(expr(dotSql) / (expr(normSqlOf("av")) * expr(normSqlOf("bv"))), 4))
+        .withColumn("score", round(expr(dotSql) / (col("anrm") * col("bnrm")), 4))
         .filter(col("score") >= 0.99)
         .select(col("vec_a"), col("vec_b"), col("score"))
         .orderBy(col("vec_a"), col("vec_b"))
@@ -299,17 +306,20 @@ object LlmQueries extends QueryModule {
                             0.0D, (s, x) -> s + x) > 0 THEN CAST(pow(2, b) AS INT) ELSE 0 END)))"""))
           .as("tb"))
         .select(col("vec_id"), col("v"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+        .withColumn("nrm", expr(normSqlOf("v"))) // once per (vector, table) row, not per pair
       val q = e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("query_id"), col("v").as("av"), col("tbl"), col("bucket"))
-      val c = e.select(col("vec_id").as("nbr_id"), col("v").as("bv"), col("tbl"), col("bucket"))
+        .select(col("vec_id").as("query_id"), col("v").as("av"),
+          col("nrm").as("anrm"), col("tbl"), col("bucket"))
+      val c = e.select(col("vec_id").as("nbr_id"), col("v").as("bv"),
+        col("nrm").as("bnrm"), col("tbl"), col("bucket"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("query_id"))
         .orderBy(col("score").desc, col("nbr_id").asc)
       c.join(broadcast(q), Seq("tbl", "bucket")).filter(col("query_id") =!= col("nbr_id"))
-        .select(col("query_id"), col("nbr_id"), col("av"), col("bv"))
+        .select(col("query_id"), col("nbr_id"), col("av"), col("bv"),
+          col("anrm"), col("bnrm"))
         .dropDuplicates("query_id", "nbr_id") // union of the L tables
-        .withColumn("score",
-          round(expr(dotSql) / (expr(normSqlOf("av")) * expr(normSqlOf("bv"))), 4))
+        .withColumn("score", round(expr(dotSql) / (col("anrm") * col("bnrm")), 4))
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= 3)
         .select(col("query_id"), col("nbr_id"), col("score"), col("rnk"))
@@ -335,31 +345,34 @@ object LlmQueries extends QueryModule {
       val e = Tables(s, dir, "embeddings")
         .select(col("vec_id"), col("label"),
           expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        .withColumn("nrm", expr(normSqlOf("v"))) // once per vector
       val centroid = udaf(new graft.functions.VectorAggregators.Centroid(64))
       val cells = e.groupBy(col("label")).agg(centroid(col("v")).as("cv"))
         .select(col("label").as("cell"), col("cv"))
+        .withColumn("cnrm", expr(normSqlOf("cv"))) // once per centroid
       // assign every vector (and query) to its nearest centroid by cosine:
       // a broadcast CROSS join against the (tiny) centroid table — each
       // vector scores ALL cells, argmax wins. (An equi-join on label here
       // would silently degrade cell assignment to "own label".)
       val withCell = e.crossJoin(broadcast(cells))
         .withColumn("cell_score",
-          expr(s"""aggregate(zip_with(v, cv, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)
-                   / (${normSqlOf("v")} * ${normSqlOf("cv")})"""))
+          expr("aggregate(zip_with(v, cv, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)")
+            / (col("nrm") * col("cnrm")))
         .withColumn("rk", row_number().over(
           org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))
             .orderBy(col("cell_score").desc, col("cell").asc)))
         .filter(col("rk") === 1)
-        .select(col("vec_id"), col("cell"), col("v"))
+        .select(col("vec_id"), col("cell"), col("v"), col("nrm"))
       val q = withCell.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("query_id"), col("v").as("av"), col("cell"))
-      val c = withCell.select(col("vec_id").as("nbr_id"), col("v").as("bv"), col("cell"))
+        .select(col("vec_id").as("query_id"), col("v").as("av"),
+          col("nrm").as("anrm"), col("cell"))
+      val c = withCell.select(col("vec_id").as("nbr_id"), col("v").as("bv"),
+        col("nrm").as("bnrm"), col("cell"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("query_id"))
         .orderBy(col("score").desc, col("nbr_id").asc)
       c.join(broadcast(q), Seq("cell")).filter(col("query_id") =!= col("nbr_id"))
-        .withColumn("score",
-          round(expr(dotSql) / (expr(normSqlOf("av")) * expr(normSqlOf("bv"))), 4))
+        .withColumn("score", round(expr(dotSql) / (col("anrm") * col("bnrm")), 4))
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= 3)
         .select(col("query_id"), col("nbr_id"), col("score"), col("rnk"))
