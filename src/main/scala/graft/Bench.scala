@@ -40,7 +40,7 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // Noise armor: report BOTH the first-run time and the min. The min is
+    // Noise armor: measure BOTH the first-run time and the min. The min is
     // the plan's intrinsic cost (what a warm long-lived cluster pays); the
     // first run additionally carries codegen/JIT warm-up and machine noise,
     // so a regression is real only if it shows in the min column. Cheap
@@ -54,10 +54,28 @@ object Bench {
       if (best < 1.0) best = math.min(best, once(name))
       (name, first, best)
     }
+    def r3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def jmap(f: ((String, Double, Double)) => Double): String =
-      results.map(r => "\"" + r._1 + "\":" + f(r)).mkString("{", ",", "}")
+      results.map(r => "\"" + r._1 + "\":" + r3(f(r))).mkString("{", ",", "}")
     val total = results.map(_._3).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(_._3)},"queries_first":${jmap(_._2)},"sf":"$sfDir"}""")
+    val firstTotal = results.map(_._2).sum
+    // The harness keeps only the last ~2000 chars of stdout and parses the
+    // JSON line out of that tail (BENCH_r03 overflowed it and recorded
+    // parsed:null). So the stdout line carries min times at 1 ms
+    // resolution and a first-run total only; the full per-query
+    // first/min detail goes to a side file. BenchFormatSpec pins the
+    // line-length budget as the query count grows.
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${jmap(_._3)},"first_total":${r3(firstTotal)},"sf":"$sfDir"}"""
+    val detail = results.map(r =>
+      s"""{"query":"${r._1}","first":${r._2},"min":${r._3}}""")
+      .mkString("[", ",", "]")
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
+        "/root/repo/bench_detail.json")),
+      detail.getBytes("UTF-8"))
+    catch { case e: Throwable => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
+    println(line)
     spark.stop()
   }
 }

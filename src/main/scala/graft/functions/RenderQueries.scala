@@ -105,10 +105,12 @@ object RenderQueries extends QueryModule {
 
     // --- binary -> unsigned-byte-array render (converter.rs:283-289) over
     // real bytes (UTF-8 of ASCII names, so DuckDB can recompute per char).
+    // The array is serialized to its JSON form for the compare: the gate
+    // sorts result columns in pandas, which cannot sort raw array cells.
     "q56_render_binary" -> ((s, dir) => {
       val n = Tables(s, dir, "nation")
       n.select(col("n_nationkey"),
-          bytesAsIntArray(col("n_name").cast(BinaryType)).as("bytes"))
+          to_json(bytesAsIntArray(col("n_name").cast(BinaryType))).as("bytes"))
         .orderBy(col("n_nationkey"))
     }),
 
@@ -161,8 +163,8 @@ object RenderQueries extends QueryModule {
         |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q56_render_binary" ->
       """SELECT n_nationkey,
-        |  list_transform(range(1, length(n_name) + 1),
-        |    i -> ascii(substr(n_name, CAST(i AS INT), 1))) AS bytes
+        |  '[' || array_to_string(list_transform(range(1, length(n_name) + 1),
+        |    i -> ascii(substr(n_name, CAST(i AS INT), 1))), ',') || ']' AS bytes
         |FROM nation ORDER BY n_nationkey""".stripMargin,
     "q57_convert_u64" ->
       """SELECT o_orderkey,

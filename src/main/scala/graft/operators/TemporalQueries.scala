@@ -104,7 +104,7 @@ object TemporalQueries extends QueryModule {
       """SELECT CASE substr(md5(text), 32, 1)
         |         WHEN '0' THEN 'test' WHEN '1' THEN 'valid' ELSE 'train'
         |       END AS split,
-        |  COUNT(*) AS n, SUM(n_chars) AS chars
+        |  COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars
         |FROM documents GROUP BY 1 ORDER BY split""".stripMargin
   )
 }

@@ -1,0 +1,29 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Guards the Bench stdout contract: the harness keeps only the last
+  * ~2000 characters of output and parses the JSON line out of that tail.
+  * Round 3 overflowed it (58 queries x two full-precision maps ≈ 3.4 kB)
+  * and the round's bench was recorded as `parsed: null`. This spec
+  * reconstructs the line at its worst-case width from the real query
+  * list, so adding queries fails HERE instead of silently un-parsing the
+  * next round's bench.
+  */
+class BenchFormatSpec extends AnyFunSuite {
+
+  test("bench JSON line fits the harness tail buffer at worst-case width") {
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    // Worst case per entry: "name":999.999, — 1 ms resolution, <1000 s.
+    val entries = names.map(n => "\"" + n + "\":999.999").mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":99999.999,"unit":"sec","queries":$entries,"first_total":99999.999,"sf":"/root/testdata/sf0.1"}"""
+    // 2000-char tail minus ~100 chars of trailing sbt "[success]" noise.
+    assert(line.length < 1900,
+      s"bench line would be ${line.length} chars; trim the format or query names")
+  }
+
+  test("rounded values render dot-decimal regardless of default locale") {
+    val s = String.format(java.util.Locale.ROOT, "%.3f", Double.box(1.5))
+    assert(s == "1.500")
+  }
+}

@@ -20,12 +20,16 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
-    df = df[sorted(df.columns)]
+    # Stringify BEFORE sorting/comparing: the driver hashes stringified
+    # values, so 12163 (int64) vs 12163.0 (HUGEINT->float64) must FAIL
+    # here too, and raw array cells (unsortable in pandas) must never
+    # reach a sort. Round-3 lessons: q29 (SUM int -> HUGEINT) and q56
+    # (list column) both passed a numeric-tolerant local compare while
+    # failing the driver.
+    df = df[sorted(df.columns)].astype(str)
     if len(df) == 0:
         return df.reset_index(drop=True)
-    key = df.astype(str)
-    order = key.sort_values(by=list(key.columns)).index
-    return df.loc[order].reset_index(drop=True)
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
 
 
 def main() -> int:
@@ -55,7 +59,7 @@ def main() -> int:
             fails.append(name)
             continue
         try:
-            pd.testing.assert_frame_equal(g, w, check_dtype=False, check_exact=True)
+            pd.testing.assert_frame_equal(g, w, check_exact=True)
             print(f"PASS {name} ({len(g)} rows)")
         except AssertionError as e:
             print(f"FAIL {name}: {str(e)[:400]}")
