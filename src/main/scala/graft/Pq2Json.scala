@@ -121,13 +121,25 @@ object Pq2Json {
       // Footer-only ops (--schema/--cslschema/--rowgroups) stay available.
       // Local paths only — remote filesystems skip the pre-check and get
       // Spark's own error.
-      val f = new java.io.File(a.input)
-      val localFiles =
-        if (f.isFile) Seq(a.input)
-        else if (f.isDirectory)
-          f.listFiles().filter(_.getName.endsWith(".parquet")).map(_.getPath).toSeq
-        else Seq.empty
-      localFiles.find(p => ParquetMetadata.codecs(p).contains("BROTLI")).foreach { p =>
+      // One sampled data file per directory level, recursing into
+      // partition subdirectories: a partitioned dataset is written by one
+      // writer config, so its files share a codec, and sampling bounds the
+      // driver-side footer reads to O(directories) instead of O(files).
+      // Unreadable footers (or non-parquet strays) are skipped — the scan
+      // itself will produce its own error for those.
+      def sampleFiles(f: java.io.File): Seq[String] =
+        if (f.isFile) Seq(f.getPath)
+        else if (f.isDirectory) {
+          // listFiles() is null for unreadable dirs, not empty
+          val kids = Option(f.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+          val data = kids.filter(k => k.isFile && k.length > 0 &&
+            !k.getName.startsWith("_") && !k.getName.startsWith("."))
+          data.sortBy(_.getName).headOption.map(_.getPath).toSeq ++
+            kids.filter(_.isDirectory).sortBy(_.getName).flatMap(sampleFiles)
+        } else Seq.empty
+      sampleFiles(new java.io.File(a.input)).find { p =>
+        scala.util.Try(ParquetMetadata.codecs(p).contains("BROTLI")).getOrElse(false)
+      }.foreach { p =>
         throw new IllegalArgumentException(
           s"unsupported compression codec BROTLI in $p: no brotli parquet " +
             "codec is available to Spark (the reference reads brotli via the " +

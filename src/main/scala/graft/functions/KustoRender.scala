@@ -46,8 +46,20 @@ object KustoRender {
       .otherwise(date_format(timestamp_millis(ms), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"))
   }
 
-  /** Raw unix milliseconds (`converter.rs:330`). */
-  def timestampUnixMs(c: Column): Column = unix_millis(c.cast(TimestampType))
+  /** Raw unix milliseconds (`converter.rs:330`). The reference reinterprets
+    * the RAW micros as u64 and then divides by 1000, so pre-epoch values
+    * render as huge positives (us = -1e6 -> 18446744073708551), exactly like
+    * [[KustoRowRenderer]]'s UnixMs path — NOT signed `unix_millis` floor
+    * division. Implemented as unsigned division in decimal space (exact:
+    * u64 max / 1000 ≈ 1.8e16 fits a long) to stay inside codegen'd
+    * builtins without ANSI overflow. */
+  def timestampUnixMs(c: Column): Column = {
+    val us = unix_micros(c.cast(TimestampType))
+    val twoPow64 = lit(new java.math.BigDecimal(java.math.BigInteger.ONE.shiftLeft(64)))
+    val u64 = when(us < 0, us.cast(DecimalType(21, 0)) + twoPow64)
+      .otherwise(us.cast(DecimalType(21, 0)))
+    floor(u64 / lit(1000L)).cast(LongType)
+  }
 
   def timestampRender(c: Column, mode: TimestampMode): Column = mode match {
     case TimestampMode.IsoStr => timestampIso(c)

@@ -26,13 +26,22 @@ object ScaleOps {
     * row-for-row; only the shuffle layout differs. */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String, salts: Int): DataFrame = {
     require(salts > 0, "salts must be positive")
-    // salt from the full row, not the key: rows of a hot key spread
-    // uniformly; deterministic (no rand()) so retries/speculative tasks
-    // recompute identical salts.
-    val salted = left.withColumn("__salt",
-      pmod(xxhash64(left.columns.map(col).toIndexedSeq: _*), lit(salts.toLong)))
+    require(!left.columns.contains("__salt") && !right.columns.contains("__salt"),
+      "saltedJoin reserves the column name __salt; rename it in the inputs")
+    val salted = left.withColumn("__salt", saltExpr(left, salts))
     val replicated = right.withColumn("__salt",
       explode(array((0 until salts).map(s => lit(s.toLong)): _*)))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** Salt in `[0, salts)` from the full row PLUS a per-row position
+    * component: hashing the row alone would send fully-identical duplicate
+    * rows of a hot key to one reducer — the exact skew this helper exists
+    * to break. `monotonically_increasing_id` embeds (partition id, row
+    * offset), so the salt stays deterministic for a fixed partition layout
+    * (retries and speculative tasks of the same task recompute identical
+    * salts). */
+  def saltExpr(df: DataFrame, salts: Int): org.apache.spark.sql.Column =
+    pmod(xxhash64(df.columns.map(col).toIndexedSeq :+
+      monotonically_increasing_id(): _*), lit(salts.toLong))
 }

@@ -32,6 +32,15 @@ object TemporalOps {
       leftTime: String, rightTime: String): DataFrame = {
     val rCols = right.columns.filterNot(_ == key).toSeq
     val lCols = left.columns.toSeq
+    val reserved = Set("__t", "__kind", "__r", "__asof")
+    val clash = (lCols ++ right.columns).filter(reserved)
+    require(clash.isEmpty,
+      s"asofJoin reserves column names ${reserved.mkString(", ")}; " +
+        s"rename ${clash.distinct.mkString(", ")} in the inputs")
+    val outClash = lCols.toSet.intersect(rCols.map("asof_" + _).toSet)
+    require(outClash.isEmpty,
+      s"asofJoin outputs asof_<rightCol> columns; left already has " +
+        s"${outClash.mkString(", ")} — rename them in one input")
     val rTagged = right.select(
       col(key) +: col(rightTime).as("__t") +: lit(0).as("__kind") +:
         struct(rCols.map(col): _*).as("__r") +:

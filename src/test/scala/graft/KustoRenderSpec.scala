@@ -152,6 +152,23 @@ class KustoRenderSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(1).getLong(2) == ms)
   }
 
+  test("unixms column API matches the row renderer's u64 semantics pre-epoch") {
+    // converter.rs:330 reinterprets RAW micros as u64 then divides:
+    // -1s = -1_000_000 us -> (2^64 - 1e6) / 1000 = 18446744073708551.
+    // Signed unix_millis would give -1000; the two paths must agree.
+    val df = spark.createDataFrame(
+      java.util.List.of(
+        Row(java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(-1L))),
+        Row(java.sql.Timestamp.from(java.time.Instant.parse("1969-12-31T23:59:59.999Z"))),
+        Row(java.sql.Timestamp.from(java.time.Instant.ofEpochMilli(1234L)))),
+      StructType(Seq(StructField("t", TimestampType))))
+    val got = df.select(KustoRender.timestampUnixMs(col("t")).as("ms"))
+      .collect().map(_.getLong(0))
+    val expect = Seq(-1000000L, -1000L, 1234000L).map(us =>
+      java.lang.Long.divideUnsigned(us, 1000L))
+    assert(got.toSeq == expect)
+  }
+
   test("json render: --convert-types reinterprets u64 (Decimal(20,0)) as i64 number") {
     val df = spark.createDataFrame(
       java.util.List.of(

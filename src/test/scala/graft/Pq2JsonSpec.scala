@@ -93,6 +93,19 @@ class Pq2JsonSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(graft.sources.ParquetMetadata.codecs(brotli) == Set("BROTLI"))
   }
 
+  test("brotli pre-check reaches files inside partition subdirectories") {
+    val brotli = getClass.getResource("/fixtures/brotli.parquet").getPath
+    val root = java.nio.file.Files.createTempDirectory("brotli-part")
+    val sub = root.resolve("p=1")
+    java.nio.file.Files.createDirectory(sub)
+    java.nio.file.Files.copy(java.nio.file.Paths.get(brotli),
+      sub.resolve("part-00000.parquet"))
+    // marker files must not trip the footer sampling
+    java.nio.file.Files.write(root.resolve("_SUCCESS"), Array.empty[Byte])
+    val e = intercept[IllegalArgumentException](capture(Array(root.toString)))
+    assert(e.getMessage.contains("BROTLI"))
+  }
+
   test("--columns is a real JSON parse: commas and escapes inside names survive") {
     assert(Pq2Json.parseJsonStringArray("""["a,b","c\"d","A"]""")
       == Seq("a,b", "c\"d", "A"))

@@ -79,9 +79,30 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a == b)
     // the hot key's rows actually land on multiple salts (≥ half of them)
     val hotSalts = fact.filter(col("k") === 1L)
-      .select(pmod(xxhash64(col("k"), col("v")), lit(8L)).as("s"))
+      .select(ScaleOps.saltExpr(fact, 8).as("s"))
       .distinct().count()
     assert(hotSalts >= 4, s"hot key spread over only $hotSalts salts")
+  }
+
+  test("saltedJoin: fully-identical duplicate rows of a hot key still spread") {
+    import scala.jdk.CollectionConverters._
+    // 1000 byte-identical rows — xxhash64 of the row alone would put every
+    // one of them on a single salt; the per-row position component must not
+    val fact = spark.createDataFrame(
+      (1 to 1000).map(_ => Row(1L, 7L)).asJava,
+      StructType(Seq(StructField("k", LongType), StructField("v", LongType))))
+      .repartition(8)
+    val dupSalts = fact.select(ScaleOps.saltExpr(fact, 8).as("s")).distinct().count()
+    assert(dupSalts >= 4, s"identical duplicates spread over only $dupSalts salts")
+    val dim = spark.createDataFrame(
+      Seq(Row(1L, "one")).asJava,
+      StructType(Seq(StructField("k", LongType), StructField("name", StringType))))
+    assert(ScaleOps.saltedJoin(fact, dim, "k", salts = 8).count() == 1000)
+    // reserved name: refuse inputs that already carry __salt
+    val clash = fact.withColumn("__salt", lit(0L))
+    val e = intercept[IllegalArgumentException](
+      ScaleOps.saltedJoin(clash, dim, "k", salts = 8))
+    assert(e.getMessage.contains("__salt"))
   }
 
   test("hive-partitioned write: partition filter prunes directories at the scan") {
@@ -122,6 +143,14 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
       (1L, 10L, 100L, "a"),   // tie at t=100 matches (<= semantics)
       (1L, 20L, 200L, null),  // matched row's null v stays null (row-level)
       (2L, 30L, null, null))) // no right row for key 2 at-or-before t=50
+    // reserved internal names and asof_* output collisions are refused,
+    // not silently mangled
+    val eRes = intercept[IllegalArgumentException](
+      TemporalOps.asofJoin(left.withColumn("__t", lit(1L)), right, "k", "t", "rt"))
+    assert(eRes.getMessage.contains("__t"))
+    val eOut = intercept[IllegalArgumentException](
+      TemporalOps.asofJoin(left.withColumn("asof_v", lit(1L)), right, "k", "t", "rt"))
+    assert(eOut.getMessage.contains("asof_v"))
   }
 
   test("parquet sink round-trips under every shipped codec") {
