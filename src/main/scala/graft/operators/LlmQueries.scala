@@ -50,20 +50,27 @@ object LlmQueries extends QueryModule {
   /** (doc_id, sz, h): exploded inverted index of hashed shingles — the
     * candidate-generation backbone shared by the Jaccard/MinHash queries.
     * 64-bit keys shuffle ~10x cheaper than the shingle strings. */
-  private def shingleIndex(s: SparkSession, dir: String,
-      checkpoint: Boolean = false): DataFrame = {
-    val idx = withTokens(plantedNear(s, dir))
+  private def shingleIndex(s: SparkSession, dir: String): DataFrame =
+    withTokens(plantedNear(s, dir))
       .select(col("doc_id"), expr(shinglesSql("tk")).as("sh"))
       .select(col("doc_id"), size(col("sh")).as("sz"), explode(col("sh")).as("s"))
       .select(col("doc_id"), col("sz"), xxhash64(col("s")).as("h"))
-    // Catalyst does not reuse exchanges across differently-aliased plan
-    // branches, so a consumer with 3+ branches (MinHash: signatures +
-    // two verification sides) materializes the index once instead of
-    // recomputing tokenize->shingle->explode per branch — the step a
-    // cluster pipeline would checkpoint to durable storage. For the plain
-    // 2-branch self-join the recompute is cheaper than materializing.
-    if (checkpoint) idx.localCheckpoint() else idx
-  }
+
+  /** (doc_id, sz, hs): one row per document with the ARRAY of hashed
+    * distinct shingles — the un-exploded sibling of [[shingleIndex]].
+    * Persisted: it is one row per doc (~100x smaller than the exploded
+    * index, the thing you would checkpoint durably on a cluster), it has
+    * 3+ consumers in MinHash (signatures + both verification sides), and
+    * the cache's InMemoryRelation is also the optimization barrier that
+    * stops CollapseProject re-inlining the tokenize->shingle pipeline
+    * into every downstream signature lambda (16x recompute otherwise). */
+  private def shingleSets(s: SparkSession, dir: String): DataFrame =
+    withTokens(plantedNear(s, dir))
+      .select(col("doc_id"), expr(shinglesSql("tk")).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), size(col("sh")).as("sz"),
+        expr("transform(sh, x -> xxhash64(x))").as("hs"))
+      .persist()
 
   /** Documents plus an exact copy of each at doc_id + 10000. */
   private def plantedExact(s: SparkSession, dir: String): DataFrame = {
@@ -172,15 +179,17 @@ object LlmQueries extends QueryModule {
     // --- MinHash + LSH dedup (not SQL-expressible -> rows-only check;
     // recall pinned by LlmSpec): 16 minhashes (family xxhash64(h, j) over
     // hashed shingles), 4 bands of 4, band-bucket join for candidates,
-    // exact Jaccard verification against the shingle index. Signatures are
-    // computed as 16 min-aggregates over the EXPLODED index, not nested
-    // array lambdas — partial aggregation makes this one cheap shuffle and
-    // sidesteps lambda re-inlining entirely.
+    // then exact Jaccard for candidates via array_intersect on the cached
+    // per-doc shingle-hash arrays. Signatures are array_min over the array
+    // form — zero shuffles before the band join — and verification is two
+    // hash joins of the tiny candidate set against the one-row-per-doc
+    // cache, replacing the exploded-index self-join + localCheckpoint that
+    // dominated earlier benches (62s first run at sf0.1).
     "q35_minhash_lsh" -> ((s, dir) => {
-      val idx = shingleIndex(s, dir, checkpoint = true)
-      val sigs = idx.groupBy(col("doc_id"))
-        .agg(first(col("sz")).as("sz"),
-          (0 until 16).map(j => min(xxhash64(col("h"), lit(j))).as(s"s$j")): _*)
+      val docsets = shingleSets(s, dir)
+      val sigs = docsets.select(col("doc_id") +: col("sz") +:
+        (0 until 16).map(j =>
+          expr(s"array_min(transform(hs, h -> xxhash64(h, $j)))").as(s"s$j")): _*)
       val bandKey = (b: Int) =>
         xxhash64((b * 4 until b * 4 + 4).map(j => col(s"s$j")): _*)
       val bands = sigs.select(col("doc_id"), col("sz"),
@@ -194,13 +203,12 @@ object LlmQueries extends QueryModule {
         .filter(col("doc_a") < col("doc_b"))
         .select(col("doc_a"), col("doc_b"), col("sz_a"), col("sz_b"))
         .distinct()
-      // exact |A∩B| for candidates only: the shingle join restricted to the
-      // (broadcast-small) candidate set.
-      val ia = idx.hint("shuffle_hash").select(col("doc_id").as("doc_a"), col("h"))
-      val ib = idx.hint("shuffle_hash").select(col("doc_id").as("doc_b"), col("h"))
-      ia.join(ib, Seq("h")).join(broadcast(cand), Seq("doc_a", "doc_b"))
-        .groupBy(col("doc_a"), col("doc_b"), col("sz_a"), col("sz_b"))
-        .agg(count(lit(1)).as("inter"))
+      // exact |A∩B| for candidates only: hashes are of DISTINCT shingles,
+      // so set-intersection size equals the shingle-match count.
+      val a = docsets.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"))
+      val b = docsets.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"))
+      broadcast(cand).join(a, Seq("doc_a")).join(b, Seq("doc_b"))
+        .withColumn("inter", size(array_intersect(col("hs_a"), col("hs_b"))))
         .withColumn("jac", col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
         .filter(col("jac") >= 0.5)
         .select(col("doc_a"), col("doc_b"), col("jac"))
