@@ -17,6 +17,7 @@ object SparkEntry {
     functions.RenderQueries,
     sources.MetadataQueries,
     operators.LlmQueries,
+    operators.CorpusQueries,
     operators.ExtendedQueries,
     operators.TemporalQueries,
     streaming.StreamingQueries

@@ -1,0 +1,206 @@
+package graft.operators
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-level training-data operators on `documents`: duplicate-cluster
+  * resolution (connected components), deterministic stratified sampling,
+  * TF-IDF term weighting, bigram statistics, and Zipf token statistics.
+  * The reference (a file converter) has none of these; each is designed
+  * Spark-first for the 100 TB case and hash-verified against DuckDB.
+  */
+object CorpusQueries extends QueryModule {
+
+  /** Whitespace tokens — kept in sync with the DuckDB oracles'
+    * `string_split_regex(trim(text), '\s+')`. */
+  private val toksSql = "split(trim(text), '\\\\s+')"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // --- duplicate-CLUSTER resolution: pair lists (q34) undercount reality
+    // — near-duplication is transitive (A~B, B~C but A!~C), so keeper
+    // selection needs connected components over the pair graph. Iterative
+    // min-label propagation: each round every node takes the min label
+    // among itself and its neighbors; converges in <= diameter rounds
+    // (near-dup components are shallow). Per round: one join + one
+    // partial-aggregated groupBy — the standard scalable shape. At 100 TB:
+    // same loop with labels checkpointed every few rounds to cut lineage,
+    // or the large-star/small-star variant to shrink diameter; the
+    // per-round count() is a tiny agg action, not a collect.
+    "q59_dedup_clusters" -> ((s, dir) => {
+      val pairs = LlmQueries.queries("q34_ngram_jaccard")(s, dir)
+        .select(col("doc_a"), col("doc_b"))
+      val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        .persist() // reused every round
+      var labels = edges.select(col("src").as("node")).distinct()
+        .withColumn("cluster", col("node")).persist()
+      var changed = 1L
+      var round = 0
+      while (changed > 0 && round < 15) {
+        val nbrMin = edges
+          .join(labels.select(col("node").as("dst"), col("cluster").as("nc")), Seq("dst"))
+          .groupBy(col("src").as("node")).agg(min(col("nc")).as("nbr_min"))
+        val next = labels.join(nbrMin, Seq("node"), "left")
+          .select(col("node"),
+            least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster"))
+          .persist()
+        changed = next
+          .join(labels.select(col("node"), col("cluster").as("old")), Seq("node"))
+          .filter(col("cluster") < col("old")).count()
+        labels.unpersist()
+        labels = next
+        round += 1
+      }
+      labels.select(col("node").as("doc_id"), col("cluster"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- deterministic stratified sampling: content-hash buckets (not
+    // rand()) so the sample is stable under repartitioning, appends and
+    // re-runs, with a per-stratum rate — downsample the over-represented
+    // language, keep the rest at a higher rate. Pure map-side filter.
+    "q60_stratified_sample" -> ((s, dir) => {
+      val bucket = substring(md5(col("text")), 1, 1)
+      Tables(s, dir, "documents")
+        .filter(when(col("lang") === "en", bucket.isin("0", "1", "2", "3"))
+          .otherwise(bucket.isin("0", "1", "2", "3", "4", "5", "6", "7")))
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- TF-IDF top terms per document. tf and df are two aggregations of
+    // one exploded token relation (both partial-agg'd map-side); the term
+    // vocabulary and the corpus size are small relative to the corpus, so
+    // both join back in as broadcasts — the corpus-sized relation is never
+    // shuffled on anything but (doc_id, term).
+    "q61_tfidf" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val t = docs.select(col("doc_id"), explode(expr(toksSql)).as("term"))
+      val tf = t.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val dfreq = t.distinct().groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("term").asc)
+      tf.join(broadcast(dfreq), Seq("term")).crossJoin(broadcast(n))
+        .withColumn("score", round(col("tf") * log(col("n_docs") / col("df")), 4))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("doc_id"), col("term"), col("score"), col("rnk"))
+        .orderBy(col("doc_id"), col("rnk"))
+    }),
+
+    // --- bigram counts (language-model-style n-gram statistics): the
+    // bigram array is built from fused slices (one pass per row — see
+    // LlmQueries.shinglesSql on why not positional lambdas), exploded,
+    // hash-aggregated with map-side combine, then global top-20.
+    "q62_bigrams" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .select(expr(toksSql).as("tk"))
+        .filter(size(col("tk")) >= 2)
+        .select(explode(expr(
+          "zip_with(slice(tk, 1, size(tk) - 1), slice(tk, 2, size(tk) - 1), " +
+            "(x, y) -> concat(x, ' ', y))")).as("bigram"))
+        .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram").asc)
+        .limit(20)
+    }),
+
+    // --- Zipf token statistics: global term frequencies, rank, and
+    // cumulative corpus share. The unpartitioned window runs over the
+    // VOCABULARY (post-aggregation), not the corpus — at 100 TB the
+    // token explode is aggregated down to |vocab| rows first, so the
+    // single-partition window is bounded by vocabulary size.
+    "q63_token_zipf" -> ((s, dir) => {
+      val freq = Tables(s, dir, "documents")
+        .select(explode(expr(toksSql)).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("n"))
+      val ord = Window.orderBy(col("n").desc, col("term").asc)
+      val cum = Window.orderBy(col("n").desc, col("term").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = Window.partitionBy()
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      freq
+        .withColumn("rnk", row_number().over(ord))
+        .withColumn("share", round(
+          sum(col("n")).over(cum).cast("double") /
+            sum(col("n")).over(tot).cast("double"), 6))
+        .select(col("term"), col("n"), col("rnk"), col("share"))
+        .orderBy(col("rnk"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q59_dedup_clusters" ->
+      """WITH RECURSIVE corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000,
+        |    array_to_string(string_split_regex(trim(text), '\s+')[1:greatest(
+        |      len(string_split_regex(trim(text), '\s+')) - 5, 1)], ' ')
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(tk) >= 3 THEN
+        |    list_transform(range(1, len(tk) - 1),
+        |      i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])
+        |    ELSE [] END) AS sh
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM corpus)),
+        |ex AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS s FROM sh),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id, a.sz, b.sz
+        |  HAVING COUNT(*) / (a.sz + b.sz - COUNT(*)) >= 0.5),
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs),
+        |reach(node, r) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, r.r FROM edges e JOIN reach r ON r.node = e.dst)
+        |SELECT node AS doc_id, MIN(r) AS cluster
+        |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+    "q60_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE CASE WHEN lang = 'en'
+        |       THEN substr(md5(text), 1, 1) IN ('0', '1', '2', '3')
+        |       ELSE substr(md5(text), 1, 1) IN ('0', '1', '2', '3', '4', '5', '6', '7')
+        |      END
+        |ORDER BY doc_id""".stripMargin,
+    "q61_tfidf" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+        |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM t GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |sc AS (
+        |  SELECT tf.doc_id, tf.term, round(tf.tf * ln(n.n_docs / df.df), 4) AS score
+        |  FROM tf JOIN df USING (term) CROSS JOIN n),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |        ORDER BY score DESC, term ASC) AS rnk FROM sc)
+        |SELECT doc_id, term, score, rnk FROM r WHERE rnk <= 5
+        |ORDER BY doc_id, rnk""".stripMargin,
+    "q62_bigrams" ->
+      """WITH t AS (SELECT string_split_regex(trim(text), '\s+') AS tk FROM documents),
+        |b AS (
+        |  SELECT unnest(list_transform(range(1, len(tk)),
+        |    i -> tk[i] || ' ' || tk[i + 1])) AS bigram
+        |  FROM t WHERE len(tk) >= 2)
+        |SELECT bigram, COUNT(*) AS n FROM b GROUP BY 1
+        |ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
+    "q63_token_zipf" ->
+      """WITH f AS (
+        |  SELECT term, COUNT(*) AS n FROM (
+        |    SELECT unnest(string_split_regex(trim(text), '\s+')) AS term
+        |    FROM documents) GROUP BY 1)
+        |SELECT term, n,
+        |  ROW_NUMBER() OVER (ORDER BY n DESC, term ASC) AS rnk,
+        |  round(CAST(SUM(n) OVER (ORDER BY n DESC, term ASC
+        |          ROWS UNBOUNDED PRECEDING) AS DOUBLE) /
+        |        CAST(SUM(n) OVER () AS DOUBLE), 6) AS share
+        |FROM f ORDER BY rnk""".stripMargin
+  )
+}
