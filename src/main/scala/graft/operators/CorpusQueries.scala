@@ -35,23 +35,34 @@ object CorpusQueries extends QueryModule {
       val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
         .persist() // reused every round
+      // Convergence check: labels only ever DECREASE, so the label sum is
+      // strictly monotone until the fixpoint — an unchanged sum means no
+      // node changed. One tiny aggregate per round instead of a compare
+      // join; decimal(38,0) so the sum cannot overflow at any node count.
+      def labelSum(df: DataFrame): java.math.BigDecimal =
+        Option(df.agg(sum(col("cluster").cast(org.apache.spark.sql.types
+          .DecimalType(38, 0)))).head.getDecimal(0))
+          .getOrElse(java.math.BigDecimal.ZERO)
       var labels = edges.select(col("src").as("node")).distinct()
         .withColumn("cluster", col("node")).persist()
-      var changed = 1L
+      var prevSum = labelSum(labels)
+      var converged = false
       var round = 0
-      while (changed > 0 && round < 15) {
-        val nbrMin = edges
+      while (!converged && round < 30) {
+        // min over (own label ∪ neighbors' labels): the self-union makes
+        // degree-0-this-round nodes keep their label without a left join —
+        // each round is one join plus one partial-agg'd groupBy.
+        val next = edges
           .join(labels.select(col("node").as("dst"), col("cluster").as("nc")), Seq("dst"))
-          .groupBy(col("src").as("node")).agg(min(col("nc")).as("nbr_min"))
-        val next = labels.join(nbrMin, Seq("node"), "left")
-          .select(col("node"),
-            least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster"))
+          .select(col("src").as("node"), col("nc").as("cluster"))
+          .union(labels)
+          .groupBy(col("node")).agg(min(col("cluster")).as("cluster"))
           .persist()
-        changed = next
-          .join(labels.select(col("node"), col("cluster").as("old")), Seq("node"))
-          .filter(col("cluster") < col("old")).count()
+        val s = labelSum(next)
         labels.unpersist()
         labels = next
+        converged = s.compareTo(prevSum) == 0
+        prevSum = s
         round += 1
       }
       labels.select(col("node").as("doc_id"), col("cluster"))
