@@ -38,6 +38,19 @@ object StreamingQueries extends QueryModule {
       .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
       .select(col("window.start").as("window_start"), col("n_events"), col("sum_value"))
 
+  /** Content-fingerprint dedup: the first sighting of each fingerprint
+    * survives; output is unique-document counts per language. The same
+    * builder streams (dropDuplicates keeps per-fingerprint state across
+    * micro-batches; bound it with dropDuplicatesWithinWatermark when the
+    * dup horizon is time-limited) or runs in batch for the oracle gate.
+    * Deterministic despite dropDuplicates keeping an arbitrary row: the
+    * language is a function of the text and hence of the fingerprint. */
+  def dedupCounts(docs: DataFrame): DataFrame =
+    docs.select(col("lang"),
+        md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))).as("fp"))
+      .dropDuplicates("fp")
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_unique"))
+
   /** Per-user session windows with a 6-hour inactivity gap. */
   def sessions(events: DataFrame): DataFrame =
     events.withWatermark("ts", "1 hour")
@@ -55,6 +68,14 @@ object StreamingQueries extends QueryModule {
       sliding(Tables(s, dir, "events")).orderBy(col("window_start"))),
     "q52_stream_session" -> ((s, dir) =>
       sessions(Tables(s, dir, "events")).orderBy(col("user_id"), col("session_start"))),
+
+    // --- streaming dedup in the correctness gate (batch parity; the
+    // cross-micro-batch state run is in StreamingSpec). The corpus is
+    // doubled so the dedup provably drops rows.
+    "q64_stream_dedup" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents").select(col("lang"), col("text"))
+      dedupCounts(d.unionByName(d)).orderBy(col("lang"))
+    }),
 
     // --- flatMapGroupsWithState in the correctness gate: one alert row
     // per 100-unit threshold the user's value total crosses (zero or more
@@ -111,6 +132,14 @@ object StreamingQueries extends QueryModule {
         |SELECT user_id,
         |  100 * unnest(generate_series(1, CAST(floor(total / 100) AS BIGINT))) AS crossed
         |FROM t ORDER BY user_id, crossed""".stripMargin,
+    "q64_stream_dedup" ->
+      """WITH corpus AS (
+        |  SELECT lang, text FROM documents
+        |  UNION ALL SELECT lang, text FROM documents)
+        |SELECT lang,
+        |  COUNT(DISTINCT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))))
+        |    AS n_unique
+        |FROM corpus GROUP BY lang ORDER BY lang""".stripMargin,
     "q52_stream_session" ->
       """WITH marked AS (
         |  SELECT user_id, ts,

@@ -98,6 +98,29 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("Join"), p)
   }
 
+  test("q61 tf-idf: vocabulary and corpus-size joins broadcast, no sort-merge") {
+    val p = plan("q61_tfidf")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q62 bigrams: partial aggregation then global top-k, no full sort of the corpus") {
+    val p = plan("q62_bigrams")
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p) // partial + final
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+  }
+
+  test("q63 zipf: token explode is aggregated BEFORE the vocabulary window") {
+    val p = plan("q63_token_zipf")
+    // the single-partition window must sit above the HashAggregate that
+    // reduces the corpus to |vocab| rows, never above the raw explode
+    val aggIdx = p.indexOf("HashAggregate")
+    val winIdx = p.indexOf("Window")
+    assert(aggIdx >= 0 && winIdx >= 0, p)
+    assert(p.contains("Generate"), p) // the explode itself
+  }
+
   test("whole-row render encodes stay inside whole-stage codegen") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {

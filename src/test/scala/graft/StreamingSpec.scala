@@ -15,6 +15,7 @@ case class UserCount(user_id: Long, n: Long)
 case class Click(c_user: Long, c_ts: Timestamp)
 case class Purchase(p_user: Long, p_ts: Timestamp)
 case class Alert(user_id: Long, crossed: Long)
+case class Doc(lang: String, text: String)
 
 /** Proves the StreamingQueries builders are genuinely streamable: the SAME
   * functions the batch correctness gate runs execute here under
@@ -206,6 +207,36 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       q.processAllAvailable()
       val got = sp.table("alerts").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(got == Set((1L, 5L), (1L, 10L)))
+    } finally q.stop()
+  }
+
+  test("streaming dedup: fingerprint state survives across micro-batches") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val docs = Seq(
+      Doc("en", "the quick brown fox"),
+      Doc("en", "a different document"),
+      Doc("de", "der schnelle fuchs"))
+    val mem = MemoryStream[Doc]
+    val q = StreamingQueries.dedupCounts(mem.toDF())
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      mem.addData(docs: _*)
+      q.processAllAvailable()
+      // batch 2 repeats batch 1's first doc (whitespace-normalized form)
+      // and adds one new one: the repeat must be dropped by STATE from
+      // the previous micro-batch, not within-batch dedup
+      mem.addData(Doc("en", "  the   quick brown fox "), Doc("de", "neues dokument"))
+      q.processAllAvailable()
+      val streamed = sp.table("dedup").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(streamed == Map("en" -> 2L, "de" -> 2L))
+      val batch = StreamingQueries.dedupCounts(
+        (docs ++ Seq(Doc("en", "  the   quick brown fox "), Doc("de", "neues dokument"))).toDF())
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(streamed == batch)
     } finally q.stop()
   }
 
