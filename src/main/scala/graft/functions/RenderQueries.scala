@@ -76,6 +76,31 @@ object RenderQueries extends QueryModule {
         .orderBy(col("n_nationkey"))
     }),
 
+    // --- pruning semantics through the gate (--prune, converter.rs
+    // :220,225-229,240-244,271-280): omit-nulls drops null fields, an
+    // empty-list value becomes null (then dropped), and a bag whose fields
+    // all pruned away renders {} -> null (then dropped) — the CASCADE is
+    // the behavior under test. Nulls/empties are planted per region so
+    // the DuckDB oracle can state the expected JSON literally.
+    "q65_render_prune" -> ((s, dir) => {
+      val n = Tables(s, dir, "nation")
+      val rk = col("n_regionkey")
+      n.select(col("n_nationkey"),
+          org.apache.spark.sql.GraftShims.column(
+            KustoJsonExpr(
+              org.apache.spark.sql.GraftShims.expression(
+                struct(
+                  struct(when(rk === 1, lit(null).cast("long"))
+                    .otherwise(rk).as("rk")).as("bag"),
+                  when(rk === 2, array().cast("array<bigint>"))
+                    .otherwise(array(rk)).as("ks"),
+                  when(rk === 3, lit(null).cast("string"))
+                    .otherwise(col("n_name")).as("nm"))),
+              KustoRenderOptions(omitNulls = true, omitEmptyBags = true,
+                omitEmptyLists = true))).as("json"))
+        .orderBy(col("n_nationkey"))
+    }),
+
     // --- CSV encode (entry point 2, converter.rs:145-188): ryu float text
     // with trailing-zero strip, raw strings, trailing \r terminator.
     "q22_render_csv" -> ((s, dir) => {
@@ -149,6 +174,16 @@ object RenderQueries extends QueryModule {
         |    info := struct_pack(name := n_name, rk := n_regionkey),
         |    keys := [n_nationkey, n_regionkey],
         |    m := MAP {'n': n_nationkey})) AS VARCHAR) AS json
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+    "q65_render_prune" ->
+      """SELECT n_nationkey,
+        |  CASE
+        |    WHEN n_regionkey = 1 THEN '{"ks":[1],"nm":"' || n_name || '"}'
+        |    WHEN n_regionkey = 2 THEN '{"bag":{"rk":2},"nm":"' || n_name || '"}'
+        |    WHEN n_regionkey = 3 THEN '{"bag":{"rk":3},"ks":[3]}'
+        |    ELSE '{"bag":{"rk":' || n_regionkey || '},"ks":[' || n_regionkey
+        |      || '],"nm":"' || n_name || '"}'
+        |  END AS json
         |FROM nation ORDER BY n_nationkey""".stripMargin,
     "q22_render_csv" ->
       """SELECT o_orderkey,
