@@ -30,11 +30,18 @@ object CorpusQueries extends QueryModule {
     // or the large-star/small-star variant to shrink diameter; the
     // per-round count() is a tiny agg action, not a collect.
     "q59_dedup_clusters" -> ((s, dir) => {
+      // localCheckpoint, not persist(): the loop re-binds `labels` every
+      // round, and persisted frames here are plan-equal ACROSS rounds and
+      // across repeated invocations of this query — Spark's CacheManager
+      // matches cache entries structurally, so a persist/unpersist cycle
+      // can silently alias a round to a previous invocation's data. An
+      // eager localCheckpoint materializes to a unique RDD-backed plan
+      // (no structural matching, lineage truncated per round); the frames
+      // are pair-graph-sized (edges + one row per node), not corpus-sized.
       val pairs = LlmQueries.queries("q34_ngram_jaccard")(s, dir)
-        .select(col("doc_a"), col("doc_b"))
+        .select(col("doc_a"), col("doc_b")).localCheckpoint()
       val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-        .persist() // reused every round
       // Convergence check: labels only ever DECREASE, so the label sum is
       // strictly monotone until the fixpoint — an unchanged sum means no
       // node changed. One tiny aggregate per round instead of a compare
@@ -44,7 +51,7 @@ object CorpusQueries extends QueryModule {
           .DecimalType(38, 0)))).head.getDecimal(0))
           .getOrElse(java.math.BigDecimal.ZERO)
       var labels = edges.select(col("src").as("node")).distinct()
-        .withColumn("cluster", col("node")).persist()
+        .withColumn("cluster", col("node")).localCheckpoint()
       var prevSum = labelSum(labels)
       var converged = false
       var round = 0
@@ -57,9 +64,8 @@ object CorpusQueries extends QueryModule {
           .select(col("src").as("node"), col("nc").as("cluster"))
           .union(labels)
           .groupBy(col("node")).agg(min(col("cluster")).as("cluster"))
-          .persist()
+          .localCheckpoint()
         val s = labelSum(next)
-        labels.unpersist()
         labels = next
         converged = s.compareTo(prevSum) == 0
         prevSum = s
