@@ -112,6 +112,18 @@ object RenderQueries extends QueryModule {
         .orderBy(col("o_orderkey"))
     }),
 
+    // --- CSV projection with a requested-but-missing column: the missing
+    // name keeps its position as an EMPTY slot (converter.rs:160-169),
+    // unlike the JSON path which silently drops it (converter.rs:81-84).
+    "q67_csv_missing_col" -> ((s, dir) => {
+      val n = Tables(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      toKustoCsv(n, Some(Seq("n_nationkey", "missing_col", "n_name")))
+        .withColumn("k", split(col("line"), ",").getItem(0).cast("long"))
+        .select(col("k"), col("line"))
+        .orderBy(col("k"))
+    }),
+
     // --- decimal plain-string render (converter.rs:345-371): the harness
     // has no decimal column, so cast one into existence — the render path
     // (DecimalPlainString expression) is what's under test.
@@ -191,6 +203,10 @@ object RenderQueries extends QueryModule {
         |    || rtrim(rtrim(CAST(o_totalprice AS VARCHAR), '0'), '.')
         |    || chr(13) AS line
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q67_csv_missing_col" ->
+      """SELECT n_nationkey AS k,
+        |  n_nationkey || ',,' || n_name || chr(13) AS line
+        |FROM nation ORDER BY k""".stripMargin,
     "q55_render_decimal" ->
       """SELECT o_orderkey,
         |  CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS VARCHAR) AS dec_str,

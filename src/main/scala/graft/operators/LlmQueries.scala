@@ -275,6 +275,37 @@ object LlmQueries extends QueryModule {
         .orderBy(col("query_id"), col("rnk"))
     }),
 
+    // --- int8 vector quantization + top-k over the quantized space: the
+    // 4x memory/bandwidth reduction a 100 TB embedding store actually
+    // ships (per-vector max-abs scale, symmetric round-to-int8), with
+    // search executed entirely on the quantized integers. Integer dot
+    // products are exact in double (|dot| <= dim * 127^2), so the scores
+    // are engine-independent and the whole query is DuckDB-oracled —
+    // quantization error shows up only as score differences vs q37.
+    "q66_int8_topk" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        .withColumn("mx", expr("aggregate(v, 0.0D, (acc, x) -> greatest(acc, abs(x)))"))
+        .filter(col("mx") > 0)
+        .withColumn("qv", expr("transform(v, x -> CAST(round(x * 127.0D / mx) AS INT))"))
+        .withColumn("qn", expr(
+          "sqrt(aggregate(qv, 0.0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("qv").as("qa"), col("qn").as("qna"))
+      val c = e.select(col("vec_id").as("nbr_id"), col("qv").as("qb"), col("qn").as("qnb"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("nbr_id").asc)
+      c.join(broadcast(q), col("query_id") =!= col("nbr_id"))
+        .withColumn("score", round(
+          expr("aggregate(zip_with(qa, qb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
+            "0.0D, (acc, x) -> acc + x)") / (col("qna") * col("qnb")), 4))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("query_id"), col("nbr_id"), col("score"), col("rnk"))
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
     // --- embedding near-dup detection, blocked: candidates share
     // (label, floor(normalized-first-component * 50)), so comparisons
     // scale with Σ bucket² — the LSH-style scale path — while the planted
@@ -466,6 +497,21 @@ object LlmQueries extends QueryModule {
         |      (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 4)
         |      AS score
         |  FROM e q JOIN e c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |        ORDER BY score DESC, nbr_id ASC) AS rnk FROM p)
+        |SELECT query_id, nbr_id, score, rnk FROM r WHERE rnk <= 5
+        |ORDER BY query_id, rnk""".stripMargin,
+    "q66_int8_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |m AS (SELECT vec_id, v,
+        |        list_aggregate(list_transform(v, x -> abs(x)), 'max') AS mx FROM e),
+        |q AS (SELECT vec_id,
+        |        list_transform(v, x -> CAST(round(x * 127.0 / mx) AS DOUBLE)) AS qv
+        |      FROM m WHERE mx > 0),
+        |n AS (SELECT vec_id, qv, sqrt(list_dot_product(qv, qv)) AS qn FROM q),
+        |p AS (SELECT a.vec_id AS query_id, b.vec_id AS nbr_id,
+        |        round(list_dot_product(a.qv, b.qv) / (a.qn * b.qn), 4) AS score
+        |      FROM n a JOIN n b ON a.vec_id < 10 AND a.vec_id <> b.vec_id),
         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
         |        ORDER BY score DESC, nbr_id ASC) AS rnk FROM p)
         |SELECT query_id, nbr_id, score, rnk FROM r WHERE rnk <= 5
