@@ -240,6 +240,52 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("transformWithState: ValueState running count under the RocksDB store") {
+    // Spark 4's replacement for *GroupsWithState: typed per-key state
+    // handles (ValueState/ListState/MapState), timers, and TTL. Requires
+    // the RocksDB state store provider — which is also the provider a
+    // production deployment runs, so the spec pins that wiring too.
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    import org.apache.spark.sql.streaming.{TimeMode, TTLConfig, TimerValues, StatefulProcessor, ValueState}
+    val prev = sp.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    sp.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      class CountProcessor extends StatefulProcessor[Long, Ev, UserCount] {
+        @transient private var count: ValueState[Long] = _
+        override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+          count = getHandle.getValueState[Long]("count",
+            org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+        override def handleInputRows(key: Long, rows: Iterator[Ev],
+            timers: TimerValues): Iterator[UserCount] = {
+          val n = (if (count.exists()) count.get() else 0L) + rows.size
+          count.update(n)
+          Iterator.single(UserCount(key, n))
+        }
+      }
+      val mem = MemoryStream[Ev]
+      val counted = mem.toDS().groupByKey(_.user_id)
+        .transformWithState(new CountProcessor, TimeMode.None(), OutputMode.Update())
+      val q = counted.toDF().writeStream.format("memory").queryName("tws")
+        .outputMode(OutputMode.Update()).start()
+      try {
+        mem.addData(batch1: _*) // user 1: 2 events, user 2: 1
+        q.processAllAvailable()
+        mem.addData(batch2: _*) // user 2: +1, user 1: +1
+        q.processAllAvailable()
+        val last = sp.table("tws").collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+          .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
+        assert(last == Map(1L -> 3L, 2L -> 2L))
+      } finally q.stop()
+    } finally prev match {
+      case Some(p) => sp.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => sp.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("mapGroupsWithState: custom running state per key across batches") {
     val sp = spark
     import sp.implicits._
