@@ -125,6 +125,35 @@ object CorpusQueries extends QueryModule {
         .limit(20)
     }),
 
+    // --- the standard curation pipeline, composed end-to-end from this
+    // library's operators: quality gate -> exact dedup (keep-first by
+    // content fingerprint) -> per-language stratified downsample ->
+    // deterministic train/valid/test split. Every stage is content-hash
+    // driven, so the pipeline is stable under repartitioning and re-runs;
+    // stages are one narrow filter each plus ONE shuffle (the dedup
+    // window on the fingerprint).
+    "q68_curation_pipeline" -> ((s, dir) => {
+      val norm = "lower(trim(regexp_replace(text, '\\\\s+', ' ')))"
+      val hex = substring(md5(col("text")), 1, 1)
+      val keepRate = when(col("lang") === "en",
+        hex.isin("0", "1", "2", "3", "4", "5", "6", "7"))
+        .otherwise(hex.isin("0", "1", "2", "3", "4", "5", "6", "7",
+          "8", "9", "a", "b"))
+      val w = Window.partitionBy(col("fp")).orderBy(col("doc_id").asc)
+      Tables(s, dir, "documents")
+        .filter(size(expr(toksSql)).between(20, 1000))
+        .withColumn("fp", md5(expr(norm)))
+        .withColumn("pos", row_number().over(w))
+        .filter(col("pos") === 1)
+        .filter(keepRate)
+        .withColumn("split",
+          when(substring(col("fp"), 32, 1) === "0", "test")
+            .when(substring(col("fp"), 32, 1) === "1", "valid")
+            .otherwise("train"))
+        .select(col("doc_id"), col("lang"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
+
     // --- Zipf token statistics: global term frequencies, rank, and
     // cumulative corpus share. The unpartitioned window runs over the
     // VOCABULARY (post-aggregation), not the corpus — at 100 TB the
@@ -208,6 +237,27 @@ object CorpusQueries extends QueryModule {
         |  FROM t WHERE len(tk) >= 2)
         |SELECT bigram, COUNT(*) AS n FROM b GROUP BY 1
         |ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
+    "q68_curation_pipeline" ->
+      """WITH filtered AS (
+        |  SELECT doc_id, lang, text,
+        |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+        |  FROM documents
+        |  WHERE len(string_split_regex(trim(text), '\s+')) BETWEEN 20 AND 1000),
+        |dedup AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS pos
+        |  FROM filtered),
+        |sampled AS (
+        |  SELECT * FROM dedup WHERE pos = 1 AND
+        |    CASE WHEN lang = 'en'
+        |      THEN substr(md5(text), 1, 1) IN
+        |        ('0', '1', '2', '3', '4', '5', '6', '7')
+        |      ELSE substr(md5(text), 1, 1) IN
+        |        ('0', '1', '2', '3', '4', '5', '6', '7', '8', '9', 'a', 'b')
+        |    END)
+        |SELECT doc_id, lang,
+        |  CASE substr(fp, 32, 1) WHEN '0' THEN 'test' WHEN '1' THEN 'valid'
+        |       ELSE 'train' END AS split
+        |FROM sampled ORDER BY doc_id""".stripMargin,
     "q63_token_zipf" ->
       """WITH f AS (
         |  SELECT term, COUNT(*) AS n FROM (
