@@ -53,6 +53,10 @@ object GraftFunctions {
     fn("simhash64", "array<string> -> 64-bit SimHash over distinct tokens") {
       args => SimHash64(args.head)
     },
+    fn("divide_unsigned",
+      "64-bit unsigned long division (u64 reinterpret, /0 -> null)") {
+      args => DivideUnsigned(args.head, args(1))
+    },
     fn("rolling_hash64", "string -> 64-bit Rabin-Karp polynomial fingerprint") {
       args => RollingHash64(args.head)
     }

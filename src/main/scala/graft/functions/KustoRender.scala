@@ -50,16 +50,10 @@ object KustoRender {
     * the RAW micros as u64 and then divides by 1000, so pre-epoch values
     * render as huge positives (us = -1e6 -> 18446744073708551), exactly like
     * [[KustoRowRenderer]]'s UnixMs path — NOT signed `unix_millis` floor
-    * division. Implemented as unsigned division in decimal space (exact:
-    * u64 max / 1000 ≈ 1.8e16 fits a long) to stay inside codegen'd
-    * builtins without ANSI overflow. */
-  def timestampUnixMs(c: Column): Column = {
-    val us = unix_micros(c.cast(TimestampType))
-    val twoPow64 = lit(new java.math.BigDecimal(java.math.BigInteger.ONE.shiftLeft(64)))
-    val u64 = when(us < 0, us.cast(DecimalType(21, 0)) + twoPow64)
-      .otherwise(us.cast(DecimalType(21, 0)))
-    floor(u64 / lit(1000L)).cast(LongType)
-  }
+    * division. [[DivideUnsigned]] keeps the reinterpretation one codegen'd
+    * static call on the hot render path. */
+  def timestampUnixMs(c: Column): Column = expr2col(
+    DivideUnsigned(col2expr(unix_micros(c.cast(TimestampType))), col2expr(lit(1000L))))
 
   def timestampRender(c: Column, mode: TimestampMode): Column = mode match {
     case TimestampMode.IsoStr => timestampIso(c)

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block.BlockHelper
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -23,6 +23,40 @@ case class DecimalPlainString(child: Expression) extends UnaryExpression {
       s"org.apache.spark.unsafe.types.UTF8String.fromString($c.toJavaBigDecimal().toPlainString())")
   override protected def withNewChildInternal(newChild: Expression): DecimalPlainString =
     copy(child = newChild)
+}
+
+/** 64-bit UNSIGNED division of two longs — `Long.divideUnsigned` as a
+  * codegen'd expression. The reference's unixms render reinterprets raw
+  * timestamp micros as u64 before dividing by 1000 (`converter.rs:330`),
+  * which signed integer division gets wrong for every pre-epoch value;
+  * this keeps that reinterpretation a single static call in generated
+  * code instead of a decimal-arithmetic detour. Division by zero is null,
+  * matching Spark's `try_divide` convention rather than raising.
+  */
+case class DivideUnsigned(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def eval(input: InternalRow): Any = {
+    val l = left.eval(input)
+    val r = right.eval(input)
+    if (l == null || r == null || r.asInstanceOf[Long] == 0L) null
+    else java.lang.Long.divideUnsigned(l.asInstanceOf[Long], r.asInstanceOf[Long])
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val l = left.genCode(ctx)
+    val r = right.genCode(ctx)
+    ev.copy(code = code"""
+      ${l.code}
+      ${r.code}
+      boolean ${ev.isNull} = ${l.isNull} || ${r.isNull} || ${r.value} == 0L;
+      long ${ev.value} = ${ev.isNull} ? 0L :
+        java.lang.Long.divideUnsigned(${l.value}, ${r.value});
+    """)
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DivideUnsigned =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Binary -> array of unsigned byte numbers (0..255), the reference's

@@ -33,7 +33,9 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
         |  kusto_bytes_array(CAST('AB' AS BINARY)) AS ba,
         |  kusto_json(named_struct('b', 1, 'a', 'x')) AS js,
         |  simhash64(array('a', 'b')) AS sh,
-        |  rolling_hash64('ab') AS rh
+        |  rolling_hash64('ab') AS rh,
+        |  divide_unsigned(-1000000L, 1000L) AS du,
+        |  divide_unsigned(7L, 0L) AS dz
       """.stripMargin).collect().head
     assert(r.getString(0) == "0.0000001")
     assert(r.getString(1) == "3.0")
@@ -41,6 +43,8 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getSeq[Int](3) == Seq(65, 66))
     assert(r.getString(4) == """{"a":"x","b":1}""") // sorted keys
     assert(r.getLong(6) == 'a'.toLong * 31 + 'b'.toLong)
+    assert(r.getLong(7) == java.lang.Long.divideUnsigned(-1000000L, 1000L))
+    assert(r.isNullAt(8)) // /0 -> null, try_divide convention
   }
 
   test("registered functions run distributed over a table scan") {
