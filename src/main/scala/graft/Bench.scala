@@ -56,8 +56,11 @@ object Bench {
     }
     def r3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    // Short qNN keys on the wire (the harness spec's own example shape,
+    // {"q1":sec}); bench_detail.json carries the full names.
+    def shortKey(name: String): String = name.split("_").head
     def jmap(f: ((String, Double, Double)) => Double): String =
-      results.map(r => "\"" + r._1 + "\":" + r3(f(r))).mkString("{", ",", "}")
+      results.map(r => "\"" + shortKey(r._1) + "\":" + r3(f(r))).mkString("{", ",", "}")
     val total = results.map(_._3).sum
     val firstTotal = results.map(_._2).sum
     // The harness keeps only the last ~2000 chars of stdout and parses the

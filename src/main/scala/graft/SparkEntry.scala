@@ -20,6 +20,7 @@ object SparkEntry {
     operators.CorpusQueries,
     operators.ExtendedQueries,
     operators.TemporalQueries,
+    operators.EventAnalytics,
     streaming.StreamingQueries
   )
 

@@ -1,0 +1,133 @@
+package graft.operators
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-analytics operators over the `events` stream table: conversion
+  * funnel, cohort retention, moving averages, and gap-filled time series —
+  * the interactive-analytics surface of the engine family the reference
+  * feeds (its JSONL output is ingestion input for exactly these query
+  * shapes). Each is aggregation-first: the event log reduces to per-user
+  * or per-day rows before any join or window, so shuffle volume is
+  * bounded by |users| or |days|, never by |events|.
+  */
+object EventAnalytics extends QueryModule {
+
+  private def events(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "events")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // --- conversion funnel: users -> users who clicked -> users who
+    // purchased AFTER their first click. Two aggregations and one
+    // users-sized join; the event log is never self-joined.
+    "q69_funnel" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val u = ev.groupBy(col("user_id"))
+        .agg(min(when(col("event_type") === "click", col("ts"))).as("first_click"))
+      val conv = ev.join(u, Seq("user_id"))
+        .filter(col("event_type") === "purchase" && col("ts") > col("first_click"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("first_purchase"))
+      u.agg(count(lit(1)).as("n_users"),
+          count(col("first_click")).as("n_clicked"))
+        .crossJoin(conv.agg(count(lit(1)).as("n_converted")))
+        .withColumn("conv_rate",
+          round(col("n_converted").cast("double") / col("n_clicked"), 4))
+    }),
+
+    // --- cohort retention: cohort = first active day; day-1 and day-7
+    // retention per cohort. The log reduces to distinct (user, day)
+    // first, so everything downstream is bounded by users x active-days.
+    "q70_retention" -> ((s, dir) => {
+      val act = events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val cohort = act.groupBy(col("user_id")).agg(min(col("day")).as("d0"))
+      act.join(cohort, Seq("user_id"))
+        .groupBy(col("d0"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          countDistinct(when(col("day") === date_add(col("d0"), 1), col("user_id")))
+            .as("n_day1"),
+          countDistinct(when(col("day") === date_add(col("d0"), 7), col("user_id")))
+            .as("n_day7"))
+        .orderBy(col("d0"))
+    }),
+
+    // --- 7-day moving average of daily event counts: RANGE window over
+    // days-since-epoch so holes in the calendar do NOT shrink the window
+    // to fewer calendar days (ROWS would). Window input is |days| rows.
+    "q71_moving_avg" -> ((s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("day_num", datediff(col("day"), lit("1970-01-01")))
+      val w = Window.orderBy(col("day_num")).rangeBetween(-6, 0)
+      daily
+        .withColumn("ma7", round(sum(col("n")).over(w).cast("double") /
+          count(col("n")).over(w), 4))
+        .select(col("day"), col("n"), col("ma7"))
+        .orderBy(col("day"))
+    }),
+
+    // --- gap-filled daily series (the make-series shape): materialize
+    // every calendar day between min and max, left-join the daily counts,
+    // zero-fill. The generated axis is |days| rows from one tiny agg.
+    "q72_make_series" -> ((s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val axis = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(explode(expr("sequence(d0, d1)")).as("day"))
+      axis.join(daily, Seq("day"), "left")
+        .select(col("day"), coalesce(col("n"), lit(0L)).as("n"))
+        .orderBy(col("day"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q69_funnel" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'click' THEN ts END) AS first_click
+        |  FROM events GROUP BY 1),
+        |conv AS (
+        |  SELECT e.user_id, min(e.ts) AS first_purchase
+        |  FROM events e JOIN u ON e.user_id = u.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > u.first_click
+        |  GROUP BY 1)
+        |SELECT a.n_users, a.n_clicked, b.n_converted,
+        |  round(CAST(b.n_converted AS DOUBLE) / a.n_clicked, 4) AS conv_rate
+        |FROM (SELECT COUNT(*) AS n_users, COUNT(first_click) AS n_clicked FROM u) a
+        |CROSS JOIN (SELECT COUNT(*) AS n_converted FROM conv) b""".stripMargin,
+    "q70_retention" ->
+      """WITH act AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |cohort AS (SELECT user_id, min(day) AS d0 FROM act GROUP BY 1)
+        |SELECT c.d0, COUNT(DISTINCT a.user_id) AS n_users,
+        |  COUNT(DISTINCT CASE WHEN a.day = c.d0 + 1 THEN a.user_id END) AS n_day1,
+        |  COUNT(DISTINCT CASE WHEN a.day = c.d0 + 7 THEN a.user_id END) AS n_day7
+        |FROM act a JOIN cohort c ON a.user_id = c.user_id
+        |GROUP BY c.d0 ORDER BY c.d0""".stripMargin,
+    "q71_moving_avg" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n FROM events GROUP BY 1),
+        |d AS (SELECT day, n, CAST(day - DATE '1970-01-01' AS BIGINT) AS day_num
+        |      FROM daily)
+        |SELECT day, n,
+        |  round(CAST(SUM(n) OVER w AS DOUBLE) / COUNT(n) OVER w, 4) AS ma7
+        |FROM d
+        |WINDOW w AS (ORDER BY day_num RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY day""".stripMargin,
+    "q72_make_series" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n FROM events GROUP BY 1),
+        |axis AS (
+        |  SELECT CAST(unnest(generate_series(min(day), max(day),
+        |    INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM daily)
+        |SELECT axis.day, COALESCE(daily.n, 0) AS n
+        |FROM axis LEFT JOIN daily ON axis.day = daily.day
+        |ORDER BY axis.day""".stripMargin
+  )
+}

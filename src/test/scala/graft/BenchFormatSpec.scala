@@ -14,8 +14,11 @@ class BenchFormatSpec extends AnyFunSuite {
 
   test("bench JSON line fits the harness tail buffer at worst-case width") {
     val names = SparkEntry.queries.keys.toSeq.sorted
-    // Worst case per entry: "name":999.999, — 1 ms resolution, <1000 s.
-    val entries = names.map(n => "\"" + n + "\":999.999").mkString("{", ",", "}")
+    val short = names.map(_.split("_").head)
+    assert(short.distinct.size == names.size,
+      "short qNN bench keys must stay unique across query names")
+    // Worst case per entry: "qNN":999.999, — 1 ms resolution, <1000 s.
+    val entries = short.map(n => "\"" + n + "\":999.999").mkString("{", ",", "}")
     val line = s"""{"metric":"total","value":99999.999,"unit":"sec","queries":$entries,"first_total":99999.999,"sf":"/root/testdata/sf0.1"}"""
     // 2000-char tail minus ~100 chars of trailing sbt "[success]" noise.
     assert(line.length < 1900,
