@@ -226,6 +226,33 @@ object RelationalQueries extends QueryModule {
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n_above"))
         .orderBy(col("l_returnflag"))
+    }),
+
+    // --- FULL OUTER join with genuinely unmatched rows on BOTH sides:
+    // customers capped at custkey <= 50 vs orders of custkeys > 25, so
+    // nulls appear left and right and the null-handling of the join
+    // itself (not just left-outer fill) is what gets hashed.
+    "q73_full_outer" -> ((s, dir) => {
+      val c = Tables(s, dir, "customer")
+        .filter(col("c_custkey") <= 50)
+        .select(col("c_custkey"), col("c_acctbal"))
+      val o = Tables(s, dir, "orders")
+        .filter(col("o_custkey") > 25)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "full_outer")
+        .select(col("c_custkey"), col("o_custkey"), col("n_orders"))
+        .orderBy(col("c_custkey").asc_nulls_last, col("o_custkey").asc_nulls_last)
+    }),
+
+    // --- explicit CROSS join of two small dimensions (the one join shape
+    // that is NEVER acceptable on two large sides; here both are tiny and
+    // the product is the point — e.g. building a dense grid).
+    "q74_cross_grid" -> ((s, dir) => {
+      val r = Tables(s, dir, "region").select(col("r_name"))
+      val st = Tables(s, dir, "orders").select(col("o_orderstatus")).distinct()
+      r.crossJoin(st)
+        .select(col("r_name"), col("o_orderstatus"))
+        .orderBy(col("r_name"), col("o_orderstatus"))
     })
   )
 
@@ -328,6 +355,19 @@ object RelationalQueries extends QueryModule {
          |        ${dsumSql("l_quantity")} / COUNT(*) AS avg_qty
          |      FROM lineitem GROUP BY 1) a ON l_partkey = ap_partkey
          |WHERE l_quantity > avg_qty * 1.5
-         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q73_full_outer" ->
+      """SELECT c.c_custkey, o.o_custkey, o.n_orders
+        |FROM (SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey <= 50) c
+        |FULL OUTER JOIN (
+        |  SELECT o_custkey, COUNT(*) AS n_orders FROM orders
+        |  WHERE o_custkey > 25 GROUP BY o_custkey
+        |) o ON c.c_custkey = o.o_custkey
+        |ORDER BY c.c_custkey NULLS LAST, o.o_custkey NULLS LAST""".stripMargin,
+    "q74_cross_grid" ->
+      """SELECT r_name, o_orderstatus
+        |FROM (SELECT r_name FROM region)
+        |CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders)
+        |ORDER BY r_name, o_orderstatus""".stripMargin
   )
 }
