@@ -5,11 +5,17 @@ import org.apache.spark.sql.{DataFrame, Dataset}
 /** Multimodal-column plumbing: treat media (image/audio/video) as opaque
   * `binary` columns and run the decode / feature-extraction step as a
   * per-partition batch job — the Scala analogue of a `mapInPandas` decode
-  * stage. The actual codec libraries are absent from this environment by
-  * design, so `decode` is a clearly-marked deterministic stub; everything
-  * around it — schema, the Dataset[(id, bytes)] batch shape, partition-wise
-  * execution, downstream column contract — is the real pipeline a decoder
-  * would drop into.
+  * stage.
+  *
+  * Decode depth, honestly stated per modality:
+  *   - PNG/JPEG/BMP/GIF: REAL pixel decode via the JDK's `javax.imageio`
+  *     (no external codec jar needed) — [[decodePixels]] emits true
+  *     dimensions and channel means, the standard image-dedup features.
+  *   - WAV/PCM-16: REAL sample decode by RIFF chunk walk —
+  *     [[decodeAudio]] emits sample counts and RMS amplitude.
+  *   - Video and compressed audio (mp4/mp3/...): no codec exists in the
+  *     JDK; [[extractFeatures]] is the byte-level fallback for such blobs
+  *     and is the only remaining stub-grade path.
   *
   * At 100 TB the decode stage is a narrow per-partition pass: no shuffle,
   * parallelism = input splits, and partition size is controlled by
@@ -18,14 +24,100 @@ import org.apache.spark.sql.{DataFrame, Dataset}
   */
 object MultimodalStub {
 
-  /** Fake "decoded media" metadata; deterministic pure function of bytes. */
+  /** True pixel statistics for JDK-decodable images. `channels` is the
+    * color model's component count; undecodable bytes yield format
+    * "undecodable" with zeroed fields (a pipeline filters those out). */
+  final case class ImagePixels(
+      doc_id: Long, format: String, width: Int, height: Int, channels: Int,
+      mean_r: Double, mean_g: Double, mean_b: Double)
+
+  def decodePixels(id: Long, bytes: Array[Byte]): ImagePixels = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    if (img == null) ImagePixels(id, "undecodable", 0, 0, 0, 0.0, 0.0, 0.0)
+    else {
+      val w = img.getWidth
+      val h = img.getHeight
+      var r = 0L; var g = 0L; var b = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val p = img.getRGB(x, y)
+          r += (p >> 16) & 0xff; g += (p >> 8) & 0xff; b += p & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      val n = w.toLong * h
+      ImagePixels(id, probe(id, bytes).format, w, h,
+        img.getColorModel.getNumComponents,
+        r.toDouble / n, g.toDouble / n, b.toDouble / n)
+    }
+  }
+
+  /** df(doc_id, blob) -> decoded pixel features, one ImageIO decoder
+    * context per partition (ImageIO's disk cache off: blobs are already
+    * in memory, per-partition batches must not hit local disk). */
+  def decodeImages(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.as[(Long, Array[Byte])].mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { case (id, bytes) => decodePixels(id, bytes) }
+    }.toDF()
+  }
+
+  /** True sample statistics for PCM-16 WAV: RIFF chunk walk to the fmt
+    * and data chunks, then 16-bit little-endian samples. */
+  final case class AudioSamples(
+      doc_id: Long, sample_rate: Int, channels: Int, n_samples: Long,
+      rms: Double)
+
+  def decodeAudio(id: Long, b: Array[Byte]): AudioSamples = {
+    def u16le(i: Int): Int = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+    def u32le(i: Int): Int = u16le(i) | (u16le(i + 2) << 16)
+    if (b.length < 12 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' ||
+        b(3) != 'F' || b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E')
+      return AudioSamples(id, 0, 0, 0L, 0.0)
+    var i = 12
+    var rate = 0; var ch = 0; var bits = 0
+    var sumSq = 0.0; var n = 0L
+    while (i + 8 <= b.length) {
+      val name = new String(b, i, 4, "US-ASCII")
+      val len = u32le(i + 4)
+      if (name == "fmt ") {
+        ch = u16le(i + 10); rate = u32le(i + 12); bits = u16le(i + 22)
+      } else if (name == "data" && bits == 16) {
+        var j = i + 8
+        val end = math.min(i + 8 + len, b.length) // exclusive
+        while (j + 1 < end) {
+          val s = u16le(j).toShort.toDouble
+          sumSq += s * s; n += 1; j += 2
+        }
+      }
+      i += 8 + len + (len & 1) // chunks are word-aligned
+    }
+    AudioSamples(id, rate, ch, n, if (n == 0) 0.0 else math.sqrt(sumSq / n))
+  }
+
+  /** df(doc_id, blob) -> decoded audio features, per-partition batches. */
+  def decodeAudioBatch(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => decodeAudio(id, bytes) })
+      .toDF()
+  }
+
+  /** Byte-derived pseudo-features; deterministic pure function of bytes. */
   final case class MediaFeatures(
       doc_id: Long, n_bytes: Long, head_bytes: String,
       fake_width: Long, fake_channels: Int)
 
-  /** STUB standing in for a real image decode (???): derives metadata from
-    * the raw bytes only. A real implementation would decode `bytes` here
-    * (per-partition, batched) and emit true width/height/channels. */
+  /** Byte-level FALLBACK for blobs with no JDK-decodable container (???
+    * for video/mp3: no codec in the JDK, by design no external jars):
+    * derives metadata from the raw bytes only. For PNG/JPEG/WAV use the
+    * real decoders above. */
   private def decode(id: Long, bytes: Array[Byte]): MediaFeatures = {
     val head = bytes.take(8).map(b => (b & 0xff).toString).mkString(",")
     MediaFeatures(id, bytes.length.toLong, head, bytes.length.toLong % 640, 3)

@@ -1,6 +1,7 @@
 package graft
 
 import graft.functions.{Fnv64, TextFunctions}
+import graft.operators.MultimodalStub
 import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -222,6 +223,57 @@ class LlmSpec extends AnyFunSuite with BeforeAndAfterAll {
       (2L, "jpeg", 1920, 1080, 3),
       (3L, "wav", 44100, 0, 2),
       (4L, "unknown", 0, 0, 0)))
+  }
+
+  test("real pixel decode: PNG exact channel means, JPEG near, via JDK ImageIO") {
+    import java.awt.image.BufferedImage
+    def imageBytes(fmt: String, rgb: Int, w: Int, h: Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      val g2 = img.createGraphics()
+      g2.setColor(new java.awt.Color(rgb)); g2.fillRect(0, 0, w, h); g2.dispose()
+      val out = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, out))
+      out.toByteArray
+    }
+    val df = spark.createDataFrame(
+      java.util.List.of(
+        Row(1L, imageBytes("png", 0x0a141e, 17, 9)), // solid (10, 20, 30)
+        Row(2L, imageBytes("jpg", 0x808080, 16, 16)), // solid gray
+        Row(3L, "not an image".getBytes("UTF-8"))),
+      StructType(Seq(StructField("doc_id", LongType, nullable = false),
+        StructField("blob", BinaryType))))
+    val got = MultimodalStub.decodeImages(df).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val pngRow = got(1L)
+    assert((pngRow.getString(1), pngRow.getInt(2), pngRow.getInt(3)) == (("png", 17, 9)))
+    assert((pngRow.getDouble(5), pngRow.getDouble(6), pngRow.getDouble(7)) == ((10.0, 20.0, 30.0)))
+    val jpgRow = got(2L)
+    assert((jpgRow.getString(1), jpgRow.getInt(2), jpgRow.getInt(3)) == (("jpeg", 16, 16)))
+    // JPEG is lossy; a solid mid-gray survives within a couple of levels
+    for (c <- 5 to 7) assert(math.abs(jpgRow.getDouble(c) - 128.0) < 3.0, jpgRow)
+    assert(got(3L).getString(1) == "undecodable")
+  }
+
+  test("real audio decode: PCM-16 WAV sample count and RMS") {
+    val rate = 8000; val n = 1000; val amp = 1000.0
+    val bb = java.nio.ByteBuffer.allocate(44 + n * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + n * 2)
+      .put("WAVE".getBytes("US-ASCII")).put("fmt ".getBytes("US-ASCII"))
+      .putInt(16).putShort(1).putShort(1).putInt(rate).putInt(rate * 2)
+      .putShort(2).putShort(16).put("data".getBytes("US-ASCII")).putInt(n * 2)
+    (0 until n).foreach(i =>
+      bb.putShort(math.round(amp * math.sin(2 * math.Pi * i / 50)).toShort))
+    val df = spark.createDataFrame(
+      java.util.List.of(Row(7L, bb.array())),
+      StructType(Seq(StructField("doc_id", LongType, nullable = false),
+        StructField("blob", BinaryType))))
+    val r = MultimodalStub.decodeAudioBatch(df).collect().head
+    assert(r.getInt(1) == rate)
+    assert(r.getInt(2) == 1)
+    assert(r.getLong(3) == n.toLong)
+    // RMS of a full-cycle sine is amp/sqrt(2); integer rounding shifts it slightly
+    assert(math.abs(r.getDouble(4) - amp / math.sqrt(2.0)) < amp * 0.01, r)
   }
 
   test("multimodal stub: per-partition decode preserves ids and byte counts") {
