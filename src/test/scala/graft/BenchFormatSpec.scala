@@ -29,4 +29,18 @@ class BenchFormatSpec extends AnyFunSuite {
     val s = String.format(java.util.Locale.ROOT, "%.3f", Double.box(1.5))
     assert(s == "1.500")
   }
+
+  test("every query is oracled, or on the KNOWN rows-only list") {
+    // The correctness gate only verifies queries with an oracle; anything
+    // else gets a weaker rows-only check. Keep that set explicit so a new
+    // query cannot silently ship unverified.
+    val rowsOnly = Set("q35_minhash_lsh", "q36_simhash", "q39_ann_lsh",
+      "q45_approx_distinct", "q46_ann_ivf")
+    val queries = SparkEntry.queries.keySet
+    val oracled = SparkEntry.oracleSql.keySet
+    assert(oracled.subsetOf(queries),
+      s"oracles without queries: ${(oracled -- queries).toSeq.sorted}")
+    assert((queries -- oracled) == rowsOnly,
+      s"un-oracled queries outside the known list: ${(queries -- oracled -- rowsOnly).toSeq.sorted}")
+  }
 }

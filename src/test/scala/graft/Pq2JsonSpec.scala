@@ -93,6 +93,22 @@ class Pq2JsonSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(graft.sources.ParquetMetadata.codecs(brotli) == Set("BROTLI"))
   }
 
+  test("--rowgroups reports one entry per row group on a multi-group file") {
+    // the harness tables are single-row-group; force several tiny groups
+    // so the per-group iteration (schema.rs:118-143) is actually exercised
+    val dir = java.nio.file.Files.createTempDirectory("multirg").toString
+    Tables(spark, "/root/testdata/sf0.001", "orders")
+      .coalesce(1).write.mode("overwrite")
+      .option("parquet.block.size", "16384") // bytes -> many small groups
+      .parquet(dir)
+    val file = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head.getPath
+    val groups = graft.sources.ParquetMetadata.rowGroups(file)
+    assert(groups.length > 1, s"expected multiple row groups, got ${groups.length}")
+    assert(groups.map(_.numberOfRows.toLong).sum == 1500L) // all orders rows
+    assert(groups.forall(_.totalByteSize.toLong > 0))
+  }
+
   test("brotli pre-check reaches files inside partition subdirectories") {
     val brotli = getClass.getResource("/fixtures/brotli.parquet").getPath
     val root = java.nio.file.Files.createTempDirectory("brotli-part")
