@@ -121,6 +121,21 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("Generate"), p) // the explode itself
   }
 
+  test("q71 moving average: the window runs over aggregated days, not raw events") {
+    val p = plan("q71_moving_avg")
+    val aggIdx = p.indexOf("HashAggregate")
+    val winIdx = p.indexOf("Window")
+    assert(aggIdx >= 0 && winIdx >= 0, p)
+  }
+
+  test("q72 gap-filled series: generated axis joins the daily counts broadcast") {
+    val p = plan("q72_make_series")
+    assert(p.contains("Generate"), p) // the sequence() explode axis
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("whole-row render encodes stay inside whole-stage codegen") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
