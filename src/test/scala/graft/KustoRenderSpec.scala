@@ -97,6 +97,16 @@ class KustoRenderSpec extends AnyFunSuite with BeforeAndAfterAll {
     val got = df.select(KustoRender.decimalPlain(col("d")).as("s"))
       .collect().map(_.getString(0))
     assert(got.toSeq == Seq("0.0000001", "-0.0012300", "12.3000000", null))
+    // DECIMAL(p, p) — precision == scale — is legal SQL that the
+    // reference's assert!(precision > scale) PANICS on (converter.rs:346);
+    // this engine renders it instead of crashing.
+    val pp = spark.createDataFrame(
+      java.util.List.of(Row(new java.math.BigDecimal("0.05")),
+        Row(new java.math.BigDecimal("-0.99"))),
+      StructType(Seq(StructField("d", DecimalType(2, 2)))))
+    val ppGot = pp.select(KustoRender.decimalPlain(col("d")).as("s"))
+      .collect().map(_.getString(0))
+    assert(ppGot.toSeq == Seq("0.05", "-0.99"))
   }
 
   test("NaN and infinities render as null (converter.rs:291-295)") {
