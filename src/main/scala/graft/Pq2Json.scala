@@ -125,17 +125,23 @@ object Pq2Json {
       // partition subdirectories: a partitioned dataset is written by one
       // writer config, so its files share a codec, and sampling bounds the
       // driver-side footer reads to O(directories) instead of O(files).
-      // Unreadable footers (or non-parquet strays) are skipped — the scan
-      // itself will produce its own error for those.
-      def sampleFiles(f: java.io.File): Seq[String] =
+      // *.parquet-named files are sampled FIRST so a stray non-parquet
+      // file cannot mask a brotli data file behind it; depth is capped so
+      // a symlink cycle cannot recurse forever. Unreadable footers are
+      // skipped — the scan itself will produce its own error for those.
+      def sampleFiles(f: java.io.File, depth: Int = 0): Seq[String] =
         if (f.isFile) Seq(f.getPath)
-        else if (f.isDirectory) {
+        else if (f.isDirectory && depth < 32) {
           // listFiles() is null for unreadable dirs, not empty
           val kids = Option(f.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
           val data = kids.filter(k => k.isFile && k.length > 0 &&
             !k.getName.startsWith("_") && !k.getName.startsWith("."))
-          data.sortBy(_.getName).headOption.map(_.getPath).toSeq ++
-            kids.filter(_.isDirectory).sortBy(_.getName).flatMap(sampleFiles)
+          val (pq, other) = data.partition(_.getName.endsWith(".parquet"))
+          val sample = pq.sortBy(_.getName).headOption
+            .orElse(other.sortBy(_.getName).headOption)
+          sample.map(_.getPath).toSeq ++
+            kids.filter(_.isDirectory).sortBy(_.getName)
+              .flatMap(sampleFiles(_, depth + 1))
         } else Seq.empty
       sampleFiles(new java.io.File(a.input)).find { p =>
         scala.util.Try(ParquetMetadata.codecs(p).contains("BROTLI")).getOrElse(false)

@@ -35,6 +35,18 @@ case class DecimalPlainString(child: Expression) extends UnaryExpression {
   */
 case class DivideUnsigned(left: Expression, right: Expression)
     extends BinaryExpression {
+  // analysis-time typing, so divide_unsigned('a', 'b') is an analysis
+  // error, not a ClassCastException / codegen compile failure at runtime
+  // (AbstractDataType is private[sql], so no ImplicitCastInputTypes here —
+  // both sides must already BE bigint; cast explicitly at the call site)
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType == LongType && right.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "divide_unsigned requires (bigint, bigint), got " +
+          s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
   override def eval(input: InternalRow): Any = {

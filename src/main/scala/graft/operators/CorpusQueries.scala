@@ -13,9 +13,10 @@ import org.apache.spark.sql.functions._
   */
 object CorpusQueries extends QueryModule {
 
-  /** Whitespace tokens — kept in sync with the DuckDB oracles'
+  /** Whitespace tokens, shared with [[LlmQueries]] — ONE definition keeps
+    * every module's tokenization in lockstep with the DuckDB oracles'
     * `string_split_regex(trim(text), '\s+')`. */
-  private val toksSql = "split(trim(text), '\\\\s+')"
+  private val toksSql = LlmQueries.toksSql
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -71,6 +72,12 @@ object CorpusQueries extends QueryModule {
         prevSum = s
         round += 1
       }
+      // an unconverged result is WRONG (components reported split), never
+      // return it silently — raise with the remediation options
+      if (!converged) throw new IllegalStateException(
+        s"connected components did not converge within $round rounds " +
+          "(component diameter exceeds the cap); raise the round cap or " +
+          "switch to the large-star/small-star variant for deep graphs")
       labels.select(col("node").as("doc_id"), col("cluster"))
         .orderBy(col("doc_id"))
     }),
@@ -168,7 +175,7 @@ object CorpusQueries extends QueryModule {
     // stages are one narrow filter each plus ONE shuffle (the dedup
     // window on the fingerprint).
     "q68_curation_pipeline" -> ((s, dir) => {
-      val norm = "lower(trim(regexp_replace(text, '\\\\s+', ' ')))"
+      val norm = LlmQueries.normSql // shared: one normalization contract
       val hex = substring(md5(col("text")), 1, 1)
       val keepRate = when(col("lang") === "en",
         hex.isin("0", "1", "2", "3", "4", "5", "6", "7"))

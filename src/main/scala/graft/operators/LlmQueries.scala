@@ -28,12 +28,12 @@ object LlmQueries extends QueryModule {
   // ---- shared text fragments (kept in sync with the DuckDB oracles) ------
 
   /** whitespace-normalized lowercase text */
-  private val normSql = "lower(trim(regexp_replace(text, '\\\\s+', ' ')))"
+  private[operators] val normSql = "lower(trim(regexp_replace(text, '\\\\s+', ' ')))"
   /** whitespace tokens. IMPORTANT: never inline this inside an array
     * lambda — the regex split would re-run per element (O(tokens²) per
     * document; measured 49s -> 2s at sf0.1 when materialized once). Project
     * it to a `tk` column first via [[withTokens]]. */
-  private val toksSql = "split(trim(text), '\\\\s+')"
+  private[operators] val toksSql = "split(trim(text), '\\\\s+')"
   private def withTokens(df: DataFrame): DataFrame =
     df.withColumn("tk", expr(toksSql))
   /** Distinct word 3-shingles of a tokens column — built from array-level

@@ -75,27 +75,33 @@ object MultimodalStub {
 
   def decodeAudio(id: Long, b: Array[Byte]): AudioSamples = {
     def u16le(i: Int): Int = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
-    def u32le(i: Int): Int = u16le(i) | (u16le(i + 2) << 16)
+    def u32le(i: Int): Long = (u16le(i) | (u16le(i + 2).toLong << 16)) & 0xffffffffL
     if (b.length < 12 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' ||
         b(3) != 'F' || b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E')
       return AudioSamples(id, 0, 0, 0L, 0.0)
-    var i = 12
+    // chunk offsets in Long: a hostile/corrupt 32-bit size field must not
+    // wrap Int arithmetic into a zero or backwards advance (infinite loop
+    // inside a Spark task) — the cursor is strictly increasing by >= 8
+    var i = 12L
     var rate = 0; var ch = 0; var bits = 0
     var sumSq = 0.0; var n = 0L
     while (i + 8 <= b.length) {
-      val name = new String(b, i, 4, "US-ASCII")
-      val len = u32le(i + 4)
-      if (name == "fmt ") {
-        ch = u16le(i + 10); rate = u32le(i + 12); bits = u16le(i + 22)
+      val at = i.toInt
+      val name = new String(b, at, 4, "US-ASCII")
+      val len = u32le(at + 4)
+      // truncated chunks (fmt fields or samples past EOF) degrade to
+      // zeroed/partial stats, like every other malformed-media path here
+      if (name == "fmt " && i + 24 <= b.length) {
+        ch = u16le(at + 10); rate = u32le(at + 12).toInt; bits = u16le(at + 22)
       } else if (name == "data" && bits == 16) {
-        var j = i + 8
-        val end = math.min(i + 8 + len, b.length) // exclusive
+        var j = at + 8
+        val end = math.min(i + 8 + len, b.length.toLong).toInt // exclusive
         while (j + 1 < end) {
           val s = u16le(j).toShort.toDouble
           sumSq += s * s; n += 1; j += 2
         }
       }
-      i += 8 + len + (len & 1) // chunks are word-aligned
+      i += 8 + len + (len & 1L) // chunks are word-aligned
     }
     AudioSamples(id, rate, ch, n, if (n == 0) 0.0 else math.sqrt(sumSq / n))
   }

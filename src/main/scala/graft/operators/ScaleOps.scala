@@ -34,14 +34,16 @@ object ScaleOps {
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
 
-  /** Salt in `[0, salts)` from the full row PLUS a per-row position
-    * component: hashing the row alone would send fully-identical duplicate
-    * rows of a hot key to one reducer — the exact skew this helper exists
-    * to break. `monotonically_increasing_id` embeds (partition id, row
-    * offset), so the salt stays deterministic for a fixed partition layout
-    * (retries and speculative tasks of the same task recompute identical
-    * salts). */
+  /** Salt in `[0, salts)` as a pure function of row CONTENT. Content-only
+    * hashing is what makes the salt safe under task retries: a positional
+    * component (monotonically_increasing_id, partition offsets) changes
+    * when a retry re-reads shuffle blocks in a different order, and a
+    * changed join key after partial stage commit is the
+    * nondeterministic-repartition correctness class (rows double-counted
+    * or lost, SPARK-23207). KNOWN LIMITATION, accepted for that safety:
+    * byte-identical duplicate rows of a hot key share a salt and still
+    * land on one reducer — if your skew is identical-duplicate rows,
+    * aggregate them to (row, count) first, then salt. */
   def saltExpr(df: DataFrame, salts: Int): org.apache.spark.sql.Column =
-    pmod(xxhash64(df.columns.map(col).toIndexedSeq :+
-      monotonically_increasing_id(): _*), lit(salts.toLong))
+    pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(salts.toLong))
 }

@@ -43,12 +43,15 @@ object StreamingQueries extends QueryModule {
     * builder streams (dropDuplicates keeps per-fingerprint state across
     * micro-batches; bound it with dropDuplicatesWithinWatermark when the
     * dup horizon is time-limited) or runs in batch for the oracle gate.
-    * Deterministic despite dropDuplicates keeping an arbitrary row: the
-    * language is a function of the text and hence of the fingerprint. */
+    * Dedup is per (lang, fp), not global fp: if the same normalized text
+    * ever appeared under two languages, a global dropDuplicates would
+    * credit it to whichever language's row won the race — per-key dedup
+    * is deterministic by construction and matches COUNT(DISTINCT fp)
+    * GROUP BY lang exactly. */
   def dedupCounts(docs: DataFrame): DataFrame =
     docs.select(col("lang"),
         md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))).as("fp"))
-      .dropDuplicates("fp")
+      .dropDuplicates("lang", "fp")
       .groupBy(col("lang")).agg(count(lit(1)).as("n_unique"))
 
   /** Per-user session windows with a 6-hour inactivity gap. */

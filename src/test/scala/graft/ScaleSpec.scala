@@ -84,20 +84,31 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hotSalts >= 4, s"hot key spread over only $hotSalts salts")
   }
 
-  test("saltedJoin: fully-identical duplicate rows of a hot key still spread") {
+  test("saltedJoin: salts are content-pure (retry-safe); duplicate skew via pre-agg") {
     import scala.jdk.CollectionConverters._
-    // 1000 byte-identical rows — xxhash64 of the row alone would put every
-    // one of them on a single salt; the per-row position component must not
     val fact = spark.createDataFrame(
       (1 to 1000).map(_ => Row(1L, 7L)).asJava,
       StructType(Seq(StructField("k", LongType), StructField("v", LongType))))
       .repartition(8)
+    // byte-identical rows share ONE salt by design: the salt is a pure
+    // function of content, so task retries recompute identical join keys
+    // (a positional component would change on shuffle-read reorder —
+    // the SPARK-23207 correctness class)
     val dupSalts = fact.select(ScaleOps.saltExpr(fact, 8).as("s")).distinct().count()
-    assert(dupSalts >= 4, s"identical duplicates spread over only $dupSalts salts")
+    assert(dupSalts == 1, s"identical rows must share one salt, got $dupSalts")
     val dim = spark.createDataFrame(
       Seq(Row(1L, "one")).asJava,
       StructType(Seq(StructField("k", LongType), StructField("name", StringType))))
     assert(ScaleOps.saltedJoin(fact, dim, "k", salts = 8).count() == 1000)
+    // the documented mitigation: aggregate duplicates to (row, count)
+    // first — the distinct rows then spread across salts
+    val agg = fact.groupBy(col("k"), col("v")).count()
+      .union(spark.createDataFrame(
+        (2 to 500).map(i => Row(1L, i.toLong, 1L)).asJava,
+        StructType(Seq(StructField("k", LongType), StructField("v", LongType),
+          StructField("count", LongType)))))
+    val aggSalts = agg.select(ScaleOps.saltExpr(agg, 8).as("s")).distinct().count()
+    assert(aggSalts >= 4, s"distinct rows spread over only $aggSalts salts")
     // reserved name: refuse inputs that already carry __salt
     val clash = fact.withColumn("__salt", lit(0L))
     val e = intercept[IllegalArgumentException](
