@@ -47,6 +47,13 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.isNullAt(8)) // /0 -> null, try_divide convention
   }
 
+  test("divide_unsigned rejects non-bigint inputs at analysis time") {
+    val e = intercept[Exception](
+      spark.sql("SELECT divide_unsigned('a', 'b')").collect())
+    assert(e.getMessage.contains("divide_unsigned requires (bigint, bigint)"),
+      e.getMessage)
+  }
+
   test("registered functions run distributed over a table scan") {
     val n = spark.sql(
       """SELECT rolling_hash64(text) AS h

@@ -276,6 +276,27 @@ class LlmSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(r.getDouble(4) - amp / math.sqrt(2.0)) < amp * 0.01, r)
   }
 
+  test("hostile WAV chunk sizes terminate instead of looping or throwing") {
+    // chunk size 0xFFFFFFF8 read as signed Int is -8: the old cursor
+    // advance 8 + len + (len & 1) was ZERO — an infinite loop in a task
+    val evil = java.nio.ByteBuffer.allocate(24)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    evil.put("RIFF".getBytes("US-ASCII")).putInt(16)
+      .put("WAVE".getBytes("US-ASCII")).put("junk".getBytes("US-ASCII"))
+      .putInt(0xFFFFFFF8)
+    val r = MultimodalStub.decodeAudio(7L, evil.array())
+    assert(r.n_samples == 0L && r.rms == 0.0)
+    // truncated fmt chunk: header promises 16 payload bytes, file ends
+    // after 6 — must degrade to zeroed fields, not throw out of the task
+    val short = java.nio.ByteBuffer.allocate(26)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    short.put("RIFF".getBytes("US-ASCII")).putInt(18)
+      .put("WAVE".getBytes("US-ASCII")).put("fmt ".getBytes("US-ASCII"))
+      .putInt(16).putShort(1).putInt(44100)
+    val t = MultimodalStub.decodeAudio(8L, short.array())
+    assert(t.sample_rate == 0 && t.channels == 0 && t.n_samples == 0L)
+  }
+
   test("multimodal stub: per-partition decode preserves ids and byte counts") {
     val out = q("q40_multimodal").collect()
     assert(out.length == 500)
