@@ -57,6 +57,10 @@ object GraftFunctions {
       "64-bit unsigned long division (u64 reinterpret, /0 -> null)") {
       args => DivideUnsigned(args.head, args(1))
     },
+    fn("zorder_key",
+      "Morton interleave of two bigints' low 32 bits (Z-order clustering sort key)") {
+      args => ZorderKey(args.head, args(1))
+    },
     fn("rolling_hash64", "string -> 64-bit Rabin-Karp polynomial fingerprint") {
       args => RollingHash64(args.head)
     }
