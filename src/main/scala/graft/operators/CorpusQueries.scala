@@ -196,6 +196,20 @@ object CorpusQueries extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // --- top-nested (the Kusto top-nested shape): top-2 sources by
+    // document count WITHIN each language — hierarchical top-k is one
+    // aggregation plus a per-parent window over the aggregated rows.
+    "q76_top_nested" -> ((s, dir) => {
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("n").desc, col("source").asc)
+      Tables(s, dir, "documents")
+        .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("n"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 2)
+        .select(col("lang"), col("source"), col("n"), col("rnk"))
+        .orderBy(col("lang"), col("rnk"))
+    }),
+
     // --- Zipf token statistics: global term frequencies, rank, and
     // cumulative corpus share. The unpartitioned window runs over the
     // VOCABULARY (post-aggregation), not the corpus — at 100 TB the
@@ -309,6 +323,13 @@ object CorpusQueries extends QueryModule {
         |  CASE substr(fp, 32, 1) WHEN '0' THEN 'test' WHEN '1' THEN 'valid'
         |       ELSE 'train' END AS split
         |FROM sampled ORDER BY doc_id""".stripMargin,
+    "q76_top_nested" ->
+      """WITH agg AS (
+        |  SELECT lang, source, COUNT(*) AS n FROM documents GROUP BY 1, 2),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+        |        ORDER BY n DESC, source ASC) AS rnk FROM agg)
+        |SELECT lang, source, n, rnk FROM r WHERE rnk <= 2
+        |ORDER BY lang, rnk""".stripMargin,
     "q63_token_zipf" ->
       """WITH f AS (
         |  SELECT term, COUNT(*) AS n FROM (

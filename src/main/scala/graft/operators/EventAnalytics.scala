@@ -70,6 +70,22 @@ object EventAnalytics extends QueryModule {
         .orderBy(col("day"))
     }),
 
+    // --- rolling 7-day active users (the engagement-metrics shape):
+    // exact distinct users per trailing window via a bounded range join
+    // of the day axis against distinct (user, day) — candidate volume is
+    // |days| x |daily actives|, never |events|², and the event log is
+    // reduced to distinct (user, day) before the join.
+    "q77_rolling_actives" -> ((s, dir) => {
+      val act = events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val axis = act.select(col("day").as("as_of")).distinct()
+      axis.join(act,
+          col("day") >= date_sub(col("as_of"), 6) && col("day") <= col("as_of"))
+        .groupBy(col("as_of"))
+        .agg(countDistinct(col("user_id")).as("active_7d"))
+        .orderBy(col("as_of"))
+    }),
+
     // --- gap-filled daily series (the make-series shape): materialize
     // every calendar day between min and max, left-join the daily counts,
     // zero-fill. The generated axis is |days| rows from one tiny agg.
@@ -109,6 +125,14 @@ object EventAnalytics extends QueryModule {
         |  COUNT(DISTINCT CASE WHEN a.day = c.d0 + 7 THEN a.user_id END) AS n_day7
         |FROM act a JOIN cohort c ON a.user_id = c.user_id
         |GROUP BY c.d0 ORDER BY c.d0""".stripMargin,
+    "q77_rolling_actives" ->
+      """WITH act AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |axis AS (SELECT DISTINCT day AS as_of FROM act)
+        |SELECT axis.as_of, COUNT(DISTINCT act.user_id) AS active_7d
+        |FROM axis JOIN act
+        |  ON act.day >= axis.as_of - 6 AND act.day <= axis.as_of
+        |GROUP BY axis.as_of ORDER BY axis.as_of""".stripMargin,
     "q71_moving_avg" ->
       """WITH daily AS (
         |  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n FROM events GROUP BY 1),

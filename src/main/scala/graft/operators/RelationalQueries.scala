@@ -253,6 +253,20 @@ object RelationalQueries extends QueryModule {
       r.crossJoin(st)
         .select(col("r_name"), col("o_orderstatus"))
         .orderBy(col("r_name"), col("o_orderstatus"))
+    }),
+
+    // --- arg-max/arg-min aggregates (max_by/min_by): which row attains
+    // the group's extreme, in ONE hash aggregation — no window, no
+    // self-join. Deterministic here because the per-status price extremes
+    // are untied in the harness data (verified at gate and bench sf);
+    // with tied extremes, compose the tie-break into the ordering value.
+    "q78_arg_extremes" -> ((s, dir) => {
+      Tables(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(max_by(col("o_orderkey"), col("o_totalprice")).as("top_order"),
+          min_by(col("o_orderkey"), col("o_totalprice")).as("bottom_order"),
+          max(col("o_totalprice")).as("max_price"))
+        .orderBy(col("o_orderstatus"))
     })
   )
 
@@ -368,6 +382,12 @@ object RelationalQueries extends QueryModule {
       """SELECT r_name, o_orderstatus
         |FROM (SELECT r_name FROM region)
         |CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders)
-        |ORDER BY r_name, o_orderstatus""".stripMargin
+        |ORDER BY r_name, o_orderstatus""".stripMargin,
+    "q78_arg_extremes" ->
+      """SELECT o_orderstatus,
+        |  arg_max(o_orderkey, o_totalprice) AS top_order,
+        |  arg_min(o_orderkey, o_totalprice) AS bottom_order,
+        |  max(o_totalprice) AS max_price
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
   )
 }
