@@ -100,6 +100,17 @@ object ExtendedQueries extends QueryModule {
         .orderBy(col("day"))
     }),
 
+    // --- unpivot/melt (the inverse of q47): wide columns -> (metric,
+    // value) rows via the stack generator — row count multiplies by the
+    // metric count but stays a narrow, shuffle-free transformation.
+    "q79_unpivot" -> ((s, dir) => {
+      Tables(s, dir, "orders")
+        .selectExpr("o_orderkey",
+          "stack(2, 'price', o_totalprice, " +
+            "'key_as_double', CAST(o_orderkey AS DOUBLE)) AS (metric, value)")
+        .orderBy(col("o_orderkey"), col("metric"))
+    }),
+
     // --- exact interpolated percentiles (median/p90) per group.
     "q48_percentile" -> ((s, dir) => {
       Tables(s, dir, "lineitem")
@@ -184,6 +195,11 @@ object ExtendedQueries extends QueryModule {
         |  COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
         |  COUNT(*) FILTER (WHERE event_type = 'error') AS error
         |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+    "q79_unpivot" ->
+      """SELECT o_orderkey, 'price' AS metric, o_totalprice AS value FROM orders
+        |UNION ALL
+        |SELECT o_orderkey, 'key_as_double', CAST(o_orderkey AS DOUBLE) FROM orders
+        |ORDER BY o_orderkey, metric""".stripMargin,
     "q48_percentile" ->
       """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS med,
         |  quantile_cont(l_quantity, 0.9) AS p90
