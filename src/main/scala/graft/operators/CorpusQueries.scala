@@ -231,8 +231,85 @@ object CorpusQueries extends QueryModule {
             sum(col("n")).over(tot).cast("double"), 6))
         .select(col("term"), col("n"), col("rnk"), col("share"))
         .orderBy(col("rnk"))
+    }),
+
+    // --- benchmark decontamination: flag corpus documents that share any
+    // word 8-gram with an eval/benchmark set (here the deterministic
+    // doc_id % 5 == 0 slice stands in for the benchmark table). The
+    // benchmark's distinct-gram set is small by construction (eval suites
+    // are MBs, corpora are TBs), so it broadcasts and the corpus side is
+    // a map-side hash probe — no corpus shuffle at any scale. Gram arrays
+    // are built with the same zip-fused slice shape as the 3-shingles
+    // (see gramsSql) so the tokenizer runs O(n) per row, not per gram.
+    "q80_decontaminate" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+        .withColumn("tk", expr(toksSql))
+      def grams(df: DataFrame): DataFrame =
+        df.select(col("doc_id"), explode(expr(gramsSql("tk", 8))).as("g"))
+      val bench = grams(docs.filter(col("doc_id") % 5 === 0))
+        .select(col("g")).distinct()
+      grams(docs.filter(col("doc_id") % 5 =!= 0))
+        .join(broadcast(bench), "g")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- sequence packing for training: concatenate documents in
+    // deterministic (doc_id) order within each (lang, source) stratum and
+    // chunk the token stream into fixed 512-token sequences; each doc
+    // reports the sequence span it lands in. concat-then-chunk (docs may
+    // straddle a boundary) is the standard pretraining packing shape and,
+    // unlike greedy bin-packing, is a pure window cumsum — embarrassingly
+    // parallel across strata. At 100 TB the stratum key gains a hash-shard
+    // component so no single window partition exceeds an executor.
+    "q81_pack_sequences" -> ((s, dir) => {
+      val win = Window.partitionBy(col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+      Tables(s, dir, "documents")
+        .select(col("lang"), col("source"), col("doc_id"),
+          size(expr(toksSql)).cast("long").as("n_tokens"))
+        .withColumn("cum", sum(col("n_tokens")).over(win))
+        .select(col("lang"), col("source"), col("doc_id"), col("n_tokens"),
+          expr("(cum - n_tokens) div 512").as("start_seq"),
+          expr("(cum - 1) div 512").as("end_seq"))
+        .orderBy(col("lang"), col("source"), col("doc_id"))
+    }),
+
+    // --- PII redaction: mask email addresses then digit runs, report a
+    // fingerprint of the scrubbed text plus match counts. The synthetic
+    // corpus contains no PII, so both sides first derive an augmented
+    // column seeded from doc_id — the masking itself (global regex
+    // replace, Java and RE2 agree on these character-class patterns) is
+    // what is under test. Pure map-side scan->project: no shuffle except
+    // the output sort, so it scales linearly with input bytes.
+    "q82_pii_redact" -> ((s, dir) => {
+      val email = "[A-Za-z0-9.]+@[A-Za-z0-9.]+"
+      Tables(s, dir, "documents")
+        .withColumn("aug", expr(
+          "concat(text, ' contact user', CAST(doc_id AS STRING), " +
+            "'@mail.example or call 555-', CAST(doc_id AS STRING))"))
+        .select(col("doc_id"),
+          expr(s"regexp_replace(regexp_replace(aug, '$email', '[EMAIL]'), " +
+            "'[0-9]+', '#')").as("red"),
+          expr(s"CAST(size(regexp_extract_all(aug, '$email', 0)) AS BIGINT)")
+            .as("n_emails"))
+        .select(col("doc_id"), md5(col("red")).as("red_fp"),
+          length(col("red")).cast("long").as("red_len"), col("n_emails"))
+        .orderBy(col("doc_id"))
     })
   )
+
+  /** Distinct word n-grams of a tokens column, zip-fusing n shifted
+    * slices so the (re-inlined) tokenizer evaluates once per ROW — the
+    * n-ary generalization of [[LlmQueries]]' 3-shingle builder; see its
+    * scaladoc for why a positional lambda here would be O(tokens²). */
+  private def gramsSql(t: String, n: Int): String = {
+    val len = s"size($t) - ${n - 1}"
+    val fused = (2 to n).foldLeft(s"slice($t, 1, $len)") { (acc, k) =>
+      s"zip_with($acc, slice($t, $k, $len), (a, b) -> concat(a, ' ', b))"
+    }
+    s"array_distinct(CASE WHEN size($t) >= $n THEN $fused ELSE array() END)"
+  }
 
   def oracles: Map[String, String] = Map(
     "q59_dedup_clusters" ->
@@ -340,6 +417,46 @@ object CorpusQueries extends QueryModule {
         |  round(CAST(SUM(n) OVER (ORDER BY n DESC, term ASC
         |          ROWS UNBOUNDED PRECEDING) AS DOUBLE) /
         |        CAST(SUM(n) OVER () AS DOUBLE), 6) AS share
-        |FROM f ORDER BY rnk""".stripMargin
+        |FROM f ORDER BY rnk""".stripMargin,
+    "q80_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, array_to_string(t[i : i + 7], ' ') AS g
+        |  FROM toks, UNNEST(generate_series(1, len(t) - 7)) AS u(i)
+        |  WHERE len(t) >= 8),
+        |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 5 = 0)
+        |SELECT g2.doc_id, COUNT(*) AS n_overlap
+        |FROM grams g2 JOIN bench USING (g)
+        |WHERE g2.doc_id % 5 <> 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q81_pack_sequences" ->
+      """SELECT lang, source, doc_id, n_tokens,
+        |  (cum - n_tokens) // 512 AS start_seq,
+        |  (cum - 1) // 512 AS end_seq
+        |FROM (
+        |  SELECT lang, source, doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+        |      AS n_tokens,
+        |    CAST(SUM(len(string_split_regex(trim(text), '\s+'))) OVER (
+        |      PARTITION BY lang, source ORDER BY doc_id) AS BIGINT) AS cum
+        |  FROM documents)
+        |ORDER BY lang, source, doc_id""".stripMargin,
+    "q82_pii_redact" ->
+      """WITH aug AS (
+        |  SELECT doc_id, concat(text, ' contact user',
+        |    CAST(doc_id AS VARCHAR), '@mail.example or call 555-',
+        |    CAST(doc_id AS VARCHAR)) AS aug
+        |  FROM documents),
+        |red AS (
+        |  SELECT doc_id, aug, regexp_replace(regexp_replace(aug,
+        |    '[A-Za-z0-9.]+@[A-Za-z0-9.]+', '[EMAIL]', 'g'),
+        |    '[0-9]+', '#', 'g') AS red
+        |  FROM aug)
+        |SELECT doc_id, md5(red) AS red_fp, CAST(len(red) AS BIGINT) AS red_len,
+        |  CAST(len(regexp_extract_all(aug,
+        |    '[A-Za-z0-9.]+@[A-Za-z0-9.]+')) AS BIGINT) AS n_emails
+        |FROM red ORDER BY doc_id""".stripMargin
   )
 }

@@ -82,11 +82,20 @@ object ExtendedQueries extends QueryModule {
 
     // --- approximate distinct (HLL++): engine-specific estimate, so no
     // DuckDB oracle; accuracy vs exact is pinned in ExtendedSpec.
+    // The HLL++ estimate itself is implementation-specific (DuckDB's HLL
+    // differs), so the oracled output is the accuracy CONTRACT: the exact
+    // distinct count plus a boolean asserting the sketch landed within its
+    // documented 5% rsd. Mixing one distinct agg with non-distinct aggs
+    // stays a two-phase hash aggregate (partial + final) — one shuffle.
     "q45_approx_distinct" -> ((s, dir) => {
       Tables(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        .agg(approx_count_distinct(col("l_partkey")).as("approx"),
+          countDistinct(col("l_partkey")).as("exact_parts"),
           count(lit(1)).as("n"))
+        .select(col("l_returnflag"), col("exact_parts"), col("n"),
+          (abs(col("approx") - col("exact_parts")) /
+            col("exact_parts") <= lit(0.05)).as("hll_ok"))
         .orderBy(col("l_returnflag"))
     }),
 
@@ -187,6 +196,10 @@ object ExtendedQueries extends QueryModule {
         |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
         |  FROM documents)
         |GROUP BY token ORDER BY n DESC, token ASC LIMIT 20""".stripMargin,
+    "q45_approx_distinct" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts,
+        |  COUNT(*) AS n, TRUE AS hll_ok
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q47_pivot" ->
       """SELECT date_trunc('day', ts) AS day,
         |  COUNT(*) FILTER (WHERE event_type = 'click') AS click,

@@ -35,7 +35,7 @@ class BenchFormatSpec extends AnyFunSuite {
     // else gets a weaker rows-only check. Keep that set explicit so a new
     // query cannot silently ship unverified.
     val rowsOnly = Set("q35_minhash_lsh", "q36_simhash", "q39_ann_lsh",
-      "q45_approx_distinct", "q46_ann_ivf")
+      "q46_ann_ivf")
     val queries = SparkEntry.queries.keySet
     val oracled = SparkEntry.oracleSql.keySet
     assert(oracled.subsetOf(queries),
