@@ -296,19 +296,61 @@ object CorpusQueries extends QueryModule {
         .select(col("doc_id"), md5(col("red")).as("red_fp"),
           length(col("red")).cast("long").as("red_len"), col("n_emails"))
         .orderBy(col("doc_id"))
+    }),
+
+    // --- intra-document repetition (Gopher-style quality rule): the
+    // fraction of a document's word 3-grams that are repeats of an
+    // earlier 3-gram in the SAME document. Stays array-native — distinct
+    // vs total gram counts come from one fused gram array per row, so
+    // the whole score is a map-side scan->project with no explode and no
+    // shuffle beyond the output sort; 100 TB cost is linear in bytes.
+    "q84_repetition" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .withColumn("tk", expr(toksSql))
+        .filter(size(col("tk")) >= 3)
+        .withColumn("gs", expr(gramsSql("tk", 3, distinct = false)))
+        .select(col("doc_id"), size(col("gs")).cast("long").as("n_grams"),
+          size(array_distinct(col("gs"))).cast("long").as("n_distinct"))
+        .withColumn("dup_ratio", round(
+          lit(1.0) - col("n_distinct").cast("double") /
+            col("n_grams").cast("double"), 6))
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- source mixing: rebalance a multi-source corpus to a uniform
+    // mix by downsampling every source to HALF the smallest source's
+    // size (the harness corpus is uniform across sources, so "match the
+    // smallest" would keep everything; a 0.5x target subsamples at any
+    // scale factor). Two tiny aggregates (per-source counts, their min)
+    // broadcast back onto the corpus; the keep decision is a
+    // deterministic integer compare on a 32-bit md5 prefix —
+    // content-derived like q60, so the sample is reproducible across
+    // engines, retries, and partitionings. The corpus itself is scanned
+    // once and never shuffled.
+    "q85_source_mix" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_src"))
+      val minCnt = counts.agg(min(col("n_src")).as("m"))
+      docs.join(broadcast(counts), "source")
+        .crossJoin(broadcast(minCnt))
+        .filter(expr("CAST(conv(substring(md5(text), 1, 8), 16, 10) AS BIGINT)" +
+          " * n_src * 2 < m * 4294967296"))
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
     })
   )
 
-  /** Distinct word n-grams of a tokens column, zip-fusing n shifted
-    * slices so the (re-inlined) tokenizer evaluates once per ROW — the
-    * n-ary generalization of [[LlmQueries]]' 3-shingle builder; see its
-    * scaladoc for why a positional lambda here would be O(tokens²). */
-  private def gramsSql(t: String, n: Int): String = {
+  /** Word n-grams of a tokens column (optionally distinct), zip-fusing n
+    * shifted slices so the (re-inlined) tokenizer evaluates once per ROW
+    * — the n-ary generalization of [[LlmQueries]]' 3-shingle builder; see
+    * its scaladoc for why a positional lambda here would be O(tokens²). */
+  private def gramsSql(t: String, n: Int, distinct: Boolean = true): String = {
     val len = s"size($t) - ${n - 1}"
     val fused = (2 to n).foldLeft(s"slice($t, 1, $len)") { (acc, k) =>
       s"zip_with($acc, slice($t, $k, $len), (a, b) -> concat(a, ' ', b))"
     }
-    s"array_distinct(CASE WHEN size($t) >= $n THEN $fused ELSE array() END)"
+    val grams = s"CASE WHEN size($t) >= $n THEN $fused ELSE array() END"
+    if (distinct) s"array_distinct($grams)" else grams
   }
 
   def oracles: Map[String, String] = Map(
@@ -457,6 +499,28 @@ object CorpusQueries extends QueryModule {
         |SELECT doc_id, md5(red) AS red_fp, CAST(len(red) AS BIGINT) AS red_len,
         |  CAST(len(regexp_extract_all(aug,
         |    '[A-Za-z0-9.]+@[A-Za-z0-9.]+')) AS BIGINT) AS n_emails
-        |FROM red ORDER BY doc_id""".stripMargin
+        |FROM red ORDER BY doc_id""".stripMargin,
+    "q84_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, array_to_string(t[i : i + 2], ' ') AS g
+        |  FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS u(i)
+        |  WHERE len(t) >= 3)
+        |SELECT doc_id, COUNT(*) AS n_grams,
+        |  COUNT(DISTINCT g) AS n_distinct,
+        |  round(1 - CAST(COUNT(DISTINCT g) AS DOUBLE) / COUNT(*), 6)
+        |    AS dup_ratio
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q85_source_mix" ->
+      """WITH c AS (SELECT source, COUNT(*) AS n_src
+        |           FROM documents GROUP BY 1),
+        |m AS (SELECT MIN(n_src) AS m FROM c)
+        |SELECT doc_id, lang, source
+        |FROM documents JOIN c USING (source) CROSS JOIN m
+        |WHERE CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT)
+        |      * n_src * 2 < m * 4294967296
+        |ORDER BY doc_id""".stripMargin
   )
 }

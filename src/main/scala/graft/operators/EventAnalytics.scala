@@ -98,6 +98,30 @@ object EventAnalytics extends QueryModule {
       axis.join(daily, Seq("day"), "left")
         .select(col("day"), coalesce(col("n"), lit(0L)).as("n"))
         .orderBy(col("day"))
+    }),
+
+    // --- sessionization: split each user's event stream into sessions at
+    // >30-minute gaps — boundary flag via lag, session index via running
+    // sum over the same window, then per-session aggregates. One shuffle
+    // (partition by user for the window); the follow-up groupBy partial-
+    // aggregates down to session rows before its exchange. At 100 TB the
+    // parallelism unit is users (users >> cores) and a hyperactive user
+    // costs only their own event count — never a corpus-wide sort.
+    "q83_sessionize" -> ((s, dir) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("nb",
+          when(col("us") - lag(col("us"), 1).over(byUser) <= 1800000000L, 0L)
+            .otherwise(1L))
+        .withColumn("session_idx", sum(col("nb")).over(run))
+        .groupBy(col("user_id"), col("session_idx"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("sess_start"), max(col("ts")).as("sess_end"))
+        .orderBy(col("user_id"), col("session_idx"))
     })
   )
 
@@ -152,6 +176,25 @@ object EventAnalytics extends QueryModule {
         |  FROM daily)
         |SELECT axis.day, COALESCE(daily.n, 0) AS n
         |FROM axis LEFT JOIN daily ON axis.day = daily.day
-        |ORDER BY axis.day""".stripMargin
+        |ORDER BY axis.day""".stripMargin,
+    "q83_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |b AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN prev IS NOT NULL AND us - prev <= 1800000000
+        |         THEN 0 ELSE 1 END AS nb
+        |  FROM e),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    CAST(SUM(nb) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+        |  FROM b)
+        |SELECT user_id, session_idx, COUNT(*) AS n_events,
+        |  MIN(ts) AS sess_start, MAX(ts) AS sess_end
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }
