@@ -120,6 +120,53 @@ object ExtendedQueries extends QueryModule {
         .orderBy(col("o_orderkey"), col("metric"))
     }),
 
+    // --- arbitrary GROUPING SETS (beyond q11 rollup / q42 cube), driven
+    // through the SQL entry path (spark.sql over a temp view) with
+    // grouping_id() disambiguating which set produced each row. Plans as
+    // a single Expand + one partially-aggregated shuffle — grouping-set
+    // fan-out happens map-side, not as three scans.
+    "q86_grouping_sets" -> ((s, dir) => {
+      Tables(s, dir, "orders").createOrReplaceTempView("orders_q86")
+      s.sql("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+              |  CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT)
+              |    AS gid
+              |FROM orders_q86
+              |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+              |ORDER BY gid, o_orderstatus NULLS FIRST,
+              |  o_orderpriority NULLS FIRST""".stripMargin)
+    }),
+
+    // --- correlated scalar subquery: Catalyst decorrelates the per-row
+    // COUNT into an aggregate + left outer join (no nested-loop
+    // re-execution), so the 100 TB cost is one pre-reduced agg and one
+    // join on the correlation key, not rows x subquery.
+    "q87_correlated_subquery" -> ((s, dir) => {
+      Tables(s, dir, "customer").createOrReplaceTempView("customer_q87")
+      Tables(s, dir, "orders").createOrReplaceTempView("orders_q87")
+      s.sql("""SELECT c_custkey, c_name,
+              |  CAST((SELECT COUNT(*) FROM orders_q87 o
+              |        WHERE o.o_custkey = c.c_custkey) AS BIGINT) AS n_orders
+              |FROM customer_q87 c
+              |WHERE c_custkey < 200
+              |ORDER BY c_custkey""".stripMargin)
+    }),
+
+    // --- higher-order array functions: per-order quantity vector via
+    // sort_array(collect_list(..)) (sorted for determinism), then lambda
+    // aggregate/filter over the array — all codegen-friendly, no UDF, no
+    // explode round-trip. The array column itself ships as JSON text so
+    // downstream tooling (and the oracle compare) see a stable encoding.
+    "q88_array_hof" -> ((s, dir) => {
+      Tables(s, dir, "lineitem")
+        .filter(col("l_orderkey") < 100)
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_list(col("l_quantity").cast("long"))).as("q"))
+        .select(col("l_orderkey"), to_json(col("q")).as("qtys"),
+          expr("aggregate(q, 0L, (acc, x) -> acc + x)").as("total"),
+          expr("CAST(size(filter(q, x -> x >= 25)) AS BIGINT)").as("n_big"))
+        .orderBy(col("l_orderkey"))
+    }),
+
     // --- exact interpolated percentiles (median/p90) per group.
     "q48_percentile" -> ((s, dir) => {
       Tables(s, dir, "lineitem")
@@ -200,6 +247,28 @@ object ExtendedQueries extends QueryModule {
       """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts,
         |  COUNT(*) AS n, TRUE AS hll_ok
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q86_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |  CAST(GROUPING_ID(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY gid, o_orderstatus NULLS FIRST,
+        |  o_orderpriority NULLS FIRST""".stripMargin,
+    "q87_correlated_subquery" ->
+      """SELECT c_custkey, c_name,
+        |  CAST((SELECT COUNT(*) FROM orders o
+        |        WHERE o.o_custkey = c.c_custkey) AS BIGINT) AS n_orders
+        |FROM customer c
+        |WHERE c_custkey < 200
+        |ORDER BY c_custkey""".stripMargin,
+    "q88_array_hof" ->
+      """SELECT l_orderkey,
+        |  to_json(list_sort(list(CAST(l_quantity AS BIGINT)))) AS qtys,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total,
+        |  CAST(COUNT(*) FILTER (WHERE CAST(l_quantity AS BIGINT) >= 25)
+        |    AS BIGINT) AS n_big
+        |FROM lineitem WHERE l_orderkey < 100
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q47_pivot" ->
       """SELECT date_trunc('day', ts) AS day,
         |  COUNT(*) FILTER (WHERE event_type = 'click') AS click,

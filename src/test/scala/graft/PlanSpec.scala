@@ -151,6 +151,26 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("q86 grouping sets: single Expand, partial aggregation, one scan") {
+    val p = plan("q86_grouping_sets")
+    // count tree nodes ("+- Scan parquet"), not the repeated detail headers
+    assert(p.occurrencesOf("Expand") >= 1 &&
+      p.occurrencesOf("+- Scan parquet") == 1, p)
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("q87 correlated subquery decorrelates to a join (no per-row re-execution)") {
+    val p = plan("q87_correlated_subquery")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Join") || p.contains("HashJoin"), p)
+    // the orders side is pre-aggregated before joining
+    assert(p.contains("partial_count"), p)
+  }
+
+  private implicit class StrOps(s: String) {
+    def occurrencesOf(sub: String): Int = s.sliding(sub.length).count(_ == sub)
+  }
+
   test("whole-stage codegen covers the relational hot paths") {
     // AQE wraps the plan in AdaptiveSparkPlanExec, which the codegen
     // explainer does not descend into before execution — check without it.
