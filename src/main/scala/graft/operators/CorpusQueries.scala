@@ -123,10 +123,8 @@ object CorpusQueries extends QueryModule {
     "q62_bigrams" -> ((s, dir) => {
       Tables(s, dir, "documents")
         .select(expr(toksSql).as("tk"))
-        .filter(size(col("tk")) >= 2)
-        .select(explode(expr(
-          "zip_with(slice(tk, 1, size(tk) - 1), slice(tk, 2, size(tk) - 1), " +
-            "(x, y) -> concat(x, ' ', y))")).as("bigram"))
+        .select(explode(expr(gramsSql("tk", 2, distinct = false)))
+          .as("bigram"))
         .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("bigram").asc)
         .limit(20)
@@ -234,13 +232,15 @@ object CorpusQueries extends QueryModule {
     }),
 
     // --- benchmark decontamination: flag corpus documents that share any
-    // word 8-gram with an eval/benchmark set (here the deterministic
-    // doc_id % 5 == 0 slice stands in for the benchmark table). The
-    // benchmark's distinct-gram set is small by construction (eval suites
-    // are MBs, corpora are TBs), so it broadcasts and the corpus side is
-    // a map-side hash probe — no corpus shuffle at any scale. Gram arrays
-    // are built with the same zip-fused slice shape as the 3-shingles
-    // (see gramsSql) so the tokenizer runs O(n) per row, not per gram.
+    // word 8-gram with an eval/benchmark set. In production the benchmark
+    // is an EXTERNAL eval suite — MBs against a TB corpus — which is what
+    // justifies broadcast(bench): the corpus side is then a map-side hash
+    // probe with no shuffle at any corpus size. The harness has no second
+    // table, so the doc_id % 5 == 0 slice stands in; that stand-in (not
+    // the operator) is what grows with sf, and a real deployment would
+    // feed a fixed eval table here. Gram arrays are built with the same
+    // zip-fused slice shape as the 3-shingles (see gramsSql) so the
+    // tokenizer runs O(n) per row, not per gram.
     "q80_decontaminate" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents")
         .withColumn("tk", expr(toksSql))
@@ -283,7 +283,10 @@ object CorpusQueries extends QueryModule {
     // what is under test. Pure map-side scan->project: no shuffle except
     // the output sort, so it scales linearly with input bytes.
     "q82_pii_redact" -> ((s, dir) => {
-      val email = "[A-Za-z0-9.]+@[A-Za-z0-9.]+"
+      // full local-part/domain character classes (underscore, %, +, -)
+      // so realistic addresses are masked whole, not in fragments; the
+      // class syntax is identical in Java regex and DuckDB's RE2
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
       Tables(s, dir, "documents")
         .withColumn("aug", expr(
           "concat(text, ' contact user', CAST(doc_id AS STRING), " +
@@ -493,12 +496,12 @@ object CorpusQueries extends QueryModule {
         |  FROM documents),
         |red AS (
         |  SELECT doc_id, aug, regexp_replace(regexp_replace(aug,
-        |    '[A-Za-z0-9.]+@[A-Za-z0-9.]+', '[EMAIL]', 'g'),
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '[EMAIL]', 'g'),
         |    '[0-9]+', '#', 'g') AS red
         |  FROM aug)
         |SELECT doc_id, md5(red) AS red_fp, CAST(len(red) AS BIGINT) AS red_len,
         |  CAST(len(regexp_extract_all(aug,
-        |    '[A-Za-z0-9.]+@[A-Za-z0-9.]+')) AS BIGINT) AS n_emails
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+')) AS BIGINT) AS n_emails
         |FROM red ORDER BY doc_id""".stripMargin,
     "q84_repetition" ->
       """WITH toks AS (

@@ -84,18 +84,23 @@ object ExtendedQueries extends QueryModule {
     // DuckDB oracle; accuracy vs exact is pinned in ExtendedSpec.
     // The HLL++ estimate itself is implementation-specific (DuckDB's HLL
     // differs), so the oracled output is the accuracy CONTRACT: the exact
-    // distinct count plus a boolean asserting the sketch landed within its
-    // documented 5% rsd. Mixing one distinct agg with non-distinct aggs
-    // stays a two-phase hash aggregate (partial + final) — one shuffle.
+    // distinct count plus a boolean asserting the sketch landed within
+    // 3x its configured rsd (rsd is a standard deviation, not a bound —
+    // a 1-sigma cutoff would fail legitimate sketches on some fixtures).
+    // Note the exact countDistinct alongside non-distinct aggs triggers
+    // Spark's distinct-aggregate rewrite: partial agg on (flag, partkey),
+    // exchange, then re-aggregate on flag — two exchanges, with the
+    // exact-distinct leg, not the sketch, dominating at scale. A
+    // production approx-only query keeps the single-shuffle shape.
     "q45_approx_distinct" -> ((s, dir) => {
       Tables(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey")).as("approx"),
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx"),
           countDistinct(col("l_partkey")).as("exact_parts"),
           count(lit(1)).as("n"))
         .select(col("l_returnflag"), col("exact_parts"), col("n"),
           (abs(col("approx") - col("exact_parts")) /
-            col("exact_parts") <= lit(0.05)).as("hll_ok"))
+            col("exact_parts") <= lit(0.06)).as("hll_ok"))
         .orderBy(col("l_returnflag"))
     }),
 
@@ -160,7 +165,11 @@ object ExtendedQueries extends QueryModule {
       Tables(s, dir, "lineitem")
         .filter(col("l_orderkey") < 100)
         .groupBy(col("l_orderkey"))
-        .agg(sort_array(collect_list(col("l_quantity").cast("long"))).as("q"))
+        // floor-before-cast on BOTH sides: Spark's double->long cast
+        // truncates while DuckDB's rounds; floor() makes the (positive)
+        // quantities agree even on a fixture with fractional values
+        .agg(sort_array(collect_list(floor(col("l_quantity")).cast("long")))
+          .as("q"))
         .select(col("l_orderkey"), to_json(col("q")).as("qtys"),
           expr("aggregate(q, 0L, (acc, x) -> acc + x)").as("total"),
           expr("CAST(size(filter(q, x -> x >= 25)) AS BIGINT)").as("n_big"))
@@ -263,9 +272,11 @@ object ExtendedQueries extends QueryModule {
         |ORDER BY c_custkey""".stripMargin,
     "q88_array_hof" ->
       """SELECT l_orderkey,
-        |  to_json(list_sort(list(CAST(l_quantity AS BIGINT)))) AS qtys,
-        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total,
-        |  CAST(COUNT(*) FILTER (WHERE CAST(l_quantity AS BIGINT) >= 25)
+        |  to_json(list_sort(list(CAST(floor(l_quantity) AS BIGINT))))
+        |    AS qtys,
+        |  CAST(SUM(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS total,
+        |  CAST(COUNT(*) FILTER
+        |    (WHERE CAST(floor(l_quantity) AS BIGINT) >= 25)
         |    AS BIGINT) AS n_big
         |FROM lineitem WHERE l_orderkey < 100
         |GROUP BY 1 ORDER BY 1""".stripMargin,
