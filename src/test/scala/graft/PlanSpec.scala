@@ -151,6 +151,29 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("q80 decontamination: eval grams broadcast, corpus side never sort-merged") {
+    val p = plan("q80_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q83 sessionization: session groupBy partial-aggregates above the per-user window") {
+    val p = plan("q83_sessionize")
+    val winIdx = p.indexOf("Window")
+    assert(winIdx >= 0, p)
+    assert(p.contains("partial_count") || p.contains("partial_min"), p)
+    // exactly one shuffle of the event log: the user-id window exchange
+    // plus the post-window session agg exchange and the output sort
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 2, p)
+  }
+
+  test("q85 source mixing: corpus scanned once, only broadcast exchanges touch it") {
+    val p = plan("q85_source_mix")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q86 grouping sets: single Expand, partial aggregation, one scan") {
     val p = plan("q86_grouping_sets")
     // count tree nodes ("+- Scan parquet"), not the repeated detail headers
