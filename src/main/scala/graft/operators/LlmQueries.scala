@@ -253,6 +253,41 @@ object LlmQueries extends QueryModule {
     // --- brute-force cosine top-k: the exact-search baseline. The query
     // side (10 vectors) is broadcast, so the corpus scan never shuffles;
     // at 100 TB this is one pass over the corpus per query batch.
+    // --- matryoshka-style truncated retrieval: rank with the FIRST HALF
+    // of each embedding (the 100 TB trick — keep the prefix hot in
+    // memory/SSD and the tail cold, halving the bytes every query
+    // touches), and report the full-precision cosine of the same pairs so
+    // the ranking drift is visible. Same shape as q37: queries broadcast,
+    // corpus scanned once, never exchanged; ranking uses the ROUNDED
+    // half score (plus nbr_id) so both engines order identically.
+    "q89_matryoshka" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        .withColumn("h", expr("slice(v, 1, size(v) div 2)"))
+        .withColumn("nrm", expr(normSqlOf("v")))
+        .withColumn("hnrm", expr(normSqlOf("h")))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("v").as("av"),
+          col("h").as("ah"), col("nrm").as("anrm"), col("hnrm").as("ahnrm"))
+      val c = e.select(col("vec_id").as("nbr_id"), col("v").as("bv"),
+        col("h").as("bh"), col("nrm").as("bnrm"), col("hnrm").as("bhnrm"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("score_half").desc, col("nbr_id").asc)
+      c.join(broadcast(q), col("query_id") =!= col("nbr_id"))
+        .withColumn("score_half", round(
+          expr("aggregate(zip_with(ah, bh, (x, y) -> x * y), 0.0D, " +
+            "(acc, x) -> acc + x)") / (col("ahnrm") * col("bhnrm")), 4))
+        .withColumn("score_full",
+          round(expr(dotSql) / (col("anrm") * col("bnrm")), 4))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("query_id"), col("nbr_id"), col("score_half"),
+          col("score_full"), col("rnk"))
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
     "q37_knn_cosine" -> ((s, dir) => {
       // norms project BEFORE the join: computed once per VECTOR on the
       // scan side (n + q sqrt-folds), not once per PAIR after it (n*q);
@@ -489,6 +524,24 @@ object LlmQueries extends QueryModule {
         |GROUP BY a.doc_id, b.doc_id, a.sz, b.sz
         |HAVING COUNT(*) / (a.sz + b.sz - COUNT(*)) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q89_matryoshka" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |h AS (SELECT vec_id, v, v[1 : len(v) // 2] AS h FROM e),
+        |p AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+        |    round(list_dot_product(q.h, c.h) /
+        |      (sqrt(list_dot_product(q.h, q.h)) *
+        |       sqrt(list_dot_product(c.h, c.h))), 4) AS score_half,
+        |    round(list_dot_product(q.v, c.v) /
+        |      (sqrt(list_dot_product(q.v, q.v)) *
+        |       sqrt(list_dot_product(c.v, c.v))), 4) AS score_full
+        |  FROM h q JOIN h c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |        ORDER BY score_half DESC, nbr_id ASC) AS rnk FROM p)
+        |SELECT query_id, nbr_id, score_half, score_full, rnk
+        |FROM r WHERE rnk <= 5
+        |ORDER BY query_id, rnk""".stripMargin,
     "q37_knn_cosine" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |p AS (
