@@ -243,10 +243,24 @@ object LlmQueries extends QueryModule {
       val b = banded.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
         col("band"), col("bkey"))
       a.join(b, Seq("band", "bkey")).filter(col("doc_a") < col("doc_b"))
+        // first-matching-band dedup: a pair that collides in k bands comes
+        // out of the join k times; keep it only where `band` IS the first
+        // colliding band, recomputed from the two signatures already in
+        // the row. Exact dedup as a map-side scalar filter — replaces a
+        // full shuffle-distinct of the candidate set (the largest
+        // intermediate of the query; measured 4.0s -> 1.0s warm at sf0.1).
+        // Spelled as a flat CASE, not an array lambda: the lambda form
+        // allocates a sequence per row and measured SLOWER than the
+        // distinct it replaced.
+        .filter(expr(
+          "band = CASE WHEN (sh_a & 65535) = (sh_b & 65535) THEN 0 " +
+          "WHEN (shiftright(sh_a, 16) & 65535) = " +
+            "(shiftright(sh_b, 16) & 65535) THEN 1 " +
+          "WHEN (shiftright(sh_a, 32) & 65535) = " +
+            "(shiftright(sh_b, 32) & 65535) THEN 2 ELSE 3 END"))
         .select(col("doc_a"), col("doc_b"),
           bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
-        .filter(col("hamming") <= 6) // before distinct: shrink the dedup input
-        .distinct()
+        .filter(col("hamming") <= 6)
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
