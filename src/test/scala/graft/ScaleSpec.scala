@@ -116,6 +116,49 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("__salt"))
   }
 
+  test("AQE splits a skewed sort-merge join at runtime (skew=true in the final plan)") {
+    import scala.jdk.CollectionConverters._
+    // one hot key carrying ~all the weight — the shape that stalls a
+    // static plan on one reducer. With the skew-join thresholds scaled
+    // down to toy-data sizes, AQE must mark the hot partition skewed and
+    // split it; at 100 TB the same mechanism fires with default
+    // thresholds, making salting unnecessary for plain joins (saltedJoin
+    // stays for aggregate-shaped skew AQE cannot split).
+    val prev = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold"
+    ).map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "10KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "10KB")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      val fact = spark.range(40000)
+        .select((col("id") % 1000).as("k"), col("id").as("v"))
+        .withColumn("k", when(col("v") % 10 =!= 0, lit(1L)).otherwise(col("k")))
+        .withColumn("pad", lpad(col("v").cast("string"), 64, "x"))
+      val dim = spark.range(1000).select(col("id").as("k"),
+        concat(lit("name_"), col("id")).as("name"))
+      val joined = fact.join(dim, Seq("k"))
+      // run THIS queryExecution (count() would plan a separate one) so
+      // the adaptive plan below is the final, post-runtime-stats one
+      assert(joined.collect().length == 40000)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"AQE did not mark the hot partition skewed:\n${finalPlan.take(1500)}")
+    } finally prev.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
   test("hive-partitioned write: partition filter prunes directories at the scan") {
     val dir = "/root/testdata/sf0.001"
     val out = java.nio.file.Files.createTempDirectory("part-write").toString
