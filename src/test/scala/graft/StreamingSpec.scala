@@ -179,6 +179,34 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("stream-static join: unbounded stream enriched against a broadcast dimension") {
+    // The streaming-enrichment pattern: each micro-batch joins the static
+    // side as an ordinary broadcast hash join — no state store, no
+    // watermark needed, and the static table is planned once per batch.
+    // This is how a 100 TB pipeline decorates an event firehose with
+    // dimension attributes (or, as in q80, probes a benchmark-gram set).
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val dim = Seq(("en", "english"), ("fr", "french")).toDF("lang", "lang_name")
+    val ms = MemoryStream[Doc]
+    val enriched = ms.toDF().join(broadcast(dim), Seq("lang"), "left")
+      .select(col("lang"), col("text"),
+        coalesce(col("lang_name"), lit("unknown")).as("lang_name"))
+    val q = enriched.writeStream.format("memory").queryName("enrich")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      ms.addData(Doc("en", "a"), Doc("fr", "b"))
+      q.processAllAvailable()
+      ms.addData(Doc("zh", "c")) // second micro-batch, unmatched key
+      q.processAllAvailable()
+      val got = sp.table("enrich").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+      assert(got == Set(("en", "a", "english"), ("fr", "b", "french"),
+        ("zh", "c", "unknown")))
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState: zero-or-more alerts per user as thresholds are crossed") {
     // Unlike mapGroupsWithState (exactly one row per key per batch),
     // flatMapGroupsWithState emits an ITERATOR — here one alert per
