@@ -176,6 +176,22 @@ object ExtendedQueries extends QueryModule {
         .orderBy(col("l_orderkey"))
     }),
 
+    // --- ntile quartiles: equal-frequency bucketing of each priority's
+    // orders by price — the window's tie-break on o_orderkey makes the
+    // bucket assignment deterministic on both engines. Same partition-
+    // bounded window shape as q06: parallelism = priorities at 100 TB
+    // (add a hash-shard to the partition key if one group outgrows an
+    // executor, as with q81).
+    "q90_ntile" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables(s, dir, "orders")
+        .filter(col("o_custkey") < 100)
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          col("o_totalprice"), ntile(4).over(w).as("quartile"))
+        .orderBy(col("o_orderpriority"), col("o_orderkey"))
+    }),
+
     // --- exact interpolated percentiles (median/p90) per group.
     "q48_percentile" -> ((s, dir) => {
       Tables(s, dir, "lineitem")
@@ -256,6 +272,12 @@ object ExtendedQueries extends QueryModule {
       """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts,
         |  COUNT(*) AS n, TRUE AS hll_ok
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q90_ntile" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |  ntile(4) OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice, o_orderkey) AS quartile
+        |FROM orders WHERE o_custkey < 100
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
     "q86_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
         |  CAST(GROUPING_ID(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
