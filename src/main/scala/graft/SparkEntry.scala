@@ -21,6 +21,7 @@ object SparkEntry {
     operators.ExtendedQueries,
     operators.TemporalQueries,
     operators.EventAnalytics,
+    operators.SketchQueries,
     streaming.StreamingQueries
   )
 

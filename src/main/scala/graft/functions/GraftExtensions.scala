@@ -63,6 +63,22 @@ object GraftFunctions {
     },
     fn("rolling_hash64", "string -> 64-bit Rabin-Karp polynomial fingerprint") {
       args => RollingHash64(args.head)
+    },
+    // Spark ships BloomFilterAggregate/BloomFilterMightContain for its own
+    // runtime-filter injection but does not expose them in the public
+    // FunctionRegistry. Registering them makes the semi-join-reduction
+    // pattern (build a bloom over the dim keys, pre-filter the fact scan
+    // before the exact join) writable as plain SQL — the shape that cuts
+    // the fact-side shuffle by the dim selectivity at 100 TB.
+    fn("graft_bloom_agg",
+      "bloom_filter_agg(xxhash64(key), estItems, numBits) -> bloom binary") {
+      args => new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(args.head, args(1), args(2))
+    },
+    fn("graft_might_contain",
+      "might_contain(bloomBinary, xxhash64(key)); bloom must be a scalar subquery") {
+      args => org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain(args.head, args(1))
     }
   )
 

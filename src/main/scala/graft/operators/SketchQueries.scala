@@ -1,0 +1,177 @@
+package graft.operators
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sketch-accelerated and clustering operators: bloom-filter semi-join
+  * reduction, Misra-Gries heavy hitters with exact confirmation,
+  * exponential time-decay scoring, and the Lloyd assignment step of
+  * k-means over the embedding corpus. The reference (a file converter,
+  * `/root/reference/pq2json/src/converter.rs`) has none of these; each is
+  * the Spark-first shape of a pattern a 100 TB training-data pipeline
+  * leans on: make the big side of the computation cheap (pre-filter,
+  * sketch, broadcast) and keep the exact pass small.
+  */
+object SketchQueries extends QueryModule {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // --- bloom-filter semi-join reduction. Spark's own runtime-filter
+    // rule (InjectRuntimeFilter) builds exactly this plan shape when it
+    // fires; writing it explicitly makes the reduction unconditional and
+    // testable. The build side aggregates the selective dim keys into ONE
+    // bloom binary (partial agg per partition, tiny merge); the probe is
+    // a scalar subquery, so the fact scan filters rows BEFORE the exact
+    // semi-join — at 100 TB the fact-side shuffle shrinks by the dim
+    // selectivity (here ~1/5) for the cost of shipping a ~50 KB bloom to
+    // each task. The trailing IN removes bloom false positives, so the
+    // result is exactly the semi-join and stays oracle-checkable.
+    "q91_bloom_semijoin" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      Tables(s, dir, "orders").createOrReplaceTempView("orders_q91")
+      Tables(s, dir, "lineitem").createOrReplaceTempView("lineitem_q91")
+      s.sql(
+        """WITH bf AS (
+          |  SELECT graft_bloom_agg(xxhash64(o_orderkey), 50000L, 400000L) AS b
+          |  FROM orders_q91 WHERE o_orderpriority = '1-URGENT')
+          |SELECT l_returnflag, COUNT(*) AS n,
+          |       round(CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE), 2)
+          |         AS sum_qty
+          |FROM lineitem_q91
+          |WHERE graft_might_contain((SELECT b FROM bf), xxhash64(l_orderkey))
+          |  AND l_orderkey IN (SELECT o_orderkey FROM orders_q91
+          |                     WHERE o_orderpriority = '1-URGENT')
+          |GROUP BY l_returnflag
+          |ORDER BY l_returnflag""".stripMargin)
+    }),
+
+    // --- heavy hitters: Misra-Gries sketch pass -> exact confirmation
+    // pass. The sketch ([[graft.functions.FrequentItems]]) guarantees its
+    // candidate set CONTAINS every token above the N/k threshold, so the
+    // second pass only has to count candidate tokens: the broadcast
+    // candidate join filters map-side, and the confirming groupBy
+    // shuffles O(candidates), never O(distinct tokens). That two-pass
+    // shape is the point at 100 TB — an exact global token groupBy
+    // shuffles the whole vocabulary; this shuffles ≤2k sketch rows per
+    // partition plus the candidate counts. Output is exact (sketch only
+    // proposes; counts come from the data), hence hash-oracled.
+    "q92_heavy_hitters" -> ((s, dir) => {
+      val mg = udaf(new graft.functions.FrequentItems.MisraGries(100),
+        org.apache.spark.sql.Encoders.STRING)
+      val toks = Tables(s, dir, "documents")
+        .select(explode(expr(LlmQueries.toksSql)).as("token"))
+      val cand = toks.agg(mg(col("token")).as("cand"))
+        .select(explode(map_keys(col("cand"))).as("token"))
+      val total = toks.agg(count(lit(1)).as("n_total"))
+      toks.join(broadcast(cand), Seq("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+        .crossJoin(total)
+        .filter(col("cnt") * lit(100L) > col("n_total"))
+        .select(col("token"), col("cnt"))
+        .orderBy(col("cnt").desc, col("token").asc)
+    }),
+
+    // --- exponential time-decay engagement score: recent events count
+    // more, half-life-style weight exp(-age/7d) anchored at the corpus
+    // max timestamp (deterministic — no wall clock in the query). One
+    // scan, one partial-aggregated groupBy(user); the single-row anchor
+    // rides a broadcast nest-loop join, so nothing about the shape
+    // changes at 100 TB. Integer micros arithmetic until the one final
+    // division keeps both engines' inputs to exp() bit-identical.
+    "q93_time_decay" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+      val anchor = ev.agg(max(unix_micros(col("ts"))).as("amax"))
+      ev.crossJoin(anchor)
+        .withColumn("w",
+          exp((col("amax") - unix_micros(col("ts"))).cast("double") /
+            lit(-604800000000.0)))
+        .groupBy(col("user_id"))
+        // exact DECIMAL(38,6) intermediate: order-insensitive double sum
+        // (see RelationalQueries scaladoc float-portability rule)
+        .agg(round(sum((col("value") * col("w"))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 6)))
+            .cast("double"), 4).as("score"),
+          count(lit(1)).as("n_events"))
+        .orderBy(col("score").desc, col("user_id").asc)
+        .limit(100)
+    }),
+
+    // --- k-means Lloyd assignment step over the embedding corpus:
+    // centroids = the vec_id < 8 vectors (deterministic seed, the
+    // k-means|| stand-in), every vector assigned to its nearest centroid
+    // by squared L2. The centroid table broadcasts; the corpus is
+    // scanned once and never exchanged until the k-row final agg — the
+    // same shape as q37/q46, and the building block the full iterative
+    // k-means (re-estimate centroids with the q46 Centroid UDAF, loop)
+    // composes from. d2 = <v,v> - 2<v,c> + <c,c> keeps the float ops
+    // identical to the oracle's list_dot_product formulation.
+    "q94_kmeans_assign" -> ((s, dir) => {
+      val dot = "aggregate(zip_with(%s, %s, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
+      val e = Tables(s, dir, "embeddings")
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      val cents = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("v").as("c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id")).orderBy(col("d2").asc, col("cid").asc)
+      e.crossJoin(broadcast(cents))
+        .withColumn("d2",
+          expr(dot.format("v", "v")) - lit(2.0) * expr(dot.format("v", "c")) +
+            expr(dot.format("c", "c")))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") === 1)
+        .groupBy(col("cid"))
+        .agg(count(lit(1)).as("n"),
+          // decimal-exact sum / count instead of avg(double): accumulation
+          // order can't move the hash (float-portability rule)
+          round((sum(sqrt(greatest(col("d2"), lit(0.0)))
+              .cast(org.apache.spark.sql.types.DecimalType(38, 6)))
+              .cast("double") / count(lit(1))), 4).as("mean_dist"))
+        .orderBy(col("cid"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q91_bloom_semijoin" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  round(CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE), 2)
+        |    AS sum_qty
+        |FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+        |                     WHERE o_orderpriority = '1-URGENT')
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "q92_heavy_hitters" ->
+      """WITH tk AS (
+        |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+        |  FROM documents),
+        |t AS (SELECT COUNT(*) AS n_total FROM tk),
+        |c AS (SELECT token, COUNT(*) AS cnt FROM tk GROUP BY token)
+        |SELECT token, cnt FROM c, t WHERE cnt * 100 > n_total
+        |ORDER BY cnt DESC, token ASC""".stripMargin,
+    "q93_time_decay" ->
+      """WITH a AS (SELECT MAX(epoch_us(ts)) AS amax FROM events)
+        |SELECT user_id,
+        |  round(CAST(SUM(CAST(value * exp(CAST(a.amax - epoch_us(ts) AS DOUBLE)
+        |        / -604800000000.0) AS DECIMAL(38,6))) AS DOUBLE), 4) AS score,
+        |  COUNT(*) AS n_events
+        |FROM events, a
+        |GROUP BY user_id
+        |ORDER BY score DESC, user_id ASC LIMIT 100""".stripMargin,
+    "q94_kmeans_assign" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < 8),
+        |d AS (SELECT e.vec_id, c.cid,
+        |        list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c.c)
+        |          + list_dot_product(c.c, c.c) AS d2
+        |      FROM e CROSS JOIN c),
+        |a AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |        ORDER BY d2 ASC, cid ASC) AS rnk FROM d)
+        |SELECT cid, COUNT(*) AS n,
+        |  round(CAST(SUM(CAST(sqrt(greatest(d2, 0)) AS DECIMAL(38,6))) AS DOUBLE)
+        |    / COUNT(*), 4) AS mean_dist
+        |FROM a WHERE rnk = 1 GROUP BY cid ORDER BY cid""".stripMargin
+  )
+}

@@ -190,6 +190,35 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("partial_count"), p)
   }
 
+  test("q91 bloom semi-join: bloom pre-filter present, dim side broadcast-joined") {
+    val p = plan("q91_bloom_semijoin")
+    // the sketch probe survives into the physical plan (a scalar subquery
+    // feeding BloomFilterMightContain), so the fact scan is pre-filtered
+    // before the exact semi-join
+    assert(p.toLowerCase.contains("might_contain"), p)
+    assert(p.contains("Subquery"), p)
+    // the exact IN semi-join broadcasts the dim keys at this scale
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q92 heavy hitters: candidate confirmation joins broadcast, not shuffle") {
+    val p = plan("q92_heavy_hitters")
+    // the ≤k sketch candidates broadcast to the token stream; the token
+    // side is never sort-merge-exchanged against them
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the sketch pass partial-aggregates (map-side combine of MG buffers)
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"), p)
+  }
+
+  test("q94 kmeans assignment: centroids broadcast, corpus never exchanged pre-assignment") {
+    val p = plan("q94_kmeans_assign")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   private implicit class StrOps(s: String) {
     def occurrencesOf(sub: String): Int = s.sliding(sub.length).count(_ == sub)
   }
