@@ -122,10 +122,39 @@ object EventAnalytics extends QueryModule {
         .agg(count(lit(1)).as("n_events"),
           min(col("ts")).as("sess_start"), max(col("ts")).as("sess_end"))
         .orderBy(col("user_id"), col("session_idx"))
+    }),
+
+    // --- series anomaly flags (the series_decompose_anomalies shape,
+    // z-score flavor): reduce the log to the daily series, compute the
+    // series' own mean/stddev as a one-row broadcast, flag days whose
+    // count sits more than one sample-stddev out. Everything after the
+    // first partial-aggregated groupBy runs on |days| rows, so the shape
+    // is free at any event volume; the stats join is a broadcast
+    // nest-loop of exactly one row.
+    "q96_series_outliers" -> ((s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val st = daily.agg(
+        avg(col("n").cast("double")).as("mu"),
+        stddev_samp(col("n").cast("double")).as("sd"))
+      daily.crossJoin(st)
+        .select(col("day"), col("n"),
+          round((col("n") - col("mu")) / col("sd"), 4).as("z"),
+          (abs(col("n") - col("mu")) > col("sd")).as("is_outlier"))
+        .orderBy(col("day"))
     })
   )
 
   def oracles: Map[String, String] = Map(
+    "q96_series_outliers" ->
+      """WITH d AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n
+        |           FROM events GROUP BY 1),
+        |st AS (SELECT AVG(CAST(n AS DOUBLE)) AS mu,
+        |              STDDEV_SAMP(CAST(n AS DOUBLE)) AS sd FROM d)
+        |SELECT day, n, round((n - mu) / sd, 4) AS z,
+        |       (abs(n - mu) > sd) AS is_outlier
+        |FROM d, st ORDER BY day""".stripMargin,
     "q69_funnel" ->
       """WITH u AS (
         |  SELECT user_id,

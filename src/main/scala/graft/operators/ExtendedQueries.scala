@@ -4,6 +4,7 @@ import graft.{QueryModule, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
 
 /** Second tranche of the SURVEY §2.2 relational surface: Kusto-dynamic
   * (JSON) column access, CUBE multi-dimensional aggregation, lag/lead
@@ -192,6 +193,31 @@ object ExtendedQueries extends QueryModule {
         .orderBy(col("o_orderpriority"), col("o_orderkey"))
     }),
 
+    // --- conditional aggregates (Kusto countif/sumif/avgif/dcountif) and
+    // bit aggregates (binary_all_or/and/xor): all are plain hash-agg
+    // expressions over when()-guarded inputs, so they keep map-side
+    // partial aggregation — one shuffle of |groups| rows at any scale.
+    // Distinct-under-predicate rides the same expand Spark uses for any
+    // count_distinct; nulls from the failed predicate are ignored by
+    // both count_distinct and avg, which is exactly Kusto's *if contract.
+    "q95_conditional_aggs" -> ((s, dir) => {
+      val urgent = col("o_orderpriority") === "1-URGENT"
+      val hi = col("o_totalprice") > 200000.0
+      Tables(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          count(when(urgent, lit(1))).as("n_urgent"),
+          round(sum(when(hi, col("o_totalprice"))
+            .cast(DecimalType(38, 6))).cast("double"), 2).as("sum_hi"),
+          countDistinct(when(urgent, col("o_custkey"))).as("d_cust_urgent"),
+          round((sum(when(hi, col("o_totalprice")).cast(DecimalType(38, 6)))
+            .cast("double") / count(when(hi, lit(1)))), 4).as("avg_hi"),
+          bit_or(col("o_orderkey")).as("keys_or"),
+          bit_and(col("o_orderkey")).as("keys_and"),
+          bit_xor(col("o_orderkey")).as("keys_xor"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // --- exact interpolated percentiles (median/p90) per group.
     "q48_percentile" -> ((s, dir) => {
       Tables(s, dir, "lineitem")
@@ -241,6 +267,20 @@ object ExtendedQueries extends QueryModule {
   )
 
   def oracles: Map[String, String] = Map(
+    "q95_conditional_aggs" ->
+      """SELECT o_orderstatus,
+        |  COUNT(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS n_urgent,
+        |  round(CAST(SUM(CASE WHEN o_totalprice > 200000.0
+        |    THEN CAST(o_totalprice AS DECIMAL(38,6)) END) AS DOUBLE), 2) AS sum_hi,
+        |  COUNT(DISTINCT CASE WHEN o_orderpriority = '1-URGENT'
+        |    THEN o_custkey END) AS d_cust_urgent,
+        |  round(CAST(SUM(CASE WHEN o_totalprice > 200000.0
+        |    THEN CAST(o_totalprice AS DECIMAL(38,6)) END) AS DOUBLE)
+        |    / COUNT(CASE WHEN o_totalprice > 200000.0 THEN 1 END), 4) AS avg_hi,
+        |  BIT_OR(o_orderkey) AS keys_or,
+        |  BIT_AND(o_orderkey) AS keys_and,
+        |  BIT_XOR(o_orderkey) AS keys_xor
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q41_dynamic_json" ->
       """SELECT event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,

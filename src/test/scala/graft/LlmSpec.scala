@@ -297,6 +297,66 @@ class LlmSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.sample_rate == 0 && t.channels == 0 && t.n_samples == 0L)
   }
 
+  test("real video frame sampling: MJPEG-in-AVI RIFF walk, every k-th frame decoded") {
+    import java.awt.image.BufferedImage
+    def jpegFrame(gray: Int): Array[Byte] = {
+      val img = new BufferedImage(8, 6, BufferedImage.TYPE_INT_RGB)
+      val g2 = img.createGraphics()
+      g2.setColor(new java.awt.Color(gray, gray, gray))
+      g2.fillRect(0, 0, 8, 6); g2.dispose()
+      val out = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "jpg", out))
+      out.toByteArray
+    }
+    // 10 frames, luma ramp 0,25,...,225 (solid gray => luma == gray level)
+    val frames = (0 until 10).map(i => jpegFrame(i * 25))
+    def chunk(fourcc: String, payload: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer
+        .allocate(8 + payload.length + (payload.length & 1))
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put(fourcc.getBytes("US-ASCII")).putInt(payload.length).put(payload)
+      bb.array()
+    }
+    def list(subtype: String, children: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(12 + children.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("LIST".getBytes("US-ASCII")).putInt(4 + children.length)
+        .put(subtype.getBytes("US-ASCII")).put(children)
+      bb.array()
+    }
+    val movi = list("movi", frames.flatMap(f => chunk("00dc", f)).toArray)
+    val hdrl = list("hdrl", chunk("avih", new Array[Byte](56)))
+    val body = hdrl ++ movi
+    val avi = java.nio.ByteBuffer.allocate(12 + body.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put("RIFF".getBytes("US-ASCII")).putInt(4 + body.length)
+      .put("AVI ".getBytes("US-ASCII")).put(body).array()
+
+    val got = MultimodalStub.sampleFrames(5L, avi, everyK = 3)
+    assert(got.map(_.frame_idx) == Seq(0L, 3L, 6L, 9L), got)
+    assert(got.forall(f => f.n_frames == 10L && f.width == 8 && f.height == 6), got)
+    // JPEG is lossy; solid grays survive within a few levels
+    got.foreach(f =>
+      assert(math.abs(f.mean_luma - f.frame_idx * 25.0) < 4.0, f))
+    // non-AVI bytes produce zero rows, not an error
+    assert(MultimodalStub.sampleFrames(6L, "not a video".getBytes, 2).isEmpty)
+    // hostile chunk size: 0xFFFFFFF8 must terminate the RIFF walk
+    val evil = java.nio.ByteBuffer.allocate(24)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put("RIFF".getBytes("US-ASCII")).putInt(16)
+      .put("AVI ".getBytes("US-ASCII")).put("00dc".getBytes("US-ASCII"))
+      .putInt(0xFFFFFFF8).array()
+    assert(MultimodalStub.sampleFrames(7L, evil, 1).isEmpty)
+
+    // and the Spark batch path: one row per sampled frame
+    val df = spark.createDataFrame(
+      java.util.List.of(Row(5L, avi), Row(6L, "nope".getBytes("UTF-8"))),
+      StructType(Seq(StructField("doc_id", LongType, nullable = false),
+        StructField("blob", BinaryType))))
+    val rows = MultimodalStub.sampleFrameBatch(df, 5).collect()
+    assert(rows.length == 2 && rows.forall(_.getLong(0) == 5L), rows.toSeq)
+  }
+
   test("multimodal stub: per-partition decode preserves ids and byte counts") {
     val out = q("q40_multimodal").collect()
     assert(out.length == 500)

@@ -1,6 +1,9 @@
 package graft
 
 import graft.functions.FrequentItems.{MGBuf, MisraGries}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
 import scala.util.Random
@@ -11,7 +14,22 @@ import scala.util.Random
   * the stream and arbitrary merge order, because that is what Spark's
   * partial aggregation does with the buffers.
   */
-class SketchSpec extends AnyFunSuite {
+class SketchSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  @transient var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("sketch-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
 
   /** Simulate Spark: split the stream into partitions, reduce each into
     * its own buffer, then merge the buffers pairwise left-to-right. */
@@ -56,6 +74,49 @@ class SketchSpec extends AnyFunSuite {
       assert(truth - c <= s.size / k,
         s"$tok underestimated by ${truth - c} > N/k=${s.size / k}")
     }
+  }
+
+  test("iterative k-means: q94 assignment + Centroid UDAF loop, inertia never increases") {
+    // The full Lloyd loop the q94 building block composes into: assign
+    // (broadcast centroids, argmin squared L2) -> re-estimate (Centroid
+    // UDAF, map-side partial agg) -> repeat. Lloyd's algorithm guarantees the
+    // objective (sum of squared distances to the assigned centroid) is
+    // non-increasing; a violation means assignment and re-estimation
+    // disagree about the metric. Shapes mirror the production queries:
+    // the corpus is never exchanged, centroids always broadcast, and the
+    // per-round frames are localCheckpoint'd like q59's label loop so
+    // CacheManager can't alias structurally-equal rounds.
+    val s = spark
+    import s.implicits._
+    val dot = "aggregate(zip_with(%s, %s, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
+    val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val centroid = udaf(new graft.functions.VectorAggregators.Centroid(64))
+    def assign(cents: DataFrame): DataFrame =
+      e.crossJoin(broadcast(cents))
+        .withColumn("d2",
+          expr(dot.format("v", "v")) - lit(2.0) * expr(dot.format("v", "c")) +
+            expr(dot.format("c", "c")))
+        .withColumn("rnk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("vec_id")).orderBy(col("d2").asc, col("cid").asc)))
+        .filter(col("rnk") === 1)
+        .select(col("vec_id"), col("cid"), col("v"), col("d2"))
+    var cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("v").as("c")).localCheckpoint()
+    val inertias = (0 until 3).map { _ =>
+      val a = assign(cents).localCheckpoint()
+      val inertia = a.agg(sum(greatest(col("d2"), lit(0.0)))).head.getDouble(0)
+      cents = a.groupBy(col("cid")).agg(centroid(col("v")).as("c")).localCheckpoint()
+      inertia
+    }
+    assert(inertias.size == 3 && inertias.forall(_ > 0.0), inertias.toString)
+    // tolerate float noise at the 1e-9 relative level, nothing more
+    inertias.sliding(2).foreach { case Seq(prev, next) =>
+      assert(next <= prev * (1.0 + 1e-9),
+        s"inertia increased across a Lloyd round: $inertias")
+    }
+    assert(inertias.last < inertias.head, s"no progress at all: $inertias")
   }
 
   test("MG buffer stays bounded at 2k entries regardless of cardinality") {
