@@ -4,6 +4,7 @@ import graft.{QueryModule, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Event-analytics operators over the `events` stream table: conversion
   * funnel, cohort retention, moving averages, and gap-filled time series —
@@ -143,10 +144,69 @@ object EventAnalytics extends QueryModule {
           round((col("n") - col("mu")) / col("sd"), 4).as("z"),
           (abs(col("n") - col("mu")) > col("sd")).as("is_outlier"))
         .orderBy(col("day"))
+    }),
+
+    // --- linearly interpolated series fill (series_fill_linear): where
+    // q72 zero-fills calendar gaps, this interpolates them from the
+    // nearest real observations on each side. Gaps are carved
+    // deterministically (every 5th day of month dropped) so the
+    // interpolation path actually executes. Two ignore-nulls window
+    // passes over the |days|-sized frame give (prev value, prev day) and
+    // (next value, next day); the lerp is pure arithmetic. The windows
+    // run on the tiny post-agg series, never the event log — at 100 TB
+    // the series would be per-key (partitionBy(series_id)) with identical
+    // mechanics.
+    "q98_series_fill_linear" -> ((s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(sum(col("value").cast(DecimalType(38, 6)))
+          .cast("double").as("v"))
+        .filter(dayofmonth(col("day")) % 5 =!= 0)
+      val axis = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(explode(expr("sequence(d0, d1)")).as("day"))
+      val series = axis.join(daily, Seq("day"), "left")
+      val before = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val after = Window.orderBy(col("day"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      series
+        .withColumn("vp", last(col("v"), ignoreNulls = true).over(before))
+        .withColumn("dp", last(when(col("v").isNotNull, col("day")), ignoreNulls = true).over(before))
+        .withColumn("vn", first(col("v"), ignoreNulls = true).over(after))
+        .withColumn("dn", first(when(col("v").isNotNull, col("day")), ignoreNulls = true).over(after))
+        .select(col("day"), col("v").isNull.as("filled"),
+          round(coalesce(col("v"),
+            col("vp") + (col("vn") - col("vp")) *
+              datediff(col("day"), col("dp")).cast("double") /
+              datediff(col("dn"), col("dp")).cast("double")), 4).as("v"))
+        .orderBy(col("day"))
     })
   )
 
   def oracles: Map[String, String] = Map(
+    "q98_series_fill_linear" ->
+      """WITH d0 AS (SELECT CAST(ts AS DATE) AS day,
+        |              CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS v
+        |            FROM events GROUP BY 1),
+        |daily AS (SELECT * FROM d0 WHERE EXTRACT(DAY FROM day) % 5 <> 0),
+        |axis AS (SELECT CAST(unnest(generate_series(
+        |           (SELECT MIN(day) FROM daily), (SELECT MAX(day) FROM daily),
+        |           INTERVAL 1 DAY)) AS DATE) AS day),
+        |s AS (SELECT a.day, d.v FROM axis a LEFT JOIN daily d USING (day)),
+        |w AS (SELECT day, v,
+        |  LAST_VALUE(v IGNORE NULLS) OVER
+        |    (ORDER BY day ROWS UNBOUNDED PRECEDING) AS vp,
+        |  LAST_VALUE(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER
+        |    (ORDER BY day ROWS UNBOUNDED PRECEDING) AS dp,
+        |  FIRST_VALUE(v IGNORE NULLS) OVER
+        |    (ORDER BY day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS vn,
+        |  FIRST_VALUE(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER
+        |    (ORDER BY day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS dn
+        |  FROM s)
+        |SELECT day, (v IS NULL) AS filled,
+        |  round(COALESCE(v, vp + (vn - vp) * CAST(day - dp AS DOUBLE)
+        |    / CAST(dn - dp AS DOUBLE)), 4) AS v
+        |FROM w ORDER BY day""".stripMargin,
     "q96_series_outliers" ->
       """WITH d AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n
         |           FROM events GROUP BY 1),

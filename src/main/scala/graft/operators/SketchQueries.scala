@@ -97,6 +97,30 @@ object SketchQueries extends QueryModule {
         .limit(100)
     }),
 
+    // --- mergeable distinct-count rollup (Datasketches HLL): one sketch
+    // per group, then the corpus-wide distinct from UNIONING the sketches
+    // — never rescanning the data. This re-aggregatability is what q45's
+    // approx_count_distinct can't do and what a 100 TB reporting stack
+    // needs: daily/per-source sketches persist, and any ad-hoc rollup
+    // (week, region, ALL) is a union of kilobyte sketches. Estimates are
+    // checked against exact counts in-query (the q45 contract pattern),
+    // so the output is deterministic and hash-oracled.
+    "q97_hll_rollup" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+      val sk = ev.groupBy(col("event_type")).agg(
+        hll_sketch_agg(col("user_id")).as("sk"),
+        countDistinct(col("user_id")).as("exact_users"))
+      val per = sk.select(col("event_type"), col("exact_users"),
+        (abs(hll_sketch_estimate(col("sk")) - col("exact_users"))
+          .cast("double") / col("exact_users") <= lit(0.05)).as("hll_ok"))
+      val total = sk.agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+        .crossJoin(ev.agg(countDistinct(col("user_id")).as("exact_users")))
+        .select(lit("ALL").as("event_type"), col("exact_users"),
+          (abs(col("est") - col("exact_users")).cast("double") /
+            col("exact_users") <= lit(0.05)).as("hll_ok"))
+      per.union(total).orderBy(col("event_type"))
+    }),
+
     // --- k-means Lloyd assignment step over the embedding corpus:
     // centroids = the vec_id < 8 vectors (deterministic seed, the
     // k-means|| stand-in), every vector assigned to its nearest centroid
@@ -159,6 +183,14 @@ object SketchQueries extends QueryModule {
         |FROM events, a
         |GROUP BY user_id
         |ORDER BY score DESC, user_id ASC LIMIT 100""".stripMargin,
+    "q97_hll_rollup" ->
+      """WITH p AS (SELECT event_type, COUNT(DISTINCT user_id) AS exact_users
+        |           FROM events GROUP BY event_type),
+        |t AS (SELECT 'ALL' AS event_type, COUNT(DISTINCT user_id) AS exact_users
+        |      FROM events)
+        |SELECT event_type, exact_users, TRUE AS hll_ok FROM p
+        |UNION ALL SELECT event_type, exact_users, TRUE AS hll_ok FROM t
+        |ORDER BY event_type""".stripMargin,
     "q94_kmeans_assign" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |           FROM embeddings),

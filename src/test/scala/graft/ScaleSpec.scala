@@ -270,6 +270,32 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"zorder orderkey pruning: $zorderKey of $nGroups groups")
   }
 
+  test("bloom pre-filter: fact rows surviving the sketch track dim selectivity") {
+    // The q91 reduction is only worth its broadcast if the bloom actually
+    // prunes: with ~1/5 of orders urgent and numBits/item = 8, the
+    // surviving fraction must sit near selectivity + fpp, far below 1.
+    graft.functions.GraftFunctions.register(spark)
+    val dir = "/root/testdata/sf0.001"
+    Tables(spark, dir, "orders").createOrReplaceTempView("orders_bf")
+    Tables(spark, dir, "lineitem").createOrReplaceTempView("lineitem_bf")
+    val total = spark.table("lineitem_bf").count()
+    val kept = spark.sql(
+      """WITH bf AS (
+        |  SELECT graft_bloom_agg(xxhash64(o_orderkey), 50000L, 400000L) AS b
+        |  FROM orders_bf WHERE o_orderpriority = '1-URGENT')
+        |SELECT COUNT(*) FROM lineitem_bf
+        |WHERE graft_might_contain((SELECT b FROM bf), xxhash64(l_orderkey))
+        |""".stripMargin).head.getLong(0)
+    val exact = spark.sql(
+      """SELECT COUNT(*) FROM lineitem_bf
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders_bf
+        |                     WHERE o_orderpriority = '1-URGENT')""".stripMargin)
+      .head.getLong(0)
+    assert(kept >= exact, "bloom filters must never drop a true match")
+    assert(kept < total * 0.4,
+      s"bloom kept $kept of $total rows — no meaningful reduction")
+  }
+
   test("parquet sink round-trips under every shipped codec") {
     val dir = "/root/testdata/sf0.001"
     val src = Tables(spark, dir, "nation")
