@@ -275,6 +275,26 @@ object CorpusQueries extends QueryModule {
         .orderBy(col("lang"), col("source"), col("doc_id"))
     }),
 
+    // --- overlapping document chunking (the context-window prep step
+    // sequence packing consumes): fixed 64-token windows on a 48-token
+    // stride, so consecutive chunks share a 16-token overlap. chunk
+    // starts come from an in-row sequence() explode — no join, no
+    // shuffle, output rows ∝ Σ ceil(tokens/stride); the md5 chunk
+    // fingerprint is what a downstream chunk-level dedup would key on.
+    "q99_chunk_windows" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), expr(toksSql).as("tk"))
+        .filter(size(col("tk")) >= 1)
+        .select(col("doc_id"), col("tk"),
+          explode(expr("sequence(0, (size(tk) - 1) div 48)")).as("chunk_idx"))
+        .select(col("doc_id"), col("chunk_idx"),
+          expr("slice(tk, chunk_idx * 48 + 1, 64)").as("ck"))
+        .select(col("doc_id"), col("chunk_idx"),
+          size(col("ck")).cast("long").as("n_chunk_tokens"),
+          md5(concat_ws(" ", col("ck"))).as("chunk_fp"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
     // --- PII redaction: mask email addresses then digit runs, report a
     // fingerprint of the scrubbed text plus match counts. The synthetic
     // corpus contains no PII, so both sides first derive an augmented
@@ -386,6 +406,18 @@ object CorpusQueries extends QueryModule {
         |  SELECT e.src, r.r FROM edges e JOIN reach r ON r.node = e.dst)
         |SELECT node AS doc_id, MIN(r) AS cluster
         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+    "q99_chunk_windows" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+        |           FROM documents),
+        |c AS (SELECT doc_id, tk,
+        |        unnest(generate_series(0, (len(tk) - 1) // 48)) AS chunk_idx
+        |      FROM t WHERE len(tk) >= 1)
+        |SELECT doc_id, chunk_idx,
+        |  CAST(len(tk[chunk_idx * 48 + 1 : chunk_idx * 48 + 64]) AS BIGINT)
+        |    AS n_chunk_tokens,
+        |  md5(array_to_string(tk[chunk_idx * 48 + 1 : chunk_idx * 48 + 64], ' '))
+        |    AS chunk_fp
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
     "q60_stratified_sample" ->
       """SELECT doc_id, lang FROM documents
         |WHERE CASE WHEN lang = 'en'

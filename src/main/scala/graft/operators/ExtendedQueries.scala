@@ -193,6 +193,28 @@ object ExtendedQueries extends QueryModule {
         .orderBy(col("o_orderpriority"), col("o_orderkey"))
     }),
 
+    // --- collection aggregates (Kusto make_list/make_set/make_bag): rows
+    // gather into per-group arrays. collect_list's arrival order is
+    // nondeterministic under parallelism, so both the set and the list
+    // are sorted before rendering — the only portable contract — and the
+    // arrays serialize to strings because array cells don't survive the
+    // driver's pandas-side hashing. Shuffle = |groups| buffers; the
+    // filter bounds buffer size, which is the same discipline unbounded
+    // make_list needs at 100 TB (cap or pre-aggregate, never collect an
+    // unbounded group).
+    "q100_collect_aggs" -> ((s, dir) => {
+      Tables(s, dir, "orders")
+        .filter(col("o_orderkey") < 400)
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          count(lit(1)).as("n"),
+          concat_ws(",", array_sort(collect_set(col("o_orderpriority"))))
+            .as("prio_set"),
+          expr("concat_ws(',', transform(array_sort(collect_list(o_custkey)), x -> CAST(x AS STRING)))")
+            .as("cust_list"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // --- conditional aggregates (Kusto countif/sumif/avgif/dcountif) and
     // bit aggregates (binary_all_or/and/xor): all are plain hash-agg
     // expressions over when()-guarded inputs, so they keep map-side
@@ -267,6 +289,13 @@ object ExtendedQueries extends QueryModule {
   )
 
   def oracles: Map[String, String] = Map(
+    "q100_collect_aggs" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',')
+        |    AS prio_set,
+        |  array_to_string(list_sort(list(o_custkey)), ',') AS cust_list
+        |FROM orders WHERE o_orderkey < 400
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q95_conditional_aggs" ->
       """SELECT o_orderstatus,
         |  COUNT(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS n_urgent,
