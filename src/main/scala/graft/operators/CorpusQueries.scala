@@ -275,6 +275,29 @@ object CorpusQueries extends QueryModule {
         .orderBy(col("lang"), col("source"), col("doc_id"))
     }),
 
+    // --- inverted-index build (the retrieval-side sibling of TF-IDF):
+    // posting lists for mid-signal terms (document frequency 5–400 — rarer
+    // is noise, commoner is a stopword). The (doc,term) pairs reduce to
+    // distinct once, the small filtered vocabulary broadcasts back onto
+    // them, and posting lists aggregate sorted for determinism. At 100 TB
+    // the df filter is exactly what caps posting-list memory: the
+    // unfiltered long tail never reaches the collect stage, and hot
+    // stopword terms are excluded before their postings could skew a
+    // reducer.
+    "q101_inverted_index" -> ((s, dir) => {
+      val pairs = Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(expr(toksSql)).as("term"))
+        .distinct()
+      val vocab = pairs.groupBy(col("term"))
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df").between(5, 400))
+      pairs.join(broadcast(vocab), Seq("term"))
+        .groupBy(col("term"), col("df"))
+        .agg(expr("concat_ws(',', transform(array_sort(collect_list(doc_id)), x -> CAST(x AS STRING)))")
+          .as("postings"))
+        .orderBy(col("term"))
+    }),
+
     // --- overlapping document chunking (the context-window prep step
     // sequence packing consumes): fixed 64-token windows on a 48-token
     // stride, so consecutive chunks share a 16-token overlap. chunk
@@ -406,6 +429,16 @@ object CorpusQueries extends QueryModule {
         |  SELECT e.src, r.r FROM edges e JOIN reach r ON r.node = e.dst)
         |SELECT node AS doc_id, MIN(r) AS cluster
         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+    "q101_inverted_index" ->
+      """WITH p AS (SELECT DISTINCT doc_id, term FROM (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+        |  FROM documents)),
+        |v AS (SELECT term, COUNT(*) AS df FROM p GROUP BY term
+        |      HAVING COUNT(*) BETWEEN 5 AND 400)
+        |SELECT term, df,
+        |  array_to_string(list_sort(list(doc_id)), ',') AS postings
+        |FROM p JOIN v USING (term)
+        |GROUP BY term, df ORDER BY term""".stripMargin,
     "q99_chunk_windows" ->
       """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
         |           FROM documents),

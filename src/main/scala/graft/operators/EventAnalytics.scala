@@ -146,6 +146,21 @@ object EventAnalytics extends QueryModule {
         .orderBy(col("day"))
     }),
 
+    // --- 7-day moving MEDIAN (robust sibling of q71's moving average:
+    // one anomalous day cannot drag it). percentile() runs as a window
+    // aggregate over the post-agg daily frame — |days| rows, so the
+    // exact in-window sort is free; the event log itself only ever sees
+    // the partial-aggregated groupBy. Interpolated median of integer
+    // counts is exact in double on both engines.
+    "q102_window_median" -> ((s, dir) => {
+      val w = Window.orderBy(col("day")).rowsBetween(-6, Window.currentRow)
+      events(s, dir)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("med7", percentile(col("n"), lit(0.5)).over(w))
+        .orderBy(col("day"))
+    }),
+
     // --- linearly interpolated series fill (series_fill_linear): where
     // q72 zero-fills calendar gaps, this interpolates them from the
     // nearest real observations on each side. Gaps are carved
@@ -184,6 +199,12 @@ object EventAnalytics extends QueryModule {
   )
 
   def oracles: Map[String, String] = Map(
+    "q102_window_median" ->
+      """WITH d AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n
+        |           FROM events GROUP BY 1)
+        |SELECT day, n, median(n) OVER (ORDER BY day
+        |  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS med7
+        |FROM d ORDER BY day""".stripMargin,
     "q98_series_fill_linear" ->
       """WITH d0 AS (SELECT CAST(ts AS DATE) AS day,
         |              CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS v
