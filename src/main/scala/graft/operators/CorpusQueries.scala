@@ -208,6 +208,24 @@ object CorpusQueries extends QueryModule {
         .orderBy(col("lang"), col("rnk"))
     }),
 
+    // --- top-nested ... with others (the Kusto extension of q76): the
+    // non-top rows collapse into an explicit 'Other' remainder per
+    // parent, so the output is a complete partition of each group, not
+    // a lossy top-k. Same aggregated-rows window as q76 plus ONE more
+    // partial-agg'd groupBy of the already-tiny (lang, source) frame.
+    "q103_top_nested_others" -> ((s, dir) => {
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("n").desc, col("source").asc)
+      Tables(s, dir, "documents")
+        .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("n"))
+        .withColumn("rnk", row_number().over(w))
+        .withColumn("bucket",
+          when(col("rnk") <= 2, col("source")).otherwise(lit("Other")))
+        .groupBy(col("lang"), col("bucket"))
+        .agg(sum(col("n")).as("n_docs"))
+        .orderBy(col("lang"), col("n_docs").desc, col("bucket"))
+    }),
+
     // --- Zipf token statistics: global term frequencies, rank, and
     // cumulative corpus share. The unpartitioned window runs over the
     // VOCABULARY (post-aggregation), not the corpus — at 100 TB the
@@ -429,6 +447,16 @@ object CorpusQueries extends QueryModule {
         |  SELECT e.src, r.r FROM edges e JOIN reach r ON r.node = e.dst)
         |SELECT node AS doc_id, MIN(r) AS cluster
         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+    "q103_top_nested_others" ->
+      """WITH c AS (SELECT lang, source, COUNT(*) AS n
+        |           FROM documents GROUP BY lang, source),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+        |        ORDER BY n DESC, source ASC) AS rnk FROM c)
+        |SELECT lang,
+        |  CASE WHEN rnk <= 2 THEN source ELSE 'Other' END AS bucket,
+        |  CAST(SUM(n) AS BIGINT) AS n_docs
+        |FROM r GROUP BY 1, 2
+        |ORDER BY lang, n_docs DESC, bucket""".stripMargin,
     "q101_inverted_index" ->
       """WITH p AS (SELECT DISTINCT doc_id, term FROM (
         |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term

@@ -249,6 +249,24 @@ object ExtendedQueries extends QueryModule {
         .orderBy(col("l_returnflag"))
     }),
 
+    // --- approximate percentile with an in-query accuracy contract (the
+    // q45 pattern): percentile_approx's sketch (mergeable, map-side
+    // partial agg, O(accuracy) memory) is the 100 TB path — exact
+    // percentile needs the group's values collected per group — and the
+    // contract column proves the sketch lands within 2% of the exact
+    // answer computed on the same data. Output is exact values + a
+    // boolean, so the hash-oracle stays deterministic.
+    "q104_approx_percentile" -> ((s, dir) => {
+      Tables(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(percentile(col("l_extendedprice"), lit(0.5)).as("exact_med"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("apx"))
+        .select(col("l_returnflag"), round(col("exact_med"), 2).as("exact_med"),
+          (abs(col("apx") - col("exact_med")) / col("exact_med") <= lit(0.02))
+            .as("apx_ok"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // --- statistical aggregates: stddev/correlation (rounded — the two
     // engines accumulate moments in different orders, so only the rounded
     // values are portable).
@@ -289,6 +307,11 @@ object ExtendedQueries extends QueryModule {
   )
 
   def oracles: Map[String, String] = Map(
+    "q104_approx_percentile" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.5), 2) AS exact_med,
+        |  TRUE AS apx_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q100_collect_aggs" ->
       """SELECT o_orderstatus, COUNT(*) AS n,
         |  array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',')
