@@ -231,25 +231,41 @@ object MultimodalStub {
         b(3) != 'F' || b(8) != 'A' || b(9) != 'V' || b(10) != 'I')
       return Seq.empty
     val frames = Seq.newBuilder[(Int, Int)] // (offset, length) of frame payloads
-    def walk(from: Long, to: Long): Unit = {
-      var i = from
-      while (i + 8 <= to) {
+    // iterative in-order LIST descent (explicit continuation stack): a
+    // crafted blob that nests LIST headers thousands deep must cost a
+    // heap entry per level, not a JVM stack frame — StackOverflowError
+    // is fatal to the task. On LIST: push the remainder of the current
+    // range, then the LIST body, so frames still emit in document order.
+    var stack = List((12L, b.length.toLong))
+    while (stack.nonEmpty) {
+      var (i, to) = stack.head
+      stack = stack.tail
+      var descended = false
+      while (!descended && i + 8 <= to) {
         val at = i.toInt
         val name = new String(b, at, 4, "US-ASCII")
         val len = u32le(at + 4)
         val end = math.min(i + 8 + len, to)
-        if (name == "LIST" && i + 12 <= to) walk(i + 12, end)
-        else if (name.length == 4 && (name.endsWith("dc") || name.endsWith("db")) &&
-            end > i + 8)
-          frames += ((at + 8, (end - i - 8).toInt))
-        i += 8 + len + (len & 1L)
+        val next = i + 8 + len + (len & 1L)
+        if (name == "LIST" && i + 12 <= to) {
+          stack ::= ((next, to))
+          stack ::= ((i + 12, end))
+          descended = true
+        } else {
+          if ((name.endsWith("dc") || name.endsWith("db")) && end > i + 8)
+            frames += ((at + 8, (end - i - 8).toInt))
+          i = next
+        }
       }
     }
-    walk(12L, b.length.toLong)
     val all = frames.result()
     all.zipWithIndex.collect { case ((off, len), idx) if idx % everyK == 0 =>
-      val img = javax.imageio.ImageIO.read(
+      // ImageIO.read returns null for unrecognized bytes but THROWS for
+      // recognized-then-corrupt payloads (truncated JPEG scan) — both are
+      // the same "undecodable frame" to a pipeline, neither may kill a task
+      val img = try javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(b, off, len))
+      catch { case _: java.io.IOException => null }
       if (img == null) None
       else {
         val w = img.getWidth; val h = img.getHeight

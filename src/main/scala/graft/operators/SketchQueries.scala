@@ -57,17 +57,20 @@ object SketchQueries extends QueryModule {
     // partition plus the candidate counts. Output is exact (sketch only
     // proposes; counts come from the data), hence hash-oracled.
     "q92_heavy_hitters" -> ((s, dir) => {
-      val mg = udaf(new graft.functions.FrequentItems.MisraGries(100),
+      // k ties the sketch's containment guarantee (> N/k survives) to the
+      // confirmation threshold (cnt * k > N) — they must move together
+      val k = 100
+      val mg = udaf(new graft.functions.FrequentItems.MisraGries(k),
         org.apache.spark.sql.Encoders.STRING)
       val toks = Tables(s, dir, "documents")
         .select(explode(expr(LlmQueries.toksSql)).as("token"))
-      val cand = toks.agg(mg(col("token")).as("cand"))
-        .select(explode(map_keys(col("cand"))).as("token"))
-      val total = toks.agg(count(lit(1)).as("n_total"))
+      // sketch and stream length ride ONE corpus pass (same aggregation)
+      val cand = toks.agg(mg(col("token")).as("cand"),
+          count(lit(1)).as("n_total"))
+        .select(explode(map_keys(col("cand"))).as("token"), col("n_total"))
       toks.join(broadcast(cand), Seq("token"))
-        .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
-        .crossJoin(total)
-        .filter(col("cnt") * lit(100L) > col("n_total"))
+        .groupBy(col("token"), col("n_total")).agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") * lit(k.toLong) > col("n_total"))
         .select(col("token"), col("cnt"))
         .orderBy(col("cnt").desc, col("token").asc)
     }),

@@ -348,6 +348,30 @@ class LlmSpec extends AnyFunSuite with BeforeAndAfterAll {
       .putInt(0xFFFFFFF8).array()
     assert(MultimodalStub.sampleFrames(7L, evil, 1).isEmpty)
 
+    // deep LIST nesting must cost heap, not JVM stack (StackOverflowError
+    // would be fatal to a task): 100k nested LIST headers, zero frames
+    val depth = 100000
+    val deep = java.nio.ByteBuffer.allocate(12 + depth * 12)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    deep.put("RIFF".getBytes("US-ASCII")).putInt(4 + depth * 12)
+      .put("AVI ".getBytes("US-ASCII"))
+    for (d <- 0 until depth) {
+      deep.put("LIST".getBytes("US-ASCII"))
+        .putInt(4 + (depth - 1 - d) * 12).put("rec ".getBytes("US-ASCII"))
+    }
+    assert(MultimodalStub.sampleFrames(8L, deep.array(), 1).isEmpty)
+
+    // a recognized-but-truncated JPEG frame (ImageIO THROWS, not null)
+    // must yield zero rows, same as any other undecodable frame
+    val torn = chunk("00dc", jpegFrame(128).take(60))
+    val tornAvi = java.nio.ByteBuffer.allocate(12 + 12 + torn.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put("RIFF".getBytes("US-ASCII")).putInt(16 + torn.length)
+      .put("AVI ".getBytes("US-ASCII"))
+      .put("LIST".getBytes("US-ASCII")).putInt(4 + torn.length)
+      .put("movi".getBytes("US-ASCII")).put(torn).array()
+    assert(MultimodalStub.sampleFrames(9L, tornAvi, 1).isEmpty)
+
     // and the Spark batch path: one row per sampled frame
     val df = spark.createDataFrame(
       java.util.List.of(Row(5L, avi), Row(6L, "nope".getBytes("UTF-8"))),
