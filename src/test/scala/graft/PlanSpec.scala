@@ -219,6 +219,29 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q101 inverted index: vocabulary joins back as broadcast, pairs never sort-merged") {
+    val p = plan("q101_inverted_index")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q98/q102 series windows run above the daily aggregate, not the event log") {
+    for (q <- Seq("q98_series_fill_linear", "q102_window_median")) {
+      val p = plan(q)
+      // the window consumes aggregated output: Window appears, and the
+      // aggregation below it is partial (map-side combined) over events
+      assert(p.contains("Window"), s"$q: $p")
+      assert(p.contains("partial_count") || p.contains("partial_sum"), s"$q: $p")
+    }
+  }
+
+  test("q97 HLL rollup: sketches partial-aggregate map-side like any builtin agg") {
+    val p = plan("q97_hll_rollup")
+    assert(p.contains("hll_sketch_agg"), p)
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   private implicit class StrOps(s: String) {
     def occurrencesOf(sub: String): Int = s.sliding(sub.length).count(_ == sub)
   }

@@ -16,6 +16,8 @@ case class Click(c_user: Long, c_ts: Timestamp)
 case class Purchase(p_user: Long, p_ts: Timestamp)
 case class Alert(user_id: Long, crossed: Long)
 case class Doc(lang: String, text: String)
+case class Tok(shard: Int, token: String)
+case class MGState(buf: graft.functions.FrequentItems.MGBuf, seq: Int)
 
 /** Proves the StreamingQueries builders are genuinely streamable: the SAME
   * functions the batch correctness gate runs execute here under
@@ -265,6 +267,50 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
         (docs ++ Seq(Doc("en", "  the   quick brown fox "), Doc("de", "neues dokument"))).toDF())
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("streaming heavy hitters: Misra-Gries sketch as per-shard state across batches") {
+    // The q92 sketch in streaming form: tokens shard by hash, each shard
+    // keeps ONE bounded MG buffer as mapGroupsWithState state (O(k) per
+    // shard forever — no unbounded token-count state), candidates emitted
+    // per batch. A token always lands in its own shard, so each shard's
+    // candidate set contains every token heavier than that shard's
+    // stream-length/k — the same containment guarantee, sharded.
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val agg = new graft.functions.FrequentItems.MisraGries(5)
+    val mem = MemoryStream[Tok]
+    val q = mem.toDS().groupByKey(_.shard)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (shard: Int, it: Iterator[Tok], state: GroupState[MGState]) =>
+          val prev = state.getOption.getOrElse(MGState(agg.zero, 0))
+          val buf = it.foldLeft(prev.buf)((b, t) => agg.reduce(b, t.token))
+          state.update(MGState(buf, prev.seq + 1))
+          (shard, prev.seq + 1, agg.finish(buf).keys.toSeq.sorted.mkString(","))
+      }
+      .toDF("shard", "seq", "candidates")
+      .writeStream.format("memory").queryName("mgstream")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      def toks(ts: String*): Seq[Tok] = ts.map(t => Tok(t.hashCode & 1, t))
+      // hot0/hot1 dominate across BOTH batches; tail tokens churn
+      mem.addData(toks(Seq.fill(20)("hot0") ++ Seq.fill(15)("hot1") ++
+        (1 to 10).map(i => s"t$i"): _*): _*)
+      q.processAllAvailable()
+      mem.addData(toks(Seq.fill(25)("hot0") ++ Seq.fill(18)("hot1") ++
+        (11 to 20).map(i => s"t$i"): _*): _*)
+      q.processAllAvailable()
+      val last = sp.table("mgstream").collect()
+        .groupBy(_.getInt(0)).map { case (_, rows) => rows.maxBy(_.getInt(1)) }
+      val finalCands = last.flatMap(_.getString(2).split(",")).toSet
+      // the cross-batch hot tokens MUST survive in their shard's sketch —
+      // only state carried between micro-batches can know they are hot
+      assert(finalCands.contains("hot0") && finalCands.contains("hot1"),
+        s"sketch state lost across batches: $finalCands")
+      // hot0 flows in both batches, so its shard's state MUST be on seq 2
+      assert(last.exists(_.getInt(1) == 2), "no shard carried state across batches")
     } finally q.stop()
   }
 
