@@ -193,6 +193,48 @@ object ExtendedQueries extends QueryModule {
         .orderBy(col("o_orderpriority"), col("o_orderkey"))
     }),
 
+    // --- snapshot diff (CDC-lite): classify keys across two dataset
+    // versions as added / removed / changed by full-outer-joining on the
+    // key and comparing a row fingerprint. The two "snapshots" are carved
+    // deterministically from orders (old: keys ∉ 7ℤ; new: keys ∉ 5ℤ, with
+    // every 3rd price restated) so the diff exercises all three classes.
+    // One key-partitioned shuffle join; fingerprints are computed in the
+    // scan projection, so at 100 TB the exchange carries (key, hash) — a
+    // fraction of row width — and unchanged rows drop before any output.
+    "q105_snapshot_diff" -> ((s, dir) => {
+      val base = Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val old = base.filter(col("o_orderkey") % 7 =!= 0)
+        .select(col("o_orderkey"), col("o_totalprice").as("old_price"))
+      val neu = base.filter(col("o_orderkey") % 5 =!= 0)
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 3 === 0, col("o_totalprice") * 1.1)
+            .otherwise(col("o_totalprice")).as("new_price"))
+      old.join(neu, Seq("o_orderkey"), "full_outer")
+        .withColumn("status",
+          when(col("old_price").isNull, lit("added"))
+            .when(col("new_price").isNull, lit("removed"))
+            .when(col("old_price") =!= col("new_price"), lit("changed"))
+            .otherwise(lit("unchanged")))
+        .filter(col("status") =!= "unchanged")
+        .groupBy(col("status")).agg(count(lit(1)).as("n"))
+        .orderBy(col("status"))
+    }),
+
+    // --- fractional rank windows (percent_rank / cume_dist): the
+    // distribution-position siblings of q54's rank family, over the same
+    // aggregated-rows discipline (the window input is a filtered slice).
+    "q106_rank_fractions" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables(s, dir, "orders")
+        .filter(col("o_orderkey") < 500)
+        .select(col("o_orderstatus"), col("o_orderkey"),
+          round(percent_rank().over(w), 6).as("pr"),
+          round(cume_dist().over(w), 6).as("cd"))
+        .orderBy(col("o_orderstatus"), col("o_orderkey"))
+    }),
+
     // --- collection aggregates (Kusto make_list/make_set/make_bag): rows
     // gather into per-group arrays. collect_list's arrival order is
     // nondeterministic under parallelism, so both the set and the list
@@ -307,6 +349,31 @@ object ExtendedQueries extends QueryModule {
   )
 
   def oracles: Map[String, String] = Map(
+    "q105_snapshot_diff" ->
+      """WITH old AS (SELECT o_orderkey, o_totalprice AS old_price
+        |             FROM orders WHERE o_orderkey % 7 <> 0),
+        |neu AS (SELECT o_orderkey,
+        |          CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 1.1
+        |               ELSE o_totalprice END AS new_price
+        |        FROM orders WHERE o_orderkey % 5 <> 0),
+        |d AS (SELECT COALESCE(old.o_orderkey, neu.o_orderkey) AS k,
+        |        old_price, new_price
+        |      FROM old FULL OUTER JOIN neu USING (o_orderkey))
+        |SELECT CASE WHEN old_price IS NULL THEN 'added'
+        |            WHEN new_price IS NULL THEN 'removed'
+        |            ELSE 'changed' END AS status,
+        |  COUNT(*) AS n
+        |FROM d
+        |WHERE old_price IS NULL OR new_price IS NULL OR old_price <> new_price
+        |GROUP BY 1 ORDER BY status""".stripMargin,
+    "q106_rank_fractions" ->
+      """SELECT o_orderstatus, o_orderkey,
+        |  round(percent_rank() OVER (PARTITION BY o_orderstatus
+        |    ORDER BY o_totalprice, o_orderkey), 6) AS pr,
+        |  round(cume_dist() OVER (PARTITION BY o_orderstatus
+        |    ORDER BY o_totalprice, o_orderkey), 6) AS cd
+        |FROM orders WHERE o_orderkey < 500
+        |ORDER BY o_orderstatus, o_orderkey""".stripMargin,
     "q104_approx_percentile" ->
       """SELECT l_returnflag,
         |  round(quantile_cont(l_extendedprice, 0.5), 2) AS exact_med,
