@@ -100,6 +100,28 @@ object SketchQueries extends QueryModule {
         .limit(100)
     }),
 
+    // --- top-k per group WITHOUT a window sort: the bounded-heap TopK
+    // Aggregator ([[graft.functions.TopKAggregator]]) keeps ≤ k pairs per
+    // partial buffer, so no partition ever sorts a full group — the
+    // shuffle carries O(groups × k). row_number().over(window) does the
+    // same job by sorting every group's rows; at 100 TB that sort (and
+    // its spill) is the cost this operator deletes. posexplode turns the
+    // per-group array back into ranked rows; the window form is the
+    // oracle, so the two formulations are proven equivalent.
+    "q107_topk_per_group" -> ((s, dir) => {
+      val topk = udaf(new graft.functions.TopKAggregator.TopK(3),
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaDouble,
+          org.apache.spark.sql.Encoders.scalaLong))
+      Tables(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(topk(col("o_totalprice"), col("o_orderkey")).as("top"))
+        .select(col("o_orderstatus"), posexplode(col("top")))
+        .select(col("o_orderstatus"), (col("pos") + 1).cast("long").as("rnk"),
+          col("col._1").as("o_totalprice"), col("col._2").as("o_orderkey"))
+        .orderBy(col("o_orderstatus"), col("rnk"))
+    }),
+
     // --- mergeable distinct-count rollup (Datasketches HLL): one sketch
     // per group, then the corpus-wide distinct from UNIONING the sketches
     // — never rescanning the data. This re-aggregatability is what q45's
@@ -186,6 +208,13 @@ object SketchQueries extends QueryModule {
         |FROM events, a
         |GROUP BY user_id
         |ORDER BY score DESC, user_id ASC LIMIT 100""".stripMargin,
+    "q107_topk_per_group" ->
+      """WITH r AS (SELECT o_orderstatus, o_orderkey, o_totalprice,
+        |  ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+        |    ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+        |FROM orders)
+        |SELECT o_orderstatus, rnk, o_totalprice, o_orderkey
+        |FROM r WHERE rnk <= 3 ORDER BY o_orderstatus, rnk""".stripMargin,
     "q97_hll_rollup" ->
       """WITH p AS (SELECT event_type, COUNT(DISTINCT user_id) AS exact_users
         |           FROM events GROUP BY event_type),

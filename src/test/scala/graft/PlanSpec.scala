@@ -235,6 +235,14 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q107 top-k per group: bounded-heap aggregate, no window sort of the input") {
+    val p = plan("q107_topk_per_group")
+    // the heap UDAF partial-aggregates; the input is never window-sorted
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("RunningWindowFunction"), p)
+  }
+
   test("q97 HLL rollup: sketches partial-aggregate map-side like any builtin agg") {
     val p = plan("q97_hll_rollup")
     assert(p.contains("hll_sketch_agg"), p)

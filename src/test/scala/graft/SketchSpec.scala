@@ -119,6 +119,24 @@ class SketchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(inertias.last < inertias.head, s"no progress at all: $inertias")
   }
 
+  test("TopK aggregator: any partitioning/merge order equals the global sort's top-k") {
+    import graft.functions.TopKAggregator.TopK
+    val rnd = new Random(13)
+    for (trial <- 0 until 5; parts <- Seq(1, 3, 16)) {
+      // duplicate scores on purpose: the id tiebreak must decide
+      val data = Seq.fill(500)((rnd.nextInt(40).toDouble, rnd.nextLong(100000)))
+      val agg = new TopK(7)
+      val bufs = data.grouped(math.max(1, data.size / parts))
+        .map(_.foldLeft(agg.zero)(agg.reduce)).toSeq
+      val merged = agg.finish(rnd.shuffle(bufs).reduce(agg.merge))
+      val expected = data.sortWith((a, b) =>
+        a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)).take(7)
+      assert(merged == expected, s"trial=$trial parts=$parts")
+      // buffers never exceed k entries
+      bufs.foreach(b => assert(b.scores.length <= 7))
+    }
+  }
+
   test("MG buffer stays bounded at 2k entries regardless of cardinality") {
     val agg = new MisraGries(20)
     val rnd = new Random(11)
