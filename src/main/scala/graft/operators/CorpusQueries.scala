@@ -293,6 +293,23 @@ object CorpusQueries extends QueryModule {
         .orderBy(col("lang"), col("source"), col("doc_id"))
     }),
 
+    // --- weighted (probability-proportional-to-size) sampling: longer
+    // documents keep a proportionally larger chance, decided by a
+    // CONTENT-HASH threshold, not rand() — the q60 determinism rule, so
+    // the sample is stable under repartitioning, appends, and re-runs.
+    // uhash/2^32 is uniform on [0,1); keeping rows where it is below
+    // n_chars/2000 samples each doc with probability min(1, len/2000).
+    // Pure map-side filter: no shuffle at any corpus size.
+    "q108_weighted_sample" -> ((s, dir) => {
+      // first 8 hex chars of md5 -> 32-bit uniform, exact in a long
+      val uhash = expr("CAST(conv(substring(md5(text), 1, 8), 16, 10) AS BIGINT)")
+      Tables(s, dir, "documents")
+        .withColumn("u", uhash)
+        .filter(col("u") * lit(2000L) < col("n_chars") * lit(4294967296L))
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // --- inverted-index build (the retrieval-side sibling of TF-IDF):
     // posting lists for mid-signal terms (document frequency 5–400 — rarer
     // is noise, commoner is a stopword). The (doc,term) pairs reduce to
@@ -447,6 +464,11 @@ object CorpusQueries extends QueryModule {
         |  SELECT e.src, r.r FROM edges e JOIN reach r ON r.node = e.dst)
         |SELECT node AS doc_id, MIN(r) AS cluster
         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+    "q108_weighted_sample" ->
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) * 2000
+        |      < n_chars * 4294967296
+        |ORDER BY doc_id""".stripMargin,
     "q103_top_nested_others" ->
       """WITH c AS (SELECT lang, source, COUNT(*) AS n
         |           FROM documents GROUP BY lang, source),

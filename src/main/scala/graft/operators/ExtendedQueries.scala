@@ -193,6 +193,20 @@ object ExtendedQueries extends QueryModule {
         .orderBy(col("o_orderpriority"), col("o_orderkey"))
     }),
 
+    // --- numeric bin histogram (Kusto bin()/floor() on a measure, the
+    // numeric sibling of q14's date_trunc): equi-width 50k price buckets
+    // with count and an exact decimal-summed total per bucket. One
+    // partial-aggregated groupBy of bin keys — |bins| rows shuffled.
+    "q109_bin_histogram" -> ((s, dir) => {
+      Tables(s, dir, "orders")
+        .groupBy((floor(col("o_totalprice") / 50000) * 50000)
+          .cast("long").as("price_bin"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice").cast(DecimalType(38, 6)))
+            .cast("double"), 2).as("total"))
+        .orderBy(col("price_bin"))
+    }),
+
     // --- snapshot diff (CDC-lite): classify keys across two dataset
     // versions as added / removed / changed by full-outer-joining on the
     // key and comparing a row fingerprint. The two "snapshots" are carved
@@ -349,6 +363,12 @@ object ExtendedQueries extends QueryModule {
   )
 
   def oracles: Map[String, String] = Map(
+    "q109_bin_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 50000) * 50000 AS BIGINT) AS price_bin,
+        |  COUNT(*) AS n,
+        |  round(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE), 2)
+        |    AS total
+        |FROM orders GROUP BY 1 ORDER BY price_bin""".stripMargin,
     "q105_snapshot_diff" ->
       """WITH old AS (SELECT o_orderkey, o_totalprice AS old_price
         |             FROM orders WHERE o_orderkey % 7 <> 0),
