@@ -18,6 +18,11 @@ object CorpusQueries extends QueryModule {
     * `string_split_regex(trim(text), '\s+')`. */
   private val toksSql = LlmQueries.toksSql
 
+  /** 32-bit uniform content hash (first 8 md5 hex chars), shared by every
+    * deterministic sampler (q85 rebalance, q108 PPS) so their thresholds
+    * can never silently desynchronize. uhash/2^32 is uniform on [0,1). */
+  private val uhashSql = "CAST(conv(substring(md5(text), 1, 8), 16, 10) AS BIGINT)"
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // --- duplicate-CLUSTER resolution: pair lists (q34) undercount reality
@@ -301,10 +306,8 @@ object CorpusQueries extends QueryModule {
     // n_chars/2000 samples each doc with probability min(1, len/2000).
     // Pure map-side filter: no shuffle at any corpus size.
     "q108_weighted_sample" -> ((s, dir) => {
-      // first 8 hex chars of md5 -> 32-bit uniform, exact in a long
-      val uhash = expr("CAST(conv(substring(md5(text), 1, 8), 16, 10) AS BIGINT)")
       Tables(s, dir, "documents")
-        .withColumn("u", uhash)
+        .withColumn("u", expr(uhashSql))
         .filter(col("u") * lit(2000L) < col("n_chars") * lit(4294967296L))
         .select(col("doc_id"), col("n_chars"))
         .orderBy(col("doc_id"))
@@ -414,8 +417,7 @@ object CorpusQueries extends QueryModule {
       val minCnt = counts.agg(min(col("n_src")).as("m"))
       docs.join(broadcast(counts), "source")
         .crossJoin(broadcast(minCnt))
-        .filter(expr("CAST(conv(substring(md5(text), 1, 8), 16, 10) AS BIGINT)" +
-          " * n_src * 2 < m * 4294967296"))
+        .filter(expr(s"$uhashSql * n_src * 2 < m * 4294967296"))
         .select(col("doc_id"), col("lang"), col("source"))
         .orderBy(col("doc_id"))
     })

@@ -376,8 +376,7 @@ object ExtendedQueries extends QueryModule {
         |          CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 1.1
         |               ELSE o_totalprice END AS new_price
         |        FROM orders WHERE o_orderkey % 5 <> 0),
-        |d AS (SELECT COALESCE(old.o_orderkey, neu.o_orderkey) AS k,
-        |        old_price, new_price
+        |d AS (SELECT old_price, new_price
         |      FROM old FULL OUTER JOIN neu USING (o_orderkey))
         |SELECT CASE WHEN old_price IS NULL THEN 'added'
         |            WHEN new_price IS NULL THEN 'removed'
