@@ -298,6 +298,41 @@ object CorpusQueries extends QueryModule {
         .orderBy(col("lang"), col("source"), col("doc_id"))
     }),
 
+    // --- feature hashing (the hashing trick): tokens bucket into a
+    // fixed 256-dim count vector per document — the featurizer that
+    // needs NO vocabulary pass, so it is one scan at any corpus size
+    // (vs TF-IDF's vocabulary join). Bucket = 16-bit md5 prefix mod 256,
+    // portable to the oracle; per-doc nnz and L2 norm are the standard
+    // downstream features. Two partial-agg'd groupBys, integer counts
+    // exact, one sqrt at the end.
+    "q110_feature_hashing" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(expr(toksSql)).as("term"))
+        .withColumn("bucket",
+          expr("CAST(conv(substring(md5(term), 1, 4), 16, 10) AS INT) % 256"))
+        .groupBy(col("doc_id"), col("bucket")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("nnz"),
+          round(sqrt(sum(col("cnt") * col("cnt")).cast("double")), 4).as("l2"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- cross-document repeated n-gram mining (copy detection): the
+    // 8-gram inverted relation from the q80 shape, aggregated to "which
+    // exact phrases recur across documents" — top-20 by document count.
+    // Grams are per-doc distinct (array_distinct) so a phrase repeated
+    // inside ONE doc doesn't inflate its cross-doc count; shuffle keys
+    // are gram strings, aggregated map-side before the exchange.
+    "q111_common_ngrams" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), expr(toksSql).as("tk"))
+        .select(col("doc_id"), explode(expr(gramsSql("tk", 8))).as("gram"))
+        .groupBy(col("gram")).agg(count(lit(1)).as("n_docs"))
+        .filter(col("n_docs") > 1)
+        .orderBy(col("n_docs").desc, col("gram").asc)
+        .limit(20)
+    }),
+
     // --- weighted (probability-proportional-to-size) sampling: longer
     // documents keep a proportionally larger chance, decided by a
     // CONTENT-HASH threshold, not rand() — the q60 determinism rule, so
@@ -466,6 +501,28 @@ object CorpusQueries extends QueryModule {
         |  SELECT e.src, r.r FROM edges e JOIN reach r ON r.node = e.dst)
         |SELECT node AS doc_id, MIN(r) AS cluster
         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+    "q110_feature_hashing" ->
+      """WITH t AS (SELECT doc_id,
+        |    unnest(string_split_regex(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |b AS (SELECT doc_id,
+        |    CAST('0x' || substr(md5(term), 1, 4) AS INT) % 256 AS bucket,
+        |    COUNT(*) AS cnt
+        |  FROM t GROUP BY 1, 2)
+        |SELECT doc_id, COUNT(*) AS nnz,
+        |  round(sqrt(CAST(SUM(cnt * cnt) AS DOUBLE)), 4) AS l2
+        |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q111_common_ngrams" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, array_to_string(t[i : i + 7], ' ') AS gram
+        |  FROM toks, UNNEST(generate_series(1, len(t) - 7)) AS u(i)
+        |  WHERE len(t) >= 8)
+        |SELECT gram, COUNT(*) AS n_docs FROM grams
+        |GROUP BY gram HAVING COUNT(*) > 1
+        |ORDER BY n_docs DESC, gram ASC LIMIT 20""".stripMargin,
     "q108_weighted_sample" ->
       """SELECT doc_id, n_chars FROM documents
         |WHERE CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) * 2000
