@@ -298,6 +298,23 @@ object CorpusQueries extends QueryModule {
         .orderBy(col("lang"), col("source"), col("doc_id"))
     }),
 
+    // --- robust per-group feature scaling (median/IQR, not mean/stddev —
+    // outlier documents cannot drag the scale): per-language median and
+    // interquartile range of doc length, broadcast back onto the corpus
+    // for a map-side normalized column. The percentile agg reduces to
+    // |groups| rows; the corpus itself is never shuffled.
+    "q112_robust_scale" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val stats = docs.groupBy(col("lang")).agg(
+        percentile(col("n_chars"), lit(0.5)).as("med"),
+        (percentile(col("n_chars"), lit(0.75)) -
+          percentile(col("n_chars"), lit(0.25))).as("iqr"))
+      docs.join(broadcast(stats), Seq("lang"))
+        .select(col("doc_id"), col("lang"),
+          round((col("n_chars") - col("med")) / col("iqr"), 4).as("robust_z"))
+        .orderBy(col("doc_id"))
+    }),
+
     // --- feature hashing (the hashing trick): tokens bucket into a
     // fixed 256-dim count vector per document — the featurizer that
     // needs NO vocabulary pass, so it is one scan at any corpus size
@@ -501,6 +518,14 @@ object CorpusQueries extends QueryModule {
         |  SELECT e.src, r.r FROM edges e JOIN reach r ON r.node = e.dst)
         |SELECT node AS doc_id, MIN(r) AS cluster
         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+    "q112_robust_scale" ->
+      """WITH s AS (SELECT lang,
+        |    quantile_cont(n_chars, 0.5) AS med,
+        |    quantile_cont(n_chars, 0.75) - quantile_cont(n_chars, 0.25) AS iqr
+        |  FROM documents GROUP BY lang)
+        |SELECT doc_id, d.lang, round((n_chars - med) / iqr, 4) AS robust_z
+        |FROM documents d JOIN s ON d.lang = s.lang
+        |ORDER BY doc_id""".stripMargin,
     "q110_feature_hashing" ->
       """WITH t AS (SELECT doc_id,
         |    unnest(string_split_regex(trim(text), '\s+')) AS term

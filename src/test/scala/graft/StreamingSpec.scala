@@ -314,6 +314,44 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("foreachBatch: idempotent partitioned-parquet sink (exactly-once by batch id)") {
+    // The production sink pattern for arbitrary destinations: foreachBatch
+    // gets (df, batchId); writing each batch into batch_id=<id> partitions
+    // with dynamic overwrite makes a REPLAYED batch overwrite its own
+    // directory instead of appending duplicates — Spark's at-least-once
+    // delivery plus an idempotent write = exactly-once output.
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("febatch").toString
+    val prev = sp.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    sp.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    def writeBatch(df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+        batchId: Long): Unit =
+      df.withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite").partitionBy("batch_id").parquet(out)
+    try {
+      val mem = MemoryStream[Doc]
+      val q = mem.toDF().writeStream.foreachBatch(writeBatch _)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        mem.addData(Doc("en", "one"), Doc("de", "zwei"))
+        q.processAllAvailable()
+        mem.addData(Doc("fr", "trois"))
+        q.processAllAvailable()
+      } finally q.stop()
+      assert(sp.read.parquet(out).count() == 3)
+      // REPLAY batch 1: the dynamic overwrite must replace, not append
+      writeBatch(Seq(Doc("fr", "trois")).toDF(), 1L)
+      val rows = sp.read.parquet(out)
+      assert(rows.count() == 3, "replayed batch duplicated rows")
+      assert(rows.filter(col("batch_id") === 1).count() == 1)
+    } finally prev match {
+      case Some(v) => sp.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => sp.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
   test("transformWithState: ValueState running count under the RocksDB store") {
     // Spark 4's replacement for *GroupsWithState: typed per-key state
     // handles (ValueState/ListState/MapState), timers, and TTL. Requires
