@@ -277,6 +277,35 @@ object CorpusQueries extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // --- bloom-accelerated decontamination: q80's semantics on q91's
+    // machinery. The eval set's grams aggregate into ONE bloom binary (a
+    // scalar subquery, ~100 KB at any eval size) and the corpus-side
+    // grams pre-filter on graft_might_contain BEFORE the exact join —
+    // at 100 TB the exact join's build side still broadcasts, but the
+    // probe stream entering it shrinks to (true overlaps + fpp), which
+    // is the difference between hashing every corpus gram and hashing
+    // almost none. The trailing exact join removes bloom false
+    // positives, so the result equals q80 row-for-row (same oracle).
+    "q113_decontaminate_bloom" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      Tables(s, dir, "documents").withColumn("tk", expr(toksSql))
+        .createOrReplaceTempView("docs_q113")
+      s.sql(
+        s"""WITH grams AS (
+           |  SELECT doc_id, explode(${gramsSql("tk", 8)}) AS g
+           |  FROM docs_q113),
+           |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 5 = 0),
+           |bf AS (SELECT graft_bloom_agg(xxhash64(g), 200000L, 1600000L) AS b
+           |       FROM bench)
+           |SELECT c.doc_id, COUNT(*) AS n_overlap
+           |FROM grams c
+           |JOIN bench ON c.g = bench.g
+           |WHERE c.doc_id % 5 <> 0
+           |  AND graft_might_contain((SELECT b FROM bf), xxhash64(c.g))
+           |GROUP BY c.doc_id
+           |ORDER BY c.doc_id""".stripMargin)
+    }),
+
     // --- sequence packing for training: concatenate documents in
     // deterministic (doc_id) order within each (lang, source) stratum and
     // chunk the token stream into fixed 512-token sequences; each doc
