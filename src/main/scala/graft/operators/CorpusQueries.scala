@@ -517,7 +517,25 @@ object CorpusQueries extends QueryModule {
     if (distinct) s"array_distinct($grams)" else grams
   }
 
+  /** Shared by q80 and q113: the bloom pre-filter in q113 is removed by
+    * its trailing exact join, so both queries are pinned to the same SQL
+    * (see the q113 scaladoc above). */
+  private val decontaminateOracleSql =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      |  FROM documents),
+      |grams AS (
+      |  SELECT DISTINCT doc_id, array_to_string(t[i : i + 7], ' ') AS g
+      |  FROM toks, UNNEST(generate_series(1, len(t) - 7)) AS u(i)
+      |  WHERE len(t) >= 8),
+      |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 5 = 0)
+      |SELECT g2.doc_id, COUNT(*) AS n_overlap
+      |FROM grams g2 JOIN bench USING (g)
+      |WHERE g2.doc_id % 5 <> 0
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   def oracles: Map[String, String] = Map(
+    "q113_decontaminate_bloom" -> decontaminateOracleSql,
     "q59_dedup_clusters" ->
       """WITH RECURSIVE corpus AS (
         |  SELECT doc_id, text FROM documents
@@ -691,19 +709,7 @@ object CorpusQueries extends QueryModule {
         |          ROWS UNBOUNDED PRECEDING) AS DOUBLE) /
         |        CAST(SUM(n) OVER () AS DOUBLE), 6) AS share
         |FROM f ORDER BY rnk""".stripMargin,
-    "q80_decontaminate" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
-        |  FROM documents),
-        |grams AS (
-        |  SELECT DISTINCT doc_id, array_to_string(t[i : i + 7], ' ') AS g
-        |  FROM toks, UNNEST(generate_series(1, len(t) - 7)) AS u(i)
-        |  WHERE len(t) >= 8),
-        |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 5 = 0)
-        |SELECT g2.doc_id, COUNT(*) AS n_overlap
-        |FROM grams g2 JOIN bench USING (g)
-        |WHERE g2.doc_id % 5 <> 0
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q80_decontaminate" -> decontaminateOracleSql,
     "q81_pack_sequences" ->
       """SELECT lang, source, doc_id, n_tokens,
         |  (cum - n_tokens) // 512 AS start_seq,

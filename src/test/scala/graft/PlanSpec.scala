@@ -243,6 +243,32 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("RunningWindowFunction"), p)
   }
 
+  test("q113 bloom decontamination: might_contain prunes the probe side BELOW the exact join") {
+    import org.apache.spark.sql.catalyst.optimizer.BuildLeft
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val qe = SparkEntry.queries("q113_decontaminate_bloom")(spark, dir)
+      .queryExecution
+    val plan = qe.sparkPlan
+    val joins = plan.collect { case j: BroadcastHashJoinExec => j }
+    assert(joins.nonEmpty, plan.toString)
+    // The bloom pre-filter is the POINT of q113: the corpus gram stream
+    // must shrink before it reaches the exact join's hash probe. A
+    // regression that hoists might_contain above the join keeps the
+    // query correct but silently deletes the benefit — so pin the filter
+    // to the probe (non-build) subtree of the gram equi-join.
+    val probeSides = joins.map { j =>
+      if (j.buildSide == BuildLeft) j.right else j.left
+    }
+    assert(probeSides.exists(_.toString.toLowerCase.contains("might_contain")),
+      plan.toString)
+    // ...and never ABOVE the join (Catalyst may legitimately propagate a
+    // copy to the tiny build side — also below): every might_contain in
+    // the plan lives inside a join subtree.
+    val total = plan.toString.toLowerCase.occurrencesOf("might_contain")
+    val below = joins.map(_.toString.toLowerCase.occurrencesOf("might_contain")).sum
+    assert(total == below, plan.toString)
+  }
+
   test("q97 HLL rollup: sketches partial-aggregate map-side like any builtin agg") {
     val p = plan("q97_hll_rollup")
     assert(p.contains("hll_sketch_agg"), p)
