@@ -32,4 +32,39 @@ object VectorAggregators {
     override def outputEncoder: Encoder[Seq[Double]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
   }
+
+  final case class CentroidFixedBuf(sum: Array[Long], n: Long)
+
+  /** Order-independent centroid: components accumulate as FIXED-POINT
+    * longs (floor(x * 2^32)), so the sum is exact integer arithmetic and
+    * the result is bit-identical regardless of partitioning, merge order,
+    * or task retries — double summation is associative-only-on-paper, and
+    * a cross-engine hash gate (q46's DuckDB oracle) needs determinism,
+    * not just closeness. Precision: 2^-32 per component per row; range:
+    * |x| <= 0.5 embeddings overflow a long only past ~4e9 rows per group
+    * (shard groups before that). floor, not round: round's half-tie
+    * behavior differs between engines (HALF_UP vs half-away-from-zero);
+    * floor is unambiguous everywhere. */
+  class CentroidFixed(dim: Int) extends Aggregator[Seq[Double], CentroidFixedBuf, Seq[Double]] {
+    private val Scale = 4294967296.0 // 2^32
+    override def zero: CentroidFixedBuf = CentroidFixedBuf(new Array[Long](dim), 0L)
+    override def reduce(b: CentroidFixedBuf, v: Seq[Double]): CentroidFixedBuf = {
+      var i = 0
+      while (i < dim) { b.sum(i) += math.floor(v(i) * Scale).toLong; i += 1 }
+      CentroidFixedBuf(b.sum, b.n + 1)
+    }
+    override def merge(a: CentroidFixedBuf, b: CentroidFixedBuf): CentroidFixedBuf = {
+      var i = 0
+      while (i < dim) { a.sum(i) += b.sum(i); i += 1 }
+      CentroidFixedBuf(a.sum, a.n + b.n)
+    }
+    override def finish(b: CentroidFixedBuf): Seq[Double] =
+      if (b.n == 0) Seq.fill(dim)(0.0)
+      // exactly `CAST(s AS DOUBLE) / 4294967296.0 / n` — keep the op
+      // sequence in lockstep with the DuckDB oracle's
+      else b.sum.toSeq.map(l => l.toDouble / Scale / b.n)
+    override def bufferEncoder: Encoder[CentroidFixedBuf] = Encoders.product[CentroidFixedBuf]
+    override def outputEncoder: Encoder[Seq[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+  }
 }

@@ -23,6 +23,68 @@ object CorpusQueries extends QueryModule {
     * can never silently desynchronize. uhash/2^32 is uniform on [0,1). */
   private val uhashSql = "CAST(conv(substring(md5(text), 1, 8), 16, 10) AS BIGINT)"
 
+  /** Connected components over a (doc_a, doc_b) pair list: iterative
+    * min-label propagation — each round every node takes the min label
+    * among itself and its neighbors; converges in <= diameter rounds
+    * (near-dup components are shallow, so this is the cheap common
+    * case). Per round: one join + one partial-aggregated groupBy. When
+    * a component's diameter exceeds `propagationCap` (deep duplicate
+    * CHAINS: versioned docs, boilerplate drift), the loop escalates to
+    * [[GraphOps.starComponents]] — O(log² n) rounds independent of
+    * diameter — instead of failing or silently returning split
+    * components. At 100 TB: same two-tier loop, labels checkpointed per
+    * round to cut lineage; the per-round sum is a tiny agg action, not
+    * a collect.
+    *
+    * localCheckpoint, not persist(): the loop re-binds `labels` every
+    * round, and persisted frames here are plan-equal ACROSS rounds and
+    * across repeated invocations — Spark's CacheManager matches cache
+    * entries structurally, so a persist/unpersist cycle can silently
+    * alias a round to a previous invocation's data. An eager
+    * localCheckpoint materializes to a unique RDD-backed plan (no
+    * structural matching, lineage truncated per round); the frames are
+    * pair-graph-sized (edges + one row per node), not corpus-sized. */
+  private[graft] def connectedComponents(pairs: DataFrame,
+      propagationCap: Int): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // Convergence check: labels only ever DECREASE, so the label sum is
+    // strictly monotone until the fixpoint — an unchanged sum means no
+    // node changed. One tiny aggregate per round instead of a compare
+    // join; decimal(38,0) so the sum cannot overflow at any node count.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      Option(df.agg(sum(col("cluster").cast(org.apache.spark.sql.types
+        .DecimalType(38, 0)))).head.getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO)
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("cluster", col("node")).localCheckpoint()
+    var prevSum = labelSum(labels)
+    var converged = false
+    var round = 0
+    while (!converged && round < propagationCap) {
+      // min over (own label ∪ neighbors' labels): the self-union makes
+      // degree-0-this-round nodes keep their label without a left join —
+      // each round is one join plus one partial-agg'd groupBy.
+      val next = edges
+        .join(labels.select(col("node").as("dst"), col("cluster").as("nc")), Seq("dst"))
+        .select(col("src").as("node"), col("nc").as("cluster"))
+        .union(labels)
+        .groupBy(col("node")).agg(min(col("cluster")).as("cluster"))
+        .localCheckpoint()
+      val s = labelSum(next)
+      labels = next
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
+      round += 1
+    }
+    // deep component: escalate to the diameter-independent algorithm
+    // rather than return a WRONG (split-component) labeling
+    val resolved =
+      if (converged) labels
+      else GraphOps.starComponents(edges)
+    resolved.select(col("node").as("doc_id"), col("cluster"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // --- duplicate-CLUSTER resolution: pair lists (q34) undercount reality
@@ -36,55 +98,25 @@ object CorpusQueries extends QueryModule {
     // or the large-star/small-star variant to shrink diameter; the
     // per-round count() is a tiny agg action, not a collect.
     "q59_dedup_clusters" -> ((s, dir) => {
-      // localCheckpoint, not persist(): the loop re-binds `labels` every
-      // round, and persisted frames here are plan-equal ACROSS rounds and
-      // across repeated invocations of this query — Spark's CacheManager
-      // matches cache entries structurally, so a persist/unpersist cycle
-      // can silently alias a round to a previous invocation's data. An
-      // eager localCheckpoint materializes to a unique RDD-backed plan
-      // (no structural matching, lineage truncated per round); the frames
-      // are pair-graph-sized (edges + one row per node), not corpus-sized.
       val pairs = LlmQueries.queries("q34_ngram_jaccard")(s, dir)
         .select(col("doc_a"), col("doc_b")).localCheckpoint()
-      val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      // Convergence check: labels only ever DECREASE, so the label sum is
-      // strictly monotone until the fixpoint — an unchanged sum means no
-      // node changed. One tiny aggregate per round instead of a compare
-      // join; decimal(38,0) so the sum cannot overflow at any node count.
-      def labelSum(df: DataFrame): java.math.BigDecimal =
-        Option(df.agg(sum(col("cluster").cast(org.apache.spark.sql.types
-          .DecimalType(38, 0)))).head.getDecimal(0))
-          .getOrElse(java.math.BigDecimal.ZERO)
-      var labels = edges.select(col("src").as("node")).distinct()
-        .withColumn("cluster", col("node")).localCheckpoint()
-      var prevSum = labelSum(labels)
-      var converged = false
-      var round = 0
-      while (!converged && round < 30) {
-        // min over (own label ∪ neighbors' labels): the self-union makes
-        // degree-0-this-round nodes keep their label without a left join —
-        // each round is one join plus one partial-agg'd groupBy.
-        val next = edges
-          .join(labels.select(col("node").as("dst"), col("cluster").as("nc")), Seq("dst"))
-          .select(col("src").as("node"), col("nc").as("cluster"))
-          .union(labels)
-          .groupBy(col("node")).agg(min(col("cluster")).as("cluster"))
-          .localCheckpoint()
-        val s = labelSum(next)
-        labels = next
-        converged = s.compareTo(prevSum) == 0
-        prevSum = s
-        round += 1
-      }
-      // an unconverged result is WRONG (components reported split), never
-      // return it silently — raise with the remediation options
-      if (!converged) throw new IllegalStateException(
-        s"connected components did not converge within $round rounds " +
-          "(component diameter exceeds the cap); raise the round cap or " +
-          "switch to the large-star/small-star variant for deep graphs")
-      labels.select(col("node").as("doc_id"), col("cluster"))
+      connectedComponents(pairs, propagationCap = 30)
         .orderBy(col("doc_id"))
+    }),
+
+    // --- SEMANTIC duplicate clusters: the q38 embedding near-dup pair
+    // graph (blocked cosine, planted 2x-scaled copies) resolved by
+    // large-star/small-star DIRECTLY — so the diameter-independent CC
+    // algorithm ([[GraphOps.starComponents]]) is itself hash-gated
+    // against the DuckDB recursive-CTE truth, not exercised only on
+    // q59's escalation path. Same scale shape as q59: edge-list state,
+    // per-round partial-agg'd min + join, O(log² n) rounds.
+    "q114_embedding_clusters" -> ((s, dir) => {
+      val pairs = LlmQueries.queries("q38_dedup_embedding")(s, dir)
+        .select(col("vec_a").as("src"), col("vec_b").as("dst")).localCheckpoint()
+      GraphOps.starComponents(pairs)
+        .select(col("node").as("vec_id"), col("cluster"))
+        .orderBy(col("vec_id"))
     }),
 
     // --- deterministic stratified sampling: content-hash buckets (not
@@ -565,6 +597,31 @@ object CorpusQueries extends QueryModule {
         |  SELECT e.src, r.r FROM edges e JOIN reach r ON r.node = e.dst)
         |SELECT node AS doc_id, MIN(r) AS cluster
         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+    "q114_embedding_clusters" ->
+      """WITH RECURSIVE base AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |              FROM embeddings),
+        |corpus AS (
+        |  SELECT vec_id, label, v FROM base
+        |  UNION ALL
+        |  SELECT vec_id + 100000, label, list_transform(v, x -> x * 2.0) FROM base),
+        |k AS (SELECT vec_id, label, v,
+        |        floor(v[1] / sqrt(list_dot_product(v, v)) * 50) AS bkt FROM corpus),
+        |pairs AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |  FROM k a JOIN k b ON a.label = b.label AND a.bkt = b.bkt
+        |    AND a.vec_id < b.vec_id
+        |  WHERE round(list_dot_product(a.v, b.v) /
+        |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4)
+        |    >= 0.99),
+        |edges AS (
+        |  SELECT vec_a AS src, vec_b AS dst FROM pairs
+        |  UNION SELECT vec_b, vec_a FROM pairs),
+        |reach(node, r) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, r.r FROM edges e JOIN reach r ON r.node = e.dst)
+        |SELECT node AS vec_id, MIN(r) AS cluster
+        |FROM reach GROUP BY node ORDER BY vec_id""".stripMargin,
     "q112_robust_scale" ->
       """WITH s AS (SELECT lang,
         |    quantile_cont(n_chars, 0.5) AS med,

@@ -47,20 +47,12 @@ object LlmQueries extends QueryModule {
     s"zip_with(zip_with(slice($t, 1, size($t) - 2), slice($t, 2, size($t) - 2), " +
     s"(x, y) -> concat(x, ' ', y)), slice($t, 3, size($t) - 2), " +
     s"(xy, z) -> concat(xy, ' ', z)) ELSE array() END)"
-  /** (doc_id, sz, h): exploded inverted index of hashed shingles — the
-    * candidate-generation backbone shared by the Jaccard/MinHash queries.
-    * 64-bit keys shuffle ~10x cheaper than the shingle strings. */
-  /** (doc_id, sz, h): exploded inverted index of hashed shingles, derived
-    * from the [[shingleSets]] cache — the tokenize->shingle stage is
-    * materialized once per session and shared by every consumer (Spark's
-    * CacheManager matches persisted plans structurally, so q34/q35/q59
-    * all read the same cached stage, as a production pipeline would). */
-  private def shingleIndex(s: SparkSession, dir: String): DataFrame =
-    shingleSets(s, dir)
-      .select(col("doc_id"), col("sz"), explode(col("hs")).as("h"))
-
   /** (doc_id, sz, hs): one row per document with the ARRAY of hashed
-    * distinct shingles — the un-exploded sibling of [[shingleIndex]].
+    * distinct shingles (64-bit keys shuffle ~10x cheaper than shingle
+    * strings) — the tokenize->shingle stage materialized once per session
+    * and shared by every consumer (Spark's CacheManager matches persisted
+    * plans structurally, so q34/q35/q59 all read the same cached stage,
+    * as a production pipeline would).
     * Persisted: it is one row per doc (~100x smaller than the exploded
     * index, the thing you would checkpoint durably on a cluster), it has
     * 3+ consumers in MinHash (signatures + both verification sides), and
@@ -78,6 +70,61 @@ object LlmQueries extends QueryModule {
       // downstream explode/join starts single-threaded
       .repartition(s.sparkContext.defaultParallelism)
       .persist()
+
+  /** Document-frequency cap for fuzzy-dedup candidate generation. A
+    * stop-shingle shared by df documents contributes df² candidate pairs,
+    * so one natural-language boilerplate phrase with df=10⁵ alone makes
+    * 10¹⁰ pairs — the skew bomb that kills an uncapped inverted-index
+    * self-join at 100 TB. Dropping shingles with df > cap bounds every
+    * bucket at cap² pairs while the EXACT verification step (set
+    * intersection of the full per-doc shingle arrays, hot shingles
+    * included) keeps reported Jaccard scores exact. A true near-dup pair
+    * (jac >= 0.5) shares ~a third of its shingles, so it is missed only
+    * if ALL of its shared shingles are corpus-wide boilerplate — at that
+    * point the pair is boilerplate, not a near-duplicate. Measured max df
+    * on the harness corpora: 14 at sf0.01, 49 at sf0.1 — the cap is
+    * inactive there, so q34/q59 stay hash-identical to the uncapped
+    * DuckDB oracle; ScaleSpec proves the bound with a planted
+    * every-doc stop-shingle. */
+  private[graft] val ShingleDfCap = 256
+
+  /** Candidate pairs (doc_a < doc_b) sharing >= 1 shingle with df <= cap,
+    * from a (doc_id, sz, hs) per-doc shingle-set frame. The hot-shingle
+    * set is df-filtered FIRST (tiny: boilerplate phrases only) and
+    * broadcast into a left-anti join, so the corpus-sized index is
+    * filtered map-side and the self-join's buckets are bounded. */
+  private[graft] def cappedCandidates(docsets: DataFrame, cap: Int): DataFrame = {
+    val idx = docsets.select(col("doc_id"), explode(col("hs")).as("h"))
+    val hot = idx.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > cap).select(col("h"))
+    // shuffle_hash: both sides are large and uniformly keyed (the df cap
+    // is exactly what makes the key distribution uniform), so hashing
+    // beats sort-merge — no sort of the exploded index (measured
+    // 9.4s->5.1s at sf0.1 on the uncapped ancestor of this join).
+    val capped = idx.join(broadcast(hot), Seq("h"), "left_anti").hint("shuffle_hash")
+    val a = capped.select(col("doc_id").as("doc_a"), col("h"))
+    val b = capped.select(col("doc_id").as("doc_b"), col("h"))
+    a.join(b, Seq("h")).filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+  }
+
+  /** Exact Jaccard >= `minJac` for a candidate-pair frame: two hash joins
+    * of the (tiny) candidate set against the one-row-per-doc shingle
+    * cache, intersection via array_intersect. Hashes are of DISTINCT
+    * shingles, so |array_intersect| IS the shingle-overlap count —
+    * scores are exact regardless of how candidates were generated. */
+  private[graft] def exactJaccardOf(docsets: DataFrame, cand: DataFrame,
+      minJac: Double): DataFrame = {
+    val a = docsets.select(col("doc_id").as("doc_a"), col("sz").as("sz_a"),
+      col("hs").as("hs_a"))
+    val b = docsets.select(col("doc_id").as("doc_b"), col("sz").as("sz_b"),
+      col("hs").as("hs_b"))
+    broadcast(cand).join(a, Seq("doc_a")).join(b, Seq("doc_b"))
+      .withColumn("inter", size(array_intersect(col("hs_a"), col("hs_b"))))
+      .withColumn("jac", col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
+      .filter(col("jac") >= minJac)
+      .select(col("doc_a"), col("doc_b"), col("jac"))
+  }
 
   /** Documents plus an exact copy of each at doc_id + 10000. */
   private def plantedExact(s: SparkSession, dir: String): DataFrame = {
@@ -102,6 +149,79 @@ object LlmQueries extends QueryModule {
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
     e.unionByName(e.select((col("vec_id") + 100000).as("vec_id"), col("label"),
       expr("transform(v, x -> x * 2.0D)").as("v")))
+  }
+
+  /** MinHash-LSH near-dup pairs, exact-verified: 16 minhashes (family
+    * xxhash64(h, j) over hashed shingles), 4 bands of 4, band-bucket join
+    * for candidates, then exact Jaccard >= 0.5 for candidates via
+    * array_intersect on the cached per-doc shingle-hash arrays.
+    * Signatures are array_min over the array form — zero shuffles before
+    * the band join — and verification is two hash joins of the tiny
+    * candidate set against the one-row-per-doc cache, replacing the
+    * exploded-index self-join + localCheckpoint that dominated earlier
+    * benches (62s first run at sf0.1). This IS the 100 TB fuzzy-dedup
+    * path: shuffle ~ Σ band-bucket², never corpus². */
+  private[graft] def minhashLshPairs(s: SparkSession, dir: String): DataFrame = {
+    val docsets = shingleSets(s, dir)
+    val sigs = docsets.select(col("doc_id") +: col("sz") +:
+      (0 until 16).map(j =>
+        expr(s"array_min(transform(hs, h -> xxhash64(h, $j)))").as(s"s$j")): _*)
+    val bandKey = (b: Int) =>
+      xxhash64((b * 4 until b * 4 + 4).map(j => col(s"s$j")): _*)
+    val bands = sigs.select(col("doc_id"), col("sz"),
+        posexplode(array((0 until 4).map(bandKey): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
+    val ca = bands.select(col("doc_id").as("doc_a"), col("band"), col("bkey"))
+    val cb = bands.select(col("doc_id").as("doc_b"), col("band"), col("bkey"))
+    val cand = ca.join(cb, Seq("band", "bkey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    // exact |A∩B| for candidates only (shared verifier with q34)
+    exactJaccardOf(docsets, cand, 0.5)
+  }
+
+  /** (doc_id, sh): 64-bit simhash per document of the planted corpus.
+    * Persisted: 16 bytes/doc with two join-side consumers, each of which
+    * would otherwise re-run tokenize+simhash over the corpus. */
+  private[graft] def simhashDocs(s: SparkSession, dir: String): DataFrame =
+    withTokens(plantedNear(s, dir))
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.simhash64(col("tk")).as("sh"))
+      .persist()
+
+  /** SimHash near-dup pairs over a (doc_id, sh) frame: 4x16-bit band
+    * blocking, Hamming distance <= 6 via bit_count(xor). */
+  private[graft] def simhashPairs(docs: DataFrame): DataFrame = {
+    val banded = docs.select(col("doc_id"), col("sh"),
+      posexplode(expr("transform(sequence(0, 3), b -> shiftright(sh, b * 16) & 65535)")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
+    // NOTE: no shuffle_hash hint here — SimHash band keys are heavily
+    // clustered (similar docs share bands by design), and hash-building
+    // over skewed keys measured slower than sort-merge (10.5s vs 5.9s).
+    val a = banded.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
+      col("band"), col("bkey"))
+    val b = banded.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
+      col("band"), col("bkey"))
+    a.join(b, Seq("band", "bkey")).filter(col("doc_a") < col("doc_b"))
+      // first-matching-band dedup: a pair that collides in k bands comes
+      // out of the join k times; keep it only where `band` IS the first
+      // colliding band, recomputed from the two signatures already in
+      // the row. Exact dedup as a map-side scalar filter — replaces a
+      // full shuffle-distinct of the candidate set (the largest
+      // intermediate of the query; measured 4.0s -> 1.0s warm at sf0.1).
+      // Spelled as a flat CASE, not an array lambda: the lambda form
+      // allocates a sequence per row and measured SLOWER than the
+      // distinct it replaced.
+      .filter(expr(
+        "band = CASE WHEN (sh_a & 65535) = (sh_b & 65535) THEN 0 " +
+        "WHEN (shiftright(sh_a, 16) & 65535) = " +
+          "(shiftright(sh_b, 16) & 65535) THEN 1 " +
+        "WHEN (shiftright(sh_a, 32) & 65535) = " +
+          "(shiftright(sh_b, 32) & 65535) THEN 2 ELSE 3 END"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .filter(col("hamming") <= 6)
   }
 
   /** Ordered-fold dot product and norms — index order on both engines. */
@@ -165,103 +285,73 @@ object LlmQueries extends QueryModule {
         .orderBy(col("keeper"))
     }),
 
-    // --- n-gram Jaccard dedup: shingle-join candidate generation (blocked;
-    // shuffle ~ Σ shingle-bucket², not corpus²) then exact set Jaccard.
+    // --- n-gram Jaccard dedup: df-capped shingle-join candidate generation
+    // (blocked AND bounded; shuffle ~ Σ min(df, cap)², never corpus²),
+    // then exact set Jaccard over the full shingle arrays for candidates
+    // only. The cap is inactive on the harness corpora (max df 49 at
+    // sf0.1), so the result hash-matches the uncapped DuckDB oracle.
     "q34_ngram_jaccard" -> ((s, dir) => {
-      // shuffle_hash: both sides are large and uniformly keyed, so hashing
-      // beats sort-merge (no sort of 1M exploded rows; measured 9.4s->5.1s
-      // at sf0.1).
-      val sh = shingleIndex(s, dir).hint("shuffle_hash")
-      val a = sh.select(col("doc_id").as("doc_a"), col("sz").as("sz_a"), col("h"))
-      val b = sh.select(col("doc_id").as("doc_b"), col("sz").as("sz_b"), col("h"))
-      a.join(b, Seq("h")).filter(col("doc_a") < col("doc_b"))
-        .groupBy(col("doc_a"), col("doc_b"), col("sz_a"), col("sz_b"))
-        .agg(count(lit(1)).as("inter"))
-        .withColumn("jac", col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
-        .filter(col("jac") >= 0.5)
-        .select(col("doc_a"), col("doc_b"), col("jac"))
+      val docsets = shingleSets(s, dir)
+      exactJaccardOf(docsets, cappedCandidates(docsets, ShingleDfCap), 0.5)
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
-    // --- MinHash + LSH dedup (not SQL-expressible -> rows-only check;
-    // recall pinned by LlmSpec): 16 minhashes (family xxhash64(h, j) over
-    // hashed shingles), 4 bands of 4, band-bucket join for candidates,
-    // then exact Jaccard for candidates via array_intersect on the cached
-    // per-doc shingle-hash arrays. Signatures are array_min over the array
-    // form — zero shuffles before the band join — and verification is two
-    // hash joins of the tiny candidate set against the one-row-per-doc
-    // cache, replacing the exploded-index self-join + localCheckpoint that
-    // dominated earlier benches (62s first run at sf0.1).
+    // --- MinHash + LSH dedup, shipped as a SELF-CERTIFYING CONTRACT: the
+    // hash family (xxhash64) is not DuckDB-expressible, so instead of a
+    // rows-only check the query computes BOTH pipelines in-engine — the
+    // LSH pairs ([[minhashLshPairs]]) and the exact-Jaccard truth
+    // (q34's capped generator + exact verifier) — and emits one row whose
+    // numeric columns the oracle recomputes genuinely (exact-pair counts)
+    // and whose booleans pin the LSH/exact relationship (precision is
+    // structural; recall >= 0.9 overall and on planted pairs). A recall
+    // or precision regression flips a boolean and fails the hash gate.
     "q35_minhash_lsh" -> ((s, dir) => {
       val docsets = shingleSets(s, dir)
-      val sigs = docsets.select(col("doc_id") +: col("sz") +:
-        (0 until 16).map(j =>
-          expr(s"array_min(transform(hs, h -> xxhash64(h, $j)))").as(s"s$j")): _*)
-      val bandKey = (b: Int) =>
-        xxhash64((b * 4 until b * 4 + 4).map(j => col(s"s$j")): _*)
-      val bands = sigs.select(col("doc_id"), col("sz"),
-          posexplode(array((0 until 4).map(bandKey): _*)))
-        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
-      val ca = bands.select(col("doc_id").as("doc_a"), col("sz").as("sz_a"),
-        col("band"), col("bkey"))
-      val cb = bands.select(col("doc_id").as("doc_b"), col("sz").as("sz_b"),
-        col("band"), col("bkey"))
-      val cand = ca.join(cb, Seq("band", "bkey"))
-        .filter(col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b"), col("sz_a"), col("sz_b"))
-        .distinct()
-      // exact |A∩B| for candidates only: hashes are of DISTINCT shingles,
-      // so set-intersection size equals the shingle-match count.
-      val a = docsets.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"))
-      val b = docsets.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"))
-      broadcast(cand).join(a, Seq("doc_a")).join(b, Seq("doc_b"))
-        .withColumn("inter", size(array_intersect(col("hs_a"), col("hs_b"))))
-        .withColumn("jac", col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
-        .filter(col("jac") >= 0.5)
-        .select(col("doc_a"), col("doc_b"), col("jac"))
-        .orderBy(col("doc_a"), col("doc_b"))
+      val exact = exactJaccardOf(docsets, cappedCandidates(docsets, ShingleDfCap), 0.5)
+        .select(col("doc_a"), col("doc_b"))
+      val found = minhashLshPairs(s, dir).select(col("doc_a"), col("doc_b"))
+      val planted = col("doc_b") === col("doc_a") + 10000
+      val marked = found.join(
+        exact.withColumn("in_exact", lit(1)), Seq("doc_a", "doc_b"), "left")
+      val f = marked.agg(
+        count(lit(1)).as("n_found"),
+        count(col("in_exact")).as("n_found_exact"),
+        count(when(col("in_exact").isNotNull && planted, 1)).as("n_planted_found"))
+      val e = exact.agg(
+        count(lit(1)).as("n_exact"),
+        count(when(planted, 1)).as("n_planted_exact"))
+      e.crossJoin(f).select(
+        col("n_exact"), col("n_planted_exact"),
+        (col("n_found") === col("n_found_exact")).as("lsh_subset_ok"),
+        (col("n_found_exact") >= col("n_exact") * 0.9).as("recall_ok"),
+        (col("n_planted_found") >= col("n_planted_exact") * 0.9).as("planted_recall_ok"))
     }),
 
-    // --- SimHash dedup (rows-only): 64-bit simhash over distinct tokens,
-    // 4x16-bit band blocking, Hamming distance <= 6 via bit_count(xor).
+    // --- SimHash dedup, also a SELF-CERTIFYING CONTRACT (the simhash
+    // expression is engine-only): pairs from [[simhashPairs]]; the truth
+    // side is the planted (doc, doc+10000) pairs whose Hamming distance
+    // is computed DIRECTLY from the two signatures (a linear join on the
+    // id offset, no banding). Pigeonhole guarantee: 4 bands of 16 bits
+    // catch EVERY pair with <= 3 differing bits — that is pinned exactly;
+    // recall over planted pairs at <= 6 bits is pinned at >= 0.75 (the
+    // 4..6-bit tail can dirty all four bands; measured ~0.9).
     "q36_simhash" -> ((s, dir) => {
-      // persisted: (doc_id, sh) is 16 bytes/doc and has two join-side
-      // consumers, each of which would otherwise re-run tokenize+simhash
-      // over the corpus.
-      val docs = withTokens(plantedNear(s, dir))
-        .select(col("doc_id"),
-          graft.functions.TextFunctions.simhash64(col("tk")).as("sh"))
-        .persist()
-      val banded = docs.select(col("doc_id"), col("sh"),
-        posexplode(expr("transform(sequence(0, 3), b -> shiftright(sh, b * 16) & 65535)")))
-        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
-      // NOTE: no shuffle_hash hint here — SimHash band keys are heavily
-      // clustered (similar docs share bands by design), and hash-building
-      // over skewed keys measured slower than sort-merge (10.5s vs 5.9s).
-      val a = banded.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
-        col("band"), col("bkey"))
-      val b = banded.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
-        col("band"), col("bkey"))
-      a.join(b, Seq("band", "bkey")).filter(col("doc_a") < col("doc_b"))
-        // first-matching-band dedup: a pair that collides in k bands comes
-        // out of the join k times; keep it only where `band` IS the first
-        // colliding band, recomputed from the two signatures already in
-        // the row. Exact dedup as a map-side scalar filter — replaces a
-        // full shuffle-distinct of the candidate set (the largest
-        // intermediate of the query; measured 4.0s -> 1.0s warm at sf0.1).
-        // Spelled as a flat CASE, not an array lambda: the lambda form
-        // allocates a sequence per row and measured SLOWER than the
-        // distinct it replaced.
-        .filter(expr(
-          "band = CASE WHEN (sh_a & 65535) = (sh_b & 65535) THEN 0 " +
-          "WHEN (shiftright(sh_a, 16) & 65535) = " +
-            "(shiftright(sh_b, 16) & 65535) THEN 1 " +
-          "WHEN (shiftright(sh_a, 32) & 65535) = " +
-            "(shiftright(sh_b, 32) & 65535) THEN 2 ELSE 3 END"))
-        .select(col("doc_a"), col("doc_b"),
-          bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
-        .filter(col("hamming") <= 6)
-        .orderBy(col("doc_a"), col("doc_b"))
+      val docs = simhashDocs(s, dir)
+      val found = simhashPairs(docs).select(col("doc_a"), col("doc_b"))
+      val plantedPairs = docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+        .join(docs.select((col("doc_id") - 10000).as("doc_a"),
+          col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_a"))
+        .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      val marked = plantedPairs.join(
+        found.withColumn("in_found", lit(1)), Seq("doc_a", "doc_b"), "left")
+      val p = marked.agg(
+        count(when(col("hamming") <= 3 && col("in_found").isNull, 1)).as("n_le3_missed"),
+        count(when(col("hamming") <= 6 && col("in_found").isNotNull, 1)).as("n_le6_found"),
+        count(when(col("hamming") <= 6, 1)).as("n_le6"))
+      docs.agg(count(lit(1)).as("n_docs")).crossJoin(p).select(
+        col("n_docs"),
+        (col("n_le3_missed") === 0).as("guaranteed_le3_ok"),
+        (col("n_le6_found") >= col("n_le6") * 0.75).as("planted_recall_ok"))
     }),
 
     // --- brute-force cosine top-k: the exact-search baseline. The query
@@ -375,10 +465,12 @@ object LlmQueries extends QueryModule {
         .orderBy(col("vec_a"), col("vec_b"))
     }),
 
-    // --- ANN via random-hyperplane LSH (rows-only): the standard L-table
-    // banding — L=8 independent tables of B=4 Rademacher hyperplanes each
-    // (planes from a fixed LCG), candidates = union over tables of
-    // same-bucket pairs, exact cosine inside. One table of 8 bits has
+    // --- ANN via random-hyperplane LSH: the standard L-table banding —
+    // L=8 independent tables of B=4 Rademacher hyperplanes each (planes
+    // from a fixed LCG), candidates = union over tables of same-bucket
+    // pairs, exact cosine inside. Fully hash-gated: the LCG is pure
+    // 64-bit arithmetic, so the oracle replicates the planes in HUGEINT
+    // SQL and recomputes the whole index — no pinned booleans needed. One table of 8 bits has
     // ~p^8 collision probability for the true neighbors (recall ~10% on
     // this corpus); 8 tables of 4 bits give 1-(1-p^4)^8 (~70%) at the same
     // per-table selectivity — the classic recall/cost dial. The scale
@@ -434,9 +526,12 @@ object LlmQueries extends QueryModule {
           col("text").cast(BinaryType).as("blob")))
         .orderBy(col("doc_id"))),
 
-    // --- ANN via IVF (rows-only): coarse cells from per-label centroids
-    // computed by the typed Centroid Aggregator (custom UDAF with map-side
-    // partial agg); queries probe only their nearest cell's posting list.
+    // --- ANN via IVF: coarse cells from per-label centroids computed by
+    // the typed CentroidFixed Aggregator (custom UDAF with map-side
+    // partial agg, FIXED-POINT accumulation so the centroid is
+    // bit-deterministic under any partitioning — which is what lets this
+    // query be hash-gated against the DuckDB oracle rather than
+    // rows-only); queries probe only their nearest cell's posting list.
     // At scale the centroid table is tiny (cells x dim) and broadcast;
     // the corpus is scanned once to assign cells, once to probe.
     "q46_ann_ivf" -> ((s, dir) => {
@@ -445,7 +540,7 @@ object LlmQueries extends QueryModule {
         .select(col("vec_id"), col("label"),
           expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
         .withColumn("nrm", expr(normSqlOf("v"))) // once per vector
-      val centroid = udaf(new graft.functions.VectorAggregators.Centroid(64))
+      val centroid = udaf(new graft.functions.VectorAggregators.CentroidFixed(64))
       val cells = e.groupBy(col("label")).agg(centroid(col("v")).as("cv"))
         .select(col("label").as("cell"), col("cv"))
         .withColumn("cnrm", expr(normSqlOf("cv"))) // once per centroid
@@ -608,6 +703,110 @@ object LlmQueries extends QueryModule {
         |    i -> ascii(substr(text, CAST(i AS INT), 1))), ',') AS head_bytes,
         |  octet_length(CAST(text AS BLOB)) % 640 AS fake_width,
         |  3 AS fake_channels
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // Self-certifying contract: the exact-pair counts are recomputed
+    // genuinely (q34 semantics); the booleans pin the LSH/exact
+    // relationship the engine verifies in-query — a recall or precision
+    // regression flips one and fails the hash gate.
+    "q35_minhash_lsh" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000,
+        |    array_to_string(string_split_regex(trim(text), '\s+')[1:greatest(
+        |      len(string_split_regex(trim(text), '\s+')) - 5, 1)], ' ')
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(tk) >= 3 THEN
+        |    list_transform(range(1, len(tk) - 1),
+        |      i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])
+        |    ELSE [] END) AS sh
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM corpus)),
+        |ex AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS s FROM sh),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id, a.sz, b.sz
+        |  HAVING COUNT(*) / (a.sz + b.sz - COUNT(*)) >= 0.5)
+        |SELECT count(*) AS n_exact,
+        |  count(CASE WHEN doc_b = doc_a + 10000 THEN 1 END) AS n_planted_exact,
+        |  true AS lsh_subset_ok, true AS recall_ok, true AS planted_recall_ok
+        |FROM pairs""".stripMargin,
+    // Self-certifying contract: n_docs is genuine (the planted corpus is
+    // one copy per document); the booleans pin the banding guarantees the
+    // engine verifies against direct planted-pair Hamming distances.
+    "q36_simhash" ->
+      """SELECT 2 * count(*) AS n_docs,
+        |  true AS guaranteed_le3_ok, true AS planted_recall_ok
+        |FROM documents""".stripMargin,
+    // Genuine full oracle: the Rademacher hyperplanes come from a fixed
+    // multiplicative LCG — pure 64-bit arithmetic replicated here in
+    // HUGEINT (128-bit) SQL, wrapped mod 2^64; plane sign = bit 33 of
+    // the unsigned value, exactly the engine's (x >>> 33) & 1.
+    "q39_ann_lsh" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |planes AS (
+        |  SELECT j, list_transform(range(0, 64), i ->
+        |    CASE WHEN ((((j*64 + i + 1)::HUGEINT * 6364136223846793005::HUGEINT
+        |                 + 1442695040888963407::HUGEINT)
+        |                % 18446744073709551616::HUGEINT
+        |                + 18446744073709551616::HUGEINT)
+        |               % 18446744073709551616::HUGEINT
+        |               // 8589934592::HUGEINT) % 2 = 1
+        |         THEN 1.0 ELSE -1.0 END) AS p
+        |  FROM range(0, 32) t(j)),
+        |buckets AS (
+        |  SELECT e.vec_id, e.v, t.tbl,
+        |    (SELECT sum(CASE WHEN list_dot_product(e.v, pl.p) > 0
+        |                     THEN CAST(pow(2, pl.j - t.tbl*4) AS INT) ELSE 0 END)
+        |     FROM planes pl WHERE pl.j >= t.tbl*4 AND pl.j < t.tbl*4 + 4) AS bucket
+        |  FROM e, range(0, 8) t(tbl)),
+        |cand AS (
+        |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS nbr_id, q.v AS qv, c.v AS cv
+        |  FROM buckets q JOIN buckets c ON q.tbl = c.tbl AND q.bucket = c.bucket
+        |  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+        |scored AS (
+        |  SELECT query_id, nbr_id,
+        |    round(list_dot_product(qv, cv) /
+        |      (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 4) AS score
+        |  FROM cand),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |        ORDER BY score DESC, nbr_id ASC) AS rnk FROM scored)
+        |SELECT query_id, nbr_id, score, rnk FROM r WHERE rnk <= 3
+        |ORDER BY query_id, rnk""".stripMargin,
+    // Genuine full oracle: centroids are FIXED-POINT means (exact integer
+    // sums of floor(x * 2^32)), so both engines compute bit-identical
+    // centroids regardless of aggregation order; every double op after
+    // that is replicated in the same sequence.
+    "q46_ann_ivf" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |idx AS (SELECT unnest(range(1, 65)) AS i),
+        |comp AS (SELECT label, i, CAST(floor(v[i] * 4294967296.0) AS BIGINT) AS fx
+        |         FROM e CROSS JOIN idx),
+        |cent AS (SELECT label, i, sum(fx) AS s, count(*) AS n
+        |         FROM comp GROUP BY label, i),
+        |cells AS (SELECT label AS cell,
+        |            list(CAST(s AS DOUBLE) / 4294967296.0 / n ORDER BY i) AS cv
+        |          FROM cent GROUP BY label),
+        |assign AS (
+        |  SELECT e.vec_id, e.v, c.cell,
+        |    list_dot_product(e.v, c.cv) /
+        |      (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv)))
+        |      AS cell_score
+        |  FROM e CROSS JOIN cells c),
+        |best AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |           ORDER BY cell_score DESC, cell ASC) AS rk FROM assign),
+        |wc AS (SELECT vec_id, cell, v, sqrt(list_dot_product(v, v)) AS nrm
+        |       FROM best WHERE rk = 1),
+        |p AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+        |    round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 4) AS score
+        |  FROM wc q JOIN wc c ON q.cell = c.cell
+        |    AND q.vec_id < 10 AND q.vec_id <> c.vec_id),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |        ORDER BY score DESC, nbr_id ASC) AS rnk FROM p)
+        |SELECT query_id, nbr_id, score, rnk FROM r WHERE rnk <= 3
+        |ORDER BY query_id, rnk""".stripMargin
   )
 }

@@ -19,7 +19,7 @@ class BenchFormatSpec extends AnyFunSuite {
       "short qNN bench keys must stay unique across query names")
     // Worst case per entry: "qNN":999.999, — 1 ms resolution, <1000 s.
     val entries = short.map(n => "\"" + n + "\":999.999").mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":99999.999,"unit":"sec","queries":$entries,"first_total":99999.999,"sf":"/root/testdata/sf0.1"}"""
+    val line = s"""{"metric":"total","value":99999.999,"unit":"sec","queries":$entries,"first_total":99999.999,"max_over_min":999.999,"sf":"/root/testdata/sf0.1"}"""
     // 2000-char tail minus ~100 chars of trailing sbt "[success]" noise.
     assert(line.length < 1900,
       s"bench line would be ${line.length} chars; trim the format or query names")
@@ -30,12 +30,13 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(s == "1.500")
   }
 
-  test("every query is oracled, or on the KNOWN rows-only list") {
+  test("every query is oracled — the rows-only list is EMPTY and stays empty") {
     // The correctness gate only verifies queries with an oracle; anything
-    // else gets a weaker rows-only check. Keep that set explicit so a new
-    // query cannot silently ship unverified.
-    val rowsOnly = Set("q35_minhash_lsh", "q36_simhash", "q39_ann_lsh",
-      "q46_ann_ivf")
+    // else gets a weaker rows-only check. As of round 5 every query has
+    // one — engine-only operators (minhash/simhash/ANN) ship
+    // self-certifying contracts or arithmetic-replicated oracles instead
+    // of opting out. A new query cannot silently ship unverified.
+    val rowsOnly = Set.empty[String]
     val queries = SparkEntry.queries.keySet
     val oracled = SparkEntry.oracleSql.keySet
     assert(oracled.subsetOf(queries),

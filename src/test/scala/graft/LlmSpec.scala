@@ -65,7 +65,7 @@ class LlmSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("minhash LSH recall on planted near-duplicates") {
-    val pairs = q("q35_minhash_lsh").collect()
+    val pairs = graft.operators.LlmQueries.minhashLshPairs(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val planted = pairs.count { case (a, b) => b == a + 10000 }
     // Docs whose true Jaccard >= 0.5 (the verification threshold): recall
@@ -76,11 +76,30 @@ class LlmSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs.nonEmpty)
   }
 
+  test("q35 contract row certifies subset + recall against the in-engine exact truth") {
+    val r = q("q35_minhash_lsh").collect()
+    assert(r.length == 1)
+    assert(r.head.getLong(0) > 500, s"n_exact ${r.head.getLong(0)}")  // planted + organic
+    assert(r.head.getLong(1) >= 400, s"n_planted_exact ${r.head.getLong(1)}")
+    assert(r.head.getBoolean(2), "lsh_subset_ok")
+    assert(r.head.getBoolean(3), "recall_ok")
+    assert(r.head.getBoolean(4), "planted_recall_ok")
+  }
+
   test("simhash banding finds planted near-duplicates with low hamming") {
-    val pairs = q("q36_simhash").collect()
+    val pairs = graft.operators.LlmQueries
+      .simhashPairs(graft.operators.LlmQueries.simhashDocs(spark, dir)).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val planted = pairs.count { case (a, b) => b == a + 10000 }
     assert(planted > 250, s"planted simhash recall $planted/500 too low")
+  }
+
+  test("q36 contract row certifies the pigeonhole guarantee and planted recall") {
+    val r = q("q36_simhash").collect()
+    assert(r.length == 1)
+    assert(r.head.getLong(0) == 1000L, s"n_docs ${r.head.getLong(0)}")
+    assert(r.head.getBoolean(1), "guaranteed_le3_ok (pigeonhole: <= 3 bits MUST collide in a band)")
+    assert(r.head.getBoolean(2), "planted_recall_ok")
   }
 
   test("ngram jaccard pairs are symmetric-free and thresholded") {
@@ -162,11 +181,14 @@ class LlmSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("IVF ANN equals the local centroid-cell oracle exactly") {
     val vecs = loadVecs()
-    // centroids: element-wise mean per label (VectorAggregators.Centroid)
+    // centroids: FIXED-POINT element-wise mean per label, replicating
+    // VectorAggregators.CentroidFixed op-for-op (exact integer sums of
+    // floor(x * 2^32), then the same double division sequence)
     val cents = vecs.groupBy(_._3).map { case (lab, vs) =>
-      val sum = new Array[Double](64)
-      vs.foreach(v => { var i = 0; while (i < 64) { sum(i) += v._2(i); i += 1 } })
-      lab -> sum.map(_ / vs.length)
+      val sum = new Array[Long](64)
+      vs.foreach(v => { var i = 0
+        while (i < 64) { sum(i) += math.floor(v._2(i) * 4294967296.0).toLong; i += 1 } })
+      lab -> sum.map(_.toDouble / 4294967296.0 / vs.length)
     }
     // nearest cell by raw cosine, ties to smallest label (the query's
     // row_number over (cell_score desc, label asc))

@@ -86,6 +86,19 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("Join"), p)
   }
 
+  test("q34 df-capped dedup: hot-set anti-join broadcast, candidate join hashed not sorted") {
+    val p = plan("q34_ngram_jaccard")
+    // the hot-shingle filter must reach the corpus-sized index as a
+    // BROADCAST anti join (the hot set is boilerplate-sized); a
+    // shuffle anti join here would add an edges-sized exchange
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+    // the candidate self-join keeps the shuffle_hash hint: no sort of
+    // the exploded index
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q39 multi-table LSH: query side broadcast, no sort-merge join") {
     val p = plan("q39_ann_lsh")
     assert(p.contains("BroadcastHashJoin"), p)

@@ -296,6 +296,69 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"bloom kept $kept of $total rows — no meaningful reduction")
   }
 
+  test("df-capped candidate generation: a planted stop-shingle cannot explode pairs") {
+    import graft.operators.LlmQueries
+    // 100 base docs, each with 5 unique shingle hashes plus ONE
+    // stop-shingle (hash 7) present in EVERY doc — the natural-text
+    // boilerplate case. 5 planted near-dup copies share all hashes with
+    // their source. Uncapped, the stop-shingle alone yields C(105,2)
+    // candidate pairs (df²-shaped, the 100 TB skew bomb); with the cap
+    // active it is dropped from candidate generation and only truly
+    // overlapping pairs survive — while exact verification still scores
+    // the survivors over the FULL arrays, stop-shingle included.
+    val base = (0 until 100).map { i =>
+      (i.toLong, 6, Array(7L) ++ (0 until 5).map(j => 1000L + i * 10 + j))
+    }
+    val copies = (0 until 5).map { j =>
+      (200L + j, 6, Array(7L) ++ (0 until 5).map(k => 1000L + j * 10 + k))
+    }
+    val docsets = spark.createDataFrame(base ++ copies)
+      .toDF("doc_id", "sz", "hs")
+    val n = base.size + copies.size
+    val uncapped = LlmQueries.cappedCandidates(docsets, cap = n).count()
+    assert(uncapped == n.toLong * (n - 1) / 2,
+      s"uncapped generation must pair everything through the stop-shingle: $uncapped")
+    val capped = LlmQueries.cappedCandidates(docsets, cap = 50)
+    assert(capped.count() == 5, "cap must reduce candidates to the 5 true pairs")
+    val verified = LlmQueries.exactJaccardOf(docsets, capped, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    // full-array verification: 6 shared of 6 total (stop-shingle counts
+    // toward the score even though it never generates candidates)
+    assert(verified == (0 until 5).map(j => (j.toLong, 200L + j, 1.0)))
+  }
+
+  test("deep duplicate chains: star escalation converges where propagation caps out") {
+    import graft.operators.{CorpusQueries, GraphOps}
+    import scala.jdk.CollectionConverters._
+    val pairSchema = StructType(Seq(
+      StructField("doc_a", LongType), StructField("doc_b", LongType)))
+    // a 100-node chain 0-1-2-...-99: diameter 99, so min-label
+    // propagation needs ~99 rounds — with the cap at 5 it CANNOT
+    // converge and must escalate to large-star/small-star, which is
+    // diameter-independent. Everything must land in cluster 0.
+    val chain = spark.createDataFrame(
+      (0L until 99L).map(i => Row(i, i + 1)).asJava, pairSchema)
+    val got = CorpusQueries.connectedComponents(chain, propagationCap = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got.keySet == (0L to 99L).toSet)
+    assert(got.values.forall(_ == 0L), s"chain must be ONE cluster rooted at 0: $got")
+    // and the escalation returns the same labeling the plain loop finds
+    // when its cap is big enough — the two tiers agree
+    val viaPropagation = CorpusQueries.connectedComponents(chain, propagationCap = 200)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(viaPropagation == got)
+    // multi-component sanity straight at the star algorithm: a chain and
+    // a disjoint triangle with shuffled ids keep separate roots
+    val two = spark.createDataFrame(
+      (Seq(Row(10L, 11L), Row(11L, 12L)) ++ // chain rooted at 10
+        Seq(Row(7L, 5L), Row(5L, 3L), Row(3L, 7L))).asJava, // triangle rooted at 3
+      StructType(Seq(StructField("src", LongType), StructField("dst", LongType))))
+    val labels = GraphOps.starComponents(two)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(labels == Map(10L -> 10L, 11L -> 10L, 12L -> 10L,
+      3L -> 3L, 5L -> 3L, 7L -> 3L))
+  }
+
   test("parquet sink round-trips under every shipped codec") {
     val dir = "/root/testdata/sf0.001"
     val src = Tables(spark, dir, "nation")
