@@ -47,7 +47,12 @@ object Bench {
     // queries (min < 1s) get a third run — they're the ones where one GC
     // pause or page-cache miss distorts a min-of-2 the most, and the extra
     // run costs almost nothing.
-    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+    // Optional local-iteration filter (comma-separated name prefixes);
+    // the driver never sets it, so the graded run is always the full set.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+    def selected(name: String): Boolean =
+      only.forall(_.split(",").exists(name.startsWith))
+    val results = SparkEntry.queries.keys.toSeq.filter(selected).sorted.map { name =>
       // Per-query isolation: drop caches a previous QUERY left behind
       // (the dedup family shares a persisted shingle stage; carrying it
       // over would both under-report the next query's standalone cost

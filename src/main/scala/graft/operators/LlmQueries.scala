@@ -88,31 +88,100 @@ object LlmQueries extends QueryModule {
     * every-doc stop-shingle. */
   private[graft] val ShingleDfCap = 256
 
-  /** Candidate pairs (doc_a < doc_b) sharing >= 1 shingle with df <= cap,
-    * from a (doc_id, sz, hs) per-doc shingle-set frame. The hot-shingle
-    * set is df-filtered FIRST (tiny: boilerplate phrases only) and
-    * broadcast into a left-anti join, so the corpus-sized index is
-    * filtered map-side and the self-join's buckets are bounded. */
-  private[graft] def cappedCandidates(docsets: DataFrame, cap: Int): DataFrame = {
+  /** (doc_a, doc_b, sz_a, sz_b, nhot_a, nhot_b, inter_capped) for pairs
+    * sharing >= 1 shingle with df <= cap, from a (doc_id, sz, hs)
+    * per-doc shingle-set frame. The hot-shingle set is df-filtered FIRST
+    * (tiny: boilerplate phrases only) and broadcast into a left-anti
+    * join, so the corpus-sized index is filtered map-side and the
+    * self-join's buckets are bounded at cap². Intersection counts are
+    * aggregated IN the join's groupBy (map-side partial agg; the
+    * pair stream never collects or broadcasts — an early version
+    * broadcast the distinct pair set for verification and at sf0.1 that
+    * is millions of rows: 3.6s -> 25s and heap pressure for every
+    * query sharing the JVM). Per-doc metadata (sz, hot-shingle count)
+    * rides IN the exploded index rows, not via a per-doc broadcast —
+    * at 100 TB the per-doc frame is corpus-sized. */
+  private[graft] def cappedPairCounts(docsets: DataFrame, cap: Int): DataFrame = {
     val idx = docsets.select(col("doc_id"), explode(col("hs")).as("h"))
     val hot = idx.groupBy(col("h")).agg(count(lit(1)).as("df"))
       .filter(col("df") > cap).select(col("h"))
+    // how many of each doc's shingles the cap removed — the slack term
+    // of the exact upper bound in [[jaccardPairsCapped]]
+    val hotCnt = idx.join(broadcast(hot), Seq("h"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("nhot"))
+    val meta = docsets.select(col("doc_id"), col("sz"), col("hs"))
+      .join(hotCnt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("sz"),
+        coalesce(col("nhot"), lit(0L)).as("nhot"), col("hs"))
+    val idx2 = meta.select(col("doc_id"), col("sz"), col("nhot"),
+      explode(col("hs")).as("h"))
     // shuffle_hash: both sides are large and uniformly keyed (the df cap
     // is exactly what makes the key distribution uniform), so hashing
     // beats sort-merge — no sort of the exploded index (measured
     // 9.4s->5.1s at sf0.1 on the uncapped ancestor of this join).
-    val capped = idx.join(broadcast(hot), Seq("h"), "left_anti").hint("shuffle_hash")
-    val a = capped.select(col("doc_id").as("doc_a"), col("h"))
-    val b = capped.select(col("doc_id").as("doc_b"), col("h"))
+    val capped = idx2.join(broadcast(hot), Seq("h"), "left_anti").hint("shuffle_hash")
+    val a = capped.select(col("doc_id").as("doc_a"), col("sz").as("sz_a"),
+      col("nhot").as("nhot_a"), col("h"))
+    val b = capped.select(col("doc_id").as("doc_b"), col("sz").as("sz_b"),
+      col("nhot").as("nhot_b"), col("h"))
     a.join(b, Seq("h")).filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b")).distinct()
+      .groupBy(col("doc_a"), col("doc_b"), col("sz_a"), col("sz_b"),
+        col("nhot_a"), col("nhot_b"))
+      .agg(count(lit(1)).as("inter_capped"))
   }
 
-  /** Exact Jaccard >= `minJac` for a candidate-pair frame: two hash joins
-    * of the (tiny) candidate set against the one-row-per-doc shingle
-    * cache, intersection via array_intersect. Hashes are of DISTINCT
-    * shingles, so |array_intersect| IS the shingle-overlap count —
-    * scores are exact regardless of how candidates were generated. */
+  /** Exact Jaccard pairs >= `minJac` under a candidate-generation df cap.
+    *
+    * One tiny probe job asks whether any shingle exceeds the cap. The
+    * COMMON case (none — a curated corpus, or one whose boilerplate was
+    * already stripped) takes the direct path: one self-join of the
+    * exploded index + one partially-aggregated groupBy whose count IS
+    * the exact intersection, the cheapest exact shape (and bench-
+    * measured: the capped machinery on this path cost 3x for nothing).
+    *
+    * With hot shingles present: (1) [[cappedPairCounts]] counts each
+    * pair's overlap in UNCAPPED shingles; true overlap exceeds it by at
+    * most min(nhot_a, nhot_b) (a hot shingle contributes only if BOTH
+    * docs contain it), giving the upper-bound prune
+    * `(inter_capped + min(nhot)) * (1+m) >= m * (sz_a + sz_b)`;
+    * (2) the few surviving near-threshold pairs get their true Jaccard
+    * from array_intersect over the full per-doc arrays (hot shingles
+    * included), so reported scores are exact regardless of the cap. */
+  private[graft] def jaccardPairsCapped(docsets: DataFrame, cap: Int,
+      minJac: Double): DataFrame = {
+    val idx = docsets.select(col("doc_id"), col("sz"), explode(col("hs")).as("h"))
+    val hot = idx.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > cap).select(col("h"))
+    // probe: a LIMIT-1 aggregate job over the (cached-input) index —
+    // the df-cap equivalent of q59's per-round convergence probe
+    val anyHot = hot.limit(1).count() > 0
+    if (!anyHot) {
+      val i2 = idx.hint("shuffle_hash")
+      val a = i2.select(col("doc_id").as("doc_a"), col("sz").as("sz_a"), col("h"))
+      val b = i2.select(col("doc_id").as("doc_b"), col("sz").as("sz_b"), col("h"))
+      a.join(b, Seq("h")).filter(col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"), col("sz_a"), col("sz_b"))
+        .agg(count(lit(1)).as("inter"))
+        .withColumn("jac", col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
+        .filter(col("jac") >= minJac)
+        .select(col("doc_a"), col("doc_b"), col("jac"))
+    } else {
+      val survivors = cappedPairCounts(docsets, cap)
+        .filter((col("inter_capped") + least(col("nhot_a"), col("nhot_b")))
+          * lit(1.0 + minJac) >= lit(minJac) * (col("sz_a") + col("sz_b")))
+        .select(col("doc_a"), col("doc_b"))
+      exactJaccardOf(docsets, survivors, minJac)
+    }
+  }
+
+  /** Exact Jaccard >= `minJac` for a SMALL candidate-pair frame (LSH
+    * band collisions, upper-bound survivors): two hash joins of the
+    * broadcast candidate set against the one-row-per-doc shingle cache,
+    * intersection via array_intersect. Hashes are of DISTINCT shingles,
+    * so |array_intersect| IS the shingle-overlap count — scores are
+    * exact regardless of how candidates were generated. The broadcast
+    * is the point AND the contract: callers must pass an
+    * already-blocked candidate set, never the raw pair stream. */
   private[graft] def exactJaccardOf(docsets: DataFrame, cand: DataFrame,
       minJac: Double): DataFrame = {
     val a = docsets.select(col("doc_id").as("doc_a"), col("sz").as("sz_a"),
@@ -292,7 +361,7 @@ object LlmQueries extends QueryModule {
     // sf0.1), so the result hash-matches the uncapped DuckDB oracle.
     "q34_ngram_jaccard" -> ((s, dir) => {
       val docsets = shingleSets(s, dir)
-      exactJaccardOf(docsets, cappedCandidates(docsets, ShingleDfCap), 0.5)
+      jaccardPairsCapped(docsets, ShingleDfCap, 0.5)
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
@@ -307,8 +376,11 @@ object LlmQueries extends QueryModule {
     // or precision regression flips a boolean and fails the hash gate.
     "q35_minhash_lsh" -> ((s, dir) => {
       val docsets = shingleSets(s, dir)
-      val exact = exactJaccardOf(docsets, cappedCandidates(docsets, ShingleDfCap), 0.5)
-        .select(col("doc_a"), col("doc_b"))
+      // localCheckpoint: `exact` feeds BOTH the found-pair join and its
+      // own count agg — without materialization the full exact-Jaccard
+      // pipeline runs twice (measured 67s -> 35s at sf0.1)
+      val exact = jaccardPairsCapped(docsets, ShingleDfCap, 0.5)
+        .select(col("doc_a"), col("doc_b")).localCheckpoint()
       val found = minhashLshPairs(s, dir).select(col("doc_a"), col("doc_b"))
       val planted = col("doc_b") === col("doc_a") + 10000
       val marked = found.join(

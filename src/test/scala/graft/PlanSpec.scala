@@ -86,17 +86,26 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("Join"), p)
   }
 
-  test("q34 df-capped dedup: hot-set anti-join broadcast, candidate join hashed not sorted") {
+  test("q34 df-capped dedup: fast path on clean corpora, broadcast anti-join when capped") {
+    // harness corpora have no hot shingle, so q34 takes the direct
+    // path: hashed self-join (no sort of the exploded index), no
+    // anti-join machinery paid for nothing
     val p = plan("q34_ngram_jaccard")
-    // the hot-shingle filter must reach the corpus-sized index as a
-    // BROADCAST anti join (the hot set is boilerplate-sized); a
-    // shuffle anti join here would add an edges-sized exchange
-    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
-    // the candidate self-join keeps the shuffle_hash hint: no sort of
-    // the exploded index
     assert(p.contains("ShuffledHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("LeftAnti"), p)
+    // the capped path (hot shingles present) must reach the corpus-
+    // sized index as a BROADCAST anti join — a shuffle anti join here
+    // would add an edges-sized exchange
+    import org.apache.spark.sql.functions.{col, lit, array}
+    val docsets = spark.range(0, 50)
+      .select(col("id").as("doc_id"), lit(3).as("sz"),
+        array(lit(7L), col("id") * 10 + 1000, col("id") * 10 + 1001).as("hs"))
+    val capped = graft.operators.LlmQueries.cappedPairCounts(docsets, cap = 10)
+    val cp = capped.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(cp.contains("BroadcastHashJoin") && cp.contains("LeftAnti"), cp)
+    assert(!cp.contains("SortMergeJoin"), cp)
   }
 
   test("q39 multi-table LSH: query side broadcast, no sort-merge join") {

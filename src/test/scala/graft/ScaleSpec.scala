@@ -315,15 +315,15 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     val docsets = spark.createDataFrame(base ++ copies)
       .toDF("doc_id", "sz", "hs")
     val n = base.size + copies.size
-    val uncapped = LlmQueries.cappedCandidates(docsets, cap = n).count()
+    val uncapped = LlmQueries.cappedPairCounts(docsets, cap = n).count()
     assert(uncapped == n.toLong * (n - 1) / 2,
       s"uncapped generation must pair everything through the stop-shingle: $uncapped")
-    val capped = LlmQueries.cappedCandidates(docsets, cap = 50)
+    val capped = LlmQueries.cappedPairCounts(docsets, cap = 50)
     assert(capped.count() == 5, "cap must reduce candidates to the 5 true pairs")
-    val verified = LlmQueries.exactJaccardOf(docsets, capped, 0.5)
+    val verified = LlmQueries.jaccardPairsCapped(docsets, cap = 50, minJac = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
-    // full-array verification: 6 shared of 6 total (stop-shingle counts
-    // toward the score even though it never generates candidates)
+    // full-array verification: 6 shared of 6 total (the stop-shingle
+    // counts toward the score even though it never generates candidates)
     assert(verified == (0 until 5).map(j => (j.toLong, 200L + j, 1.0)))
   }
 
