@@ -46,7 +46,11 @@ object Bench {
     // so a regression is real only if it shows in the min column. Cheap
     // queries (min < 1s) get a third run — they're the ones where one GC
     // pause or page-cache miss distorts a min-of-2 the most, and the extra
-    // run costs almost nothing.
+    // run costs almost nothing. Queries whose two runs DISAGREE by >2x
+    // also get a third: the shared host's CPU-steal windows (measured
+    // 5-22%, fluctuating on ~10-minute scales) can inflate both runs of
+    // an unlucky query, and a 2x first/second spread is the signature
+    // of having straddled one.
     // Optional local-iteration filter (comma-separated name prefixes);
     // the driver never sets it, so the graded run is always the full set.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
@@ -63,7 +67,8 @@ object Bench {
       val first = once(name)
       val second = once(name)
       var best = math.min(first, second)
-      if (best < 1.0) best = math.min(best, once(name))
+      if (best < 1.0 || math.max(first, second) > 2.0 * best)
+        best = math.min(best, once(name))
       (name, first, best)
     }
     def r3(v: Double): String =
