@@ -17,6 +17,14 @@ import org.apache.spark.sql.SparkSession
   *   here is designed to shuffle as little as possible.
   */
 object Bench {
+  /** Bench-only operator timings (not oracled rows): q35/q36 are
+    * self-certifying contracts that compute BOTH the operator and its
+    * exact-truth certification in one query, so their headline numbers
+    * overstate the operator ~2x. These rows time just the operator
+    * pipeline; the contract rows remain the correctness gate. Static so
+    * BenchFormatSpec can include them in the line-width budget. */
+  val opOnlyNames: Seq[String] = Seq("q35op_minhash_only", "q36op_simhash_only")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -30,15 +38,16 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def once(name: String): Double = {
+    def time(name: String, df: () => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
+      try df().write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
       (System.nanoTime() - t0) / 1e9
     }
+    def once(name: String): Double =
+      time(name, () => SparkEntry.queries(name)(spark, sfDir))
 
     // Noise armor: measure BOTH the first-run time and the min. The min is
     // the plan's intrinsic cost (what a warm long-lived cluster pays); the
@@ -71,20 +80,43 @@ object Bench {
         best = math.min(best, once(name))
       (name, first, best)
     }
+    // Operator-only rows for the contract queries (see opOnlyNames): same
+    // two-runs-min protocol. Excluded from total/max_over_min so those
+    // stay comparable across rounds; reported in the queries map under
+    // distinct qNNop keys.
+    val opThunks: Map[String, () => org.apache.spark.sql.DataFrame] = Map(
+      "q35op_minhash_only" ->
+        (() => operators.LlmQueries.minhashLshPairs(spark, sfDir)),
+      "q36op_simhash_only" ->
+        (() => operators.LlmQueries.simhashPairs(
+          operators.LlmQueries.simhashDocs(spark, sfDir))))
+    val opResults = opOnlyNames.filter(selected).map { name =>
+      spark.catalog.clearCache()
+      val first = time(name, opThunks(name))
+      val second = time(name, opThunks(name))
+      var best = math.min(first, second)
+      if (best < 1.0 || math.max(first, second) > 2.0 * best)
+        best = math.min(best, time(name, opThunks(name)))
+      (name, first, best)
+    }
     def r3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     // Short qNN keys on the wire (the harness spec's own example shape,
     // {"q1":sec}); bench_detail.json carries the full names.
     def shortKey(name: String): String = name.split("_").head
     def jmap(f: ((String, Double, Double)) => Double): String =
-      results.map(r => "\"" + shortKey(r._1) + "\":" + r3(f(r))).mkString("{", ",", "}")
+      (results ++ opResults).map(r => "\"" + shortKey(r._1) + "\":" + r3(f(r)))
+        .mkString("{", ",", "}")
     val total = results.map(_._3).sum
     val firstTotal = results.map(_._2).sum
     // Dispersion: the largest first/min ratio across queries. A high value
     // with a low min-total is pure warm-up (JIT/codegen on first touch); a
     // regression is real only when the MIN moves. Lets the judge separate
-    // the two without the gitignored detail file.
-    val maxOverMin = results.map(r => r._2 / math.max(r._3, 1e-9)).max
+    // the two without the gitignored detail file. maxOption: an empty
+    // SPARK_GRAFT_BENCH_ONLY selection must emit a (degenerate) line, not
+    // throw on .max of an empty seq.
+    val maxOverMin = results.map(r => r._2 / math.max(r._3, 1e-9))
+      .maxOption.getOrElse(1.0)
     // The harness keeps only the last ~2000 chars of stdout and parses the
     // JSON line out of that tail (BENCH_r03 overflowed it and recorded
     // parsed:null). So the stdout line carries min times at 1 ms
@@ -92,7 +124,7 @@ object Bench {
     // first/min detail goes to a side file. BenchFormatSpec pins the
     // line-length budget as the query count grows.
     val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${jmap(_._3)},"first_total":${r3(firstTotal)},"max_over_min":${r3(maxOverMin)},"sf":"$sfDir"}"""
-    val detail = results.map(r =>
+    val detail = (results ++ opResults).map(r =>
       s"""{"query":"${r._1}","first":${r._2},"min":${r._3}}""")
       .mkString("[", ",", "]")
     try java.nio.file.Files.write(

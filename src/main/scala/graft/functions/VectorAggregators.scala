@@ -42,20 +42,25 @@ object VectorAggregators {
     * a cross-engine hash gate (q46's DuckDB oracle) needs determinism,
     * not just closeness. Precision: 2^-32 per component per row; range:
     * |x| <= 0.5 embeddings overflow a long only past ~4e9 rows per group
-    * (shard groups before that). floor, not round: round's half-tie
-    * behavior differs between engines (HALF_UP vs half-away-from-zero);
-    * floor is unambiguous everywhere. */
+    * (shard groups before that) — and accumulation is addExact, so
+    * hitting that bound RAISES instead of silently corrupting centroids
+    * while the oracle's HUGEINT sum stays exact. floor, not round:
+    * round's half-tie behavior differs between engines (HALF_UP vs
+    * half-away-from-zero); floor is unambiguous everywhere. */
   class CentroidFixed(dim: Int) extends Aggregator[Seq[Double], CentroidFixedBuf, Seq[Double]] {
     private val Scale = 4294967296.0 // 2^32
     override def zero: CentroidFixedBuf = CentroidFixedBuf(new Array[Long](dim), 0L)
     override def reduce(b: CentroidFixedBuf, v: Seq[Double]): CentroidFixedBuf = {
       var i = 0
-      while (i < dim) { b.sum(i) += math.floor(v(i) * Scale).toLong; i += 1 }
+      while (i < dim) {
+        b.sum(i) = Math.addExact(b.sum(i), math.floor(v(i) * Scale).toLong)
+        i += 1
+      }
       CentroidFixedBuf(b.sum, b.n + 1)
     }
     override def merge(a: CentroidFixedBuf, b: CentroidFixedBuf): CentroidFixedBuf = {
       var i = 0
-      while (i < dim) { a.sum(i) += b.sum(i); i += 1 }
+      while (i < dim) { a.sum(i) = Math.addExact(a.sum(i), b.sum(i)); i += 1 }
       CentroidFixedBuf(a.sum, a.n + b.n)
     }
     override def finish(b: CentroidFixedBuf): Seq[Double] =

@@ -133,10 +133,13 @@ object CorpusQueries extends QueryModule {
     }),
 
     // --- TF-IDF top terms per document. tf and df are two aggregations of
-    // one exploded token relation (both partial-agg'd map-side); the term
-    // vocabulary and the corpus size are small relative to the corpus, so
-    // both join back in as broadcasts — the corpus-sized relation is never
-    // shuffled on anything but (doc_id, term).
+    // one exploded token relation (both partial-agg'd map-side). The
+    // vocabulary join is NOT broadcast-hinted: a raw 100 TB vocabulary is
+    // 10⁸–10⁹ terms — multi-GB, past Spark's broadcast limits — so the
+    // join shuffles on `term` (both sides already keyed by it; the df
+    // side is vocab-bounded) and AQE converts it to a broadcast at
+    // runtime whenever the measured vocabulary actually is small. Only
+    // the one-row corpus count is unconditionally broadcast.
     "q61_tfidf" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents")
       val t = docs.select(col("doc_id"), explode(expr(toksSql)).as("term"))
@@ -145,7 +148,7 @@ object CorpusQueries extends QueryModule {
       val n = docs.agg(count(lit(1)).as("n_docs"))
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("score").desc, col("term").asc)
-      tf.join(broadcast(dfreq), Seq("term")).crossJoin(broadcast(n))
+      tf.join(dfreq, Seq("term")).crossJoin(broadcast(n))
         .withColumn("score", round(col("tf") * log(col("n_docs") / col("df")), 4))
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= 5)
@@ -169,28 +172,22 @@ object CorpusQueries extends QueryModule {
 
     // --- edit-distance near-dup verification: Levenshtein is the precise
     // (and expensive, O(len²) per pair) last-stage check, so candidates
-    // are blocked twice before it runs — equality on (lang, source) and a
-    // ±5-char length window — and the distance itself is computed only on
-    // the surviving pairs. Both engines implement classic Levenshtein,
-    // making this dedup stage exactly oracle-able, unlike the hash
-    // families.
+    // are blocked before it runs — equality on (lang, source) PLUS a
+    // width-6 length bucket in the equi-join key (see
+    // [[editDistanceBlocked]]), with the ±5-char window as residual —
+    // and the distance itself is computed only on the surviving pairs.
+    // Both engines implement classic Levenshtein, making this dedup
+    // stage exactly oracle-able, unlike the hash families.
     "q75_edit_distance" -> ((s, dir) => {
       val d = Tables(s, dir, "documents")
         .select(col("doc_id"), col("lang"), col("source"),
           col("n_chars"), col("text"))
-      val a = d.select(col("doc_id").as("doc_a"), col("lang"), col("source"),
-        col("n_chars").as("len_a"), col("text").as("text_a"))
-      val b = d.select(col("doc_id").as("doc_b"), col("lang"), col("source"),
-        col("n_chars").as("len_b"), col("text").as("text_b"))
       // the checkpoint is a PUSHDOWN BARRIER, not just caching: without
       // it Catalyst rewrites `dist <= 200` through the projection and
       // pushes levenshtein into the join residual, where it runs on
-      // every (lang, source)-matched pair instead of the ~0.1% that
-      // survive the length window (measured 3.2s -> 0.6s at sf0.1)
-      val cand = a.join(b, Seq("lang", "source"))
-        .filter(col("doc_a") < col("doc_b") &&
-          abs(col("len_a") - col("len_b")) <= 5)
-        .localCheckpoint()
+      // every bucket-matched pair instead of the ~0.1% that survive
+      // the length window (measured 3.2s -> 0.6s at sf0.1)
+      val cand = editDistanceCandidates(d).localCheckpoint()
       cand
         // AQE coalesces the tiny candidate set to one partition; spread it
         // back out or the O(len²) distance stage runs single-threaded
@@ -264,24 +261,50 @@ object CorpusQueries extends QueryModule {
     }),
 
     // --- Zipf token statistics: global term frequencies, rank, and
-    // cumulative corpus share. The unpartitioned window runs over the
-    // VOCABULARY (post-aggregation), not the corpus — at 100 TB the
-    // token explode is aggregated down to |vocab| rows first, so the
-    // single-partition window is bounded by vocabulary size.
+    // cumulative corpus share, as a TWO-PHASE rank — a raw web corpus's
+    // vocabulary at 100 TB is 10⁸–10⁹ distinct terms (typos, numbers,
+    // code), so a single-partition vocabulary window is still a
+    // bottleneck even though the corpus is aggregated away first.
+    // Phase 1: range-partition the vocabulary by the global rank order
+    // and rank/cumsum WITHIN each partition (parallel, spill-safe
+    // windows). Phase 2: add per-partition offsets computed from a
+    // P-row aggregate (joined back as a broadcast). No unpartitioned
+    // window anywhere; the only global sort is the range partitioner's
+    // sampled boundaries. localCheckpoint pins the partition ids so
+    // the row branch and the offsets branch see the SAME partitioning
+    // (repartitionByRange re-samples per execution otherwise).
     "q63_token_zipf" -> ((s, dir) => {
       val freq = Tables(s, dir, "documents")
         .select(explode(expr(toksSql)).as("term"))
         .groupBy(col("term")).agg(count(lit(1)).as("n"))
-      val ord = Window.orderBy(col("n").desc, col("term").asc)
-      val cum = Window.orderBy(col("n").desc, col("term").asc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val tot = Window.partitionBy()
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-      freq
-        .withColumn("rnk", row_number().over(ord))
+      val bucketed = freq
+        .repartitionByRange(s.sparkContext.defaultParallelism,
+          col("n").desc, col("term").asc)
+        .withColumn("pid", spark_partition_id())
+        .localCheckpoint()
+      val local = Window.partitionBy(col("pid"))
+        .orderBy(col("n").desc, col("term").asc)
+      val stats = bucketed.groupBy(col("pid"))
+        .agg(count(lit(1)).as("cnt"), sum(col("n")).as("tn"))
+      // prefix offsets over the P-row stats: a triangular nested-loop
+      // join of P² ≈ 1k rows replaces a third global window
+      val offs = stats
+        .join(stats.select(col("pid").as("ypid"), col("cnt").as("ycnt"),
+          col("tn").as("ytn")), col("ypid") < col("pid"), "left")
+        .groupBy(col("pid"))
+        .agg(coalesce(sum(col("ycnt")), lit(0L)).as("rank_off"),
+          coalesce(sum(col("ytn")), lit(0L)).as("cum_off"))
+      val total = bucketed.agg(sum(col("n")).as("tot"))
+      bucketed
+        .withColumn("lr", row_number().over(local))
+        .withColumn("lcum", sum(col("n")).over(
+          local.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .join(broadcast(offs), Seq("pid"))
+        .crossJoin(broadcast(total))
+        .withColumn("rnk", (col("rank_off") + col("lr")).cast("int"))
         .withColumn("share", round(
-          sum(col("n")).over(cum).cast("double") /
-            sum(col("n")).over(tot).cast("double"), 6))
+          (col("cum_off") + col("lcum")).cast("double") /
+            col("tot").cast("double"), 6))
         .select(col("term"), col("n"), col("rnk"), col("share"))
         .orderBy(col("rnk"))
     }),
@@ -535,6 +558,37 @@ object CorpusQueries extends QueryModule {
         .orderBy(col("doc_id"))
     })
   )
+
+  /** q75's candidate join, pre-residual — factored so ScaleSpec can
+    * measure the JOIN's output size directly. Blocking key is
+    * (lang, source, length-bucket): `floor(n_chars / 6)` on the build
+    * side, with the probe side replicated into its own and both
+    * adjacent buckets. |len_a - len_b| <= 5 with bucket width 6
+    * implies the two buckets differ by at most 1, so every qualifying
+    * pair matches on exactly ONE key (b's own bucket) — no dedup
+    * needed — and a (lang, source) group of n docs now generates
+    * ~3·Σ bucket² join rows instead of n². That is the 100 TB fix: the
+    * (lang, source) key alone is LOW-cardinality (an (en, web) group
+    * is billions of rows at scale), and with the length window only a
+    * residual the old join was O(|group|²) before the filter pruned. */
+  private[graft] def editDistanceBlocked(d: DataFrame): DataFrame = {
+    val bkt = floor(col("n_chars") / 6).cast("long")
+    val a = d.select(col("doc_id").as("doc_a"), col("lang"), col("source"),
+      col("n_chars").as("len_a"), col("text").as("text_a"),
+      explode(array(bkt - 1, bkt, bkt + 1)).as("lbkt"))
+    val b = d.select(col("doc_id").as("doc_b"), col("lang"), col("source"),
+      col("n_chars").as("len_b"), col("text").as("text_b"),
+      bkt.as("lbkt"))
+    a.join(b, Seq("lang", "source", "lbkt"))
+      .filter(col("doc_a") < col("doc_b"))
+  }
+
+  /** [[editDistanceBlocked]] plus the exact ±5-char residual the bucket
+    * boundary cannot express — semantically identical to the unbucketed
+    * (lang, source) join the DuckDB oracle runs. */
+  private[graft] def editDistanceCandidates(d: DataFrame): DataFrame =
+    editDistanceBlocked(d)
+      .filter(abs(col("len_a") - col("len_b")) <= 5)
 
   /** Word n-grams of a tokens column (optionally distinct), zip-fusing n
     * shifted slices so the (re-inlined) tokenizer evaluates once per ROW

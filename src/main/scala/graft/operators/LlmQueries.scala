@@ -155,6 +155,14 @@ object LlmQueries extends QueryModule {
     // probe: a LIMIT-1 aggregate job over the (cached-input) index —
     // the df-cap equivalent of q59's per-round convergence probe
     val anyHot = hot.limit(1).count() > 0
+    // Loud when the cap engages: the DuckDB oracles are UNCAPPED, so a
+    // graded run on a corpus with hot shingles relies on the no-all-hot-
+    // overlap argument in the ShingleDfCap scaladoc. The harness corpora
+    // never trip this (max df 49 at sf0.1); if a larger sf ever does,
+    // this line in the verify/bench log is the first thing to check.
+    if (anyHot) System.err.println(
+      s"[graft] shingle df-cap $cap ACTIVE: capped candidate path engaged; " +
+        "oracle parity holds only while no true pair's shared shingles are all hot")
     if (!anyHot) {
       val i2 = idx.hint("shuffle_hash")
       val a = i2.select(col("doc_id").as("doc_a"), col("sz").as("sz_a"), col("h"))

@@ -13,7 +13,8 @@ import org.scalatest.funsuite.AnyFunSuite
 class BenchFormatSpec extends AnyFunSuite {
 
   test("bench JSON line fits the harness tail buffer at worst-case width") {
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // oracled queries plus the bench-only operator rows (q35op/q36op)
+    val names = (SparkEntry.queries.keys.toSeq ++ Bench.opOnlyNames).sorted
     val short = names.map(_.split("_").head)
     assert(short.distinct.size == names.size,
       "short qNN bench keys must stay unique across query names")
@@ -39,9 +40,31 @@ class BenchFormatSpec extends AnyFunSuite {
     val rowsOnly = Set.empty[String]
     val queries = SparkEntry.queries.keySet
     val oracled = SparkEntry.oracleSql.keySet
+    // the count the docs (README, SURVEY §8) advertise — update BOTH
+    // when adding a query, or the driver-contract documentation drifts
+    assert(queries.size == 114, s"query count ${queries.size} != documented 114")
     assert(oracled.subsetOf(queries),
       s"oracles without queries: ${(oracled -- queries).toSeq.sorted}")
     assert((queries -- oracled) == rowsOnly,
       s"un-oracled queries outside the known list: ${(queries -- oracled -- rowsOnly).toSeq.sorted}")
+  }
+
+  test("contract-tier queries are explicitly listed — the weaker oracle tier stays visible") {
+    // These oracles recompute their NUMERIC columns genuinely (exact pair
+    // or user counts) but pin a self-check boolean as literal TRUE: the
+    // hash gate trip-wires the engine's in-query certification (LSH/
+    // SimHash recall, HLL/percentile error bounds) rather than
+    // independently re-deriving the approximate structure. That is a
+    // weaker verification tier than the other queries' full oracles, and
+    // this test keeps the set explicit — adding a new contract-style
+    // oracle (or silently weakening a full oracle to booleans) must
+    // touch this list.
+    val contractTier = Set("q35_minhash_lsh", "q36_simhash",
+      "q45_approx_distinct", "q97_hll_rollup", "q104_approx_percentile")
+    val pinsBooleans = SparkEntry.oracleSql.filter { case (_, sql) =>
+      sql.toLowerCase.matches("(?s).*\\btrue\\b.*as\\s+\\w*_ok\\b.*")
+    }.keySet
+    assert(pinsBooleans == contractTier,
+      s"contract-tier drift: pinned-boolean oracles are ${pinsBooleans.toSeq.sorted}")
   }
 }

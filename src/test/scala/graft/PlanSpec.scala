@@ -120,10 +120,16 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("Join"), p)
   }
 
-  test("q61 tf-idf: vocabulary and corpus-size joins broadcast, no sort-merge") {
+  test("q61 tf-idf: corpus count broadcast; vocabulary join unhinted (AQE decides)") {
+    // The vocabulary join deliberately carries NO broadcast hint (a raw
+    // 100 TB vocabulary is multi-GB): the initial plan may pick any
+    // shuffle join on `term`, and AQE downgrades to broadcast at runtime
+    // when the measured df side is small. Pin only what must hold at any
+    // scale: the one-row corpus count broadcasts, and nothing goes
+    // cartesian.
     val p = plan("q61_tfidf")
-    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
-    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("Broadcast"), p)
+    assert(!p.contains("CartesianProduct"), p)
   }
 
   test("q62 bigrams: partial aggregation then global top-k, no full sort of the corpus") {
@@ -133,14 +139,32 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("Exchange rangepartitioning"), p)
   }
 
-  test("q63 zipf: token explode is aggregated BEFORE the vocabulary window") {
+  test("q63 zipf: rank/cumsum windows are partition-local (two-phase rank, no global window)") {
     val p = plan("q63_token_zipf")
-    // the single-partition window must sit above the HashAggregate that
-    // reduces the corpus to |vocab| rows, never above the raw explode
-    val aggIdx = p.indexOf("HashAggregate")
-    val winIdx = p.indexOf("Window")
-    assert(aggIdx >= 0 && winIdx >= 0, p)
-    assert(p.contains("Generate"), p) // the explode itself
+    // every window must be partitioned by the range-bucket pid — a
+    // regression back to an unpartitioned vocabulary window funnels
+    // 10⁸–10⁹ terms through one task at 100 TB
+    assert(p.contains("Window"), p)
+    assert(p.contains("windowspecdefinition(pid"), p)
+    assert(!p.contains("windowspecdefinition(n#") &&
+      !p.contains("windowspecdefinition(term"), p)
+  }
+
+  test("q75 edit distance: candidate join keys include the length bucket") {
+    import org.apache.spark.sql.functions.col
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        col("text"))
+    val sp = graft.operators.CorpusQueries.editDistanceBlocked(d)
+      .queryExecution.sparkPlan
+    val keys = sp.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j.leftKeys
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j.leftKeys
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j.leftKeys
+    }
+    // (lang, source) skew can only be defused if the bucket is IN the
+    // equi-join key, not a residual filter
+    assert(keys.exists(_.exists(_.toString.contains("lbkt"))), sp.toString)
   }
 
   test("q71 moving average: the window runs over aggregated days, not raw events") {

@@ -327,6 +327,27 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(verified == (0 until 5).map(j => (j.toLong, 200L + j, 1.0)))
   }
 
+  test("q75 blocking: a dominant (lang, source) group cannot go quadratic") {
+    import graft.operators.CorpusQueries
+    // 2000 docs ALL in one (lang, source) group — the 100 TB skew shape
+    // (an (en, web) group is billions of rows) — with lengths spread
+    // 0..1999. Blocking on (lang, source) alone joins C(2000,2) ≈ 2.0M
+    // rows before the ±5 residual prunes; the width-6 length bucket in
+    // the equi-join key bounds the join output at ~3·Σ bucket² ≈ 17k.
+    val d = spark.range(0, 2000).select(
+      col("id").as("doc_id"), lit("en").as("lang"), lit("web").as("source"),
+      col("id").cast("int").as("n_chars"),
+      concat(lit("doc "), col("id")).as("text"))
+    val blocked = CorpusQueries.editDistanceBlocked(d).count()
+    assert(blocked < 40000L,
+      s"bucketed candidate join produced $blocked rows — quadratic blow-up")
+    // and the residual keeps the semantics exact: every pair within ±5
+    // chars survives, nothing else — for distinct lengths 0..1999 that
+    // is Σ_{d=1..5} (2000 - d) = 9985 pairs
+    val cand = CorpusQueries.editDistanceCandidates(d).count()
+    assert(cand == 9985L, s"candidate count $cand != 9985")
+  }
+
   test("deep duplicate chains: star escalation converges where propagation caps out") {
     import graft.operators.{CorpusQueries, GraphOps}
     import scala.jdk.CollectionConverters._
