@@ -598,13 +598,35 @@ object LlmQueries extends QueryModule {
     }),
 
     // --- multimodal column plumbing: text bytes stand in for an opaque
-    // media blob; the "decode" is the deterministic stub MultimodalStub
+    // media blob; the "decode" is the deterministic stub MultimodalOps
     // runs per-partition (the real image/audio libs are absent by design).
     "q40_multimodal" -> ((s, dir) =>
-      MultimodalStub.extractFeatures(
+      MultimodalOps.extractFeatures(
         Tables(s, dir, "documents").select(col("doc_id"),
           col("text").cast(BinaryType).as("blob")))
         .orderBy(col("doc_id"))),
+
+    // --- mp4 container metadata by real ISO-BMFF atom walk. Round-trip
+    // contract: the engine constructs genuine container bytes from row
+    // values (MultimodalOps.mkMp4), the atom walk parses them back, and
+    // the oracle recomputes every field arithmetically — so mvhd
+    // timescale/duration scaling and the 16.16 tkhd dims are verified
+    // field-for-field. Map-side only; at 100 TB this is the pre-decode
+    // filter pass (drop zero-duration/tiny-dim videos before any codec
+    // cost), parallelism = input splits.
+    "q115_mp4_probe" -> ((s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val w = 320 + (id % 64).toInt * 16
+          val h = 240 + (id % 36).toInt * 16
+          (id, MultimodalOps.mkMp4(1000L + (id % 7) * 100L, id * 37L + 1000L, w, h))
+        }).toDF("doc_id", "blob")
+        .transform(MultimodalOps.probeVideoBatch)
+        .select(col("doc_id"), col("format"), col("width"), col("height"),
+          col("duration_ms"), col("n_tracks"))
+        .orderBy(col("doc_id"))
+    }),
 
     // --- ANN via IVF: coarse cells from per-label centroids computed by
     // the typed CentroidFixed Aggregator (custom UDAF with map-side
@@ -783,6 +805,18 @@ object LlmQueries extends QueryModule {
         |    i -> ascii(substr(text, CAST(i AS INT), 1))), ',') AS head_bytes,
         |  octet_length(CAST(text AS BLOB)) % 640 AS fake_width,
         |  3 AS fake_channels
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // Round-trip contract for the ISO-BMFF walk: the engine built the
+    // container from these exact formulas, so the oracle recomputes the
+    // parse result independently; any byte-layout bug in mkMp4 OR
+    // probeMp4 breaks a field and fails the hash gate.
+    "q115_mp4_probe" ->
+      """SELECT doc_id, 'mp4' AS format,
+        |  CAST(320 + (doc_id % 64) * 16 AS INT) AS width,
+        |  CAST(240 + (doc_id % 36) * 16 AS INT) AS height,
+        |  (doc_id * 37 + 1000) * 1000 // (1000 + (doc_id % 7) * 100)
+        |    AS duration_ms,
+        |  CAST(1 AS INT) AS n_tracks
         |FROM documents ORDER BY doc_id""".stripMargin,
     // Self-certifying contract: the exact-pair counts are recomputed
     // genuinely (q34 semantics); the booleans pin the LSH/exact

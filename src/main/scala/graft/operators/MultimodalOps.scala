@@ -22,7 +22,7 @@ import org.apache.spark.sql.{DataFrame, Dataset}
   * `spark.sql.files.maxPartitionBytes` so a batch of blobs fits executor
   * memory alongside the decoder's working set.
   */
-object MultimodalStub {
+object MultimodalOps {
 
   /** True pixel statistics for JDK-decodable images. `channels` is the
     * color model's component count; undecodable bytes yield format
@@ -191,6 +191,12 @@ object MultimodalStub {
         b(3) == 'F' && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E') {
       // "width" carries the sample rate for audio; height is meaningless
       MediaProbe(id, "wav", u32le(24), 0, u16le(22), b.length.toLong)
+    } else if (b.length >= 12 && b(4) == 'f' && b(5) == 't' &&
+        b(6) == 'y' && b(7) == 'p') {
+      // ISO-BMFF: real dims via the atom walk; moov-less bytes still
+      // sniff as mp4 by the ftyp brand (fields zeroed)
+      val m = probeMp4(id, b)
+      MediaProbe(id, "mp4", m.width, m.height, 0, b.length.toLong)
     } else MediaProbe(id, "unknown", 0, 0, 0, b.length.toLong)
   }
 
@@ -201,6 +207,135 @@ object MultimodalStub {
     import spark.implicits._
     df.as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) => probe(id, bytes) })
+      .toDF()
+  }
+
+  /** Container metadata for ISO-BMFF (mp4/mov) video: parsed by a REAL
+    * box walk — no codec needed, the moov metadata tree is plain
+    * byte-layout. `duration_ms` is mvhd duration scaled by its timescale;
+    * width/height come from the first non-zero tkhd (16.16 fixed-point).
+    * Undecodable bytes yield format "undecodable" with zeroed fields. */
+  final case class VideoMeta(
+      doc_id: Long, format: String, width: Int, height: Int,
+      duration_ms: Long, n_tracks: Int, n_bytes: Long)
+
+  /** ISO-BMFF atom walk (the mp4 sibling of the RIFF walk above): boxes
+    * are (u32be size)(4cc type)[u64be largesize if size==1], containers
+    * (moov/trak/mdia...) nest child boxes directly. The walk descends
+    * moov -> mvhd (timescale, duration) and moov -> trak -> tkhd
+    * (width/height), the exact fields a corpus pipeline filters on
+    * before paying for any frame decode. Same hostile-input rules as
+    * [[decodeAudio]]/[[sampleFrames]]: Long cursor arithmetic (a corrupt
+    * size cannot wrap backwards), an explicit heap stack for nesting
+    * (no JVM recursion), and strictly-increasing advance (size < 8 and
+    * size == 0 terminate the enclosing range instead of looping). */
+  def probeMp4(id: Long, b: Array[Byte]): VideoMeta = {
+    def u8(i: Int): Long = (b(i) & 0xff).toLong
+    def u32be(i: Int): Long =
+      (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    def u64be(i: Int): Long = (u32be(i) << 32) | u32be(i + 4)
+    val bad = VideoMeta(id, "undecodable", 0, 0, 0L, 0, b.length.toLong)
+    if (b.length < 12 || !(b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p'))
+      return bad
+    var timescale = 0L; var duration = -1L
+    var width = 0; var height = 0; var tracks = 0
+    var stack = List((0L, b.length.toLong)) // (cursor, rangeEnd)
+    val containers = Set("moov", "trak", "mdia", "minf", "stbl", "edts")
+    while (stack.nonEmpty) {
+      var (i, to) = stack.head
+      stack = stack.tail
+      var descended = false
+      while (!descended && i + 8 <= to) {
+        val at = i.toInt
+        val size0 = u32be(at)
+        val name = new String(b, at + 4, 4, "US-ASCII")
+        // size==1: 64-bit largesize follows the type; size==0: box runs
+        // to the end of the enclosing range
+        val (hdr, size0d) =
+          if (size0 == 1L && i + 16 <= to) (16L, u64be(at + 8))
+          else if (size0 == 0L) (8L, to - i)
+          else (8L, size0)
+        // clamp BEFORE i + size: a crafted 64-bit largesize near
+        // Long.MaxValue would overflow i + size negative and turn the
+        // cursor into an out-of-bounds index
+        val size = math.min(size0d, to - i)
+        if (size < hdr) { i = to } // corrupt: terminate this range
+        else {
+          val end = i + size
+          if (containers(name) && end > i + hdr) {
+            stack ::= ((end, to))
+            stack ::= ((i + hdr, end))
+            if (name == "trak") tracks += 1
+            descended = true
+          } else {
+            if (name == "mvhd" && i + hdr + 4 <= end) {
+              val v = at + hdr.toInt
+              val ver = u8(v).toInt
+              if (ver == 1 && i + hdr + 28 <= end) {
+                timescale = u32be(v + 20); duration = u64be(v + 24)
+              } else if (ver == 0 && i + hdr + 24 <= end) {
+                timescale = u32be(v + 12); duration = u32be(v + 16)
+              }
+            } else if (name == "tkhd" && width == 0 && i + hdr + 4 <= end) {
+              val v = at + hdr.toInt
+              val ver = u8(v).toInt
+              // width/height are the last two u32 (16.16 fixed) of tkhd:
+              // v0 body is 84 bytes, v1 is 96
+              val off = if (ver == 1) 96 - 8 else 84 - 8
+              if (i + hdr + off + 8 <= end) {
+                width = (u32be(v + off) >> 16).toInt
+                height = (u32be(v + off + 4) >> 16).toInt
+              }
+            }
+            i += size
+          }
+        }
+      }
+    }
+    if (timescale <= 0L || duration < 0L) bad
+    else VideoMeta(id, "mp4", width, height,
+      duration * 1000L / timescale, tracks, b.length.toLong)
+  }
+
+  /** Minimal valid ISO-BMFF fixture: ftyp + moov(mvhd v0, trak(tkhd v0)).
+    * The construction half of the q115 round-trip contract — the engine
+    * builds real container bytes from row values, [[probeMp4]] walks them
+    * back, and the DuckDB oracle recomputes the expected fields
+    * arithmetically, so the box walk is verified field-for-field. */
+  def mkMp4(timescale: Long, durationTicks: Long, width: Int, height: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(16 + 8 + 108 + 8 + 92)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    bb.putInt(16).put("ftypisom".getBytes("US-ASCII")).putInt(0)
+    bb.putInt(8 + 108 + 8 + 92).put("moov".getBytes("US-ASCII"))
+    // mvhd v0: ver/flags, ctime, mtime, timescale, duration, then the
+    // fixed tail (rate, volume, reserved, matrix, predefined, next track)
+    bb.putInt(108).put("mvhd".getBytes("US-ASCII"))
+      .putInt(0).putInt(0).putInt(0)
+      .putInt(timescale.toInt).putInt(durationTicks.toInt)
+      .putInt(0x00010000).putShort(0x0100.toShort).put(new Array[Byte](10))
+      .putInt(0x00010000).putInt(0).putInt(0)
+      .putInt(0).putInt(0x00010000).putInt(0)
+      .putInt(0).putInt(0).putInt(0x40000000)
+      .put(new Array[Byte](24)).putInt(2)
+    // trak(tkhd v0): width/height are the trailing 16.16 fixed u32 pair
+    bb.putInt(8 + 92).put("trak".getBytes("US-ASCII"))
+    bb.putInt(92).put("tkhd".getBytes("US-ASCII"))
+      .putInt(0x00000007).putInt(0).putInt(0).putInt(1).putInt(0)
+      .putInt(durationTicks.toInt).put(new Array[Byte](8))
+      .putShort(0).putShort(0).putShort(0).putShort(0)
+      .putInt(0x00010000).putInt(0).putInt(0)
+      .putInt(0).putInt(0x00010000).putInt(0)
+      .putInt(0).putInt(0).putInt(0x40000000)
+      .putInt(width << 16).putInt(height << 16)
+    bb.array()
+  }
+
+  /** df(doc_id, blob) -> ISO-BMFF container metadata, per-partition. */
+  def probeVideoBatch(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => probeMp4(id, bytes) })
       .toDF()
   }
 

@@ -20,7 +20,7 @@ class BenchFormatSpec extends AnyFunSuite {
       "short qNN bench keys must stay unique across query names")
     // Worst case per entry: "qNN":999.999, — 1 ms resolution, <1000 s.
     val entries = short.map(n => "\"" + n + "\":999.999").mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":99999.999,"unit":"sec","queries":$entries,"first_total":99999.999,"max_over_min":999.999,"sf":"/root/testdata/sf0.1"}"""
+    val line = s"""{"metric":"total","value":99999.999,"unit":"sec","queries":$entries,"first_total":99999.999,"max_over_min":999.999,"steal_pct":99.9,"load1":99.9,"sf":"/root/testdata/sf0.1"}"""
     // 2000-char tail minus ~100 chars of trailing sbt "[success]" noise.
     assert(line.length < 1900,
       s"bench line would be ${line.length} chars; trim the format or query names")
@@ -42,7 +42,7 @@ class BenchFormatSpec extends AnyFunSuite {
     val oracled = SparkEntry.oracleSql.keySet
     // the count the docs (README, SURVEY §8) advertise — update BOTH
     // when adding a query, or the driver-contract documentation drifts
-    assert(queries.size == 114, s"query count ${queries.size} != documented 114")
+    assert(queries.size == 115, s"query count ${queries.size} != documented 115")
     assert(oracled.subsetOf(queries),
       s"oracles without queries: ${(oracled -- queries).toSeq.sorted}")
     assert((queries -- oracled) == rowsOnly,

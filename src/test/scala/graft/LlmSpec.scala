@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{Fnv64, TextFunctions}
-import graft.operators.MultimodalStub
+import graft.operators.MultimodalOps
 import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -205,7 +205,7 @@ class LlmSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("media probe: real PNG/JPEG/WAV header parsing over binary columns") {
-    import graft.operators.MultimodalStub
+    import graft.operators.MultimodalOps
     def png(w: Int, h: Int, colorType: Int): Array[Byte] = {
       val bb = java.nio.ByteBuffer.allocate(33)
       bb.put(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
@@ -237,7 +237,7 @@ class LlmSpec extends AnyFunSuite with BeforeAndAfterAll {
         Row(4L, "not media".getBytes("UTF-8"))),
       StructType(Seq(StructField("doc_id", LongType, nullable = false),
         StructField("blob", BinaryType))))
-    val got = MultimodalStub.probeMedia(df).collect()
+    val got = MultimodalOps.probeMedia(df).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4)))
       .toSet
     assert(got == Set(
@@ -264,7 +264,7 @@ class LlmSpec extends AnyFunSuite with BeforeAndAfterAll {
         Row(3L, "not an image".getBytes("UTF-8"))),
       StructType(Seq(StructField("doc_id", LongType, nullable = false),
         StructField("blob", BinaryType))))
-    val got = MultimodalStub.decodeImages(df).collect()
+    val got = MultimodalOps.decodeImages(df).collect()
       .map(r => r.getLong(0) -> r).toMap
     val pngRow = got(1L)
     assert((pngRow.getString(1), pngRow.getInt(2), pngRow.getInt(3)) == (("png", 17, 9)))
@@ -290,7 +290,7 @@ class LlmSpec extends AnyFunSuite with BeforeAndAfterAll {
       java.util.List.of(Row(7L, bb.array())),
       StructType(Seq(StructField("doc_id", LongType, nullable = false),
         StructField("blob", BinaryType))))
-    val r = MultimodalStub.decodeAudioBatch(df).collect().head
+    val r = MultimodalOps.decodeAudioBatch(df).collect().head
     assert(r.getInt(1) == rate)
     assert(r.getInt(2) == 1)
     assert(r.getLong(3) == n.toLong)
@@ -306,7 +306,7 @@ class LlmSpec extends AnyFunSuite with BeforeAndAfterAll {
     evil.put("RIFF".getBytes("US-ASCII")).putInt(16)
       .put("WAVE".getBytes("US-ASCII")).put("junk".getBytes("US-ASCII"))
       .putInt(0xFFFFFFF8)
-    val r = MultimodalStub.decodeAudio(7L, evil.array())
+    val r = MultimodalOps.decodeAudio(7L, evil.array())
     assert(r.n_samples == 0L && r.rms == 0.0)
     // truncated fmt chunk: header promises 16 payload bytes, file ends
     // after 6 — must degrade to zeroed fields, not throw out of the task
@@ -315,7 +315,7 @@ class LlmSpec extends AnyFunSuite with BeforeAndAfterAll {
     short.put("RIFF".getBytes("US-ASCII")).putInt(18)
       .put("WAVE".getBytes("US-ASCII")).put("fmt ".getBytes("US-ASCII"))
       .putInt(16).putShort(1).putInt(44100)
-    val t = MultimodalStub.decodeAudio(8L, short.array())
+    val t = MultimodalOps.decodeAudio(8L, short.array())
     assert(t.sample_rate == 0 && t.channels == 0 && t.n_samples == 0L)
   }
 
@@ -354,21 +354,21 @@ class LlmSpec extends AnyFunSuite with BeforeAndAfterAll {
       .put("RIFF".getBytes("US-ASCII")).putInt(4 + body.length)
       .put("AVI ".getBytes("US-ASCII")).put(body).array()
 
-    val got = MultimodalStub.sampleFrames(5L, avi, everyK = 3)
+    val got = MultimodalOps.sampleFrames(5L, avi, everyK = 3)
     assert(got.map(_.frame_idx) == Seq(0L, 3L, 6L, 9L), got)
     assert(got.forall(f => f.n_frames == 10L && f.width == 8 && f.height == 6), got)
     // JPEG is lossy; solid grays survive within a few levels
     got.foreach(f =>
       assert(math.abs(f.mean_luma - f.frame_idx * 25.0) < 4.0, f))
     // non-AVI bytes produce zero rows, not an error
-    assert(MultimodalStub.sampleFrames(6L, "not a video".getBytes, 2).isEmpty)
+    assert(MultimodalOps.sampleFrames(6L, "not a video".getBytes, 2).isEmpty)
     // hostile chunk size: 0xFFFFFFF8 must terminate the RIFF walk
     val evil = java.nio.ByteBuffer.allocate(24)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
       .put("RIFF".getBytes("US-ASCII")).putInt(16)
       .put("AVI ".getBytes("US-ASCII")).put("00dc".getBytes("US-ASCII"))
       .putInt(0xFFFFFFF8).array()
-    assert(MultimodalStub.sampleFrames(7L, evil, 1).isEmpty)
+    assert(MultimodalOps.sampleFrames(7L, evil, 1).isEmpty)
 
     // deep LIST nesting must cost heap, not JVM stack (StackOverflowError
     // would be fatal to a task): 100k nested LIST headers, zero frames
@@ -381,7 +381,7 @@ class LlmSpec extends AnyFunSuite with BeforeAndAfterAll {
       deep.put("LIST".getBytes("US-ASCII"))
         .putInt(4 + (depth - 1 - d) * 12).put("rec ".getBytes("US-ASCII"))
     }
-    assert(MultimodalStub.sampleFrames(8L, deep.array(), 1).isEmpty)
+    assert(MultimodalOps.sampleFrames(8L, deep.array(), 1).isEmpty)
 
     // a recognized-but-truncated JPEG frame (ImageIO THROWS, not null)
     // must yield zero rows, same as any other undecodable frame
@@ -392,15 +392,71 @@ class LlmSpec extends AnyFunSuite with BeforeAndAfterAll {
       .put("AVI ".getBytes("US-ASCII"))
       .put("LIST".getBytes("US-ASCII")).putInt(4 + torn.length)
       .put("movi".getBytes("US-ASCII")).put(torn).array()
-    assert(MultimodalStub.sampleFrames(9L, tornAvi, 1).isEmpty)
+    assert(MultimodalOps.sampleFrames(9L, tornAvi, 1).isEmpty)
 
     // and the Spark batch path: one row per sampled frame
     val df = spark.createDataFrame(
       java.util.List.of(Row(5L, avi), Row(6L, "nope".getBytes("UTF-8"))),
       StructType(Seq(StructField("doc_id", LongType, nullable = false),
         StructField("blob", BinaryType))))
-    val rows = MultimodalStub.sampleFrameBatch(df, 5).collect()
+    val rows = MultimodalOps.sampleFrameBatch(df, 5).collect()
     assert(rows.length == 2 && rows.forall(_.getLong(0) == 5L), rows.toSeq)
+  }
+
+  test("mp4 atom walk: mkMp4 round-trips through probeMp4, hostile boxes terminate") {
+    // round trip: the walk recovers exactly what the builder wrote
+    val b = MultimodalOps.mkMp4(timescale = 1200L, durationTicks = 6000L,
+      width = 640, height = 360)
+    val m = MultimodalOps.probeMp4(3L, b)
+    assert(m == MultimodalOps.VideoMeta(3L, "mp4", 640, 360, 5000L, 1, b.length.toLong), m)
+    // the generic probe sniffs mp4 by ftyp brand and carries the dims
+    val p = MultimodalOps.probe(3L, b)
+    assert(p.format == "mp4" && p.width == 640 && p.height == 360, p)
+
+    // non-BMFF bytes and ftyp-less prefixes are undecodable, not errors
+    assert(MultimodalOps.probeMp4(1L, "not a video at all".getBytes).format == "undecodable")
+    assert(MultimodalOps.probeMp4(2L, Array[Byte](0, 0, 0, 8)).format == "undecodable")
+    // ftyp with no moov: sniffs as container but carries no metadata
+    assert(MultimodalOps.probeMp4(4L, b.take(16)).format == "undecodable")
+
+    def be(xs: Int*): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(xs.length * 4)
+        .order(java.nio.ByteOrder.BIG_ENDIAN)
+      xs.foreach(bb.putInt); bb.array()
+    }
+    val ftyp = be(16) ++ "ftypisom".getBytes("US-ASCII") ++ be(0)
+    // hostile size fields must terminate, not loop or throw:
+    //   size == 0 (box runs to end of range) as the LAST box
+    val zeroSize = ftyp ++ be(0) ++ "free".getBytes("US-ASCII") ++ be(0, 0)
+    assert(MultimodalOps.probeMp4(5L, zeroSize).format == "undecodable")
+    //   size < 8 (corrupt) must end the enclosing range
+    val tinySize = ftyp ++ be(3) ++ "moov".getBytes("US-ASCII")
+    assert(MultimodalOps.probeMp4(6L, tinySize).format == "undecodable")
+    //   size == 1 + truncated largesize (no 16 header bytes available)
+    val tornLarge = ftyp ++ be(1) ++ "mdat".getBytes("US-ASCII") ++ be(0)
+    assert(MultimodalOps.probeMp4(7L, tornLarge).format == "undecodable")
+    //   64-bit largesize wrapping past Int.MaxValue must not wrap the cursor
+    val hugeLarge = ftyp ++ be(1) ++ "mdat".getBytes("US-ASCII") ++
+      be(0x7fffffff, -8)
+    assert(MultimodalOps.probeMp4(8L, hugeLarge).format == "undecodable")
+
+    // deep container nesting costs heap, not JVM stack: 100k nested traks
+    val depth = 100000
+    val deep = java.nio.ByteBuffer.allocate(16 + depth * 8)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    deep.put(ftyp)
+    for (d <- 0 until depth)
+      deep.putInt(8 + (depth - 1 - d) * 8).put("trak".getBytes("US-ASCII"))
+    assert(MultimodalOps.probeMp4(9L, deep.array()).format == "undecodable")
+
+    // the Spark batch path: schema + one row per blob
+    val df = spark.createDataFrame(
+      java.util.List.of(Row(3L, b), Row(6L, "nope".getBytes("UTF-8"))),
+      StructType(Seq(StructField("doc_id", LongType, nullable = false),
+        StructField("blob", BinaryType))))
+    val rows = MultimodalOps.probeVideoBatch(df).orderBy("doc_id").collect()
+    assert(rows.length == 2, rows.toSeq)
+    assert(rows(0).getString(1) == "mp4" && rows(1).getString(1) == "undecodable")
   }
 
   test("multimodal stub: per-partition decode preserves ids and byte counts") {
