@@ -556,6 +556,87 @@ object CorpusQueries extends QueryModule {
         .filter(expr(s"$uhashSql * n_src * 2 < m * 4294967296"))
         .select(col("doc_id"), col("lang"), col("source"))
         .orderBy(col("doc_id"))
+    }),
+
+    // --- duplicated-span STRIPPING — the per-doc rewrite pass of
+    // exact-substring dedup (the suffix-array step in "Deduplicating
+    // Training Data Makes Language Models Better", approximated at the
+    // 8-gram granularity): every 8-gram occurring more than once in the
+    // corpus (across or within docs) marks its 8 token positions
+    // duplicated; docs are re-emitted with those positions removed plus
+    // the duplicated-token fraction. Differs from q111 (corpus-level
+    // top repeated n-grams) and q84 (within-doc repetition score) —
+    // this one rewrites the text. Scale shape: everything is keyed by
+    // gram or (doc, pos) — the hot-gram table is corpus-sized so it is
+    // NOT broadcast (shuffle equi-join on gram; the q61 lesson), span
+    // cover resolves with one distinct on (doc, pos), and the rebuild
+    // is a single groupBy(doc) with an array_sort — no window over an
+    // unbounded partition anywhere.
+    "q116_dup_span_strip" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), expr(toksSql).as("tk"))
+      val grams = docs
+        .select(col("doc_id"),
+          posexplode(expr(gramsSql("tk", 8, distinct = false)))
+            .as(Seq("start", "gram")))
+      val hot = grams.groupBy(col("gram")).agg(count(lit(1)).as("n_occ"))
+        .filter(col("n_occ") > 1).select(col("gram"))
+      val cov = grams.join(hot, Seq("gram"))
+        .select(col("doc_id"),
+          explode(sequence(col("start"), col("start") + 7)).as("pos"))
+        .distinct()
+      val toks = docs.select(col("doc_id"),
+        posexplode(col("tk")).as(Seq("pos", "tok")))
+      val kept = toks.join(cov, Seq("doc_id", "pos"), "left_anti")
+        .groupBy(col("doc_id"))
+        .agg(expr("array_join(transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok), ' ')")
+          .as("clean_text"))
+      val dup = cov.groupBy(col("doc_id")).agg(count(lit(1)).as("dup_tok"))
+      docs.select(col("doc_id"), size(col("tk")).as("n_tok"))
+        .join(dup, Seq("doc_id"), "left")
+        .join(kept, Seq("doc_id"), "left")
+        .withColumn("dup_tok", coalesce(col("dup_tok"), lit(0L)))
+        .withColumn("dup_frac",
+          round(col("dup_tok").cast("double") / col("n_tok"), 4))
+        .withColumn("clean_text", coalesce(col("clean_text"), lit("")))
+        .select(col("doc_id"), col("n_tok"), col("dup_tok"),
+          col("dup_frac"), col("clean_text"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- statistical LM quality scoring (the model-based filter slot in
+    // CCNet-style pipelines, built from corpus statistics instead of an
+    // external model): each doc scores the mean add-one-smoothed bigram
+    // probability p(w2|w1) = (c(w1 w2)+1)/(c(w1)+V) under the corpus's
+    // own bigram model. Cross-engine determinism: each per-bigram
+    // probability is one IEEE division rounded to a fixed 6-decimal
+    // grid, then accumulated as DECIMAL(18,6) — exact and
+    // order-independent, so the hash gate holds under any partitioning
+    // (the repo's standard double-sum rule). Scale shape: the bigram
+    // and unigram count tables are vocabulary-sized — shuffle equi-joins
+    // on their keys, never broadcast; only the 1-row vocabulary count
+    // broadcasts.
+    "q117_bigram_lm_score" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val bi = docs.select(col("doc_id"), expr(toksSql).as("tk"))
+        .select(col("doc_id"),
+          explode(expr(gramsSql("tk", 2, distinct = false))).as("bg"))
+      val biCnt = bi.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+      val uniCnt = docs.select(explode(expr(toksSql)).as("w1"))
+        .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      val vocab = uniCnt.agg(count(lit(1)).as("v"))
+      bi.withColumn("w1", expr("split(bg, ' ')[0]"))
+        .join(biCnt, Seq("bg"))
+        .join(uniCnt, Seq("w1"))
+        .crossJoin(broadcast(vocab))
+        .withColumn("p",
+          expr("CAST(round((c2 + 1) / CAST(c1 + v AS DOUBLE), 6) AS DECIMAL(18,6))"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("p")).as("sp"))
+        .withColumn("lm_score",
+          round(col("sp").cast("double") / col("n_bigrams"), 6))
+        .select(col("doc_id"), col("n_bigrams"), col("lm_score"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -869,6 +950,60 @@ object CorpusQueries extends QueryModule {
         |FROM documents JOIN c USING (source) CROSS JOIN m
         |WHERE CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT)
         |      * n_src * 2 < m * 4294967296
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+    "q116_dup_span_strip" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents),
+        |gi AS (
+        |  SELECT doc_id, t, unnest(range(greatest(len(t) - 7, 0))) AS i
+        |  FROM tk),
+        |g AS (
+        |  SELECT doc_id, CAST(i AS INT) AS start,
+        |    array_to_string(t[i+1:i+8], ' ') AS gram
+        |  FROM gi),
+        |hot AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1),
+        |cov AS (
+        |  SELECT DISTINCT g.doc_id, g.start + k.i AS pos
+        |  FROM g JOIN hot USING (gram) CROSS JOIN range(8) k(i)),
+        |ti AS (SELECT doc_id, t, unnest(range(len(t))) AS i FROM tk),
+        |toks AS (
+        |  SELECT doc_id, CAST(i AS INT) AS pos, t[i+1] AS tok FROM ti),
+        |kept AS (
+        |  SELECT toks.doc_id,
+        |    string_agg(tok, ' ' ORDER BY toks.pos) AS clean_text
+        |  FROM toks LEFT JOIN cov
+        |    ON toks.doc_id = cov.doc_id AND toks.pos = cov.pos
+        |  WHERE cov.pos IS NULL GROUP BY toks.doc_id),
+        |dup AS (SELECT doc_id, count(*) AS dup_tok FROM cov GROUP BY doc_id)
+        |SELECT tk.doc_id, len(t) AS n_tok,
+        |  coalesce(dup.dup_tok, 0) AS dup_tok,
+        |  round(CAST(coalesce(dup.dup_tok, 0) AS DOUBLE) / len(t), 4)
+        |    AS dup_frac,
+        |  coalesce(kept.clean_text, '') AS clean_text
+        |FROM tk LEFT JOIN dup USING (doc_id) LEFT JOIN kept USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    "q117_bigram_lm_score" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents),
+        |bii AS (
+        |  SELECT doc_id, t, unnest(range(greatest(len(t) - 1, 0))) AS i
+        |  FROM tk),
+        |bi AS (
+        |  SELECT doc_id, t[i+1] || ' ' || t[i+2] AS bg, t[i+1] AS w1
+        |  FROM bii),
+        |bc AS (SELECT bg, count(*) AS c2 FROM bi GROUP BY bg),
+        |uc AS (SELECT unnest(t) AS w1 FROM tk) ,
+        |ucc AS (SELECT w1, count(*) AS c1 FROM uc GROUP BY w1),
+        |v AS (SELECT count(*) AS v FROM ucc),
+        |p AS (
+        |  SELECT bi.doc_id,
+        |    CAST(round((bc.c2 + 1) / CAST(ucc.c1 + v.v AS DOUBLE), 6)
+        |      AS DECIMAL(18,6)) AS p
+        |  FROM bi JOIN bc USING (bg) JOIN ucc USING (w1) CROSS JOIN v)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  round(CAST(sum(p) AS DOUBLE) / count(*), 6) AS lm_score
+        |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

@@ -13,9 +13,12 @@ import org.apache.spark.sql.{DataFrame, Dataset}
   *     dimensions and channel means, the standard image-dedup features.
   *   - WAV/PCM-16: REAL sample decode by RIFF chunk walk —
   *     [[decodeAudio]] emits sample counts and RMS amplitude.
-  *   - Video and compressed audio (mp4/mp3/...): no codec exists in the
-  *     JDK; [[extractFeatures]] is the byte-level fallback for such blobs
-  *     and is the only remaining stub-grade path.
+  *   - Video containers: REAL structure parsing without any codec —
+  *     MJPEG-in-AVI frame sampling ([[sampleFrames]]) and mp4/ISO-BMFF
+  *     metadata by atom walk ([[probeMp4]]: mvhd duration, tkhd dims).
+  *   - Compressed audio (mp3) and raw codec streams: no codec exists in
+  *     the JDK; [[extractFeatures]] is the byte-level fallback for such
+  *     blobs and is the only remaining stub-grade path.
   *
   * At 100 TB the decode stage is a narrow per-partition pass: no shuffle,
   * parallelism = input splits, and partition size is controlled by
@@ -120,10 +123,11 @@ object MultimodalOps {
       doc_id: Long, n_bytes: Long, head_bytes: String,
       fake_width: Long, fake_channels: Int)
 
-  /** Byte-level FALLBACK for blobs with no JDK-decodable container (???
-    * for video/mp3: no codec in the JDK, by design no external jars):
-    * derives metadata from the raw bytes only. For PNG/JPEG/WAV use the
-    * real decoders above. */
+  /** Byte-level FALLBACK for blobs with no parseable container (??? for
+    * mp3 and raw codec streams: no codec in the JDK, by design no
+    * external jars): derives metadata from the raw bytes only. For
+    * PNG/JPEG/WAV use the real decoders above; for AVI frames
+    * [[sampleFrames]]; for mp4 container metadata [[probeMp4]]. */
   private def decode(id: Long, bytes: Array[Byte]): MediaFeatures = {
     val head = bytes.take(8).map(b => (b & 0xff).toString).mkString(",")
     MediaFeatures(id, bytes.length.toLong, head, bytes.length.toLong % 640, 3)

@@ -326,6 +326,21 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     def occurrencesOf(sub: String): Int = s.sliding(sub.length).count(_ == sub)
   }
 
+  test("q116/q117 corpus-statistics joins: no cartesian, no unhinted broadcast of vocab-sized sides") {
+    // Both queries join corpus-sized statistic tables (hot 8-grams,
+    // bigram/unigram counts) back onto exploded token streams. The
+    // join must be an equi-join (shuffle or AQE-chosen) — a
+    // CartesianProduct means a key was lost. The only sanctioned
+    // broadcast is q117's 1-row vocabulary count (a
+    // BroadcastNestedLoopJoin of a single row).
+    for (q <- Seq("q116_dup_span_strip", "q117_bigram_lm_score")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: $p")
+      // no unbounded-partition window anywhere in the rebuild
+      assert(!p.contains("WindowExec"), s"$q: $p")
+    }
+  }
+
   test("whole-stage codegen covers the relational hot paths") {
     // AQE wraps the plan in AdaptiveSparkPlanExec, which the codegen
     // explainer does not descend into before execution — check without it.
