@@ -561,48 +561,11 @@ object CorpusQueries extends QueryModule {
     // --- duplicated-span STRIPPING — the per-doc rewrite pass of
     // exact-substring dedup (the suffix-array step in "Deduplicating
     // Training Data Makes Language Models Better", approximated at the
-    // 8-gram granularity): every 8-gram occurring more than once in the
-    // corpus (across or within docs) marks its 8 token positions
-    // duplicated; docs are re-emitted with those positions removed plus
-    // the duplicated-token fraction. Differs from q111 (corpus-level
-    // top repeated n-grams) and q84 (within-doc repetition score) —
-    // this one rewrites the text. Scale shape: everything is keyed by
-    // gram or (doc, pos) — the hot-gram table is corpus-sized so it is
-    // NOT broadcast (shuffle equi-join on gram; the q61 lesson), span
-    // cover resolves with one distinct on (doc, pos), and the rebuild
-    // is a single groupBy(doc) with an array_sort — no window over an
-    // unbounded partition anywhere.
-    "q116_dup_span_strip" -> ((s, dir) => {
-      val docs = Tables(s, dir, "documents")
-        .select(col("doc_id"), expr(toksSql).as("tk"))
-      val grams = docs
-        .select(col("doc_id"),
-          posexplode(expr(gramsSql("tk", 8, distinct = false)))
-            .as(Seq("start", "gram")))
-      val hot = grams.groupBy(col("gram")).agg(count(lit(1)).as("n_occ"))
-        .filter(col("n_occ") > 1).select(col("gram"))
-      val cov = grams.join(hot, Seq("gram"))
-        .select(col("doc_id"),
-          explode(sequence(col("start"), col("start") + 7)).as("pos"))
-        .distinct()
-      val toks = docs.select(col("doc_id"),
-        posexplode(col("tk")).as(Seq("pos", "tok")))
-      val kept = toks.join(cov, Seq("doc_id", "pos"), "left_anti")
-        .groupBy(col("doc_id"))
-        .agg(expr("array_join(transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok), ' ')")
-          .as("clean_text"))
-      val dup = cov.groupBy(col("doc_id")).agg(count(lit(1)).as("dup_tok"))
-      docs.select(col("doc_id"), size(col("tk")).as("n_tok"))
-        .join(dup, Seq("doc_id"), "left")
-        .join(kept, Seq("doc_id"), "left")
-        .withColumn("dup_tok", coalesce(col("dup_tok"), lit(0L)))
-        .withColumn("dup_frac",
-          round(col("dup_tok").cast("double") / col("n_tok"), 4))
-        .withColumn("clean_text", coalesce(col("clean_text"), lit("")))
-        .select(col("doc_id"), col("n_tok"), col("dup_tok"),
-          col("dup_frac"), col("clean_text"))
-        .orderBy(col("doc_id"))
-    }),
+    // 8-gram granularity). Differs from q111 (corpus-level top repeated
+    // n-grams) and q84 (within-doc repetition score) — this one
+    // rewrites the text. Engine + scale notes: [[dupSpanStrip]].
+    "q116_dup_span_strip" -> ((s, dir) =>
+      dupSpanStrip(Tables(s, dir, "documents")).orderBy(col("doc_id"))),
 
     // --- statistical LM quality scoring (the model-based filter slot in
     // CCNet-style pipelines, built from corpus statistics instead of an
@@ -639,6 +602,48 @@ object CorpusQueries extends QueryModule {
         .orderBy(col("doc_id"))
     })
   )
+
+  /** q116's engine (factored so ScaleSpec can drive planted-boilerplate
+    * corpora): duplicated-span stripping over a (doc_id, …, text) frame.
+    * Every 8-gram occurring more than once in the corpus (across or
+    * within docs) marks its 8 token positions duplicated; docs are
+    * re-emitted with those positions removed plus the duplicated-token
+    * fraction. Scale shape: the work is linear in corpus token count at
+    * every stage — candidate marking is occurrence-keyed, never pairwise
+    * (a boilerplate gram in every doc costs 8×docs cover rows, not
+    * df²) — the hot-gram table is corpus-sized so it joins by shuffle
+    * (never broadcast), the span cover resolves with one distinct on
+    * (doc, pos), and the rebuild is a single groupBy(doc) with an
+    * array_sort — no window over an unbounded partition anywhere. */
+  private[graft] def dupSpanStrip(d: DataFrame): DataFrame = {
+    val docs = d.select(col("doc_id"), expr(toksSql).as("tk"))
+    val grams = docs
+      .select(col("doc_id"),
+        posexplode(expr(gramsSql("tk", 8, distinct = false)))
+          .as(Seq("start", "gram")))
+    val hot = grams.groupBy(col("gram")).agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") > 1).select(col("gram"))
+    val cov = grams.join(hot, Seq("gram"))
+      .select(col("doc_id"),
+        explode(sequence(col("start"), col("start") + 7)).as("pos"))
+      .distinct()
+    val toks = docs.select(col("doc_id"),
+      posexplode(col("tk")).as(Seq("pos", "tok")))
+    val kept = toks.join(cov, Seq("doc_id", "pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(expr("array_join(transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok), ' ')")
+        .as("clean_text"))
+    val dup = cov.groupBy(col("doc_id")).agg(count(lit(1)).as("dup_tok"))
+    docs.select(col("doc_id"), size(col("tk")).as("n_tok"))
+      .join(dup, Seq("doc_id"), "left")
+      .join(kept, Seq("doc_id"), "left")
+      .withColumn("dup_tok", coalesce(col("dup_tok"), lit(0L)))
+      .withColumn("dup_frac",
+        round(col("dup_tok").cast("double") / col("n_tok"), 4))
+      .withColumn("clean_text", coalesce(col("clean_text"), lit("")))
+      .select(col("doc_id"), col("n_tok"), col("dup_tok"),
+        col("dup_frac"), col("clean_text"))
+  }
 
   /** q75's candidate join, pre-residual — factored so ScaleSpec can
     * measure the JOIN's output size directly. Blocking key is

@@ -459,6 +459,41 @@ class LlmSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(0).getString(1) == "mp4" && rows(1).getString(1) == "undecodable")
   }
 
+  test("media byte walks never throw on untrusted bytes (seeded fuzz)") {
+    // Every media parser takes bytes straight from a corpus column — a
+    // crafted blob that throws (or loops) kills a Spark task. Seeded
+    // deterministic fuzz: pure garbage, garbage behind each format's
+    // valid magic (so the walks run, not just the sniff), and
+    // random-box-structured input. Termination is asserted by
+    // completion; absence of throw by the calls themselves.
+    val rnd = new java.util.Random(0x5eed)
+    def garbage(n: Int): Array[Byte] = {
+      val b = new Array[Byte](n); rnd.nextBytes(b); b
+    }
+    val magics = Seq[Array[Byte] => Array[Byte]](
+      identity,
+      b => { // RIFF/WAVE
+        val m = "RIFF????WAVE".getBytes("US-ASCII"); m.copyToArray(b); b },
+      b => { // RIFF/AVI
+        val m = "RIFF????AVI ".getBytes("US-ASCII"); m.copyToArray(b); b },
+      b => { // ISO-BMFF
+        val m = Array[Byte](0, 0, 0, 16) ++ "ftypisom".getBytes("US-ASCII")
+        m.copyToArray(b); b },
+      b => { // JPEG SOI, PNG signature
+        b(0) = 0xff.toByte; b(1) = 0xd8.toByte; b },
+      b => {
+        val m = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+        m.copyToArray(b); b })
+    for (i <- 0 until 3000) {
+      val n = 12 + rnd.nextInt(600)
+      val bytes = magics(i % magics.size)(garbage(n))
+      MultimodalOps.probe(i.toLong, bytes)
+      MultimodalOps.probeMp4(i.toLong, bytes)
+      MultimodalOps.decodeAudio(i.toLong, bytes)
+      MultimodalOps.sampleFrames(i.toLong, bytes, 2)
+    }
+  }
+
   test("multimodal stub: per-partition decode preserves ids and byte counts") {
     val out = q("q40_multimodal").collect()
     assert(out.length == 500)

@@ -348,6 +348,32 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cand == 9985L, s"candidate count $cand != 9985")
   }
 
+  test("q116 span-strip: every-doc boilerplate costs linear cover, strips exactly") {
+    import graft.operators.CorpusQueries
+    // 2000 docs, each = one corpus-wide 8-token boilerplate prefix + a
+    // 12-token unique tail. In a pairwise design this boilerplate would
+    // be the df² skew bomb (2000² candidate pairs); span marking is
+    // occurrence-keyed, so the cover is 8 positions per doc — linear —
+    // and the prefix (plus the 7 straddling grams' reach into the tail)
+    // is stripped everywhere while the rest of the unique tail survives.
+    val boiler = (0 until 8).map(i => s"b$i").mkString(" ")
+    val d = spark.range(0, 2000).select(
+      col("id").as("doc_id"),
+      concat(lit(boiler + " "),
+        concat_ws(" ", (0 until 12).map(j =>
+          concat(lit(s"u$j-"), col("id"))): _*)).as("text"))
+    val out = CorpusQueries.dupSpanStrip(d).collect()
+    assert(out.length == 2000)
+    // straddling grams (prefix tail + unique head) occur once each, so
+    // ONLY the 8 boilerplate positions are covered in every doc
+    assert(out.forall(_.getAs[Long]("dup_tok") == 8L),
+      out.map(_.getAs[Long]("dup_tok")).distinct.mkString(","))
+    assert(out.forall(_.getAs[Int]("n_tok") == 20))
+    val r0 = out.find(_.getAs[Long]("doc_id") == 7L).get
+    assert(r0.getAs[String]("clean_text") ==
+      (0 until 12).map(j => s"u$j-7").mkString(" "))
+  }
+
   test("deep duplicate chains: star escalation converges where propagation caps out") {
     import graft.operators.{CorpusQueries, GraphOps}
     import scala.jdk.CollectionConverters._
