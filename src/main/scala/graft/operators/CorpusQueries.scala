@@ -612,9 +612,12 @@ object CorpusQueries extends QueryModule {
     * every stage — candidate marking is occurrence-keyed, never pairwise
     * (a boilerplate gram in every doc costs 8×docs cover rows, not
     * df²) — the hot-gram table is corpus-sized so it joins by shuffle
-    * (never broadcast), the span cover resolves with one distinct on
-    * (doc, pos), and the rebuild is a single groupBy(doc) with an
-    * array_sort — no window over an unbounded partition anywhere. */
+    * (never broadcast), and the span cover reduces to ONE per-doc
+    * covered-position set (collect_set absorbs the dedup into the
+    * groupBy's map-side partial agg; bounded by doc length). The
+    * rewrite is then a map-side indexed `filter` HOF over the token
+    * array — no second corpus-sized explode, no anti-join, no sort, no
+    * window over an unbounded partition anywhere. */
   private[graft] def dupSpanStrip(d: DataFrame): DataFrame = {
     val docs = d.select(col("doc_id"), expr(toksSql).as("tk"))
     val grams = docs
@@ -626,21 +629,17 @@ object CorpusQueries extends QueryModule {
     val cov = grams.join(hot, Seq("gram"))
       .select(col("doc_id"),
         explode(sequence(col("start"), col("start") + 7)).as("pos"))
-      .distinct()
-    val toks = docs.select(col("doc_id"),
-      posexplode(col("tk")).as(Seq("pos", "tok")))
-    val kept = toks.join(cov, Seq("doc_id", "pos"), "left_anti")
       .groupBy(col("doc_id"))
-      .agg(expr("array_join(transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok), ' ')")
-        .as("clean_text"))
-    val dup = cov.groupBy(col("doc_id")).agg(count(lit(1)).as("dup_tok"))
-    docs.select(col("doc_id"), size(col("tk")).as("n_tok"))
-      .join(dup, Seq("doc_id"), "left")
-      .join(kept, Seq("doc_id"), "left")
-      .withColumn("dup_tok", coalesce(col("dup_tok"), lit(0L)))
+      .agg(collect_set(col("pos")).as("cps"))
+    docs.join(cov, Seq("doc_id"), "left")
+      .withColumn("cps",
+        coalesce(col("cps"), expr("CAST(array() AS ARRAY<INT>)")))
+      .withColumn("n_tok", size(col("tk")))
+      .withColumn("dup_tok", size(col("cps")).cast("long"))
       .withColumn("dup_frac",
         round(col("dup_tok").cast("double") / col("n_tok"), 4))
-      .withColumn("clean_text", coalesce(col("clean_text"), lit("")))
+      .withColumn("clean_text",
+        expr("array_join(filter(tk, (x, i) -> NOT array_contains(cps, i)), ' ')"))
       .select(col("doc_id"), col("n_tok"), col("dup_tok"),
         col("dup_frac"), col("clean_text"))
   }
