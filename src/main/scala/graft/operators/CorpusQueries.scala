@@ -452,12 +452,16 @@ object CorpusQueries extends QueryModule {
     // --- inverted-index build (the retrieval-side sibling of TF-IDF):
     // posting lists for mid-signal terms (document frequency 5–400 — rarer
     // is noise, commoner is a stopword). The (doc,term) pairs reduce to
-    // distinct once, the small filtered vocabulary broadcasts back onto
-    // them, and posting lists aggregate sorted for determinism. At 100 TB
-    // the df filter is exactly what caps posting-list memory: the
-    // unfiltered long tail never reaches the collect stage, and hot
-    // stopword terms are excluded before their postings could skew a
-    // reducer.
+    // distinct once, the df-banded vocabulary joins back onto them, and
+    // posting lists aggregate sorted for determinism. At 100 TB the df
+    // filter is exactly what caps posting-list memory: the unfiltered
+    // long tail never reaches the collect stage, and hot stopword terms
+    // are excluded before their postings could skew a reducer. The
+    // vocabulary join is NOT broadcast-hinted: a web-scale corpus's
+    // [5, 400] df band is still tens of millions of terms (the long
+    // tail dominates raw vocabulary), so the join shuffles on `term`
+    // and AQE converts to broadcast at runtime when the measured band
+    // actually is small.
     "q101_inverted_index" -> ((s, dir) => {
       val pairs = Tables(s, dir, "documents")
         .select(col("doc_id"), explode(expr(toksSql)).as("term"))
@@ -465,7 +469,7 @@ object CorpusQueries extends QueryModule {
       val vocab = pairs.groupBy(col("term"))
         .agg(count(lit(1)).as("df"))
         .filter(col("df").between(5, 400))
-      pairs.join(broadcast(vocab), Seq("term"))
+      pairs.join(vocab, Seq("term"))
         .groupBy(col("term"), col("df"))
         .agg(expr("concat_ws(',', transform(array_sort(collect_list(doc_id)), x -> CAST(x AS STRING)))")
           .as("postings"))

@@ -182,21 +182,25 @@ object LlmQueries extends QueryModule {
     }
   }
 
-  /** Exact Jaccard >= `minJac` for a SMALL candidate-pair frame (LSH
+  /** Exact Jaccard >= `minJac` for a BLOCKED candidate-pair frame (LSH
     * band collisions, upper-bound survivors): two hash joins of the
-    * broadcast candidate set against the one-row-per-doc shingle cache,
+    * candidate set against the one-row-per-doc shingle cache,
     * intersection via array_intersect. Hashes are of DISTINCT shingles,
     * so |array_intersect| IS the shingle-overlap count — scores are
-    * exact regardless of how candidates were generated. The broadcast
-    * is the point AND the contract: callers must pass an
-    * already-blocked candidate set, never the raw pair stream. */
+    * exact regardless of how candidates were generated. The joins are
+    * NOT broadcast-hinted: blocked is not small — a df-capped candidate
+    * stream is linear in corpus size (× cap) and a dupe-heavy 100 TB
+    * corpus's band survivors are billions of pairs, past any broadcast
+    * limit. Both joins are plain doc_id equi-joins, so they shuffle,
+    * and AQE converts to broadcast at runtime whenever the measured
+    * candidate set actually is small (every harness corpus). */
   private[graft] def exactJaccardOf(docsets: DataFrame, cand: DataFrame,
       minJac: Double): DataFrame = {
     val a = docsets.select(col("doc_id").as("doc_a"), col("sz").as("sz_a"),
       col("hs").as("hs_a"))
     val b = docsets.select(col("doc_id").as("doc_b"), col("sz").as("sz_b"),
       col("hs").as("hs_b"))
-    broadcast(cand).join(a, Seq("doc_a")).join(b, Seq("doc_b"))
+    cand.join(a, Seq("doc_a")).join(b, Seq("doc_b"))
       .withColumn("inter", size(array_intersect(col("hs_a"), col("hs_b"))))
       .withColumn("jac", col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
       .filter(col("jac") >= minJac)

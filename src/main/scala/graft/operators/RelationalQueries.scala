@@ -216,12 +216,16 @@ object RelationalQueries extends QueryModule {
     }),
 
     // --- correlated-aggregate shape (TPC-H Q17 style): join against a
-    // per-group average computed once (broadcast), not per-row subquery.
+    // per-group average computed once, not a per-row subquery. The
+    // average table has |part| rows — billions at 100 TB — so it is NOT
+    // broadcast-hinted: the join shuffles on the part key (both sides
+    // already keyed by it) and AQE converts to broadcast at runtime
+    // whenever the measured aggregate actually is small.
     "q18_join_on_agg" -> ((s, dir) => {
       val li = Tables(s, dir, "lineitem")
       val avgQty = li.groupBy(col("l_partkey").as("ap_partkey"))
         .agg((dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"))
-      li.join(broadcast(avgQty), col("l_partkey") === col("ap_partkey"))
+      li.join(avgQty, col("l_partkey") === col("ap_partkey"))
         .filter(col("l_quantity") > col("avg_qty") * 1.5)
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n_above"))
