@@ -604,8 +604,149 @@ object CorpusQueries extends QueryModule {
           round(col("sp").cast("double") / col("n_bigrams"), 6))
         .select(col("doc_id"), col("n_bigrams"), col("lm_score"))
         .orderBy(col("doc_id"))
-    })
+    }),
+
+    // --- DSIR-style importance scoring ("Data Selection for Language
+    // Models via Importance Resampling", Xie et al. 2023): hashed-bigram
+    // importance ratios of a target (curated) distribution over the raw
+    // corpus distribution. Features are bigrams hashed into a FIXED
+    // 512-bucket space — so unlike TF-IDF there is no vocabulary pass and
+    // the two distribution tables are 512 rows at ANY corpus size, which
+    // is what makes the final broadcast legitimate (bounded by the
+    // feature space, not the data). Per-bucket ratio = smoothed
+    // p_target(b)/p_corpus(b); each is one IEEE division of exact
+    // integers rounded to a 6-decimal grid, and the per-doc score
+    // accumulates as DECIMAL(18,6) — exact, order-independent, hash-gate
+    // stable under any partitioning (DSIR's log-sum is replaced by a
+    // ratio sum for cross-engine determinism; a final sum/n_feat mean
+    // division would re-introduce an IEEE rounding boundary — sf0.01
+    // doc 310 lands on a half-up tie — so the output stays on the exact
+    // decimal grid: score = Σ ratio, keep ⇔ Σ ratio >= n_feat ⇔ mean
+    // ratio >= 1, both exact compares). The corpus is scanned once for
+    // counting and once for scoring; both are map-side + one bounded-key
+    // shuffle.
+    "q118_dsir_importance" -> ((s, dir) => {
+      val target = Seq("src0", "src1", "src2", "src3", "src4")
+      val occ = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"), expr(toksSql).as("tk"))
+        .select(col("doc_id"), col("source"),
+          explode(expr(gramsSql("tk", 2, distinct = false))).as("bg"))
+        .select(col("doc_id"), col("source"),
+          expr("CAST(conv(substring(md5(bg), 1, 4), 16, 10) AS INT) % 512")
+            .as("bucket"))
+      val tgt = occ.filter(col("source").isin(target: _*))
+      val cs = occ.groupBy(col("bucket")).agg(count(lit(1)).as("cs"))
+      val ct = tgt.groupBy(col("bucket")).agg(count(lit(1)).as("ct"))
+      val totals = occ.agg(count(lit(1)).as("ts"))
+        .crossJoin(tgt.agg(count(lit(1)).as("tt")))
+      val ratios = cs.join(ct, Seq("bucket"), "left")
+        .crossJoin(broadcast(totals))
+        .withColumn("r", expr(
+          "CAST(round(((coalesce(ct, 0) + 1) / CAST(tt + 512 AS DOUBLE)) /" +
+            " ((cs + 1) / CAST(ts + 512 AS DOUBLE)), 6) AS DECIMAL(18,6))"))
+        .select(col("bucket"), col("r"))
+      occ.join(broadcast(ratios), Seq("bucket"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_feat"), sum(col("r")).as("sr"))
+        .withColumn("imp_sum", col("sr").cast("double"))
+        .withColumn("keep", col("sr") >= col("n_feat"))
+        .select(col("doc_id"), col("n_feat"), col("imp_sum"), col("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- token-budget corpus selection: rank documents by lexical
+    // diversity (distinct-token ratio) and keep the best until a global
+    // token budget (40% of corpus tokens) is spent — the "select the top
+    // slice you can afford to train on" op. The greedy prefix needs a
+    // GLOBAL cumulative token sum in rank order, which is exactly the
+    // q63 hazard: at 100 TB that is billions of docs, so it reuses the
+    // two-phase shape — range-partition by rank order, cumsum within
+    // partitions, add P-row triangular offsets back by broadcast. No
+    // unpartitioned window; localCheckpoint pins the sampled range
+    // boundaries so both branches see one partitioning. ttr is a single
+    // IEEE division of exact ints rounded to a 6-decimal grid, so the
+    // rank order (ttr desc, doc_id) is engine-independent.
+    "q119_token_budget_select" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+        .select(col("doc_id"), expr(toksSql).as("tk"))
+        .select(col("doc_id"), size(col("tk")).cast("long").as("n_tok"),
+          expr("round(size(array_distinct(tk)) / CAST(size(tk) AS DOUBLE), 6)")
+            .as("ttr"))
+      val budget = d.agg(floor(sum(col("n_tok")) * 0.4).cast("long").as("budget"))
+      val bucketed = d
+        .repartitionByRange(s.sparkContext.defaultParallelism,
+          col("ttr").desc, col("doc_id").asc)
+        .withColumn("pid", spark_partition_id())
+        .localCheckpoint()
+      val local = Window.partitionBy(col("pid"))
+        .orderBy(col("ttr").desc, col("doc_id").asc)
+      val stats = bucketed.groupBy(col("pid")).agg(sum(col("n_tok")).as("tn"))
+      val offs = stats
+        .join(stats.select(col("pid").as("ypid"), col("tn").as("ytn")),
+          col("ypid") < col("pid"), "left")
+        .groupBy(col("pid"))
+        .agg(coalesce(sum(col("ytn")), lit(0L)).as("cum_off"))
+      bucketed
+        .withColumn("lcum", sum(col("n_tok")).over(
+          local.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .join(broadcast(offs), Seq("pid"))
+        .crossJoin(broadcast(budget))
+        .withColumn("cum", (col("cum_off") + col("lcum")).cast("long"))
+        .filter(col("cum") <= col("budget"))
+        .select(col("doc_id"), col("n_tok"), col("ttr"), col("cum"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- segment-level keep-first dedup (CCNet's paragraph dedup,
+    // adapted to 12-token segments since the synthetic corpus has no
+    // newlines): every duplicated segment keeps only its globally FIRST
+    // occurrence (min (doc_id, seg_idx)), and documents are rewritten
+    // from their surviving segments. Differs from q116 (which strips
+    // EVERY occurrence of any >1-occurrence 8-gram span) — this is the
+    // keep-one rewrite. Scale shape: first-occurrence resolution is a
+    // min-of-struct aggregate — partial-aggable and skew-safe (a
+    // boilerplate segment present in every doc reduces map-side; a
+    // row_number window keyed by hash would put all its occurrences in
+    // one partition). Everything is linear: explode segments, one
+    // bounded agg, one hash equi-join back, one per-doc rebuild.
+    "q120_segment_dedup" -> ((s, dir) =>
+      segmentDedup(Tables(s, dir, "documents")).orderBy(col("doc_id")))
   )
+
+  /** q120's engine (factored so ScaleSpec can drive planted-duplicate
+    * corpora): segment-level keep-first dedup over a (doc_id, …, text)
+    * frame. Text splits into non-overlapping 12-token segments; each
+    * distinct segment keeps only its globally first occurrence (minimum
+    * (doc_id, seg_idx)) and documents are rebuilt from the survivors.
+    * Scale shape: first-occurrence resolution is a min-of-struct
+    * AGGREGATE — partial-aggable map-side, so a boilerplate segment in
+    * every doc reduces before the exchange instead of funneling its
+    * occurrences through one window partition; the rebuild is one
+    * per-doc groupBy with a bounded (doc-length) collect_list. */
+  private[graft] def segmentDedup(d: DataFrame): DataFrame = {
+    val seg = d
+      .select(col("doc_id"), expr(toksSql).as("tk"))
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, CAST(ceil(size(tk) / 12.0) AS INT) - 1)," +
+          " i -> array_join(slice(tk, i * 12 + 1, 12), ' '))"))
+        .as(Seq("seg_idx", "seg")))
+      .withColumn("h", md5(col("seg")))
+    val first = seg.groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("seg_idx"))).as("f"))
+    val kept = seg.join(first, Seq("h"))
+      .filter(col("doc_id") === col("f.doc_id") &&
+        col("seg_idx") === col("f.seg_idx"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        expr("array_join(transform(array_sort(" +
+          "collect_list(struct(seg_idx, seg))), x -> x.seg), ' ')")
+          .as("clean_text"))
+    seg.groupBy(col("doc_id")).agg(count(lit(1)).as("n_seg"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_seg"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
 
   /** q116's engine (factored so ScaleSpec can drive planted-boilerplate
     * corpora): duplicated-span stripping over a (doc_id, …, text) frame.
@@ -1012,6 +1153,75 @@ object CorpusQueries extends QueryModule {
         |  FROM bi JOIN bc USING (bg) JOIN ucc USING (w1) CROSS JOIN v)
         |SELECT doc_id, count(*) AS n_bigrams,
         |  round(CAST(sum(p) AS DOUBLE) / count(*), 6) AS lm_score
-        |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q118_dsir_importance" ->
+      """WITH tk AS (
+        |  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents),
+        |bii AS (
+        |  SELECT doc_id, source, t, unnest(range(greatest(len(t) - 1, 0))) AS i
+        |  FROM tk),
+        |occ AS (
+        |  SELECT doc_id, source,
+        |    CAST('0x' || substr(md5(t[i+1] || ' ' || t[i+2]), 1, 4) AS INT)
+        |      % 512 AS bucket
+        |  FROM bii),
+        |cs AS (SELECT bucket, count(*) AS cs FROM occ GROUP BY bucket),
+        |ct AS (SELECT bucket, count(*) AS ct FROM occ
+        |  WHERE source IN ('src0','src1','src2','src3','src4') GROUP BY bucket),
+        |ts AS (SELECT count(*) AS ts FROM occ),
+        |tt AS (SELECT count(*) AS tt FROM occ
+        |  WHERE source IN ('src0','src1','src2','src3','src4')),
+        |r AS (
+        |  SELECT bucket,
+        |    CAST(round(((coalesce(ct, 0) + 1) / CAST(tt + 512 AS DOUBLE)) /
+        |      ((cs + 1) / CAST(ts + 512 AS DOUBLE)), 6) AS DECIMAL(18,6)) AS r
+        |  FROM cs LEFT JOIN ct USING (bucket) CROSS JOIN ts CROSS JOIN tt),
+        |sc AS (
+        |  SELECT occ.doc_id, count(*) AS n_feat, sum(r) AS sr
+        |  FROM occ JOIN r USING (bucket) GROUP BY occ.doc_id)
+        |SELECT doc_id, n_feat, CAST(sr AS DOUBLE) AS imp_sum,
+        |  sr >= n_feat AS keep
+        |FROM sc ORDER BY doc_id""".stripMargin,
+    "q119_token_budget_select" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tok,
+        |    round(len(list_distinct(t)) / CAST(len(t) AS DOUBLE), 6) AS ttr
+        |  FROM tk),
+        |b AS (SELECT CAST(floor(0.4 * sum(n_tok)) AS BIGINT) AS budget FROM d),
+        |c AS (
+        |  SELECT doc_id, n_tok, ttr,
+        |    CAST(sum(n_tok) OVER (ORDER BY ttr DESC, doc_id ASC) AS BIGINT)
+        |      AS cum
+        |  FROM d)
+        |SELECT doc_id, n_tok, ttr, cum FROM c CROSS JOIN b
+        |WHERE cum <= budget ORDER BY doc_id""".stripMargin,
+    "q120_segment_dedup" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents),
+        |segi AS (
+        |  SELECT doc_id, t,
+        |    unnest(range(CAST(ceil(len(t) / 12.0) AS INT))) AS i
+        |  FROM tk),
+        |seg AS (
+        |  SELECT doc_id, CAST(i AS INT) AS seg_idx,
+        |    array_to_string(t[i*12+1 : i*12+12], ' ') AS seg
+        |  FROM segi),
+        |k AS (
+        |  SELECT doc_id, seg_idx, seg, row_number() OVER (
+        |    PARTITION BY md5(seg) ORDER BY doc_id, seg_idx) AS rn
+        |  FROM seg),
+        |kept AS (
+        |  SELECT doc_id, count(*) AS n_kept,
+        |    string_agg(seg, ' ' ORDER BY seg_idx) AS clean_text
+        |  FROM k WHERE rn = 1 GROUP BY doc_id),
+        |n AS (SELECT doc_id, count(*) AS n_seg FROM seg GROUP BY doc_id)
+        |SELECT n.doc_id, n_seg, coalesce(n_kept, 0) AS n_kept,
+        |  coalesce(clean_text, '') AS clean_text
+        |FROM n LEFT JOIN kept USING (doc_id) ORDER BY doc_id""".stripMargin
   )
 }

@@ -341,6 +341,26 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q118/q120: linear corpus shapes — no cartesian blowup, no window; q119 cumsum is partition-local") {
+    // q118's only broadcasts are bounded by the 512-bucket feature space
+    // (ratio table) or are 1-row totals; the corpus side must stay an
+    // equi-join. q120 resolves first occurrences with a min-of-struct
+    // AGGREGATE — a row_number window keyed by segment hash would funnel
+    // every occurrence of a boilerplate segment through one task.
+    for (q <- Seq("q118_dsir_importance", "q120_segment_dedup")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: $p")
+      assert(!p.contains("Window"), s"$q: $p")
+    }
+    // q119's global token cumsum must stay two-phase: windows partitioned
+    // by the range-bucket pid only (same invariant as q63)
+    val p = plan("q119_token_budget_select")
+    assert(p.contains("windowspecdefinition(pid"), p)
+    assert(!p.contains("windowspecdefinition(ttr") &&
+      !p.contains("windowspecdefinition(n_tok"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("whole-stage codegen covers the relational hot paths") {
     // AQE wraps the plan in AdaptiveSparkPlanExec, which the codegen
     // explainer does not descend into before execution — check without it.

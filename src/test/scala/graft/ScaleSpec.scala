@@ -374,6 +374,34 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
       (0 until 12).map(j => s"u$j-7").mkString(" "))
   }
 
+  test("q120 segment dedup: every-doc boilerplate keeps exactly ONE copy, first doc wins") {
+    import graft.operators.CorpusQueries
+    // 1500 docs of exactly two 12-token segments: a corpus-wide
+    // boilerplate FIRST segment and a unique second one. Keep-first
+    // semantics: the boilerplate survives only in doc 0 (the global
+    // minimum (doc_id, seg_idx)); every other doc is rebuilt from its
+    // unique segment alone. First-occurrence resolution is a
+    // min-of-struct aggregate, so the 1500-occurrence hot segment
+    // reduces map-side — no per-hash window partition to skew.
+    val boiler = (0 until 12).map(i => s"b$i").mkString(" ")
+    val d = spark.range(0, 1500).select(
+      col("id").as("doc_id"),
+      concat(lit(boiler + " "),
+        concat_ws(" ", (0 until 12).map(j =>
+          concat(lit(s"u$j-"), col("id"))): _*)).as("text"))
+    val out = CorpusQueries.segmentDedup(d).collect()
+    assert(out.length == 1500)
+    assert(out.forall(_.getAs[Long]("n_seg") == 2L))
+    val doc0 = out.find(_.getAs[Long]("doc_id") == 0L).get
+    assert(doc0.getAs[Long]("n_kept") == 2L)
+    assert(doc0.getAs[String]("clean_text").startsWith(boiler))
+    val rest = out.filter(_.getAs[Long]("doc_id") != 0L)
+    assert(rest.forall(_.getAs[Long]("n_kept") == 1L))
+    val r42 = rest.find(_.getAs[Long]("doc_id") == 42L).get
+    assert(r42.getAs[String]("clean_text") ==
+      (0 until 12).map(j => s"u$j-42").mkString(" "))
+  }
+
   test("deep duplicate chains: star escalation converges where propagation caps out") {
     import graft.operators.{CorpusQueries, GraphOps}
     import scala.jdk.CollectionConverters._
