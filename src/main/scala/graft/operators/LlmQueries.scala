@@ -91,9 +91,15 @@ object LlmQueries extends QueryModule {
   /** (doc_a, doc_b, sz_a, sz_b, nhot_a, nhot_b, inter_capped) for pairs
     * sharing >= 1 shingle with df <= cap, from a (doc_id, sz, hs)
     * per-doc shingle-set frame. The hot-shingle set is df-filtered FIRST
-    * (tiny: boilerplate phrases only) and broadcast into a left-anti
-    * join, so the corpus-sized index is filtered map-side and the
-    * self-join's buckets are bounded at cap². Intersection counts are
+    * and anti-joined off the index, so the self-join's buckets are
+    * bounded at cap². The hot set is NOT broadcast-hinted: "boilerplate
+    * phrases only" is small on a curated corpus, but a mass-duplicated
+    * web corpus can hold occurrences/cap ≈ billions of >cap shingles —
+    * past any broadcast limit. The semi/anti joins shuffle on h, where
+    * the hot keys themselves are the skew — exactly what AQE's skew-join
+    * splitting handles (left side of a semi/anti is splittable) — and
+    * AQE converts to broadcast at runtime whenever the measured hot set
+    * actually is small (every harness corpus). Intersection counts are
     * aggregated IN the join's groupBy (map-side partial agg; the
     * pair stream never collects or broadcasts — an early version
     * broadcast the distinct pair set for verification and at sf0.1 that
@@ -107,7 +113,7 @@ object LlmQueries extends QueryModule {
       .filter(col("df") > cap).select(col("h"))
     // how many of each doc's shingles the cap removed — the slack term
     // of the exact upper bound in [[jaccardPairsCapped]]
-    val hotCnt = idx.join(broadcast(hot), Seq("h"), "left_semi")
+    val hotCnt = idx.join(hot, Seq("h"), "left_semi")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("nhot"))
     val meta = docsets.select(col("doc_id"), col("sz"), col("hs"))
       .join(hotCnt, Seq("doc_id"), "left")
@@ -119,7 +125,7 @@ object LlmQueries extends QueryModule {
     // is exactly what makes the key distribution uniform), so hashing
     // beats sort-merge — no sort of the exploded index (measured
     // 9.4s->5.1s at sf0.1 on the uncapped ancestor of this join).
-    val capped = idx2.join(broadcast(hot), Seq("h"), "left_anti").hint("shuffle_hash")
+    val capped = idx2.join(hot, Seq("h"), "left_anti").hint("shuffle_hash")
     val a = capped.select(col("doc_id").as("doc_a"), col("sz").as("sz_a"),
       col("nhot").as("nhot_a"), col("h"))
     val b = capped.select(col("doc_id").as("doc_b"), col("sz").as("sz_b"),
