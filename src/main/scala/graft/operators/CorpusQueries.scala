@@ -710,7 +710,70 @@ object CorpusQueries extends QueryModule {
     // one partition). Everything is linear: explode segments, one
     // bounded agg, one hash equi-join back, one per-doc rebuild.
     "q120_segment_dedup" -> ((s, dir) =>
-      segmentDedup(Tables(s, dir, "documents")).orderBy(col("doc_id")))
+      segmentDedup(Tables(s, dir, "documents")).orderBy(col("doc_id"))),
+
+    // --- temperature-based source mixing (the multilingual/source
+    // α-sampling of mT5/XLM-R, α = 0.5): target share of source s is
+    // p_s ∝ (n_s/N)^α, flattening the natural distribution toward
+    // uniform; each doc keeps with rate (N/2)·p_s/n_s (capped at 1) so
+    // the sample totals ~N/2 docs at the tempered mix. Differs from q85
+    // (hard uniform rebalance to the min source) — temperature keeps a
+    // graded tilt. Cross-engine determinism: α = 0.5 makes the exponent
+    // IEEE-sqrt (correctly rounded by the standard, bit-identical in
+    // both engines, unlike pow(x, 0.7)); each sqrt rounds onto a
+    // 6-decimal DECIMAL grid so the 20-source denominator sums exactly
+    // (order-independent); the keep rate is then a fixed-order chain of
+    // IEEE ops on exact inputs compared against the q60/q85/q108
+    // content-hash uniform — reproducible across engines, retries, and
+    // partitionings. Scale: two bounded aggregates (per-source counts)
+    // broadcast onto a single corpus scan; no shuffle of the corpus.
+    "q121_temperature_mix" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_src"))
+        .withColumn("d",
+          expr("CAST(round(sqrt(CAST(n_src AS DOUBLE)), 6) AS DECIMAL(18,6))"))
+      val denom = counts.agg(sum(col("d")).as("dd"),
+        sum(col("n_src")).as("n_total"))
+      val rates = counts.crossJoin(broadcast(denom))
+        .withColumn("keep_rate", expr(
+          "round(least(1.0D, ((CAST(n_total AS DOUBLE) * 0.5D) * " +
+            "(CAST(d AS DOUBLE) / CAST(dd AS DOUBLE))) / n_src), 6)"))
+        .select(col("source"), col("keep_rate"))
+      docs.join(broadcast(rates), "source")
+        .filter(expr(s"$uhashSql < keep_rate * 4294967296.0D"))
+        .select(col("doc_id"), col("source"), col("keep_rate"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- corpus diversity metrics (distinct-n): per-source unigram and
+    // bigram type/token ratios — the lexical-diversity dashboard numbers
+    // a data-mixing run is tuned against. Token counts are exact
+    // integers; the two ratios are one IEEE division each rounded onto
+    // the 6-decimal grid. Scale: everything reduces map-side onto
+    // (source[, gram]) keys; the distinct counts are the only
+    // corpus-sized shuffles and they carry (source, gram) pairs —
+    // bounded by vocabulary × sources, never doc-sized state.
+    "q122_ngram_diversity" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+        .select(col("source"), expr(toksSql).as("tk"))
+      val uni = docs.select(col("source"), explode(col("tk")).as("g"))
+      val bi = docs.select(col("source"),
+        explode(expr(gramsSql("tk", 2, distinct = false))).as("g"))
+      def stats(g: DataFrame, pfx: String): DataFrame =
+        g.groupBy(col("source"), col("g")).agg(count(lit(1)).as("c"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as(s"${pfx}_types"),
+            sum(col("c")).as(s"${pfx}_tokens"))
+      stats(uni, "uni").join(stats(bi, "bi"), Seq("source"))
+        .withColumn("distinct_1", expr(
+          "round(uni_types / CAST(uni_tokens AS DOUBLE), 6)"))
+        .withColumn("distinct_2", expr(
+          "round(bi_types / CAST(bi_tokens AS DOUBLE), 6)"))
+        .select(col("source"), col("uni_types"), col("uni_tokens"),
+          col("bi_types"), col("bi_tokens"),
+          col("distinct_1"), col("distinct_2"))
+        .orderBy(col("source"))
+    })
   )
 
   /** q120's engine (factored so ScaleSpec can drive planted-duplicate
@@ -1222,6 +1285,48 @@ object CorpusQueries extends QueryModule {
         |n AS (SELECT doc_id, count(*) AS n_seg FROM seg GROUP BY doc_id)
         |SELECT n.doc_id, n_seg, coalesce(n_kept, 0) AS n_kept,
         |  coalesce(clean_text, '') AS clean_text
-        |FROM n LEFT JOIN kept USING (doc_id) ORDER BY doc_id""".stripMargin
+        |FROM n LEFT JOIN kept USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "q121_temperature_mix" ->
+      """WITH c AS (
+        |  SELECT source, count(*) AS n_src FROM documents GROUP BY source),
+        |cd AS (
+        |  SELECT source, n_src,
+        |    CAST(round(sqrt(CAST(n_src AS DOUBLE)), 6) AS DECIMAL(18,6)) AS d
+        |  FROM c),
+        |den AS (SELECT sum(d) AS dd, sum(n_src) AS n_total FROM cd),
+        |r AS (
+        |  SELECT source,
+        |    round(least(1.0, ((CAST(n_total AS DOUBLE) * 0.5) *
+        |      (CAST(d AS DOUBLE) / CAST(dd AS DOUBLE))) / n_src), 6)
+        |      AS keep_rate
+        |  FROM cd CROSS JOIN den)
+        |SELECT doc_id, d.source, keep_rate
+        |FROM documents d JOIN r USING (source)
+        |WHERE CAST('0x' || substr(md5(text), 1, 8) AS BIGINT)
+        |      < keep_rate * 4294967296.0
+        |ORDER BY doc_id""".stripMargin,
+    "q122_ngram_diversity" ->
+      """WITH tk AS (
+        |  SELECT source, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents),
+        |uni AS (SELECT source, unnest(t) AS g FROM tk),
+        |bii AS (
+        |  SELECT source, t, unnest(range(greatest(len(t) - 1, 0))) AS i
+        |  FROM tk),
+        |bi AS (SELECT source, t[i+1] || ' ' || t[i+2] AS g FROM bii),
+        |us AS (
+        |  SELECT source, count(*) AS uni_types,
+        |    CAST(sum(c) AS BIGINT) AS uni_tokens
+        |  FROM (SELECT source, g, count(*) AS c FROM uni GROUP BY 1, 2)
+        |  GROUP BY source),
+        |bs AS (
+        |  SELECT source, count(*) AS bi_types,
+        |    CAST(sum(c) AS BIGINT) AS bi_tokens
+        |  FROM (SELECT source, g, count(*) AS c FROM bi GROUP BY 1, 2)
+        |  GROUP BY source)
+        |SELECT source, uni_types, uni_tokens, bi_types, bi_tokens,
+        |  round(uni_types / CAST(uni_tokens AS DOUBLE), 6) AS distinct_1,
+        |  round(bi_types / CAST(bi_tokens AS DOUBLE), 6) AS distinct_2
+        |FROM us JOIN bs USING (source) ORDER BY source""".stripMargin
   )
 }

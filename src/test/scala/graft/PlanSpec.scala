@@ -347,7 +347,8 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // equi-join. q120 resolves first occurrences with a min-of-struct
     // AGGREGATE — a row_number window keyed by segment hash would funnel
     // every occurrence of a boilerplate segment through one task.
-    for (q <- Seq("q118_dsir_importance", "q120_segment_dedup")) {
+    for (q <- Seq("q118_dsir_importance", "q120_segment_dedup",
+        "q121_temperature_mix", "q122_ngram_diversity")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q: $p")
       assert(!p.contains("Window"), s"$q: $p")
