@@ -638,6 +638,34 @@ object LlmQueries extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // --- perceptual image dedup (average-hash): each doc renders a REAL
+    // 16x16 grayscale PNG (seed = doc_id % 40 plants 40 duplicate
+    // groups), the engine decodes the bytes back and average-hashes the
+    // pixels; identical hashes group and the minimum doc_id is the
+    // canonical copy — the image-side sibling of q33's exact text dedup.
+    // Round-trip contract (q115's shape): PNG encode -> ImageIO decode ->
+    // 2x2 pool -> integer threshold is real byte plumbing, while the
+    // oracle replays the pixel FORMULA arithmetically — a decode or
+    // color-space bug cannot hash-match. Scale: hashing is map-side; the
+    // one shuffle carries (ahash) keys bounded by distinct images, and
+    // group state is a (min, count) pair per hash — never pixel data.
+    "q123_image_ahash_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val hashed = Tables(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          javax.imageio.ImageIO.setUseCache(false)
+          it.map(id =>
+            (id, MultimodalOps.aHash(MultimodalOps.mkGrayPng(id % 40))))
+        }.toDF("doc_id", "ahash")
+      val groups = hashed.groupBy(col("ahash"))
+        .agg(min(col("doc_id")).as("canonical"), count(lit(1)).as("group_sz"))
+      hashed.join(groups, Seq("ahash"))
+        .withColumn("is_dup", col("doc_id") =!= col("canonical"))
+        .select(col("doc_id"), col("ahash"), col("canonical"),
+          col("group_sz"), col("is_dup"))
+        .orderBy(col("doc_id"))
+    }),
+
     // --- ANN via IVF: coarse cells from per-label centroids computed by
     // the typed CentroidFixed Aggregator (custom UDAF with map-side
     // partial agg, FIXED-POINT accumulation so the centroid is
@@ -828,6 +856,28 @@ object LlmQueries extends QueryModule {
         |    AS duration_ms,
         |  CAST(1 AS INT) AS n_tracks
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q123_image_ahash_dedup" ->
+      """WITH px AS (
+        |  SELECT d.doc_id, bx, by,
+        |    ((d.doc_id % 40) * 31 + (bx * 2 + dx) * 7 + (by * 2 + dy) * 13)
+        |      % 256 AS p
+        |  FROM documents d
+        |  CROSS JOIN range(8) tbx(bx) CROSS JOIN range(8) tby(by)
+        |  CROSS JOIN range(2) tdx(dx) CROSS JOIN range(2) tdy(dy)),
+        |pool AS (
+        |  SELECT doc_id, by * 8 + bx AS j, sum(p) AS s
+        |  FROM px GROUP BY doc_id, bx, by),
+        |tot AS (SELECT doc_id, sum(s) AS total FROM pool GROUP BY doc_id),
+        |bits AS (
+        |  SELECT pool.doc_id,
+        |    string_agg(CASE WHEN s * 64 > total THEN '1' ELSE '0' END,
+        |      '' ORDER BY j) AS ahash
+        |  FROM pool JOIN tot USING (doc_id) GROUP BY pool.doc_id),
+        |g AS (SELECT ahash, min(doc_id) AS canonical, count(*) AS group_sz
+        |      FROM bits GROUP BY ahash)
+        |SELECT doc_id, b.ahash, canonical, group_sz,
+        |  doc_id != canonical AS is_dup
+        |FROM bits b JOIN g USING (ahash) ORDER BY doc_id""".stripMargin,
     // Self-certifying contract: the exact-pair counts are recomputed
     // genuinely (q34 semantics); the booleans pin the LSH/exact
     // relationship the engine verifies in-query — a recall or precision

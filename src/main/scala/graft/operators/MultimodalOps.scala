@@ -438,4 +438,71 @@ object MultimodalOps {
       it.flatMap { case (id, bytes) => sampleFrames(id, bytes, everyK) }
     }.toDF()
   }
+
+  /** 16x16 8-bit grayscale PNG with pixel(x,y) = (seed*31 + x*7 + y*13)
+    * % 256 — the construction half of the q123 round-trip contract
+    * (same shape as [[mkMp4]]/q115). Samples go through the RASTER, not
+    * setRGB: TYPE_BYTE_GRAY's getRGB/setRGB route through a linear-gray
+    * to sRGB color-space conversion that silently rewrites values, while
+    * raster samples PNG-encode losslessly and round-trip bit-exact. */
+  def mkGrayPng(seed: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      16, 16, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val r = img.getRaster
+    var y = 0
+    while (y < 16) {
+      var x = 0
+      while (x < 16) {
+        r.setSample(x, y, 0, ((seed * 31 + x * 7 + y * 13) % 256).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** 64-bit average-hash (aHash) of a 16x16 grayscale image: real
+    * ImageIO decode, 2x2 average-pool to 8x8, bit j (= row*8 + col) set
+    * iff pool_j > image mean. All compares are exact integer arithmetic
+    * (pool_sum * 64 > total) so thresholds cannot drift between engines,
+    * and the hash is returned as a 64-char '0'/'1' string — groupable,
+    * readable, and free of the BIGINT sign-bit trap a packed j=63 shift
+    * would hit. Undecodable or wrong-sized bytes hash to "" (a pipeline
+    * filters those out). */
+  def aHash(bytes: Array[Byte]): String = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    if (img == null || img.getWidth != 16 || img.getHeight != 16) return ""
+    val r = img.getRaster
+    val pools = new Array[Long](64)
+    var total = 0L
+    var by = 0
+    while (by < 8) {
+      var bx = 0
+      while (bx < 8) {
+        var s = 0L
+        var dy = 0
+        while (dy < 2) {
+          var dx = 0
+          while (dx < 2) {
+            s += r.getSample(bx * 2 + dx, by * 2 + dy, 0)
+            dx += 1
+          }
+          dy += 1
+        }
+        pools(by * 8 + bx) = s
+        total += s
+        bx += 1
+      }
+      by += 1
+    }
+    val sb = new java.lang.StringBuilder(64)
+    var j = 0
+    while (j < 64) {
+      sb.append(if (pools(j) * 64 > total) '1' else '0')
+      j += 1
+    }
+    sb.toString
+  }
 }

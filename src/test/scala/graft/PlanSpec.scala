@@ -348,7 +348,8 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // AGGREGATE — a row_number window keyed by segment hash would funnel
     // every occurrence of a boilerplate segment through one task.
     for (q <- Seq("q118_dsir_importance", "q120_segment_dedup",
-        "q121_temperature_mix", "q122_ngram_diversity")) {
+        "q121_temperature_mix", "q122_ngram_diversity",
+        "q123_image_ahash_dedup")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q: $p")
       assert(!p.contains("Window"), s"$q: $p")
