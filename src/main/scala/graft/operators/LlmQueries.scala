@@ -666,6 +666,51 @@ object LlmQueries extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // --- NEAR-duplicate images: banded Hamming join over the q123
+    // average-hash — the image-side sibling of q36's SimHash bands,
+    // with the same pigeonhole guarantee (64 bits in 4 bands of 16:
+    // hashes <= 3 bits apart MUST agree on a whole band). Planted
+    // near-dups: a one-pixel perturbation (delta = (doc_id%3)*40 on
+    // pixel (0,0)) flips at most a few hash bits, so same-seed docs
+    // land within the Hamming radius while different seeds stay out.
+    // Scale: candidates come ONLY from 16-bit band-value collisions
+    // (never all pairs), the first matching band deduplicates the
+    // band union without a distinct over pairs, and the exact Hamming
+    // distance is a 64-position compare on the candidate stream.
+    "q124_image_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val hashed = Tables(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          javax.imageio.ImageIO.setUseCache(false)
+          it.map(id => (id, MultimodalOps.aHash(
+            MultimodalOps.mkGrayPng(id % 40, (id % 3).toInt * 40))))
+        }.toDF("doc_id", "ahash")
+      val bands = hashed.select(col("doc_id"), col("ahash"),
+        explode(expr("transform(sequence(0, 3)," +
+          " b -> named_struct('band', b, 'bv', substring(ahash, b * 16 + 1, 16)))"))
+          .as("tb"))
+        .select(col("doc_id"), col("ahash"),
+          col("tb.band").as("band"), col("tb.bv").as("bv"))
+      val a = bands.select(col("doc_id").as("doc_a"), col("ahash").as("ha"),
+        col("band"), col("bv"))
+      val b = bands.select(col("doc_id").as("doc_b"), col("ahash").as("hb"),
+        col("band"), col("bv"))
+      a.join(b, Seq("band", "bv")).filter(col("doc_a") < col("doc_b"))
+        // first-matching-band dedup (q36's trick): keep the pair only in
+        // its LOWEST agreeing band, so the 4-band union needs no
+        // distinct. sequence(0, band) + a p < band guard, NOT
+        // sequence(0, band - 1): Spark's sequence DESCENDS when stop <
+        // start, so band 0 would probe [0, -1] and substring's negative
+        // position counts from the string's end
+        .filter(expr("NOT EXISTS(sequence(0, band), p -> p < band AND" +
+          " substring(ha, p * 16 + 1, 16) = substring(hb, p * 16 + 1, 16))"))
+        .withColumn("hamming", expr("size(filter(sequence(0, 63)," +
+          " j -> substring(ha, j + 1, 1) != substring(hb, j + 1, 1)))"))
+        .filter(col("hamming") <= 3)
+        .select(col("doc_a"), col("doc_b"), col("hamming"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // --- ANN via IVF: coarse cells from per-label centroids computed by
     // the typed CentroidFixed Aggregator (custom UDAF with map-side
     // partial agg, FIXED-POINT accumulation so the centroid is
@@ -878,6 +923,41 @@ object LlmQueries extends QueryModule {
         |SELECT doc_id, b.ahash, canonical, group_sz,
         |  doc_id != canonical AS is_dup
         |FROM bits b JOIN g USING (ahash) ORDER BY doc_id""".stripMargin,
+    "q124_image_neardup" ->
+      """WITH px AS (
+        |  SELECT d.doc_id, bx, by,
+        |    ((d.doc_id % 40) * 31 + (bx * 2 + dx) * 7 + (by * 2 + dy) * 13
+        |     + CASE WHEN bx * 2 + dx = 0 AND by * 2 + dy = 0
+        |            THEN (d.doc_id % 3) * 40 ELSE 0 END) % 256 AS p
+        |  FROM documents d
+        |  CROSS JOIN range(8) tbx(bx) CROSS JOIN range(8) tby(by)
+        |  CROSS JOIN range(2) tdx(dx) CROSS JOIN range(2) tdy(dy)),
+        |pool AS (
+        |  SELECT doc_id, by * 8 + bx AS j, sum(p) AS s
+        |  FROM px GROUP BY doc_id, bx, by),
+        |tot AS (SELECT doc_id, sum(s) AS total FROM pool GROUP BY doc_id),
+        |bits AS (
+        |  SELECT pool.doc_id,
+        |    string_agg(CASE WHEN s * 64 > total THEN '1' ELSE '0' END,
+        |      '' ORDER BY j) AS ahash
+        |  FROM pool JOIN tot USING (doc_id) GROUP BY pool.doc_id),
+        |bands AS (
+        |  SELECT doc_id, ahash, b AS band,
+        |    substr(ahash, CAST(b * 16 + 1 AS INT), 16) AS bv
+        |  FROM bits CROSS JOIN range(4) tb(b)),
+        |cand AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    a.ahash AS ha, b.ahash AS hb
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3, 4),
+        |h AS (
+        |  SELECT doc_a, doc_b,
+        |    len(list_filter(range(64), j -> substr(ha, CAST(j + 1 AS INT), 1)
+        |      != substr(hb, CAST(j + 1 AS INT), 1))) AS hamming
+        |  FROM cand)
+        |SELECT doc_a, doc_b, hamming FROM h
+        |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin,
     // Self-certifying contract: the exact-pair counts are recomputed
     // genuinely (q34 semantics); the booleans pin the LSH/exact
     // relationship the engine verifies in-query — a recall or precision

@@ -445,7 +445,7 @@ object MultimodalOps {
     * setRGB: TYPE_BYTE_GRAY's getRGB/setRGB route through a linear-gray
     * to sRGB color-space conversion that silently rewrites values, while
     * raster samples PNG-encode losslessly and round-trip bit-exact. */
-  def mkGrayPng(seed: Long): Array[Byte] = {
+  def mkGrayPng(seed: Long, delta0: Int = 0): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(
       16, 16, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
     val r = img.getRaster
@@ -453,7 +453,11 @@ object MultimodalOps {
     while (y < 16) {
       var x = 0
       while (x < 16) {
-        r.setSample(x, y, 0, ((seed * 31 + x * 7 + y * 13) % 256).toInt)
+        // delta0 perturbs ONLY pixel (0,0): the q124 near-duplicate
+        // planting knob — a one-pixel edit that flips at most a few
+        // average-hash bits, never the whole signature
+        val d = if (x == 0 && y == 0) delta0 else 0
+        r.setSample(x, y, 0, ((seed * 31 + x * 7 + y * 13 + d) % 256).toInt)
         x += 1
       }
       y += 1
