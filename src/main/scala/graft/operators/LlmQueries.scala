@@ -711,6 +711,32 @@ object LlmQueries extends QueryModule {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // --- robust audio-fingerprint dedup, completing the modality triple
+    // (q33 text, q123 image): each doc renders real PCM-16 WAV bytes
+    // (seed = doc_id % 30 plants groups, a small DC offset doc_id % 4
+    // perturbs the raw bytes), the engine RIFF-walks the samples back
+    // and fingerprints sign-of-energy-delta over 64-sample frames — the
+    // classic acoustic hash, exact integer arithmetic end to end. Docs
+    // whose BYTES differ but whose fingerprints agree dedup together:
+    // that byte-vs-robust gap is the point of perceptual hashing, and
+    // the oracle (an arithmetic replay of the sample formula) gates
+    // exactly where the gap lands. Scale: fingerprinting is map-side;
+    // the one shuffle carries fingerprint keys, state is (min, count).
+    "q125_audio_fp_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val fp = Tables(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => (id, MultimodalOps.audioFingerprint(
+          MultimodalOps.mkWav16(id % 30, (id % 4).toInt * 7, 4096)))))
+        .toDF("doc_id", "fp")
+      val groups = fp.groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("canonical"), count(lit(1)).as("group_sz"))
+      fp.join(groups, Seq("fp"))
+        .withColumn("is_dup", col("doc_id") =!= col("canonical"))
+        .select(col("doc_id"), col("fp"), col("canonical"),
+          col("group_sz"), col("is_dup"))
+        .orderBy(col("doc_id"))
+    }),
+
     // --- ANN via IVF: coarse cells from per-label centroids computed by
     // the typed CentroidFixed Aggregator (custom UDAF with map-side
     // partial agg, FIXED-POINT accumulation so the centroid is
@@ -958,6 +984,26 @@ object LlmQueries extends QueryModule {
         |  FROM cand)
         |SELECT doc_a, doc_b, hamming FROM h
         |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin,
+    "q125_audio_fp_dedup" ->
+      """WITH sm AS (
+        |  SELECT d.doc_id, t,
+        |    ((d.doc_id % 30) * 37 + t * 13 + (d.doc_id % 4) * 7) % 4001
+        |      - 2000 AS s
+        |  FROM documents d CROSS JOIN range(4096) tt(t)),
+        |fe AS (
+        |  SELECT doc_id, t // 64 AS f, sum(s * s) AS e
+        |  FROM sm GROUP BY 1, 2),
+        |bits AS (
+        |  SELECT a.doc_id,
+        |    string_agg(CASE WHEN a.e > p.e THEN '1' ELSE '0' END,
+        |      '' ORDER BY a.f) AS fp
+        |  FROM fe a JOIN fe p ON a.doc_id = p.doc_id AND p.f = a.f - 1
+        |  GROUP BY a.doc_id),
+        |g AS (SELECT fp, min(doc_id) AS canonical, count(*) AS group_sz
+        |      FROM bits GROUP BY fp)
+        |SELECT doc_id, b.fp, canonical, group_sz,
+        |  doc_id != canonical AS is_dup
+        |FROM bits b JOIN g USING (fp) ORDER BY doc_id""".stripMargin,
     // Self-certifying contract: the exact-pair counts are recomputed
     // genuinely (q34 semantics); the booleans pin the LSH/exact
     // relationship the engine verifies in-query — a recall or precision

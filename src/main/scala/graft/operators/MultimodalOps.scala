@@ -109,6 +109,74 @@ object MultimodalOps {
     AudioSamples(id, rate, ch, n, if (n == 0) 0.0 else math.sqrt(sumSq / n))
   }
 
+  /** PCM-16 mono RIFF/WAVE bytes with sample(t) = ((seed*37 + t*13 +
+    * delta) % 4001) - 2000 — the construction half of the q125
+    * round-trip contract (the audio sibling of [[mkMp4]]/[[mkGrayPng]]).
+    * All-integer samples so the oracle can replay them exactly. */
+  def mkWav16(seed: Long, delta: Int, nSamples: Int): Array[Byte] = {
+    val data = nSamples * 2
+    val b = java.nio.ByteBuffer.allocate(44 + data)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")); b.putInt(36 + data)
+    b.put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII")); b.putInt(16)
+    b.putShort(1); b.putShort(1) // PCM, mono
+    b.putInt(16000); b.putInt(32000); b.putShort(2); b.putShort(16)
+    b.put("data".getBytes("US-ASCII")); b.putInt(data)
+    var t = 0
+    while (t < nSamples) {
+      b.putShort((((seed * 37 + t * 13 + delta) % 4001) - 2000).toShort)
+      t += 1
+    }
+    b.array
+  }
+
+  /** Robust audio fingerprint: RIFF-walk to the PCM-16 data chunk (the
+    * same hostile-size-hardened cursor as [[decodeAudio]]), sum squared
+    * samples over 64-sample frames, and emit one bit per frame boundary
+    * — '1' iff the energy ROSE (the classic sign-of-delta acoustic
+    * fingerprint). All-integer energies, so the threshold can never
+    * drift between engines; returned as a '0'/'1' string like [[aHash]].
+    * Non-WAV/empty audio fingerprints to "". */
+  def audioFingerprint(b: Array[Byte], frame: Int = 64): String = {
+    def u16le(i: Int): Int = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+    def u32le(i: Int): Long = (u16le(i) | (u16le(i + 2).toLong << 16)) & 0xffffffffL
+    if (b.length < 12 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' ||
+        b(3) != 'F' || b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E')
+      return ""
+    val energies = Seq.newBuilder[Long]
+    var i = 12L
+    var bits = 0
+    while (i + 8 <= b.length) {
+      val at = i.toInt
+      val name = new String(b, at, 4, "US-ASCII")
+      val len = u32le(at + 4)
+      if (name == "fmt " && i + 24 <= b.length) bits = u16le(at + 22)
+      else if (name == "data" && bits == 16) {
+        var j = at + 8
+        val end = math.min(i + 8 + len, b.length.toLong).toInt
+        var e = 0L
+        var n = 0
+        while (j + 1 < end) {
+          val s = u16le(j).toShort.toLong
+          e += s * s
+          n += 1
+          if (n == frame) { energies += e; e = 0L; n = 0 }
+          j += 2
+        }
+      }
+      i += 8 + len + (len & 1L)
+    }
+    val es = energies.result()
+    val sb = new java.lang.StringBuilder(math.max(es.length - 1, 0))
+    var f = 1
+    while (f < es.length) {
+      sb.append(if (es(f) > es(f - 1)) '1' else '0')
+      f += 1
+    }
+    sb.toString
+  }
+
   /** df(doc_id, blob) -> decoded audio features, per-partition batches. */
   def decodeAudioBatch(df: DataFrame): DataFrame = {
     val spark = df.sparkSession

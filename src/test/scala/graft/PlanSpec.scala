@@ -349,7 +349,8 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // every occurrence of a boilerplate segment through one task.
     for (q <- Seq("q118_dsir_importance", "q120_segment_dedup",
         "q121_temperature_mix", "q122_ngram_diversity",
-        "q123_image_ahash_dedup", "q124_image_neardup")) {
+        "q123_image_ahash_dedup", "q124_image_neardup",
+        "q125_audio_fp_dedup")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q: $p")
       assert(!p.contains("Window"), s"$q: $p")
