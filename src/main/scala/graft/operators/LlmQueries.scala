@@ -136,6 +136,61 @@ object LlmQueries extends QueryModule {
       .agg(count(lit(1)).as("inter_capped"))
   }
 
+  /** Band-bucket df cap for [[ahashNearDupPairs]] — the [[ShingleDfCap]]
+    * of image banding. Average-hashes are NOT uniform bits: natural
+    * images are spatially smooth, so a band can be near-constant across
+    * the corpus (measured: one 16-bit band value shared by ALL docs of
+    * the synthetic gradient corpus — a C(n,2) candidate bomb, 185 s at
+    * sf0.1 before the cap, 1.5 s after). Bands whose bucket exceeds the
+    * cap generate no candidates; a pair is lost only if EVERY band it
+    * agrees on is that hot — for exact dups that means >cap docs share
+    * all four bands (a degenerate all-identical corpus). Unlike the
+    * shingle cap, the DuckDB oracle replicates this cap, so both engines
+    * share the capped semantics at every scale factor — and cap < the
+    * sf0.01 doc count means the driver gate exercises the capped path,
+    * not just the direct one. */
+  private[graft] val BandDfCap = 256
+
+  /** (doc_a, doc_b, hamming <= 3) near-duplicate pairs from a
+    * (doc_id, ahash) frame of 64-char bit strings. Candidates come only
+    * from 16-bit band-value collisions in buckets of <= cap docs (never
+    * all pairs); the 4-band union deduplicates through a per-pair
+    * aggregate (partial-agg'd map-side — skew-safe where a per-band
+    * window would funnel a hot bucket through one task); the exact
+    * Hamming distance is q36's codegen'd bit_count(xor) on hashes packed
+    * ONCE per doc into a signed BIGINT (conv base 2 -> -10; the sign bit
+    * is just bit 63 to xor) — the first cut's per-pair 64-substring
+    * lambda was 20 s at sf0.1, and 8-byte longs through the join also
+    * shrink the candidate shuffle ~8x vs carrying the strings. The
+    * bucket-count relation is bounded by distinct (band, value) pairs —
+    * vocabulary-sized — so its semi-join shuffles and AQE broadcasts it
+    * when small. */
+  private[graft] def ahashNearDupPairs(hashed: DataFrame, cap: Int): DataFrame = {
+    val bands = hashed
+      .withColumn("hl", expr("CAST(conv(ahash, 2, -10) AS BIGINT)"))
+      .select(col("doc_id"), col("hl"),
+        explode(expr("transform(sequence(0, 3)," +
+          " b -> named_struct('band', b, 'bv', substring(ahash, b * 16 + 1, 16)))"))
+          .as("tb"))
+      .select(col("doc_id"), col("hl"),
+        col("tb.band").as("band"), col("tb.bv").as("bv"))
+    val cold = bands.groupBy(col("band"), col("bv"))
+      .agg(count(lit(1)).as("bc")).filter(col("bc") <= cap)
+      .select(col("band"), col("bv"))
+    val capped = bands.join(cold, Seq("band", "bv"), "left_semi")
+    val a = capped.select(col("doc_id").as("doc_a"),
+      col("hl").as("hl_a"), col("band"), col("bv"))
+    val b = capped.select(col("doc_id").as("doc_b"),
+      col("hl").as("hl_b"), col("band"), col("bv"))
+    a.join(b, Seq("band", "bv")).filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(min(col("hl_a")).as("hl_a"), min(col("hl_b")).as("hl_b"))
+      .withColumn("hamming",
+        bit_count(col("hl_a").bitwiseXOR(col("hl_b"))).cast("int"))
+      .filter(col("hamming") <= 3)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
   /** Exact Jaccard pairs >= `minJac` under a candidate-generation df cap.
     *
     * One tiny probe job asks whether any shingle exceeds the cap. The
@@ -673,41 +728,24 @@ object LlmQueries extends QueryModule {
     // near-dups: a one-pixel perturbation (delta = (doc_id%3)*40 on
     // pixel (0,0)) flips at most a few hash bits, so same-seed docs
     // land within the Hamming radius while different seeds stay out.
-    // Scale: candidates come ONLY from 16-bit band-value collisions
-    // (never all pairs), the first matching band deduplicates the
-    // band union without a distinct over pairs, and the exact Hamming
-    // distance is a 64-position compare on the candidate stream.
+    // Engine + the band df-cap that makes this survive sf0.1 (and
+    // 100 TB): [[ahashNearDupPairs]].
+    // repartition BEFORE the decode: the local corpus reads as one
+    // split, which would serialize 5k PNG encode+decodes (at scale,
+    // input splits spread this for free); persist the tiny (doc_id,
+    // ahash) frame so the band/cap/self-join branches scan it from
+    // memory instead of re-rendering pixels per branch (20.7 s -> ~1 s
+    // at sf0.1).
     "q124_image_neardup" -> ((s, dir) => {
       import s.implicits._
       val hashed = Tables(s, dir, "documents").select(col("doc_id")).as[Long]
+        .repartition(s.sparkContext.defaultParallelism)
         .mapPartitions { it =>
           javax.imageio.ImageIO.setUseCache(false)
           it.map(id => (id, MultimodalOps.aHash(
             MultimodalOps.mkGrayPng(id % 40, (id % 3).toInt * 40))))
-        }.toDF("doc_id", "ahash")
-      val bands = hashed.select(col("doc_id"), col("ahash"),
-        explode(expr("transform(sequence(0, 3)," +
-          " b -> named_struct('band', b, 'bv', substring(ahash, b * 16 + 1, 16)))"))
-          .as("tb"))
-        .select(col("doc_id"), col("ahash"),
-          col("tb.band").as("band"), col("tb.bv").as("bv"))
-      val a = bands.select(col("doc_id").as("doc_a"), col("ahash").as("ha"),
-        col("band"), col("bv"))
-      val b = bands.select(col("doc_id").as("doc_b"), col("ahash").as("hb"),
-        col("band"), col("bv"))
-      a.join(b, Seq("band", "bv")).filter(col("doc_a") < col("doc_b"))
-        // first-matching-band dedup (q36's trick): keep the pair only in
-        // its LOWEST agreeing band, so the 4-band union needs no
-        // distinct. sequence(0, band) + a p < band guard, NOT
-        // sequence(0, band - 1): Spark's sequence DESCENDS when stop <
-        // start, so band 0 would probe [0, -1] and substring's negative
-        // position counts from the string's end
-        .filter(expr("NOT EXISTS(sequence(0, band), p -> p < band AND" +
-          " substring(ha, p * 16 + 1, 16) = substring(hb, p * 16 + 1, 16))"))
-        .withColumn("hamming", expr("size(filter(sequence(0, 63)," +
-          " j -> substring(ha, j + 1, 1) != substring(hb, j + 1, 1)))"))
-        .filter(col("hamming") <= 3)
-        .select(col("doc_a"), col("doc_b"), col("hamming"))
+        }.toDF("doc_id", "ahash").persist()
+      ahashNearDupPairs(hashed, BandDfCap)
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
@@ -971,10 +1009,13 @@ object LlmQueries extends QueryModule {
         |  SELECT doc_id, ahash, b AS band,
         |    substr(ahash, CAST(b * 16 + 1 AS INT), 16) AS bv
         |  FROM bits CROSS JOIN range(4) tb(b)),
+        |cold AS (SELECT band, bv FROM bands GROUP BY band, bv
+        |         HAVING count(*) <= 256),
+        |capped AS (SELECT bands.* FROM bands JOIN cold USING (band, bv)),
         |cand AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |    a.ahash AS ha, b.ahash AS hb
-        |  FROM bands a JOIN bands b
+        |  FROM capped a JOIN capped b
         |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2, 3, 4),
         |h AS (

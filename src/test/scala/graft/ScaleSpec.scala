@@ -402,6 +402,37 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
       (0 until 12).map(j => s"u$j-42").mkString(" "))
   }
 
+  test("q124 band cap: a corpus-wide constant band cannot go quadratic; cold bands still pair") {
+    import graft.operators.LlmQueries
+    // 3000 hashes all sharing band 0 (the smooth-image reality: one
+    // 16-bit band value across the whole corpus). Uncapped, band 0 alone
+    // is C(3000,2) = 4.5M candidates; with the cap it generates NONE,
+    // and only the planted pair agreeing on a COLD band (docs 0 and 1,
+    // identical bands 1-3, hamming 2 inside band 0) survives — found
+    // via band 1, proving the cap trims the bomb, not the recall path.
+    val constBand = "0101010101010101" // band 3 of EVERY doc -> bucket 3000
+    val shared = "1111000011110000" // bands 1-2 of docs 0,1 only -> bucket 2
+    def bits(doc: Long): String =
+      if (doc == 0L) "1111111111111100" + shared + shared + constBand
+      else if (doc == 1L) "1111111111111111" + shared + shared + constBand
+      else {
+        // docs >= 2: bands 0-2 unique per doc (doc < 2^12 < the "1111"
+        // prefix of docs 0/1 and of `shared`, so no cross-bucket hits)
+        val u = String.format("%16s", doc.toBinaryString).replace(' ', '0')
+        u + u + u.reverse + constBand
+      }
+    val rows = (0L until 3000L).map(d => (d, bits(d)))
+    val hashed = spark.createDataFrame(rows).toDF("doc_id", "ahash")
+    assert(rows.forall(_._2.length == 64))
+    val pairs = LlmQueries.ahashNearDupPairs(hashed, 256).collect()
+    // docs 0,1: agree on bands 1,2 (cold), differ by 2 bits in band 0 ->
+    // found. Everyone shares band 3 (bucket 3000 > cap) -> it generates
+    // no candidates; docs >= 2 share nothing cold -> no other pairs.
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((0L, 1L)),
+      pairs.take(10).mkString(","))
+    assert(pairs.head.getInt(2) == 2)
+  }
+
   test("deep duplicate chains: star escalation converges where propagation caps out") {
     import graft.operators.{CorpusQueries, GraphOps}
     import scala.jdk.CollectionConverters._
