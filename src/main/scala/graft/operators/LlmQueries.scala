@@ -706,12 +706,16 @@ object LlmQueries extends QueryModule {
     // group state is a (min, count) pair per hash — never pixel data.
     "q123_image_ahash_dedup" -> ((s, dir) => {
       import s.implicits._
+      // repartition before the decode (the local corpus is one input
+      // split; at scale splits spread it) + persist across the
+      // groups/join branch scans — the q124 pattern
       val hashed = Tables(s, dir, "documents").select(col("doc_id")).as[Long]
+        .repartition(s.sparkContext.defaultParallelism)
         .mapPartitions { it =>
           javax.imageio.ImageIO.setUseCache(false)
           it.map(id =>
             (id, MultimodalOps.aHash(MultimodalOps.mkGrayPng(id % 40))))
-        }.toDF("doc_id", "ahash")
+        }.toDF("doc_id", "ahash").persist()
       val groups = hashed.groupBy(col("ahash"))
         .agg(min(col("doc_id")).as("canonical"), count(lit(1)).as("group_sz"))
       hashed.join(groups, Seq("ahash"))
@@ -763,9 +767,10 @@ object LlmQueries extends QueryModule {
     "q125_audio_fp_dedup" -> ((s, dir) => {
       import s.implicits._
       val fp = Tables(s, dir, "documents").select(col("doc_id")).as[Long]
+        .repartition(s.sparkContext.defaultParallelism)
         .mapPartitions(_.map(id => (id, MultimodalOps.audioFingerprint(
           MultimodalOps.mkWav16(id % 30, (id % 4).toInt * 7, 4096)))))
-        .toDF("doc_id", "fp")
+        .toDF("doc_id", "fp").persist()
       val groups = fp.groupBy(col("fp"))
         .agg(min(col("doc_id")).as("canonical"), count(lit(1)).as("group_sz"))
       fp.join(groups, Seq("fp"))
