@@ -773,6 +773,28 @@ object CorpusQueries extends QueryModule {
           col("bi_types"), col("bi_tokens"),
           col("distinct_1"), col("distinct_2"))
         .orderBy(col("source"))
+    }),
+
+    // --- deterministic training-order shard shuffle: the last step before
+    // a curated corpus ships to trainers. Shard by content hash (stable
+    // under repartitioning, appends and re-runs — rand() is none of
+    // those), order WITHIN each shard by an independent seeded hash (the
+    // seed prefix gives a fresh permutation per epoch), emit (shard, pos)
+    // training coordinates. NO global sort anywhere: the only shuffle is
+    // the window's hash exchange on shard, and each task sorts one
+    // shard's rows — at 100 TB the shard count is corpus_size /
+    // target_shard_rows (10⁵-ish), so the per-task sort stays bounded
+    // and shards stay balanced because the shard key is a uniform hash.
+    "q126_shard_shuffle" -> ((s, dir) => {
+      val w = Window.partitionBy(col("shard"))
+        .orderBy(col("ord").asc, col("doc_id").asc)
+      Tables(s, dir, "documents")
+        .withColumn("shard", expr(s"pmod($uhashSql, 64)"))
+        .withColumn("ord", expr("CAST(conv(substring(md5(" +
+          "concat('epoch-0:', text)), 1, 8), 16, 10) AS BIGINT)"))
+        .withColumn("pos", row_number().over(w))
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy(col("shard"), col("pos"))
     })
   )
 
@@ -1327,6 +1349,17 @@ object CorpusQueries extends QueryModule {
         |SELECT source, uni_types, uni_tokens, bi_types, bi_tokens,
         |  round(uni_types / CAST(uni_tokens AS DOUBLE), 6) AS distinct_1,
         |  round(bi_types / CAST(bi_tokens AS DOUBLE), 6) AS distinct_2
-        |FROM us JOIN bs USING (source) ORDER BY source""".stripMargin
+        |FROM us JOIN bs USING (source) ORDER BY source""".stripMargin,
+    "q126_shard_shuffle" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) % 64 AS shard,
+        |    CAST('0x' || substr(md5('epoch-0:' || text), 1, 8) AS BIGINT)
+        |      AS ord
+        |  FROM documents)
+        |SELECT doc_id, shard,
+        |  ROW_NUMBER() OVER (PARTITION BY shard ORDER BY ord, doc_id)
+        |    AS pos
+        |FROM h ORDER BY shard, pos""".stripMargin
   )
 }
