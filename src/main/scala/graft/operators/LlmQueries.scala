@@ -780,6 +780,43 @@ object LlmQueries extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // --- SEMANTIC decontamination (the embedding-level sibling of q80's
+    // n-gram decontamination): flag corpus vectors whose cosine to ANY
+    // eval-benchmark vector reaches 0.95 — paraphrased eval leakage that
+    // token overlap misses. Planted leakage (2x-scaled copies of eval
+    // vectors, cosine exactly 1.0) exercises the contaminated branch.
+    // The eval side is a BENCHMARK: fixed-size and corpus-independent
+    // (KBs–MBs at any corpus scale), so broadcasting it is the right
+    // call — unlike the corpus-sized sides this library deliberately
+    // leaves unhinted. The nearest-eval argmax is one partial-agged
+    // max(struct(score, -eval_id)): a single row per corpus vector
+    // leaves the map side, so the n_corpus x n_eval pair stream is
+    // never shuffled (a window or max+join-back would shuffle it all).
+    "q127_semantic_decontam" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      val eval = e.filter(col("vec_id") % 10 === 0)
+        .select(col("vec_id").as("eval_id"), col("v").as("av"))
+        .withColumn("anrm", expr(normSqlOf("av")))
+      val leaked = e.filter(col("vec_id") % 10 === 0 && col("vec_id") < 50)
+        .select((col("vec_id") + 100000).as("vec_id"),
+          expr("transform(v, x -> x * 2.0D)").as("bv"))
+      val corpus = e.filter(col("vec_id") % 10 =!= 0)
+        .select(col("vec_id"), col("v").as("bv"))
+        .union(leaked)
+        .withColumn("bnrm", expr(normSqlOf("bv")))
+      corpus.crossJoin(broadcast(eval))
+        .withColumn("score",
+          round(expr(dotSql) / (col("anrm") * col("bnrm")), 4))
+        .groupBy(col("vec_id"))
+        .agg(max(struct(col("score"), (-col("eval_id")).as("neg"))).as("m"))
+        .select(col("vec_id"), (-col("m.neg")).as("eval_id"),
+          col("m.score").as("score"),
+          (col("m.score") >= 0.95).as("contaminated"))
+        .orderBy(col("vec_id"))
+    }),
+
     // --- ANN via IVF: coarse cells from per-label centroids computed by
     // the typed CentroidFixed Aggregator (custom UDAF with map-side
     // partial agg, FIXED-POINT accumulation so the centroid is
@@ -1050,6 +1087,25 @@ object LlmQueries extends QueryModule {
         |SELECT doc_id, b.fp, canonical, group_sz,
         |  doc_id != canonical AS is_dup
         |FROM bits b JOIN g USING (fp) ORDER BY doc_id""".stripMargin,
+    "q127_semantic_decontam" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |ev AS (SELECT vec_id AS eval_id, v AS av,
+        |         sqrt(list_dot_product(v, v)) AS anrm
+        |       FROM e WHERE vec_id % 10 = 0),
+        |c AS (SELECT vec_id, v AS bv FROM e WHERE vec_id % 10 <> 0
+        |      UNION ALL
+        |      SELECT vec_id + 100000, list_transform(v, x -> x * 2)
+        |      FROM e WHERE vec_id % 10 = 0 AND vec_id < 50),
+        |cn AS (SELECT vec_id, bv, sqrt(list_dot_product(bv, bv)) AS bnrm
+        |       FROM c),
+        |p AS (SELECT cn.vec_id,
+        |        max(struct_pack(s := round(list_dot_product(ev.av, cn.bv) /
+        |          (ev.anrm * cn.bnrm), 4), n := -ev.eval_id)) AS m
+        |      FROM cn CROSS JOIN ev GROUP BY 1)
+        |SELECT vec_id, -m.n AS eval_id, m.s AS score,
+        |  m.s >= 0.95 AS contaminated
+        |FROM p ORDER BY vec_id""".stripMargin,
     // Self-certifying contract: the exact-pair counts are recomputed
     // genuinely (q34 semantics); the booleans pin the LSH/exact
     // relationship the engine verifies in-query — a recall or precision
