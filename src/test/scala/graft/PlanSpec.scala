@@ -364,6 +364,33 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q126 shard shuffle: the only hash exchange is the window's, keyed by shard") {
+    // The training-order permutation must not global-sort the corpus: the
+    // operative shuffle is ONE hash exchange on the shard key feeding the
+    // per-shard window sort (the trailing range exchange is the
+    // presentation orderBy every query carries for the oracle).
+    val p = plan("q126_shard_shuffle")
+    assert(p.contains("hashpartitioning(shard"), p)
+    assert(p.contains("windowspecdefinition(shard"), p)
+    // formatted explain puts exchange args on their own line, so count
+    // the partitioning expressions, not the "Exchange ..." node headers
+    assert("hashpartitioning\\(".r.findAllIn(p).size == 1, p)
+  }
+
+  test("q127 semantic decontam: eval side broadcast, pair stream reduced by partial agg") {
+    // The n_corpus x n_eval pair stream must die in the map-side partial
+    // aggregate: the eval benchmark broadcasts (bounded, corpus-
+    // independent), the cross join is broadcast-nested-loop (never a
+    // shuffled CartesianProduct), and the only hash exchange is the
+    // final per-vector aggregate's, keyed by vec_id.
+    val p = plan("q127_semantic_decontam")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("hashpartitioning(vec_id"), p)
+    assert("hashpartitioning\\(".r.findAllIn(p).size == 1, p)
+  }
+
   test("whole-stage codegen covers the relational hot paths") {
     // AQE wraps the plan in AdaptiveSparkPlanExec, which the codegen
     // explainer does not descend into before execution — check without it.
