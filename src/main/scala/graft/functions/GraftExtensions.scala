@@ -53,6 +53,11 @@ object GraftFunctions {
     fn("simhash64", "array<string> -> 64-bit SimHash over distinct tokens") {
       args => SimHash64(args.head)
     },
+    fn("vec_dot",
+      "array<double> x array<double> -> dot product; codegen'd fused loop," +
+        " null on length mismatch or null element") {
+      args => VecDot(args.head, args(1))
+    },
     fn("divide_unsigned",
       "64-bit unsigned long division (u64 reinterpret, /0 -> null)") {
       args => DivideUnsigned(args.head, args(1))

@@ -1,0 +1,74 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Codegen'd dot product over two array<double> columns — the hot inner
+  * loop of the whole vector family (kNN q37, embedding dedup q38/q114,
+  * matryoshka q89, IVF q46, semantic decontam q127). The SQL
+  * higher-order-function form `aggregate(zip_with(a, b, (x,y) -> x*y),
+  * 0.0D, (acc,x) -> acc+x)` evaluates lambdas interpretively per element
+  * and allocates the zipped array per PAIR — this expression is one
+  * fused primitive loop inside the whole-stage-codegen span.
+  *
+  * Bit-identical to the HOF it replaces (which is what keeps the DuckDB
+  * hash gates green): products and the accumulating sum run left-to-right
+  * in element order, starting from +0.0, so the IEEE rounding sequence is
+  * the same. Null semantics match too: null when either array is null,
+  * when lengths differ (zip_with pads the shorter side with null), or
+  * when any element is null; empty arrays give 0.0.
+  */
+case class VecDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "vec_dot requires (array<double>, array<double>), got " +
+          s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+    }
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def eval(input: InternalRow): Any = {
+    val l = left.eval(input)
+    if (l == null) return null
+    val r = right.eval(input)
+    if (r == null) return null
+    VecDot.compute(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val d = ctx.freshName("vecDot")
+      s"""
+        java.lang.Double $d = graft.functions.VecDot.compute($a, $b);
+        if ($d == null) { ${ev.isNull} = true; }
+        else { ${ev.value} = $d.doubleValue(); }
+      """
+    })
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecDot =
+    copy(left = newLeft, right = newRight)
+}
+
+object VecDot {
+  /** Static so generated code calls it directly; boxed return carries the
+    * null-on-mismatch/null-element result (one box per pair — noise next
+    * to the per-element lambda dispatch it replaces). */
+  def compute(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+}

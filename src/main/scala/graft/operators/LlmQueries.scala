@@ -366,10 +366,16 @@ object LlmQueries extends QueryModule {
       .filter(col("hamming") <= 6)
   }
 
-  /** Ordered-fold dot product and norms — index order on both engines. */
-  private val dotSql = "aggregate(zip_with(av, bv, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
-  private def normSqlOf(v: String) =
-    s"sqrt(aggregate($v, 0.0D, (acc, x) -> acc + x * x))"
+  /** Ordered-fold dot product and norms — index order on both engines.
+    * vec_dot is the codegen'd [[graft.functions.VecDot]] (registered by
+    * each vector query's builder): bit-identical to the HOF
+    * `aggregate(zip_with(...))` fold it replaced — same left-to-right
+    * IEEE sum from +0.0 — but one fused primitive loop inside the
+    * whole-stage-codegen span instead of interpreted lambdas plus a
+    * zipped-array allocation per PAIR. norm reuses it as vec_dot(v, v)
+    * (acc + x*x in index order, exactly the old sum-of-squares fold). */
+  private val dotSql = "vec_dot(av, bv)"
+  private def normSqlOf(v: String) = s"sqrt(vec_dot($v, $v))"
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -510,6 +516,7 @@ object LlmQueries extends QueryModule {
     // corpus scanned once, never exchanged; ranking uses the ROUNDED
     // half score (plus nbr_id) so both engines order identically.
     "q89_matryoshka" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s) // vec_dot
       val e = Tables(s, dir, "embeddings")
         .select(col("vec_id"),
           expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
@@ -538,6 +545,7 @@ object LlmQueries extends QueryModule {
     }),
 
     "q37_knn_cosine" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s) // vec_dot
       // norms project BEFORE the join: computed once per VECTOR on the
       // scan side (n + q sqrt-folds), not once per PAIR after it (n*q);
       // the per-pair work is the dot product alone. Bit-identical scores:
@@ -567,6 +575,7 @@ object LlmQueries extends QueryModule {
     // are engine-independent and the whole query is DuckDB-oracled —
     // quantization error shows up only as score differences vs q37.
     "q66_int8_topk" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s) // vec_dot
       val e = Tables(s, dir, "embeddings")
         .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
         .withColumn("mx", expr("aggregate(v, 0.0D, (acc, x) -> greatest(acc, abs(x)))"))
@@ -595,6 +604,7 @@ object LlmQueries extends QueryModule {
     // scale with Σ bucket² — the LSH-style scale path — while the planted
     // 2x-scaled copies land in the same bucket deterministically.
     "q38_dedup_embedding" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s) // vec_dot
       // per-vector norm projected once, reused by the bucket AND the score
       val e = plantedVecs(s, dir)
         .withColumn("nrm", expr(normSqlOf("v")))
@@ -793,6 +803,7 @@ object LlmQueries extends QueryModule {
     // leaves the map side, so the n_corpus x n_eval pair stream is
     // never shuffled (a window or max+join-back would shuffle it all).
     "q127_semantic_decontam" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s) // vec_dot
       val e = Tables(s, dir, "embeddings")
         .select(col("vec_id"),
           expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
@@ -826,6 +837,7 @@ object LlmQueries extends QueryModule {
     // At scale the centroid table is tiny (cells x dim) and broadcast;
     // the corpus is scanned once to assign cells, once to probe.
     "q46_ann_ivf" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s) // vec_dot
       import s.implicits._
       val e = Tables(s, dir, "embeddings")
         .select(col("vec_id"), col("label"),

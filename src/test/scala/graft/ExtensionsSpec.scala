@@ -47,6 +47,32 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.isNullAt(8)) // /0 -> null, try_divide convention
   }
 
+  test("vec_dot equals the HOF fold bit-for-bit, incl. null/mismatch semantics") {
+    // the codegen'd expression replaced aggregate(zip_with(...)) in the
+    // vector family; the DuckDB hash gates stay green only if the IEEE
+    // rounding sequence is IDENTICAL — pin equality on irrational-heavy
+    // doubles where any reordering would flip low bits, and pin the HOF's
+    // null semantics (either side null, length mismatch, null element)
+    val r = spark.sql(
+      """WITH v AS (SELECT
+        |  transform(sequence(1, 64), i -> sqrt(CAST(i AS DOUBLE)) / 7.0) AS a,
+        |  transform(sequence(1, 64), i -> ln(CAST(i + 1 AS DOUBLE)) * 3.0) AS b)
+        |SELECT
+        |  vec_dot(a, b) = aggregate(zip_with(a, b, (x, y) -> x * y),
+        |    0.0D, (acc, x) -> acc + x) AS same,
+        |  vec_dot(a, b) AS vd,
+        |  vec_dot(CAST(NULL AS ARRAY<DOUBLE>), a) AS n1,
+        |  vec_dot(a, slice(b, 1, 10)) AS n2,
+        |  vec_dot(array(1.0D, CAST(NULL AS DOUBLE)), array(1.0D, 2.0D)) AS n3,
+        |  vec_dot(CAST(array() AS ARRAY<DOUBLE>),
+        |    CAST(array() AS ARRAY<DOUBLE>)) AS empty
+        |FROM v""".stripMargin).collect().head
+    assert(r.getBoolean(0), "vec_dot diverged from the HOF fold")
+    assert(!r.isNullAt(1) && r.getDouble(1) > 0)
+    assert(r.isNullAt(2) && r.isNullAt(3) && r.isNullAt(4))
+    assert(r.getDouble(5) == 0.0)
+  }
+
   test("divide_unsigned rejects non-bigint inputs at analysis time") {
     val e = intercept[Exception](
       spark.sql("SELECT divide_unsigned('a', 'b')").collect())
