@@ -156,7 +156,9 @@ object SketchQueries extends QueryModule {
     // composes from. d2 = <v,v> - 2<v,c> + <c,c> keeps the float ops
     // identical to the oracle's list_dot_product formulation.
     "q94_kmeans_assign" -> ((s, dir) => {
-      val dot = "aggregate(zip_with(%s, %s, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
+      graft.functions.GraftFunctions.register(s)
+      // codegen'd VecDot, bit-identical to the HOF fold it replaced
+      val dot = "vec_dot(%s, %s)"
       val e = Tables(s, dir, "embeddings")
         .select(col("vec_id"),
           expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
