@@ -633,6 +633,7 @@ object LlmQueries extends QueryModule {
     // is L * Sigma bucket^2, never corpus^2, and B grows with corpus
     // density to keep buckets bounded.
     "q39_ann_lsh" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s) // vec_dot
       val L = 8; val B = 4
       val planes: Column = array((0 until L * B).map { j =>
         array((0 until 64).map { i =>
@@ -648,8 +649,8 @@ object LlmQueries extends QueryModule {
           s"""transform(sequence(0, ${L - 1}), t -> named_struct(
                 'tbl', t,
                 'bucket', aggregate(sequence(0, ${B - 1}), 0, (acc, b) -> acc + CASE WHEN
-                  aggregate(zip_with(v, element_at(planes, t * $B + b + 1), (x, p) -> x * p),
-                            0.0D, (s, x) -> s + x) > 0 THEN CAST(pow(2, b) AS INT) ELSE 0 END)))"""))
+                  vec_dot(v, element_at(planes, t * $B + b + 1)) > 0
+                  THEN CAST(pow(2, b) AS INT) ELSE 0 END)))"""))
           .as("tb"))
         .select(col("vec_id"), col("v"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
         .withColumn("nrm", expr(normSqlOf("v"))) // once per (vector, table) row, not per pair
