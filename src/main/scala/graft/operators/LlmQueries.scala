@@ -718,15 +718,18 @@ object LlmQueries extends QueryModule {
     "q123_image_ahash_dedup" -> ((s, dir) => {
       import s.implicits._
       // repartition before the decode (the local corpus is one input
-      // split; at scale splits spread it) + persist across the
-      // groups/join branch scans — the q124 pattern
+      // split; at scale splits spread it) + localCheckpoint across the
+      // groups/join branch scans — eager materialization whose blocks
+      // the ContextCleaner reclaims when the frame is unreferenced,
+      // unlike persist() entries that would pile up in the CacheManager
+      // across a 127-query session
       val hashed = Tables(s, dir, "documents").select(col("doc_id")).as[Long]
         .repartition(s.sparkContext.defaultParallelism)
         .mapPartitions { it =>
           javax.imageio.ImageIO.setUseCache(false)
           it.map(id =>
             (id, MultimodalOps.aHash(MultimodalOps.mkGrayPng(id % 40))))
-        }.toDF("doc_id", "ahash").persist()
+        }.toDF("doc_id", "ahash").localCheckpoint()
       val groups = hashed.groupBy(col("ahash"))
         .agg(min(col("doc_id")).as("canonical"), count(lit(1)).as("group_sz"))
       hashed.join(groups, Seq("ahash"))
@@ -747,10 +750,11 @@ object LlmQueries extends QueryModule {
     // 100 TB): [[ahashNearDupPairs]].
     // repartition BEFORE the decode: the local corpus reads as one
     // split, which would serialize 5k PNG encode+decodes (at scale,
-    // input splits spread this for free); persist the tiny (doc_id,
-    // ahash) frame so the band/cap/self-join branches scan it from
-    // memory instead of re-rendering pixels per branch (20.7 s -> ~1 s
-    // at sf0.1).
+    // input splits spread this for free); localCheckpoint the tiny
+    // (doc_id, ahash) frame so the band/cap/self-join branches scan it
+    // from memory instead of re-rendering pixels per branch (20.7 s ->
+    // ~1 s at sf0.1) — and its blocks free with the frame, not at
+    // session end like a persist() entry would.
     "q124_image_neardup" -> ((s, dir) => {
       import s.implicits._
       val hashed = Tables(s, dir, "documents").select(col("doc_id")).as[Long]
@@ -759,7 +763,7 @@ object LlmQueries extends QueryModule {
           javax.imageio.ImageIO.setUseCache(false)
           it.map(id => (id, MultimodalOps.aHash(
             MultimodalOps.mkGrayPng(id % 40, (id % 3).toInt * 40))))
-        }.toDF("doc_id", "ahash").persist()
+        }.toDF("doc_id", "ahash").localCheckpoint()
       ahashNearDupPairs(hashed, BandDfCap)
         .orderBy(col("doc_a"), col("doc_b"))
     }),
@@ -781,7 +785,7 @@ object LlmQueries extends QueryModule {
         .repartition(s.sparkContext.defaultParallelism)
         .mapPartitions(_.map(id => (id, MultimodalOps.audioFingerprint(
           MultimodalOps.mkWav16(id % 30, (id % 4).toInt * 7, 4096)))))
-        .toDF("doc_id", "fp").persist()
+        .toDF("doc_id", "fp").localCheckpoint()
       val groups = fp.groupBy(col("fp"))
         .agg(min(col("doc_id")).as("canonical"), count(lit(1)).as("group_sz"))
       fp.join(groups, Seq("fp"))
@@ -851,16 +855,23 @@ object LlmQueries extends QueryModule {
       // assign every vector (and query) to its nearest centroid by cosine:
       // a broadcast CROSS join against the (tiny) centroid table — each
       // vector scores ALL cells, argmax wins. (An equi-join on label here
-      // would silently degrade cell assignment to "own label".)
+      // would silently degrade cell assignment to "own label".) The
+      // argmax is the q127 partial-agg shape — max(struct(score, -cell))
+      // with the vector payload riding along — so ONE row per vector
+      // leaves the map side and the n x cells pair stream is never
+      // exchanged (a row_number window here would hash-shuffle every
+      // pair row on vec_id before discarding cells-1 of every cells; at
+      // a realistic IVF cell count that is a k x-corpus shuffle). The
+      // (score, -cell) prefix is a unique key per vector, so the struct
+      // comparison never reaches the v/nrm payload fields.
       val withCell = e.crossJoin(broadcast(cells))
         .withColumn("cell_score",
-          expr("aggregate(zip_with(v, cv, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)")
-            / (col("nrm") * col("cnrm")))
-        .withColumn("rk", row_number().over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))
-            .orderBy(col("cell_score").desc, col("cell").asc)))
-        .filter(col("rk") === 1)
-        .select(col("vec_id"), col("cell"), col("v"), col("nrm"))
+          expr("vec_dot(v, cv)") / (col("nrm") * col("cnrm")))
+        .groupBy(col("vec_id"))
+        .agg(max(struct(col("cell_score"), (-col("cell")).as("negc"),
+          col("v"), col("nrm"))).as("m"))
+        .select(col("vec_id"), (-col("m.negc")).as("cell"),
+          col("m.v").as("v"), col("m.nrm").as("nrm"))
       val q = withCell.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("v").as("av"),
           col("nrm").as("anrm"), col("cell"))

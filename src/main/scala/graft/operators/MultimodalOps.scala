@@ -343,7 +343,10 @@ object MultimodalOps {
             if (name == "mvhd" && i + hdr + 4 <= end) {
               val v = at + hdr.toInt
               val ver = u8(v).toInt
-              if (ver == 1 && i + hdr + 28 <= end) {
+              // v1 guard covers the full u64 duration read (bytes
+              // hdr+24..hdr+31): a crafted v1 mvhd truncated between
+              // hdr+28 and hdr+31 must not walk off the buffer
+              if (ver == 1 && i + hdr + 32 <= end) {
                 timescale = u32be(v + 20); duration = u64be(v + 24)
               } else if (ver == 0 && i + hdr + 24 <= end) {
                 timescale = u32be(v + 12); duration = u32be(v + 16)
@@ -375,6 +378,14 @@ object MultimodalOps {
     * back, and the DuckDB oracle recomputes the expected fields
     * arithmetically, so the box walk is verified field-for-field. */
   def mkMp4(timescale: Long, durationTicks: Long, width: Int, height: Int): Array[Byte] = {
+    // a v0 mvhd stores timescale/duration as u32: values past 2^32-1
+    // would silently wrap in `.toInt` and diverge from the 64-bit
+    // oracle arithmetic, so refuse loudly instead (a v1 box would be
+    // the fix if a caller ever needs longer durations)
+    require(timescale > 0L && timescale <= 0xFFFFFFFFL,
+      s"mvhd v0 timescale out of u32 range: $timescale")
+    require(durationTicks >= 0L && durationTicks <= 0xFFFFFFFFL,
+      s"mvhd v0 duration out of u32 range: $durationTicks")
     val bb = java.nio.ByteBuffer.allocate(16 + 8 + 108 + 8 + 92)
       .order(java.nio.ByteOrder.BIG_ENDIAN)
     bb.putInt(16).put("ftypisom".getBytes("US-ASCII")).putInt(0)

@@ -164,14 +164,19 @@ object SketchQueries extends QueryModule {
           expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
       val cents = e.filter(col("vec_id") < 8)
         .select(col("vec_id").as("cid"), col("v").as("c"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("vec_id")).orderBy(col("d2").asc, col("cid").asc)
+      // nearest-centroid argmin as a partial-agged min(struct(d2, cid))
+      // — the q127 shape: one row per vector leaves the map side, so
+      // the n x k pair stream from the broadcast cross join is never
+      // hash-exchanged (a row_number window keyed by vec_id would
+      // shuffle all n x k rows to discard k-1 of every k). (d2, cid)
+      // is unique per vector, so the tie-break (cid asc) is exact.
       e.crossJoin(broadcast(cents))
         .withColumn("d2",
           expr(dot.format("v", "v")) - lit(2.0) * expr(dot.format("v", "c")) +
             expr(dot.format("c", "c")))
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") === 1)
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("d2"), col("cid"))).as("m"))
+        .select(col("m.cid").as("cid"), col("m.d2").as("d2"))
         .groupBy(col("cid"))
         .agg(count(lit(1)).as("n"),
           // decimal-exact sum / count instead of avg(double): accumulation

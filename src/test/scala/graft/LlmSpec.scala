@@ -413,6 +413,17 @@ class LlmSpec extends AnyFunSuite with BeforeAndAfterAll {
     val p = MultimodalOps.probe(3L, b)
     assert(p.format == "mp4" && p.width == 640 && p.height == 360, p)
 
+    // v0 fields are u32: builder refuses values that would wrap in
+    // `.toInt` and silently diverge from the 64-bit oracle arithmetic
+    intercept[IllegalArgumentException](
+      MultimodalOps.mkMp4(1000L, 0x100000000L, 64, 64))
+    intercept[IllegalArgumentException](
+      MultimodalOps.mkMp4(0x100000000L, 1000L, 64, 64))
+    // ...but the full u32 range round-trips (duration is read unsigned)
+    val big = MultimodalOps.probeMp4(11L,
+      MultimodalOps.mkMp4(1000L, 0xFFFFFFFFL, 64, 64))
+    assert(big.duration_ms == 0xFFFFFFFFL * 1000L / 1000L, big)
+
     // non-BMFF bytes and ftyp-less prefixes are undecodable, not errors
     assert(MultimodalOps.probeMp4(1L, "not a video at all".getBytes).format == "undecodable")
     assert(MultimodalOps.probeMp4(2L, Array[Byte](0, 0, 0, 8)).format == "undecodable")
@@ -439,6 +450,16 @@ class LlmSpec extends AnyFunSuite with BeforeAndAfterAll {
     val hugeLarge = ftyp ++ be(1) ++ "mdat".getBytes("US-ASCII") ++
       be(0x7fffffff, -8)
     assert(MultimodalOps.probeMp4(8L, hugeLarge).format == "undecodable")
+
+    //   v1 mvhd truncated between hdr+28 and hdr+31: the u64 duration
+    //   read spans body bytes 24..31, so a 28-byte body that satisfies
+    //   a `+28` guard still walks 4 bytes off the buffer — the exact
+    //   off-by-four the `+32` guard exists for
+    val tornV1 = ftyp ++
+      be(8 + 36) ++ "moov".getBytes("US-ASCII") ++
+      be(36) ++ "mvhd".getBytes("US-ASCII") ++
+      Array[Byte](1, 0, 0, 0) ++ new Array[Byte](24) // v1 + 24 = 28-byte body
+    assert(MultimodalOps.probeMp4(10L, tornV1).format == "undecodable")
 
     // deep container nesting costs heap, not JVM stack: 100k nested traks
     val depth = 100000

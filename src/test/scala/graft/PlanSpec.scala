@@ -263,6 +263,28 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
+    // the nearest-centroid argmin is the q127 partial-agg shape: no
+    // window over the n x k pair stream, and the only hash exchanges
+    // are the two aggregates' (vec_id, then cid) — the pair rows
+    // themselves die in the map-side partial min(struct)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("hashpartitioning(vec_id"), p)
+    assert("hashpartitioning\\(".r.findAllIn(p).size == 2, p)
+  }
+
+  test("q46 IVF: cell argmax is a partial agg — no window, no exchange of the pair stream") {
+    // Both the cell-assignment argmax and the probe stage must keep the
+    // corpus un-exchanged until rows are one-per-vector: centroids and
+    // queries broadcast (BroadcastNestedLoopJoin / BroadcastHashJoin),
+    // no CartesianProduct, and no Window keyed by vec_id over the
+    // n x cells pair stream (the only window left is the tiny top-k
+    // ranking over the probe candidates, keyed by query_id).
+    val p = plan("q46_ann_ivf")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("windowspecdefinition(vec_id"), p)
+    assert(p.contains("windowspecdefinition(query_id"), p)
+    assert(p.contains("hashpartitioning(vec_id"), p)
   }
 
   test("q101 inverted index: vocabulary joins back as broadcast, pairs never sort-merged") {
