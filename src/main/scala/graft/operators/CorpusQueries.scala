@@ -782,21 +782,47 @@ object CorpusQueries extends QueryModule {
     // seed prefix gives a fresh permutation per epoch), emit (shard, pos)
     // training coordinates. NO global sort anywhere: the only shuffle is
     // the window's hash exchange on shard, and each task sorts one
-    // shard's rows — at 100 TB the shard count is corpus_size /
-    // target_shard_rows (10⁵-ish), so the per-task sort stays bounded
-    // and shards stay balanced because the shard key is a uniform hash.
-    "q126_shard_shuffle" -> ((s, dir) => {
-      val w = Window.partitionBy(col("shard"))
-        .orderBy(col("ord").asc, col("doc_id").asc)
-      Tables(s, dir, "documents")
-        .withColumn("shard", expr(s"pmod($uhashSql, 64)"))
-        .withColumn("ord", expr("CAST(conv(substring(md5(" +
-          "concat('epoch-0:', text)), 1, 8), 16, 10) AS BIGINT)"))
-        .withColumn("pos", row_number().over(w))
-        .select(col("doc_id"), col("shard"), col("pos"))
-        .orderBy(col("shard"), col("pos"))
-    })
+    // shard's rows. The shard count is a PARAMETER of [[shardShuffle]]
+    // (the per-task sort is bounded by corpus_rows / nShards, so at
+    // 100 TB the caller derives it from input size via [[shardCountFor]]
+    // — 10⁵-ish shards); 64 here is the harness default, which the
+    // DuckDB oracle mirrors.
+    "q126_shard_shuffle" -> ((s, dir) =>
+      shardShuffle(Tables(s, dir, "documents"), nShards = 64)
+        .orderBy(col("shard"), col("pos")))
   )
+
+  /** q126's engine (factored so ScaleSpec can drive it at any shard
+    * count): deterministic per-epoch training permutation. Shards by
+    * uniform content hash mod `nShards`, orders within each shard by an
+    * epoch-seeded hash, emits (doc_id, shard, pos). The per-task sort
+    * is corpus_rows / nShards — the caller picks nShards so that bound
+    * holds at its scale ([[shardCountFor]] for the rows-per-shard
+    * derivation); the shape (one hash exchange keyed by shard, no
+    * global sort) is invariant in nShards. */
+  private[graft] def shardShuffle(d: DataFrame, nShards: Int,
+      epoch: Int = 0): DataFrame = {
+    require(nShards > 0, s"nShards must be positive: $nShards")
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("ord").asc, col("doc_id").asc)
+    d.withColumn("shard", expr(s"pmod($uhashSql, $nShards)"))
+      .withColumn("ord", expr("CAST(conv(substring(md5(" +
+        s"concat('epoch-$epoch:', text)), 1, 8), 16, 10) AS BIGINT)"))
+      .withColumn("pos", row_number().over(w))
+      .select(col("doc_id"), col("shard"), col("pos"))
+  }
+
+  /** Shard count from a rows-per-shard budget: one scalar count action.
+    * At 100 TB with the default 1M-row budget this lands in the 10⁵
+    * range the q126 scaladoc assumes; the harness's 500-doc corpus
+    * would give 1, which is why q126 pins the documented default 64
+    * (the oracle must see the same constant). */
+  private[graft] def shardCountFor(d: DataFrame,
+      targetRowsPerShard: Long = 1000000L): Int = {
+    require(targetRowsPerShard > 0)
+    val n = (d.count() + targetRowsPerShard - 1) / targetRowsPerShard
+    math.min(math.max(n, 1L), 1L << 20).toInt
+  }
 
   /** q120's engine (factored so ScaleSpec can drive planted-duplicate
     * corpora): segment-level keep-first dedup over a (doc_id, …, text)
@@ -952,11 +978,14 @@ object CorpusQueries extends QueryModule {
         |    ELSE [] END) AS sh
         |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM corpus)),
         |ex AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS s FROM sh),
+        |exd AS (SELECT doc_id, sz, s,
+        |          COUNT(*) OVER (PARTITION BY s) AS df FROM ex),
         |pairs AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  FROM exd a JOIN exd b ON a.s = b.s AND a.doc_id < b.doc_id
         |  GROUP BY a.doc_id, b.doc_id, a.sz, b.sz
-        |  HAVING COUNT(*) / (a.sz + b.sz - COUNT(*)) >= 0.5),
+        |  HAVING COUNT(*) / (a.sz + b.sz - COUNT(*)) >= 0.5
+        |    AND MIN(a.df) <= 256), -- engine's shingle df-cap
         |edges AS (
         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
         |  UNION SELECT doc_b, doc_a FROM pairs),

@@ -325,6 +325,27 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     // full-array verification: 6 shared of 6 total (the stop-shingle
     // counts toward the score even though it never generates candidates)
     assert(verified == (0 until 5).map(j => (j.toLong, 200L + j, 1.0)))
+
+    // the DuckDB oracles encode the cap as `MIN(df) <= cap` over each
+    // pair's shared shingles — pin that formulation equal to the
+    // engine's capped result on this cap-ACTIVE corpus, so the oracle
+    // SQL and jaccardPairsCapped can never drift apart silently
+    val idx = docsets.select(col("doc_id"), col("sz"), explode(col("hs")).as("h"))
+    val withDf = idx.join(
+      idx.groupBy(col("h")).agg(count(lit(1)).as("df")), Seq("h"))
+    val oracleShape = withDf.alias("a")
+      .join(withDf.alias("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
+      .agg(count(lit(1)).as("inter"), min(col("a.df")).as("mindf"))
+      .filter(col("inter") / (col("sz_a") + col("sz_b") - col("inter")) >= 0.5
+        && col("mindf") <= 50)
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter") / (col("sz_a") + col("sz_b") - col("inter"))).as("jac"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    assert(oracleShape == verified,
+      s"oracle MIN(df)<=cap formulation diverged from the engine: $oracleShape")
   }
 
   test("q75 blocking: a dominant (lang, source) group cannot go quadratic") {
@@ -400,6 +421,44 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     val r42 = rest.find(_.getAs[Long]("doc_id") == 42L).get
     assert(r42.getAs[String]("clean_text") ==
       (0 until 12).map(j => s"u$j-42").mkString(" "))
+  }
+
+  test("q126 shard count is a parameter: sort partitions track N, bounded per-shard rows") {
+    import graft.operators.CorpusQueries
+    // The scale claim "no global sort" holds only if the per-shard sort
+    // is corpus_rows / nShards — so nShards must scale with input, not
+    // sit at a constant. Drive the factored engine at several N over a
+    // 6000-doc corpus: every shard id in [0, N) is populated (the
+    // window sort partition count tracks N), the uniform content hash
+    // keeps the heaviest shard within 2x of the mean (the per-task sort
+    // bound), and positions are a 1..size permutation within each shard.
+    val d = spark.range(0, 6000).select(col("id").as("doc_id"),
+      concat(lit("document body "), col("id")).as("text"))
+    for (n <- Seq(4, 64, 256)) {
+      val out = CorpusQueries.shardShuffle(d, nShards = n)
+        .groupBy(col("shard")).agg(count(lit(1)).as("c"), max(col("pos")).as("mx"))
+        .collect()
+      assert(out.length == n, s"N=$n: ${out.length} shards populated")
+      assert(out.forall(r => r.getAs[Int]("mx").toLong == r.getAs[Long]("c")),
+        s"N=$n: pos must be contiguous 1..size per shard")
+      val mean = 6000.0 / n
+      val worst = out.map(_.getAs[Long]("c")).max
+      assert(worst <= mean * 2,
+        s"N=$n: heaviest shard $worst vs mean $mean — hash not balancing")
+    }
+    // the rows-per-shard derivation the 100 TB caller uses: ceil(rows/target)
+    assert(CorpusQueries.shardCountFor(d, targetRowsPerShard = 1000L) == 6)
+    assert(CorpusQueries.shardCountFor(d, targetRowsPerShard = 7000L) == 1)
+    // epochs permute independently: same shards, different in-shard order
+    val e0 = CorpusQueries.shardShuffle(d, 8, epoch = 0)
+    val e1 = CorpusQueries.shardShuffle(d, 8, epoch = 1)
+    val joined = e0.alias("a").join(e1.alias("b"), Seq("doc_id"))
+      .select(col("a.shard").as("s0"), col("b.shard").as("s1"),
+        (col("a.pos") === col("b.pos")).cast("long").as("same"))
+      .agg(sum(when(col("s0") === col("s1"), 1L).otherwise(0L)).as("shard_agree"),
+        sum(col("same")).as("pos_agree")).head()
+    assert(joined.getLong(0) == 6000L, "shard must be epoch-independent")
+    assert(joined.getLong(1) < 100L, s"epoch permutation too correlated: ${joined.getLong(1)}")
   }
 
   test("q124 band cap: a corpus-wide constant band cannot go quadratic; cold bands still pair") {
