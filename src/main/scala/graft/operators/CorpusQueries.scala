@@ -789,7 +789,47 @@ object CorpusQueries extends QueryModule {
     // DuckDB oracle mirrors.
     "q126_shard_shuffle" -> ((s, dir) =>
       shardShuffle(Tables(s, dir, "documents"), nShards = 64)
-        .orderBy(col("shard"), col("pos")))
+        .orderBy(col("shard"), col("pos"))),
+
+    // --- duplicate-graph centrality (PageRank, 3 rounds): rank the
+    // near-dup pair graph's hubs — the template/boilerplate centers a
+    // curation pass reviews first, and the iterative-link-analysis
+    // family (the third graph algorithm after min-label propagation and
+    // large-star/small-star CC). All arithmetic is FIXED-POINT: ranks
+    // live in units of 1e-10 as BIGINT and divisions are integral
+    // (`div`), so the result is bit-deterministic under any
+    // partitioning and engine — the CentroidFixed trick applied to
+    // link analysis (a double formulation would hash-drift on
+    // neighbor-sum order). Scale shape per round: contrib = R div deg
+    // is map-side, the in-neighbor sum is one partial-agged exchange
+    // keyed by dst, and state is the edge list + one rank row per node
+    // with localCheckpoint cutting per-round lineage — no adjacency
+    // lists, no windows, nothing corpus² anywhere.
+    "q130_dupgraph_pagerank" -> ((s, dir) => {
+      val pairs = LlmQueries.queries("q34_ngram_jaccard")(s, dir)
+        .select(col("doc_a"), col("doc_b")).localCheckpoint()
+      val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      // (src, dst, deg) materialized once; both directions of every
+      // undirected pair are present, so every node has in-edges
+      val edgesDeg = edges.join(deg, Seq("src")).localCheckpoint()
+      var ranks = deg.select(col("src").as("node"),
+        lit(10000000000L).as("r")).localCheckpoint()
+      for (_ <- 1 to 3) {
+        val sums = edgesDeg.join(ranks, col("src") === col("node"))
+          .select(col("dst"), expr("r div deg").as("contrib"))
+          .groupBy(col("dst")).agg(sum(col("contrib")).as("sc"))
+        ranks = ranks.select(col("node"))
+          .join(sums, col("node") === col("dst"), "left")
+          .select(col("node"), (lit(1500000000L) +
+            expr("coalesce((85 * sc) div 100, 0L)")).as("r"))
+          .localCheckpoint()
+      }
+      ranks.join(deg, col("node") === col("src"))
+        .select(col("node").as("doc_id"), col("deg"), col("r").as("rank_e10"))
+        .orderBy(col("doc_id"))
+    })
   )
 
   /** q126's engine (factored so ScaleSpec can drive it at any shard
@@ -995,6 +1035,52 @@ object CorpusQueries extends QueryModule {
         |  SELECT e.src, r.r FROM edges e JOIN reach r ON r.node = e.dst)
         |SELECT node AS doc_id, MIN(r) AS cluster
         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+    // Same pair graph as q59; 3 fixed-point PageRank rounds in integer
+    // arithmetic (ranks in 1e-10 units, floor division — positive
+    // operands, so DuckDB's // and Spark's div agree).
+    "q130_dupgraph_pagerank" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000,
+        |    array_to_string(string_split_regex(trim(text), '\s+')[1:greatest(
+        |      len(string_split_regex(trim(text), '\s+')) - 5, 1)], ' ')
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(tk) >= 3 THEN
+        |    list_transform(range(1, len(tk) - 1),
+        |      i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])
+        |    ELSE [] END) AS sh
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM corpus)),
+        |ex AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS s FROM sh),
+        |exd AS (SELECT doc_id, sz, s,
+        |          COUNT(*) OVER (PARTITION BY s) AS df FROM ex),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM exd a JOIN exd b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id, a.sz, b.sz
+        |  HAVING COUNT(*) / (a.sz + b.sz - COUNT(*)) >= 0.5
+        |    AND MIN(a.df) <= 256),
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+        |r0 AS (SELECT src AS node, CAST(10000000000 AS BIGINT) AS r FROM deg),
+        |i1 AS (SELECT e.dst AS node, CAST(1500000000 +
+        |         (85 * SUM(r0.r // d.deg)) // 100 AS BIGINT) AS r
+        |       FROM edges e JOIN r0 ON r0.node = e.src
+        |       JOIN deg d ON d.src = e.src GROUP BY e.dst),
+        |i2 AS (SELECT e.dst AS node, CAST(1500000000 +
+        |         (85 * SUM(i1.r // d.deg)) // 100 AS BIGINT) AS r
+        |       FROM edges e JOIN i1 ON i1.node = e.src
+        |       JOIN deg d ON d.src = e.src GROUP BY e.dst),
+        |i3 AS (SELECT e.dst AS node, CAST(1500000000 +
+        |         (85 * SUM(i2.r // d.deg)) // 100 AS BIGINT) AS r
+        |       FROM edges e JOIN i2 ON i2.node = e.src
+        |       JOIN deg d ON d.src = e.src GROUP BY e.dst)
+        |SELECT i3.node AS doc_id, deg.deg, i3.r AS rank_e10
+        |FROM i3 JOIN deg ON deg.src = i3.node
+        |ORDER BY doc_id""".stripMargin,
     "q114_embedding_clusters" ->
       """WITH RECURSIVE base AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
         |              FROM embeddings),

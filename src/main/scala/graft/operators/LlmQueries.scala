@@ -837,6 +837,42 @@ object LlmQueries extends QueryModule {
         .orderBy(col("vec_id"))
     }),
 
+    // --- hard-example mining for contrastive embedding training: for
+    // each anchor (vec_id < 10) the HARD NEGATIVE is the highest-cosine
+    // corpus vector with a DIFFERENT label (the near-miss that teaches
+    // the margin) and the HARD POSITIVE is the lowest-cosine vector with
+    // the SAME label (the far in-class example a batch sampler should
+    // surface). Both are label-gated conditional argmaxes folded into
+    // ONE partial agg over the broadcast pair stream — the q127 shape
+    // twice over: max/min(struct) behind when(), so one row per anchor
+    // leaves the map side and the n x anchors stream never shuffles.
+    // At 100 TB this is the mining pass of every embedding-model
+    // training loop; the anchor side is a batch (bounded), broadcast.
+    "q128_hard_negatives" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s) // vec_dot
+      val e = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        .withColumn("nrm", expr(normSqlOf("v")))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+          col("v").as("av"), col("nrm").as("anrm"))
+      val c = e.select(col("vec_id").as("nbr_id"), col("label").as("nlabel"),
+        col("v").as("bv"), col("nrm").as("bnrm"))
+      c.crossJoin(broadcast(q)).filter(col("query_id") =!= col("nbr_id"))
+        .withColumn("score", round(expr(dotSql) / (col("anrm") * col("bnrm")), 4))
+        .groupBy(col("query_id"), col("qlabel"))
+        .agg(
+          max(when(col("nlabel") =!= col("qlabel"),
+            struct(col("score"), (-col("nbr_id")).as("neg")))).as("hn"),
+          min(when(col("nlabel") === col("qlabel"),
+            struct(col("score"), col("nbr_id").as("pos")))).as("hp"))
+        .select(col("query_id"), col("qlabel").as("label"),
+          (-col("hn.neg")).as("hard_neg_id"), col("hn.score").as("hard_neg_score"),
+          col("hp.pos").as("hard_pos_id"), col("hp.score").as("hard_pos_score"))
+        .orderBy(col("query_id"))
+    }),
+
     // --- ANN via IVF: coarse cells from per-label centroids computed by
     // the typed CentroidFixed Aggregator (custom UDAF with map-side
     // partial agg, FIXED-POINT accumulation so the centroid is
@@ -890,6 +926,74 @@ object LlmQueries extends QueryModule {
         .filter(col("rnk") <= 3)
         .select(col("query_id"), col("nbr_id"), col("score"), col("rnk"))
         .orderBy(col("query_id"), col("rnk"))
+    }),
+
+    // --- INCREMENTAL ingestion dedup: the production shape when a new
+    // batch lands next to an existing corpus — dedup the DELTA against
+    // the INDEX, never the corpus against itself. The planted batch (at
+    // doc_id+20000) has exact copies (doc_id%10==4), tail-trimmed near
+    // copies (%10==7) and token-reversed novel docs (%10==1), so all
+    // three outcomes are exercised deterministically. Exact path: one
+    // md5 equi-join against the corpus hash index. Near path: the
+    // delta's shingles probe the df-capped corpus inverted index (the
+    // cap sits on CORPUS df — the index side is where boilerplate
+    // lives), candidates verify by exact set Jaccard over the full
+    // arrays, and the best match is a partial-agged max(struct(jac,
+    // -corpus_id)). Cost is O(delta x cap) candidate rows: ingestion
+    // never pays corpus², and the corpus index is exactly what a
+    // production pipeline keeps materialized between batches.
+    "q129_incremental_dedup" -> ((s, dir) => {
+      val base = withTokens(
+        Tables(s, dir, "documents").select(col("doc_id"), col("text")))
+      val corpus = base
+        .select(col("doc_id").as("corpus_id"), md5(col("text")).as("eh"),
+          expr("transform(" + shinglesSql("tk") + ", x -> xxhash64(x))").as("chs"))
+        .withColumn("csz", size(col("chs")))
+        // the materialized index a production pipeline keeps between
+        // batches (hash + shingle arrays); three consumers below
+        .localCheckpoint()
+      val delta = withTokens(
+        base.filter(col("doc_id") % 10 === 4)
+          .select((col("doc_id") + 20000).as("doc_id"), col("text"))
+        .union(base.filter(col("doc_id") % 10 === 7)
+          .select((col("doc_id") + 20000).as("doc_id"),
+            expr("array_join(slice(tk, 1, greatest(size(tk) - 5, 1)), ' ')")
+              .as("text")))
+        .union(base.filter(col("doc_id") % 10 === 1)
+          .select((col("doc_id") + 20000).as("doc_id"),
+            expr("array_join(reverse(tk), ' ')").as("text"))))
+        .select(col("doc_id"), md5(col("text")).as("eh"),
+          expr("transform(" + shinglesSql("tk") + ", x -> xxhash64(x))").as("dhs"))
+        .withColumn("dsz", size(col("dhs")))
+        .localCheckpoint() // feeds exact join, near probe, and final frame
+      // exact: min corpus id per content hash, equi-joined to the delta
+      val exact = delta.select(col("doc_id"), col("eh"))
+        .join(corpus.groupBy(col("eh"))
+          .agg(min(col("corpus_id")).as("exact_match")), Seq("eh"), "left")
+        .select(col("doc_id"), col("exact_match"))
+      // near: probe the df-capped corpus index with the delta's shingles
+      val cidx = corpus.select(col("corpus_id"), explode(col("chs")).as("h"))
+      val cold = cidx.groupBy(col("h")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= ShingleDfCap).select(col("h"))
+      val cand = delta.select(col("doc_id"), explode(col("dhs")).as("h"))
+        .join(cold, Seq("h"), "left_semi")
+        .join(cidx, Seq("h"))
+        .select(col("doc_id"), col("corpus_id")).distinct()
+      val best = cand
+        .join(delta.select(col("doc_id"), col("dsz"), col("dhs")), Seq("doc_id"))
+        .join(corpus.select(col("corpus_id"), col("csz"), col("chs")), Seq("corpus_id"))
+        .withColumn("inter", size(array_intersect(col("dhs"), col("chs"))))
+        .withColumn("jac", col("inter") / (col("dsz") + col("csz") - col("inter")))
+        .filter(col("jac") >= 0.5)
+        .groupBy(col("doc_id"))
+        .agg(max(struct(col("jac"), (-col("corpus_id")).as("neg"))).as("m"))
+        .select(col("doc_id"), (-col("m.neg")).as("near_match"),
+          col("m.jac").as("near_jac"))
+      exact.join(best, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("exact_match"), col("near_match"),
+          col("near_jac"),
+          (col("exact_match").isNull && col("near_match").isNull).as("is_new"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -956,6 +1060,81 @@ object LlmQueries extends QueryModule {
         |  AND MIN(a.df) <= 256 -- engine's shingle df-cap: a pair must
         |                       -- share >= 1 cold shingle to be a candidate
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q128_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |p AS (
+        |  SELECT q.vec_id AS query_id, q.label AS qlabel,
+        |    c.vec_id AS nbr_id, c.label AS nlabel,
+        |    round(list_dot_product(q.v, c.v) /
+        |      (sqrt(list_dot_product(q.v, q.v)) *
+        |       sqrt(list_dot_product(c.v, c.v))), 4) AS score
+        |  FROM e q JOIN e c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+        |hn AS (SELECT query_id, qlabel, nbr_id, score, ROW_NUMBER() OVER (
+        |         PARTITION BY query_id ORDER BY score DESC, nbr_id ASC) AS rk
+        |       FROM p WHERE nlabel <> qlabel),
+        |hp AS (SELECT query_id, nbr_id, score, ROW_NUMBER() OVER (
+        |         PARTITION BY query_id ORDER BY score ASC, nbr_id ASC) AS rk
+        |       FROM p WHERE nlabel = qlabel)
+        |SELECT hn.query_id, hn.qlabel AS label,
+        |  hn.nbr_id AS hard_neg_id, hn.score AS hard_neg_score,
+        |  hp.nbr_id AS hard_pos_id, hp.score AS hard_pos_score
+        |FROM hn JOIN hp ON hn.query_id = hp.query_id
+        |WHERE hn.rk = 1 AND hp.rk = 1
+        |ORDER BY hn.query_id""".stripMargin,
+    "q129_incremental_dedup" ->
+      """WITH base AS (SELECT doc_id, text,
+        |    string_split_regex(trim(text), '\s+') AS tk FROM documents),
+        |corpus AS (
+        |  SELECT doc_id AS corpus_id, md5(text) AS eh,
+        |    list_distinct(CASE WHEN len(tk) >= 3 THEN
+        |      list_transform(range(1, len(tk) - 1),
+        |        i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])
+        |      ELSE [] END) AS sh
+        |  FROM base),
+        |delta0 AS (
+        |  SELECT doc_id + 20000 AS doc_id, text FROM base WHERE doc_id % 10 = 4
+        |  UNION ALL
+        |  SELECT doc_id + 20000,
+        |    array_to_string(tk[1:greatest(len(tk) - 5, 1)], ' ')
+        |  FROM base WHERE doc_id % 10 = 7
+        |  UNION ALL
+        |  SELECT doc_id + 20000, array_to_string(list_reverse(tk), ' ')
+        |  FROM base WHERE doc_id % 10 = 1),
+        |delta AS (
+        |  SELECT doc_id, md5(text) AS eh,
+        |    list_distinct(CASE WHEN len(tk) >= 3 THEN
+        |      list_transform(range(1, len(tk) - 1),
+        |        i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])
+        |      ELSE [] END) AS sh
+        |  FROM (SELECT doc_id, text,
+        |          string_split_regex(trim(text), '\s+') AS tk FROM delta0)),
+        |exact AS (
+        |  SELECT d.doc_id, min(c.corpus_id) AS exact_match
+        |  FROM delta d LEFT JOIN corpus c ON d.eh = c.eh
+        |  GROUP BY d.doc_id),
+        |cidx AS (SELECT corpus_id, unnest(sh) AS s FROM corpus),
+        |cdf AS (SELECT s, COUNT(*) AS df FROM cidx GROUP BY s),
+        |didx AS (SELECT doc_id, unnest(sh) AS s FROM delta),
+        |cand AS (
+        |  SELECT DISTINCT didx.doc_id, cidx.corpus_id
+        |  FROM didx JOIN cidx ON didx.s = cidx.s
+        |  JOIN cdf ON cdf.s = didx.s
+        |  WHERE cdf.df <= 256),
+        |scored AS (
+        |  SELECT cand.doc_id, cand.corpus_id,
+        |    len(list_intersect(d.sh, c.sh)) / (len(d.sh) + len(c.sh)
+        |      - len(list_intersect(d.sh, c.sh))) AS jac
+        |  FROM cand JOIN delta d ON d.doc_id = cand.doc_id
+        |            JOIN corpus c ON c.corpus_id = cand.corpus_id),
+        |best AS (
+        |  SELECT doc_id, corpus_id AS near_match, jac, ROW_NUMBER() OVER (
+        |    PARTITION BY doc_id ORDER BY jac DESC, corpus_id ASC) AS rk
+        |  FROM scored WHERE jac >= 0.5)
+        |SELECT e.doc_id, e.exact_match, b.near_match, b.jac AS near_jac,
+        |  (e.exact_match IS NULL AND b.near_match IS NULL) AS is_new
+        |FROM exact e LEFT JOIN best b ON b.doc_id = e.doc_id AND b.rk = 1
+        |ORDER BY e.doc_id""".stripMargin,
     "q89_matryoshka" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |           FROM embeddings),

@@ -287,6 +287,38 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("hashpartitioning(vec_id"), p)
   }
 
+  test("q128 hard-example mining: anchors broadcast, pair stream dies in the conditional partial agg") {
+    // Both argmaxes (hard negative, hard positive) are when()-gated
+    // max/min(struct) inside ONE aggregate: the n x anchors pair stream
+    // from the broadcast cross join must reduce map-side — no Window,
+    // no CartesianProduct, the only hash exchange is the per-anchor
+    // aggregate's.
+    val p = plan("q128_hard_negatives")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("hashpartitioning(query_id"), p)
+    assert("hashpartitioning\\(".r.findAllIn(p).size == 1, p)
+  }
+
+  test("q129 incremental dedup: delta-vs-index equi-joins only, best match is an aggregate") {
+    // The delta probes the corpus index by equi-join (hash/AQE-chosen);
+    // nothing may cartesian, and the best-near-match argmax is a
+    // max(struct) aggregate, never a per-delta-doc window.
+    val p = plan("q129_incremental_dedup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("q130 pagerank: edge-list equi-joins and partial-agg sums, no window, no cartesian") {
+    // Each round is contrib (map-side integral div) -> one partial-agged
+    // sum keyed by dst -> a rank-table equi-join; state stays an edge
+    // list plus one row per node.
+    val p = plan("q130_dupgraph_pagerank")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("q101 inverted index: vocabulary joins back as broadcast, pairs never sort-merged") {
     val p = plan("q101_inverted_index")
     assert(p.contains("BroadcastHashJoin"), p)
