@@ -532,17 +532,31 @@ object LlmQueries extends QueryModule {
           col("h").as("ah"), col("nrm").as("anrm"), col("hnrm").as("ahnrm"))
       val c = e.select(col("vec_id").as("nbr_id"), col("v").as("bv"),
         col("h").as("bh"), col("nrm").as("bnrm"), col("hnrm").as("bhnrm"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("query_id"))
-        .orderBy(col("score_half").desc, col("nbr_id").asc)
-      c.join(broadcast(q), col("query_id") =!= col("nbr_id"))
+      // the matryoshka point made structural: the CHEAP half-dim score
+      // ranks the whole pair stream inside a bounded-heap aggregate (the
+      // q37 shape — no query_id window sorting a corpus per task), and
+      // the EXPENSIVE full-dim score is computed only for the anchors x k
+      // survivors on the join-back — at 100 TB the full-dim read is
+      // 50 pairs, not n x anchors.
+      val topk = udaf(new graft.functions.TopKAggregator.TopK(5),
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaDouble,
+          org.apache.spark.sql.Encoders.scalaLong))
+      val top = c.join(broadcast(q.select(col("query_id"), col("ah"), col("ahnrm"))),
+          col("query_id") =!= col("nbr_id"))
         .withColumn("score_half", round(
-          expr("aggregate(zip_with(ah, bh, (x, y) -> x * y), 0.0D, " +
-            "(acc, x) -> acc + x)") / (col("ahnrm") * col("bhnrm")), 4))
+          expr("vec_dot(ah, bh)") / (col("ahnrm") * col("bhnrm")), 4))
+        .groupBy(col("query_id"))
+        .agg(topk(col("score_half"), col("nbr_id")).as("top"))
+        .select(col("query_id"), posexplode(col("top")))
+        .select(col("query_id"), col("col._2").as("nbr_id"),
+          col("col._1").as("score_half"), (col("pos") + 1).as("rnk"))
+      top
+        .join(c.select(col("nbr_id"), col("bv"), col("bnrm")), Seq("nbr_id"))
+        .join(broadcast(q.select(col("query_id"), col("av"), col("anrm"))),
+          Seq("query_id"))
         .withColumn("score_full",
           round(expr(dotSql) / (col("anrm") * col("bnrm")), 4))
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= 5)
         .select(col("query_id"), col("nbr_id"), col("score_half"),
           col("score_full"), col("rnk"))
         .orderBy(col("query_id"), col("rnk"))
@@ -553,21 +567,29 @@ object LlmQueries extends QueryModule {
       // norms project BEFORE the join: computed once per VECTOR on the
       // scan side (n + q sqrt-folds), not once per PAIR after it (n*q);
       // the per-pair work is the dot product alone. Bit-identical scores:
-      // same fold, same multiply, just hoisted.
+      // same fold, same multiply, just hoisted. Top-k is the BOUNDED-HEAP
+      // aggregate (q107's TopK), not row_number over a window: a window
+      // keyed by query_id funnels each anchor's ENTIRE corpus pair
+      // stream through one sort task at 100 TB, while the heap keeps k
+      // pairs per partial buffer and the exchange carries O(anchors x k).
+      // Identical semantics: beats() is exactly (score DESC, nbr_id ASC).
       val e = Tables(s, dir, "embeddings")
         .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
         .withColumn("nrm", expr(normSqlOf("v")))
       val q = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("v").as("av"), col("nrm").as("anrm"))
       val c = e.select(col("vec_id").as("nbr_id"), col("v").as("bv"), col("nrm").as("bnrm"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("query_id"))
-        .orderBy(col("score").desc, col("nbr_id").asc)
+      val topk = udaf(new graft.functions.TopKAggregator.TopK(5),
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaDouble,
+          org.apache.spark.sql.Encoders.scalaLong))
       c.join(broadcast(q), col("query_id") =!= col("nbr_id"))
         .withColumn("score", round(expr(dotSql) / (col("anrm") * col("bnrm")), 4))
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= 5)
-        .select(col("query_id"), col("nbr_id"), col("score"), col("rnk"))
+        .groupBy(col("query_id"))
+        .agg(topk(col("score"), col("nbr_id")).as("top"))
+        .select(col("query_id"), posexplode(col("top")))
+        .select(col("query_id"), col("col._2").as("nbr_id"),
+          col("col._1").as("score"), (col("pos") + 1).as("rnk"))
         .orderBy(col("query_id"), col("rnk"))
     }),
 
@@ -580,26 +602,33 @@ object LlmQueries extends QueryModule {
     // quantization error shows up only as score differences vs q37.
     "q66_int8_topk" -> ((s, dir) => {
       graft.functions.GraftFunctions.register(s) // vec_dot
+      // the quantized ints re-project to a double array on the SCAN side
+      // so the per-pair dot is the codegen'd vec_dot (same cast-then-
+      // multiply fold the zip_with HOF ran, just compiled); top-k is the
+      // q107 bounded-heap aggregate — see q37 for why a query_id window
+      // does not survive 100 TB.
       val e = Tables(s, dir, "embeddings")
         .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
         .withColumn("mx", expr("aggregate(v, 0.0D, (acc, x) -> greatest(acc, abs(x)))"))
         .filter(col("mx") > 0)
-        .withColumn("qv", expr("transform(v, x -> CAST(round(x * 127.0D / mx) AS INT))"))
-        .withColumn("qn", expr(
-          "sqrt(aggregate(qv, 0.0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"))
+        .withColumn("qv", expr(
+          "transform(v, x -> CAST(CAST(round(x * 127.0D / mx) AS INT) AS DOUBLE))"))
+        .withColumn("qn", expr(normSqlOf("qv")))
       val q = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("qv").as("qa"), col("qn").as("qna"))
       val c = e.select(col("vec_id").as("nbr_id"), col("qv").as("qb"), col("qn").as("qnb"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("query_id"))
-        .orderBy(col("score").desc, col("nbr_id").asc)
+      val topk = udaf(new graft.functions.TopKAggregator.TopK(5),
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaDouble,
+          org.apache.spark.sql.Encoders.scalaLong))
       c.join(broadcast(q), col("query_id") =!= col("nbr_id"))
-        .withColumn("score", round(
-          expr("aggregate(zip_with(qa, qb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
-            "0.0D, (acc, x) -> acc + x)") / (col("qna") * col("qnb")), 4))
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= 5)
-        .select(col("query_id"), col("nbr_id"), col("score"), col("rnk"))
+        .withColumn("score",
+          round(expr("vec_dot(qa, qb)") / (col("qna") * col("qnb")), 4))
+        .groupBy(col("query_id"))
+        .agg(topk(col("score"), col("nbr_id")).as("top"))
+        .select(col("query_id"), posexplode(col("top")))
+        .select(col("query_id"), col("col._2").as("nbr_id"),
+          col("col._1").as("score"), (col("pos") + 1).as("rnk"))
         .orderBy(col("query_id"), col("rnk"))
     }),
 

@@ -72,10 +72,19 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"), p)
   }
 
-  test("q37 knn: query side broadcast, corpus side never exchanged") {
-    val p = plan("q37_knn_cosine")
-    assert(p.contains("Broadcast"), p)
-    assert(!p.contains("SortMergeJoin"), p)
+  test("q37/q66/q89 knn family: anchors broadcast, top-k is a bounded-heap aggregate, no pair-stream window") {
+    // The brute-force kNN family must never sort a corpus-sized pair
+    // stream per anchor: anchors broadcast, and top-k is the TopK
+    // bounded-heap aggregate (ObjectHashAggregate) whose exchange
+    // carries O(anchors x k) — a Window keyed by query_id here would
+    // funnel each anchor's whole pair stream through one sort task.
+    for (qn <- Seq("q37_knn_cosine", "q66_int8_topk", "q89_matryoshka")) {
+      val p = plan(qn)
+      assert(p.contains("Broadcast"), s"$qn: $p")
+      assert(!p.contains("SortMergeJoin"), s"$qn: $p")
+      assert(!p.contains("Window"), s"$qn: $p")
+      assert(p.contains("ObjectHashAggregate"), s"$qn: $p")
+    }
   }
 
   test("q26 as-of join plans with NO join operator (union + single-key window)") {
