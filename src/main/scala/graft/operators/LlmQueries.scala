@@ -692,17 +692,25 @@ object LlmQueries extends QueryModule {
           col("nrm").as("anrm"), col("tbl"), col("bucket"))
       val c = e.select(col("vec_id").as("nbr_id"), col("v").as("bv"),
         col("nrm").as("bnrm"), col("tbl"), col("bucket"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("query_id"))
-        .orderBy(col("score").desc, col("nbr_id").asc)
+      // candidate ranking is the q37 bounded-heap TopK, not a query_id
+      // window — a hot LSH bucket at scale would otherwise sort its
+      // whole candidate stream in one task. The dropDuplicates exchange
+      // (the union of the L tables) already keys by query_id, so the
+      // aggregate's partial buffers sit on co-partitioned data.
+      val topk = udaf(new graft.functions.TopKAggregator.TopK(3),
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaDouble,
+          org.apache.spark.sql.Encoders.scalaLong))
       c.join(broadcast(q), Seq("tbl", "bucket")).filter(col("query_id") =!= col("nbr_id"))
         .select(col("query_id"), col("nbr_id"), col("av"), col("bv"),
           col("anrm"), col("bnrm"))
         .dropDuplicates("query_id", "nbr_id") // union of the L tables
         .withColumn("score", round(expr(dotSql) / (col("anrm") * col("bnrm")), 4))
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= 3)
-        .select(col("query_id"), col("nbr_id"), col("score"), col("rnk"))
+        .groupBy(col("query_id"))
+        .agg(topk(col("score"), col("nbr_id")).as("top"))
+        .select(col("query_id"), posexplode(col("top")))
+        .select(col("query_id"), col("col._2").as("nbr_id"),
+          col("col._1").as("score"), (col("pos") + 1).as("rnk"))
         .orderBy(col("query_id"), col("rnk"))
     }),
 
@@ -946,14 +954,20 @@ object LlmQueries extends QueryModule {
           col("nrm").as("anrm"), col("cell"))
       val c = withCell.select(col("vec_id").as("nbr_id"), col("v").as("bv"),
         col("nrm").as("bnrm"), col("cell"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("query_id"))
-        .orderBy(col("score").desc, col("nbr_id").asc)
+      // probe ranking is the q37 bounded-heap TopK — a query_id window
+      // would sort each query's whole posting list in one task, and an
+      // IVF cell at 100 TB is corpus/cells rows
+      val topk = udaf(new graft.functions.TopKAggregator.TopK(3),
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaDouble,
+          org.apache.spark.sql.Encoders.scalaLong))
       c.join(broadcast(q), Seq("cell")).filter(col("query_id") =!= col("nbr_id"))
         .withColumn("score", round(expr(dotSql) / (col("anrm") * col("bnrm")), 4))
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= 3)
-        .select(col("query_id"), col("nbr_id"), col("score"), col("rnk"))
+        .groupBy(col("query_id"))
+        .agg(topk(col("score"), col("nbr_id")).as("top"))
+        .select(col("query_id"), posexplode(col("top")))
+        .select(col("query_id"), col("col._2").as("nbr_id"),
+          col("col._1").as("score"), (col("pos") + 1).as("rnk"))
         .orderBy(col("query_id"), col("rnk"))
     }),
 

@@ -117,10 +117,14 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!cp.contains("SortMergeJoin"), cp)
   }
 
-  test("q39 multi-table LSH: query side broadcast, no sort-merge join") {
+  test("q39 multi-table LSH: query side broadcast, bounded-heap top-k, no window") {
     val p = plan("q39_ann_lsh")
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
+    // candidate ranking must be the TopK aggregate — a hot LSH bucket
+    // would otherwise sort its whole candidate stream in one window task
+    assert(!p.contains("Window"), p)
+    assert(p.contains("ObjectHashAggregate"), p)
   }
 
   test("q29 content-hash split is map-side + one partial-agg shuffle") {
@@ -281,18 +285,18 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert("hashpartitioning\\(".r.findAllIn(p).size == 2, p)
   }
 
-  test("q46 IVF: cell argmax is a partial agg — no window, no exchange of the pair stream") {
+  test("q46 IVF: cell argmax is a partial agg, probe top-k a bounded heap — no window anywhere") {
     // Both the cell-assignment argmax and the probe stage must keep the
     // corpus un-exchanged until rows are one-per-vector: centroids and
     // queries broadcast (BroadcastNestedLoopJoin / BroadcastHashJoin),
-    // no CartesianProduct, and no Window keyed by vec_id over the
-    // n x cells pair stream (the only window left is the tiny top-k
-    // ranking over the probe candidates, keyed by query_id).
+    // no CartesianProduct, no Window at all — cell assignment is the
+    // q127 max(struct) partial agg and the probe ranking is the q107
+    // bounded-heap TopK aggregate.
     val p = plan("q46_ann_ivf")
     assert(p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
-    assert(!p.contains("windowspecdefinition(vec_id"), p)
-    assert(p.contains("windowspecdefinition(query_id"), p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("ObjectHashAggregate"), p)
     assert(p.contains("hashpartitioning(vec_id"), p)
   }
 
