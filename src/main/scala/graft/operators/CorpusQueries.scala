@@ -205,20 +205,29 @@ object CorpusQueries extends QueryModule {
     // deterministic train/valid/test split. Every stage is content-hash
     // driven, so the pipeline is stable under repartitioning and re-runs;
     // stages are one narrow filter each plus ONE shuffle (the dedup
-    // window on the fingerprint).
+    // aggregate on the fingerprint). Keep-first is a min-of-struct
+    // AGGREGATE (the q120 shape), not a row_number window: a boilerplate
+    // text duplicated across the corpus reduces map-side instead of
+    // funneling every copy through one fingerprint window partition —
+    // the skew profile of exact dedup is exactly "a few texts with huge
+    // df", so the window form would bottleneck on the worst offender.
     "q68_curation_pipeline" -> ((s, dir) => {
       val norm = LlmQueries.normSql // shared: one normalization contract
       val hex = substring(md5(col("text")), 1, 1)
       val keepRate = when(col("lang") === "en",
-        hex.isin("0", "1", "2", "3", "4", "5", "6", "7"))
-        .otherwise(hex.isin("0", "1", "2", "3", "4", "5", "6", "7",
+        col("hex").isin("0", "1", "2", "3", "4", "5", "6", "7"))
+        .otherwise(col("hex").isin("0", "1", "2", "3", "4", "5", "6", "7",
           "8", "9", "a", "b"))
-      val w = Window.partitionBy(col("fp")).orderBy(col("doc_id").asc)
       Tables(s, dir, "documents")
         .filter(size(expr(toksSql)).between(20, 1000))
         .withColumn("fp", md5(expr(norm)))
-        .withColumn("pos", row_number().over(w))
-        .filter(col("pos") === 1)
+        .withColumn("hex", hex)
+        .groupBy(col("fp"))
+        // doc_id is unique, so the min struct IS the first occurrence;
+        // its lang/hex ride along and are never compared
+        .agg(min(struct(col("doc_id"), col("lang"), col("hex"))).as("f"))
+        .select(col("fp"), col("f.doc_id").as("doc_id"),
+          col("f.lang").as("lang"), col("f.hex").as("hex"))
         .filter(keepRate)
         .withColumn("split",
           when(substring(col("fp"), 32, 1) === "0", "test")

@@ -414,10 +414,13 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // equi-join. q120 resolves first occurrences with a min-of-struct
     // AGGREGATE — a row_number window keyed by segment hash would funnel
     // every occurrence of a boilerplate segment through one task.
+    // q68's keep-first dedup is likewise a min-of-struct aggregate: a
+    // high-df boilerplate text must reduce map-side, not funnel through
+    // one fingerprint window partition
     for (q <- Seq("q118_dsir_importance", "q120_segment_dedup",
         "q121_temperature_mix", "q122_ngram_diversity",
         "q123_image_ahash_dedup", "q124_image_neardup",
-        "q125_audio_fp_dedup")) {
+        "q125_audio_fp_dedup", "q68_curation_pipeline")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q: $p")
       assert(!p.contains("Window"), s"$q: $p")
