@@ -971,6 +971,64 @@ object LlmQueries extends QueryModule {
         .orderBy(col("query_id"), col("rnk"))
     }),
 
+    // --- multi-probe IVF (nprobe = 2): the recall knob every production
+    // IVF store ships — a query whose true neighbor sits just across a
+    // cell boundary finds it by probing its top-2 cells instead of 1,
+    // paying 2x probe cost for the recall tail. Same scale shapes as
+    // q46 throughout: cell assignment is the partial-agg argmax, the
+    // query-side top-2 cells come from the bounded-heap TopK over the
+    // (tiny) query x cells stream, candidates join by cell equi-key
+    // against the broadcast 2-rows-per-query probe table (a corpus
+    // vector lives in exactly ONE cell, so probing 2 distinct cells
+    // can never duplicate a candidate), and the final top-3 is again
+    // the bounded heap. Zero windows, zero pair-stream exchanges.
+    "q131_ann_ivf_multiprobe" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s) // vec_dot
+      val e = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        .withColumn("nrm", expr(normSqlOf("v")))
+      val centroid = udaf(new graft.functions.VectorAggregators.CentroidFixed(64))
+      val cells = e.groupBy(col("label")).agg(centroid(col("v")).as("cv"))
+        .select(col("label").as("cell"), col("cv"))
+        .withColumn("cnrm", expr(normSqlOf("cv")))
+      val scored = e.crossJoin(broadcast(cells))
+        .withColumn("cell_score",
+          expr("vec_dot(v, cv)") / (col("nrm") * col("cnrm")))
+      val withCell = scored.groupBy(col("vec_id"))
+        .agg(max(struct(col("cell_score"), (-col("cell")).as("negc"),
+          col("v"), col("nrm"))).as("m"))
+        .select(col("vec_id"), (-col("m.negc")).as("cell"),
+          col("m.v").as("v"), col("m.nrm").as("nrm"))
+      val top2 = udaf(new graft.functions.TopKAggregator.TopK(2),
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaDouble,
+          org.apache.spark.sql.Encoders.scalaLong))
+      val probes = scored.filter(col("vec_id") < 10)
+        .groupBy(col("vec_id"))
+        .agg(top2(col("cell_score"), col("cell").cast("long")).as("top"))
+        .select(col("vec_id").as("query_id"), explode(col("top")).as("t"))
+        .select(col("query_id"), col("t._2").cast("int").as("cell"))
+      val q = withCell.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("v").as("av"),
+          col("nrm").as("anrm"))
+      val qp = probes.join(q, Seq("query_id")) // 2 rows per query
+      val c = withCell.select(col("vec_id").as("nbr_id"), col("v").as("bv"),
+        col("nrm").as("bnrm"), col("cell"))
+      val topk = udaf(new graft.functions.TopKAggregator.TopK(3),
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaDouble,
+          org.apache.spark.sql.Encoders.scalaLong))
+      c.join(broadcast(qp), Seq("cell")).filter(col("query_id") =!= col("nbr_id"))
+        .withColumn("score", round(expr(dotSql) / (col("anrm") * col("bnrm")), 4))
+        .groupBy(col("query_id"))
+        .agg(topk(col("score"), col("nbr_id")).as("top"))
+        .select(col("query_id"), posexplode(col("top")))
+        .select(col("query_id"), col("col._2").as("nbr_id"),
+          col("col._1").as("score"), (col("pos") + 1).as("rnk"))
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
     // --- INCREMENTAL ingestion dedup: the production shape when a new
     // batch lands next to an existing corpus — dedup the DELTA against
     // the INDEX, never the corpus against itself. The planted batch (at
@@ -1463,6 +1521,42 @@ object LlmQueries extends QueryModule {
         |    round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 4) AS score
         |  FROM wc q JOIN wc c ON q.cell = c.cell
         |    AND q.vec_id < 10 AND q.vec_id <> c.vec_id),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |        ORDER BY score DESC, nbr_id ASC) AS rnk FROM p)
+        |SELECT query_id, nbr_id, score, rnk FROM r WHERE rnk <= 3
+        |ORDER BY query_id, rnk""".stripMargin,
+    // q46's centroid/assignment machinery with nprobe = 2 on the query
+    // side: queries rank ALL cells (rk <= 2 probes), the corpus keeps
+    // its top-1 posting-list assignment.
+    "q131_ann_ivf_multiprobe" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |idx AS (SELECT unnest(range(1, 65)) AS i),
+        |comp AS (SELECT label, i, CAST(floor(v[i] * 4294967296.0) AS BIGINT) AS fx
+        |         FROM e CROSS JOIN idx),
+        |cent AS (SELECT label, i, sum(fx) AS s, count(*) AS n
+        |         FROM comp GROUP BY label, i),
+        |cells AS (SELECT label AS cell,
+        |            list(CAST(s AS DOUBLE) / 4294967296.0 / n ORDER BY i) AS cv
+        |          FROM cent GROUP BY label),
+        |assign AS (
+        |  SELECT e.vec_id, e.v, c.cell,
+        |    list_dot_product(e.v, c.cv) /
+        |      (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv)))
+        |      AS cell_score
+        |  FROM e CROSS JOIN cells c),
+        |best AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |           ORDER BY cell_score DESC, cell ASC) AS rk FROM assign),
+        |wc AS (SELECT vec_id, cell, v, sqrt(list_dot_product(v, v)) AS nrm
+        |       FROM best WHERE rk = 1),
+        |qp AS (SELECT vec_id AS query_id, cell FROM best
+        |       WHERE rk <= 2 AND vec_id < 10),
+        |qv AS (SELECT vec_id AS query_id, v, nrm FROM wc WHERE vec_id < 10),
+        |p AS (
+        |  SELECT qp.query_id, c.vec_id AS nbr_id,
+        |    round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 4) AS score
+        |  FROM qp JOIN qv q ON q.query_id = qp.query_id
+        |  JOIN wc c ON c.cell = qp.cell AND qp.query_id <> c.vec_id),
         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
         |        ORDER BY score DESC, nbr_id ASC) AS rnk FROM p)
         |SELECT query_id, nbr_id, score, rnk FROM r WHERE rnk <= 3

@@ -332,6 +332,15 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("Window"), p)
   }
 
+  test("q131 multi-probe IVF: same window-free shapes as q46 at nprobe=2") {
+    val p = plan("q131_ann_ivf_multiprobe")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(p.contains("hashpartitioning(vec_id"), p)
+  }
+
   test("q101 inverted index: vocabulary joins back as broadcast, pairs never sort-merged") {
     val p = plan("q101_inverted_index")
     assert(p.contains("BroadcastHashJoin"), p)
