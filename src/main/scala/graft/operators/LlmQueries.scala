@@ -1029,6 +1029,127 @@ object LlmQueries extends QueryModule {
         .orderBy(col("query_id"), col("rnk"))
     }),
 
+    // --- product quantization ANN (PQ / ADC): the compression path of a
+    // production vector store — 64 float32s (256 bytes) become M=8 code
+    // bytes per vector by quantizing each 8-dim subvector to its nearest
+    // sub-centroid, and queries rank candidates by ASYMMETRIC distance
+    // (exact query vector vs the candidate's reconstructed codeword), so
+    // the serving index is 32x smaller while the query side loses no
+    // precision. Codebooks are the per-label sub-centroids in the same
+    // order-independent fixed-point arithmetic as q46 (CentroidFixed),
+    // so the oracle can replicate them exactly in HUGEINT SQL. Scale
+    // shapes: the codebook is 80 tiny rows (broadcast everywhere); encode
+    // is a broadcast join + the q127 partial-agg argmin keyed by
+    // (vec_id, m) — the n x codes stream is never exchanged, the encode
+    // shuffle carries M rows per vector; reconstruction is one more
+    // M-rows-per-vector groupBy; the probe is the q37 bounded-heap TopK
+    // whose exchange carries queries x k rows. Distances on both engines
+    // are the SAME expression tree (nv + nc - 2*dot, index-order folds)
+    // so the argmin and the rounded output agree bit-for-bit.
+    "q132_ann_pq" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s) // vec_dot
+      val e = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      val centroid = udaf(new graft.functions.VectorAggregators.CentroidFixed(64))
+      val cells = e.groupBy(col("label")).agg(centroid(col("v")).as("cv"))
+        .select(col("label").as("code"), col("cv"))
+      val codebook = cells
+        .select(col("code"), explode(expr(
+          "transform(sequence(0, 7), m -> struct(m AS m, slice(cv, m*8+1, 8) AS c8))")).as("x"))
+        .select(col("code"), col("x.m").as("m"), col("x.c8").as("c8"))
+        .withColumn("nc", expr("vec_dot(c8, c8)"))
+      val sub = e.select(col("vec_id"), explode(expr(
+          "transform(sequence(0, 7), m -> struct(m AS m, slice(v, m*8+1, 8) AS sv))")).as("x"))
+        .select(col("vec_id"), col("x.m").as("m"), col("x.sv").as("sv"))
+        .withColumn("nv", expr("vec_dot(sv, sv)"))
+      val enc = sub.join(broadcast(codebook), Seq("m"))
+        .withColumn("d", col("nv") + col("nc") - lit(2) * expr("vec_dot(sv, c8)"))
+        .groupBy(col("vec_id"), col("m"))
+        .agg(min(struct(col("d"), col("code"))).as("sel"))
+        .select(col("vec_id"), col("m"), col("sel.code").as("code"))
+      // what PQ serving stores is (vec_id, 8 codes); the reconstruction
+      // below is the decode the ADC distance implicitly runs against
+      val recon = enc
+        .join(broadcast(codebook.select(col("m"), col("code"), col("c8"))), Seq("m", "code"))
+        .groupBy(col("vec_id"))
+        .agg(expr("flatten(transform(sort_array(collect_list(struct(m, c8))), x -> x.c8))").as("rv"))
+        .withColumn("nr", expr("vec_dot(rv, rv)"))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("v").as("av"))
+        .withColumn("nq", expr("vec_dot(av, av)"))
+      val topk = udaf(new graft.functions.TopKAggregator.TopK(3),
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaDouble,
+          org.apache.spark.sql.Encoders.scalaLong))
+      recon.select(col("vec_id").as("nbr_id"), col("rv").as("bv"), col("nr"))
+        .crossJoin(broadcast(q)).filter(col("query_id") =!= col("nbr_id"))
+        .withColumn("dist", round(col("nq") + col("nr") - lit(2) * expr(dotSql), 4))
+        .groupBy(col("query_id"))
+        // heap ranks by -dist (DESC score == ASC distance, ties id ASC)
+        .agg(topk(-col("dist"), col("nbr_id")).as("top"))
+        .select(col("query_id"), posexplode(col("top")))
+        // +0.0 normalizes a possible -0.0 back to 0.0 for the hash gate
+        .select(col("query_id"), col("col._2").as("nbr_id"),
+          (-col("col._1") + lit(0.0)).as("dist"), (col("pos") + 1).as("rnk"))
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
+    // --- histogram quantiles: per-source length profile (p50/p90) from a
+    // FIXED 16-bucket histogram — the 100 TB way to profile a corpus
+    // column: one map-side-combined groupBy over (source, bucket) whose
+    // exchange carries at most sources x 16 rows, then a per-source scan
+    // of the tiny histogram array. No global sort, no per-source window
+    // over the document stream, no percentile_approx sketch needed when
+    // the consumer only wants bucketed quantiles.
+    "q133_length_quantiles" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+        .withColumn("b", least(lit(15), floor(col("n_chars") / 64)).cast("int"))
+      val h = d.groupBy(col("source"), col("b")).agg(count(lit(1)).as("cnt"))
+      def loAt(q: String): Column = expr(
+        s"""aggregate(hs, named_struct('c', CAST(0 AS BIGINT), 'b', -1),
+           |  (acc, x) -> IF(acc.b >= 0, acc,
+           |    named_struct('c', acc.c + x.cnt,
+           |      'b', IF(acc.c + x.cnt >= ceil($q * total), x.b, -1))),
+           |  acc -> acc.b * 64)""".stripMargin)
+      h.groupBy(col("source"))
+        .agg(expr("sort_array(collect_list(struct(b, cnt)))").as("hs"),
+          sum(col("cnt")).as("total"))
+        .select(col("source"), col("total"),
+          loAt("0.5").as("p50_lo"), loAt("0.9").as("p90_lo"))
+        .orderBy(col("source"))
+    }),
+
+    // --- mergeable MinHash sketch, sketch-UNION tier: one 16-permutation
+    // signature PER SOURCE (min is associative+commutative, so the
+    // per-perm min partial-aggregates map-side and the exchange carries
+    // sources x 16 rows no matter the corpus size), then the 190
+    // source-pair Jaccard estimates from signature agreement — corpus
+    // overlap estimation without ever comparing documents. Permutations
+    // are per-perm md5 re-hashes (not LCG) precisely so the DuckDB oracle
+    // can replicate them: both engines parse the first 15 hex chars of
+    // md5(p || '|' || shingle) as a 60-bit int.
+    "q134_source_minhash" -> ((s, dir) => {
+      val sh = withTokens(Tables(s, dir, "documents"))
+        .select(col("source"), explode(expr(shinglesSql("tk"))).as("sh"))
+      val ph = sh
+        .select(col("source"), explode(expr(
+          """transform(sequence(0, 15), p -> struct(p AS p,
+            |CAST(conv(substr(md5(concat(CAST(p AS STRING), '|', sh)), 1, 15), 16, 10)
+            |  AS BIGINT) AS h))""".stripMargin)).as("x"))
+        .groupBy(col("source"), col("x.p").as("p"))
+        .agg(min(col("x.h")).as("h"))
+      val sig = ph.groupBy(col("source"))
+        .agg(expr("transform(sort_array(collect_list(struct(p, h))), x -> x.h)").as("sig"))
+      val a = sig.select(col("source").as("src_a"), col("sig").as("sa"))
+      val b = sig.select(col("source").as("src_b"), col("sig").as("sb"))
+      a.crossJoin(broadcast(b)).filter(col("src_a") < col("src_b"))
+        .select(col("src_a"), col("src_b"),
+          (expr("size(filter(sequence(0, 15), i -> sa[i] = sb[i]))") / lit(16.0))
+            .as("jac_est"))
+        .orderBy(col("src_a"), col("src_b"))
+    }),
+
     // --- INCREMENTAL ingestion dedup: the production shape when a new
     // batch lands next to an existing corpus — dedup the DELTA against
     // the INDEX, never the corpus against itself. The planted batch (at
@@ -1560,6 +1681,88 @@ object LlmQueries extends QueryModule {
         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
         |        ORDER BY score DESC, nbr_id ASC) AS rnk FROM p)
         |SELECT query_id, nbr_id, score, rnk FROM r WHERE rnk <= 3
-        |ORDER BY query_id, rnk""".stripMargin
+        |ORDER BY query_id, rnk""".stripMargin,
+    // q46's fixed-point centroids sliced into 8 sub-codebooks; encode =
+    // per-(vector, subspace) argmin, ADC = exact query vs reconstructed
+    // codeword. Distance expressions mirror the engine's term order.
+    "q132_ann_pq" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |idx AS (SELECT unnest(range(1, 65)) AS i),
+        |comp AS (SELECT label, i, CAST(floor(v[i] * 4294967296.0) AS BIGINT) AS fx
+        |         FROM e CROSS JOIN idx),
+        |cent AS (SELECT label, i, sum(fx) AS s, count(*) AS n
+        |         FROM comp GROUP BY label, i),
+        |cells AS (SELECT label AS code,
+        |            list(CAST(s AS DOUBLE) / 4294967296.0 / n ORDER BY i) AS cv
+        |          FROM cent GROUP BY label),
+        |ms AS (SELECT unnest(range(0, 8)) AS m),
+        |cb AS (SELECT code, m, cv[(m*8+1):(m*8+8)] AS c8
+        |       FROM cells CROSS JOIN ms),
+        |sub AS (SELECT vec_id, m, v[(m*8+1):(m*8+8)] AS sv
+        |        FROM e CROSS JOIN ms),
+        |encd AS (
+        |  SELECT sub.vec_id, sub.m, cb.code,
+        |    list_dot_product(sv, sv) + list_dot_product(c8, c8)
+        |      - 2 * list_dot_product(sv, c8) AS d
+        |  FROM sub JOIN cb ON cb.m = sub.m),
+        |enc1 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+        |           ORDER BY d ASC, code ASC) AS rk FROM encd),
+        |recon AS (SELECT e1.vec_id, flatten(list(cb.c8 ORDER BY cb.m)) AS rv
+        |          FROM enc1 e1 JOIN cb ON cb.m = e1.m AND cb.code = e1.code
+        |          WHERE e1.rk = 1 GROUP BY e1.vec_id),
+        |r2 AS (SELECT vec_id, rv, list_dot_product(rv, rv) AS nr FROM recon),
+        |q AS (SELECT vec_id AS query_id, v AS av,
+        |        list_dot_product(v, v) AS nq FROM e WHERE vec_id < 10),
+        |p AS (SELECT q.query_id, c.vec_id AS nbr_id,
+        |        round(q.nq + c.nr - 2 * list_dot_product(q.av, c.rv), 4) AS dist
+        |      FROM r2 c CROSS JOIN q WHERE q.query_id <> c.vec_id),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |        ORDER BY dist ASC, nbr_id ASC) AS rnk FROM p)
+        |SELECT query_id, nbr_id, dist, rnk FROM r WHERE rnk <= 3
+        |ORDER BY query_id, rnk""".stripMargin,
+    // fixed 16-bucket histogram; quantile = lower char bound of the first
+    // bucket whose cumulative count reaches ceil(q * total)
+    "q133_length_quantiles" ->
+      """WITH d AS (SELECT source,
+        |             least(15, CAST(floor(n_chars / 64) AS INT)) AS b
+        |           FROM documents),
+        |h AS (SELECT source, b, count(*) AS cnt FROM d GROUP BY 1, 2),
+        |t AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS total
+        |      FROM h GROUP BY 1),
+        |c AS (SELECT h.source, h.b,
+        |        sum(h.cnt) OVER (PARTITION BY h.source ORDER BY h.b) AS cum,
+        |        t.total
+        |      FROM h JOIN t USING (source)),
+        |p50 AS (SELECT source, min(b) * 64 AS p50_lo FROM c
+        |        WHERE cum >= ceil(0.5 * total) GROUP BY 1),
+        |p90 AS (SELECT source, min(b) * 64 AS p90_lo FROM c
+        |        WHERE cum >= ceil(0.9 * total) GROUP BY 1)
+        |SELECT t.source, t.total, p50.p50_lo, p90.p90_lo
+        |FROM t JOIN p50 USING (source) JOIN p90 USING (source)
+        |ORDER BY source""".stripMargin,
+    // per-perm md5 re-hash (first 15 hex chars as a 60-bit int) so the
+    // permuted min is computable on both engines; signature agreement
+    // over 16 perms estimates source-pair Jaccard
+    "q134_source_minhash" ->
+      """WITH tk AS (SELECT source,
+        |              string_split_regex(trim(text), '\s+') AS tk
+        |            FROM documents),
+        |sh AS (SELECT source, unnest(CASE WHEN len(tk) >= 3 THEN
+        |         list_transform(range(1, len(tk) - 1),
+        |           i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])
+        |         ELSE [] END) AS s FROM tk),
+        |ph AS (SELECT source, p,
+        |         min(('0x' || substr(md5(CAST(p AS VARCHAR) || '|' || s),
+        |           1, 15))::BIGINT) AS h
+        |       FROM sh CROSS JOIN (SELECT unnest(range(0, 16)) AS p)
+        |       GROUP BY source, p),
+        |sig AS (SELECT source, list(h ORDER BY p) AS sig FROM ph
+        |        GROUP BY source)
+        |SELECT a.source AS src_a, b.source AS src_b,
+        |  len(list_filter(range(1, 17), i -> a.sig[i] = b.sig[i])) / 16.0
+        |    AS jac_est
+        |FROM sig a JOIN sig b ON a.source < b.source
+        |ORDER BY src_a, src_b""".stripMargin
   )
 }

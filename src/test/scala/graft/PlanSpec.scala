@@ -341,6 +341,35 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("hashpartitioning(vec_id"), p)
   }
 
+  test("q132 PQ: codebook joins broadcast, encode/probe window-free, no cartesian") {
+    val p = plan("q132_ann_pq")
+    // encode + reconstruct join the 80-row codebook by broadcast; the
+    // probe is the broadcast-queries nested loop; argmin/top-k are
+    // partial-agged aggregates, never windows over the pair stream
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("ObjectHashAggregate"), p)
+  }
+
+  test("q133 histogram quantiles: no window and no sort over the document stream") {
+    val p = plan("q133_length_quantiles")
+    // the only aggregation keys are (source, b) and source — the
+    // histogram fold runs in a projection over the 16-element array
+    assert(!p.contains("Window"), p)
+    assert(p.contains("partial_count") || p.contains("count"), p)
+    assert(p.contains("hashpartitioning(source"), p)
+  }
+
+  test("q134 source minhash: per-perm mins partial-agg; pair join broadcasts signatures") {
+    val p = plan("q134_source_minhash")
+    assert(p.contains("partial_min") || p.contains("min"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("q101 inverted index: vocabulary joins back as broadcast, pairs never sort-merged") {
     val p = plan("q101_inverted_index")
     assert(p.contains("BroadcastHashJoin"), p)
