@@ -1126,21 +1126,36 @@ object LlmQueries extends QueryModule {
     // sources x 16 rows no matter the corpus size), then the 190
     // source-pair Jaccard estimates from signature agreement — corpus
     // overlap estimation without ever comparing documents. Permutations
-    // are per-perm md5 re-hashes (not LCG) precisely so the DuckDB oracle
-    // can replicate them: both engines parse the first 15 hex chars of
-    // md5(p || '|' || shingle) as a 60-bit int.
+    // are Kirsch-Mitzenmacher double hashing (h1 + p*h2) over two
+    // md5-derived 56-bit ints — 2 digests per shingle instead of one per
+    // perm (a per-perm re-hash benched 6.6s at sf0.1; this is ~1s), the
+    // per-perm family is the standard double-hash construction, and 56-bit
+    // bases keep h1 + 15*h2 < 2^61 so the arithmetic is overflow-free and
+    // bit-identical in BIGINT on both engines.
     "q134_source_minhash" -> ((s, dir) => {
+      // non-distinct shingles (duplicates can't change a MIN, and the
+      // oracle's unnest is non-distinct too) — skips a per-doc sort
+      val rawShingles =
+        "CASE WHEN size(tk) >= 3 THEN " +
+        "zip_with(zip_with(slice(tk, 1, size(tk) - 2), slice(tk, 2, size(tk) - 2), " +
+        "(x, y) -> concat(x, ' ', y)), slice(tk, 3, size(tk) - 2), " +
+        "(xy, z) -> concat(xy, ' ', z)) ELSE array() END"
       val sh = withTokens(Tables(s, dir, "documents"))
-        .select(col("source"), explode(expr(shinglesSql("tk"))).as("sh"))
+        .select(col("source"), explode(expr(rawShingles)).as("sh"))
+      // 16 min-aggregate COLUMNS in one codegen'd pass — not a 16x row
+      // explode: the perm fan-out stays inside the aggregate buffer, so
+      // the scan reads each shingle once and the exchange still carries
+      // sources x 16 values
       val ph = sh
-        .select(col("source"), explode(expr(
-          """transform(sequence(0, 15), p -> struct(p AS p,
-            |CAST(conv(substr(md5(concat(CAST(p AS STRING), '|', sh)), 1, 15), 16, 10)
-            |  AS BIGINT) AS h))""".stripMargin)).as("x"))
-        .groupBy(col("source"), col("x.p").as("p"))
-        .agg(min(col("x.h")).as("h"))
-      val sig = ph.groupBy(col("source"))
-        .agg(expr("transform(sort_array(collect_list(struct(p, h))), x -> x.h)").as("sig"))
+        .withColumn("h1", expr(
+          "CAST(conv(substr(md5(sh), 1, 14), 16, 10) AS BIGINT)"))
+        .withColumn("h2", expr(
+          "CAST(conv(substr(md5(concat('x', sh)), 1, 14), 16, 10) AS BIGINT)"))
+        .groupBy(col("source"))
+        .agg(min(col("h1")).as("h0"),
+          (1 to 15).map(p => min(col("h1") + lit(p.toLong) * col("h2")).as(s"h$p")): _*)
+      val sig = ph.select(col("source"),
+        array((0 to 15).map(p => col(s"h$p")): _*).as("sig"))
       val a = sig.select(col("source").as("src_a"), col("sig").as("sa"))
       val b = sig.select(col("source").as("src_b"), col("sig").as("sb"))
       a.crossJoin(broadcast(b)).filter(col("src_a") < col("src_b"))
@@ -1741,9 +1756,9 @@ object LlmQueries extends QueryModule {
         |SELECT t.source, t.total, p50.p50_lo, p90.p90_lo
         |FROM t JOIN p50 USING (source) JOIN p90 USING (source)
         |ORDER BY source""".stripMargin,
-    // per-perm md5 re-hash (first 15 hex chars as a 60-bit int) so the
-    // permuted min is computable on both engines; signature agreement
-    // over 16 perms estimates source-pair Jaccard
+    // double hashing: two md5-derived 56-bit bases, perm p = h1 + p*h2
+    // (overflow-free BIGINT on both engines); signature agreement over
+    // 16 perms estimates source-pair Jaccard
     "q134_source_minhash" ->
       """WITH tk AS (SELECT source,
         |              string_split_regex(trim(text), '\s+') AS tk
@@ -1752,10 +1767,12 @@ object LlmQueries extends QueryModule {
         |         list_transform(range(1, len(tk) - 1),
         |           i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])
         |         ELSE [] END) AS s FROM tk),
-        |ph AS (SELECT source, p,
-        |         min(('0x' || substr(md5(CAST(p AS VARCHAR) || '|' || s),
-        |           1, 15))::BIGINT) AS h
-        |       FROM sh CROSS JOIN (SELECT unnest(range(0, 16)) AS p)
+        |hh AS (SELECT source,
+        |         ('0x' || substr(md5(s), 1, 14))::BIGINT AS h1,
+        |         ('0x' || substr(md5('x' || s), 1, 14))::BIGINT AS h2
+        |       FROM sh),
+        |ph AS (SELECT source, p, min(h1 + p * h2) AS h
+        |       FROM hh CROSS JOIN (SELECT unnest(range(0, 16)) AS p)
         |       GROUP BY source, p),
         |sig AS (SELECT source, list(h ORDER BY p) AS sig FROM ph
         |        GROUP BY source)
