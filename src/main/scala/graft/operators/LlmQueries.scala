@@ -381,6 +381,40 @@ object LlmQueries extends QueryModule {
   private val dotSql = "vec_dot(av, bv)"
   private def normSqlOf(v: String) = s"sqrt(vec_dot($v, $v))"
 
+  /** q132's PQ training + encode stage, exposed so the spec can pin
+    * mechanism parity (the engine's chosen code per (vector, subspace)
+    * equals an independent argmin over the same fixed-point codebook).
+    * Returns (codebook, enc): codebook is (code, m, c8, nc) — the per-label
+    * 8-dim sub-centroids in CentroidFixed's order-independent fixed-point
+    * arithmetic, ~labels x 8 tiny rows, broadcast everywhere; enc is
+    * (vec_id, m, code) — the q127 partial-agg argmin keyed by (vec_id, m),
+    * so the n x codes stream partial-aggregates map-side and the encode
+    * exchange carries M=8 rows per vector. */
+  private[graft] def pqEncode(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    graft.functions.GraftFunctions.register(s) // vec_dot
+    val e = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val centroid = udaf(new graft.functions.VectorAggregators.CentroidFixed(64))
+    val cells = e.groupBy(col("label")).agg(centroid(col("v")).as("cv"))
+      .select(col("label").as("code"), col("cv"))
+    val codebook = cells
+      .select(col("code"), explode(expr(
+        "transform(sequence(0, 7), m -> struct(m AS m, slice(cv, m*8+1, 8) AS c8))")).as("x"))
+      .select(col("code"), col("x.m").as("m"), col("x.c8").as("c8"))
+      .withColumn("nc", expr("vec_dot(c8, c8)"))
+    val sub = e.select(col("vec_id"), explode(expr(
+        "transform(sequence(0, 7), m -> struct(m AS m, slice(v, m*8+1, 8) AS sv))")).as("x"))
+      .select(col("vec_id"), col("x.m").as("m"), col("x.sv").as("sv"))
+      .withColumn("nv", expr("vec_dot(sv, sv)"))
+    val enc = sub.join(broadcast(codebook), Seq("m"))
+      .withColumn("d", col("nv") + col("nc") - lit(2) * expr("vec_dot(sv, c8)"))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(struct(col("d"), col("code"))).as("sel"))
+      .select(col("vec_id"), col("m"), col("sel.code").as("code"))
+    (codebook, enc)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // --- text analysis: token counting (whitespace + BPE-ish regex),
@@ -1047,27 +1081,10 @@ object LlmQueries extends QueryModule {
     // are the SAME expression tree (nv + nc - 2*dot, index-order folds)
     // so the argmin and the rounded output agree bit-for-bit.
     "q132_ann_pq" -> ((s, dir) => {
-      graft.functions.GraftFunctions.register(s) // vec_dot
+      val (codebook, enc) = pqEncode(s, dir)
       val e = Tables(s, dir, "embeddings")
-        .select(col("vec_id"), col("label"),
+        .select(col("vec_id"),
           expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-      val centroid = udaf(new graft.functions.VectorAggregators.CentroidFixed(64))
-      val cells = e.groupBy(col("label")).agg(centroid(col("v")).as("cv"))
-        .select(col("label").as("code"), col("cv"))
-      val codebook = cells
-        .select(col("code"), explode(expr(
-          "transform(sequence(0, 7), m -> struct(m AS m, slice(cv, m*8+1, 8) AS c8))")).as("x"))
-        .select(col("code"), col("x.m").as("m"), col("x.c8").as("c8"))
-        .withColumn("nc", expr("vec_dot(c8, c8)"))
-      val sub = e.select(col("vec_id"), explode(expr(
-          "transform(sequence(0, 7), m -> struct(m AS m, slice(v, m*8+1, 8) AS sv))")).as("x"))
-        .select(col("vec_id"), col("x.m").as("m"), col("x.sv").as("sv"))
-        .withColumn("nv", expr("vec_dot(sv, sv)"))
-      val enc = sub.join(broadcast(codebook), Seq("m"))
-        .withColumn("d", col("nv") + col("nc") - lit(2) * expr("vec_dot(sv, c8)"))
-        .groupBy(col("vec_id"), col("m"))
-        .agg(min(struct(col("d"), col("code"))).as("sel"))
-        .select(col("vec_id"), col("m"), col("sel.code").as("code"))
       // what PQ serving stores is (vec_id, 8 codes); the reconstruction
       // below is the decode the ADC distance implicitly runs against
       val recon = enc

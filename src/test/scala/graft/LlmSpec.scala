@@ -58,6 +58,80 @@ class LlmSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Fnv64.hash("") == 0xcbf29ce484222325L)
   }
 
+  test("q134 minhash sketch is mergeable: sig(A ∪ B) = elementwise min of half-sigs") {
+    // the property that makes the per-source signature a SKETCH: shard the
+    // corpus any way, sketch each shard, merge by elementwise min — the
+    // result is bit-identical to sketching the whole. This is what lets
+    // 1000 executors sketch 100 TB with a sources x 16 exchange.
+    import org.apache.spark.sql.DataFrame
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    def sigs(df: DataFrame): Map[String, Seq[Long]] = {
+      val sh = df.withColumn("tk", expr("split(trim(text), '\\\\s+')"))
+        .select(col("source"), explode(expr(
+          "CASE WHEN size(tk) >= 3 THEN zip_with(zip_with(" +
+          "slice(tk, 1, size(tk) - 2), slice(tk, 2, size(tk) - 2), " +
+          "(x, y) -> concat(x, ' ', y)), slice(tk, 3, size(tk) - 2), " +
+          "(xy, z) -> concat(xy, ' ', z)) ELSE array() END")).as("sh"))
+        .withColumn("h1", expr("CAST(conv(substr(md5(sh), 1, 14), 16, 10) AS BIGINT)"))
+        .withColumn("h2", expr("CAST(conv(substr(md5(concat('x', sh)), 1, 14), 16, 10) AS BIGINT)"))
+      sh.groupBy(col("source"))
+        .agg(min(col("h1")).as("h0"),
+          (1 to 15).map(p => min(col("h1") + lit(p.toLong) * col("h2")).as(s"h$p")): _*)
+        .collect().map(r => r.getString(0) -> (0 to 15).map(p => r.getLong(p + 1)))
+        .toMap
+    }
+    val whole = sigs(docs)
+    val a = sigs(docs.filter(col("doc_id") % 2 === 0))
+    val b = sigs(docs.filter(col("doc_id") % 2 === 1))
+    assert(whole.nonEmpty)
+    whole.foreach { case (src, sig) =>
+      val merged = (a.get(src), b.get(src)) match {
+        case (Some(x), Some(y)) => x.zip(y).map { case (u, v) => math.min(u, v) }
+        case (Some(x), None) => x
+        case (None, Some(y)) => y
+        case (None, None) => fail(s"source $src in neither half")
+      }
+      assert(merged == sig, s"merge mismatch for $src")
+    }
+  }
+
+  test("q132 PQ encode: engine code per (vector, subspace) = driver argmin over the codebook") {
+    // The sf0.001 embeddings are unit-norm with labels that are NOT
+    // geometric clusters, so no geometry-based recall property can hold
+    // for ANY quantizer on this data. The property that CAN be pinned is
+    // mechanism parity: for every (vector, subspace m) the engine's
+    // chosen code must equal an independent in-driver argmin of
+    // ||sv - c8||² over the fixed-point codebook, computed with the same
+    // index-order fold (d = nv + nc - 2·dot), ties broken by smallest
+    // code — exactly min(struct(d, code)). Also pins that the codebook
+    // quantizes (more than one code used) so the parity isn't vacuous.
+    val (codebookDf, encDf) = graft.operators.LlmQueries.pqEncode(spark, dir)
+    val codebook = codebookDf.collect()
+      .map(r => ((r.getInt(1), r.getInt(0)), r.getSeq[Double](2).toArray))
+      .toMap // (m, code) -> c8
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val enc = encDf.collect().map(r => ((r.getLong(0), r.getInt(1)), r.getInt(2))).toMap
+    assert(enc.size == vecs.size * 8, "one code per (vector, subspace)")
+    val codes = codebook.keys.map(_._2).toSeq.distinct.sorted
+    enc.foreach { case ((vid, m), got) =>
+      val sv = vecs(vid).slice(m * 8, m * 8 + 8)
+      val nv = dot(sv, sv)
+      val want = codes.minBy { code =>
+        val c8 = codebook((m, code))
+        (nv + dot(c8, c8) - 2 * dot(sv, c8), code)
+      }
+      assert(got == want, s"vec $vid subspace $m: engine chose $got, argmin is $want")
+    }
+    assert(enc.values.toSet.size > 1, "codebook actually quantizes (>1 code in use)")
+  }
+
   test("exact dedup finds every planted copy") {
     val rows = q("q33_dedup_exact").collect()
     assert(rows.length == 500)
