@@ -838,6 +838,97 @@ object CorpusQueries extends QueryModule {
       ranks.join(deg, col("node") === col("src"))
         .select(col("node").as("doc_id"), col("deg"), col("r").as("rank_e10"))
         .orderBy(col("doc_id"))
+    }),
+
+    // --- canonical-document selection: near-dup clustering tells you WHICH
+    // docs are duplicates; curation then keeps exactly one per cluster —
+    // and production pipelines keep the BEST member (longest / highest
+    // quality), not the min-id one, because the planted truncated copies
+    // are exactly the kind of degraded variant you want dropped. Keeper =
+    // argmax(n_words, tie min doc_id) per cluster, i.e. max(struct(w,
+    // -id)) — the q127 partial-agg argmax shape, so a boilerplate cluster
+    // with 10⁶ members reduces map-side and the only exchanges are the
+    // doc_id-keyed stats join and one cluster-keyed aggregate. No window
+    // over members, nothing cluster²; composes the q34 pair graph + CC
+    // machinery that is already hash-gated in q59.
+    "q135_cluster_keeper" -> ((s, dir) => {
+      val pairs = LlmQueries.queries("q34_ngram_jaccard")(s, dir)
+        .select(col("doc_a"), col("doc_b")).localCheckpoint()
+      val clusters = connectedComponents(pairs, propagationCap = 30)
+      val stats = LlmQueries.plantedNear(s, dir)
+        .select(col("doc_id"), expr(s"size($toksSql)").as("n_words"))
+      clusters.join(stats, Seq("doc_id"))
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n_members"),
+          max(struct(col("n_words").as("w"), (-col("doc_id")).as("nid"))).as("sel"))
+        .select(col("cluster"), (-col("sel.nid")).as("keeper_id"),
+          col("sel.w").as("keep_words"), col("n_members"))
+        .orderBy(col("cluster"))
+    }),
+
+    // --- corpus distribution drift: per-source total-variation distance
+    // between the language mix of two snapshot halves (doc_id parity
+    // stands in for this-week/last-week) — the monitoring query a 100 TB
+    // ingest runs to catch a source whose composition shifted. Shape: one
+    // map-side-combined groupBy whose exchange carries sources x langs
+    // rows, then per-source totals via a window over those AGGREGATED
+    // rows (the q76/q103 bounded-window convention — partitions are
+    // langs-sized, never corpus-sized). Per-lang |p - q| terms are
+    // rounded to DECIMAL(28,10) BEFORE summing, so the cross-engine sum
+    // is exact and order-independent (the q117 pattern); only the final
+    // scalar halving touches doubles.
+    "q136_source_drift" -> ((s, dir) => {
+      val w = Window.partitionBy(col("source"))
+      // snapshot halves by CONTENT hash (q60's convention), not doc_id
+      // parity: the harness assigns doc_id round-robin across sources, so
+      // parity is perfectly correlated with source and the "halves" would
+      // be degenerate (all-even or all-odd per source)
+      Tables(s, dir, "documents")
+        .select(col("source"), col("lang"), expr(
+          "CAST(conv(substring(md5(text), 1, 2), 16, 10) AS INT) % 2 = 0").as("ev"))
+        .groupBy(col("source"), col("lang"))
+        .agg(sum(when(col("ev"), 1L).otherwise(0L)).as("ce"),
+          sum(when(!col("ev"), 1L).otherwise(0L)).as("co"))
+        .withColumn("te", sum(col("ce")).over(w))
+        .withColumn("to", sum(col("co")).over(w))
+        // an empty snapshot half (te or to = 0) forces its every per-lang
+        // count to 0 too, so coalesce(p, 0) IS the true mass — and keeps
+        // ANSI division from throwing on the degenerate source
+        .withColumn("term", expr(
+          "CAST(round(abs(coalesce(ce / CAST(nullif(te, 0) AS DOUBLE), 0D)" +
+            " - coalesce(co / CAST(nullif(to, 0) AS DOUBLE), 0D)), 10) AS DECIMAL(28,10))"))
+        .groupBy(col("source"))
+        .agg(max(col("te")).as("n_even"), max(col("to")).as("n_odd"),
+          count(lit(1)).as("n_langs"),
+          round(sum(col("term")).cast("double") / 2, 6).as("tv_drift"))
+        .orderBy(col("source"))
+    }),
+
+    // --- quality-classifier inference (fastText-shaped): hashed
+    // bag-of-words features (the q110 bucketing) scored against a linear
+    // model, logit = Σ cnt_b · w_b / n_terms, keep = logit > 0. The
+    // weights here are a deterministic closed form of the bucket id
+    // (Knuth-hash milli-units in [-1000, 1000]) so the oracle replicates
+    // them exactly; a trained model would broadcast its 256-entry weight
+    // table instead — same plan, one tiny broadcast more. Everything is
+    // INTEGER until the final per-doc division (counts x milli-weights),
+    // so no float-sum ordering exists to drift. Scale shape: explode →
+    // one (doc, bucket) map-side-combined groupBy → one doc-keyed
+    // aggregate; pure linear pipeline, no joins, no windows.
+    "q137_quality_classifier" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(expr(toksSql)).as("term"))
+        .withColumn("bucket",
+          expr("CAST(conv(substring(md5(term), 1, 4), 16, 10) AS INT) % 256"))
+        .groupBy(col("doc_id"), col("bucket")).agg(count(lit(1)).as("cnt"))
+        .withColumn("wm", expr("(bucket * 2654435761) % 2001 - 1000"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("nnz"),
+          sum(col("cnt") * col("wm")).as("lm"), sum(col("cnt")).as("n_terms"))
+        .select(col("doc_id"), col("nnz"),
+          round(col("lm") / (col("n_terms") * lit(1000.0)), 6).as("logit"),
+          (col("lm") > 0).as("keep"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -1044,6 +1135,85 @@ object CorpusQueries extends QueryModule {
         |  SELECT e.src, r.r FROM edges e JOIN reach r ON r.node = e.dst)
         |SELECT node AS doc_id, MIN(r) AS cluster
         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+    // q59's recursive-CTE cluster truth extended with per-member word
+    // counts; the oracle's keeper pick is the naive window formulation of
+    // the engine's max(struct(n_words, -doc_id)) partial agg.
+    "q135_cluster_keeper" ->
+      """WITH RECURSIVE corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000,
+        |    array_to_string(string_split_regex(trim(text), '\s+')[1:greatest(
+        |      len(string_split_regex(trim(text), '\s+')) - 5, 1)], ' ')
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(tk) >= 3 THEN
+        |    list_transform(range(1, len(tk) - 1),
+        |      i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])
+        |    ELSE [] END) AS sh
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM corpus)),
+        |ex AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS s FROM sh),
+        |exd AS (SELECT doc_id, sz, s,
+        |          COUNT(*) OVER (PARTITION BY s) AS df FROM ex),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM exd a JOIN exd b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id, a.sz, b.sz
+        |  HAVING COUNT(*) / (a.sz + b.sz - COUNT(*)) >= 0.5
+        |    AND MIN(a.df) <= 256), -- engine's shingle df-cap
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs),
+        |reach(node, r) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, r.r FROM edges e JOIN reach r ON r.node = e.dst),
+        |cc AS (SELECT node AS doc_id, MIN(r) AS cluster
+        |       FROM reach GROUP BY node),
+        |stats AS (SELECT doc_id,
+        |    len(string_split_regex(trim(text), '\s+')) AS n_words
+        |  FROM corpus),
+        |sel AS (SELECT cluster, doc_id, n_words,
+        |    ROW_NUMBER() OVER (PARTITION BY cluster
+        |      ORDER BY n_words DESC, doc_id ASC) AS rn,
+        |    COUNT(*) OVER (PARTITION BY cluster) AS n_members
+        |  FROM cc JOIN stats USING (doc_id))
+        |SELECT cluster, doc_id AS keeper_id, n_words AS keep_words, n_members
+        |FROM sel WHERE rn = 1 ORDER BY cluster""".stripMargin,
+    "q136_source_drift" ->
+      """WITH cnt AS (
+        |  SELECT source, lang,
+        |    COUNT(*) FILTER (WHERE CAST('0x' || substr(md5(text), 1, 2) AS INT) % 2 = 0) AS ce,
+        |    COUNT(*) FILTER (WHERE CAST('0x' || substr(md5(text), 1, 2) AS INT) % 2 <> 0) AS co
+        |  FROM documents GROUP BY 1, 2),
+        |tot AS (
+        |  -- windowed SUM(BIGINT) is HUGEINT in DuckDB -> float64 in the
+        |  -- compare; pin BIGINT to match the engine's long totals
+        |  SELECT *, CAST(SUM(ce) OVER (PARTITION BY source) AS BIGINT) AS te,
+        |    CAST(SUM(co) OVER (PARTITION BY source) AS BIGINT) AS "to"
+        |  FROM cnt)
+        |SELECT source, MAX(te) AS n_even, MAX("to") AS n_odd,
+        |  COUNT(*) AS n_langs,
+        |  round(CAST(SUM(CAST(round(abs(
+        |      coalesce(ce / CAST(nullif(te, 0) AS DOUBLE), 0)
+        |      - coalesce(co / CAST(nullif("to", 0) AS DOUBLE), 0)), 10)
+        |    AS DECIMAL(28,10))) AS DOUBLE) / 2, 6) AS tv_drift
+        |FROM tot GROUP BY source ORDER BY source""".stripMargin,
+    "q137_quality_classifier" ->
+      """WITH t AS (SELECT doc_id,
+        |    unnest(string_split_regex(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |b AS (SELECT doc_id,
+        |    CAST('0x' || substr(md5(term), 1, 4) AS INT) % 256 AS bucket,
+        |    COUNT(*) AS cnt
+        |  FROM t GROUP BY 1, 2),
+        |sc AS (SELECT doc_id, COUNT(*) AS nnz,
+        |    SUM(cnt * ((bucket * 2654435761) % 2001 - 1000)) AS lm,
+        |    SUM(cnt) AS n_terms
+        |  FROM b GROUP BY doc_id)
+        |SELECT doc_id, nnz, round(lm / (n_terms * 1000.0), 6) AS logit,
+        |  lm > 0 AS keep
+        |FROM sc ORDER BY doc_id""".stripMargin,
     // Same pair graph as q59; 3 fixed-point PageRank rounds in integer
     // arithmetic (ranks in 1e-10 units, floor division — positive
     // operands, so DuckDB's // and Spark's div agree).

@@ -278,8 +278,10 @@ object LlmQueries extends QueryModule {
     d.unionByName(d.select((col("doc_id") + 10000).as("doc_id"), col("text")))
   }
 
-  /** Documents plus a near-duplicate copy (last 5 tokens dropped). */
-  private def plantedNear(s: SparkSession, dir: String): DataFrame = {
+  /** Documents plus a near-duplicate copy (last 5 tokens dropped).
+    * `private[operators]`: CorpusQueries' cluster-keeper query (q135)
+    * scores the SAME planted corpus the q34/q59 pair graph runs over. */
+  private[operators] def plantedNear(s: SparkSession, dir: String): DataFrame = {
     val d = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
     d.unionByName(withTokens(d).select((col("doc_id") + 10000).as("doc_id"),
       expr("array_join(slice(tk, 1, greatest(size(tk) - 5, 1)), ' ')").as("text")))

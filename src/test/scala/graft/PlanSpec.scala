@@ -332,6 +332,39 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("Window"), p)
   }
 
+  test("q135 cluster keeper: argmax is a partial agg keyed by cluster, no member window") {
+    // Keeper selection over a duplicate cluster must reduce map-side —
+    // a row_number window over members would funnel a 10⁶-member
+    // boilerplate cluster through one sort task. Pin: the max(struct)
+    // aggregate's cluster-keyed exchange exists, and no Window / no
+    // CartesianProduct anywhere after the (checkpointed) CC stage.
+    val p = plan("q135_cluster_keeper")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("hashpartitioning(cluster"), p)
+  }
+
+  test("q136 source drift: one stats exchange, window only over aggregated rows") {
+    // The corpus-sized stream dies in the (source, lang) partial agg;
+    // the per-source totals window runs over those AGGREGATED rows
+    // (langs-sized partitions), and the final per-source agg reuses the
+    // window's source partitioning — two hash exchanges total.
+    val p = plan("q136_source_drift")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("windowspecdefinition(source"), p)
+    assert("hashpartitioning\\(".r.findAllIn(p).size == 2, p)
+  }
+
+  test("q137 quality classifier: pure linear pipeline — no joins, no windows") {
+    // Model weights are a closed form of the bucket id, so inference is
+    // explode -> (doc, bucket) map-side-combined agg -> doc agg: two
+    // hash exchanges, nothing else.
+    val p = plan("q137_quality_classifier")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Window"), p)
+    assert("hashpartitioning\\(".r.findAllIn(p).size == 2, p)
+  }
+
   test("q131 multi-probe IVF: same window-free shapes as q46 at nprobe=2") {
     val p = plan("q131_ann_ivf_multiprobe")
     assert(p.contains("BroadcastNestedLoopJoin"), p)
