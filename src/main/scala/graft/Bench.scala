@@ -159,13 +159,15 @@ object Bench {
     def r2(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     def shortKey(name: String): String = name.split("_").head
-    // Per-query wire values clamp at 99.99 s: the tail budget buys one
-    // char per entry (132 entries = the whole round-7 overflow), totals
-    // keep 1 ms precision, and bench_detail.json keeps exact values —
-    // a >100 s query would already be screaming from the total.
+    // Per-query wire values clamp at 9.99 s: the tail budget buys one
+    // char per entry each time the cap drops a digit (99.99 -> 9.99
+    // covered the round-7 growth to 140 queries), totals keep 1 ms
+    // precision, and bench_detail.json keeps exact values — a saturated
+    // 9.99 still names the regressed query, and a >10 s query is
+    // already screaming from the total.
     def jmap(f: ((String, Double, Double)) => Double): String =
       (results ++ opResults).map(r =>
-        "\"" + shortKey(r._1) + "\":" + r2(math.min(f(r), 99.99)))
+        "\"" + shortKey(r._1) + "\":" + r2(math.min(f(r), 9.99)))
         .mkString("{", ",", "}")
     val total = results.map(_._3).sum
     val firstTotal = results.map(_._2).sum
@@ -185,7 +187,10 @@ object Bench {
     // line-length budget as the query count grows.
     def r1(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
-    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${jmap(_._3)},"first_total":${r3(firstTotal)},"max_over_min":${r3(maxOverMin)},"steal_pct":${r1(stealPct)},"load1":${r1(load1)},"cal":${r3(calib)},"sf":"$sfDir"}"""
+    // sf as basename: the full testdata path spent 15 tail-budget chars
+    // saying what "sf0.1" already says
+    val sfName = new java.io.File(sfDir).getName
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${jmap(_._3)},"first_total":${r3(firstTotal)},"max_over_min":${r3(maxOverMin)},"steal_pct":${r1(stealPct)},"load1":${r1(load1)},"cal":${r3(calib)},"sf":"$sfName"}"""
     val detail = (results ++ opResults).map(r =>
       s"""{"query":"${r._1}","first":${r._2},"min":${r._3}}""")
       .mkString("[", ",", "]")

@@ -929,6 +929,67 @@ object CorpusQueries extends QueryModule {
           round(col("lm") / (col("n_terms") * lit(1000.0)), 6).as("logit"),
           (col("lm") > 0).as("keep"))
         .orderBy(col("doc_id"))
+    }),
+
+    // --- per-source document cap: keep at most K docs per source, picked
+    // by deterministic content-hash order (the CC-pipeline "cap docs per
+    // domain" rule — a mega-domain must not dominate the training mix,
+    // and hash order makes the kept subset reproducible and unbiased
+    // rather than ingest-order-biased). The selection is the q37/q107
+    // bounded-heap TopK aggregate, NOT a row_number window: a window
+    // sorts each source's FULL doc set inside one task (a mega-domain at
+    // 100 TB is billions of rows), while the heap keeps K (hash, id)
+    // pairs per partial buffer and merges map-side, so the only exchange
+    // carries O(sources x K) rows regardless of domain skew. Hash asc =
+    // score desc on the negated hash; ties (md5-prefix collisions) break
+    // toward the smaller doc_id in both engines.
+    "q139_source_cap" -> ((s, dir) => {
+      val topk = udaf(new graft.functions.TopKAggregator.TopK(20),
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaDouble,
+          org.apache.spark.sql.Encoders.scalaLong))
+      Tables(s, dir, "documents")
+        .select(col("source"), col("doc_id"), expr(uhashSql).as("h"))
+        // uhash < 2^32 is exact in a double, so the negation is lossless
+        .groupBy(col("source"))
+        .agg(topk((-col("h")).cast("double"), col("doc_id")).as("top"))
+        .select(col("source"), posexplode(col("top")))
+        .select(col("source"), (col("pos") + 1).as("rnk"),
+          col("col._2").as("doc_id"), (-col("col._1")).cast("long").as("h"))
+        .orderBy(col("source"), col("rnk"))
+    }),
+
+    // --- graded contamination scoring: q80 flags docs with ANY eval
+    // 8-gram overlap; production decontamination instead grades each doc
+    // by the FRACTION of its distinct 8-grams that hit the eval set and
+    // drops only above a threshold (a quote of one benchmark question
+    // should not kill a long document). Shape: explode_outer keeps
+    // zero-gram docs in the stream, the eval gram set broadcasts (bounded
+    // by the benchmark, not the corpus), and the per-doc fraction is ONE
+    // map-side-combined doc-keyed aggregate — no doc self-join, one
+    // corpus-sized exchange. The keep/drop gate is pure integer
+    // arithmetic (5 * n_overlap >= n_grams, i.e. frac >= 0.2), so the
+    // decision can never straddle a float-rounding boundary between
+    // engines; frac itself is one IEEE division of exact ints + round.
+    "q140_contamination_frac" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents").withColumn("tk", expr(toksSql))
+      val bench = docs.filter(col("doc_id") % 5 === 0)
+        .select(explode(expr(gramsSql("tk", 8))).as("g")).distinct()
+        .withColumn("hit", lit(1L))
+      docs.filter(col("doc_id") % 5 =!= 0)
+        .select(col("doc_id"), expr(gramsSql("tk", 8)).as("gs"))
+        .select(col("doc_id"), size(col("gs")).as("n_grams"),
+          explode_outer(col("gs")).as("g"))
+        .join(broadcast(bench), Seq("g"), "left")
+        .groupBy(col("doc_id"))
+        .agg(max(col("n_grams")).as("n_grams"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_overlap"))
+        .select(col("doc_id"), col("n_grams"), col("n_overlap"),
+          round(col("n_overlap") /
+            greatest(col("n_grams"), lit(1)).cast("double"), 6).as("frac"),
+          (col("n_overlap") * 5 >= greatest(col("n_grams"), lit(1)))
+            .as("contaminated"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -1214,6 +1275,38 @@ object CorpusQueries extends QueryModule {
         |SELECT doc_id, nnz, round(lm / (n_terms * 1000.0), 6) AS logit,
         |  lm > 0 AS keep
         |FROM sc ORDER BY doc_id""".stripMargin,
+    // naive window formulation of the engine's bounded-heap TopK: the
+    // heap's (score desc, id asc) tie-break = (hash asc, doc_id asc)
+    "q139_source_cap" ->
+      """WITH h AS (SELECT source, doc_id,
+        |    CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) AS h
+        |  FROM documents),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+        |        ORDER BY h ASC, doc_id ASC) AS rnk FROM h)
+        |SELECT source, rnk, doc_id, h FROM r
+        |WHERE rnk <= 20 ORDER BY source, rnk""".stripMargin,
+    "q140_contamination_frac" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, array_to_string(t[i : i + 7], ' ') AS g
+        |  FROM toks, UNNEST(generate_series(1, len(t) - 7)) AS u(i)
+        |  WHERE len(t) >= 8),
+        |ng AS (SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY 1),
+        |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 5 = 0),
+        |ov AS (SELECT g2.doc_id, COUNT(*) AS n_overlap
+        |       FROM grams g2 JOIN bench USING (g)
+        |       WHERE g2.doc_id % 5 <> 0 GROUP BY 1)
+        |SELECT t.doc_id,
+        |  CAST(coalesce(ng.n_grams, 0) AS BIGINT) AS n_grams,
+        |  CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+        |  round(coalesce(ov.n_overlap, 0) /
+        |    CAST(greatest(coalesce(ng.n_grams, 0), 1) AS DOUBLE), 6) AS frac,
+        |  coalesce(ov.n_overlap, 0) * 5 >= greatest(coalesce(ng.n_grams, 0), 1)
+        |    AS contaminated
+        |FROM toks t LEFT JOIN ng USING (doc_id) LEFT JOIN ov USING (doc_id)
+        |WHERE t.doc_id % 5 <> 0 ORDER BY t.doc_id""".stripMargin,
     // Same pair graph as q59; 3 fixed-point PageRank rounds in integer
     // arithmetic (ranks in 1e-10 units, floor division — positive
     // operands, so DuckDB's // and Spark's div agree).

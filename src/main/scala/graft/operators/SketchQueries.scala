@@ -185,6 +185,48 @@ object SketchQueries extends QueryModule {
               .cast(org.apache.spark.sql.types.DecimalType(38, 6)))
               .cast("double") / count(lit(1))), 4).as("mean_dist"))
         .orderBy(col("cid"))
+    }),
+
+    // --- a FULL k-means Lloyd iteration: q94's assignment step plus the
+    // centroid re-estimation it feeds — assign every vector to its
+    // nearest seed (broadcast cross join, argmin as the partial-agged
+    // min(struct), vector payload riding along), then recompute each
+    // cluster's centroid with the CentroidFixed UDAF. The re-estimation
+    // is the step that makes k-means trainable at 100 TB, and its scale
+    // property is exactly CentroidFixed's: fixed-point component sums
+    // partial-aggregate map-side, so the only exchange after assignment
+    // carries k x partitions small buffers — never vectors. Per-cluster
+    // `shift` (seed -> new centroid L2) is the convergence metric the
+    // training loop stops on; every float op after the bit-deterministic
+    // centroid is a fixed sequence the oracle replays (the q46
+    // convention), which is what lets a clustering ITERATION be
+    // hash-gated cross-engine rather than rows-only.
+    "q138_kmeans_lloyd" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val dot = "vec_dot(%s, %s)"
+      val e = Tables(s, dir, "embeddings")
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      val seeds = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("v").as("c"))
+      // (d2, cid) is unique per vector, so the struct comparison never
+      // reaches the v payload (same argument as q46's cell assignment)
+      val assigned = e.crossJoin(broadcast(seeds))
+        .withColumn("d2",
+          expr(dot.format("v", "v")) - lit(2.0) * expr(dot.format("v", "c")) +
+            expr(dot.format("c", "c")))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("d2"), col("cid"), col("v"))).as("m"))
+        .select(col("m.cid").as("cid"), col("m.v").as("v"))
+      val centroid = udaf(new graft.functions.VectorAggregators.CentroidFixed(64))
+      assigned.groupBy(col("cid"))
+        .agg(count(lit(1)).as("n"), centroid(col("v")).as("nc"))
+        .join(broadcast(seeds), Seq("cid"))
+        .withColumn("dv", expr("zip_with(nc, c, (a, b) -> a - b)"))
+        .select(col("cid"), col("n"),
+          round(expr("sqrt(vec_dot(dv, dv))"), 6).as("shift"),
+          round(expr("sqrt(vec_dot(nc, nc))"), 6).as("new_norm"))
+        .orderBy(col("cid"))
     })
   )
 
@@ -243,6 +285,37 @@ object SketchQueries extends QueryModule {
         |SELECT cid, COUNT(*) AS n,
         |  round(CAST(SUM(CAST(sqrt(greatest(d2, 0)) AS DECIMAL(38,6))) AS DOUBLE)
         |    / COUNT(*), 4) AS mean_dist
-        |FROM a WHERE rnk = 1 GROUP BY cid ORDER BY cid""".stripMargin
+        |FROM a WHERE rnk = 1 GROUP BY cid ORDER BY cid""".stripMargin,
+    // q94's assignment CTEs + the q46 fixed-point centroid replication:
+    // new centroids are exact integer sums of floor(x * 2^32), so both
+    // engines compute bit-identical vectors; shift/new_norm replay the
+    // engine's float op sequence (elementwise diff, then the same
+    // index-order dot-product fold).
+    "q138_kmeans_lloyd" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < 8),
+        |d AS (SELECT e.vec_id, c.cid, e.v,
+        |        list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c.c)
+        |          + list_dot_product(c.c, c.c) AS d2
+        |      FROM e CROSS JOIN c),
+        |a AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |        ORDER BY d2 ASC, cid ASC) AS rnk FROM d),
+        |asg AS (SELECT vec_id, cid, v FROM a WHERE rnk = 1),
+        |idx AS (SELECT unnest(range(1, 65)) AS i),
+        |comp AS (SELECT cid, i, CAST(floor(v[i] * 4294967296.0) AS BIGINT) AS fx
+        |         FROM asg CROSS JOIN idx),
+        |cent AS (SELECT cid, i, sum(fx) AS sm, count(*) AS n
+        |         FROM comp GROUP BY cid, i),
+        |m AS (SELECT cid, MAX(n) AS n,
+        |        list(CAST(sm AS DOUBLE) / 4294967296.0 / n ORDER BY i) AS ncv
+        |      FROM cent GROUP BY cid),
+        |j AS (SELECT m.cid, m.n, m.ncv,
+        |        list_transform(range(1, 65), i -> m.ncv[i] - c.c[i]) AS dv
+        |      FROM m JOIN c USING (cid))
+        |SELECT cid, n,
+        |  round(sqrt(list_dot_product(dv, dv)), 6) AS shift,
+        |  round(sqrt(list_dot_product(ncv, ncv)), 6) AS new_norm
+        |FROM j ORDER BY cid""".stripMargin
   )
 }

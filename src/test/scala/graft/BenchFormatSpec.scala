@@ -18,11 +18,11 @@ class BenchFormatSpec extends AnyFunSuite {
     val short = names.map(_.split("_").head)
     assert(short.distinct.size == names.size,
       "short qNN bench keys must stay unique across query names")
-    // Worst case per entry: "qNN":99.99, — 10 ms resolution, clamped at
-    // 99.99 s on the wire (totals keep 1 ms; per-query 1 ms overflowed
-    // the tail at 122 queries, unclamped 999.99 overflowed at 130).
-    val entries = short.map(n => "\"" + n + "\":99.99").mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":99999.999,"unit":"sec","queries":$entries,"first_total":99999.999,"max_over_min":999.999,"steal_pct":99.9,"load1":99.9,"cal":99.999,"sf":"/root/testdata/sf0.1"}"""
+    // Worst case per entry: "qNN":9.99, — 10 ms resolution, clamped at
+    // 9.99 s on the wire (totals keep 1 ms; per-query 1 ms overflowed
+    // the tail at 122 queries, a 99.99 clamp overflowed at 140).
+    val entries = short.map(n => "\"" + n + "\":9.99").mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":99999.999,"unit":"sec","queries":$entries,"first_total":99999.999,"max_over_min":999.999,"steal_pct":99.9,"load1":99.9,"cal":99.999,"sf":"sf0.1"}"""
     // 2000-char tail minus ~100 chars of trailing sbt "[success]" noise.
     assert(line.length < 1900,
       s"bench line would be ${line.length} chars; trim the format or query names")
@@ -44,7 +44,7 @@ class BenchFormatSpec extends AnyFunSuite {
     val oracled = SparkEntry.oracleSql.keySet
     // the count the docs (README, SURVEY §8) advertise — update BOTH
     // when adding a query, or the driver-contract documentation drifts
-    assert(queries.size == 137, s"query count ${queries.size} != documented 137")
+    assert(queries.size == 140, s"query count ${queries.size} != documented 140")
     assert(oracled.subsetOf(queries),
       s"oracles without queries: ${(oracled -- queries).toSeq.sorted}")
     assert((queries -- oracled) == rowsOnly,

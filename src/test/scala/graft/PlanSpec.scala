@@ -365,6 +365,44 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert("hashpartitioning\\(".r.findAllIn(p).size == 2, p)
   }
 
+  test("q138 Lloyd iteration: assignment argmin + CentroidFixed both partial aggs, no window") {
+    // The full iteration must keep q94's assignment shape (broadcast
+    // seeds, min(struct) partial agg) AND re-estimate centroids without
+    // a new corpus exchange beyond the cid-keyed one: CentroidFixed is
+    // an ObjectHashAggregate whose fixed-point buffers merge map-side.
+    val p = plan("q138_kmeans_lloyd")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(p.contains("hashpartitioning(vec_id"), p)
+    assert(p.contains("hashpartitioning(cid"), p)
+  }
+
+  test("q139 source cap: bounded-heap TopK, one source-keyed exchange, no window") {
+    // A row_number window would sort a mega-domain's full doc set in one
+    // task; the heap ships O(sources x K) buffer rows instead. Pin: the
+    // TopK ObjectHashAggregate exists, the only hash exchange is the
+    // source-keyed one, and no Window / no sort of the input.
+    val p = plan("q139_source_cap")
+    assert(!p.contains("Window"), p)
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(p.contains("hashpartitioning(source"), p)
+    assert("hashpartitioning\\(".r.findAllIn(p).size == 1, p)
+  }
+
+  test("q140 contamination fraction: eval grams broadcast, one doc-keyed agg, no self-join") {
+    // The corpus-sized gram stream must meet the eval set via broadcast
+    // (bounded by the benchmark) and reduce in ONE doc-keyed aggregate —
+    // no doc-level self-join, no window, no corpus-sized sort.
+    val p = plan("q140_contamination_frac")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("hashpartitioning(doc_id"), p)
+  }
+
   test("q131 multi-probe IVF: same window-free shapes as q46 at nprobe=2") {
     val p = plan("q131_ann_ivf_multiprobe")
     assert(p.contains("BroadcastNestedLoopJoin"), p)
