@@ -92,9 +92,18 @@ object Bench {
     // (BENCH_r06: q12 first/min = 23.8 was exactly this), drowning the
     // dispersion stat's real job — tracking host noise. Min times are
     // untouched; this only stops warm-up from masquerading as noise.
+    // The action touches each major executor family once — parquet scan,
+    // hash agg (decimal sum), window, range-partitioned sort — because
+    // JIT/codegen infra warms per exec-node class, and a warm-up that
+    // only hash-aggregates still leaves ~2 s of first-window/first-sort
+    // cost on whichever timed query hits those nodes first.
     try spark.read.parquet(s"$sfDir/nation.parquet")
-      .selectExpr("n_nationkey % 5 AS k", "md5(n_name) AS h")
-      .groupBy("k").count()
+      .selectExpr("n_nationkey", "n_nationkey % 5 AS k", "md5(n_name) AS h",
+        "CAST(n_nationkey AS DECIMAL(38,6)) AS d")
+      .selectExpr("*",
+        "row_number() OVER (PARTITION BY k ORDER BY n_nationkey) AS rn")
+      .groupBy("k").agg(Map("d" -> "sum", "rn" -> "max"))
+      .orderBy("k")
       .write.format("noop").mode("overwrite").save()
     catch { case e: Throwable =>
       System.err.println(s"[bench] warm-up skipped: ${e.getMessage}") }
