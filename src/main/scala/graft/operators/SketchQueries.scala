@@ -227,6 +227,54 @@ object SketchQueries extends QueryModule {
           round(expr("sqrt(vec_dot(dv, dv))"), 6).as("shift"),
           round(expr("sqrt(vec_dot(nc, nc))"), 6).as("new_norm"))
         .orderBy(col("cid"))
+    }),
+
+    // --- deterministic k-means seeding (farthest-first traversal, the
+    // derandomized k-means++ variant): anchor at vec_id 0, then 4 rounds
+    // of "pick the vector farthest from every seed chosen so far". This
+    // is the missing first act of the q94/q138 training loop — seeds that
+    // cover the space instead of 8 arbitrary vectors. Scale shape per
+    // round: the running (vec_id, v, dmin) state localCheckpoints (so
+    // round r never recomputes rounds < r — the q114 convention), the
+    // argmax is the q127 partial-agg max(struct) (ONE row leaves the map
+    // side; a global sort/limit would range-exchange the corpus), and the
+    // picked seed re-enters as a broadcast 1-row cross join. k sequential
+    // linear scans, zero corpus exchanges, which is exactly how
+    // farthest-first behaves on a 1000-executor cluster. Float parity:
+    // d2 keeps q94's op sequence, the running min is least() in both
+    // engines, radius = round(sqrt(dmin), 6) only at output.
+    "q141_kmeans_seed" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val dot = "vec_dot(%s, %s)"
+      def d2(v: String, c: String) =
+        expr(dot.format(v, v)) - lit(2.0) * expr(dot.format(v, c)) +
+          expr(dot.format(c, c))
+      val e = Tables(s, dir, "embeddings")
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      val anchor = e.filter(col("vec_id") === 0).select(col("v").as("c"))
+      var state = e.crossJoin(broadcast(anchor))
+        .withColumn("dmin", d2("v", "c"))
+        .select(col("vec_id"), col("v"), col("dmin"))
+        .localCheckpoint()
+      var out: DataFrame = null
+      for (r <- 1 to 4) {
+        // argmax dmin, tie toward the smaller vec_id: max(struct(dmin,
+        // -vec_id)) — (dmin, -vec_id) is unique, the v payload rides
+        val pick = state
+          .agg(max(struct(col("dmin"), (-col("vec_id")).as("nid"),
+            col("v"))).as("m"))
+          .select(lit(r).as("round"), (-col("m.nid")).as("seed_id"),
+            round(sqrt(col("m.dmin")), 6).as("radius"), col("m.v").as("c"))
+          .localCheckpoint()
+        out = if (out == null) pick.drop("c")
+              else out.unionByName(pick.drop("c"))
+        if (r < 4) state = state.crossJoin(broadcast(pick.select(col("c"))))
+          .withColumn("dmin", least(col("dmin"), d2("v", "c")))
+          .select(col("vec_id"), col("v"), col("dmin"))
+          .localCheckpoint()
+      }
+      out.orderBy(col("round"))
     })
   )
 
@@ -316,6 +364,44 @@ object SketchQueries extends QueryModule {
         |SELECT cid, n,
         |  round(sqrt(list_dot_product(dv, dv)), 6) AS shift,
         |  round(sqrt(list_dot_product(ncv, ncv)), 6) AS new_norm
-        |FROM j ORDER BY cid""".stripMargin
+        |FROM j ORDER BY cid""".stripMargin,
+    // The engine's per-round loop unrolled: state s_r carries the running
+    // min distance to seeds 0..r-1, pick p_r is the ORDER BY dmin DESC,
+    // vec_id ASC LIMIT 1 formulation of the engine's max(struct) argmax,
+    // least() and the d2 op sequence match component-for-component.
+    "q141_kmeans_seed" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |c0 AS (SELECT v AS c FROM e WHERE vec_id = 0),
+        |s1 AS (SELECT e.vec_id, e.v,
+        |         list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c0.c)
+        |           + list_dot_product(c0.c, c0.c) AS dmin
+        |       FROM e CROSS JOIN c0),
+        |p1 AS (SELECT vec_id, v, dmin FROM s1
+        |       ORDER BY dmin DESC, vec_id ASC LIMIT 1),
+        |s2 AS (SELECT s1.vec_id, s1.v, least(s1.dmin,
+        |         list_dot_product(s1.v, s1.v) - 2 * list_dot_product(s1.v, p1.v)
+        |           + list_dot_product(p1.v, p1.v)) AS dmin
+        |       FROM s1 CROSS JOIN p1),
+        |p2 AS (SELECT vec_id, v, dmin FROM s2
+        |       ORDER BY dmin DESC, vec_id ASC LIMIT 1),
+        |s3 AS (SELECT s2.vec_id, s2.v, least(s2.dmin,
+        |         list_dot_product(s2.v, s2.v) - 2 * list_dot_product(s2.v, p2.v)
+        |           + list_dot_product(p2.v, p2.v)) AS dmin
+        |       FROM s2 CROSS JOIN p2),
+        |p3 AS (SELECT vec_id, v, dmin FROM s3
+        |       ORDER BY dmin DESC, vec_id ASC LIMIT 1),
+        |s4 AS (SELECT s3.vec_id, s3.v, least(s3.dmin,
+        |         list_dot_product(s3.v, s3.v) - 2 * list_dot_product(s3.v, p3.v)
+        |           + list_dot_product(p3.v, p3.v)) AS dmin
+        |       FROM s3 CROSS JOIN p3),
+        |p4 AS (SELECT vec_id, v, dmin FROM s4
+        |       ORDER BY dmin DESC, vec_id ASC LIMIT 1)
+        |SELECT 1 AS round, vec_id AS seed_id, round(sqrt(dmin), 6) AS radius
+        |FROM p1
+        |UNION ALL SELECT 2, vec_id, round(sqrt(dmin), 6) FROM p2
+        |UNION ALL SELECT 3, vec_id, round(sqrt(dmin), 6) FROM p3
+        |UNION ALL SELECT 4, vec_id, round(sqrt(dmin), 6) FROM p4
+        |ORDER BY round""".stripMargin
   )
 }

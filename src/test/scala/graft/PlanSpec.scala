@@ -403,6 +403,20 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("hashpartitioning(doc_id"), p)
   }
 
+  test("q141 farthest-first seeding: per-round argmax partial aggs, no corpus sort") {
+    // Each round's pick must be the max(struct) partial agg over the
+    // checkpointed state (a sort/limit would range-exchange the corpus
+    // every round) and the final plan is just the 4 one-row picks
+    // unioned — no Window, no CartesianProduct, no SortMergeJoin
+    // anywhere (the seed re-entry is a broadcast 1-row cross join that
+    // happens before each round's checkpoint cut).
+    val p = plan("q141_kmeans_seed")
+    assert(p.contains("Union"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("q131 multi-probe IVF: same window-free shapes as q46 at nprobe=2") {
     val p = plan("q131_ann_ivf_multiprobe")
     assert(p.contains("BroadcastNestedLoopJoin"), p)
