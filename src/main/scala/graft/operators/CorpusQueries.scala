@@ -990,6 +990,36 @@ object CorpusQueries extends QueryModule {
           (col("n_overlap") * 5 >= greatest(col("n_grams"), lit(1)))
             .as("contaminated"))
         .orderBy(col("doc_id"))
+    }),
+
+    // --- normalization dedup: the "fuzzy-exact" stage between byte-exact
+    // (q33) and near-dup (q34) — lowercase, collapse every non-alnum run
+    // to one space, trim, THEN hash; merges the casing/punctuation/
+    // whitespace variants byte hashing misses without paying shingle
+    // costs. Planted variants (upper-cased copy, punctuation-appended
+    // copy — the q33/q34 planting convention) prove the merge. Shape:
+    // map-side normalize + hash, ONE fingerprint groupBy — identical
+    // scale profile to exact dedup; n_raw (distinct raw hashes inside a
+    // normalized cluster) counts exactly what normalization bought.
+    // Cluster output is keeper + counts, never a member list — a
+    // boilerplate normal form with 10⁶ members stays one row.
+    "q142_normalized_dedup" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+      val planted = d
+        .unionByName(d.select((col("doc_id") + 20000).as("doc_id"),
+          upper(col("text")).as("text")))
+        .unionByName(d.select((col("doc_id") + 30000).as("doc_id"),
+          concat(col("text"), lit("  !!")).as("text")))
+      planted
+        .withColumn("norm",
+          trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")))
+        .groupBy(md5(col("norm")).as("nh"))
+        .agg(min(col("doc_id")).as("keeper_id"),
+          count(lit(1)).as("n_members"),
+          countDistinct(md5(col("text"))).as("n_raw"))
+        .filter(col("n_members") >= 2)
+        .select(col("keeper_id"), col("n_members"), col("n_raw"))
+        .orderBy(col("keeper_id"))
     })
   )
 
@@ -1307,6 +1337,21 @@ object CorpusQueries extends QueryModule {
         |    AS contaminated
         |FROM toks t LEFT JOIN ng USING (doc_id) LEFT JOIN ov USING (doc_id)
         |WHERE t.doc_id % 5 <> 0 ORDER BY t.doc_id""".stripMargin,
+    // DuckDB regexp_replace needs the explicit 'g' flag to match Spark's
+    // replace-all default; the character class is engine-portable
+    "q142_normalized_dedup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 20000, upper(text) FROM documents
+        |  UNION ALL SELECT doc_id + 30000, text || '  !!' FROM documents),
+        |n AS (SELECT doc_id, text,
+        |        trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))
+        |          AS norm
+        |      FROM corpus)
+        |SELECT min(doc_id) AS keeper_id, COUNT(*) AS n_members,
+        |  COUNT(DISTINCT md5(text)) AS n_raw
+        |FROM n GROUP BY md5(norm) HAVING COUNT(*) >= 2
+        |ORDER BY keeper_id""".stripMargin,
     // Same pair graph as q59; 3 fixed-point PageRank rounds in integer
     // arithmetic (ranks in 1e-10 units, floor division — positive
     // operands, so DuckDB's // and Spark's div agree).

@@ -403,6 +403,16 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("hashpartitioning(doc_id"), p)
   }
 
+  test("q142 normalized dedup: map-side normalize, fingerprint aggs only — no joins, no windows") {
+    // Normalization must stay in the scan-side project; the only
+    // exchanges are the distinct-agg pair (nh+raw partial, then nh),
+    // exactly the exact-dedup scale profile.
+    val p = plan("q142_normalized_dedup")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Window"), p)
+    assert("hashpartitioning\\(".r.findAllIn(p).size == 2, p)
+  }
+
   test("q141 farthest-first seeding: per-round argmax partial aggs, no corpus sort") {
     // Each round's pick must be the max(struct) partial agg over the
     // checkpointed state (a sort/limit would range-exchange the corpus
