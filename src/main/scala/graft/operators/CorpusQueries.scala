@@ -943,21 +943,8 @@ object CorpusQueries extends QueryModule {
     // carries O(sources x K) rows regardless of domain skew. Hash asc =
     // score desc on the negated hash; ties (md5-prefix collisions) break
     // toward the smaller doc_id in both engines.
-    "q139_source_cap" -> ((s, dir) => {
-      val topk = udaf(new graft.functions.TopKAggregator.TopK(20),
-        org.apache.spark.sql.Encoders.tuple(
-          org.apache.spark.sql.Encoders.scalaDouble,
-          org.apache.spark.sql.Encoders.scalaLong))
-      Tables(s, dir, "documents")
-        .select(col("source"), col("doc_id"), expr(uhashSql).as("h"))
-        // uhash < 2^32 is exact in a double, so the negation is lossless
-        .groupBy(col("source"))
-        .agg(topk((-col("h")).cast("double"), col("doc_id")).as("top"))
-        .select(col("source"), posexplode(col("top")))
-        .select(col("source"), (col("pos") + 1).as("rnk"),
-          col("col._2").as("doc_id"), (-col("col._1")).cast("long").as("h"))
-        .orderBy(col("source"), col("rnk"))
-    }),
+    "q139_source_cap" -> ((s, dir) =>
+      sourceCap(Tables(s, dir, "documents"), k = 20)),
 
     // --- graded contamination scoring: q80 flags docs with ANY eval
     // 8-gram overlap; production decontamination instead grades each doc
@@ -1161,6 +1148,27 @@ object CorpusQueries extends QueryModule {
   private[graft] def editDistanceCandidates(d: DataFrame): DataFrame =
     editDistanceBlocked(d)
       .filter(abs(col("len_a") - col("len_b")) <= 5)
+
+  /** q139's cap-K-docs-per-source on any (source, doc_id, text) frame:
+    * keep the K smallest content hashes per source via the bounded-heap
+    * TopK aggregate (score = negated hash, ties toward the smaller
+    * doc_id), so the shuffle carries O(sources x K) buffer rows no
+    * matter how skewed the mega-domain. `private[graft]` for the
+    * ScaleSpec planted-skew proof. */
+  private[graft] def sourceCap(d: DataFrame, k: Int): DataFrame = {
+    val topk = udaf(new graft.functions.TopKAggregator.TopK(k),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaDouble,
+        org.apache.spark.sql.Encoders.scalaLong))
+    d.select(col("source"), col("doc_id"), expr(uhashSql).as("h"))
+      // uhash < 2^32 is exact in a double, so the negation is lossless
+      .groupBy(col("source"))
+      .agg(topk((-col("h")).cast("double"), col("doc_id")).as("top"))
+      .select(col("source"), posexplode(col("top")))
+      .select(col("source"), (col("pos") + 1).as("rnk"),
+        col("col._2").as("doc_id"), (-col("col._1")).cast("long").as("h"))
+      .orderBy(col("source"), col("rnk"))
+  }
 
   /** Word n-grams of a tokens column (optionally distinct), zip-fusing n
     * shifted slices so the (re-inlined) tokenizer evaluates once per ROW

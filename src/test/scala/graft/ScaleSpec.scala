@@ -461,6 +461,37 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(joined.getLong(1) < 100L, s"epoch permutation too correlated: ${joined.getLong(1)}")
   }
 
+  test("q139 source cap: a mega-domain reduces to K rows map-side, small sources pass whole") {
+    import graft.operators.CorpusQueries
+    // 50k docs in ONE source plus 10 five-doc sources. A row_number
+    // window would sort the mega-domain's 50k rows in one task; the
+    // bounded-heap TopK ships at most K pairs per partial buffer, so the
+    // mega-domain's contribution to the shuffle is partitions x K rows.
+    // Behavior proof: exactly K survive for the mega source (and they
+    // are THE K smallest hashes — checked against a local reference),
+    // every small source keeps all docs, rnk is 1..n per source.
+    val mega = spark.range(0, 50000).select(lit("mega").as("source"),
+      col("id").as("doc_id"), concat(lit("body "), col("id")).as("text"))
+    val small = spark.range(0, 50).select(
+      concat(lit("s"), (col("id") % 10)).as("source"),
+      (col("id") + 100000).as("doc_id"),
+      concat(lit("tail "), col("id")).as("text"))
+    val out = CorpusQueries.sourceCap(mega.unionByName(small), k = 7).collect()
+    val bySrc = out.groupBy(_.getAs[String]("source"))
+    assert(bySrc("mega").length == 7)
+    assert(bySrc.filter(_._1 != "mega").forall(_._2.length == 5))
+    assert(out.groupBy(_.getAs[String]("source")).values.forall(rs =>
+      rs.map(_.getAs[Int]("rnk")).sorted.sameElements(1 to rs.length)))
+    // the kept mega docs are the true 7 smallest (hash, doc_id) pairs
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def uhash(t: String): Long = java.lang.Long.parseLong(
+      md.digest(t.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString, 16)
+    val want = (0L until 50000L).map(i => (uhash(s"body $i"), i))
+      .sorted.take(7).map(_._2)
+    val got = bySrc("mega").sortBy(_.getAs[Int]("rnk")).map(_.getAs[Long]("doc_id"))
+    assert(got.sameElements(want), s"got ${got.toSeq} want $want")
+  }
+
   test("q124 band cap: a corpus-wide constant band cannot go quadratic; cold bands still pair") {
     import graft.operators.LlmQueries
     // 3000 hashes all sharing band 0 (the smooth-image reality: one
