@@ -275,6 +275,36 @@ object SketchQueries extends QueryModule {
           .localCheckpoint()
       }
       out.orderBy(col("round"))
+    }),
+
+    // --- embedding-space class-separability audit: the centroid cosine
+    // confusion matrix a pipeline inspects before trusting labels (or
+    // cluster assignments) for curriculum/mixing decisions — label pairs
+    // whose centroids nearly coincide are candidates for merging, and a
+    // label whose centroid sits close to another's explains classifier
+    // confusion. Scale shape: ONE corpus scan into per-label
+    // CentroidFixed partial aggs (bit-deterministic fixed-point sums, so
+    // the matrix is hash-gateable), then the pairwise cosine runs on the
+    // labels x labels table — k² rows where k is the label count, never
+    // corpus-sized. The broadcast self-join of the tiny centroid table
+    // is the k-means-scale analogue of q134's source-pair sketch matrix.
+    "q143_centroid_confusion" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val e = Tables(s, dir, "embeddings")
+        .select(col("label"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      val centroid = udaf(new graft.functions.VectorAggregators.CentroidFixed(64))
+      val cents = e.groupBy(col("label")).agg(centroid(col("v")).as("c"))
+        .withColumn("nrm", expr("sqrt(vec_dot(c, c))"))
+      val a = cents.select(col("label").as("label_a"), col("c").as("ca"),
+        col("nrm").as("na"))
+      val b = cents.select(col("label").as("label_b"), col("c").as("cb"),
+        col("nrm").as("nb"))
+      a.join(broadcast(b), col("label_a") < col("label_b"))
+        .select(col("label_a"), col("label_b"),
+          round(expr("vec_dot(ca, cb)") / (col("na") * col("nb")), 6)
+            .as("cos_sim"))
+        .orderBy(col("label_a"), col("label_b"))
     })
   )
 
@@ -402,6 +432,24 @@ object SketchQueries extends QueryModule {
         |UNION ALL SELECT 2, vec_id, round(sqrt(dmin), 6) FROM p2
         |UNION ALL SELECT 3, vec_id, round(sqrt(dmin), 6) FROM p3
         |UNION ALL SELECT 4, vec_id, round(sqrt(dmin), 6) FROM p4
-        |ORDER BY round""".stripMargin
+        |ORDER BY round""".stripMargin,
+    // q46's fixed-point centroid replication, then the same pairwise
+    // cosine op sequence the engine runs on the tiny centroid table
+    "q143_centroid_confusion" ->
+      """WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |idx AS (SELECT unnest(range(1, 65)) AS i),
+        |comp AS (SELECT label, i, CAST(floor(v[i] * 4294967296.0) AS BIGINT) AS fx
+        |         FROM e CROSS JOIN idx),
+        |cent AS (SELECT label, i, sum(fx) AS s, count(*) AS n
+        |         FROM comp GROUP BY label, i),
+        |cells AS (SELECT label,
+        |            list(CAST(s AS DOUBLE) / 4294967296.0 / n ORDER BY i) AS c
+        |          FROM cent GROUP BY label),
+        |w AS (SELECT label, c, sqrt(list_dot_product(c, c)) AS nrm FROM cells)
+        |SELECT a.label AS label_a, b.label AS label_b,
+        |  round(list_dot_product(a.c, b.c) / (a.nrm * b.nrm), 6) AS cos_sim
+        |FROM w a JOIN w b ON a.label < b.label
+        |ORDER BY label_a, label_b""".stripMargin
   )
 }

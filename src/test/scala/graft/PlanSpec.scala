@@ -403,6 +403,18 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("hashpartitioning(doc_id"), p)
   }
 
+  test("q143 centroid confusion: one corpus scan into partial aggs, pairwise on the tiny table") {
+    // The corpus must die in the label-keyed CentroidFixed aggregate
+    // (ObjectHashAggregate, map-side partials); the k x k cosine join
+    // runs broadcast over the k-row centroid table — no SortMergeJoin,
+    // no Window, one label-keyed exchange.
+    val p = plan("q143_centroid_confusion")
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("hashpartitioning(label"), p)
+  }
+
   test("q142 normalized dedup: map-side normalize, fingerprint aggs only — no joins, no windows") {
     // Normalization must stay in the scan-side project; the only
     // exchanges are the distinct-agg pair (nh+raw partial, then nh),
