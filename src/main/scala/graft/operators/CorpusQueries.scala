@@ -282,41 +282,12 @@ object CorpusQueries extends QueryModule {
     // sampled boundaries. localCheckpoint pins the partition ids so
     // the row branch and the offsets branch see the SAME partitioning
     // (repartitionByRange re-samples per execution otherwise).
-    "q63_token_zipf" -> ((s, dir) => {
-      val freq = Tables(s, dir, "documents")
-        .select(explode(expr(toksSql)).as("term"))
-        .groupBy(col("term")).agg(count(lit(1)).as("n"))
-      val bucketed = freq
-        .repartitionByRange(s.sparkContext.defaultParallelism,
-          col("n").desc, col("term").asc)
-        .withColumn("pid", spark_partition_id())
-        .localCheckpoint()
-      val local = Window.partitionBy(col("pid"))
-        .orderBy(col("n").desc, col("term").asc)
-      val stats = bucketed.groupBy(col("pid"))
-        .agg(count(lit(1)).as("cnt"), sum(col("n")).as("tn"))
-      // prefix offsets over the P-row stats: a triangular nested-loop
-      // join of P² ≈ 1k rows replaces a third global window
-      val offs = stats
-        .join(stats.select(col("pid").as("ypid"), col("cnt").as("ycnt"),
-          col("tn").as("ytn")), col("ypid") < col("pid"), "left")
-        .groupBy(col("pid"))
-        .agg(coalesce(sum(col("ycnt")), lit(0L)).as("rank_off"),
-          coalesce(sum(col("ytn")), lit(0L)).as("cum_off"))
-      val total = bucketed.agg(sum(col("n")).as("tot"))
-      bucketed
-        .withColumn("lr", row_number().over(local))
-        .withColumn("lcum", sum(col("n")).over(
-          local.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .join(broadcast(offs), Seq("pid"))
-        .crossJoin(broadcast(total))
-        .withColumn("rnk", (col("rank_off") + col("lr")).cast("int"))
+    "q63_token_zipf" -> ((s, dir) =>
+      rankedTermCumsum(s, dir)
         .withColumn("share", round(
-          (col("cum_off") + col("lcum")).cast("double") /
-            col("tot").cast("double"), 6))
+          col("cum").cast("double") / col("tot").cast("double"), 6))
         .select(col("term"), col("n"), col("rnk"), col("share"))
-        .orderBy(col("rnk"))
-    }),
+        .orderBy(col("rnk"))),
 
     // --- benchmark decontamination: flag corpus documents that share any
     // word 8-gram with an eval/benchmark set. In production the benchmark
@@ -1007,6 +978,33 @@ object CorpusQueries extends QueryModule {
         .filter(col("n_members") >= 2)
         .select(col("keeper_id"), col("n_members"), col("n_raw"))
         .orderBy(col("keeper_id"))
+    }),
+
+    // --- vocabulary coverage curve: the tokenizer-design query — the
+    // smallest frequency-ranked vocabulary covering 90/95/99% of corpus
+    // token mass (everything outside it becomes OOV/byte-fallback).
+    // Built on the shared q63 two-phase rank+cumsum (no global window);
+    // the threshold probe cross-joins the 3-row percentile table into
+    // the vocab stream and reduces with a min(struct) partial agg, so
+    // the vocab is scanned once map-side and nothing vocab-sized is
+    // exchanged again. Thresholding is pure integer arithmetic
+    // (cum * 100 >= tot * pct — cum and tot are exact longs); the only
+    // float is the final reported coverage, one division + round.
+    "q144_vocab_coverage" -> ((s, dir) => {
+      import s.implicits._
+      val ranked = rankedTermCumsum(s, dir)
+      val th = Seq(90, 95, 99).toDF("pct")
+      ranked.crossJoin(broadcast(th))
+        .filter(col("cum") * 100 >= col("tot") * col("pct"))
+        // rnk is unique and cum is monotone in rnk, so min(struct) picks
+        // the first rank past the threshold and its exact token mass
+        .groupBy(col("pct"))
+        .agg(min(struct(col("rnk"), col("cum"), col("tot"))).as("m"))
+        .select(col("pct"), col("m.rnk").as("vocab_size"),
+          col("m.cum").as("tokens_covered"), col("m.tot").as("total_tokens"),
+          round(col("m.cum").cast("double") / col("m.tot").cast("double"), 6)
+            .as("coverage"))
+        .orderBy(col("pct"))
     })
   )
 
@@ -1148,6 +1146,47 @@ object CorpusQueries extends QueryModule {
   private[graft] def editDistanceCandidates(d: DataFrame): DataFrame =
     editDistanceBlocked(d)
       .filter(abs(col("len_a") - col("len_b")) <= 5)
+
+  /** The q63/q119 two-phase global rank + cumulative sum over corpus
+    * term frequencies, factored for reuse (q63 Zipf shares, q144 vocab
+    * coverage): range-repartition by (n desc, term asc), partition-LOCAL
+    * rank/cumsum windows, then per-partition offsets from a triangular
+    * join of the P-row stats table — no global window, no task ever
+    * sorts more than vocab/P rows. Returns (term, n, rnk, cum, tot)
+    * with cum/tot exact longs so callers can threshold in integer
+    * arithmetic. */
+  private def rankedTermCumsum(s: SparkSession, dir: String): DataFrame = {
+    val freq = Tables(s, dir, "documents")
+      .select(explode(expr(toksSql)).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("n"))
+    val bucketed = freq
+      .repartitionByRange(s.sparkContext.defaultParallelism,
+        col("n").desc, col("term").asc)
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    val local = Window.partitionBy(col("pid"))
+      .orderBy(col("n").desc, col("term").asc)
+    val stats = bucketed.groupBy(col("pid"))
+      .agg(count(lit(1)).as("cnt"), sum(col("n")).as("tn"))
+    // prefix offsets over the P-row stats: a triangular nested-loop
+    // join of P² ≈ 1k rows replaces a third global window
+    val offs = stats
+      .join(stats.select(col("pid").as("ypid"), col("cnt").as("ycnt"),
+        col("tn").as("ytn")), col("ypid") < col("pid"), "left")
+      .groupBy(col("pid"))
+      .agg(coalesce(sum(col("ycnt")), lit(0L)).as("rank_off"),
+        coalesce(sum(col("ytn")), lit(0L)).as("cum_off"))
+    val total = bucketed.agg(sum(col("n")).as("tot"))
+    bucketed
+      .withColumn("lr", row_number().over(local))
+      .withColumn("lcum", sum(col("n")).over(
+        local.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(broadcast(offs), Seq("pid"))
+      .crossJoin(broadcast(total))
+      .withColumn("rnk", (col("rank_off") + col("lr")).cast("int"))
+      .withColumn("cum", col("cum_off") + col("lcum"))
+      .select(col("term"), col("n"), col("rnk"), col("cum"), col("tot"))
+  }
 
   /** q139's cap-K-docs-per-source on any (source, doc_id, text) frame:
     * keep the K smallest content hashes per source via the bounded-heap
@@ -1360,6 +1399,26 @@ object CorpusQueries extends QueryModule {
         |  COUNT(DISTINCT md5(text)) AS n_raw
         |FROM n GROUP BY md5(norm) HAVING COUNT(*) >= 2
         |ORDER BY keeper_id""".stripMargin,
+    // naive single-window formulation of the engine's two-phase cumsum;
+    // MIN(cum) = cum at MIN(rnk) because cum is monotone in rnk
+    "q144_vocab_coverage" ->
+      """WITH t AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS term
+        |           FROM documents),
+        |f AS (SELECT term, COUNT(*) AS n FROM t GROUP BY term),
+        |r AS (SELECT term, n,
+        |        CAST(ROW_NUMBER() OVER (ORDER BY n DESC, term ASC) AS INT)
+        |          AS rnk,
+        |        CAST(SUM(n) OVER (ORDER BY n DESC, term ASC
+        |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |      FROM f),
+        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM f),
+        |p AS (SELECT unnest([90, 95, 99]) AS pct)
+        |SELECT p.pct, MIN(r.rnk) AS vocab_size, MIN(r.cum) AS tokens_covered,
+        |  MAX(tot.tot) AS total_tokens,
+        |  round(CAST(MIN(r.cum) AS DOUBLE) / CAST(MAX(tot.tot) AS DOUBLE), 6)
+        |    AS coverage
+        |FROM r CROSS JOIN tot JOIN p ON r.cum * 100 >= tot.tot * p.pct
+        |GROUP BY p.pct ORDER BY p.pct""".stripMargin,
     // Same pair graph as q59; 3 fixed-point PageRank rounds in integer
     // arithmetic (ranks in 1e-10 units, floor division — positive
     // operands, so DuckDB's // and Spark's div agree).

@@ -403,6 +403,19 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("hashpartitioning(doc_id"), p)
   }
 
+  test("q144 vocab coverage: q63's two-phase cumsum, threshold probe is a partial agg") {
+    // The coverage thresholds must not re-exchange the vocab: the 3-row
+    // percentile table broadcasts into the ranked stream and the
+    // first-rank-past-threshold pick is a pct-keyed min(struct) partial
+    // agg — no global window (the cumsum is the pinned q63 local-window
+    // shape), no CartesianProduct beyond the broadcast ones.
+    val p = plan("q144_vocab_coverage")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("windowspecdefinition(pid"), p)
+    assert(!"windowspecdefinition\\((?!pid)".r.findAllIn(p).hasNext, p)
+    assert(p.contains("hashpartitioning(pct"), p)
+  }
+
   test("q143 centroid confusion: one corpus scan into partial aggs, pairwise on the tiny table") {
     // The corpus must die in the label-keyed CentroidFixed aggregate
     // (ObjectHashAggregate, map-side partials); the k x k cosine join
