@@ -1114,6 +1114,102 @@ object LlmQueries extends QueryModule {
         .orderBy(col("query_id"), col("rnk"))
     }),
 
+    // --- IVF-PQ: the production serving architecture (FAISS IVFPQ) that
+    // composes the two index halves this engine already ships — q131's
+    // coarse quantizer picks nprobe=2 cells per query, and q132's product
+    // quantizer compresses what's INSIDE each cell, with the PQ codebook
+    // trained on RESIDUALS (v - cell centroid) the way the real index
+    // does: residuals are centered near zero, so the 8-dim sub-codebooks
+    // spend their codes on the part of the vector the coarse cell didn't
+    // explain. Every stage keeps its proven scale shape: assignment and
+    // encode are partial-agg argmins over broadcast tables (no pair
+    // stream ever exchanged), the residual codebook is CentroidFixed
+    // fixed-point (hash-gateable), candidates meet queries by cell
+    // equi-key against a broadcast 2-rows-per-query probe table, and the
+    // ADC ranking reconstructs the full residual codeword (deterministic
+    // sorted flatten) so the distance is ONE index-order dot — no
+    // order-dependent 8-term float sum.
+    "q145_ann_ivfpq" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s) // vec_dot
+      val e = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        .withColumn("nrm", expr(normSqlOf("v")))
+      val centroid = udaf(new graft.functions.VectorAggregators.CentroidFixed(64))
+      val cells = e.groupBy(col("label")).agg(centroid(col("v")).as("cv"))
+        .select(col("label").as("cell"), col("cv"))
+        .withColumn("cnrm", expr(normSqlOf("cv")))
+      val scored = e.crossJoin(broadcast(cells))
+        .withColumn("cell_score",
+          expr("vec_dot(v, cv)") / (col("nrm") * col("cnrm")))
+      // q46's argmax assignment with label riding along (the residual
+      // codebook groups by ORIGINAL label, not by assigned cell)
+      val withCell = scored.groupBy(col("vec_id"))
+        .agg(max(struct(col("cell_score"), (-col("cell")).as("negc"),
+          col("v"), col("label"))).as("m"))
+        .select(col("vec_id"), (-col("m.negc")).as("cell"),
+          col("m.v").as("v"), col("m.label").as("label"))
+      val resid = withCell
+        .join(broadcast(cells.select(col("cell"), col("cv"))), Seq("cell"))
+        .withColumn("r", expr("zip_with(v, cv, (a, b) -> a - b)"))
+        .select(col("vec_id"), col("cell"), col("label"), col("r"))
+        .localCheckpoint() // shared by codebook, encode, and recon-cell
+      val rcb = resid.groupBy(col("label")).agg(centroid(col("r")).as("rc"))
+        .select(col("label").as("code"), explode(expr(
+          "transform(sequence(0, 7), m -> struct(m AS m, slice(rc, m*8+1, 8) AS c8))")).as("x"))
+        .select(col("code"), col("x.m").as("m"), col("x.c8").as("c8"))
+        .withColumn("nc", expr("vec_dot(c8, c8)"))
+      val sub = resid.select(col("vec_id"), explode(expr(
+          "transform(sequence(0, 7), m -> struct(m AS m, slice(r, m*8+1, 8) AS sv))")).as("x"))
+        .select(col("vec_id"), col("x.m").as("m"), col("x.sv").as("sv"))
+        .withColumn("nv", expr("vec_dot(sv, sv)"))
+      val enc = sub.join(broadcast(rcb), Seq("m"))
+        .withColumn("d", col("nv") + col("nc") - lit(2) * expr("vec_dot(sv, c8)"))
+        .groupBy(col("vec_id"), col("m"))
+        .agg(min(struct(col("d"), col("code"))).as("sel"))
+        .select(col("vec_id"), col("m"), col("sel.code").as("code"))
+      val recon = enc
+        .join(broadcast(rcb.select(col("m"), col("code"), col("c8"))), Seq("m", "code"))
+        .groupBy(col("vec_id"))
+        .agg(expr("flatten(transform(sort_array(collect_list(struct(m, c8))), x -> x.c8))").as("rv"))
+        .join(resid.select(col("vec_id"), col("cell")), Seq("vec_id"))
+        .withColumn("nr", expr("vec_dot(rv, rv)"))
+      val top2 = udaf(new graft.functions.TopKAggregator.TopK(2),
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaDouble,
+          org.apache.spark.sql.Encoders.scalaLong))
+      val probes = scored.filter(col("vec_id") < 10)
+        .groupBy(col("vec_id"))
+        .agg(top2(col("cell_score"), col("cell").cast("long")).as("top"))
+        .select(col("vec_id").as("query_id"), explode(col("top")).as("t"))
+        .select(col("query_id"), col("t._2").cast("int").as("cell"))
+      // per probed cell the query re-residualizes against THAT cell's
+      // centroid — the asymmetric-distance trick needs query and
+      // candidate expressed in the same cell-local frame
+      val qp = probes
+        .join(e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("v").as("qv0")), Seq("query_id"))
+        .join(broadcast(cells.select(col("cell"), col("cv"))), Seq("cell"))
+        .withColumn("rq", expr("zip_with(qv0, cv, (a, b) -> a - b)"))
+        .withColumn("nrq", expr("vec_dot(rq, rq)"))
+        .select(col("cell"), col("query_id"), col("rq"), col("nrq"))
+      val topk = udaf(new graft.functions.TopKAggregator.TopK(3),
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaDouble,
+          org.apache.spark.sql.Encoders.scalaLong))
+      recon.select(col("vec_id").as("nbr_id"), col("cell"), col("rv"), col("nr"))
+        .join(broadcast(qp), Seq("cell"))
+        .filter(col("query_id") =!= col("nbr_id"))
+        .withColumn("dist",
+          round(col("nrq") + col("nr") - lit(2) * expr("vec_dot(rq, rv)"), 4))
+        .groupBy(col("query_id"))
+        .agg(topk(-col("dist"), col("nbr_id")).as("top"))
+        .select(col("query_id"), posexplode(col("top")))
+        .select(col("query_id"), col("col._2").as("nbr_id"),
+          (-col("col._1") + lit(0.0)).as("dist"), (col("pos") + 1).as("rnk"))
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
     // --- histogram quantiles: per-source length profile (p50/p90) from a
     // FIXED 16-bucket histogram — the 100 TB way to profile a corpus
     // column: one map-side-combined groupBy over (source, bucket) whose
@@ -1715,6 +1811,75 @@ object LlmQueries extends QueryModule {
         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
         |        ORDER BY score DESC, nbr_id ASC) AS rnk FROM p)
         |SELECT query_id, nbr_id, score, rnk FROM r WHERE rnk <= 3
+        |ORDER BY query_id, rnk""".stripMargin,
+    // q131's coarse stage + q132's PQ stage composed on RESIDUALS:
+    // wc residualizes each vector against its assigned cell's centroid,
+    // the sub-codebooks are fixed-point centroids OF residuals, and the
+    // query re-residualizes per probed cell. Every float expression
+    // mirrors the engine's term order; codeword reconstruction is the
+    // same m-ordered flatten, so the ADC distance is one dot.
+    "q145_ann_ivfpq" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |idx AS (SELECT unnest(range(1, 65)) AS i),
+        |comp AS (SELECT label, i, CAST(floor(v[i] * 4294967296.0) AS BIGINT) AS fx
+        |         FROM e CROSS JOIN idx),
+        |cent AS (SELECT label, i, sum(fx) AS s, count(*) AS n
+        |         FROM comp GROUP BY label, i),
+        |cells AS (SELECT label AS cell,
+        |            list(CAST(s AS DOUBLE) / 4294967296.0 / n ORDER BY i) AS cv
+        |          FROM cent GROUP BY label),
+        |assign AS (
+        |  SELECT e.vec_id, e.label, e.v, c.cell,
+        |    list_dot_product(e.v, c.cv) /
+        |      (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv)))
+        |      AS cell_score
+        |  FROM e CROSS JOIN cells c),
+        |best AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |           ORDER BY cell_score DESC, cell ASC) AS rk FROM assign),
+        |wc AS (SELECT b.vec_id, b.label, b.cell,
+        |         list_transform(range(1, 65), i -> b.v[i] - c.cv[i]) AS r
+        |       FROM best b JOIN cells c ON c.cell = b.cell WHERE b.rk = 1),
+        |comp2 AS (SELECT label, i, CAST(floor(r[i] * 4294967296.0) AS BIGINT) AS fx
+        |          FROM wc CROSS JOIN idx),
+        |cent2 AS (SELECT label, i, sum(fx) AS s, count(*) AS n
+        |          FROM comp2 GROUP BY label, i),
+        |rcells AS (SELECT label AS code,
+        |             list(CAST(s AS DOUBLE) / 4294967296.0 / n ORDER BY i) AS rc
+        |           FROM cent2 GROUP BY label),
+        |ms AS (SELECT unnest(range(0, 8)) AS m),
+        |cb AS (SELECT code, m, rc[(m*8+1):(m*8+8)] AS c8
+        |       FROM rcells CROSS JOIN ms),
+        |sub AS (SELECT vec_id, m, r[(m*8+1):(m*8+8)] AS sv
+        |        FROM wc CROSS JOIN ms),
+        |encd AS (
+        |  SELECT sub.vec_id, sub.m, cb.code,
+        |    list_dot_product(sv, sv) + list_dot_product(c8, c8)
+        |      - 2 * list_dot_product(sv, c8) AS d
+        |  FROM sub JOIN cb ON cb.m = sub.m),
+        |enc1 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+        |           ORDER BY d ASC, code ASC) AS rk FROM encd),
+        |recon AS (SELECT e1.vec_id, flatten(list(cb.c8 ORDER BY cb.m)) AS rv
+        |          FROM enc1 e1 JOIN cb ON cb.m = e1.m AND cb.code = e1.code
+        |          WHERE e1.rk = 1 GROUP BY e1.vec_id),
+        |r2 AS (SELECT rec.vec_id, w.cell, rec.rv,
+        |         list_dot_product(rec.rv, rec.rv) AS nr
+        |       FROM recon rec JOIN wc w ON w.vec_id = rec.vec_id),
+        |qp AS (SELECT vec_id AS query_id, cell FROM best
+        |       WHERE rk <= 2 AND vec_id < 10),
+        |qr AS (SELECT qp.query_id, qp.cell,
+        |         list_transform(range(1, 65), i -> e.v[i] - c.cv[i]) AS rq
+        |       FROM qp JOIN e ON e.vec_id = qp.query_id
+        |       JOIN cells c ON c.cell = qp.cell),
+        |qr2 AS (SELECT query_id, cell, rq,
+        |          list_dot_product(rq, rq) AS nrq FROM qr),
+        |p AS (SELECT q.query_id, c.vec_id AS nbr_id,
+        |        round(q.nrq + c.nr - 2 * list_dot_product(q.rq, c.rv), 4) AS dist
+        |      FROM r2 c JOIN qr2 q ON q.cell = c.cell
+        |        AND q.query_id <> c.vec_id),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |        ORDER BY dist ASC, nbr_id ASC) AS rnk FROM p)
+        |SELECT query_id, nbr_id, dist, rnk FROM r WHERE rnk <= 3
         |ORDER BY query_id, rnk""".stripMargin,
     // q46's fixed-point centroids sliced into 8 sub-codebooks; encode =
     // per-(vector, subspace) argmin, ADC = exact query vs reconstructed

@@ -461,6 +461,20 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("hashpartitioning(vec_id"), p)
   }
 
+  test("q145 IVF-PQ: assignment/encode argmins partial-agged, probe by cell equi-key, no window") {
+    // The composed index must not regress either half's shape: coarse
+    // assignment and PQ encode are max/min(struct) partial aggs over
+    // broadcast tables (no Window anywhere), candidates meet the
+    // 2-rows-per-query probe table by broadcast cell equi-join, and no
+    // CartesianProduct materializes.
+    val p = plan("q145_ann_ivfpq")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(p.contains("hashpartitioning(vec_id"), p)
+  }
+
   test("q132 PQ: codebook joins broadcast, encode/probe window-free, no cartesian") {
     val p = plan("q132_ann_pq")
     // encode + reconstruct join the 80-row codebook by broadcast; the
