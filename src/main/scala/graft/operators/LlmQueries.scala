@@ -417,6 +417,103 @@ object LlmQueries extends QueryModule {
     (codebook, enc)
   }
 
+
+  /** q145's residual IVF-PQ, factored so PlanSpec can explain the WHOLE
+    * DAG: the query runs with `checkpoint = true` (cells and scored each
+    * feed multiple consumers — the cuts make the corpus-sized stages run
+    * once), while the spec builds with `checkpoint = false` because a
+    * localCheckpoint replaces its subtree with a LogicalRDD and would
+    * hide the shapes the pin asserts. */
+  private[graft] def ivfpq(s: SparkSession, dir: String,
+      checkpoint: Boolean): DataFrame = {
+    def cp(df: DataFrame): DataFrame =
+      if (checkpoint) df.localCheckpoint() else df
+      graft.functions.GraftFunctions.register(s) // vec_dot
+      val e = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        .withColumn("nrm", expr(normSqlOf("v")))
+      val centroid = udaf(new graft.functions.VectorAggregators.CentroidFixed(64))
+      // cells feeds 3 consumers (scoring, corpus residuals, query
+      // residuals) and scored feeds 2 (assignment, probes) — checkpoint
+      // both so the corpus-sized CentroidFixed agg and the n x cells
+      // scoring pass run ONCE instead of per consumer
+      val cells = e.groupBy(col("label")).agg(centroid(col("v")).as("cv"))
+        .select(col("label").as("cell"), col("cv"))
+        .withColumn("cnrm", expr(normSqlOf("cv")))
+        .transform(cp)
+      val scored = e.crossJoin(broadcast(cells))
+        .withColumn("cell_score",
+          expr("vec_dot(v, cv)") / (col("nrm") * col("cnrm")))
+        .transform(cp)
+      // q46's argmax assignment with label riding along (the residual
+      // codebook groups by ORIGINAL label, not by assigned cell)
+      val withCell = scored.groupBy(col("vec_id"))
+        .agg(max(struct(col("cell_score"), (-col("cell")).as("negc"),
+          col("v"), col("label"))).as("m"))
+        .select(col("vec_id"), (-col("m.negc")).as("cell"),
+          col("m.v").as("v"), col("m.label").as("label"))
+      val resid = withCell
+        .join(broadcast(cells.select(col("cell"), col("cv"))), Seq("cell"))
+        .withColumn("r", expr("zip_with(v, cv, (a, b) -> a - b)"))
+        .select(col("vec_id"), col("cell"), col("label"), col("r"))
+        .transform(cp) // shared by codebook, encode, and recon-cell
+      val rcb = resid.groupBy(col("label")).agg(centroid(col("r")).as("rc"))
+        .select(col("label").as("code"), explode(expr(
+          "transform(sequence(0, 7), m -> struct(m AS m, slice(rc, m*8+1, 8) AS c8))")).as("x"))
+        .select(col("code"), col("x.m").as("m"), col("x.c8").as("c8"))
+        .withColumn("nc", expr("vec_dot(c8, c8)"))
+      val sub = resid.select(col("vec_id"), explode(expr(
+          "transform(sequence(0, 7), m -> struct(m AS m, slice(r, m*8+1, 8) AS sv))")).as("x"))
+        .select(col("vec_id"), col("x.m").as("m"), col("x.sv").as("sv"))
+        .withColumn("nv", expr("vec_dot(sv, sv)"))
+      val enc = sub.join(broadcast(rcb), Seq("m"))
+        .withColumn("d", col("nv") + col("nc") - lit(2) * expr("vec_dot(sv, c8)"))
+        .groupBy(col("vec_id"), col("m"))
+        .agg(min(struct(col("d"), col("code"))).as("sel"))
+        .select(col("vec_id"), col("m"), col("sel.code").as("code"))
+      val recon = enc
+        .join(broadcast(rcb.select(col("m"), col("code"), col("c8"))), Seq("m", "code"))
+        .groupBy(col("vec_id"))
+        .agg(expr("flatten(transform(sort_array(collect_list(struct(m, c8))), x -> x.c8))").as("rv"))
+        .join(resid.select(col("vec_id"), col("cell")), Seq("vec_id"))
+        .withColumn("nr", expr("vec_dot(rv, rv)"))
+      val top2 = udaf(new graft.functions.TopKAggregator.TopK(2),
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaDouble,
+          org.apache.spark.sql.Encoders.scalaLong))
+      val probes = scored.filter(col("vec_id") < 10)
+        .groupBy(col("vec_id"))
+        .agg(top2(col("cell_score"), col("cell").cast("long")).as("top"))
+        .select(col("vec_id").as("query_id"), explode(col("top")).as("t"))
+        .select(col("query_id"), col("t._2").cast("int").as("cell"))
+      // per probed cell the query re-residualizes against THAT cell's
+      // centroid — the asymmetric-distance trick needs query and
+      // candidate expressed in the same cell-local frame
+      val qp = probes
+        .join(e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("v").as("qv0")), Seq("query_id"))
+        .join(broadcast(cells.select(col("cell"), col("cv"))), Seq("cell"))
+        .withColumn("rq", expr("zip_with(qv0, cv, (a, b) -> a - b)"))
+        .withColumn("nrq", expr("vec_dot(rq, rq)"))
+        .select(col("cell"), col("query_id"), col("rq"), col("nrq"))
+      val topk = udaf(new graft.functions.TopKAggregator.TopK(3),
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaDouble,
+          org.apache.spark.sql.Encoders.scalaLong))
+      recon.select(col("vec_id").as("nbr_id"), col("cell"), col("rv"), col("nr"))
+        .join(broadcast(qp), Seq("cell"))
+        .filter(col("query_id") =!= col("nbr_id"))
+        .withColumn("dist",
+          round(col("nrq") + col("nr") - lit(2) * expr("vec_dot(rq, rv)"), 4))
+        .groupBy(col("query_id"))
+        .agg(topk(-col("dist"), col("nbr_id")).as("top"))
+        .select(col("query_id"), posexplode(col("top")))
+        .select(col("query_id"), col("col._2").as("nbr_id"),
+          (-col("col._1") + lit(0.0)).as("dist"), (col("pos") + 1).as("rnk"))
+        .orderBy(col("query_id"), col("rnk"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // --- text analysis: token counting (whitespace + BPE-ish regex),
@@ -1129,86 +1226,7 @@ object LlmQueries extends QueryModule {
     // ADC ranking reconstructs the full residual codeword (deterministic
     // sorted flatten) so the distance is ONE index-order dot — no
     // order-dependent 8-term float sum.
-    "q145_ann_ivfpq" -> ((s, dir) => {
-      graft.functions.GraftFunctions.register(s) // vec_dot
-      val e = Tables(s, dir, "embeddings")
-        .select(col("vec_id"), col("label"),
-          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-        .withColumn("nrm", expr(normSqlOf("v")))
-      val centroid = udaf(new graft.functions.VectorAggregators.CentroidFixed(64))
-      val cells = e.groupBy(col("label")).agg(centroid(col("v")).as("cv"))
-        .select(col("label").as("cell"), col("cv"))
-        .withColumn("cnrm", expr(normSqlOf("cv")))
-      val scored = e.crossJoin(broadcast(cells))
-        .withColumn("cell_score",
-          expr("vec_dot(v, cv)") / (col("nrm") * col("cnrm")))
-      // q46's argmax assignment with label riding along (the residual
-      // codebook groups by ORIGINAL label, not by assigned cell)
-      val withCell = scored.groupBy(col("vec_id"))
-        .agg(max(struct(col("cell_score"), (-col("cell")).as("negc"),
-          col("v"), col("label"))).as("m"))
-        .select(col("vec_id"), (-col("m.negc")).as("cell"),
-          col("m.v").as("v"), col("m.label").as("label"))
-      val resid = withCell
-        .join(broadcast(cells.select(col("cell"), col("cv"))), Seq("cell"))
-        .withColumn("r", expr("zip_with(v, cv, (a, b) -> a - b)"))
-        .select(col("vec_id"), col("cell"), col("label"), col("r"))
-        .localCheckpoint() // shared by codebook, encode, and recon-cell
-      val rcb = resid.groupBy(col("label")).agg(centroid(col("r")).as("rc"))
-        .select(col("label").as("code"), explode(expr(
-          "transform(sequence(0, 7), m -> struct(m AS m, slice(rc, m*8+1, 8) AS c8))")).as("x"))
-        .select(col("code"), col("x.m").as("m"), col("x.c8").as("c8"))
-        .withColumn("nc", expr("vec_dot(c8, c8)"))
-      val sub = resid.select(col("vec_id"), explode(expr(
-          "transform(sequence(0, 7), m -> struct(m AS m, slice(r, m*8+1, 8) AS sv))")).as("x"))
-        .select(col("vec_id"), col("x.m").as("m"), col("x.sv").as("sv"))
-        .withColumn("nv", expr("vec_dot(sv, sv)"))
-      val enc = sub.join(broadcast(rcb), Seq("m"))
-        .withColumn("d", col("nv") + col("nc") - lit(2) * expr("vec_dot(sv, c8)"))
-        .groupBy(col("vec_id"), col("m"))
-        .agg(min(struct(col("d"), col("code"))).as("sel"))
-        .select(col("vec_id"), col("m"), col("sel.code").as("code"))
-      val recon = enc
-        .join(broadcast(rcb.select(col("m"), col("code"), col("c8"))), Seq("m", "code"))
-        .groupBy(col("vec_id"))
-        .agg(expr("flatten(transform(sort_array(collect_list(struct(m, c8))), x -> x.c8))").as("rv"))
-        .join(resid.select(col("vec_id"), col("cell")), Seq("vec_id"))
-        .withColumn("nr", expr("vec_dot(rv, rv)"))
-      val top2 = udaf(new graft.functions.TopKAggregator.TopK(2),
-        org.apache.spark.sql.Encoders.tuple(
-          org.apache.spark.sql.Encoders.scalaDouble,
-          org.apache.spark.sql.Encoders.scalaLong))
-      val probes = scored.filter(col("vec_id") < 10)
-        .groupBy(col("vec_id"))
-        .agg(top2(col("cell_score"), col("cell").cast("long")).as("top"))
-        .select(col("vec_id").as("query_id"), explode(col("top")).as("t"))
-        .select(col("query_id"), col("t._2").cast("int").as("cell"))
-      // per probed cell the query re-residualizes against THAT cell's
-      // centroid — the asymmetric-distance trick needs query and
-      // candidate expressed in the same cell-local frame
-      val qp = probes
-        .join(e.filter(col("vec_id") < 10)
-          .select(col("vec_id").as("query_id"), col("v").as("qv0")), Seq("query_id"))
-        .join(broadcast(cells.select(col("cell"), col("cv"))), Seq("cell"))
-        .withColumn("rq", expr("zip_with(qv0, cv, (a, b) -> a - b)"))
-        .withColumn("nrq", expr("vec_dot(rq, rq)"))
-        .select(col("cell"), col("query_id"), col("rq"), col("nrq"))
-      val topk = udaf(new graft.functions.TopKAggregator.TopK(3),
-        org.apache.spark.sql.Encoders.tuple(
-          org.apache.spark.sql.Encoders.scalaDouble,
-          org.apache.spark.sql.Encoders.scalaLong))
-      recon.select(col("vec_id").as("nbr_id"), col("cell"), col("rv"), col("nr"))
-        .join(broadcast(qp), Seq("cell"))
-        .filter(col("query_id") =!= col("nbr_id"))
-        .withColumn("dist",
-          round(col("nrq") + col("nr") - lit(2) * expr("vec_dot(rq, rv)"), 4))
-        .groupBy(col("query_id"))
-        .agg(topk(-col("dist"), col("nbr_id")).as("top"))
-        .select(col("query_id"), posexplode(col("top")))
-        .select(col("query_id"), col("col._2").as("nbr_id"),
-          (-col("col._1") + lit(0.0)).as("dist"), (col("pos") + 1).as("rnk"))
-        .orderBy(col("query_id"), col("rnk"))
-    }),
+    "q145_ann_ivfpq" -> ((s, dir) => ivfpq(s, dir, checkpoint = true)),
 
     // --- histogram quantiles: per-source length profile (p50/p90) from a
     // FIXED 16-bucket histogram — the 100 TB way to profile a corpus

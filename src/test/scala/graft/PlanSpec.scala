@@ -466,8 +466,11 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // assignment and PQ encode are max/min(struct) partial aggs over
     // broadcast tables (no Window anywhere), candidates meet the
     // 2-rows-per-query probe table by broadcast cell equi-join, and no
-    // CartesianProduct materializes.
-    val p = plan("q145_ann_ivfpq")
+    // CartesianProduct materializes. Built with checkpoint = false —
+    // the shipped query's localCheckpoint cuts would hide these shapes
+    // behind LogicalRDDs (values are identical either way).
+    val p = graft.operators.LlmQueries.ivfpq(spark, dir, checkpoint = false)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
     assert(p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("Window"), p)
