@@ -25,6 +25,47 @@ object Bench {
     * BenchFormatSpec can include them in the line-width budget. */
   val opOnlyNames: Seq[String] = Seq("q35op_minhash_only", "q36op_simhash_only")
 
+  /** One timed run: (elapsed_sec, ok). A query that THROWS is not a
+    * timing — round 7 shipped 22 analysis-broken queries that the old
+    * catch-and-return reported as the suite's fastest rows (0.06 s),
+    * which is exactly how the breakage slipped the bench gate. */
+  def timedRun(name: String, run: () => Unit): (Double, Boolean) = {
+    val t0 = System.nanoTime()
+    val ok =
+      try { run(); true }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        false
+      }
+    ((System.nanoTime() - t0) / 1e9, ok)
+  }
+
+  /** Full first/min protocol for one query: (first, min, ok). A first-run
+    * failure short-circuits (no retries — the failures this guards
+    * against are deterministic analysis errors); a later-run failure also
+    * marks the query failed so a flaky query can't launder a partial
+    * timing into the clean column. */
+  def protocol(name: String, run: () => Unit): (Double, Double, Boolean) = {
+    val (first, ok1) = timedRun(name, run)
+    if (!ok1) return (first, first, false)
+    val (second, ok2) = timedRun(name, run)
+    if (!ok2) return (first, second, false)
+    var best = math.min(first, second)
+    if (best < 1.0 || math.max(first, second) > 2.0 * best) {
+      val (third, ok3) = timedRun(name, run)
+      if (!ok3) return (first, best, false)
+      best = math.min(best, third)
+    }
+    (first, best, true)
+  }
+
+  /** Wire rendering for one query value: failed queries print the -1
+    * sentinel (never an elapsed time); clean ones clamp at 9.99 s
+    * (totals keep 1 ms; bench_detail.json keeps exact values). */
+  def wireValue(v: Double, ok: Boolean): String =
+    if (!ok) "-1"
+    else String.format(java.util.Locale.ROOT, "%.2f", Double.box(math.min(v, 9.99)))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -38,16 +79,8 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def time(name: String, df: () => org.apache.spark.sql.DataFrame): Double = {
-      val t0 = System.nanoTime()
-      try df().write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      }
-      (System.nanoTime() - t0) / 1e9
-    }
-    def once(name: String): Double =
-      time(name, () => SparkEntry.queries(name)(spark, sfDir))
+    def sink(df: () => org.apache.spark.sql.DataFrame): () => Unit =
+      () => df().write.format("noop").mode("overwrite").save()
 
     // Noise armor: measure BOTH the first-run time and the min. The min is
     // the plan's intrinsic cost (what a warm long-lived cluster pays); the
@@ -131,12 +164,9 @@ object Bench {
       // Within a query's own first/min runs the cache stays — that reuse
       // is the warm-cluster behavior the min column is meant to capture.
       spark.catalog.clearCache()
-      val first = once(name)
-      val second = once(name)
-      var best = math.min(first, second)
-      if (best < 1.0 || math.max(first, second) > 2.0 * best)
-        best = math.min(best, once(name))
-      (name, first, best)
+      val (first, best, ok) = protocol(name,
+        sink(() => SparkEntry.queries(name)(spark, sfDir)))
+      (name, first, best, ok)
     }
     // Operator-only rows for the contract queries (see opOnlyNames): same
     // two-runs-min protocol. Excluded from total/max_over_min so those
@@ -150,12 +180,8 @@ object Bench {
           operators.LlmQueries.simhashDocs(spark, sfDir))))
     val opResults = opOnlyNames.filter(selected).map { name =>
       spark.catalog.clearCache()
-      val first = time(name, opThunks(name))
-      val second = time(name, opThunks(name))
-      var best = math.min(first, second)
-      if (best < 1.0 || math.max(first, second) > 2.0 * best)
-        best = math.min(best, time(name, opThunks(name)))
-      (name, first, best)
+      val (first, best, ok) = protocol(name, sink(opThunks(name)))
+      (name, first, best, ok)
     }
     def r3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
@@ -165,28 +191,33 @@ object Bench {
     // the harness's ~2000-char tail (BenchFormatSpec pins the budget),
     // and per-query deltas below 10 ms are host noise on this VM anyway
     // — the 1 ms totals are where cross-round comparison happens.
-    def r2(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     def shortKey(name: String): String = name.split("_").head
-    // Per-query wire values clamp at 9.99 s: the tail budget buys one
-    // char per entry each time the cap drops a digit (99.99 -> 9.99
-    // covered the round-7 growth to 140 queries), totals keep 1 ms
-    // precision, and bench_detail.json keeps exact values — a saturated
-    // 9.99 still names the regressed query, and a >10 s query is
-    // already screaming from the total.
-    def jmap(f: ((String, Double, Double)) => Double): String =
+    // Per-query wire values clamp at 9.99 s (failed queries print -1 via
+    // wireValue): the tail budget buys one char per entry each time the
+    // cap drops a digit (99.99 -> 9.99 covered the round-7 growth to 140
+    // queries), totals keep 1 ms precision, and bench_detail.json keeps
+    // exact values — a saturated 9.99 still names the regressed query,
+    // and a >10 s query is already screaming from the total.
+    def jmap(f: ((String, Double, Double, Boolean)) => Double): String =
       (results ++ opResults).map(r =>
-        "\"" + shortKey(r._1) + "\":" + r2(math.min(f(r), 9.99)))
+        "\"" + shortKey(r._1) + "\":" + wireValue(f(r), r._4))
         .mkString("{", ",", "}")
-    val total = results.map(_._3).sum
-    val firstTotal = results.map(_._2).sum
+    // Totals cover CLEAN queries only — a failed query contributing its
+    // time-to-throw would make a broken suite look faster than a working
+    // one. The errors count in the line is the non-clean marker.
+    val clean = results.filter(_._4)
+    val failed = (results ++ opResults).filterNot(_._4).map(_._1)
+    if (failed.nonEmpty)
+      System.err.println(s"[bench] NOT CLEAN: ${failed.size} queries failed: ${failed.mkString(", ")}")
+    val total = clean.map(_._3).sum
+    val firstTotal = clean.map(_._2).sum
     // Dispersion: the largest first/min ratio across queries. A high value
     // with a low min-total is pure warm-up (JIT/codegen on first touch); a
     // regression is real only when the MIN moves. Lets the judge separate
     // the two without the gitignored detail file. maxOption: an empty
     // SPARK_GRAFT_BENCH_ONLY selection must emit a (degenerate) line, not
     // throw on .max of an empty seq.
-    val maxOverMin = results.map(r => r._2 / math.max(r._3, 1e-9))
+    val maxOverMin = clean.map(r => r._2 / math.max(r._3, 1e-9))
       .maxOption.getOrElse(1.0)
     // The harness keeps only the last ~2000 chars of stdout and parses the
     // JSON line out of that tail (BENCH_r03 overflowed it and recorded
@@ -199,9 +230,9 @@ object Bench {
     // sf as basename: the full testdata path spent 15 tail-budget chars
     // saying what "sf0.1" already says
     val sfName = new java.io.File(sfDir).getName
-    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${jmap(_._3)},"first_total":${r3(firstTotal)},"max_over_min":${r3(maxOverMin)},"steal_pct":${r1(stealPct)},"load1":${r1(load1)},"cal":${r3(calib)},"sf":"$sfName"}"""
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${jmap(_._3)},"first_total":${r3(firstTotal)},"max_over_min":${r3(maxOverMin)},"errors":${failed.size},"steal_pct":${r1(stealPct)},"load1":${r1(load1)},"cal":${r3(calib)},"sf":"$sfName"}"""
     val detail = (results ++ opResults).map(r =>
-      s"""{"query":"${r._1}","first":${r._2},"min":${r._3}}""")
+      s"""{"query":"${r._1}","first":${r._2},"min":${r._3},"ok":${r._4}}""")
       .mkString("[", ",", "]")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",

@@ -17,21 +17,40 @@ object Tables {
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
-    if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-      // reader rejects outright ([PARQUET_TYPE_ILLEGAL]). With
-      // spark.sql.legacy.parquet.nanosAsLong the raw nanos read as long,
-      // then truncate to the micros TimestampType domain — the same
-      // truncation DuckDB applies on read, so oracle comparisons see
-      // identical instants. `DIV` keeps the arithmetic integral. The flag
-      // is set ONCE at session build (Bench/Verify/specs) — loaders must
-      // not mutate session config as a side effect, so fail loudly here
-      // instead of setting it.
-      require(spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
-        "events table needs spark.sql.legacy.parquet.nanosAsLong=true set at session build")
-      spark.read.parquet(path).withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-    } else {
-      spark.read.parquet(path)
+    if (name == "events") loadEvents(spark, path)
+    else spark.read.parquet(path)
+  }
+
+  /** events.ts has shipped as two different physical types across testdata
+    * generations: parquet TIMESTAMP(NANOS) — which Spark's vectorized
+    * reader rejects outright unless spark.sql.legacy.parquet.nanosAsLong
+    * makes it read as a raw nanos long — and
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false), which Spark reads as
+    * TIMESTAMP_NTZ. Dispatch on the ACTUAL read schema so either vintage
+    * normalizes to the same micros TimestampType column:
+    *  - LongType (nanos under the legacy flag): integral `DIV 1000`
+    *    truncates to the micros domain, matching DuckDB's read-time
+    *    truncation, so oracle comparisons see identical instants.
+    *  - TIMESTAMP_NTZ: the naive datetimes are UTC wall clocks; casting
+    *    under the UTC session (all entry points set it) yields the same
+    *    instants DuckDB reads from the file.
+    * The loader never mutates session config — if the file IS nanos and
+    * the flag isn't set, the read throws Spark's PARQUET_TYPE_ILLEGAL,
+    * re-raised here with the fix spelled out.
+    */
+  private def loadEvents(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val raw =
+      try spark.read.parquet(path)
+      catch { case e: Throwable if String.valueOf(e.getMessage).contains("NANOS") =>
+        throw new IllegalStateException(
+          s"$path has TIMESTAMP(NANOS) — set spark.sql.legacy.parquet.nanosAsLong=true at session build", e)
+      }
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => raw
+      case other => sys.error(s"$path: unsupported ts type $other (expected nanos-long, TIMESTAMP_NTZ, or TIMESTAMP)")
     }
   }
 }

@@ -330,13 +330,17 @@ object LlmQueries extends QueryModule {
   }
 
   /** (doc_id, sh): 64-bit simhash per document of the planted corpus.
-    * Persisted: 16 bytes/doc with two join-side consumers, each of which
-    * would otherwise re-run tokenize+simhash over the corpus. */
+    * Materialized via localCheckpoint: 16 bytes/doc with two join-side
+    * consumers, each of which would otherwise re-run tokenize+simhash
+    * over the corpus. localCheckpoint (not persist) so the tiny frame is
+    * reaped by ContextCleaner when the query's plan is dropped instead of
+    * sitting in the CacheManager for the session's lifetime — the same
+    * leak class q123-q125 fixed in round 7. */
   private[graft] def simhashDocs(s: SparkSession, dir: String): DataFrame =
     withTokens(plantedNear(s, dir))
       .select(col("doc_id"),
         graft.functions.TextFunctions.simhash64(col("tk")).as("sh"))
-      .persist()
+      .localCheckpoint()
 
   /** SimHash near-dup pairs over a (doc_id, sh) frame: 4x16-bit band
     * blocking, Hamming distance <= 6 via bit_count(xor). */

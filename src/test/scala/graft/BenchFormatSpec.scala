@@ -22,10 +22,29 @@ class BenchFormatSpec extends AnyFunSuite {
     // 9.99 s on the wire (totals keep 1 ms; per-query 1 ms overflowed
     // the tail at 122 queries, a 99.99 clamp overflowed at 140).
     val entries = short.map(n => "\"" + n + "\":9.99").mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":99999.999,"unit":"sec","queries":$entries,"first_total":99999.999,"max_over_min":999.999,"steal_pct":99.9,"load1":99.9,"cal":99.999,"sf":"sf0.1"}"""
+    val line = s"""{"metric":"total","value":99999.999,"unit":"sec","queries":$entries,"first_total":99999.999,"max_over_min":999.999,"errors":999,"steal_pct":99.9,"load1":99.9,"cal":99.999,"sf":"sf0.1"}"""
     // 2000-char tail minus ~100 chars of trailing sbt "[success]" noise.
     assert(line.length < 1900,
       s"bench line would be ${line.length} chars; trim the format or query names")
+  }
+
+  test("a query that throws is reported as an error, never as a timing") {
+    // Round 7's regression shipped because Bench.time() caught the
+    // exception and returned the elapsed 0.06 s — 22 broken queries
+    // showed up as the suite's FASTEST rows. The protocol now carries an
+    // ok flag end-to-end and the wire renders -1 for failures.
+    val (_, _, ok) = Bench.protocol("boom", () => throw new RuntimeException("q broken"))
+    assert(!ok, "a throwing query must be marked failed")
+    assert(Bench.wireValue(0.06, ok = false) == "-1",
+      "failed queries must print the -1 sentinel on the wire")
+    assert(Bench.wireValue(0.06, ok = true) == "0.06")
+    assert(Bench.wireValue(42.0, ok = true) == "9.99", "clean values clamp at 9.99")
+    // a query that only fails on a LATER run is failed too — no partial
+    // timings laundered into the clean column
+    var calls = 0
+    val (_, _, okLater) = Bench.protocol("flaky",
+      () => { calls += 1; if (calls > 1) throw new RuntimeException("flaky") })
+    assert(!okLater)
   }
 
   test("rounded values render dot-decimal regardless of default locale") {
