@@ -164,6 +164,15 @@ object Bench {
       // Within a query's own first/min runs the cache stays — that reuse
       // is the warm-cluster behavior the min column is meant to capture.
       spark.catalog.clearCache()
+      // clearCache does NOT reap localCheckpoint RDD blocks — those are
+      // freed by ContextCleaner only after a GC drops the plan reference,
+      // and Spark's own periodic GC runs every 30 min (longer than this
+      // whole suite). Round 7 showed the effect: 18 new checkpoint-using
+      // queries run alphabetically BEFORE q35/q36, whose in-suite times
+      // inflated 5-10x over their standalone times as leaked blocks
+      // squeezed execution memory. One explicit GC between queries lets
+      // the cleaner reap them; it runs outside any timed window.
+      System.gc()
       val (first, best, ok) = protocol(name,
         sink(() => SparkEntry.queries(name)(spark, sfDir)))
       (name, first, best, ok)
@@ -180,6 +189,7 @@ object Bench {
           operators.LlmQueries.simhashDocs(spark, sfDir))))
     val opResults = opOnlyNames.filter(selected).map { name =>
       spark.catalog.clearCache()
+      System.gc()
       val (first, best, ok) = protocol(name, sink(opThunks(name)))
       (name, first, best, ok)
     }

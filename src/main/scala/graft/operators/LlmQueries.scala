@@ -1232,6 +1232,81 @@ object LlmQueries extends QueryModule {
     // order-dependent 8-term float sum.
     "q145_ann_ivfpq" -> ((s, dir) => ivfpq(s, dir, checkpoint = true)),
 
+    // --- kNN-GRAPH construction (k = 5) over the planted vector corpus:
+    // the all-nodes generalization of q46's 10-query probe and the
+    // building block of graph ANN (HNSW / NN-descent seeding), vector
+    // near-dup clustering, and corpus-scale hard-negative mining. Every
+    // node multi-probes its top-2 IVF cells — on the BUILD side this
+    // time: the probe table is corpus-sized, so unlike q46/q131 it is
+    // NOT broadcast. Candidates meet probes in a cell-keyed shuffle join
+    // whose volume is Σ|cell|·|probes(cell)| — the intrinsic blocked
+    // kNN-graph cost (bounded by picking cells ~ √n; a hot cell is
+    // AQE-splittable because the per-node ranking below is a partial
+    // aggregate, not a window). Per-node ranking is the bounded-heap
+    // TopK: candidate rows die map-side and the only per-node exchange
+    // carries n x k rows. The per-vec payload (v, nrm) rides through the
+    // probe aggregate as first() — constant within a vec_id group — so
+    // the corpus is never re-joined to itself on vec_id.
+    //
+    // Contract (q35/q36 tier): a planted 2x-scaled copy is BIT-IDENTICAL
+    // to its original after normalization (powers of two are exact in
+    // IEEE), so copy and original share the same cell argmax and the
+    // same probe list — co-bucketing is structural, and the pair's
+    // cosine rounds to exactly 1.0, the maximum, so the copy lands in
+    // the original's top-5 (eviction would need five OTHER candidates
+    // at 1.0000, i.e. five near-identical corpus vectors — not a
+    // property of the synthetic corpus). n_nodes/n_edges are genuine
+    // oracle arithmetic; the booleans pin recall and graph completeness.
+    "q146_knn_graph" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s) // vec_dot
+      val e = plantedVecs(s, dir).withColumn("nrm", expr(normSqlOf("v")))
+      val centroid = udaf(new graft.functions.VectorAggregators.CentroidFixed(64))
+      val cells = e.groupBy(col("label")).agg(centroid(col("v")).as("cv"))
+        .select(col("label").as("cell"), col("cv"))
+        .withColumn("cnrm", expr(normSqlOf("cv")))
+      val scored = e.crossJoin(broadcast(cells))
+        .withColumn("cell_score",
+          expr("vec_dot(v, cv)") / (col("nrm") * col("cnrm")))
+      // corpus side: each vector lives in exactly ONE cell (q46 argmax)
+      val withCell = scored.groupBy(col("vec_id"))
+        .agg(max(struct(col("cell_score"), (-col("cell")).as("negc"),
+          col("v"), col("nrm"))).as("m"))
+        .select(col("vec_id").as("nbr_id"), (-col("m.negc")).as("cell"),
+          col("m.v").as("bv"), col("m.nrm").as("bnrm"))
+      // probe side: every node's top-2 cells (bounded heap, ties by cell
+      // asc — deterministic), payload carried by first() in the same agg
+      val top2 = udaf(new graft.functions.TopKAggregator.TopK(2),
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaDouble,
+          org.apache.spark.sql.Encoders.scalaLong))
+      val probes = scored.groupBy(col("vec_id"))
+        .agg(top2(col("cell_score"), col("cell").cast("long")).as("top"),
+          first(col("v")).as("av"), first(col("nrm")).as("anrm"))
+        .select(col("vec_id").as("src_id"), col("av"), col("anrm"),
+          explode(col("top")).as("t"))
+        .select(col("src_id"), col("av"), col("anrm"),
+          col("t._2").cast("int").as("cell"))
+      val topk = udaf(new graft.functions.TopKAggregator.TopK(5),
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaDouble,
+          org.apache.spark.sql.Encoders.scalaLong))
+      val edges = withCell.join(probes, Seq("cell"))
+        .filter(col("src_id") =!= col("nbr_id"))
+        .withColumn("score",
+          round(expr("vec_dot(av, bv)") / (col("anrm") * col("bnrm")), 4))
+        .groupBy(col("src_id"))
+        .agg(topk(col("score"), col("nbr_id")).as("top"))
+        .select(col("src_id"), explode(col("top")).as("t"))
+        .select(col("src_id"), col("t._2").as("nbr_id"))
+      val nodes = e.agg(count(lit(1)).as("n_nodes"))
+      val es = edges.agg(count(lit(1)).as("n_edges"),
+        count(when(col("nbr_id") === col("src_id") + 100000L, 1)).as("n_pl"))
+      nodes.crossJoin(es).select(
+        col("n_nodes"), col("n_edges"),
+        (col("n_edges") === col("n_nodes") * 5).as("degree_ok"),
+        (col("n_pl") === col("n_nodes") / 2).as("planted_recall_ok"))
+    }),
+
     // --- histogram quantiles: per-source length profile (p50/p90) from a
     // FIXED 16-bucket histogram — the 100 TB way to profile a corpus
     // column: one map-side-combined groupBy over (source, bucket) whose
@@ -1840,6 +1915,16 @@ object LlmQueries extends QueryModule {
     // query re-residualizes per probed cell. Every float expression
     // mirrors the engine's term order; codeword reconstruction is the
     // same m-ordered flatten, so the ADC distance is one dot.
+    // Contract tier (see BenchFormatSpec): n_nodes/n_edges are genuine
+    // arithmetic (the planted corpus is 2x embeddings; the complete
+    // 5-NN graph is 5 edges per node — completeness itself is what
+    // degree_ok certifies in-engine); the booleans pin structural
+    // co-bucketing recall of the planted bit-identical copies.
+    "q146_knn_graph" ->
+      """SELECT 2 * COUNT(*) AS n_nodes, 10 * COUNT(*) AS n_edges,
+        |  TRUE AS degree_ok, TRUE AS planted_recall_ok
+        |FROM embeddings""".stripMargin,
+
     "q145_ann_ivfpq" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
         |           FROM embeddings),

@@ -63,7 +63,7 @@ class BenchFormatSpec extends AnyFunSuite {
     val oracled = SparkEntry.oracleSql.keySet
     // the count the docs (README, SURVEY §8) advertise — update BOTH
     // when adding a query, or the driver-contract documentation drifts
-    assert(queries.size == 145, s"query count ${queries.size} != documented 145")
+    assert(queries.size == 146, s"query count ${queries.size} != documented 146")
     assert(oracled.subsetOf(queries),
       s"oracles without queries: ${(oracled -- queries).toSeq.sorted}")
     assert((queries -- oracled) == rowsOnly,
@@ -81,7 +81,8 @@ class BenchFormatSpec extends AnyFunSuite {
     // oracle (or silently weakening a full oracle to booleans) must
     // touch this list.
     val contractTier = Set("q35_minhash_lsh", "q36_simhash",
-      "q45_approx_distinct", "q97_hll_rollup", "q104_approx_percentile")
+      "q45_approx_distinct", "q97_hll_rollup", "q104_approx_percentile",
+      "q146_knn_graph")
     val pinsBooleans = SparkEntry.oracleSql.filter { case (_, sql) =>
       sql.toLowerCase.matches("(?s).*\\btrue\\b.*as\\s+\\w*_ok\\b.*")
     }.keySet

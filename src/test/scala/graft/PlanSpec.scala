@@ -478,6 +478,24 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("hashpartitioning(vec_id"), p)
   }
 
+  test("q146 kNN graph: corpus-sized probe side shuffles by cell, ranking partial-agged, no window") {
+    // The all-nodes graph build must keep q46's discipline with a probe
+    // table that is now corpus-sized: centroids broadcast (the only
+    // nested-loop join), candidates meet probes in a cell-keyed SHUFFLE
+    // join (broadcasting a corpus-sized probe table would OOM at scale —
+    // pin that no plain cross join materializes instead), and both the
+    // cell argmax and the per-node top-5 are partial aggregates — a
+    // window here would sort each cell's full pair stream in one task.
+    val p = plan("q146_knn_graph")
+    assert(p.contains("BroadcastNestedLoopJoin"), p) // centroid scoring only
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("ObjectHashAggregate"), p) // TopK bounded heaps
+    assert(p.contains("hashpartitioning(vec_id"), p) // argmax + probe aggs
+    assert(p.contains("hashpartitioning(cell"), p) // the candidate-probe join
+    assert(p.contains("hashpartitioning(src_id"), p) // per-node top-5
+  }
+
   test("q132 PQ: codebook joins broadcast, encode/probe window-free, no cartesian") {
     val p = plan("q132_ann_pq")
     // encode + reconstruct join the 80-row codebook by broadcast; the
