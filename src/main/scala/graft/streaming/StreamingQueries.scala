@@ -54,6 +54,21 @@ object StreamingQueries extends QueryModule {
       .dropDuplicates("lang", "fp")
       .groupBy(col("lang")).agg(count(lit(1)).as("n_unique"))
 
+  /** Stream-stream interval join: purchases within 1 hour AFTER a click
+    * by the same user — the attribution-join shape. Watermarks on BOTH
+    * sides are what make this viable on unbounded inputs: each side's
+    * state store keeps only rows newer than (watermark - interval), so
+    * state is bounded by the interval x arrival rate, never the stream
+    * length. The join key is the user equi-key; the time bound is the
+    * join's range predicate — at 100 TB this shuffles both sides once on
+    * user_id and the per-user time filter runs inside the joined
+    * partition (the batch form is exactly q27's range-join shape). */
+  def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame): DataFrame =
+    clicks.withWatermark("c_ts", "1 hour")
+      .join(purchases.withWatermark("p_ts", "1 hour"),
+        expr("c_user = p_user AND p_ts > c_ts AND p_ts <= c_ts + INTERVAL 1 HOUR"))
+      .select(col("c_user").as("user_id"), col("c_ts"), col("p_ts"))
+
   /** Per-user session windows with a 6-hour inactivity gap. */
   def sessions(events: DataFrame): DataFrame =
     events.withWatermark("ts", "1 hour")
@@ -78,6 +93,26 @@ object StreamingQueries extends QueryModule {
     "q64_stream_dedup" -> ((s, dir) => {
       val d = Tables(s, dir, "documents").select(col("lang"), col("text"))
       dedupCounts(d.unionByName(d)).orderBy(col("lang"))
+    }),
+
+    // --- stream-stream interval join in the correctness gate (batch
+    // parity; the two-MemoryStream watermarked run is in StreamingSpec):
+    // click -> purchase attribution within 1 hour, aggregated to exact
+    // per-user pair counts and min/max lead times in integral micros.
+    "q147_stream_interval_join" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      clickPurchaseJoin(clicks, purchases)
+        .select(col("user_id"),
+          (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("lead_us"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_pairs"),
+          min(col("lead_us")).as("min_lead_us"),
+          max(col("lead_us")).as("max_lead_us"))
+        .orderBy(col("user_id"))
     }),
 
     // --- flatMapGroupsWithState in the correctness gate: one alert row
@@ -135,6 +170,18 @@ object StreamingQueries extends QueryModule {
         |SELECT user_id,
         |  100 * unnest(generate_series(1, CAST(floor(total / 100) AS BIGINT))) AS crossed
         |FROM t ORDER BY user_id, crossed""".stripMargin,
+    "q147_stream_interval_join" ->
+      """WITH c AS (SELECT user_id, ts AS c_ts FROM events
+        |           WHERE event_type = 'click'),
+        |     p AS (SELECT user_id, ts AS p_ts FROM events
+        |           WHERE event_type = 'purchase')
+        |SELECT c.user_id, COUNT(*) AS n_pairs,
+        |  MIN(epoch_us(p.p_ts) - epoch_us(c.c_ts)) AS min_lead_us,
+        |  MAX(epoch_us(p.p_ts) - epoch_us(c.c_ts)) AS max_lead_us
+        |FROM c JOIN p ON p.user_id = c.user_id
+        |  AND p.p_ts > c.c_ts AND p.p_ts <= c.c_ts + INTERVAL 1 HOUR
+        |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin,
+
     "q64_stream_dedup" ->
       """WITH corpus AS (
         |  SELECT lang, text FROM documents

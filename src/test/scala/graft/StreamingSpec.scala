@@ -159,10 +159,9 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     implicit val sqlCtx = sp.sqlContext
     val mc = MemoryStream[Click]
     val mp = MemoryStream[Purchase]
-    val joined = mc.toDF().withWatermark("c_ts", "1 hour")
-      .join(mp.toDF().withWatermark("p_ts", "1 hour"),
-        expr("c_user = p_user AND p_ts > c_ts AND p_ts <= c_ts + INTERVAL 1 HOUR"))
-      .select(col("c_user").as("user_id"), col("c_ts"), col("p_ts"))
+    // the SAME builder the q147 gate query runs in batch — parity by
+    // construction, exercised here across two real watermarked streams
+    val joined = StreamingQueries.clickPurchaseJoin(mc.toDF(), mp.toDF())
     val q = joined.writeStream.format("memory").queryName("ssj")
       .outputMode(OutputMode.Append()).start()
     try {
