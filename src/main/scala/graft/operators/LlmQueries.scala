@@ -917,6 +917,29 @@ object LlmQueries extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // --- image RESIZE (box-filter thumbnail): the decode -> downsample
+    // step of an image ingestion pipeline, on REAL PNG bytes through
+    // ImageIO with the resampling arithmetic kept integral so the
+    // oracle replicates it from the gradient formula. Emits the 4x4
+    // thumbnail pixels (comma-joined, row-major) plus luma stats —
+    // i.e. the actual resized payload, where q123 emits only threshold
+    // bits. Scale: decode+resize is map-side per partition (splits
+    // spread it at 100 TB; repartition spreads the one local split);
+    // nothing shuffles but the final order for the gate.
+    "q148_image_resize" -> ((s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "documents").select(col("doc_id")).as[Long]
+        .repartition(s.sparkContext.defaultParallelism)
+        .mapPartitions { it =>
+          javax.imageio.ImageIO.setUseCache(false)
+          it.map { id =>
+            val t = MultimodalOps.resizeBox(MultimodalOps.mkGrayPng(id % 40), 4)
+            (id, t.mkString(","), t.sum / t.length, t.max, t.min)
+          }
+        }.toDF("doc_id", "thumb", "mean_luma", "max_luma", "min_luma")
+        .orderBy(col("doc_id"))
+    }),
+
     // --- NEAR-duplicate images: banded Hamming join over the q123
     // average-hash — the image-side sibling of q36's SimHash bands,
     // with the same pigeonhole guarantee (64 bits in 4 bands of 16:
@@ -1667,6 +1690,28 @@ object LlmQueries extends QueryModule {
         |    AS duration_ms,
         |  CAST(1 AS INT) AS n_tracks
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // Replicates decode+resize from the gradient formula: pixel
+    // (x, y) of doc d is ((d%40)*31 + x*7 + y*13) % 256; a 4x4 box
+    // average is the integer-division mean of each 4x4 block — the
+    // whole path is integral, so a real ImageIO decode/resample bug
+    // (color space, rounding, raster order) cannot hash-match.
+    "q148_image_resize" ->
+      """WITH px AS (
+        |  SELECT d.doc_id, bx, by,
+        |    ((d.doc_id % 40) * 31 + (bx * 4 + dx) * 7 + (by * 4 + dy) * 13)
+        |      % 256 AS p
+        |  FROM documents d
+        |  CROSS JOIN range(4) tbx(bx) CROSS JOIN range(4) tby(by)
+        |  CROSS JOIN range(4) tdx(dx) CROSS JOIN range(4) tdy(dy)),
+        |pool AS (
+        |  SELECT doc_id, by * 4 + bx AS j, CAST(sum(p) // 16 AS INT) AS v
+        |  FROM px GROUP BY doc_id, bx, by)
+        |SELECT doc_id,
+        |  string_agg(CAST(v AS VARCHAR), ',' ORDER BY j) AS thumb,
+        |  CAST(sum(v) // 16 AS INT) AS mean_luma,
+        |  CAST(max(v) AS INT) AS max_luma, CAST(min(v) AS INT) AS min_luma
+        |FROM pool GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "q123_image_ahash_dedup" ->
       """WITH px AS (
         |  SELECT d.doc_id, bx, by,

@@ -546,6 +546,43 @@ object MultimodalOps {
     bos.toByteArray
   }
 
+  /** Box-filter (area-average) resize of a 16x16 grayscale image to
+    * n x n: real ImageIO decode, each output pixel the INTEGER-division
+    * mean of its (16/n)² source block — the arithmetic stays integral
+    * end-to-end so a SQL oracle can replicate it bit-for-bit (the same
+    * trick aHash uses for its threshold compare). Returns the n² pixels
+    * row-major; empty for undecodable or wrong-sized inputs. Box
+    * averaging IS the standard thumbnail/downsample step of an image
+    * ingestion pipeline (and the pooling core of aHash, exposed here as
+    * the actual resized pixels rather than threshold bits). */
+  def resizeBox(bytes: Array[Byte], n: Int): Array[Int] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    if (img == null || img.getWidth != 16 || img.getHeight != 16) return Array.empty
+    val r = img.getRaster
+    val block = 16 / n
+    val out = new Array[Int](n * n)
+    var by = 0
+    while (by < n) {
+      var bx = 0
+      while (bx < n) {
+        var s = 0
+        var dy = 0
+        while (dy < block) {
+          var dx = 0
+          while (dx < block) {
+            s += r.getSample(bx * block + dx, by * block + dy, 0)
+            dx += 1
+          }
+          dy += 1
+        }
+        out(by * n + bx) = s / (block * block)
+        bx += 1
+      }
+      by += 1
+    }
+    out
+  }
+
   /** 64-bit average-hash (aHash) of a 16x16 grayscale image: real
     * ImageIO decode, 2x2 average-pool to 8x8, bit j (= row*8 + col) set
     * iff pool_j > image mean. All compares are exact integer arithmetic
