@@ -38,6 +38,23 @@ object EventAnalytics extends QueryModule {
           round(col("n_converted").cast("double") / col("n_clicked"), 4))
     }),
 
+    // --- Z-order clustering key (the Delta/Iceberg Z-ORDER layout sort,
+    // via the codegen'd [[graft.functions.ZorderKey]] Expression): Morton
+    // interleave of (user_id, day) so row-group min/max stats prune point
+    // filters on EITHER column after the write — ScaleSpec measures the
+    // actual pruning on real parquet footers; this gate row pins the key
+    // arithmetic cross-engine (the oracle recomputes the interleave as a
+    // 32-term bit sum). The orderBy IS the operator: the one range
+    // exchange + sort a layout rewrite pays before its write at 100 TB.
+    "q149_zorder_layout" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s) // zorder_key
+      events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("day_num"))
+        .withColumn("zkey", expr("zorder_key(user_id, day_num)"))
+        .orderBy(col("zkey"), col("event_id"))
+    }),
+
     // --- cohort retention: cohort = first active day; day-1 and day-7
     // retention per cohort. The log reduces to distinct (user, day)
     // first, so everything downstream is bounded by users x active-days.
@@ -199,6 +216,24 @@ object EventAnalytics extends QueryModule {
   )
 
   def oracles: Map[String, String] = Map(
+    // Morton interleave as a 32-term bit sum: bit i of user_id lands at
+    // 2i, of day_num at 2i+1 (ZorderKey's documented contract). The
+    // shifted-bit form ((x>>i & 1) << (2i+1)) never left-shifts a set
+    // bit past 62 on this data (both inputs < 2^16); DuckDB's SUM over
+    // BIGINT returns HUGEINT, so the result casts back to BIGINT.
+    "q149_zorder_layout" ->
+      """WITH e AS (SELECT event_id, user_id,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |      AS BIGINT) AS day_num
+        |  FROM events),
+        |bits AS (SELECT CAST(unnest(range(32)) AS BIGINT) AS i)
+        |SELECT e.event_id, e.user_id, e.day_num,
+        |  CAST(sum((((e.user_id >> i) & 1) << (2 * i)) +
+        |           (((e.day_num >> i) & 1) << (2 * i + 1))) AS BIGINT) AS zkey
+        |FROM e CROSS JOIN bits
+        |GROUP BY e.event_id, e.user_id, e.day_num
+        |ORDER BY zkey, event_id""".stripMargin,
+
     "q102_window_median" ->
       """WITH d AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n
         |           FROM events GROUP BY 1)
