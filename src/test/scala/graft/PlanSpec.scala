@@ -478,6 +478,19 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("hashpartitioning(vec_id"), p)
   }
 
+  test("q147 interval join: user equi-key carries the join, range as predicate, no cartesian") {
+    // The stream-stream attribution join's batch form must plan as an
+    // equi-join on the user key with the time interval as a join-side
+    // filter — a cartesian with a post-filter would be |clicks| x
+    // |purchases| at 100 TB. No window anywhere; the per-user rollup is
+    // an ordinary partial-agged aggregate.
+    val p = plan("q147_stream_interval_join")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("hashpartitioning(user_id"), p)
+  }
+
   test("q146 kNN graph: corpus-sized probe side shuffles by cell, ranking partial-agged, no window") {
     // The all-nodes graph build must keep q46's discipline with a probe
     // table that is now corpus-sized: centroids broadcast (the only
