@@ -177,6 +177,31 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
       Tables(spark, dir, "orders").filter(col("o_orderstatus") === "F").count())
   }
 
+  test("schema evolution: mergeSchema unions epochs, old rows null-fill, pruning intact") {
+    // A 100 TB dataset is written over months and its schema DRIFTS — a
+    // later ingestion epoch adds a column the early files lack. The read
+    // path must (a) union the schemas across files, (b) null-fill the
+    // added column for old rows, and (c) keep column pruning working so
+    // a query touching only the new column doesn't pay for the old ones.
+    val out = java.nio.file.Files.createTempDirectory("evolve").toString
+    spark.range(0, 5).selectExpr("id", "id * 2 AS a")
+      .coalesce(1).write.mode("append").parquet(out)
+    spark.range(5, 8).selectExpr("id", "id * 2 AS a", "CAST(id AS STRING) AS b_new")
+      .coalesce(1).write.mode("append").parquet(out)
+    val merged = spark.read.option("mergeSchema", "true").parquet(out)
+    assert(merged.schema.fieldNames.sorted.toSeq == Seq("a", "b_new", "id"))
+    val rows = merged.selectExpr("id", "b_new").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).toMap
+    assert(rows(0).isEmpty && rows(7).contains("7"), rows.toString)
+    assert(rows.size == 8)
+    // pruning: a b_new-only projection reads just that column (+ nothing
+    // else in ReadSchema)
+    val plan = merged.select(col("b_new")).queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("b_new") && !readSchema.contains("\"a\""), readSchema)
+  }
+
   test("asofJoin: row-level carry (matched nulls stay null), <= ties, no-match nulls") {
     import scala.jdk.CollectionConverters._
     import graft.operators.TemporalOps
