@@ -350,6 +350,25 @@ class LlmSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(3L).getString(1) == "undecodable")
   }
 
+  test("resizeBox: box average matches the pixel formula; bad inputs resize to empty") {
+    // independent replication of the q148 arithmetic: pixel (x, y) of
+    // seed s is (s*31 + x*7 + y*13) % 256, a 4x4 output pixel the
+    // integer-division mean of its 4x4 block
+    val seed = 7L
+    val got = MultimodalOps.resizeBox(MultimodalOps.mkGrayPng(seed), 4)
+    val want = (for (by <- 0 until 4; bx <- 0 until 4) yield {
+      val s = (for (dy <- 0 until 4; dx <- 0 until 4)
+        yield ((seed * 31 + (bx * 4 + dx) * 7 + (by * 4 + dy) * 13) % 256).toInt).sum
+      s / 16
+    }).toArray
+    assert(got.toSeq == want.toSeq)
+    // n=16 is the identity resize; n=2 pools 8x8 blocks
+    assert(MultimodalOps.resizeBox(MultimodalOps.mkGrayPng(seed), 16).length == 256)
+    assert(MultimodalOps.resizeBox(MultimodalOps.mkGrayPng(seed), 2).length == 4)
+    assert(MultimodalOps.resizeBox("junk".getBytes("UTF-8"), 4).isEmpty)
+    assert(MultimodalOps.resizeBox(Array.emptyByteArray, 4).isEmpty)
+  }
+
   test("real audio decode: PCM-16 WAV sample count and RMS") {
     val rate = 8000; val n = 1000; val amp = 1000.0
     val bb = java.nio.ByteBuffer.allocate(44 + n * 2)
