@@ -1313,7 +1313,27 @@ object LlmQueries extends QueryModule {
         org.apache.spark.sql.Encoders.tuple(
           org.apache.spark.sql.Encoders.scalaDouble,
           org.apache.spark.sql.Encoders.scalaLong))
-      val edges = withCell.join(probes, Seq("cell"))
+      // Bounded salt on the cell join: the pair scoring is the query's
+      // whole cost, and with FEW cells (harness: 10 labels < 32 cores)
+      // a plain cell-keyed join runs it on |cells| tasks. Candidates
+      // take salt = hash(nbr_id) % R, probes replicate xR, pairs meet
+      // exactly once (each dst lives in ONE salt bucket). R derives
+      // from cores/cells — the count is one tiny job over the
+      // |cells|-row dim table (the jaccardPairsCapped probe precedent)
+      // — so a production layout with cells ~ sqrt(n) >> cores gets
+      // R = 1 and pays zero replication.
+      val nCells = cells.count().toInt
+      val fanout = math.max(1,
+        s.sparkContext.defaultParallelism / math.max(nCells, 1))
+      val salted = withCell.withColumn("salt",
+        pmod(xxhash64(col("nbr_id")), lit(fanout)).cast("int"))
+      val probesR = probes.withColumn("salt",
+        explode(expr(s"sequence(0, ${fanout - 1})")))
+      // shuffle_hash: (cell, salt) keys are uniform BY CONSTRUCTION (the
+      // salt is a hash mod), and sort-merge would SORT millions of
+      // 2x64-double pair-precursor rows per side — the same trade
+      // cappedPairCounts measured on its exploded index
+      val edges = salted.join(probesR.hint("shuffle_hash"), Seq("cell", "salt"))
         .filter(col("src_id") =!= col("nbr_id"))
         .withColumn("score",
           round(expr("vec_dot(av, bv)") / (col("anrm") * col("bnrm")), 4))

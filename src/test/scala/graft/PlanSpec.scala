@@ -507,6 +507,12 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("hashpartitioning(vec_id"), p) // argmax + probe aggs
     assert(p.contains("hashpartitioning(cell"), p) // the candidate-probe join
     assert(p.contains("hashpartitioning(src_id"), p) // per-node top-5
+    // the pair join must HASH, not sort-merge: SMJ sorts millions of
+    // 2x64-double pair-precursor rows per side (measured 6.3 -> 3.9 s
+    // at sf0.1 switching to shuffle_hash on the by-construction-uniform
+    // salted keys)
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
   }
 
   test("q132 PQ: codebook joins broadcast, encode/probe window-free, no cartesian") {
