@@ -1284,9 +1284,15 @@ object LlmQueries extends QueryModule {
       graft.functions.GraftFunctions.register(s) // vec_dot
       val e = plantedVecs(s, dir).withColumn("nrm", expr(normSqlOf("v")))
       val centroid = udaf(new graft.functions.VectorAggregators.CentroidFixed(64))
+      // localCheckpoint the k-row centroid table: it is broadcast into
+      // BOTH aggregate branches below AND counted for the salt fanout —
+      // without the cut each consumer re-runs the corpus-wide centroid
+      // aggregation (3 scans); with it the aggregation runs once and
+      // the count is free
       val cells = e.groupBy(col("label")).agg(centroid(col("v")).as("cv"))
         .select(col("label").as("cell"), col("cv"))
         .withColumn("cnrm", expr(normSqlOf("cv")))
+        .localCheckpoint()
       val scored = e.crossJoin(broadcast(cells))
         .withColumn("cell_score",
           expr("vec_dot(v, cv)") / (col("nrm") * col("cnrm")))
