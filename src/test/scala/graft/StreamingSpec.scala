@@ -177,6 +177,22 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       val got = sp.table("ssj").collect()
         .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2))).toSet
       assert(got == Set((1L, ts("2024-01-01T10:00:00Z"), ts("2024-01-01T10:30:00Z"))))
+      // (not an exact-count pin: Spark skips buffering rows it can
+      // already prove un-joinable, so 5 of the 6 inputs sit in state)
+      val stateAfterB1 = q.lastProgress.stateOperators.head.numRowsTotal
+      assert(stateAfterB1 >= 4, s"both sides buffered: $stateAfterB1")
+      // State EVICTION is what makes this viable unbounded: rows older
+      // than (watermark - interval) must leave the store. Advance both
+      // watermarks nine days, then run the follow-up batches that apply
+      // the new watermark (watermark updates take effect one batch later).
+      mc.addData(Click(3, ts("2024-01-10T10:00:00Z")))
+      mp.addData(Purchase(3, ts("2024-01-10T10:00:00Z")))
+      q.processAllAvailable()
+      mc.addData(Click(3, ts("2024-01-10T10:00:01Z")))
+      q.processAllAvailable()
+      val stateAfterWm = q.lastProgress.stateOperators.head.numRowsTotal
+      assert(stateAfterWm < stateAfterB1,
+        s"day-1 rows must be evicted once the watermark passes: $stateAfterB1 -> $stateAfterWm")
     } finally q.stop()
   }
 
