@@ -60,11 +60,14 @@ object Bench {
   }
 
   /** Wire rendering for one query value: failed queries print the -1
-    * sentinel (never an elapsed time); clean ones clamp at 9.99 s
-    * (totals keep 1 ms; bench_detail.json keeps exact values). */
+    * sentinel (never an elapsed time); clean ones print at 0.1 s
+    * resolution clamped at 9.9 s — the 150-query growth overflowed the
+    * ~1900-char tail at 10 ms resolution, and per-query deltas below
+    * 100 ms are host noise on this VM anyway (totals keep 1 ms;
+    * bench_detail.json keeps exact values). */
   def wireValue(v: Double, ok: Boolean): String =
     if (!ok) "-1"
-    else String.format(java.util.Locale.ROOT, "%.2f", Double.box(math.min(v, 9.99)))
+    else String.format(java.util.Locale.ROOT, "%.1f", Double.box(math.min(v, 9.9)))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

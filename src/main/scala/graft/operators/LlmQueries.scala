@@ -1255,6 +1255,67 @@ object LlmQueries extends QueryModule {
     // order-dependent 8-term float sum.
     "q145_ann_ivfpq" -> ((s, dir) => ivfpq(s, dir, checkpoint = true)),
 
+    // --- HYBRID RETRIEVAL (the RAG serving query): BM25-shaped lexical
+    // scoring and dense cosine retrieval fused by reciprocal-rank (RRF,
+    // c = 60) over the ALIGNED doc_id/vec_id domains. Scale shapes: the
+    // lexical arm is ONE map-side corpus scan — per-term tf via
+    // size(filter(tk, ...)) columns, never an explode — whose only
+    // exchange is the bounded-heap top-20; the dense arm is q37's
+    // broadcast-query scan + top-20; fusion joins two 20-row lists.
+    // Zero windows, zero corpus self-joins, exchanges carry O(k) rows.
+    // Cross-engine float discipline (the q117 pattern): every atomic
+    // division rounds to 6 dp, the 3-term sum is a FIXED left-to-right
+    // column expression (not an aggregation order), and idf uses the
+    // rational form (N - df + 0.5)/(df + 0.5) — one division, no ln()
+    // whose last-ulp could differ between libm and the JVM.
+    "q150_hybrid_retrieval" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s) // vec_dot
+      // BM25 constants k1 = 1.2, b = 0.75 appear ONLY as decimal
+      // literals (2.2 = k1+1, 0.25 = 1-b) so both engines parse the
+      // same correctly-rounded doubles — a Scala-side k1 + 1.0 lands a
+      // half-ulp off DuckDB's parse of 2.2
+      val terms = Seq("join", "filter", "hash")
+      val toks = withTokens(Tables(s, dir, "documents").select(col("doc_id"), col("text")))
+        .select(col("doc_id") +: size(col("tk")).as("dl") +:
+          terms.map(t => expr(s"size(filter(tk, x -> x = '$t'))").as(s"tf_$t")): _*)
+      val totals = toks.agg(count(lit(1)).as("n_docs"),
+        sum(col("dl")).as("total_len") +:
+        terms.map(t => sum(when(col(s"tf_$t") > 0, 1).otherwise(0)).as(s"df_$t")): _*)
+      val scored = toks.crossJoin(broadcast(totals))
+        .withColumn("nrm_dl", round(col("dl") * col("n_docs") / col("total_len"), 6))
+      val termScore = terms.map { t =>
+        val ridf = round((col("n_docs") - col(s"df_$t") + lit(0.5)) / (col(s"df_$t") + lit(0.5)), 6)
+        val sat = round(col(s"tf_$t") * lit(2.2) /
+          (col(s"tf_$t") + lit(1.2) * (lit(0.25) + lit(0.75) * col("nrm_dl"))), 6)
+        ridf * sat
+      }.reduceLeft(_ + _)
+      val top20 = udaf(new graft.functions.TopKAggregator.TopK(20),
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaDouble,
+          org.apache.spark.sql.Encoders.scalaLong))
+      val lex = scored.withColumn("lscore", round(termScore, 6))
+        .filter(col("lscore") > 0)
+        .agg(top20(col("lscore"), col("doc_id")).as("top"))
+        .select(posexplode(col("top")))
+        .select(col("col._2").as("doc_id"), (col("pos") + 1).as("l_rank"))
+      val e = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        .withColumn("nrm", expr(normSqlOf("v")))
+      val qv = e.filter(col("vec_id") === 0)
+        .select(col("v").as("av"), col("nrm").as("anrm"))
+      val dense = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(qv))
+        .withColumn("score", round(expr("vec_dot(av, v)") / (col("anrm") * col("nrm")), 6))
+        .agg(top20(col("score"), col("vec_id")).as("top"))
+        .select(posexplode(col("top")))
+        .select(col("col._2").as("doc_id"), (col("pos") + 1).as("d_rank"))
+      lex.join(dense, Seq("doc_id"), "full_outer")
+        .withColumn("fused", round(
+          coalesce(round(lit(1.0) / (lit(60) + col("l_rank")), 6), lit(0.0)) +
+          coalesce(round(lit(1.0) / (lit(60) + col("d_rank")), 6), lit(0.0)), 6))
+        .select(col("doc_id"), col("l_rank"), col("d_rank"), col("fused"))
+        .orderBy(col("fused").desc, col("doc_id"))
+    }),
+
     // --- kNN-GRAPH construction (k = 5) over the planted vector corpus:
     // the all-nodes generalization of q46's 10-query probe and the
     // building block of graph ANN (HNSW / NN-descent seeding), vector
@@ -1986,6 +2047,62 @@ object LlmQueries extends QueryModule {
     // query re-residualizes per probed cell. Every float expression
     // mirrors the engine's term order; codeword reconstruction is the
     // same m-ordered flatten, so the ADC distance is one dot.
+    // Full oracle: every atomic division rounds to 6 dp on both engines,
+    // the 3-term lexical sum is the same fixed left-to-right expression,
+    // idf is the rational (no-ln) form, and ranks come from identical
+    // (score DESC, id ASC) orders — so lexical scores, both rank lists,
+    // and the RRF fusion hash-match exactly.
+    "q150_hybrid_retrieval" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, len(t) AS dl,
+        |    len(list_filter(t, x -> x = 'join')) AS tf_join,
+        |    len(list_filter(t, x -> x = 'filter')) AS tf_filter,
+        |    len(list_filter(t, x -> x = 'hash')) AS tf_hash
+        |  FROM tk),
+        |tot AS (
+        |  SELECT COUNT(*) AS n_docs, SUM(dl) AS total_len,
+        |    SUM(CASE WHEN tf_join > 0 THEN 1 ELSE 0 END) AS df_join,
+        |    SUM(CASE WHEN tf_filter > 0 THEN 1 ELSE 0 END) AS df_filter,
+        |    SUM(CASE WHEN tf_hash > 0 THEN 1 ELSE 0 END) AS df_hash
+        |  FROM tf),
+        |sc AS (
+        |  SELECT doc_id, round(
+        |    round((n_docs - df_join + 0.5) / (df_join + 0.5), 6) *
+        |      round(tf_join * 2.2 / (tf_join + 1.2 * (0.25 + 0.75 *
+        |        round(dl * n_docs / total_len, 6))), 6) +
+        |    round((n_docs - df_filter + 0.5) / (df_filter + 0.5), 6) *
+        |      round(tf_filter * 2.2 / (tf_filter + 1.2 * (0.25 + 0.75 *
+        |        round(dl * n_docs / total_len, 6))), 6) +
+        |    round((n_docs - df_hash + 0.5) / (df_hash + 0.5), 6) *
+        |      round(tf_hash * 2.2 / (tf_hash + 1.2 * (0.25 + 0.75 *
+        |        round(dl * n_docs / total_len, 6))), 6), 6) AS lscore
+        |  FROM tf CROSS JOIN tot),
+        |lex AS (
+        |  SELECT doc_id, CAST(ROW_NUMBER() OVER
+        |      (ORDER BY lscore DESC, doc_id ASC) AS INT) AS l_rank
+        |  FROM sc WHERE lscore > 0
+        |  QUALIFY l_rank <= 20),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |ds AS (
+        |  SELECT vec_id AS doc_id,
+        |    round(list_dot_product(qv, v) /
+        |      (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6)
+        |      AS score
+        |  FROM e CROSS JOIN q WHERE vec_id <> 0),
+        |dense AS (
+        |  SELECT doc_id, CAST(ROW_NUMBER() OVER
+        |      (ORDER BY score DESC, doc_id ASC) AS INT) AS d_rank
+        |  FROM ds QUALIFY d_rank <= 20)
+        |SELECT doc_id, l_rank, d_rank,
+        |  round(coalesce(round(1.0 / (60 + l_rank), 6), 0.0) +
+        |        coalesce(round(1.0 / (60 + d_rank), 6), 0.0), 6) AS fused
+        |FROM lex FULL OUTER JOIN dense USING (doc_id)
+        |ORDER BY fused DESC, doc_id""".stripMargin,
+
     // Contract tier (see BenchFormatSpec): n_nodes/n_edges are genuine
     // arithmetic (the planted corpus is 2x embeddings; the complete
     // 5-NN graph is 5 edges per node — completeness itself is what

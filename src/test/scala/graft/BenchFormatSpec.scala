@@ -18,10 +18,10 @@ class BenchFormatSpec extends AnyFunSuite {
     val short = names.map(_.split("_").head)
     assert(short.distinct.size == names.size,
       "short qNN bench keys must stay unique across query names")
-    // Worst case per entry: "qNN":9.99, — 10 ms resolution, clamped at
-    // 9.99 s on the wire (totals keep 1 ms; per-query 1 ms overflowed
-    // the tail at 122 queries, a 99.99 clamp overflowed at 140).
-    val entries = short.map(n => "\"" + n + "\":9.99").mkString("{", ",", "}")
+    // Worst case per entry: "qNN":9.9, — 0.1 s resolution, clamped at
+    // 9.9 s on the wire (totals keep 1 ms; per-query 1 ms overflowed
+    // the tail at 122 queries, 99.99 at 140, 9.99 at 150).
+    val entries = short.map(n => "\"" + n + "\":9.9").mkString("{", ",", "}")
     val line = s"""{"metric":"total","value":99999.999,"unit":"sec","queries":$entries,"first_total":99999.999,"max_over_min":999.999,"errors":999,"steal_pct":99.9,"load1":99.9,"cal":99.999,"sf":"sf0.1"}"""
     // 2000-char tail minus ~100 chars of trailing sbt "[success]" noise.
     assert(line.length < 1900,
@@ -37,8 +37,8 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(!ok, "a throwing query must be marked failed")
     assert(Bench.wireValue(0.06, ok = false) == "-1",
       "failed queries must print the -1 sentinel on the wire")
-    assert(Bench.wireValue(0.06, ok = true) == "0.06")
-    assert(Bench.wireValue(42.0, ok = true) == "9.99", "clean values clamp at 9.99")
+    assert(Bench.wireValue(0.06, ok = true) == "0.1")
+    assert(Bench.wireValue(42.0, ok = true) == "9.9", "clean values clamp at 9.9")
     // a query that only fails on a LATER run is failed too — no partial
     // timings laundered into the clean column
     var calls = 0
@@ -63,7 +63,7 @@ class BenchFormatSpec extends AnyFunSuite {
     val oracled = SparkEntry.oracleSql.keySet
     // the count the docs (README, SURVEY §8) advertise — update BOTH
     // when adding a query, or the driver-contract documentation drifts
-    assert(queries.size == 149, s"query count ${queries.size} != documented 149")
+    assert(queries.size == 150, s"query count ${queries.size} != documented 150")
     assert(oracled.subsetOf(queries),
       s"oracles without queries: ${(oracled -- queries).toSeq.sorted}")
     assert((queries -- oracled) == rowsOnly,

@@ -478,6 +478,22 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("hashpartitioning(vec_id"), p)
   }
 
+  test("q150 hybrid retrieval: both arms map-side + bounded heap, no window, no explode join") {
+    // The lexical arm computes per-term tf as map-side array-filter
+    // columns over ONE corpus scan (no token explode, no inverted-index
+    // join for a 3-term query) and the dense arm is the broadcast-query
+    // scan — both rank through the bounded-heap TopK, so the only
+    // exchanges carry O(k) rows and nothing windows or cartesians
+    // (fusion's full-outer join of two 20-row lists is free).
+    val p = plan("q150_hybrid_retrieval")
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the only Generates are the two posexplodes of 20-element top-k
+    // arrays — no token explode touches the corpus
+    assert("Generate".r.findAllIn(p).size <= 4, p)
+    assert(p.contains("ObjectHashAggregate"), p)
+  }
+
   test("q147 interval join: user equi-key carries the join, range as predicate, no cartesian") {
     // The stream-stream attribution join's batch form must plan as an
     // equi-join on the user key with the time interval as a join-side
