@@ -143,6 +143,26 @@ object Bench {
       .write.format("noop").mode("overwrite").save()
     catch { case e: Throwable =>
       System.err.println(s"[bench] warm-up skipped: ${e.getMessage}") }
+    // ... and the typed-aggregator (ObjectHashAggregate) + custom-
+    // expression families the vector/dedup queries run on — the TopK
+    // bounded heap and the codegen'd vec_dot warm per-exec-node-class
+    // JIT that the row above doesn't touch (q150's first/min was 4.5x
+    // before this).
+    try {
+      graft.functions.GraftFunctions.register(spark)
+      val wtopk = org.apache.spark.sql.functions.udaf(
+        new graft.functions.TopKAggregator.TopK(2),
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaDouble,
+          org.apache.spark.sql.Encoders.scalaLong))
+      spark.range(0, 1000)
+        .selectExpr("id % 7 AS g",
+          "vec_dot(array(CAST(id AS DOUBLE), 2.0D), array(3.0D, 4.0D)) AS s", "id AS i")
+        .groupBy("g").agg(wtopk(org.apache.spark.sql.functions.col("s"),
+          org.apache.spark.sql.functions.col("i")))
+        .write.format("noop").mode("overwrite").save()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] agg warm-up skipped: ${e.getMessage}") }
     // Fixed calibration workload (reported as "cal"): a data-independent
     // pure-CPU hash fold, min of 3. The r7 bisect showed this host's
     // whole-suite throughput swings ~1.5-2x between runs even when the
