@@ -605,6 +605,8 @@ class LlmSpec extends AnyFunSuite with BeforeAndAfterAll {
       MultimodalOps.probeMp4(i.toLong, bytes)
       MultimodalOps.decodeAudio(i.toLong, bytes)
       MultimodalOps.sampleFrames(i.toLong, bytes, 2)
+      MultimodalOps.aHash(bytes)
+      MultimodalOps.resizeBox(bytes, 4)
     }
   }
 
