@@ -34,8 +34,20 @@ object MultimodalOps {
       doc_id: Long, format: String, width: Int, height: Int, channels: Int,
       mean_r: Double, mean_g: Double, mean_b: Double)
 
+  /** ImageIO.read that never throws: null for unrecognized bytes (what
+    * ImageIO itself does) AND for recognized-then-corrupt payloads, where
+    * ImageIO throws instead (e.g. a JPEG SOI marker with no scan data —
+    * found by the seeded fuzz). Both are the same "undecodable" to a
+    * pipeline; neither may kill a Spark task mid-corpus. NonFatal, not
+    * just IOException: crafted headers can surface runtime exceptions
+    * from decoder internals. */
+  private def readImageOrNull(bytes: Array[Byte], off: Int = 0, len: Int = -1): java.awt.image.BufferedImage =
+    try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+      bytes, off, if (len < 0) bytes.length else len))
+    catch { case scala.util.control.NonFatal(_) => null }
+
   def decodePixels(id: Long, bytes: Array[Byte]): ImagePixels = {
-    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    val img = readImageOrNull(bytes)
     if (img == null) ImagePixels(id, "undecodable", 0, 0, 0, 0.0, 0.0, 0.0)
     else {
       val w = img.getWidth
@@ -481,9 +493,7 @@ object MultimodalOps {
       // ImageIO.read returns null for unrecognized bytes but THROWS for
       // recognized-then-corrupt payloads (truncated JPEG scan) — both are
       // the same "undecodable frame" to a pipeline, neither may kill a task
-      val img = try javax.imageio.ImageIO.read(
-        new java.io.ByteArrayInputStream(b, off, len))
-      catch { case _: java.io.IOException => null }
+      val img = readImageOrNull(b, off, len)
       if (img == null) None
       else {
         val w = img.getWidth; val h = img.getHeight
@@ -556,7 +566,7 @@ object MultimodalOps {
     * ingestion pipeline (and the pooling core of aHash, exposed here as
     * the actual resized pixels rather than threshold bits). */
   def resizeBox(bytes: Array[Byte], n: Int): Array[Int] = {
-    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    val img = readImageOrNull(bytes)
     if (img == null || img.getWidth != 16 || img.getHeight != 16) return Array.empty
     val r = img.getRaster
     val block = 16 / n
@@ -592,7 +602,7 @@ object MultimodalOps {
     * would hit. Undecodable or wrong-sized bytes hash to "" (a pipeline
     * filters those out). */
   def aHash(bytes: Array[Byte]): String = {
-    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    val img = readImageOrNull(bytes)
     if (img == null || img.getWidth != 16 || img.getHeight != 16) return ""
     val r = img.getRaster
     val pools = new Array[Long](64)
