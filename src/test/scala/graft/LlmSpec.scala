@@ -605,8 +605,10 @@ class LlmSpec extends AnyFunSuite with BeforeAndAfterAll {
       MultimodalOps.probeMp4(i.toLong, bytes)
       MultimodalOps.decodeAudio(i.toLong, bytes)
       MultimodalOps.sampleFrames(i.toLong, bytes, 2)
-      MultimodalOps.aHash(bytes)
-      MultimodalOps.resizeBox(bytes, 4)
+      MultimodalOps.aHash(bytes)          // caught a real task-killer:
+      MultimodalOps.resizeBox(bytes, 4)   // ImageIO THROWS on SOI+garbage
+      MultimodalOps.decodePixels(i.toLong, bytes)
+      MultimodalOps.audioFingerprint(bytes)
     }
   }
 
