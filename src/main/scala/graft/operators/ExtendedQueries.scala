@@ -42,8 +42,13 @@ object ExtendedQueries extends QueryModule {
     // repeated access than per-path string re-parsing, and the column can
     // be stored as variant in parquet downstream).
     "q28_variant_json" -> ((s, dir) => {
+      // try_parse_json, not parse_json: one malformed JSON string in a
+      // real corpus must degrade to a null variant (Kusto's todynamic is
+      // lenient the same way), not throw mid-query — the same
+      // task-killer class the media fuzz caught in ImageIO. Identical
+      // results on well-formed input.
       Tables(s, dir, "events")
-        .select(col("event_id"), parse_json(col("props")).as("v"))
+        .select(col("event_id"), try_parse_json(col("props")).as("v"))
         .select(col("event_id"),
           variant_get(col("v"), "$.k", "int").as("k"))
         .filter(col("k") > 90)
