@@ -580,9 +580,17 @@ object CorpusQueries extends QueryModule {
           expr("CAST(round((c2 + 1) / CAST(c1 + v AS DOUBLE), 6) AS DECIMAL(18,6))"))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_bigrams"), sum(col("p")).as("sp"))
-        .withColumn("lm_score",
-          round(col("sp").cast("double") / col("n_bigrams"), 6))
-        .select(col("doc_id"), col("n_bigrams"), col("lm_score"))
+        // the mean stays on the 1e-6 integer grid END-TO-END: sp is a
+        // 6-dp decimal, so sp*1e6 is an exact BIGINT and the half-up
+        // division (2a + n) DIV (2n) is pure integer arithmetic. A
+        // round(sp/n, 6) here diverged at sf0.1: Spark's round sees the
+        // double's SHORTEST decimal repr ("0.0323435" -> up) where
+        // DuckDB rounds the binary value (0.03234349... -> down), so
+        // any doc whose mean landed on the half grid flipped the hash.
+        .withColumn("lm_micro",
+          expr("(2 * CAST(sp * 1000000 AS BIGINT) + n_bigrams) DIV (2 * n_bigrams)"))
+        .select(col("doc_id"), col("n_bigrams"),
+          (col("lm_micro").cast("double") / lit(1000000.0)).as("lm_score"))
         .orderBy(col("doc_id"))
     }),
 
@@ -896,8 +904,15 @@ object CorpusQueries extends QueryModule {
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("nnz"),
           sum(col("cnt") * col("wm")).as("lm"), sum(col("cnt")).as("n_terms"))
+        // logit = lm / (n_terms * 1000) at 6 dp via INTEGER half-away-
+        // from-zero division (sign split keeps operands positive) — the
+        // q117 lesson: round(double, 6) on a half-grid ratio resolves
+        // differently in Spark (shortest-repr) and DuckDB (binary value)
+        .withColumn("lg_micro", expr(
+          "CASE WHEN lm >= 0 THEN (2 * lm * 1000 + n_terms) DIV (2 * n_terms) " +
+          "ELSE -((2 * (-lm) * 1000 + n_terms) DIV (2 * n_terms)) END"))
         .select(col("doc_id"), col("nnz"),
-          round(col("lm") / (col("n_terms") * lit(1000.0)), 6).as("logit"),
+          (col("lg_micro").cast("double") / lit(1000000.0)).as("logit"),
           (col("lm") > 0).as("keep"))
         .orderBy(col("doc_id"))
     }),
@@ -1349,7 +1364,11 @@ object CorpusQueries extends QueryModule {
         |    SUM(cnt * ((bucket * 2654435761) % 2001 - 1000)) AS lm,
         |    SUM(cnt) AS n_terms
         |  FROM b GROUP BY doc_id)
-        |SELECT doc_id, nnz, round(lm / (n_terms * 1000.0), 6) AS logit,
+        |SELECT doc_id, nnz,
+        |  CAST(CASE WHEN lm >= 0
+        |    THEN (2 * lm * 1000 + n_terms) // (2 * n_terms)
+        |    ELSE -((2 * (-lm) * 1000 + n_terms) // (2 * n_terms)) END
+        |    AS DOUBLE) / 1000000.0 AS logit,
         |  lm > 0 AS keep
         |FROM sc ORDER BY doc_id""".stripMargin,
     // naive window formulation of the engine's bounded-heap TopK: the
@@ -1736,7 +1755,8 @@ object CorpusQueries extends QueryModule {
         |      AS DECIMAL(18,6)) AS p
         |  FROM bi JOIN bc USING (bg) JOIN ucc USING (w1) CROSS JOIN v)
         |SELECT doc_id, count(*) AS n_bigrams,
-        |  round(CAST(sum(p) AS DOUBLE) / count(*), 6) AS lm_score
+        |  CAST((2 * CAST(sum(p) * 1000000 AS BIGINT) + count(*))
+        |         // (2 * count(*)) AS DOUBLE) / 1000000.0 AS lm_score
         |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q118_dsir_importance" ->
       """WITH tk AS (
