@@ -28,12 +28,16 @@ object Bench {
   /** One timed run: (elapsed_sec, ok). A query that THROWS is not a
     * timing — round 7 shipped 22 analysis-broken queries that the old
     * catch-and-return reported as the suite's fastest rows (0.06 s),
-    * which is exactly how the breakage slipped the bench gate. */
+    * which is exactly how the breakage slipped the bench gate. Only
+    * NonFatal errors become per-query failures: a fatal VM error
+    * (OutOfMemoryError, StackOverflowError) means the JVM may be
+    * corrupted, so timing the remaining queries on it would produce
+    * garbage presented as data — those propagate and abort the suite. */
   def timedRun(name: String, run: () => Unit): (Double, Boolean) = {
     val t0 = System.nanoTime()
     val ok =
       try { run(); true }
-      catch { case e: Throwable =>
+      catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
         false
       }
@@ -68,6 +72,34 @@ object Bench {
   def wireValue(v: Double, ok: Boolean): String =
     if (!ok) "-1"
     else String.format(java.util.Locale.ROOT, "%.1f", Double.box(math.min(v, 9.9)))
+
+  /** Suite-wide task-metrics accumulator: aggregates executor run time,
+    * GC time, shuffle fetch-wait, spill and shuffle volume across every
+    * task. Snapshots taken around each query turn the in-suite vs
+    * standalone question ("q135 was 27.7 s in-suite, 4.4 s standalone —
+    * why?") from a guessing game into a diff: if task run-time is flat
+    * but wall time balloons, it's driver/scheduling; if gc_ms balloons,
+    * it's heap pressure; if fetch/spill balloon, it's memory-squeezed
+    * shuffles. Costs nothing measurable per task-end event. */
+  final class TaskMetricsListener extends org.apache.spark.scheduler.SparkListener {
+    import java.util.concurrent.atomic.AtomicLong
+    val runMs, gcMs, fetchMs, spillBytes, sreadBytes, swriteBytes, tasks = new AtomicLong
+    override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = te.taskMetrics
+      if (m != null) {
+        runMs.addAndGet(m.executorRunTime)
+        gcMs.addAndGet(m.jvmGCTime)
+        fetchMs.addAndGet(m.shuffleReadMetrics.fetchWaitTime)
+        spillBytes.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+        sreadBytes.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        swriteBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        tasks.incrementAndGet()
+        ()
+      }
+    }
+    def snap(): Seq[Long] = Seq(runMs.get, gcMs.get, fetchMs.get,
+      spillBytes.get, sreadBytes.get, swriteBytes.get, tasks.get)
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -179,6 +211,9 @@ object Bench {
       catch { case _: Throwable => () }
       (System.nanoTime() - t0) / 1e9
     }.min
+    val tml = new TaskMetricsListener
+    spark.sparkContext.addSparkListener(tml)
+    val metrics = scala.collection.mutable.Map.empty[String, Seq[Long]]
     val results = SparkEntry.queries.keys.toSeq.filter(selected).sorted.map { name =>
       // Per-query isolation: drop caches a previous QUERY left behind
       // (the dedup family shares a persisted shingle stage; carrying it
@@ -196,8 +231,10 @@ object Bench {
       // squeezed execution memory. One explicit GC between queries lets
       // the cleaner reap them; it runs outside any timed window.
       System.gc()
+      val m0 = tml.snap()
       val (first, best, ok) = protocol(name,
         sink(() => SparkEntry.queries(name)(spark, sfDir)))
+      metrics(name) = tml.snap().zip(m0).map { case (a, b) => a - b }
       (name, first, best, ok)
     }
     // Operator-only rows for the contract queries (see opOnlyNames): same
@@ -213,7 +250,9 @@ object Bench {
     val opResults = opOnlyNames.filter(selected).map { name =>
       spark.catalog.clearCache()
       System.gc()
+      val m0 = tml.snap()
       val (first, best, ok) = protocol(name, sink(opThunks(name)))
+      metrics(name) = tml.snap().zip(m0).map { case (a, b) => a - b }
       (name, first, best, ok)
     }
     def r3(v: Double): String =
@@ -252,6 +291,19 @@ object Bench {
     // throw on .max of an empty seq.
     val maxOverMin = clean.map(r => r._2 / math.max(r._3, 1e-9))
       .maxOption.getOrElse(1.0)
+    // Clamp saturation must be VISIBLE on the wire: round 8's q135 ran
+    // 27.7 s but printed as 9.9, a 3x understatement anyone reading only
+    // the wire line would miss. Queries whose min exceeds the clamp get
+    // their exact value in an over_clamp tail object (empty object when
+    // nothing saturates, so the line shape is stable for parsing;
+    // bounded to the 4 worst at 9999.999 max so a pathological all-slow
+    // suite cannot overflow the tail buffer — BenchFormatSpec budgets
+    // exactly that; bench_detail.json always has every exact value).
+    val overClamp = (results ++ opResults)
+      .filter(r => r._4 && r._3 > 9.9)
+      .sortBy(-_._3).take(4)
+      .map(r => "\"" + shortKey(r._1) + "\":" + r3(math.min(r._3, 9999.999)))
+      .mkString("{", ",", "}")
     // The harness keeps only the last ~2000 chars of stdout and parses the
     // JSON line out of that tail (BENCH_r03 overflowed it and recorded
     // parsed:null). So the stdout line carries min times at 1 ms
@@ -263,10 +315,18 @@ object Bench {
     // sf as basename: the full testdata path spent 15 tail-budget chars
     // saying what "sf0.1" already says
     val sfName = new java.io.File(sfDir).getName
-    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${jmap(_._3)},"first_total":${r3(firstTotal)},"max_over_min":${r3(maxOverMin)},"errors":${failed.size},"steal_pct":${r1(stealPct)},"load1":${r1(load1)},"cal":${r3(calib)},"sf":"$sfName"}"""
-    val detail = (results ++ opResults).map(r =>
-      s"""{"query":"${r._1}","first":${r._2},"min":${r._3},"ok":${r._4}}""")
-      .mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${jmap(_._3)},"first_total":${r3(firstTotal)},"max_over_min":${r3(maxOverMin)},"errors":${failed.size},"over_clamp":$overClamp,"steal_pct":${r1(stealPct)},"load1":${r1(load1)},"cal":${r3(calib)},"sf":"$sfName"}"""
+    // A failed query's "min" is time-to-throw, not a timing — the detail
+    // file records -1 there (ok:false already flags it; the sentinel
+    // keeps non-timings out of anything that aggregates the min column).
+    // Each row also carries the query's task-metric deltas (all runs
+    // combined): run_ms/gc_ms/fetch_ms/spill_b/sread_b/swrite_b/tasks.
+    val mkeys = Seq("run_ms", "gc_ms", "fetch_ms", "spill_b", "sread_b", "swrite_b", "tasks")
+    val detail = (results ++ opResults).map { r =>
+      val ms = metrics.getOrElse(r._1, Seq.fill(mkeys.size)(-1L))
+      val mjson = mkeys.zip(ms).map { case (k, v) => s""""$k":$v""" }.mkString(",")
+      s"""{"query":"${r._1}","first":${r._2},"min":${if (r._4) r._3 else -1},"ok":${r._4},$mjson}"""
+    }.mkString("[", ",", "]")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
         "/root/repo/bench_detail.json")),

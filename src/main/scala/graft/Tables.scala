@@ -48,7 +48,16 @@ object Tables {
       }
     raw.schema("ts").dataType match {
       case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampNTZType =>
+        // the NTZ wall clocks are UTC instants; the cast below reads
+        // them THROUGH the session time zone, so a non-UTC session
+        // would silently shift every event instead of failing loudly
+        // (the same loud-failure contract the nanos branch gets from
+        // Spark's own PARQUET_TYPE_ILLEGAL)
+        require(spark.conf.get("spark.sql.session.timeZone") == "UTC",
+          s"$path has TIMESTAMP_NTZ event times: set spark.sql.session.timeZone=UTC " +
+            "at session build or the cast to instants shifts every event")
+        raw.withColumn("ts", col("ts").cast(TimestampType))
       case TimestampType    => raw
       case other => sys.error(s"$path: unsupported ts type $other (expected nanos-long, TIMESTAMP_NTZ, or TIMESTAMP)")
     }

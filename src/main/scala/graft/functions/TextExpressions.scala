@@ -98,10 +98,63 @@ object RollingHash64 {
   }
 }
 
+/** FNV-1a of a string's UTF-8 bytes as a SQL-callable expression (the
+  * [[Fnv64]] fold [[SimHash64]] already uses per token). Chosen over
+  * Spark's xxhash64 for the fuzzy-dedup shingle keys because it is
+  * ENGINE-INDEPENDENT: a byte-at-a-time fold whose multiplier fits in
+  * 40 bits, so the DuckDB oracle replicates it exactly in HUGEINT
+  * arithmetic and the MinHash pair list gets a full row-level oracle
+  * instead of a contract-tier boolean gate. Input StringType, output
+  * LongType.
+  */
+case class Fnv64Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(input: Any): Any =
+    Fnv64.hash(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Fnv64.hash($c)")
+  override protected def withNewChildInternal(newChild: Expression): Fnv64Expr =
+    copy(child = newChild)
+}
+
+/** Murmur3's 64-bit finalizer (fmix64, public domain — Appleby's
+  * MurmurHash3 / splitmix64 mixer): full-avalanche bijection on 64 bits.
+  * Composes the MinHash family `mix64(h ^ seed_j)` — FNV alone mixes too
+  * weakly for min-order statistics, and fmix64's two 64-bit multiplies
+  * are still DuckDB-replicable by 32-bit-split multiplication mod 2^64.
+  * Input LongType, output LongType; Java's wrapping multiply IS the
+  * mod-2^64 semantics (no ANSI overflow — that is why this is an
+  * Expression and not a SQL arithmetic chain).
+  */
+case class Mix64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(input: Any): Any =
+    Mix64.compute(input.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Mix64.compute($c)")
+  override protected def withNewChildInternal(newChild: Expression): Mix64 =
+    copy(child = newChild)
+}
+
+object Mix64 {
+  /** Static so generated code can call it directly. */
+  def compute(h0: Long): Long = {
+    var h = h0
+    h ^= h >>> 33
+    h *= 0xff51afd7ed558ccdL
+    h ^= h >>> 33
+    h *= 0xc4ceb9fe1a85ec53L
+    h ^= h >>> 33
+    h
+  }
+}
+
 object TextFunctions {
   private def expr2col(e: Expression): Column = org.apache.spark.sql.GraftShims.column(e)
   private def col2expr(c: Column): Expression = org.apache.spark.sql.GraftShims.expression(c)
 
   def simhash64(tokens: Column): Column = expr2col(SimHash64(col2expr(tokens)))
   def rollingHash64(text: Column): Column = expr2col(RollingHash64(col2expr(text)))
+  def fnv64(text: Column): Column = expr2col(Fnv64Expr(col2expr(text)))
+  def mix64(h: Column): Column = expr2col(Mix64(col2expr(h)))
 }

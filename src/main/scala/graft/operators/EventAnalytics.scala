@@ -218,20 +218,30 @@ object EventAnalytics extends QueryModule {
   def oracles: Map[String, String] = Map(
     // Morton interleave as a 32-term bit sum: bit i of user_id lands at
     // 2i, of day_num at 2i+1 (ZorderKey's documented contract). The
-    // shifted-bit form ((x>>i & 1) << (2i+1)) never left-shifts a set
-    // bit past 62 on this data (both inputs < 2^16); DuckDB's SUM over
-    // BIGINT returns HUGEINT, so the result casts back to BIGINT.
+    // oracle is TOTAL over that contract's whole domain, not just this
+    // data: inputs mask to their low 32 bits exactly like the engine,
+    // each bit scales a HUGEINT power of two (a BIGINT shift by 62/63
+    // would overflow when bit 31 is set — DuckDB throws where the
+    // engine's Long wraps), and the HUGEINT sum wraps mod 2^64 into the
+    // same signed Long two's-complement value ZorderKey produces.
     "q149_zorder_layout" ->
       """WITH e AS (SELECT event_id, user_id,
         |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
         |      AS BIGINT) AS day_num
         |  FROM events),
-        |bits AS (SELECT CAST(unnest(range(32)) AS BIGINT) AS i)
-        |SELECT e.event_id, e.user_id, e.day_num,
-        |  CAST(sum((((e.user_id >> i) & 1) << (2 * i)) +
-        |           (((e.day_num >> i) & 1) << (2 * i + 1))) AS BIGINT) AS zkey
-        |FROM e CROSS JOIN bits
-        |GROUP BY e.event_id, e.user_id, e.day_num
+        |bits AS (SELECT CAST(unnest(range(32)) AS BIGINT) AS i),
+        |z AS (SELECT e.event_id, e.user_id, e.day_num,
+        |    sum((((e.user_id & 4294967295) >> i) & 1) *
+        |          (CAST(1 AS HUGEINT) << (2 * i)) +
+        |        (((e.day_num & 4294967295) >> i) & 1) *
+        |          (CAST(1 AS HUGEINT) << (2 * i + 1))) AS s
+        |  FROM e CROSS JOIN bits
+        |  GROUP BY e.event_id, e.user_id, e.day_num)
+        |SELECT event_id, user_id, day_num,
+        |  CAST(CASE WHEN s >= CAST(9223372036854775808 AS HUGEINT)
+        |    THEN s - CAST(18446744073709551616 AS HUGEINT) ELSE s END
+        |    AS BIGINT) AS zkey
+        |FROM z
         |ORDER BY zkey, event_id""".stripMargin,
 
     "q102_window_median" ->

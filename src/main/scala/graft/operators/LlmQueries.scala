@@ -1263,39 +1263,53 @@ object LlmQueries extends QueryModule {
     // exchange is the bounded-heap top-20; the dense arm is q37's
     // broadcast-query scan + top-20; fusion joins two 20-row lists.
     // Zero windows, zero corpus self-joins, exchanges carry O(k) rows.
-    // Cross-engine float discipline (the q117 pattern): every atomic
-    // division rounds to 6 dp, the 3-term sum is a FIXED left-to-right
-    // column expression (not an aggregation order), and idf uses the
-    // rational form (N - df + 0.5)/(df + 0.5) — one division, no ln()
-    // whose last-ulp could differ between libm and the JVM.
+    // Cross-engine float discipline: the whole BM25 chain lives on
+    // INTEGER grids (the q117/q137 rule — round(a/n, 6) on a ratio of
+    // small integers is a latent half-grid flake, so every rounded
+    // ratio is instead the exact half-up division (2*a*10^6 + n) div
+    // (2n)). BM25 constants are exact rationals (k1 = 6/5, b = 3/4),
+    // so each term is ridf_e6 * sat_e6 — an exact BIGINT in 1e-12
+    // units — and the only doubles anywhere are one deterministic
+    // BIGINT->DOUBLE cast per arm (identical round-to-nearest on both
+    // engines), never a float expression that can drift. At corpus
+    // scale the e6 numerators stay under 2^63 up to ~10^9 docs; past
+    // that the same chain runs on DECIMAL(38,0)/HUGEINT.
     "q150_hybrid_retrieval" -> ((s, dir) => {
       graft.functions.GraftFunctions.register(s) // vec_dot
-      // BM25 constants k1 = 1.2, b = 0.75 appear ONLY as decimal
-      // literals (2.2 = k1+1, 0.25 = 1-b) so both engines parse the
-      // same correctly-rounded doubles — a Scala-side k1 + 1.0 lands a
-      // half-ulp off DuckDB's parse of 2.2
       val terms = Seq("join", "filter", "hash")
       val toks = withTokens(Tables(s, dir, "documents").select(col("doc_id"), col("text")))
-        .select(col("doc_id") +: size(col("tk")).as("dl") +:
-          terms.map(t => expr(s"size(filter(tk, x -> x = '$t'))").as(s"tf_$t")): _*)
+        .select(col("doc_id") +: expr("CAST(size(tk) AS BIGINT)").as("dl") +:
+          terms.map(t =>
+            expr(s"CAST(size(filter(tk, x -> x = '$t')) AS BIGINT)").as(s"tf_$t")): _*)
       val totals = toks.agg(count(lit(1)).as("n_docs"),
         sum(col("dl")).as("total_len") +:
         terms.map(t => sum(when(col(s"tf_$t") > 0, 1).otherwise(0)).as(s"df_$t")): _*)
+      // normalized doc length half-up on the 1e-6 grid: dl * N / L
       val scored = toks.crossJoin(broadcast(totals))
-        .withColumn("nrm_dl", round(col("dl") * col("n_docs") / col("total_len"), 6))
+        .withColumn("nrm_e6",
+          expr("(2000000 * dl * n_docs + total_len) div (2 * total_len)"))
+      // idf = (N - df + 1/2)/(df + 1/2) = (2(N-df)+1)/(2df+1);
+      // saturation = (k1+1)tf / (tf + k1(1-b) + k1*b*nrm)
+      //            = 22e6*tf / (1e7*tf + 3e6 + 9*nrm_e6)
+      // — both half-up to the 1e-6 grid, the product exact in 1e-12
       val termScore = terms.map { t =>
-        val ridf = round((col("n_docs") - col(s"df_$t") + lit(0.5)) / (col(s"df_$t") + lit(0.5)), 6)
-        val sat = round(col(s"tf_$t") * lit(2.2) /
-          (col(s"tf_$t") + lit(1.2) * (lit(0.25) + lit(0.75) * col("nrm_dl"))), 6)
+        val ridf = expr(s"(2000000 * (2 * (n_docs - df_$t) + 1) + (2 * df_$t + 1))" +
+          s" div (2 * (2 * df_$t + 1))")
+        val den = s"(10000000 * tf_$t + 3000000 + 9 * nrm_e6)"
+        val sat = expr(s"(44000000000000 * tf_$t + $den) div (2 * $den)")
         ridf * sat
       }.reduceLeft(_ + _)
       val top20 = udaf(new graft.functions.TopKAggregator.TopK(20),
         org.apache.spark.sql.Encoders.tuple(
           org.apache.spark.sql.Encoders.scalaDouble,
           org.apache.spark.sql.Encoders.scalaLong))
-      val lex = scored.withColumn("lscore", round(termScore, 6))
-        .filter(col("lscore") > 0)
-        .agg(top20(col("lscore"), col("doc_id")).as("top"))
+      // the heap ranks doubles, so the exact 1e-12-unit BIGINT casts to
+      // DOUBLE right before ranking: long->double is round-to-nearest
+      // in BOTH engines, so even scores past 2^53 land on identical
+      // doubles and identical ranks; the oracle replicates the cast
+      val lex = scored.withColumn("ls_e12", termScore)
+        .filter(col("ls_e12") > 0)
+        .agg(top20(col("ls_e12").cast("double"), col("doc_id")).as("top"))
         .select(posexplode(col("top")))
         .select(col("col._2").as("doc_id"), (col("pos") + 1).as("l_rank"))
       val e = Tables(s, dir, "embeddings")
@@ -1308,10 +1322,15 @@ object LlmQueries extends QueryModule {
         .agg(top20(col("score"), col("vec_id")).as("top"))
         .select(posexplode(col("top")))
         .select(col("col._2").as("doc_id"), (col("pos") + 1).as("d_rank"))
+      // RRF arms half-up on the 1e-6 grid: 1/(60+rank); the arm sum is
+      // an exact integer whose final /1e6 double division is identical
+      // on both engines (1e6 is a power-of-two-free exact double, and
+      // int->double division rounds the same everywhere)
       lex.join(dense, Seq("doc_id"), "full_outer")
-        .withColumn("fused", round(
-          coalesce(round(lit(1.0) / (lit(60) + col("l_rank")), 6), lit(0.0)) +
-          coalesce(round(lit(1.0) / (lit(60) + col("d_rank")), 6), lit(0.0)), 6))
+        .withColumn("fused",
+          (coalesce(expr("(2000000 + (60 + l_rank)) div (2 * (60 + l_rank))"), lit(0L)) +
+           coalesce(expr("(2000000 + (60 + d_rank)) div (2 * (60 + d_rank))"), lit(0L)))
+            .cast("double") / lit(1000000.0))
         .select(col("doc_id"), col("l_rank"), col("d_rank"), col("fused"))
         .orderBy(col("fused").desc, col("doc_id"))
     }),
@@ -2047,11 +2066,12 @@ object LlmQueries extends QueryModule {
     // query re-residualizes per probed cell. Every float expression
     // mirrors the engine's term order; codeword reconstruction is the
     // same m-ordered flatten, so the ADC distance is one dot.
-    // Full oracle: every atomic division rounds to 6 dp on both engines,
-    // the 3-term lexical sum is the same fixed left-to-right expression,
-    // idf is the rational (no-ln) form, and ranks come from identical
-    // (score DESC, id ASC) orders — so lexical scores, both rank lists,
-    // and the RRF fusion hash-match exactly.
+    // Full oracle on the same 1e-6 integer grid as the engine: every
+    // rounded ratio is the identical half-up division (// floors, all
+    // operands positive), the per-term 1e-12-unit products are exact
+    // integers, and ranking/fusion casts BIGINT->DOUBLE exactly like
+    // the engine — so lexical scores, both rank lists, and the RRF
+    // fusion hash-match structurally, with no float grid anywhere.
     "q150_hybrid_retrieval" ->
       """WITH tk AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
@@ -2068,22 +2088,30 @@ object LlmQueries extends QueryModule {
         |    SUM(CASE WHEN tf_filter > 0 THEN 1 ELSE 0 END) AS df_filter,
         |    SUM(CASE WHEN tf_hash > 0 THEN 1 ELSE 0 END) AS df_hash
         |  FROM tf),
-        |sc AS (
-        |  SELECT doc_id, round(
-        |    round((n_docs - df_join + 0.5) / (df_join + 0.5), 6) *
-        |      round(tf_join * 2.2 / (tf_join + 1.2 * (0.25 + 0.75 *
-        |        round(dl * n_docs / total_len, 6))), 6) +
-        |    round((n_docs - df_filter + 0.5) / (df_filter + 0.5), 6) *
-        |      round(tf_filter * 2.2 / (tf_filter + 1.2 * (0.25 + 0.75 *
-        |        round(dl * n_docs / total_len, 6))), 6) +
-        |    round((n_docs - df_hash + 0.5) / (df_hash + 0.5), 6) *
-        |      round(tf_hash * 2.2 / (tf_hash + 1.2 * (0.25 + 0.75 *
-        |        round(dl * n_docs / total_len, 6))), 6), 6) AS lscore
+        |n AS (
+        |  SELECT doc_id, tf_join, tf_filter, tf_hash,
+        |    n_docs, df_join, df_filter, df_hash,
+        |    (2000000 * dl * n_docs + total_len) // (2 * total_len) AS nrm_e6
         |  FROM tf CROSS JOIN tot),
+        |sc AS (
+        |  SELECT doc_id,
+        |    ((2000000 * (2 * (n_docs - df_join) + 1) + (2 * df_join + 1))
+        |       // (2 * (2 * df_join + 1))) *
+        |      ((44000000000000 * tf_join + (10000000 * tf_join + 3000000 + 9 * nrm_e6))
+        |       // (2 * (10000000 * tf_join + 3000000 + 9 * nrm_e6))) +
+        |    ((2000000 * (2 * (n_docs - df_filter) + 1) + (2 * df_filter + 1))
+        |       // (2 * (2 * df_filter + 1))) *
+        |      ((44000000000000 * tf_filter + (10000000 * tf_filter + 3000000 + 9 * nrm_e6))
+        |       // (2 * (10000000 * tf_filter + 3000000 + 9 * nrm_e6))) +
+        |    ((2000000 * (2 * (n_docs - df_hash) + 1) + (2 * df_hash + 1))
+        |       // (2 * (2 * df_hash + 1))) *
+        |      ((44000000000000 * tf_hash + (10000000 * tf_hash + 3000000 + 9 * nrm_e6))
+        |       // (2 * (10000000 * tf_hash + 3000000 + 9 * nrm_e6))) AS ls_e12
+        |  FROM n),
         |lex AS (
         |  SELECT doc_id, CAST(ROW_NUMBER() OVER
-        |      (ORDER BY lscore DESC, doc_id ASC) AS INT) AS l_rank
-        |  FROM sc WHERE lscore > 0
+        |      (ORDER BY CAST(ls_e12 AS DOUBLE) DESC, doc_id ASC) AS INT) AS l_rank
+        |  FROM sc WHERE ls_e12 > 0
         |  QUALIFY l_rank <= 20),
         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
@@ -2098,8 +2126,9 @@ object LlmQueries extends QueryModule {
         |      (ORDER BY score DESC, doc_id ASC) AS INT) AS d_rank
         |  FROM ds QUALIFY d_rank <= 20)
         |SELECT doc_id, l_rank, d_rank,
-        |  round(coalesce(round(1.0 / (60 + l_rank), 6), 0.0) +
-        |        coalesce(round(1.0 / (60 + d_rank), 6), 0.0), 6) AS fused
+        |  CAST(coalesce((2000000 + (60 + l_rank)) // (2 * (60 + l_rank)), 0) +
+        |       coalesce((2000000 + (60 + d_rank)) // (2 * (60 + d_rank)), 0)
+        |    AS DOUBLE) / 1000000.0 AS fused
         |FROM lex FULL OUTER JOIN dense USING (doc_id)
         |ORDER BY fused DESC, doc_id""".stripMargin,
 

@@ -22,7 +22,13 @@ class BenchFormatSpec extends AnyFunSuite {
     // 9.9 s on the wire (totals keep 1 ms; per-query 1 ms overflowed
     // the tail at 122 queries, 99.99 at 140, 9.99 at 150).
     val entries = short.map(n => "\"" + n + "\":9.9").mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":99999.999,"unit":"sec","queries":$entries,"first_total":99999.999,"max_over_min":999.999,"errors":999,"steal_pct":99.9,"load1":99.9,"cal":99.999,"sf":"sf0.1"}"""
+    // over_clamp carries exact values for clamp-saturated queries (r8's
+    // q135 ran 27.7 s but printed 9.9 — the saturation must be visible
+    // from the wire line); Bench bounds it to the 4 worst at 9999.999
+    // display max, budgeted here at worst-case width.
+    val overClamp = short.sortBy(-_.length).take(4)
+      .map(n => "\"" + n + "\":9999.999").mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":99999.999,"unit":"sec","queries":$entries,"first_total":99999.999,"max_over_min":999.999,"errors":999,"over_clamp":$overClamp,"steal_pct":99.9,"load1":99.9,"cal":99.999,"sf":"sf0.1"}"""
     // 2000-char tail minus ~100 chars of trailing sbt "[success]" noise.
     assert(line.length < 1900,
       s"bench line would be ${line.length} chars; trim the format or query names")
