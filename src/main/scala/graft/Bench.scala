@@ -17,14 +17,6 @@ import org.apache.spark.sql.SparkSession
   *   here is designed to shuffle as little as possible.
   */
 object Bench {
-  /** Bench-only operator timings (not oracled rows): q35/q36 are
-    * self-certifying contracts that compute BOTH the operator and its
-    * exact-truth certification in one query, so their headline numbers
-    * overstate the operator ~2x. These rows time just the operator
-    * pipeline; the contract rows remain the correctness gate. Static so
-    * BenchFormatSpec can include them in the line-width budget. */
-  val opOnlyNames: Seq[String] = Seq("q35op_minhash_only", "q36op_simhash_only")
-
   /** One timed run: (elapsed_sec, ok). A query that THROWS is not a
     * timing — round 7 shipped 22 analysis-broken queries that the old
     * catch-and-return reported as the suite's fastest rows (0.06 s),
@@ -237,24 +229,11 @@ object Bench {
       metrics(name) = tml.snap().zip(m0).map { case (a, b) => a - b }
       (name, first, best, ok)
     }
-    // Operator-only rows for the contract queries (see opOnlyNames): same
-    // two-runs-min protocol. Excluded from total/max_over_min so those
-    // stay comparable across rounds; reported in the queries map under
-    // distinct qNNop keys.
-    val opThunks: Map[String, () => org.apache.spark.sql.DataFrame] = Map(
-      "q35op_minhash_only" ->
-        (() => operators.LlmQueries.minhashLshPairs(spark, sfDir)),
-      "q36op_simhash_only" ->
-        (() => operators.LlmQueries.simhashPairs(
-          operators.LlmQueries.simhashDocs(spark, sfDir))))
-    val opResults = opOnlyNames.filter(selected).map { name =>
-      spark.catalog.clearCache()
-      System.gc()
-      val m0 = tml.snap()
-      val (first, best, ok) = protocol(name, sink(opThunks(name)))
-      metrics(name) = tml.snap().zip(m0).map { case (a, b) => a - b }
-      (name, first, best, ok)
-    }
+    // The former q35op/q36op bench-only operator rows are gone: the
+    // operator-only MinHash/SimHash pipelines are now the ORACLED
+    // queries q151/q152 (timed above like every other query), so the
+    // contract rows q35/q36 certify and q151/q152 carry the operator
+    // cost — one protocol, no duplicate timing channel.
     def r3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     // Short qNN keys on the wire (the harness spec's own example shape,
@@ -271,14 +250,14 @@ object Bench {
     // exact values — a saturated 9.99 still names the regressed query,
     // and a >10 s query is already screaming from the total.
     def jmap(f: ((String, Double, Double, Boolean)) => Double): String =
-      (results ++ opResults).map(r =>
+      results.map(r =>
         "\"" + shortKey(r._1) + "\":" + wireValue(f(r), r._4))
         .mkString("{", ",", "}")
     // Totals cover CLEAN queries only — a failed query contributing its
     // time-to-throw would make a broken suite look faster than a working
     // one. The errors count in the line is the non-clean marker.
     val clean = results.filter(_._4)
-    val failed = (results ++ opResults).filterNot(_._4).map(_._1)
+    val failed = results.filterNot(_._4).map(_._1)
     if (failed.nonEmpty)
       System.err.println(s"[bench] NOT CLEAN: ${failed.size} queries failed: ${failed.mkString(", ")}")
     val total = clean.map(_._3).sum
@@ -299,7 +278,7 @@ object Bench {
     // bounded to the 4 worst at 9999.999 max so a pathological all-slow
     // suite cannot overflow the tail buffer — BenchFormatSpec budgets
     // exactly that; bench_detail.json always has every exact value).
-    val overClamp = (results ++ opResults)
+    val overClamp = results
       .filter(r => r._4 && r._3 > 9.9)
       .sortBy(-_._3).take(4)
       .map(r => "\"" + shortKey(r._1) + "\":" + r3(math.min(r._3, 9999.999)))
@@ -322,7 +301,7 @@ object Bench {
     // Each row also carries the query's task-metric deltas (all runs
     // combined): run_ms/gc_ms/fetch_ms/spill_b/sread_b/swrite_b/tasks.
     val mkeys = Seq("run_ms", "gc_ms", "fetch_ms", "spill_b", "sread_b", "swrite_b", "tasks")
-    val detail = (results ++ opResults).map { r =>
+    val detail = results.map { r =>
       val ms = metrics.getOrElse(r._1, Seq.fill(mkeys.size)(-1L))
       val mjson = mkeys.zip(ms).map { case (k, v) => s""""$k":$v""" }.mkString(",")
       s"""{"query":"${r._1}","first":${r._2},"min":${if (r._4) r._3 else -1},"ok":${r._4},$mjson}"""

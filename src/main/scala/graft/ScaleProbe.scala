@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Off-gate scale probe: amplifies the sf0.1 corpus Nx and times
+  * representative dedup/ANN queries at the amplified scale — the
+  * "would this hold at 10x" question neither the sf0.01 driver gate nor
+  * the sf0.1 bench can answer (round 8's sf0.1 sweep caught a rounding
+  * divergence one level above the gate; this is the same idea for
+  * RUNTIME scaling laws).
+  *
+  * Amplification is structure-preserving by construction:
+  *  - documents: replica r of each doc suffixes every token with `_r`,
+  *    so tokens/shingles are DISJOINT across replicas and the near-dup
+  *    pair structure is exactly N independent copies of sf0.1 — the
+  *    expected cost curve of every blocked dedup query is LINEAR, and
+  *    a measured super-linear curve is a real finding, not an artifact
+  *    of planting N-way duplicate bombs.
+  *  - embeddings: replicas reuse the label (cell) structure, so
+  *    cell-blocked ANN probes (fixed query count) scale their candidate
+  *    volume linearly, while the all-corpus kNN graph (q146) scales its
+  *    pair volume ~N² under a FIXED cell count — the measured curve
+  *    quantifies exactly when the cell-count parameter must grow ~√n.
+  *
+  * Usage: runMain graft.ScaleProbe [reps] [q1,q2,...]
+  * Writes amplified parquet under target/scaleprobe/x<reps>/ (reused if
+  * present); prints one `[scaleprobe]` line per query. A builder tool —
+  * not part of the driver contract.
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val reps = args.headOption.map(_.toInt).getOrElse(10)
+    val queries = if (args.length > 1) args(1).split(",").toSeq
+                  else Seq("q34_ngram_jaccard", "q46_ann_ivf")
+    val src = "/root/testdata/sf0.1"
+    val out = s"/root/repo/target/scaleprobe/x$reps"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    if (!new java.io.File(s"$out/documents.parquet").exists()) {
+      val rep = spark.range(0, reps).select(col("id").as("r"))
+      // replica id spacing (100k docs / 1M vecs) clears the planted-copy
+      // id offsets (+10000 / +20000 / +100000) so replicas never collide
+      spark.read.parquet(s"$src/documents.parquet").crossJoin(rep)
+        .withColumn("text", when(col("r") === 0, col("text")).otherwise(expr(
+          "array_join(transform(split(trim(text), '\\\\s+')," +
+            " t -> concat(t, '_', r)), ' ')")))
+        .withColumn("doc_id", col("doc_id") + col("r") * 100000L)
+        .drop("r")
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$out/documents.parquet")
+      spark.read.parquet(s"$src/embeddings.parquet").crossJoin(rep)
+        .withColumn("vec_id", col("vec_id") + col("r") * 1000000L)
+        .drop("r")
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    }
+    queries.foreach { q =>
+      spark.catalog.clearCache(); System.gc()
+      def run(): Double = {
+        val t0 = System.nanoTime()
+        SparkEntry.queries(q)(spark, out)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val first = run()
+      val second = run()
+      println(f"[scaleprobe] reps=$reps $q first=$first%.2f min=${math.min(first, second)}%.2f")
+    }
+    spark.stop()
+  }
+}

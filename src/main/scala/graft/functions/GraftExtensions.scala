@@ -69,6 +69,16 @@ object GraftFunctions {
     fn("rolling_hash64", "string -> 64-bit Rabin-Karp polynomial fingerprint") {
       args => RollingHash64(args.head)
     },
+    fn("fnv64",
+      "string -> 64-bit FNV-1a of the UTF-8 bytes (engine-independent," +
+        " oracle-replicable — the fuzzy-dedup shingle key)") {
+      args => Fnv64Expr(args.head)
+    },
+    fn("mix64",
+      "bigint -> murmur3 fmix64 finalizer (full-avalanche bijection;" +
+        " the MinHash family is mix64(key ^ seed_j))") {
+      args => Mix64(args.head)
+    },
     // Spark ships BloomFilterAggregate/BloomFilterMightContain for its own
     // runtime-filter injection but does not expose them in the public
     // FunctionRegistry. Registering them makes the semi-join-reduction

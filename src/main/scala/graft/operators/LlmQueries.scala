@@ -59,17 +59,41 @@ object LlmQueries extends QueryModule {
     * the cache's InMemoryRelation is also the optimization barrier that
     * stops CollapseProject re-inlining the tokenize->shingle pipeline
     * into every downstream signature lambda (16x recompute otherwise). */
-  private def shingleSets(s: SparkSession, dir: String): DataFrame =
+  private def shingleSets(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s) // fnv64
     withTokens(plantedNear(s, dir))
       .select(col("doc_id"), expr(shinglesSql("tk")).as("sh"))
       .filter(size(col("sh")) > 0)
+      // fnv64 (the engine's own codegen'd FNV-1a), NOT Spark's xxhash64:
+      // the key choice is engine-independent, so the DuckDB oracle can
+      // recompute the very same 64-bit keys (q151's full row-level
+      // oracle needs the minhash inputs, not just intersection counts)
+      // and results stay stable across Spark versions
       .select(col("doc_id"), size(col("sh")).as("sz"),
-        expr("transform(sh, x -> xxhash64(x))").as("hs"))
+        expr("transform(sh, x -> fnv64(x))").as("hs"))
       // the harness tables are single-file scans (one input partition);
       // without this the CACHED layout is one partition and every
       // downstream explode/join starts single-threaded
       .repartition(s.sparkContext.defaultParallelism)
       .persist()
+  }
+
+  /** 16 fixed MinHash seeds (splitmix64 stream from 42): the family is
+    * mh_j(h) = mix64(h ^ seed_j) — fmix64's full avalanche makes each j
+    * an independent near-uniform permutation of the shingle-key space
+    * (FNV alone mixes too weakly for min-order statistics). The same
+    * constants are interpolated into the q151 oracle SQL, so engine and
+    * oracle share one source of truth. */
+  private[graft] val MinhashSeeds: IndexedSeq[Long] = {
+    var x = 42L
+    (0 until 16).map { _ =>
+      x += 0x9E3779B97F4A7C15L
+      var z = x
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+  }
 
   /** Document-frequency cap for fuzzy-dedup candidate generation. A
     * stop-shingle shared by df documents contributes df² candidate pairs,
@@ -300,7 +324,9 @@ object LlmQueries extends QueryModule {
   }
 
   /** MinHash-LSH near-dup pairs, exact-verified: 16 minhashes (family
-    * xxhash64(h, j) over hashed shingles), 4 bands of 4, band-bucket join
+    * mix64(h ^ seed_j) over FNV-hashed shingles — both halves
+    * DuckDB-replicable, see [[MinhashSeeds]], so q151 gates this pair
+    * list row-by-row), 4 bands of 4, band-bucket join
     * for candidates, then exact Jaccard >= 0.5 for candidates via
     * array_intersect on the cached per-doc shingle-hash arrays.
     * Signatures are array_min over the array form — zero shuffles before
@@ -308,12 +334,14 @@ object LlmQueries extends QueryModule {
     * candidate set against the one-row-per-doc cache, replacing the
     * exploded-index self-join + localCheckpoint that dominated earlier
     * benches (62s first run at sf0.1). This IS the 100 TB fuzzy-dedup
-    * path: shuffle ~ Σ band-bucket², never corpus². */
+    * path: shuffle ~ Σ band-bucket², never corpus². The band key stays
+    * xxhash64 (internal bucketing only — bucket equality is signature-
+    * tuple equality, which is what the oracle joins on). */
   private[graft] def minhashLshPairs(s: SparkSession, dir: String): DataFrame = {
     val docsets = shingleSets(s, dir)
     val sigs = docsets.select(col("doc_id") +: col("sz") +:
       (0 until 16).map(j =>
-        expr(s"array_min(transform(hs, h -> xxhash64(h, $j)))").as(s"s$j")): _*)
+        expr(s"array_min(transform(hs, h -> mix64(h ^ ${MinhashSeeds(j)}L)))").as(s"s$j")): _*)
     val bandKey = (b: Int) =>
       xxhash64((b * 4 until b * 4 + 4).map(j => col(s"s$j")): _*)
     val bands = sigs.select(col("doc_id"), col("sz"),
@@ -645,6 +673,26 @@ object LlmQueries extends QueryModule {
         (col("n_le3_missed") === 0).as("guaranteed_le3_ok"),
         (col("n_le6_found") >= col("n_le6") * 0.75).as("planted_recall_ok"))
     }),
+
+    // --- the MinHash-LSH pair list ITSELF, gated row-by-row: the
+    // production artifact (q35 is its certification contract, paying 2x
+    // to run the exact truth alongside). Possible because the whole hash
+    // chain is engine-independent — FNV-1a shingle keys and the
+    // mix64(h ^ seed_j) family are replicated exactly in the oracle's
+    // HUGEINT arithmetic, and band-bucket equality is signature-tuple
+    // equality. Every pair, its exact Jaccard, nothing boolean.
+    "q151_minhash_pairs" -> ((s, dir) =>
+      minhashLshPairs(s, dir).orderBy(col("doc_a"), col("doc_b"))),
+
+    // --- the SimHash pair list ITSELF, same promotion as q151: the
+    // signature is FNV-1a token hashes + bit votes (SimHash64), the
+    // banding is 4x16-bit sub-signatures, both exactly replicated in
+    // DuckDB — so the q36 contract's operator output gets a full
+    // row-level gate (pairs + exact Hamming distance).
+    "q152_simhash_pairs" -> ((s, dir) =>
+      simhashPairs(simhashDocs(s, dir))
+        .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"))
+        .orderBy(col("doc_a"), col("doc_b"))),
 
     // --- brute-force cosine top-k: the exact-search baseline. The query
     // side (10 vectors) is broadcast, so the corpus scan never shuffles;
@@ -1575,6 +1623,123 @@ object LlmQueries extends QueryModule {
     })
   )
 
+  // ---- DuckDB replicas of the engine's hash primitives (oracle side of
+  // fnv64/mix64). All arithmetic lives in HUGEINT on [0, 2^64): FNV-1a's
+  // 40-bit multiplier keeps products under 2^104, and fmix64's 64-bit
+  // multiplies split into 32-bit halves so nothing exceeds 2^96. The
+  // signed view (for comparisons that must match the engine's Long
+  // ordering) is a single mod-2^64 wrap at the end.
+  private val H64 = "CAST(18446744073709551616 AS HUGEINT)" // 2^64
+  /** FNV-1a over a string column's UTF-8 bytes (hex-pair walk; the fold
+    * seeds list_reduce by prepending the offset basis). */
+  private def fnvSqlOf(c: String): String =
+    s"list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT), " +
+    s"[CAST(CAST('0x' || substring(hex(encode($c)), 2*i-1, 2) AS UBIGINT) AS HUGEINT) " +
+    s"FOR i IN range(1, octet_length(encode($c)) + 1)]), " +
+    s"(h, b) -> (xor(h, b) * CAST(1099511628211 AS HUGEINT)) % $H64)"
+  /** (a * k) mod 2^64 for a column in [0, 2^64) and a 64-bit constant:
+    * 32-bit-split multiplication so no product exceeds HUGEINT range. */
+  private def mulmodSql(a: String, kUnsigned: String): String =
+    s"((($a % 4294967296) * CAST($kUnsigned AS HUGEINT) + " +
+    s"((($a // 4294967296) * CAST($kUnsigned AS HUGEINT)) % 4294967296) * 4294967296) % $H64)"
+  /** h ^= h >> 33 — apply only to a COLUMN REF (the operand appears twice). */
+  private def xs33(a: String): String = s"xor($a, $a >> 33)"
+  /** unsigned [0,2^64) -> the engine's signed Long (two's-complement). */
+  private def wrapSigned(a: String): String =
+    s"CAST(CASE WHEN $a >= CAST(9223372036854775808 AS HUGEINT) " +
+    s"THEN $a - $H64 ELSE $a END AS BIGINT)"
+  /** the q34/q151/q152 planted corpus + distinct-3-shingle CTEs (DuckDB
+    * side of [[plantedNear]] + [[shinglesSql]]). */
+  private val plantedShingleCtes: String =
+    """corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000,
+      |    array_to_string(string_split_regex(trim(text), '\s+')[1:greatest(
+      |      len(string_split_regex(trim(text), '\s+')) - 5, 1)], ' ')
+      |  FROM documents),
+      |shl AS (
+      |  SELECT doc_id, list_distinct(CASE WHEN len(tk) >= 3 THEN
+      |    list_transform(range(1, len(tk) - 1),
+      |      i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])
+      |    ELSE [] END) AS sh
+      |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+      |        FROM corpus)),
+      |shz AS (SELECT doc_id, len(sh) AS sz, sh FROM shl WHERE len(sh) > 0)""".stripMargin
+
+  /** Full row-level oracle for the MinHash-LSH pair list: recompute the
+    * FNV shingle keys, the 16-seed mix64 family (same [[MinhashSeeds]]
+    * constants, staged one fmix64 step per CTE so nothing re-evaluates
+    * exponentially), band by signature 4-tuples (the engine's xxhash64
+    * band KEY is just a bucketing of tuple equality), then exact Jaccard
+    * >= 0.5 over the string shingle sets for the candidates. */
+  private def q151OracleSql: String = {
+    val seedRows = MinhashSeeds.zipWithIndex.map { case (sd, j) =>
+      s"($j, CAST('${java.lang.Long.toUnsignedString(sd)}' AS HUGEINT))"
+    }.mkString(", ")
+    val jacSql = "len(list_intersect(x.sh, y.sh)) / " +
+      "(x.sz + y.sz - len(list_intersect(x.sh, y.sh)))"
+    s"""WITH $plantedShingleCtes,
+       |ex AS (SELECT doc_id, unnest(sh) AS s FROM shz),
+       |hs AS (SELECT doc_id, ${fnvSqlOf("s")} AS h FROM ex),
+       |seeds(j, sd) AS (VALUES $seedRows),
+       |m1 AS (SELECT doc_id, j, xor(h, sd) AS u FROM hs CROSS JOIN seeds),
+       |m2 AS (SELECT doc_id, j, ${xs33("u")} AS u FROM m1),
+       |m3 AS (SELECT doc_id, j, ${mulmodSql("u", "18397679294719823053")} AS u FROM m2),
+       |m4 AS (SELECT doc_id, j, ${xs33("u")} AS u FROM m3),
+       |m5 AS (SELECT doc_id, j, ${mulmodSql("u", "14181476777654086739")} AS u FROM m4),
+       |m6 AS (SELECT doc_id, j, ${xs33("u")} AS u FROM m5),
+       |sig AS (SELECT doc_id, j, MIN(${wrapSigned("u")}) AS m
+       |        FROM m6 GROUP BY doc_id, j),
+       |bands AS (SELECT doc_id, j // 4 AS band, list(m ORDER BY j) AS bkey
+       |          FROM sig GROUP BY doc_id, j // 4),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM bands a JOIN bands b
+       |         ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+       |SELECT c.doc_a, c.doc_b, $jacSql AS jac
+       |FROM cand c JOIN shz x ON c.doc_a = x.doc_id
+       |            JOIN shz y ON c.doc_b = y.doc_id
+       |WHERE $jacSql >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** Full row-level oracle for the SimHash pair list: FNV-1a token
+    * hashes (deduped by hash, like SimHash64's seen-set), 64 bit votes,
+    * signature = positive-vote bits (unsigned, wrapped to the engine's
+    * signed Long at the end), 4x16-bit band join with the engine's
+    * first-matching-band dedup, Hamming <= 6 via bit_count(xor). */
+  private def q152OracleSql: String =
+    s"""WITH $plantedShingleCtes,
+       |tok AS (SELECT DISTINCT doc_id,
+       |    unnest(string_split_regex(trim(text), '\\s+')) AS w FROM corpus),
+       |th AS (SELECT doc_id, ${fnvSqlOf("w")} AS h FROM tok),
+       |thd AS (SELECT DISTINCT doc_id, h FROM th),
+       |bits AS (SELECT unnest(range(64)) AS b),
+       |votes AS (SELECT doc_id, b,
+       |    SUM(CASE WHEN (h >> b) % 2 = 1 THEN 1 ELSE -1 END) AS v
+       |  FROM thd CROSS JOIN bits GROUP BY doc_id, b),
+       |shv AS (SELECT doc_id,
+       |    SUM(CASE WHEN v > 0 THEN CAST(1 AS HUGEINT) << b
+       |        ELSE CAST(0 AS HUGEINT) END) AS u
+       |  FROM votes GROUP BY doc_id),
+       |shd AS (SELECT doc_id, u, ${wrapSigned("u")} AS sh FROM shv),
+       |b4 AS (SELECT unnest(range(4)) AS band),
+       |bnd AS (SELECT doc_id, u, sh, band,
+       |    CAST((u >> (16 * band)) % 65536 AS BIGINT) AS bkey
+       |  FROM shd CROSS JOIN b4),
+       |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    a.u AS ua, b.u AS ub, a.sh AS sha, b.sh AS shb, a.band AS band
+       |  FROM bnd a JOIN bnd b
+       |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |fb AS (SELECT * FROM pr WHERE band = CASE
+       |    WHEN ua % 65536 = ub % 65536 THEN 0
+       |    WHEN (ua >> 16) % 65536 = (ub >> 16) % 65536 THEN 1
+       |    WHEN (ua >> 32) % 65536 = (ub >> 32) % 65536 THEN 2 ELSE 3 END)
+       |SELECT doc_a, doc_b, CAST(bit_count(xor(sha, shb)) AS INT) AS hamming
+       |FROM fb
+       |WHERE bit_count(xor(sha, shb)) <= 6
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "q30_text_stats" ->
       """SELECT doc_id, length(text) AS len_chars,
@@ -1613,6 +1778,9 @@ object LlmQueries extends QueryModule {
         |SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
         |  MIN(doc_id) AS keeper, COUNT(*) AS n_copies
         |FROM corpus GROUP BY 1 ORDER BY keeper""".stripMargin,
+    "q151_minhash_pairs" -> q151OracleSql,
+    "q152_simhash_pairs" -> q152OracleSql,
+
     "q34_ngram_jaccard" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents

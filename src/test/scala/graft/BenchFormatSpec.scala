@@ -13,8 +13,7 @@ import org.scalatest.funsuite.AnyFunSuite
 class BenchFormatSpec extends AnyFunSuite {
 
   test("bench JSON line fits the harness tail buffer at worst-case width") {
-    // oracled queries plus the bench-only operator rows (q35op/q36op)
-    val names = (SparkEntry.queries.keys.toSeq ++ Bench.opOnlyNames).sorted
+    val names = SparkEntry.queries.keys.toSeq.sorted
     val short = names.map(_.split("_").head)
     assert(short.distinct.size == names.size,
       "short qNN bench keys must stay unique across query names")
@@ -69,7 +68,7 @@ class BenchFormatSpec extends AnyFunSuite {
     val oracled = SparkEntry.oracleSql.keySet
     // the count the docs (README, SURVEY §8) advertise — update BOTH
     // when adding a query, or the driver-contract documentation drifts
-    assert(queries.size == 150, s"query count ${queries.size} != documented 150")
+    assert(queries.size == 152, s"query count ${queries.size} != documented 152")
     assert(oracled.subsetOf(queries),
       s"oracles without queries: ${(oracled -- queries).toSeq.sorted}")
     assert((queries -- oracled) == rowsOnly,
