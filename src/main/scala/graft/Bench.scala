@@ -75,11 +75,17 @@ object Bench {
     * shuffles. Costs nothing measurable per task-end event. */
   final class TaskMetricsListener extends org.apache.spark.scheduler.SparkListener {
     import java.util.concurrent.atomic.AtomicLong
-    val runMs, gcMs, fetchMs, spillBytes, sreadBytes, swriteBytes, tasks = new AtomicLong
+    val runMs, cpuMs, gcMs, fetchMs, spillBytes, sreadBytes, swriteBytes, tasks = new AtomicLong
     override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
       val m = te.taskMetrics
       if (m != null) {
         runMs.addAndGet(m.executorRunTime)
+        // executorRunTime is WALL time on the executor thread; cpuMs is
+        // actual CPU consumed. The r9 probes needed exactly this split:
+        // run_ms ballooning with flat cpu_ms = the host stole cycles
+        // (co-tenant noise window); both ballooning = the query really
+        // did more work (recompute, cache miss, interpreter fallback).
+        cpuMs.addAndGet(m.executorCpuTime / 1000000L)
         gcMs.addAndGet(m.jvmGCTime)
         fetchMs.addAndGet(m.shuffleReadMetrics.fetchWaitTime)
         spillBytes.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
@@ -89,7 +95,7 @@ object Bench {
         ()
       }
     }
-    def snap(): Seq[Long] = Seq(runMs.get, gcMs.get, fetchMs.get,
+    def snap(): Seq[Long] = Seq(runMs.get, cpuMs.get, gcMs.get, fetchMs.get,
       spillBytes.get, sreadBytes.get, swriteBytes.get, tasks.get)
   }
 
@@ -206,6 +212,29 @@ object Bench {
     val tml = new TaskMetricsListener
     spark.sparkContext.addSparkListener(tml)
     val metrics = scala.collection.mutable.Map.empty[String, Seq[Long]]
+    // JVM-level per-query deltas, alongside the Spark task metrics: JIT
+    // compilation time and code-heap occupancy. Motivation (r9): q117's
+    // in-suite executor CPU was 3.4x its standalone CPU with IDENTICAL
+    // plans, task counts, and near-zero GC/spill/fetch — task metrics
+    // alone cannot distinguish "the host is slow" from "the JIT stopped
+    // keeping up after 150 queries x dozens of generated classes" (the
+    // default ReservedCodeCacheSize is 240 MB and flushing evicts hot
+    // methods SILENTLY — no CodeCache-full warning is ever printed).
+    // jit_ms rising and codeheap saturating across the suite is the
+    // fingerprint of that failure mode; flat values acquit it.
+    val compBean = java.lang.management.ManagementFactory.getCompilationMXBean
+    def jitMs(): Long =
+      if (compBean != null && compBean.isCompilationTimeMonitoringSupported)
+        compBean.getTotalCompilationTime else -1L
+    val codeHeaps = java.lang.management.ManagementFactory.getMemoryPoolMXBeans
+      .stream().filter(p => p.getName.startsWith("CodeHeap"))
+      .collect(java.util.stream.Collectors.toList[java.lang.management.MemoryPoolMXBean])
+    def codeHeapUsed(): Long = {
+      var t = 0L
+      codeHeaps.forEach(p => t += p.getUsage.getUsed)
+      t
+    }
+    val jvmMetrics = scala.collection.mutable.Map.empty[String, (Long, Long)]
     val results = SparkEntry.queries.keys.toSeq.filter(selected).sorted.map { name =>
       // Per-query isolation: drop caches a previous QUERY left behind
       // (the dedup family shares a persisted shingle stage; carrying it
@@ -224,9 +253,11 @@ object Bench {
       // the cleaner reap them; it runs outside any timed window.
       System.gc()
       val m0 = tml.snap()
+      val j0 = jitMs()
       val (first, best, ok) = protocol(name,
         sink(() => SparkEntry.queries(name)(spark, sfDir)))
       metrics(name) = tml.snap().zip(m0).map { case (a, b) => a - b }
+      jvmMetrics(name) = (jitMs() - j0, codeHeapUsed())
       (name, first, best, ok)
     }
     // The former q35op/q36op bench-only operator rows are gone: the
@@ -300,11 +331,12 @@ object Bench {
     // keeps non-timings out of anything that aggregates the min column).
     // Each row also carries the query's task-metric deltas (all runs
     // combined): run_ms/gc_ms/fetch_ms/spill_b/sread_b/swrite_b/tasks.
-    val mkeys = Seq("run_ms", "gc_ms", "fetch_ms", "spill_b", "sread_b", "swrite_b", "tasks")
+    val mkeys = Seq("run_ms", "cpu_ms", "gc_ms", "fetch_ms", "spill_b", "sread_b", "swrite_b", "tasks")
     val detail = results.map { r =>
       val ms = metrics.getOrElse(r._1, Seq.fill(mkeys.size)(-1L))
+      val (jit, cheap) = jvmMetrics.getOrElse(r._1, (-1L, -1L))
       val mjson = mkeys.zip(ms).map { case (k, v) => s""""$k":$v""" }.mkString(",")
-      s"""{"query":"${r._1}","first":${r._2},"min":${if (r._4) r._3 else -1},"ok":${r._4},$mjson}"""
+      s"""{"query":"${r._1}","first":${r._2},"min":${if (r._4) r._3 else -1},"ok":${r._4},$mjson,"jit_ms":$jit,"codeheap_b":$cheap}"""
     }.mkString("[", ",", "]")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",

@@ -1020,6 +1020,47 @@ object CorpusQueries extends QueryModule {
           round(col("m.cum").cast("double") / col("m.tot").cast("double"), 6)
             .as("coverage"))
         .orderBy(col("pct"))
+    }),
+
+    // --- PMI collocation mining: the phrase-discovery pass a tokenizer /
+    // phrase-vocab builder runs over the corpus — score each bigram by
+    // pointwise mutual information against the unigram independence
+    // model. Cross-engine determinism: PMI's log never materializes —
+    // log is monotone, so ranking by the RATIO p(xy)/(p(x)p(y)) =
+    // c2·N/(c1a·c1b) is ranking by PMI, and the ratio stays on a 1e-6
+    // integer grid via the repo's half-up integer division (products in
+    // DECIMAL(38,0)/HUGEINT — at 100 TB c2·N·10⁶ overflows a BIGINT
+    // long before the vocabulary does). Shape: the bigram and unigram
+    // count tables are vocabulary-sized — two shuffle equi-joins on
+    // token keys (never broadcast; a web-scale vocab is GBs), the 1-row
+    // total broadcasts, and the global top-20 is TakeOrderedAndProject
+    // over the vocab-sized scored stream, O(k) per partition. The
+    // n_pair >= 5 support floor is standard collocation practice (kills
+    // the singleton-bigram PMI explosion) and bounds nothing — it is a
+    // map-side filter after the count.
+    "q153_pmi_collocations" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val bi = docs.select(expr(toksSql).as("tk"))
+        .select(explode(expr(gramsSql("tk", 2, distinct = false))).as("bigram"))
+      val biCnt = bi.groupBy(col("bigram")).agg(count(lit(1)).as("n_pair"))
+        .filter(col("n_pair") >= 5)
+      val uni = docs.select(explode(expr(toksSql)).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val tot = bi.agg(count(lit(1)).as("n_total"))
+      biCnt
+        .withColumn("w1", expr("split(bigram, ' ')[0]"))
+        .withColumn("w2", expr("split(bigram, ' ')[1]"))
+        .join(uni.select(col("w").as("w1"), col("c").as("c1_a")), Seq("w1"))
+        .join(uni.select(col("w").as("w2"), col("c").as("c1_b")), Seq("w2"))
+        .crossJoin(broadcast(tot))
+        .withColumn("lift_micro", expr(
+          "(2 * CAST(n_pair AS DECIMAL(38,0)) * n_total * 1000000" +
+            " + CAST(c1_a AS DECIMAL(38,0)) * c1_b)" +
+            " DIV (2 * CAST(c1_a AS DECIMAL(38,0)) * c1_b)"))
+        .select(col("bigram"), col("n_pair"), col("c1_a"), col("c1_b"),
+          (col("lift_micro").cast("double") / 1000000.0).as("lift"))
+        .orderBy(col("lift").desc, col("bigram").asc)
+        .limit(20)
     })
   )
 
@@ -1879,6 +1920,26 @@ object CorpusQueries extends QueryModule {
         |SELECT doc_id, shard,
         |  ROW_NUMBER() OVER (PARTITION BY shard ORDER BY ord, doc_id)
         |    AS pos
-        |FROM h ORDER BY shard, pos""".stripMargin
+        |FROM h ORDER BY shard, pos""".stripMargin,
+    "q153_pmi_collocations" ->
+      """WITH t AS (SELECT string_split_regex(trim(text), '\s+') AS tk
+        |           FROM documents),
+        |b AS (
+        |  SELECT unnest(list_transform(range(1, len(tk)),
+        |    i -> tk[i] || ' ' || tk[i + 1])) AS bigram
+        |  FROM t WHERE len(tk) >= 2),
+        |bc AS (SELECT bigram, COUNT(*) AS n_pair FROM b
+        |       GROUP BY 1 HAVING COUNT(*) >= 5),
+        |u AS (SELECT unnest(tk) AS w FROM t),
+        |uc AS (SELECT w, COUNT(*) AS c FROM u GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n_total FROM b)
+        |SELECT bigram, n_pair, a.c AS c1_a, bb.c AS c1_b,
+        |  CAST((2 * n_pair::HUGEINT * n_total * 1000000 + a.c::HUGEINT * bb.c)
+        |    // (2 * a.c::HUGEINT * bb.c) AS BIGINT) / 1000000.0 AS lift
+        |FROM bc
+        |JOIN uc a ON a.w = string_split(bigram, ' ')[1]
+        |JOIN uc bb ON bb.w = string_split(bigram, ' ')[2]
+        |CROSS JOIN n
+        |ORDER BY lift DESC, bigram LIMIT 20""".stripMargin
   )
 }
