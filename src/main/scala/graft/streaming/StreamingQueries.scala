@@ -69,6 +69,23 @@ object StreamingQueries extends QueryModule {
         expr("c_user = p_user AND p_ts > c_ts AND p_ts <= c_ts + INTERVAL 1 HOUR"))
       .select(col("c_user").as("user_id"), col("c_ts"), col("p_ts"))
 
+  /** Stream-static enrichment: an unbounded event stream joined against a
+    * bounded dimension, then windowed per enriched key. The static side
+    * is re-read per micro-batch (Spark's stream-static contract) and
+    * broadcast — the join is STATELESS, unlike stream-stream: no
+    * watermark-bounded join state at all, which is why enrich-then-
+    * aggregate is the preferred shape whenever one side is a dimension.
+    * At 100 TB of stream: the only stateful operator is the windowed agg
+    * (state = open windows x segments), and the broadcast is bounded by
+    * the dimension table, never the stream. */
+  def enrich(events: DataFrame, dims: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .join(broadcast(dims), col("user_id") === col("c_custkey"))
+      .groupBy(window(col("ts"), "6 hours"), col("segment"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("segment"),
+        col("n_events"), col("sum_value"))
+
   /** Per-user session windows with a 6-hour inactivity gap. */
   def sessions(events: DataFrame): DataFrame =
     events.withWatermark("ts", "1 hour")
@@ -142,6 +159,19 @@ object StreamingQueries extends QueryModule {
           })
         .toDF("user_id", "crossed")
         .orderBy(col("user_id"), col("crossed"))
+    }),
+
+    // --- stream-static enrichment in the correctness gate (batch parity;
+    // the MemoryStream-against-static run is in StreamingSpec): events
+    // enriched with the customer market segment, aggregated into 6-hour
+    // tumbling windows per segment. Window starts align to the unix
+    // epoch (Spark's window() default), which the oracle replicates with
+    // integer micros arithmetic rather than date_trunc.
+    "q154_stream_enrich" -> ((s, dir) => {
+      val dims = Tables(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment").as("segment"))
+      enrich(Tables(s, dir, "events"), dims)
+        .orderBy(col("window_start"), col("segment"))
     })
   )
 
@@ -206,6 +236,17 @@ object StreamingQueries extends QueryModule {
         |SELECT user_id, MIN(ts) AS session_start,
         |  MAX(ts) + INTERVAL 6 HOUR AS session_end, COUNT(*) AS n_events
         |FROM numbered GROUP BY user_id, sid
-        |ORDER BY user_id, session_start""".stripMargin
+        |ORDER BY user_id, session_start""".stripMargin,
+    // 6h tumbling buckets via integer micros (21600000000 us), NOT
+    // time_bucket: DuckDB's sub-month time_bucket origin is 2000-01-03
+    // (a Monday), which happens to align for 6h but not for every
+    // width — epoch arithmetic is alignment-exact by construction.
+    "q154_stream_enrich" ->
+      """SELECT make_timestamp((epoch_us(ts) // 21600000000) * 21600000000)
+        |    AS window_start,
+        |  c.c_mktsegment AS segment, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1, 2 ORDER BY window_start, segment""".stripMargin
   )
 }

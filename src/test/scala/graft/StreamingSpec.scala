@@ -224,6 +224,42 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("stream-static enrich builder (q154): windowed per-segment agg matches batch") {
+    // Drives the ACTUAL q154 builder (join + windowed agg), not just the
+    // join pattern: the static side broadcasts per micro-batch, the only
+    // state is the windowed aggregate, and complete-mode output equals
+    // the batch run of the same code on the same rows.
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val dims = Seq((1L, "BUILDING"), (2L, "MACHINERY"))
+      .toDF("c_custkey", "segment")
+    val rows = Seq(
+      Ev(ts("2024-01-01T01:00:00Z"), 1L, 1.0),
+      Ev(ts("2024-01-01T05:59:00Z"), 1L, 2.0), // same 6h bucket as 01:00
+      Ev(ts("2024-01-01T06:01:00Z"), 2L, 4.0), // next bucket, other segment
+      Ev(ts("2024-01-01T07:00:00Z"), 9L, 8.0)) // no dim row -> dropped
+    val mem = MemoryStream[Ev]
+    val q = StreamingQueries.enrich(mem.toDF(), dims)
+      .writeStream.format("memory").queryName("enrich154")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      def shape(df: org.apache.spark.sql.DataFrame) = df
+        .select("window_start", "segment", "n_events", "sum_value")
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      val streamed = shape(sp.table("enrich154"))
+      val batch = shape(StreamingQueries.enrich(rows.toDF(), dims))
+      assert(streamed == batch)
+      assert(streamed == Set(
+        (ts("2024-01-01T00:00:00Z"), "BUILDING", 2L, 3.0),
+        (ts("2024-01-01T06:00:00Z"), "MACHINERY", 1L, 4.0)))
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState: zero-or-more alerts per user as thresholds are crossed") {
     // Unlike mapGroupsWithState (exactly one row per key per batch),
     // flatMapGroupsWithState emits an ITERATOR — here one alert per
