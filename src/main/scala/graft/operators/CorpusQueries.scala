@@ -193,8 +193,13 @@ object CorpusQueries extends QueryModule {
         // back out or the O(len²) distance stage runs single-threaded
         // (few rows × heavy per-row work is the repartition-worthy shape)
         .repartition(s.sparkContext.defaultParallelism)
-        .withColumn("dist", levenshtein(col("text_a"), col("text_b")))
-        .filter(col("dist") <= 200)
+        // threshold form: banded O(len·k) DP with early exit instead of
+        // the full O(len²) matrix — returns -1 past the bound, and the
+        // exact distance (identical to the 2-arg form and the oracle's
+        // full levenshtein) for every surviving pair
+        .withColumn("dist",
+          levenshtein(col("text_a"), col("text_b"), 200))
+        .filter(col("dist") >= 0)
         .select(col("doc_a"), col("doc_b"), col("dist"))
         .orderBy(col("doc_a"), col("doc_b"))
     }),

@@ -323,6 +323,70 @@ object LlmQueries extends QueryModule {
       expr("transform(v, x -> x * 2.0D)").as("v")))
   }
 
+  /** Shared kNN-graph core (k = 5) for q146/q155: blocked all-corpus
+    * 5-NN over `e` (vec_id, v, nrm) using `cells` (cell, cv, cnrm;
+    * caller localCheckpoints it — it is broadcast into both aggregate
+    * branches AND counted for the salt fanout). Every node multi-probes
+    * its top-2 cells on the BUILD side (the probe table is corpus-sized,
+    * NEVER broadcast — candidates meet probes in a cell-keyed shuffle
+    * join of volume Σ|cell|·|probes(cell)|, the intrinsic blocked cost);
+    * per-node ranking is the bounded-heap TopK partial aggregate, so
+    * candidate rows die map-side and the per-node exchange is n x k.
+    *
+    * Bounded salt on the cell join: with FEW cells (q146: 10 labels <
+    * 32 cores) a plain cell-keyed join runs the whole pair scoring on
+    * |cells| tasks. Candidates take salt = hash(nbr_id) % R, probes
+    * replicate xR, pairs meet exactly once (each dst lives in ONE salt
+    * bucket); R = cores/|cells| from a tiny count over the dim table —
+    * a production layout with cells ~ sqrt(n) >> cores (q155's rule)
+    * gets R = 1 and pays zero replication. shuffle_hash because the
+    * (cell, salt) keys are uniform by construction and sort-merge would
+    * sort millions of 2x64-double pair-precursor rows per side. */
+  private def knnGraphEdges(s: SparkSession, e: DataFrame,
+      cells: DataFrame): DataFrame = {
+    val scored = e.crossJoin(broadcast(cells))
+      .withColumn("cell_score",
+        expr("vec_dot(v, cv)") / (col("nrm") * col("cnrm")))
+    // corpus side: each vector lives in exactly ONE cell (q46 argmax)
+    val withCell = scored.groupBy(col("vec_id"))
+      .agg(max(struct(col("cell_score"), (-col("cell")).as("negc"),
+        col("v"), col("nrm"))).as("m"))
+      .select(col("vec_id").as("nbr_id"), (-col("m.negc")).as("cell"),
+        col("m.v").as("bv"), col("m.nrm").as("bnrm"))
+    // probe side: every node's top-2 cells (bounded heap, ties by cell
+    // asc — deterministic), payload carried by first() in the same agg
+    val top2 = udaf(new graft.functions.TopKAggregator.TopK(2),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaDouble,
+        org.apache.spark.sql.Encoders.scalaLong))
+    val probes = scored.groupBy(col("vec_id"))
+      .agg(top2(col("cell_score"), col("cell").cast("long")).as("top"),
+        first(col("v")).as("av"), first(col("nrm")).as("anrm"))
+      .select(col("vec_id").as("src_id"), col("av"), col("anrm"),
+        explode(col("top")).as("t"))
+      .select(col("src_id"), col("av"), col("anrm"),
+        col("t._2").cast("int").as("cell"))
+    val topk = udaf(new graft.functions.TopKAggregator.TopK(5),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaDouble,
+        org.apache.spark.sql.Encoders.scalaLong))
+    val nCells = cells.count().toInt
+    val fanout = math.max(1,
+      s.sparkContext.defaultParallelism / math.max(nCells, 1))
+    val salted = withCell.withColumn("salt",
+      pmod(xxhash64(col("nbr_id")), lit(fanout)).cast("int"))
+    val probesR = probes.withColumn("salt",
+      explode(expr(s"sequence(0, ${fanout - 1})")))
+    salted.join(probesR.hint("shuffle_hash"), Seq("cell", "salt"))
+      .filter(col("src_id") =!= col("nbr_id"))
+      .withColumn("score",
+        round(expr("vec_dot(av, bv)") / (col("anrm") * col("bnrm")), 4))
+      .groupBy(col("src_id"))
+      .agg(topk(col("score"), col("nbr_id")).as("top"))
+      .select(col("src_id"), explode(col("top")).as("t"))
+      .select(col("src_id"), col("t._2").as("nbr_id"))
+  }
+
   /** MinHash-LSH near-dup pairs, exact-verified: 16 minhashes (family
     * mix64(h ^ seed_j) over FNV-hashed shingles — both halves
     * DuckDB-replicable, see [[MinhashSeeds]], so q151 gates this pair
@@ -1418,63 +1482,10 @@ object LlmQueries extends QueryModule {
       // aggregation (3 scans); with it the aggregation runs once and
       // the count is free
       val cells = e.groupBy(col("label")).agg(centroid(col("v")).as("cv"))
-        .select(col("label").as("cell"), col("cv"))
+        .select(col("label").cast("int").as("cell"), col("cv"))
         .withColumn("cnrm", expr(normSqlOf("cv")))
         .localCheckpoint()
-      val scored = e.crossJoin(broadcast(cells))
-        .withColumn("cell_score",
-          expr("vec_dot(v, cv)") / (col("nrm") * col("cnrm")))
-      // corpus side: each vector lives in exactly ONE cell (q46 argmax)
-      val withCell = scored.groupBy(col("vec_id"))
-        .agg(max(struct(col("cell_score"), (-col("cell")).as("negc"),
-          col("v"), col("nrm"))).as("m"))
-        .select(col("vec_id").as("nbr_id"), (-col("m.negc")).as("cell"),
-          col("m.v").as("bv"), col("m.nrm").as("bnrm"))
-      // probe side: every node's top-2 cells (bounded heap, ties by cell
-      // asc — deterministic), payload carried by first() in the same agg
-      val top2 = udaf(new graft.functions.TopKAggregator.TopK(2),
-        org.apache.spark.sql.Encoders.tuple(
-          org.apache.spark.sql.Encoders.scalaDouble,
-          org.apache.spark.sql.Encoders.scalaLong))
-      val probes = scored.groupBy(col("vec_id"))
-        .agg(top2(col("cell_score"), col("cell").cast("long")).as("top"),
-          first(col("v")).as("av"), first(col("nrm")).as("anrm"))
-        .select(col("vec_id").as("src_id"), col("av"), col("anrm"),
-          explode(col("top")).as("t"))
-        .select(col("src_id"), col("av"), col("anrm"),
-          col("t._2").cast("int").as("cell"))
-      val topk = udaf(new graft.functions.TopKAggregator.TopK(5),
-        org.apache.spark.sql.Encoders.tuple(
-          org.apache.spark.sql.Encoders.scalaDouble,
-          org.apache.spark.sql.Encoders.scalaLong))
-      // Bounded salt on the cell join: the pair scoring is the query's
-      // whole cost, and with FEW cells (harness: 10 labels < 32 cores)
-      // a plain cell-keyed join runs it on |cells| tasks. Candidates
-      // take salt = hash(nbr_id) % R, probes replicate xR, pairs meet
-      // exactly once (each dst lives in ONE salt bucket). R derives
-      // from cores/cells — the count is one tiny job over the
-      // |cells|-row dim table (the jaccardPairsCapped probe precedent)
-      // — so a production layout with cells ~ sqrt(n) >> cores gets
-      // R = 1 and pays zero replication.
-      val nCells = cells.count().toInt
-      val fanout = math.max(1,
-        s.sparkContext.defaultParallelism / math.max(nCells, 1))
-      val salted = withCell.withColumn("salt",
-        pmod(xxhash64(col("nbr_id")), lit(fanout)).cast("int"))
-      val probesR = probes.withColumn("salt",
-        explode(expr(s"sequence(0, ${fanout - 1})")))
-      // shuffle_hash: (cell, salt) keys are uniform BY CONSTRUCTION (the
-      // salt is a hash mod), and sort-merge would SORT millions of
-      // 2x64-double pair-precursor rows per side — the same trade
-      // cappedPairCounts measured on its exploded index
-      val edges = salted.join(probesR.hint("shuffle_hash"), Seq("cell", "salt"))
-        .filter(col("src_id") =!= col("nbr_id"))
-        .withColumn("score",
-          round(expr("vec_dot(av, bv)") / (col("anrm") * col("bnrm")), 4))
-        .groupBy(col("src_id"))
-        .agg(topk(col("score"), col("nbr_id")).as("top"))
-        .select(col("src_id"), explode(col("top")).as("t"))
-        .select(col("src_id"), col("t._2").as("nbr_id"))
+      val edges = knnGraphEdges(s, e, cells)
       val nodes = e.agg(count(lit(1)).as("n_nodes"))
       val es = edges.agg(count(lit(1)).as("n_edges"),
         count(when(col("nbr_id") === col("src_id") + 100000L, 1)).as("n_pl"))
@@ -1482,6 +1493,43 @@ object LlmQueries extends QueryModule {
         col("n_nodes"), col("n_edges"),
         (col("n_edges") === col("n_nodes") * 5).as("degree_ok"),
         (col("n_pl") === col("n_nodes") / 2).as("planted_recall_ok"))
+    }),
+
+    // --- kNN graph with SCALE-ADAPTIVE cells: the production answer to
+    // the curve ScaleProbe measured on q146 (fixed 10-label cells -> the
+    // blocked pair volume grows ~n²/C: 9× pair volume at 3× corpus, 100×
+    // at 10×). Here C = ceil(sqrt(n)) is derived FROM THE CORPUS COUNT
+    // (one tiny agg action, the q146 salt-count precedent), so pair
+    // volume Σ|cell|·|probes| stays ~n^1.5 with 2-probe recall — the
+    // IVF sizing rule every vector store applies. Cells are seeded from
+    // the C smallest vec_ids (deterministic, oracle-replicable ORDER BY
+    // + LIMIT — a real deployment would k-means them, q138's Lloyd step;
+    // seeding changes recall, not the plan shape). The broadcast stays
+    // legitimate at scale: C ~ sqrt(n) seed vectors is ~10⁵ rows at 10¹⁰
+    // corpus — dimension-table-sized, not corpus-sized.
+    //
+    // Contract (q146 tier): the planted 2x copy is bit-identical after
+    // normalization, so copy and original share cell argmax and probe
+    // list FOR ANY deterministic cell function — co-bucketing is
+    // structural, the pair scores 1.0 (the max), recall holds. degree_ok
+    // additionally certifies every node found a full 5 neighbors, i.e.
+    // sqrt-sizing left no starved cells at the gate scale.
+    "q155_knn_graph_sqrtcells" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s) // vec_dot
+      val e = plantedVecs(s, dir).withColumn("nrm", expr(normSqlOf("v")))
+      val n = e.count()
+      val c = math.max(8, math.ceil(math.sqrt(n.toDouble)).toInt)
+      val cells = e.orderBy(col("vec_id")).limit(c)
+        .select(col("vec_id").cast("int").as("cell"), col("v").as("cv"),
+          col("nrm").as("cnrm"))
+        .localCheckpoint()
+      val edges = knnGraphEdges(s, e, cells)
+      val es = edges.agg(count(lit(1)).as("n_edges"),
+        count(when(col("nbr_id") === col("src_id") + 100000L, 1)).as("n_pl"))
+      es.select(
+        lit(n).as("n_nodes"), lit(c.toLong).as("n_cells"), col("n_edges"),
+        (col("n_edges") === lit(n) * 5).as("degree_ok"),
+        (col("n_pl") === lit(n) / 2).as("planted_recall_ok"))
     }),
 
     // --- histogram quantiles: per-source length profile (p50/p90) from a
@@ -2307,6 +2355,17 @@ object LlmQueries extends QueryModule {
     // co-bucketing recall of the planted bit-identical copies.
     "q146_knn_graph" ->
       """SELECT 2 * COUNT(*) AS n_nodes, 10 * COUNT(*) AS n_edges,
+        |  TRUE AS degree_ok, TRUE AS planted_recall_ok
+        |FROM embeddings""".stripMargin,
+
+    // n_nodes/n_cells/n_edges are genuine oracle arithmetic (n_edges via
+    // degree_ok: a full 5-NN graph has exactly 5n edges); the booleans
+    // are the q146-tier contract the Spark side COMPUTES — a starved
+    // cell or missed planted copy flips them and fails the hash gate.
+    "q155_knn_graph_sqrtcells" ->
+      """SELECT 2 * COUNT(*) AS n_nodes,
+        |  CAST(greatest(8, ceil(sqrt(2 * COUNT(*)))) AS BIGINT) AS n_cells,
+        |  10 * COUNT(*) AS n_edges,
         |  TRUE AS degree_ok, TRUE AS planted_recall_ok
         |FROM embeddings""".stripMargin,
 

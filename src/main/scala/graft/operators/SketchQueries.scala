@@ -305,6 +305,47 @@ object SketchQueries extends QueryModule {
           round(expr("vec_dot(ca, cb)") / (col("na") * col("nb")), 6)
             .as("cos_sim"))
         .orderBy(col("label_a"), col("label_b"))
+    }),
+
+    // --- embedding centroid drift: the vector-space sibling of q136's
+    // language-mix drift — per label, the L1 distance between the
+    // centroids of two content-hash snapshot halves (the monitoring
+    // query that catches an embedding-model version skew or a poisoned
+    // ingest batch before it trains). NO float rounding anywhere:
+    // per-dim sums are the CentroidFixed fixed-point integers (floor
+    // (x·2^32), exact DECIMAL/HUGEINT sums), and the half-vs-half
+    // difference clears denominators — |se/(2^32·ne) - so/(2^32·no)|
+    // becomes |se·no - so·ne| over 2^32·ne·no — so the ONLY division
+    // is the final half-up onto the 1e-6 grid. Scale shape: dims
+    // explode map-side into a partial-agged (label, half, dim) sum
+    // whose exchange is labels x 2 x 64 rows at ANY corpus size; the
+    // halves join and the per-label reduce touch only that table.
+    "q156_centroid_drift" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+        .select(col("label"),
+          expr("CAST(conv(substring(md5(CAST(vec_id AS STRING)), 1, 2)," +
+            " 16, 10) AS INT) % 2").as("half"),
+          expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)" +
+            " * 4294967296.0) AS DECIMAL(38,0)))").as("fx"))
+      val sums = e.select(col("label"), col("half"),
+          posexplode(col("fx")).as(Seq("d", "x")))
+        .groupBy(col("label"), col("half"), col("d"))
+        .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+      val ev = sums.filter(col("half") === 0).select(col("label"), col("d"),
+        col("sx").as("se"), col("n").as("ne"))
+      val od = sums.filter(col("half") === 1).select(col("label"), col("d"),
+        col("sx").as("so"), col("n").as("no"))
+      ev.join(od, Seq("label", "d"))
+        .withColumn("num", abs(col("se") * col("no") - col("so") * col("ne")))
+        .groupBy(col("label"))
+        .agg(max(col("ne")).as("n_even"), max(col("no")).as("n_odd"),
+          sum(col("num")).as("numsum"))
+        .withColumn("drift_micro", expr(
+          "(2 * numsum * 1000000 + 4294967296 * n_even * n_odd)" +
+            " DIV (2 * 4294967296 * n_even * n_odd)"))
+        .select(col("label"), col("n_even"), col("n_odd"),
+          (col("drift_micro").cast("double") / 1000000.0).as("drift_l1"))
+        .orderBy(col("label"))
     })
   )
 
@@ -450,6 +491,32 @@ object SketchQueries extends QueryModule {
         |SELECT a.label AS label_a, b.label AS label_b,
         |  round(list_dot_product(a.c, b.c) / (a.nrm * b.nrm), 6) AS cos_sim
         |FROM w a JOIN w b ON a.label < b.label
-        |ORDER BY label_a, label_b""".stripMargin
+        |ORDER BY label_a, label_b""".stripMargin,
+    "q156_centroid_drift" ->
+      """WITH e AS (
+        |  SELECT label,
+        |    CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 2) AS INT)
+        |      % 2 AS half,
+        |    CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |idx AS (SELECT unnest(range(1, 65)) AS i),
+        |comp AS (SELECT label, half, i,
+        |           CAST(floor(v[i] * 4294967296.0) AS HUGEINT) AS fx
+        |         FROM e CROSS JOIN idx),
+        |sums AS (SELECT label, half, i, sum(fx) AS sx, count(*) AS n
+        |         FROM comp GROUP BY 1, 2, 3),
+        |j AS (SELECT s0.label, s0.i, s0.sx AS se, s0.n AS ne,
+        |        s1.sx AS so, s1.n AS "no"
+        |      FROM sums s0 JOIN sums s1
+        |        ON s0.label = s1.label AND s0.i = s1.i
+        |       AND s0.half = 0 AND s1.half = 1),
+        |agg AS (SELECT label, max(ne) AS n_even, max("no") AS n_odd,
+        |          sum(abs(se * "no" - so * ne)) AS numsum
+        |        FROM j GROUP BY 1)
+        |SELECT label, n_even, n_odd,
+        |  CAST((2 * numsum * 1000000 + 4294967296 * n_even * n_odd)
+        |    // (2 * 4294967296::HUGEINT * n_even * n_odd) AS BIGINT)
+        |    / 1000000.0 AS drift_l1
+        |FROM agg ORDER BY label""".stripMargin
   )
 }

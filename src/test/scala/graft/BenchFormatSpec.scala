@@ -68,7 +68,7 @@ class BenchFormatSpec extends AnyFunSuite {
     val oracled = SparkEntry.oracleSql.keySet
     // the count the docs (README, SURVEY §8) advertise — update BOTH
     // when adding a query, or the driver-contract documentation drifts
-    assert(queries.size == 154, s"query count ${queries.size} != documented 154")
+    assert(queries.size == 156, s"query count ${queries.size} != documented 156")
     assert(oracled.subsetOf(queries),
       s"oracles without queries: ${(oracled -- queries).toSeq.sorted}")
     assert((queries -- oracled) == rowsOnly,
@@ -87,7 +87,7 @@ class BenchFormatSpec extends AnyFunSuite {
     // touch this list.
     val contractTier = Set("q35_minhash_lsh", "q36_simhash",
       "q45_approx_distinct", "q97_hll_rollup", "q104_approx_percentile",
-      "q146_knn_graph")
+      "q146_knn_graph", "q155_knn_graph_sqrtcells")
     val pinsBooleans = SparkEntry.oracleSql.filter { case (_, sql) =>
       sql.toLowerCase.matches("(?s).*\\btrue\\b.*as\\s+\\w*_ok\\b.*")
     }.keySet
