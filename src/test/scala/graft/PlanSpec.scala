@@ -689,6 +689,42 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert("hashpartitioning\\(".r.findAllIn(p).size == 1, p)
   }
 
+  test("q153 PMI: vocab joins shuffle (never broadcast-hinted), global top-20 is TakeOrdered") {
+    val p = plan("q153_pmi_collocations")
+    // the bigram/unigram count tables are vocabulary-sized — a web-scale
+    // vocab is GBs, so the joins must not be broadcast BY HINT (AQE may
+    // still convert at runtime when measured-small, which is correct);
+    // the only hinted broadcast is the 1-row total
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+  }
+
+  test("q155 sqrt-cells kNN graph: cells broadcast, probe side shuffle-joined, no window") {
+    val p = plan("q155_knn_graph_sqrtcells")
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the corpus-sized probe/candidate join is a shuffle hash join on
+    // (cell, salt) — never sort-merge (would sort 64-double payload
+    // rows), never broadcast (both sides corpus-sized)
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the scored assignment/probe reductions are ObjectHashAggregate
+    // partial aggs (TopK heap + max(struct)), not windows
+    assert(p.contains("ObjectHashAggregate"), p)
+  }
+
+  test("q156 centroid drift: bounded label-keyed exchanges only, no window, no cartesian") {
+    val p = plan("q156_centroid_drift")
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // per-dim sums partial-aggregate map-side before their exchange: the
+    // shuffled relation carries (label, half, dim) rows — labels x 2 x 64
+    // at any corpus size — so a partial_ aggregation mode must appear
+    assert(p.toLowerCase.contains("partial"), p)
+  }
+
   test("whole-stage codegen covers the relational hot paths") {
     // AQE wraps the plan in AdaptiveSparkPlanExec, which the codegen
     // explainer does not descend into before execution — check without it.
