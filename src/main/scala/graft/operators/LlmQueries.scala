@@ -1602,6 +1602,49 @@ object LlmQueries extends QueryModule {
         .orderBy(col("src_a"), col("src_b"))
     }),
 
+    // --- EXACT source containment — the exact tier of the question q134
+    // estimates by sketch: for each source pair, |A ∩ B| over the
+    // distinct-shingle sets plus both directed containments ("how much
+    // of A's material appears in B"), the cross-source leakage audit a
+    // multi-source ingest runs when the MinHash estimate flags a pair.
+    // Engine shapes: shingles become fnv64 keys (the q151-gated
+    // engine-independent hash; 8-byte keys shuffle ~10x cheaper than
+    // shingle strings, and the oracle counts the STRINGS — the q34
+    // precedent, sound because fnv64 is injective on any real vocabulary
+    // and a collision would already trip q151's row-level gate), the
+    // (source, key) distinct and the key-equi self-join both shuffle on
+    // uniform hash keys, the pair exchange is bounded by sources² x
+    // vocab, and the sources-sized size table broadcasts. Containments
+    // land on the 1e-6 grid via half-up integer division in
+    // DECIMAL(38,0) — exact at any corpus size.
+    "q157_source_containment" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s) // fnv64
+      val sh = Tables(s, dir, "documents")
+        .select(col("source"), expr(toksSql).as("tk"))
+        .select(col("source"), explode(expr(shinglesSql("tk"))).as("g"))
+        .select(col("source"), expr("fnv64(g)").as("h"))
+        .distinct()
+      val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      val a = sh.select(col("source").as("source_a"), col("h"))
+      val b = sh.select(col("source").as("source_b"), col("h"))
+      a.join(b, Seq("h")).filter(col("source_a") < col("source_b"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(count(lit(1)).as("inter"))
+        .join(broadcast(sizes.select(col("source").as("source_a"),
+          col("n").as("n_a"))), Seq("source_a"))
+        .join(broadcast(sizes.select(col("source").as("source_b"),
+          col("n").as("n_b"))), Seq("source_b"))
+        .withColumn("cont_ab", expr(
+          "(2 * CAST(inter AS DECIMAL(38,0)) * 1000000 + n_a) DIV (2 * n_a)")
+          .cast("double") / lit(1000000.0))
+        .withColumn("cont_ba", expr(
+          "(2 * CAST(inter AS DECIMAL(38,0)) * 1000000 + n_b) DIV (2 * n_b)")
+          .cast("double") / lit(1000000.0))
+        .select(col("source_a"), col("source_b"), col("inter"),
+          col("n_a"), col("n_b"), col("cont_ab"), col("cont_ba"))
+        .orderBy(col("source_a"), col("source_b"))
+    }),
+
     // --- INCREMENTAL ingestion dedup: the production shape when a new
     // batch lands next to an existing corpus — dedup the DELTA against
     // the INDEX, never the corpus against itself. The planted batch (at
@@ -2494,6 +2537,30 @@ object LlmQueries extends QueryModule {
     // double hashing: two md5-derived 56-bit bases, perm p = h1 + p*h2
     // (overflow-free BIGINT on both engines); signature agreement over
     // 16 perms estimates source-pair Jaccard
+    "q157_source_containment" ->
+      """WITH t AS (SELECT source, string_split_regex(trim(text), '\s+') AS tk
+        |           FROM documents),
+        |sh AS (SELECT source, list_distinct(CASE WHEN len(tk) >= 3 THEN
+        |         list_transform(range(1, len(tk) - 1),
+        |           i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])
+        |       ELSE [] END) AS sh FROM t),
+        |ex AS (SELECT DISTINCT source, g
+        |       FROM (SELECT source, unnest(sh) AS g FROM sh)),
+        |sizes AS (SELECT source, COUNT(*) AS n FROM ex GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.source AS source_a, b.source AS source_b,
+        |    COUNT(*) AS inter
+        |  FROM ex a JOIN ex b ON a.g = b.g AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT source_a, source_b, inter, sa.n AS n_a, sb.n AS n_b,
+        |  CAST((2 * inter::HUGEINT * 1000000 + sa.n) // (2 * sa.n)
+        |    AS BIGINT) / 1000000.0 AS cont_ab,
+        |  CAST((2 * inter::HUGEINT * 1000000 + sb.n) // (2 * sb.n)
+        |    AS BIGINT) / 1000000.0 AS cont_ba
+        |FROM pairs JOIN sizes sa ON sa.source = pairs.source_a
+        |           JOIN sizes sb ON sb.source = pairs.source_b
+        |ORDER BY source_a, source_b""".stripMargin,
+
     "q134_source_minhash" ->
       """WITH tk AS (SELECT source,
         |              string_split_regex(trim(text), '\s+') AS tk
