@@ -824,6 +824,57 @@ object CorpusQueries extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // --- duplicate-graph triangle census: triangle count + global
+    // clustering coefficient over the q34 near-dup pair graph — the
+    // graph-shape audit that separates boilerplate CLIQUES (template
+    // families: high closure) from duplication CHAINS (versioned docs:
+    // low closure), deciding whether cluster-level keeper selection
+    // (q135) or span-level stripping (q116) is the right dedup action.
+    // Engine shape is the degree-ORIENTED algorithm, not the naive
+    // a<b<c triple join: each edge points from its (degree, id)-smaller
+    // endpoint, so every out-degree is O(sqrt(m)) and the wedge join's
+    // volume is Σ outdeg² — bounded even when one hub document touches
+    // millions of near-dups (the naive form explodes on exactly that
+    // hub). Wedges close against the oriented edge list ((deg,id)-order
+    // makes v→w the only orientation to check), triangles and wedge
+    // counts are exact integers, and the closure ratio lands on the 1e-6
+    // grid via half-up integer division.
+    "q158_dup_triangles" -> ((s, dir) => {
+      val pairs = LlmQueries.queries("q34_ngram_jaccard")(s, dir)
+        .select(col("doc_a"), col("doc_b")).localCheckpoint()
+      val deg = pairs.select(col("doc_a").as("n"))
+        .unionByName(pairs.select(col("doc_b").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("d"))
+      val withDeg = pairs
+        .join(deg.select(col("n").as("doc_a"), col("d").as("da")), Seq("doc_a"))
+        .join(deg.select(col("n").as("doc_b"), col("d").as("db")), Seq("doc_b"))
+      val aFirst = col("da") < col("db") ||
+        (col("da") === col("db") && col("doc_a") < col("doc_b"))
+      val oriented = withDeg.select(
+        when(aFirst, col("doc_a")).otherwise(col("doc_b")).as("src"),
+        when(aFirst, col("doc_b")).otherwise(col("doc_a")).as("dst"),
+        when(aFirst, col("db")).otherwise(col("da")).as("ddeg"))
+        .localCheckpoint() // consumed 3x below (both wedge sides + close)
+      val e1 = oriented.select(col("src"), col("dst").as("v"), col("ddeg").as("dv"))
+      val e2 = oriented.select(col("src"), col("dst").as("w"), col("ddeg").as("dw"))
+      val wedges = e1.join(e2, Seq("src"))
+        .filter(col("dv") < col("dw") ||
+          (col("dv") === col("dw") && col("v") < col("w")))
+      val tri = wedges
+        .join(oriented.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"))
+        .agg(count(lit(1)).as("n_triangles"))
+      val stats = deg.agg(count(lit(1)).as("n_nodes"),
+        sum(expr("d * (d - 1) DIV 2")).cast("long").as("n_wedges"))
+      val edges = pairs.agg(count(lit(1)).as("n_edges"))
+      stats.crossJoin(edges).crossJoin(tri)
+        .withColumn("closure", when(col("n_wedges") === 0, lit(0.0)).otherwise(
+          expr("(2 * 3 * CAST(n_triangles AS DECIMAL(38,0)) * 1000000" +
+            " + n_wedges) DIV (2 * n_wedges)")
+            .cast("double") / lit(1000000.0)))
+        .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+          col("n_triangles"), col("closure"))
+    }),
+
     // --- canonical-document selection: near-dup clustering tells you WHICH
     // docs are duplicates; curation then keeps exactly one per cluster —
     // and production pipelines keep the BEST member (longest / highest
@@ -1302,6 +1353,48 @@ object CorpusQueries extends QueryModule {
 
   def oracles: Map[String, String] = Map(
     "q113_decontaminate_bloom" -> decontaminateOracleSql,
+    // naive a<b<c triple join (each triangle's three ordered edges
+    // (a,b),(b,c),(a,c) matched exactly once) — the oracle can afford
+    // it; the engine runs the degree-oriented form for the same counts
+    "q158_dup_triangles" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000,
+        |    array_to_string(string_split_regex(trim(text), '\s+')[1:greatest(
+        |      len(string_split_regex(trim(text), '\s+')) - 5, 1)], ' ')
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(tk) >= 3 THEN
+        |    list_transform(range(1, len(tk) - 1),
+        |      i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])
+        |    ELSE [] END) AS sh
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM corpus)),
+        |ex AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS s FROM sh),
+        |exd AS (SELECT doc_id, sz, s,
+        |          COUNT(*) OVER (PARTITION BY s) AS df FROM ex),
+        |pr AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM exd a JOIN exd b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id, a.sz, b.sz
+        |  HAVING COUNT(*) / (a.sz + b.sz - COUNT(*)) >= 0.5
+        |    AND MIN(a.df) <= 256),
+        |deg AS (SELECT n, COUNT(*) AS d FROM (
+        |          SELECT doc_a AS n FROM pr
+        |          UNION ALL SELECT doc_b FROM pr) GROUP BY 1),
+        |agg AS (SELECT
+        |  (SELECT COUNT(*) FROM deg) AS n_nodes,
+        |  (SELECT COUNT(*) FROM pr) AS n_edges,
+        |  (SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) FROM deg) AS n_wedges,
+        |  (SELECT COUNT(*) FROM pr e1
+        |   JOIN pr e2 ON e2.doc_a = e1.doc_b
+        |   JOIN pr e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b)
+        |    AS n_triangles)
+        |SELECT n_nodes, n_edges, n_wedges, n_triangles,
+        |  CASE WHEN n_wedges = 0 THEN 0.0 ELSE
+        |    CAST((2 * 3 * n_triangles::HUGEINT * 1000000 + n_wedges)
+        |      // (2 * n_wedges) AS BIGINT) / 1000000.0 END AS closure
+        |FROM agg""".stripMargin,
     "q59_dedup_clusters" ->
       """WITH RECURSIVE corpus AS (
         |  SELECT doc_id, text FROM documents
