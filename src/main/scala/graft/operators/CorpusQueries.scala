@@ -85,6 +85,57 @@ object CorpusQueries extends QueryModule {
     resolved.select(col("node").as("doc_id"), col("cluster"))
   }
 
+  /** q158's engine (factored so ScaleSpec can drive planted graphs):
+    * triangle count + global clustering coefficient of a (doc_a, doc_b)
+    * pair list via DEGREE-ORIENTED wedge closing. Each edge points from
+    * its (degree, id)-smaller endpoint, which bounds every out-degree at
+    * O(sqrt(m)) — a hub node with millions of neighbors contributes ZERO
+    * wedges from its own side (all its edges point in), so the wedge
+    * join's volume is Σ outdeg² ≤ m^1.5 instead of the naive Σ deg²
+    * which the hub makes quadratic. `orientedEdges` is exposed for the
+    * structural proof. */
+  private[graft] def orientedEdges(pairs: DataFrame): DataFrame = {
+    val deg = pairs.select(col("doc_a").as("n"))
+      .unionByName(pairs.select(col("doc_b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val withDeg = pairs
+      .join(deg.select(col("n").as("doc_a"), col("d").as("da")), Seq("doc_a"))
+      .join(deg.select(col("n").as("doc_b"), col("d").as("db")), Seq("doc_b"))
+    val aFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("doc_a") < col("doc_b"))
+    withDeg.select(
+      when(aFirst, col("doc_a")).otherwise(col("doc_b")).as("src"),
+      when(aFirst, col("doc_b")).otherwise(col("doc_a")).as("dst"),
+      when(aFirst, col("db")).otherwise(col("da")).as("ddeg"))
+  }
+
+  private[graft] def triangleCensus(rawPairs: DataFrame): DataFrame = {
+    val pairs = rawPairs.localCheckpoint()
+    val deg = pairs.select(col("doc_a").as("n"))
+      .unionByName(pairs.select(col("doc_b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val oriented = orientedEdges(pairs)
+      .localCheckpoint() // consumed 3x below (both wedge sides + close)
+    val e1 = oriented.select(col("src"), col("dst").as("v"), col("ddeg").as("dv"))
+    val e2 = oriented.select(col("src"), col("dst").as("w"), col("ddeg").as("dw"))
+    val wedges = e1.join(e2, Seq("src"))
+      .filter(col("dv") < col("dw") ||
+        (col("dv") === col("dw") && col("v") < col("w")))
+    val tri = wedges
+      .join(oriented.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val stats = deg.agg(count(lit(1)).as("n_nodes"),
+      sum(expr("d * (d - 1) DIV 2")).cast("long").as("n_wedges"))
+    val edges = pairs.agg(count(lit(1)).as("n_edges"))
+    stats.crossJoin(edges).crossJoin(tri)
+      .withColumn("closure", when(col("n_wedges") === 0, lit(0.0)).otherwise(
+        expr("(2 * 3 * CAST(n_triangles AS DECIMAL(38,0)) * 1000000" +
+          " + n_wedges) DIV (2 * n_wedges)")
+          .cast("double") / lit(1000000.0)))
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"), col("closure"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // --- duplicate-CLUSTER resolution: pair lists (q34) undercount reality
@@ -839,41 +890,9 @@ object CorpusQueries extends QueryModule {
     // makes v→w the only orientation to check), triangles and wedge
     // counts are exact integers, and the closure ratio lands on the 1e-6
     // grid via half-up integer division.
-    "q158_dup_triangles" -> ((s, dir) => {
-      val pairs = LlmQueries.queries("q34_ngram_jaccard")(s, dir)
-        .select(col("doc_a"), col("doc_b")).localCheckpoint()
-      val deg = pairs.select(col("doc_a").as("n"))
-        .unionByName(pairs.select(col("doc_b").as("n")))
-        .groupBy(col("n")).agg(count(lit(1)).as("d"))
-      val withDeg = pairs
-        .join(deg.select(col("n").as("doc_a"), col("d").as("da")), Seq("doc_a"))
-        .join(deg.select(col("n").as("doc_b"), col("d").as("db")), Seq("doc_b"))
-      val aFirst = col("da") < col("db") ||
-        (col("da") === col("db") && col("doc_a") < col("doc_b"))
-      val oriented = withDeg.select(
-        when(aFirst, col("doc_a")).otherwise(col("doc_b")).as("src"),
-        when(aFirst, col("doc_b")).otherwise(col("doc_a")).as("dst"),
-        when(aFirst, col("db")).otherwise(col("da")).as("ddeg"))
-        .localCheckpoint() // consumed 3x below (both wedge sides + close)
-      val e1 = oriented.select(col("src"), col("dst").as("v"), col("ddeg").as("dv"))
-      val e2 = oriented.select(col("src"), col("dst").as("w"), col("ddeg").as("dw"))
-      val wedges = e1.join(e2, Seq("src"))
-        .filter(col("dv") < col("dw") ||
-          (col("dv") === col("dw") && col("v") < col("w")))
-      val tri = wedges
-        .join(oriented.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"))
-        .agg(count(lit(1)).as("n_triangles"))
-      val stats = deg.agg(count(lit(1)).as("n_nodes"),
-        sum(expr("d * (d - 1) DIV 2")).cast("long").as("n_wedges"))
-      val edges = pairs.agg(count(lit(1)).as("n_edges"))
-      stats.crossJoin(edges).crossJoin(tri)
-        .withColumn("closure", when(col("n_wedges") === 0, lit(0.0)).otherwise(
-          expr("(2 * 3 * CAST(n_triangles AS DECIMAL(38,0)) * 1000000" +
-            " + n_wedges) DIV (2 * n_wedges)")
-            .cast("double") / lit(1000000.0)))
-        .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
-          col("n_triangles"), col("closure"))
-    }),
+    "q158_dup_triangles" -> ((s, dir) =>
+      triangleCensus(LlmQueries.queries("q34_ngram_jaccard")(s, dir)
+        .select(col("doc_a"), col("doc_b")))),
 
     // --- canonical-document selection: near-dup clustering tells you WHICH
     // docs are duplicates; curation then keeps exactly one per cluster —

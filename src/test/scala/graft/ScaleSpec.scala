@@ -580,6 +580,41 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
       3L -> 3L, 5L -> 3L, 7L -> 3L))
   }
 
+  test("q158 triangle census: hub bomb defused by orientation; clique/star counts exact") {
+    import graft.operators.CorpusQueries
+    import scala.jdk.CollectionConverters._
+    val pairSchema = StructType(Seq(
+      StructField("doc_a", LongType), StructField("doc_b", LongType)))
+    def pairsOf(es: Seq[(Long, Long)]) = spark.createDataFrame(
+      es.map { case (a, b) => Row(a, b) }.asJava, pairSchema)
+    // a 6-clique: C(6,3)=20 triangles, closure exactly 1 (every wedge
+    // closes) — the boilerplate-template-family signature
+    val k = 6L
+    val clique = pairsOf(for (a <- 0L until k; b <- a + 1 until k) yield (a, b))
+    val cRow = CorpusQueries.triangleCensus(clique).collect().head
+    assert((cRow.getLong(0), cRow.getLong(1), cRow.getLong(2), cRow.getLong(3),
+      cRow.getDouble(4)) == ((6L, 15L, 60L, 20L, 1.0)), cRow)
+    // a 1000-leaf star (the hub bomb): zero triangles, and the NAIVE
+    // wedge join would put C(1000,2) ≈ 500k candidate rows through the
+    // hub. The orientation makes the hub the (degree)-largest endpoint
+    // of every edge, so ALL edges point INTO it: its out-degree is 0 and
+    // the leaves' is 1 — the wedge join's candidate volume is
+    // Σ outdeg·(outdeg-1)/2 = 0, structurally, not probabilistically.
+    val star = pairsOf((1L to 1000L).map(i => (0L, i)))
+    val sRow = CorpusQueries.triangleCensus(star).collect().head
+    assert((sRow.getLong(0), sRow.getLong(1), sRow.getLong(3),
+      sRow.getDouble(4)) == ((1001L, 1000L, 0L, 0.0)), sRow)
+    assert(sRow.getLong(2) == 1000L * 999L / 2, "star wedges = C(1000,2)")
+    val oriented = CorpusQueries.orientedEdges(star)
+      .groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      .agg(max(col("outdeg"))).collect().head.getLong(0)
+    assert(oriented == 1L, s"star orientation must give every node outdeg <= 1, max was $oriented")
+    // chain a-b-c: one wedge, no triangle, closure 0
+    val chain3 = pairsOf(Seq((1L, 2L), (2L, 3L)))
+    val chRow = CorpusQueries.triangleCensus(chain3).collect().head
+    assert((chRow.getLong(2), chRow.getLong(3), chRow.getDouble(4)) == ((1L, 0L, 0.0)), chRow)
+  }
+
   test("parquet sink round-trips under every shipped codec") {
     val dir = "/root/testdata/sf0.001"
     val src = Tables(spark, dir, "nation")
