@@ -311,7 +311,7 @@ object Bench {
     // exactly that; bench_detail.json always has every exact value).
     val overClamp = results
       .filter(r => r._4 && r._3 > 9.9)
-      .sortBy(-_._3).take(4)
+      .sortBy(-_._3).take(3)
       .map(r => "\"" + shortKey(r._1) + "\":" + r3(math.min(r._3, 9999.999)))
       .mkString("{", ",", "}")
     // The harness keeps only the last ~2000 chars of stdout and parses the
@@ -325,7 +325,13 @@ object Bench {
     // sf as basename: the full testdata path spent 15 tail-budget chars
     // saying what "sf0.1" already says
     val sfName = new java.io.File(sfDir).getName
-    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${jmap(_._3)},"first_total":${r3(firstTotal)},"max_over_min":${r3(maxOverMin)},"errors":${failed.size},"over_clamp":$overClamp,"steal_pct":${r1(stealPct)},"load1":${r1(load1)},"cal":${r3(calib)},"sf":"$sfName"}"""
+    // Tail-field names are compact by necessity: 159 queries of
+    // "qNNN":9.9 left <100 chars of budget, so first_total -> first,
+    // max_over_min -> disp, errors -> err, over_clamp -> over,
+    // steal_pct -> steal (semantics unchanged, documented in
+    // BENCH_NOTES; the driver-contract fields metric/value/unit/
+    // queries/sf keep their names).
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${jmap(_._3)},"first":${r3(firstTotal)},"disp":${r3(maxOverMin)},"err":${failed.size},"over":$overClamp,"steal":${r1(stealPct)},"load1":${r1(load1)},"cal":${r3(calib)},"sf":"$sfName"}"""
     // A failed query's "min" is time-to-throw, not a timing — the detail
     // file records -1 there (ok:false already flags it; the sentinel
     // keeps non-timings out of anything that aggregates the min column).

@@ -212,10 +212,71 @@ object EventAnalytics extends QueryModule {
               datediff(col("day"), col("dp")).cast("double") /
               datediff(col("dn"), col("dp")).cast("double")), 4).as("v"))
         .orderBy(col("day"))
+    }),
+
+    // --- per-series least-squares trend: the slope of each user's value
+    // series over time — the fleet-wide "is this metric drifting" fit a
+    // monitoring pipeline runs per entity. ONE pass: OLS needs only the
+    // moment sums (n, Σx, Σy, Σxy, Σx²), all exact integers here — x is
+    // whole seconds from a fixed 2024-01-01 origin (pinning the origin
+    // keeps x² small enough for exact DECIMAL sums at any row count; a
+    // naive epoch-micros x would overflow even HUGEINT at Σx²), y is the
+    // repo's DECIMAL(38,6) micro-units convention. The slope is signed,
+    // and signed integer division DIVERGES between engines (Spark DIV
+    // truncates toward zero, DuckDB // floors), so the half-up grid
+    // division runs on |numerator| with the sign reapplied — the one
+    // subtlety the positive-only grid rule never hits. Map-side partial
+    // agg; the only exchange carries one row per user.
+    "q159_user_trend" -> ((s, dir) => {
+      val e = events(s, dir).select(col("user_id"),
+        expr("unix_micros(ts) DIV 1000000 - 1704067200").as("x"),
+        (col("value").cast(DecimalType(38, 6)) * 1000000)
+          .cast("long").as("ym"))
+      e.groupBy(col("user_id")).agg(
+          count(lit(1)).as("n"),
+          sum(col("x").cast(DecimalType(38, 0))).as("sx"),
+          sum(col("ym").cast(DecimalType(38, 0))).as("sy"),
+          sum((col("x") * col("ym")).cast(DecimalType(38, 0))).as("sxy"),
+          sum((col("x") * col("x")).cast(DecimalType(38, 0))).as("sxx"))
+        .withColumn("num", col("n") * col("sxy") - col("sx") * col("sy"))
+        .withColumn("den", col("n") * col("sxx") - col("sx") * col("sx"))
+        .select(col("user_id"), col("n"),
+          // mean in y units on the 1e-6 grid (sy is already micro-y);
+          // sign-reapplied like the slope in case of negative values
+          (expr("CASE WHEN sy < 0 THEN -1 ELSE 1 END" +
+            " * ((2 * abs(sy) + n) DIV (2 * n))")
+            .cast("double") / lit(1000000.0)).as("mean_value"),
+          // slope in y units per DAY: num/den is micro-y per second
+          when(col("den") === 0, lit(0.0)).otherwise(
+            (expr("CASE WHEN num < 0 THEN -1 ELSE 1 END" +
+              " * ((2 * abs(num) * 86400 + den) DIV (2 * den))")
+              .cast("double") / lit(1000000.0))).as("slope_per_day"))
+        .orderBy(col("user_id"))
     })
   )
 
   def oracles: Map[String, String] = Map(
+    "q159_user_trend" ->
+      """WITH e AS (
+        |  SELECT user_id,
+        |    epoch_us(ts) // 1000000 - 1704067200 AS x,
+        |    CAST(CAST(value AS DECIMAL(38,6)) * 1000000 AS BIGINT) AS ym
+        |  FROM events),
+        |a AS (
+        |  SELECT user_id, COUNT(*) AS n,
+        |    SUM(x::HUGEINT) AS sx, SUM(ym::HUGEINT) AS sy,
+        |    SUM(x::HUGEINT * ym) AS sxy, SUM(x::HUGEINT * x) AS sxx
+        |  FROM e GROUP BY 1),
+        |b AS (SELECT *, n * sxy - sx * sy AS num,
+        |        n * sxx - sx * sx AS den FROM a)
+        |SELECT user_id, n,
+        |  (CASE WHEN sy < 0 THEN -1 ELSE 1 END *
+        |    ((2 * abs(sy) + n) // (2 * n))) / 1000000.0 AS mean_value,
+        |  CASE WHEN den = 0 THEN 0.0 ELSE
+        |    (CASE WHEN num < 0 THEN -1 ELSE 1 END *
+        |      ((2 * abs(num) * 86400 + den) // (2 * den))) / 1000000.0
+        |  END AS slope_per_day
+        |FROM b ORDER BY user_id""".stripMargin,
     // Morton interleave as a 32-term bit sum: bit i of user_id lands at
     // 2i, of day_num at 2i+1 (ZorderKey's documented contract). The
     // oracle is TOTAL over that contract's whole domain, not just this

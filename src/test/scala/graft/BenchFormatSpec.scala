@@ -21,13 +21,15 @@ class BenchFormatSpec extends AnyFunSuite {
     // 9.9 s on the wire (totals keep 1 ms; per-query 1 ms overflowed
     // the tail at 122 queries, 99.99 at 140, 9.99 at 150).
     val entries = short.map(n => "\"" + n + "\":9.9").mkString("{", ",", "}")
-    // over_clamp carries exact values for clamp-saturated queries (r8's
-    // q135 ran 27.7 s but printed 9.9 — the saturation must be visible
-    // from the wire line); Bench bounds it to the 4 worst at 9999.999
-    // display max, budgeted here at worst-case width.
-    val overClamp = short.sortBy(-_.length).take(4)
+    // over (clamp saturation) carries exact values for clamp-saturated
+    // queries (r8's q135 ran 27.7 s but printed 9.9 — the saturation
+    // must be visible from the wire line); Bench bounds it to the 3
+    // worst at 9999.999 display max, budgeted here at worst-case width.
+    // Tail-field names are compact (first/disp/err/over/steal) — at 159
+    // queries the long names overflowed the budget this spec guards.
+    val overClamp = short.sortBy(-_.length).take(3)
       .map(n => "\"" + n + "\":9999.999").mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":99999.999,"unit":"sec","queries":$entries,"first_total":99999.999,"max_over_min":999.999,"errors":999,"over_clamp":$overClamp,"steal_pct":99.9,"load1":99.9,"cal":99.999,"sf":"sf0.1"}"""
+    val line = s"""{"metric":"total","value":99999.999,"unit":"sec","queries":$entries,"first":99999.999,"disp":999.999,"err":999,"over":$overClamp,"steal":99.9,"load1":99.9,"cal":99.999,"sf":"sf0.1"}"""
     // 2000-char tail minus ~100 chars of trailing sbt "[success]" noise.
     assert(line.length < 1900,
       s"bench line would be ${line.length} chars; trim the format or query names")
@@ -68,7 +70,7 @@ class BenchFormatSpec extends AnyFunSuite {
     val oracled = SparkEntry.oracleSql.keySet
     // the count the docs (README, SURVEY §8) advertise — update BOTH
     // when adding a query, or the driver-contract documentation drifts
-    assert(queries.size == 158, s"query count ${queries.size} != documented 158")
+    assert(queries.size == 159, s"query count ${queries.size} != documented 159")
     assert(oracled.subsetOf(queries),
       s"oracles without queries: ${(oracled -- queries).toSeq.sorted}")
     assert((queries -- oracled) == rowsOnly,
