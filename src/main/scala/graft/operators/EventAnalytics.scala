@@ -227,33 +227,37 @@ object EventAnalytics extends QueryModule {
     // division runs on |numerator| with the sign reapplied — the one
     // subtlety the positive-only grid rule never hits. Map-side partial
     // agg; the only exchange carries one row per user.
-    "q159_user_trend" -> ((s, dir) => {
-      val e = events(s, dir).select(col("user_id"),
-        expr("unix_micros(ts) DIV 1000000 - 1704067200").as("x"),
-        (col("value").cast(DecimalType(38, 6)) * 1000000)
-          .cast("long").as("ym"))
-      e.groupBy(col("user_id")).agg(
-          count(lit(1)).as("n"),
-          sum(col("x").cast(DecimalType(38, 0))).as("sx"),
-          sum(col("ym").cast(DecimalType(38, 0))).as("sy"),
-          sum((col("x") * col("ym")).cast(DecimalType(38, 0))).as("sxy"),
-          sum((col("x") * col("x")).cast(DecimalType(38, 0))).as("sxx"))
-        .withColumn("num", col("n") * col("sxy") - col("sx") * col("sy"))
-        .withColumn("den", col("n") * col("sxx") - col("sx") * col("sx"))
-        .select(col("user_id"), col("n"),
-          // mean in y units on the 1e-6 grid (sy is already micro-y);
-          // sign-reapplied like the slope in case of negative values
-          (expr("CASE WHEN sy < 0 THEN -1 ELSE 1 END" +
-            " * ((2 * abs(sy) + n) DIV (2 * n))")
-            .cast("double") / lit(1000000.0)).as("mean_value"),
-          // slope in y units per DAY: num/den is micro-y per second
-          when(col("den") === 0, lit(0.0)).otherwise(
-            (expr("CASE WHEN num < 0 THEN -1 ELSE 1 END" +
-              " * ((2 * abs(num) * 86400 + den) DIV (2 * den))")
-              .cast("double") / lit(1000000.0))).as("slope_per_day"))
-        .orderBy(col("user_id"))
-    })
+    "q159_user_trend" -> ((s, dir) => userTrend(events(s, dir)))
   )
+
+  /** q159's engine, factored so unit tests can drive planted series:
+    * see the q159 entry comment for the arithmetic contract. */
+  private[graft] def userTrend(ev: DataFrame): DataFrame = {
+    val e = ev.select(col("user_id"),
+      expr("unix_micros(ts) DIV 1000000 - 1704067200").as("x"),
+      (col("value").cast(DecimalType(38, 6)) * 1000000)
+        .cast("long").as("ym"))
+    e.groupBy(col("user_id")).agg(
+        count(lit(1)).as("n"),
+        sum(col("x").cast(DecimalType(38, 0))).as("sx"),
+        sum(col("ym").cast(DecimalType(38, 0))).as("sy"),
+        sum((col("x") * col("ym")).cast(DecimalType(38, 0))).as("sxy"),
+        sum((col("x") * col("x")).cast(DecimalType(38, 0))).as("sxx"))
+      .withColumn("num", col("n") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("den", col("n") * col("sxx") - col("sx") * col("sx"))
+      .select(col("user_id"), col("n"),
+        // mean in y units on the 1e-6 grid (sy is already micro-y);
+        // sign-reapplied like the slope in case of negative values
+        (expr("CASE WHEN sy < 0 THEN -1 ELSE 1 END" +
+          " * ((2 * abs(sy) + n) DIV (2 * n))")
+          .cast("double") / lit(1000000.0)).as("mean_value"),
+        // slope in y units per DAY: num/den is micro-y per second
+        when(col("den") === 0, lit(0.0)).otherwise(
+          (expr("CASE WHEN num < 0 THEN -1 ELSE 1 END" +
+            " * ((2 * abs(num) * 86400 + den) DIV (2 * den))")
+            .cast("double") / lit(1000000.0))).as("slope_per_day"))
+      .orderBy(col("user_id"))
+  }
 
   def oracles: Map[String, String] = Map(
     "q159_user_trend" ->

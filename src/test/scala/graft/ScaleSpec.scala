@@ -615,6 +615,33 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert((chRow.getLong(2), chRow.getLong(3), chRow.getDouble(4)) == ((1L, 0L, 0.0)), chRow)
   }
 
+  test("q159 trend: negative slope exact, degenerate series (den=0) total") {
+    import graft.operators.EventAnalytics
+    import java.sql.Timestamp
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(Seq(
+      StructField("user_id", LongType),
+      StructField("ts", TimestampType),
+      StructField("value", DoubleType)))
+    def ts(s: String) = Timestamp.from(java.time.Instant.parse(s))
+    // user 1: 2.0 at 2024-01-01, 1.0 at 2024-01-02 — slope EXACTLY
+    // -1.0/day; the signed branch must half-up |num| then reapply the
+    // sign (a plain DIV would floor -0.5 to -1 in DuckDB but truncate
+    // to 0 in Spark — this pin is what keeps the engines agreeing)
+    // user 2: two events at the SAME instant — den = 0, slope total 0.0
+    val rows = Seq(
+      Row(1L, ts("2024-01-01T00:00:00Z"), 2.0),
+      Row(1L, ts("2024-01-02T00:00:00Z"), 1.0),
+      Row(2L, ts("2024-03-05T12:00:00Z"), 4.0),
+      Row(2L, ts("2024-03-05T12:00:00Z"), 5.0))
+    val got = EventAnalytics.userTrend(
+        spark.createDataFrame(rows.asJava, schema))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      (1L, 2L, 1.5, -1.0),
+      (2L, 2L, 4.5, 0.0)), got.toSeq)
+  }
+
   test("parquet sink round-trips under every shipped codec") {
     val dir = "/root/testdata/sf0.001"
     val src = Tables(spark, dir, "nation")
