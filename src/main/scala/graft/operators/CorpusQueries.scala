@@ -1097,6 +1097,39 @@ object CorpusQueries extends QueryModule {
         .orderBy(col("pct"))
     }),
 
+    // --- vocabulary pruning + OOV rewrite: replace every token whose
+    // corpus document frequency is below the floor with '<unk>' — the
+    // closed-vocabulary rewrite a fixed-vocab tokenizer pipeline applies,
+    // reporting the per-doc OOV rate the rewrite cost. The rare-token
+    // set is the vocabulary's LONG TAIL — enormous at corpus scale — so
+    // it is never collected or broadcast: tokens explode map-side
+    // (posexplode keeps positions), meet the kept-vocab in one
+    // token-keyed shuffle join, and each doc reassembles order-exactly
+    // via sort_array(collect_list(struct(pos, w))) inside a doc-keyed
+    // partial agg (bounded by doc length, never corpus-sized — the q116
+    // rebuild convention). The md5 fingerprint of the rewritten text
+    // pins the rewrite byte-for-byte cross-engine; the OOV rate lands
+    // on the 1e-6 grid.
+    "q160_vocab_prune" -> ((s, dir) => {
+      val toks = Tables(s, dir, "documents")
+        .select(col("doc_id"), expr(toksSql).as("tk"))
+        .select(col("doc_id"), posexplode(col("tk")).as(Seq("pos", "t")))
+      val kept = toks.groupBy(col("t")).agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 3).select(col("t"), lit(1).as("keep"))
+      toks.join(kept, Seq("t"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("keep").isNull, 1L).otherwise(0L)).as("n_oov"),
+          expr("md5(array_join(transform(sort_array(collect_list(" +
+            "struct(pos, CASE WHEN keep IS NULL THEN '<unk>' ELSE t END)))," +
+            " x -> x.col2), ' '))").as("fp"))
+        .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+          (expr("(2 * n_oov * 1000000 + n_tokens) DIV (2 * n_tokens)")
+            .cast("double") / lit(1000000.0)).as("oov_rate"),
+          col("fp"))
+        .orderBy(col("doc_id"))
+    }),
+
     // --- PMI collocation mining: the phrase-discovery pass a tokenizer /
     // phrase-vocab builder runs over the corpus — score each bigram by
     // pointwise mutual information against the unigram independence
@@ -2038,6 +2071,26 @@ object CorpusQueries extends QueryModule {
         |  ROW_NUMBER() OVER (PARTITION BY shard ORDER BY ord, doc_id)
         |    AS pos
         |FROM h ORDER BY shard, pos""".stripMargin,
+    "q160_vocab_prune" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+        |           FROM documents),
+        |tok AS (SELECT doc_id, i AS pos, tk[i] AS t
+        |        FROM t, UNNEST(range(1, len(tk) + 1)) AS u(i)),
+        |vocab AS (SELECT t, COUNT(*) AS df FROM tok GROUP BY 1),
+        |m AS (SELECT doc_id, pos,
+        |        CASE WHEN v.df >= 3 THEN tok.t ELSE '<unk>' END AS w,
+        |        CASE WHEN v.df >= 3 THEN 0 ELSE 1 END AS oov
+        |      FROM tok JOIN vocab v USING (t)),
+        |agg AS (SELECT doc_id, COUNT(*) AS n_tokens,
+        |          CAST(SUM(oov) AS BIGINT) AS n_oov,
+        |          md5(string_agg(w, ' ' ORDER BY pos)) AS fp
+        |        FROM m GROUP BY 1)
+        |SELECT doc_id, n_tokens, n_oov,
+        |  CAST((2 * n_oov * 1000000 + n_tokens) // (2 * n_tokens) AS BIGINT)
+        |    / 1000000.0 AS oov_rate,
+        |  fp
+        |FROM agg ORDER BY doc_id""".stripMargin,
+
     "q153_pmi_collocations" ->
       """WITH t AS (SELECT string_split_regex(trim(text), '\s+') AS tk
         |           FROM documents),
