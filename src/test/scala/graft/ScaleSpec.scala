@@ -615,6 +615,32 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert((chRow.getLong(2), chRow.getLong(3), chRow.getDouble(4)) == ((1L, 0L, 0.0)), chRow)
   }
 
+  test("q158 triangle census agrees with brute force on seeded random graphs") {
+    import graft.operators.CorpusQueries
+    import scala.jdk.CollectionConverters._
+    val pairSchema = StructType(Seq(
+      StructField("doc_a", LongType), StructField("doc_b", LongType)))
+    val rnd = new scala.util.Random(4242) // fixed seed — deterministic
+    for (trial <- 1 to 5) {
+      val n = 10 + trial * 2
+      val edges = (for (a <- 0L until n; b <- a + 1 until n
+                        if rnd.nextDouble() < 0.3) yield (a, b)).toSeq
+      val adj = edges.toSet
+      def linked(x: Long, y: Long) = adj((math.min(x, y), math.max(x, y)))
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val bruteTri = (for (a <- nodes; b <- nodes if a < b; c <- nodes if b < c
+        if linked(a, b) && linked(b, c) && linked(a, c)) yield 1).size
+      val deg = nodes.map(v => edges.count(e => e._1 == v || e._2 == v))
+      val bruteWedges = deg.map(d => d.toLong * (d - 1) / 2).sum
+      val row = CorpusQueries.triangleCensus(spark.createDataFrame(
+        edges.map { case (a, b) => Row(a, b) }.asJava, pairSchema)).collect().head
+      assert(row.getLong(0) == nodes.size && row.getLong(1) == edges.size &&
+        row.getLong(2) == bruteWedges && row.getLong(3) == bruteTri,
+        s"trial $trial: got $row want nodes=${nodes.size} edges=${edges.size}" +
+          s" wedges=$bruteWedges tri=$bruteTri")
+    }
+  }
+
   test("q159 trend: negative slope exact, degenerate series (den=0) total") {
     import graft.operators.EventAnalytics
     import java.sql.Timestamp
