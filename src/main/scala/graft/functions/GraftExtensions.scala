@@ -58,6 +58,11 @@ object GraftFunctions {
         " null on length mismatch or null element") {
       args => VecDot(args.head, args(1))
     },
+    fn("sorted_intersect_count",
+      "two SORTED-distinct array<bigint> -> overlap count; zero-allocation" +
+        " merge scan (the prefix-filter join's verify loop)") {
+      args => SortedIntersectCount(args.head, args(1))
+    },
     fn("divide_unsigned",
       "64-bit unsigned long division (u64 reinterpret, /0 -> null)") {
       args => DivideUnsigned(args.head, args(1))

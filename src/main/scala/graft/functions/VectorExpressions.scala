@@ -72,3 +72,70 @@ object VecDot {
     java.lang.Double.valueOf(acc)
   }
 }
+
+/** Codegen'd overlap count over two SORTED-ascending array<bigint>
+  * columns — the verify loop of the prefix-filter similarity join
+  * (q161). `size(array_intersect(a, b))` builds a hash set per ROW
+  * (allocation dominates at millions of candidate pairs; measured ~38 us
+  * per pair at sf0.1); with both sides sorted once at tokenization this
+  * is a zero-allocation two-pointer merge, O(|a|+|b|) comparisons per
+  * pair inside the whole-stage-codegen span.
+  *
+  * Precondition: both arrays sorted ascending with distinct elements
+  * (array_sort(array_distinct(...)) upstream) — under it the count
+  * equals |set(a) ∩ set(b)| exactly. Null array or null element -> null
+  * (same contract as [[VecDot]]).
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "sorted_intersect_count requires (array<bigint>, array<bigint>), got " +
+          s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+    }
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def eval(input: InternalRow): Any = {
+    val l = left.eval(input)
+    if (l == null) return null
+    val r = right.eval(input)
+    if (r == null) return null
+    SortedIntersectCount.compute(
+      l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val c = ctx.freshName("sic")
+      s"""
+        java.lang.Long $c = graft.functions.SortedIntersectCount.compute($a, $b);
+        if ($c == null) { ${ev.isNull} = true; }
+        else { ${ev.value} = $c.longValue(); }
+      """
+    })
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectCount =
+    copy(left = newLeft, right = newRight)
+}
+
+object SortedIntersectCount {
+  /** Static so generated code calls it directly (see [[VecDot.compute]]). */
+  def compute(a: ArrayData, b: ArrayData): java.lang.Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var n = 0L
+    while (i < na && j < nb) {
+      if (a.isNullAt(i) || b.isNullAt(j)) return null
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { n += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    java.lang.Long.valueOf(n)
+  }
+}

@@ -296,6 +296,128 @@ object LlmQueries extends QueryModule {
       .select(col("doc_a"), col("doc_b"), col("jac"))
   }
 
+  /** PPJoin-style prefix-filtered token-set similarity join (q161) — the
+    * PROVABLY-COMPLETE candidate generator the df-capped shingle join
+    * (q34, [[cappedPairCounts]]) approximates with a recall heuristic.
+    *
+    * Every token key gets a global rarity rank (ascending document
+    * frequency, ties by key); a document with sz distinct tokens indexes
+    * only its sz - ceil(t*sz) + 1 RAREST tokens (its "prefix").
+    * Completeness: jac >= t forces overlap >= ceil(t*max(sz_a, sz_b)),
+    * and an overlap that large cannot hide entirely inside both suffixes
+    * (each suffix holds only ceil(t*sz) - 1 tokens, strictly fewer than
+    * the required overlap), so under one shared global order the pair
+    * shares at least one token both docs put in their prefixes (the
+    * prefix-filter theorem; see the PPJoin family of set-similarity
+    * joins). No recall knob, no cap — exact recall by construction.
+    *
+    * Scale: candidate volume is Σ df² over PREFIX occurrences only, and
+    * prefixes hold each doc's rarest tokens — the hot boilerplate tokens
+    * that detonate a naive token self-join sort to the suffix and never
+    * enter the index (the property the df-cap buys heuristically, here
+    * exact). The length filter (10*min >= t10*max, a jac>=t necessity)
+    * prunes before the verify join. Three shuffles, all uniform: token
+    * df agg (keyed by 64-bit token hash), per-doc rank (keyed by doc_id;
+    * window partitions bounded by doc length, never corpus-sized), and
+    * the prefix self-join (keyed by token hash). A group of n IDENTICAL
+    * docs still yields n² candidates — but those pairs ARE the answer
+    * (all true duplicates): intrinsic output size, not join blow-up, and
+    * a production pipeline runs exact dedup (q33) first to collapse them.
+    *
+    * In: (doc_id, hk: array<long> distinct token keys, sz = size(hk)).
+    * Out: (doc_a, doc_b, n_shared, jac) for jac >= t10/10; overlap is
+    * exact via array_intersect on the full key arrays (same verify shape
+    * as [[exactJaccardOf]]), and the threshold gate is the integer
+    * cross-multiplication 10*inter >= t10*union — no float compare
+    * decides a boundary pair. */
+  private[graft] def prefixIndex(sets: DataFrame, t10: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = sets.select(col("doc_id"), col("sz"), explode(col("hk")).as("h"))
+    val dfreq = toks.groupBy("h").agg(count(lit(1)).as("df"))
+    // integer ceil(t*sz) = (sz*t10 + 9) DIV 10 — float-free on both engines
+    toks.join(dfreq, "h")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df"), col("h"))))
+      .filter(col("rn") <= col("sz") - expr(s"(sz * $t10 + 9) DIV 10") + lit(1))
+      .select(col("doc_id"), col("sz"), col("h"), col("rn"))
+  }
+
+  private[graft] def prefixFilterPairs(sets: DataFrame, t10: Int): DataFrame = {
+    val pref = prefixIndex(sets, t10)
+    // Positional filter (the "PP" in PPJoin): per pair, the minimum-order
+    // matched token IS the pair's globally-first common token c (c is
+    // common and the prefix theorem puts it in both prefixes, so it
+    // appears as a match; every other match is common hence >= c). All
+    // common tokens sit at-or-after c in both docs, so overlap <=
+    // min(sz_a - rn_a(c), sz_b - rn_b(c)) + 1; jac >= t needs overlap >=
+    // ceil(t*(sz_a+sz_b)/(1+t)). Pairs whose first shared key sits too
+    // deep die HERE — before the array_intersect verify join, which on a
+    // dense-similarity corpus is the dominant cost (measured at sf0.1:
+    // candidates 25x output without this, the verify join 90% of query
+    // time). min_by is deterministic: rn_a values are distinct per pair.
+    val cand = pref.as("a").join(pref.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
+          col("a.sz") * 10 >= col("b.sz") * t10 &&
+          col("b.sz") * 10 >= col("a.sz") * t10)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sz").as("pa"), col("b.sz").as("pb"),
+        col("a.rn").as("ra"), col("b.rn").as("rb"))
+      .groupBy("doc_a", "doc_b", "pa", "pb")
+      .agg(min(col("ra")).as("ia"), min_by(col("rb"), col("ra")).as("jb"))
+      .filter(least(col("pa") - col("ia"), col("pb") - col("jb")) + 1 >=
+        expr(s"($t10 * (pa + pb) + ${10 + t10} - 1) DIV ${10 + t10}"))
+      .select(col("doc_a"), col("doc_b"))
+    val x = sets.select(col("doc_id").as("doc_a"), col("sz").as("sz_a"),
+      col("hk").as("hk_a"))
+    val y = sets.select(col("doc_id").as("doc_b"), col("sz").as("sz_b"),
+      col("hk").as("hk_b"))
+    // overlap via the codegen'd merge scan (arrays sorted upstream);
+    // array_intersect's per-row hash set was the dominant cost at
+    // millions of candidates
+    cand.join(x, Seq("doc_a")).join(y, Seq("doc_b"))
+      .withColumn("n_shared", expr("sorted_intersect_count(hk_a, hk_b)"))
+      .filter(col("n_shared") * 10 >=
+        (col("sz_a") + col("sz_b") - col("n_shared")) * t10)
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        (col("n_shared") / (col("sz_a") + col("sz_b") - col("n_shared")))
+          .as("jac"))
+  }
+
+  /** The q161 corpus: one row per doc with its distinct FNV-hashed token
+    * BIGRAMS. Unigram token sets are useless on a shared-vocabulary
+    * corpus (measured: 55% of ALL doc pairs exceed jac 0.6 on unigrams
+    * here — set similarity must be computed on keys that carry word
+    * ORDER), and q34's trigrams already serve the looser 0.5 tier;
+    * bigrams at 0.8 sit between, and the prefix filter is granularity-
+    * agnostic (the gate runs t=0.8: at 0.6 this corpus's dense natural
+    * similarity put 15.2M pairs — 3% of ALL pairs — past the prefix
+    * filter at sf0.1; thresholds are corpus policy, the operator takes
+    * t10 as a parameter and the spec certifies completeness at 0.6).
+    * Same zip_with-slice construction as [[shinglesSql]] (a positional
+    * lambda would re-run the upstream split per element). */
+  private[graft] def tokenSets(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s) // fnv64
+    val bigrams = "CASE WHEN size(tk) >= 2 THEN " +
+      "zip_with(slice(tk, 1, size(tk) - 1), slice(tk, 2, size(tk) - 1), " +
+      "(x, y) -> concat(x, ' ', y)) ELSE array() END"
+    // sorted-ascending distinct keys: sorting once per DOC here is what
+    // lets the verify stage count overlaps with the zero-allocation
+    // merge scan (sorted_intersect_count) per candidate PAIR
+    withTokens(plantedNear(s, dir))
+      .select(col("doc_id"),
+        expr(s"array_sort(array_distinct(transform($bigrams, x -> fnv64(x))))")
+          .as("hk"))
+      .withColumn("sz", size(col("hk")))
+      .filter(col("sz") > 0)
+      // single-file harness scan -> parallelize before the explode
+      .repartition(s.sparkContext.defaultParallelism)
+      // 3 consumers (prefix build + both verify sides): cache the one-
+      // row-per-doc stage, or the tokenize->bigram->hash pipeline runs
+      // three times (same rationale as [[shingleSets]]; the prefix
+      // self-join's two sides dedupe via ReusedExchange on their own)
+      .persist()
+  }
+
   /** Documents plus an exact copy of each at doc_id + 10000. */
   private def plantedExact(s: SparkSession, dir: String): DataFrame = {
     val d = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
@@ -674,6 +796,17 @@ object LlmQueries extends QueryModule {
     "q34_ngram_jaccard" -> ((s, dir) => {
       val docsets = shingleSets(s, dir)
       jaccardPairsCapped(docsets, ShingleDfCap, 0.5)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // --- prefix-filtered set-similarity join (PPJoin-style): the
+    // provably-complete candidate path. Global rarity order, per-doc
+    // prefix index, length filter, exact verify — exact recall with the
+    // hot-token bound by construction (rare tokens index, boilerplate
+    // sorts to the suffix), where q34's df-cap trades recall for the
+    // same bound heuristically. See [[prefixFilterPairs]].
+    "q161_prefix_filter_join" -> ((s, dir) => {
+      prefixFilterPairs(tokenSets(s, dir), 8)
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
@@ -1871,6 +2004,52 @@ object LlmQueries extends QueryModule {
         |FROM corpus GROUP BY 1 ORDER BY keeper""".stripMargin,
     "q151_minhash_pairs" -> q151OracleSql,
     "q152_simhash_pairs" -> q152OracleSql,
+
+    // Full row-level replica of the prefix-filter join: same FNV bigram
+    // keys (distinct by signed key, like the engine's array_distinct
+    // over fnv64), same (df, key) global order, same integer prefix
+    // length (sz*8+9)//10, same 10*min>=8*max length filter, same
+    // first-shared-key positional filter (MIN(rn_a)/arg_min mirrors the
+    // engine's min/min_by — rn_a values are distinct per pair, so both
+    // are deterministic), same exact overlap count — the oracle
+    // reproduces the CANDIDATE GENERATION, not just the final pairs, so
+    // a prefix-math divergence fails the gate even when the verified
+    // output would coincide.
+    "q161_prefix_filter_join" ->
+      s"""WITH $plantedShingleCtes,
+         |tg AS (SELECT doc_id, list_distinct(CASE WHEN len(tk) >= 2 THEN
+         |    list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i + 1])
+         |    ELSE [] END) AS g
+         |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
+         |        FROM corpus)),
+         |tok AS (SELECT doc_id, unnest(g) AS w FROM tg),
+         |thu AS (SELECT doc_id, ${fnvSqlOf("w")} AS u FROM tok),
+         |th AS (SELECT DISTINCT doc_id, ${wrapSigned("u")} AS h FROM thu),
+         |szs AS (SELECT doc_id, COUNT(*) AS sz FROM th GROUP BY doc_id),
+         |dfreq AS (SELECT h, COUNT(*) AS df FROM th GROUP BY h),
+         |rk AS (SELECT t.doc_id, t.h, s.sz,
+         |    row_number() OVER (PARTITION BY t.doc_id ORDER BY f.df, t.h) AS rn
+         |  FROM th t JOIN dfreq f USING (h) JOIN szs s USING (doc_id)),
+         |pref AS (SELECT doc_id, sz, h, rn FROM rk
+         |  WHERE rn <= sz - ((sz * 8 + 9) // 10) + 1),
+         |pm AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    a.sz AS pa, b.sz AS pb,
+         |    MIN(a.rn) AS ia, arg_min(b.rn, a.rn) AS jb
+         |  FROM pref a JOIN pref b ON a.h = b.h AND a.doc_id < b.doc_id
+         |    AND a.sz * 10 >= b.sz * 8 AND b.sz * 10 >= a.sz * 8
+         |  GROUP BY 1, 2, 3, 4),
+         |cand AS (SELECT doc_a, doc_b FROM pm
+         |  WHERE least(pa - ia, pb - jb) + 1 >= (8 * (pa + pb) + 17) // 18),
+         |ov AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS n_shared
+         |  FROM cand c JOIN th x ON x.doc_id = c.doc_a
+         |              JOIN th y ON y.doc_id = c.doc_b AND y.h = x.h
+         |  GROUP BY c.doc_a, c.doc_b)
+         |SELECT o.doc_a, o.doc_b, o.n_shared,
+         |  o.n_shared / (sa.sz + sb.sz - o.n_shared) AS jac
+         |FROM ov o JOIN szs sa ON sa.doc_id = o.doc_a
+         |          JOIN szs sb ON sb.doc_id = o.doc_b
+         |WHERE o.n_shared * 10 >= (sa.sz + sb.sz - o.n_shared) * 8
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q34_ngram_jaccard" ->
       """WITH corpus AS (

@@ -612,6 +612,75 @@ class LlmSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  /** A seeded corpus for the prefix-filter join: random draws from a
+    * small vocabulary (dense natural similarity) PLUS one boilerplate
+    * token appended to every doc — the adversarial hot key a naive
+    * token self-join would explode on. */
+  private def prefixCorpus(): Seq[(Long, Seq[String])] = {
+    val r = new scala.util.Random(7)
+    val base = (1 to 60).map { i =>
+      val n = 8 + r.nextInt(13)
+      (i.toLong, Seq.fill(n)("t" + r.nextInt(40)) :+ "BOILER")
+    }
+    // planted near-dups: doc i copied at id i+100 with one token swapped
+    val planted = base.take(8).map { case (id, tk) =>
+      (id + 100, tk.updated(0, "t" + r.nextInt(40)))
+    }
+    base ++ planted
+  }
+
+  private def prefixSets(docs: Seq[(Long, Seq[String])]) = {
+    val s = spark
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    docs.toDF("doc_id", "tk")
+      .select(col("doc_id"),
+        expr("array_sort(array_distinct(transform(tk, x -> fnv64(x))))").as("hk"))
+      .withColumn("sz", size(col("hk")))
+  }
+
+  test("sorted_intersect_count == size(array_intersect) on random sorted sets") {
+    graft.functions.GraftFunctions.register(spark)
+    val r = new scala.util.Random(11)
+    val rows = (1 to 200).map { _ =>
+      val a = Seq.fill(r.nextInt(30))(r.nextInt(40).toLong).distinct.sorted
+      val b = Seq.fill(r.nextInt(30))(r.nextInt(40).toLong).distinct.sorted
+      Row(a, b)
+    }
+    val df = spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      StructType(Seq(StructField("a", ArrayType(LongType, containsNull = false)),
+        StructField("b", ArrayType(LongType, containsNull = false)))))
+    val bad = df.selectExpr("sorted_intersect_count(a, b) AS got",
+        "CAST(size(array_intersect(a, b)) AS BIGINT) AS want")
+      .filter(col("got") =!= col("want")).count()
+    assert(bad == 0)
+  }
+
+  test("prefix-filter join: exactly the brute-force pair set (completeness)") {
+    val docs = prefixCorpus()
+    val got = graft.operators.LlmQueries.prefixFilterPairs(prefixSets(docs), 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val hsets = docs.map { case (id, tk) => (id, tk.map(Fnv64.hash(_)).toSet) }
+    val want = (for {
+      (a, sa) <- hsets; (b, sb) <- hsets if a < b
+      inter = (sa & sb).size
+      if inter * 10 >= (sa.size + sb.size - inter) * 6
+    } yield (a, b, inter.toLong)).toSet
+    assert(want.nonEmpty)      // the corpus genuinely has qualifying pairs
+    assert(got == want)        // prefix filter missed none, invented none
+  }
+
+  test("prefix-filter index: the universal boilerplate key is never indexed") {
+    // BOILER has maximal df, so the global rarity order sorts it LAST in
+    // every doc; with every doc's sz >= 2 at t=0.6 the prefix stops
+    // before it — the candidate join never sees the corpus-wide hot key.
+    val pref = graft.operators.LlmQueries.prefixIndex(prefixSets(prefixCorpus()), 6)
+    val boiler = Fnv64.hash("BOILER")
+    assert(pref.filter(col("h") === boiler).count() == 0)
+    assert(pref.count() > 0)
+  }
+
   test("multimodal stub: per-partition decode preserves ids and byte counts") {
     val out = q("q40_multimodal").collect()
     assert(out.length == 500)

@@ -736,4 +736,15 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(!p.startsWith("Found 0 WholeStageCodegen"), p.take(200))
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
+
+  test("q161 prefix-filter join: doc-bounded window only, no cartesian, no range exchange") {
+    val p = plan("q161_prefix_filter_join")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the one Window is the per-doc rarity rank — partitioned by doc_id
+    // (group size bounded by doc length, never corpus-sized); the final
+    // orderBy is the only range exchange
+    assert(p.contains("row_number()"), p)
+    assert(p.toLowerCase.contains("windowspecdefinition(doc_id"), p.take(2000))
+  }
 }
