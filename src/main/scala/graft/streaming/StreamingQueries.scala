@@ -54,6 +54,29 @@ object StreamingQueries extends QueryModule {
       .dropDuplicates("lang", "fp")
       .groupBy(col("lang")).agg(count(lit(1)).as("n_unique"))
 
+  /** Watermark-bounded ingestion dedup: keep the FIRST sighting of each
+    * event_id, holding per-key state only while the key can still legally
+    * recur — the missing piece between plain `dropDuplicates` (state
+    * grows with every key ever seen: unbounded on an unbounded stream)
+    * and no dedup at all. State for a key is evicted once the watermark
+    * passes its first-seen event time + the 1-hour delay, so state size
+    * is bounded by (arrival rate × horizon), NEVER stream length — the
+    * only shape that survives an unbounded 100 TB/day ingestion feed.
+    * The documented trade: a duplicate arriving AFTER its key's state
+    * was evicted is re-admitted (StreamingSpec pins exactly that
+    * suppress-then-readmit sequence); exact-forever dedup is the batch
+    * tier (q33) or the bloom-front incremental tier (q129).
+    * Spark REJECTS the WithinWatermark form on batch inputs outright
+    * (unlike withWatermark, which batch ignores), so the builder
+    * branches to plain dropDuplicates there — the exact batch
+    * equivalent of the streaming semantics over a finite input, which
+    * is what lets the same builder serve the oracle gate. */
+  def dedupWithinWatermark(events: DataFrame): DataFrame = {
+    val wm = events.withWatermark("ts", "1 hour")
+    if (events.isStreaming) wm.dropDuplicatesWithinWatermark("event_id")
+    else wm.dropDuplicates("event_id")
+  }
+
   /** Stream-stream interval join: purchases within 1 hour AFTER a click
     * by the same user — the attribution-join shape. Watermarks on BOTH
     * sides are what make this viable on unbounded inputs: each side's
@@ -172,6 +195,24 @@ object StreamingQueries extends QueryModule {
         .select(col("c_custkey"), col("c_mktsegment").as("segment"))
       enrich(Tables(s, dir, "events"), dims)
         .orderBy(col("window_start"), col("segment"))
+    }),
+
+    // --- watermark-bounded dedup in the correctness gate (batch parity;
+    // the eviction/re-admit state machine is pinned in StreamingSpec):
+    // the stream is doubled with a +10min-jittered copy of every event,
+    // dedup keeps one row per event_id, and the downstream aggregate
+    // reads only dup-invariant columns (user_id, value) so WHICH copy
+    // survived — arbitrary in batch dropDuplicates — cannot reach the
+    // output. Oracle = plain aggregates over the original events.
+    "q162_stream_dedup_watermark" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val doubled = ev.unionAll(
+        ev.withColumn("ts", col("ts") + expr("INTERVAL 10 MINUTES")))
+      dedupWithinWatermark(doubled)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+        .orderBy(col("user_id"))
     })
   )
 
@@ -247,6 +288,13 @@ object StreamingQueries extends QueryModule {
         |  c.c_mktsegment AS segment, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
-        |GROUP BY 1, 2 ORDER BY window_start, segment""".stripMargin
+        |GROUP BY 1, 2 ORDER BY window_start, segment""".stripMargin,
+    // dedup of the doubled stream == the original events, and the gate
+    // aggregate reads only dup-invariant columns, so the oracle is the
+    // plain per-user aggregate over the source table
+    "q162_stream_dedup_watermark" ->
+      """SELECT user_id, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 }

@@ -16,6 +16,7 @@ case class Click(c_user: Long, c_ts: Timestamp)
 case class Purchase(p_user: Long, p_ts: Timestamp)
 case class Alert(user_id: Long, crossed: Long)
 case class Doc(lang: String, text: String)
+case class IdEv(event_id: Long, ts: Timestamp)
 case class Tok(shard: Int, token: String)
 case class MGState(buf: graft.functions.FrequentItems.MGBuf, seq: Int)
 
@@ -318,6 +319,37 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
         (docs ++ Seq(Doc("en", "  the   quick brown fox "), Doc("de", "neues dokument"))).toDF())
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark: suppressed in-horizon, re-admitted after eviction") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val mem = MemoryStream[IdEv]
+    val q = StreamingQueries.dedupWithinWatermark(mem.toDF())
+      .writeStream.format("memory").queryName("wmdedup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // b1: first sighting of id=1 — emitted; state expires at 10:00+1h
+      mem.addData(IdEv(1L, ts("2024-01-01T10:00:00Z")))
+      q.processAllAvailable()
+      // b2: id=1 again INSIDE the horizon -> suppressed by state; id=2 at
+      // 13:00 emits and advances the watermark to 12:00 (> 11:00), so
+      // id=1's state is evicted after this batch completes
+      mem.addData(IdEv(1L, ts("2024-01-01T10:30:00Z")),
+        IdEv(2L, ts("2024-01-01T13:00:00Z")))
+      q.processAllAvailable()
+      // b3: id=1 returns AFTER eviction -> re-admitted (the documented
+      // horizon trade vs plain dropDuplicates' unbounded exact state)
+      mem.addData(IdEv(1L, ts("2024-01-01T12:30:00Z")))
+      q.processAllAvailable()
+      val rows = sp.table("wmdedup").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1))).toSet
+      assert(rows == Set(
+        (1L, ts("2024-01-01T10:00:00Z")),
+        (2L, ts("2024-01-01T13:00:00Z")),
+        (1L, ts("2024-01-01T12:30:00Z"))))
     } finally q.stop()
   }
 
