@@ -306,13 +306,13 @@ object Bench {
     // the wire line would miss. Queries whose min exceeds the clamp get
     // their exact value in an over_clamp tail object (empty object when
     // nothing saturates, so the line shape is stable for parsing;
-    // bounded to the 4 worst at 9999.999 max so a pathological all-slow
+    // bounded to the 2 worst at 999.999 max so a pathological all-slow
     // suite cannot overflow the tail buffer — BenchFormatSpec budgets
     // exactly that; bench_detail.json always has every exact value).
     val overClamp = results
       .filter(r => r._4 && r._3 > 9.9)
-      .sortBy(-_._3).take(3)
-      .map(r => "\"" + shortKey(r._1) + "\":" + r3(math.min(r._3, 9999.999)))
+      .sortBy(-_._3).take(2)
+      .map(r => "\"" + shortKey(r._1) + "\":" + r3(math.min(r._3, 999.999)))
       .mkString("{", ",", "}")
     // The harness keeps only the last ~2000 chars of stdout and parses the
     // JSON line out of that tail (BENCH_r03 overflowed it and recorded
@@ -325,13 +325,15 @@ object Bench {
     // sf as basename: the full testdata path spent 15 tail-budget chars
     // saying what "sf0.1" already says
     val sfName = new java.io.File(sfDir).getName
-    // Tail-field names are compact by necessity: 159 queries of
-    // "qNNN":9.9 left <100 chars of budget, so first_total -> first,
-    // max_over_min -> disp, errors -> err, over_clamp -> over,
-    // steal_pct -> steal (semantics unchanged, documented in
-    // BENCH_NOTES; the driver-contract fields metric/value/unit/
-    // queries/sf keep their names).
-    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${jmap(_._3)},"first":${r3(firstTotal)},"disp":${r3(maxOverMin)},"err":${failed.size},"over":$overClamp,"steal":${r1(stealPct)},"load1":${r1(load1)},"cal":${r3(calib)},"sf":"$sfName"}"""
+    // Tail-field names are compact by necessity: 163 queries of
+    // "qNNN":9.9 left NO budget for the round-9 growth, so the names
+    // compacted again — first_total -> fst (0.1 s resolution),
+    // max_over_min -> dsp (0.1 s), errors -> err, over_clamp -> over
+    // (2 worst, 999.999 display cap), steal_pct -> stl, load1 -> ld1
+    // (semantics unchanged, mapping documented in BENCH_NOTES; the
+    // driver-contract fields metric/value/unit/queries/sf keep their
+    // names and totals keep 1 ms).
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${jmap(_._3)},"fst":${r1(firstTotal)},"dsp":${r1(maxOverMin)},"err":${failed.size},"over":$overClamp,"stl":${r1(stealPct)},"ld1":${r1(load1)},"cal":${r3(calib)},"sf":"$sfName"}"""
     // A failed query's "min" is time-to-throw, not a timing — the detail
     // file records -1 there (ok:false already flags it; the sentinel
     // keeps non-timings out of anything that aggregates the min column).

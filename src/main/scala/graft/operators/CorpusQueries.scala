@@ -155,6 +155,34 @@ object CorpusQueries extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // --- leakage-safe train/valid/test split: the split is assigned per
+    // DUPLICATE CLUSTER, not per document, so near-duplicates can never
+    // straddle a split boundary (the classic eval-contamination leak:
+    // a test doc whose near-copy sits in train). Every pair shares a
+    // cluster and every cluster hashes to exactly one split — zero
+    // straddling pairs BY CONSTRUCTION, not by audit. Docs outside the
+    // pair graph are their own singleton cluster. The 80/10/10 bucket is
+    // fnv64 of the cluster id rendered as text — deterministic,
+    // engine-independent, stable under repartitioning — never rand().
+    // Scale: cost is the q59 CC itself; the assignment adds one
+    // doc_id-keyed left join and a map-side hash.
+    "q163_leakage_safe_split" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val pairs = LlmQueries.queries("q34_ngram_jaccard")(s, dir)
+        .select(col("doc_a"), col("doc_b")).localCheckpoint()
+      val clusters = connectedComponents(pairs, propagationCap = 30)
+      LlmQueries.plantedNear(s, dir).select(col("doc_id"))
+        .join(clusters, Seq("doc_id"), "left")
+        .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
+        .withColumn("bucket", pmod(expr("fnv64(CAST(cluster AS STRING))"), lit(10)))
+        .withColumn("split",
+          when(col("bucket") < 8, lit("train"))
+            .when(col("bucket") === 8, lit("valid"))
+            .otherwise(lit("test")))
+        .select(col("doc_id"), col("cluster"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
+
     // --- SEMANTIC duplicate clusters: the q38 embedding near-dup pair
     // graph (blocked cosine, planted 2x-scaled copies) resolved by
     // large-star/small-star DIRECTLY — so the diameter-independent CC
@@ -1479,6 +1507,53 @@ object CorpusQueries extends QueryModule {
         |  SELECT e.src, r.r FROM edges e JOIN reach r ON r.node = e.dst)
         |SELECT node AS doc_id, MIN(r) AS cluster
         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+    // q59's recursive-CTE cluster truth, left-joined back onto the full
+    // corpus (singletons cluster with themselves), then the SAME fnv64
+    // of the cluster id as text and the same 80/10/10 bucket mapping —
+    // pmod replicated as ((h % 10) + 10) % 10 on the signed key.
+    "q163_leakage_safe_split" -> {
+      val h = LlmQueries.wrapSigned("u")
+      s"""WITH RECURSIVE corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 10000,
+         |    array_to_string(string_split_regex(trim(text), '\\s+')[1:greatest(
+         |      len(string_split_regex(trim(text), '\\s+')) - 5, 1)], ' ')
+         |  FROM documents),
+         |sh AS (
+         |  SELECT doc_id, list_distinct(CASE WHEN len(tk) >= 3 THEN
+         |    list_transform(range(1, len(tk) - 1),
+         |      i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])
+         |    ELSE [] END) AS sh
+         |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk FROM corpus)),
+         |ex AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS s FROM sh),
+         |exd AS (SELECT doc_id, sz, s,
+         |          COUNT(*) OVER (PARTITION BY s) AS df FROM ex),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM exd a JOIN exd b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id, a.sz, b.sz
+         |  HAVING COUNT(*) / (a.sz + b.sz - COUNT(*)) >= 0.5
+         |    AND MIN(a.df) <= 256),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(node, r) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.r FROM edges e JOIN reach r ON r.node = e.dst),
+         |cl AS (SELECT node AS doc_id, MIN(r) AS cluster FROM reach GROUP BY node),
+         |asg AS (SELECT c.doc_id, COALESCE(cl.cluster, c.doc_id) AS cluster
+         |        FROM corpus c LEFT JOIN cl ON cl.doc_id = c.doc_id),
+         |hs AS (SELECT doc_id, cluster,
+         |         ${LlmQueries.fnvSqlOf("CAST(cluster AS VARCHAR)")} AS u
+         |       FROM asg),
+         |bk AS (SELECT doc_id, cluster, (($h % 10) + 10) % 10 AS bucket FROM hs)
+         |SELECT doc_id, cluster,
+         |  CASE WHEN bucket < 8 THEN 'train' WHEN bucket = 8 THEN 'valid'
+         |       ELSE 'test' END AS split
+         |FROM bk ORDER BY doc_id""".stripMargin
+    },
     // q59's recursive-CTE cluster truth extended with per-member word
     // counts; the oracle's keeper pick is the naive window formulation of
     // the engine's max(struct(n_words, -doc_id)) partial agg.

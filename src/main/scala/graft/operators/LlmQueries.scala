@@ -1853,10 +1853,10 @@ object LlmQueries extends QueryModule {
   // multiplies split into 32-bit halves so nothing exceeds 2^96. The
   // signed view (for comparisons that must match the engine's Long
   // ordering) is a single mod-2^64 wrap at the end.
-  private val H64 = "CAST(18446744073709551616 AS HUGEINT)" // 2^64
+  private[operators] val H64 = "CAST(18446744073709551616 AS HUGEINT)" // 2^64
   /** FNV-1a over a string column's UTF-8 bytes (hex-pair walk; the fold
     * seeds list_reduce by prepending the offset basis). */
-  private def fnvSqlOf(c: String): String =
+  private[operators] def fnvSqlOf(c: String): String =
     s"list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT), " +
     s"[CAST(CAST('0x' || substring(hex(encode($c)), 2*i-1, 2) AS UBIGINT) AS HUGEINT) " +
     s"FOR i IN range(1, octet_length(encode($c)) + 1)]), " +
@@ -1869,7 +1869,7 @@ object LlmQueries extends QueryModule {
   /** h ^= h >> 33 — apply only to a COLUMN REF (the operand appears twice). */
   private def xs33(a: String): String = s"xor($a, $a >> 33)"
   /** unsigned [0,2^64) -> the engine's signed Long (two's-complement). */
-  private def wrapSigned(a: String): String =
+  private[operators] def wrapSigned(a: String): String =
     s"CAST(CASE WHEN $a >= CAST(9223372036854775808 AS HUGEINT) " +
     s"THEN $a - $H64 ELSE $a END AS BIGINT)"
   /** the q34/q151/q152 planted corpus + distinct-3-shingle CTEs (DuckDB

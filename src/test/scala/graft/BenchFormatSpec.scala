@@ -23,13 +23,13 @@ class BenchFormatSpec extends AnyFunSuite {
     val entries = short.map(n => "\"" + n + "\":9.9").mkString("{", ",", "}")
     // over (clamp saturation) carries exact values for clamp-saturated
     // queries (r8's q135 ran 27.7 s but printed 9.9 — the saturation
-    // must be visible from the wire line); Bench bounds it to the 3
-    // worst at 9999.999 display max, budgeted here at worst-case width.
-    // Tail-field names are compact (first/disp/err/over/steal) — at 159
-    // queries the long names overflowed the budget this spec guards.
-    val overClamp = short.sortBy(-_.length).take(3)
-      .map(n => "\"" + n + "\":9999.999").mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":99999.999,"unit":"sec","queries":$entries,"first":99999.999,"disp":999.999,"err":999,"over":$overClamp,"steal":99.9,"load1":99.9,"cal":99.999,"sf":"sf0.1"}"""
+    // must be visible from the wire line); Bench bounds it to the 2
+    // worst at 999.999 display max, budgeted here at worst-case width.
+    // Tail-field names are compact (fst/dsp/err/over/stl/ld1) — the
+    // long names overflowed at 159 queries, the medium ones at 163.
+    val overClamp = short.sortBy(-_.length).take(2)
+      .map(n => "\"" + n + "\":999.999").mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":99999.999,"unit":"sec","queries":$entries,"fst":99999.9,"dsp":99.9,"err":999,"over":$overClamp,"stl":99.9,"ld1":99.9,"cal":99.999,"sf":"sf0.1"}"""
     // 2000-char tail minus ~100 chars of trailing sbt "[success]" noise.
     assert(line.length < 1900,
       s"bench line would be ${line.length} chars; trim the format or query names")
@@ -70,7 +70,7 @@ class BenchFormatSpec extends AnyFunSuite {
     val oracled = SparkEntry.oracleSql.keySet
     // the count the docs (README, SURVEY §8) advertise — update BOTH
     // when adding a query, or the driver-contract documentation drifts
-    assert(queries.size == 162, s"query count ${queries.size} != documented 162")
+    assert(queries.size == 163, s"query count ${queries.size} != documented 163")
     assert(oracled.subsetOf(queries),
       s"oracles without queries: ${(oracled -- queries).toSeq.sorted}")
     assert((queries -- oracled) == rowsOnly,
