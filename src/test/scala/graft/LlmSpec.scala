@@ -671,6 +671,21 @@ class LlmSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == want)        // prefix filter missed none, invented none
   }
 
+  test("prefix-filter join: an identical-doc clique emits exactly its C(n,2) pairs") {
+    // the adversarial dupe-group shape: every pair of the 20 identical
+    // docs is a TRUE duplicate, so candidates == output == C(20,2) is
+    // intrinsic output size, not candidate blow-up; the unique docs
+    // around the clique must contribute nothing
+    val clique = (1 to 20).map(i => (i.toLong, Seq.tabulate(12)(k => s"c$k")))
+    val noise = (21 to 50).map(i =>
+      (i.toLong, Seq.tabulate(12)(k => s"u${i}_$k")))
+    val got = graft.operators.LlmQueries
+      .prefixFilterPairs(prefixSets(clique ++ noise), 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == 190) // C(20,2)
+    assert(got.forall { case (a, b, n) => a <= 20 && b <= 20 && n == 12 })
+  }
+
   test("prefix-filter index: the universal boilerplate key is never indexed") {
     // BOILER has maximal df, so the global rarity order sorts it LAST in
     // every doc; with every doc's sz >= 2 at t=0.6 the prefix stops
