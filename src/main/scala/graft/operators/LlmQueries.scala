@@ -344,29 +344,30 @@ object LlmQueries extends QueryModule {
 
   private[graft] def prefixFilterPairs(sets: DataFrame, t10: Int): DataFrame = {
     val pref = prefixIndex(sets, t10)
-    // Positional filter (the "PP" in PPJoin): per pair, the minimum-order
-    // matched token IS the pair's globally-first common token c (c is
-    // common and the prefix theorem puts it in both prefixes, so it
-    // appears as a match; every other match is common hence >= c). All
-    // common tokens sit at-or-after c in both docs, so overlap <=
-    // min(sz_a - rn_a(c), sz_b - rn_b(c)) + 1; jac >= t needs overlap >=
-    // ceil(t*(sz_a+sz_b)/(1+t)). Pairs whose first shared key sits too
-    // deep die HERE — before the array_intersect verify join, which on a
-    // dense-similarity corpus is the dominant cost (measured at sf0.1:
-    // candidates 25x output without this, the verify join 90% of query
-    // time). min_by is deterministic: rn_a values are distinct per pair.
+    // Positional filter (the "PP" in PPJoin), applied PER MATCH ROW
+    // inside the join: a shared token at ranks (rn_a, rn_b) bounds the
+    // pair's overlap by min(sz_a - rn_a, sz_b - rn_b) + 1 ONLY when it
+    // is the pair's globally-first common token — but ranks are
+    // CO-MONOTONE with the shared global order (u < v implies
+    // rn_a(u) < rn_a(v) and rn_b(u) < rn_b(v)), so the bound shrinks
+    // monotonically along a pair's matches: if the first common token's
+    // bound fails ceil(t*(sz_a+sz_b)/(1+t)), every deeper match fails
+    // too, and a surviving pair always retains its first-common row.
+    // Filtering raw rows in the join condition is therefore EXACTLY the
+    // per-pair first-match filter, evaluated before the distinct's
+    // shuffle ever materializes the dropped matches — on a
+    // dense-similarity corpus the raw match stream is the dominant
+    // shuffle (measured at sf0.1: 5.5M grouped pairs pruned to 2.4M,
+    // candidates 25x output without the filter).
+    val alpha = s"($t10 * (a.sz + b.sz) + ${10 + t10} - 1) DIV ${10 + t10}"
     val cand = pref.as("a").join(pref.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
           col("a.sz") * 10 >= col("b.sz") * t10 &&
-          col("b.sz") * 10 >= col("a.sz") * t10)
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.sz").as("pa"), col("b.sz").as("pb"),
-        col("a.rn").as("ra"), col("b.rn").as("rb"))
-      .groupBy("doc_a", "doc_b", "pa", "pb")
-      .agg(min(col("ra")).as("ia"), min_by(col("rb"), col("ra")).as("jb"))
-      .filter(least(col("pa") - col("ia"), col("pb") - col("jb")) + 1 >=
-        expr(s"($t10 * (pa + pb) + ${10 + t10} - 1) DIV ${10 + t10}"))
-      .select(col("doc_a"), col("doc_b"))
+          col("b.sz") * 10 >= col("a.sz") * t10 &&
+          least(col("a.sz") - col("a.rn"), col("b.sz") - col("b.rn")) + 1 >=
+            expr(alpha))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
     val x = sets.select(col("doc_id").as("doc_a"), col("sz").as("sz_a"),
       col("hk").as("hk_a"))
     val y = sets.select(col("doc_id").as("doc_b"), col("sz").as("sz_b"),
@@ -402,15 +403,18 @@ object LlmQueries extends QueryModule {
       "(x, y) -> concat(x, ' ', y)) ELSE array() END"
     // sorted-ascending distinct keys: sorting once per DOC here is what
     // lets the verify stage count overlaps with the zero-allocation
-    // merge scan (sorted_intersect_count) per candidate PAIR
-    withTokens(plantedNear(s, dir))
+    // merge scan (sorted_intersect_count) per candidate PAIR.
+    // repartition BEFORE the tokenize/hash/sort projection: a projection
+    // below the exchange executes in the upstream task, and the harness
+    // tables are single-file scans — without this the whole per-doc
+    // pipeline runs in ONE task (measured ~2s of the query's wall)
+    withTokens(plantedNear(s, dir)
+        .repartition(s.sparkContext.defaultParallelism))
       .select(col("doc_id"),
         expr(s"array_sort(array_distinct(transform($bigrams, x -> fnv64(x))))")
           .as("hk"))
       .withColumn("sz", size(col("hk")))
       .filter(col("sz") > 0)
-      // single-file harness scan -> parallelize before the explode
-      .repartition(s.sparkContext.defaultParallelism)
       // 3 consumers (prefix build + both verify sides): cache the one-
       // row-per-doc stage, or the tokenize->bigram->hash pipeline runs
       // three times (same rationale as [[shingleSets]]; the prefix
@@ -2009,9 +2013,9 @@ object LlmQueries extends QueryModule {
     // keys (distinct by signed key, like the engine's array_distinct
     // over fnv64), same (df, key) global order, same integer prefix
     // length (sz*8+9)//10, same 10*min>=8*max length filter, same
-    // first-shared-key positional filter (MIN(rn_a)/arg_min mirrors the
-    // engine's min/min_by — rn_a values are distinct per pair, so both
-    // are deterministic), same exact overlap count — the oracle
+    // per-match positional filter in the join condition (valid as the
+    // first-common-token bound by rank co-monotonicity — see
+    // prefixFilterPairs), same exact overlap count — the oracle
     // reproduces the CANDIDATE GENERATION, not just the final pairs, so
     // a prefix-math divergence fails the gate even when the verified
     // output would coincide.
@@ -2032,14 +2036,11 @@ object LlmQueries extends QueryModule {
          |  FROM th t JOIN dfreq f USING (h) JOIN szs s USING (doc_id)),
          |pref AS (SELECT doc_id, sz, h, rn FROM rk
          |  WHERE rn <= sz - ((sz * 8 + 9) // 10) + 1),
-         |pm AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |    a.sz AS pa, b.sz AS pb,
-         |    MIN(a.rn) AS ia, arg_min(b.rn, a.rn) AS jb
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |  FROM pref a JOIN pref b ON a.h = b.h AND a.doc_id < b.doc_id
          |    AND a.sz * 10 >= b.sz * 8 AND b.sz * 10 >= a.sz * 8
-         |  GROUP BY 1, 2, 3, 4),
-         |cand AS (SELECT doc_a, doc_b FROM pm
-         |  WHERE least(pa - ia, pb - jb) + 1 >= (8 * (pa + pb) + 17) // 18),
+         |    AND least(a.sz - a.rn, b.sz - b.rn) + 1
+         |        >= (8 * (a.sz + b.sz) + 17) // 18),
          |ov AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS n_shared
          |  FROM cand c JOIN th x ON x.doc_id = c.doc_a
          |              JOIN th y ON y.doc_id = c.doc_b AND y.h = x.h
