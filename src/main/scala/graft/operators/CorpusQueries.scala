@@ -183,6 +183,25 @@ object CorpusQueries extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // --- corpus datasheet: the one-scan census a dataset card is built
+    // from — docs, token mass, and unique-content counts (dup-rate
+    // numerator) at (source, lang), per-source, and corpus level via
+    // ROLLUP. Scale: rollup partial-aggregates map-side (shuffle rows =
+    // groups x 3 levels); the COUNT(DISTINCT fp) arm shuffles one row
+    // per distinct fingerprint per level — the intrinsic cost of an
+    // exact dup census, same key space q33 already shuffles.
+    "q164_corpus_datasheet" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .select(col("source"), col("lang"),
+          md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))).as("fp"),
+          size(expr("split(trim(text), '\\\\s+')")).cast("long").as("n_toks"))
+        .rollup(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).as("n_tokens"),
+          countDistinct(col("fp")).as("n_unique"))
+        .orderBy(col("source").asc_nulls_first, col("lang").asc_nulls_first)
+    }),
+
     // --- SEMANTIC duplicate clusters: the q38 embedding near-dup pair
     // graph (blocked cosine, planted 2x-scaled copies) resolved by
     // large-star/small-star DIRECTLY — so the diameter-independent CC
@@ -1554,6 +1573,14 @@ object CorpusQueries extends QueryModule {
          |       ELSE 'test' END AS split
          |FROM bk ORDER BY doc_id""".stripMargin
     },
+    "q164_corpus_datasheet" ->
+      """SELECT source, lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+        |    AS n_tokens,
+        |  COUNT(DISTINCT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))))
+        |    AS n_unique
+        |FROM documents GROUP BY ROLLUP (source, lang)
+        |ORDER BY source NULLS FIRST, lang NULLS FIRST""".stripMargin,
     // q59's recursive-CTE cluster truth extended with per-member word
     // counts; the oracle's keeper pick is the naive window formulation of
     // the engine's max(struct(n_words, -doc_id)) partial agg.
