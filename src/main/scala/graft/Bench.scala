@@ -139,7 +139,7 @@ object Bench {
         val f = try src.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
         finally src.close()
         Some((f.sum, if (f.length > 7) f(7) else 0L))
-      } catch { case _: Throwable => None }
+      } catch { case scala.util.control.NonFatal(_) => None }
     val stealPct = (for ((t0, s0) <- cpuTicks(); _ = Thread.sleep(500);
                          (t1, s1) <- cpuTicks() if t1 > t0)
       yield 100.0 * (s1 - s0) / (t1 - t0)).getOrElse(-1.0)
@@ -147,7 +147,7 @@ object Bench {
       try {
         val src = scala.io.Source.fromFile("/proc/loadavg")
         try src.getLines().next().split(" ")(0).toDouble finally src.close()
-      } catch { case _: Throwable => -1.0 }
+      } catch { case scala.util.control.NonFatal(_) => -1.0 }
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
     def selected(name: String): Boolean =
       only.forall(_.split(",").exists(name.startsWith))
@@ -171,7 +171,7 @@ object Bench {
       .groupBy("k").agg(Map("d" -> "sum", "rn" -> "max"))
       .orderBy("k")
       .write.format("noop").mode("overwrite").save()
-    catch { case e: Throwable =>
+    catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] warm-up skipped: ${e.getMessage}") }
     // ... and the typed-aggregator (ObjectHashAggregate) + custom-
     // expression families the vector/dedup queries run on — the TopK
@@ -191,7 +191,7 @@ object Bench {
         .groupBy("g").agg(wtopk(org.apache.spark.sql.functions.col("s"),
           org.apache.spark.sql.functions.col("i")))
         .write.format("noop").mode("overwrite").save()
-    } catch { case e: Throwable =>
+    } catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] agg warm-up skipped: ${e.getMessage}") }
     // Fixed calibration workload (reported as "cal"): a data-independent
     // pure-CPU hash fold, min of 3. The r7 bisect showed this host's
@@ -206,7 +206,7 @@ object Bench {
       try spark.range(0, 20000000L, 1, cpus.toInt)
         .selectExpr("xxhash64(id, id + 1) AS h").agg(Map("h" -> "sum"))
         .write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+      catch { case scala.util.control.NonFatal(_) => () }
       (System.nanoTime() - t0) / 1e9
     }.min
     val tml = new TaskMetricsListener
@@ -309,9 +309,12 @@ object Bench {
     // bounded to the 2 worst at 999.999 max so a pathological all-slow
     // suite cannot overflow the tail buffer — BenchFormatSpec budgets
     // exactly that; bench_detail.json always has every exact value).
+    // (bounded to the single worst at 999.999 max — the round-10 query
+    // growth reclaimed the second slot's budget; bench_detail.json
+    // always has every exact value).
     val overClamp = results
       .filter(r => r._4 && r._3 > 9.9)
-      .sortBy(-_._3).take(2)
+      .sortBy(-_._3).take(1)
       .map(r => "\"" + shortKey(r._1) + "\":" + r3(math.min(r._3, 999.999)))
       .mkString("{", ",", "}")
     // The harness keeps only the last ~2000 chars of stdout and parses the
@@ -325,15 +328,38 @@ object Bench {
     // sf as basename: the full testdata path spent 15 tail-budget chars
     // saying what "sf0.1" already says
     val sfName = new java.io.File(sfDir).getName
+    // Host-steal discriminator ON the wire (r9: the driver's BENCH
+    // capture showed q135 at 7.3 s with no way to tell steal from
+    // regression without the gitignored detail file): the slowest clean
+    // query's executor cpu_ms/run_ms ratio. Flat cpu with ballooned run
+    // (ratio well below ~0.9, the uncontended local-mode norm) = the
+    // host stole cycles; near the norm = the query really did the work.
+    // One entry, 9.99 display clamp — the tail budget pays for exactly
+    // the number that explains the number everyone asks about.
+    val cpuRatio = results
+      .filter(r => r._4 && metrics.contains(r._1))
+      .sortBy(-_._3).take(1)
+      .map { r =>
+        val ms = metrics(r._1)
+        val ratio = if (ms.head > 0) ms(1).toDouble / ms.head else -1.0
+        "\"" + shortKey(r._1) + "\":" +
+          String.format(java.util.Locale.ROOT, "%.2f",
+            Double.box(math.min(ratio, 9.99)))
+      }
+      .mkString("{", ",", "}")
     // Tail-field names are compact by necessity: 163 queries of
     // "qNNN":9.9 left NO budget for the round-9 growth, so the names
-    // compacted again — first_total -> fst (0.1 s resolution),
-    // max_over_min -> dsp (0.1 s), errors -> err, over_clamp -> over
-    // (2 worst, 999.999 display cap), steal_pct -> stl, load1 -> ld1
-    // (semantics unchanged, mapping documented in BENCH_NOTES; the
-    // driver-contract fields metric/value/unit/queries/sf keep their
-    // names and totals keep 1 ms).
-    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${jmap(_._3)},"fst":${r1(firstTotal)},"dsp":${r1(maxOverMin)},"err":${failed.size},"over":$overClamp,"stl":${r1(stealPct)},"ld1":${r1(load1)},"cal":${r3(calib)},"sf":"$sfName"}"""
+    // compacted — max_over_min -> dsp (0.1 s), errors -> err,
+    // over_clamp -> over (worst query, 999.999 display cap),
+    // steal_pct -> stl, cpu -> the new worst-query cpu/run ratio
+    // (semantics documented in BENCH_NOTES; the driver-contract fields
+    // metric/value/unit/queries/sf keep their names and totals keep
+    // 1 ms). The round-10 query growth evicted fst (first-run total)
+    // and ld1 (load1) from the wire entirely — both live on in
+    // bench_detail.json (per-query first) and stl (host noise), and the
+    // firstTotal print below keeps fst greppable from stderr.
+    System.err.println(s"[bench] first-run total: ${r1(firstTotal)} s, load1: ${r1(load1)}")
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${jmap(_._3)},"dsp":${r1(maxOverMin)},"err":${failed.size},"over":$overClamp,"cpu":$cpuRatio,"stl":${r1(stealPct)},"cal":${r3(calib)},"sf":"$sfName"}"""
     // A failed query's "min" is time-to-throw, not a timing — the detail
     // file records -1 there (ok:false already flags it; the sentinel
     // keeps non-timings out of anything that aggregates the min column).
@@ -350,7 +376,7 @@ object Bench {
       java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
         "/root/repo/bench_detail.json")),
       detail.getBytes("UTF-8"))
-    catch { case e: Throwable => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
+    catch { case scala.util.control.NonFatal(e) => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
     println(line)
     spark.stop()
   }

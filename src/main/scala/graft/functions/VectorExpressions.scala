@@ -83,8 +83,13 @@ object VecDot {
   *
   * Precondition: both arrays sorted ascending with distinct elements
   * (array_sort(array_distinct(...)) upstream) — under it the count
-  * equals |set(a) ∩ set(b)| exactly. Null array or null element -> null
-  * (same contract as [[VecDot]]).
+  * equals |set(a) ∩ set(b)| exactly. Null ARRAY -> null. Null ELEMENTS
+  * are detected only if the merge scan reaches them before one side is
+  * exhausted — array_sort places nulls LAST, exactly where the scan
+  * stops, so unlike [[VecDot]] (which scans every element) the
+  * null-element -> null promise is position-dependent and NOT a
+  * contract here. Callers feed hash outputs (fnv64 over non-null
+  * strings), which are never null; pass containsNull=false arrays.
   */
 case class SortedIntersectCount(left: Expression, right: Expression)
     extends BinaryExpression {

@@ -149,7 +149,7 @@ object CorpusQueries extends QueryModule {
     // or the large-star/small-star variant to shrink diameter; the
     // per-round count() is a tiny agg action, not a collect.
     "q59_dedup_clusters" -> ((s, dir) => {
-      val pairs = LlmQueries.queries("q34_ngram_jaccard")(s, dir)
+      val pairs = LlmQueries.ngramJaccardPairs(s, dir)
         .select(col("doc_a"), col("doc_b")).localCheckpoint()
       connectedComponents(pairs, propagationCap = 30)
         .orderBy(col("doc_id"))
@@ -168,7 +168,7 @@ object CorpusQueries extends QueryModule {
     // doc_id-keyed left join and a map-side hash.
     "q163_leakage_safe_split" -> ((s, dir) => {
       graft.functions.GraftFunctions.register(s)
-      val pairs = LlmQueries.queries("q34_ngram_jaccard")(s, dir)
+      val pairs = LlmQueries.ngramJaccardPairs(s, dir)
         .select(col("doc_a"), col("doc_b")).localCheckpoint()
       val clusters = connectedComponents(pairs, propagationCap = 30)
       LlmQueries.plantedNear(s, dir).select(col("doc_id"))
@@ -199,7 +199,13 @@ object CorpusQueries extends QueryModule {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_toks")).as("n_tokens"),
           countDistinct(col("fp")).as("n_unique"))
-        .orderBy(col("source").asc_nulls_first, col("lang").asc_nulls_first)
+        // grouping() as trailing sort keys: a ROLLUP subtotal and a
+        // genuine-NULL group tie on (source, lang) alone, making row
+        // order engine-dependent if the corpus ever carries NULL
+        // source/lang; GROUPING() breaks the tie totally (subtotals
+        // sort after real NULL groups), mirrored in the oracle SQL.
+        .orderBy(col("source").asc_nulls_first, col("lang").asc_nulls_first,
+          grouping(col("source")), grouping(col("lang")))
     }),
 
     // --- SEMANTIC duplicate clusters: the q38 embedding near-dup pair
@@ -897,7 +903,7 @@ object CorpusQueries extends QueryModule {
     // with localCheckpoint cutting per-round lineage — no adjacency
     // lists, no windows, nothing corpus² anywhere.
     "q130_dupgraph_pagerank" -> ((s, dir) => {
-      val pairs = LlmQueries.queries("q34_ngram_jaccard")(s, dir)
+      val pairs = LlmQueries.ngramJaccardPairs(s, dir)
         .select(col("doc_a"), col("doc_b")).localCheckpoint()
       val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
@@ -938,7 +944,7 @@ object CorpusQueries extends QueryModule {
     // counts are exact integers, and the closure ratio lands on the 1e-6
     // grid via half-up integer division.
     "q158_dup_triangles" -> ((s, dir) =>
-      triangleCensus(LlmQueries.queries("q34_ngram_jaccard")(s, dir)
+      triangleCensus(LlmQueries.ngramJaccardPairs(s, dir)
         .select(col("doc_a"), col("doc_b")))),
 
     // --- canonical-document selection: near-dup clustering tells you WHICH
@@ -953,7 +959,7 @@ object CorpusQueries extends QueryModule {
     // over members, nothing cluster²; composes the q34 pair graph + CC
     // machinery that is already hash-gated in q59.
     "q135_cluster_keeper" -> ((s, dir) => {
-      val pairs = LlmQueries.queries("q34_ngram_jaccard")(s, dir)
+      val pairs = LlmQueries.ngramJaccardPairs(s, dir)
         .select(col("doc_a"), col("doc_b")).localCheckpoint()
       val clusters = connectedComponents(pairs, propagationCap = 30)
       val stats = LlmQueries.plantedNear(s, dir)
@@ -1580,7 +1586,8 @@ object CorpusQueries extends QueryModule {
         |  COUNT(DISTINCT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))))
         |    AS n_unique
         |FROM documents GROUP BY ROLLUP (source, lang)
-        |ORDER BY source NULLS FIRST, lang NULLS FIRST""".stripMargin,
+        |ORDER BY source NULLS FIRST, lang NULLS FIRST,
+        |  GROUPING(source), GROUPING(lang)""".stripMargin,
     // q59's recursive-CTE cluster truth extended with per-member word
     // counts; the oracle's keeper pick is the naive window formulation of
     // the engine's max(struct(n_words, -doc_id)) partial agg.

@@ -49,16 +49,15 @@ object LlmQueries extends QueryModule {
     s"(xy, z) -> concat(xy, ' ', z)) ELSE array() END)"
   /** (doc_id, sz, hs): one row per document with the ARRAY of hashed
     * distinct shingles (64-bit keys shuffle ~10x cheaper than shingle
-    * strings) — the tokenize->shingle stage materialized once per session
-    * and shared by every consumer (Spark's CacheManager matches persisted
-    * plans structurally, so q34/q35/q59 all read the same cached stage,
-    * as a production pipeline would).
-    * Persisted: it is one row per doc (~100x smaller than the exploded
-    * index, the thing you would checkpoint durably on a cluster), it has
-    * 3+ consumers in MinHash (signatures + both verification sides), and
-    * the cache's InMemoryRelation is also the optimization barrier that
-    * stops CollapseProject re-inlining the tokenize->shingle pipeline
-    * into every downstream signature lambda (16x recompute otherwise). */
+    * strings) — the tokenize->shingle stage materialized ONCE per query
+    * and threaded explicitly to every consumer.
+    * Materialized (localCheckpoint): it is one row per doc (~100x smaller
+    * than the exploded index, the thing you would checkpoint durably on a
+    * cluster), it has 3+ consumers in MinHash (signatures + both
+    * verification sides), and the LogicalRDD cut is also the optimization
+    * barrier that stops CollapseProject re-inlining the tokenize->shingle
+    * pipeline into every downstream signature lambda (16x recompute
+    * otherwise). */
   private def shingleSets(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s) // fnv64
     withTokens(plantedNear(s, dir))
@@ -72,10 +71,16 @@ object LlmQueries extends QueryModule {
       .select(col("doc_id"), size(col("sh")).as("sz"),
         expr("transform(sh, x -> fnv64(x))").as("hs"))
       // the harness tables are single-file scans (one input partition);
-      // without this the CACHED layout is one partition and every
+      // without this the MATERIALIZED layout is one partition and every
       // downstream explode/join starts single-threaded
       .repartition(s.sparkContext.defaultParallelism)
-      .persist()
+      // localCheckpoint, not persist: the blocks die with the frame via
+      // ContextCleaner instead of sitting in the CacheManager for the
+      // session's lifetime (the r7 in-suite poisoning mechanism). The
+      // multi-consumer queries (q35: exact truth + LSH pipeline) thread
+      // THIS frame explicitly instead of relying on the CacheManager's
+      // structural plan matching to dedupe a second build.
+      .localCheckpoint()
   }
 
   /** 16 fixed MinHash seeds (splitmix64 stream from 42): the family is
@@ -415,11 +420,14 @@ object LlmQueries extends QueryModule {
           .as("hk"))
       .withColumn("sz", size(col("hk")))
       .filter(col("sz") > 0)
-      // 3 consumers (prefix build + both verify sides): cache the one-
-      // row-per-doc stage, or the tokenize->bigram->hash pipeline runs
-      // three times (same rationale as [[shingleSets]]; the prefix
-      // self-join's two sides dedupe via ReusedExchange on their own)
-      .persist()
+      // 3 consumers (prefix build + both verify sides): materialize the
+      // one-row-per-doc stage, or the tokenize->bigram->hash pipeline
+      // runs three times (same rationale as [[shingleSets]]; the prefix
+      // self-join's two sides dedupe via ReusedExchange on their own).
+      // localCheckpoint per the repo convention: blocks are reaped by
+      // ContextCleaner with the frame instead of outliving the query in
+      // the CacheManager (the r7 leak class).
+      .localCheckpoint()
   }
 
   /** Documents plus an exact copy of each at doc_id + 10000. */
@@ -527,8 +535,20 @@ object LlmQueries extends QueryModule {
     * path: shuffle ~ Σ band-bucket², never corpus². The band key stays
     * xxhash64 (internal bucketing only — bucket equality is signature-
     * tuple equality, which is what the oracle joins on). */
-  private[graft] def minhashLshPairs(s: SparkSession, dir: String): DataFrame = {
-    val docsets = shingleSets(s, dir)
+  private[graft] def minhashLshPairs(s: SparkSession, dir: String): DataFrame =
+    minhashLshPairsOf(shingleSets(s, dir))
+
+  /** q34's pair graph WITHOUT its presentation orderBy — the builder for
+    * graph consumers (q59/q130/q135/q158/q163 CC, triangles, keepers)
+    * that read the pairs unordered; the gate query adds the global sort
+    * only for its own deterministic output. */
+  private[graft] def ngramJaccardPairs(s: SparkSession, dir: String): DataFrame =
+    jaccardPairsCapped(shingleSets(s, dir), ShingleDfCap, 0.5)
+
+  /** Same, over an already-materialized [[shingleSets]] frame — q35 runs
+    * the exact truth AND this pipeline over ONE localCheckpointed stage
+    * instead of materializing the tokenize->shingle scan twice. */
+  private[graft] def minhashLshPairsOf(docsets: DataFrame): DataFrame = {
     val sigs = docsets.select(col("doc_id") +: col("sz") +:
       (0 until 16).map(j =>
         expr(s"array_min(transform(hs, h -> mix64(h ^ ${MinhashSeeds(j)}L)))").as(s"s$j")): _*)
@@ -797,11 +817,8 @@ object LlmQueries extends QueryModule {
     // then exact set Jaccard over the full shingle arrays for candidates
     // only. The cap is inactive on the harness corpora (max df 49 at
     // sf0.1), so the result hash-matches the uncapped DuckDB oracle.
-    "q34_ngram_jaccard" -> ((s, dir) => {
-      val docsets = shingleSets(s, dir)
-      jaccardPairsCapped(docsets, ShingleDfCap, 0.5)
-        .orderBy(col("doc_a"), col("doc_b"))
-    }),
+    "q34_ngram_jaccard" -> ((s, dir) =>
+      ngramJaccardPairs(s, dir).orderBy(col("doc_a"), col("doc_b"))),
 
     // --- prefix-filtered set-similarity join (PPJoin-style): the
     // provably-complete candidate path. Global rarity order, per-doc
@@ -830,7 +847,7 @@ object LlmQueries extends QueryModule {
       // pipeline runs twice (measured 67s -> 35s at sf0.1)
       val exact = jaccardPairsCapped(docsets, ShingleDfCap, 0.5)
         .select(col("doc_a"), col("doc_b")).localCheckpoint()
-      val found = minhashLshPairs(s, dir).select(col("doc_a"), col("doc_b"))
+      val found = minhashLshPairsOf(docsets).select(col("doc_a"), col("doc_b"))
       val planted = col("doc_b") === col("doc_a") + 10000
       val marked = found.join(
         exact.withColumn("in_exact", lit(1)), Seq("doc_a", "doc_b"), "left")
@@ -1600,27 +1617,60 @@ object LlmQueries extends QueryModule {
     // probe aggregate as first() — constant within a vec_id group — so
     // the corpus is never re-joined to itself on vec_id.
     //
+    // Cells are LABEL-STRATIFIED and SCALE-ADAPTIVE (round 10): the
+    // original fixed 10-label-centroid cells made the blocked pair
+    // volume Σ|cell|·|probes| grow ~n²/C — ScaleProbe measured 84 s at
+    // ×10, the quadratic curve — so each label now contributes
+    // ⌈√n / |labels|⌉ seed vectors (its smallest vec_ids, picked by the
+    // bounded-heap TopK partial aggregate: exchange = labels × quota
+    // rows, never a window), giving total cells ≥ max(|labels|, ⌈√n⌉)
+    // and the ~n^1.5 curve of q155 while the seed QUOTA still respects
+    // the label structure (every label region keeps ≥1 cell even if it
+    // holds a vanishing fraction of the corpus — pure √n seeding by
+    // global id order, q155, offers no such floor).
+    //
     // Contract (q35/q36 tier): a planted 2x-scaled copy is BIT-IDENTICAL
     // to its original after normalization (powers of two are exact in
-    // IEEE), so copy and original share the same cell argmax and the
-    // same probe list — co-bucketing is structural, and the pair's
-    // cosine rounds to exactly 1.0, the maximum, so the copy lands in
-    // the original's top-5 (eviction would need five OTHER candidates
-    // at 1.0000, i.e. five near-identical corpus vectors — not a
-    // property of the synthetic corpus). n_nodes/n_edges are genuine
-    // oracle arithmetic; the booleans pin recall and graph completeness.
+    // IEEE), so for ANY fixed deterministic cell table copy and original
+    // share the same cell argmax and the same probe list — co-bucketing
+    // is structural under cell refinement, and the pair's cosine rounds
+    // to exactly 1.0, the maximum, so the copy lands in the original's
+    // top-5 (eviction would need five OTHER candidates at 1.0000, i.e.
+    // five near-identical corpus vectors — not a property of the
+    // synthetic corpus). degree_ok additionally certifies refinement
+    // left no starved cells (every node still finds a full 5 neighbors
+    // in its probed cells). n_nodes/n_edges are genuine oracle
+    // arithmetic; the booleans pin recall and graph completeness.
     "q146_knn_graph" -> ((s, dir) => {
       graft.functions.GraftFunctions.register(s) // vec_dot
       val e = plantedVecs(s, dir).withColumn("nrm", expr(normSqlOf("v")))
-      val centroid = udaf(new graft.functions.VectorAggregators.CentroidFixed(64))
-      // localCheckpoint the k-row centroid table: it is broadcast into
-      // BOTH aggregate branches below AND counted for the salt fanout —
-      // without the cut each consumer re-runs the corpus-wide centroid
-      // aggregation (3 scans); with it the aggregation runs once and
-      // the count is free
-      val cells = e.groupBy(col("label")).agg(centroid(col("v")).as("cv"))
-        .select(col("label").cast("int").as("cell"), col("cv"))
-        .withColumn("cnrm", expr(normSqlOf("cv")))
+      // two tiny agg actions (the q155 sizing precedent): corpus count
+      // and label count set the per-label seed quota
+      val n = e.count()
+      val nLab = math.max(1L,
+        e.agg(countDistinct(col("label"))).head().getLong(0))
+      val quota = math.max(1,
+        math.ceil(math.sqrt(n.toDouble) / nLab.toDouble).toInt)
+      val seedTop = udaf(new graft.functions.TopKAggregator.TopK(quota),
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaDouble,
+          org.apache.spark.sql.Encoders.scalaLong))
+      // per-label quota of smallest vec_ids (score = -id under the
+      // DESC-score heap), then one broadcast semi-ish join fetches the
+      // seed vectors; ids are exact in double far beyond the corpus
+      // range (2^53)
+      val seedIds = e.groupBy(col("label"))
+        .agg(seedTop((-col("vec_id")).cast("double"), col("vec_id")).as("top"))
+        .select(explode(col("top")).as("t"))
+        .select(col("t._2").as("vec_id"))
+      // localCheckpoint the seed-cell table: it is broadcast into BOTH
+      // aggregate branches below AND counted for the salt fanout —
+      // without the cut each consumer re-runs the seed selection
+      // (3 corpus scans); with it the selection runs once and the
+      // count is free
+      val cells = e.join(broadcast(seedIds), Seq("vec_id"))
+        .select(col("vec_id").cast("int").as("cell"), col("v").as("cv"),
+          col("nrm").as("cnrm"))
         .localCheckpoint()
       val edges = knnGraphEdges(s, e, cells)
       val nodes = e.agg(count(lit(1)).as("n_nodes"))
@@ -1632,18 +1682,19 @@ object LlmQueries extends QueryModule {
         (col("n_pl") === col("n_nodes") / 2).as("planted_recall_ok"))
     }),
 
-    // --- kNN graph with SCALE-ADAPTIVE cells: the production answer to
-    // the curve ScaleProbe measured on q146 (fixed 10-label cells -> the
-    // blocked pair volume grows ~n²/C: 9× pair volume at 3× corpus, 100×
-    // at 10×). Here C = ceil(sqrt(n)) is derived FROM THE CORPUS COUNT
-    // (one tiny agg action, the q146 salt-count precedent), so pair
-    // volume Σ|cell|·|probes| stays ~n^1.5 with 2-probe recall — the
-    // IVF sizing rule every vector store applies. Cells are seeded from
-    // the C smallest vec_ids (deterministic, oracle-replicable ORDER BY
-    // + LIMIT — a real deployment would k-means them, q138's Lloyd step;
-    // seeding changes recall, not the plan shape). The broadcast stays
-    // legitimate at scale: C ~ sqrt(n) seed vectors is ~10⁵ rows at 10¹⁰
-    // corpus — dimension-table-sized, not corpus-sized.
+    // --- kNN graph with UNSTRATIFIED √n cells: C = ceil(sqrt(n)) seeds
+    // taken from the C globally smallest vec_ids (deterministic,
+    // oracle-replicable ORDER BY + LIMIT — a real deployment would
+    // k-means them, q138's Lloyd step; seeding changes recall, not the
+    // plan shape), so pair volume Σ|cell|·|probes| stays ~n^1.5 with
+    // 2-probe recall — the IVF sizing rule every vector store applies.
+    // q146 applies the same √n total under a PER-LABEL quota (every
+    // label keeps ≥1 cell); this query is the label-free form — the
+    // corpus may not HAVE labels. ScaleProbe's ×10 run measured the
+    // difference the sizing makes: 84 s (fixed 10 cells, the old q146)
+    // vs 15 s here. The broadcast stays legitimate at scale: C ~ sqrt(n)
+    // seed vectors is ~10⁵ rows at 10¹⁰ corpus — dimension-table-sized,
+    // not corpus-sized.
     //
     // Contract (q146 tier): the planted 2x copy is bit-identical after
     // normalization, so copy and original share cell argmax and probe
