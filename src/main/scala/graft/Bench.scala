@@ -354,12 +354,14 @@ object Bench {
     // steal_pct -> stl, cpu -> the new worst-query cpu/run ratio
     // (semantics documented in BENCH_NOTES; the driver-contract fields
     // metric/value/unit/queries/sf keep their names and totals keep
-    // 1 ms). The round-10 query growth evicted fst (first-run total)
-    // and ld1 (load1) from the wire entirely — both live on in
-    // bench_detail.json (per-query first) and stl (host noise), and the
-    // firstTotal print below keeps fst greppable from stderr.
-    System.err.println(s"[bench] first-run total: ${r1(firstTotal)} s, load1: ${r1(load1)}")
-    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${jmap(_._3)},"dsp":${r1(maxOverMin)},"err":${failed.size},"over":$overClamp,"cpu":$cpuRatio,"stl":${r1(stealPct)},"cal":${r3(calib)},"sf":"$sfName"}"""
+    // 1 ms). The round-10 query growth evicted fst (first-run total),
+    // ld1 (load1) and stl (the 500 ms steal probe — its window is too
+    // short to catch the noise it hunts, r7's own finding; cal and the
+    // cpu ratio are the discriminators that actually worked) from the
+    // wire; all three stay greppable from the stderr line below.
+    System.err.println(s"[bench] first-run total: ${r1(firstTotal)} s, " +
+      s"load1: ${r1(load1)}, steal_pct: ${r1(stealPct)}")
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${jmap(_._3)},"dsp":${r1(maxOverMin)},"err":${failed.size},"over":$overClamp,"cpu":$cpuRatio,"cal":${r3(calib)},"sf":"$sfName"}"""
     // A failed query's "min" is time-to-throw, not a timing — the detail
     // file records -1 there (ok:false already flags it; the sentinel
     // keeps non-timings out of anything that aggregates the min column).

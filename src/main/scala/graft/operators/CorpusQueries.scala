@@ -1222,8 +1222,101 @@ object CorpusQueries extends QueryModule {
           (col("lift_micro").cast("double") / 1000000.0).as("lift"))
         .orderBy(col("lift").desc, col("bigram").asc)
         .limit(20)
+    }),
+
+    // --- subword token counting (q165): every token-budget operator in
+    // the repo (q81 packing, q119 selection, q164 datasheet) counts
+    // WHITESPACE tokens, but real training budgets are denominated in
+    // subword units. This is the deterministic, oracle-replicable core
+    // of that re-denomination: a subword vocabulary is DERIVED FROM THE
+    // CORPUS (top character 2/3/4-grams by frequency — the statistic a
+    // BPE trainer's first merge rounds converge on), then every word is
+    // encoded by greedy longest-match (MaxMatch): at each position take
+    // the longest vocab piece (4, then 3, then 2 chars), else a
+    // single-char fallback token. The per-word encode is a pure integer
+    // FOLD over match flags — state s = 4*count + pending_skip, step
+    // IF(s%4>0, s-1, s+4+f) — identical in Spark's aggregate() HOF and
+    // DuckDB's list_reduce, so the whole chain (vocab + encode) is
+    // engine-independent and the gate is full row-level (q151
+    // playbook).
+    //
+    // Scale: two corpus passes. Pass 1 (vocab): per-k gram counts
+    // partial-agg map-side, TakeOrderedAndProject keeps top-N —
+    // exchange = distinct grams, never positions; N is constant, so the
+    // vocab broadcast is O(1) regardless of corpus size. Pass 2
+    // (encode): per-word map-side arithmetic against the broadcast
+    // vocab (bounded: 224 membership probes per char), one partial-agg
+    // groupBy(doc_id). No join, no window, nothing corpus².
+    "q165_subword_tokens" -> ((s, dir) =>
+      subwordCounts(s, dir)
+        .select(col("doc_id"), col("n_words"), col("n_subtok"))
+        .orderBy(col("doc_id"))),
+
+    // --- sequence packing re-denominated in SUBWORD tokens (q167): q81
+    // assigns each doc its [start_seq, end_seq] span in per-(lang,
+    // source) packed 512-token training sequences, but counts
+    // WHITESPACE tokens; real sequence budgets are subword-denominated.
+    // Same packing shape (running cumsum per stream, integer div by the
+    // budget), with n_subtok from the q165 MaxMatch encode — the whole
+    // vocab+encode+pack chain re-derived row-level in the oracle.
+    // Scale: q165's two corpus passes plus q81's per-stream window (the
+    // stream key (lang, source) bounds every partition's window state;
+    // no global sort).
+    "q167_pack_sequences_bpe" -> ((s, dir) => {
+      val win = Window.partitionBy(col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+      subwordCounts(s, dir)
+        .withColumn("cum", sum(col("n_subtok")).over(win))
+        .select(col("lang"), col("source"), col("doc_id"), col("n_subtok"),
+          expr("(cum - n_subtok) div 512").as("start_seq"),
+          expr("(cum - 1) div 512").as("end_seq"))
+        .orderBy(col("lang"), col("source"), col("doc_id"))
     })
   )
+
+  /** The q165 subword chain, shared with q167's packing: corpus-derived
+    * greedy-longest-match vocabulary (top 128/64/32 character 2/3/4-grams
+    * by frequency under the count-DESC, gram-ASC total order) and the
+    * integer MaxMatch fold (state s = 4*count + pending_skip) — both
+    * engine-independent, so consumers stay fully row-level-oracled.
+    * Returns one row per document: (doc_id, lang, source, n_words,
+    * n_subtok). */
+  private def subwordCounts(s: SparkSession, dir: String): DataFrame = {
+    val words = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"),
+        explode(expr(toksSql)).as("w"))
+      .filter(length(col("w")) > 0)
+      // single-file scan -> spread BEFORE the 4 consumers below;
+      // localCheckpoint (repo convention) so the exploded word list
+      // is built once, not once per vocab size + once for encode
+      .repartition(s.sparkContext.defaultParallelism)
+      .localCheckpoint()
+    def topGrams(k: Int, n: Int): DataFrame = words
+      .select(explode(expr(
+        s"CASE WHEN char_length(w) >= $k THEN " +
+          s"transform(sequence(1, char_length(w) - ${k - 1}), " +
+          s"i -> substring(w, i, $k)) ELSE array() END")).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("c"))
+      // count DESC, gram ASC: a total order, so the top-N boundary is
+      // engine-independent even under count ties
+      .orderBy(col("c").desc, col("g").asc).limit(n)
+      .agg(sort_array(collect_list(col("g"))).as(s"v$k"))
+    val flags =
+      "transform(sequence(1, char_length(w)), i -> " +
+        "CASE WHEN array_contains(v4, substring(w, i, 4)) THEN 3 " +
+        "WHEN array_contains(v3, substring(w, i, 3)) THEN 2 " +
+        "WHEN array_contains(v2, substring(w, i, 2)) THEN 1 " +
+        "ELSE 0 END)"
+    words
+      .crossJoin(broadcast(topGrams(2, 128)))
+      .crossJoin(broadcast(topGrams(3, 64)))
+      .crossJoin(broadcast(topGrams(4, 32)))
+      .withColumn("n_sub", expr(
+        s"aggregate($flags, 0, (s, f) -> IF(s % 4 > 0, s - 1, s + 4 + f)) div 4"))
+      .groupBy(col("doc_id"), col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_sub")).cast("long").as("n_subtok"))
+  }
 
   /** q126's engine (factored so ScaleSpec can drive it at any shard
     * count): deterministic per-epoch training permutation. Shards by
@@ -2219,6 +2312,81 @@ object CorpusQueries extends QueryModule {
         |JOIN uc a ON a.w = string_split(bigram, ' ')[1]
         |JOIN uc bb ON bb.w = string_split(bigram, ' ')[2]
         |CROSS JOIN n
-        |ORDER BY lift DESC, bigram LIMIT 20""".stripMargin
+        |ORDER BY lift DESC, bigram LIMIT 20""".stripMargin,
+
+    // Full replication of the q165 chain: the same top-128/64/32
+    // character-gram vocabulary (count DESC, gram ASC total order) and
+    // the same integer MaxMatch fold — Spark aggregate() and DuckDB
+    // list_reduce run the identical step function over identical flags,
+    // so every (doc_id, n_words, n_subtok) row is genuinely re-derived.
+    "q165_subword_tokens" ->
+      """WITH words AS (
+        |  SELECT doc_id, w FROM (
+        |    SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+        |    FROM documents) WHERE len(w) > 0),
+        |g2 AS (SELECT unnest(list_transform(range(1, len(w)),
+        |         i -> substr(w, i, 2))) AS g FROM words WHERE len(w) >= 2),
+        |g3 AS (SELECT unnest(list_transform(range(1, len(w) - 1),
+        |         i -> substr(w, i, 3))) AS g FROM words WHERE len(w) >= 3),
+        |g4 AS (SELECT unnest(list_transform(range(1, len(w) - 2),
+        |         i -> substr(w, i, 4))) AS g FROM words WHERE len(w) >= 4),
+        |v2 AS (SELECT list(g ORDER BY g) AS v2 FROM (
+        |         SELECT g FROM g2 GROUP BY g ORDER BY count(*) DESC, g LIMIT 128)),
+        |v3 AS (SELECT list(g ORDER BY g) AS v3 FROM (
+        |         SELECT g FROM g3 GROUP BY g ORDER BY count(*) DESC, g LIMIT 64)),
+        |v4 AS (SELECT list(g ORDER BY g) AS v4 FROM (
+        |         SELECT g FROM g4 GROUP BY g ORDER BY count(*) DESC, g LIMIT 32)),
+        |enc AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_prepend(0, list_transform(range(1, len(w) + 1), i ->
+        |      CASE WHEN list_contains(v4, substr(w, i, 4)) THEN 3
+        |           WHEN list_contains(v3, substr(w, i, 3)) THEN 2
+        |           WHEN list_contains(v2, substr(w, i, 2)) THEN 1
+        |           ELSE 0 END)),
+        |      (s, f) -> CASE WHEN s % 4 > 0 THEN s - 1 ELSE s + 4 + f END) // 4
+        |      AS n_sub
+        |  FROM words, v2, v3, v4)
+        |SELECT doc_id, COUNT(*) AS n_words, CAST(SUM(n_sub) AS BIGINT) AS n_subtok
+        |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // q165's vocab+encode chain (words carry lang/source through) + the
+    // q81 packing window, re-denominated in subword tokens.
+    "q167_pack_sequences_bpe" ->
+      """WITH words AS (
+        |  SELECT doc_id, lang, source, w FROM (
+        |    SELECT doc_id, lang, source,
+        |      unnest(string_split_regex(trim(text), '\s+')) AS w
+        |    FROM documents) WHERE len(w) > 0),
+        |g2 AS (SELECT unnest(list_transform(range(1, len(w)),
+        |         i -> substr(w, i, 2))) AS g FROM words WHERE len(w) >= 2),
+        |g3 AS (SELECT unnest(list_transform(range(1, len(w) - 1),
+        |         i -> substr(w, i, 3))) AS g FROM words WHERE len(w) >= 3),
+        |g4 AS (SELECT unnest(list_transform(range(1, len(w) - 2),
+        |         i -> substr(w, i, 4))) AS g FROM words WHERE len(w) >= 4),
+        |v2 AS (SELECT list(g ORDER BY g) AS v2 FROM (
+        |         SELECT g FROM g2 GROUP BY g ORDER BY count(*) DESC, g LIMIT 128)),
+        |v3 AS (SELECT list(g ORDER BY g) AS v3 FROM (
+        |         SELECT g FROM g3 GROUP BY g ORDER BY count(*) DESC, g LIMIT 64)),
+        |v4 AS (SELECT list(g ORDER BY g) AS v4 FROM (
+        |         SELECT g FROM g4 GROUP BY g ORDER BY count(*) DESC, g LIMIT 32)),
+        |enc AS (
+        |  SELECT doc_id, lang, source,
+        |    list_reduce(list_prepend(0, list_transform(range(1, len(w) + 1), i ->
+        |      CASE WHEN list_contains(v4, substr(w, i, 4)) THEN 3
+        |           WHEN list_contains(v3, substr(w, i, 3)) THEN 2
+        |           WHEN list_contains(v2, substr(w, i, 2)) THEN 1
+        |           ELSE 0 END)),
+        |      (s, f) -> CASE WHEN s % 4 > 0 THEN s - 1 ELSE s + 4 + f END) // 4
+        |      AS n_sub
+        |  FROM words, v2, v3, v4),
+        |docs AS (SELECT doc_id, lang, source,
+        |           CAST(SUM(n_sub) AS BIGINT) AS n_subtok
+        |         FROM enc GROUP BY doc_id, lang, source),
+        |cums AS (SELECT *, SUM(n_subtok) OVER (PARTITION BY lang, source
+        |           ORDER BY doc_id) AS cum FROM docs)
+        |SELECT lang, source, doc_id, n_subtok,
+        |  CAST((cum - n_subtok) // 512 AS BIGINT) AS start_seq,
+        |  CAST((cum - 1) // 512 AS BIGINT) AS end_seq
+        |FROM cums ORDER BY lang, source, doc_id""".stripMargin
   )
 }

@@ -1720,6 +1720,75 @@ object LlmQueries extends QueryModule {
         (col("n_pl") === lit(n) / 2).as("planted_recall_ok"))
     }),
 
+    // --- SemDeDup-style semantic dedup (q166): the composed, SCALED
+    // form of q38's pairwise shape — cluster first (spherical k-means:
+    // one Lloyd iteration over L2-NORMALIZED vectors, C = ⌈√n⌉ seed
+    // cells), then pairwise cosine only WITHIN cells, then a
+    // deterministic keeper per near-dup group (a vector is pruned iff a
+    // SMALLER-id cellmate scores ≥ 0.99 against it — the q135 keeper
+    // rule in vector space). Normalization is the recall linchpin:
+    // k-means' Euclidean E-step is NOT scale-invariant, but a planted
+    // 2x copy L2-normalizes to the BIT-IDENTICAL unit vector (powers of
+    // two are exact), so copy and original share d2 against every
+    // centroid, share the argmin cell (ties by cid), and their cosine
+    // rounds to 1.0 — pruning of every planted copy is structural.
+    //
+    // Scale: both E-steps are broadcast cross joins against C ~ √n
+    // centroids (the q146/q155 sizing rule; dimension-table-sized at
+    // any corpus), the M-step is the exact fixed-point CentroidFixed
+    // partial agg, and the intra-cell pair join shuffles Σ|cell|² ~
+    // n^1.5 — never corpus². Fully row-level-oracled: seeds, both
+    // E-steps, the fixed-point M-step, and the keeper rule are all
+    // replicated in DuckDB (q138/q145's playbook).
+    "q166_semdedup" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s) // vec_dot
+      val e = plantedVecs(s, dir)
+        .withColumn("nv", expr(s"transform(v, x -> x / ${normSqlOf("v")})"))
+        .select(col("vec_id"), col("nv"))
+      val n = e.count()
+      val c = math.max(8, math.ceil(math.sqrt(n.toDouble)).toInt)
+      val seeds = e.orderBy(col("vec_id")).limit(c)
+        .select(col("vec_id").cast("int").as("cid"), col("nv").as("cv"))
+        .localCheckpoint()
+      def d2(v: String, cc: String) = expr(s"vec_dot($v, $v)") -
+        lit(2.0) * expr(s"vec_dot($v, $cc)") + expr(s"vec_dot($cc, $cc)")
+      // E-step 1 against the raw seeds; (d2, cid) is unique per vector
+      // so the min-struct never compares the payload (q138's argument)
+      val assigned1 = e.crossJoin(broadcast(seeds))
+        .withColumn("d2", d2("nv", "cv"))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("d2"), col("cid"), col("nv"))).as("m"))
+        .select(col("m.cid").as("cid"), col("m.nv").as("nv"))
+      // M-step: exact fixed-point centroids (order-independent, oracle-
+      // replicable — see CentroidFixed)
+      val centroid = udaf(new graft.functions.VectorAggregators.CentroidFixed(64))
+      val cells = assigned1.groupBy(col("cid"))
+        .agg(centroid(col("nv")).as("cv"))
+        .localCheckpoint()
+      // E-step 2 against the updated centroids; payload (nv + its norm)
+      // rides the argmin into the pair join
+      val assigned2 = e.crossJoin(broadcast(cells))
+        .withColumn("d2", d2("nv", "cv"))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("d2"), col("cid"), col("nv"))).as("m"))
+        .select(col("vec_id"), col("m.cid").as("cell"), col("m.nv").as("av"))
+        .withColumn("anrm", expr(normSqlOf("av")))
+        .localCheckpoint()
+      val bSide = assigned2.select(col("cell"), col("vec_id"),
+        col("av").as("bv"), col("anrm").as("bnrm"))
+      val pruned = bSide
+        .join(assigned2.select(col("cell"), col("vec_id").as("nbr"),
+          col("av"), col("anrm")).hint("shuffle_hash"), Seq("cell"))
+        .filter(col("nbr") < col("vec_id"))
+        .withColumn("score", round(expr(dotSql) / (col("anrm") * col("bnrm")), 4))
+        .filter(col("score") >= 0.99)
+        .select(col("vec_id")).distinct()
+      assigned2
+        .join(pruned.withColumn("pr", lit(1)), Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cell"), col("pr").isNull.as("keep"))
+        .orderBy(col("vec_id"))
+    }),
+
     // --- histogram quantiles: per-source length profile (p50/p90) from a
     // FIXED 16-bucket histogram — the 100 TB way to profile a corpus
     // column: one map-side-combined groupBy over (source, bucket) whose
@@ -2642,6 +2711,57 @@ object LlmQueries extends QueryModule {
         |  10 * COUNT(*) AS n_edges,
         |  TRUE AS degree_ok, TRUE AS planted_recall_ok
         |FROM embeddings""".stripMargin,
+
+    // Full replication of the q166 chain — planted corpus, L2
+    // normalization, √n seeds, Euclidean E-step (same op sequence as
+    // q138's oracle), the 2^32 fixed-point M-step, second E-step, and
+    // the smaller-id-cellmate pruning rule. Every (vec_id, cell, keep)
+    // row is genuinely re-derived; no pinned booleans.
+    "q166_semdedup" ->
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |              FROM embeddings),
+        |corpus AS (
+        |  SELECT vec_id, v FROM base
+        |  UNION ALL
+        |  SELECT vec_id + 100000, list_transform(v, x -> x * 2.0) FROM base),
+        |nrmv AS (SELECT vec_id,
+        |           list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv
+        |         FROM corpus),
+        |p AS (SELECT greatest(8, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS c
+        |      FROM nrmv),
+        |seeds AS (SELECT vec_id AS cid, nv AS cv FROM nrmv
+        |          ORDER BY vec_id LIMIT (SELECT c FROM p)),
+        |d1 AS (SELECT n.vec_id, s.cid, n.nv,
+        |         list_dot_product(n.nv, n.nv) - 2 * list_dot_product(n.nv, s.cv)
+        |           + list_dot_product(s.cv, s.cv) AS d2
+        |       FROM nrmv n CROSS JOIN seeds s),
+        |a1 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |         ORDER BY d2 ASC, cid ASC) AS rnk FROM d1),
+        |asg1 AS (SELECT vec_id, cid, nv FROM a1 WHERE rnk = 1),
+        |idx AS (SELECT unnest(range(1, 65)) AS i),
+        |comp AS (SELECT cid, i, CAST(floor(nv[i] * 4294967296.0) AS BIGINT) AS fx
+        |         FROM asg1 CROSS JOIN idx),
+        |cent AS (SELECT cid, i, sum(fx) AS sm, count(*) AS n
+        |         FROM comp GROUP BY cid, i),
+        |cells AS (SELECT cid, list(CAST(sm AS DOUBLE) / 4294967296.0 / n
+        |            ORDER BY i) AS cv
+        |          FROM cent GROUP BY cid),
+        |d2s AS (SELECT n.vec_id, k.cid, n.nv,
+        |          list_dot_product(n.nv, n.nv) - 2 * list_dot_product(n.nv, k.cv)
+        |            + list_dot_product(k.cv, k.cv) AS d2
+        |        FROM nrmv n CROSS JOIN cells k),
+        |a2 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |         ORDER BY d2 ASC, cid ASC) AS rnk FROM d2s),
+        |asg2 AS (SELECT vec_id, cid AS cell, nv FROM a2 WHERE rnk = 1),
+        |pruned AS (
+        |  SELECT DISTINCT b.vec_id
+        |  FROM asg2 b JOIN asg2 a ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |  WHERE round(list_dot_product(a.nv, b.nv) /
+        |    (sqrt(list_dot_product(a.nv, a.nv)) *
+        |     sqrt(list_dot_product(b.nv, b.nv))), 4) >= 0.99)
+        |SELECT g.vec_id, g.cell, pr.vec_id IS NULL AS keep
+        |FROM asg2 g LEFT JOIN pruned pr ON pr.vec_id = g.vec_id
+        |ORDER BY g.vec_id""".stripMargin,
 
     "q145_ann_ivfpq" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
