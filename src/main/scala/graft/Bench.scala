@@ -355,13 +355,16 @@ object Bench {
     // (semantics documented in BENCH_NOTES; the driver-contract fields
     // metric/value/unit/queries/sf keep their names and totals keep
     // 1 ms). The round-10 query growth evicted fst (first-run total),
-    // ld1 (load1) and stl (the 500 ms steal probe — its window is too
-    // short to catch the noise it hunts, r7's own finding; cal and the
-    // cpu ratio are the discriminators that actually worked) from the
-    // wire; all three stay greppable from the stderr line below.
+    // dsp (max first/min dispersion), ld1 (load1) and stl (the 500 ms
+    // steal probe — its window is too short to catch the noise it
+    // hunts, r7's own finding; cal and the cpu ratio are the
+    // discriminators that actually worked) from the wire; all four stay
+    // greppable from the stderr line below, and bench_detail.json
+    // carries the per-query first/min that dsp summarized.
     System.err.println(s"[bench] first-run total: ${r1(firstTotal)} s, " +
-      s"load1: ${r1(load1)}, steal_pct: ${r1(stealPct)}")
-    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${jmap(_._3)},"dsp":${r1(maxOverMin)},"err":${failed.size},"over":$overClamp,"cpu":$cpuRatio,"cal":${r3(calib)},"sf":"$sfName"}"""
+      s"dispersion: ${r1(maxOverMin)}, load1: ${r1(load1)}, " +
+      s"steal_pct: ${r1(stealPct)}")
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${jmap(_._3)},"err":${failed.size},"over":$overClamp,"cpu":$cpuRatio,"cal":${r3(calib)},"sf":"$sfName"}"""
     // A failed query's "min" is time-to-throw, not a timing — the detail
     // file records -1 there (ok:false already flags it; the sentinel
     // keeps non-timings out of anything that aggregates the min column).

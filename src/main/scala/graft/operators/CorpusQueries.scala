@@ -1301,21 +1301,33 @@ object CorpusQueries extends QueryModule {
       // engine-independent even under count ties
       .orderBy(col("c").desc, col("g").asc).limit(n)
       .agg(sort_array(collect_list(col("g"))).as(s"v$k"))
+    words
+      .crossJoin(broadcast(topGrams(2, 128)))
+      .crossJoin(broadcast(topGrams(3, 64)))
+      .crossJoin(broadcast(topGrams(4, 32)))
+      .withColumn("n_sub", expr(maxMatchCountSql))
+      .groupBy(col("doc_id"), col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_sub")).cast("long").as("n_subtok"))
+  }
+
+  /** Greedy longest-match (MaxMatch) token count of word column `w`
+    * against sorted vocab array columns v4/v3/v2 (4/3/2-char pieces,
+    * longest piece wins at each position; single-char fallback). Per
+    * position the flag is piece_length - 1; the fold state is
+    * s = 4*count + pending_skip, so a matched piece consumes its span
+    * before the next piece may start — the skip is what makes the match
+    * GREEDY rather than overlapping. `private[graft]` so the spec pins
+    * the fold's semantics (longest-wins, skip, fallback) on hand-built
+    * vocab rows with the exact production expression. */
+  private[graft] val maxMatchCountSql: String = {
     val flags =
       "transform(sequence(1, char_length(w)), i -> " +
         "CASE WHEN array_contains(v4, substring(w, i, 4)) THEN 3 " +
         "WHEN array_contains(v3, substring(w, i, 3)) THEN 2 " +
         "WHEN array_contains(v2, substring(w, i, 2)) THEN 1 " +
         "ELSE 0 END)"
-    words
-      .crossJoin(broadcast(topGrams(2, 128)))
-      .crossJoin(broadcast(topGrams(3, 64)))
-      .crossJoin(broadcast(topGrams(4, 32)))
-      .withColumn("n_sub", expr(
-        s"aggregate($flags, 0, (s, f) -> IF(s % 4 > 0, s - 1, s + 4 + f)) div 4"))
-      .groupBy(col("doc_id"), col("lang"), col("source"))
-      .agg(count(lit(1)).as("n_words"),
-        sum(col("n_sub")).cast("long").as("n_subtok"))
+    s"aggregate($flags, 0, (s, f) -> IF(s % 4 > 0, s - 1, s + 4 + f)) div 4"
   }
 
   /** q126's engine (factored so ScaleSpec can drive it at any shard

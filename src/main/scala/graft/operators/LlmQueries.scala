@@ -33,7 +33,7 @@ object LlmQueries extends QueryModule {
     * lambda — the regex split would re-run per element (O(tokens²) per
     * document; measured 49s -> 2s at sf0.1 when materialized once). Project
     * it to a `tk` column first via [[withTokens]]. */
-  private[operators] val toksSql = "split(trim(text), '\\\\s+')"
+  private[graft] val toksSql = "split(trim(text), '\\\\s+')"
   private def withTokens(df: DataFrame): DataFrame =
     df.withColumn("tk", expr(toksSql))
   /** Distinct word 3-shingles of a tokens column — built from array-level
@@ -389,6 +389,55 @@ object LlmQueries extends QueryModule {
           .as("jac"))
   }
 
+  /** One-sided prefix-filtered PROBE join: find every corpus document
+    * within Jaccard >= t10/10 of each PROBE document — the q161 operator
+    * re-shaped for the INGESTION path, where the probe side is a delta
+    * batch (or an unbounded stream) and only the CORPUS side carries a
+    * prefix index. The probe explodes its FULL key set (no rank, no
+    * window — per-row map work only, so the probe side may be a
+    * STREAMING frame and the join is the stateless stream-static kind);
+    * completeness needs no probe prefix: for a valid pair the overlap
+    * i >= ceil(t*(szp+szd)/(1+t)) >= ceil(t*szd) (length filter), so
+    * the shared keys cannot all hide in the corpus doc's suffix of size
+    * ceil(t*szd)-1 — at least one lands in its index prefix, and for the
+    * minimal-rank shared key the positional bound szd - rn + 1 >= i >=
+    * alpha holds, so that row always survives the join condition.
+    * Verify is exact (merge-scan overlap + integer cross-multiplied
+    * threshold), so output = ALL (probe, corpus) pairs with jac >= t —
+    * the brute-force truth, which is what the q168 oracle recomputes.
+    * Candidate multiplicity (one row per shared indexed key) is left to
+    * the CALLER to collapse: batch gates distinct(); the streaming form
+    * uses dropDuplicatesWithinWatermark (q162's bounded-state shape).
+    * At 100 TB: the corpus index is bucketed/partitioned on h once per
+    * index rebuild; each micro-batch shuffles only the delta. */
+  private[graft] def prefixProbePairs(probeSets: DataFrame,
+      corpusSets: DataFrame, t10: Int): DataFrame = {
+    val pref = prefixIndex(corpusSets, t10)
+      .select(col("doc_id").as("doc_b"), col("sz").as("sz_b"),
+        col("h"), col("rn"))
+    val alpha = s"($t10 * (sz_a + sz_b) + ${10 + t10} - 1) DIV ${10 + t10}"
+    // extra probe columns (e.g. the stream's event-time) ride through
+    // unchanged — the streaming caller needs them for its watermark
+    val extras = probeSets.columns
+      .filterNot(Set("doc_id", "hk", "sz")).map(col).toSeq
+    val probes = probeSets.select(col("doc_id").as("doc_a") +:
+      col("sz").as("sz_a") +: col("hk").as("hk_a") +: extras :+
+      explode(col("hk")).as("h"): _*)
+    probes.join(pref,
+        Seq("h")).filter(
+          col("sz_a") * 10 >= col("sz_b") * t10 &&
+          col("sz_b") * 10 >= col("sz_a") * t10 &&
+          col("sz_b") - col("rn") + 1 >= expr(alpha))
+      .join(corpusSets.select(col("doc_id").as("doc_b"), col("hk").as("hk_b")),
+        Seq("doc_b"))
+      .withColumn("n_shared", expr("sorted_intersect_count(hk_a, hk_b)"))
+      .filter(col("n_shared") * 10 >=
+        (col("sz_a") + col("sz_b") - col("n_shared")) * t10)
+      .select(col("doc_a") +: col("doc_b") +: col("n_shared") +:
+        (col("n_shared") / (col("sz_a") + col("sz_b") - col("n_shared")))
+          .as("jac") +: extras: _*)
+  }
+
   /** The q161 corpus: one row per doc with its distinct FNV-hashed token
     * BIGRAMS. Unigram token sets are useless on a shared-vocabulary
     * corpus (measured: 55% of ALL doc pairs exceed jac 0.6 on unigrams
@@ -401,7 +450,28 @@ object LlmQueries extends QueryModule {
     * t10 as a parameter and the spec certifies completeness at 0.6).
     * Same zip_with-slice construction as [[shinglesSql]] (a positional
     * lambda would re-run the upstream split per element). */
-  private[graft] def tokenSets(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def tokenSets(s: SparkSession, dir: String): DataFrame =
+    // repartition BEFORE the tokenize/hash/sort projection: a projection
+    // below the exchange executes in the upstream task, and the harness
+    // tables are single-file scans — without this the whole per-doc
+    // pipeline runs in ONE task (measured ~2s of the query's wall).
+    // 3 consumers (prefix build + both verify sides): materialize the
+    // one-row-per-doc stage, or the tokenize->bigram->hash pipeline
+    // runs three times (same rationale as [[shingleSets]]; the prefix
+    // self-join's two sides dedupe via ReusedExchange on their own).
+    // localCheckpoint per the repo convention: blocks are reaped by
+    // ContextCleaner with the frame instead of outliving the query in
+    // the CacheManager (the r7 leak class).
+    tokenSetsOf(s, plantedNear(s, dir)
+        .repartition(s.sparkContext.defaultParallelism))
+      .localCheckpoint()
+
+  /** The bigram-key projection of [[tokenSets]] over an ARBITRARY
+    * (doc_id, text) frame — per-row map work only (tokenize, bigram,
+    * fnv64, sort), so it is legal on a STREAMING frame too (q168 probes
+    * an unbounded delta stream through it; no window, no shuffle). The
+    * caller decides materialization. */
+  private[graft] def tokenSetsOf(s: SparkSession, docs: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(s) // fnv64
     val bigrams = "CASE WHEN size(tk) >= 2 THEN " +
       "zip_with(slice(tk, 1, size(tk) - 1), slice(tk, 2, size(tk) - 1), " +
@@ -409,25 +479,13 @@ object LlmQueries extends QueryModule {
     // sorted-ascending distinct keys: sorting once per DOC here is what
     // lets the verify stage count overlaps with the zero-allocation
     // merge scan (sorted_intersect_count) per candidate PAIR.
-    // repartition BEFORE the tokenize/hash/sort projection: a projection
-    // below the exchange executes in the upstream task, and the harness
-    // tables are single-file scans — without this the whole per-doc
-    // pipeline runs in ONE task (measured ~2s of the query's wall)
-    withTokens(plantedNear(s, dir)
-        .repartition(s.sparkContext.defaultParallelism))
-      .select(col("doc_id"),
+    withTokens(docs)
+      .select(col("doc_id") +: docs.columns.filter(c =>
+          c != "doc_id" && c != "text" && c != "tk").map(col).toSeq :+
         expr(s"array_sort(array_distinct(transform($bigrams, x -> fnv64(x))))")
-          .as("hk"))
+          .as("hk"): _*)
       .withColumn("sz", size(col("hk")))
       .filter(col("sz") > 0)
-      // 3 consumers (prefix build + both verify sides): materialize the
-      // one-row-per-doc stage, or the tokenize->bigram->hash pipeline
-      // runs three times (same rationale as [[shingleSets]]; the prefix
-      // self-join's two sides dedupe via ReusedExchange on their own).
-      // localCheckpoint per the repo convention: blocks are reaped by
-      // ContextCleaner with the frame instead of outliving the query in
-      // the CacheManager (the r7 leak class).
-      .localCheckpoint()
   }
 
   /** Documents plus an exact copy of each at doc_id + 10000. */

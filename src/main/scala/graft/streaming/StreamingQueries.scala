@@ -213,8 +213,62 @@ object StreamingQueries extends QueryModule {
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
         .orderBy(col("user_id"))
+    }),
+
+    // --- streaming prefix-filtered ingestion dedup (q168): q161's
+    // flagship set-similarity join on the q162 ingestion path. The
+    // delta batch is every 10th document trimmed of its last 5 tokens
+    // (a near-dup of its original) arriving as a stream; each arrival
+    // is probed against the STATIC corpus prefix index via the
+    // one-sided prefix filter (see [[LlmQueries.prefixProbePairs]]:
+    // probe explodes its full key set — per-row map work, legal on an
+    // unbounded stream — completeness carried entirely by the indexed
+    // side). Batch parity: the same builder runs here over a batch
+    // delta; the MemoryStream run with per-batch arrival and
+    // watermark-bounded output dedup is in StreamingSpec. The oracle is
+    // the BRUTE-FORCE delta x corpus Jaccard truth — legitimate as a
+    // full-strength gate because the one-sided filter is complete and
+    // the verify exact, so the operator's output IS the brute-force
+    // answer.
+    "q168_stream_prefix_dedup" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+      val delta = d.filter(col("doc_id") % 10 === 7)
+        .withColumn("tk", expr(graft.operators.LlmQueries.toksSql))
+        .select((col("doc_id") + 20000).as("doc_id"),
+          expr("array_join(slice(tk, 1, greatest(size(tk) - 5, 1)), ' ')")
+            .as("text"),
+          lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")).as("ts"))
+      prefixProbeDedup(s, delta, d)
+        .orderBy(col("new_id"), col("doc_id"))
+        .select(col("new_id"), col("doc_id"), col("n_shared"), col("jac"))
     })
   )
+
+  /** q168's builder: probe a (doc_id, text, ts) delta frame — batch OR
+    * streaming — against a static corpus for near-duplicates at bigram
+    * Jaccard >= 0.8. The corpus side tokenizes + prefix-indexes ONCE
+    * (localCheckpoint = this micro-batch era's index build; a
+    * production pipeline rebuilds it on a schedule), the probe side is
+    * stateless per-row work + two stream-static joins, and the only
+    * stateful operator in streaming mode is the output dedup, bounded
+    * by the watermark horizon exactly like q162 — candidate
+    * multiplicity (one row per shared indexed key) is collapsed there,
+    * keyed by the (new_id, doc_id) pair. */
+  def prefixProbeDedup(s: SparkSession, newDocs: DataFrame,
+      corpus: DataFrame): DataFrame = {
+    val corpusSets = graft.operators.LlmQueries
+      .tokenSetsOf(s, corpus.repartition(s.sparkContext.defaultParallelism))
+      .localCheckpoint()
+    val probeSets = graft.operators.LlmQueries.tokenSetsOf(s, newDocs)
+    val pairs = graft.operators.LlmQueries
+      .prefixProbePairs(probeSets, corpusSets, 8)
+      .withColumnRenamed("doc_a", "new_id")
+      .withColumnRenamed("doc_b", "doc_id")
+    if (newDocs.isStreaming)
+      pairs.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("new_id", "doc_id")
+    else pairs.dropDuplicates("new_id", "doc_id")
+  }
 
   def oracles: Map[String, String] = Map(
     "q50_stream_tumbling" ->
@@ -295,6 +349,40 @@ object StreamingQueries extends QueryModule {
     "q162_stream_dedup_watermark" ->
       """SELECT user_id, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
-        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // The BRUTE-FORCE delta x corpus bigram-Jaccard truth: legitimate
+    // as q168's full gate because the one-sided prefix filter is
+    // provably complete and the verify exact, so the streaming
+    // operator's output must equal this set row-for-row. Bigram
+    // equality on strings == equality on the engine's fnv64 keys
+    // (collision-free at this scale, the q34 oracle's argument).
+    "q168_stream_prefix_dedup" ->
+      """WITH delta AS (
+        |  SELECT doc_id + 20000 AS new_id,
+        |    array_to_string(string_split_regex(trim(text), '\s+')[1:greatest(
+        |      len(string_split_regex(trim(text), '\s+')) - 5, 1)], ' ') AS text
+        |  FROM documents WHERE doc_id % 10 = 7),
+        |db AS (SELECT new_id, list_distinct(CASE WHEN len(tk) >= 2 THEN
+        |         list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i + 1])
+        |         ELSE [] END) AS bg
+        |       FROM (SELECT new_id, string_split_regex(trim(text), '\s+') AS tk
+        |             FROM delta)),
+        |cb AS (SELECT doc_id, list_distinct(CASE WHEN len(tk) >= 2 THEN
+        |         list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i + 1])
+        |         ELSE [] END) AS bg
+        |       FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+        |             FROM documents)),
+        |dx AS (SELECT new_id, len(bg) AS sz_a, unnest(bg) AS g FROM db
+        |       WHERE len(bg) > 0),
+        |cx AS (SELECT doc_id, len(bg) AS sz_b, unnest(bg) AS g FROM cb
+        |       WHERE len(bg) > 0),
+        |p AS (SELECT new_id, doc_id, sz_a, sz_b, count(*) AS i
+        |      FROM dx JOIN cx USING (g)
+        |      GROUP BY new_id, doc_id, sz_a, sz_b
+        |      HAVING count(*) * 10 >= (sz_a + sz_b - count(*)) * 8)
+        |SELECT new_id, doc_id, CAST(i AS BIGINT) AS n_shared,
+        |  CAST(i AS DOUBLE) / (sz_a + sz_b - i) AS jac
+        |FROM p ORDER BY new_id, doc_id""".stripMargin
   )
 }

@@ -34,7 +34,7 @@ class BenchFormatSpec extends AnyFunSuite {
     // the gitignored detail file for.
     val cpuRatio = short.sortBy(-_.length).take(1)
       .map(n => "\"" + n + "\":9.99").mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":99999.999,"unit":"sec","queries":$entries,"dsp":99.9,"err":999,"over":$overClamp,"cpu":$cpuRatio,"cal":99.999,"sf":"sf0.1"}"""
+    val line = s"""{"metric":"total","value":99999.999,"unit":"sec","queries":$entries,"err":999,"over":$overClamp,"cpu":$cpuRatio,"cal":99.999,"sf":"sf0.1"}"""
     // 2000-char tail minus ~100 chars of trailing sbt "[success]" noise.
     assert(line.length < 1900,
       s"bench line would be ${line.length} chars; trim the format or query names")
@@ -75,7 +75,7 @@ class BenchFormatSpec extends AnyFunSuite {
     val oracled = SparkEntry.oracleSql.keySet
     // the count the docs (README, SURVEY §8) advertise — update BOTH
     // when adding a query, or the driver-contract documentation drifts
-    assert(queries.size == 167, s"query count ${queries.size} != documented 167")
+    assert(queries.size == 168, s"query count ${queries.size} != documented 168")
     assert(oracled.subsetOf(queries),
       s"oracles without queries: ${(oracled -- queries).toSeq.sorted}")
     assert((queries -- oracled) == rowsOnly,

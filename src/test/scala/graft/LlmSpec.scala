@@ -705,4 +705,46 @@ class LlmSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
     assert(byId == lens) // ASCII text: chars == bytes
   }
+
+  test("q166 semdedup: every planted 2x copy pruned, every original kept") {
+    // L2 normalization makes the 2x copy bit-identical to its original,
+    // so co-celling and the >= 0.99 cosine are structural — if EITHER
+    // breaks (a scale-sensitive E-step, a float drift in the pair
+    // score), a copy survives or an original prunes and this trips.
+    val rows = q("q166_semdedup").collect()
+    assert(rows.length == 1000)
+    val (copies, originals) = rows.partition(_.getLong(0) >= 100000L)
+    assert(copies.length == 500 && copies.forall(!_.getBoolean(2)),
+      "every planted copy must be pruned")
+    assert(originals.forall(_.getBoolean(2)),
+      "no original may be pruned on the sf0.001 corpus (no natural near-dups)")
+    // copy and original co-cell (the normalization argument, directly)
+    val cellOf = rows.map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(originals.forall(r => cellOf(r.getLong(0) + 100000L) == r.getInt(1)))
+  }
+
+  test("MaxMatch fold: longest piece wins, matched spans are consumed, fallback is single-char") {
+    // The exact production expression (CorpusQueries.maxMatchCountSql)
+    // over hand-built vocab rows:
+    //  abcdef + {abcd}/{ef}  -> [abcd][ef]      = 2 (4-gram beats 2-gram at pos 1)
+    //  abcdef + {bcde}/{}    -> [a][bcde][f]    = 3 (greedy does NOT backtrack)
+    //  aaaa   + {aa}         -> [aa][aa]        = 2 (span consumed: no overlap at pos 2)
+    //  abc    + {}           -> [a][b][c]       = 3 (pure fallback)
+    //  abcde  + {abc}+{cde}  -> [abc][d][e]     = 3 (cde at pos 3 is INSIDE abc's span)
+    val df = spark.createDataFrame(
+      java.util.List.of(
+        Row("abcdef", Seq("ef"), Seq[String](), Seq("abcd")),
+        Row("abcdef", Seq[String](), Seq[String](), Seq("bcde")),
+        Row("aaaa", Seq("aa"), Seq[String](), Seq[String]()),
+        Row("abc", Seq[String](), Seq[String](), Seq[String]()),
+        Row("abcde", Seq[String](), Seq("abc", "cde"), Seq[String]())),
+      StructType(Seq(StructField("w", StringType),
+        StructField("v2", ArrayType(StringType)),
+        StructField("v3", ArrayType(StringType)),
+        StructField("v4", ArrayType(StringType)))))
+    val got = df.select(expr(graft.operators.CorpusQueries.maxMatchCountSql)
+        .cast("long"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(2L, 3L, 2L, 3L, 3L))
+  }
 }

@@ -16,6 +16,7 @@ case class Click(c_user: Long, c_ts: Timestamp)
 case class Purchase(p_user: Long, p_ts: Timestamp)
 case class Alert(user_id: Long, crossed: Long)
 case class Doc(lang: String, text: String)
+case class NewDoc(doc_id: Long, text: String, ts: Timestamp)
 case class IdEv(event_id: Long, ts: Timestamp)
 case class Tok(shard: Int, token: String)
 case class MGState(buf: graft.functions.FrequentItems.MGBuf, seq: Int)
@@ -479,6 +480,43 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       case Some(p) => sp.conf.set("spark.sql.streaming.stateStore.providerClass", p)
       case None => sp.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
+  }
+
+  test("q168 prefix-probe dedup: streamed delta across micro-batches matches the batch gate") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val corpus = Tables(sp, dir, "documents").select(col("doc_id"), col("text"))
+    // the gate's delta construction, materialized so it can ARRIVE as a
+    // stream in two micro-batches (different arrival times, same docs)
+    val delta = corpus.filter(col("doc_id") % 10 === 7)
+      .withColumn("tk", expr(graft.operators.LlmQueries.toksSql))
+      .select((col("doc_id") + 20000).as("doc_id"),
+        expr("array_join(slice(tk, 1, greatest(size(tk) - 5, 1)), ' ')").as("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val (half1, half2) = delta.partition(_._1 % 2 == 0)
+    val mem = MemoryStream[NewDoc]
+    val q = StreamingQueries.prefixProbeDedup(sp, mem.toDF(), corpus)
+      .writeStream.format("memory").queryName("ppd")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(half1.map(d =>
+        NewDoc(d._1, d._2, ts("2024-01-01T00:00:00Z"))): _*)
+      q.processAllAvailable()
+      mem.addData(half2.map(d =>
+        NewDoc(d._1, d._2, ts("2024-01-01T00:30:00Z"))): _*)
+      q.processAllAvailable()
+      val streamed = sp.table("ppd")
+        .select("new_id", "doc_id", "n_shared")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val batch = SparkEntry.queries("q168_stream_prefix_dedup")(sp, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed == batch, "streamed pair set must equal the batch gate's")
+      assert(streamed.nonEmpty)
+      // candidate multiplicity collapsed: one output row per pair
+      assert(sp.table("ppd").count() == streamed.size)
+    } finally q.stop()
   }
 
   test("mapGroupsWithState: custom running state per key across batches") {
