@@ -1841,8 +1841,12 @@ object LlmQueries extends QueryModule {
         .withColumn("score", round(expr(dotSql) / (col("anrm") * col("bnrm")), 4))
         .filter(col("score") >= 0.99)
         .select(col("vec_id")).distinct()
+      // shuffle_hash: the keep-join keys are uniform vec_ids and the
+      // pruned side is output-sized; sort-merge would sort the full
+      // corpus assignment for a probe of duplicates
       assigned2
-        .join(pruned.withColumn("pr", lit(1)), Seq("vec_id"), "left")
+        .join(pruned.withColumn("pr", lit(1)).hint("shuffle_hash"),
+          Seq("vec_id"), "left")
         .select(col("vec_id"), col("cell"), col("pr").isNull.as("keep"))
         .orderBy(col("vec_id"))
     }),

@@ -747,4 +747,44 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("row_number()"), p)
     assert(p.toLowerCase.contains("windowspecdefinition(doc_id"), p.take(2000))
   }
+
+  test("q165 subword counting: vocab top-N is TakeOrdered, encode is windowless map work") {
+    val p = plan("q165_subword_tokens")
+    // the three vocab selections are global top-N over partially
+    // aggregated gram counts — never a full sort of the gram stream
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Window"), p)
+    // constant-size vocab rows reach the encode as broadcasts; the
+    // corpus itself is never broadcast or cartesian-joined against
+    // anything its own size
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // gram counts and the per-doc rollup partial-aggregate map-side
+    assert(p.toLowerCase.contains("partial"), p)
+  }
+
+  test("q166 semdedup: pair + keep joins hash-based, no window, no sort-merge") {
+    // The E-steps (centroids broadcast via an explicit broadcast() hint,
+    // argmin as a min(struct) partial agg) execute at the assignment
+    // frame's localCheckpoint and so sit upstream of the explained
+    // plan; what remains visible is the intra-cell pair join and the
+    // keep-join, both of which must stay hash-based on uniform keys —
+    // sort-merge would sort 64-double payload rows (pair join) or the
+    // full corpus assignment (keep join).
+    val p = plan("q166_semdedup")
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q168 prefix-probe dedup: probe side windowless, corpus-index window doc-bounded") {
+    val p = plan("q168_stream_prefix_dedup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the only Window is the CORPUS index's per-doc rarity rank (static
+    // side, rebuilt per index era); the probe path is explode + joins +
+    // the dedup aggregate — nothing rank-based touches the stream
+    assert(p.toLowerCase.contains("windowspecdefinition(doc_id"), p.take(2000))
+  }
 }
