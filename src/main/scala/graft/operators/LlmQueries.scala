@@ -2753,26 +2753,104 @@ object LlmQueries extends QueryModule {
         |FROM lex FULL OUTER JOIN dense USING (doc_id)
         |ORDER BY fused DESC, doc_id""".stripMargin,
 
-    // Contract tier (see BenchFormatSpec): n_nodes/n_edges are genuine
-    // arithmetic (the planted corpus is 2x embeddings; the complete
-    // 5-NN graph is 5 edges per node — completeness itself is what
-    // degree_ok certifies in-engine); the booleans pin structural
-    // co-bucketing recall of the planted bit-identical copies.
+    // FULL replication (round 10 — the pinned-boolean contract tier is
+    // retired for the kNN-graph family): the oracle re-derives the
+    // planted corpus, the label-stratified sqrt-n seed cells, the
+    // cosine argmax assignment, the top-2 probes, the blocked candidate
+    // join, and the top-5 ranking, then computes every output column —
+    // n_edges and both booleans — from ITS OWN graph. Tie orders mirror
+    // the engine exactly (assignment/probes: score DESC, cell ASC =
+    // max(struct(score, -cell)); ranking: score DESC, nbr ASC = the
+    // TopK heap's beats()). A nbr lives in exactly one argmax cell, so
+    // the probe join yields each (src, nbr) pair at most twice-probed
+    // but once-joined — no DISTINCT needed, same as the engine.
     "q146_knn_graph" ->
-      """SELECT 2 * COUNT(*) AS n_nodes, 10 * COUNT(*) AS n_edges,
-        |  TRUE AS degree_ok, TRUE AS planted_recall_ok
-        |FROM embeddings""".stripMargin,
+      """WITH base AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |              FROM embeddings),
+        |corpus AS (
+        |  SELECT vec_id, label, v FROM base
+        |  UNION ALL
+        |  SELECT vec_id + 100000, label, list_transform(v, x -> x * 2.0)
+        |  FROM base),
+        |e AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm
+        |      FROM corpus),
+        |p AS (SELECT CAST(greatest(1,
+        |        ceil(sqrt(count(*)) / count(DISTINCT label))) AS BIGINT) AS q
+        |      FROM e),
+        |cells AS (SELECT vec_id AS cell, v AS cv, nrm AS cnrm FROM e
+        |          QUALIFY row_number() OVER (PARTITION BY label
+        |            ORDER BY vec_id) <= (SELECT q FROM p)),
+        |sc AS (SELECT e.vec_id, c.cell, e.v, e.nrm,
+        |         list_dot_product(e.v, c.cv) / (e.nrm * c.cnrm) AS s
+        |       FROM e CROSS JOIN cells c),
+        |wc AS (SELECT vec_id AS nbr_id, cell, v AS bv, nrm AS bnrm FROM (
+        |         SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |           ORDER BY s DESC, cell ASC) AS rnk FROM sc) WHERE rnk = 1),
+        |pr AS (SELECT vec_id AS src_id, cell, v AS av, nrm AS anrm FROM (
+        |         SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |           ORDER BY s DESC, cell ASC) AS rnk FROM sc) WHERE rnk <= 2),
+        |cand AS (SELECT pr.src_id, wc.nbr_id,
+        |           round(list_dot_product(pr.av, wc.bv)
+        |             / (pr.anrm * wc.bnrm), 4) AS score
+        |         FROM pr JOIN wc ON wc.cell = pr.cell
+        |           AND wc.nbr_id <> pr.src_id),
+        |topk AS (SELECT src_id, nbr_id FROM (
+        |           SELECT *, ROW_NUMBER() OVER (PARTITION BY src_id
+        |             ORDER BY score DESC, nbr_id ASC) AS rnk FROM cand)
+        |         WHERE rnk <= 5),
+        |ed AS (SELECT count(*) AS n_edges,
+        |         count(*) FILTER (WHERE nbr_id = src_id + 100000) AS n_pl
+        |       FROM topk),
+        |n AS (SELECT count(*) AS n_nodes FROM e)
+        |SELECT n.n_nodes, CAST(ed.n_edges AS BIGINT) AS n_edges,
+        |  ed.n_edges = 5 * n.n_nodes AS degree_ok,
+        |  ed.n_pl = n.n_nodes // 2 AS planted_recall_ok
+        |FROM n CROSS JOIN ed""".stripMargin,
 
-    // n_nodes/n_cells/n_edges are genuine oracle arithmetic (n_edges via
-    // degree_ok: a full 5-NN graph has exactly 5n edges); the booleans
-    // are the q146-tier contract the Spark side COMPUTES — a starved
-    // cell or missed planted copy flips them and fails the hash gate.
+    // FULL replication, q146's playbook with the label-free seed rule:
+    // C = greatest(8, ceil(sqrt(n))) globally-smallest vec_ids. Every
+    // output column — n_cells included — is recomputed from the
+    // oracle's own graph; no pinned booleans.
     "q155_knn_graph_sqrtcells" ->
-      """SELECT 2 * COUNT(*) AS n_nodes,
-        |  CAST(greatest(8, ceil(sqrt(2 * COUNT(*)))) AS BIGINT) AS n_cells,
-        |  10 * COUNT(*) AS n_edges,
-        |  TRUE AS degree_ok, TRUE AS planted_recall_ok
-        |FROM embeddings""".stripMargin,
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |              FROM embeddings),
+        |corpus AS (
+        |  SELECT vec_id, v FROM base
+        |  UNION ALL
+        |  SELECT vec_id + 100000, list_transform(v, x -> x * 2.0) FROM base),
+        |e AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
+        |      FROM corpus),
+        |p AS (SELECT CAST(greatest(8, ceil(sqrt(count(*)))) AS BIGINT) AS c
+        |      FROM e),
+        |cells AS (SELECT vec_id AS cell, v AS cv, nrm AS cnrm FROM e
+        |          ORDER BY vec_id LIMIT (SELECT c FROM p)),
+        |sc AS (SELECT e.vec_id, c.cell, e.v, e.nrm,
+        |         list_dot_product(e.v, c.cv) / (e.nrm * c.cnrm) AS s
+        |       FROM e CROSS JOIN cells c),
+        |wc AS (SELECT vec_id AS nbr_id, cell, v AS bv, nrm AS bnrm FROM (
+        |         SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |           ORDER BY s DESC, cell ASC) AS rnk FROM sc) WHERE rnk = 1),
+        |pr AS (SELECT vec_id AS src_id, cell, v AS av, nrm AS anrm FROM (
+        |         SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |           ORDER BY s DESC, cell ASC) AS rnk FROM sc) WHERE rnk <= 2),
+        |cand AS (SELECT pr.src_id, wc.nbr_id,
+        |           round(list_dot_product(pr.av, wc.bv)
+        |             / (pr.anrm * wc.bnrm), 4) AS score
+        |         FROM pr JOIN wc ON wc.cell = pr.cell
+        |           AND wc.nbr_id <> pr.src_id),
+        |topk AS (SELECT src_id, nbr_id FROM (
+        |           SELECT *, ROW_NUMBER() OVER (PARTITION BY src_id
+        |             ORDER BY score DESC, nbr_id ASC) AS rnk FROM cand)
+        |         WHERE rnk <= 5),
+        |ed AS (SELECT count(*) AS n_edges,
+        |         count(*) FILTER (WHERE nbr_id = src_id + 100000) AS n_pl
+        |       FROM topk),
+        |n AS (SELECT count(*) AS n_nodes FROM e)
+        |SELECT n.n_nodes, (SELECT c FROM p) AS n_cells,
+        |  CAST(ed.n_edges AS BIGINT) AS n_edges,
+        |  ed.n_edges = 5 * n.n_nodes AS degree_ok,
+        |  ed.n_pl = n.n_nodes // 2 AS planted_recall_ok
+        |FROM n CROSS JOIN ed""".stripMargin,
 
     // Full replication of the q166 chain — planted corpus, L2
     // normalization, √n seeds, Euclidean E-step (same op sequence as
