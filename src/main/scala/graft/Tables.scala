@@ -42,7 +42,8 @@ object Tables {
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val raw =
       try spark.read.parquet(path)
-      catch { case e: Throwable if String.valueOf(e.getMessage).contains("NANOS") =>
+      catch { case scala.util.control.NonFatal(e)
+          if String.valueOf(e.getMessage).contains("NANOS") =>
         throw new IllegalStateException(
           s"$path has TIMESTAMP(NANOS) — set spark.sql.legacy.parquet.nanosAsLong=true at session build", e)
       }

@@ -21,9 +21,13 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.filter(kv => selected(kv._1)).foreach { case (name, fn) =>
+      // NonFatal only (the Bench.timedRun rule): a broken query prints
+      // and the dump continues, but a fatal VM error (OOM) means the
+      // JVM may be corrupted — dumping the remaining queries on it
+      // could write garbage parquet presented as results.
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

@@ -696,6 +696,39 @@ class LlmSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pref.count() > 0)
   }
 
+  test("one-sided probe join: complete vs brute force, boilerplate probe generates nothing") {
+    // Completeness of the ONE-SIDED filter (q168's shape): probing the
+    // corpus against itself must reproduce the brute-force pair set —
+    // for a valid pair the overlap exceeds ceil(t*szd), so at least one
+    // shared key sits in the corpus doc's index prefix (the scaladoc's
+    // argument, exercised here on a corpus with planted near-dups AND a
+    // universal hot key).
+    val docs = prefixCorpus()
+    val sets = prefixSets(docs)
+    val got = graft.operators.LlmQueries.prefixProbePairs(sets, sets, 6)
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "n_shared")
+      .distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val hsets = docs.map { case (id, tk) => (id, tk.map(Fnv64.hash(_)).toSet) }
+    val want = (for {
+      (a, sa) <- hsets; (b, sb) <- hsets if a < b
+      inter = (sa & sb).size
+      if inter * 10 >= (sa.size + sb.size - inter) * 6
+    } yield (a, b, inter.toLong)).toSet
+    assert(want.nonEmpty && got == want)
+    // The hot-key bomb, probe-side: a delta doc of ONLY boilerplate
+    // shares a key with every corpus doc, but the corpus index excluded
+    // the hot key from every prefix — zero candidates ever reach the
+    // verify join (the property that makes the ingestion path safe
+    // against boilerplate floods).
+    val s = spark
+    import s.implicits._
+    val boilerProbe = prefixSets(Seq((999L, Seq("BOILER"))))
+    val hits = graft.operators.LlmQueries.prefixProbePairs(boilerProbe, sets, 6)
+    assert(hits.count() == 0)
+  }
+
   test("multimodal stub: per-partition decode preserves ids and byte counts") {
     val out = q("q40_multimodal").collect()
     assert(out.length == 500)
