@@ -534,6 +534,37 @@ object LlmQueries extends QueryModule {
     * gets R = 1 and pays zero replication. shuffle_hash because the
     * (cell, salt) keys are uniform by construction and sort-merge would
     * sort millions of 2x64-double pair-precursor rows per side. */
+  /** q146's label-stratified scale-adaptive cell table, shared with the
+    * NN-descent refinement (q169): each label contributes a quota of
+    * ⌈√n / |labels|⌉ seed vectors (its smallest vec_ids, picked by the
+    * bounded-heap TopK partial agg — exchange = labels × quota rows,
+    * never a window), so total cells ≥ max(|labels|, ⌈√n⌉): the IVF
+    * sizing rule with a per-label coverage floor. The two sizing counts
+    * are tiny agg actions (the q155 precedent); ids are exact in double
+    * far beyond the corpus range (2^53). localCheckpointed: the table
+    * is broadcast into BOTH aggregate branches of [[knnGraphEdges]] AND
+    * counted for the salt fanout — without the cut each consumer
+    * re-runs the seed selection (3 corpus scans). */
+  private def stratifiedCells(s: SparkSession, e: DataFrame): DataFrame = {
+    val n = e.count()
+    val nLab = math.max(1L,
+      e.agg(countDistinct(col("label"))).head().getLong(0))
+    val quota = math.max(1,
+      math.ceil(math.sqrt(n.toDouble) / nLab.toDouble).toInt)
+    val seedTop = udaf(new graft.functions.TopKAggregator.TopK(quota),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaDouble,
+        org.apache.spark.sql.Encoders.scalaLong))
+    val seedIds = e.groupBy(col("label"))
+      .agg(seedTop((-col("vec_id")).cast("double"), col("vec_id")).as("top"))
+      .select(explode(col("top")).as("t"))
+      .select(col("t._2").as("vec_id"))
+    e.join(broadcast(seedIds), Seq("vec_id"))
+      .select(col("vec_id").cast("int").as("cell"), col("v").as("cv"),
+        col("nrm").as("cnrm"))
+      .localCheckpoint()
+  }
+
   private def knnGraphEdges(s: SparkSession, e: DataFrame,
       cells: DataFrame): DataFrame = {
     val scored = e.crossJoin(broadcast(cells))
@@ -1702,35 +1733,7 @@ object LlmQueries extends QueryModule {
     "q146_knn_graph" -> ((s, dir) => {
       graft.functions.GraftFunctions.register(s) // vec_dot
       val e = plantedVecs(s, dir).withColumn("nrm", expr(normSqlOf("v")))
-      // two tiny agg actions (the q155 sizing precedent): corpus count
-      // and label count set the per-label seed quota
-      val n = e.count()
-      val nLab = math.max(1L,
-        e.agg(countDistinct(col("label"))).head().getLong(0))
-      val quota = math.max(1,
-        math.ceil(math.sqrt(n.toDouble) / nLab.toDouble).toInt)
-      val seedTop = udaf(new graft.functions.TopKAggregator.TopK(quota),
-        org.apache.spark.sql.Encoders.tuple(
-          org.apache.spark.sql.Encoders.scalaDouble,
-          org.apache.spark.sql.Encoders.scalaLong))
-      // per-label quota of smallest vec_ids (score = -id under the
-      // DESC-score heap), then one broadcast semi-ish join fetches the
-      // seed vectors; ids are exact in double far beyond the corpus
-      // range (2^53)
-      val seedIds = e.groupBy(col("label"))
-        .agg(seedTop((-col("vec_id")).cast("double"), col("vec_id")).as("top"))
-        .select(explode(col("top")).as("t"))
-        .select(col("t._2").as("vec_id"))
-      // localCheckpoint the seed-cell table: it is broadcast into BOTH
-      // aggregate branches below AND counted for the salt fanout —
-      // without the cut each consumer re-runs the seed selection
-      // (3 corpus scans); with it the selection runs once and the
-      // count is free
-      val cells = e.join(broadcast(seedIds), Seq("vec_id"))
-        .select(col("vec_id").cast("int").as("cell"), col("v").as("cv"),
-          col("nrm").as("cnrm"))
-        .localCheckpoint()
-      val edges = knnGraphEdges(s, e, cells)
+      val edges = knnGraphEdges(s, e, stratifiedCells(s, e))
       val nodes = e.agg(count(lit(1)).as("n_nodes"))
       val es = edges.agg(count(lit(1)).as("n_edges"),
         count(when(col("nbr_id") === col("src_id") + 100000L, 1)).as("n_pl"))
@@ -1776,6 +1779,64 @@ object LlmQueries extends QueryModule {
         lit(n).as("n_nodes"), lit(c.toLong).as("n_cells"), col("n_edges"),
         (col("n_edges") === lit(n) * 5).as("degree_ok"),
         (col("n_pl") === lit(n) / 2).as("planted_recall_ok"))
+    }),
+
+    // --- NN-descent refinement round (q169): the second act of graph
+    // ANN construction that q146's own scaladoc names — a blocked build
+    // gives each node APPROXIMATE neighbors; NN-descent improves them
+    // with the neighbors-of-my-neighbors principle: candidates(u) =
+    // 2-hop ∪ 1-hop over the UNDIRECTED q146 graph, rescore exact
+    // cosine, keep top-5. One round here (the marginal gain halves per
+    // round; production runs until convergence with the same plan
+    // shape). Fully row-level-oracled: the DuckDB oracle re-derives the
+    // q146 graph AND the refinement (expand → distinct → rescore →
+    // rank) and compares all 5n (src, rnk, nbr, score) rows.
+    //
+    // Scale: edges are n×5; und is 2 cardinality; the 2-hop expand is a
+    // self-join on the shared node key — ≤ 100n candidate rows + 10n
+    // union rows, distinct'd BEFORE the vector fetch so each pair is
+    // rescored once; the two vector fetches are uniform n-keyed hash
+    // joins; ranking is the bounded-heap TopK partial agg (candidates
+    // die map-side, exchange = n×5). Everything linear in n — the
+    // whole round never touches the n²/C blocked-build cost again.
+    // Recall: the planted copy pair is IN the input graph (q146's
+    // contract) and rescores at the maximal 1.0, so refinement can
+    // never evict it — descent only ADDS better neighbors.
+    "q169_knn_descent" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s) // vec_dot
+      val e = plantedVecs(s, dir).withColumn("nrm", expr(normSqlOf("v")))
+      // localCheckpoint: the edge list feeds BOTH sides of the 2-hop
+      // self-join and the 1-hop union — without the cut the whole
+      // blocked build runs three times
+      val edges = knnGraphEdges(s, e, stratifiedCells(s, e))
+        .localCheckpoint()
+      val und = edges.unionAll(edges.select(col("nbr_id").as("src_id"),
+        col("src_id").as("nbr_id")))
+      val twoHop = und.as("x")
+        .join(und.as("y").hint("shuffle_hash"),
+          col("x.nbr_id") === col("y.src_id"))
+        .select(col("x.src_id").as("src_id"), col("y.nbr_id").as("cand_id"))
+      val cand = twoHop
+        .unionAll(und.select(col("src_id"), col("nbr_id").as("cand_id")))
+        .filter(col("src_id") =!= col("cand_id"))
+        .distinct()
+      val va = e.select(col("vec_id").as("src_id"), col("v").as("av"),
+        col("nrm").as("anrm"))
+      val vb = e.select(col("vec_id").as("cand_id"), col("v").as("bv"),
+        col("nrm").as("bnrm"))
+      val topk = udaf(new graft.functions.TopKAggregator.TopK(5),
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaDouble,
+          org.apache.spark.sql.Encoders.scalaLong))
+      cand.join(va.hint("shuffle_hash"), Seq("src_id"))
+        .join(vb.hint("shuffle_hash"), Seq("cand_id"))
+        .withColumn("score", round(expr(dotSql) / (col("anrm") * col("bnrm")), 4))
+        .groupBy(col("src_id"))
+        .agg(topk(col("score"), col("cand_id")).as("top"))
+        .select(col("src_id"), posexplode(col("top")))
+        .select(col("src_id"), (col("pos") + 1).as("rnk"),
+          col("col._2").as("nbr_id"), col("col._1").as("score"))
+        .orderBy(col("src_id"), col("rnk"))
     }),
 
     // --- SemDeDup-style semantic dedup (q166): the composed, SCALED
@@ -2806,6 +2867,64 @@ object LlmQueries extends QueryModule {
         |  ed.n_edges = 5 * n.n_nodes AS degree_ok,
         |  ed.n_pl = n.n_nodes // 2 AS planted_recall_ok
         |FROM n CROSS JOIN ed""".stripMargin,
+
+    // q146's full-graph CTE chain + the NN-descent round replicated:
+    // undirected expand, 2-hop ∪ 1-hop, distinct, exact cosine rescore
+    // (the engine's op order and 4-dp rounding), rank with the TopK
+    // heap's exact tie order. All 5n refined rows compared.
+    "q169_knn_descent" ->
+      """WITH base AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |              FROM embeddings),
+        |corpus AS (
+        |  SELECT vec_id, label, v FROM base
+        |  UNION ALL
+        |  SELECT vec_id + 100000, label, list_transform(v, x -> x * 2.0)
+        |  FROM base),
+        |e AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm
+        |      FROM corpus),
+        |p AS (SELECT CAST(greatest(1,
+        |        ceil(sqrt(count(*)) / count(DISTINCT label))) AS BIGINT) AS q
+        |      FROM e),
+        |cells AS (SELECT vec_id AS cell, v AS cv, nrm AS cnrm FROM e
+        |          QUALIFY row_number() OVER (PARTITION BY label
+        |            ORDER BY vec_id) <= (SELECT q FROM p)),
+        |sc AS (SELECT e.vec_id, c.cell, e.v, e.nrm,
+        |         list_dot_product(e.v, c.cv) / (e.nrm * c.cnrm) AS s
+        |       FROM e CROSS JOIN cells c),
+        |wc AS (SELECT vec_id AS nbr_id, cell, v AS bv, nrm AS bnrm FROM (
+        |         SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |           ORDER BY s DESC, cell ASC) AS rnk FROM sc) WHERE rnk = 1),
+        |pr AS (SELECT vec_id AS src_id, cell, v AS av, nrm AS anrm FROM (
+        |         SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |           ORDER BY s DESC, cell ASC) AS rnk FROM sc) WHERE rnk <= 2),
+        |cnd AS (SELECT pr.src_id, wc.nbr_id,
+        |          round(list_dot_product(pr.av, wc.bv)
+        |            / (pr.anrm * wc.bnrm), 4) AS score
+        |        FROM pr JOIN wc ON wc.cell = pr.cell
+        |          AND wc.nbr_id <> pr.src_id),
+        |topk AS (SELECT src_id, nbr_id FROM (
+        |           SELECT *, ROW_NUMBER() OVER (PARTITION BY src_id
+        |             ORDER BY score DESC, nbr_id ASC) AS rnk FROM cnd)
+        |         WHERE rnk <= 5),
+        |und AS (SELECT src_id, nbr_id FROM topk
+        |        UNION ALL SELECT nbr_id, src_id FROM topk),
+        |cand AS (SELECT DISTINCT src_id, cand_id FROM (
+        |           SELECT x.src_id, y.nbr_id AS cand_id
+        |           FROM und x JOIN und y ON y.src_id = x.nbr_id
+        |           UNION ALL
+        |           SELECT src_id, nbr_id FROM und) t
+        |         WHERE src_id <> cand_id),
+        |resc AS (SELECT c.src_id, c.cand_id,
+        |           round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4)
+        |             AS score
+        |         FROM cand c JOIN e a ON a.vec_id = c.src_id
+        |           JOIN e b ON b.vec_id = c.cand_id),
+        |ref AS (SELECT src_id, cand_id, score, ROW_NUMBER() OVER (
+        |          PARTITION BY src_id ORDER BY score DESC, cand_id ASC)
+        |          AS rnk
+        |        FROM resc)
+        |SELECT src_id, rnk, cand_id AS nbr_id, score
+        |FROM ref WHERE rnk <= 5 ORDER BY src_id, rnk""".stripMargin,
 
     // FULL replication, q146's playbook with the label-free seed rule:
     // C = greatest(8, ceil(sqrt(n))) globally-smallest vec_ids. Every
