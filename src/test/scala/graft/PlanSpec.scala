@@ -778,6 +778,20 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q169 NN-descent: expand + fetch joins hash-based, ranking is the bounded-heap agg") {
+    // The blocked build runs at the edge list's localCheckpoint; the
+    // visible refinement plan must be: hash joins on uniform node keys
+    // (2-hop expand + two vector fetches — sort-merge would sort
+    // 64-double payloads), candidate ranking as the TopK partial agg
+    // (ObjectHashAggregate), no window, nothing cartesian.
+    val p = plan("q169_knn_descent")
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("ObjectHashAggregate"), p)
+  }
+
   test("q168 prefix-probe dedup: probe side windowless, corpus-index window doc-bounded") {
     val p = plan("q168_stream_prefix_dedup")
     assert(!p.contains("CartesianProduct"), p)
