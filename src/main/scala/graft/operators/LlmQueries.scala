@@ -565,6 +565,27 @@ object LlmQueries extends QueryModule {
       .localCheckpoint()
   }
 
+  /** q169's hub-bounded undirected adjacency over a (src_id, nbr_id)
+    * k-NN edge list: all forward edges (out-degree k by construction)
+    * plus AT MOST 5 reverse edges per node — its 5 smallest
+    * in-neighbor ids, picked by the bounded-heap TopK partial agg (the
+    * reverse-neighbor SAMPLING of the NN-descent algorithm). Caps every
+    * adjacency degree at k+5, so the 2-hop expand is ≤ (k+5)²·n rows no
+    * matter how skewed the in-degree distribution is — the structural
+    * defense against cosine hubness. `private[graft]` so LlmSpec
+    * can prove the bound on a planted star. */
+  private[graft] def descentAdjacency(edges: DataFrame): DataFrame = {
+    val revTop = udaf(new graft.functions.TopKAggregator.TopK(5),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaDouble,
+        org.apache.spark.sql.Encoders.scalaLong))
+    val rev = edges.groupBy(col("nbr_id"))
+      .agg(revTop((-col("src_id")).cast("double"), col("src_id")).as("top"))
+      .select(col("nbr_id").as("src_id"), explode(col("top")).as("t"))
+      .select(col("src_id"), col("t._2").as("nbr_id"))
+    edges.unionAll(rev)
+  }
+
   private def knnGraphEdges(s: SparkSession, e: DataFrame,
       cells: DataFrame): DataFrame = {
     val scored = e.crossJoin(broadcast(cells))
@@ -1792,13 +1813,22 @@ object LlmQueries extends QueryModule {
     // q146 graph AND the refinement (expand → distinct → rescore →
     // rank) and compares all 5n (src, rnk, nbr, score) rows.
     //
-    // Scale: edges are n×5; und is 2 cardinality; the 2-hop expand is a
-    // self-join on the shared node key — ≤ 100n candidate rows + 10n
-    // union rows, distinct'd BEFORE the vector fetch so each pair is
-    // rescored once; the two vector fetches are uniform n-keyed hash
-    // joins; ranking is the bounded-heap TopK partial agg (candidates
+    // Scale: edges are n×5 and out-degree is 5 BY CONSTRUCTION, but
+    // IN-degree is not — a hub vector (cosine hubness is endemic in
+    // high dimensions) can sit in thousands of nodes' top-5, and an
+    // uncapped reverse expand would make the 2-hop volume
+    // indeg(hub)×n. So the reverse direction is SAMPLED, NN-descent's
+    // own rule: each node contributes at most 5 reverse edges (its 5
+    // smallest in-neighbor ids — deterministic, a bounded-heap TopK
+    // partial agg, oracle-replicable), capping every und degree at 10
+    // and the 2-hop expand at 100n rows structurally — a hub makes the
+    // graph denser AROUND it, never quadratic (the q158 wedge
+    // discipline, applied to descent; LlmSpec proves the bound on a
+    // planted star). Candidates are distinct'd BEFORE the vector
+    // fetch so each pair rescores once; the two fetches are uniform
+    // n-keyed hash joins; ranking is the bounded-heap TopK (candidates
     // die map-side, exchange = n×5). Everything linear in n — the
-    // whole round never touches the n²/C blocked-build cost again.
+    // round never touches the n²/C blocked-build cost again.
     // Recall: the planted copy pair is IN the input graph (q146's
     // contract) and rescores at the maximal 1.0, so refinement can
     // never evict it — descent only ADDS better neighbors.
@@ -1810,8 +1840,7 @@ object LlmQueries extends QueryModule {
       // blocked build runs three times
       val edges = knnGraphEdges(s, e, stratifiedCells(s, e))
         .localCheckpoint()
-      val und = edges.unionAll(edges.select(col("nbr_id").as("src_id"),
-        col("src_id").as("nbr_id")))
+      val und = descentAdjacency(edges)
       val twoHop = und.as("x")
         .join(und.as("y").hint("shuffle_hash"),
           col("x.nbr_id") === col("y.src_id"))
@@ -2869,9 +2898,12 @@ object LlmQueries extends QueryModule {
         |FROM n CROSS JOIN ed""".stripMargin,
 
     // q146's full-graph CTE chain + the NN-descent round replicated:
-    // undirected expand, 2-hop ∪ 1-hop, distinct, exact cosine rescore
-    // (the engine's op order and 4-dp rounding), rank with the TopK
-    // heap's exact tie order. All 5n refined rows compared.
+    // hub-capped undirected expand (forward edges + at most 5 reverse
+    // edges per node — the 5 smallest in-neighbor ids, mirroring the
+    // engine's sampled reverse direction), 2-hop ∪ 1-hop, distinct,
+    // exact cosine rescore (the engine's op order and 4-dp rounding),
+    // rank with the TopK heap's exact tie order. All 5n refined rows
+    // compared.
     "q169_knn_descent" ->
       """WITH base AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
         |              FROM embeddings),
@@ -2906,8 +2938,11 @@ object LlmQueries extends QueryModule {
         |           SELECT *, ROW_NUMBER() OVER (PARTITION BY src_id
         |             ORDER BY score DESC, nbr_id ASC) AS rnk FROM cnd)
         |         WHERE rnk <= 5),
+        |rev AS (SELECT nbr_id AS src_id, src_id AS nbr_id FROM (
+        |          SELECT *, ROW_NUMBER() OVER (PARTITION BY nbr_id
+        |            ORDER BY src_id) AS rr FROM topk) WHERE rr <= 5),
         |und AS (SELECT src_id, nbr_id FROM topk
-        |        UNION ALL SELECT nbr_id, src_id FROM topk),
+        |        UNION ALL SELECT src_id, nbr_id FROM rev),
         |cand AS (SELECT DISTINCT src_id, cand_id FROM (
         |           SELECT x.src_id, y.nbr_id AS cand_id
         |           FROM und x JOIN und y ON y.src_id = x.nbr_id

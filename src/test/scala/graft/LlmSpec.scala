@@ -696,6 +696,26 @@ class LlmSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pref.count() > 0)
   }
 
+  test("NN-descent adjacency: a 100-leaf star is hub-capped, 2-hop volume stays linear") {
+    // Every leaf points at node 0 — the cosine-hubness bomb. The
+    // reverse direction must be SAMPLED (<= 5 reverse edges per node),
+    // or the 2-hop expand is indeg(hub) x indeg(hub) = 10,000 rows
+    // here and n^2 in general.
+    val s = spark
+    import s.implicits._
+    val edges = (1 to 100).map(i => (i.toLong, 0L)).toDF("src_id", "nbr_id")
+    val und = graft.operators.LlmQueries.descentAdjacency(edges)
+      .localCheckpoint()
+    assert(und.count() == 105) // 100 forward + 5 sampled reverse
+    val maxDeg = und.groupBy(col("src_id")).count()
+      .agg(max(col("count"))).head().getLong(0)
+    assert(maxDeg <= 10, s"adjacency degree must stay <= k+5, got $maxDeg")
+    val twoHop = und.as("x").join(und.as("y"),
+      col("x.nbr_id") === col("y.src_id")).count()
+    assert(twoHop <= 700, // 100x5 through the hub + 5 back + slack
+      s"hub 2-hop volume must stay linear, got $twoHop (uncapped: 10000+)")
+  }
+
   test("one-sided probe join: complete vs brute force, boilerplate probe generates nothing") {
     // Completeness of the ONE-SIDED filter (q168's shape): probing the
     // corpus against itself must reproduce the brute-force pair set —
