@@ -54,7 +54,7 @@ object CorpusQueries extends QueryModule {
     // join; decimal(38,0) so the sum cannot overflow at any node count.
     def labelSum(df: DataFrame): java.math.BigDecimal =
       Option(df.agg(sum(col("cluster").cast(org.apache.spark.sql.types
-        .DecimalType(38, 0)))).head.getDecimal(0))
+        .DecimalType(38, 0)))).head().getDecimal(0))
         .getOrElse(java.math.BigDecimal.ZERO)
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("cluster", col("node")).localCheckpoint()

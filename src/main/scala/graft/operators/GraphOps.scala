@@ -49,7 +49,7 @@ object GraphOps {
     // hashes overflows (an ERROR under ANSI mode, silent wrap otherwise).
     def sig(df: DataFrame): (Long, java.math.BigDecimal) = {
       val r = df.agg(count(lit(1)), sum(xxhash64(col("a"), col("b"))
-        .cast(org.apache.spark.sql.types.DecimalType(38, 0)))).head
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0)))).head()
       (r.getLong(0),
         if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1))
     }
