@@ -941,15 +941,17 @@ object LlmQueries extends QueryModule {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
-    // --- MinHash + LSH dedup, shipped as a SELF-CERTIFYING CONTRACT: the
-    // hash family (xxhash64) is not DuckDB-expressible, so instead of a
-    // rows-only check the query computes BOTH pipelines in-engine — the
-    // LSH pairs ([[minhashLshPairs]]) and the exact-Jaccard truth
-    // (q34's capped generator + exact verifier) — and emits one row whose
-    // numeric columns the oracle recomputes genuinely (exact-pair counts)
-    // and whose booleans pin the LSH/exact relationship (precision is
-    // structural; recall >= 0.9 overall and on planted pairs). A recall
-    // or precision regression flips a boolean and fails the hash gate.
+    // --- MinHash + LSH dedup CERTIFICATION row: the query computes
+    // BOTH pipelines in-engine — the LSH pairs ([[minhashLshPairs]])
+    // and the exact-Jaccard truth (q34's capped generator + exact
+    // verifier) — and emits one row relating them (precision is
+    // structural; recall >= 0.9 overall and on planted pairs). Since
+    // round 10 the oracle recomputes the SAME relationship genuinely:
+    // q151's replicated HUGEINT hash chain rebuilds the LSH set, the
+    // df-capped exact truth is re-derived, and every boolean is
+    // evaluated from the oracle's own two sets — a recall or precision
+    // regression fails the hash gate on an INDEPENDENT re-derivation,
+    // not a pinned literal.
     "q35_minhash_lsh" -> ((s, dir) => {
       val docsets = shingleSets(s, dir)
       // localCheckpoint: `exact` feeds BOTH the found-pair join and its
@@ -975,14 +977,15 @@ object LlmQueries extends QueryModule {
         (col("n_planted_found") >= col("n_planted_exact") * 0.9).as("planted_recall_ok"))
     }),
 
-    // --- SimHash dedup, also a SELF-CERTIFYING CONTRACT (the simhash
-    // expression is engine-only): pairs from [[simhashPairs]]; the truth
-    // side is the planted (doc, doc+10000) pairs whose Hamming distance
-    // is computed DIRECTLY from the two signatures (a linear join on the
-    // id offset, no banding). Pigeonhole guarantee: 4 bands of 16 bits
-    // catch EVERY pair with <= 3 differing bits — that is pinned exactly;
-    // recall over planted pairs at <= 6 bits is pinned at >= 0.75 (the
-    // 4..6-bit tail can dirty all four bands; measured ~0.9).
+    // --- SimHash dedup CERTIFICATION row: pairs from [[simhashPairs]];
+    // the truth side is the planted (doc, doc+10000) pairs whose
+    // Hamming distance is computed DIRECTLY from the two signatures (a
+    // linear join on the id offset, no banding). Pigeonhole guarantee:
+    // 4 bands of 16 bits catch EVERY pair with <= 3 differing bits —
+    // exact; recall over planted pairs at <= 6 bits is >= 0.75 (the
+    // 4..6-bit tail can dirty all four bands; measured ~0.9). Since
+    // round 10 the oracle evaluates the same guarantees from q152's
+    // replicated signature chain instead of pinning literals.
     "q36_simhash" -> ((s, dir) => {
       val docs = simhashDocs(s, dir)
       val found = simhashPairs(docs).select(col("doc_a"), col("doc_b"))
@@ -2173,13 +2176,18 @@ object LlmQueries extends QueryModule {
     * exponentially), band by signature 4-tuples (the engine's xxhash64
     * band KEY is just a bucketing of tuple equality), then exact Jaccard
     * >= 0.5 over the string shingle sets for the candidates. */
-  private def q151OracleSql: String = {
+  /** The q151 LSH pipeline as a shared CTE block ending in
+    * `lshp(doc_a, doc_b, jac)` — the verified MinHash-LSH pair set,
+    * consumed by the q151 row-level oracle AND q35's certification
+    * oracle (which compares it against the exact truth genuinely
+    * instead of pinning booleans). */
+  private def lshPairCtes: String = {
     val seedRows = MinhashSeeds.zipWithIndex.map { case (sd, j) =>
       s"($j, CAST('${java.lang.Long.toUnsignedString(sd)}' AS HUGEINT))"
     }.mkString(", ")
     val jacSql = "len(list_intersect(x.sh, y.sh)) / " +
       "(x.sz + y.sz - len(list_intersect(x.sh, y.sh)))"
-    s"""WITH $plantedShingleCtes,
+    s"""$plantedShingleCtes,
        |ex AS (SELECT doc_id, unnest(sh) AS s FROM shz),
        |hs AS (SELECT doc_id, ${fnvSqlOf("s")} AS h FROM ex),
        |seeds(j, sd) AS (VALUES $seedRows),
@@ -2195,21 +2203,86 @@ object LlmQueries extends QueryModule {
        |          FROM sig GROUP BY doc_id, j // 4),
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |         FROM bands a JOIN bands b
-       |         ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
-       |SELECT c.doc_a, c.doc_b, $jacSql AS jac
-       |FROM cand c JOIN shz x ON c.doc_a = x.doc_id
-       |            JOIN shz y ON c.doc_b = y.doc_id
-       |WHERE $jacSql >= 0.5
-       |ORDER BY doc_a, doc_b""".stripMargin
+       |         ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |lshp AS (SELECT c.doc_a, c.doc_b, $jacSql AS jac
+       |         FROM cand c JOIN shz x ON c.doc_a = x.doc_id
+       |                     JOIN shz y ON c.doc_b = y.doc_id
+       |         WHERE $jacSql >= 0.5)""".stripMargin
   }
+
+  private def q151OracleSql: String =
+    s"""WITH $lshPairCtes
+       |SELECT doc_a, doc_b, jac FROM lshp
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** q35's certification oracle: the LSH pair set (q151's chain) vs the
+    * df-capped exact truth, every output column computed from the two
+    * recomputed sets — the engine's exact relationship, independently
+    * re-derived. */
+  private def q35OracleSql: String =
+    s"""WITH $lshPairCtes,
+       |exd AS (SELECT doc_id, sz, unnest(sh) AS s FROM shz),
+       |exd2 AS (SELECT doc_id, sz, s,
+       |           COUNT(*) OVER (PARTITION BY s) AS df FROM exd),
+       |exact AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM exd2 a JOIN exd2 b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id, a.sz, b.sz
+       |  HAVING COUNT(*) / (a.sz + b.sz - COUNT(*)) >= 0.5
+       |    AND MIN(a.df) <= 256),
+       |f AS (SELECT count(*) AS n_found,
+       |        count(e.doc_a) AS n_found_exact,
+       |        count(CASE WHEN e.doc_a IS NOT NULL
+       |                    AND l.doc_b = l.doc_a + 10000 THEN 1 END)
+       |          AS n_planted_found
+       |      FROM lshp l LEFT JOIN exact e
+       |        ON e.doc_a = l.doc_a AND e.doc_b = l.doc_b),
+       |x AS (SELECT count(*) AS n_exact,
+       |        count(CASE WHEN doc_b = doc_a + 10000 THEN 1 END)
+       |          AS n_planted_exact
+       |      FROM exact)
+       |SELECT CAST(x.n_exact AS BIGINT) AS n_exact,
+       |  CAST(x.n_planted_exact AS BIGINT) AS n_planted_exact,
+       |  f.n_found = f.n_found_exact AS lsh_subset_ok,
+       |  f.n_found_exact >= x.n_exact * 0.9 AS recall_ok,
+       |  f.n_planted_found >= x.n_planted_exact * 0.9 AS planted_recall_ok
+       |FROM x CROSS JOIN f""".stripMargin
+
+  /** q36's certification oracle: banded pairs (q152's chain) vs the
+    * direct planted-pair Hamming distances from the replicated
+    * signatures; the pigeonhole and recall booleans evaluated from the
+    * recomputed sets. n_docs counts the corpus directly (the engine
+    * emits one signature per planted doc unconditionally). */
+  private def q36OracleSql: String =
+    s"""WITH $simhashChainCtes,
+       |pl AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+       |       FROM shd a JOIN shd b ON b.doc_id = a.doc_id + 10000),
+       |m AS (SELECT
+       |        count(CASE WHEN p.hamming <= 3 AND f.doc_a IS NULL
+       |                   THEN 1 END) AS n3m,
+       |        count(CASE WHEN p.hamming <= 6 AND f.doc_a IS NOT NULL
+       |                   THEN 1 END) AS n6f,
+       |        count(CASE WHEN p.hamming <= 6 THEN 1 END) AS n6
+       |      FROM pl p LEFT JOIN found f
+       |        ON f.doc_a = p.doc_a AND f.doc_b = p.doc_b),
+       |n AS (SELECT count(*) AS n_docs FROM corpus)
+       |SELECT CAST(n.n_docs AS BIGINT) AS n_docs,
+       |  m.n3m = 0 AS guaranteed_le3_ok,
+       |  m.n6f >= m.n6 * 0.75 AS planted_recall_ok
+       |FROM n CROSS JOIN m""".stripMargin
 
   /** Full row-level oracle for the SimHash pair list: FNV-1a token
     * hashes (deduped by hash, like SimHash64's seen-set), 64 bit votes,
     * signature = positive-vote bits (unsigned, wrapped to the engine's
     * signed Long at the end), 4x16-bit band join with the engine's
     * first-matching-band dedup, Hamming <= 6 via bit_count(xor). */
-  private def q152OracleSql: String =
-    s"""WITH $plantedShingleCtes,
+  /** The q152 SimHash pipeline as a shared CTE block ending in
+    * `shd(doc_id, u, sh)` (per-doc signatures) and `found(doc_a,
+    * doc_b, hamming)` (the banded pair list at Hamming <= 6) — consumed
+    * by the q152 row-level oracle AND q36's certification oracle. */
+  private def simhashChainCtes: String =
+    s"""$plantedShingleCtes,
        |tok AS (SELECT DISTINCT doc_id,
        |    unnest(string_split_regex(trim(text), '\\s+')) AS w FROM corpus),
        |th AS (SELECT doc_id, ${fnvSqlOf("w")} AS h FROM tok),
@@ -2234,10 +2307,14 @@ object LlmQueries extends QueryModule {
        |fb AS (SELECT * FROM pr WHERE band = CASE
        |    WHEN ua % 65536 = ub % 65536 THEN 0
        |    WHEN (ua >> 16) % 65536 = (ub >> 16) % 65536 THEN 1
-       |    WHEN (ua >> 32) % 65536 = (ub >> 32) % 65536 THEN 2 ELSE 3 END)
-       |SELECT doc_a, doc_b, CAST(bit_count(xor(sha, shb)) AS INT) AS hamming
-       |FROM fb
-       |WHERE bit_count(xor(sha, shb)) <= 6
+       |    WHEN (ua >> 32) % 65536 = (ub >> 32) % 65536 THEN 2 ELSE 3 END),
+       |found AS (SELECT doc_a, doc_b,
+       |    CAST(bit_count(xor(sha, shb)) AS INT) AS hamming
+       |  FROM fb WHERE bit_count(xor(sha, shb)) <= 6)""".stripMargin
+
+  private def q152OracleSql: String =
+    s"""WITH $simhashChainCtes
+       |SELECT doc_a, doc_b, hamming FROM found
        |ORDER BY doc_a, doc_b""".stripMargin
 
   def oracles: Map[String, String] = Map(
@@ -2632,40 +2709,17 @@ object LlmQueries extends QueryModule {
     // genuinely (q34 semantics); the booleans pin the LSH/exact
     // relationship the engine verifies in-query — a recall or precision
     // regression flips one and fails the hash gate.
-    "q35_minhash_lsh" ->
-      """WITH corpus AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 10000,
-        |    array_to_string(string_split_regex(trim(text), '\s+')[1:greatest(
-        |      len(string_split_regex(trim(text), '\s+')) - 5, 1)], ' ')
-        |  FROM documents),
-        |sh AS (
-        |  SELECT doc_id, list_distinct(CASE WHEN len(tk) >= 3 THEN
-        |    list_transform(range(1, len(tk) - 1),
-        |      i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])
-        |    ELSE [] END) AS sh
-        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM corpus)),
-        |ex AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS s FROM sh),
-        |exd AS (SELECT doc_id, sz, s,
-        |          COUNT(*) OVER (PARTITION BY s) AS df FROM ex),
-        |pairs AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM exd a JOIN exd b ON a.s = b.s AND a.doc_id < b.doc_id
-        |  GROUP BY a.doc_id, b.doc_id, a.sz, b.sz
-        |  HAVING COUNT(*) / (a.sz + b.sz - COUNT(*)) >= 0.5
-        |    AND MIN(a.df) <= 256) -- engine's shingle df-cap
-        |SELECT count(*) AS n_exact,
-        |  count(CASE WHEN doc_b = doc_a + 10000 THEN 1 END) AS n_planted_exact,
-        |  true AS lsh_subset_ok, true AS recall_ok, true AS planted_recall_ok
-        |FROM pairs""".stripMargin,
-    // Self-certifying contract: n_docs is genuine (the planted corpus is
-    // one copy per document); the booleans pin the banding guarantees the
-    // engine verifies against direct planted-pair Hamming distances.
-    "q36_simhash" ->
-      """SELECT 2 * count(*) AS n_docs,
-        |  true AS guaranteed_le3_ok, true AS planted_recall_ok
-        |FROM documents""".stripMargin,
+    // FULL recomputation (round 10 — the MinHash contract tier is
+    // retired): the oracle re-derives BOTH pipelines independently —
+    // the LSH pair set via q151's shared HUGEINT hash chain (lshp) and
+    // the df-capped exact truth — and evaluates every boolean from its
+    // own two sets, exactly the relationship the engine certifies.
+    "q35_minhash_lsh" -> q35OracleSql,
+    // FULL recomputation, same promotion: the banded pair list comes
+    // from q152's shared chain (found), the planted-pair Hamming
+    // distances directly from the replicated signatures (shd), and the
+    // pigeonhole + recall booleans are evaluated genuinely.
+    "q36_simhash" -> q36OracleSql,
     // Genuine full oracle: the Rademacher hyperplanes come from a fixed
     // multiplicative LCG — pure 64-bit arithmetic replicated here in
     // HUGEINT (128-bit) SQL, wrapped mod 2^64; plane sign = bit 33 of

@@ -96,10 +96,13 @@ class BenchFormatSpec extends AnyFunSuite {
     // this test keeps the set explicit — adding a new contract-style
     // oracle (or silently weakening a full oracle to booleans) must
     // touch this list.
-    // Round 10 retired q146/q155 from this tier: their oracles now
-    // re-derive the full blocked kNN graph (cells, argmax assignment,
-    // top-2 probes, top-5 ranking) and compute every boolean from it.
-    val contractTier = Set("q35_minhash_lsh", "q36_simhash",
+    // Round 10 retired q146/q155 (full blocked-kNN-graph re-derivation)
+    // and then q35/q36 (LSH + exact truth and SimHash banding + planted
+    // Hamming, both recomputed via the shared q151/q152 oracle chains)
+    // from this tier. What remains is exactly the queries wrapping
+    // Spark-INTERNAL approximate sketches (HLL++, approx-percentile)
+    // that no external engine can re-derive bit-for-bit.
+    val contractTier = Set(
       "q45_approx_distinct", "q97_hll_rollup", "q104_approx_percentile")
     val pinsBooleans = SparkEntry.oracleSql.filter { case (_, sql) =>
       sql.toLowerCase.matches("(?s).*\\btrue\\b.*as\\s+\\w*_ok\\b.*")
