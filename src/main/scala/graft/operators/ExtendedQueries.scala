@@ -317,12 +317,25 @@ object ExtendedQueries extends QueryModule {
     // contract column proves the sketch lands within 2% of the exact
     // answer computed on the same data. Output is exact values + a
     // boolean, so the hash-oracle stays deterministic.
+    //
+    // The exact arm lives on the integer CENT grid end-to-end (round 10
+    // — the sf0.001 off-gate sweep caught `round(med, 2)` flipping on a
+    // half-cent interpolated median, 52724.245: Spark rounds the
+    // shortest-decimal repr HALF_UP, DuckDB rounds the binary double):
+    // prices quantize to exact cents (2-dp data, so *100 is ~1e-9 from
+    // an integer — never near .5), the p50 interpolation of integer
+    // cents doubles to an exact integer (a+b), the half-up is the
+    // integer (s+1) DIV 2, and the final /100.0 is an exact IEEE
+    // division — no round() of a near-half anywhere.
     "q104_approx_percentile" -> ((s, dir) => {
       Tables(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
-        .agg(percentile(col("l_extendedprice"), lit(0.5)).as("exact_med"),
+        .agg(percentile(expr("CAST(round(l_extendedprice * 100) AS BIGINT)"),
+            lit(0.5)).as("medc"),
           percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("apx"))
-        .select(col("l_returnflag"), round(col("exact_med"), 2).as("exact_med"),
+        .withColumn("exact_med",
+          expr("((CAST(medc * 2 AS BIGINT) + 1) DIV 2) / 100.0"))
+        .select(col("l_returnflag"), col("exact_med"),
           (abs(col("apx") - col("exact_med")) / col("exact_med") <= lit(0.02))
             .as("apx_ok"))
         .orderBy(col("l_returnflag"))
@@ -398,11 +411,16 @@ object ExtendedQueries extends QueryModule {
         |    ORDER BY o_totalprice, o_orderkey), 6) AS cd
         |FROM orders WHERE o_orderkey < 500
         |ORDER BY o_orderstatus, o_orderkey""".stripMargin,
+    // exact arm replicated on the integer cent grid (see the engine
+    // comment: no round() of a near-half anywhere)
     "q104_approx_percentile" ->
-      """SELECT l_returnflag,
-        |  round(quantile_cont(l_extendedprice, 0.5), 2) AS exact_med,
+      """WITH g AS (SELECT l_returnflag,
+        |  quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.5) AS m
+        |FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag,
+        |  ((CAST(m * 2 AS BIGINT) + 1) // 2) / 100.0 AS exact_med,
         |  TRUE AS apx_ok
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+        |FROM g ORDER BY l_returnflag""".stripMargin,
     "q100_collect_aggs" ->
       """SELECT o_orderstatus, COUNT(*) AS n,
         |  array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',')
