@@ -2123,6 +2123,82 @@ object LlmQueries extends QueryModule {
           col("near_jac"),
           (col("exact_match").isNull && col("near_match").isNull).as("is_new"))
         .orderBy(col("doc_id"))
+    }),
+
+    // --- ANN recall audit (q170): recall@k of the IVF index (q46)
+    // against the exact brute-force top-k (q37) — the standard quality
+    // eval every production vector store runs before trusting an index,
+    // and the missing closure over the repo's whole ANN family
+    // (q39/q46/q131/q132/q145 all trade recall for probe cost; this op
+    // MEASURES the trade). Both arms share k=3 and the identical
+    // deterministic tie order (score DESC on the 4-decimal grid, nbr_id
+    // ASC), so the two top-k SETS are engine-independent and the
+    // intersection count is exact. recall lands on the half-up 1e-6
+    // integer grid — never round(n_hit/k). Scale: the exact arm is the
+    // intrinsic cost of ground truth, bounded by the AUDIT SAMPLE (10
+    // anchors here, never the full query log — recall audits sample by
+    // design), so the brute-force stream is anchors x corpus with the
+    // bounded-heap TopK's O(anchors x k) exchange; the IVF arm is the
+    // production probe path itself; the final joins are anchors x k
+    // rows. The reused q37/q46 outputs carry their top-k-sized sorts
+    // (≤ 50 rows) — output-sized, not corpus-sized.
+    "q170_ann_recall" -> ((s, dir) => {
+      val exact = queries("q37_knn_cosine")(s, dir)
+        .filter(col("rnk") <= 3)
+        .select(col("query_id"), col("nbr_id"))
+      val approx = queries("q46_ann_ivf")(s, dir)
+        .select(col("query_id"), col("nbr_id"))
+      val hits = exact.join(approx, Seq("query_id", "nbr_id"))
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+      exact.groupBy(col("query_id")).agg(count(lit(1)).as("k"))
+        .join(hits, Seq("query_id"), "left")
+        .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+        .withColumn("rc",
+          expr("(2 * n_hit * 1000000 + k) DIV (2 * k)"))
+        .select(col("query_id"), col("k"), col("n_hit"),
+          (col("rc").cast("double") / lit(1000000.0)).as("recall"))
+        .orderBy(col("query_id"))
+    }),
+
+    // --- greedy k-center coreset selection (q174): Gonzalez's
+    // farthest-point traversal — the classic 2-approximation for
+    // k-center and the standard geometric data-pruning/coreset pick
+    // (select the k most mutually distant examples). Deterministic and
+    // engine-independent END-TO-END: vectors quantize once to a 2^16
+    // integer grid, distances are exact integer squared-Euclidean
+    // (bounded by dim x (2^17)^2 << 2^63), the seed is min(vec_id), and
+    // each round's argmax breaks ties by min vec_id — so the oracle
+    // re-derives the identical traversal. Scale: k passes over the
+    // corpus, each a map-side min over the (broadcast, <= k-row) chosen
+    // set followed by a 1-row partial-agg argmax — no window, no pair
+    // shuffle, nothing corpus²; the quantized corpus materializes once
+    // (localCheckpoint) and each round's state is k rows.
+    "q174_kcenter_coreset" -> ((s, dir) => {
+      val k = 8
+      val e = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), expr(
+          "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 65536.0D) AS BIGINT))")
+          .as("f"))
+        .localCheckpoint() // scanned once, probed k times
+      val seedId = e.agg(min(col("vec_id"))).head().getLong(0)
+      val d2Sql = "aggregate(zip_with(f, cf, (x, y) -> (x - y) * (x - y)), " +
+        "0L, (acc, z) -> acc + z)"
+      var chosen = e.filter(col("vec_id") === seedId)
+        .select(lit(1).as("rnk"), col("vec_id"), lit(0L).as("d2"), col("f"))
+        .localCheckpoint()
+      for (r <- 2 to k) {
+        // d_min to the chosen set, then a partial-agged argmax — the
+        // q127/q46 max(struct) shape, never a global sort
+        val next = e.join(chosen.select(col("vec_id")), Seq("vec_id"), "left_anti")
+          .crossJoin(broadcast(chosen.select(col("f").as("cf"))))
+          .withColumn("d2c", expr(d2Sql))
+          .groupBy(col("vec_id")).agg(min(col("d2c")).as("dmin"), first(col("f")).as("f"))
+          .agg(max(struct(col("dmin"), (-col("vec_id")).as("neg"), col("f"))).as("m"))
+          .select(lit(r).as("rnk"), (-col("m.neg")).as("vec_id"),
+            col("m.dmin").as("d2"), col("m.f").as("f"))
+        chosen = chosen.union(next).localCheckpoint()
+      }
+      chosen.select(col("rnk"), col("vec_id"), col("d2")).orderBy(col("rnk"))
     })
   )
 
@@ -3281,6 +3357,83 @@ object LlmQueries extends QueryModule {
         |  len(list_filter(range(1, 17), i -> a.sig[i] = b.sig[i])) / 16.0
         |    AS jac_est
         |FROM sig a JOIN sig b ON a.source < b.source
-        |ORDER BY src_a, src_b""".stripMargin
+        |ORDER BY src_a, src_b""".stripMargin,
+
+    // q37's exact arm (rnk <= 3) + q46's full centroid/assign/probe
+    // chain, then recall@3 on the half-up 1e-6 integer grid.
+    "q170_ann_recall" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |xp AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+        |    round(list_dot_product(q.v, c.v) /
+        |      (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 4)
+        |      AS score
+        |  FROM e q JOIN e c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+        |xr AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |         ORDER BY score DESC, nbr_id ASC) AS rnk FROM xp),
+        |ex AS (SELECT query_id, nbr_id FROM xr WHERE rnk <= 3),
+        |idx AS (SELECT unnest(range(1, 65)) AS i),
+        |comp AS (SELECT label, i, CAST(floor(v[i] * 4294967296.0) AS BIGINT) AS fx
+        |         FROM e CROSS JOIN idx),
+        |cent AS (SELECT label, i, sum(fx) AS s, count(*) AS n
+        |         FROM comp GROUP BY label, i),
+        |cells AS (SELECT label AS cell,
+        |            list(CAST(s AS DOUBLE) / 4294967296.0 / n ORDER BY i) AS cv
+        |          FROM cent GROUP BY label),
+        |assign AS (
+        |  SELECT e.vec_id, e.v, c.cell,
+        |    list_dot_product(e.v, c.cv) /
+        |      (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv)))
+        |      AS cell_score
+        |  FROM e CROSS JOIN cells c),
+        |best AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |           ORDER BY cell_score DESC, cell ASC) AS rk FROM assign),
+        |wc AS (SELECT vec_id, cell, v, sqrt(list_dot_product(v, v)) AS nrm
+        |       FROM best WHERE rk = 1),
+        |ap AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+        |    round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 4) AS score
+        |  FROM wc q JOIN wc c ON q.cell = c.cell
+        |    AND q.vec_id < 10 AND q.vec_id <> c.vec_id),
+        |ar AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |         ORDER BY score DESC, nbr_id ASC) AS rnk FROM ap),
+        |ann AS (SELECT query_id, nbr_id FROM ar WHERE rnk <= 3),
+        |hits AS (SELECT ex.query_id, count(*) AS n_hit FROM ex
+        |         JOIN ann ON ex.query_id = ann.query_id
+        |                 AND ex.nbr_id = ann.nbr_id
+        |         GROUP BY ex.query_id),
+        |base AS (SELECT query_id, count(*) AS k FROM ex GROUP BY query_id)
+        |SELECT b.query_id, b.k, coalesce(h.n_hit, CAST(0 AS BIGINT)) AS n_hit,
+        |  CAST((2 * coalesce(h.n_hit, 0) * 1000000 + b.k) // (2 * b.k)
+        |    AS BIGINT) / 1000000.0 AS recall
+        |FROM base b LEFT JOIN hits h ON b.query_id = h.query_id
+        |ORDER BY b.query_id""".stripMargin,
+
+    // Gonzalez farthest-point traversal re-derived round by round: the
+    // same 2^16 integer grid, exact integer squared distances, min-seed
+    // and (d2 DESC, vec_id ASC) argmax — one unrolled CTE per round.
+    "q174_kcenter_coreset" -> {
+      val rounds = (2 to 8).map { r =>
+        s"""nx$r AS (
+           |  SELECT $r AS rnk, vec_id, d2, f FROM (
+           |    SELECT x.vec_id, x.f,
+           |      CAST(min(list_sum(list_transform(range(1, 65),
+           |        i -> (x.f[i] - c.f[i]) * (x.f[i] - c.f[i])))) AS BIGINT) AS d2
+           |    FROM e x, ch${r - 1} c
+           |    WHERE x.vec_id NOT IN (SELECT vec_id FROM ch${r - 1})
+           |    GROUP BY x.vec_id, x.f)
+           |  ORDER BY d2 DESC, vec_id ASC LIMIT 1),
+           |ch$r AS (SELECT * FROM ch${r - 1} UNION ALL SELECT * FROM nx$r)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT vec_id,
+         |  list_transform(CAST(embedding AS DOUBLE[]),
+         |    x -> CAST(floor(x * 65536.0) AS BIGINT)) AS f FROM embeddings),
+         |ch1 AS (SELECT 1 AS rnk, vec_id, CAST(0 AS BIGINT) AS d2, f
+         |        FROM e WHERE vec_id = (SELECT min(vec_id) FROM e)),
+         |$rounds
+         |SELECT rnk, vec_id, d2 FROM ch8 ORDER BY rnk""".stripMargin
+    }
   )
 }
