@@ -1271,7 +1271,35 @@ object CorpusQueries extends QueryModule {
           expr("(cum - n_subtok) div 512").as("start_seq"),
           expr("(cum - 1) div 512").as("end_seq"))
         .orderBy(col("lang"), col("source"), col("doc_id"))
-    })
+    }),
+
+    // --- tokenizer fertility audit (q173): the standard per-language
+    // tokenizer eval — fertility (subword tokens per word) and
+    // compression (chars per subword token) — run against the q165
+    // corpus-derived MaxMatch tokenizer. High fertility on a language
+    // means the vocabulary under-serves it (its text costs more budget
+    // per word), the number multilingual tokenizer reports lead with
+    // (XLM-R, BLOOM tokenizer papers). Shares the q165 chain verbatim
+    // (same vocab, same integer fold), then one lang-keyed partial agg;
+    // both ratios are half-up 1e-6 integer-grid divisions of exact
+    // longs — never round(a/b). Scale: the q165 two-pass cost plus a
+    // languages-sized exchange.
+    "q173_tokenizer_fertility" -> ((s, dir) =>
+      subwordCounts(s, dir)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_words")).cast("long").as("n_words"),
+          sum(col("n_subtok")).cast("long").as("n_subtok"),
+          sum(col("n_wchars")).cast("long").as("n_wchars"))
+        .withColumn("fert",
+          expr("(2 * n_subtok * 1000000 + n_words) DIV (2 * n_words)"))
+        .withColumn("cpt",
+          expr("(2 * n_wchars * 1000000 + n_subtok) DIV (2 * n_subtok)"))
+        .select(col("lang"), col("n_docs"), col("n_words"), col("n_subtok"),
+          col("n_wchars"),
+          (col("fert").cast("double") / lit(1000000.0)).as("fertility"),
+          (col("cpt").cast("double") / lit(1000000.0)).as("chars_per_subtok"))
+        .orderBy(col("lang")))
   )
 
   /** The q165 subword chain, shared with q167's packing: corpus-derived
@@ -1308,7 +1336,8 @@ object CorpusQueries extends QueryModule {
       .withColumn("n_sub", expr(maxMatchCountSql))
       .groupBy(col("doc_id"), col("lang"), col("source"))
       .agg(count(lit(1)).as("n_words"),
-        sum(col("n_sub")).cast("long").as("n_subtok"))
+        sum(col("n_sub")).cast("long").as("n_subtok"),
+        sum(length(col("w"))).cast("long").as("n_wchars"))
   }
 
   /** Greedy longest-match (MaxMatch) token count of word column `w`
@@ -2399,6 +2428,49 @@ object CorpusQueries extends QueryModule {
         |SELECT lang, source, doc_id, n_subtok,
         |  CAST((cum - n_subtok) // 512 AS BIGINT) AS start_seq,
         |  CAST((cum - 1) // 512 AS BIGINT) AS end_seq
-        |FROM cums ORDER BY lang, source, doc_id""".stripMargin
+        |FROM cums ORDER BY lang, source, doc_id""".stripMargin,
+
+    // q165's vocab+encode chain with lang and word length carried
+    // through, aggregated per language; both ratios re-derived on the
+    // half-up 1e-6 integer grid (all terms non-negative, so // == DIV).
+    "q173_tokenizer_fertility" ->
+      """WITH words AS (
+        |  SELECT doc_id, lang, w FROM (
+        |    SELECT doc_id, lang,
+        |      unnest(string_split_regex(trim(text), '\s+')) AS w
+        |    FROM documents) WHERE len(w) > 0),
+        |g2 AS (SELECT unnest(list_transform(range(1, len(w)),
+        |         i -> substr(w, i, 2))) AS g FROM words WHERE len(w) >= 2),
+        |g3 AS (SELECT unnest(list_transform(range(1, len(w) - 1),
+        |         i -> substr(w, i, 3))) AS g FROM words WHERE len(w) >= 3),
+        |g4 AS (SELECT unnest(list_transform(range(1, len(w) - 2),
+        |         i -> substr(w, i, 4))) AS g FROM words WHERE len(w) >= 4),
+        |v2 AS (SELECT list(g ORDER BY g) AS v2 FROM (
+        |         SELECT g FROM g2 GROUP BY g ORDER BY count(*) DESC, g LIMIT 128)),
+        |v3 AS (SELECT list(g ORDER BY g) AS v3 FROM (
+        |         SELECT g FROM g3 GROUP BY g ORDER BY count(*) DESC, g LIMIT 64)),
+        |v4 AS (SELECT list(g ORDER BY g) AS v4 FROM (
+        |         SELECT g FROM g4 GROUP BY g ORDER BY count(*) DESC, g LIMIT 32)),
+        |enc AS (
+        |  SELECT doc_id, lang, len(w) AS wl,
+        |    list_reduce(list_prepend(0, list_transform(range(1, len(w) + 1), i ->
+        |      CASE WHEN list_contains(v4, substr(w, i, 4)) THEN 3
+        |           WHEN list_contains(v3, substr(w, i, 3)) THEN 2
+        |           WHEN list_contains(v2, substr(w, i, 2)) THEN 1
+        |           ELSE 0 END)),
+        |      (s, f) -> CASE WHEN s % 4 > 0 THEN s - 1 ELSE s + 4 + f END) // 4
+        |      AS n_sub
+        |  FROM words, v2, v3, v4),
+        |pl AS (SELECT lang, COUNT(DISTINCT doc_id) AS n_docs,
+        |         COUNT(*) AS n_words,
+        |         CAST(SUM(n_sub) AS BIGINT) AS n_subtok,
+        |         CAST(SUM(wl) AS BIGINT) AS n_wchars
+        |       FROM enc GROUP BY lang)
+        |SELECT lang, n_docs, n_words, n_subtok, n_wchars,
+        |  CAST((2 * n_subtok::HUGEINT * 1000000 + n_words) // (2 * n_words)
+        |    AS BIGINT) / 1000000.0 AS fertility,
+        |  CAST((2 * n_wchars::HUGEINT * 1000000 + n_subtok) // (2 * n_subtok)
+        |    AS BIGINT) / 1000000.0 AS chars_per_subtok
+        |FROM pl ORDER BY lang""".stripMargin
   )
 }
