@@ -2199,6 +2199,81 @@ object LlmQueries extends QueryModule {
         chosen = chosen.union(next).localCheckpoint()
       }
       chosen.select(col("rnk"), col("vec_id"), col("d2")).orderBy(col("rnk"))
+    }),
+
+    // --- embedding PCA, top principal direction (q171): the covariance
+    // spectral step behind standard embedding post-processing ("All-
+    // but-the-top", Mu & Viswanath 2018: drop the dominant directions;
+    // PCA whitening before ANN indexing) — distributed the only way
+    // that survives 100 TB: ONE corpus pass folds each row's d×d outer
+    // product map-side into a d²-row partial aggregate (the exchange is
+    // bounded by the DIMENSION, never the corpus), then 20 fixed power-
+    // iteration rounds run on the d²-sized normalized covariance — each
+    // a 4096x64 join + 64-row partial agg, corpus never touched again.
+    // Engine-independence is the q151 playbook end-to-end: components
+    // quantize once to a 2^16 integer grid, so moments/covariance are
+    // EXACT integers (DECIMAL(38,0) / HUGEINT); the covariance and
+    // every iterate renormalize onto a 1e6 integer grid via the
+    // sign-safe truncating division (DIV truncates, DuckDB // floors —
+    // abs-then-reapply-sign makes them agree); the Rayleigh quotient
+    // lands on the same grid. Fixed iteration count, fixed all-ones
+    // start: the traversal is deterministic whether or not it has
+    // converged, and the oracle re-derives all 20 rounds unrolled.
+    "q171_embedding_pca" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+        .select(expr(
+          "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 65536.0D) AS BIGINT))")
+          .as("f"))
+      val n = e.agg(count(lit(1)).as("n"))
+      val m = e.select(posexplode(col("f")).as(Seq("i0", "x")))
+        .groupBy(col("i0")).agg(sum(col("x")).as("m")) // d rows
+      val sp = e.select(explode(expr(
+          "flatten(transform(f, (x, i) -> transform(f, (y, j) -> " +
+            "named_struct('k', i * 64 + j, 'p', x * y))))")).as("kp"))
+        .select(col("kp.k").as("k"),
+          col("kp.p").cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("p"))
+        .groupBy(col("k")).agg(sum(col("p")).as("sp")) // d² rows
+      val cov = sp
+        .withColumn("i", expr("k DIV 64")).withColumn("j", expr("k % 64"))
+        .join(broadcast(m.select(col("i0").as("i"), col("m").as("mi"))), Seq("i"))
+        .join(broadcast(m.select(col("i0").as("j"), col("m").as("mj"))), Seq("j"))
+        .crossJoin(broadcast(n))
+        .withColumn("cov", expr("CAST(n AS DECIMAL(38,0)) * sp - " +
+          "CAST(mi AS DECIMAL(38,0)) * CAST(mj AS DECIMAL(38,0))"))
+        .select(col("i"), col("j"), col("cov"))
+        .localCheckpoint() // d² rows; consumed by cmax + the scaled copy
+      val cmax = cov.agg(max(abs(col("cov"))).as("cmx"))
+      val cn = cov.crossJoin(broadcast(cmax))
+        .withColumn("cv", expr("CASE WHEN cmx = 0 THEN CAST(0 AS BIGINT) " +
+          "WHEN cov >= 0 THEN CAST((cov * 1000000) DIV cmx AS BIGINT) " +
+          "ELSE -CAST(((-cov) * 1000000) DIV cmx AS BIGINT) END"))
+        .select(col("i"), col("j"), col("cv"))
+        .localCheckpoint() // consumed by all 21 matrix-vector products
+      var v = m.select(col("i0").as("j"), lit(1000000L).as("val")).localCheckpoint()
+      val normSql = "CASE WHEN mx = 0 THEN CAST(0 AS BIGINT) " +
+        "WHEN raw >= 0 THEN CAST((CAST(raw AS DECIMAL(38,0)) * 1000000) DIV mx AS BIGINT) " +
+        "ELSE -CAST((CAST(-raw AS DECIMAL(38,0)) * 1000000) DIV mx AS BIGINT) END"
+      for (_ <- 1 to 20) {
+        val w = cn.join(v, Seq("j")).groupBy(col("i"))
+          .agg(sum(col("cv") * col("val")).as("raw")) // |raw| <= d*1e12
+        val mx = w.agg(max(abs(col("raw"))).as("mx"))
+        v = w.crossJoin(broadcast(mx))
+          .select(col("i").as("j"), expr(normSql).as("val"))
+          .localCheckpoint() // d rows per round; truncates the loop lineage
+      }
+      val wf = cn.join(v, Seq("j")).groupBy(col("i"))
+        .agg(sum(col("cv") * col("val")).as("raw"))
+      val lam = wf.join(v.select(col("j").as("i"), col("val")), Seq("i"))
+        .agg(sum(expr("CAST(raw AS DECIMAL(38,0)) * val")).as("num"),
+          sum(expr("CAST(val AS DECIMAL(38,0)) * val")).as("den"))
+        .withColumn("lm", expr("CASE WHEN den = 0 THEN CAST(0 AS BIGINT) " +
+          "WHEN num >= 0 THEN CAST((num * 1000000) DIV den AS BIGINT) " +
+          "ELSE -CAST(((-num) * 1000000) DIV den AS BIGINT) END"))
+      v.crossJoin(broadcast(lam.select(col("lm"))))
+        .select((col("j") + 1).cast("long").as("dim"),
+          (col("val").cast("double") / lit(1000000.0)).as("comp"),
+          (col("lm").cast("double") / lit(1000000.0)).as("ev_lambda"))
+        .orderBy(col("dim"))
     })
   )
 
@@ -3434,6 +3509,53 @@ object LlmQueries extends QueryModule {
          |        FROM e WHERE vec_id = (SELECT min(vec_id) FROM e)),
          |$rounds
          |SELECT rnk, vec_id, d2 FROM ch8 ORDER BY rnk""".stripMargin
+    },
+
+    // The full q171 chain re-derived: 2^16 quantization, exact HUGEINT
+    // moments -> covariance, 1e6-grid normalization, and all 20 power-
+    // iteration rounds unrolled as generated CTEs (one w/m/v triple per
+    // round), closing with the same grid Rayleigh quotient.
+    "q171_embedding_pca" -> {
+      val iters = (1 to 20).map { t =>
+        val pv = if (t == 1) "v0" else s"v${t - 1}"
+        // AS MATERIALIZED: DuckDB inlines plain CTEs at every reference,
+        // and each round references the previous twice — without
+        // materialization the 20-round chain expands 2^20 scans.
+        s"""w$t AS MATERIALIZED (SELECT c.i, sum(c.cv * v.val) AS raw FROM cn c
+           |  JOIN $pv v ON c.j = v.j GROUP BY c.i),
+           |m$t AS MATERIALIZED (SELECT max(abs(raw)) AS mx FROM w$t),
+           |v$t AS MATERIALIZED (SELECT i AS j, CASE WHEN mx = 0 THEN CAST(0 AS BIGINT)
+           |    WHEN raw >= 0 THEN CAST((raw::HUGEINT * 1000000) // mx AS BIGINT)
+           |    ELSE -CAST(((-raw)::HUGEINT * 1000000) // mx AS BIGINT) END AS val
+           |  FROM w$t, m$t)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT list_transform(CAST(embedding AS DOUBLE[]),
+         |    x -> CAST(floor(x * 65536.0) AS BIGINT)) AS f FROM embeddings),
+         |nn AS (SELECT count(*)::HUGEINT AS n FROM e),
+         |idx AS (SELECT unnest(range(1, 65)) AS i),
+         |mm AS (SELECT i, sum(f[i])::HUGEINT AS m FROM e CROSS JOIN idx GROUP BY i),
+         |sp AS (SELECT ii.i AS i, jj.i AS j, sum(f[ii.i] * f[jj.i])::HUGEINT AS sp
+         |       FROM e CROSS JOIN idx ii CROSS JOIN idx jj GROUP BY ii.i, jj.i),
+         |cov AS (SELECT s.i, s.j, nn.n * s.sp - m1.m * m2.m AS cov
+         |        FROM sp s, nn, mm m1, mm m2 WHERE m1.i = s.i AND m2.i = s.j),
+         |cmm AS (SELECT max(abs(cov)) AS cmx FROM cov),
+         |cn AS MATERIALIZED (SELECT i, j, CASE WHEN cmx = 0 THEN CAST(0 AS BIGINT)
+         |    WHEN cov >= 0 THEN CAST((cov * 1000000) // cmx AS BIGINT)
+         |    ELSE -CAST(((-cov) * 1000000) // cmx AS BIGINT) END AS cv
+         |  FROM cov, cmm),
+         |v0 AS (SELECT i AS j, CAST(1000000 AS BIGINT) AS val FROM idx),
+         |$iters,
+         |wf AS (SELECT c.i, sum(c.cv * v.val) AS raw FROM cn c
+         |  JOIN v20 v ON c.j = v.j GROUP BY c.i),
+         |ld AS (SELECT sum(w.raw::HUGEINT * v.val) AS num,
+         |         sum(v.val::HUGEINT * v.val) AS den
+         |       FROM wf w JOIN v20 v ON w.i = v.j),
+         |lam AS (SELECT CASE WHEN den = 0 THEN CAST(0 AS BIGINT)
+         |    WHEN num >= 0 THEN CAST((num * 1000000) // den AS BIGINT)
+         |    ELSE -CAST(((-num) * 1000000) // den AS BIGINT) END AS lm FROM ld)
+         |SELECT v.j AS dim, CAST(v.val AS DOUBLE) / 1000000.0 AS comp,
+         |  CAST(lm AS DOUBLE) / 1000000.0 AS ev_lambda
+         |FROM v20 v, lam ORDER BY dim""".stripMargin
     }
   )
 }
