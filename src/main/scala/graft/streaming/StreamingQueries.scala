@@ -109,6 +109,53 @@ object StreamingQueries extends QueryModule {
       .select(col("window.start").as("window_start"), col("segment"),
         col("n_events"), col("sum_value"))
 
+  private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** Streaming distribution-drift monitor (q172): per 6-hour event-time
+    * window, the total-variation distance between the window's
+    * event_type mix and a static baseline distribution — the
+    * serving-vs-training distribution check of ML data validation
+    * (Breck et al., "Data Validation for Machine Learning", TFX) run
+    * where it belongs: on the ingestion stream, so a drifting feed
+    * alerts within one window instead of at the next batch audit.
+    * Streaming shape: the ONLY stateful operator is one windowed
+    * aggregation (conditional per-type counts — a FIXED alphabet, so
+    * one state row per open window, no per-type key explosion); the
+    * baseline joins in stateless and broadcast, and the TV math is
+    * row-local arithmetic after the window closes. Determinism: TV =
+    * Σ|c_t·nb − cb_t·nw| / (2·nw·nb) is computed over exact
+    * DECIMAL(38,0) cross products and lands on the half-up 1e-6
+    * integer grid — no per-term float division exists to drift.
+    * `baseline` must be one row of (cb_<type>..., nb). */
+  def driftVsBaseline(events: DataFrame, baseline: DataFrame): DataFrame = {
+    val aggs = eventTypes.map(t =>
+      sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"c_$t"))
+    val w = events.withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "6 hours"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("window.start").as("window_start") +:
+        eventTypes.map(t => col(s"c_$t")): _*)
+    val nwExpr = eventTypes.map(t => s"c_$t").mkString(" + ")
+    val numExpr = eventTypes.map(t =>
+      s"abs(CAST(c_$t AS DECIMAL(38,0)) * nb - CAST(cb_$t AS DECIMAL(38,0)) * nw)")
+      .mkString(" + ")
+    w.join(broadcast(baseline))
+      .withColumn("nw", expr(nwExpr))
+      .withColumn("tvm", expr(
+        s"(2 * ($numExpr) * 1000000 + 2 * CAST(nw AS DECIMAL(38,0)) * nb) DIV " +
+          "(4 * CAST(nw AS DECIMAL(38,0)) * nb)").cast("long"))
+      .select(col("window_start"), col("nw").as("n_events"),
+        (col("tvm").cast("double") / lit(1000000.0)).as("tv_drift"))
+  }
+
+  /** The one-row (cb_<type>…, nb) baseline frame for [[driftVsBaseline]]. */
+  def typeBaseline(events: DataFrame): DataFrame = {
+    val aggs = eventTypes.map(t =>
+      sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"cb_$t")) :+
+      count(lit(1)).as("nb")
+    events.groupBy().agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Per-user session windows with a 6-hour inactivity gap. */
   def sessions(events: DataFrame): DataFrame =
     events.withWatermark("ts", "1 hour")
@@ -241,6 +288,18 @@ object StreamingQueries extends QueryModule {
       prefixProbeDedup(s, delta, d)
         .orderBy(col("new_id"), col("doc_id"))
         .select(col("new_id"), col("doc_id"), col("n_shared"), col("jac"))
+    }),
+
+    // --- streaming drift monitor in the correctness gate (batch
+    // parity; the MemoryStream watermarked run is in StreamingSpec).
+    // Baseline = the static table's own global event_type mix, the
+    // bootstrap a production monitor starts from; each window's TV
+    // distance against it is then a pure measure of that window's mix
+    // skew.
+    "q172_stream_drift" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+      driftVsBaseline(ev, typeBaseline(ev))
+        .orderBy(col("window_start"))
     })
   )
 
@@ -383,6 +442,38 @@ object StreamingQueries extends QueryModule {
         |      HAVING count(*) * 10 >= (sz_a + sz_b - count(*)) * 8)
         |SELECT new_id, doc_id, CAST(i AS BIGINT) AS n_shared,
         |  CAST(i AS DOUBLE) / (sz_a + sz_b - i) AS jac
-        |FROM p ORDER BY new_id, doc_id""".stripMargin
+        |FROM p ORDER BY new_id, doc_id""".stripMargin,
+
+    // Epoch-aligned 6h buckets (the q154 convention), per-type FILTER
+    // counts, and the same exact cross-product TV on the half-up 1e-6
+    // grid (all terms non-negative, so // == DIV).
+    "q172_stream_drift" ->
+      """WITH wc AS (
+        |  SELECT make_timestamp((epoch_us(ts) // 21600000000) * 21600000000)
+        |      AS window_start,
+        |    COUNT(*) FILTER (WHERE event_type = 'click') AS c_click,
+        |    COUNT(*) FILTER (WHERE event_type = 'error') AS c_error,
+        |    COUNT(*) FILTER (WHERE event_type = 'purchase') AS c_purchase,
+        |    COUNT(*) FILTER (WHERE event_type = 'signup') AS c_signup,
+        |    COUNT(*) FILTER (WHERE event_type = 'view') AS c_view,
+        |    COUNT(*) AS nw
+        |  FROM events GROUP BY 1),
+        |b AS (
+        |  SELECT COUNT(*) FILTER (WHERE event_type = 'click') AS cb_click,
+        |    COUNT(*) FILTER (WHERE event_type = 'error') AS cb_error,
+        |    COUNT(*) FILTER (WHERE event_type = 'purchase') AS cb_purchase,
+        |    COUNT(*) FILTER (WHERE event_type = 'signup') AS cb_signup,
+        |    COUNT(*) FILTER (WHERE event_type = 'view') AS cb_view,
+        |    COUNT(*) AS nb
+        |  FROM events)
+        |SELECT window_start, nw AS n_events,
+        |  CAST(CAST((2 * (abs(c_click::HUGEINT * nb - cb_click::HUGEINT * nw)
+        |      + abs(c_error::HUGEINT * nb - cb_error::HUGEINT * nw)
+        |      + abs(c_purchase::HUGEINT * nb - cb_purchase::HUGEINT * nw)
+        |      + abs(c_signup::HUGEINT * nb - cb_signup::HUGEINT * nw)
+        |      + abs(c_view::HUGEINT * nb - cb_view::HUGEINT * nw)) * 1000000
+        |      + 2 * nw::HUGEINT * nb) // (4 * nw::HUGEINT * nb) AS BIGINT)
+        |    AS DOUBLE) / 1000000.0 AS tv_drift
+        |FROM wc, b ORDER BY window_start""".stripMargin
   )
 }

@@ -18,6 +18,7 @@ case class Alert(user_id: Long, crossed: Long)
 case class Doc(lang: String, text: String)
 case class NewDoc(doc_id: Long, text: String, ts: Timestamp)
 case class IdEv(event_id: Long, ts: Timestamp)
+case class TypedEv(ts: Timestamp, event_type: String)
 case class Tok(shard: Int, token: String)
 case class MGState(buf: graft.functions.FrequentItems.MGBuf, seq: Int)
 
@@ -259,6 +260,50 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(streamed == Set(
         (ts("2024-01-01T00:00:00Z"), "BUILDING", 2L, 3.0),
         (ts("2024-01-01T06:00:00Z"), "MACHINERY", 1L, 4.0)))
+    } finally q.stop()
+  }
+
+  test("drift monitor builder (q172): windowed TV vs static baseline matches batch") {
+    // Drives the ACTUAL q172 builder under MemoryStream: the only
+    // stateful operator is the single windowed conditional-count agg
+    // (one state row per open window), the baseline is a broadcast
+    // static one-row frame, and complete-mode output equals the batch
+    // run of the same code on the same rows. The second window's mix
+    // (all clicks) is maximally skewed vs the 50/50 baseline, pinning
+    // a hand-computable TV value.
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    // baseline: 2 click + 2 view -> p = (0.5, 0.5) over {click, view}
+    val baseRows = Seq(
+      TypedEv(ts("2024-01-01T00:10:00Z"), "click"),
+      TypedEv(ts("2024-01-01T00:20:00Z"), "click"),
+      TypedEv(ts("2024-01-01T00:30:00Z"), "view"),
+      TypedEv(ts("2024-01-01T00:40:00Z"), "view"))
+    val base = StreamingQueries.typeBaseline(baseRows.toDF())
+    val rows = Seq(
+      TypedEv(ts("2024-01-01T01:00:00Z"), "click"), // w0: 1 click + 1 view
+      TypedEv(ts("2024-01-01T02:00:00Z"), "view"),  //   = baseline -> TV 0
+      TypedEv(ts("2024-01-01T06:30:00Z"), "click"), // w1: clicks only
+      TypedEv(ts("2024-01-01T07:30:00Z"), "click")) //   -> TV 0.5
+    val mem = MemoryStream[TypedEv]
+    val q = StreamingQueries.driftVsBaseline(mem.toDF(), base)
+      .writeStream.format("memory").queryName("drift172")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      def shape(df: org.apache.spark.sql.DataFrame) = df
+        .select("window_start", "n_events", "tv_drift")
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      val streamed = shape(sp.table("drift172"))
+      val batch = shape(StreamingQueries.driftVsBaseline(rows.toDF(), base))
+      assert(streamed == batch)
+      assert(streamed == Set(
+        (ts("2024-01-01T00:00:00Z"), 2L, 0.0),
+        (ts("2024-01-01T06:00:00Z"), 2L, 0.5)))
     } finally q.stop()
   }
 
