@@ -2173,33 +2173,12 @@ object LlmQueries extends QueryModule {
     // set followed by a 1-row partial-agg argmax — no window, no pair
     // shuffle, nothing corpus²; the quantized corpus materializes once
     // (localCheckpoint) and each round's state is k rows.
-    "q174_kcenter_coreset" -> ((s, dir) => {
-      val k = 8
-      val e = Tables(s, dir, "embeddings")
+    "q174_kcenter_coreset" -> ((s, dir) =>
+      kcenterChosen(Tables(s, dir, "embeddings")
         .select(col("vec_id"), expr(
           "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 65536.0D) AS BIGINT))")
-          .as("f"))
-        .localCheckpoint() // scanned once, probed k times
-      val seedId = e.agg(min(col("vec_id"))).head().getLong(0)
-      val d2Sql = "aggregate(zip_with(f, cf, (x, y) -> (x - y) * (x - y)), " +
-        "0L, (acc, z) -> acc + z)"
-      var chosen = e.filter(col("vec_id") === seedId)
-        .select(lit(1).as("rnk"), col("vec_id"), lit(0L).as("d2"), col("f"))
-        .localCheckpoint()
-      for (r <- 2 to k) {
-        // d_min to the chosen set, then a partial-agged argmax — the
-        // q127/q46 max(struct) shape, never a global sort
-        val next = e.join(chosen.select(col("vec_id")), Seq("vec_id"), "left_anti")
-          .crossJoin(broadcast(chosen.select(col("f").as("cf"))))
-          .withColumn("d2c", expr(d2Sql))
-          .groupBy(col("vec_id")).agg(min(col("d2c")).as("dmin"), first(col("f")).as("f"))
-          .agg(max(struct(col("dmin"), (-col("vec_id")).as("neg"), col("f"))).as("m"))
-          .select(lit(r).as("rnk"), (-col("m.neg")).as("vec_id"),
-            col("m.dmin").as("d2"), col("m.f").as("f"))
-        chosen = chosen.union(next).localCheckpoint()
-      }
-      chosen.select(col("rnk"), col("vec_id"), col("d2")).orderBy(col("rnk"))
-    }),
+          .as("f")), k = 8)
+        .orderBy(col("rnk"))),
 
     // --- embedding PCA, top principal direction (q171): the covariance
     // spectral step behind standard embedding post-processing ("All-
@@ -2219,11 +2198,50 @@ object LlmQueries extends QueryModule {
     // lands on the same grid. Fixed iteration count, fixed all-ones
     // start: the traversal is deterministic whether or not it has
     // converged, and the oracle re-derives all 20 rounds unrolled.
-    "q171_embedding_pca" -> ((s, dir) => {
-      val e = Tables(s, dir, "embeddings")
+    "q171_embedding_pca" -> ((s, dir) =>
+      pcaTopComponent(Tables(s, dir, "embeddings")
         .select(expr(
           "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 65536.0D) AS BIGINT))")
-          .as("f"))
+          .as("f")))
+        .orderBy(col("dim")))
+  )
+
+  /** q174's engine (factored so LlmSpec can drive planted geometries):
+    * Gonzalez greedy farthest-point traversal over a (vec_id,
+    * f: array&lt;bigint&gt;) frame — integer squared-Euclidean distances,
+    * min-id seed, (d2 DESC, vec_id ASC) argmax per round. Returns
+    * (rnk, vec_id, d2). See the q174 map entry for the scale argument. */
+  private[graft] def kcenterChosen(quantized: DataFrame, k: Int): DataFrame = {
+    val e = quantized.localCheckpoint() // scanned once, probed k times
+    val seedId = e.agg(min(col("vec_id"))).head().getLong(0)
+    val d2Sql = "aggregate(zip_with(f, cf, (x, y) -> (x - y) * (x - y)), " +
+      "0L, (acc, z) -> acc + z)"
+    var chosen = e.filter(col("vec_id") === seedId)
+      .select(lit(1).as("rnk"), col("vec_id"), lit(0L).as("d2"), col("f"))
+      .localCheckpoint()
+    for (r <- 2 to k) {
+      // d_min to the chosen set, then a partial-agged argmax — the
+      // q127/q46 max(struct) shape, never a global sort
+      val next = e.join(chosen.select(col("vec_id")), Seq("vec_id"), "left_anti")
+        .crossJoin(broadcast(chosen.select(col("f").as("cf"))))
+        .withColumn("d2c", expr(d2Sql))
+        .groupBy(col("vec_id")).agg(min(col("d2c")).as("dmin"), first(col("f")).as("f"))
+        .agg(max(struct(col("dmin"), (-col("vec_id")).as("neg"), col("f"))).as("m"))
+        .select(lit(r).as("rnk"), (-col("m.neg")).as("vec_id"),
+          col("m.dmin").as("d2"), col("m.f").as("f"))
+      chosen = chosen.union(next).localCheckpoint()
+    }
+    chosen.select(col("rnk"), col("vec_id"), col("d2"))
+  }
+
+  /** q171's engine (factored so LlmSpec can drive planted spectra): top
+    * principal direction of a quantized-embedding frame (one
+    * f: array&lt;bigint&gt; column, 64 dims) via exact integer moments →
+    * covariance → 20 rounds of 1e6-grid power iteration. Returns
+    * (dim 1..64, comp, ev_lambda). See the q171 map entry for the
+    * engine-independence and scale arguments. */
+  private[graft] def pcaTopComponent(quantized: DataFrame): DataFrame = {
+      val e = quantized
       val n = e.agg(count(lit(1)).as("n"))
       val m = e.select(posexplode(col("f")).as(Seq("i0", "x")))
         .groupBy(col("i0")).agg(sum(col("x")).as("m")) // d rows
@@ -2273,9 +2291,7 @@ object LlmQueries extends QueryModule {
         .select((col("j") + 1).cast("long").as("dim"),
           (col("val").cast("double") / lit(1000000.0)).as("comp"),
           (col("lm").cast("double") / lit(1000000.0)).as("ev_lambda"))
-        .orderBy(col("dim"))
-    })
-  )
+  }
 
   // ---- DuckDB replicas of the engine's hash primitives (oracle side of
   // fnv64/mix64). All arithmetic lives in HUGEINT on [0, 2^64): FNV-1a's

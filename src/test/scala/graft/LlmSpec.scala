@@ -800,4 +800,68 @@ class LlmSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(_.getLong(0)).toSeq
     assert(got == Seq(2L, 3L, 2L, 3L, 3L))
   }
+
+  test("k-center traversal: planted line geometry, exact greedy order and tie-break") {
+    // Points on a line (1-dim arrays are legal inputs to the factored
+    // engine): 0 at 0, 1 at 10, 2 at 1000, 3 at 999, 4 at 10 (exact tie
+    // with vec 1 — min vec_id must win nothing here; the tie that
+    // matters is a dmin tie between candidates).
+    val df = spark.createDataFrame(
+      java.util.List.of(
+        Row(0L, Seq(0L)), Row(1L, Seq(10L)), Row(2L, Seq(1000L)),
+        Row(3L, Seq(999L))),
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("f", ArrayType(LongType)))))
+    val got = graft.operators.LlmQueries.kcenterChosen(df, k = 3)
+      .orderBy(col("rnk"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    // seed = min id 0; round 2: farthest is 2 (d2 = 1000^2); round 3:
+    // dmin(1) = 100 (to seed), dmin(3) = 1 (to 2) -> picks 1
+    assert(got == Seq((1, 0L, 0L), (2, 2L, 1000000L), (3, 1L, 100L)))
+    // dmin tie: two candidates equidistant from the chosen set -> the
+    // (dmin, -vec_id) struct argmax must take the SMALLER id
+    val tie = spark.createDataFrame(
+      java.util.List.of(
+        Row(5L, Seq(0L)), Row(6L, Seq(100L)), Row(7L, Seq(-100L))),
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("f", ArrayType(LongType)))))
+    val got2 = graft.operators.LlmQueries.kcenterChosen(tie, k = 2)
+      .orderBy(col("rnk"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got2 == Seq((1, 5L, 0L), (2, 6L, 10000L)))
+  }
+
+  test("PCA power iteration: a planted single-axis spectrum is recovered exactly") {
+    // 64-dim rows whose only varying coordinate is dim index 37
+    // (0-based): the covariance has exactly one nonzero entry, so the
+    // top direction is e_37 with comp +/-1.0 at output dim 38 and 0
+    // elsewhere, and C'v = 1e6 v on the grid -> ev_lambda = 1e6 exactly.
+    val rows = new java.util.ArrayList[Row]()
+    (0 until 10).foreach { i =>
+      rows.add(Row(Seq.tabulate(64)(d => if (d == 37) 1000L * i else 7L)))
+    }
+    val df = spark.createDataFrame(rows,
+      StructType(Seq(StructField("f", ArrayType(LongType)))))
+    val got = graft.operators.LlmQueries.pcaTopComponent(df)
+      .orderBy(col("dim"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(got.length == 64)
+    assert(got.forall(_._3 == 1000000.0)) // ev_lambda of the 1e6-grid C'
+    got.foreach { case (dim, comp, _) =>
+      if (dim == 38) assert(math.abs(comp) == 1.0, s"dim 38 comp $comp")
+      else assert(comp == 0.0, s"dim $dim comp $comp")
+    }
+  }
+
+  test("q173 fertility invariants: every word costs >= 1 subword of <= 4 chars") {
+    val rows = q("q173_tokenizer_fertility").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nw, nst, nwc) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      val (fert, cpt) = (r.getDouble(5), r.getDouble(6))
+      assert(nst >= nw, s"subtokens $nst < words $nw") // MaxMatch emits >= 1 piece/word
+      assert(nwc >= nst, s"chars $nwc < subtokens $nst") // every piece covers >= 1 char
+      assert(fert >= 1.0 && cpt >= 1.0 && cpt <= 4.0, s"fert $fert cpt $cpt")
+    }
+  }
 }

@@ -801,4 +801,36 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the dedup aggregate — nothing rank-based touches the stream
     assert(p.toLowerCase.contains("windowspecdefinition(doc_id"), p.take(2000))
   }
+
+  test("q170 ANN recall audit: both arms heap-ranked, no window, anchors broadcast") {
+    val p = plan("q170_ann_recall")
+    // exact + IVF top-k both ride the bounded-heap TopK aggregate
+    // (ObjectHashAggregate), never a row_number window over the
+    // anchors x corpus pair stream
+    assert(!p.contains("Window"), p)
+    assert(p.contains("ObjectHashAggregate"), p)
+    // the anchor set (10 queries) broadcasts against the corpus side
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q172 drift monitor: one aggregation keyed by window, baseline broadcast") {
+    val p = plan("q172_stream_drift")
+    assert(!p.contains("Window"), p) // windowed AGG, not a window FUNCTION
+    assert(!p.contains("CartesianProduct"), p)
+    // per-window conditional counts partial-aggregate map-side
+    assert(p.toLowerCase.contains("partial"), p)
+    // the one-row baseline joins in broadcast, stateless
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q173 tokenizer fertility: vocab top-N is TakeOrdered, per-lang agg partial") {
+    val p = plan("q173_tokenizer_fertility")
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the three vocab top-Ns keep TakeOrderedAndProject (exchange =
+    // distinct grams, never positions)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // the lang-keyed fertility aggregate partial-aggregates map-side
+    assert(p.toLowerCase.contains("partial"), p)
+  }
 }
