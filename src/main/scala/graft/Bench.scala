@@ -65,6 +65,14 @@ object Bench {
     if (!ok) "-1"
     else String.format(java.util.Locale.ROOT, "%.1f", Double.box(math.min(v, 9.9)))
 
+  /** Wire key for one query: the numeric id alone ("q01_agg_pricing" ->
+    * "01"). Wire-key compaction #3 — full names (r1-r7) shrank to qNN
+    * (r8) and the q prefix itself went with the round-10 growth to 174
+    * queries; the mapping back is `'q' + key` and bench_detail.json
+    * always carries full names. BenchFormatSpec pins uniqueness and the
+    * tail budget. */
+  def wireKey(name: String): String = name.split("_").head.stripPrefix("q")
+
   /** Suite-wide task-metrics accumulator: aggregates executor run time,
     * GC time, shuffle fetch-wait, spill and shuffle volume across every
     * task. Snapshots taken around each query turn the in-suite vs
@@ -267,13 +275,17 @@ object Bench {
     // cost — one protocol, no duplicate timing channel.
     def r3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    // Short qNN keys on the wire (the harness spec's own example shape,
-    // {"q1":sec}); bench_detail.json carries the full names. Per-query
+    // Bare-number keys on the wire ("01".."174"; wire-key compaction
+    // #3, BENCH_NOTES): the 'q' prefix cost 1 char x query and the
+    // round-10 growth to 174 queries left the qNN form 30+ chars over
+    // the measured 1926-char tail budget (2000-char harness tail minus
+    // sbt's 74-char post-line success line). bench_detail.json carries
+    // the full names; the driver json-parses the line whole. Per-query
     // values print at 10 ms resolution: 122+ entries at 1 ms overflowed
-    // the harness's ~2000-char tail (BenchFormatSpec pins the budget),
-    // and per-query deltas below 10 ms are host noise on this VM anyway
-    // — the 1 ms totals are where cross-round comparison happens.
-    def shortKey(name: String): String = name.split("_").head
+    // the tail (BenchFormatSpec pins the budget), and per-query deltas
+    // below 10 ms are host noise on this VM anyway — the 1 ms totals
+    // are where cross-round comparison happens.
+    def shortKey(name: String): String = Bench.wireKey(name)
     // Per-query wire values clamp at 9.99 s (failed queries print -1 via
     // wireValue): the tail budget buys one char per entry each time the
     // cap drops a digit (99.99 -> 9.99 covered the round-7 growth to 140

@@ -14,9 +14,9 @@ class BenchFormatSpec extends AnyFunSuite {
 
   test("bench JSON line fits the harness tail buffer at worst-case width") {
     val names = SparkEntry.queries.keys.toSeq.sorted
-    val short = names.map(_.split("_").head)
+    val short = names.map(Bench.wireKey)
     assert(short.distinct.size == names.size,
-      "short qNN bench keys must stay unique across query names")
+      "bare-number bench keys must stay unique across query names")
     // Worst case per entry: "qNN":9.9, — 0.1 s resolution, clamped at
     // 9.9 s on the wire (totals keep 1 ms; per-query 1 ms overflowed
     // the tail at 122 queries, 99.99 at 140, 9.99 at 150).
@@ -79,7 +79,7 @@ class BenchFormatSpec extends AnyFunSuite {
     val oracled = SparkEntry.oracleSql.keySet
     // the count the docs (README, SURVEY §8) advertise — update BOTH
     // when adding a query, or the driver-contract documentation drifts
-    assert(queries.size == 169, s"query count ${queries.size} != documented 169")
+    assert(queries.size == 174, s"query count ${queries.size} != documented 174")
     assert(oracled.subsetOf(queries),
       s"oracles without queries: ${(oracled -- queries).toSeq.sorted}")
     assert((queries -- oracled) == rowsOnly,
