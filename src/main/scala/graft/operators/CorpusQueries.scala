@@ -1299,7 +1299,44 @@ object CorpusQueries extends QueryModule {
           col("n_wchars"),
           (col("fert").cast("double") / lit(1000000.0)).as("fertility"),
           (col("cpt").cast("double") / lit(1000000.0)).as("chars_per_subtok"))
-        .orderBy(col("lang")))
+        .orderBy(col("lang"))),
+
+    // --- Count-Min sketch token-frequency estimation (q176): the
+    // mergeable fixed-size frequency summary (Cormode & Muthukrishnan
+    // 2005) a streaming/profiling tier keeps when the exact vocabulary
+    // doesn't fit — 4 salted rows x 256 buckets, estimate = min over
+    // rows, one-sided error (est >= exact always; overcount = collision
+    // mass). Fully deterministic: bucket = pmod(fnv64('cm<r>:' ||
+    // term), 256) — the engine's codegen'd FNV-1a, replicated in
+    // HUGEINT oracle SQL (the q151 playbook), so est re-derives
+    // row-level, not contract-tier. The audit output compares est vs
+    // exact for the top-20 tokens under the (count DESC, term ASC)
+    // total order. Scale: one corpus pass to vocab counts (the exchange
+    // q63 already pays), the sketch build is vocab x 4 rows folding
+    // into a CONSTANT 1024-row table (broadcast legitimately forever),
+    // top-20 is TakeOrdered.
+    "q176_countmin_sketch" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s) // fnv64
+      val exact = Tables(s, dir, "documents")
+        .select(explode(expr(toksSql)).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("exact"))
+        .localCheckpoint() // feeds sketch build + top-20 probe
+      val bSql = (r: String) =>
+        pmod(expr(s"fnv64(concat('cm', $r, ':', term))"), lit(256))
+      val cms = exact
+        .select(col("exact"), col("term"), explode(expr("sequence(0, 3)")).as("r"))
+        .withColumn("b", bSql("r"))
+        .groupBy(col("r"), col("b")).agg(sum(col("exact")).as("c"))
+      exact.orderBy(col("exact").desc, col("term").asc).limit(20)
+        .select(col("term"), col("exact"), explode(expr("sequence(0, 3)")).as("r"))
+        .withColumn("b", bSql("r"))
+        .join(broadcast(cms), Seq("r", "b")) // 1024 rows at ANY scale
+        .groupBy(col("term"), col("exact"))
+        .agg(min(col("c")).as("est"))
+        .withColumn("overcount", col("est") - col("exact"))
+        .select(col("term"), col("exact"), col("est"), col("overcount"))
+        .orderBy(col("exact").desc, col("term").asc)
+    })
   )
 
   /** The q165 subword chain, shared with q167's packing: corpus-derived
@@ -2471,6 +2508,33 @@ object CorpusQueries extends QueryModule {
         |    AS BIGINT) / 1000000.0 AS fertility,
         |  CAST((2 * n_wchars::HUGEINT * 1000000 + n_subtok) // (2 * n_subtok)
         |    AS BIGINT) / 1000000.0 AS chars_per_subtok
-        |FROM pl ORDER BY lang""".stripMargin
+        |FROM pl ORDER BY lang""".stripMargin,
+
+    // The same 4x256 sketch re-derived: FNV-1a bucket keys in HUGEINT
+    // (the q151 playbook), row counts summed from the exact vocab, and
+    // est = min over the 4 salted rows for the same top-20 probe set.
+    "q176_countmin_sketch" -> {
+      val h = LlmQueries.wrapSigned("u")
+      s"""WITH toks AS (SELECT unnest(string_split_regex(trim(text), '\\s+'))
+         |                AS term FROM documents),
+         |ex AS (SELECT term, COUNT(*) AS exact FROM toks GROUP BY term),
+         |occ AS (SELECT term, exact, r FROM ex
+         |        CROSS JOIN (SELECT unnest(range(0, 4)) AS r)),
+         |hb AS (SELECT term, exact, r,
+         |         ${LlmQueries.fnvSqlOf("'cm' || r || ':' || term")} AS u
+         |       FROM occ),
+         |bk AS (SELECT term, exact, r, (($h % 256) + 256) % 256 AS b FROM hb),
+         |cms AS (SELECT r, b, CAST(SUM(exact) AS BIGINT) AS c FROM bk
+         |        GROUP BY r, b),
+         |top AS (SELECT term, exact FROM ex
+         |        ORDER BY exact DESC, term ASC LIMIT 20),
+         |probe AS (SELECT t.term, t.exact, k.r, k.b FROM top t
+         |          JOIN bk k ON k.term = t.term)
+         |SELECT p.term, p.exact, MIN(c.c) AS est,
+         |  MIN(c.c) - p.exact AS overcount
+         |FROM probe p JOIN cms c ON c.r = p.r AND c.b = p.b
+         |GROUP BY p.term, p.exact
+         |ORDER BY p.exact DESC, p.term ASC""".stripMargin
+    }
   )
 }

@@ -227,7 +227,39 @@ object EventAnalytics extends QueryModule {
     // division runs on |numerator| with the sign reapplied — the one
     // subtlety the positive-only grid rule never hits. Map-side partial
     // agg; the only exchange carries one row per user.
-    "q159_user_trend" -> ((s, dir) => userTrend(events(s, dir)))
+    "q159_user_trend" -> ((s, dir) => userTrend(events(s, dir))),
+
+    // --- first-order Markov transition matrix of user behavior: counts
+    // and probabilities of event_type bigrams along each user's
+    // time-ordered stream — the session/journey model behind next-action
+    // prediction and funnel-anomaly alerts. The lag window is
+    // partitioned by user (the q83 sessionize shape: per-partition state
+    // is one user's stream, never global), ordered by the total
+    // (ts, event_id) key so ties cannot reorder between engines;
+    // transition counts then partial-aggregate map-side into an
+    // alphabet²-bounded exchange (25 rows here — bounded by the type
+    // alphabet at ANY corpus size). p lands on the half-up 1e-6 integer
+    // grid per source state, never round(n/total).
+    "q177_markov_transitions" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val pw = Window.partitionBy(col("prev_type"))
+      events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("next_type"))
+        .withColumn("prev_type", lag(col("next_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("next_type"))
+        .agg(count(lit(1)).as("n"))
+        // row-total per source state: a window over the 25-row aggregate,
+        // not the event stream — alphabet-bounded, cost-free
+        .withColumn("tot", sum(col("n")).over(pw))
+        .withColumn("pm", // DECIMAL: 2e6·n overflows long at ~5e12 events
+          expr("(2 * CAST(n AS DECIMAL(38,0)) * 1000000 + tot) DIV (2 * tot)"))
+        .select(col("prev_type"), col("next_type"), col("n"),
+          (col("pm").cast("double") / lit(1000000.0)).as("p"))
+        .orderBy(col("prev_type"), col("next_type"))
+    })
   )
 
   /** q159's engine, factored so unit tests can drive planted series:
@@ -415,6 +447,21 @@ object EventAnalytics extends QueryModule {
         |  FROM b)
         |SELECT user_id, session_idx, COUNT(*) AS n_events,
         |  MIN(ts) AS sess_start, MAX(ts) AS sess_end
-        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // The same total (ts, event_id) lag order, counts per type bigram,
+    // p on the half-up 1e-6 grid (all terms non-negative, // == DIV).
+    "q177_markov_transitions" ->
+      """WITH t AS (
+        |  SELECT event_type AS next_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_type
+        |  FROM events),
+        |c AS (SELECT prev_type, next_type, COUNT(*) AS n FROM t
+        |      WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        |s AS (SELECT *, SUM(n) OVER (PARTITION BY prev_type) AS tot FROM c)
+        |SELECT prev_type, next_type, n,
+        |  CAST((2 * n * 1000000 + tot) // (2 * tot) AS BIGINT) / 1000000.0 AS p
+        |FROM s ORDER BY prev_type, next_type""".stripMargin
   )
 }

@@ -579,11 +579,12 @@ object LlmQueries extends QueryModule {
       org.apache.spark.sql.Encoders.tuple(
         org.apache.spark.sql.Encoders.scalaDouble,
         org.apache.spark.sql.Encoders.scalaLong))
-    val rev = edges.groupBy(col("nbr_id"))
+    val fw = edges.select(col("src_id"), col("nbr_id"))
+    val rev = fw.groupBy(col("nbr_id"))
       .agg(revTop((-col("src_id")).cast("double"), col("src_id")).as("top"))
       .select(col("nbr_id").as("src_id"), explode(col("top")).as("t"))
       .select(col("src_id"), col("t._2").as("nbr_id"))
-    edges.unionAll(rev)
+    fw.unionAll(rev)
   }
 
   private def knnGraphEdges(s: SparkSession, e: DataFrame,
@@ -627,8 +628,12 @@ object LlmQueries extends QueryModule {
         round(expr("vec_dot(av, bv)") / (col("anrm") * col("bnrm")), 4))
       .groupBy(col("src_id"))
       .agg(topk(col("score"), col("nbr_id")).as("top"))
-      .select(col("src_id"), explode(col("top")).as("t"))
-      .select(col("src_id"), col("t._2").as("nbr_id"))
+      // rank + score ride along (the heap emits in (score DESC, nbr_id
+      // ASC) order): q146/q155 count edges, q169 reads the id pairs,
+      // q175 filters rnk = 1 for the mutual-top-1 join
+      .select(col("src_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("src_id"), col("t._2").as("nbr_id"),
+        col("t._1").as("score"), (col("pos") + 1).as("rnk"))
   }
 
   /** MinHash-LSH near-dup pairs, exact-verified: 16 minhashes (family
@@ -2180,6 +2185,39 @@ object LlmQueries extends QueryModule {
           .as("f")), k = 8)
         .orderBy(col("rnk"))),
 
+    // --- mutual-kNN pair mining (q175): pairs of vectors that are each
+    // other's TOP-1 neighbor — the reciprocal-nearest-neighbor criterion
+    // behind bitext/parallel-pair mining (Artetxe & Schwenk's
+    // margin-based mining keeps candidates that are mutual neighbors
+    // first) and the merge rule of reciprocal-NN agglomerative
+    // clustering. Built ON the blocked kNN graph (q146's stratified
+    // cells + knnGraphEdges, now rank-carrying), so the pair discovery
+    // inherits the ~n^1.5 blocked-build cost instead of n² brute force;
+    // the mutual check itself is one self-join of the n-row rank-1 edge
+    // list on the reversed id pair — id-keyed hash join, output-sized.
+    // score is emitted once: vec_dot folds index-wise and IEEE multiply
+    // commutes, so the a->b and b->a scores are bit-identical. The
+    // oracle re-derives the whole chain (cells, assignment, probes,
+    // rank-1, mutual join) with the engine's exact tie order.
+    "q175_mutual_knn" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s) // vec_dot
+      val e = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        .withColumn("nrm", expr(normSqlOf("v")))
+      val r1 = knnGraphEdges(s, e, stratifiedCells(s, e))
+        .filter(col("rnk") === 1)
+        .select(col("src_id"), col("nbr_id"), col("score"))
+        .localCheckpoint() // both sides of the mutual join
+      r1.as("a").join(r1.as("b"),
+          col("a.src_id") === col("b.nbr_id") &&
+            col("a.nbr_id") === col("b.src_id") &&
+            col("a.src_id") < col("b.src_id"))
+        .select(col("a.src_id").as("vec_a"), col("a.nbr_id").as("vec_b"),
+          col("a.score").as("score"))
+        .orderBy(col("vec_a"))
+    }),
+
     // --- embedding PCA, top principal direction (q171): the covariance
     // spectral step behind standard embedding post-processing ("All-
     // but-the-top", Mu & Viswanath 2018: drop the dominant directions;
@@ -3526,6 +3564,43 @@ object LlmQueries extends QueryModule {
          |$rounds
          |SELECT rnk, vec_id, d2 FROM ch8 ORDER BY rnk""".stripMargin
     },
+
+    // The q146 cell/assign/probe chain over the RAW (unplanted)
+    // embeddings, rank-1 per node with the heap's exact tie order, then
+    // the mutual self-join on the reversed id pair.
+    "q175_mutual_knn" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+        |             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |               CAST(embedding AS DOUBLE[]))) AS nrm
+        |           FROM embeddings),
+        |p AS (SELECT CAST(greatest(1,
+        |        ceil(sqrt(count(*)) / count(DISTINCT label))) AS BIGINT) AS q
+        |      FROM e),
+        |cells AS (SELECT vec_id AS cell, v AS cv, nrm AS cnrm FROM e
+        |          QUALIFY row_number() OVER (PARTITION BY label
+        |            ORDER BY vec_id) <= (SELECT q FROM p)),
+        |sc AS (SELECT e.vec_id, c.cell, e.v, e.nrm,
+        |         list_dot_product(e.v, c.cv) / (e.nrm * c.cnrm) AS s
+        |       FROM e CROSS JOIN cells c),
+        |wc AS (SELECT vec_id AS nbr_id, cell, v AS bv, nrm AS bnrm FROM (
+        |         SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |           ORDER BY s DESC, cell ASC) AS rnk FROM sc) WHERE rnk = 1),
+        |pr AS (SELECT vec_id AS src_id, cell, v AS av, nrm AS anrm FROM (
+        |         SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |           ORDER BY s DESC, cell ASC) AS rnk FROM sc) WHERE rnk <= 2),
+        |cand AS (SELECT pr.src_id, wc.nbr_id,
+        |           round(list_dot_product(pr.av, wc.bv)
+        |             / (pr.anrm * wc.bnrm), 4) AS score
+        |         FROM pr JOIN wc ON wc.cell = pr.cell
+        |           AND wc.nbr_id <> pr.src_id),
+        |r1 AS (SELECT src_id, nbr_id, score FROM (
+        |         SELECT *, ROW_NUMBER() OVER (PARTITION BY src_id
+        |           ORDER BY score DESC, nbr_id ASC) AS rnk FROM cand)
+        |       WHERE rnk = 1)
+        |SELECT a.src_id AS vec_a, a.nbr_id AS vec_b, a.score
+        |FROM r1 a JOIN r1 b ON a.src_id = b.nbr_id AND a.nbr_id = b.src_id
+        |  AND a.src_id < b.src_id
+        |ORDER BY vec_a""".stripMargin,
 
     // The full q171 chain re-derived: 2^16 quantization, exact HUGEINT
     // moments -> covariance, 1e6-grid normalization, and all 20 power-
