@@ -63,6 +63,21 @@ object ScaleProbe {
         .repartition(32)
         .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
     }
+    // events: replica r shifts user_id/event_id, keeps ts — N
+    // independent user populations on the same clock, so per-user
+    // window/lag state and per-window aggregation both scale linearly
+    // by construction (this sf0.1 vintage is micros; written back
+    // as-is, Tables' type dispatch handles either vintage). Own guard:
+    // pre-existing amplified dirs from earlier sessions lack events.
+    if (!new java.io.File(s"$out/events.parquet").exists()) {
+      val rep = spark.range(0, reps).select(col("id").as("r"))
+      spark.read.parquet(s"$src/events.parquet").crossJoin(rep)
+        .withColumn("user_id", col("user_id") + col("r") * 1000000L)
+        .withColumn("event_id", col("event_id") + col("r") * 100000000L)
+        .drop("r")
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$out/events.parquet")
+    }
     queries.foreach { q =>
       spark.catalog.clearCache(); System.gc()
       def run(): Double = {

@@ -1336,6 +1336,52 @@ object CorpusQueries extends QueryModule {
         .withColumn("overcount", col("est") - col("exact"))
         .select(col("term"), col("exact"), col("est"), col("overcount"))
         .orderBy(col("exact").desc, col("term").asc)
+    }),
+
+    // --- KMV (k-minimum-values) distinct estimation (q178): the
+    // bottom-k distinct sketch (Bar-Yossef et al. 2002) — per source,
+    // keep the 64 smallest distinct fnv64 token hashes under UNSIGNED
+    // order; estimate = (k-1)·2^64 / h_(k). This is the EXTERNALLY
+    // VERIFIABLE tier of approximate distinct counting: the engine's
+    // own HLL++ (q45/q97/q104) keeps opaque registers no other engine
+    // can re-derive (hence their contract-tier oracles), while the KMV
+    // state is a plain value set the oracle recomputes exactly (ORDER
+    // BY unsigned hash LIMIT k) — so an approx-distinct op graduates to
+    // the full row-level gate. Scale: the sketch buffer is ≤ 64 longs
+    // per group, partial-merged map-side (the TopK discipline), so the
+    // exchange is groups × 64 at any corpus size; the exact arm
+    // (audit) pays the countDistinct shuffle the sketch exists to
+    // avoid.
+    "q178_kmv_distinct" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s) // fnv64
+      val kmv = udaf(new graft.functions.KmvAggregator.KMinLongs(64),
+        org.apache.spark.sql.Encoders.scalaLong)
+      // 3-gram shingles, not unigrams: the harness vocabulary is ~30
+      // tokens per source at EVERY sf, which would leave the estimator
+      // branch (m = k) forever untested; shingle spaces are hundreds
+      // per source, so the gate exercises both the exact-fallback and
+      // the (k-1)*2^64/h_(k) estimate (sf0.001 hits both across rows)
+      Tables(s, dir, "documents")
+        .select(col("source"), expr(toksSql).as("tk"))
+        .select(col("source"),
+          explode(expr(LlmQueries.shinglesSql("tk"))).as("term"))
+        .withColumn("h", expr("fnv64(term)"))
+        .groupBy(col("source"))
+        .agg(countDistinct(col("term")).as("n_exact"), kmv(col("h")).as("vs"))
+        .withColumn("m", size(col("vs")))
+        // kth hash mapped signed -> [0, 2^64) (the aggregator's unsigned
+        // order is DuckDB's natural HUGEINT order on the fnv replica)
+        .withColumn("uk", expr( // try_: sources with < 64 distinct hashes
+          "CAST(try_element_at(vs, 64) AS DECIMAL(38,0)) + " +
+            "IF(try_element_at(vs, 64) < 0, " +
+            "CAST('18446744073709551616' AS DECIMAL(38,0)), " +
+            "CAST(0 AS DECIMAL(38,0)))"))
+        .withColumn("kmv_est", expr(
+          "CASE WHEN m < 64 THEN CAST(m AS BIGINT) " +
+            "ELSE CAST('1162144876643701751808' AS DECIMAL(38,0)) DIV uk END"))
+        .select(col("source"), col("n_exact"),
+          col("m").cast("long").as("k_used"), col("kmv_est"))
+        .orderBy(col("source"))
     })
   )
 
@@ -2535,6 +2581,33 @@ object CorpusQueries extends QueryModule {
          |FROM probe p JOIN cms c ON c.r = p.r AND c.b = p.b
          |GROUP BY p.term, p.exact
          |ORDER BY p.exact DESC, p.term ASC""".stripMargin
-    }
+    },
+
+    // The KMV state re-derived exactly: distinct unsigned FNV hashes
+    // per source, kth smallest by plain HUGEINT order, the same
+    // (k-1)·2^64 // h_(k) integer estimate.
+    "q178_kmv_distinct" ->
+      s"""WITH tk AS (SELECT source,
+         |    string_split_regex(trim(text), '\\s+') AS tk FROM documents),
+         |toks AS (SELECT source, unnest(CASE WHEN len(tk) >= 3 THEN
+         |    list_transform(range(1, len(tk) - 1),
+         |      i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])
+         |    ELSE [] END) AS term FROM tk),
+         |hs AS (SELECT DISTINCT source, term FROM toks),
+         |hv AS (SELECT source, ${LlmQueries.fnvSqlOf("term")} AS u FROM hs),
+         |dh AS (SELECT DISTINCT source, u FROM hv),
+         |rk AS (SELECT source, u, row_number() OVER (PARTITION BY source
+         |         ORDER BY u) AS rk FROM dh),
+         |st AS (SELECT source, count(*) AS nh FROM dh GROUP BY source),
+         |ex AS (SELECT source, COUNT(DISTINCT term) AS n_exact FROM toks
+         |       GROUP BY source),
+         |ku AS (SELECT source, u AS uk FROM rk WHERE rk = 64)
+         |SELECT e.source, e.n_exact,
+         |  CAST(least(s.nh, 64) AS BIGINT) AS k_used,
+         |  CAST(CASE WHEN s.nh < 64 THEN s.nh
+         |       ELSE CAST('1162144876643701751808' AS HUGEINT) // k.uk
+         |       END AS BIGINT) AS kmv_est
+         |FROM ex e JOIN st s USING (source) LEFT JOIN ku k USING (source)
+         |ORDER BY e.source""".stripMargin
   )
 }

@@ -42,7 +42,7 @@ object LlmQueries extends QueryModule {
     * `element_at(tk, i)` formulation re-evaluates the regex split once per
     * ELEMENT after optimization (measured 49s at sf0.1); slices evaluate
     * their (possibly re-inlined) input once per ROW. */
-  private def shinglesSql(t: String): String =
+  private[operators] def shinglesSql(t: String): String =
     s"array_distinct(CASE WHEN size($t) >= 3 THEN " +
     s"zip_with(zip_with(slice($t, 1, size($t) - 2), slice($t, 2, size($t) - 2), " +
     s"(x, y) -> concat(x, ' ', y)), slice($t, 3, size($t) - 2), " +

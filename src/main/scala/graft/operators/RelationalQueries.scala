@@ -271,6 +271,76 @@ object RelationalQueries extends QueryModule {
           min_by(col("o_orderkey"), col("o_totalprice")).as("bottom_order"),
           max(col("o_totalprice")).as("max_price"))
         .orderBy(col("o_orderstatus"))
+    }),
+
+    // --- table profiling (q179): the per-column statistics pass a data-
+    // validation tier (TFX data validation, Deequ) computes before any
+    // pipeline trusts an input — row count, null count, exact distinct
+    // count, min/max — in ONE scan: a single global aggregate with all
+    // measures (the multi-countDistinct expand is the documented cost of
+    // an EXACT profile; map-side, linear), then stack() melts the one
+    // row into one row per column. min/max render through CAST AS STRING
+    // so heterogeneous column types share one schema; the three profiled
+    // types (int64, double, timestamp) all have engine-identical casts.
+    "q179_table_profile" -> ((s, dir) => {
+      val l = Tables(s, dir, "lineitem")
+      val cols = Seq("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate")
+      val measures = count(lit(1)).as("n") +: cols.flatMap(c => Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
+        countDistinct(col(c)).as(s"nd_$c"),
+        min(col(c)).cast("string").as(s"mn_$c"),
+        max(col(c)).cast("string").as(s"mx_$c")))
+      l.agg(measures.head, measures.tail: _*)
+        .select(expr(s"stack(${cols.size}, " + cols.map(c =>
+          s"'$c', n, nn_$c, nd_$c, mn_$c, mx_$c").mkString(", ") +
+          ") AS (col_name, n_rows, n_null, n_distinct, min_val, max_val)"))
+        .orderBy(col("col_name"))
+    }),
+
+    // --- constraint validation (q180): Deequ-style data-quality checks
+    // ("Automating large-scale data quality verification", Schelter et
+    // al. VLDB 2018) as a first-class query — primary-key uniqueness,
+    // referential integrity, domain ranges, and cross-table temporal
+    // sanity, each one aggregate row. Scale shapes: the orphan check is
+    // a left-anti hash join on the fact table's key (orders broadcast
+    // at dimension scale, AQE picks shuffle when not); the dup check is
+    // one partial-agged groupBy; the range checks are map-side
+    // conditional sums; `passed` is computed arithmetic on both
+    // engines, never a pinned literal.
+    "q180_quality_checks" -> ((s, dir) => {
+      val l = Tables(s, dir, "lineitem")
+      val o = Tables(s, dir, "orders")
+      val orphan = l.select(col("l_orderkey"))
+        .join(o.select(col("o_orderkey").as("l_orderkey")), Seq("l_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("n_violations"))
+        .crossJoin(l.agg(count(lit(1)).as("n_checked")))
+        .select(lit("orphan_lineitem").as("check_name"), col("n_violations"),
+          col("n_checked"))
+      val dup = o.groupBy(col("o_orderkey")).agg(count(lit(1)).as("c"))
+        .agg(sum(when(col("c") > 1, 1L).otherwise(0L)).as("n_violations"),
+          count(lit(1)).as("n_checked"))
+        .select(lit("dup_orderkey").as("check_name"), col("n_violations"),
+          col("n_checked"))
+      val ranges = l.agg(
+        sum(when(col("l_quantity") <= 0, 1L).otherwise(0L)).as("bad_qty"),
+        sum(when(col("l_discount") < 0 || col("l_discount") > 1, 1L)
+          .otherwise(0L)).as("bad_disc"),
+        count(lit(1)).as("n_checked"))
+      val qty = ranges.select(lit("nonpositive_quantity").as("check_name"),
+        col("bad_qty").as("n_violations"), col("n_checked"))
+      val disc = ranges.select(lit("discount_range").as("check_name"),
+        col("bad_disc").as("n_violations"), col("n_checked"))
+      val shipOrder = l.select(col("l_orderkey"), col("l_shipdate"))
+        .join(o.select(col("o_orderkey").as("l_orderkey"), col("o_orderdate")),
+          Seq("l_orderkey"))
+        .agg(sum(when(col("l_shipdate") < col("o_orderdate"), 1L)
+          .otherwise(0L)).as("n_violations"),
+          count(lit(1)).as("n_checked"))
+        .select(lit("ship_before_order").as("check_name"), col("n_violations"),
+          col("n_checked"))
+      orphan.unionAll(dup).unionAll(qty).unionAll(disc).unionAll(shipOrder)
+        .withColumn("passed", col("n_violations") === 0)
+        .orderBy(col("check_name"))
     })
   )
 
@@ -392,6 +462,73 @@ object RelationalQueries extends QueryModule {
         |  arg_max(o_orderkey, o_totalprice) AS top_order,
         |  arg_min(o_orderkey, o_totalprice) AS bottom_order,
         |  max(o_totalprice) AS max_price
-        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // One aggregate row melted to one row per profiled column; VARCHAR
+    // casts for min/max match Spark's string rendering on int64/double/
+    // timestamp (sweep-verified at all three scales).
+    "q179_table_profile" ->
+      """WITH a AS (SELECT COUNT(*) AS n,
+        |  SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS nn1,
+        |  COUNT(DISTINCT l_orderkey) AS nd1,
+        |  CAST(MIN(l_orderkey) AS VARCHAR) AS mn1,
+        |  CAST(MAX(l_orderkey) AS VARCHAR) AS mx1,
+        |  SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS nn2,
+        |  COUNT(DISTINCT l_quantity) AS nd2,
+        |  CAST(MIN(l_quantity) AS VARCHAR) AS mn2,
+        |  CAST(MAX(l_quantity) AS VARCHAR) AS mx2,
+        |  SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS nn3,
+        |  COUNT(DISTINCT l_returnflag) AS nd3,
+        |  CAST(MIN(l_returnflag) AS VARCHAR) AS mn3,
+        |  CAST(MAX(l_returnflag) AS VARCHAR) AS mx3,
+        |  SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS nn4,
+        |  COUNT(DISTINCT l_shipdate) AS nd4,
+        |  CAST(MIN(l_shipdate) AS VARCHAR) AS mn4,
+        |  CAST(MAX(l_shipdate) AS VARCHAR) AS mx4
+        |  FROM lineitem)
+        |SELECT col_name, n AS n_rows,
+        |  CAST(n_null AS BIGINT) AS n_null,
+        |  CAST(n_distinct AS BIGINT) AS n_distinct, min_val, max_val
+        |FROM (
+        |  SELECT 'l_orderkey' AS col_name, n, nn1 AS n_null, nd1 AS n_distinct,
+        |    mn1 AS min_val, mx1 AS max_val FROM a
+        |  UNION ALL SELECT 'l_quantity', n, nn2, nd2, mn2, mx2 FROM a
+        |  UNION ALL SELECT 'l_returnflag', n, nn3, nd3, mn3, mx3 FROM a
+        |  UNION ALL SELECT 'l_shipdate', n, nn4, nd4, mn4, mx4 FROM a)
+        |ORDER BY col_name""".stripMargin,
+
+    "q180_quality_checks" ->
+      """WITH checks AS (
+        |  SELECT 'orphan_lineitem' AS check_name,
+        |    (SELECT COUNT(*) FROM lineitem l LEFT JOIN orders o
+        |       ON l.l_orderkey = o.o_orderkey
+        |     WHERE o.o_orderkey IS NULL) AS n_violations,
+        |    (SELECT COUNT(*) FROM lineitem) AS n_checked
+        |  UNION ALL
+        |  SELECT 'dup_orderkey',
+        |    (SELECT COALESCE(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END), 0) FROM
+        |      (SELECT o_orderkey, COUNT(*) AS c FROM orders GROUP BY 1)),
+        |    (SELECT COUNT(DISTINCT o_orderkey) FROM orders)
+        |  UNION ALL
+        |  SELECT 'nonpositive_quantity',
+        |    (SELECT COALESCE(SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END), 0)
+        |     FROM lineitem),
+        |    (SELECT COUNT(*) FROM lineitem)
+        |  UNION ALL
+        |  SELECT 'discount_range',
+        |    (SELECT COALESCE(SUM(CASE WHEN l_discount < 0 OR l_discount > 1
+        |       THEN 1 ELSE 0 END), 0) FROM lineitem),
+        |    (SELECT COUNT(*) FROM lineitem)
+        |  UNION ALL
+        |  SELECT 'ship_before_order',
+        |    (SELECT COALESCE(SUM(CASE WHEN l.l_shipdate < o.o_orderdate
+        |       THEN 1 ELSE 0 END), 0)
+        |     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |    (SELECT COUNT(*) FROM lineitem l JOIN orders o
+        |       ON l.l_orderkey = o.o_orderkey))
+        |SELECT check_name, CAST(n_violations AS BIGINT) AS n_violations,
+        |  CAST(n_checked AS BIGINT) AS n_checked,
+        |  n_violations = 0 AS passed
+        |FROM checks ORDER BY check_name""".stripMargin
   )
 }

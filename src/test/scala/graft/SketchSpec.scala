@@ -146,4 +146,28 @@ class SketchSpec extends AnyFunSuite with BeforeAndAfterAll {
     val merged = agg.merge(buf, MGBuf(buf.m.map { case (k, v) => (k + "x", v) }))
     assert(agg.finish(merged).size <= 20)
   }
+
+  test("KMV aggregator: unsigned bottom-k, duplicate-collapsing, merge-order invariant") {
+    import graft.functions.KmvAggregator.KMinLongs
+    val rnd = new Random(17)
+    for (trial <- 0 until 5; parts <- Seq(1, 3, 16)) {
+      // negative longs are the LARGE half of the unsigned domain — the
+      // sketch must prefer small non-negatives over any negative
+      val data = Seq.fill(400)(rnd.nextLong()) ++ Seq(5L, 5L, 5L, -1L)
+      val agg = new KMinLongs(8)
+      val bufs = data.grouped(math.max(1, data.size / parts))
+        .map(_.foldLeft(agg.zero)(agg.reduce)).toSeq
+      val merged = agg.finish(rnd.shuffle(bufs).reduce(agg.merge))
+      val expected = data.distinct
+        .sortWith((a, b) => java.lang.Long.compareUnsigned(a, b) < 0).take(8)
+      assert(merged == expected, s"trial=$trial parts=$parts")
+      bufs.foreach(b => assert(b.vs.length <= 8))
+      assert(merged.distinct.size == merged.size, "duplicates must collapse")
+    }
+    // small-group branch: fewer distinct values than k -> the sketch IS
+    // the distinct set (q178's m < k exact fallback)
+    val small = new KMinLongs(8)
+    val got = small.finish(Seq(9L, 2L, 9L, 2L, 7L).foldLeft(small.zero)(small.reduce))
+    assert(got == Seq(2L, 7L, 9L))
+  }
 }
