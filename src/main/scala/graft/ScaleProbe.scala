@@ -78,6 +78,25 @@ object ScaleProbe {
         .repartition(32)
         .write.mode("overwrite").parquet(s"$out/events.parquet")
     }
+    // lineitem/orders: replica r shifts the shared orderkey, so each
+    // replica is a self-contained TPC-H slice — referential integrity,
+    // per-order line groups, and key-distinct counts all scale linearly
+    // by construction (q179/q180's join/profile shapes). Other columns
+    // unchanged: value-domain distincts (flags, dates) stay constant,
+    // as they would under real growth.
+    if (!new java.io.File(s"$out/lineitem.parquet").exists()) {
+      val rep = spark.range(0, reps).select(col("id").as("r"))
+      spark.read.parquet(s"$src/lineitem.parquet").crossJoin(rep)
+        .withColumn("l_orderkey", col("l_orderkey") + col("r") * 100000000L)
+        .drop("r")
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+      spark.read.parquet(s"$src/orders.parquet").crossJoin(rep)
+        .withColumn("o_orderkey", col("o_orderkey") + col("r") * 100000000L)
+        .drop("r")
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$out/orders.parquet")
+    }
     queries.foreach { q =>
       spark.catalog.clearCache(); System.gc()
       def run(): Double = {
