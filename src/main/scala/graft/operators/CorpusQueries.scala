@@ -1382,8 +1382,122 @@ object CorpusQueries extends QueryModule {
         .select(col("source"), col("n_exact"),
           col("m").cast("long").as("k_used"), col("kmv_est"))
         .orderBy(col("source"))
+    }),
+
+    // --- target-mixture rejection sampling (q182): downsample every
+    // source to the size of the SMALLEST source (a uniform target
+    // mixture — the static data-mixing step behind Pile-style corpus
+    // recipes) with a deterministic hash threshold: doc kept iff
+    // fnv64(doc_id) mod 1e6 < rate, rate = min_count·1e6 DIV count_s.
+    // Two passes, both linear: a per-source count (partial-agged,
+    // |sources| rows broadcast back) and a map-side filter — no shuffle
+    // ever touches the corpus rows, and the same doc keeps/drops
+    // identically on any cluster size or partitioning (hash-threshold
+    // sampling is the only sampler with that reproducibility property;
+    // rand(seed) is partitioning-dependent).
+    "q182_target_mix_sample" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s) // fnv64
+      val d = Tables(s, dir, "documents")
+      val counts = d.groupBy(col("source")).agg(count(lit(1)).as("n_orig"))
+      val minc = counts.agg(min(col("n_orig")).as("m"))
+      val rated = counts.crossJoin(broadcast(minc))
+        .withColumn("accept_per_million", expr("(m * 1000000) DIV n_orig"))
+        .drop("m")
+      d.select(col("doc_id"), col("source"))
+        .join(broadcast(rated), Seq("source"))
+        .withColumn("u",
+          pmod(expr("fnv64(CAST(doc_id AS STRING))"), lit(1000000L)))
+        .groupBy(col("source"))
+        .agg(max(col("n_orig")).as("n_orig"),
+          sum(when(col("u") < col("accept_per_million"), 1L).otherwise(0L))
+            .as("n_sampled"),
+          max(col("accept_per_million")).as("accept_per_million"))
+        .orderBy(col("source"))
+    }),
+
+    // --- Bradley-Terry preference ranking (q184): aggregate pairwise
+    // preferences into per-item strengths by the BT fixed point
+    // p_i <- W_i / Σ_j n_ij/(p_i+p_j) — the model behind RLHF
+    // preference-data quality audits and LLM-judge leaderboards.
+    // Preferences here are deterministic: docs pair with their
+    // (lang, fnv-bucket) neighbor by doc_id order (the lag window is
+    // partitioned by lang × 16 hash buckets, so no partition outgrows
+    // corpus/|cells| — at scale the bucket count grows with n, never
+    // the per-partition stream), cross-source pairs become games, and
+    // the longer doc wins (n_chars, doc_id tie-break: a total order).
+    // The corpus reduces to a sources²-bounded win matrix BEFORE any
+    // iteration; 10 fixed-point rounds then run on that tiny aggregate
+    // (localCheckpoint per round — constant-size plans, no lineage
+    // growth), entirely on integer grids: strengths in 1e-6 units,
+    // per-round normalization against the lexicographically-first
+    // source, floor at 1 so a winless source can never divide by zero.
+    "q184_bradley_terry" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s) // fnv64
+      val w = Window.partitionBy(col("lang"), col("b")).orderBy(col("doc_id"))
+      val seq0 = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+        .withColumn("b", pmod(expr("fnv64(CAST(doc_id AS STRING))"), lit(16L)))
+        .withColumn("pd", lag(col("doc_id"), 1).over(w))
+        .withColumn("ps", lag(col("source"), 1).over(w))
+        .withColumn("pc", lag(col("n_chars"), 1).over(w))
+        .filter(col("pd").isNotNull && col("ps") =!= col("source"))
+      val games = seq0
+        .withColumn("cur_wins",
+          col("n_chars") > col("pc") ||
+            (col("n_chars") === col("pc") && col("doc_id") > col("pd")))
+        .select(col("source").as("a"), col("ps").as("bsrc"), col("cur_wins"))
+      btStrengths(games)
     })
   )
+
+  /** q184's fixed-point engine, factored so unit tests can drive planted
+    * tournaments: see the q184 entry comment for the grid contract.
+    * Expects comparison rows (a, bsrc, cur_wins) — one game each, `a`
+    * wins iff cur_wins. */
+  private[graft] def btStrengths(games: DataFrame): DataFrame = {
+    // ordered matrix: one row per (i, j) direction with games + i's wins
+    val edges = games
+      .select(col("a").as("i"), col("bsrc").as("j"),
+        when(col("cur_wins"), 1L).otherwise(0L).as("win"))
+      .unionAll(games.select(col("bsrc").as("i"), col("a").as("j"),
+        when(col("cur_wins"), 0L).otherwise(1L).as("win")))
+      .groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("n"), sum(col("win")).as("w"))
+      .localCheckpoint()
+    val wins = edges.groupBy(col("i"))
+      .agg(sum(col("n")).as("games"), sum(col("w")).as("wins"))
+      .localCheckpoint()
+    var p = wins.select(col("i"), lit(1000000L).cast("decimal(38,0)").as("p"))
+      .localCheckpoint()
+    for (_ <- 1 to 10) {
+      val den = edges
+        .join(p.select(col("i"), col("p").as("pi")), Seq("i"))
+        .join(p.select(col("i").as("j"), col("p").as("pj")), Seq("j"))
+        .withColumn("d", expr(
+          "(CAST(n AS DECIMAL(38,0)) * 1000000000000) DIV (pi + pj)"))
+        .groupBy(col("i")).agg(sum(col("d")).as("den"))
+      // floor BEFORE normalizing: a winless lexicographically-first
+      // source would otherwise put praw = 0 in the divisor
+      val raw = wins.join(den, Seq("i"))
+        .withColumn("praw", greatest(expr(
+          "(CAST(wins AS DECIMAL(38,0)) * 1000000000000) DIV den"),
+          lit(1).cast("decimal(38,0)")))
+      // normalize by the round's MAX praw: strengths land in (0, 1]
+      // with the strongest source pinned at 1.0 — a bounded, total
+      // normalizer (a winless source's floored praw would explode the
+      // scale if used as the divisor)
+      val first = raw.agg(max(col("praw")).as("p0"))
+      p = raw.crossJoin(broadcast(first))
+        .select(col("i"),
+          greatest(expr("(praw * 1000000) DIV p0"),
+            lit(1).cast("decimal(38,0)")).as("p"))
+        .localCheckpoint()
+    }
+    wins.join(p, Seq("i"))
+      .select(col("i").as("source"), col("games"), col("wins"),
+        (col("p").cast("double") / lit(1000000.0)).as("strength"))
+      .orderBy(col("source"))
+  }
 
   /** The q165 subword chain, shared with q167's packing: corpus-derived
     * greedy-longest-match vocabulary (top 128/64/32 character 2/3/4-grams
@@ -2608,6 +2722,79 @@ object CorpusQueries extends QueryModule {
          |       ELSE CAST('1162144876643701751808' AS HUGEINT) // k.uk
          |       END AS BIGINT) AS kmv_est
          |FROM ex e JOIN st s USING (source) LEFT JOIN ku k USING (source)
-         |ORDER BY e.source""".stripMargin
+         |ORDER BY e.source""".stripMargin,
+
+    // Same two-pass hash-threshold sampler: per-source counts, the
+    // min-count target rate on the 1e6 grid, fnv64(doc_id) mod 1e6
+    // acceptance replicated via the signed-pmod convention.
+    "q182_target_mix_sample" -> {
+      val h = LlmQueries.wrapSigned(
+        LlmQueries.fnvSqlOf("CAST(doc_id AS VARCHAR)"))
+      s"""WITH c AS (SELECT source, COUNT(*) AS n_orig FROM documents
+         |           GROUP BY source),
+         |mn AS (SELECT MIN(n_orig) AS m FROM c),
+         |r AS (SELECT source, n_orig, (mn.m * 1000000) // n_orig AS apm
+         |      FROM c, mn),
+         |k AS (SELECT d.source, r.n_orig, r.apm,
+         |        (($h % 1000000) + 1000000) % 1000000 AS u
+         |      FROM documents d JOIN r USING (source))
+         |SELECT source, n_orig,
+         |  CAST(SUM(CASE WHEN u < apm THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_sampled,
+         |  apm AS accept_per_million
+         |FROM k GROUP BY source, n_orig, apm ORDER BY source""".stripMargin
+    },
+
+    // The same deterministic pairing (lang × fnv-bucket lag window),
+    // sources²-bounded win matrix, and 10 unrolled fixed-point rounds
+    // on the HUGEINT replica of the engine's integer grid.
+    "q184_bradley_terry" -> {
+      val h = LlmQueries.wrapSigned(
+        LlmQueries.fnvSqlOf("CAST(doc_id AS VARCHAR)"))
+      val iters = (1 to 10).map { k =>
+        val prev = if (k == 1) "p0" else s"p${k - 1}"
+        s"""dn$k AS MATERIALIZED (
+           |  SELECT e.i,
+           |    SUM(CAST(e.n AS HUGEINT) * 1000000000000 // (a.p + b.p)) AS den
+           |  FROM edges e JOIN $prev a ON a.i = e.i JOIN $prev b ON b.i = e.j
+           |  GROUP BY e.i),
+           |rw$k AS MATERIALIZED (
+           |  SELECT w.i,
+           |    GREATEST(CAST(w.wins AS HUGEINT) * 1000000000000 // d.den, 1)
+           |      AS praw
+           |  FROM wins w JOIN dn$k d ON d.i = w.i),
+           |p$k AS MATERIALIZED (
+           |  SELECT i, GREATEST(praw * 1000000 //
+           |    (SELECT MAX(praw) FROM rw$k), 1) AS p
+           |  FROM rw$k)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH d2 AS (
+         |  SELECT doc_id, source, lang, n_chars,
+         |    (($h % 16) + 16) % 16 AS b
+         |  FROM documents),
+         |sq AS (
+         |  SELECT *, lag(doc_id) OVER w AS pd, lag(source) OVER w AS ps,
+         |    lag(n_chars) OVER w AS pc
+         |  FROM d2 WINDOW w AS (PARTITION BY lang, b ORDER BY doc_id)),
+         |cmp AS MATERIALIZED (
+         |  SELECT source AS a, ps AS bsrc,
+         |    (n_chars > pc OR (n_chars = pc AND doc_id > pd)) AS cw
+         |  FROM sq WHERE pd IS NOT NULL AND ps <> source),
+         |dr AS (
+         |  SELECT a AS i, bsrc AS j, CASE WHEN cw THEN 1 ELSE 0 END AS win
+         |  FROM cmp
+         |  UNION ALL
+         |  SELECT bsrc, a, CASE WHEN cw THEN 0 ELSE 1 END FROM cmp),
+         |edges AS MATERIALIZED (SELECT i, j, COUNT(*) AS n, SUM(win) AS w FROM dr
+         |          GROUP BY i, j),
+         |wins AS MATERIALIZED (SELECT i, SUM(n) AS games, SUM(w) AS wins FROM edges
+         |         GROUP BY i),
+         |p0 AS MATERIALIZED (SELECT i, CAST(1000000 AS HUGEINT) AS p FROM wins),
+         |$iters
+         |SELECT w.i AS source, CAST(w.games AS BIGINT) AS games,
+         |  CAST(w.wins AS BIGINT) AS wins,
+         |  CAST(p.p AS DOUBLE) / 1000000.0 AS strength
+         |FROM wins w JOIN p10 p ON p.i = w.i ORDER BY source""".stripMargin
+    }
   )
 }

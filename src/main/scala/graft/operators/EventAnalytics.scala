@@ -259,8 +259,90 @@ object EventAnalytics extends QueryModule {
         .select(col("prev_type"), col("next_type"), col("n"),
           (col("pm").cast("double") / lit(1000000.0)).as("p"))
         .orderBy(col("prev_type"), col("next_type"))
+    }),
+
+    // --- SCD2 history reconstruction + point-in-time snapshot (q181):
+    // the change-data-capture shape every lakehouse dimension table
+    // needs — each event opens a version of its user's state
+    // [ts, lead(ts)), the open version is current, and a snapshot query
+    // answers "who was in state X at time T". The lead window is
+    // partitioned by user and ordered by the total (ts, event_id) key
+    // (the q177 discipline: per-partition state is one user's stream,
+    // ties cannot reorder between engines), the snapshot filter is a
+    // map-side interval test, and the output exchange is
+    // alphabet-bounded. Dwell averages live on the half-up micro grid
+    // over exact integer micro sums (DECIMAL(38,0): a month of micros
+    // times 1e12 versions overflows long).
+    "q181_scd2_snapshot" -> ((s, dir) =>
+      scd2Snapshot(events(s, dir), "2024-01-15 00:00:00")),
+
+    // --- shuffle-key skew audit (q183): the diagnostic a pipeline runs
+    // BEFORE keying a 100 TB shuffle on a column — top-key shares say
+    // whether one key dominates (salt it), and the 32-bucket hash
+    // histogram says how the engine's own hash partitioner would load
+    // executors (imbalance 1e6 = perfectly even). Both passes are
+    // map-side partial aggs: the exchange carries |keys| rows for the
+    // share pass (top-10 via TakeOrderedAndProject, never a global
+    // sort) and exactly 32 rows for the bucket pass. All ratios on the
+    // half-up 1e-6 grid in DECIMAL(38,0).
+    "q183_skew_audit" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s) // fnv64
+      val ev = events(s, dir)
+      val perKey = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      val top = perKey.orderBy(col("n").desc, col("user_id")).limit(10)
+        .agg(max(col("n")).as("top1_n"), sum(col("n")).as("top10_n"))
+      val keys = perKey.agg(count(lit(1)).as("n_keys"))
+      val buckets = ev
+        .select(pmod(expr("fnv64(CAST(user_id AS STRING))"), lit(32L)).as("b"))
+        .groupBy(col("b")).agg(count(lit(1)).as("bn"))
+        .agg(max(col("bn")).as("max_bucket"))
+      ev.agg(count(lit(1)).as("n_rows"))
+        .crossJoin(keys).crossJoin(top).crossJoin(buckets)
+        .withColumn("top1_ppm", expr(
+          "CAST((2 * CAST(top1_n AS DECIMAL(38,0)) * 1000000 + n_rows)" +
+            " DIV (2 * n_rows) AS BIGINT)"))
+        .withColumn("top10_ppm", expr(
+          "CAST((2 * CAST(top10_n AS DECIMAL(38,0)) * 1000000 + n_rows)" +
+            " DIV (2 * n_rows) AS BIGINT)"))
+        .withColumn("imbalance_ppm", expr(
+          "CAST((2 * CAST(max_bucket AS DECIMAL(38,0)) * 32 * 1000000 + n_rows)" +
+            " DIV (2 * n_rows) AS BIGINT)"))
+        .select(col("n_rows"), col("n_keys"), col("top1_ppm"),
+          col("top10_ppm"), col("imbalance_ppm"))
     })
   )
+
+  /** q181's engine, factored so unit tests can drive planted streams:
+    * see the q181 entry comment for the interval and grid contract.
+    * Expects (user_id, ts, event_id, event_type). */
+  private[graft] def scd2Snapshot(ev: DataFrame, snapTs: String): DataFrame = {
+    val snapT = lit(snapTs).cast("timestamp")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val v = ev
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("state"))
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+    val atT = v
+      .filter(col("ts") <= snapT &&
+        (col("valid_to").isNull || col("valid_to") > snapT))
+      .groupBy(col("state")).agg(count(lit(1)).as("n_users_at_t"))
+    v.groupBy(col("state")).agg(
+        count(lit(1)).as("n_versions"),
+        sum(when(col("valid_to").isNotNull,
+          unix_micros(col("valid_to")) - unix_micros(col("ts")))
+          .cast(DecimalType(38, 0))).as("sum_us"),
+        sum(when(col("valid_to").isNotNull, 1L).otherwise(0L)).as("n_closed"))
+      .join(atT, Seq("state"), "left")
+      .withColumn("n_users_at_t", coalesce(col("n_users_at_t"), lit(0L)))
+      .withColumn("avg_dwell_s",
+        when(col("n_closed") === 0, lit(0.0)).otherwise(
+          expr("(2 * sum_us + n_closed) DIV (2 * n_closed)")
+            .cast("double") / lit(1000000.0)))
+      .select(col("state"), col("n_versions"), col("n_users_at_t"),
+        col("avg_dwell_s"))
+      .orderBy(col("state"))
+  }
 
   /** q159's engine, factored so unit tests can drive planted series:
     * see the q159 entry comment for the arithmetic contract. */
@@ -462,6 +544,57 @@ object EventAnalytics extends QueryModule {
         |s AS (SELECT *, SUM(n) OVER (PARTITION BY prev_type) AS tot FROM c)
         |SELECT prev_type, next_type, n,
         |  CAST((2 * n * 1000000 + tot) // (2 * tot) AS BIGINT) / 1000000.0 AS p
-        |FROM s ORDER BY prev_type, next_type""".stripMargin
+        |FROM s ORDER BY prev_type, next_type""".stripMargin,
+
+    // Same lead-window version intervals, snapshot interval test, and
+    // half-up micro-grid dwell average.
+    "q181_scd2_snapshot" ->
+      """WITH v AS (
+        |  SELECT user_id, ts, event_id, event_type AS state,
+        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS valid_to
+        |  FROM events),
+        |att AS (
+        |  SELECT state, COUNT(*) AS n_users_at_t FROM v
+        |  WHERE ts <= TIMESTAMP '2024-01-15 00:00:00'
+        |    AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-15 00:00:00')
+        |  GROUP BY state),
+        |ag AS (
+        |  SELECT state, COUNT(*) AS n_versions,
+        |    CAST(SUM(CASE WHEN valid_to IS NOT NULL
+        |      THEN epoch_us(valid_to) - epoch_us(ts) END) AS HUGEINT) AS sum_us,
+        |    SUM(CASE WHEN valid_to IS NOT NULL THEN 1 ELSE 0 END) AS n_closed
+        |  FROM v GROUP BY state)
+        |SELECT a.state, a.n_versions,
+        |  COALESCE(t.n_users_at_t, 0) AS n_users_at_t,
+        |  CASE WHEN a.n_closed = 0 THEN 0.0 ELSE
+        |    CAST((2 * a.sum_us + a.n_closed) // (2 * a.n_closed) AS DOUBLE)
+        |      / 1000000.0 END AS avg_dwell_s
+        |FROM ag a LEFT JOIN att t USING (state)
+        |ORDER BY a.state""".stripMargin,
+
+    // Per-key counts -> top-10 shares; per-hash-bucket counts on the
+    // engine-replicated fnv64 mod 32 -> load imbalance.
+    "q183_skew_audit" -> {
+      val h = LlmQueries.wrapSigned(
+        LlmQueries.fnvSqlOf("CAST(user_id AS VARCHAR)"))
+      s"""WITH pk AS (SELECT user_id, COUNT(*) AS n FROM events
+         |            GROUP BY user_id),
+         |top AS (SELECT MAX(n) AS top1_n, SUM(n) AS top10_n FROM (
+         |  SELECT n FROM pk ORDER BY n DESC, user_id LIMIT 10)),
+         |bk AS (SELECT MAX(bn) AS max_bucket FROM (
+         |  SELECT (($h % 32) + 32) % 32 AS b, COUNT(*) AS bn
+         |  FROM events GROUP BY 1)),
+         |tot AS (SELECT COUNT(*) AS n_rows FROM events),
+         |ks AS (SELECT COUNT(*) AS n_keys FROM pk)
+         |SELECT t.n_rows, k.n_keys,
+         |  CAST((2 * CAST(p.top1_n AS HUGEINT) * 1000000 + t.n_rows)
+         |    // (2 * t.n_rows) AS BIGINT) AS top1_ppm,
+         |  CAST((2 * CAST(p.top10_n AS HUGEINT) * 1000000 + t.n_rows)
+         |    // (2 * t.n_rows) AS BIGINT) AS top10_ppm,
+         |  CAST((2 * CAST(b.max_bucket AS HUGEINT) * 32 * 1000000 + t.n_rows)
+         |    // (2 * t.n_rows) AS BIGINT) AS imbalance_ppm
+         |FROM tot t, ks k, top p, bk b""".stripMargin
+    }
   )
 }

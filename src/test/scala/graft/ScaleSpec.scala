@@ -668,6 +668,67 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
       (2L, 2L, 4.5, 0.0)), got.toSeq)
   }
 
+  test("q181 SCD2: planted stream — versions, snapshot membership, dwell grid") {
+    import graft.operators.EventAnalytics
+    import java.sql.Timestamp
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(Seq(
+      StructField("user_id", LongType),
+      StructField("ts", TimestampType),
+      StructField("event_id", LongType),
+      StructField("event_type", StringType)))
+    def ts(s: String) = Timestamp.from(java.time.Instant.parse(s))
+    // user 1: A [d1, d3) -> B [d3, d10) -> A [d10, open)
+    // user 2: B [d2, open) — still in B at the d5 snapshot
+    val rows = Seq(
+      Row(1L, ts("2024-01-01T00:00:00Z"), 1L, "A"),
+      Row(1L, ts("2024-01-03T00:00:00Z"), 2L, "B"),
+      Row(1L, ts("2024-01-10T00:00:00Z"), 3L, "A"),
+      Row(2L, ts("2024-01-02T00:00:00Z"), 4L, "B"))
+    val got = EventAnalytics.scd2Snapshot(
+        spark.createDataFrame(rows.asJava, schema), "2024-01-05 00:00:00")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    // A: 2 versions, 1 closed (2 days); nobody in A at d5.
+    // B: 2 versions, 1 closed (7 days); both users in B at d5.
+    assert(got.toSeq == Seq(
+      ("A", 2L, 0L, 172800.0),
+      ("B", 2L, 2L, 604800.0)), got.toSeq)
+  }
+
+  test("q184 Bradley-Terry: planted tournament recovers the strength order") {
+    import graft.operators.CorpusQueries
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(Seq(
+      StructField("a", StringType),
+      StructField("bsrc", StringType),
+      StructField("cur_wins", BooleanType)))
+    // alpha beats beta 9/10, beta beats gamma 9/10, alpha beats gamma
+    // 9/10 — BT must rank alpha > beta > gamma; the strongest source
+    // (alpha) normalizes to exactly 1.0 each round.
+    val rows = (for {
+      (hi, lo) <- Seq(("alpha", "beta"), ("beta", "gamma"), ("alpha", "gamma"))
+      k <- 0 until 10
+    } yield Row(hi, lo, k < 9)).toSeq
+    val got = CorpusQueries.btStrengths(
+        spark.createDataFrame(rows.asJava, schema))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    val by = got.map(t => t._1 -> t).toMap
+    assert(got.map(_._1) == Seq("alpha", "beta", "gamma"))
+    assert(by("alpha")._2 == 20 && by("alpha")._3 == 18, by("alpha"))
+    assert(by("beta")._2 == 20 && by("beta")._3 == 10, by("beta"))
+    assert(by("gamma")._2 == 20 && by("gamma")._3 == 2, by("gamma"))
+    assert(by("alpha")._4 == 1.0, "normalization pins the strongest source at 1.0")
+    assert(by("alpha")._4 > by("beta")._4 && by("beta")._4 > by("gamma")._4, got)
+    // a winless source must floor at the 1e-6 grid unit, never 0
+    val shut = (0 until 4).map(_ => Row("win", "lose", true))
+    val g2 = CorpusQueries.btStrengths(
+        spark.createDataFrame(shut.asJava, schema))
+      .collect().map(r => (r.getString(0), r.getDouble(3))).toMap
+    assert(g2("lose") >= 1e-6 && g2("lose") < g2("win"), g2)
+  }
+
   test("parquet sink round-trips under every shipped codec") {
     val dir = "/root/testdata/sf0.001"
     val src = Tables(spark, dir, "nation")
