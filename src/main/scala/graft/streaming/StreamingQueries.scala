@@ -156,6 +156,64 @@ object StreamingQueries extends QueryModule {
     events.groupBy().agg(aggs.head, aggs.tail: _*)
   }
 
+  /** In-session funnel conversion (q185): per (user, session window),
+    * whether a purchase happened AFTER the session's first click — the
+    * q69 funnel question asked at session granularity, answered ON the
+    * ingestion stream (a conversion alert fires when the session
+    * closes, not at the next batch audit). Streaming shape: ONE
+    * stateful operator — Spark's built-in session merge; the funnel is
+    * two conditional aggregates inside that agg plus a row-local
+    * compare after close, so state per (user, open session) is a
+    * constant-width row regardless of session length. Null totality:
+    * a session with no click (or no purchase) compares through
+    * IS NOT NULL guards, never through three-valued null logic. */
+  def sessionFunnel(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), "6 hours"))
+      .agg(count(lit(1)).as("n_events"),
+        min(when(col("event_type") === "click", col("ts"))).as("first_click"),
+        max(when(col("event_type") === "purchase", col("ts"))).as("last_purchase"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("n_events"),
+        (col("first_click").isNotNull && col("last_purchase").isNotNull &&
+          col("last_purchase") > col("first_click")).as("converted"))
+
+  /** Windowed histogram quantiles (q186): p50/p95/p99 lower bin edges
+    * of `value` per 6-hour event-time window — the latency-SLO monitor
+    * shape (alert when p99 crosses a threshold), built the only way a
+    * quantile can be BOTH streaming-mergeable and engine-exact: a
+    * fixed 16-bin histogram (bin width 40) as conditional-count
+    * columns in one windowed aggregate — one constant-width state row
+    * per open window, the q172 discipline — then the quantile is a
+    * row-local fold over the closed histogram (the q133 lower-edge
+    * rule: first bin where the running count reaches ceil(q·n)). No
+    * sort, no percentile sketch with opaque state, no float division:
+    * the estimate is a bin EDGE, exact on both engines by
+    * construction. */
+  def windowValueQuantiles(events: DataFrame): DataFrame = {
+    val bins = 0 until 16
+    val aggs = bins.map(b =>
+      sum(when(col("vb") === b, 1L).otherwise(0L)).as(s"c_$b"))
+    val w = events.filter(col("value").isNotNull)
+      .withColumn("vb", least(lit(15), floor(col("value") / 40)).cast("int"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "6 hours"))
+      .agg(aggs.head, aggs.tail: _*)
+    val arr = bins.map(b => s"named_struct('b', $b, 'cnt', c_$b)")
+      .mkString("array(", ", ", ")")
+    def loAt(q: String) = expr(
+      s"""aggregate($arr, named_struct('c', CAST(0 AS BIGINT), 'b', -1),
+         |  (acc, x) -> IF(acc.b >= 0, acc,
+         |    named_struct('c', acc.c + x.cnt,
+         |      'b', IF(acc.c + x.cnt >= ceil($q * n_events), x.b, -1))),
+         |  acc -> acc.b * 40)""".stripMargin)
+    w.withColumn("n_events", expr(bins.map(b => s"c_$b").mkString(" + ")))
+      .select(col("window.start").as("window_start"), col("n_events"),
+        loAt("0.5").as("p50_lo"), loAt("0.95").as("p95_lo"),
+        loAt("0.99").as("p99_lo"))
+  }
+
   /** Per-user session windows with a 6-hour inactivity gap. */
   def sessions(events: DataFrame): DataFrame =
     events.withWatermark("ts", "1 hour")
@@ -300,7 +358,15 @@ object StreamingQueries extends QueryModule {
       val ev = Tables(s, dir, "events")
       driftVsBaseline(ev, typeBaseline(ev))
         .orderBy(col("window_start"))
-    })
+    }),
+
+    "q185_stream_session_funnel" -> ((s, dir) =>
+      sessionFunnel(Tables(s, dir, "events"))
+        .orderBy(col("user_id"), col("session_start"))),
+
+    "q186_stream_value_quantiles" -> ((s, dir) =>
+      windowValueQuantiles(Tables(s, dir, "events"))
+        .orderBy(col("window_start")))
   )
 
   /** q168's builder: probe a (doc_id, text, ts) delta frame — batch OR
@@ -474,6 +540,53 @@ object StreamingQueries extends QueryModule {
         |      + abs(c_view::HUGEINT * nb - cb_view::HUGEINT * nw)) * 1000000
         |      + 2 * nw::HUGEINT * nb) // (4 * nw::HUGEINT * nb) AS BIGINT)
         |    AS DOUBLE) / 1000000.0 AS tv_drift
-        |FROM wc, b ORDER BY window_start""".stripMargin
+        |FROM wc, b ORDER BY window_start""".stripMargin,
+
+    // q52's gaps-and-islands sessions, extended with the conditional
+    // click/purchase extremes and the null-guarded converted flag.
+    "q185_stream_session_funnel" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts, event_type,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |              >= INTERVAL 6 HOUR OR
+        |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events),
+        |numbered AS (
+        |  SELECT user_id, ts, event_type,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                     ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM marked)
+        |SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
+        |  (MIN(CASE WHEN event_type = 'click' THEN ts END) IS NOT NULL AND
+        |   MAX(CASE WHEN event_type = 'purchase' THEN ts END) IS NOT NULL AND
+        |   MAX(CASE WHEN event_type = 'purchase' THEN ts END) >
+        |     MIN(CASE WHEN event_type = 'click' THEN ts END)) AS converted
+        |FROM numbered GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
+
+    // Same fixed 16-bin histogram per 6h epoch bucket; the quantile is
+    // the first bin whose running count reaches ceil(q*n) — a bin EDGE,
+    // no interpolation to drift.
+    "q186_stream_value_quantiles" ->
+      """WITH b AS (
+        |  SELECT make_timestamp((epoch_us(ts) // 21600000000) * 21600000000)
+        |      AS window_start,
+        |    LEAST(15, CAST(floor(value / 40) AS INT)) AS vb
+        |  FROM events WHERE value IS NOT NULL),
+        |h AS (SELECT window_start, vb, COUNT(*) AS cnt FROM b GROUP BY 1, 2),
+        |t AS (SELECT window_start, CAST(SUM(cnt) AS BIGINT) AS n_events
+        |      FROM h GROUP BY 1),
+        |cum AS (
+        |  SELECT h.window_start, h.vb,
+        |    SUM(h.cnt) OVER (PARTITION BY h.window_start ORDER BY h.vb) AS cm,
+        |    t.n_events
+        |  FROM h JOIN t USING (window_start))
+        |SELECT window_start, n_events,
+        |  MIN(CASE WHEN cm >= ceil(0.5 * n_events) THEN vb * 40 END) AS p50_lo,
+        |  MIN(CASE WHEN cm >= ceil(0.95 * n_events) THEN vb * 40 END) AS p95_lo,
+        |  MIN(CASE WHEN cm >= ceil(0.99 * n_events) THEN vb * 40 END) AS p99_lo
+        |FROM cum GROUP BY window_start, n_events
+        |ORDER BY window_start""".stripMargin
   )
 }

@@ -20,6 +20,7 @@ case class NewDoc(doc_id: Long, text: String, ts: Timestamp)
 case class IdEv(event_id: Long, ts: Timestamp)
 case class TypedEv(ts: Timestamp, event_type: String)
 case class Tok(shard: Int, token: String)
+case class FunEv(ts: Timestamp, user_id: Long, event_type: String)
 case class MGState(buf: graft.functions.FrequentItems.MGBuf, seq: Int)
 
 /** Proves the StreamingQueries builders are genuinely streamable: the SAME
@@ -304,6 +305,66 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(streamed == Set(
         (ts("2024-01-01T00:00:00Z"), 2L, 0.0),
         (ts("2024-01-01T06:00:00Z"), 2L, 0.5)))
+    } finally q.stop()
+  }
+
+  test("session funnel builder (q185): in-session click->purchase order, stream matches batch") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val data = Seq(
+      // user 1, session A: click then purchase -> converted
+      FunEv(ts("2024-01-01T10:00:00Z"), 1, "click"),
+      FunEv(ts("2024-01-01T11:00:00Z"), 1, "purchase"),
+      // user 1, session B (>= 6h gap): purchase without a click -> not
+      FunEv(ts("2024-01-01T20:00:00Z"), 1, "purchase"),
+      // user 2, one session: purchase BEFORE the first click -> not
+      FunEv(ts("2024-01-01T09:00:00Z"), 2, "purchase"),
+      FunEv(ts("2024-01-01T10:00:00Z"), 2, "click"))
+    val mem = MemoryStream[FunEv]
+    val q = StreamingQueries.sessionFunnel(mem.toDF())
+      .writeStream.format("memory").queryName("funnel185")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      mem.addData(data: _*)
+      q.processAllAvailable()
+      def shape(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+          r.getBoolean(3))).toSet
+      val streamed = shape(sp.table("funnel185"))
+      val batch = shape(StreamingQueries.sessionFunnel(data.toDF()))
+      assert(streamed == batch)
+      assert(streamed == Set(
+        (1L, ts("2024-01-01T10:00:00Z"), 2L, true),
+        (1L, ts("2024-01-01T20:00:00Z"), 1L, false),
+        (2L, ts("2024-01-01T09:00:00Z"), 2L, false)))
+    } finally q.stop()
+  }
+
+  test("windowed quantile builder (q186): one histogram state row, stream matches batch") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    // one 6h window, values 0..199 -> bins 0..4 (40 each); with n=200:
+    // p50 edge = bin at cum >= 100 -> bin 2 (80), p95 -> bin 4 (160),
+    // p99 -> bin 4 (160)
+    val data = (0 until 200).map(i =>
+      Ev(ts(f"2024-01-01T0${i % 6}:${10 + i % 40}%02d:00Z"), i.toLong, i.toDouble))
+    val mem = MemoryStream[Ev]
+    val q = StreamingQueries.windowValueQuantiles(mem.toDF())
+      .writeStream.format("memory").queryName("quant186")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      mem.addData(data: _*)
+      q.processAllAvailable()
+      def shape(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getTimestamp(0), r.getLong(1), r.getInt(2), r.getInt(3),
+          r.getInt(4))).toSet
+      val streamed = shape(sp.table("quant186"))
+      val batch = shape(StreamingQueries.windowValueQuantiles(data.toDF()))
+      assert(streamed == batch)
+      assert(streamed == Set(
+        (ts("2024-01-01T00:00:00Z"), 200L, 80, 160, 160)))
     } finally q.stop()
   }
 
