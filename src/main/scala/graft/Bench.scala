@@ -65,13 +65,19 @@ object Bench {
     if (!ok) "-1"
     else String.format(java.util.Locale.ROOT, "%.1f", Double.box(math.min(v, 9.9)))
 
-  /** Wire key for one query: the numeric id alone ("q01_agg_pricing" ->
-    * "01"). Wire-key compaction #3 — full names (r1-r7) shrank to qNN
-    * (r8) and the q prefix itself went with the round-10 growth to 174
-    * queries; the mapping back is `'q' + key` and bench_detail.json
-    * always carries full names. BenchFormatSpec pins uniqueness and the
-    * tail budget. */
-  def wireKey(name: String): String = name.split("_").head.stripPrefix("q")
+  /** Wire key for one query: the numeric id in BASE 36
+    * ("q185_stream_session_funnel" -> "55"). Wire-key compaction #4 —
+    * full names (r1-r7) shrank to qNN (r8), bare decimal ids at 174
+    * queries, and base-36 at 189 (decimal 3-digit ids overflowed the
+    * tail by 18 chars); 2 chars now reach id 1295. Mapping back is
+    * `'q' + zero-padded parseInt(key, 36)` and bench_detail.json always
+    * carries full names. BenchFormatSpec pins uniqueness and the tail
+    * budget. */
+  def wireKey(name: String): String = {
+    val id = name.split("_").head.stripPrefix("q")
+    try java.lang.Integer.toString(id.toInt, 36)
+    catch { case _: NumberFormatException => id }
+  }
 
   /** Suite-wide task-metrics accumulator: aggregates executor run time,
     * GC time, shuffle fetch-wait, spill and shuffle volume across every

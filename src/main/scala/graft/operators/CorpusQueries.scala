@@ -1447,6 +1447,80 @@ object CorpusQueries extends QueryModule {
             (col("n_chars") === col("pc") && col("doc_id") > col("pd")))
         .select(col("source").as("a"), col("ps").as("bsrc"), col("cur_wins"))
       btStrengths(games)
+    }),
+
+    // --- split balance audit (q187): the total-variation distance
+    // between each split's source mix and the whole corpus's — the
+    // check a training pipeline runs AFTER splitting, because a split
+    // that is deterministic (q163/q29) is not automatically
+    // representative. Shape: the corpus reduces to (split × source)
+    // counts in one partial-agged pass; the TV grid then lives on a
+    // |splits|·|sources| frame with the MISSING (split, source) cells
+    // restored by a small cross join + left join (a missing source
+    // still contributes |0·N − C_s·n| to TV — dropping absent cells
+    // understates drift, the classic audit bug). The q172 TV
+    // arithmetic: exact DECIMAL(38,0) cross products onto the half-up
+    // 1e-6 grid.
+    "q187_split_balance" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s) // fnv64
+      val d = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"))
+        .withColumn("bucket",
+          pmod(expr("fnv64(CAST(doc_id AS STRING))"), lit(10L)))
+        .withColumn("split",
+          when(col("bucket") < 8, lit("train"))
+            .when(col("bucket") === 8, lit("valid"))
+            .otherwise(lit("test")))
+      val ss = d.groupBy(col("split"), col("source")).agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+      val corp = d.groupBy(col("source")).agg(count(lit(1)).as("cs"))
+      val sn = ss.groupBy(col("split")).agg(sum(col("c")).as("n_docs"))
+      val tot = d.agg(count(lit(1)).as("nn"))
+      sn.crossJoin(broadcast(corp))
+        .join(ss, Seq("split", "source"), "left")
+        .withColumn("c", coalesce(col("c"), lit(0L)))
+        .crossJoin(broadcast(tot))
+        .withColumn("term", expr(
+          "abs(CAST(c AS DECIMAL(38,0)) * nn - CAST(cs AS DECIMAL(38,0)) * n_docs)"))
+        .groupBy(col("split"))
+        .agg(max(col("n_docs")).as("n_docs"), sum(col("term")).as("num"),
+          max(col("nn")).as("nn"))
+        .withColumn("tvm", expr(
+          "(2 * num * 1000000 + 2 * CAST(n_docs AS DECIMAL(38,0)) * nn) DIV " +
+            "(4 * CAST(n_docs AS DECIMAL(38,0)) * nn)").cast("long"))
+        .select(col("split"), col("n_docs"),
+          (col("tvm").cast("double") / lit(1000000.0)).as("tv_vs_corpus"))
+        .orderBy(col("split"))
+    }),
+
+    // --- duplicate-graph health dashboard (q188): the cluster-size
+    // histogram of the q59 near-dup components over the full corpus
+    // (docs outside any pair self-cluster, the q163 rule) — the
+    // observability readout of a dedup deployment: a healthy corpus is
+    // mostly size-1 with a thin tail; a fat tail or a giant component
+    // means the similarity threshold (or the boilerplate) needs
+    // attention. Cost is the q59 chain plus two tiny aggregates:
+    // cluster sizes (exchange bounded by clusters), then the
+    // histogram (bounded by distinct sizes). Shares on the half-up
+    // 1e-6 grid.
+    "q188_dupgraph_health" -> ((s, dir) => {
+      val pairs = LlmQueries.ngramJaccardPairs(s, dir)
+        .select(col("doc_a"), col("doc_b")).localCheckpoint()
+      val clusters = connectedComponents(pairs, propagationCap = 30)
+      val sizes = LlmQueries.plantedNear(s, dir).select(col("doc_id"))
+        .join(clusters, Seq("doc_id"), "left")
+        .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
+        .groupBy(col("cluster")).agg(count(lit(1)).as("sz"))
+      val tot = sizes.agg(sum(col("sz")).as("nn"))
+      sizes.groupBy(col("sz"))
+        .agg(count(lit(1)).as("n_clusters"))
+        .crossJoin(broadcast(tot))
+        .withColumn("doc_share", expr(
+          "CAST((2 * CAST(sz AS DECIMAL(38,0)) * n_clusters * 1000000 + nn) " +
+            "DIV (2 * nn) AS BIGINT)").cast("double") / lit(1000000.0))
+        .select(col("sz").as("cluster_size"), col("n_clusters"),
+          col("doc_share"))
+        .orderBy(col("cluster_size"))
     })
   )
 
@@ -2795,6 +2869,80 @@ object CorpusQueries extends QueryModule {
          |  CAST(w.wins AS BIGINT) AS wins,
          |  CAST(p.p AS DOUBLE) / 1000000.0 AS strength
          |FROM wins w JOIN p10 p ON p.i = w.i ORDER BY source""".stripMargin
-    }
+    },
+
+    // Same full (split × source) grid with absent cells restored, same
+    // q172 TV arithmetic in HUGEINT.
+    "q187_split_balance" -> {
+      val h = LlmQueries.wrapSigned(
+        LlmQueries.fnvSqlOf("CAST(doc_id AS VARCHAR)"))
+      s"""WITH d AS (
+         |  SELECT source, (($h % 10) + 10) % 10 AS bucket FROM documents),
+         |d2 AS (
+         |  SELECT source, CASE WHEN bucket < 8 THEN 'train'
+         |    WHEN bucket = 8 THEN 'valid' ELSE 'test' END AS split FROM d),
+         |c AS (SELECT split, source, COUNT(*) AS c FROM d2 GROUP BY 1, 2),
+         |corp AS (SELECT source, COUNT(*) AS cs FROM documents GROUP BY 1),
+         |sn AS (SELECT split, CAST(SUM(c) AS BIGINT) AS n_docs FROM c
+         |       GROUP BY 1),
+         |tot AS (SELECT COUNT(*) AS nn FROM documents),
+         |grid AS (
+         |  SELECT sn.split, corp.source, sn.n_docs, corp.cs,
+         |    COALESCE(c.c, 0) AS c
+         |  FROM sn CROSS JOIN corp
+         |  LEFT JOIN c ON c.split = sn.split AND c.source = corp.source),
+         |agg AS (
+         |  SELECT g.split, g.n_docs, t.nn,
+         |    SUM(abs(g.c::HUGEINT * t.nn - g.cs::HUGEINT * g.n_docs)) AS num
+         |  FROM grid g, tot t GROUP BY 1, 2, 3)
+         |SELECT split, n_docs,
+         |  CAST(CAST((2 * num * 1000000 + 2 * n_docs::HUGEINT * nn) //
+         |    (4 * n_docs::HUGEINT * nn) AS BIGINT) AS DOUBLE) / 1000000.0
+         |    AS tv_vs_corpus
+         |FROM agg ORDER BY split""".stripMargin
+    },
+
+    // q59's recursive-CTE components over the planted corpus, singletons
+    // self-clustered, then the size histogram and doc-share grid.
+    "q188_dupgraph_health" ->
+      """WITH RECURSIVE corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000,
+        |    array_to_string(string_split_regex(trim(text), '\s+')[1:greatest(
+        |      len(string_split_regex(trim(text), '\s+')) - 5, 1)], ' ')
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(tk) >= 3 THEN
+        |    list_transform(range(1, len(tk) - 1),
+        |      i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])
+        |    ELSE [] END) AS sh
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM corpus)),
+        |ex AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS s FROM sh),
+        |exd AS (SELECT doc_id, sz, s,
+        |          COUNT(*) OVER (PARTITION BY s) AS df FROM ex),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM exd a JOIN exd b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id, a.sz, b.sz
+        |  HAVING COUNT(*) / (a.sz + b.sz - COUNT(*)) >= 0.5
+        |    AND MIN(a.df) <= 256),
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs),
+        |reach(node, r) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, r.r FROM edges e JOIN reach r ON r.node = e.dst),
+        |cl AS (SELECT node AS doc_id, MIN(r) AS cluster FROM reach GROUP BY node),
+        |asg AS (SELECT c.doc_id, COALESCE(cl.cluster, c.doc_id) AS cluster
+        |        FROM corpus c LEFT JOIN cl ON cl.doc_id = c.doc_id),
+        |szs AS (SELECT cluster, COUNT(*) AS sz FROM asg GROUP BY cluster),
+        |tot AS (SELECT CAST(SUM(sz) AS HUGEINT) AS nn FROM szs)
+        |SELECT sz AS cluster_size, COUNT(*) AS n_clusters,
+        |  CAST(CAST((2 * sz::HUGEINT * COUNT(*) * 1000000 + t.nn) //
+        |    (2 * t.nn) AS BIGINT) AS DOUBLE) / 1000000.0 AS doc_share
+        |FROM szs, tot t GROUP BY sz, t.nn
+        |ORDER BY cluster_size""".stripMargin
   )
 }

@@ -276,6 +276,42 @@ object EventAnalytics extends QueryModule {
     "q181_scd2_snapshot" -> ((s, dir) =>
       scd2Snapshot(events(s, dir), "2024-01-15 00:00:00")),
 
+    // --- last-touch attribution (q189): assign every purchase to the
+    // user's most recent click within a 7-day lookback — the marketing
+    // attribution shape, and the only windowed form that scales: a
+    // running conditional last (IGNORE NULLS) over each user's
+    // (ts, event_id)-ordered stream, so no purchases×clicks self-join
+    // ever forms (the naive as-of join shuffles the click table once
+    // per purchase; this is one pass). Daily rollup exchange is
+    // days-bounded; latency averages on the half-up micro grid in
+    // DECIMAL(38,0).
+    "q189_last_touch" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      events(s, dir)
+        .withColumn("last_click_us",
+          last(when(col("event_type") === "click", unix_micros(col("ts"))),
+            ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .withColumn("lat_us", unix_micros(col("ts")) - col("last_click_us"))
+        .withColumn("attributed",
+          col("last_click_us").isNotNull &&
+            col("lat_us") <= lit(7L * 86400L * 1000000L))
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(when(col("attributed"), 1L).otherwise(0L)).as("n_attributed"),
+          sum(when(col("attributed"), col("lat_us"))
+            .cast(DecimalType(38, 0))).as("sum_lat"))
+        .withColumn("avg_latency_s",
+          when(col("n_attributed") === 0, lit(0.0)).otherwise(
+            expr("(2 * sum_lat + n_attributed) DIV (2 * n_attributed)")
+              .cast("double") / lit(1000000.0)))
+        .select(col("day"), col("n_purchases"), col("n_attributed"),
+          col("avg_latency_s"))
+        .orderBy(col("day"))
+    }),
+
     // --- shuffle-key skew audit (q183): the diagnostic a pipeline runs
     // BEFORE keying a 100 TB shuffle on a column — top-key shares say
     // whether one key dominates (salt it), and the 32-bucket hash
@@ -595,6 +631,36 @@ object EventAnalytics extends QueryModule {
          |  CAST((2 * CAST(b.max_bucket AS HUGEINT) * 32 * 1000000 + t.n_rows)
          |    // (2 * t.n_rows) AS BIGINT) AS imbalance_ppm
          |FROM tot t, ks k, top p, bk b""".stripMargin
-    }
+    },
+
+    // Same running conditional last over the total per-user order, same
+    // 7-day gate and half-up micro-grid latency average.
+    "q189_last_touch" ->
+      """WITH a AS (
+        |  SELECT ts, event_type,
+        |    last_value(CASE WHEN event_type = 'click' THEN epoch_us(ts) END
+        |        IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS last_click_us
+        |  FROM events),
+        |p AS (
+        |  SELECT date_trunc('day', ts) AS day,
+        |    epoch_us(ts) - last_click_us AS lat_us,
+        |    (last_click_us IS NOT NULL AND
+        |     epoch_us(ts) - last_click_us <= 604800000000) AS attributed
+        |  FROM a WHERE event_type = 'purchase'),
+        |g AS (
+        |  SELECT day, COUNT(*) AS n_purchases,
+        |    CAST(SUM(CASE WHEN attributed THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_attributed,
+        |    CAST(SUM(CASE WHEN attributed THEN lat_us END) AS HUGEINT)
+        |      AS sum_lat
+        |  FROM p GROUP BY day)
+        |SELECT day, n_purchases, n_attributed,
+        |  CASE WHEN n_attributed = 0 THEN 0.0 ELSE
+        |    CAST((2 * sum_lat + n_attributed) // (2 * n_attributed)
+        |      AS DOUBLE) / 1000000.0 END AS avg_latency_s
+        |FROM g ORDER BY day""".stripMargin
   )
 }
