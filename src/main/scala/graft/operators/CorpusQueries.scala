@@ -4,6 +4,7 @@ import graft.{QueryModule, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Corpus-level training-data operators on `documents`: duplicate-cluster
   * resolution (connected components), deterministic stratified sampling,
@@ -1521,6 +1522,54 @@ object CorpusQueries extends QueryModule {
         .select(col("sz").as("cluster_size"), col("n_clusters"),
           col("doc_share"))
         .orderBy(col("cluster_size"))
+    }),
+
+    // --- Poisson-bootstrap confidence intervals (q190): per-source
+    // mean doc length with a 32-replica bootstrap CI — the
+    // one-pass way to put error bars on a corpus metric at any scale
+    // (classic Poisson bootstrap: resampling n-out-of-n is impossible
+    // distributed because no worker knows n; Poisson(1) weights need
+    // no coordination). Determinism: the replica weight is the
+    // Poisson(1) inverse CDF evaluated at fnv64(doc_id:b) mod 1e6 on a
+    // FIXED integer threshold table (cumulative e^-1/k! on the 1e6
+    // grid, capped at 8) — both engines draw the identical weight for
+    // every (doc, replica). Shape: all 32 replicas are conditional-sum
+    // COLUMNS in ONE scan (never a 32x row explode); the exchange
+    // carries sources × 66 values, the replica-mean sort is a
+    // row-local sort_array over 32 elements, and the CI picks are the
+    // 2nd and 31st order statistics (p5/p95 of 32). Means on the
+    // half-up micro grid.
+    "q190_bootstrap_ci" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s) // fnv64
+      val B = 32
+      def w(b: Int): String = {
+        val u = s"pmod(fnv64(concat(CAST(doc_id AS STRING), ':', '$b')), 1000000)"
+        s"CASE WHEN $u < 367879 THEN 0 WHEN $u < 735759 THEN 1 " +
+          s"WHEN $u < 919699 THEN 2 WHEN $u < 981012 THEN 3 " +
+          s"WHEN $u < 996340 THEN 4 WHEN $u < 999406 THEN 5 " +
+          s"WHEN $u < 999917 THEN 6 WHEN $u < 999990 THEN 7 ELSE 8 END"
+      }
+      val aggs = Seq(count(lit(1)).as("n_docs"),
+        sum(col("n_chars").cast(DecimalType(38, 0))).as("sx")) ++
+        (0 until B).flatMap(b => Seq(
+          sum(expr(w(b)).cast(DecimalType(38, 0))).as(s"w$b"),
+          sum(expr(s"${w(b)} * n_chars").cast(DecimalType(38, 0))).as(s"wx$b")))
+      val means = (0 until B).map(b =>
+        s"IF(w$b = 0, CAST(0 AS DECIMAL(38,0)), (2 * wx$b * 1000000 + w$b) DIV (2 * w$b))")
+        .mkString("sort_array(array(", ", ", "))")
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .groupBy(col("source"))
+        .agg(aggs.head, aggs.tail: _*)
+        .withColumn("ms", expr(means))
+        .select(col("source"), col("n_docs"),
+          (expr("(2 * sx * 1000000 + n_docs) DIV (2 * n_docs)")
+            .cast("double") / lit(1000000.0)).as("mean_chars"),
+          (expr("element_at(ms, 2)").cast("double") / lit(1000000.0))
+            .as("ci_lo"),
+          (expr("element_at(ms, 31)").cast("double") / lit(1000000.0))
+            .as("ci_hi"))
+        .orderBy(col("source"))
     })
   )
 
@@ -2943,6 +2992,49 @@ object CorpusQueries extends QueryModule {
         |  CAST(CAST((2 * sz::HUGEINT * COUNT(*) * 1000000 + t.nn) //
         |    (2 * t.nn) AS BIGINT) AS DOUBLE) / 1000000.0 AS doc_share
         |FROM szs, tot t GROUP BY sz, t.nn
-        |ORDER BY cluster_size""".stripMargin
+        |ORDER BY cluster_size""".stripMargin,
+
+    // Same fixed Poisson(1) threshold table on the fnv64(doc:b) draw
+    // (explode form — the oracle has no 32-column codegen to protect),
+    // same micro-grid means and 2nd/31st order-statistic picks.
+    "q190_bootstrap_ci" -> {
+      val h = LlmQueries.wrapSigned(LlmQueries.fnvSqlOf(
+        "CAST(doc_id AS VARCHAR) || ':' || CAST(b AS VARCHAR)"))
+      s"""WITH r AS (SELECT unnest(range(32)) AS b),
+         |d AS (SELECT doc_id, source, n_chars FROM documents),
+         |u AS (SELECT d.source, d.n_chars,
+         |        (($h % 1000000) + 1000000) % 1000000 AS uu, r.b
+         |      FROM d CROSS JOIN r),
+         |w AS (SELECT source, n_chars, b,
+         |        CASE WHEN uu < 367879 THEN 0 WHEN uu < 735759 THEN 1
+         |          WHEN uu < 919699 THEN 2 WHEN uu < 981012 THEN 3
+         |          WHEN uu < 996340 THEN 4 WHEN uu < 999406 THEN 5
+         |          WHEN uu < 999917 THEN 6 WHEN uu < 999990 THEN 7
+         |          ELSE 8 END AS w
+         |      FROM u),
+         |rep AS (SELECT source, b, CAST(SUM(w) AS HUGEINT) AS wb,
+         |          CAST(SUM(w * n_chars) AS HUGEINT) AS wxb
+         |        FROM w GROUP BY 1, 2),
+         |rm AS (SELECT source,
+         |         CASE WHEN wb = 0 THEN 0
+         |           ELSE (2 * wxb * 1000000 + wb) // (2 * wb) END AS m
+         |       FROM rep),
+         |rk AS (SELECT source, m,
+         |         row_number() OVER (PARTITION BY source ORDER BY m) AS rk
+         |       FROM rm),
+         |base AS (SELECT source, COUNT(*) AS n_docs,
+         |           CAST(SUM(n_chars) AS HUGEINT) AS sx
+         |         FROM d GROUP BY 1)
+         |SELECT bs.source, bs.n_docs,
+         |  CAST(CAST((2 * bs.sx * 1000000 + bs.n_docs) //
+         |    (2 * bs.n_docs) AS BIGINT) AS DOUBLE) / 1000000.0 AS mean_chars,
+         |  CAST(MIN(CASE WHEN rk.rk = 2 THEN rk.m END) AS DOUBLE)
+         |    / 1000000.0 AS ci_lo,
+         |  CAST(MIN(CASE WHEN rk.rk = 31 THEN rk.m END) AS DOUBLE)
+         |    / 1000000.0 AS ci_hi
+         |FROM base bs JOIN rk ON rk.source = bs.source
+         |GROUP BY bs.source, bs.n_docs, bs.sx
+         |ORDER BY bs.source""".stripMargin
+    }
   )
 }

@@ -147,6 +147,22 @@ class SketchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(agg.finish(merged).size <= 20)
   }
 
+  test("q190 Poisson(1) threshold table matches the analytic inverse CDF") {
+    // the fixed integer thresholds both engines share: cumulative
+    // e^-1/k! on the 1e6 grid — re-derived here independently so a
+    // typo'd constant fails a spec, not a statistics review
+    val want = Seq(367879L, 735759L, 919699L, 981012L, 996340L, 999406L,
+      999917L, 999990L)
+    var cum = 0.0
+    var fact = 1.0
+    val got = (0 until 8).map { k =>
+      if (k > 0) fact *= k
+      cum += math.exp(-1.0) / fact
+      math.round(cum * 1e6)
+    }
+    assert(got == want, got)
+  }
+
   test("KMV aggregator: unsigned bottom-k, duplicate-collapsing, merge-order invariant") {
     import graft.functions.KmvAggregator.KMinLongs
     val rnd = new Random(17)
