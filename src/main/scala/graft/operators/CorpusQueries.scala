@@ -1570,6 +1570,112 @@ object CorpusQueries extends QueryModule {
           (expr("element_at(ms, 31)").cast("double") / lit(1000000.0))
             .as("ci_hi"))
         .orderBy(col("source"))
+    }),
+
+    // --- KMV sketch algebra: pairwise source overlap (q191) — the
+    // set-OPERATION tier of the q178 sketch: bottom-k sketches support
+    // union (merge, re-truncate) and membership-exact intersection
+    // (for h in the union's bottom-k, h <= the kth of either set, so
+    // h ∈ A ⟺ h ∈ A's sketch — no false membership), giving
+    // Jaccard = ρ/k and |A∩B| ≈ ρ·Û/k estimates from 64-long states
+    // ALONE. This is how corpus-overlap matrices scale: the corpus
+    // reduces to |sources| sketches in one partial-agged pass, and the
+    // 190-pair stage touches only 64-element arrays (row-local merge
+    // scans, no shingle data). The signed image h XOR 2^63 sorts
+    // exactly as unsigned h, so array_sort replicates the sketch's
+    // unsigned order; every estimate lands on integer grids.
+    "q191_kmv_overlap" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s) // fnv64
+      val kmv = udaf(new graft.functions.KmvAggregator.KMinLongs(64),
+        org.apache.spark.sql.Encoders.scalaLong)
+      val sk = Tables(s, dir, "documents")
+        .select(col("source"), expr(toksSql).as("tk"))
+        .select(col("source"),
+          explode(expr(LlmQueries.shinglesSql("tk"))).as("term"))
+        .withColumn("h", expr("fnv64(term)"))
+        .groupBy(col("source")).agg(kmv(col("h")).as("vs"))
+        .localCheckpoint()
+      val flip = "h -> h ^ shiftleft(CAST(1 AS BIGINT), 63)"
+      sk.select(col("source").as("source_a"),
+          expr(s"transform(vs, $flip)").as("fa"))
+        .join(sk.select(col("source").as("source_b"),
+          expr(s"transform(vs, $flip)").as("fb")),
+          col("source_a") < col("source_b"))
+        .withColumn("ku",
+          expr("slice(array_sort(array_distinct(concat(fa, fb))), 1, 64)"))
+        .withColumn("m", size(col("ku")))
+        .withColumn("rho", expr(
+          "size(filter(ku, h -> array_contains(fa, h) AND array_contains(fb, h)))"))
+        // unsigned value of the union's kth hash: signed image + 2^63
+        .withColumn("uu", expr(
+          "CAST(element_at(ku, m) AS DECIMAL(38,0)) + " +
+            "CAST('9223372036854775808' AS DECIMAL(38,0))"))
+        .withColumn("union_est", expr(
+          "CASE WHEN m < 64 THEN CAST(m AS BIGINT) ELSE " +
+            "CAST(CAST('1162144876643701751808' AS DECIMAL(38,0)) DIV uu " +
+            "AS BIGINT) END"))
+        .withColumn("jacc_ppm", expr(
+          "(2 * CAST(rho AS BIGINT) * 1000000 + m) DIV (2 * m)"))
+        .withColumn("inter_est", expr(
+          "CAST((CAST(rho AS DECIMAL(38,0)) * union_est) DIV m AS BIGINT)"))
+        .select(col("source_a"), col("source_b"),
+          col("m").cast("long").as("k_used"),
+          col("rho").cast("long").as("shared_in_sketch"),
+          (col("jacc_ppm").cast("double") / lit(1000000.0)).as("jaccard_est"),
+          col("union_est"), col("inter_est"))
+        .orderBy(col("source_a"), col("source_b"))
+    }),
+
+    // --- Gopher-style repetition rules (q192): the MassiveText
+    // repetition filters (Rae et al. 2021 §A.1.1 — top-word share and
+    // duplicate-n-gram fraction) as map-side array expressions: the
+    // top-unigram count is the longest equal run of the SORTED token
+    // array (one aggregate() pass — tokens are referenced only as the
+    // HOF's input, never inside a lambda body, so the regex split is
+    // evaluated once per row, the CollapseProject trap shinglesSql
+    // documents), the duplicate-bigram count is n-1 minus the distinct
+    // count of the zip_with bigram array, and both pass/fail rules are
+    // INTEGER CROSS-MULTIPLICATIONS (topc*10 <= n i.e. share <= 0.10;
+    // dupbg*100 <= 3*nbg i.e. <= 0.03 — thresholds calibrated so both
+    // arms fire on this corpus) — no division ever decides a flag.
+    // Scale: zero shuffles touch tokens; the only exchange is the
+    // |sources|-row partial agg. Means land half-up on the 1e-6 grid.
+    "q192_repetition_rules" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .select(col("source"), expr(toksSql).as("tk"))
+        .withColumn("n", size(col("tk")))
+        .withColumn("topc", expr(
+          "aggregate(array_sort(tk), " +
+            "struct(CAST('' AS STRING) AS p, 0 AS r, 0 AS b), " +
+            "(a, x) -> struct(x AS p, IF(x = a.p, a.r + 1, 1) AS r, " +
+            "GREATEST(a.b, IF(x = a.p, a.r + 1, 1)) AS b), a -> a.b)"))
+        .withColumn("nbg", expr("IF(n >= 2, n - 1, 0)"))
+        .withColumn("dupbg", expr(
+          "IF(n >= 2, (n - 1) - size(array_distinct(" +
+            "zip_with(slice(tk, 1, n - 1), slice(tk, 2, n - 1), " +
+            "(x, y) -> concat(x, ' ', y)))), 0)"))
+        .withColumn("top_ppm", expr(
+          "(2 * CAST(topc AS BIGINT) * 1000000 + n) DIV (2 * n)"))
+        .withColumn("dup_ppm", expr(
+          "IF(nbg = 0, CAST(0 AS BIGINT), " +
+            "(2 * CAST(dupbg AS BIGINT) * 1000000 + nbg) DIV (2 * nbg))"))
+        .withColumn("pass_top", expr("topc * 10 <= n"))
+        .withColumn("pass_dup", expr("dupbg * 100 <= 3 * nbg"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("top_ppm")).as("stp"),
+          sum(col("dup_ppm")).as("sdp"),
+          sum(when(col("pass_top"), 1L).otherwise(0L)).as("n_pass_top"),
+          sum(when(col("pass_dup"), 1L).otherwise(0L)).as("n_pass_dup"),
+          sum(when(col("pass_top") && col("pass_dup"), 1L).otherwise(0L))
+            .as("n_pass_all"))
+        .select(col("source"), col("n_docs"),
+          (expr("(2 * stp + n_docs) DIV (2 * n_docs)")
+            .cast("double") / lit(1000000.0)).as("mean_top_share"),
+          (expr("(2 * sdp + n_docs) DIV (2 * n_docs)")
+            .cast("double") / lit(1000000.0)).as("mean_dup_bigram"),
+          col("n_pass_top"), col("n_pass_dup"), col("n_pass_all"))
+        .orderBy(col("source"))
     })
   )
 
@@ -3035,6 +3141,83 @@ object CorpusQueries extends QueryModule {
          |FROM base bs JOIN rk ON rk.source = bs.source
          |GROUP BY bs.source, bs.n_docs, bs.sx
          |ORDER BY bs.source""".stripMargin
-    }
+    },
+
+    // The sketch states re-derived exactly (bottom-64 distinct unsigned
+    // fnv64 per source in natural HUGEINT order — no flip needed), then
+    // the same union re-truncation, membership counts, and integer-grid
+    // estimates.
+    "q191_kmv_overlap" ->
+      s"""WITH tk AS (SELECT source,
+         |    string_split_regex(trim(text), '\\s+') AS tk FROM documents),
+         |toks AS (SELECT source, unnest(CASE WHEN len(tk) >= 3 THEN
+         |    list_transform(range(1, len(tk) - 1),
+         |      i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])
+         |    ELSE [] END) AS term FROM tk),
+         |hs AS (SELECT DISTINCT source, term FROM toks),
+         |hv AS (SELECT source, ${LlmQueries.fnvSqlOf("term")} AS u FROM hs),
+         |dh AS (SELECT DISTINCT source, u FROM hv),
+         |rkd AS (SELECT source, u, row_number() OVER (PARTITION BY source
+         |          ORDER BY u) AS rk FROM dh),
+         |sk AS (SELECT source, list(u ORDER BY u) AS vs FROM rkd
+         |       WHERE rk <= 64 GROUP BY source),
+         |p AS (SELECT a.source AS source_a, b.source AS source_b,
+         |        a.vs AS va, b.vs AS vb
+         |      FROM sk a JOIN sk b ON a.source < b.source),
+         |k1 AS (SELECT *,
+         |        list_sort(list_distinct(list_concat(va, vb)))[1:64] AS ku
+         |      FROM p),
+         |k2 AS (SELECT source_a, source_b, va, vb, ku, len(ku) AS m,
+         |        len(list_filter(ku, h -> list_contains(va, h)
+         |          AND list_contains(vb, h))) AS rho,
+         |        list_extract(ku, len(ku)) AS uu
+         |      FROM k1)
+         |SELECT source_a, source_b, CAST(m AS BIGINT) AS k_used,
+         |  CAST(rho AS BIGINT) AS shared_in_sketch,
+         |  CAST(CAST((2 * rho::HUGEINT * 1000000 + m) // (2 * m) AS BIGINT)
+         |    AS DOUBLE) / 1000000.0 AS jaccard_est,
+         |  CAST(CASE WHEN m < 64 THEN m
+         |    ELSE CAST('1162144876643701751808' AS HUGEINT) // uu END
+         |    AS BIGINT) AS union_est,
+         |  CAST((rho::HUGEINT * (CASE WHEN m < 64 THEN m
+         |    ELSE CAST('1162144876643701751808' AS HUGEINT) // uu END)) // m
+         |    AS BIGINT) AS inter_est
+         |FROM k2 ORDER BY source_a, source_b""".stripMargin,
+
+    // Per-doc repetition stats re-derived with list functions (the
+    // top count via unnest/group rather than the run-length scan —
+    // same value by definition), identical integer thresholds and
+    // half-up grids.
+    "q192_repetition_rules" ->
+      s"""WITH tk AS (SELECT doc_id, source,
+         |    string_split_regex(trim(text), '\\s+') AS tk FROM documents),
+         |st AS (SELECT doc_id, source, len(tk) AS n,
+         |    list_max(list_transform(list_distinct(tk),
+         |      t -> len(list_filter(tk, x -> x = t)))) AS topc,
+         |    CASE WHEN len(tk) >= 2 THEN (len(tk) - 1) -
+         |      len(list_distinct(list_transform(range(1, len(tk)),
+         |        i -> tk[i] || ' ' || tk[i + 1]))) ELSE 0 END AS dupbg,
+         |    CASE WHEN len(tk) >= 2 THEN len(tk) - 1 ELSE 0 END AS nbg
+         |  FROM tk),
+         |sc AS (SELECT source,
+         |    (2 * topc::HUGEINT * 1000000 + n) // (2 * n) AS top_ppm,
+         |    CASE WHEN nbg = 0 THEN 0
+         |      ELSE (2 * dupbg::HUGEINT * 1000000 + nbg) // (2 * nbg)
+         |      END AS dup_ppm,
+         |    topc * 10 <= n AS pass_top,
+         |    dupbg * 100 <= 3 * nbg AS pass_dup
+         |  FROM st)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(CAST((2 * SUM(top_ppm) + COUNT(*)) // (2 * COUNT(*))
+         |    AS BIGINT) AS DOUBLE) / 1000000.0 AS mean_top_share,
+         |  CAST(CAST((2 * SUM(dup_ppm) + COUNT(*)) // (2 * COUNT(*))
+         |    AS BIGINT) AS DOUBLE) / 1000000.0 AS mean_dup_bigram,
+         |  CAST(SUM(CASE WHEN pass_top THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_pass_top,
+         |  CAST(SUM(CASE WHEN pass_dup THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_pass_dup,
+         |  CAST(SUM(CASE WHEN pass_top AND pass_dup THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_pass_all
+         |FROM sc GROUP BY source ORDER BY source""".stripMargin
   )
 }

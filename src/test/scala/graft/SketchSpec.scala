@@ -186,4 +186,39 @@ class SketchSpec extends AnyFunSuite with BeforeAndAfterAll {
     val got = small.finish(Seq(9L, 2L, 9L, 2L, 7L).foldLeft(small.zero)(small.reduce))
     assert(got == Seq(2L, 7L, 9L))
   }
+
+  test("q191 KMV set algebra: union = merge+re-truncate, intersection membership exact") {
+    // the two identities q191's pair stage rests on, certified against
+    // the true sets: (a) the bottom-k of (sketch(A) ++ sketch(B)) IS
+    // the bottom-k of A union B (sketch-of-union = union-of-sketches),
+    // and (b) for every h in that union bottom-k, h <= the kth minimum
+    // of EITHER input, so h in A  <=>  h in sketch(A) — membership
+    // against the sketch alone has no false negatives inside the
+    // union's bottom-k window (Bar-Yossef et al. 2002, Prop. for
+    // bottom-k intersections)
+    import graft.functions.KmvAggregator.KMinLongs
+    val rnd = new Random(191)
+    val unsLt = (a: Long, b: Long) => java.lang.Long.compareUnsigned(a, b) < 0
+    for (trial <- 0 until 5) {
+      val shared = Seq.fill(120)(rnd.nextLong())
+      val a = (shared.take(60) ++ Seq.fill(300)(rnd.nextLong())).distinct
+      val b = (shared.take(60) ++ Seq.fill(300)(rnd.nextLong())).distinct
+      val agg = new KMinLongs(16)
+      def sk(xs: Seq[Long]) = agg.finish(xs.foldLeft(agg.zero)(agg.reduce))
+      val (sa, sb) = (sk(a), sk(b))
+      val ku = (sa ++ sb).distinct.sortWith(unsLt).take(16)
+      // (a) union identity
+      assert(ku == (a ++ b).distinct.sortWith(unsLt).take(16), s"trial=$trial")
+      // (b) membership exactness inside the window: sketch membership
+      // agrees with TRUE set membership for every union-bottom-k hash
+      ku.foreach { h =>
+        assert(sa.contains(h) == a.contains(h), s"trial=$trial h=$h A")
+        assert(sb.contains(h) == b.contains(h), s"trial=$trial h=$h B")
+      }
+      // rho/k over the window = the estimator's numerator; with 60
+      // genuinely shared values the intersection is visible
+      val rho = ku.count(h => sa.contains(h) && sb.contains(h))
+      assert(rho == ku.count(h => a.contains(h) && b.contains(h)))
+    }
+  }
 }
