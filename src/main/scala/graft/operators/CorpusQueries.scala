@@ -1676,6 +1676,103 @@ object CorpusQueries extends QueryModule {
             .cast("double") / lit(1000000.0)).as("mean_dup_bigram"),
           col("n_pass_top"), col("n_pass_dup"), col("n_pass_all"))
         .orderBy(col("source"))
+    }),
+
+    // --- Corpus saturation curve (q193): how fast does new content dry
+    // up as the corpus grows? Split the ingestion order (doc_id) into
+    // 16 equal-width buckets and, per bucket, count the shingles seen
+    // for the FIRST time there vs all distinct shingles it touches —
+    // the marginal-novelty curve behind "is more of this source still
+    // worth crawling" decisions. Scale shape: the exploded (doc,
+    // shingle) pairs collapse to the (shingle, bucket) INCIDENCE in
+    // one partial-agged shuffle (keys are fnv64 longs, not strings,
+    // and that localCheckpointed incidence — bounded by distinct
+    // shingles x 16 — feeds all three rollups; the raw pairs are never
+    // re-scanned or checkpointed). first-seen = min(bucket) per
+    // shingle over the incidence (a second, already-collapsed
+    // shuffle); every downstream join is a broadcast onto the 16-row
+    // bucket spine. Novelty share on the half-up 1e-6 grid.
+    "q193_novelty_curve" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s) // fnv64
+      val d = Tables(s, dir, "documents")
+      val mx = d.agg(max(col("doc_id")).as("mx"))
+      val inc = d.select(col("doc_id"), expr(toksSql).as("tk"))
+        .select(col("doc_id"),
+          explode(expr(LlmQueries.shinglesSql("tk"))).as("shs"))
+        .select(col("doc_id"), expr("fnv64(shs)").as("sh"))
+        .crossJoin(broadcast(mx))
+        .withColumn("bucket", expr("(doc_id * 16) DIV (mx + 1)"))
+        .groupBy(col("sh"), col("bucket"))
+        .agg(count(lit(1)).as("pair_cnt"))
+        .localCheckpoint()
+      val novel = inc.groupBy(col("sh"))
+        .agg(min(col("bucket")).as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n_novel"))
+      val perB = inc.groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_distinct"), sum(col("pair_cnt")).as("n_pairs"))
+      val docsB = d.crossJoin(broadcast(mx))
+        .withColumn("bucket", expr("(doc_id * 16) DIV (mx + 1)"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n_docs"))
+      docsB.join(broadcast(perB), Seq("bucket"))
+        .join(broadcast(novel), Seq("bucket"))
+        .select(col("bucket"), col("n_docs"), col("n_pairs"),
+          col("n_distinct"), col("n_novel"),
+          (expr("(2 * n_novel * 1000000 + n_distinct) DIV (2 * n_distinct)")
+            .cast("double") / lit(1000000.0)).as("novelty_share"))
+        .orderBy(col("bucket"))
+    }),
+
+    // --- Token-budget waterfilling (q194): allocate a global token
+    // budget (90% of the corpus) across sources so that no source
+    // exceeds its own supply and the remainder is split evenly — the
+    // max-min fair allocation behind "sample B tokens with per-source
+    // caps" mixture recipes. The corpus reduces to |sources| token
+    // counts in ONE partial-agged scan; the waterfill itself is the
+    // classic sorted-prefix feasibility test (source k, ascending by
+    // supply, is fully funded iff supply_k x sources_remaining fits
+    // the budget left after funding everything smaller — monotone, so
+    // a prefix), then level = remaining DIV count for the unfunded
+    // tail, all in window functions over the |sources|-row aggregate
+    // (the single-partition window is the SMALL stage by
+    // construction; corpus rows never see a window). Floor level:
+    // slack < |unfunded| tokens stays unallocated, deterministically.
+    "q194_budget_waterfill" -> ((s, dir) => {
+      val counts = Tables(s, dir, "documents")
+        .select(col("source"), expr(s"size($toksSql)").as("nt"))
+        .groupBy(col("source"))
+        .agg(sum(col("nt")).as("n_tokens"))
+      val tot = counts.agg(sum(col("n_tokens")).as("tot"))
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy(col("n_tokens"), col("source"))
+      counts.crossJoin(broadcast(tot))
+        .withColumn("budget", expr("(tot * 9) DIV 10"))
+        .withColumn("k", row_number().over(w))
+        .withColumn("cum_before",
+          coalesce(sum(col("n_tokens")).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("nsrc", count(lit(1)).over(
+          Window.partitionBy().rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing)))
+        .withColumn("funded", expr(
+          "n_tokens * (nsrc - k + 1) <= budget - cum_before"))
+        .withColumn("cum_funded", sum(when(col("funded"),
+          col("n_tokens")).otherwise(0L)).over(
+          Window.partitionBy().rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing)))
+        .withColumn("n_funded", sum(when(col("funded"), 1L)
+          .otherwise(0L)).over(
+          Window.partitionBy().rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing)))
+        .withColumn("level", expr(
+          "IF(nsrc = n_funded, CAST(0 AS BIGINT), " +
+            "(budget - cum_funded) DIV (nsrc - n_funded))"))
+        .withColumn("allocated", expr(
+          "IF(funded, n_tokens, LEAST(level, n_tokens))"))
+        .select(col("source"), col("n_tokens"), col("funded"),
+          col("allocated"),
+          (expr("(2 * allocated * 1000000 + n_tokens) DIV (2 * n_tokens)")
+            .cast("double") / lit(1000000.0)).as("kept_share"))
+        .orderBy(col("source"))
     })
   )
 
@@ -3218,6 +3315,74 @@ object CorpusQueries extends QueryModule {
          |    AS n_pass_dup,
          |  CAST(SUM(CASE WHEN pass_top AND pass_dup THEN 1 ELSE 0 END)
          |    AS BIGINT) AS n_pass_all
-         |FROM sc GROUP BY source ORDER BY source""".stripMargin
+         |FROM sc GROUP BY source ORDER BY source""".stripMargin,
+
+    // The (shingle, bucket) incidence re-derived on the same fnv64
+    // keys (unsigned HUGEINT here — grouping is representation-
+    // independent), identical bucket arithmetic and half-up grid.
+    "q193_novelty_curve" ->
+      s"""WITH tk AS (SELECT doc_id,
+         |    string_split_regex(trim(text), '\\s+') AS tk FROM documents),
+         |sh AS (SELECT doc_id, unnest(CASE WHEN len(tk) >= 3 THEN
+         |    list_distinct(list_transform(range(1, len(tk) - 1),
+         |      i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2]))
+         |    ELSE [] END) AS shs FROM tk),
+         |hv AS (SELECT doc_id, ${LlmQueries.fnvSqlOf("shs")} AS sh FROM sh),
+         |mx AS (SELECT MAX(doc_id) AS mx FROM documents),
+         |bkt AS (SELECT (doc_id * 16) // (mx + 1) AS bucket, sh
+         |        FROM hv, mx),
+         |inc AS (SELECT sh, bucket, COUNT(*) AS pair_cnt
+         |        FROM bkt GROUP BY 1, 2),
+         |novel AS (SELECT fb AS bucket, COUNT(*) AS n_novel FROM
+         |    (SELECT sh, MIN(bucket) AS fb FROM inc GROUP BY 1)
+         |  GROUP BY 1),
+         |perb AS (SELECT bucket, COUNT(*) AS n_distinct,
+         |    CAST(SUM(pair_cnt) AS BIGINT) AS n_pairs
+         |  FROM inc GROUP BY 1),
+         |docsb AS (SELECT (doc_id * 16) // (mx + 1) AS bucket,
+         |    COUNT(*) AS n_docs FROM documents, mx GROUP BY 1)
+         |SELECT d.bucket, d.n_docs, p.n_pairs, p.n_distinct, n.n_novel,
+         |  CAST(CAST((2 * n.n_novel::HUGEINT * 1000000 + p.n_distinct)
+         |    // (2 * p.n_distinct) AS BIGINT) AS DOUBLE) / 1000000.0
+         |    AS novelty_share
+         |FROM docsb d JOIN perb p USING (bucket)
+         |  JOIN novel n USING (bucket)
+         |ORDER BY d.bucket""".stripMargin,
+
+    // Same sorted-prefix feasibility test in window SQL; the CASE
+    // keeps the level division off the all-funded branch on both
+    // engines.
+    "q194_budget_waterfill" ->
+      s"""WITH tk AS (SELECT source,
+         |    len(string_split_regex(trim(text), '\\s+')) AS nt
+         |  FROM documents),
+         |c AS (SELECT source, CAST(SUM(nt) AS BIGINT) AS n_tokens
+         |  FROM tk GROUP BY 1),
+         |t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot FROM c),
+         |r AS (SELECT c.source, c.n_tokens, (t.tot * 9) // 10 AS budget,
+         |    row_number() OVER (ORDER BY c.n_tokens, c.source) AS k,
+         |    COALESCE(SUM(c.n_tokens) OVER (ORDER BY c.n_tokens, c.source
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS cum_before,
+         |    COUNT(*) OVER () AS nsrc
+         |  FROM c, t),
+         |f AS (SELECT *,
+         |    n_tokens * (nsrc - k + 1) <= budget - cum_before AS funded
+         |  FROM r),
+         |g AS (SELECT *,
+         |    SUM(CASE WHEN funded THEN n_tokens ELSE 0 END) OVER ()
+         |      AS cum_funded,
+         |    SUM(CASE WHEN funded THEN 1 ELSE 0 END) OVER () AS n_funded
+         |  FROM f),
+         |a AS (SELECT source, n_tokens, funded,
+         |    CAST(CASE WHEN funded THEN n_tokens
+         |      ELSE LEAST((budget - cum_funded) // (nsrc - n_funded),
+         |        n_tokens) END AS BIGINT) AS allocated
+         |  FROM g)
+         |SELECT source, n_tokens, funded, allocated,
+         |  CAST(CAST((2 * allocated::HUGEINT * 1000000 + n_tokens)
+         |    // (2 * n_tokens) AS BIGINT) AS DOUBLE) / 1000000.0
+         |    AS kept_share
+         |FROM a ORDER BY source""".stripMargin
   )
 }
