@@ -1773,6 +1773,68 @@ object CorpusQueries extends QueryModule {
           (expr("(2 * allocated * 1000000 + n_tokens) DIV (2 * n_tokens)")
             .cast("double") / lit(1000000.0)).as("kept_share"))
         .orderBy(col("source"))
+    }),
+
+    // --- Content-defined chunking dedup (q195): sub-document
+    // deduplication at rolling-hash chunk granularity — the scalable
+    // stand-in for exact-substring dedup (Lee et al. 2021 use suffix
+    // arrays; CDC is how you approximate that distributed). Chunk
+    // boundaries are CONTENT-defined (after token j+3 whenever the
+    // doc's j-th token 4-gram hashes to 0 mod 16, ~16-token expected
+    // chunks), so a shared passage chunks IDENTICALLY regardless of
+    // its offset in the doc — the property fixed-width windows lack.
+    // The whole chunker is array-local per row: 4-grams via the
+    // zip_with-slice construction, chunk spans from consecutive start
+    // positions, fingerprints = fnv64 of the re-joined span — O(n)
+    // per doc, tokens NEVER shuffle. Only chunk FINGERPRINTS leave
+    // the row: one groupBy(ch) occurrence count and one join back
+    // (both partial-agged hash exchanges on longs), then a
+    // |sources|-row rollup of duplicated-token share.
+    "q195_cdc_chunk_dedup" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s) // fnv64
+      val occ = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"), expr(toksSql).as("tk"))
+        .withColumn("n", size(col("tk")))
+        .withColumn("g4", expr(
+          "IF(n >= 4, zip_with(zip_with(zip_with(" +
+            "slice(tk, 1, n - 3), slice(tk, 2, n - 3), " +
+            "(a, b) -> concat(a, ' ', b)), slice(tk, 3, n - 3), " +
+            "(ab, c) -> concat(ab, ' ', c)), slice(tk, 4, n - 3), " +
+            "(abc, d) -> concat(abc, ' ', d)), " +
+            "CAST(array() AS ARRAY<STRING>))"))
+        .withColumn("starts", expr(
+          "concat(array(1), filter(transform(g4, " +
+            "(x, j) -> IF(pmod(fnv64(x), 16) = 0 AND j + 5 <= n, j + 5, 0)), " +
+            "p -> p > 0))"))
+        // transform's j is 0-BASED; gram j covers tokens j+1..j+4
+        // (1-based), so the next chunk starts at j+5; a boundary on the
+        // final gram would open an EMPTY chunk at n+1 — suppressed
+        .withColumn("nexts", expr(
+          "concat(slice(starts, 2, size(starts) - 1), array(n + 1))"))
+        .withColumn("chs", expr(
+          "zip_with(starts, nexts, (st, nx) -> " +
+            "struct(fnv64(array_join(slice(tk, st, nx - st), ' ')) AS ch, " +
+            "CAST(nx - st AS BIGINT) AS csz))"))
+        .select(col("doc_id"), col("source"), explode(col("chs")).as("c"))
+        .select(col("doc_id"), col("source"),
+          col("c.ch").as("ch"), col("c.csz").as("csz"))
+        .localCheckpoint()
+      val dup = occ.groupBy(col("ch"))
+        .agg(count(lit(1)).as("occs"))
+        .withColumn("is_dup", col("occs") >= 2)
+        .select(col("ch"), col("is_dup"))
+      occ.join(dup, Seq("ch"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup_chunks"),
+          sum(col("csz")).as("n_tokens"),
+          sum(when(col("is_dup"), col("csz")).otherwise(0L))
+            .as("n_dup_tokens"))
+        .select(col("source"), col("n_chunks"), col("n_dup_chunks"),
+          col("n_tokens"), col("n_dup_tokens"),
+          (expr("(2 * n_dup_tokens * 1000000 + n_tokens) DIV (2 * n_tokens)")
+            .cast("double") / lit(1000000.0)).as("dup_token_share"))
+        .orderBy(col("source"))
     })
   )
 
@@ -3383,6 +3445,50 @@ object CorpusQueries extends QueryModule {
          |  CAST(CAST((2 * allocated::HUGEINT * 1000000 + n_tokens)
          |    // (2 * n_tokens) AS BIGINT) AS DOUBLE) / 1000000.0
          |    AS kept_share
-         |FROM a ORDER BY source""".stripMargin
+         |FROM a ORDER BY source""".stripMargin,
+
+    // The chunker re-derived 1-BASED (gram j covers tokens j..j+3, next
+    // chunk starts at j+4 — the same positions Spark's 0-based lambda
+    // index names j+5), fingerprints over identical re-joined spans.
+    "q195_cdc_chunk_dedup" ->
+      s"""WITH tk AS (SELECT doc_id, source,
+         |    string_split_regex(trim(text), '\\s+') AS tk FROM documents),
+         |base AS (SELECT doc_id, source, tk, len(tk) AS n FROM tk),
+         |st AS (SELECT doc_id, source, tk, n,
+         |    list_concat([CAST(1 AS BIGINT)],
+         |      list_filter(list_transform(range(1, n - 2), j ->
+         |        CASE WHEN ${LlmQueries.fnvSqlOf(
+                     "tk[j] || ' ' || tk[j+1] || ' ' || tk[j+2] || ' ' || tk[j+3]")}
+         |          % 16 = 0 AND j + 4 <= n THEN j + 4 ELSE 0 END),
+         |        p -> p > 0)) AS starts
+         |  FROM base),
+         |sp AS (SELECT doc_id, source, tk, n, starts,
+         |    list_transform(range(1, len(starts) + 1), ci ->
+         |      CASE WHEN ci < len(starts) THEN starts[ci + 1]
+         |        ELSE n + 1 END) AS nexts
+         |  FROM st),
+         |occ AS (SELECT doc_id, source,
+         |    unnest(list_transform(range(1, len(starts) + 1), ci ->
+         |      ${LlmQueries.fnvSqlOf(
+                   "array_to_string(tk[starts[ci]:nexts[ci] - 1], ' ')")}))
+         |      AS ch,
+         |    unnest(list_transform(range(1, len(starts) + 1), ci ->
+         |      nexts[ci] - starts[ci])) AS csz
+         |  FROM sp),
+         |d AS (SELECT ch, COUNT(*) >= 2 AS is_dup FROM occ GROUP BY 1),
+         |j AS (SELECT o.source, o.csz, d.is_dup
+         |      FROM occ o JOIN d USING (ch)),
+         |agg AS (SELECT source, COUNT(*) AS n_chunks,
+         |    CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_dup_chunks,
+         |    CAST(SUM(csz) AS BIGINT) AS n_tokens,
+         |    CAST(SUM(CASE WHEN is_dup THEN csz ELSE 0 END) AS BIGINT)
+         |      AS n_dup_tokens
+         |  FROM j GROUP BY source)
+         |SELECT source, n_chunks, n_dup_chunks, n_tokens, n_dup_tokens,
+         |  CAST(CAST((2 * n_dup_tokens::HUGEINT * 1000000 + n_tokens)
+         |    // (2 * n_tokens) AS BIGINT) AS DOUBLE) / 1000000.0
+         |    AS dup_token_share
+         |FROM agg ORDER BY source""".stripMargin
   )
 }

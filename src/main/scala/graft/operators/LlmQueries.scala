@@ -2340,7 +2340,7 @@ object LlmQueries extends QueryModule {
   private[operators] val H64 = "CAST(18446744073709551616 AS HUGEINT)" // 2^64
   /** FNV-1a over a string column's UTF-8 bytes (hex-pair walk; the fold
     * seeds list_reduce by prepending the offset basis). */
-  private[operators] def fnvSqlOf(c: String): String =
+  private[graft] def fnvSqlOf(c: String): String =
     s"list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT), " +
     s"[CAST(CAST('0x' || substring(hex(encode($c)), 2*i-1, 2) AS UBIGINT) AS HUGEINT) " +
     s"FOR i IN range(1, octet_length(encode($c)) + 1)]), " +

@@ -214,6 +214,40 @@ object StreamingQueries extends QueryModule {
         loAt("0.99").as("p99_lo"))
   }
 
+  /** Streaming windowed KMV distinct (q196): approximate distinct
+    * users per 6-hour event-time window ON the ingestion stream — the
+    * cardinality monitor (bot surges, dedup-rate cliffs) built the
+    * only way distinct counting can stream: exact distinct is
+    * unsupported (and state-unbounded) inside a streaming aggregate,
+    * while the q178 KMV bottom-k buffer is a CONSTANT 64 longs per
+    * open window and its `merge` is exactly the cross-micro-batch
+    * state update — one stateful operator, constant-width state, the
+    * q172 discipline. The estimate ((k−1)·2^64 / h_(k), m<k exact
+    * fallback) is row-local integer arithmetic after the window
+    * closes, and unlike HLL++ the closed-window sketch state is
+    * re-derivable by an external engine, so the streaming op keeps a
+    * full row-level oracle. */
+  def windowKmvDistinct(events: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(events.sparkSession) // fnv64
+    val kmv = udaf(new graft.functions.KmvAggregator.KMinLongs(64),
+      org.apache.spark.sql.Encoders.scalaLong)
+    events.withColumn("h", expr("fnv64(CAST(user_id AS STRING))"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "6 hours"))
+      .agg(count(lit(1)).as("n_events"), kmv(col("h")).as("vs"))
+      .withColumn("m", size(col("vs")))
+      .withColumn("uk", expr(
+        "CAST(try_element_at(vs, 64) AS DECIMAL(38,0)) + " +
+          "IF(try_element_at(vs, 64) < 0, " +
+          "CAST('18446744073709551616' AS DECIMAL(38,0)), " +
+          "CAST(0 AS DECIMAL(38,0)))"))
+      .withColumn("kmv_users", expr(
+        "CASE WHEN m < 64 THEN CAST(m AS BIGINT) " +
+          "ELSE CAST('1162144876643701751808' AS DECIMAL(38,0)) DIV uk END"))
+      .select(col("window.start").as("window_start"), col("n_events"),
+        col("m").cast("long").as("k_used"), col("kmv_users"))
+  }
+
   /** Per-user session windows with a 6-hour inactivity gap. */
   def sessions(events: DataFrame): DataFrame =
     events.withWatermark("ts", "1 hour")
@@ -366,6 +400,10 @@ object StreamingQueries extends QueryModule {
 
     "q186_stream_value_quantiles" -> ((s, dir) =>
       windowValueQuantiles(Tables(s, dir, "events"))
+        .orderBy(col("window_start"))),
+
+    "q196_stream_kmv_users" -> ((s, dir) =>
+      windowKmvDistinct(Tables(s, dir, "events"))
         .orderBy(col("window_start")))
   )
 
@@ -587,6 +625,31 @@ object StreamingQueries extends QueryModule {
         |  MIN(CASE WHEN cm >= ceil(0.95 * n_events) THEN vb * 40 END) AS p95_lo,
         |  MIN(CASE WHEN cm >= ceil(0.99 * n_events) THEN vb * 40 END) AS p99_lo
         |FROM cum GROUP BY window_start, n_events
-        |ORDER BY window_start""".stripMargin
+        |ORDER BY window_start""".stripMargin,
+
+    // The closed-window sketch state re-derived exactly: bottom-64
+    // distinct unsigned fnv64(user_id-as-string) per 6h epoch bucket
+    // in natural HUGEINT order, then the same m<k / estimator arms.
+    "q196_stream_kmv_users" ->
+      s"""WITH hv AS (
+         |  SELECT make_timestamp((epoch_us(ts) // 21600000000)
+         |      * 21600000000) AS window_start,
+         |    ${graft.operators.LlmQueries.fnvSqlOf("CAST(user_id AS VARCHAR)")} AS u
+         |  FROM events),
+         |dh AS (SELECT DISTINCT window_start, u FROM hv),
+         |rk AS (SELECT window_start, u, row_number() OVER (
+         |    PARTITION BY window_start ORDER BY u) AS rk FROM dh),
+         |sk AS (SELECT window_start, COUNT(*) AS m,
+         |    MAX(CASE WHEN rk = 64 THEN u END) AS uk
+         |  FROM rk WHERE rk <= 64 GROUP BY 1),
+         |ne AS (SELECT make_timestamp((epoch_us(ts) // 21600000000)
+         |      * 21600000000) AS window_start, COUNT(*) AS n_events
+         |  FROM events GROUP BY 1)
+         |SELECT n.window_start, n.n_events, CAST(s.m AS BIGINT) AS k_used,
+         |  CAST(CASE WHEN s.m < 64 THEN s.m
+         |    ELSE CAST('1162144876643701751808' AS HUGEINT) // s.uk END
+         |    AS BIGINT) AS kmv_users
+         |FROM ne n JOIN sk s USING (window_start)
+         |ORDER BY n.window_start""".stripMargin
   )
 }

@@ -652,4 +652,44 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(last == Map(1L -> 3L, 2L -> 2L))
     } finally q.stop()
   }
+
+  test("windowed KMV builder (q196): sketch merges across micro-batches, stream matches batch") {
+    // Drives the ACTUAL q196 builder under MemoryStream. The second
+    // window's users arrive split across TWO micro-batches with a
+    // 20-user overlap, so the pass only succeeds if the KMV buffer
+    // (a) merges across batch boundaries via the aggregator's merge
+    // and (b) collapses duplicates seen in different batches. Window 0
+    // pins the m<k exact arm (3 users), window 1 the estimator arm
+    // (80 distinct > k=64).
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val w0 = (1 to 3).map(u => Ev(ts("2024-01-01T01:00:00Z"), u.toLong, 1.0))
+    val w1a = (101 to 150).map(u => Ev(ts("2024-01-01T07:00:00Z"), u.toLong, 1.0))
+    val w1b = (131 to 180).map(u => Ev(ts("2024-01-01T08:00:00Z"), u.toLong, 1.0))
+    val mem = MemoryStream[Ev]
+    val q = StreamingQueries.windowKmvDistinct(mem.toDF())
+      .writeStream.format("memory").queryName("kmv196")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      mem.addData(w0 ++ w1a: _*)
+      q.processAllAvailable()
+      mem.addData(w1b: _*)
+      q.processAllAvailable()
+      def shape(df: org.apache.spark.sql.DataFrame) = df
+        .select("window_start", "n_events", "k_used", "kmv_users")
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      val streamed = shape(sp.table("kmv196"))
+      val batch = shape(
+        StreamingQueries.windowKmvDistinct((w0 ++ w1a ++ w1b).toDF()))
+      assert(streamed == batch)
+      val byW = streamed.map(t => t._1 -> t).toMap
+      assert(byW(ts("2024-01-01T00:00:00Z"))._3 == 3L, "exact arm k_used")
+      assert(byW(ts("2024-01-01T00:00:00Z"))._4 == 3L, "exact arm estimate")
+      assert(byW(ts("2024-01-01T06:00:00Z"))._3 == 64L, "estimator arm k_used")
+      assert(byW(ts("2024-01-01T06:00:00Z"))._4 > 0L)
+    } finally q.stop()
+  }
 }
