@@ -1791,33 +1791,7 @@ object CorpusQueries extends QueryModule {
     // (both partial-agged hash exchanges on longs), then a
     // |sources|-row rollup of duplicated-token share.
     "q195_cdc_chunk_dedup" -> ((s, dir) => {
-      graft.functions.GraftFunctions.register(s) // fnv64
-      val occ = Tables(s, dir, "documents")
-        .select(col("doc_id"), col("source"), expr(toksSql).as("tk"))
-        .withColumn("n", size(col("tk")))
-        .withColumn("g4", expr(
-          "IF(n >= 4, zip_with(zip_with(zip_with(" +
-            "slice(tk, 1, n - 3), slice(tk, 2, n - 3), " +
-            "(a, b) -> concat(a, ' ', b)), slice(tk, 3, n - 3), " +
-            "(ab, c) -> concat(ab, ' ', c)), slice(tk, 4, n - 3), " +
-            "(abc, d) -> concat(abc, ' ', d)), " +
-            "CAST(array() AS ARRAY<STRING>))"))
-        .withColumn("starts", expr(
-          "concat(array(1), filter(transform(g4, " +
-            "(x, j) -> IF(pmod(fnv64(x), 16) = 0 AND j + 5 <= n, j + 5, 0)), " +
-            "p -> p > 0))"))
-        // transform's j is 0-BASED; gram j covers tokens j+1..j+4
-        // (1-based), so the next chunk starts at j+5; a boundary on the
-        // final gram would open an EMPTY chunk at n+1 — suppressed
-        .withColumn("nexts", expr(
-          "concat(slice(starts, 2, size(starts) - 1), array(n + 1))"))
-        .withColumn("chs", expr(
-          "zip_with(starts, nexts, (st, nx) -> " +
-            "struct(fnv64(array_join(slice(tk, st, nx - st), ' ')) AS ch, " +
-            "CAST(nx - st AS BIGINT) AS csz))"))
-        .select(col("doc_id"), col("source"), explode(col("chs")).as("c"))
-        .select(col("doc_id"), col("source"),
-          col("c.ch").as("ch"), col("c.csz").as("csz"))
+      val occ = cdcChunkOccurrences(Tables(s, dir, "documents"))
         .localCheckpoint()
       val dup = occ.groupBy(col("ch"))
         .agg(count(lit(1)).as("occs"))
@@ -1837,6 +1811,42 @@ object CorpusQueries extends QueryModule {
         .orderBy(col("source"))
     })
   )
+
+  /** q195's chunker, factored so planted tests can certify the CDC
+    * offset-invariance property (a shared passage chunks identically
+    * regardless of where it sits in the doc). Input needs (doc_id,
+    * source, text); output one row per chunk occurrence (doc_id,
+    * source, ch fingerprint, csz token count). Entirely array-local
+    * per row — see the q195 entry comment for the boundary rule. */
+  private[graft] def cdcChunkOccurrences(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession) // fnv64
+    docs
+      .select(col("doc_id"), col("source"), expr(toksSql).as("tk"))
+      .withColumn("n", size(col("tk")))
+      .withColumn("g4", expr(
+        "IF(n >= 4, zip_with(zip_with(zip_with(" +
+          "slice(tk, 1, n - 3), slice(tk, 2, n - 3), " +
+          "(a, b) -> concat(a, ' ', b)), slice(tk, 3, n - 3), " +
+          "(ab, c) -> concat(ab, ' ', c)), slice(tk, 4, n - 3), " +
+          "(abc, d) -> concat(abc, ' ', d)), " +
+          "CAST(array() AS ARRAY<STRING>))"))
+      .withColumn("starts", expr(
+        "concat(array(1), filter(transform(g4, " +
+          "(x, j) -> IF(pmod(fnv64(x), 16) = 0 AND j + 5 <= n, j + 5, 0)), " +
+          "p -> p > 0))"))
+      // transform's j is 0-BASED; gram j covers tokens j+1..j+4
+      // (1-based), so the next chunk starts at j+5; a boundary on the
+      // final gram would open an EMPTY chunk at n+1 — suppressed
+      .withColumn("nexts", expr(
+        "concat(slice(starts, 2, size(starts) - 1), array(n + 1))"))
+      .withColumn("chs", expr(
+        "zip_with(starts, nexts, (st, nx) -> " +
+          "struct(fnv64(array_join(slice(tk, st, nx - st), ' ')) AS ch, " +
+          "CAST(nx - st AS BIGINT) AS csz))"))
+      .select(col("doc_id"), col("source"), explode(col("chs")).as("c"))
+      .select(col("doc_id"), col("source"),
+        col("c.ch").as("ch"), col("c.csz").as("csz"))
+  }
 
   /** q184's fixed-point engine, factored so unit tests can drive planted
     * tournaments: see the q184 entry comment for the grid contract.

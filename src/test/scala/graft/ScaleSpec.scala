@@ -729,6 +729,39 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(g2("lose") >= 1e-6 && g2("lose") < g2("win"), g2)
   }
 
+  test("q195 CDC chunker: a shared passage chunks identically at any offset") {
+    import graft.operators.CorpusQueries
+    val sp = spark
+    import sp.implicits._
+    // the SAME 200-token passage behind prefixes of DIFFERENT lengths
+    // (17 vs 31 — deliberately not congruent mod anything): content-
+    // defined boundaries re-synchronize a few tokens into the passage,
+    // so the interior chunks fingerprint identically in both docs. A
+    // fixed-width windowing would share nothing here — that contrast
+    // IS the operator's reason to exist.
+    val p = (0 until 200).map(i => s"p$i").mkString(" ")
+    val d = Seq(
+      (0L, "s0", (0 until 17).map(i => s"a$i").mkString(" ") + " " + p),
+      (1L, "s1", (0 until 31).map(i => s"b$i").mkString(" ") + " " + p))
+      .toDF("doc_id", "source", "text")
+    val occ = CorpusQueries.cdcChunkOccurrences(d).collect()
+    val byDoc = occ.groupBy(_.getLong(0)).map { case (k, rs) =>
+      k -> rs.map(r => (r.getLong(2), r.getLong(3))).toSeq
+    }
+    assert(byDoc(0L).size > 3 && byDoc(1L).size > 3,
+      s"expected multiple chunks per doc: ${byDoc.view.mapValues(_.size).toMap}")
+    // token conservation: chunk sizes partition each doc exactly
+    assert(byDoc(0L).map(_._2).sum == 217L)
+    assert(byDoc(1L).map(_._2).sum == 231L)
+    val shared = byDoc(0L).map(_._1).toSet
+      .intersect(byDoc(1L).map(_._1).toSet)
+    assert(shared.size >= 5,
+      s"offset invariance: expected many shared interior chunks, got ${shared.size}")
+    val sharedTok = byDoc(0L).filter(t => shared(t._1)).map(_._2).sum
+    assert(sharedTok >= 100,
+      s"most of the 200 shared tokens should sit in shared chunks, got $sharedTok")
+  }
+
   test("parquet sink round-trips under every shipped codec") {
     val dir = "/root/testdata/sf0.001"
     val src = Tables(spark, dir, "nation")
