@@ -1809,6 +1809,61 @@ object CorpusQueries extends QueryModule {
           (expr("(2 * n_dup_tokens * 1000000 + n_tokens) DIV (2 * n_tokens)")
             .cast("double") / lit(1000000.0)).as("dup_token_share"))
         .orderBy(col("source"))
+    }),
+
+    // --- DoReMi-style mixture reweighting (q197): multiplicative-
+    // weights domain reweighting (Xie et al. 2023's published recipe,
+    // with a deterministic rarity proxy standing in for the reference-
+    // model excess loss): sources whose tokens are rarer under the
+    // corpus unigram distribution get their mixture weight multiplied
+    // up over 10 rounds. Every piece is integer: rarity(t) = total
+    // DIV count(t); per-source mean rarity on the 1e-6 grid; excess
+    // normalized to [0, 1e6] against the min/max source; round
+    // multiplier 1e6 + 0.2·excess; and — the key restructuring — the
+    // 10 MW rounds run UNNORMALIZED with one final normalization
+    // (standard MW analysis normalizes at read-out only), which makes
+    // each round per-source-independent: the whole iteration is one
+    // row-local aggregate() fold, no per-round shuffle or checkpoint.
+    // Scale: tokens collapse to the (source, token) incidence in one
+    // partial-agged shuffle; the rarity join runs on that collapsed
+    // frame (vocab x sources), and everything after is |sources| rows.
+    "q197_doremi_mixture" -> ((s, dir) => {
+      val st = Tables(s, dir, "documents")
+        .select(col("source"), explode(expr(toksSql)).as("t"))
+        .groupBy(col("source"), col("t"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint() // vocab x sources incidence, 3 consumers
+      val tots = st.groupBy(col("t"))
+        .agg(sum(col("c")).as("ct"))
+      val tot = st.agg(sum(col("c")).as("tot"))
+      val loss = st.join(tots, Seq("t")).crossJoin(broadcast(tot))
+        .withColumn("rar", expr("tot DIV ct"))
+        .groupBy(col("source"))
+        .agg(sum(expr("CAST(c AS DECIMAL(38,0)) * rar")).as("sr"),
+          sum(col("c")).as("n_tokens"))
+        .withColumn("loss_ppm", expr(
+          "CAST((2 * sr * 1000000 + n_tokens) DIV (2 * n_tokens) AS BIGINT)"))
+        .localCheckpoint() // |sources| rows, feeds min/max + itself
+      val mm = loss.agg(min(col("loss_ppm")).as("mn"),
+        max(col("loss_ppm")).as("mx"))
+      val w = loss.crossJoin(broadcast(mm))
+        .withColumn("en", expr(
+          "IF(mx = mn, CAST(0 AS BIGINT), " +
+            "((loss_ppm - mn) * 1000000) DIV (mx - mn))"))
+        .withColumn("mult", expr("1000000 + (200000 * en) DIV 1000000"))
+        .withColumn("w10", expr(
+          "aggregate(sequence(1, 10), CAST(50000 AS BIGINT), " +
+            "(acc, x) -> (acc * mult) DIV 1000000)"))
+        .localCheckpoint() // |sources| rows, feeds wsum + itself
+      val ws = w.agg(sum(col("w10")).as("wsum"))
+      w.crossJoin(broadcast(ws))
+        .select(col("source"), col("n_tokens"),
+          (col("loss_ppm").cast("double") / lit(1000000.0))
+            .as("mean_rarity"),
+          (col("en").cast("double") / lit(1000000.0)).as("excess"),
+          (expr("(2 * w10 * 1000000 + wsum) DIV (2 * wsum)")
+            .cast("double") / lit(1000000.0)).as("weight"))
+        .orderBy(col("source"))
     })
   )
 
@@ -3499,6 +3554,42 @@ object CorpusQueries extends QueryModule {
          |  CAST(CAST((2 * n_dup_tokens::HUGEINT * 1000000 + n_tokens)
          |    // (2 * n_tokens) AS BIGINT) AS DOUBLE) / 1000000.0
          |    AS dup_token_share
-         |FROM agg ORDER BY source""".stripMargin
+         |FROM agg ORDER BY source""".stripMargin,
+
+    // The same rarity proxy, excess normalization, and 10-round
+    // unnormalized MW fold (list_reduce over ten copies of the
+    // multiplier), final normalization half-up.
+    "q197_doremi_mixture" ->
+      s"""WITH tk AS (SELECT source,
+         |    unnest(string_split_regex(trim(text), '\\s+')) AS t
+         |  FROM documents),
+         |st AS (SELECT source, t, COUNT(*)::HUGEINT AS c
+         |  FROM tk GROUP BY 1, 2),
+         |tots AS (SELECT t, SUM(c) AS ct FROM st GROUP BY 1),
+         |tt AS (SELECT SUM(c) AS tot FROM st),
+         |loss AS (SELECT source, SUM(c * (tot // ct)) AS sr,
+         |    SUM(c) AS n FROM st JOIN tots USING (t), tt
+         |  GROUP BY source),
+         |lp AS (SELECT source, n,
+         |    (2 * sr * 1000000 + n) // (2 * n) AS loss_ppm FROM loss),
+         |mm AS (SELECT MIN(loss_ppm) AS mn, MAX(loss_ppm) AS mx FROM lp),
+         |ex AS (SELECT source, n, loss_ppm,
+         |    CASE WHEN mx = mn THEN 0
+         |      ELSE ((loss_ppm - mn) * 1000000) // (mx - mn) END AS en
+         |  FROM lp, mm),
+         |m AS (SELECT *, 1000000 + (200000 * en) // 1000000 AS mult
+         |  FROM ex),
+         |w AS (SELECT *, list_reduce(
+         |    list_prepend(CAST(50000 AS HUGEINT),
+         |      list_transform(range(1, 11), x -> mult)),
+         |    (acc, x) -> (acc * x) // 1000000) AS w10 FROM m),
+         |ws AS (SELECT SUM(w10) AS wsum FROM w)
+         |SELECT source, CAST(n AS BIGINT) AS n_tokens,
+         |  CAST(CAST(loss_ppm AS BIGINT) AS DOUBLE) / 1000000.0
+         |    AS mean_rarity,
+         |  CAST(CAST(en AS BIGINT) AS DOUBLE) / 1000000.0 AS excess,
+         |  CAST(CAST((2 * w10 * 1000000 + wsum) // (2 * wsum) AS BIGINT)
+         |    AS DOUBLE) / 1000000.0 AS weight
+         |FROM w, ws ORDER BY source""".stripMargin
   )
 }
