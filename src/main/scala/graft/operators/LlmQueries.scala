@@ -1324,6 +1324,41 @@ object LlmQueries extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // --- Shot-boundary detection (q198): temporal segmentation of a
+    // 12-frame synthetic clip per doc — the video-side sampling step
+    // of a multimodal pipeline (pick one keyframe per shot instead of
+    // decoding every frame downstream). Each frame is a REAL PNG
+    // (mkGrayPng, seed advances every L = 3 + doc_id%3 frames) decoded
+    // and average-hashed frame-by-frame; a boundary fires where the
+    // aHash changes. Round-trip contract (q115/q123's shape): the
+    // oracle derives the shot count arithmetically (ceil(12/L)) and
+    // the first frame's hash via the q123 pixel-formula bit chain — an
+    // aHash collision between adjacent shots, or any decode bug, would
+    // merge shots and fail the gate. Map-side only (12 encode+decode
+    // per row, parallelism = input splits); the only exchange is the
+    // final sort.
+    "q198_shot_boundaries" -> ((s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "documents").select(col("doc_id")).as[Long]
+        .repartition(s.sparkContext.defaultParallelism)
+        .mapPartitions { it =>
+          javax.imageio.ImageIO.setUseCache(false)
+          it.map { id =>
+            val shotLen = 3 + (id % 3).toInt
+            val hs = (0 until 12).map(f => MultimodalOps.aHash(
+              MultimodalOps.mkGrayPng((id % 40) + 97L * (f / shotLen))))
+            val nShots = 1L + (1 until 12).count(f => hs(f) != hs(f - 1))
+            (id, 12L, nShots, hs.head)
+          }
+        }.toDF("doc_id", "n_frames", "n_shots", "first_ahash")
+        .withColumn("mean_shot_len", expr(
+          "CAST((2 * n_frames * 1000000 + n_shots) DIV (2 * n_shots) " +
+            "AS DOUBLE) / 1000000.0"))
+        .select(col("doc_id"), col("n_frames"), col("n_shots"),
+          col("mean_shot_len"), col("first_ahash"))
+        .orderBy(col("doc_id"))
+    }),
+
     // --- NEAR-duplicate images: banded Hamming join over the q123
     // average-hash — the image-side sibling of q36's SimHash bands,
     // with the same pigeonhole guarantee (64 bits in 4 bands of 16:
@@ -2810,6 +2845,38 @@ object LlmQueries extends QueryModule {
         |  CAST(sum(v) // 16 AS INT) AS mean_luma,
         |  CAST(max(v) AS INT) AS max_luma, CAST(min(v) AS INT) AS min_luma
         |FROM pool GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Shot count arithmetically (seeds advance every L frames, so
+    // ceil(12/L) shots — a hash collision between adjacent shots in
+    // the engine would under-count and fail here), first frame's hash
+    // via the q123 pixel-formula bit chain (frame 0 is shot 0, seed =
+    // doc_id % 40).
+    "q198_shot_boundaries" ->
+      """WITH px AS (
+        |  SELECT d.doc_id, bx, by,
+        |    ((d.doc_id % 40) * 31 + (bx * 2 + dx) * 7 + (by * 2 + dy) * 13)
+        |      % 256 AS p
+        |  FROM documents d
+        |  CROSS JOIN range(8) tbx(bx) CROSS JOIN range(8) tby(by)
+        |  CROSS JOIN range(2) tdx(dx) CROSS JOIN range(2) tdy(dy)),
+        |pool AS (
+        |  SELECT doc_id, by * 8 + bx AS j, sum(p) AS s
+        |  FROM px GROUP BY doc_id, bx, by),
+        |tot AS (SELECT doc_id, sum(s) AS total FROM pool GROUP BY doc_id),
+        |bits AS (
+        |  SELECT pool.doc_id,
+        |    string_agg(CASE WHEN s * 64 > total THEN '1' ELSE '0' END,
+        |      '' ORDER BY j) AS first_ahash
+        |  FROM pool JOIN tot USING (doc_id) GROUP BY pool.doc_id),
+        |sh AS (SELECT doc_id,
+        |    (12 + (3 + doc_id % 3) - 1) // (3 + doc_id % 3) AS ns
+        |  FROM documents)
+        |SELECT b.doc_id, CAST(12 AS BIGINT) AS n_frames,
+        |  CAST(s.ns AS BIGINT) AS n_shots,
+        |  CAST(CAST((2 * 12 * 1000000 + s.ns) // (2 * s.ns) AS BIGINT)
+        |    AS DOUBLE) / 1000000.0 AS mean_shot_len,
+        |  b.first_ahash
+        |FROM bits b JOIN sh s USING (doc_id) ORDER BY b.doc_id""".stripMargin,
 
     "q123_image_ahash_dedup" ->
       """WITH px AS (
