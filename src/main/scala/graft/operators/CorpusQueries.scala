@@ -1864,6 +1864,47 @@ object CorpusQueries extends QueryModule {
           (expr("(2 * w10 * 1000000 + wsum) DIV (2 * wsum)")
             .cast("double") / lit(1000000.0)).as("weight"))
         .orderBy(col("source"))
+    }),
+
+    // --- CCNet-style quality bucketing (q199): split the corpus into
+    // head/middle/tail by a per-doc language-model-surprisal proxy
+    // (mean corpus rarity of the doc's tokens; low score = head = keep
+    // first), then report the (source, bucket) composition — the
+    // perplexity-bucket step of the CCNet pipeline (Wenzek et al.
+    // 2020). Faithful to the paper's DESIGN point: CCNet applies
+    // PRECOMPUTED cutoffs (derived once from a reference corpus) as
+    // constants — it never sorts the corpus for quantiles — so the
+    // cutoffs here are fixed ppm constants on the score grid (29.47 /
+    // 29.60, the reference corpus's terciles; the rarity score is
+    // scale-invariant because total and per-token counts grow
+    // together, which the sf0.001/sf0.1 sweeps pin). Scale: one
+    // (doc, token) incidence shuffle + the rarity join, then a pure
+    // map-side CASE — no histogram pass, no rank window, nothing
+    // data-dependent to drift between engines.
+    "q199_ccnet_buckets" -> ((s, dir) => {
+      val st = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"), explode(expr(toksSql)).as("t"))
+        .groupBy(col("doc_id"), col("source"), col("t"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint() // (doc, token) incidence, 3 consumers
+      val tots = st.groupBy(col("t")).agg(sum(col("c")).as("ct"))
+      val tot = st.agg(sum(col("c")).as("tot"))
+      st.join(tots, Seq("t")).crossJoin(broadcast(tot))
+        .withColumn("rar", expr("tot DIV ct"))
+        .groupBy(col("doc_id"), col("source"))
+        .agg(sum(expr("CAST(c AS DECIMAL(38,0)) * rar")).as("sr"),
+          sum(col("c")).as("nt"))
+        .withColumn("score", expr(
+          "CAST((2 * sr * 1000000 + nt) DIV (2 * nt) AS BIGINT)"))
+        .withColumn("bucket", expr(
+          "CASE WHEN score < 29470000 THEN 'head' " +
+            "WHEN score < 29600000 THEN 'middle' ELSE 'tail' END"))
+        .groupBy(col("source"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("score")).as("ss"))
+        .select(col("source"), col("bucket"), col("n_docs"),
+          (expr("(2 * ss + n_docs) DIV (2 * n_docs)")
+            .cast("double") / lit(1000000.0)).as("mean_score"))
+        .orderBy(col("source"), col("bucket"))
     })
   )
 
@@ -3590,6 +3631,30 @@ object CorpusQueries extends QueryModule {
          |  CAST(CAST(en AS BIGINT) AS DOUBLE) / 1000000.0 AS excess,
          |  CAST(CAST((2 * w10 * 1000000 + wsum) // (2 * wsum) AS BIGINT)
          |    AS DOUBLE) / 1000000.0 AS weight
-         |FROM w, ws ORDER BY source""".stripMargin
+         |FROM w, ws ORDER BY source""".stripMargin,
+
+    // Same rarity scores and fixed ppm cutoffs.
+    "q199_ccnet_buckets" ->
+      s"""WITH tk AS (SELECT doc_id, source,
+         |    unnest(string_split_regex(trim(text), '\\s+')) AS t
+         |  FROM documents),
+         |st AS (SELECT doc_id, source, t, COUNT(*)::HUGEINT AS c
+         |  FROM tk GROUP BY 1, 2, 3),
+         |tots AS (SELECT t, SUM(c) AS ct FROM st GROUP BY 1),
+         |tt AS (SELECT SUM(c) AS tot FROM st),
+         |ds AS (SELECT doc_id, source,
+         |    (2 * SUM(c * (tot // ct)) * 1000000 + SUM(c))
+         |      // (2 * SUM(c)) AS score
+         |  FROM st JOIN tots USING (t), tt
+         |  GROUP BY doc_id, source),
+         |b AS (SELECT source, score,
+         |    CASE WHEN score < 29470000 THEN 'head'
+         |      WHEN score < 29600000 THEN 'middle' ELSE 'tail' END
+         |      AS bucket
+         |  FROM ds)
+         |SELECT source, bucket, COUNT(*) AS n_docs,
+         |  CAST(CAST((2 * SUM(score) + COUNT(*)) // (2 * COUNT(*))
+         |    AS BIGINT) AS DOUBLE) / 1000000.0 AS mean_score
+         |FROM b GROUP BY 1, 2 ORDER BY source, bucket""".stripMargin
   )
 }
