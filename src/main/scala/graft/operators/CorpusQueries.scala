@@ -1641,26 +1641,7 @@ object CorpusQueries extends QueryModule {
     // Scale: zero shuffles touch tokens; the only exchange is the
     // |sources|-row partial agg. Means land half-up on the 1e-6 grid.
     "q192_repetition_rules" -> ((s, dir) => {
-      Tables(s, dir, "documents")
-        .select(col("source"), expr(toksSql).as("tk"))
-        .withColumn("n", size(col("tk")))
-        .withColumn("topc", expr(
-          "aggregate(array_sort(tk), " +
-            "struct(CAST('' AS STRING) AS p, 0 AS r, 0 AS b), " +
-            "(a, x) -> struct(x AS p, IF(x = a.p, a.r + 1, 1) AS r, " +
-            "GREATEST(a.b, IF(x = a.p, a.r + 1, 1)) AS b), a -> a.b)"))
-        .withColumn("nbg", expr("IF(n >= 2, n - 1, 0)"))
-        .withColumn("dupbg", expr(
-          "IF(n >= 2, (n - 1) - size(array_distinct(" +
-            "zip_with(slice(tk, 1, n - 1), slice(tk, 2, n - 1), " +
-            "(x, y) -> concat(x, ' ', y)))), 0)"))
-        .withColumn("top_ppm", expr(
-          "(2 * CAST(topc AS BIGINT) * 1000000 + n) DIV (2 * n)"))
-        .withColumn("dup_ppm", expr(
-          "IF(nbg = 0, CAST(0 AS BIGINT), " +
-            "(2 * CAST(dupbg AS BIGINT) * 1000000 + nbg) DIV (2 * nbg))"))
-        .withColumn("pass_top", expr("topc * 10 <= n"))
-        .withColumn("pass_dup", expr("dupbg * 100 <= 3 * nbg"))
+      repetitionStats(Tables(s, dir, "documents"))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("top_ppm")).as("stp"),
@@ -1905,8 +1886,89 @@ object CorpusQueries extends QueryModule {
           (expr("(2 * ss + n_docs) DIV (2 * n_docs)")
             .cast("double") / lit(1000000.0)).as("mean_score"))
         .orderBy(col("source"), col("bucket"))
+    }),
+
+    // --- Curation scorecard (q200): the per-source dataset-card row a
+    // curation team publishes — exact-duplicate rate (normalized-text
+    // distinct), Gopher repetition pass rate (q192's rules), CDC
+    // duplicated-token share (q195's chunker), and a composite
+    // curation score (mean of the three good-ness arms, half-up) — in
+    // ONE query, composed from the factored builders the individual
+    // gates already certify. Plan shape: three independent
+    // scan-bounded branches (each partial-agged to |sources| rows)
+    // joined broadcast on source; the CDC branch is the only one that
+    // shuffles beyond its scan, and only chunk fingerprints. The
+    // composite lives on the 1e-6 grid end-to-end.
+    "q200_curation_scorecard" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val exact = d
+        .select(col("source"), expr(LlmQueries.normSql).as("nt"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), countDistinct(col("nt")).as("nd"))
+        .withColumn("exact_dup_ppm", expr(
+          "(2 * (n_docs - nd) * 1000000 + n_docs) DIV (2 * n_docs)"))
+      val rep = repetitionStats(d)
+        .groupBy(col("source"))
+        .agg(sum(when(col("pass_top") && col("pass_dup"), 1L)
+          .otherwise(0L)).as("npass"), count(lit(1)).as("nr"))
+        .withColumn("rep_pass_ppm", expr(
+          "(2 * npass * 1000000 + nr) DIV (2 * nr)"))
+      val occ = cdcChunkOccurrences(d).localCheckpoint()
+      val dupch = occ.groupBy(col("ch")).agg(count(lit(1)).as("occs"))
+      val cdc = occ
+        .join(dupch.select(col("ch"), (col("occs") >= 2).as("is_dup")),
+          Seq("ch"))
+        .groupBy(col("source"))
+        .agg(sum(col("csz")).as("ntok"),
+          sum(when(col("is_dup"), col("csz")).otherwise(0L)).as("dtok"))
+        .withColumn("cdc_dup_ppm", expr(
+          "(2 * dtok * 1000000 + ntok) DIV (2 * ntok)"))
+      exact
+        .join(broadcast(rep.select(col("source"), col("rep_pass_ppm"))),
+          Seq("source"))
+        .join(broadcast(cdc.select(col("source"), col("cdc_dup_ppm"))),
+          Seq("source"))
+        .withColumn("curation_ppm", expr(
+          "(2 * ((1000000 - exact_dup_ppm) + rep_pass_ppm + " +
+            "(1000000 - cdc_dup_ppm)) + 3) DIV 6"))
+        .select(col("source"), col("n_docs"),
+          (col("exact_dup_ppm").cast("double") / lit(1000000.0))
+            .as("exact_dup_rate"),
+          (col("rep_pass_ppm").cast("double") / lit(1000000.0))
+            .as("rep_pass_rate"),
+          (col("cdc_dup_ppm").cast("double") / lit(1000000.0))
+            .as("cdc_dup_share"),
+          (col("curation_ppm").cast("double") / lit(1000000.0))
+            .as("curation_score"))
+        .orderBy(col("source"))
     })
   )
+
+  /** q192's per-doc repetition stats, factored for reuse by the q200
+    * scorecard and planted tests: one row per doc with the raw counts,
+    * the half-up ppm scores, and the integer cross-multiplied pass
+    * flags (see the q192 entry comment for the rules). Map-side only. */
+  private[graft] def repetitionStats(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("source"), expr(toksSql).as("tk"))
+      .withColumn("n", size(col("tk")))
+      .withColumn("topc", expr(
+        "aggregate(array_sort(tk), " +
+          "struct(CAST('' AS STRING) AS p, 0 AS r, 0 AS b), " +
+          "(a, x) -> struct(x AS p, IF(x = a.p, a.r + 1, 1) AS r, " +
+          "GREATEST(a.b, IF(x = a.p, a.r + 1, 1)) AS b), a -> a.b)"))
+      .withColumn("nbg", expr("IF(n >= 2, n - 1, 0)"))
+      .withColumn("dupbg", expr(
+        "IF(n >= 2, (n - 1) - size(array_distinct(" +
+          "zip_with(slice(tk, 1, n - 1), slice(tk, 2, n - 1), " +
+          "(x, y) -> concat(x, ' ', y)))), 0)"))
+      .withColumn("top_ppm", expr(
+        "(2 * CAST(topc AS BIGINT) * 1000000 + n) DIV (2 * n)"))
+      .withColumn("dup_ppm", expr(
+        "IF(nbg = 0, CAST(0 AS BIGINT), " +
+          "(2 * CAST(dupbg AS BIGINT) * 1000000 + nbg) DIV (2 * nbg))"))
+      .withColumn("pass_top", expr("topc * 10 <= n"))
+      .withColumn("pass_dup", expr("dupbg * 100 <= 3 * nbg"))
 
   /** q195's chunker, factored so planted tests can certify the CDC
     * offset-invariance property (a shared passage chunks identically
@@ -3655,6 +3717,71 @@ object CorpusQueries extends QueryModule {
          |SELECT source, bucket, COUNT(*) AS n_docs,
          |  CAST(CAST((2 * SUM(score) + COUNT(*)) // (2 * COUNT(*))
          |    AS BIGINT) AS DOUBLE) / 1000000.0 AS mean_score
-         |FROM b GROUP BY 1, 2 ORDER BY source, bucket""".stripMargin
+         |FROM b GROUP BY 1, 2 ORDER BY source, bucket""".stripMargin,
+
+    // The three branch chains re-derived (norm-distinct, the q192
+    // pass flags, the q195 chunker), same half-up grids and composite.
+    "q200_curation_scorecard" ->
+      s"""WITH ex AS (SELECT source, COUNT(*) AS n_docs,
+         |    COUNT(DISTINCT lower(trim(regexp_replace(text, '\\s+', ' ',
+         |      'g')))) AS nd
+         |  FROM documents GROUP BY 1),
+         |e2 AS (SELECT source, n_docs,
+         |    (2 * (n_docs - nd)::HUGEINT * 1000000 + n_docs)
+         |      // (2 * n_docs) AS exact_dup_ppm FROM ex),
+         |rtk AS (SELECT doc_id, source,
+         |    string_split_regex(trim(text), '\\s+') AS tk FROM documents),
+         |rst AS (SELECT source, len(tk) AS n,
+         |    list_max(list_transform(list_distinct(tk),
+         |      t -> len(list_filter(tk, x -> x = t)))) AS topc,
+         |    CASE WHEN len(tk) >= 2 THEN (len(tk) - 1) -
+         |      len(list_distinct(list_transform(range(1, len(tk)),
+         |        i -> tk[i] || ' ' || tk[i + 1]))) ELSE 0 END AS dupbg,
+         |    CASE WHEN len(tk) >= 2 THEN len(tk) - 1 ELSE 0 END AS nbg
+         |  FROM rtk),
+         |rp AS (SELECT source,
+         |    (2 * SUM(CASE WHEN topc * 10 <= n AND dupbg * 100 <= 3 * nbg
+         |        THEN 1 ELSE 0 END)::HUGEINT * 1000000 + COUNT(*))
+         |      // (2 * COUNT(*)) AS rep_pass_ppm
+         |  FROM rst GROUP BY 1),
+         |base AS (SELECT doc_id, source, tk, len(tk) AS n FROM rtk),
+         |cst AS (SELECT doc_id, source, tk, n,
+         |    list_concat([CAST(1 AS BIGINT)],
+         |      list_filter(list_transform(range(1, n - 2), j ->
+         |        CASE WHEN ${LlmQueries.fnvSqlOf(
+                     "tk[j] || ' ' || tk[j+1] || ' ' || tk[j+2] || ' ' || tk[j+3]")}
+         |          % 16 = 0 AND j + 4 <= n THEN j + 4 ELSE 0 END),
+         |        p -> p > 0)) AS starts
+         |  FROM base),
+         |csp AS (SELECT doc_id, source, tk, n, starts,
+         |    list_transform(range(1, len(starts) + 1), ci ->
+         |      CASE WHEN ci < len(starts) THEN starts[ci + 1]
+         |        ELSE n + 1 END) AS nexts
+         |  FROM cst),
+         |occ AS (SELECT doc_id, source,
+         |    unnest(list_transform(range(1, len(starts) + 1), ci ->
+         |      ${LlmQueries.fnvSqlOf(
+                   "array_to_string(tk[starts[ci]:nexts[ci] - 1], ' ')")}))
+         |      AS ch,
+         |    unnest(list_transform(range(1, len(starts) + 1), ci ->
+         |      nexts[ci] - starts[ci])) AS csz
+         |  FROM csp),
+         |dch AS (SELECT ch, COUNT(*) >= 2 AS is_dup FROM occ GROUP BY 1),
+         |cdc AS (SELECT o.source,
+         |    (2 * SUM(CASE WHEN d.is_dup THEN o.csz ELSE 0 END)::HUGEINT
+         |      * 1000000 + SUM(o.csz)) // (2 * SUM(o.csz)) AS cdc_dup_ppm
+         |  FROM occ o JOIN dch d USING (ch) GROUP BY 1)
+         |SELECT e2.source, e2.n_docs,
+         |  CAST(CAST(exact_dup_ppm AS BIGINT) AS DOUBLE) / 1000000.0
+         |    AS exact_dup_rate,
+         |  CAST(CAST(rep_pass_ppm AS BIGINT) AS DOUBLE) / 1000000.0
+         |    AS rep_pass_rate,
+         |  CAST(CAST(cdc_dup_ppm AS BIGINT) AS DOUBLE) / 1000000.0
+         |    AS cdc_dup_share,
+         |  CAST(CAST((2 * ((1000000 - exact_dup_ppm) + rep_pass_ppm +
+         |      (1000000 - cdc_dup_ppm)) + 3) // 6 AS BIGINT) AS DOUBLE)
+         |    / 1000000.0 AS curation_score
+         |FROM e2 JOIN rp USING (source) JOIN cdc USING (source)
+         |ORDER BY e2.source""".stripMargin
   )
 }
