@@ -24,6 +24,13 @@ object StreamingQueries extends QueryModule {
   /** Exact order-insensitive double sum (see RelationalQueries doc). */
   private def dsum(c: Column): Column = sum(c.cast(DecimalType(38, 6))).cast(DoubleType)
 
+  /** q201 token-bucket parameters: one event per 8 h sustained
+    * (credit refills 1 s/s, an event costs 28800 s) with a 2-event
+    * burst (cap 57600 s). Calibrated so both arms fire on the events
+    * table (median per-user gap ~7.3 h). */
+  val RateCostSec = 28800L
+  val RateCapSec = 57600L
+
   /** Tumbling 1-hour event-time windows. Watermark is a no-op in batch. */
   def tumbling(events: DataFrame): DataFrame =
     events.withWatermark("ts", "1 hour")
@@ -248,6 +255,46 @@ object StreamingQueries extends QueryModule {
         col("m").cast("long").as("k_used"), col("kmv_users"))
   }
 
+  /** Per-user token-bucket rate limiting (q201), batch arm: the
+    * admission-control primitive of an ingestion pipeline (throttle a
+    * runaway producer BEFORE it floods the corpus), with genuinely
+    * SEQUENTIAL per-key semantics — each event's verdict depends on
+    * every prior event's — expressed the two ways Spark can: here as a
+    * per-user ordered fold (sort_array + one aggregate() pass, all
+    * integer-seconds arithmetic), and on the stream as
+    * [[RateLimitProcessor]] (transformWithState, constant-width
+    * ValueState per user; StreamingSpec pins stream == batch across
+    * micro-batch splits). State shape: the fold carries (credit, last
+    * ts, allowed) — the collect_list is bounded by a user's events in
+    * the audited horizon (a production run audits per day/window; the
+    * STREAMING arm never materializes the list at all). Ties on ts
+    * break by event_id, so the fold is total. */
+  def rateLimitCounts(events: DataFrame): DataFrame = {
+    val (cap, cost) = (RateCapSec, RateCostSec)
+    // c1 = refilled credit at event time (cap-clamped); repeated
+    // inline because a SQL lambda cannot bind a local
+    val c1 = s"LEAST($cap, a.credit + IF(a.last < 0, CAST(0 AS BIGINT), " +
+      "x.s - a.last))"
+    events
+      .select(col("user_id"), col("ts").cast("long").as("s"),
+        col("event_id").as("e"))
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("evs"))
+      .withColumn("res", expr(
+        s"""aggregate(evs,
+           |  struct(CAST($cap AS BIGINT) AS credit,
+           |         CAST(-1 AS BIGINT) AS last, CAST(0 AS BIGINT) AS allowed),
+           |  (a, x) -> struct(
+           |    IF($c1 >= $cost, $c1 - $cost, $c1) AS credit,
+           |    x.s AS last,
+           |    a.allowed + IF($c1 >= $cost, CAST(1 AS BIGINT),
+           |      CAST(0 AS BIGINT)) AS allowed),
+           |  a -> a.allowed)""".stripMargin))
+      .select(col("user_id"), size(col("evs")).cast("long").as("n_events"),
+        col("res").as("n_allowed"),
+        (size(col("evs")).cast("long") - col("res")).as("n_dropped"))
+  }
+
   /** Per-user session windows with a 6-hour inactivity gap. */
   def sessions(events: DataFrame): DataFrame =
     events.withWatermark("ts", "1 hour")
@@ -404,7 +451,11 @@ object StreamingQueries extends QueryModule {
 
     "q196_stream_kmv_users" -> ((s, dir) =>
       windowKmvDistinct(Tables(s, dir, "events"))
-        .orderBy(col("window_start")))
+        .orderBy(col("window_start"))),
+
+    "q201_rate_limit" -> ((s, dir) =>
+      rateLimitCounts(Tables(s, dir, "events"))
+        .orderBy(col("user_id")))
   )
 
   /** q168's builder: probe a (doc_id, text, ts) delta frame — batch OR
@@ -650,6 +701,92 @@ object StreamingQueries extends QueryModule {
          |    ELSE CAST('1162144876643701751808' AS HUGEINT) // s.uk END
          |    AS BIGINT) AS kmv_users
          |FROM ne n JOIN sk s USING (window_start)
-         |ORDER BY n.window_start""".stripMargin
+         |ORDER BY n.window_start""".stripMargin,
+
+    // The same ordered fold via list_reduce over a PACKED HUGEINT
+    // accumulator: credit + 2^20·allowed + 2^44·last (credit < 2^17,
+    // last ts < 2^31, allowed < 2^24 at oracle scales; last = 0 is the
+    // no-previous sentinel since epochs are positive). Packed because
+    // this DuckDB's multi-field struct_pack lambdas miscompile the
+    // SHARED subexpression across fields (the allowed counter read a
+    // different branch than the credit field — verified against a
+    // by-hand fold); one scalar expression evaluates consistently.
+    // Events sort as (ts, event_id) structs first, then project ts —
+    // Spark's sort_array tie-break exactly.
+    "q201_rate_limit" ->
+      """WITH ev AS (SELECT user_id,
+        |    CAST(epoch_us(ts) // 1000000 AS BIGINT) AS s, event_id AS e
+        |  FROM events),
+        |g AS (SELECT user_id, list_transform(
+        |    list_sort(list(struct_pack(a := s, b := e))),
+        |    z -> CAST(z.a AS HUGEINT)) AS evs
+        |  FROM ev GROUP BY 1),
+        |f AS (SELECT user_id, len(evs) AS n_events,
+        |    list_reduce(list_prepend(CAST(57600 AS HUGEINT), evs),
+        |      (acc, x) ->
+        |        LEAST(57600, (acc % 1048576) + CASE WHEN
+        |            acc // 17592186044416 = 0 THEN 0
+        |            ELSE x - acc // 17592186044416 END)
+        |        - CASE WHEN LEAST(57600, (acc % 1048576) + CASE WHEN
+        |            acc // 17592186044416 = 0 THEN 0
+        |            ELSE x - acc // 17592186044416 END) >= 28800
+        |          THEN 28800 ELSE 0 END
+        |        + 1048576 * (((acc // 1048576) % 16777216) +
+        |          CASE WHEN LEAST(57600, (acc % 1048576) + CASE WHEN
+        |              acc // 17592186044416 = 0 THEN 0
+        |              ELSE x - acc // 17592186044416 END) >= 28800
+        |            THEN 1 ELSE 0 END)
+        |        + 17592186044416 * x) AS r
+        |  FROM g)
+        |SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+        |  CAST((r // 1048576) % 16777216 AS BIGINT) AS n_allowed,
+        |  CAST(n_events - (r // 1048576) % 16777216 AS BIGINT)
+        |    AS n_dropped
+        |FROM f ORDER BY user_id""".stripMargin
   )
+}
+
+/** q201 streaming-arm rows: (user, epoch-second, tie-break id) in,
+  * running admission counts out. */
+case class RateEv(user_id: Long, s: Long, e: Long)
+case class RateCount(user_id: Long, n_events: Long, n_allowed: Long,
+  n_dropped: Long)
+/** q201 bucket state: constant-width per user regardless of history. */
+case class RateState(credit: Long, last: Long, allowed: Long, total: Long)
+
+/** q201 streaming arm: the token bucket as Spark-4 typed state
+  * (`transformWithState`) — per-user `ValueState` holding exactly
+  * (credit, last ts, allowed, total), updated with the SAME integer
+  * arithmetic as the batch fold in
+  * [[StreamingQueries.rateLimitCounts]]; rows within a micro-batch are
+  * sorted by (s, e) before folding so batch boundaries cannot reorder
+  * the verdict sequence (StreamingSpec splits a burst across batches
+  * to pin that). Emits the running counts per key per batch — the
+  * Update-mode admission dashboard. */
+class RateLimitProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, RateEv, RateCount] {
+  import org.apache.spark.sql.streaming.{TimeMode, TTLConfig, TimerValues, ValueState}
+  import org.apache.spark.sql.streaming.OutputMode
+  @transient private var st: ValueState[RateState] = _
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[RateState]("bucket",
+      org.apache.spark.sql.Encoders.product[RateState], TTLConfig.NONE)
+  override def handleInputRows(key: Long, rows: Iterator[RateEv],
+      timers: TimerValues): Iterator[RateCount] = {
+    val s0 = if (st.exists()) st.get()
+             else RateState(StreamingQueries.RateCapSec, -1L, 0L, 0L)
+    var (credit, last, allowed, total) = (s0.credit, s0.last, s0.allowed, s0.total)
+    rows.toSeq.sortBy(r => (r.s, r.e)).foreach { r =>
+      val c1 = math.min(StreamingQueries.RateCapSec,
+        credit + (if (last < 0) 0L else r.s - last))
+      if (c1 >= StreamingQueries.RateCostSec) {
+        credit = c1 - StreamingQueries.RateCostSec; allowed += 1
+      } else credit = c1
+      last = r.s
+      total += 1
+    }
+    st.update(RateState(credit, last, allowed, total))
+    Iterator.single(RateCount(key, total, allowed, total - allowed))
+  }
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.streaming.StreamingQueries
+import graft.streaming.{RateEv, RateLimitProcessor, StreamingQueries}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
@@ -691,5 +691,54 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(byW(ts("2024-01-01T06:00:00Z"))._3 == 64L, "estimator arm k_used")
       assert(byW(ts("2024-01-01T06:00:00Z"))._4 > 0L)
     } finally q.stop()
+  }
+
+  test("q201 rate limiter: transformWithState stream matches the batch fold across batch splits") {
+    // The token bucket's verdicts are SEQUENTIAL per user — this split
+    // puts a burst's tail (the event that must be DROPPED because the
+    // burst drained the credit) in the SECOND micro-batch, so the pass
+    // requires the ValueState to carry (credit, last) across batch
+    // boundaries with the exact integer arithmetic of the batch fold.
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    import org.apache.spark.sql.streaming.TimeMode
+    val prev = sp.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    sp.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val t0 = 1704067200L // 2024-01-01T00:00:00Z
+      val ev1 = Seq(RateEv(1, t0, 1), RateEv(1, t0 + 100, 2), RateEv(2, t0, 3))
+      val ev2 = Seq(RateEv(1, t0 + 200, 4), RateEv(1, t0 + 40000, 5),
+        RateEv(2, t0 + 30000, 6))
+      val mem = MemoryStream[RateEv]
+      val out = mem.toDS().groupByKey(_.user_id)
+        .transformWithState(new RateLimitProcessor, TimeMode.None(),
+          OutputMode.Update())
+      val q = out.toDF().writeStream.format("memory").queryName("rate201")
+        .outputMode(OutputMode.Update()).start()
+      try {
+        mem.addData(ev1: _*)
+        q.processAllAvailable()
+        mem.addData(ev2: _*)
+        q.processAllAvailable()
+        val streamed = sp.table("rate201").collect()
+          .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+          .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).maxBy(_._1) }
+        val batchDf = (ev1 ++ ev2).toDF()
+          .select(col("user_id"), col("s").cast("timestamp").as("ts"),
+            col("e").as("event_id"))
+        val batch = StreamingQueries.rateLimitCounts(batchDf).collect()
+          .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+          .toMap
+        assert(streamed == batch)
+        // burst A-A-D then refill-A: the drop lands mid-sequence
+        assert(batch(1L) == ((4L, 3L, 1L)), batch)
+        assert(batch(2L) == ((2L, 2L, 0L)), batch)
+      } finally q.stop()
+    } finally prev match {
+      case Some(p) => sp.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => sp.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
   }
 }
