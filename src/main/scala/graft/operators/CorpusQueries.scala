@@ -1717,44 +1717,12 @@ object CorpusQueries extends QueryModule {
     // (the single-partition window is the SMALL stage by
     // construction; corpus rows never see a window). Floor level:
     // slack < |unfunded| tokens stays unallocated, deterministically.
-    "q194_budget_waterfill" -> ((s, dir) => {
-      val counts = Tables(s, dir, "documents")
+    "q194_budget_waterfill" -> ((s, dir) =>
+      waterfill(Tables(s, dir, "documents")
         .select(col("source"), expr(s"size($toksSql)").as("nt"))
         .groupBy(col("source"))
-        .agg(sum(col("nt")).as("n_tokens"))
-      val tot = counts.agg(sum(col("n_tokens")).as("tot"))
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.orderBy(col("n_tokens"), col("source"))
-      counts.crossJoin(broadcast(tot))
-        .withColumn("budget", expr("(tot * 9) DIV 10"))
-        .withColumn("k", row_number().over(w))
-        .withColumn("cum_before",
-          coalesce(sum(col("n_tokens")).over(
-            w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .withColumn("nsrc", count(lit(1)).over(
-          Window.partitionBy().rowsBetween(
-            Window.unboundedPreceding, Window.unboundedFollowing)))
-        .withColumn("funded", expr(
-          "n_tokens * (nsrc - k + 1) <= budget - cum_before"))
-        .withColumn("cum_funded", sum(when(col("funded"),
-          col("n_tokens")).otherwise(0L)).over(
-          Window.partitionBy().rowsBetween(
-            Window.unboundedPreceding, Window.unboundedFollowing)))
-        .withColumn("n_funded", sum(when(col("funded"), 1L)
-          .otherwise(0L)).over(
-          Window.partitionBy().rowsBetween(
-            Window.unboundedPreceding, Window.unboundedFollowing)))
-        .withColumn("level", expr(
-          "IF(nsrc = n_funded, CAST(0 AS BIGINT), " +
-            "(budget - cum_funded) DIV (nsrc - n_funded))"))
-        .withColumn("allocated", expr(
-          "IF(funded, n_tokens, LEAST(level, n_tokens))"))
-        .select(col("source"), col("n_tokens"), col("funded"),
-          col("allocated"),
-          (expr("(2 * allocated * 1000000 + n_tokens) DIV (2 * n_tokens)")
-            .cast("double") / lit(1000000.0)).as("kept_share"))
-        .orderBy(col("source"))
-    }),
+        .agg(sum(col("nt")).as("n_tokens")), 9, 10)
+        .orderBy(col("source"))),
 
     // --- Content-defined chunking dedup (q195): sub-document
     // deduplication at rolling-hash chunk granularity — the scalable
@@ -1943,6 +1911,46 @@ object CorpusQueries extends QueryModule {
         .orderBy(col("source"))
     })
   )
+
+  /** q194's waterfill engine, factored so planted tests can certify
+    * the max-min fairness properties on closed-form cases. Input: a
+    * (source, n_tokens) frame (ALREADY aggregated — the |sources|-row
+    * small side); budget = totalTokens · num DIV den. See the q194
+    * entry comment for the sorted-prefix feasibility rule; the
+    * partition-less windows run over |sources| rows by construction. */
+  private[graft] def waterfill(counts: DataFrame, num: Int, den: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tot = counts.agg(sum(col("n_tokens")).as("tot"))
+    val w = Window.orderBy(col("n_tokens"), col("source"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("budget", expr(s"(tot * $num) DIV $den"))
+      .withColumn("k", row_number().over(w))
+      .withColumn("cum_before",
+        coalesce(sum(col("n_tokens")).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("nsrc", count(lit(1)).over(
+        Window.partitionBy().rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("funded", expr(
+        "n_tokens * (nsrc - k + 1) <= budget - cum_before"))
+      .withColumn("cum_funded", sum(when(col("funded"),
+        col("n_tokens")).otherwise(0L)).over(
+        Window.partitionBy().rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("n_funded", sum(when(col("funded"), 1L)
+        .otherwise(0L)).over(
+        Window.partitionBy().rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("level", expr(
+        "IF(nsrc = n_funded, CAST(0 AS BIGINT), " +
+          "(budget - cum_funded) DIV (nsrc - n_funded))"))
+      .withColumn("allocated", expr(
+        "IF(funded, n_tokens, LEAST(level, n_tokens))"))
+      .select(col("source"), col("n_tokens"), col("funded"),
+        col("allocated"),
+        (expr("(2 * allocated * 1000000 + n_tokens) DIV (2 * n_tokens)")
+          .cast("double") / lit(1000000.0)).as("kept_share"))
+  }
 
   /** q192's per-doc repetition stats, factored for reuse by the q200
     * scorecard and planted tests: one row per doc with the raw counts,

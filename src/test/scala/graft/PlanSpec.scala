@@ -833,4 +833,41 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the lang-keyed fertility aggregate partial-aggregates map-side
     assert(p.toLowerCase.contains("partial"), p)
   }
+
+  test("q195 CDC dedup: tokens never shuffle — chunker map-side, exchanges keyed on fingerprints") {
+    // The whole chunker must live inside projections (array-local);
+    // the only exchanges are the fingerprint count + join back — hash,
+    // never sort-merge (64-bit keys), no window, nothing cartesian.
+    val p = plan("q195_cdc_chunk_dedup")
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("hashpartitioning(ch"), p.take(3000))
+    assert(!p.contains("hashpartitioning(tk"), p.take(3000))
+  }
+
+  test("q197 DoReMi: one incidence exchange; the MW rounds add NO shuffle or iteration") {
+    // The 10 multiplicative-weight rounds are a row-local aggregate()
+    // fold — the plan may contain exactly the (source, token)
+    // incidence aggregation, the rarity join, and |sources|-row
+    // aggregates; no Window, no per-round exchanges.
+    val p = plan("q197_doremi_mixture")
+    assert(!p.contains("Window"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"),
+      p.take(2000)) // broadcast 1-row crossJoins only
+  }
+
+  test("q201 rate limiter: ONE exchange on user_id; the fold is inside the aggregate") {
+    // Sequential semantics must not leak into a Window or a second
+    // shuffle: sort_array + aggregate() run inside the per-user
+    // aggregation's project, so the plan is scan -> partial agg ->
+    // exchange(user_id) -> final agg -> sort.
+    val p = plan("q201_rate_limit")
+    assert(!p.contains("Window"), p)
+    assert(p.contains("hashpartitioning(user_id"), p.take(3000))
+    val exchanges = "Exchange".r.findAllIn(p).size
+    // one hash exchange for the agg + the final rangepartitioning sort
+    assert(exchanges <= 4, s"$exchanges exchanges:\n${p.take(3000)}")
+  }
 }

@@ -762,6 +762,34 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"most of the 200 shared tokens should sit in shared chunks, got $sharedTok")
   }
 
+  test("q194 waterfill: planted supplies hit the closed-form max-min allocation") {
+    import graft.operators.CorpusQueries
+    val sp = spark
+    import sp.implicits._
+    // supplies (10, 20, 100, 1000), budget 90% of 1130 = 1017:
+    // the three small sources are fully funded (each supply x
+    // remaining-sources fits the remaining budget), the giant gets the
+    // floor water level 1017 - 130 = 887 — and the allocation sums to
+    // the budget EXACTLY because only one source is throttled.
+    val counts = Seq(("a", 10L), ("b", 20L), ("c", 100L), ("d", 1000L))
+      .toDF("source", "n_tokens")
+    val got = CorpusQueries.waterfill(counts, 9, 10).collect()
+      .map(r => r.getString(0) ->
+        ((r.getBoolean(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got("a") == ((true, 10L, 1.0)))
+    assert(got("b") == ((true, 20L, 1.0)))
+    assert(got("c") == ((true, 100L, 1.0)))
+    assert(got("d")._1 == false)
+    assert(got("d")._2 == 887L)
+    assert(got.values.map(_._2).sum == 1017L, "allocation exhausts the budget")
+    // kept_share grid: 887/1000 half-up on the 1e-6 grid
+    assert(got("d")._3 == 0.887)
+    // degenerate: budget covers everything -> all funded, level arm off
+    val all = CorpusQueries.waterfill(counts, 1, 1).collect()
+    assert(all.forall(_.getBoolean(2)), all.mkString(","))
+    assert(all.map(_.getLong(3)).sum == 1130L)
+  }
+
   test("parquet sink round-trips under every shipped codec") {
     val dir = "/root/testdata/sf0.001"
     val src = Tables(spark, dir, "nation")
