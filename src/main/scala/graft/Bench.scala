@@ -65,18 +65,24 @@ object Bench {
     if (!ok) "-1"
     else String.format(java.util.Locale.ROOT, "%.1f", Double.box(math.min(v, 9.9)))
 
-  /** Wire key for one query: the numeric id in BASE 36
-    * ("q185_stream_session_funnel" -> "55"). Wire-key compaction #4 —
-    * full names (r1-r7) shrank to qNN (r8), bare decimal ids at 174
-    * queries, and base-36 at 189 (decimal 3-digit ids overflowed the
-    * tail by 18 chars); 2 chars now reach id 1295. Mapping back is
-    * `'q' + zero-padded parseInt(key, 36)` and bench_detail.json always
+  /** Wire key for one query: the numeric id in BASE 62
+    * (digits, lowercase, uppercase — "q185_..." -> "2Z"). Wire-key
+    * compaction #5 — full names (r1-r7), qNN (r8), bare decimal ids at
+    * 174 queries, base-36 at 189, base-62 at 202 (ids 36-61 return to
+    * one char; 2 chars now reach id 3843). Decode: index each char in
+    * "0-9a-zA-Z", most-significant first. bench_detail.json always
     * carries full names. BenchFormatSpec pins uniqueness and the tail
     * budget. */
+  private val B62 =
+    "0123456789abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
   def wireKey(name: String): String = {
     val id = name.split("_").head.stripPrefix("q")
-    try java.lang.Integer.toString(id.toInt, 36)
-    catch { case _: NumberFormatException => id }
+    try {
+      var n = id.toInt
+      val sb = new StringBuilder
+      while ({ sb.insert(0, B62(n % 62)); n /= 62; n > 0 }) ()
+      sb.toString
+    } catch { case _: NumberFormatException => id }
   }
 
   /** Suite-wide task-metrics accumulator: aggregates executor run time,
@@ -333,7 +339,9 @@ object Bench {
     val overClamp = results
       .filter(r => r._4 && r._3 > 9.9)
       .sortBy(-_._3).take(1)
-      .map(r => "\"" + shortKey(r._1) + "\":" + r3(math.min(r._3, 999.999)))
+      .map(r => "\"" + shortKey(r._1) + "\":" +
+        String.format(java.util.Locale.ROOT, "%.2f",
+          Double.box(math.min(r._3, 99.99))))
       .mkString("{", ",", "}")
     // The harness keeps only the last ~2000 chars of stdout and parses the
     // JSON line out of that tail (BENCH_r03 overflowed it and recorded
@@ -382,7 +390,7 @@ object Bench {
     System.err.println(s"[bench] first-run total: ${r1(firstTotal)} s, " +
       s"dispersion: ${r1(maxOverMin)}, load1: ${r1(load1)}, " +
       s"steal_pct: ${r1(stealPct)}")
-    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${jmap(_._3)},"err":${failed.size},"over":$overClamp,"cpu":$cpuRatio,"cal":${r3(calib)},"sf":"$sfName"}"""
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${jmap(_._3)},"e":${failed.size},"ov":$overClamp,"cp":$cpuRatio,"ca":${r3(calib)},"sf":"$sfName"}"""
     // A failed query's "min" is time-to-throw, not a timing — the detail
     // file records -1 there (ok:false already flags it; the sentinel
     // keeps non-timings out of anything that aggregates the min column).

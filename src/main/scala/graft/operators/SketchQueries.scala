@@ -346,6 +346,50 @@ object SketchQueries extends QueryModule {
         .select(col("label"), col("n_even"), col("n_odd"),
           (col("drift_micro").cast("double") / 1000000.0).as("drift_l1"))
         .orderBy(col("label"))
+    }),
+
+    // --- embedding diversity without the pair explosion (q202): mean
+    // pairwise dot product per label, EXACTLY, in one scan — the
+    // mode-collapse / near-duplicate-cluster detector (a label whose
+    // vectors all point the same way has mean pair dot ≈ mean self
+    // dot). The algebraic identity Σ_{i≠j} vi·vj = ‖Σvi‖² − Σ‖vi‖²
+    // turns the O(n²) pairwise sum into per-dimension sums: fixed-
+    // point components (floor(x·2^20), exact DECIMAL sums — the q156
+    // discipline) aggregate to (label, dim) rows carrying Σfx and
+    // Σfx², then S² = Σ_d (Σfx)² and Q = Σ_d Σfx² close the identity.
+    // Exchange: labels × 64 rows at ANY corpus size. The pair mean is
+    // SIGNED: the half-up grid division runs on |num| with the sign
+    // reapplied (Spark DIV truncates, DuckDB // floors — the signed
+    // rule from the verify notes, applied identically in the oracle).
+    "q202_embedding_diversity" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+        .select(col("label"), posexplode(expr(
+          "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)" +
+            " * 1048576.0) AS DECIMAL(38,0)))")))
+        .toDF("label", "dim", "fx")
+      e.groupBy(col("label"), col("dim"))
+        .agg(sum(col("fx")).as("sd"), sum(expr("fx * fx")).as("qd"),
+          count(lit(1)).as("nv"))
+        .groupBy(col("label"))
+        .agg(sum(expr("sd * sd")).as("s2"), sum(col("qd")).as("q"),
+          max(col("nv")).as("n"))
+        .withColumn("self_micro", expr(
+          "(2 * q * 1000000 + n * 1099511627776) DIV " +
+            "(2 * n * 1099511627776)"))
+        .withColumn("pnum", expr("s2 - q"))
+        .withColumn("pden", expr(
+          "CAST(n AS DECIMAL(38,0)) * (n - 1) * 1099511627776"))
+        .withColumn("pair_micro", expr(
+          "IF(n < 2, CAST(0 AS BIGINT), CAST(" +
+            "IF(pnum < 0, -1, 1) * " +
+            "((2 * abs(pnum) * 1000000 + pden) DIV (2 * pden)) " +
+            "AS BIGINT))"))
+        .select(col("label"), col("n").cast("long").as("n_vecs"),
+          (col("self_micro").cast("double") / 1000000.0)
+            .as("mean_self_dot"),
+          (col("pair_micro").cast("double") / 1000000.0)
+            .as("mean_pair_dot"))
+        .orderBy(col("label"))
     })
   )
 
@@ -517,6 +561,33 @@ object SketchQueries extends QueryModule {
         |  CAST((2 * numsum * 1000000 + 4294967296 * n_even * n_odd)
         |    // (2 * 4294967296::HUGEINT * n_even * n_odd) AS BIGINT)
         |    / 1000000.0 AS drift_l1
+        |FROM agg ORDER BY label""".stripMargin,
+
+    // Same identity over the same fixed-point grid; signed half-up on
+    // abs(num) with the sign reapplied (// floors, DIV truncates —
+    // only the abs form agrees on negative half-grid values).
+    "q202_embedding_diversity" ->
+      """WITH fx AS (
+        |  SELECT e.label, r.i AS dim,
+        |    CAST(floor(CAST(e.embedding[r.i + 1] AS DOUBLE) * 1048576.0)
+        |      AS HUGEINT) AS fx
+        |  FROM embeddings e CROSS JOIN range(64) r(i)),
+        |dims AS (SELECT label, dim, SUM(fx) AS sd, SUM(fx * fx) AS qd,
+        |    COUNT(*) AS nv
+        |  FROM fx GROUP BY 1, 2),
+        |agg AS (SELECT label, SUM(sd * sd) AS s2, SUM(qd) AS q,
+        |    MAX(nv) AS n
+        |  FROM dims GROUP BY 1)
+        |SELECT label, CAST(n AS BIGINT) AS n_vecs,
+        |  CAST(CAST((2 * q * 1000000 + n * 1099511627776)
+        |    // (2 * n * 1099511627776::HUGEINT) AS BIGINT) AS DOUBLE)
+        |    / 1000000.0 AS mean_self_dot,
+        |  CAST(CASE WHEN n < 2 THEN 0 ELSE
+        |    (CASE WHEN s2 - q < 0 THEN -1 ELSE 1 END) *
+        |    ((2 * abs(s2 - q) * 1000000 +
+        |      n::HUGEINT * (n - 1) * 1099511627776)
+        |     // (2 * n::HUGEINT * (n - 1) * 1099511627776)) END
+        |    AS DOUBLE) / 1000000.0 AS mean_pair_dot
         |FROM agg ORDER BY label""".stripMargin
   )
 }
