@@ -1909,6 +1909,40 @@ object CorpusQueries extends QueryModule {
           (col("curation_ppm").cast("double") / lit(1000000.0))
             .as("curation_score"))
         .orderBy(col("source"))
+    }),
+
+    // --- Largest-remainder sample apportionment (q203): allocate an
+    // exact-size evaluation sample (N = 100 docs) across the
+    // (source, lang) strata proportionally, with Hamilton's method —
+    // floor quotas, then the leftover seats go to the largest
+    // fractional remainders (ties by stratum name). Naive proportional
+    // rounding never sums to N; largest-remainder is the standard
+    // exact-quota apportionment, and it is INTEGER end-to-end: the
+    // remainder comparison is the raw modulus (100·n mod total), no
+    // fraction ever materializes. Scale: the corpus collapses to the
+    // strata frame in one partial-agged pass; the remainder ranking is
+    // a window over |strata| rows (the small side by construction).
+    // Σ alloc = N exactly — the property the oracle hash-gates row by
+    // row.
+    "q203_sample_apportionment" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val cells = Tables(s, dir, "documents")
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"))
+      val base = cells.crossJoin(broadcast(
+        cells.agg(sum(col("n_docs")).as("tot"))))
+        .withColumn("quota", expr("(100 * n_docs) DIV tot"))
+        .withColumn("rem", expr("(100 * n_docs) % tot"))
+      val withR = base.crossJoin(broadcast(
+        base.agg((lit(100L) - sum(col("quota"))).as("r"))))
+      withR
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("rem").desc, col("source"), col("lang"))))
+        .withColumn("extra", col("rk") <= col("r"))
+        .withColumn("alloc", expr("quota + IF(extra, 1, 0)"))
+        .select(col("source"), col("lang"), col("n_docs"),
+          col("quota"), col("extra"), col("alloc"))
+        .orderBy(col("source"), col("lang"))
     })
   )
 
@@ -3790,6 +3824,26 @@ object CorpusQueries extends QueryModule {
          |      (1000000 - cdc_dup_ppm)) + 3) // 6 AS BIGINT) AS DOUBLE)
          |    / 1000000.0 AS curation_score
          |FROM e2 JOIN rp USING (source) JOIN cdc USING (source)
-         |ORDER BY e2.source""".stripMargin
+         |ORDER BY e2.source""".stripMargin,
+
+    // Same floor quotas, raw-modulus remainders, and (rem DESC,
+    // source, lang) seat ranking.
+    "q203_sample_apportionment" ->
+      """WITH cells AS (SELECT source, lang, COUNT(*) AS n_docs
+        |  FROM documents GROUP BY 1, 2),
+        |t AS (SELECT SUM(n_docs) AS tot FROM cells),
+        |b AS (SELECT source, lang, n_docs,
+        |    (100 * n_docs) // tot AS quota,
+        |    (100 * n_docs) % tot AS rem
+        |  FROM cells, t),
+        |r AS (SELECT 100 - SUM(quota) AS r FROM b),
+        |rk AS (SELECT b.*, r.r,
+        |    row_number() OVER (ORDER BY rem DESC, source, lang) AS rk
+        |  FROM b, r)
+        |SELECT source, lang, n_docs, CAST(quota AS BIGINT) AS quota,
+        |  rk <= r AS extra,
+        |  CAST(quota + CASE WHEN rk <= r THEN 1 ELSE 0 END AS BIGINT)
+        |    AS alloc
+        |FROM rk ORDER BY source, lang""".stripMargin
   )
 }
