@@ -56,14 +56,16 @@ object Bench {
   }
 
   /** Wire rendering for one query value: failed queries print the -1
-    * sentinel (never an elapsed time); clean ones print at 0.1 s
-    * resolution clamped at 9.9 s — the 150-query growth overflowed the
-    * ~1900-char tail at 10 ms resolution, and per-query deltas below
-    * 100 ms are host noise on this VM anyway (totals keep 1 ms;
-    * bench_detail.json keeps exact values). */
+    * sentinel (never an elapsed time); clean ones print as an INTEGER
+    * count of DECISECONDS (wire compaction #6: "12" = 1.2 s), 0.1 s
+    * resolution clamped at 99 (= 9.9 s) — the decimal point cost one
+    * char per entry and the 204-query growth overflowed the ~1900-char
+    * tail with it. Per-query deltas below 100 ms are host noise on this
+    * VM anyway (totals keep 1 ms; bench_detail.json keeps exact
+    * values; BENCH_NOTES.md documents the decode). */
   def wireValue(v: Double, ok: Boolean): String =
     if (!ok) "-1"
-    else String.format(java.util.Locale.ROOT, "%.1f", Double.box(math.min(v, 9.9)))
+    else String.valueOf(math.min(math.round(v * 10), 99L))
 
   /** Wire key for one query: the numeric id in BASE 62
     * (digits, lowercase, uppercase — "q185_..." -> "2Z"). Wire-key
@@ -298,11 +300,12 @@ object Bench {
     // below 10 ms are host noise on this VM anyway — the 1 ms totals
     // are where cross-round comparison happens.
     def shortKey(name: String): String = Bench.wireKey(name)
-    // Per-query wire values clamp at 9.99 s (failed queries print -1 via
-    // wireValue): the tail budget buys one char per entry each time the
-    // cap drops a digit (99.99 -> 9.99 covered the round-7 growth to 140
-    // queries), totals keep 1 ms precision, and bench_detail.json keeps
-    // exact values — a saturated 9.99 still names the regressed query,
+    // Per-query wire values are integer DECISECONDS clamped at 99
+    // (failed queries print -1 via wireValue): the tail budget buys one
+    // char per entry each time the format sheds one (99.99 -> 9.99 at
+    // 140 queries, -> 9.9 at 150, -> integer ds at 204 — compaction
+    // #6), totals keep 1 ms precision, and bench_detail.json keeps
+    // exact values — a saturated 99 still names the regressed query,
     // and a >10 s query is already screaming from the total.
     def jmap(f: ((String, Double, Double, Boolean)) => Double): String =
       results.map(r =>

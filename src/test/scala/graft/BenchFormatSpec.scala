@@ -17,10 +17,10 @@ class BenchFormatSpec extends AnyFunSuite {
     val short = names.map(Bench.wireKey)
     assert(short.distinct.size == names.size,
       "bare-number bench keys must stay unique across query names")
-    // Worst case per entry: "qNN":9.9, — 0.1 s resolution, clamped at
-    // 9.9 s on the wire (totals keep 1 ms; per-query 1 ms overflowed
-    // the tail at 122 queries, 99.99 at 140, 9.99 at 150).
-    val entries = short.map(n => "\"" + n + "\":9.9").mkString("{", ",", "}")
+    // Worst case per entry: "NN":99, — integer deciseconds (compaction
+    // #6: the decimal point overflowed the tail at 204 queries; 1 ms
+    // values overflowed at 122, 99.99 at 140, 9.99 at 150, 9.9 at 203).
+    val entries = short.map(n => "\"" + n + "\":99").mkString("{", ",", "}")
     // ov (clamp saturation) carries the worst clamp-saturated query
     // (r8's q135 ran 27.7 s but printed 9.9 — the saturation must be
     // visible from the wire line) at 99.99 display max. Tail-field
@@ -52,8 +52,10 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(!ok, "a throwing query must be marked failed")
     assert(Bench.wireValue(0.06, ok = false) == "-1",
       "failed queries must print the -1 sentinel on the wire")
-    assert(Bench.wireValue(0.06, ok = true) == "0.1")
-    assert(Bench.wireValue(42.0, ok = true) == "9.9", "clean values clamp at 9.9")
+    assert(Bench.wireValue(0.06, ok = true) == "1",
+      "clean values are integer deciseconds since compaction #6")
+    assert(Bench.wireValue(1.24, ok = true) == "12")
+    assert(Bench.wireValue(42.0, ok = true) == "99", "clean values clamp at 99 ds (9.9 s)")
     // a query that only fails on a LATER run is failed too — no partial
     // timings laundered into the clean column
     var calls = 0
