@@ -22,6 +22,7 @@ object SparkEntry {
     operators.TemporalQueries,
     operators.EventAnalytics,
     operators.SketchQueries,
+    operators.GovernanceQueries,
     streaming.StreamingQueries
   )
 

@@ -1,0 +1,413 @@
+package graft.operators
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Data-governance and pipeline-maintenance operators: the audits a
+  * 100 TB corpus runs BEFORE shipping data — privacy risk (k-anonymity
+  * equivalence classes), incremental-maintenance verification (the
+  * algebraic merge = recompute property that makes delta processing
+  * sound), exact distributed quantiles without a global sort, seasonal
+  * anomaly detection against an hour-of-week baseline, vocabulary
+  * concentration (Gini), and content-checksum reconciliation across a
+  * re-sharding stage. The reference (`/root/reference/pq2json`, a file
+  * converter) has none of these; each is the Spark-first shape of an
+  * operation whose naive form (global sorts, driver loops, floating
+  * aggregation) breaks at cluster scale. All final ratios live on the
+  * repo's half-up 1e-6 integer grid (SURVEY §6): `(2a + n) DIV (2n)`
+  * in DECIMAL(38,0), never `round(a/n, 6)`.
+  */
+object GovernanceQueries extends QueryModule {
+
+  private val Micro = 1000000L
+
+  /** Half-up a/b onto the 1e-6 grid, nonnegative operands, as a SQL
+    * fragment over DECIMAL(38,0) columns: (2a*1e6 + b) DIV (2b). */
+  private def gridDiv(num: String, den: String): String =
+    s"(2 * CAST($num AS DECIMAL(38,0)) * $Micro + $den) DIV (2 * CAST($den AS DECIMAL(38,0)))"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // --- k-anonymity audit (q204): equivalence-class sizes over a
+    // quasi-identifier tuple (Sweeney's k-anonymity: a row is
+    // k-anonymous iff at least k rows share its QI values). QI here =
+    // (market segment, nation, account-balance band of width 1000).
+    // Shape: ONE partial-agged pass corpus -> (QI, k) classes (exchange
+    // bounded by distinct QI combinations — segments x nations x ~11
+    // bands, never rows), then a classes-bounded rollup to the per-
+    // segment risk report: singleton classes ARE re-identifiable rows,
+    // so reident_risk = singletons / rows on the 1e-6 grid. At 100 TB
+    // the class frame stays the same size — the audit's cost is one
+    // scan. The operator a release pipeline runs before publishing any
+    // quasi-identifying slice.
+    "q204_k_anonymity" -> ((s, dir) => {
+      val classes = Tables(s, dir, "customer")
+        .groupBy(col("c_mktsegment"),
+          col("c_nationkey"),
+          floor(col("c_acctbal") / lit(1000.0)).as("bal_band"))
+        .agg(count(lit(1)).as("k"))
+      classes.groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_classes"),
+          sum(col("k")).cast("long").as("n_rows"),
+          sum(when(col("k") === 1, 1L).otherwise(0L)).as("singleton_classes"),
+          sum(when(col("k") < 5, col("k")).otherwise(lit(0L)))
+            .cast("long").as("rows_below_k5"),
+          min(col("k")).as("min_k"))
+        .withColumn("reident_risk",
+          (expr(gridDiv("singleton_classes", "n_rows")).cast("long")
+            .cast("double") / lit(Micro.toDouble)))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // --- incremental aggregate maintenance (q206): the soundness check
+    // behind every delta-processed materialized view. Events split at a
+    // fixed cutoff into base|delta; per-user states (n, sum, max) are
+    // computed INDEPENDENTLY per side and merged by the aggregates' own
+    // combine algebra (count: +, sum: +, max: max) — the exact partial-
+    // agg merge Spark runs map-side, lifted to the view level. The
+    // operator then PROVES merge == full recompute per user and reports
+    // per user-bucket. Sums ride DECIMAL(38,6) (exact, order- and
+    // partitioning-independent — a double sum would make the equality
+    // check itself flaky). Scale: at 100 TB the base state is a stored
+    // table and only the delta is scanned; the merge exchange is
+    // users-bounded. Here both sides are recomputed (no stored state in
+    // a stateless gate query) but the merge path is the one under test.
+    "q206_incremental_agg" -> ((s, dir) => {
+      val cutoff = lit("2024-01-24 00:00:00").cast("timestamp")
+      val ev = Tables(s, dir, "events")
+        .select(col("user_id"), col("ts"),
+          col("value").cast(DecimalType(38, 6)).as("v"))
+      def state(df: DataFrame): DataFrame =
+        df.groupBy(col("user_id")).agg(
+          count(lit(1)).as("n"), sum(col("v")).as("sv"), max(col("ts")).as("mx"))
+      val merged = state(ev.filter(col("ts") < cutoff))
+        .unionAll(state(ev.filter(col("ts") >= cutoff)))
+        .groupBy(col("user_id")).agg(
+          sum(col("n")).cast("long").as("n"),
+          sum(col("sv")).as("sv"), max(col("mx")).as("mx"))
+      val direct = state(ev)
+        .select(col("user_id"), col("n").as("dn"),
+          col("sv").as("dsv"), col("mx").as("dmx"))
+      merged.join(direct, Seq("user_id"))
+        .groupBy(pmod(col("user_id"), lit(16L)).as("bucket"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("n")).cast("long").as("n_events"),
+          round(sum(col("sv")).cast("double"), 2).as("sum_value"),
+          bool_and(col("n") === col("dn") && col("sv") === col("dsv") &&
+            col("mx") === col("dmx")).as("all_match"))
+        .orderBy(col("bucket"))
+    }),
+
+    // --- exact distributed quantiles (q207): p25/p50/p75/p99 of
+    // l_extendedprice WITHOUT a global sort — the two-phase histogram
+    // refinement that replaces ORDER BY at cluster scale. Phase 1: one
+    // partial-agged pass onto fixed 4096-cent bins (exchange bounded by
+    // the VALUE DOMAIN / 4096, never rows); a cumulative window over the
+    // bins-bounded histogram locates, for each target rank ceil(q*n),
+    // the bin holding it and the count preceding it. Phase 2: only the
+    // target bins' rows (n/bins each) are re-read via a broadcast join
+    // and ranked within the bin — the within-bin exchange is the
+    // refinement, a global sort never happens. Quantile = the rank-th
+    // smallest (lower quantile, interpolation-free, exact in both
+    // engines). Cents = floor(price*100 + 0.5): identical IEEE double
+    // ops both sides, then integer arithmetic only.
+    "q207_exact_quantiles" -> ((s, dir) => {
+      import s.implicits._
+      val cents = Tables(s, dir, "lineitem")
+        .select(floor(col("l_extendedprice") * 100 + 0.5).as("cents"))
+      val hist = cents.groupBy((col("cents") / 4096).cast("long").as("bin"))
+        .agg(count(lit(1)).as("cnt"))
+      // bins-bounded frame: the single-partition cumulative window runs
+      // over ~domain/4096 rows regardless of corpus size
+      val cum = hist.withColumn("cum",
+        sum(col("cnt")).over(Window.orderBy(col("bin"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val tot = hist.agg(sum(col("cnt")).cast("long").as("n"))
+      val spine = Seq(("p25", 25L), ("p50", 50L), ("p75", 75L), ("p99", 99L))
+        .toDF("quantile", "qn")
+      val targets = spine.crossJoin(broadcast(tot))
+        .withColumn("rk", expr("(n * qn + 99) DIV 100"))
+        .join(broadcast(cum),
+          col("cum") >= col("rk") && col("cum") - col("cnt") < col("rk"))
+        .select(col("quantile"), col("rk"), col("n"),
+          col("bin"), (col("cum") - col("cnt")).as("offset"))
+      cents.join(broadcast(targets),
+          (col("cents") / 4096).cast("long") === col("bin"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("quantile")).orderBy(col("cents"))))
+        .filter(col("offset") + col("rn") === col("rk"))
+        .select(col("quantile"), col("rk").as("rank"), col("n"),
+          (col("cents").cast("double") / 100.0).as("value"))
+        .orderBy(col("quantile"))
+    }),
+
+    // --- seasonal anomaly detection (q209): hourly event counts vs the
+    // hour-of-week baseline (how = epoch-hour mod 168, anchored at the
+    // epoch — no engine dow/tz conventions in the key). The grid is
+    // RESTORED before scoring: a type absent from an observed hour slot
+    // deviates by its full expectation, and dropping absent cells is
+    // the classic monitoring bug (same lesson as q187's split grid).
+    // Shape: corpus -> (slot, type) counts in one partial-agged pass
+    // (exchange bounded by observed hours x alphabet, linear in time
+    // span not event count); the baseline, grid restore, and scoring
+    // all live on that bounded frame; top-20 by deviation with a total
+    // (dev, type, slot) tie order. Deviation = |obs - T/nh| half-up on
+    // the 1e-6 grid via integer cross-multiplication.
+    "q209_seasonal_anomaly" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+        .select((unix_timestamp(col("ts")) / 3600L).cast("long").as("slot"),
+          col("event_type"))
+      val obs = ev.groupBy(col("slot"), col("event_type"))
+        .agg(count(lit(1)).as("c")).localCheckpoint()
+      val slots = obs.select(col("slot")).distinct()
+      val types = obs.select(col("event_type")).distinct()
+      val grid = slots.crossJoin(broadcast(types))
+        .join(obs, Seq("slot", "event_type"), "left")
+        .withColumn("c", coalesce(col("c"), lit(0L)))
+        .withColumn("how", pmod(col("slot"), lit(168L)))
+      val base = grid.groupBy(col("how"), col("event_type"))
+        .agg(sum(col("c")).cast("long").as("t"), count(lit(1)).as("nh"))
+      grid.join(base, Seq("how", "event_type"))
+        .withColumn("dev_micro", expr(
+          s"(2 * abs(CAST(c AS DECIMAL(38,0)) * nh - t) * $Micro + nh) " +
+            "DIV (2 * CAST(nh AS DECIMAL(38,0)))").cast("long"))
+        .orderBy(col("dev_micro").desc, col("event_type").asc, col("slot").asc)
+        .limit(20)
+        .select((col("slot") * 3600L).as("slot_epoch"), col("event_type"),
+          col("c").as("obs"),
+          (expr(gridDiv("t", "nh")).cast("long")
+            .cast("double") / lit(Micro.toDouble)).as("expected"),
+          (col("dev_micro").cast("double") / lit(Micro.toDouble)).as("deviation"))
+    }),
+
+    // --- vocabulary concentration (q210): per-source token Gini
+    // coefficient + top-token share — the "is this source 1000 pages or
+    // one page repeated 1000 times" diagnostic that complements q192's
+    // per-document repetition rules at source granularity. Shape:
+    // corpus -> (source, token) counts in one partial-agged pass
+    // (vocab-bounded exchange); the rank window and moment sums then
+    // run on that vocab-bounded frame, tokens never shuffle twice. Gini
+    // over the freq-ascending ranking i: (2*Σ i·f_i − (V+1)·Σf) /
+    // (V·Σf) — tie-order-invariant (equal f values contribute f·Σi over
+    // any permutation of their rank run), exact integers until the one
+    // half-up grid division.
+    "q210_token_gini" -> ((s, dir) => {
+      val tf = Tables(s, dir, "documents")
+        .select(col("source"), explode(expr(LlmQueries.toksSql)).as("tok"))
+        .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("f"))
+      val ranked = tf.withColumn("i", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("f").asc, col("tok").asc)))
+      ranked.groupBy(col("source"))
+        .agg(count(lit(1)).as("vocab"),
+          sum(col("f")).cast("long").as("tokens"),
+          max(col("f")).cast("long").as("top_f"),
+          sum(col("i").cast(DecimalType(38, 0)) * col("f")).as("w"))
+        .withColumn("gini", expr(
+          s"CAST((2 * (2 * w - (vocab + 1) * CAST(tokens AS DECIMAL(38,0))) * $Micro " +
+            "+ CAST(vocab AS DECIMAL(38,0)) * tokens) " +
+            "DIV (2 * CAST(vocab AS DECIMAL(38,0)) * tokens) AS BIGINT)")
+          .cast("double") / lit(Micro.toDouble))
+        .withColumn("top_share",
+          expr(gridDiv("top_f", "tokens")).cast("long")
+            .cast("double") / lit(Micro.toDouble))
+        .select(col("source"), col("vocab"), col("tokens"),
+          col("top_share"), col("gini"))
+        .orderBy(col("source"))
+    }),
+
+    // --- content-checksum reconciliation (q211): proves a re-sharding
+    // stage (q126's content-hash shard assignment) preserved every row
+    // — the "did the migration lose data" audit run after any 100 TB
+    // re-layout, where row-by-row diffing is impossible but an ORDER-
+    // INDEPENDENT checksum is one aggregate: per-doc fingerprint
+    // fnv64(doc_id:md5(text)), summed exactly in DECIMAL(38,0), reduced
+    // mod 2^61-1. Computed twice — directly per source, and through the
+    // sharded layout (per (shard, source) partials re-merged to source,
+    // exercising the same combine algebra as q206) — and compared. Both
+    // paths are one partial-agged exchange each, bounded by
+    // shards x sources.
+    "q211_conservation_check" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val P = 2305843009213693951L // 2^61 - 1
+      val d = Tables(s, dir, "documents")
+        .select(col("source"),
+          pmod(expr("fnv64(CAST(doc_id AS STRING))"), lit(32L)).as("shard"),
+          expr("fnv64(concat(CAST(doc_id AS STRING), ':', md5(text)))").as("fp"))
+      def checksum(df: DataFrame, keys: Seq[String]): DataFrame =
+        df.groupBy(keys.map(col): _*)
+          .agg(count(lit(1)).as("n"), sum(col("fp").cast(DecimalType(38, 0))).as("cs"))
+      val direct = checksum(d, Seq("source"))
+        .select(col("source"), col("n").as("n_docs"),
+          expr(s"CAST(((cs % $P) + $P) % $P AS BIGINT)").as("checksum"))
+      val viaShard = checksum(d, Seq("shard", "source"))
+        .groupBy(col("source"))
+        .agg(sum(col("n")).cast("long").as("n2"), sum(col("cs")).as("cs2"))
+        .select(col("source"), col("n2"),
+          expr(s"CAST(((cs2 % $P) + $P) % $P AS BIGINT)").as("checksum2"))
+      direct.join(viaShard, Seq("source"))
+        .select(col("source"), col("n_docs"), col("checksum"),
+          (col("n_docs") === col("n2") &&
+            col("checksum") === col("checksum2")).as("matches"))
+        .orderBy(col("source"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+
+    "q204_k_anonymity" ->
+      """WITH classes AS (
+        |  SELECT c_mktsegment, c_nationkey,
+        |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+        |    COUNT(*) AS k
+        |  FROM customer GROUP BY 1, 2, 3),
+        |seg AS (
+        |  SELECT c_mktsegment, COUNT(*) AS n_classes,
+        |    CAST(SUM(k) AS BIGINT) AS n_rows,
+        |    CAST(SUM(CASE WHEN k = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS singleton_classes,
+        |    CAST(SUM(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT)
+        |      AS rows_below_k5,
+        |    MIN(k) AS min_k
+        |  FROM classes GROUP BY 1)
+        |SELECT c_mktsegment, n_classes, n_rows, singleton_classes,
+        |  rows_below_k5, min_k,
+        |  CAST(CAST((2 * singleton_classes::HUGEINT * 1000000 + n_rows) //
+        |    (2 * n_rows::HUGEINT) AS BIGINT) AS DOUBLE) / 1000000.0
+        |    AS reident_risk
+        |FROM seg ORDER BY c_mktsegment""".stripMargin,
+
+    "q206_incremental_agg" ->
+      """WITH ev AS (
+        |  SELECT user_id, ts, CAST(value AS DECIMAL(38,6)) AS v FROM events),
+        |base AS (
+        |  SELECT user_id, COUNT(*) AS n, SUM(v) AS sv, MAX(ts) AS mx
+        |  FROM ev WHERE ts < TIMESTAMP '2024-01-24 00:00:00' GROUP BY 1),
+        |delta AS (
+        |  SELECT user_id, COUNT(*) AS n, SUM(v) AS sv, MAX(ts) AS mx
+        |  FROM ev WHERE ts >= TIMESTAMP '2024-01-24 00:00:00' GROUP BY 1),
+        |merged AS (
+        |  SELECT user_id, CAST(SUM(n) AS BIGINT) AS n, SUM(sv) AS sv,
+        |    MAX(mx) AS mx
+        |  FROM (SELECT * FROM base UNION ALL SELECT * FROM delta)
+        |  GROUP BY 1),
+        |direct AS (
+        |  SELECT user_id, COUNT(*) AS dn, SUM(v) AS dsv, MAX(ts) AS dmx
+        |  FROM ev GROUP BY 1)
+        |SELECT ((m.user_id % 16) + 16) % 16 AS bucket,
+        |  COUNT(*) AS n_users,
+        |  CAST(SUM(m.n) AS BIGINT) AS n_events,
+        |  round(CAST(SUM(m.sv) AS DOUBLE), 2) AS sum_value,
+        |  BOOL_AND(m.n = d.dn AND m.sv = d.dsv AND m.mx = d.dmx) AS all_match
+        |FROM merged m JOIN direct d USING (user_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q207_exact_quantiles" ->
+      """WITH c AS (
+        |  SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM lineitem),
+        |tot AS (SELECT COUNT(*) AS n FROM c),
+        |t(quantile, qn) AS (VALUES ('p25', 25), ('p50', 50),
+        |                           ('p75', 75), ('p99', 99)),
+        |r AS (SELECT quantile, (tot.n * qn + 99) // 100 AS rank, tot.n
+        |      FROM t, tot),
+        |ranked AS (
+        |  SELECT cents, ROW_NUMBER() OVER (ORDER BY cents) AS rn FROM c)
+        |SELECT r.quantile, r.rank, r.n,
+        |  CAST(ranked.cents AS DOUBLE) / 100.0 AS value
+        |FROM r JOIN ranked ON ranked.rn = r.rank
+        |ORDER BY r.quantile""".stripMargin,
+
+    "q209_seasonal_anomaly" ->
+      """WITH ev AS (
+        |  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS slot,
+        |    event_type
+        |  FROM events),
+        |obs AS (SELECT slot, event_type, COUNT(*) AS c FROM ev GROUP BY 1, 2),
+        |slots AS (SELECT DISTINCT slot FROM obs),
+        |types AS (SELECT DISTINCT event_type FROM obs),
+        |grid AS (
+        |  SELECT s.slot, t.event_type, COALESCE(o.c, 0) AS c,
+        |    ((s.slot % 168) + 168) % 168 AS how
+        |  FROM slots s CROSS JOIN types t
+        |  LEFT JOIN obs o ON o.slot = s.slot AND o.event_type = t.event_type),
+        |base AS (
+        |  SELECT how, event_type, CAST(SUM(c) AS BIGINT) AS t,
+        |    COUNT(*) AS nh
+        |  FROM grid GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT g.slot, g.event_type, g.c,
+        |    CAST((2 * abs(g.c::HUGEINT * b.nh - b.t) * 1000000 + b.nh) //
+        |      (2 * b.nh::HUGEINT) AS BIGINT) AS dev_micro,
+        |    CAST((2 * b.t::HUGEINT * 1000000 + b.nh) //
+        |      (2 * b.nh::HUGEINT) AS BIGINT) AS exp_micro
+        |  FROM grid g JOIN base b
+        |    ON b.how = g.how AND b.event_type = g.event_type
+        |  ORDER BY dev_micro DESC, g.event_type ASC, g.slot ASC LIMIT 20)
+        |SELECT slot * 3600 AS slot_epoch, event_type, c AS obs,
+        |  CAST(exp_micro AS DOUBLE) / 1000000.0 AS expected,
+        |  CAST(dev_micro AS DOUBLE) / 1000000.0 AS deviation
+        |FROM scored""".stripMargin,
+
+    "q210_token_gini" ->
+      """WITH tf AS (
+        |  SELECT source, tok, COUNT(*) AS f FROM (
+        |    SELECT source,
+        |      unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |    FROM documents)
+        |  GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT source, f,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY f ASC, tok ASC) AS i
+        |  FROM tf),
+        |agg AS (
+        |  SELECT source, COUNT(*) AS vocab,
+        |    CAST(SUM(f) AS BIGINT) AS tokens,
+        |    CAST(MAX(f) AS BIGINT) AS top_f,
+        |    SUM(i::HUGEINT * f) AS w
+        |  FROM ranked GROUP BY 1)
+        |SELECT source, vocab, tokens,
+        |  CAST(CAST((2 * top_f::HUGEINT * 1000000 + tokens) //
+        |    (2 * tokens::HUGEINT) AS BIGINT) AS DOUBLE) / 1000000.0
+        |    AS top_share,
+        |  CAST(CAST((2 * (2 * w - (vocab + 1) * tokens::HUGEINT) * 1000000 +
+        |    vocab::HUGEINT * tokens) //
+        |    (2 * vocab::HUGEINT * tokens) AS BIGINT) AS DOUBLE) / 1000000.0
+        |    AS gini
+        |FROM agg ORDER BY source""".stripMargin,
+
+    "q211_conservation_check" -> {
+      val fpH = LlmQueries.fnvSqlOf(
+        "CAST(doc_id AS VARCHAR) || ':' || md5(text)")
+      val shardH = LlmQueries.fnvSqlOf("CAST(doc_id AS VARCHAR)")
+      s"""WITH d AS (
+         |  SELECT source,
+         |    ((${LlmQueries.wrapSigned(shardH)} % 32) + 32) % 32 AS shard,
+         |    ${LlmQueries.wrapSigned(fpH)} AS fp
+         |  FROM documents),
+         |direct AS (
+         |  SELECT source, COUNT(*) AS n_docs,
+         |    CAST(((SUM(fp::HUGEINT) % 2305843009213693951) +
+         |      2305843009213693951) % 2305843009213693951 AS BIGINT)
+         |      AS checksum
+         |  FROM d GROUP BY 1),
+         |parts AS (
+         |  SELECT shard, source, COUNT(*) AS n, SUM(fp::HUGEINT) AS cs
+         |  FROM d GROUP BY 1, 2),
+         |via AS (
+         |  SELECT source, CAST(SUM(n) AS BIGINT) AS n2,
+         |    CAST(((SUM(cs) % 2305843009213693951) +
+         |      2305843009213693951) % 2305843009213693951 AS BIGINT)
+         |      AS checksum2
+         |  FROM parts GROUP BY 1)
+         |SELECT direct.source, n_docs, checksum,
+         |  (n_docs = n2 AND checksum = checksum2) AS matches
+         |FROM direct JOIN via ON via.source = direct.source
+         |ORDER BY direct.source""".stripMargin
+    }
+  )
+}
