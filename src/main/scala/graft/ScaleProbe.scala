@@ -97,6 +97,18 @@ object ScaleProbe {
         .repartition(32)
         .write.mode("overwrite").parquet(s"$out/orders.parquet")
     }
+    // customer: replica r shifts the key, keeps QI columns (segment,
+    // nation, balance) — equivalence classes GROW x N while the class
+    // count stays constant, which is what real population growth does
+    // to a k-anonymity audit (q204).
+    if (!new java.io.File(s"$out/customer.parquet").exists()) {
+      val rep = spark.range(0, reps).select(col("id").as("r"))
+      spark.read.parquet(s"$src/customer.parquet").crossJoin(rep)
+        .withColumn("c_custkey", col("c_custkey") + col("r") * 100000000L)
+        .drop("r")
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$out/customer.parquet")
+    }
     queries.foreach { q =>
       spark.catalog.clearCache(); System.gc()
       def run(): Double = {

@@ -164,13 +164,18 @@ object GovernanceQueries extends QueryModule {
         .agg(count(lit(1)).as("c")).localCheckpoint()
       val slots = obs.select(col("slot")).distinct()
       val types = obs.select(col("event_type")).distinct()
+      // the grid is slots x alphabet — bounded by time span, so the
+      // checkpoint materializes a tiny frame and the baseline join
+      // below broadcasts instead of re-deriving (and sort-merging
+      // against) the same subplan
       val grid = slots.crossJoin(broadcast(types))
         .join(obs, Seq("slot", "event_type"), "left")
         .withColumn("c", coalesce(col("c"), lit(0L)))
         .withColumn("how", pmod(col("slot"), lit(168L)))
+        .localCheckpoint()
       val base = grid.groupBy(col("how"), col("event_type"))
         .agg(sum(col("c")).cast("long").as("t"), count(lit(1)).as("nh"))
-      grid.join(base, Seq("how", "event_type"))
+      grid.join(broadcast(base), Seq("how", "event_type"))
         .withColumn("dev_micro", expr(
           s"(2 * abs(CAST(c AS DECIMAL(38,0)) * nh - t) * $Micro + nh) " +
             "DIV (2 * CAST(nh AS DECIMAL(38,0)))").cast("long"))

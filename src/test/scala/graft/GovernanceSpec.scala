@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic proofs for the governance module (q204-q211): the claims
+  * each operator makes are re-derived independently inside the engine —
+  * conservation identities (row totals), the incremental-maintenance
+  * theorem (merge == recompute, asserted per bucket), exact-quantile
+  * equality against a brute-force global sort, and checksum
+  * order-independence. The DuckDB oracle proves cross-engine agreement;
+  * these prove the operator's own invariants hold for reasons the hash
+  * gate cannot see.
+  */
+class GovernanceSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  @transient var spark: SparkSession = _
+  val dir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("governance-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, dir)
+
+  test("q204: class rows conserve the customer count; risk bounded by the k<5 mass") {
+    val out = q("q204_k_anonymity").collect()
+    val total = Tables(spark, dir, "customer").count()
+    assert(out.map(_.getAs[Long]("n_rows")).sum == total,
+      "equivalence classes must partition the table — no row lost or duplicated")
+    out.foreach { r =>
+      val singles = r.getAs[Long]("singleton_classes")
+      assert(singles <= r.getAs[Long]("rows_below_k5"),
+        "singleton rows are a subset of the below-k5 mass")
+      assert(r.getAs[Long]("min_k") >= 1)
+      val risk = r.getAs[Double]("reident_risk")
+      assert(risk >= 0.0 && risk <= 1.0)
+      // the grid value is the half-up ratio of the two integer columns
+      val expect = (2 * singles * 1000000L + r.getAs[Long]("n_rows")) /
+        (2 * r.getAs[Long]("n_rows"))
+      assert(math.abs(risk - expect / 1e6) < 1e-12)
+    }
+  }
+
+  test("q206: the merge==recompute theorem holds in every bucket, and totals conserve") {
+    val out = q("q206_incremental_agg").collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getAs[Boolean]("all_match")),
+      "partial-state merge must equal the full recompute for every user")
+    val evs = Tables(spark, dir, "events").count()
+    assert(out.map(_.getAs[Long]("n_events")).sum == evs,
+      "per-bucket event totals must conserve the events count")
+  }
+
+  test("q207: histogram-refined quantiles equal the brute-force global sort") {
+    val out = q("q207_exact_quantiles").collect()
+      .map(r => r.getAs[String]("quantile") ->
+        (r.getAs[Long]("rank"), r.getAs[Double]("value"))).toMap
+    assert(out.keySet == Set("p25", "p50", "p75", "p99"))
+    val cents = Tables(spark, dir, "lineitem")
+      .select(floor(col("l_extendedprice") * 100 + 0.5).as("c"))
+      .orderBy(col("c")).collect().map(_.getAs[Long]("c"))
+    val n = cents.length
+    for ((label, qn) <- Seq("p25" -> 25, "p50" -> 50, "p75" -> 75, "p99" -> 99)) {
+      val rank = (n.toLong * qn + 99) / 100
+      assert(out(label)._1 == rank, s"$label rank")
+      assert(out(label)._2 == cents(rank.toInt - 1) / 100.0,
+        s"$label must be the rank-th smallest value exactly")
+    }
+  }
+
+  test("q209: top-20 deviations are ordered, nonnegative, and absences score") {
+    val rows = q("q209_seasonal_anomaly").collect()
+    assert(rows.length == 20)
+    val devs = rows.map(_.getAs[Double]("deviation"))
+    assert(devs.zip(devs.tail).forall { case (a, b) => a >= b },
+      "output carries the selection order")
+    assert(devs.forall(_ >= 0.0))
+    rows.foreach { r =>
+      // deviation is |obs - expected| on the shared grid: off by at most
+      // one micro from recomputing with the two rounded outputs
+      val d = math.abs(r.getAs[Long]("obs") - r.getAs[Double]("expected"))
+      assert(math.abs(d - r.getAs[Double]("deviation")) < 2e-6, r.toString)
+    }
+  }
+
+  test("q210: gini bounds and exact brute-force agreement per source") {
+    val rows = q("q210_token_gini").collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("gini") >= 0.0 && r.getAs[Double]("gini") < 1.0)
+      assert(r.getAs[Long]("tokens") >= r.getAs[Long]("vocab"))
+      assert(r.getAs[Double]("top_share") * r.getAs[Long]("vocab") >=
+        1.0 - r.getAs[Long]("vocab") * 1e-6,
+        "top token share can never be below 1/vocab (modulo one grid step)")
+    }
+    // brute-force one source: sorted freqs, direct Gini formula
+    val src = rows.head.getAs[String]("source")
+    val freqs = Tables(spark, dir, "documents")
+      .filter(col("source") === src)
+      .select(explode(expr("split(trim(text), '\\\\s+')")).as("t"))
+      .groupBy("t").count().collect().map(_.getAs[Long]("count")).sorted
+    val v = freqs.length.toLong
+    val tot = freqs.sum
+    val w = freqs.zipWithIndex.map { case (f, i) => (i + 1L) * f }.sum
+    val num = 2 * (2 * w - (v + 1) * tot) * 1000000L + v * tot
+    val giniMicro = num / (2 * v * tot)
+    assert(math.abs(rows.head.getAs[Double]("gini") - giniMicro / 1e6) < 1e-12)
+  }
+
+  test("q211: both checksum paths agree and conserve the corpus") {
+    val rows = q("q211_conservation_check").collect()
+    assert(rows.length == 20)
+    assert(rows.forall(_.getAs[Boolean]("matches")),
+      "direct and via-shard checksums must agree per source")
+    val docs = Tables(spark, dir, "documents").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs)
+    // and the checksum actually detects loss: drop one doc, recompute one
+    // source's checksum with the same arithmetic — it must move
+    graft.functions.GraftFunctions.register(spark)
+    val d = Tables(spark, dir, "documents")
+      .filter(col("source") === rows.head.getAs[String]("source"))
+      .select(expr("fnv64(concat(CAST(doc_id AS STRING), ':', md5(text)))").as("fp"))
+    val p = 2305843009213693951L
+    def cs(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(expr(s"CAST(((SUM(CAST(fp AS DECIMAL(38,0))) % $p) + $p) % $p AS BIGINT)"))
+        .collect().head.getLong(0)
+    val full = cs(d)
+    val lossy = cs(d.limit(d.count().toInt - 1))
+    assert(full == rows.head.getAs[Long]("checksum"))
+    assert(full != lossy, "a lost row must move the checksum")
+  }
+}

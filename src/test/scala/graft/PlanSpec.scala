@@ -870,4 +870,40 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // one hash exchange for the agg + the final rangepartitioning sort
     assert(exchanges <= 4, s"$exchanges exchanges:\n${p.take(3000)}")
   }
+
+  test("q207 exact quantiles: NO global sort of the fact table — refinement is broadcast + bin-local") {
+    // The whole point of the operator: the corpus is never range-
+    // partitioned. The only Sort under an Exchange(range) would be a
+    // global ORDER BY of lineitem — forbidden; the within-bin
+    // row_number window sorts only the 4 target bins' rows, reached
+    // through a BroadcastHashJoin on bin.
+    val p = plan("q207_exact_quantiles")
+    assert(!p.contains("Exchange rangepartitioning(cents"), p.take(4000))
+    assert(p.contains("BroadcastHashJoin"), p.take(4000))
+    assert(!p.contains("SortMergeJoin"), p.take(4000))
+    // the scan is pruned to the single priced column
+    assert(p.contains("l_extendedprice") && !p.contains("l_quantity"), p)
+  }
+
+  test("q204/q210/q211: audits are one partial-agged pass each — no window over rows, no joins beyond bounded frames") {
+    for (name <- Seq("q204_k_anonymity", "q211_conservation_check")) {
+      val p = plan(name)
+      assert(!p.contains("Window"), s"$name:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$name:\n$p")
+      assert(p.toLowerCase.contains("partial"), s"$name: map-side combine\n$p")
+    }
+    // q210's rank window runs on the (source, token) counts — partitioned
+    // by source, never a single global partition
+    val p210 = plan("q210_token_gini")
+    assert(p210.contains("Window"), p210)
+    assert(!p210.contains("Window [row_number() windowspecdefinition()"),
+      "the window must be partitioned")
+  }
+
+  test("q209 seasonal anomaly: grid restore joins stay broadcast; top-20 never global-sorts the grid") {
+    val p = plan("q209_seasonal_anomaly")
+    assert(p.contains("TakeOrderedAndProject"), p.take(4000))
+    assert(!p.contains("SortMergeJoin"), p.take(4000))
+    assert(!p.contains("CartesianProduct"), p.take(4000))
+  }
 }
