@@ -275,6 +275,34 @@ object CorpusQueries extends QueryModule {
         .limit(20)
     }),
 
+    // --- phrase blocklist tagging (q205): which documents contain which
+    // multi-token phrases from a dictionary — the scalable shape of
+    // dictionary matching (Aho-Corasick's job) on a cluster: the corpus
+    // explodes ONCE to per-doc distinct token bigrams and the dictionary
+    // joins BROADCAST against them, so the per-row cost is independent
+    // of dictionary size (a regex alternation over the dictionary would
+    // re-scan each text |dict| times and broadcast a compiled
+    // megapattern). Here the dictionary is derived deterministically
+    // from the corpus itself (top-10 bigrams by document frequency, tie
+    // on phrase) — a stand-in for an externally-supplied blocklist; at
+    // 100 TB the dict is a provided table and the derivation scan
+    // disappears, leaving one explode + broadcast join + doc-keyed agg.
+    "q205_phrase_blocklist" -> ((s, dir) => {
+      val bi = Tables(s, dir, "documents")
+        .select(col("doc_id"), expr(toksSql).as("tk"))
+        .select(col("doc_id"),
+          explode(expr(gramsSql("tk", 2))).as("phrase"))
+        .localCheckpoint() // feeds dict derivation AND the tag join
+      val dict = bi.groupBy(col("phrase")).agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("phrase").asc).limit(10)
+      bi.join(broadcast(dict.select(col("phrase"))), Seq("phrase"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_phrases"),
+          concat_ws("|", array_sort(collect_set(col("phrase"))))
+            .as("phrases"))
+        .orderBy(col("doc_id"))
+    }),
+
     // --- edit-distance near-dup verification: Levenshtein is the precise
     // (and expensive, O(len²) per pair) last-stage check, so candidates
     // are blocked before it runs — equality on (lang, source) PLUS a
@@ -2834,6 +2862,23 @@ object CorpusQueries extends QueryModule {
         |  FROM t WHERE len(tk) >= 2)
         |SELECT bigram, COUNT(*) AS n FROM b GROUP BY 1
         |ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
+
+    "q205_phrase_blocklist" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+        |           FROM documents),
+        |b AS (
+        |  SELECT DISTINCT doc_id, phrase FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+        |      i -> tk[i] || ' ' || tk[i + 1])) AS phrase
+        |    FROM t WHERE len(tk) >= 2)),
+        |dict AS (
+        |  SELECT phrase FROM (
+        |    SELECT phrase, COUNT(*) AS df FROM b GROUP BY 1
+        |    ORDER BY df DESC, phrase ASC LIMIT 10)),
+        |m AS (SELECT doc_id, b.phrase FROM b JOIN dict USING (phrase))
+        |SELECT doc_id, COUNT(*) AS n_phrases,
+        |  array_to_string(list_sort(list(phrase)), '|') AS phrases
+        |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q75_edit_distance" ->
       """WITH d AS (SELECT doc_id, lang, source, n_chars, text FROM documents)
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

@@ -982,6 +982,63 @@ object LlmQueries extends QueryModule {
         (col("n_planted_found") >= col("n_planted_exact") * 0.9).as("planted_recall_ok"))
     }),
 
+    // --- LSH band-parameter sweep (q208): the (bands x rows-per-band)
+    // tuning table for the MinHash index — candidate volume, true-pair
+    // hits, recall and precision per configuration over the SAME 16-hash
+    // signature set. This is the measurement a pipeline runs BEFORE
+    // committing an LSH layout to 100 TB: more/shorter bands buy recall
+    // with candidate volume (shuffle + verify cost), fewer/longer bands
+    // the reverse — the sweep makes the tradeoff a table instead of
+    // folklore. Shapes: signatures and the exact df-capped truth are
+    // each materialized ONCE (the truth is the expensive side, shared by
+    // all configs); each config's candidate join is banded exactly like
+    // [[minhashLshPairsOf]] (xxhash64 band keys = tuple-equality
+    // bucketing, Σ bucket² exchange). r=1 (16 bands of one hash) is
+    // deliberately excluded: a single-minhash bucket key degenerates to
+    // "shares ANY minimum" and its bucket sizes are unbounded in corpus
+    // size — the exact failure mode the sweep exists to warn about.
+    "q208_lsh_param_sweep" -> ((s, dir) => {
+      val docsets = shingleSets(s, dir)
+      val truth = jaccardPairsCapped(docsets, ShingleDfCap, 0.5)
+        .select(col("doc_a"), col("doc_b")).localCheckpoint()
+      val nTrue = truth.agg(count(lit(1)).as("true_pairs"))
+      val sigs = docsets.select(col("doc_id") +:
+        (0 until 16).map(j =>
+          expr(s"array_min(transform(hs, h -> mix64(h ^ ${MinhashSeeds(j)}L)))")
+            .as(s"s$j")): _*)
+        .localCheckpoint() // three configs re-read the one signature pass
+      val perConfig = Seq((8, 2), (4, 4), (2, 8)).map { case (nb, r) =>
+        val bandKey = (b: Int) =>
+          xxhash64((b * r until (b + 1) * r).map(j => col(s"s$j")): _*)
+        val bands = sigs.select(col("doc_id"),
+            posexplode(array((0 until nb).map(bandKey): _*)))
+          .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
+        val ca = bands.select(col("doc_id").as("doc_a"), col("band"), col("bkey"))
+        val cb = bands.select(col("doc_id").as("doc_b"), col("band"), col("bkey"))
+        val cand = ca.join(cb, Seq("band", "bkey"))
+          .filter(col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b")).distinct()
+          .localCheckpoint() // feeds its count AND the truth semi-join
+        val nc = cand.agg(count(lit(1)).as("candidates"))
+        val tp = cand.join(truth, Seq("doc_a", "doc_b"), "left_semi")
+          .agg(count(lit(1)).as("tp"))
+        nc.crossJoin(tp).select(lit(nb).as("bands"),
+          lit(r).as("rows_per_band"), col("candidates"), col("tp"))
+      }.reduce(_ unionAll _)
+      perConfig.crossJoin(broadcast(nTrue))
+        .withColumn("recall", expr(
+          "CAST((2 * CAST(tp AS DECIMAL(38,0)) * 1000000 + greatest(true_pairs, 1)) " +
+            "DIV (2 * CAST(greatest(true_pairs, 1) AS DECIMAL(38,0))) AS BIGINT)")
+          .cast("double") / lit(1e6))
+        .withColumn("prec", expr(
+          "CAST((2 * CAST(tp AS DECIMAL(38,0)) * 1000000 + greatest(candidates, 1)) " +
+            "DIV (2 * CAST(greatest(candidates, 1) AS DECIMAL(38,0))) AS BIGINT)")
+          .cast("double") / lit(1e6))
+        .select(col("bands"), col("rows_per_band"), col("candidates"),
+          col("true_pairs"), col("tp"), col("recall"), col("prec"))
+        .orderBy(col("bands").desc)
+    }),
+
     // --- SimHash dedup CERTIFICATION row: pairs from [[simhashPairs]];
     // the truth side is the planted (doc, doc+10000) pairs whose
     // Hamming distance is computed DIRECTLY from the two signatures (a
@@ -2459,6 +2516,54 @@ object LlmQueries extends QueryModule {
     * df-capped exact truth, every output column computed from the two
     * recomputed sets — the engine's exact relationship, independently
     * re-derived. */
+  /** q208's oracle: the q151 signature chain (`sig`) re-banded at each
+    * swept (bands, rows) shape by GROUP BY j // r — tuple-equality
+    * banding, exactly what the engine's xxhash64 band keys bucket — and
+    * the df-capped exact truth re-derived as in q35's oracle; recall /
+    * precision land on the shared half-up 1e-6 grid. Unreferenced CTEs
+    * from the chain (bands/cand/lshp) are pruned by the optimizer. */
+  private def q208OracleSql: String = {
+    def cfg(nb: Int, r: Int): String =
+      s"""b$r AS (SELECT doc_id, j // $r AS band, list(m ORDER BY j) AS bkey
+         |        FROM sig GROUP BY doc_id, j // $r),
+         |c$r AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |        FROM b$r a JOIN b$r b
+         |        ON a.band = b.band AND a.bkey = b.bkey
+         |          AND a.doc_id < b.doc_id),
+         |s$r AS (SELECT $nb AS bands, $r AS rows_per_band,
+         |          (SELECT COUNT(*) FROM c$r) AS candidates,
+         |          (SELECT COUNT(*) FROM c$r JOIN exact
+         |            ON exact.doc_a = c$r.doc_a
+         |            AND exact.doc_b = c$r.doc_b) AS tp)""".stripMargin
+    s"""WITH $lshPairCtes,
+       |exd AS (SELECT doc_id, sz, unnest(sh) AS s FROM shz),
+       |exd2 AS (SELECT doc_id, sz, s,
+       |           COUNT(*) OVER (PARTITION BY s) AS df FROM exd),
+       |exact AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM exd2 a JOIN exd2 b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id, a.sz, b.sz
+       |  HAVING COUNT(*) / (a.sz + b.sz - COUNT(*)) >= 0.5
+       |    AND MIN(a.df) <= 256),
+       |nt AS (SELECT COUNT(*) AS true_pairs FROM exact),
+       |${cfg(8, 2)},
+       |${cfg(4, 4)},
+       |${cfg(2, 8)},
+       |sel AS (SELECT * FROM s2 UNION ALL SELECT * FROM s4
+       |        UNION ALL SELECT * FROM s8)
+       |SELECT bands, rows_per_band,
+       |  CAST(candidates AS BIGINT) AS candidates,
+       |  CAST(nt.true_pairs AS BIGINT) AS true_pairs,
+       |  CAST(tp AS BIGINT) AS tp,
+       |  CAST(CAST((2 * tp::HUGEINT * 1000000 + greatest(nt.true_pairs, 1)) //
+       |    (2 * greatest(nt.true_pairs, 1)::HUGEINT) AS BIGINT) AS DOUBLE)
+       |    / 1000000.0 AS recall,
+       |  CAST(CAST((2 * tp::HUGEINT * 1000000 + greatest(candidates, 1)) //
+       |    (2 * greatest(candidates, 1)::HUGEINT) AS BIGINT) AS DOUBLE)
+       |    / 1000000.0 AS prec
+       |FROM sel CROSS JOIN nt ORDER BY bands DESC""".stripMargin
+  }
+
   private def q35OracleSql: String =
     s"""WITH $lshPairCtes,
        |exd AS (SELECT doc_id, sz, unnest(sh) AS s FROM shz),
@@ -2987,6 +3092,7 @@ object LlmQueries extends QueryModule {
     // the df-capped exact truth — and evaluates every boolean from its
     // own two sets, exactly the relationship the engine certifies.
     "q35_minhash_lsh" -> q35OracleSql,
+    "q208_lsh_param_sweep" -> q208OracleSql,
     // FULL recomputation, same promotion: the banded pair list comes
     // from q152's shared chain (found), the planted-pair Hamming
     // distances directly from the replicated signatures (shd), and the

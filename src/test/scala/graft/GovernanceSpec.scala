@@ -120,6 +120,53 @@ class GovernanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(rows.head.getAs[Double]("gini") - giniMicro / 1e6) < 1e-12)
   }
 
+  test("q205: tagged phrases come from the derived dictionary and occur in the doc") {
+    import org.apache.spark.sql.Row
+    val out = q("q205_phrase_blocklist").collect()
+    assert(out.nonEmpty)
+    // recompute the dictionary independently (top-10 per-doc-distinct
+    // bigrams by document frequency, tie on phrase)
+    val bi = Tables(spark, dir, "documents")
+      .select(col("doc_id"), expr("split(trim(text), '\\\\s+')").as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "array_distinct(zip_with(slice(tk, 1, size(tk) - 1), " +
+          "slice(tk, 2, size(tk) - 1), (a, b) -> concat(a, ' ', b)))")).as("p"))
+    val dict = bi.groupBy("p").count()
+      .orderBy(col("count").desc, col("p").asc).limit(10)
+      .collect().map(_.getAs[String]("p")).toSet
+    val byDoc = bi.collect().groupBy(_.getAs[Long]("doc_id"))
+      .map { case (id, rows) => id -> rows.map(_.getAs[String]("p")).toSet }
+    out.foreach { case Row(id: Long, n: Long, phrases: String) =>
+      val ps = phrases.split('|').toSet
+      assert(ps.size == n, s"doc $id: n_phrases must count the listed set")
+      assert(ps.subsetOf(dict), s"doc $id lists a phrase outside the dictionary")
+      assert(ps.subsetOf(byDoc(id)), s"doc $id lists a phrase it does not contain")
+    }
+    // completeness: every doc whose bigrams hit the dictionary is tagged
+    val expected = byDoc.count(_._2.exists(dict.contains))
+    assert(out.length == expected)
+  }
+
+  test("q208: aligned band nesting makes the sweep structurally monotone") {
+    val rows = q("q208_lsh_param_sweep").collect()
+      .map(r => (r.getAs[Int]("bands"), r.getAs[Int]("rows_per_band"),
+        r.getAs[Long]("candidates"), r.getAs[Long]("tp"),
+        r.getAs[Long]("true_pairs")))
+    assert(rows.map(t => (t._1, t._2)).toSeq == Seq((8, 2), (4, 4), (2, 8)))
+    // an r=4 band agreeing implies both aligned r=2 halves agree, so the
+    // candidate SETS nest: cand(2,8) <= cand(4,4) <= cand(8,2) — the
+    // counts must be monotone, not just probabilistically so
+    assert(rows(0)._3 >= rows(1)._3 && rows(1)._3 >= rows(2)._3,
+      "candidates must grow with band count under aligned nesting")
+    assert(rows(0)._4 >= rows(1)._4 && rows(1)._4 >= rows(2)._4,
+      "true-positive hits must grow with band count")
+    rows.foreach { t =>
+      assert(t._4 <= t._3, "tp is a subset of candidates")
+      assert(t._4 <= t._5, "tp is a subset of the truth")
+    }
+  }
+
   test("q211: both checksum paths agree and conserve the corpus") {
     val rows = q("q211_conservation_check").collect()
     assert(rows.length == 20)
