@@ -258,6 +258,232 @@ object GovernanceQueries extends QueryModule {
           (col("n_docs") === col("n2") &&
             col("checksum") === col("checksum2")).as("matches"))
         .orderBy(col("source"))
+    }),
+
+    // --- schema/statistics drift between snapshots (q212): the TFX
+    // data-validation "skew detector" — per-column profiles of the base
+    // vs delta halves of the stream (the q206 cutoff), diffed and
+    // flagged. ONE scan computes both sides' row counts, null counts
+    // and exact distincts as conditional aggregates (the
+    // multi-countDistinct expand is the documented exact-profile cost,
+    // as in q179); the per-column rows are then unpivoted from the
+    // single aggregate row with stack(). Drift flags compare RATES on
+    // the integer grid (a distinct-vs-n rate, not raw distincts —
+    // continuous columns legitimately grow raw distincts with row
+    // count): flagged iff the distinct rate shifts by >2x either way
+    // or the null rate moves >1%. At 100 TB this is one pass over the
+    // delta plus one over the (already profiled) base.
+    "q212_profile_diff" -> ((s, dir) => {
+      val cut = lit("2024-01-24 00:00:00").cast("timestamp")
+      val ev = Tables(s, dir, "events")
+      val b = col("ts") < cut
+      def side(p: org.apache.spark.sql.Column, tag: String) = Seq(
+        count(when(p, 1)).as(s"n_$tag"),
+        count(when(p && col("event_type").isNull, 1)).as(s"et_null_$tag"),
+        countDistinct(when(p, col("event_type"))).as(s"et_d_$tag"),
+        count(when(p && col("user_id").isNull, 1)).as(s"u_null_$tag"),
+        countDistinct(when(p, col("user_id"))).as(s"u_d_$tag"),
+        count(when(p && col("value").isNull, 1)).as(s"v_null_$tag"),
+        countDistinct(when(p, col("value"))).as(s"v_d_$tag"),
+        count(when(p && col("props").isNull, 1)).as(s"p_null_$tag"),
+        countDistinct(when(p, col("props"))).as(s"p_d_$tag"))
+      val aggs = side(b, "b") ++ side(!b, "d")
+      ev.agg(aggs.head, aggs.tail: _*)
+        .selectExpr(
+          """stack(4,
+            |'event_type', et_null_b, et_d_b, et_null_d, et_d_d,
+            |'props',      p_null_b,  p_d_b,  p_null_d,  p_d_d,
+            |'user_id',    u_null_b,  u_d_b,  u_null_d,  u_d_d,
+            |'value',      v_null_b,  v_d_b,  v_null_d,  v_d_d)
+            |AS (column_name, base_nulls, base_distinct,
+            |    delta_nulls, delta_distinct)""".stripMargin,
+          "n_b AS base_n", "n_d AS delta_n")
+        .withColumn("base_null_rate",
+          expr(gridDiv("base_nulls", "base_n")).cast("long"))
+        .withColumn("delta_null_rate",
+          expr(gridDiv("delta_nulls", "delta_n")).cast("long"))
+        .withColumn("base_distinct_rate",
+          expr(gridDiv("base_distinct", "base_n")).cast("long"))
+        .withColumn("delta_distinct_rate",
+          expr(gridDiv("delta_distinct", "delta_n")).cast("long"))
+        .withColumn("drift",
+          col("delta_distinct_rate") * 2 < col("base_distinct_rate") ||
+            col("delta_distinct_rate") > col("base_distinct_rate") * 2 ||
+            abs(col("base_null_rate") - col("delta_null_rate")) > 10000)
+        .select(col("column_name"), col("base_n"), col("delta_n"),
+          col("base_distinct"), col("delta_distinct"),
+          (col("base_null_rate").cast("double") / 1e6).as("base_null_rate"),
+          (col("delta_null_rate").cast("double") / 1e6).as("delta_null_rate"),
+          col("drift"))
+        .orderBy(col("column_name"))
+    }),
+
+    // --- A/B experiment read-out (q213): deterministic hash
+    // randomization (arm = fnv64(user) mod 2 — reproducible, no rand()
+    // partitioning dependence), per-user conversion (any purchase), and
+    // the 2x2 chi-square statistic — which, unlike the z-test, is a
+    // PURE RATIONAL in the contingency counts: chi2 = N(ad-bc)^2 /
+    // (r1 r2 c1 c2), so the whole read-out lands exactly on the 1e-6
+    // grid with no sqrt. Shape: one users-keyed partial-agg pass, then
+    // a single-row aggregate; nothing beyond the user exchange.
+    // DECIMAL(38) bounds the determinant product to ~1e9-user
+    // experiments — past that, scale counts to rates first.
+    "q213_ab_test" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val users = Tables(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("conv"))
+        .withColumn("arm",
+          pmod(expr("fnv64(CAST(user_id AS STRING))"), lit(2L)))
+      users.agg(
+          count(when(col("arm") === 0, 1)).as("arm0_users"),
+          sum(when(col("arm") === 0, col("conv")).otherwise(0L))
+            .cast("long").as("arm0_conv"),
+          count(when(col("arm") === 1, 1)).as("arm1_users"),
+          sum(when(col("arm") === 1, col("conv")).otherwise(0L))
+            .cast("long").as("arm1_conv"))
+        .withColumn("rate0",
+          expr(gridDiv("arm0_conv", "arm0_users")).cast("long")
+            .cast("double") / 1e6)
+        .withColumn("rate1",
+          expr(gridDiv("arm1_conv", "arm1_users")).cast("long")
+            .cast("double") / 1e6)
+        .withColumn("chi2", expr(
+          """CAST((2 * (arm0_users + arm1_users) *
+            |  CAST(arm0_conv * (arm1_users - arm1_conv) -
+            |       arm1_conv * (arm0_users - arm0_conv) AS DECIMAL(38,0)) *
+            |  CAST(arm0_conv * (arm1_users - arm1_conv) -
+            |       arm1_conv * (arm0_users - arm0_conv) AS DECIMAL(38,0)) * 1000000
+            |  + greatest(CAST(arm0_users AS DECIMAL(38,0)) * arm1_users *
+            |      (arm0_conv + arm1_conv) *
+            |      (arm0_users + arm1_users - arm0_conv - arm1_conv), 1))
+            | DIV (2 * greatest(CAST(arm0_users AS DECIMAL(38,0)) * arm1_users *
+            |      (arm0_conv + arm1_conv) *
+            |      (arm0_users + arm1_users - arm0_conv - arm1_conv), 1))
+            | AS BIGINT)""".stripMargin).cast("double") / 1e6)
+        .select(col("arm0_users"), col("arm0_conv"), col("arm1_users"),
+          col("arm1_conv"), col("rate0"), col("rate1"), col("chi2"))
+    }),
+
+    // --- CUSUM change-point summary (q214): Page's cumulative-sum
+    // detector over daily per-type event counts, restructured so the
+    // clamped recurrence C_t = max(0, C_{t-1} + dev_t) never iterates:
+    // C_t == S_t - min(0, min_{i<=t} S_i) where S is the plain prefix
+    // sum — two WINDOW functions over the days-bounded frame, exact in
+    // both engines. Slack k = 0.1*mean and alarm bar h = 1*mean, both
+    // as integer cross-multiplications (dev scaled by 10*D so no
+    // division precedes the final grid landing). The (day, type) grid
+    // is RESTORED first (q209's absence lesson: a silent day IS a
+    // negative deviation). Exchange bounded by days x alphabet.
+    "q214_cusum_changepoint" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+        .select((unix_timestamp(col("ts")) / 86400L).cast("long").as("day"),
+          col("event_type"))
+      val obs = ev.groupBy(col("day"), col("event_type"))
+        .agg(count(lit(1)).as("c")).localCheckpoint()
+      val days = obs.select(col("day")).distinct()
+      val types = obs.select(col("event_type")).distinct()
+      val grid = days.crossJoin(broadcast(types))
+        .join(obs, Seq("day", "event_type"), "left")
+        .withColumn("c", coalesce(col("c"), lit(0L)))
+        .localCheckpoint()
+      val base = grid.groupBy(col("event_type"))
+        .agg(sum(col("c")).cast("long").as("t"), count(lit(1)).as("d"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val scored = grid.join(broadcast(base), Seq("event_type"))
+        .withColumn("dev",
+          lit(10L) * col("c") * col("d") - lit(11L) * col("t"))
+        .withColumn("s", sum(col("dev")).over(w))
+        .withColumn("cus", col("s") - least(lit(0L), min(col("s")).over(w)))
+      val peaks = scored
+        .withColumn("rn", row_number().over(Window.partitionBy(col("event_type"))
+          .orderBy(col("cus").desc, col("day").asc)))
+        .filter(col("rn") === 1)
+        .select(col("event_type"), (col("day") * 86400L).as("peak_day_epoch"),
+          col("cus").as("peak_cus"))
+      val summary = scored.groupBy(col("event_type"))
+        .agg(max(col("d")).as("n_days"), max(col("t")).as("total"),
+          sum(when(col("cus") > lit(10L) * col("t"), 1L).otherwise(0L))
+            .as("n_alarms"))
+      summary.join(peaks, Seq("event_type"))
+        .withColumn("max_cusum", expr(
+          "CAST((2 * CAST(peak_cus AS DECIMAL(38,0)) * 1000000 + 10 * n_days) " +
+            "DIV (2 * CAST(10 * n_days AS DECIMAL(38,0))) AS BIGINT)")
+          .cast("double") / 1e6)
+        .select(col("event_type"), col("n_days"), col("total"),
+          col("max_cusum"), col("peak_day_epoch"), col("n_alarms"))
+        .orderBy(col("event_type"))
+    }),
+
+    // --- exactly-proportioned stratified split (q215): the OTHER point
+    // on the split-design tradeoff from q29/q163/q187's hash-threshold
+    // splits — those are shuffle-free but binomially noisy per stratum;
+    // this one buys |n_split - floor(frac*n)| == 0 EXACTLY, at the
+    // price of one within-stratum sort (rank over fnv64 order — hash
+    // order so the rank carries no content bias, doc_id tiebreak for
+    // totality). The audit emits the per-source proof that the
+    // construction kept its promise. At 100 TB the sort is per-stratum
+    // and AQE-parallel; use this split when eval sizes must be exact,
+    // the hash split when they need only be unbiased.
+    "q215_exact_stratified_split" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val d = Tables(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          expr("fnv64(CAST(doc_id AS STRING))").as("hk"))
+      val n = d.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      val pos = d.join(broadcast(n), Seq("source"))
+        .withColumn("pos", row_number().over(Window.partitionBy(col("source"))
+          .orderBy(col("hk").asc, col("doc_id").asc)))
+        .withColumn("split",
+          when(col("pos") * 10 <= col("n") * 8, "train")
+            .when(col("pos") * 10 <= col("n") * 9, "valid")
+            .otherwise("test"))
+      pos.groupBy(col("source"))
+        .agg(max(col("n")).as("n_docs"),
+          sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+          sum(when(col("split") === "valid", 1L).otherwise(0L)).as("n_valid"),
+          sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_test"))
+        .withColumn("exact_ok",
+          col("n_train") === expr("(8 * n_docs) DIV 10") &&
+            col("n_valid") === expr("(9 * n_docs) DIV 10 - (8 * n_docs) DIV 10") &&
+            col("n_test") === col("n_docs") - expr("(9 * n_docs) DIV 10"))
+        .orderBy(col("source"))
+    }),
+
+    // --- right-to-be-forgotten audit (q216): the deletion-propagation
+    // check a privacy pipeline runs after a purge — the deletion set
+    // (here: users whose id hashes to 0 mod 13, a stand-in for the
+    // request table), the purge itself as a BROADCAST anti-join (the
+    // deletion list is always tiny relative to the corpus; the fact
+    // table never shuffles), and the audit: residual rows matching the
+    // deletion set after the purge (must be 0, re-derived by a second
+    // independent semi-join, not assumed) plus per-type conservation
+    // (purged + retained == total).
+    "q216_deletion_audit" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val ev = Tables(s, dir, "events")
+      val del = ev.select(col("user_id")).distinct()
+        .filter(pmod(expr("fnv64(CAST(user_id AS STRING))"), lit(13L)) === 0)
+        .localCheckpoint()
+      val marked = ev.join(
+        broadcast(del.withColumn("todel", lit(1))), Seq("user_id"), "left")
+      val retained = ev.join(broadcast(del), Seq("user_id"), "left_anti")
+      val residual = retained.join(broadcast(del), Seq("user_id"), "left_semi")
+        .groupBy(col("event_type")).agg(count(lit(1)).as("res"))
+      marked.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_total"),
+          count(col("todel")).as("n_to_delete"),
+          count(when(col("todel").isNull, 1)).as("n_retained"))
+        .join(residual, Seq("event_type"), "left")
+        .withColumn("residual_after_purge", coalesce(col("res"), lit(0L)))
+        .withColumn("conservation_ok",
+          col("n_total") === col("n_to_delete") + col("n_retained"))
+        .select(col("event_type"), col("n_total"), col("n_to_delete"),
+          col("n_retained"), col("residual_after_purge"),
+          col("conservation_ok"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -384,6 +610,185 @@ object GovernanceQueries extends QueryModule {
         |    (2 * vocab::HUGEINT * tokens) AS BIGINT) AS DOUBLE) / 1000000.0
         |    AS gini
         |FROM agg ORDER BY source""".stripMargin,
+
+    "q212_profile_diff" ->
+      """WITH a AS (
+        |  SELECT
+        |    COUNT(CASE WHEN ts < TIMESTAMP '2024-01-24 00:00:00' THEN 1 END) AS n_b,
+        |    COUNT(CASE WHEN ts >= TIMESTAMP '2024-01-24 00:00:00' THEN 1 END) AS n_d,
+        |    COUNT(CASE WHEN ts < TIMESTAMP '2024-01-24 00:00:00' AND event_type IS NULL THEN 1 END) AS et_null_b,
+        |    COUNT(DISTINCT CASE WHEN ts < TIMESTAMP '2024-01-24 00:00:00' THEN event_type END) AS et_d_b,
+        |    COUNT(CASE WHEN ts >= TIMESTAMP '2024-01-24 00:00:00' AND event_type IS NULL THEN 1 END) AS et_null_d,
+        |    COUNT(DISTINCT CASE WHEN ts >= TIMESTAMP '2024-01-24 00:00:00' THEN event_type END) AS et_d_d,
+        |    COUNT(CASE WHEN ts < TIMESTAMP '2024-01-24 00:00:00' AND user_id IS NULL THEN 1 END) AS u_null_b,
+        |    COUNT(DISTINCT CASE WHEN ts < TIMESTAMP '2024-01-24 00:00:00' THEN user_id END) AS u_d_b,
+        |    COUNT(CASE WHEN ts >= TIMESTAMP '2024-01-24 00:00:00' AND user_id IS NULL THEN 1 END) AS u_null_d,
+        |    COUNT(DISTINCT CASE WHEN ts >= TIMESTAMP '2024-01-24 00:00:00' THEN user_id END) AS u_d_d,
+        |    COUNT(CASE WHEN ts < TIMESTAMP '2024-01-24 00:00:00' AND value IS NULL THEN 1 END) AS v_null_b,
+        |    COUNT(DISTINCT CASE WHEN ts < TIMESTAMP '2024-01-24 00:00:00' THEN value END) AS v_d_b,
+        |    COUNT(CASE WHEN ts >= TIMESTAMP '2024-01-24 00:00:00' AND value IS NULL THEN 1 END) AS v_null_d,
+        |    COUNT(DISTINCT CASE WHEN ts >= TIMESTAMP '2024-01-24 00:00:00' THEN value END) AS v_d_d,
+        |    COUNT(CASE WHEN ts < TIMESTAMP '2024-01-24 00:00:00' AND props IS NULL THEN 1 END) AS p_null_b,
+        |    COUNT(DISTINCT CASE WHEN ts < TIMESTAMP '2024-01-24 00:00:00' THEN props END) AS p_d_b,
+        |    COUNT(CASE WHEN ts >= TIMESTAMP '2024-01-24 00:00:00' AND props IS NULL THEN 1 END) AS p_null_d,
+        |    COUNT(DISTINCT CASE WHEN ts >= TIMESTAMP '2024-01-24 00:00:00' THEN props END) AS p_d_d
+        |  FROM events),
+        |m AS (
+        |  SELECT 'event_type' AS column_name, n_b, n_d, et_null_b AS nulls_b,
+        |    et_d_b AS dist_b, et_null_d AS nulls_d, et_d_d AS dist_d FROM a
+        |  UNION ALL SELECT 'props', n_b, n_d, p_null_b, p_d_b, p_null_d, p_d_d FROM a
+        |  UNION ALL SELECT 'user_id', n_b, n_d, u_null_b, u_d_b, u_null_d, u_d_d FROM a
+        |  UNION ALL SELECT 'value', n_b, n_d, v_null_b, v_d_b, v_null_d, v_d_d FROM a),
+        |g AS (
+        |  SELECT column_name, n_b, n_d, dist_b, dist_d,
+        |    CAST((2 * nulls_b::HUGEINT * 1000000 + n_b) // (2 * n_b::HUGEINT) AS BIGINT) AS nr_b,
+        |    CAST((2 * nulls_d::HUGEINT * 1000000 + n_d) // (2 * n_d::HUGEINT) AS BIGINT) AS nr_d,
+        |    CAST((2 * dist_b::HUGEINT * 1000000 + n_b) // (2 * n_b::HUGEINT) AS BIGINT) AS dr_b,
+        |    CAST((2 * dist_d::HUGEINT * 1000000 + n_d) // (2 * n_d::HUGEINT) AS BIGINT) AS dr_d
+        |  FROM m)
+        |SELECT column_name, CAST(n_b AS BIGINT) AS base_n,
+        |  CAST(n_d AS BIGINT) AS delta_n,
+        |  CAST(dist_b AS BIGINT) AS base_distinct,
+        |  CAST(dist_d AS BIGINT) AS delta_distinct,
+        |  CAST(nr_b AS DOUBLE) / 1000000.0 AS base_null_rate,
+        |  CAST(nr_d AS DOUBLE) / 1000000.0 AS delta_null_rate,
+        |  (dr_d * 2 < dr_b OR dr_d > dr_b * 2 OR abs(nr_b - nr_d) > 10000)
+        |    AS drift
+        |FROM g ORDER BY column_name""".stripMargin,
+
+    "q213_ab_test" -> {
+      val h = LlmQueries.wrapSigned(
+        LlmQueries.fnvSqlOf("CAST(user_id AS VARCHAR)"))
+      s"""WITH u AS (
+         |  SELECT user_id,
+         |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+         |  FROM events GROUP BY 1),
+         |arms AS (
+         |  SELECT (($h % 2) + 2) % 2 AS arm, conv FROM u),
+         |t AS (
+         |  SELECT
+         |    COUNT(CASE WHEN arm = 0 THEN 1 END) AS arm0_users,
+         |    CAST(SUM(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS arm0_conv,
+         |    COUNT(CASE WHEN arm = 1 THEN 1 END) AS arm1_users,
+         |    CAST(SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS arm1_conv
+         |  FROM arms),
+         |c AS (
+         |  SELECT *,
+         |    (arm0_conv::HUGEINT * (arm1_users - arm1_conv) -
+         |     arm1_conv::HUGEINT * (arm0_users - arm0_conv)) AS det,
+         |    greatest(arm0_users::HUGEINT * arm1_users *
+         |      (arm0_conv + arm1_conv) *
+         |      (arm0_users + arm1_users - arm0_conv - arm1_conv), 1) AS den
+         |  FROM t)
+         |SELECT arm0_users, arm0_conv, arm1_users, arm1_conv,
+         |  CAST(CAST((2 * arm0_conv::HUGEINT * 1000000 + greatest(arm0_users, 1)) //
+         |    (2 * greatest(arm0_users, 1)::HUGEINT) AS BIGINT) AS DOUBLE) / 1000000.0 AS rate0,
+         |  CAST(CAST((2 * arm1_conv::HUGEINT * 1000000 + greatest(arm1_users, 1)) //
+         |    (2 * greatest(arm1_users, 1)::HUGEINT) AS BIGINT) AS DOUBLE) / 1000000.0 AS rate1,
+         |  CAST(CAST((2 * (arm0_users + arm1_users) * det * det * 1000000 + den) //
+         |    (2 * den) AS BIGINT) AS DOUBLE) / 1000000.0 AS chi2
+         |FROM c""".stripMargin
+    },
+
+    "q214_cusum_changepoint" ->
+      """WITH ev AS (
+        |  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |    event_type
+        |  FROM events),
+        |obs AS (SELECT day, event_type, COUNT(*) AS c FROM ev GROUP BY 1, 2),
+        |days AS (SELECT DISTINCT day FROM obs),
+        |types AS (SELECT DISTINCT event_type FROM obs),
+        |grid AS (
+        |  SELECT d.day, t.event_type, COALESCE(o.c, 0) AS c
+        |  FROM days d CROSS JOIN types t
+        |  LEFT JOIN obs o ON o.day = d.day AND o.event_type = t.event_type),
+        |base AS (
+        |  SELECT event_type, CAST(SUM(c) AS BIGINT) AS t, COUNT(*) AS d
+        |  FROM grid GROUP BY 1),
+        |scored AS (
+        |  SELECT g.event_type, g.day, b.t, b.d,
+        |    SUM(10 * g.c * b.d - 11 * b.t) OVER
+        |      (PARTITION BY g.event_type ORDER BY g.day
+        |       ROWS UNBOUNDED PRECEDING) AS s
+        |  FROM grid g JOIN base b ON b.event_type = g.event_type),
+        |cus AS (
+        |  SELECT event_type, day, t, d,
+        |    s - least(0, MIN(s) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS UNBOUNDED PRECEDING)) AS cus
+        |  FROM scored),
+        |peaks AS (
+        |  SELECT event_type, day * 86400 AS peak_day_epoch, cus AS peak_cus
+        |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+        |          ORDER BY cus DESC, day ASC) AS rn FROM cus)
+        |  WHERE rn = 1),
+        |summary AS (
+        |  SELECT event_type, MAX(d) AS n_days, MAX(t) AS total,
+        |    CAST(SUM(CASE WHEN cus > 10 * t THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_alarms
+        |  FROM cus GROUP BY 1)
+        |SELECT s.event_type, s.n_days, s.total,
+        |  CAST(CAST((2 * p.peak_cus::HUGEINT * 1000000 + 10 * s.n_days) //
+        |    (2 * (10 * s.n_days)::HUGEINT) AS BIGINT) AS DOUBLE) / 1000000.0
+        |    AS max_cusum,
+        |  p.peak_day_epoch, s.n_alarms
+        |FROM summary s JOIN peaks p ON p.event_type = s.event_type
+        |ORDER BY s.event_type""".stripMargin,
+
+    "q215_exact_stratified_split" -> {
+      val h = LlmQueries.wrapSigned(
+        LlmQueries.fnvSqlOf("CAST(doc_id AS VARCHAR)"))
+      s"""WITH d AS (
+         |  SELECT source, doc_id, $h AS hk FROM documents),
+         |n AS (SELECT source, COUNT(*) AS n FROM d GROUP BY 1),
+         |p AS (
+         |  SELECT d.source, n.n,
+         |    ROW_NUMBER() OVER (PARTITION BY d.source
+         |      ORDER BY d.hk ASC, d.doc_id ASC) AS pos
+         |  FROM d JOIN n ON n.source = d.source),
+         |sp AS (
+         |  SELECT source, n,
+         |    CASE WHEN pos * 10 <= n * 8 THEN 'train'
+         |         WHEN pos * 10 <= n * 9 THEN 'valid'
+         |         ELSE 'test' END AS split
+         |  FROM p),
+         |agg AS (
+         |  SELECT source, MAX(n) AS n_docs,
+         |    CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+         |    CAST(SUM(CASE WHEN split = 'valid' THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+         |    CAST(SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+         |  FROM sp GROUP BY 1)
+         |SELECT source, n_docs, n_train, n_valid, n_test,
+         |  (n_train = (8 * n_docs) // 10 AND
+         |   n_valid = (9 * n_docs) // 10 - (8 * n_docs) // 10 AND
+         |   n_test = n_docs - (9 * n_docs) // 10) AS exact_ok
+         |FROM agg ORDER BY source""".stripMargin
+    },
+
+    "q216_deletion_audit" -> {
+      val h = LlmQueries.wrapSigned(
+        LlmQueries.fnvSqlOf("CAST(user_id AS VARCHAR)"))
+      s"""WITH del AS (
+         |  SELECT DISTINCT user_id FROM events
+         |  WHERE (($h % 13) + 13) % 13 = 0),
+         |marked AS (
+         |  SELECT e.event_type,
+         |    CASE WHEN d.user_id IS NULL THEN 0 ELSE 1 END AS todel
+         |  FROM events e LEFT JOIN del d ON d.user_id = e.user_id),
+         |retained AS (
+         |  SELECT e.* FROM events e ANTI JOIN del d ON d.user_id = e.user_id),
+         |residual AS (
+         |  SELECT r.event_type, COUNT(*) AS res
+         |  FROM retained r SEMI JOIN del d ON d.user_id = r.user_id
+         |  GROUP BY 1)
+         |SELECT m.event_type,
+         |  COUNT(*) AS n_total,
+         |  CAST(SUM(todel) AS BIGINT) AS n_to_delete,
+         |  CAST(SUM(1 - todel) AS BIGINT) AS n_retained,
+         |  COALESCE(MAX(res.res), 0) AS residual_after_purge,
+         |  COUNT(*) = SUM(todel) + SUM(1 - todel) AS conservation_ok
+         |FROM marked m LEFT JOIN residual res ON res.event_type = m.event_type
+         |GROUP BY m.event_type ORDER BY m.event_type""".stripMargin
+    },
 
     "q211_conservation_check" -> {
       val fpH = LlmQueries.fnvSqlOf(

@@ -167,6 +167,85 @@ class GovernanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q212: the two profile sides partition the stream; rates on the shared grid") {
+    val rows = q("q212_profile_diff").collect()
+    assert(rows.length == 4)
+    val total = Tables(spark, dir, "events").count()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("base_n") + r.getAs[Long]("delta_n") == total)
+      assert(r.getAs[Long]("base_distinct") >= 1)
+    }
+  }
+
+  test("q213: chi-square recomputed from the emitted contingency table") {
+    val r = q("q213_ab_test").collect().head
+    val (r1, a) = (r.getAs[Long]("arm0_users"), r.getAs[Long]("arm0_conv"))
+    val (r2, c) = (r.getAs[Long]("arm1_users"), r.getAs[Long]("arm1_conv"))
+    val users = Tables(spark, dir, "events").select("user_id").distinct().count()
+    assert(r1 + r2 == users, "arms partition the user population")
+    val det = BigInt(a) * (r2 - c) - BigInt(c) * (r1 - a)
+    val den = (BigInt(r1) * r2 * (a + c) * (r1 + r2 - a - c)).max(1)
+    val chi2Micro = (2 * (r1 + r2) * det * det * 1000000 + den) / (2 * den)
+    assert(math.abs(r.getAs[Double]("chi2") - chi2Micro.toDouble / 1e6) < 1e-9)
+  }
+
+  test("q214: window-form CUSUM equals the clamped recurrence, per type") {
+    val out = q("q214_cusum_changepoint").collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    assert(out.size == 5)
+    val daily = Tables(spark, dir, "events")
+      .select((unix_timestamp(col("ts")) / 86400L).cast("long").as("day"),
+        col("event_type"))
+      .groupBy("day", "event_type").count().collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("day"),
+        r.getAs[Long]("count")))
+    val days = daily.map(_._2).distinct.sorted
+    for ((tpe, row) <- out) {
+      val byDay = daily.filter(_._1 == tpe).map(t => t._2 -> t._3).toMap
+      val xs = days.map(d => byDay.getOrElse(d, 0L))
+      val dTot = xs.sum
+      val dCnt = days.length.toLong
+      // the clamped recurrence, directly: C_t = max(0, C_{t-1} + dev_t)
+      var cBest = 0L; var cCur = 0L; var peakDay = days.head; var alarms = 0L
+      for ((x, d) <- xs.zip(days)) {
+        cCur = math.max(0L, cCur + (10 * x * dCnt - 11 * dTot))
+        if (cCur > cBest) { cBest = cCur; peakDay = d }
+        if (cCur > 10 * dTot) alarms += 1
+      }
+      assert(row.getAs[Long]("n_days") == dCnt)
+      assert(row.getAs[Long]("total") == dTot)
+      assert(row.getAs[Long]("n_alarms") == alarms, s"$tpe alarms")
+      assert(row.getAs[Long]("peak_day_epoch") == peakDay * 86400L, s"$tpe peak")
+      val grid = (2 * cBest * 1000000L + 10 * dCnt) / (2 * 10 * dCnt)
+      assert(math.abs(row.getAs[Double]("max_cusum") - grid / 1e6) < 1e-12, tpe)
+    }
+  }
+
+  test("q215: every stratum splits EXACTLY 8/1/1 — the property hash splits cannot promise") {
+    val rows = q("q215_exact_stratified_split").collect()
+    assert(rows.length == 20)
+    val docs = Tables(spark, dir, "documents").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("exact_ok"), r.toString)
+      assert(r.getAs[Long]("n_train") + r.getAs[Long]("n_valid") +
+        r.getAs[Long]("n_test") == r.getAs[Long]("n_docs"))
+    }
+  }
+
+  test("q216: purge conserves rows, the deletion set is nonempty, residual is zero") {
+    val rows = q("q216_deletion_audit").collect()
+    assert(rows.length == 5)
+    val total = Tables(spark, dir, "events").count()
+    assert(rows.map(_.getAs[Long]("n_total")).sum == total)
+    assert(rows.map(_.getAs[Long]("n_to_delete")).sum > 0,
+      "an audit over an empty deletion set proves nothing")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("residual_after_purge") == 0L)
+      assert(r.getAs[Boolean]("conservation_ok"))
+    }
+  }
+
   test("q211: both checksum paths agree and conserve the corpus") {
     val rows = q("q211_conservation_check").collect()
     assert(rows.length == 20)
