@@ -484,8 +484,152 @@ object GovernanceQueries extends QueryModule {
           col("n_retained"), col("residual_after_purge"),
           col("conservation_ok"))
         .orderBy(col("event_type"))
+    }),
+
+    // --- LPT shard packing (q217): plan a balanced re-layout BEFORE
+    // moving 100 TB — the longest-processing-time greedy (sort sources
+    // by size desc, assign each to the currently-lightest shard; the
+    // classic 4/3-approximation to makespan). The corpus collapses to
+    // |sources| sizes in one partial-agged scan; the greedy itself is a
+    // ROW-LOCAL fold over that sorted, bounded list (accumulator = 16
+    // longs: 8 loads + 8 counts) — no window, no iteration, no driver
+    // loop. Pairs with q183: that audits the skew of an EXISTING key,
+    // this plans the assignment that avoids it.
+    "q217_shard_packing" -> ((s, dir) => {
+      val sizes = Tables(s, dir, "documents")
+        .groupBy(col("source")).agg(sum(col("n_chars")).cast("long").as("sz"))
+      sizes.agg(sort_array(collect_list(
+          struct((-col("sz")).as("negsz"), col("source"), col("sz")))).as("xs"))
+        .withColumn("acc", expr(
+          """aggregate(xs, array_repeat(CAST(0 AS BIGINT), 16),
+            |  (acc, x) -> transform(sequence(1, 16), i ->
+            |    CASE WHEN i = array_position(slice(acc, 1, 8),
+            |                                 array_min(slice(acc, 1, 8)))
+            |         THEN element_at(acc, i) + x.sz
+            |         WHEN i = array_position(slice(acc, 1, 8),
+            |                                 array_min(slice(acc, 1, 8))) + 8
+            |         THEN element_at(acc, i) + 1
+            |         ELSE element_at(acc, i) END))""".stripMargin))
+        .select(explode(expr(
+          """transform(sequence(0, 7), j -> struct(
+            |  CAST(j AS BIGINT) AS shard,
+            |  element_at(acc, j + 1) AS load,
+            |  element_at(acc, j + 9) AS n_sources))""".stripMargin)).as("r"))
+        .select(col("r.shard"), col("r.load"), col("r.n_sources"))
+        .orderBy(col("shard"))
+    }),
+
+    // --- bot/automation detection (q219): per-user inter-event timing
+    // stats — exact median gap (sorted per-user gap array, lower
+    // median), sub-minute share, and a deterministic bot rule. The lag
+    // window and per-user collect are the established per-user-stream
+    // shape (q177/q181): state bounded by a user's own activity, the
+    // exchange keyed on user_id. Thresholds fire on integer cross-
+    // multiplications only. The planted-bot proof lives in
+    // GovernanceSpec via [[botStats]].
+    "q219_bot_detection" -> ((s, dir) =>
+      botStats(Tables(s, dir, "events")).orderBy(col("user_id"))),
+
+    // --- Theil-Sen robust trend (q220): the median of pairwise slopes
+    // over each type's daily counts — the estimator that shrugs off the
+    // outlier days that wreck q159's OLS. All day PAIRS are formed on
+    // the days-bounded grid (never corpus rows), the median is selected
+    // by rank over a DOUBLE ordering key (identical IEEE division in
+    // both engines, used ONLY to order) with a (num, den, day) total
+    // tie-break, and the selected slope lands on the SIGNED half-up
+    // grid (half-up on |num|, sign reapplied — Spark DIV truncates
+    // toward zero, DuckDB // floors; see the verify-skill rule).
+    "q220_theil_sen" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+        .select((unix_timestamp(col("ts")) / 86400L).cast("long").as("day"),
+          col("event_type"))
+      val obs = ev.groupBy(col("day"), col("event_type"))
+        .agg(count(lit(1)).as("c")).localCheckpoint()
+      val days = obs.select(col("day")).distinct()
+      val types = obs.select(col("event_type")).distinct()
+      val grid = days.crossJoin(broadcast(types))
+        .join(obs, Seq("day", "event_type"), "left")
+        .withColumn("c", coalesce(col("c"), lit(0L)))
+        .localCheckpoint()
+      val a = grid.select(col("event_type"), col("day").as("di"), col("c").as("ci"))
+      val b = grid.select(col("event_type"), col("day").as("dj"), col("c").as("cj"))
+      val pairs = a.join(b, Seq("event_type")).filter(col("di") < col("dj"))
+        .withColumn("num", col("cj") - col("ci"))
+        .withColumn("den", col("dj") - col("di"))
+        .withColumn("sd", col("num").cast("double") / col("den").cast("double"))
+      val ranked = pairs.withColumn("rn", row_number().over(
+          Window.partitionBy(col("event_type"))
+            .orderBy(col("sd").asc, col("num").asc, col("den").asc, col("di").asc)))
+      val np = pairs.groupBy(col("event_type")).agg(count(lit(1)).as("n_pairs"))
+      ranked.join(broadcast(np), Seq("event_type"))
+        .filter(col("rn") === expr("(n_pairs + 1) DIV 2"))
+        .withColumn("slope", expr(
+          """CASE WHEN num >= 0
+            |  THEN (2 * CAST(num AS DECIMAL(38,0)) * 1000000 + den)
+            |       DIV (2 * CAST(den AS DECIMAL(38,0)))
+            |  ELSE -((2 * CAST(-num AS DECIMAL(38,0)) * 1000000 + den)
+            |       DIV (2 * CAST(den AS DECIMAL(38,0)))) END""".stripMargin)
+          .cast("long").cast("double") / 1e6)
+        .select(col("event_type"), col("n_pairs"), col("slope"))
+        .orderBy(col("event_type"))
+    }),
+
+    // --- intra-shard near-dup co-location risk (q221): if near-dup
+    // pairs land in the SAME training shard, in-batch contrastive
+    // sampling sees false negatives and dedup-per-shard misses
+    // cross-shard dups — this audit measures both. The near-dup pair
+    // graph (q34's df-capped builder, unsorted) is scored map-side:
+    // each endpoint's shard is a pure expression (fnv64 mod 32, q126's
+    // content-hash scheme), so the audit adds ZERO exchanges beyond the
+    // pair builder itself. Under uniform hashing the expected intra
+    // share is 1/32; the risk flag fires on a 2x exceedance, integer
+    // cross-multiplied.
+    "q221_intra_shard_dup_risk" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      LlmQueries.ngramJaccardPairs(s, dir)
+        .withColumn("sa",
+          pmod(expr("fnv64(CAST(doc_a AS STRING))"), lit(32L)))
+        .withColumn("sb",
+          pmod(expr("fnv64(CAST(doc_b AS STRING))"), lit(32L)))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("sa") === col("sb"), 1L).otherwise(0L)).as("n_intra"))
+        .withColumn("intra_share",
+          expr(gridDiv("n_intra", "greatest(n_pairs, 1)")).cast("long")
+            .cast("double") / 1e6)
+        .withColumn("expected_share", lit(31250L).cast("double") / 1e6)
+        .withColumn("colocated_risk",
+          col("n_intra") * 32 > col("n_pairs") * 2)
+        .select(col("n_pairs"), col("n_intra"), col("intra_share"),
+          col("expected_share"), col("colocated_risk"))
     })
   )
+
+  /** q219's per-user timing stats over any (user_id, ts, event_id)
+    * stream — factored so the spec can feed a PLANTED bot frame and
+    * prove the rule fires. Gaps in whole seconds (identical floor in
+    * both engines); median = lower median of the sorted gap array. */
+  private[graft] def botStats(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("es").asc, col("event_id").asc)
+    events
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("es"))
+      .withColumn("gap", col("es") - lag(col("es"), 1).over(w))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sort_array(collect_list(col("gap"))).as("gaps"))
+      .withColumn("n_gaps", size(col("gaps")))
+      .filter(col("n_gaps") >= 1)
+      .withColumn("median_gap",
+        expr("element_at(gaps, CAST((n_gaps + 1) DIV 2 AS INT))"))
+      .withColumn("n_fast",
+        expr("size(filter(gaps, g -> g < 60))").cast("long"))
+      .withColumn("is_bot",
+        col("median_gap") < 300 && col("n_fast") * 2 > col("n_gaps") &&
+          col("n_events") >= 20)
+      .select(col("user_id"), col("n_events"), col("median_gap"),
+        col("n_fast"), col("is_bot"))
+  }
 
   def oracles: Map[String, String] = Map(
 
@@ -788,6 +932,135 @@ object GovernanceQueries extends QueryModule {
          |  COUNT(*) = SUM(todel) + SUM(1 - todel) AS conservation_ok
          |FROM marked m LEFT JOIN residual res ON res.event_type = m.event_type
          |GROUP BY m.event_type ORDER BY m.event_type""".stripMargin
+    },
+
+    "q217_shard_packing" ->
+      """WITH RECURSIVE sizes AS (
+        |  SELECT source, CAST(SUM(n_chars) AS BIGINT) AS sz
+        |  FROM documents GROUP BY 1),
+        |ord AS (SELECT source, sz,
+        |          ROW_NUMBER() OVER (ORDER BY sz DESC, source ASC) AS rn
+        |        FROM sizes),
+        |n AS (SELECT COUNT(*) AS c FROM ord),
+        |fold AS (
+        |  SELECT 0 AS i, [0,0,0,0,0,0,0,0]::HUGEINT[] AS loads,
+        |    [0,0,0,0,0,0,0,0]::HUGEINT[] AS cnts
+        |  UNION ALL
+        |  SELECT i + 1,
+        |    list_transform(range(1, 9), j -> CASE
+        |      WHEN j = list_indexof(f.loads, list_min(f.loads))
+        |      THEN f.loads[j] + o.sz ELSE f.loads[j] END),
+        |    list_transform(range(1, 9), j -> CASE
+        |      WHEN j = list_indexof(f.loads, list_min(f.loads))
+        |      THEN f.cnts[j] + 1 ELSE f.cnts[j] END)
+        |  FROM fold f JOIN ord o ON o.rn = f.i + 1),
+        |fin AS (SELECT loads, cnts FROM fold, n WHERE i = n.c)
+        |SELECT j - 1 AS shard, CAST(loads[j] AS BIGINT) AS load,
+        |  CAST(cnts[j] AS BIGINT) AS n_sources
+        |FROM fin, (SELECT unnest(range(1, 9)) AS j)
+        |ORDER BY shard""".stripMargin,
+
+    "q219_bot_detection" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS es
+        |  FROM events),
+        |l AS (
+        |  SELECT user_id,
+        |    es - LAG(es) OVER (PARTITION BY user_id
+        |      ORDER BY es ASC, event_id ASC) AS gap
+        |  FROM g),
+        |u AS (
+        |  SELECT user_id, COUNT(*) AS n_events,
+        |    list(gap ORDER BY gap ASC) FILTER (WHERE gap IS NOT NULL) AS gaps
+        |  FROM l GROUP BY 1),
+        |st AS (
+        |  SELECT user_id, n_events, len(gaps) AS n_gaps,
+        |    gaps[CAST((len(gaps) + 1) // 2 AS INT)] AS median_gap,
+        |    CAST(len(list_filter(gaps, x -> x < 60)) AS BIGINT) AS n_fast
+        |  FROM u WHERE len(gaps) >= 1)
+        |SELECT user_id, n_events, median_gap, n_fast,
+        |  (median_gap < 300 AND n_fast * 2 > n_gaps AND n_events >= 20)
+        |    AS is_bot
+        |FROM st ORDER BY user_id""".stripMargin,
+
+    "q220_theil_sen" ->
+      """WITH ev AS (
+        |  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |    event_type
+        |  FROM events),
+        |obs AS (SELECT day, event_type, COUNT(*) AS c FROM ev GROUP BY 1, 2),
+        |days AS (SELECT DISTINCT day FROM obs),
+        |types AS (SELECT DISTINCT event_type FROM obs),
+        |grid AS (
+        |  SELECT d.day, t.event_type, COALESCE(o.c, 0) AS c
+        |  FROM days d CROSS JOIN types t
+        |  LEFT JOIN obs o ON o.day = d.day AND o.event_type = t.event_type),
+        |pairs AS (
+        |  SELECT a.event_type, a.day AS di,
+        |    b.c - a.c AS num, b.day - a.day AS den,
+        |    CAST(b.c - a.c AS DOUBLE) / CAST(b.day - a.day AS DOUBLE) AS sd
+        |  FROM grid a JOIN grid b
+        |    ON b.event_type = a.event_type AND a.day < b.day),
+        |np AS (SELECT event_type, COUNT(*) AS n_pairs FROM pairs GROUP BY 1),
+        |r AS (
+        |  SELECT p.event_type, p.num, p.den, np.n_pairs,
+        |    ROW_NUMBER() OVER (PARTITION BY p.event_type
+        |      ORDER BY p.sd ASC, p.num ASC, p.den ASC, p.di ASC) AS rn
+        |  FROM pairs p JOIN np ON np.event_type = p.event_type)
+        |SELECT event_type, n_pairs,
+        |  CAST(CASE WHEN num >= 0
+        |    THEN CAST((2 * num::HUGEINT * 1000000 + den) //
+        |      (2 * den::HUGEINT) AS BIGINT)
+        |    ELSE -CAST((2 * (-num)::HUGEINT * 1000000 + den) //
+        |      (2 * den::HUGEINT) AS BIGINT) END AS DOUBLE) / 1000000.0
+        |    AS slope
+        |FROM r WHERE rn = (n_pairs + 1) // 2
+        |ORDER BY event_type""".stripMargin,
+
+    "q221_intra_shard_dup_risk" -> {
+      val sa = LlmQueries.wrapSigned(
+        LlmQueries.fnvSqlOf("CAST(doc_a AS VARCHAR)"))
+      val sb = LlmQueries.wrapSigned(
+        LlmQueries.fnvSqlOf("CAST(doc_b AS VARCHAR)"))
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 10000,
+         |    array_to_string(string_split_regex(trim(text), '\\s+')[1:greatest(
+         |      len(string_split_regex(trim(text), '\\s+')) - 5, 1)], ' ')
+         |  FROM documents),
+         |sh AS (
+         |  SELECT doc_id, list_distinct(CASE WHEN len(tk) >= 3 THEN
+         |    list_transform(range(1, len(tk) - 1),
+         |      i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])
+         |    ELSE [] END) AS sh
+         |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
+         |        FROM corpus)),
+         |ex AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS s FROM sh),
+         |exd AS (SELECT doc_id, sz, s,
+         |          COUNT(*) OVER (PARTITION BY s) AS df FROM ex),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM exd a JOIN exd b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id, a.sz, b.sz
+         |  HAVING COUNT(*) / (a.sz + b.sz - COUNT(*)) >= 0.5
+         |    AND MIN(a.df) <= 256),
+         |sc AS (
+         |  SELECT ((($sa) % 32) + 32) % 32 AS sa,
+         |         ((($sb) % 32) + 32) % 32 AS sb
+         |  FROM pairs),
+         |agg AS (
+         |  SELECT COUNT(*) AS n_pairs,
+         |    CAST(SUM(CASE WHEN sa = sb THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_intra
+         |  FROM sc)
+         |SELECT n_pairs, n_intra,
+         |  CAST(CAST((2 * n_intra::HUGEINT * 1000000 + greatest(n_pairs, 1)) //
+         |    (2 * greatest(n_pairs, 1)::HUGEINT) AS BIGINT) AS DOUBLE)
+         |    / 1000000.0 AS intra_share,
+         |  0.03125 AS expected_share,
+         |  n_intra * 32 > n_pairs * 2 AS colocated_risk
+         |FROM agg""".stripMargin
     },
 
     "q211_conservation_check" -> {

@@ -246,6 +246,78 @@ class GovernanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q217: LPT packing conserves mass and meets the greedy balance bound") {
+    val rows = q("q217_shard_packing").collect()
+    assert(rows.length == 8)
+    val sizes = Tables(spark, dir, "documents")
+      .groupBy("source").agg(sum("n_chars").cast("long").as("sz"))
+      .collect().map(r => r.getAs[String]("source") -> r.getAs[Long]("sz"))
+    assert(rows.map(_.getAs[Long]("load")).sum == sizes.map(_._2).sum)
+    assert(rows.map(_.getAs[Long]("n_sources")).sum == sizes.length)
+    // replay the greedy directly and compare the full load vector
+    val loads = Array.fill(8)(0L); val cnts = Array.fill(8)(0L)
+    for ((_, sz) <- sizes.sortBy { case (s, z) => (-z, s) }) {
+      val i = loads.indexOf(loads.min); loads(i) += sz; cnts(i) += 1
+    }
+    assert(rows.map(_.getAs[Long]("load")).toSeq == loads.toSeq)
+    assert(rows.map(_.getAs[Long]("n_sources")).toSeq == cnts.toSeq)
+    // LPT's structural bound: the heaviest shard exceeds the lightest by
+    // at most one source's size
+    assert(loads.max - loads.min <= sizes.map(_._2).max)
+  }
+
+  test("q219: the bot rule fires on a planted bot and spares a planted human") {
+    val ss = spark; import ss.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(s: Long) = new java.sql.Timestamp(base.getTime + s * 1000)
+    val bot = (0L until 30L).map(i => (1L, i, at(i * 10)))      // 10 s cadence
+    val human = (0L until 10L).map(i => (2L, 100 + i, at(i * 3600))) // hourly
+    val df = (bot ++ human).toDF("user_id", "event_id", "ts")
+    val out = graft.operators.GovernanceQueries.botStats(df)
+      .collect().map(r => r.getAs[Long]("user_id") -> r).toMap
+    assert(out(1L).getAs[Boolean]("is_bot"), "30 events at 10 s must flag")
+    assert(out(1L).getAs[Long]("median_gap") == 10L)
+    assert(!out(2L).getAs[Boolean]("is_bot"), "hourly human must not flag")
+    assert(out(2L).getAs[Long]("median_gap") == 3600L)
+  }
+
+  test("q220: the windowed median-of-slopes equals the brute-force Theil-Sen") {
+    val out = q("q220_theil_sen").collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Double]("slope"))).toMap
+    assert(out.size == 5)
+    val daily = Tables(spark, dir, "events")
+      .select((unix_timestamp(col("ts")) / 86400L).cast("long").as("day"),
+        col("event_type"))
+      .groupBy("day", "event_type").count().collect()
+    val days = daily.map(_.getAs[Long]("day")).distinct.sorted
+    for (tpe <- out.keys) {
+      val byDay = daily.filter(_.getAs[String]("event_type") == tpe)
+        .map(r => r.getAs[Long]("day") -> r.getAs[Long]("count")).toMap
+      val xs = days.map(d => d -> byDay.getOrElse(d, 0L))
+      val slopes = for {
+        (di, ci) <- xs; (dj, cj) <- xs if di < dj
+      } yield (cj - ci, dj - di, di)
+      assert(out(tpe)._1 == slopes.length)
+      val sorted = slopes.sortBy { case (n, d, di) =>
+        (n.toDouble / d, n, d, di) }
+      val (num, den, _) = sorted((slopes.length + 1) / 2 - 1)
+      val micro =
+        if (num >= 0) (2L * num * 1000000L + den) / (2L * den)
+        else -((2L * -num * 1000000L + den) / (2L * den))
+      assert(math.abs(out(tpe)._2 - micro / 1e6) < 1e-12, tpe)
+    }
+  }
+
+  test("q221: the audit's pair universe is exactly the q34 builder's") {
+    val r = q("q221_intra_shard_dup_risk").collect().head
+    val pairs = SparkEntry.queries("q34_ngram_jaccard")(spark, dir).count()
+    assert(r.getAs[Long]("n_pairs") == pairs)
+    assert(r.getAs[Long]("n_intra") <= r.getAs[Long]("n_pairs"))
+    assert(r.getAs[Double]("intra_share") >= 0.0 &&
+      r.getAs[Double]("intra_share") <= 1.0)
+  }
+
   test("q211: both checksum paths agree and conserve the corpus") {
     val rows = q("q211_conservation_check").collect()
     assert(rows.length == 20)
