@@ -155,6 +155,62 @@ object StreamingQueries extends QueryModule {
         (col("tvm").cast("double") / lit(1000000.0)).as("tv_drift"))
   }
 
+  /** Hour-of-week seasonal baseline for [[seasonalAlerts]]: per
+    * (how = epoch-hour mod 168, event_type) total count `t` and
+    * observed-slot count `nh`, grid-restored (an absent (slot, type)
+    * cell counts 0 toward the mean — q209's lesson) from a STATIC
+    * history table. Always batch — a production monitor recomputes it
+    * periodically and broadcasts it to the stream. */
+  def seasonalBaseline(events: DataFrame): DataFrame = {
+    val obs = events
+      .select((unix_timestamp(col("ts")) / 3600L).cast("long").as("slot"),
+        col("event_type"))
+      .groupBy(col("slot"), col("event_type"))
+      .agg(count(lit(1)).as("c")).localCheckpoint()
+    obs.select(col("slot")).distinct()
+      .crossJoin(broadcast(obs.select(col("event_type")).distinct()))
+      .join(obs, Seq("slot", "event_type"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+      .withColumn("how", pmod(col("slot"), lit(168L)))
+      .groupBy(col("how"), col("event_type"))
+      .agg(sum(col("c")).cast("long").as("t"), count(lit(1)).as("nh"))
+  }
+
+  /** Streaming seasonal anomaly alerts (q218): hourly windowed counts
+    * per type on the ingestion stream, each window scored LIVE against
+    * the broadcast hour-of-week baseline — q209's audit moved onto the
+    * q172 monitoring path. ONE stateful operator (the windowed
+    * conditional-count agg: one constant-width state row per open
+    * (window, type)); the baseline join, grid deviation and the x3
+    * exceedance flag (integer cross-multiplications, both directions)
+    * are all stateless after it. Absent windows cannot fire here — a
+    * stream only sees rows that arrive; q209 remains the batch
+    * absence-complete audit (alerting on silence needs a timer
+    * source, not an aggregation). */
+  def seasonalAlerts(events: DataFrame, baseline: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("obs"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("obs"))
+      .withColumn("how",
+        pmod((unix_timestamp(col("window_start")) / 3600L).cast("long"),
+          lit(168L)))
+      .join(broadcast(baseline), Seq("how", "event_type"))
+      .withColumn("expected",
+        expr("CAST((2 * CAST(t AS DECIMAL(38,0)) * 1000000 + nh) " +
+          "DIV (2 * CAST(nh AS DECIMAL(38,0))) AS BIGINT)")
+          .cast("double") / lit(1000000.0))
+      .withColumn("deviation",
+        expr("CAST((2 * abs(CAST(obs AS DECIMAL(38,0)) * nh - t) * 1000000 " +
+          "+ nh) DIV (2 * CAST(nh AS DECIMAL(38,0))) AS BIGINT)")
+          .cast("double") / lit(1000000.0))
+      .withColumn("alert",
+        col("obs") * col("nh") > col("t") * 3 ||
+          col("obs") * col("nh") * 3 < col("t"))
+      .select(col("window_start"), col("event_type"), col("obs"),
+        col("expected"), col("deviation"), col("alert"))
+
   /** The one-row (cb_<type>…, nb) baseline frame for [[driftVsBaseline]]. */
   def typeBaseline(events: DataFrame): DataFrame = {
     val aggs = eventTypes.map(t =>
@@ -455,7 +511,17 @@ object StreamingQueries extends QueryModule {
 
     "q201_rate_limit" -> ((s, dir) =>
       rateLimitCounts(Tables(s, dir, "events"))
-        .orderBy(col("user_id")))
+        .orderBy(col("user_id"))),
+
+    // --- seasonal alerting in the correctness gate (batch parity; the
+    // MemoryStream watermarked run is in StreamingSpec). Baseline = the
+    // static table's own hour-of-week profile, as a production monitor
+    // bootstraps from history.
+    "q218_stream_seasonal_alert" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+      seasonalAlerts(ev, seasonalBaseline(ev))
+        .orderBy(col("window_start"), col("event_type"))
+    })
   )
 
   /** q168's builder: probe a (doc_id, text, ts) delta frame — batch OR
@@ -742,7 +808,42 @@ object StreamingQueries extends QueryModule {
         |  CAST((r // 1048576) % 16777216 AS BIGINT) AS n_allowed,
         |  CAST(n_events - (r // 1048576) % 16777216 AS BIGINT)
         |    AS n_dropped
-        |FROM f ORDER BY user_id""".stripMargin
+        |FROM f ORDER BY user_id""".stripMargin,
+
+    "q218_stream_seasonal_alert" ->
+      """WITH ev AS (
+        |  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS slot,
+        |    event_type
+        |  FROM events),
+        |obs AS (SELECT slot, event_type, COUNT(*) AS c FROM ev GROUP BY 1, 2),
+        |slots AS (SELECT DISTINCT slot FROM obs),
+        |types AS (SELECT DISTINCT event_type FROM obs),
+        |grid AS (
+        |  SELECT s.slot, t.event_type, COALESCE(o.c, 0) AS c,
+        |    ((s.slot % 168) + 168) % 168 AS how
+        |  FROM slots s CROSS JOIN types t
+        |  LEFT JOIN obs o ON o.slot = s.slot AND o.event_type = t.event_type),
+        |base AS (
+        |  SELECT how, event_type, CAST(SUM(c) AS BIGINT) AS t,
+        |    COUNT(*) AS nh
+        |  FROM grid GROUP BY 1, 2),
+        |win AS (
+        |  SELECT date_trunc('hour', ts) AS window_start,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS slot,
+        |    event_type, COUNT(*) AS obs
+        |  FROM events GROUP BY 1, 2, 3)
+        |SELECT w.window_start, w.event_type, w.obs,
+        |  CAST(CAST((2 * b.t::HUGEINT * 1000000 + b.nh) //
+        |    (2 * b.nh::HUGEINT) AS BIGINT) AS DOUBLE) / 1000000.0
+        |    AS expected,
+        |  CAST(CAST((2 * abs(w.obs::HUGEINT * b.nh - b.t) * 1000000 + b.nh) //
+        |    (2 * b.nh::HUGEINT) AS BIGINT) AS DOUBLE) / 1000000.0
+        |    AS deviation,
+        |  (w.obs * b.nh > b.t * 3 OR w.obs * b.nh * 3 < b.t) AS alert
+        |FROM win w JOIN base b
+        |  ON b.how = ((w.slot % 168) + 168) % 168
+        | AND b.event_type = w.event_type
+        |ORDER BY w.window_start, w.event_type""".stripMargin
   )
 }
 

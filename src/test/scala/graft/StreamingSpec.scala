@@ -264,6 +264,59 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("seasonal alert builder (q218): hourly counts vs hour-of-week baseline, cross-batch merge") {
+    // The ACTUAL q218 builder under MemoryStream: one windowed stateful
+    // agg; the hour-of-week baseline is a broadcast static frame. The
+    // stream rows arrive in TWO micro-batches landing in the SAME hour
+    // window, so complete-mode output proves the state merge; values
+    // are hand-computed against the nh=2-slot baseline.
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    // baseline history spans two Mondays -> how(h0) has nh = 2 slots:
+    // click t=3 (2 then 1) -> mean 1.5; view t=1 -> mean 0.5
+    val hist = Seq(
+      TypedEv(ts("2024-01-01T00:10:00Z"), "click"),
+      TypedEv(ts("2024-01-01T00:20:00Z"), "click"),
+      TypedEv(ts("2024-01-01T00:30:00Z"), "view"),
+      TypedEv(ts("2024-01-08T00:15:00Z"), "click"))
+    val base = StreamingQueries.seasonalBaseline(hist.toDF())
+    // stream: third Monday, same hour-of-week. 5 clicks (5*2 > 3*3 ->
+    // alert; dev |5*2-3|/2 = 3.5) and 1 view (no alert; dev 0.5)
+    val b1 = Seq(
+      TypedEv(ts("2024-01-15T00:05:00Z"), "click"),
+      TypedEv(ts("2024-01-15T00:10:00Z"), "click"),
+      TypedEv(ts("2024-01-15T00:15:00Z"), "click"))
+    val b2 = Seq(
+      TypedEv(ts("2024-01-15T00:20:00Z"), "click"),
+      TypedEv(ts("2024-01-15T00:25:00Z"), "click"),
+      TypedEv(ts("2024-01-15T00:30:00Z"), "view"))
+    val mem = MemoryStream[TypedEv]
+    val q = StreamingQueries.seasonalAlerts(mem.toDF(), base)
+      .writeStream.format("memory").queryName("seasonal218")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+      def shape(df: org.apache.spark.sql.DataFrame) = df
+        .select("window_start", "event_type", "obs", "expected",
+          "deviation", "alert")
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+          r.getDouble(3), r.getDouble(4), r.getBoolean(5)))
+        .toSet
+      val streamed = shape(sp.table("seasonal218"))
+      val batch = shape(
+        StreamingQueries.seasonalAlerts((b1 ++ b2).toDF(), base))
+      assert(streamed == batch)
+      assert(streamed == Set(
+        (ts("2024-01-15T00:00:00Z"), "click", 5L, 1.5, 3.5, true),
+        (ts("2024-01-15T00:00:00Z"), "view", 1L, 0.5, 0.5, false)))
+    } finally q.stop()
+  }
+
   test("drift monitor builder (q172): windowed TV vs static baseline matches batch") {
     // Drives the ACTUAL q172 builder under MemoryStream: the only
     // stateful operator is the single windowed conditional-count agg
