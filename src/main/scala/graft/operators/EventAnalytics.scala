@@ -345,6 +345,44 @@ object EventAnalytics extends QueryModule {
             " DIV (2 * n_rows) AS BIGINT)"))
         .select(col("n_rows"), col("n_keys"), col("top1_ppm"),
           col("top10_ppm"), col("imbalance_ppm"))
+    }),
+
+    // --- NDCG@5 ranking eval (q222): how well each user's ARRIVAL
+    // order ranks their high-value events — the standard graded
+    // relevance metric of retrieval eval (Järvelin & Kekäläinen),
+    // built engine-exact: the 1/log2(i+1) position discounts are FIXED
+    // INTEGER LITERALS on the 1e-6 grid (no runtime log), relevance =
+    // floor(value), DCG/IDCG are integer dot products over each user's
+    // first 5 events, and the final ratio is one half-up grid
+    // division. Two windows per user (arrival rank, ideal rank) over
+    // per-user-bounded rows — the q219 per-user-stream shape. IDCG is
+    // tie-invariant: equal relevances permute within a discount run
+    // without changing the sum.
+    "q222_ndcg_eval" -> ((s, dir) => {
+      val wArr = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val top5 = Tables(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          floor(col("value")).cast("long").as("rel"))
+        .withColumn("rn", row_number().over(wArr))
+        .filter(col("rn") <= 5)
+      val discount = "CASE %s WHEN 1 THEN 1000000 WHEN 2 THEN 630930 " +
+        "WHEN 3 THEN 500000 WHEN 4 THEN 430677 ELSE 386853 END"
+      val ranked = top5.withColumn("irn", row_number().over(
+        Window.partitionBy(col("user_id"))
+          .orderBy(col("rel").desc, col("rn").asc)))
+      ranked.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_ranked"),
+          sum(expr("rel * " + discount.format("rn"))).cast("long").as("dcg"),
+          sum(expr("rel * " + discount.format("irn"))).cast("long").as("idcg"))
+        .withColumn("ndcg", expr(
+          """CASE WHEN idcg = 0 THEN CAST(1000000 AS BIGINT)
+            |ELSE CAST((2 * CAST(dcg AS DECIMAL(38,0)) * 1000000 + idcg)
+            |  DIV (2 * CAST(idcg AS DECIMAL(38,0))) AS BIGINT) END"""
+            .stripMargin).cast("double") / 1e6)
+        .select(col("user_id"), col("n_ranked"), col("dcg"), col("idcg"),
+          col("ndcg"))
+        .orderBy(col("user_id"))
     })
   )
 
@@ -661,6 +699,34 @@ object EventAnalytics extends QueryModule {
         |  CASE WHEN n_attributed = 0 THEN 0.0 ELSE
         |    CAST((2 * sum_lat + n_attributed) // (2 * n_attributed)
         |      AS DOUBLE) / 1000000.0 END AS avg_latency_s
-        |FROM g ORDER BY day""".stripMargin
+        |FROM g ORDER BY day""".stripMargin,
+
+    "q222_ndcg_eval" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(floor(value) AS BIGINT) AS rel,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY ts ASC, event_id ASC) AS rn
+        |  FROM events),
+        |t5 AS (SELECT * FROM e WHERE rn <= 5),
+        |r AS (
+        |  SELECT user_id, rel, rn,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY rel DESC, rn ASC) AS irn
+        |  FROM t5),
+        |w AS (
+        |  SELECT user_id, COUNT(*) AS n_ranked,
+        |    CAST(SUM(rel * CASE rn WHEN 1 THEN 1000000 WHEN 2 THEN 630930
+        |      WHEN 3 THEN 500000 WHEN 4 THEN 430677 ELSE 386853 END)
+        |      AS BIGINT) AS dcg,
+        |    CAST(SUM(rel * CASE irn WHEN 1 THEN 1000000 WHEN 2 THEN 630930
+        |      WHEN 3 THEN 500000 WHEN 4 THEN 430677 ELSE 386853 END)
+        |      AS BIGINT) AS idcg
+        |  FROM r GROUP BY 1)
+        |SELECT user_id, n_ranked, dcg, idcg,
+        |  CAST(CASE WHEN idcg = 0 THEN 1000000
+        |    ELSE CAST((2 * dcg::HUGEINT * 1000000 + idcg) //
+        |      (2 * idcg::HUGEINT) AS BIGINT) END AS DOUBLE) / 1000000.0
+        |    AS ndcg
+        |FROM w ORDER BY user_id""".stripMargin
   )
 }

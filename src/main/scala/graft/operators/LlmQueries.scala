@@ -1039,6 +1039,51 @@ object LlmQueries extends QueryModule {
         .orderBy(col("bands").desc)
     }),
 
+    // --- dedup threshold curve (q223): what fraction of the corpus a
+    // near-dup pass would touch at Jaccard thresholds 0.5-0.8 — the
+    // tuning table a pipeline reads before committing a threshold to
+    // 100 TB (too low strips paraphrases, too high leaves templates).
+    // The exact df-capped pair graph is built ONCE at the loosest
+    // threshold (it carries jac); every tighter threshold is then a
+    // CONDITIONAL SUM over that frame plus a per-doc max-jac rollup —
+    // no second pair generation, no clustering. Threshold comparisons
+    // hit the same IEEE division both engines compute (the q34/q59
+    // HAVING form), so the cut is engine-exact.
+    "q223_dedup_threshold_curve" -> ((s, dir) => {
+      val docsets = shingleSets(s, dir)
+      val pairs = jaccardPairsCapped(docsets, ShingleDfCap, 0.5)
+        .localCheckpoint() // feeds the pair sums AND the endpoint rollup
+      val nCorpus = docsets.agg(count(lit(1)).as("n_corpus"))
+      val ends = pairs.select(col("doc_a").as("doc"), col("jac"))
+        .unionAll(pairs.select(col("doc_b").as("doc"), col("jac")))
+        .groupBy(col("doc")).agg(max(col("jac")).as("mj"))
+      val ts = Seq(0.5, 0.6, 0.7, 0.8)
+      val pairAgg = pairs.agg(
+        ts.map(t => sum(when(col("jac") >= t, 1L).otherwise(0L))
+          .as(s"np_${(t * 10).toInt}")).head,
+        ts.tail.map(t => sum(when(col("jac") >= t, 1L).otherwise(0L))
+          .as(s"np_${(t * 10).toInt}")): _*)
+      val docAgg = ends.agg(
+        ts.map(t => sum(when(col("mj") >= t, 1L).otherwise(0L))
+          .as(s"nd_${(t * 10).toInt}")).head,
+        ts.tail.map(t => sum(when(col("mj") >= t, 1L).otherwise(0L))
+          .as(s"nd_${(t * 10).toInt}")): _*)
+      val wide = pairAgg.crossJoin(docAgg).crossJoin(broadcast(nCorpus))
+      val rows = ts.map { t =>
+        val k = (t * 10).toInt
+        wide.select(lit(t).as("threshold"),
+          col(s"np_$k").as("n_pairs"), col(s"nd_$k").as("n_docs_covered"),
+          col("n_corpus"))
+      }.reduce(_ unionAll _)
+      rows.withColumn("doc_share", expr(
+          "CAST((2 * CAST(n_docs_covered AS DECIMAL(38,0)) * 1000000 " +
+            "+ n_corpus) DIV (2 * CAST(n_corpus AS DECIMAL(38,0))) AS BIGINT)")
+          .cast("double") / 1e6)
+        .select(col("threshold"), col("n_pairs"), col("n_docs_covered"),
+          col("n_corpus"), col("doc_share"))
+        .orderBy(col("threshold"))
+    }),
+
     // --- SimHash dedup CERTIFICATION row: pairs from [[simhashPairs]];
     // the truth side is the planted (doc, doc+10000) pairs whose
     // Hamming distance is computed DIRECTLY from the two signatures (a
@@ -3093,6 +3138,52 @@ object LlmQueries extends QueryModule {
     // own two sets, exactly the relationship the engine certifies.
     "q35_minhash_lsh" -> q35OracleSql,
     "q208_lsh_param_sweep" -> q208OracleSql,
+    "q223_dedup_threshold_curve" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000,
+        |    array_to_string(string_split_regex(trim(text), '\s+')[1:greatest(
+        |      len(string_split_regex(trim(text), '\s+')) - 5, 1)], ' ')
+        |  FROM documents),
+        |shl AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(tk) >= 3 THEN
+        |    list_transform(range(1, len(tk) - 1),
+        |      i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])
+        |    ELSE [] END) AS sh
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+        |        FROM corpus)),
+        |shz AS (SELECT doc_id, len(sh) AS sz, sh FROM shl WHERE len(sh) > 0),
+        |nc AS (SELECT COUNT(*) AS n_corpus FROM shz),
+        |ex AS (SELECT doc_id, sz, unnest(sh) AS s FROM shz),
+        |exd AS (SELECT doc_id, sz, s,
+        |          COUNT(*) OVER (PARTITION BY s) AS df FROM ex),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    COUNT(*) / (a.sz + b.sz - COUNT(*)) AS jac
+        |  FROM exd a JOIN exd b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id, a.sz, b.sz
+        |  HAVING COUNT(*) / (a.sz + b.sz - COUNT(*)) >= 0.5
+        |    AND MIN(a.df) <= 256),
+        |ends AS (
+        |  SELECT doc, MAX(jac) AS mj FROM (
+        |    SELECT doc_a AS doc, jac FROM pairs
+        |    UNION ALL SELECT doc_b, jac FROM pairs)
+        |  GROUP BY 1),
+        |t(threshold) AS (VALUES (0.5), (0.6), (0.7), (0.8)),
+        |curve AS (
+        |  SELECT t.threshold,
+        |    (SELECT CAST(SUM(CASE WHEN jac >= t.threshold THEN 1 ELSE 0 END)
+        |       AS BIGINT) FROM pairs) AS n_pairs,
+        |    (SELECT CAST(SUM(CASE WHEN mj >= t.threshold THEN 1 ELSE 0 END)
+        |       AS BIGINT) FROM ends) AS n_docs_covered,
+        |    nc.n_corpus
+        |  FROM t, nc)
+        |SELECT threshold, n_pairs, n_docs_covered, n_corpus,
+        |  CAST(CAST((2 * n_docs_covered::HUGEINT * 1000000 + n_corpus) //
+        |    (2 * n_corpus::HUGEINT) AS BIGINT) AS DOUBLE) / 1000000.0
+        |    AS doc_share
+        |FROM curve ORDER BY threshold""".stripMargin,
     // FULL recomputation, same promotion: the banded pair list comes
     // from q152's shared chain (found), the planted-pair Hamming
     // distances directly from the replicated signatures (shd), and the

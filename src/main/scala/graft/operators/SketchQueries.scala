@@ -390,8 +390,57 @@ object SketchQueries extends QueryModule {
           (col("pair_micro").cast("double") / 1000000.0)
             .as("mean_pair_dot"))
         .orderBy(col("label"))
-    })
+    }),
+
+    // --- embedding health audit (q224): the vector QA pass that runs
+    // BEFORE any ANN index build — null vectors, NaN elements, ragged
+    // dimensions, zero-norm rows (all of which silently poison cosine
+    // math downstream) plus the norm² distribution, per label. One
+    // map-side pass: every per-vector statistic (dim, NaN scan, fixed-
+    // point norm² on the q202 2^20 grid — exact DECIMAL, order-free) is
+    // a row-local array fold, and the only exchange is the labels-
+    // bounded aggregate. Norms are reported as norm² on the 1e-6 grid
+    // (no sqrt — engine-exact beats prettier units).
+    "q224_embedding_health" -> ((s, dir) =>
+      embeddingHealth(Tables(s, dir, "embeddings")))
   )
+
+  /** q224's engine over any (label, embedding array<float>) frame —
+    * factored so the spec can plant null / NaN / zero-norm vectors and
+    * prove each counter fires. */
+  private[graft] def embeddingHealth(emb: DataFrame): DataFrame = {
+      val e = emb
+        .withColumn("dim",
+          when(col("embedding").isNull, lit(-1)).otherwise(size(col("embedding"))))
+        .withColumn("has_nan", coalesce(
+          expr("exists(embedding, x -> isnan(CAST(x AS DOUBLE)))"), lit(false)))
+        .withColumn("q2", when(col("embedding").isNull || col("has_nan"),
+          lit(null)).otherwise(expr(
+            "aggregate(transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)" +
+              " * 1048576.0) AS DECIMAL(38,0))), CAST(0 AS DECIMAL(38,0))," +
+              " (acc, v) -> acc + v * v)")))
+      e.groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(when(col("embedding").isNull, 1L).otherwise(0L)).as("n_null"),
+          sum(when(col("has_nan"), 1L).otherwise(0L)).as("n_nan"),
+          min(when(col("dim") >= 0, col("dim"))).as("dim_min"),
+          max(col("dim")).as("dim_max"),
+          sum(when(col("q2") === 0, 1L).otherwise(0L)).as("n_zero_norm"),
+          min(col("q2")).as("min_q2"), sum(col("q2")).as("sum_q2"))
+        // 2^40 fixed-point scale back to the 1e-6 grid: min and mean
+        .withColumn("min_norm2", expr(
+          "CAST((2 * min_q2 * 1000000 + 1099511627776) DIV " +
+            "(2 * CAST(1099511627776 AS DECIMAL(38,0))) AS BIGINT)")
+          .cast("double") / 1e6)
+        .withColumn("mean_norm2", expr(
+          "CAST((2 * sum_q2 * 1000000 + n_vecs * 1099511627776) DIV " +
+            "(2 * CAST(n_vecs AS DECIMAL(38,0)) * 1099511627776) AS BIGINT)")
+          .cast("double") / 1e6)
+        .select(col("label"), col("n_vecs"), col("n_null"), col("n_nan"),
+          col("dim_min"), col("dim_max"), col("n_zero_norm"),
+          col("min_norm2"), col("mean_norm2"))
+        .orderBy(col("label"))
+  }
 
   def oracles: Map[String, String] = Map(
     "q91_bloom_semijoin" ->
@@ -588,6 +637,46 @@ object SketchQueries extends QueryModule {
         |      n::HUGEINT * (n - 1) * 1099511627776)
         |     // (2 * n::HUGEINT * (n - 1) * 1099511627776)) END
         |    AS DOUBLE) / 1000000.0 AS mean_pair_dot
-        |FROM agg ORDER BY label""".stripMargin
+        |FROM agg ORDER BY label""".stripMargin,
+
+    "q224_embedding_health" ->
+      """WITH v AS (
+        |  SELECT label,
+        |    CASE WHEN embedding IS NULL THEN -1
+        |         ELSE len(embedding) END AS dim,
+        |    COALESCE(len(list_filter(embedding,
+        |      x -> isnan(CAST(x AS DOUBLE)))) > 0, FALSE) AS has_nan,
+        |    embedding
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT label, dim, has_nan,
+        |    CASE WHEN embedding IS NULL OR has_nan THEN NULL
+        |      ELSE list_sum(list_transform(
+        |        list_transform(embedding, x ->
+        |          CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS HUGEINT)),
+        |        f -> f * f)) END AS q2
+        |  FROM v),
+        |a AS (
+        |  SELECT label, COUNT(*) AS n_vecs,
+        |    CAST(SUM(CASE WHEN dim = -1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_null,
+        |    CAST(SUM(CASE WHEN has_nan THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_nan,
+        |    MIN(CASE WHEN dim >= 0 THEN dim END) AS dim_min,
+        |    MAX(dim) AS dim_max,
+        |    CAST(SUM(CASE WHEN q2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_zero_norm,
+        |    MIN(q2) AS min_q2, SUM(q2) AS sum_q2
+        |  FROM q GROUP BY 1)
+        |SELECT label, n_vecs, n_null, n_nan,
+        |  CAST(dim_min AS INT) AS dim_min, CAST(dim_max AS INT) AS dim_max,
+        |  n_zero_norm,
+        |  CAST(CAST((2 * min_q2 * 1000000 + 1099511627776) //
+        |    (2 * 1099511627776::HUGEINT) AS BIGINT) AS DOUBLE) / 1000000.0
+        |    AS min_norm2,
+        |  CAST(CAST((2 * sum_q2 * 1000000 + n_vecs * 1099511627776) //
+        |    (2 * n_vecs::HUGEINT * 1099511627776) AS BIGINT) AS DOUBLE)
+        |    / 1000000.0 AS mean_norm2
+        |FROM a ORDER BY label""".stripMargin
   )
 }

@@ -318,6 +318,81 @@ class GovernanceSpec extends AnyFunSuite with BeforeAndAfterAll {
       r.getAs[Double]("intra_share") <= 1.0)
   }
 
+  test("q222: NDCG recomputed brute-force for every user") {
+    val out = q("q222_ndcg_eval").collect()
+      .map(r => r.getAs[Long]("user_id") -> r).toMap
+    val weights = Array(1000000L, 630930L, 500000L, 430677L, 386853L)
+    val byUser = Tables(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        floor(col("value")).cast("long").as("rel"))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[java.sql.Timestamp]("ts"),
+        r.getAs[Long]("event_id"), r.getAs[Long]("rel")))
+      .groupBy(_._1)
+    assert(out.keySet == byUser.keySet)
+    for ((u, evs) <- byUser) {
+      val rels = evs.sortBy(e => (e._2.getTime, e._3)).take(5).map(_._4)
+      val dcg = rels.zip(weights).map { case (r, w) => r * w }.sum
+      val idcg = rels.sorted(Ordering[Long].reverse).zip(weights)
+        .map { case (r, w) => r * w }.sum
+      assert(out(u).getAs[Long]("dcg") == dcg, s"user $u dcg")
+      assert(out(u).getAs[Long]("idcg") == idcg, s"user $u idcg")
+      val micro = if (idcg == 0) 1000000L
+        else (2 * dcg * 1000000L + idcg) / (2 * idcg)
+      assert(math.abs(out(u).getAs[Double]("ndcg") - micro / 1e6) < 1e-12)
+      assert(dcg <= idcg, "ideal ordering dominates by rearrangement")
+    }
+  }
+
+  test("q223: the threshold curve is monotone and anchored at the q34 pair set") {
+    val rows = q("q223_dedup_threshold_curve").collect()
+    assert(rows.map(_.getAs[Double]("threshold")).toSeq ==
+      Seq(0.5, 0.6, 0.7, 0.8))
+    val pairs = rows.map(_.getAs[Long]("n_pairs"))
+    val docs = rows.map(_.getAs[Long]("n_docs_covered"))
+    assert(pairs.zip(pairs.tail).forall { case (a, b) => a >= b },
+      "tightening the threshold can only drop pairs")
+    assert(docs.zip(docs.tail).forall { case (a, b) => a >= b })
+    val q34 = SparkEntry.queries("q34_ngram_jaccard")(spark, dir).count()
+    assert(pairs.head == q34, "the 0.5 row IS the q34 pair count")
+    rows.foreach { r =>
+      assert(r.getAs[Double]("doc_share") >= 0.0 &&
+        r.getAs[Double]("doc_share") <= 1.0)
+      assert(r.getAs[Long]("n_docs_covered") <= 2 * r.getAs[Long]("n_pairs"),
+        "each pair covers at most two docs")
+    }
+  }
+
+  test("q224: planted null / NaN / zero-norm / ragged vectors each fire their counter") {
+    val ss = spark; import ss.implicits._
+    val good = Seq(0.6f, 0.8f)
+    val planted = Seq(
+      (0, Some(good)),                      // healthy: norm² = 1.0
+      (0, None),                            // null vector
+      (0, Some(Seq(Float.NaN, 1.0f))),      // NaN element
+      (0, Some(Seq(0.0f, 0.0f))),           // zero norm
+      (1, Some(Seq(1.0f)))                  // ragged dim (1 vs 2)
+    ).toDF("label", "embedding")
+    val out = graft.operators.SketchQueries.embeddingHealth(planted)
+      .collect().map(r => r.getAs[Int]("label") -> r).toMap
+    val l0 = out(0)
+    assert(l0.getAs[Long]("n_vecs") == 4)
+    assert(l0.getAs[Long]("n_null") == 1)
+    assert(l0.getAs[Long]("n_nan") == 1)
+    assert(l0.getAs[Long]("n_zero_norm") == 1)
+    assert(l0.getAs[Int]("dim_min") == 2 && l0.getAs[Int]("dim_max") == 2)
+    assert(out(1).getAs[Int]("dim_min") == 1)
+    // the healthy 3-4-5 vector: norm² = 0.36 + 0.64 = 1.0 on the grid
+    assert(math.abs(l0.getAs[Double]("min_norm2") - 0.0) < 1e-12)
+    // real corpus: clean across the board
+    val real = q("q224_embedding_health").collect()
+    assert(real.length == 10)
+    real.foreach { r =>
+      assert(r.getAs[Long]("n_null") == 0 && r.getAs[Long]("n_nan") == 0)
+      assert(r.getAs[Int]("dim_min") == 64 && r.getAs[Int]("dim_max") == 64)
+    }
+  }
+
   test("q211: both checksum paths agree and conserve the corpus") {
     val rows = q("q211_conservation_check").collect()
     assert(rows.length == 20)
