@@ -486,6 +486,36 @@ object GovernanceQueries extends QueryModule {
         .orderBy(col("event_type"))
     }),
 
+    // --- language-mix diversity (q225): per-source language
+    // concentration WITHOUT entropy's logarithm — Simpson concentration
+    // Σp² and its inverse ("effective number of languages"), both pure
+    // rationals in the counts, so the whole diversity report lands
+    // exactly on the 1e-6 grid (the repo rule: a score that must
+    // hash-match never meets a log or sqrt). One partial-agged pass to
+    // (source, lang) counts — a (sources x langs)-bounded exchange —
+    // then two grid divisions: simpson = Σc²/N², effective = N²/Σc².
+    // The curation read: effective ≈ 1 is a monolingual source,
+    // effective ≈ n_langs is a uniform mix.
+    "q225_lang_diversity" -> ((s, dir) => {
+      val sl = Tables(s, dir, "documents")
+        .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("c"))
+      sl.groupBy(col("source"))
+        .agg(sum(col("c")).cast("long").as("n_docs"),
+          count(lit(1)).as("n_langs"),
+          sum(expr("CAST(c AS DECIMAL(38,0)) * c")).as("c2"))
+        .withColumn("simpson", expr(
+          "CAST((2 * c2 * 1000000 + CAST(n_docs AS DECIMAL(38,0)) * n_docs) " +
+            "DIV (2 * CAST(n_docs AS DECIMAL(38,0)) * n_docs) AS BIGINT)")
+          .cast("double") / 1e6)
+        .withColumn("effective_langs", expr(
+          "CAST((2 * CAST(n_docs AS DECIMAL(38,0)) * n_docs * 1000000 + c2) " +
+            "DIV (2 * c2) AS BIGINT)")
+          .cast("double") / 1e6)
+        .select(col("source"), col("n_docs"), col("n_langs"),
+          col("simpson"), col("effective_langs"))
+        .orderBy(col("source"))
+    }),
+
     // --- LPT shard packing (q217): plan a balanced re-layout BEFORE
     // moving 100 TB — the longest-processing-time greedy (sort sources
     // by size desc, assign each to the currently-lightest shard; the
@@ -933,6 +963,21 @@ object GovernanceQueries extends QueryModule {
          |FROM marked m LEFT JOIN residual res ON res.event_type = m.event_type
          |GROUP BY m.event_type ORDER BY m.event_type""".stripMargin
     },
+
+    "q225_lang_diversity" ->
+      """WITH sl AS (
+        |  SELECT source, lang, COUNT(*) AS c FROM documents GROUP BY 1, 2),
+        |a AS (
+        |  SELECT source, CAST(SUM(c) AS BIGINT) AS n_docs,
+        |    COUNT(*) AS n_langs, SUM(c::HUGEINT * c) AS c2
+        |  FROM sl GROUP BY 1)
+        |SELECT source, n_docs, n_langs,
+        |  CAST(CAST((2 * c2 * 1000000 + n_docs::HUGEINT * n_docs) //
+        |    (2 * n_docs::HUGEINT * n_docs) AS BIGINT) AS DOUBLE) / 1000000.0
+        |    AS simpson,
+        |  CAST(CAST((2 * n_docs::HUGEINT * n_docs * 1000000 + c2) //
+        |    (2 * c2) AS BIGINT) AS DOUBLE) / 1000000.0 AS effective_langs
+        |FROM a ORDER BY source""".stripMargin,
 
     "q217_shard_packing" ->
       """WITH RECURSIVE sizes AS (

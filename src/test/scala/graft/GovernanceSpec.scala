@@ -393,6 +393,23 @@ class GovernanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q225: diversity bounds — 1 <= effective langs <= n_langs, simpson inverts") {
+    val rows = q("q225_lang_diversity").collect()
+    assert(rows.length == 20)
+    val docs = Tables(spark, dir, "documents").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs)
+    rows.foreach { r =>
+      val eff = r.getAs[Double]("effective_langs")
+      val nl = r.getAs[Long]("n_langs")
+      assert(eff >= 1.0 - 1e-6 && eff <= nl + 1e-6,
+        s"effective langs must lie in [1, n_langs]: $r")
+      val simpson = r.getAs[Double]("simpson")
+      assert(simpson >= 1.0 / nl - 1e-6 && simpson <= 1.0 + 1e-6)
+      // the two grids are reciprocal up to grid rounding
+      assert(math.abs(eff * simpson - 1.0) < 2e-3, r.toString)
+    }
+  }
+
   test("q211: both checksum paths agree and conserve the corpus") {
     val rows = q("q211_conservation_check").collect()
     assert(rows.length == 20)
