@@ -1052,22 +1052,7 @@ object CorpusQueries extends QueryModule {
     // one (doc, bucket) map-side-combined groupBy → one doc-keyed
     // aggregate; pure linear pipeline, no joins, no windows.
     "q137_quality_classifier" -> ((s, dir) => {
-      Tables(s, dir, "documents")
-        .select(col("doc_id"), explode(expr(toksSql)).as("term"))
-        .withColumn("bucket",
-          expr("CAST(conv(substring(md5(term), 1, 4), 16, 10) AS INT) % 256"))
-        .groupBy(col("doc_id"), col("bucket")).agg(count(lit(1)).as("cnt"))
-        .withColumn("wm", expr("(bucket * 2654435761) % 2001 - 1000"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("nnz"),
-          sum(col("cnt") * col("wm")).as("lm"), sum(col("cnt")).as("n_terms"))
-        // logit = lm / (n_terms * 1000) at 6 dp via INTEGER half-away-
-        // from-zero division (sign split keeps operands positive) — the
-        // q117 lesson: round(double, 6) on a half-grid ratio resolves
-        // differently in Spark (shortest-repr) and DuckDB (binary value)
-        .withColumn("lg_micro", expr(
-          "CASE WHEN lm >= 0 THEN (2 * lm * 1000 + n_terms) DIV (2 * n_terms) " +
-          "ELSE -((2 * (-lm) * 1000 + n_terms) DIV (2 * n_terms)) END"))
+      classifierScores(Tables(s, dir, "documents"))
         .select(col("doc_id"), col("nnz"),
           (col("lg_micro").cast("double") / lit(1000000.0)).as("logit"),
           (col("lm") > 0).as("keep"))
@@ -1971,6 +1956,116 @@ object CorpusQueries extends QueryModule {
         .select(col("source"), col("lang"), col("n_docs"),
           col("quota"), col("extra"), col("alloc"))
         .orderBy(col("source"), col("lang"))
+    }),
+
+    // --- classifier ranking eval (q226): AUC of the q137 quality
+    // classifier against an INDEPENDENT rule-based gold label (the q192
+    // Gopher repetition gate — different features, so agreement is a
+    // genuine eval, not score-vs-itself). AUC = P(score_pos > score_neg)
+    // + ½P(tie), computed WITHOUT the n·log n global sort or the n²
+    // pair join: the classifier's lg_micro logit is an integer with a
+    // BOUNDED domain ([-1e6, 1e6] — see classifierScores), so scores
+    // collapse to a (source, score)-keyed histogram first (exchange
+    // capped by the score DOMAIN × sources, never rows) and the
+    // Mann-Whitney rank-sum runs over that bounded frame: one window per
+    // source accumulates negatives below each score, W2 = Σ_s pos_s ·
+    // (2·cum_neg_lt + neg_s) = 2·wins + ties, AUC = W2 / (2·n1·n0) on
+    // the half-up 1e-6 grid. DECIMAL(38,0) through the products so the
+    // arithmetic cannot wrap at corpus scale. Sources missing a class
+    // are excluded (AUC is undefined there), deterministically in both
+    // engines.
+    "q226_auc_rank" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val sc = classifierScores(d).select(col("doc_id"), col("lg_micro"))
+      val lbl = repetitionStats(d).select(col("doc_id"), col("source"),
+        (col("pass_top") && col("pass_dup")).as("pos"))
+      aucBySource(lbl.join(sc, Seq("doc_id"))
+        .select(col("source"), col("lg_micro"), col("pos")))
+        .orderBy(col("source"))
+    }),
+
+    // --- classifier calibration eval (q227): the reliability diagram +
+    // expected-calibration-error decomposition for the q137 scorer
+    // against the q192 gold label. Confidence = the bounded-domain logit
+    // mapped linearly onto [0, 1e6] ppm (conf = (lg_micro + 1e6) DIV 2 —
+    // monotone, integer, engine-identical; a sigmoid would add a
+    // transcendental for no eval benefit), binned into 10 equal bins.
+    // Per bin: mass, mean confidence, observed positive rate, |gap|, and
+    // the mass-weighted ECE contribution — every ratio a half-up 1e-6
+    // grid division of exact integers. Shape: the doc-level score chain
+    // then ONE bins-bounded aggregate + a 1-row broadcast total; bins
+    // with zero mass contribute zero ECE by definition, so (unlike
+    // q209's seasonal grid, where absence itself deviates) restoring
+    // empty bins would add nothing — both engines drop the same ones.
+    "q227_calibration_ece" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val sc = classifierScores(d).select(col("doc_id"), col("lg_micro"))
+      val lbl = repetitionStats(d).select(col("doc_id"),
+        (col("pass_top") && col("pass_dup")).as("pos"))
+      val perBin = lbl.join(sc, Seq("doc_id"))
+        .withColumn("conf_ppm", expr("(lg_micro + 1000000) DIV 2"))
+        .withColumn("bin", least(lit(9L), expr("(conf_ppm * 10) DIV 1000000")))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("conf_ppm")).as("sconf"),
+          sum(when(col("pos"), 1L).otherwise(0L)).as("npos"))
+      perBin
+        .crossJoin(broadcast(perBin.agg(sum(col("n_docs")).as("n_tot"))))
+        .withColumn("conf_mean_ppm",
+          expr("(2 * CAST(sconf AS DECIMAL(38,0)) + n_docs) DIV (2 * CAST(n_docs AS DECIMAL(38,0)))").cast("long"))
+        .withColumn("acc_ppm",
+          expr("(2 * CAST(npos AS DECIMAL(38,0)) * 1000000 + n_docs) DIV (2 * CAST(n_docs AS DECIMAL(38,0)))").cast("long"))
+        .withColumn("gap_ppm", abs(col("conf_mean_ppm") - col("acc_ppm")))
+        .withColumn("contrib_ppm",
+          expr("(2 * CAST(n_docs AS DECIMAL(38,0)) * gap_ppm + n_tot) DIV (2 * CAST(n_tot AS DECIMAL(38,0)))").cast("long"))
+        .select(col("bin"), col("n_docs"),
+          (col("conf_mean_ppm").cast("double") / lit(1000000.0)).as("mean_conf"),
+          (col("acc_ppm").cast("double") / lit(1000000.0)).as("frac_pos"),
+          (col("gap_ppm").cast("double") / lit(1000000.0)).as("gap"),
+          (col("contrib_ppm").cast("double") / lit(1000000.0)).as("ece_contrib"))
+        .orderBy(col("bin"))
+    }),
+
+    // --- Pareto-frontier document mining (q229): the docs no other doc
+    // dominates on (quality DESC, length ASC) — the candidate set a
+    // budget-constrained selection sweeps first (any monotone
+    // quality-per-token objective is maximized ON this frontier).
+    // Doc d is dominated iff some d' has score >= s AND toks <= t with
+    // one strict. The naive skyline is an n² NOT EXISTS or an n·log n
+    // global sort; neither survives 100 TB. Here the 2-D skyline
+    // collapses FIRST onto the classifier's bounded score domain (see
+    // classifierScores: lg_micro ∈ [-1e6, 1e6]): one partial-agged
+    // groupBy(score) keeps min-toks per score — the exchange is capped
+    // by the DOMAIN, never rows — then the frontier test is a window
+    // over that bounded frame (score on the frontier iff its min_toks
+    // beats every strictly-higher score's min: run_min over preceding
+    // rows at one row per score). Docs rejoin the surviving (score,
+    // min_toks) pairs by hash join — ties on BOTH coordinates are
+    // mutually non-dominating and all kept. Every comparison is
+    // integer; the frontier is by construction strictly monotone
+    // (score desc => toks desc after dedup... asserted in spec).
+    "q229_pareto_frontier" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables(s, dir, "documents")
+      val scored = classifierScores(d)
+        .select(col("doc_id"), col("lg_micro"), col("n_terms").as("n_toks"))
+      val perScore = scored.groupBy(col("lg_micro"))
+        .agg(min(col("n_toks")).as("min_toks"))
+      val higher = Window.orderBy(col("lg_micro").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val frontier = perScore
+        .withColumn("run_min", min(col("min_toks")).over(higher))
+        .filter(col("run_min").isNull || col("min_toks") < col("run_min"))
+        .select(col("lg_micro"), col("min_toks"))
+      scored.join(frontier,
+          scored("lg_micro") === frontier("lg_micro") &&
+            scored("n_toks") === frontier("min_toks"))
+        .select(col("doc_id"), scored("lg_micro"), col("n_toks"))
+        .join(d.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .select(col("doc_id"), col("source"),
+          (col("lg_micro").cast("double") / lit(1000000.0)).as("quality"),
+          col("n_toks"))
+        .orderBy(col("quality").desc, col("doc_id"))
     })
   )
 
@@ -2018,6 +2113,66 @@ object CorpusQueries extends QueryModule {
     * scorecard and planted tests: one row per doc with the raw counts,
     * the half-up ppm scores, and the integer cross-multiplied pass
     * flags (see the q192 entry comment for the rules). Map-side only. */
+  /** q137's hashed-bag-of-words linear scorer, factored so the
+    * classifier-eval queries (q226 AUC, q227 calibration) share the
+    * exact scoring chain they evaluate. Output one row per doc:
+    * (doc_id, nnz, lm, n_terms, lg_micro) where lg_micro is the logit
+    * on the half-away-from-zero 1e-6 grid — an INTEGER with a BOUNDED
+    * domain: |lm| <= 1000·n_terms (weights are milli-units in
+    * [-1000, 1000]) so lg_micro ∈ [-1e6, 1e6]. That bound is what lets
+    * q226 rank-sum over score VALUES (exchange capped by the score
+    * domain, never rows) instead of sorting the corpus. */
+  private[graft] def classifierScores(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), explode(expr(toksSql)).as("term"))
+      .withColumn("bucket",
+        expr("CAST(conv(substring(md5(term), 1, 4), 16, 10) AS INT) % 256"))
+      .groupBy(col("doc_id"), col("bucket")).agg(count(lit(1)).as("cnt"))
+      .withColumn("wm", expr("(bucket * 2654435761) % 2001 - 1000"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("nnz"),
+        sum(col("cnt") * col("wm")).as("lm"), sum(col("cnt")).as("n_terms"))
+      // logit = lm / (n_terms * 1000) at 6 dp via INTEGER half-away-
+      // from-zero division (sign split keeps operands positive) — the
+      // q117 lesson: round(double, 6) on a half-grid ratio resolves
+      // differently in Spark (shortest-repr) and DuckDB (binary value)
+      .withColumn("lg_micro", expr(
+        "CASE WHEN lm >= 0 THEN (2 * lm * 1000 + n_terms) DIV (2 * n_terms) " +
+        "ELSE -((2 * (-lm) * 1000 + n_terms) DIV (2 * n_terms)) END"))
+
+  /** q226's bounded-histogram Mann-Whitney rank-sum, factored so the
+    * spec can certify closed-form cases (perfect separation -> 1.0,
+    * all-ties -> 0.5, inversion -> 0.0). Input: one row per scored item
+    * (source, lg_micro: integer score on a bounded domain, pos:
+    * boolean gold label). Output per source with both classes present:
+    * (source, n_pos, n_neg, w2 = 2·wins + ties, auc on the half-up
+    * 1e-6 grid). The exchange is capped by distinct score values ×
+    * sources — the reason the score must live on a bounded grid. */
+  private[graft] def aucBySource(scored: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = scored
+      .groupBy(col("source"), col("lg_micro"))
+      .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("pc"),
+        sum(when(col("pos"), 0L).otherwise(1L)).as("nc"))
+    val below = Window.partitionBy(col("source")).orderBy(col("lg_micro"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    hist
+      .withColumn("cum_neg", coalesce(sum(col("nc")).over(below), lit(0L)))
+      .groupBy(col("source"))
+      .agg(sum(col("pc")).cast("long").as("n_pos"),
+        sum(col("nc")).cast("long").as("n_neg"),
+        sum(expr("CAST(pc AS DECIMAL(38,0)) * (2 * cum_neg + nc)"))
+          .as("w2d"))
+      .filter(col("n_pos") > 0 && col("n_neg") > 0)
+      .withColumn("auc_ppm", expr(
+        "(2 * w2d * 1000000 + 2 * CAST(n_pos AS DECIMAL(38,0)) * n_neg) " +
+          "DIV (4 * CAST(n_pos AS DECIMAL(38,0)) * n_neg)"))
+      .select(col("source"), col("n_pos"), col("n_neg"),
+        col("w2d").cast("long").as("w2"),
+        (col("auc_ppm").cast("long").cast("double") / lit(1000000.0))
+          .as("auc"))
+  }
+
   private[graft] def repetitionStats(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), col("source"), expr(toksSql).as("tk"))
@@ -3889,6 +4044,146 @@ object CorpusQueries extends QueryModule {
         |  rk <= r AS extra,
         |  CAST(quota + CASE WHEN rk <= r THEN 1 ELSE 0 END AS BIGINT)
         |    AS alloc
-        |FROM rk ORDER BY source, lang""".stripMargin
+        |FROM rk ORDER BY source, lang""".stripMargin,
+
+    // q137's score chain + q192's gold-label chain re-derived, then the
+    // identical bounded-histogram Mann-Whitney rank-sum in HUGEINT.
+    "q226_auc_rank" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    unnest(string_split_regex(trim(text), '\\s+')) AS term
+         |  FROM documents),
+         |b AS (SELECT doc_id,
+         |    CAST('0x' || substr(md5(term), 1, 4) AS INT) % 256 AS bucket,
+         |    COUNT(*) AS cnt
+         |  FROM t GROUP BY 1, 2),
+         |sc AS (SELECT doc_id,
+         |    SUM(cnt * ((bucket * 2654435761) % 2001 - 1000)) AS lm,
+         |    SUM(cnt) AS n_terms
+         |  FROM b GROUP BY doc_id),
+         |lg AS (SELECT doc_id, CASE WHEN lm >= 0
+         |    THEN (2 * lm * 1000 + n_terms) // (2 * n_terms)
+         |    ELSE -((2 * (-lm) * 1000 + n_terms) // (2 * n_terms)) END
+         |    AS lg_micro FROM sc),
+         |tk AS (SELECT doc_id, source,
+         |    string_split_regex(trim(text), '\\s+') AS tk FROM documents),
+         |st AS (SELECT doc_id, source, len(tk) AS n,
+         |    list_max(list_transform(list_distinct(tk),
+         |      t -> len(list_filter(tk, x -> x = t)))) AS topc,
+         |    CASE WHEN len(tk) >= 2 THEN (len(tk) - 1) -
+         |      len(list_distinct(list_transform(range(1, len(tk)),
+         |        i -> tk[i] || ' ' || tk[i + 1]))) ELSE 0 END AS dupbg,
+         |    CASE WHEN len(tk) >= 2 THEN len(tk) - 1 ELSE 0 END AS nbg
+         |  FROM tk),
+         |lbl AS (SELECT doc_id, source,
+         |    (topc * 10 <= n AND dupbg * 100 <= 3 * nbg) AS pos FROM st),
+         |hist AS (SELECT source, lg_micro,
+         |    SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS pc,
+         |    SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS nc
+         |  FROM lbl JOIN lg USING (doc_id) GROUP BY 1, 2),
+         |w AS (SELECT source, pc, nc,
+         |    COALESCE(SUM(nc) OVER (PARTITION BY source ORDER BY lg_micro
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS cum_neg
+         |  FROM hist),
+         |agg AS (SELECT source,
+         |    CAST(SUM(pc) AS BIGINT) AS n_pos,
+         |    CAST(SUM(nc) AS BIGINT) AS n_neg,
+         |    SUM(pc::HUGEINT * (2 * cum_neg + nc)) AS w2d
+         |  FROM w GROUP BY source)
+         |SELECT source, n_pos, n_neg, CAST(w2d AS BIGINT) AS w2,
+         |  CAST(CAST((2 * w2d * 1000000 + 2 * n_pos::HUGEINT * n_neg) //
+         |    (4 * n_pos::HUGEINT * n_neg) AS BIGINT) AS DOUBLE) / 1000000.0
+         |    AS auc
+         |FROM agg WHERE n_pos > 0 AND n_neg > 0 ORDER BY source""".stripMargin,
+
+    // Same score + label chains, linear confidence map, 10-bin
+    // reliability rollup on the half-up ppm grid.
+    "q227_calibration_ece" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    unnest(string_split_regex(trim(text), '\\s+')) AS term
+         |  FROM documents),
+         |b AS (SELECT doc_id,
+         |    CAST('0x' || substr(md5(term), 1, 4) AS INT) % 256 AS bucket,
+         |    COUNT(*) AS cnt
+         |  FROM t GROUP BY 1, 2),
+         |sc AS (SELECT doc_id,
+         |    SUM(cnt * ((bucket * 2654435761) % 2001 - 1000)) AS lm,
+         |    SUM(cnt) AS n_terms
+         |  FROM b GROUP BY doc_id),
+         |lg AS (SELECT doc_id, CASE WHEN lm >= 0
+         |    THEN (2 * lm * 1000 + n_terms) // (2 * n_terms)
+         |    ELSE -((2 * (-lm) * 1000 + n_terms) // (2 * n_terms)) END
+         |    AS lg_micro FROM sc),
+         |tk AS (SELECT doc_id,
+         |    string_split_regex(trim(text), '\\s+') AS tk FROM documents),
+         |st AS (SELECT doc_id, len(tk) AS n,
+         |    list_max(list_transform(list_distinct(tk),
+         |      t -> len(list_filter(tk, x -> x = t)))) AS topc,
+         |    CASE WHEN len(tk) >= 2 THEN (len(tk) - 1) -
+         |      len(list_distinct(list_transform(range(1, len(tk)),
+         |        i -> tk[i] || ' ' || tk[i + 1]))) ELSE 0 END AS dupbg,
+         |    CASE WHEN len(tk) >= 2 THEN len(tk) - 1 ELSE 0 END AS nbg
+         |  FROM tk),
+         |lbl AS (SELECT doc_id,
+         |    (topc * 10 <= n AND dupbg * 100 <= 3 * nbg) AS pos FROM st),
+         |binned AS (SELECT (lg_micro + 1000000) // 2 AS conf_ppm, pos
+         |  FROM lbl JOIN lg USING (doc_id)),
+         |perbin AS (SELECT CAST(LEAST(9, (conf_ppm * 10) // 1000000)
+         |      AS BIGINT) AS bin,
+         |    COUNT(*) AS n_docs, SUM(conf_ppm) AS sconf,
+         |    SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS npos
+         |  FROM binned GROUP BY 1),
+         |tot AS (SELECT SUM(n_docs) AS n_tot FROM perbin),
+         |calc AS (SELECT bin, CAST(n_docs AS BIGINT) AS n_docs,
+         |    (2 * sconf::HUGEINT + n_docs) // (2 * n_docs::HUGEINT)
+         |      AS conf_mean_ppm,
+         |    (2 * npos::HUGEINT * 1000000 + n_docs) //
+         |      (2 * n_docs::HUGEINT) AS acc_ppm,
+         |    n_tot FROM perbin, tot)
+         |SELECT bin, n_docs,
+         |  CAST(CAST(conf_mean_ppm AS BIGINT) AS DOUBLE) / 1000000.0
+         |    AS mean_conf,
+         |  CAST(CAST(acc_ppm AS BIGINT) AS DOUBLE) / 1000000.0 AS frac_pos,
+         |  CAST(CAST(abs(conf_mean_ppm - acc_ppm) AS BIGINT) AS DOUBLE)
+         |    / 1000000.0 AS gap,
+         |  CAST(CAST((2 * n_docs::HUGEINT * abs(conf_mean_ppm - acc_ppm)
+         |    + n_tot) // (2 * n_tot::HUGEINT) AS BIGINT) AS DOUBLE)
+         |    / 1000000.0 AS ece_contrib
+         |FROM calc ORDER BY bin""".stripMargin,
+
+    // q137's score chain, the domain-collapsed per-score min-toks, the
+    // run-min frontier window, and the rejoin on both coordinates.
+    "q229_pareto_frontier" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    unnest(string_split_regex(trim(text), '\\s+')) AS term
+         |  FROM documents),
+         |b AS (SELECT doc_id,
+         |    CAST('0x' || substr(md5(term), 1, 4) AS INT) % 256 AS bucket,
+         |    COUNT(*) AS cnt
+         |  FROM t GROUP BY 1, 2),
+         |sc AS (SELECT doc_id,
+         |    SUM(cnt * ((bucket * 2654435761) % 2001 - 1000)) AS lm,
+         |    SUM(cnt) AS n_terms
+         |  FROM b GROUP BY doc_id),
+         |lg AS (SELECT doc_id, CASE WHEN lm >= 0
+         |    THEN (2 * lm * 1000 + n_terms) // (2 * n_terms)
+         |    ELSE -((2 * (-lm) * 1000 + n_terms) // (2 * n_terms)) END
+         |    AS lg_micro,
+         |    CAST(n_terms AS BIGINT) AS n_toks FROM sc),
+         |ps AS (SELECT lg_micro, MIN(n_toks) AS min_toks
+         |  FROM lg GROUP BY 1),
+         |fr AS (SELECT lg_micro, min_toks,
+         |    MIN(min_toks) OVER (ORDER BY lg_micro DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |      AS run_min
+         |  FROM ps),
+         |f2 AS (SELECT lg_micro, min_toks FROM fr
+         |  WHERE run_min IS NULL OR min_toks < run_min)
+         |SELECT l.doc_id, d.source,
+         |  CAST(l.lg_micro AS DOUBLE) / 1000000.0 AS quality, l.n_toks
+         |FROM lg l
+         |JOIN f2 ON l.lg_micro = f2.lg_micro AND l.n_toks = f2.min_toks
+         |JOIN documents d USING (doc_id)
+         |ORDER BY quality DESC, doc_id""".stripMargin
   )
 }

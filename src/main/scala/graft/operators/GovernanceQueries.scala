@@ -631,8 +631,79 @@ object GovernanceQueries extends QueryModule {
           col("n_intra") * 32 > col("n_pairs") * 2)
         .select(col("n_pairs"), col("n_intra"), col("intra_share"),
           col("expected_share"), col("colocated_risk"))
-    })
+    }),
+
+    // --- l-diversity + t-closeness audit (q228): the two refinements of
+    // q204's k-anonymity (Machanavajjhala's l-diversity, Li's
+    // t-closeness). k-anonymity alone is defeated by a HOMOGENEOUS
+    // class: every row shares the sensitive value, so linking a person
+    // to the class discloses it even at k=50. Here QI = (nation,
+    // balance band), sensitive = market segment. Per class: l = distinct
+    // sensitive values, and the t-closeness distance = total-variation
+    // between the class's segment mix and the corpus mix — computed by
+    // exact integer CROSS-multiplication (|cnt·N − g·n| summed over the
+    // RESTORED class×segment grid; absent segments deviate too — the
+    // q187/q209 lesson), halved and half-up onto the 1e-6 grid. Shape:
+    // one partial-agged scan to (nation, band, segment) counts — the
+    // exchange is bounded by the QI×sensitive DOMAIN, never rows — then
+    // every subsequent frame is classes-bounded with 1-row/5-row
+    // broadcasts; the grid restore is a classes×segments broadcast
+    // cross. Report per nation: class count, worst (min) l, homogeneous
+    // classes and the rows they expose, worst t, and the disclosure
+    // share on the grid. At 100 TB the audit's cost stays one scan.
+    "q228_l_diversity" -> ((s, dir) =>
+      lDiversityAudit(Tables(s, dir, "customer")
+        .select(col("c_nationkey").as("nat"),
+          floor(col("c_acctbal") / lit(1000.0)).cast("long").as("band"),
+          col("c_mktsegment").as("seg")))
+        .orderBy(col("nat")))
   )
+
+  /** q228's audit core over any (nat, band, seg) projection — factored
+    * so the spec can certify closed-form plants: a homogeneous class is
+    * counted and its rows exposed; a class whose sensitive mix equals
+    * the corpus mix scores t = 0 exactly. See the q228 entry comment
+    * for the shape argument. */
+  private[graft] def lDiversityAudit(rows: DataFrame): DataFrame = {
+    val cells = rows
+      .groupBy(col("nat"), col("band"), col("seg"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // QI×segment-bounded; feeds three rollups
+    val segMix = cells.groupBy(col("seg")).agg(sum(col("cnt")).as("g"))
+    val total = segMix.agg(sum(col("g")).cast("long").as("n_tot"))
+    val classes = cells.groupBy(col("nat"), col("band"))
+      .agg(sum(col("cnt")).cast("long").as("n_class"),
+        count(lit(1)).as("l"))
+    val tvd = classes
+      .crossJoin(broadcast(segMix)) // restore absent segments
+      .join(cells.withColumnRenamed("cnt", "c_cnt"),
+        Seq("nat", "band", "seg"), "left")
+      .withColumn("c_cnt", coalesce(col("c_cnt"), lit(0L)))
+      .crossJoin(broadcast(total))
+      .withColumn("dev", expr(
+        "abs(CAST(c_cnt AS DECIMAL(38,0)) * n_tot - CAST(g AS DECIMAL(38,0)) * n_class)"))
+      .groupBy(col("nat"), col("band"), col("n_class"), col("l"),
+        col("n_tot"))
+      .agg(sum(col("dev")).as("sdev"))
+      .withColumn("tvd_ppm", expr(
+        "(2 * sdev * 1000000 + 2 * CAST(n_class AS DECIMAL(38,0)) * n_tot) " +
+          "DIV (4 * CAST(n_class AS DECIMAL(38,0)) * n_tot)").cast("long"))
+    tvd.groupBy(col("nat"))
+      .agg(count(lit(1)).as("n_classes"),
+        sum(col("n_class")).cast("long").as("n_rows"),
+        min(col("l")).as("min_l"),
+        sum(when(col("l") === 1, 1L).otherwise(0L)).as("homogeneous_classes"),
+        sum(when(col("l") === 1, col("n_class")).otherwise(lit(0L)))
+          .cast("long").as("rows_disclosed"),
+        max(col("tvd_ppm")).as("max_tvd_ppm"))
+      .withColumn("disclosure_risk",
+        expr(gridDiv("rows_disclosed", "n_rows")).cast("long")
+          .cast("double") / 1e6)
+      .select(col("nat"), col("n_classes"), col("n_rows"), col("min_l"),
+        col("homogeneous_classes"), col("rows_disclosed"),
+        (col("max_tvd_ppm").cast("double") / 1e6).as("max_tvd"),
+        col("disclosure_risk"))
+  }
 
   /** q219's per-user timing stats over any (user_id, ts, event_id)
     * stream — factored so the spec can feed a PLANTED bot frame and
@@ -1136,6 +1207,45 @@ object GovernanceQueries extends QueryModule {
          |  (n_docs = n2 AND checksum = checksum2) AS matches
          |FROM direct JOIN via ON via.source = direct.source
          |ORDER BY direct.source""".stripMargin
-    }
+    },
+
+    // QI×segment cells, restored grid, integer cross-multiplied TVD —
+    // the q228 chain re-derived with HUGEINT products.
+    "q228_l_diversity" ->
+      """WITH cells AS (SELECT c_nationkey AS nat,
+        |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS band,
+        |    c_mktsegment AS seg, COUNT(*) AS cnt
+        |  FROM customer GROUP BY 1, 2, 3),
+        |segmix AS (SELECT seg, SUM(cnt) AS g FROM cells GROUP BY 1),
+        |total AS (SELECT CAST(SUM(g) AS BIGINT) AS n_tot FROM segmix),
+        |classes AS (SELECT nat, band, CAST(SUM(cnt) AS BIGINT) AS n_class,
+        |    COUNT(*) AS l
+        |  FROM cells GROUP BY 1, 2),
+        |grid AS (SELECT c.nat, c.band, c.n_class, c.l, s.seg, s.g,
+        |    t.n_tot, COALESCE(x.cnt, 0) AS c_cnt
+        |  FROM classes c CROSS JOIN segmix s CROSS JOIN total t
+        |  LEFT JOIN cells x
+        |    ON x.nat = c.nat AND x.band = c.band AND x.seg = s.seg),
+        |tvd AS (SELECT nat, band, n_class, l, n_tot,
+        |    SUM(abs(c_cnt::HUGEINT * n_tot - g::HUGEINT * n_class))
+        |      AS sdev
+        |  FROM grid GROUP BY 1, 2, 3, 4, 5),
+        |tv AS (SELECT nat, band, n_class, l,
+        |    (2 * sdev * 1000000 + 2 * n_class::HUGEINT * n_tot) //
+        |      (4 * n_class::HUGEINT * n_tot) AS tvd_ppm
+        |  FROM tvd)
+        |SELECT nat, COUNT(*) AS n_classes,
+        |  CAST(SUM(n_class) AS BIGINT) AS n_rows, MIN(l) AS min_l,
+        |  CAST(SUM(CASE WHEN l = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS homogeneous_classes,
+        |  CAST(SUM(CASE WHEN l = 1 THEN n_class ELSE 0 END) AS BIGINT)
+        |    AS rows_disclosed,
+        |  CAST(CAST(MAX(tvd_ppm) AS BIGINT) AS DOUBLE) / 1000000.0
+        |    AS max_tvd,
+        |  CAST(CAST((2 * SUM(CASE WHEN l = 1 THEN n_class ELSE 0
+        |      END)::HUGEINT * 1000000 + SUM(n_class)) //
+        |    (2 * SUM(n_class)::HUGEINT) AS BIGINT) AS DOUBLE) / 1000000.0
+        |    AS disclosure_risk
+        |FROM tv GROUP BY nat ORDER BY nat""".stripMargin
   )
 }

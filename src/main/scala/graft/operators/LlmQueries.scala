@@ -2378,8 +2378,81 @@ object LlmQueries extends QueryModule {
         .select(expr(
           "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 65536.0D) AS BIGINT))")
           .as("f")))
-        .orderBy(col("dim")))
+        .orderBy(col("dim"))),
+
+    // --- MMR diversified selection (q230): Carbonell & Goldstein's
+    // maximal-marginal-relevance re-ranking — the standard fix for
+    // "the top-k are 8 copies of the same thing" in retrieval AND the
+    // diversity rule in coreset-style data selection. Greedy: each
+    // round picks argmin over remaining of λ·d²(x, query) −
+    // (1−λ)·min_{c∈chosen} d²(x, c) with λ = 0.7 (scaled to integers
+    // 7/3; an empty chosen set contributes 0, so round 1 is pure
+    // relevance). The "query" is the corpus centroid on the same 2^16
+    // integer grid as the vectors (sum DIV n per dim, sign-safe — the
+    // q138/q156 fixed-point centroid discipline), so every distance,
+    // weight, and tie-break is exact integer arithmetic. Scale shape =
+    // q174's: k passes, each a map-side min against the ≤k-row
+    // broadcast chosen set + ONE max(struct) argmax partial agg — no
+    // window, no global sort, the corpus localCheckpointed once.
+    "q230_mmr_select" -> ((s, dir) =>
+      mmrChosen(Tables(s, dir, "embeddings")
+        .select(col("vec_id"), expr(
+          "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 65536.0D) AS BIGINT))")
+          .as("f")), k = 8)
+        .orderBy(col("rnk")))
   )
+
+  /** q230's engine (factored so LlmSpec can drive planted geometries):
+    * greedy MMR over a (vec_id, f: array&lt;bigint&gt;) frame against the
+    * fixed-point corpus centroid. Each round minimizes
+    * 7·d²(x, centroid) − 3·min_{c∈chosen} d²(x, c), ties to the
+    * smaller vec_id; round 1 has dmin = 0 (empty chosen set) and so is
+    * pure relevance. Returns (rnk, vec_id, d2q, dmin, mmr). */
+  private[graft] def mmrChosen(quantized: DataFrame, k: Int): DataFrame = {
+    val e = quantized.localCheckpoint() // scanned once, probed k times
+    val cq = e.select(posexplode(col("f")).as(Seq("i", "x")))
+      .groupBy(col("i"))
+      .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+      // sign-safe truncating division: Spark DIV truncates, DuckDB //
+      // floors — abs-then-reapply-sign makes the engines agree on the
+      // negative components (the q159/q171 rule)
+      .withColumn("c", expr(
+        "CASE WHEN sx >= 0 THEN sx DIV n ELSE -((-sx) DIV n) END"))
+      .agg(expr("transform(sort_array(collect_list(struct(i, c))), s -> s.c)")
+        .as("cf"))
+    val d2qSql = "aggregate(zip_with(f, cf, (x, y) -> (x - y) * (x - y)), " +
+      "0L, (acc, z) -> acc + z)"
+    val d2cSql = "aggregate(zip_with(f, gf, (x, y) -> (x - y) * (x - y)), " +
+      "0L, (acc, z) -> acc + z)"
+    val rel = e.crossJoin(broadcast(cq)).withColumn("d2q", expr(d2qSql))
+      .select(col("vec_id"), col("f"), col("d2q"))
+      .localCheckpoint()
+    var chosen = rel
+      .agg(max(struct((-col("d2q") * 7).as("negmmr"), (-col("vec_id")).as("neg"),
+        col("d2q"), col("f"))).as("m"))
+      .select(lit(1).as("rnk"), (-col("m.neg")).as("vec_id"),
+        col("m.d2q").as("d2q"), lit(0L).as("dmin"),
+        (-col("m.negmmr")).as("mmr"), col("m.f").as("f"))
+      .localCheckpoint()
+    for (r <- 2 to k) {
+      val next = rel
+        .join(chosen.select(col("vec_id")), Seq("vec_id"), "left_anti")
+        .crossJoin(broadcast(chosen.select(col("f").as("gf"))))
+        .withColumn("d2c", expr(d2cSql))
+        .groupBy(col("vec_id"))
+        .agg(min(col("d2c")).as("dmin"), first(col("d2q")).as("d2q"),
+          first(col("f")).as("f"))
+        .withColumn("mmr", col("d2q") * 7 - col("dmin") * 3)
+        .agg(max(struct((-col("mmr")).as("negmmr"), (-col("vec_id")).as("neg"),
+          col("d2q"), col("dmin"), col("f"))).as("m"))
+        .select(lit(r).as("rnk"), (-col("m.neg")).as("vec_id"),
+          col("m.d2q").as("d2q"), col("m.dmin").as("dmin"),
+          (-col("m.negmmr")).as("mmr"), col("m.f").as("f"))
+      chosen = chosen.union(next).localCheckpoint()
+    }
+    chosen.select(col("rnk"), col("vec_id"), col("d2q"), col("dmin"),
+      col("mmr"))
+  }
 
   /** q174's engine (factored so LlmSpec can drive planted geometries):
     * Gonzalez greedy farthest-point traversal over a (vec_id,
@@ -3911,6 +3984,45 @@ object LlmQueries extends QueryModule {
          |SELECT v.j AS dim, CAST(v.val AS DOUBLE) / 1000000.0 AS comp,
          |  CAST(lm AS DOUBLE) / 1000000.0 AS ev_lambda
          |FROM v20 v, lam ORDER BY dim""".stripMargin
+    },
+
+    // The fixed-point centroid, the relevance distances, then all 8
+    // greedy MMR rounds unrolled with the engine's exact
+    // (mmr ASC, vec_id ASC) pick order.
+    "q230_mmr_select" -> {
+      val rounds = (2 to 8).map { r =>
+        s"""nx$r AS (
+           |  SELECT $r AS rnk, vec_id, d2q, dmin,
+           |    7 * d2q - 3 * dmin AS mmr, f FROM (
+           |    SELECT x.vec_id, x.f, x.d2q,
+           |      CAST(min(list_sum(list_transform(range(1, 65),
+           |        i -> (x.f[i] - c.f[i]) * (x.f[i] - c.f[i])))) AS BIGINT)
+           |        AS dmin
+           |    FROM rel x, ch${r - 1} c
+           |    WHERE x.vec_id NOT IN (SELECT vec_id FROM ch${r - 1})
+           |    GROUP BY x.vec_id, x.f, x.d2q)
+           |  ORDER BY mmr ASC, vec_id ASC LIMIT 1),
+           |ch$r AS (SELECT * FROM ch${r - 1} UNION ALL SELECT * FROM nx$r)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT vec_id,
+         |  list_transform(CAST(embedding AS DOUBLE[]),
+         |    x -> CAST(floor(x * 65536.0) AS BIGINT)) AS f FROM embeddings),
+         |m AS (SELECT t.i AS i, CAST(SUM(e.f[t.i]) AS BIGINT) AS sx,
+         |        COUNT(*) AS n
+         |      FROM e, range(1, 65) t(i) GROUP BY t.i),
+         |cqv AS (SELECT list(CASE WHEN sx >= 0 THEN sx // n
+         |          ELSE -((-sx) // n) END ORDER BY i) AS cf FROM m),
+         |rel AS (SELECT vec_id, f,
+         |    CAST(list_sum(list_transform(range(1, 65),
+         |      i -> (f[i] - cf[i]) * (f[i] - cf[i]))) AS BIGINT) AS d2q
+         |  FROM e, cqv),
+         |ch1 AS (SELECT 1 AS rnk, vec_id, d2q, CAST(0 AS BIGINT) AS dmin,
+         |          7 * d2q AS mmr, f
+         |        FROM rel ORDER BY 7 * d2q ASC, vec_id ASC LIMIT 1),
+         |$rounds
+         |SELECT rnk, vec_id, d2q, dmin, mmr FROM ch8 ORDER BY rnk"""
+        .stripMargin
     }
   )
 }

@@ -402,8 +402,66 @@ object SketchQueries extends QueryModule {
     // bounded aggregate. Norms are reported as norm² on the 1e-6 grid
     // (no sqrt — engine-exact beats prettier units).
     "q224_embedding_health" -> ((s, dir) =>
-      embeddingHealth(Tables(s, dir, "embeddings")))
+      embeddingHealth(Tables(s, dir, "embeddings"))),
+
+    // --- class-separation audit (q231): the Fisher discriminant ratio
+    // per embedding dimension — between-class scatter over within-class
+    // scatter, the LDA-style separability readout that tells you whether
+    // labels are even recoverable from the embedding space BEFORE
+    // training a probe (and which dimensions carry the signal; pairs
+    // with q224's health audit and q143's centroid confusion). Exact to
+    // the last bit: vectors quantize once to the 2^16 grid, per-(label,
+    // dim) moments (n, Σx, Σx²) are integer partial aggs whose exchange
+    // is bounded by labels × dims — never the corpus — and both
+    // scatters clear denominators per class: within_c = (n_c·ΣQ − S²)/
+    // n_c, between_c = (S·N − T·n_c)²/(n_c·N²), each half-up-divided
+    // per class THEN summed (integer sums are order-free, so the
+    // per-class rounding is deterministic under any partitioning).
+    // fisher = between/within on the 1e-6 grid. DECIMAL(38,0)
+    // everywhere a product of two corpus-scale integers appears.
+    "q231_class_separation" -> ((s, dir) =>
+      classSeparation(Tables(s, dir, "embeddings")
+        .select(col("label"), expr(
+          "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 65536.0D) AS BIGINT))")
+          .as("f")))
+        .orderBy(col("dim")))
   )
+
+  /** q231's engine over a (label, f: array&lt;bigint&gt;) quantized frame —
+    * factored so the spec can plant closed-form geometries (two
+    * point-mass classes -> within = 0; identically-distributed classes
+    * -> between = 0). Returns one row per dimension (1-based):
+    * (dim, within, between, fisher_ppm as double fisher). */
+  private[graft] def classSeparation(quantized: DataFrame): DataFrame = {
+    val mom = quantized
+      .select(col("label"), posexplode(col("f")).as(Seq("i", "x")))
+      .groupBy(col("label"), col("i"))
+      .agg(count(lit(1)).as("nc"),
+        sum(col("x")).as("s"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("q"))
+      .localCheckpoint() // labels × dims rows; feeds two rollups
+    val tot = mom.groupBy(col("i"))
+      .agg(sum(col("nc")).cast("long").as("nn"), sum(col("s")).as("t"))
+    mom.join(broadcast(tot), Seq("i"))
+      // per-class scatter terms, denominators cleared, half-up per class
+      .withColumn("w_c", expr(
+        "(2 * (CAST(nc AS DECIMAL(38,0)) * q - CAST(s AS DECIMAL(38,0)) * s) + nc) " +
+          "DIV (2 * CAST(nc AS DECIMAL(38,0)))"))
+      .withColumn("bnum", expr(
+        "(CAST(s AS DECIMAL(38,0)) * nn - CAST(t AS DECIMAL(38,0)) * nc)"))
+      .withColumn("b_c", expr(
+        "(2 * bnum * bnum + CAST(nc AS DECIMAL(38,0)) * nn * nn) " +
+          "DIV (2 * CAST(nc AS DECIMAL(38,0)) * nn * nn)"))
+      .groupBy(col("i"))
+      .agg(sum(col("w_c")).as("within_d"), sum(col("b_c")).as("between_d"))
+      .withColumn("fisher_ppm", expr(
+        "IF(within_d = 0, CAST(NULL AS BIGINT), " +
+          "CAST((2 * between_d * 1000000 + within_d) DIV (2 * within_d) AS BIGINT))"))
+      .select((col("i") + 1).cast("long").as("dim"),
+        col("within_d").cast("long").as("within"),
+        col("between_d").cast("long").as("between"),
+        (col("fisher_ppm").cast("double") / 1e6).as("fisher"))
+  }
 
   /** q224's engine over any (label, embedding array<float>) frame —
     * factored so the spec can plant null / NaN / zero-norm vectors and
@@ -677,6 +735,37 @@ object SketchQueries extends QueryModule {
         |  CAST(CAST((2 * sum_q2 * 1000000 + n_vecs * 1099511627776) //
         |    (2 * n_vecs::HUGEINT * 1099511627776) AS BIGINT) AS DOUBLE)
         |    / 1000000.0 AS mean_norm2
-        |FROM a ORDER BY label""".stripMargin
+        |FROM a ORDER BY label""".stripMargin,
+
+    // Per-(label, dim) integer moments, denominators cleared per class,
+    // the same per-class half-up rounding, HUGEINT throughout.
+    "q231_class_separation" ->
+      """WITH e AS (SELECT label,
+        |    list_transform(CAST(embedding AS DOUBLE[]),
+        |      x -> CAST(floor(x * 65536.0) AS BIGINT)) AS f
+        |  FROM embeddings),
+        |mom AS (SELECT label, t.i AS i, COUNT(*) AS nc,
+        |    CAST(SUM(e.f[t.i]) AS HUGEINT) AS s,
+        |    SUM(e.f[t.i]::HUGEINT * e.f[t.i]) AS q
+        |  FROM e, range(1, 65) t(i) GROUP BY label, t.i),
+        |tot AS (SELECT i, CAST(SUM(nc) AS BIGINT) AS nn, SUM(s) AS t
+        |  FROM mom GROUP BY i),
+        |terms AS (SELECT m.i,
+        |    (2 * (m.nc::HUGEINT * m.q - m.s * m.s) + m.nc) //
+        |      (2 * m.nc::HUGEINT) AS w_c,
+        |    (2 * (m.s * tt.nn - tt.t * m.nc) * (m.s * tt.nn - tt.t * m.nc)
+        |      + m.nc::HUGEINT * tt.nn * tt.nn) //
+        |      (2 * m.nc::HUGEINT * tt.nn * tt.nn) AS b_c
+        |  FROM mom m JOIN tot tt ON m.i = tt.i),
+        |agg AS (SELECT i, SUM(w_c) AS within_d, SUM(b_c) AS between_d
+        |  FROM terms GROUP BY i)
+        |SELECT CAST(i AS BIGINT) AS dim,
+        |  CAST(within_d AS BIGINT) AS within,
+        |  CAST(between_d AS BIGINT) AS between,
+        |  CASE WHEN within_d = 0 THEN NULL
+        |    ELSE CAST(CAST((2 * between_d * 1000000 + within_d) //
+        |      (2 * within_d) AS BIGINT) AS DOUBLE) / 1000000.0 END
+        |    AS fisher
+        |FROM agg ORDER BY dim""".stripMargin
   )
 }

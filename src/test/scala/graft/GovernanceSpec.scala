@@ -432,4 +432,114 @@ class GovernanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(full == rows.head.getAs[Long]("checksum"))
     assert(full != lossy, "a lost row must move the checksum")
   }
+
+  test("q226: closed-form AUC plants — separation 1.0, ties 0.5, inversion 0.0") {
+    val ss = spark; import ss.implicits._
+    import operators.CorpusQueries.aucBySource
+    def f(rows: (String, Long, Boolean)*) =
+      rows.toSeq.toDF("source", "lg_micro", "pos")
+    val sep = aucBySource(f(("a", 10L, true), ("a", 20L, true),
+      ("a", 1L, false), ("a", 2L, false))).collect().head
+    assert(sep.getAs[Long]("w2") == 8 && sep.getAs[Double]("auc") == 1.0,
+      "every pos above every neg -> AUC exactly 1")
+    val tie = aucBySource(f(("a", 5L, true), ("a", 5L, true),
+      ("a", 5L, false), ("a", 5L, false), ("a", 5L, false)))
+      .collect().head
+    assert(tie.getAs[Long]("w2") == 6 && tie.getAs[Double]("auc") == 0.5,
+      "all-tied scores -> AUC exactly 1/2 (w2 = ties)")
+    val inv = aucBySource(f(("a", 1L, true), ("a", 5L, false)))
+      .collect().head
+    assert(inv.getAs[Long]("w2") == 0 && inv.getAs[Double]("auc") == 0.0)
+    // a source missing a class is excluded (AUC undefined there)
+    assert(aucBySource(f(("b", 3L, true), ("b", 4L, true))).collect().isEmpty)
+  }
+
+  test("q226: the rank-sum AUC equals the brute-force pair count on real data") {
+    val d = Tables(spark, dir, "documents")
+    val scored = operators.CorpusQueries.repetitionStats(d)
+      .select(col("doc_id"), col("source"),
+        (col("pass_top") && col("pass_dup")).as("pos"))
+      .join(operators.CorpusQueries.classifierScores(d)
+        .select(col("doc_id"), col("lg_micro")), Seq("doc_id"))
+      .collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("lg_micro"),
+        r.getAs[Boolean]("pos")))
+    val out = q("q226_auc_rank").collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("w2"), r.getAs[Double]("auc"))).toMap
+    val bySrc = scored.groupBy(_._1)
+    assert(out.keySet == bySrc.filter { case (_, xs) =>
+      xs.exists(_._3) && xs.exists(!_._3) }.keySet)
+    for ((src, xs) <- bySrc if out.contains(src)) {
+      val pos = xs.filter(_._3).map(_._2)
+      val neg = xs.filterNot(_._3).map(_._2)
+      val w2 = (for (p <- pos; n <- neg) yield
+        if (p > n) 2L else if (p == n) 1L else 0L).sum
+      assert(out(src)._1 == w2, s"$src: w2 vs brute force")
+      val den = 2L * pos.length * neg.length
+      val ppm = (2 * w2 * 1000000L + den) / (2 * den)
+      assert(math.abs(out(src)._2 - ppm / 1e6) < 1e-12, s"$src: auc grid")
+    }
+  }
+
+  test("q227: mass conserves, bins bound the confidence, gap is the ppm |diff|") {
+    val rows = q("q227_calibration_ece").collect()
+    val docs = Tables(spark, dir, "documents").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs,
+      "every doc lands in exactly one calibration bin")
+    rows.foreach { r =>
+      val bin = r.getAs[Long]("bin")
+      assert(bin >= 0 && bin <= 9)
+      val conf = math.round(r.getAs[Double]("mean_conf") * 1e6)
+      val acc = math.round(r.getAs[Double]("frac_pos") * 1e6)
+      val gap = math.round(r.getAs[Double]("gap") * 1e6)
+      assert(gap == math.abs(conf - acc), "gap must be the ppm difference")
+      // mean confidence lies in its bin (top bin closed at 1e6)
+      assert(conf >= bin * 100000 && conf <= (bin + 1) * 100000,
+        s"bin $bin holds conf $conf")
+      assert(acc >= 0 && acc <= 1000000)
+    }
+  }
+
+  test("q228: planted homogeneous class is disclosed; a class at the corpus mix scores t=0") {
+    val ss = spark; import ss.implicits._
+    import operators.GovernanceQueries.lDiversityAudit
+    // frame 1: every class mixes X:Y 1:1 == the corpus mix -> t = 0
+    // everywhere, min_l = 2, nothing disclosed
+    val uniform = Seq(
+      (0, 0L, "X"), (0, 0L, "Y"), (0, 1L, "X"), (0, 1L, "Y"),
+      (1, 0L, "X"), (1, 0L, "Y")).toDF("nat", "band", "seg")
+    lDiversityAudit(uniform).collect().foreach { r =>
+      assert(r.getAs[Long]("min_l") == 2)
+      assert(r.getAs[Long]("homogeneous_classes") == 0)
+      assert(r.getAs[Double]("max_tvd") == 0.0,
+        "class mix == corpus mix must score exactly t = 0")
+      assert(r.getAs[Double]("disclosure_risk") == 0.0)
+    }
+    // frame 2 (hand-computed): class (0,0) = {X,X} homogeneous, class
+    // (0,1) = {X,Y}; corpus = 3X 1Y -> both classes at TVD 1/4
+    val skewed = Seq(
+      (0, 0L, "X"), (0, 0L, "X"), (0, 1L, "X"), (0, 1L, "Y"))
+      .toDF("nat", "band", "seg")
+    val r = lDiversityAudit(skewed).collect().head
+    assert(r.getAs[Long]("n_classes") == 2 && r.getAs[Long]("n_rows") == 4)
+    assert(r.getAs[Long]("min_l") == 1)
+    assert(r.getAs[Long]("homogeneous_classes") == 1)
+    assert(r.getAs[Long]("rows_disclosed") == 2)
+    assert(r.getAs[Double]("max_tvd") == 0.25)
+    assert(r.getAs[Double]("disclosure_risk") == 0.5)
+  }
+
+  test("q228: equivalence classes partition the customer table") {
+    val rows = q("q228_l_diversity").collect()
+    val total = Tables(spark, dir, "customer").count()
+    assert(rows.map(_.getAs[Long]("n_rows")).sum == total)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("min_l") >= 1)
+      assert(r.getAs[Long]("rows_disclosed") >= r.getAs[Long]("homogeneous_classes"),
+        "each homogeneous class exposes at least one row")
+      val t = r.getAs[Double]("max_tvd")
+      assert(t >= 0.0 && t <= 1.0)
+    }
+  }
 }
