@@ -2045,22 +2045,9 @@ object CorpusQueries extends QueryModule {
     // integer; the frontier is by construction strictly monotone
     // (score desc => toks desc after dedup... asserted in spec).
     "q229_pareto_frontier" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val d = Tables(s, dir, "documents")
-      val scored = classifierScores(d)
-        .select(col("doc_id"), col("lg_micro"), col("n_terms").as("n_toks"))
-      val perScore = scored.groupBy(col("lg_micro"))
-        .agg(min(col("n_toks")).as("min_toks"))
-      val higher = Window.orderBy(col("lg_micro").desc)
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val frontier = perScore
-        .withColumn("run_min", min(col("min_toks")).over(higher))
-        .filter(col("run_min").isNull || col("min_toks") < col("run_min"))
-        .select(col("lg_micro"), col("min_toks"))
-      scored.join(frontier,
-          scored("lg_micro") === frontier("lg_micro") &&
-            scored("n_toks") === frontier("min_toks"))
-        .select(col("doc_id"), scored("lg_micro"), col("n_toks"))
+      paretoFrontier(classifierScores(d)
+          .select(col("doc_id"), col("lg_micro"), col("n_terms").as("n_toks")))
         .join(d.select(col("doc_id"), col("source")), Seq("doc_id"))
         .select(col("doc_id"), col("source"),
           (col("lg_micro").cast("double") / lit(1000000.0)).as("quality"),
@@ -2068,6 +2055,33 @@ object CorpusQueries extends QueryModule {
         .orderBy(col("quality").desc, col("doc_id"))
     })
   )
+
+  /** q229's 2-D skyline engine over a (doc_id, lg_micro, n_toks) frame
+    * — factored so the spec can plant closed-form geometries (a
+    * dominated point never survives; coordinate ties are mutually
+    * non-dominating and ALL kept; the surviving (score, toks) pairs
+    * are strictly monotone: score desc => toks strictly desc). The
+    * skyline collapses first onto the bounded score domain (one
+    * partial-agged groupBy keeps min-toks per score), the frontier
+    * test is a run-min window over that domain-bounded frame, and docs
+    * rejoin the survivors by hash join on both coordinates. */
+  private[graft] def paretoFrontier(scored: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perScore = scored.groupBy(col("lg_micro"))
+      .agg(min(col("n_toks")).as("min_toks"))
+    val higher = Window.orderBy(col("lg_micro").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // frontier descends from `scored` via perScore, so rename its join
+    // keys before the rejoin — otherwise Spark's self-join lineage check
+    // flags lg_micro as ambiguous.
+    val frontier = perScore
+      .withColumn("run_min", min(col("min_toks")).over(higher))
+      .filter(col("run_min").isNull || col("min_toks") < col("run_min"))
+      .select(col("lg_micro").as("f_lg"), col("min_toks").as("f_toks"))
+    scored.join(frontier,
+        col("lg_micro") === col("f_lg") && col("n_toks") === col("f_toks"))
+      .select(col("doc_id"), col("lg_micro"), col("n_toks"))
+  }
 
   /** q194's waterfill engine, factored so planted tests can certify
     * the max-min fairness properties on closed-form cases. Input: a

@@ -542,4 +542,29 @@ class GovernanceSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(t >= 0.0 && t <= 1.0)
     }
   }
+
+  test("q229 skyline: planted dominance — dominated out, coordinate ties kept, frontier monotone") {
+    val ss = spark; import ss.implicits._
+    import operators.CorpusQueries.paretoFrontier
+    // (doc, score, toks): 3 is dominated by 2 (9>8, 4<6); 5 by 2
+    // (9>7, 4<=4, one strict); 7 by 1 (same score 10, more toks); 2
+    // and 4 tie on BOTH coordinates -> mutually non-dominating, both
+    // kept; 6 survives on the cheap flank (3 < every better score's
+    // min-toks).
+    val got = paretoFrontier(Seq(
+        (1L, 10L, 5L), (2L, 9L, 4L), (3L, 8L, 6L), (4L, 9L, 4L),
+        (5L, 7L, 4L), (6L, 6L, 3L), (7L, 10L, 7L))
+        .toDF("doc_id", "lg_micro", "n_toks"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(got == Seq((1L, 10L, 5L), (2L, 9L, 4L), (4L, 9L, 4L),
+      (6L, 6L, 3L)))
+    // the surviving (score, toks) set is strictly monotone: score desc
+    // => toks strictly desc — the skyline invariant q229's comment claims
+    val front = got.map(t => (t._2, t._3)).distinct.sortBy(-_._1)
+    front.sliding(2).foreach { case Seq((s1, t1), (s2, t2)) =>
+      assert(s1 > s2 && t1 > t2, s"non-monotone: ($s1,$t1) ($s2,$t2)")
+    case _ => ()
+    }
+  }
 }

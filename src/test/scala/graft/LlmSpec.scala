@@ -864,4 +864,35 @@ class LlmSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(fert >= 1.0 && cpt >= 1.0 && cpt <= 4.0, s"fert $fert cpt $cpt")
     }
   }
+
+  test("q230 MMR: planted line geometry — relevance round 1, diversity round 2, exact ties") {
+    // 1-D points 0, 1, 10, 9 (ids 0..3): sum 20, n 4 -> centroid 5.
+    // d2q = 25, 16, 25, 16. Round 1 is pure relevance: min d2q ties
+    // between ids 1 and 3 -> smaller id (1). Round 2: mmr = 7*d2q -
+    // 3*dmin = 172 (id 0), -68 (id 2), -80 (id 3) -> id 3: equal
+    // relevance to id 1 but FAR from it — the diversity term deciding.
+    // Round 3: ids 0 and 2 both have dmin 1 -> mmr tie 172 -> id 0.
+    val df = spark.createDataFrame(
+      java.util.List.of(
+        Row(0L, Seq(0L)), Row(1L, Seq(1L)), Row(2L, Seq(10L)),
+        Row(3L, Seq(9L))),
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("f", ArrayType(LongType)))))
+    val got = graft.operators.LlmQueries.mmrChosen(df, k = 3)
+      .orderBy(col("rnk")).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == Seq((1, 1L, 16L, 0L, 112L), (2, 3L, 16L, 64L, -80L),
+      (3, 0L, 25L, 1L, 172L)))
+    // centroid division is sign-safe TRUNCATION: points -3, -4 -> sum
+    // -7, c = -3 (floor would give -4 and flip the round-1 winner)
+    val neg = spark.createDataFrame(
+      java.util.List.of(Row(0L, Seq(-3L)), Row(1L, Seq(-4L))),
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("f", ArrayType(LongType)))))
+    val first = graft.operators.LlmQueries.mmrChosen(neg, k = 1)
+      .collect().head
+    assert(first.getLong(1) == 0L && first.getLong(2) == 0L,
+      "truncating centroid (-7 DIV 2 = -3) makes id 0 the exact center")
+  }
 }

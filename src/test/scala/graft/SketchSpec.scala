@@ -221,4 +221,29 @@ class SketchSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(rho == ku.count(h => a.contains(h) && b.contains(h)))
     }
   }
+
+  test("q231 Fisher: planted scatters — signal dim exact, constant dim NULL, identical classes 0") {
+    val ss = spark; import ss.implicits._
+    import graft.operators.SketchQueries.classSeparation
+    // dim 1 carries the labels (a at 0/2, b at 10/12): within = (0-1)^2
+    // +(2-1)^2 per class = 2+2 = 4, between = 2*(1-6)^2 + 2*(11-6)^2 =
+    // 100, fisher = 25.0 exactly. dim 2 is the constant 5: both
+    // scatters 0 -> fisher NULL (0/0, not 0).
+    val sig = classSeparation(Seq(
+        ("a", Seq(0L, 5L)), ("a", Seq(2L, 5L)),
+        ("b", Seq(10L, 5L)), ("b", Seq(12L, 5L))).toDF("label", "f"))
+      .orderBy(col("dim")).collect()
+    assert(sig.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((1L, 4L, 100L), (2L, 0L, 0L)))
+    assert(sig(0).getDouble(3) == 25.0)
+    assert(sig(1).isNullAt(3), "0/0 separability is undefined, not zero")
+    // identically-distributed classes: class means = grand mean ->
+    // between exactly 0, fisher exactly 0.0 (within 50 per class)
+    val same = classSeparation(Seq(
+        ("a", Seq(0L)), ("a", Seq(10L)),
+        ("b", Seq(0L)), ("b", Seq(10L))).toDF("label", "f"))
+      .collect().head
+    assert((same.getLong(1), same.getLong(2), same.getDouble(3)) ==
+      (100L, 0L, 0.0))
+  }
 }
