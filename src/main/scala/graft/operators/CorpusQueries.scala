@@ -2053,8 +2053,107 @@ object CorpusQueries extends QueryModule {
           (col("lg_micro").cast("double") / lit(1000000.0)).as("quality"),
           col("n_toks"))
         .orderBy(col("quality").desc, col("doc_id"))
-    })
+    }),
+
+    // --- distinctive-term extraction (q232): each source's top-5
+    // keywords by the log-free tf/df lift — the source's term count
+    // over the term's corpus document frequency, the keyness score a
+    // dataset card's "what is this source about" line is built from
+    // (and the q153 PMI discipline: a MONOTONE surrogate on the 1e-6
+    // integer grid replaces log-idf, because any log puts a float in
+    // the gate). Scale: tf exchanges (source, term) rows — sources ×
+    // vocab, never corpus; df exchanges one row per distinct (doc,
+    // term); the ranking window partitions by source over the
+    // vocab-bounded join, and only top-5 survive.
+    "q232_tfidf_keywords" -> ((s, dir) =>
+      distinctiveTerms(Tables(s, dir, "documents"))
+        .orderBy(col("source"), col("rnk"))),
+
+    // --- source distance matrix (q233): pairwise distribution
+    // distance between source unigram mixes — corpus cartography (which
+    // sources are redundant, which are outliers; feeds the q197
+    // mixture design). The metric is triangular discrimination
+    // Δ(p,q) = Σ (p_i−q_i)²/(p_i+q_i) ∈ [0,2] — an f-divergence that is
+    // exactly RATIONAL in the counts (KL/JS puts a log in the gate;
+    // this is the same log-free move as q153/q232, made per term:
+    // clear denominators with the cross-multiplied form
+    // (ca·nb−cb·na)² / (na·nb·(ca·nb+cb·na)), half-up to ppm per term,
+    // THEN integer-sum — order-free, so deterministic under any
+    // partitioning; one-sided terms reduce to p_i exactly). Scale:
+    // the pair frame is sources² × vocab — bounded by the SOURCE
+    // domain, never the corpus; the only corpus-sized exchange is the
+    // (source, term) tf aggregation, partial-agged map-side.
+    "q233_source_distance" -> ((s, dir) =>
+      sourceDistance(Tables(s, dir, "documents"))
+        .orderBy(col("src_a"), col("src_b")))
   )
+
+  /** q232's engine over a (source, doc_id, text) frame — factored so
+    * the spec can plant closed-form tf/df tables. lift_ppm =
+    * half-up ppm of tf/df; ties rank by term ascending. */
+  private[graft] def distinctiveTerms(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs
+      .select(col("source"), col("doc_id"), explode(expr(toksSql)).as("term"))
+    val tf = toks.groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = toks.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val byLift = Window.partitionBy(col("source"))
+      .orderBy(col("lift_ppm").desc, col("term"))
+    tf.join(df, Seq("term"))
+      .withColumn("lift_ppm", expr("(2 * tf * 1000000 + df) DIV (2 * df)"))
+      .withColumn("rnk", row_number().over(byLift))
+      .filter(col("rnk") <= 5)
+      .select(col("source"), col("rnk").cast("long").as("rnk"), col("term"),
+        col("tf").cast("long").as("tf"), col("df").cast("long").as("df"),
+        (col("lift_ppm").cast("double") / 1e6).as("lift"))
+  }
+
+  /** q233's engine over a (source, text) frame — factored so the spec
+    * can certify the closed-form cases (identical mixes -> 0 exactly;
+    * disjoint vocabularies -> 2.0 exactly; a hand-computed asymmetric
+    * case to the last ppm). One row per unordered source pair:
+    * (src_a, src_b, n_shared, delta). DECIMAL(38,0) bounds: the
+    * squared cross product (ca·nb)² caps at ~1e26 at sf0.1 amplified
+    * 10x; at true 100 TB per-source token masses (~1e14) the counts
+    * would first be downscaled by a common factor (the ratio is
+    * scale-invariant), which changes delta only in the final ppm. */
+  private[graft] def sourceDistance(docs: DataFrame): DataFrame = {
+    val tf = docs
+      .select(col("source"), explode(expr(toksSql)).as("term"))
+      .groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint() // feeds totals + both sides of the pair join
+    val tot = tf.groupBy(col("source")).agg(sum(col("c")).as("n"))
+    val pairs = tot.select(col("source").as("src_a"))
+      .crossJoin(tot.select(col("source").as("src_b")))
+      .filter(col("src_a") < col("src_b")) // sources² rows, tiny
+    val lhs = pairs.join(tf.select(col("source").as("src_a"),
+      col("term"), col("c").as("ca")), Seq("src_a"))
+    val rhs = pairs.join(tf.select(col("source").as("src_b"),
+      col("term"), col("c").as("cb")), Seq("src_b"))
+    lhs.join(rhs, Seq("src_a", "src_b", "term"), "full")
+      .na.fill(0L, Seq("ca", "cb"))
+      .join(broadcast(tot.select(col("source").as("src_a"), col("n").as("na"))),
+        Seq("src_a"))
+      .join(broadcast(tot.select(col("source").as("src_b"), col("n").as("nb"))),
+        Seq("src_b"))
+      // (ca·nb − cb·na)² / (na·nb·(ca·nb + cb·na)): non-negative, so
+      // Spark DIV (truncate) and DuckDB // (floor) agree on the half-up
+      .withColumn("xa", expr("CAST(ca AS DECIMAL(38,0)) * nb"))
+      .withColumn("xb", expr("CAST(cb AS DECIMAL(38,0)) * na"))
+      .withColumn("den", expr(
+        "CAST(na AS DECIMAL(38,0)) * nb * (xa + xb)"))
+      .withColumn("d_ppm", expr(
+        "CAST((2 * (xa - xb) * (xa - xb) * 1000000 + den) DIV (2 * den) AS BIGINT)"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(sum(when(col("ca") > 0 && col("cb") > 0, 1L).otherwise(0L))
+          .as("n_shared"),
+        sum(col("d_ppm")).as("delta_ppm"))
+      .select(col("src_a"), col("src_b"), col("n_shared"),
+        (col("delta_ppm").cast("double") / 1e6).as("delta"))
+  }
 
   /** q229's 2-D skyline engine over a (doc_id, lg_micro, n_toks) frame
     * — factored so the spec can plant closed-form geometries (a
@@ -4198,6 +4297,59 @@ object CorpusQueries extends QueryModule {
          |FROM lg l
          |JOIN f2 ON l.lg_micro = f2.lg_micro AND l.n_toks = f2.min_toks
          |JOIN documents d USING (doc_id)
-         |ORDER BY quality DESC, doc_id""".stripMargin
+         |ORDER BY quality DESC, doc_id""".stripMargin,
+
+    // tf per (source, term), df per term, half-up ppm lift, top-5
+    // per source with the (lift DESC, term ASC) tie rule.
+    "q232_tfidf_keywords" ->
+      s"""WITH t AS (SELECT source, doc_id,
+         |    unnest(string_split_regex(trim(text), '\\s+')) AS term
+         |  FROM documents),
+         |tf AS (SELECT source, term, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+         |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df
+         |  FROM t GROUP BY 1),
+         |j AS (SELECT source, term, tf, df,
+         |    (2 * tf * 1000000 + df) // (2 * df) AS lift_ppm
+         |  FROM tf JOIN df USING (term)),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY source
+         |    ORDER BY lift_ppm DESC, term) AS rnk FROM j)
+         |SELECT source, CAST(rnk AS BIGINT) AS rnk, term,
+         |  CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+         |  CAST(CAST(lift_ppm AS BIGINT) AS DOUBLE) / 1000000.0 AS lift
+         |FROM r WHERE rnk <= 5 ORDER BY source, rnk""".stripMargin,
+
+    // per-pair full outer on term, the cross-multiplied triangular
+    // discrimination per term on the ppm grid, integer-summed.
+    "q233_source_distance" ->
+      s"""WITH t AS (SELECT source,
+         |    unnest(string_split_regex(trim(text), '\\s+')) AS term
+         |  FROM documents),
+         |tf AS (SELECT source, term, COUNT(*) AS c FROM t GROUP BY 1, 2),
+         |tot AS (SELECT source, SUM(c) AS n FROM tf GROUP BY 1),
+         |p AS (SELECT a.source AS src_a, b.source AS src_b
+         |  FROM tot a, tot b WHERE a.source < b.source),
+         |l AS (SELECT p.src_a, p.src_b, tf.term, tf.c AS ca
+         |  FROM p JOIN tf ON tf.source = p.src_a),
+         |r AS (SELECT p.src_a, p.src_b, tf.term, tf.c AS cb
+         |  FROM p JOIN tf ON tf.source = p.src_b),
+         |f AS (SELECT COALESCE(l.src_a, r.src_a) AS src_a,
+         |    COALESCE(l.src_b, r.src_b) AS src_b,
+         |    COALESCE(l.ca, 0) AS ca, COALESCE(r.cb, 0) AS cb
+         |  FROM l FULL JOIN r ON l.src_a = r.src_a AND l.src_b = r.src_b
+         |    AND l.term = r.term),
+         |d AS (SELECT src_a, src_b, ca, cb, na.n AS na, nb.n AS nb,
+         |    ca::HUGEINT * nb.n AS xa, cb::HUGEINT * na.n AS xb
+         |  FROM f JOIN tot na ON na.source = f.src_a
+         |    JOIN tot nb ON nb.source = f.src_b),
+         |e AS (SELECT src_a, src_b, ca, cb,
+         |    (2 * (xa - xb) * (xa - xb) * 1000000 +
+         |      na::HUGEINT * nb * (xa + xb)) //
+         |      (2 * na::HUGEINT * nb * (xa + xb)) AS d_ppm
+         |  FROM d)
+         |SELECT src_a, src_b,
+         |  CAST(SUM(CASE WHEN ca > 0 AND cb > 0 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_shared,
+         |  CAST(CAST(SUM(d_ppm) AS BIGINT) AS DOUBLE) / 1000000.0 AS delta
+         |FROM e GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin
   )
 }

@@ -3988,10 +3988,14 @@ object LlmQueries extends QueryModule {
 
     // The fixed-point centroid, the relevance distances, then all 8
     // greedy MMR rounds unrolled with the engine's exact
-    // (mmr ASC, vec_id ASC) pick order.
+    // (mmr ASC, vec_id ASC) pick order. Every multi-referenced CTE is
+    // MATERIALIZED: each round reads ch(r-1) three times, and DuckDB
+    // 1.0 inlines un-hinted CTEs, re-evaluating the whole prior chain
+    // per reference — exponential in rounds (~10 min at sf0.01, <1 s
+    // materialized; same rows either way).
     "q230_mmr_select" -> {
       val rounds = (2 to 8).map { r =>
-        s"""nx$r AS (
+        s"""nx$r AS MATERIALIZED (
            |  SELECT $r AS rnk, vec_id, d2q, dmin,
            |    7 * d2q - 3 * dmin AS mmr, f FROM (
            |    SELECT x.vec_id, x.f, x.d2q,
@@ -4002,7 +4006,7 @@ object LlmQueries extends QueryModule {
            |    WHERE x.vec_id NOT IN (SELECT vec_id FROM ch${r - 1})
            |    GROUP BY x.vec_id, x.f, x.d2q)
            |  ORDER BY mmr ASC, vec_id ASC LIMIT 1),
-           |ch$r AS (SELECT * FROM ch${r - 1} UNION ALL SELECT * FROM nx$r)"""
+           |ch$r AS MATERIALIZED (SELECT * FROM ch${r - 1} UNION ALL SELECT * FROM nx$r)"""
           .stripMargin
       }.mkString(",\n")
       s"""WITH e AS (SELECT vec_id,
@@ -4013,11 +4017,11 @@ object LlmQueries extends QueryModule {
          |      FROM e, range(1, 65) t(i) GROUP BY t.i),
          |cqv AS (SELECT list(CASE WHEN sx >= 0 THEN sx // n
          |          ELSE -((-sx) // n) END ORDER BY i) AS cf FROM m),
-         |rel AS (SELECT vec_id, f,
+         |rel AS MATERIALIZED (SELECT vec_id, f,
          |    CAST(list_sum(list_transform(range(1, 65),
          |      i -> (f[i] - cf[i]) * (f[i] - cf[i]))) AS BIGINT) AS d2q
          |  FROM e, cqv),
-         |ch1 AS (SELECT 1 AS rnk, vec_id, d2q, CAST(0 AS BIGINT) AS dmin,
+         |ch1 AS MATERIALIZED (SELECT 1 AS rnk, vec_id, d2q, CAST(0 AS BIGINT) AS dmin,
          |          7 * d2q AS mmr, f
          |        FROM rel ORDER BY 7 * d2q ASC, vec_id ASC LIMIT 1),
          |$rounds

@@ -567,4 +567,40 @@ class GovernanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     case _ => ()
     }
   }
+
+  test("q232 keywords: planted tf/df table — exact lifts, rank order, term tie-break") {
+    val ss = spark; import ss.implicits._
+    import operators.CorpusQueries.distinctiveTerms
+    // A: x tf=3 df=2 -> 1.5; z tf=1 df=1 -> 1.0; y tf=1 df=2 -> 0.5.
+    // B: y tf=2 df=2 -> 1.0. C: m and n tie at 1.0 -> term asc.
+    val got = distinctiveTerms(Seq(
+        ("A", 1L, "x x y"), ("A", 2L, "x z"), ("B", 3L, "y y"),
+        ("C", 4L, "m n")).toDF("source", "doc_id", "text"))
+      .orderBy(col("source"), col("rnk")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toSeq
+    assert(got == Seq(
+      ("A", 1L, "x", 3L, 2L, 1.5), ("A", 2L, "z", 1L, 1L, 1.0),
+      ("A", 3L, "y", 1L, 2L, 0.5), ("B", 1L, "y", 2L, 2L, 1.0),
+      ("C", 1L, "m", 1L, 1L, 1.0), ("C", 2L, "n", 1L, 1L, 1.0)))
+  }
+
+  test("q233 source distance: identical mixes 0, disjoint 2.0, hand case to the last ppm") {
+    val ss = spark; import ss.implicits._
+    import operators.CorpusQueries.sourceDistance
+    // s1 = s3 = {x:2, y:1}; s2 = {x:1, z:1}; s4 = {p:1, q:1}.
+    // (s1,s2): shared x -> 1/42 = 23810ppm, y-only 1/3 -> 333333,
+    // z-only 1/2 -> 500000 => 0.857143. Identical pair -> 0 exactly.
+    // Disjoint pairs -> p-masses sum to exactly 2.0 on the grid here.
+    val got = sourceDistance(Seq(
+        ("s1", "x x y"), ("s2", "x z"), ("s3", "x x y"), ("s4", "p q"))
+        .toDF("source", "text"))
+      .orderBy(col("src_a"), col("src_b")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(got == Seq(
+      ("s1", "s2", 1L, 0.857143), ("s1", "s3", 2L, 0.0),
+      ("s1", "s4", 0L, 2.0), ("s2", "s3", 1L, 0.857143),
+      ("s2", "s4", 0L, 2.0), ("s3", "s4", 0L, 2.0)))
+  }
 }
