@@ -3879,9 +3879,13 @@ object LlmQueries extends QueryModule {
     // Gonzalez farthest-point traversal re-derived round by round: the
     // same 2^16 integer grid, exact integer squared distances, min-seed
     // and (d2 DESC, vec_id ASC) argmax — one unrolled CTE per round.
+    // Unrolled greedy rounds read ch(r-1) three times each, so every
+    // multi-referenced CTE is MATERIALIZED — DuckDB 1.0 inlines
+    // un-hinted CTEs per reference, exponential in rounds (the q230
+    // lesson: 94 s -> <1 s at sf0.01, identical rows).
     "q174_kcenter_coreset" -> {
       val rounds = (2 to 8).map { r =>
-        s"""nx$r AS (
+        s"""nx$r AS MATERIALIZED (
            |  SELECT $r AS rnk, vec_id, d2, f FROM (
            |    SELECT x.vec_id, x.f,
            |      CAST(min(list_sum(list_transform(range(1, 65),
@@ -3890,13 +3894,13 @@ object LlmQueries extends QueryModule {
            |    WHERE x.vec_id NOT IN (SELECT vec_id FROM ch${r - 1})
            |    GROUP BY x.vec_id, x.f)
            |  ORDER BY d2 DESC, vec_id ASC LIMIT 1),
-           |ch$r AS (SELECT * FROM ch${r - 1} UNION ALL SELECT * FROM nx$r)"""
+           |ch$r AS MATERIALIZED (SELECT * FROM ch${r - 1} UNION ALL SELECT * FROM nx$r)"""
           .stripMargin
       }.mkString(",\n")
-      s"""WITH e AS (SELECT vec_id,
+      s"""WITH e AS MATERIALIZED (SELECT vec_id,
          |  list_transform(CAST(embedding AS DOUBLE[]),
          |    x -> CAST(floor(x * 65536.0) AS BIGINT)) AS f FROM embeddings),
-         |ch1 AS (SELECT 1 AS rnk, vec_id, CAST(0 AS BIGINT) AS d2, f
+         |ch1 AS MATERIALIZED (SELECT 1 AS rnk, vec_id, CAST(0 AS BIGINT) AS d2, f
          |        FROM e WHERE vec_id = (SELECT min(vec_id) FROM e)),
          |$rounds
          |SELECT rnk, vec_id, d2 FROM ch8 ORDER BY rnk""".stripMargin
