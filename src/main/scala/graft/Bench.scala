@@ -307,10 +307,15 @@ object Bench {
     // #6), totals keep 1 ms precision, and bench_detail.json keeps
     // exact values — a saturated 99 still names the regressed query,
     // and a >10 s query is already screaming from the total.
-    def jmap(f: ((String, Double, Double, Boolean)) => Double): String =
-      results.map(r =>
-        "\"" + shortKey(r._1) + "\":" + wireValue(f(r), r._4))
-        .mkString("{", ",", "}")
+    // Compaction #7 (233 queries overflowed even 2-char base-62 keys):
+    // `queries` is now a position-keyed ARRAY — element i is the i-th
+    // query in SORTED full-name order (exactly `sorted(queries)` /
+    // bench_detail.json's row order), which both the driver's map and
+    // any reader can reconstruct; keys spent ~5 chars per entry saying
+    // what the position already says. ~3 chars/entry funds growth past
+    // 500 queries.
+    def jarr(f: ((String, Double, Double, Boolean)) => Double): String =
+      results.map(r => wireValue(f(r), r._4)).mkString("[", ",", "]")
     // Totals cover CLEAN queries only — a failed query contributing its
     // time-to-throw would make a broken suite look faster than a working
     // one. The errors count in the line is the non-clean marker.
@@ -393,7 +398,7 @@ object Bench {
     System.err.println(s"[bench] first-run total: ${r1(firstTotal)} s, " +
       s"dispersion: ${r1(maxOverMin)}, load1: ${r1(load1)}, " +
       s"steal_pct: ${r1(stealPct)}")
-    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${jmap(_._3)},"e":${failed.size},"ov":$overClamp,"cp":$cpuRatio,"ca":${r3(calib)},"sf":"$sfName"}"""
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${jarr(_._3)},"e":${failed.size},"ov":$overClamp,"cp":$cpuRatio,"ca":${r3(calib)},"sf":"$sfName"}"""
     // A failed query's "min" is time-to-throw, not a timing — the detail
     // file records -1 there (ok:false already flags it; the sentinel
     // keeps non-timings out of anything that aggregates the min column).

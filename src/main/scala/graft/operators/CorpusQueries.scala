@@ -2085,8 +2085,40 @@ object CorpusQueries extends QueryModule {
     // (source, term) tf aggregation, partial-agged map-side.
     "q233_source_distance" -> ((s, dir) =>
       sourceDistance(Tables(s, dir, "documents"))
-        .orderBy(col("src_a"), col("src_b")))
+        .orderBy(col("src_a"), col("src_b"))),
+
+    // --- unseen-mass estimate (q235): Good's 1953 estimator — the
+    // probability that the NEXT token drawn from a source is a type
+    // never seen yet is N1/N (hapax count over token count). The
+    // standard "how much novelty is left in this source" readout that
+    // complements the q193 saturation curve: a source whose unseen
+    // mass is near zero is exhausted; near one, barely sampled. Also
+    // emits the N1/N2 spectrum head (the Good-Turing discount's own
+    // inputs). Pure integer: the only exchanges are the (source, term)
+    // tf aggregation (map-side combined) and the sources-bounded
+    // rollup; the estimate lands on the ppm grid.
+    "q235_unseen_mass" -> ((s, dir) =>
+      unseenMass(Tables(s, dir, "documents"))
+        .orderBy(col("source")))
   )
+
+  /** q235's engine over a (source, text) frame — factored so the spec
+    * can plant closed-form count tables (all-hapax -> unseen 1.0;
+    * no-hapax -> 0.0; a hand case on the ppm grid). One row per
+    * source: (source, n_tokens, n_types, n_hapax, n_dis, unseen). */
+  private[graft] def unseenMass(docs: DataFrame): DataFrame =
+    docs.select(col("source"), explode(expr(toksSql)).as("term"))
+      .groupBy(col("source"), col("term")).agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(sum(col("c")).cast("long").as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"),
+        sum(when(col("c") === 2, 1L).otherwise(0L)).as("n_dis"))
+      .withColumn("unseen_ppm", expr(
+        "(2 * n_hapax * 1000000 + n_tokens) DIV (2 * n_tokens)"))
+      .select(col("source"), col("n_tokens"), col("n_types"),
+        col("n_hapax"), col("n_dis"),
+        (col("unseen_ppm").cast("double") / 1e6).as("unseen"))
 
   /** q232's engine over a (source, doc_id, text) frame — factored so
     * the spec can plant closed-form tf/df tables. lift_ppm =
@@ -4350,6 +4382,25 @@ object CorpusQueries extends QueryModule {
          |  CAST(SUM(CASE WHEN ca > 0 AND cb > 0 THEN 1 ELSE 0 END)
          |    AS BIGINT) AS n_shared,
          |  CAST(CAST(SUM(d_ppm) AS BIGINT) AS DOUBLE) / 1000000.0 AS delta
-         |FROM e GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin
+         |FROM e GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin,
+
+    // tf per (source, term), then the hapax/dis census and N1/N on
+    // the ppm grid.
+    "q235_unseen_mass" ->
+      s"""WITH t AS (SELECT source,
+         |    unnest(string_split_regex(trim(text), '\\s+')) AS term
+         |  FROM documents),
+         |tf AS (SELECT source, term, COUNT(*) AS c FROM t GROUP BY 1, 2),
+         |a AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         |    CAST(COUNT(*) AS BIGINT) AS n_types,
+         |    CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_hapax,
+         |    CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_dis
+         |  FROM tf GROUP BY source)
+         |SELECT source, n_tokens, n_types, n_hapax, n_dis,
+         |  CAST((2 * n_hapax * 1000000 + n_tokens) // (2 * n_tokens)
+         |    AS DOUBLE) / 1000000.0 AS unseen
+         |FROM a ORDER BY source""".stripMargin
   )
 }

@@ -424,8 +424,59 @@ object SketchQueries extends QueryModule {
         .select(col("label"), expr(
           "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 65536.0D) AS BIGINT))")
           .as("f")))
+        .orderBy(col("dim"))),
+
+    // --- int8 scalar-quantization audit (q234): the SQ8 compression
+    // every large ANN deployment applies before indexing (FAISS
+    // IVF-SQ8) — per-dimension affine codes c = round((x−min)·255/
+    // range) — evaluated BEFORE committing the index: per-dim range,
+    // the worst and mean reconstruction error, and the analytic bound
+    // max_err <= range/510 + 1/2 the spec certifies. Exact end-to-end:
+    // vectors quantize once to the 2^16 grid, per-dim min/max is a
+    // 64-row partial-agged exchange, codes/dequant/error are map-side
+    // integer half-up divisions against the broadcast 64-row stats,
+    // and the error rollup is dim-bounded. Two corpus passes, both
+    // map-side-combined — nothing scales super-linearly.
+    "q234_sq8_audit" -> ((s, dir) =>
+      sq8Audit(Tables(s, dir, "embeddings")
+        .select(expr(
+          "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 65536.0D) AS BIGINT))")
+          .as("f")))
         .orderBy(col("dim")))
   )
+
+  /** q234's engine over an (f: array&lt;bigint&gt;) quantized frame —
+    * factored so the spec can plant closed-form ranges (constant dim
+    * -> all codes 0, zero error; a planted line -> exact code/error
+    * table; every dim obeys max_err <= range DIV 510 + 1). Returns one
+    * row per 1-based dim: (dim, n_vecs, mn, mx, max_err,
+    * mean_err_milli as double mean_err). */
+  private[graft] def sq8Audit(quantized: DataFrame): DataFrame = {
+    val el = quantized
+      .select(posexplode(col("f")).as(Seq("i", "x")))
+    val stats = el.groupBy(col("i"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"),
+        count(lit(1)).as("n"))
+    el.join(broadcast(stats), Seq("i"))
+      // code = half-up((x-mn)*255/range); range 0 -> code 0. Operands
+      // non-negative (x >= mn), so DIV (truncate) == // (floor).
+      .withColumn("r", col("mx") - col("mn"))
+      .withColumn("c", expr(
+        "IF(r = 0, 0L, (2 * (x - mn) * 255 + r) DIV (2 * r))"))
+      .withColumn("dq", expr(
+        "mn + IF(r = 0, 0L, (2 * c * r + 255) DIV (2 * 255))"))
+      .withColumn("err", abs(col("x") - col("dq")))
+      .groupBy(col("i"))
+      .agg(first(col("mn")).as("mn"), first(col("mx")).as("mx"),
+        first(col("n")).as("n"), max(col("err")).as("max_err"),
+        sum(col("err")).as("serr"))
+      .withColumn("mean_err_milli", expr(
+        "(2 * serr * 1000 + n) DIV (2 * n)"))
+      .select((col("i") + 1).cast("long").as("dim"),
+        col("n").cast("long").as("n_vecs"), col("mn"), col("mx"),
+        col("max_err").cast("long").as("max_err"),
+        (col("mean_err_milli").cast("double") / 1e3).as("mean_err"))
+  }
 
   /** q231's engine over a (label, f: array&lt;bigint&gt;) quantized frame —
     * factored so the spec can plant closed-form geometries (two
@@ -766,6 +817,34 @@ object SketchQueries extends QueryModule {
         |    ELSE CAST(CAST((2 * between_d * 1000000 + within_d) //
         |      (2 * within_d) AS BIGINT) AS DOUBLE) / 1000000.0 END
         |    AS fisher
-        |FROM agg ORDER BY dim""".stripMargin
+        |FROM agg ORDER BY dim""".stripMargin,
+
+    // Same 2^16 grid, per-dim min/max/range, the two half-up integer
+    // divisions (code then dequant), error rollup per dim.
+    "q234_sq8_audit" ->
+      """WITH e AS (SELECT list_transform(CAST(embedding AS DOUBLE[]),
+        |    x -> CAST(floor(x * 65536.0) AS BIGINT)) AS f
+        |  FROM embeddings),
+        |el AS (SELECT t.i AS i, e.f[t.i] AS x FROM e, range(1, 65) t(i)),
+        |st AS (SELECT i, MIN(x) AS mn, MAX(x) AS mx, COUNT(*) AS n
+        |  FROM el GROUP BY i),
+        |c AS (SELECT el.i, el.x, st.mn, st.mx, st.n,
+        |    st.mx - st.mn AS r,
+        |    CASE WHEN st.mx = st.mn THEN 0
+        |      ELSE (2 * (el.x - st.mn) * 255 + (st.mx - st.mn)) //
+        |        (2 * (st.mx - st.mn)) END AS cd
+        |  FROM el JOIN st USING (i)),
+        |d AS (SELECT i, x, mn, mx, n,
+        |    mn + CASE WHEN r = 0 THEN 0
+        |      ELSE (2 * cd * r + 255) // (2 * 255) END AS dq
+        |  FROM c),
+        |a AS (SELECT i, MIN(mn) AS mn, MIN(mx) AS mx, MIN(n) AS n,
+        |    MAX(abs(x - dq)) AS max_err, SUM(abs(x - dq)) AS serr
+        |  FROM d GROUP BY i)
+        |SELECT CAST(i AS BIGINT) AS dim, CAST(n AS BIGINT) AS n_vecs,
+        |  mn, mx, CAST(max_err AS BIGINT) AS max_err,
+        |  CAST(CAST((2 * serr::HUGEINT * 1000 + n) //
+        |    (2 * n::HUGEINT) AS BIGINT) AS DOUBLE) / 1000.0 AS mean_err
+        |FROM a ORDER BY dim""".stripMargin
   )
 }

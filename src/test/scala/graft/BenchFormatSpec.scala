@@ -17,10 +17,13 @@ class BenchFormatSpec extends AnyFunSuite {
     val short = names.map(Bench.wireKey)
     assert(short.distinct.size == names.size,
       "bare-number bench keys must stay unique across query names")
-    // Worst case per entry: "NN":99, — integer deciseconds (compaction
-    // #6: the decimal point overflowed the tail at 204 queries; 1 ms
-    // values overflowed at 122, 99.99 at 140, 9.99 at 150, 9.9 at 203).
-    val entries = short.map(n => "\"" + n + "\":99").mkString("{", ",", "}")
+    // Worst case per entry: 99, — a position-keyed array in sorted
+    // full-name order (compaction #7: per-entry keys overflowed the
+    // tail at 233 queries even as 2-char base-62; earlier: 1 ms values
+    // at 122, 99.99 at 140, 9.99 at 150, 9.9 at 203, the decimal point
+    // at 204). Position i decodes via sorted(queries); wireKey still
+    // names the ov/cp singleton entries.
+    val entries = short.map(_ => "99").mkString("[", ",", "]")
     // ov (clamp saturation) carries the worst clamp-saturated query
     // (r8's q135 ran 27.7 s but printed 9.9 — the saturation must be
     // visible from the wire line) at 99.99 display max. Tail-field
@@ -80,7 +83,7 @@ class BenchFormatSpec extends AnyFunSuite {
     val oracled = SparkEntry.oracleSql.keySet
     // the count the docs (README, SURVEY §8) advertise — update BOTH
     // when adding a query, or the driver-contract documentation drifts
-    assert(queries.size == 225, s"query count ${queries.size} != documented 225")
+    assert(queries.size == 235, s"query count ${queries.size} != documented 235")
     assert(oracled.subsetOf(queries),
       s"oracles without queries: ${(oracled -- queries).toSeq.sorted}")
     assert((queries -- oracled) == rowsOnly,

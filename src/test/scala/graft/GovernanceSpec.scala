@@ -603,4 +603,21 @@ class GovernanceSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("s1", "s4", 0L, 2.0), ("s2", "s3", 1L, 0.857143),
       ("s2", "s4", 0L, 2.0), ("s3", "s4", 0L, 2.0)))
   }
+
+  test("q235 unseen mass: hapax-only 1.0, no-hapax 0.0, hand case on the ppm half-grid") {
+    val ss = spark; import ss.implicits._
+    import operators.CorpusQueries.unseenMass
+    // a: {x:2, y:1, z:1} -> N1/N = 2/4, and 500000.5 ppm rounds half-up
+    // to 500000 (truncating DIV on the doubled numerator). b: {w:2} ->
+    // 0 exactly. c: {p,q,r all hapax} -> 1000000.5 -> 1.0 exactly.
+    val got = unseenMass(Seq(
+        ("a", "x x y z"), ("b", "w w"), ("c", "p q r"))
+        .toDF("source", "text"))
+      .orderBy(col("source")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toSeq
+    assert(got == Seq(
+      ("a", 4L, 3L, 2L, 1L, 0.5), ("b", 2L, 1L, 0L, 1L, 0.0),
+      ("c", 3L, 3L, 3L, 0L, 1.0)))
+  }
 }

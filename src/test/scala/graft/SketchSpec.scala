@@ -246,4 +246,30 @@ class SketchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert((same.getLong(1), same.getLong(2), same.getDouble(3)) ==
       (100L, 0L, 0.0))
   }
+
+  test("q234 SQ8: planted range — exact codes/errors, constant dim zero, bound holds") {
+    val ss = spark; import ss.implicits._
+    import graft.operators.SketchQueries.sq8Audit
+    // dim 1 spans [0, 510] (range exactly 2 grid units per code step):
+    // endpoints reconstruct exactly; the midpoint 255 codes to 128 and
+    // dequantizes to 256 -> err 1 (= the analytic bound's rounding
+    // term). dim 2 is constant -> range 0, all codes 0, zero error.
+    val got = sq8Audit(Seq(
+        Seq(0L, 7L), Seq(510L, 7L), Seq(255L, 7L)).toDF("f"))
+      .orderBy(col("dim")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toSeq
+    assert(got == Seq((1L, 3L, 0L, 510L, 1L, 0.333), (2L, 3L, 7L, 7L, 0L, 0.0)))
+    // analytic bound on the real table: max_err <= range DIV 510 + 1
+    // (two half-up roundings, each at most half a step)
+    val real = sq8Audit(Tables(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 65536.0D) AS BIGINT))")
+        .as("f"))).collect()
+    assert(real.length == 64)
+    real.foreach { r =>
+      val bound = (r.getLong(3) - r.getLong(2)) / 510 + 1
+      assert(r.getLong(4) <= bound, s"dim ${r.getLong(0)}: ${r.getLong(4)} > $bound")
+    }
+  }
 }
