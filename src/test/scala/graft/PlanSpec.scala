@@ -906,4 +906,53 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("SortMergeJoin"), p.take(4000))
     assert(!p.contains("CartesianProduct"), p.take(4000))
   }
+
+  test("q229 skyline: frontier rejoin is broadcast-hash, never sort-merge or cartesian") {
+    // The whole design: the corpus joins the DOMAIN-bounded frontier
+    // (per-score min-toks after the run-min filter), so the frontier
+    // side must arrive as a BroadcastExchange — a SortMergeJoin here
+    // would range-shuffle the scored corpus for a <=|score domain| row
+    // build side.
+    val p = plan("q229_pareto_frontier")
+    assert(p.contains("BroadcastHashJoin"), p.take(4000))
+    assert(!p.contains("SortMergeJoin"), p.take(4000))
+    assert(!p.contains("CartesianProduct"), p.take(4000))
+  }
+
+  test("q232 keywords: top-5 runs as WindowGroupLimit, tf-df join broadcast") {
+    // row_number <= 5 must trigger Spark's rank-limit pushdown
+    // (WindowGroupLimit keeps 5 rows per source BEFORE the final window
+    // sort — without it the window sorts the full vocab x sources
+    // frame), and the per-term df side arrives broadcast.
+    val p = plan("q232_tfidf_keywords")
+    assert(p.contains("WindowGroupLimit"), p.take(4000))
+    assert(p.contains("BroadcastHashJoin"), p.take(4000))
+    assert(!p.contains("CartesianProduct"), p.take(4000))
+  }
+
+  test("q233 source distance: pair universe is a broadcast cross of tiny sides; totals broadcast") {
+    // The only cross product allowed is the sources x sources pair
+    // universe — both sides |sources|-row aggregates, so it must plan
+    // as BroadcastNestedLoopJoin (never CartesianProduct, which would
+    // mean a corpus-sized side slipped in). The per-pair FullOuter on
+    // (src_a, src_b, term) is the pairs x vocab bounded frame — a
+    // sort-merge THERE is fine and expected; the na/nb totals joins
+    // stay broadcast.
+    val p = plan("q233_source_distance")
+    assert(p.contains("BroadcastNestedLoopJoin Cross"), p.take(4000))
+    assert(!p.contains("CartesianProduct"), p.take(4000))
+    assert(p.contains("SortMergeJoin FullOuter"), p.take(4000))
+    assert(p.contains("BroadcastHashJoin"), p.take(4000))
+  }
+
+  test("q234 SQ8 / q235 unseen mass: stats broadcast, no window, map-side combine") {
+    val p = plan("q234_sq8_audit")
+    assert(p.contains("BroadcastHashJoin"), p.take(4000))
+    assert(!p.contains("SortMergeJoin"), p.take(4000))
+    assert(!p.contains("Window"), p.take(4000))
+    val p235 = plan("q235_unseen_mass")
+    assert(!p235.contains("Join"), p235.take(4000))
+    assert(!p235.contains("Window"), p235.take(4000))
+    assert(p235.toLowerCase.contains("partial"), p235.take(4000))
+  }
 }
