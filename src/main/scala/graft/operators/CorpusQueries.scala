@@ -2099,8 +2099,56 @@ object CorpusQueries extends QueryModule {
     // rollup; the estimate lands on the ppm grid.
     "q235_unseen_mass" -> ((s, dir) =>
       unseenMass(Tables(s, dir, "documents"))
-        .orderBy(col("source")))
+        .orderBy(col("source"))),
+
+    // --- interleaved curriculum schedule (q237): the deterministic
+    // training ORDER a curriculum pipeline emits — best-quality band
+    // first, and WITHIN each band sources round-robin-interleaved so
+    // no batch is a long single-source run (the in-batch diversity
+    // rule; same motivation as q221's co-location risk, applied to
+    // time instead of shards). Quality bands are q227's deciles on the
+    // classifier's BOUNDED score domain (no percentile sort ever
+    // runs); within (band, source) docs rank by doc_id (the q215
+    // within-stratum price); the interleave slot is then CLOSED-FORM —
+    // slot = (pos-1)·S + (src_idx-1) with S and src_idx from a
+    // 200-row bounded frame joined broadcast — so the corpus-wide
+    // "position in band" never needs a band-wide window or global
+    // row_number. Output keyed (band DESC, slot): the total order any
+    // consumer can stream without materializing a global rank.
+    "q237_curriculum_order" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val banded = classifierScores(d)
+        .withColumn("band", least(lit(9L),
+          expr("(((lg_micro + 1000000) DIV 2) * 10) DIV 1000000")))
+        .select(col("doc_id"), col("band"))
+        .join(d.select(col("doc_id"), col("source")), Seq("doc_id"))
+      curriculumSchedule(banded)
+        .orderBy(col("band").desc, col("slot"))
+    })
   )
+
+  /** q237's engine over a (doc_id, source, band) frame — factored so
+    * the spec can plant closed-form schedules (two sources interleave
+    * strictly; a band's slots are 0..n-1 with no gaps; band order
+    * dominates). slot = (pos_in_source - 1) · S + (src_idx - 1), where
+    * src_idx/S come from the bands × sources bounded frame. */
+  private[graft] def curriculumSchedule(banded: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val srcIdx = banded.select(col("band"), col("source")).distinct()
+      .withColumn("src_idx", row_number().over(
+        Window.partitionBy(col("band")).orderBy(col("source"))))
+      .withColumn("n_src", count(lit(1)).over(
+        Window.partitionBy(col("band"))))
+    banded
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("band"), col("source"))
+          .orderBy(col("doc_id"))))
+      .join(broadcast(srcIdx), Seq("band", "source"))
+      .withColumn("slot",
+        (col("pos") - 1).cast("long") * col("n_src") + col("src_idx") - 1)
+      .select(col("doc_id"), col("source"), col("band"),
+        col("slot").cast("long").as("slot"))
+  }
 
   /** q235's engine over a (source, text) frame — factored so the spec
     * can plant closed-form count tables (all-hapax -> unseen 1.0;
@@ -4401,6 +4449,43 @@ object CorpusQueries extends QueryModule {
          |SELECT source, n_tokens, n_types, n_hapax, n_dis,
          |  CAST((2 * n_hapax * 1000000 + n_tokens) // (2 * n_tokens)
          |    AS DOUBLE) / 1000000.0 AS unseen
-         |FROM a ORDER BY source""".stripMargin
+         |FROM a ORDER BY source""".stripMargin,
+
+    // q137's score chain, q227's decile banding, the per-(band, source)
+    // rank and the closed-form round-robin interleave slot.
+    "q237_curriculum_order" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    unnest(string_split_regex(trim(text), '\\s+')) AS term
+         |  FROM documents),
+         |b AS (SELECT doc_id,
+         |    CAST('0x' || substr(md5(term), 1, 4) AS INT) % 256 AS bucket,
+         |    COUNT(*) AS cnt
+         |  FROM t GROUP BY 1, 2),
+         |sc AS (SELECT doc_id,
+         |    SUM(cnt * ((bucket * 2654435761) % 2001 - 1000)) AS lm,
+         |    SUM(cnt) AS n_terms
+         |  FROM b GROUP BY doc_id),
+         |lg AS (SELECT doc_id, CASE WHEN lm >= 0
+         |    THEN (2 * lm * 1000 + n_terms) // (2 * n_terms)
+         |    ELSE -((2 * (-lm) * 1000 + n_terms) // (2 * n_terms)) END
+         |    AS lg_micro FROM sc),
+         |bd AS (SELECT l.doc_id, d.source,
+         |    CAST(LEAST(9, (((lg_micro + 1000000) // 2) * 10) // 1000000)
+         |      AS BIGINT) AS band
+         |  FROM lg l JOIN documents d USING (doc_id)),
+         |si AS (SELECT band, source,
+         |    ROW_NUMBER() OVER (PARTITION BY band ORDER BY source)
+         |      AS src_idx,
+         |    COUNT(*) OVER (PARTITION BY band) AS n_src
+         |  FROM (SELECT DISTINCT band, source FROM bd)),
+         |ps AS (SELECT doc_id, source, band,
+         |    ROW_NUMBER() OVER (PARTITION BY band, source
+         |      ORDER BY doc_id) AS pos
+         |  FROM bd)
+         |SELECT ps.doc_id, ps.source, ps.band,
+         |  CAST((ps.pos - 1) * si.n_src + si.src_idx - 1 AS BIGINT)
+         |    AS slot
+         |FROM ps JOIN si USING (band, source)
+         |ORDER BY band DESC, slot""".stripMargin
   )
 }

@@ -656,8 +656,37 @@ object GovernanceQueries extends QueryModule {
         .select(col("c_nationkey").as("nat"),
           floor(col("c_acctbal") / lit(1000.0)).cast("long").as("band"),
           col("c_mktsegment").as("seg")))
-        .orderBy(col("nat")))
+        .orderBy(col("nat"))),
+
+    // --- declared-vs-detected language confusion (q236): the label-
+    // quality audit every multilingual corpus runs before trusting its
+    // `lang` column — cross-tabulate the declared language against the
+    // q31 marker-stopword prediction (the SAME factored chain, so the
+    // audit certifies the predictor actually shipped) and report each
+    // (declared, guess) cell's share of the declared language's docs.
+    // Scale: the per-doc scoring is map-side expressions; the only
+    // exchanges are the (lang, guess)-bounded confusion agg and the
+    // langs-bounded totals, joined broadcast. Share on the ppm grid.
+    "q236_lang_confusion" -> ((s, dir) =>
+      langConfusion(Tables(s, dir, "documents"))
+        .orderBy(col("lang"), col("guess")))
   )
+
+  /** q236's engine over a (lang, text) frame — factored so the spec
+    * can plant mislabeled docs and pin the off-diagonal cell and the
+    * per-language shares. */
+  private[graft] def langConfusion(docs: DataFrame): DataFrame = {
+    val cm = LlmQueries.langGuess(docs)
+      .groupBy(col("lang"), col("guess"))
+      .agg(count(lit(1)).as("n_docs"))
+    val tot = cm.groupBy(col("lang"))
+      .agg(sum(col("n_docs")).cast("long").as("n_lang"))
+    cm.join(broadcast(tot), Seq("lang"))
+      .withColumn("share_ppm", expr(
+        "(2 * n_docs * 1000000 + n_lang) DIV (2 * n_lang)"))
+      .select(col("lang"), col("guess"), col("n_docs"), col("n_lang"),
+        (col("share_ppm").cast("double") / 1e6).as("share"))
+  }
 
   /** q228's audit core over any (nat, band, seg) projection — factored
     * so the spec can certify closed-form plants: a homogeneous class is
@@ -1246,6 +1275,30 @@ object GovernanceQueries extends QueryModule {
         |      END)::HUGEINT * 1000000 + SUM(n_class)) //
         |    (2 * SUM(n_class)::HUGEINT) AS BIGINT) AS DOUBLE) / 1000000.0
         |    AS disclosure_risk
-        |FROM tv GROUP BY nat ORDER BY nat""".stripMargin
+        |FROM tv GROUP BY nat ORDER BY nat""".stripMargin,
+
+    // q31's predictor chain re-derived, then the (declared, guess)
+    // cross-tab with per-declared-language shares on the ppm grid.
+    "q236_lang_confusion" ->
+      """WITH t AS (SELECT lang, string_split_regex(trim(text), '\s+') AS tk
+        |           FROM documents),
+        |sc AS (SELECT lang,
+        |  len(list_filter(tk, x -> x IN ('the', 'a', 'and', 'of', 'is'))) AS sc_en,
+        |  len(list_filter(tk, x -> x IN ('der', 'die', 'das', 'und', 'ist'))) AS sc_de,
+        |  len(list_filter(tk, x -> x IN ('le', 'la', 'et', 'les', 'est'))) AS sc_fr,
+        |  len(list_filter(tk, x -> x IN ('el', 'la', 'y', 'los', 'es'))) AS sc_es
+        |  FROM t),
+        |g AS (SELECT lang,
+        |  CASE WHEN sc_de > sc_en THEN 'de' WHEN sc_fr > sc_en THEN 'fr'
+        |       WHEN sc_es > sc_en THEN 'es' ELSE 'en' END AS guess
+        |  FROM sc),
+        |cm AS (SELECT lang, guess, COUNT(*) AS n_docs FROM g GROUP BY 1, 2),
+        |tot AS (SELECT lang, CAST(SUM(n_docs) AS BIGINT) AS n_lang
+        |  FROM cm GROUP BY 1)
+        |SELECT cm.lang, cm.guess, CAST(cm.n_docs AS BIGINT) AS n_docs,
+        |  tot.n_lang,
+        |  CAST((2 * cm.n_docs * 1000000 + tot.n_lang) //
+        |    (2 * tot.n_lang) AS DOUBLE) / 1000000.0 AS share
+        |FROM cm JOIN tot USING (lang) ORDER BY lang, guess""".stripMargin
   )
 }

@@ -36,6 +36,26 @@ object LlmQueries extends QueryModule {
   private[graft] val toksSql = "split(trim(text), '\\\\s+')"
   private def withTokens(df: DataFrame): DataFrame =
     df.withColumn("tk", expr(toksSql))
+
+  /** q31's marker-stopword language predictor, factored so the q236
+    * declared-vs-detected confusion audit shares the exact chain it
+    * evaluates. Keeps every input column, adds `guess`. */
+  private[graft] def langGuess(docs: DataFrame): DataFrame =
+    withTokens(docs)
+      .withColumn("sc_en",
+        expr("size(filter(tk, t -> t IN ('the', 'a', 'and', 'of', 'is')))"))
+      .withColumn("sc_de",
+        expr("size(filter(tk, t -> t IN ('der', 'die', 'das', 'und', 'ist')))"))
+      .withColumn("sc_fr",
+        expr("size(filter(tk, t -> t IN ('le', 'la', 'et', 'les', 'est')))"))
+      .withColumn("sc_es",
+        expr("size(filter(tk, t -> t IN ('el', 'la', 'y', 'los', 'es')))"))
+      .withColumn("guess",
+        when(col("sc_de") > col("sc_en"), "de")
+          .when(col("sc_fr") > col("sc_en"), "fr")
+          .when(col("sc_es") > col("sc_en"), "es")
+          .otherwise("en"))
+      .drop("tk", "sc_en", "sc_de", "sc_fr", "sc_es")
   /** Distinct word 3-shingles of a tokens column — built from array-level
     * slices fused with zip_with, NOT a positional lambda: CollapseProject
     * re-inlines upstream projections into lambdas, so an
@@ -893,17 +913,7 @@ object LlmQueries extends QueryModule {
     // variant; the content is synthetic so the score, not accuracy, is the
     // verified artifact).
     "q31_lang_id" -> ((s, dir) => {
-      withTokens(Tables(s, dir, "documents"))
-        .select(col("doc_id"), col("lang"),
-          expr("size(filter(tk, t -> t IN ('the', 'a', 'and', 'of', 'is')))").as("sc_en"),
-          expr("size(filter(tk, t -> t IN ('der', 'die', 'das', 'und', 'ist')))").as("sc_de"),
-          expr("size(filter(tk, t -> t IN ('le', 'la', 'et', 'les', 'est')))").as("sc_fr"),
-          expr("size(filter(tk, t -> t IN ('el', 'la', 'y', 'los', 'es')))").as("sc_es"))
-        .withColumn("guess",
-          when(col("sc_de") > col("sc_en"), "de")
-            .when(col("sc_fr") > col("sc_en"), "fr")
-            .when(col("sc_es") > col("sc_en"), "es")
-            .otherwise("en"))
+      langGuess(Tables(s, dir, "documents"))
         .select(col("doc_id"), col("lang"), col("guess"),
           (col("guess") === col("lang")).as("hit"))
         .orderBy(col("doc_id"))

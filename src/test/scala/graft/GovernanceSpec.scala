@@ -620,4 +620,43 @@ class GovernanceSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("a", 4L, 3L, 2L, 1L, 0.5), ("b", 2L, 1L, 0L, 1L, 0.0),
       ("c", 3L, 3L, 3L, 0L, 1.0)))
   }
+
+  test("q236 lang confusion: planted mislabel lands in the off-diagonal cell with exact share") {
+    val ss = spark; import ss.implicits._
+    import operators.GovernanceQueries.langConfusion
+    // the second 'en' doc is German by markers (der/ist beat the
+    // English stopwords) -> cell (en, de) with share 1/2; the true
+    // 'de' doc stays diagonal with share 1.
+    val got = langConfusion(Seq(
+        ("en", "the cat"), ("en", "der hund ist gut"), ("de", "der der"))
+        .toDF("lang", "text"))
+      .orderBy(col("lang"), col("guess")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSeq
+    assert(got == Seq(
+      ("de", "de", 1L, 1L, 1.0),
+      ("en", "de", 1L, 2L, 0.5), ("en", "en", 1L, 2L, 0.5)))
+  }
+
+  test("q237 curriculum: planted bands — strict source interleave, contiguous slots, band order") {
+    val ss = spark; import ss.implicits._
+    import operators.CorpusQueries.curriculumSchedule
+    // band 1 has sources a (docs 1, 3) and b (doc 2): S = 2, a idx 1,
+    // b idx 2 -> slots a:0,2 b:1 — the round-robin a,b,a. band 0 is a
+    // singleton source z.
+    val got = curriculumSchedule(Seq(
+        (1L, "a", 1L), (3L, "a", 1L), (2L, "b", 1L), (9L, "z", 0L))
+        .toDF("doc_id", "source", "band"))
+      .orderBy(col("band").desc, col("slot")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == Seq(
+      (1L, "a", 1L, 0L), (2L, "b", 1L, 1L), (3L, "a", 1L, 2L),
+      (9L, "z", 0L, 0L)))
+    // slots within each band are contiguous 0..n-1 (a consumer can
+    // stream (band DESC, slot) as a total order with no gaps)
+    got.groupBy(_._3).foreach { case (_, rows) =>
+      assert(rows.map(_._4).sorted == rows.indices.map(_.toLong))
+    }
+  }
 }
