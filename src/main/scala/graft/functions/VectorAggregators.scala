@@ -72,4 +72,50 @@ object VectorAggregators {
     override def outputEncoder: Encoder[Seq[Double]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
   }
+
+  final case class PcaMomentsBuf(sp: Array[Long], m: Array[Long], n: Long)
+  final case class PcaMomentsOut(sp: Seq[Long], m: Seq[Long], n: Long)
+
+  /** q171's covariance moments in ONE corpus pass: count, per-dim sums,
+    * and the full d x d outer-product sum folded row-locally into a
+    * d²-long buffer — shuffle volume is O(partitions x d²), never rows
+    * (the explode-then-hash-agg formulation materialized d² rows PER
+    * VECTOR before the partial agg and dominated the query). Exact:
+    * inputs are 2^16-grid integers so each product fits well inside a
+    * long, and accumulation is add/multiplyExact — past ~5e8 rows per
+    * group the sum RAISES instead of silently corrupting (the
+    * CentroidFixed convention; shard first at that scale) while the
+    * DuckDB oracle's HUGEINT sums stay exact and equal in range. */
+  class PcaMoments(dim: Int)
+      extends Aggregator[Seq[Long], PcaMomentsBuf, PcaMomentsOut] {
+    override def zero: PcaMomentsBuf =
+      PcaMomentsBuf(new Array[Long](dim * dim), new Array[Long](dim), 0L)
+    override def reduce(b: PcaMomentsBuf, f: Seq[Long]): PcaMomentsBuf = {
+      val a = f.toArray
+      var i = 0
+      while (i < dim) {
+        val x = a(i)
+        b.m(i) = Math.addExact(b.m(i), x)
+        val row = i * dim
+        var j = 0
+        while (j < dim) {
+          b.sp(row + j) = Math.addExact(b.sp(row + j), Math.multiplyExact(x, a(j)))
+          j += 1
+        }
+        i += 1
+      }
+      PcaMomentsBuf(b.sp, b.m, b.n + 1)
+    }
+    override def merge(a: PcaMomentsBuf, b: PcaMomentsBuf): PcaMomentsBuf = {
+      var k = 0
+      while (k < dim * dim) { a.sp(k) = Math.addExact(a.sp(k), b.sp(k)); k += 1 }
+      var i = 0
+      while (i < dim) { a.m(i) = Math.addExact(a.m(i), b.m(i)); i += 1 }
+      PcaMomentsBuf(a.sp, a.m, a.n + b.n)
+    }
+    override def finish(b: PcaMomentsBuf): PcaMomentsOut =
+      PcaMomentsOut(b.sp.toSeq, b.m.toSeq, b.n)
+    override def bufferEncoder: Encoder[PcaMomentsBuf] = Encoders.product[PcaMomentsBuf]
+    override def outputEncoder: Encoder[PcaMomentsOut] = Encoders.product[PcaMomentsOut]
+  }
 }

@@ -2370,10 +2370,12 @@ object LlmQueries extends QueryModule {
     // but-the-top", Mu & Viswanath 2018: drop the dominant directions;
     // PCA whitening before ANN indexing) — distributed the only way
     // that survives 100 TB: ONE corpus pass folds each row's d×d outer
-    // product map-side into a d²-row partial aggregate (the exchange is
-    // bounded by the DIMENSION, never the corpus), then 20 fixed power-
-    // iteration rounds run on the d²-sized normalized covariance — each
-    // a 4096x64 join + 64-row partial agg, corpus never touched again.
+    // product (plus count and per-dim sums) row-locally into the
+    // [[graft.functions.VectorAggregators.PcaMoments]] buffer — the
+    // exchange is O(partitions × d²), bounded by the DIMENSION, never
+    // the corpus — then 20 fixed power-iteration rounds run as narrow
+    // single-row array projections over the normalized covariance; the
+    // corpus is never touched again.
     // Engine-independence is the q151 playbook end-to-end: components
     // quantize once to a 2^16 integer grid, so moments/covariance are
     // EXACT integers (DECIMAL(38,0) / HUGEINT); the covariance and
@@ -2500,52 +2502,78 @@ object LlmQueries extends QueryModule {
     * engine-independence and scale arguments. */
   private[graft] def pcaTopComponent(quantized: DataFrame): DataFrame = {
       val e = quantized
-      val n = e.agg(count(lit(1)).as("n"))
-      val m = e.select(posexplode(col("f")).as(Seq("i0", "x")))
-        .groupBy(col("i0")).agg(sum(col("x")).as("m")) // d rows
-      val sp = e.select(explode(expr(
-          "flatten(transform(f, (x, i) -> transform(f, (y, j) -> " +
-            "named_struct('k', i * 64 + j, 'p', x * y))))")).as("kp"))
-        .select(col("kp.k").as("k"),
-          col("kp.p").cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("p"))
-        .groupBy(col("k")).agg(sum(col("p")).as("sp")) // d² rows
-      val cov = sp
-        .withColumn("i", expr("k DIV 64")).withColumn("j", expr("k % 64"))
-        .join(broadcast(m.select(col("i0").as("i"), col("m").as("mi"))), Seq("i"))
-        .join(broadcast(m.select(col("i0").as("j"), col("m").as("mj"))), Seq("j"))
-        .crossJoin(broadcast(n))
-        .withColumn("cov", expr("CAST(n AS DECIMAL(38,0)) * sp - " +
-          "CAST(mi AS DECIMAL(38,0)) * CAST(mj AS DECIMAL(38,0))"))
-        .select(col("i"), col("j"), col("cov"))
-        .localCheckpoint() // d² rows; consumed by cmax + the scaled copy
-      val cmax = cov.agg(max(abs(col("cov"))).as("cmx"))
-      val cn = cov.crossJoin(broadcast(cmax))
-        .withColumn("cv", expr("CASE WHEN cmx = 0 THEN CAST(0 AS BIGINT) " +
-          "WHEN cov >= 0 THEN CAST((cov * 1000000) DIV cmx AS BIGINT) " +
-          "ELSE -CAST(((-cov) * 1000000) DIV cmx AS BIGINT) END"))
-        .select(col("i"), col("j"), col("cv"))
-        .localCheckpoint() // consumed by all 21 matrix-vector products
-      var v = m.select(col("i0").as("j"), lit(1000000L).as("val")).localCheckpoint()
-      val normSql = "CASE WHEN mx = 0 THEN CAST(0 AS BIGINT) " +
-        "WHEN raw >= 0 THEN CAST((CAST(raw AS DECIMAL(38,0)) * 1000000) DIV mx AS BIGINT) " +
-        "ELSE -CAST((CAST(-raw AS DECIMAL(38,0)) * 1000000) DIV mx AS BIGINT) END"
-      for (_ <- 1 to 20) {
-        val w = cn.join(v, Seq("j")).groupBy(col("i"))
-          .agg(sum(col("cv") * col("val")).as("raw")) // |raw| <= d*1e12
-        val mx = w.agg(max(abs(col("raw"))).as("mx"))
-        v = w.crossJoin(broadcast(mx))
-          .select(col("i").as("j"), expr(normSql).as("val"))
-          .localCheckpoint() // d rows per round; truncates the loop lineage
-      }
-      val wf = cn.join(v, Seq("j")).groupBy(col("i"))
-        .agg(sum(col("cv") * col("val")).as("raw"))
-      val lam = wf.join(v.select(col("j").as("i"), col("val")), Seq("i"))
-        .agg(sum(expr("CAST(raw AS DECIMAL(38,0)) * val")).as("num"),
-          sum(expr("CAST(val AS DECIMAL(38,0)) * val")).as("den"))
+      // ONE corpus pass: count, per-dim sums, and the d² outer-product
+      // sums fold row-locally in [[graft.functions.VectorAggregators
+      // .PcaMoments]] — shuffle volume O(partitions x d²), never rows.
+      // (r10-close rewrite: the explode-then-hash-agg form generated
+      // d² rows PER VECTOR before the partial agg, and the joined
+      // per-round iteration added ~50 tiny jobs — together ~8.7 s at
+      // sf0.1 for a 64-dim problem; this form is one pass + one narrow
+      // single-row projection chain. Every integer op is unchanged, so
+      // the unrolled oracle replica and the planted single-axis spec
+      // certify the rewrite bit-for-bit.)
+      val mom = udaf(new graft.functions.VectorAggregators.PcaMoments(64))
+      val base = e.agg(mom(col("f")).as("mm"))
+        .select(col("mm.sp").as("spa"), col("mm.m").as("ma"),
+          col("mm.n").as("n"))
+        .withColumn("cov", expr(
+          "transform(sequence(0, 4095), k -> " +
+            "CAST(n AS DECIMAL(38,0)) * element_at(spa, k + 1) - " +
+            "CAST(element_at(ma, CAST(k DIV 64 AS INT) + 1) AS DECIMAL(38,0)) * " +
+            "element_at(ma, k % 64 + 1))"))
+        .withColumn("cmx", expr("array_max(transform(cov, c -> abs(c)))"))
+        .withColumn("cm", expr(
+          "transform(cov, c -> CASE WHEN cmx = 0 THEN CAST(0 AS BIGINT) " +
+            "WHEN c >= 0 THEN CAST((c * 1000000) DIV cmx AS BIGINT) " +
+            "ELSE -CAST(((-c) * 1000000) DIV cmx AS BIGINT) END)"))
+        .select(col("cm"))
+        .withColumn("v", expr(
+          "transform(sequence(0, 63), j -> CAST(1000000 AS BIGINT))"))
+      // One power round as ONE self-contained expression. aggregate()'s
+      // zero slot binds the matrix-vector product w ONCE (a let-binding
+      // — without it the mx and renorm references would each duplicate
+      // the w subtree and the 20-round expression tree would grow
+      // 2^20); the finish lambda renormalizes onto the 1e6 grid with
+      // the engine's sign-safe truncating division. |w_i| <= 64 * 1e12
+      // stays in BIGINT; the *1e6 renumerator rides DECIMAL(38,0).
+      val stepSql =
+        "aggregate(array(0), " +
+          "transform(sequence(0, 63), i -> aggregate(sequence(0, 63), " +
+            "CAST(0 AS BIGINT), (acc, j) -> acc + " +
+            "element_at(cm, i * 64 + j + 1) * element_at(v, j + 1))), " +
+          "(acc, z) -> acc, " +
+          "w -> transform(w, r -> CASE " +
+            "WHEN array_max(transform(w, y -> abs(y))) = 0 THEN CAST(0 AS BIGINT) " +
+            "WHEN r >= 0 THEN CAST((CAST(r AS DECIMAL(38,0)) * 1000000) DIV " +
+              "array_max(transform(w, y -> abs(y))) AS BIGINT) " +
+            "ELSE -CAST((CAST(-r AS DECIMAL(38,0)) * 1000000) DIV " +
+              "array_max(transform(w, y -> abs(y))) AS BIGINT) END))"
+      // Materialize the one-row frame EVERY round: chaining even 4
+      // rounds into one expression nests HOF lambdas deep enough that
+      // the analyzer's lambda re-resolution explodes planning past
+      // minutes (measured; linear tree size, super-linear plan time),
+      // while 20 localCheckpoints of a single 1-row partition are
+      // ~30 ms each — no exchange, no join, one narrow task per round.
+      var frame = base.localCheckpoint()
+      for (_ <- 1 to 20)
+        frame = frame.withColumn("v", expr(stepSql)).localCheckpoint()
+      val out = frame
+        .withColumn("wf", expr(
+          "transform(sequence(0, 63), i -> aggregate(sequence(0, 63), " +
+            "CAST(0 AS BIGINT), (acc, j) -> acc + " +
+            "element_at(cm, i * 64 + j + 1) * element_at(v, j + 1)))"))
+        .withColumn("num", expr(
+          "aggregate(sequence(0, 63), CAST(0 AS DECIMAL(38,0)), (acc, i) -> " +
+            "acc + CAST(element_at(wf, i + 1) AS DECIMAL(38,0)) * " +
+            "element_at(v, i + 1))"))
+        .withColumn("den", expr(
+          "aggregate(sequence(0, 63), CAST(0 AS DECIMAL(38,0)), (acc, i) -> " +
+            "acc + CAST(element_at(v, i + 1) AS DECIMAL(38,0)) * " +
+            "element_at(v, i + 1))"))
         .withColumn("lm", expr("CASE WHEN den = 0 THEN CAST(0 AS BIGINT) " +
           "WHEN num >= 0 THEN CAST((num * 1000000) DIV den AS BIGINT) " +
           "ELSE -CAST(((-num) * 1000000) DIV den AS BIGINT) END"))
-      v.crossJoin(broadcast(lam.select(col("lm"))))
+      out.select(col("lm"), posexplode(col("v")).as(Seq("j", "val")))
         .select((col("j") + 1).cast("long").as("dim"),
           (col("val").cast("double") / lit(1000000.0)).as("comp"),
           (col("lm").cast("double") / lit(1000000.0)).as("ev_lambda"))
