@@ -2129,9 +2129,12 @@ object CorpusQueries extends QueryModule {
 
   /** q237's engine over a (doc_id, source, band) frame — factored so
     * the spec can plant closed-form schedules (two sources interleave
-    * strictly; a band's slots are 0..n-1 with no gaps; band order
-    * dominates). slot = (pos_in_source - 1) · S + (src_idx - 1), where
-    * src_idx/S come from the bands × sources bounded frame. */
+    * strictly; slots are UNIQUE within a band — a total order under
+    * (band DESC, slot) — but NOT contiguous once a small source
+    * exhausts: its later round-robin positions go unused by design;
+    * band order dominates). slot = (pos_in_source - 1) · S +
+    * (src_idx - 1), where src_idx/S come from the bands × sources
+    * bounded frame. */
   private[graft] def curriculumSchedule(banded: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val srcIdx = banded.select(col("band"), col("source")).distinct()

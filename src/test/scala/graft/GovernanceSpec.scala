@@ -638,7 +638,7 @@ class GovernanceSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("en", "de", 1L, 2L, 0.5), ("en", "en", 1L, 2L, 0.5)))
   }
 
-  test("q237 curriculum: planted bands — strict source interleave, contiguous slots, band order") {
+  test("q237 curriculum: planted bands — strict source interleave, unique slots, band order") {
     val ss = spark; import ss.implicits._
     import operators.CorpusQueries.curriculumSchedule
     // band 1 has sources a (docs 1, 3) and b (doc 2): S = 2, a idx 1,
@@ -653,10 +653,18 @@ class GovernanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Seq(
       (1L, "a", 1L, 0L), (2L, "b", 1L, 1L), (3L, "a", 1L, 2L),
       (9L, "z", 0L, 0L)))
-    // slots within each band are contiguous 0..n-1 (a consumer can
-    // stream (band DESC, slot) as a total order with no gaps)
-    got.groupBy(_._3).foreach { case (_, rows) =>
-      assert(rows.map(_._4).sorted == rows.indices.map(_.toLong))
-    }
+    // RAGGED sources: slots stay UNIQUE (the schedule is a total order
+    // under (band DESC, slot)) but are NOT contiguous — once a small
+    // source exhausts, its round-robin positions go unused (a:4 docs,
+    // b:1 -> a at 0,2,4,6 and b at 1; 3 and 5 are gaps by design).
+    // The alternating PREFIX is the diversity property that holds.
+    val ragged = curriculumSchedule(Seq(
+        (1L, "a", 1L), (2L, "a", 1L), (3L, "a", 1L), (4L, "a", 1L),
+        (5L, "b", 1L)).toDF("doc_id", "source", "band"))
+      .orderBy(col("slot")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3))).toSeq
+    assert(ragged == Seq((1L, "a", 0L), (5L, "b", 1L), (2L, "a", 2L),
+      (3L, "a", 4L), (4L, "a", 6L)))
+    assert(ragged.map(_._3).distinct.size == ragged.size, "slots unique")
   }
 }
