@@ -604,6 +604,25 @@ class GovernanceSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("s2", "s4", 0L, 2.0), ("s3", "s4", 0L, 2.0)))
   }
 
+  test("q233 source distance is scale-invariant: doubling a source's corpus moves nothing") {
+    // The metric must compare DISTRIBUTIONS, not volumes: every
+    // per-term ratio is degree-0 homogeneous in (ca, na) — doubling
+    // all of a source's counts multiplies num and den by exactly 4 —
+    // so even the ppm ROUNDING is identical, not just close. This is
+    // what makes the matrix meaningful across sources of wildly
+    // different sizes (the 100 TB reality).
+    val ss = spark; import ss.implicits._
+    import operators.CorpusQueries.sourceDistance
+    val base = sourceDistance(Seq(
+        ("a", "x x y"), ("b", "x z")).toDF("source", "text"))
+      .collect().head.getDouble(3)
+    val doubled = sourceDistance(Seq(
+        ("a", "x x y x x y"), ("b", "x z")).toDF("source", "text"))
+      .collect().head.getDouble(3)
+    assert(base == doubled, s"$base != $doubled")
+    assert(base == 0.857143)
+  }
+
   test("q235 unseen mass: hapax-only 1.0, no-hapax 0.0, hand case on the ppm half-grid") {
     val ss = spark; import ss.implicits._
     import operators.CorpusQueries.unseenMass
