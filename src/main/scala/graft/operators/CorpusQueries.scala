@@ -2124,8 +2124,60 @@ object CorpusQueries extends QueryModule {
         .join(d.select(col("doc_id"), col("source")), Seq("doc_id"))
       curriculumSchedule(banded)
         .orderBy(col("band").desc, col("slot"))
+    }),
+
+    // --- judge agreement (q238): Cohen's kappa between the corpus's
+    // two independent quality judges — the q192 Gopher repetition
+    // rules and the q137 hashed-linear classifier's sign — per source.
+    // The chance-corrected agreement every labeling pipeline reports
+    // before trusting a judge ensemble; raw agreement alone is
+    // inflated whenever one judge is nearly constant. Exactly
+    // rational: with contingency (yy, yn, ny, nn), kappa =
+    // ((yy+nn)·n − X) / (n² − X) where X = (yy+yn)(yy+ny) +
+    // (ny+nn)(yn+nn) — no probability ever leaves the integer grid,
+    // sign handled by the split rule, pe = 1 (two constant judges) →
+    // NULL. Scale: both judge chains are map-side scoring + doc-keyed
+    // join; the contingency is one sources-bounded partial agg.
+    "q238_judge_agreement" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      judgeAgreement(
+        repetitionStats(d).select(col("doc_id"), col("source"),
+          (col("pass_top") && col("pass_dup")).as("ja")),
+        classifierScores(d).select(col("doc_id"),
+          (col("lg_micro") >= 0).as("jb")))
+        .orderBy(col("source"))
     })
   )
+
+  /** q238's engine over (doc_id, source, ja) x (doc_id, jb) frames —
+    * factored so the spec can plant the closed-form contingency cases
+    * (perfect agreement -> 1.0, one constant judge -> 0.0, perfect
+    * disagreement -> -1.0, both constant -> NULL). */
+  private[graft] def judgeAgreement(a: DataFrame, b: DataFrame): DataFrame =
+    a.join(b, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("ja") && col("jb"), 1L).otherwise(0L)).as("yy"),
+        sum(when(col("ja") && !col("jb"), 1L).otherwise(0L)).as("yn"),
+        sum(when(!col("ja") && col("jb"), 1L).otherwise(0L)).as("ny"),
+        sum(when(!col("ja") && !col("jb"), 1L).otherwise(0L)).as("nn"))
+      .withColumn("xnum", expr(
+        "CAST(yy + yn AS DECIMAL(38,0)) * (yy + ny) + " +
+          "CAST(ny + nn AS DECIMAL(38,0)) * (yn + nn)"))
+      .withColumn("agree_ppm", expr(
+        "(2 * (yy + nn) * 1000000 + n) DIV (2 * n)"))
+      .withColumn("knum", expr(
+        "CAST(yy + nn AS DECIMAL(38,0)) * n - xnum"))
+      .withColumn("kden", expr("CAST(n AS DECIMAL(38,0)) * n - xnum"))
+      .withColumn("kappa_ppm", expr(
+        "CASE WHEN kden = 0 THEN CAST(NULL AS BIGINT) " +
+          "WHEN knum >= 0 THEN " +
+          "CAST((2 * knum * 1000000 + kden) DIV (2 * kden) AS BIGINT) " +
+          "ELSE -CAST((2 * (-knum) * 1000000 + kden) DIV (2 * kden) AS BIGINT) END"))
+      .select(col("source"), col("n"), col("yy"), col("yn"), col("ny"),
+        col("nn"),
+        (col("agree_ppm").cast("double") / 1e6).as("agree"),
+        (col("kappa_ppm").cast("double") / 1e6).as("kappa"))
 
   /** q237's engine over a (doc_id, source, band) frame — factored so
     * the spec can plant closed-form schedules (two sources interleave
@@ -4489,6 +4541,64 @@ object CorpusQueries extends QueryModule {
          |  CAST((ps.pos - 1) * si.n_src + si.src_idx - 1 AS BIGINT)
          |    AS slot
          |FROM ps JOIN si USING (band, source)
-         |ORDER BY band DESC, slot""".stripMargin
+         |ORDER BY band DESC, slot""".stripMargin,
+
+    // Both judge chains (q192 rules, q137 classifier sign) re-derived,
+    // then the per-source contingency and the exactly-rational kappa.
+    "q238_judge_agreement" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    unnest(string_split_regex(trim(text), '\\s+')) AS term
+         |  FROM documents),
+         |b AS (SELECT doc_id,
+         |    CAST('0x' || substr(md5(term), 1, 4) AS INT) % 256 AS bucket,
+         |    COUNT(*) AS cnt
+         |  FROM t GROUP BY 1, 2),
+         |sc AS (SELECT doc_id,
+         |    SUM(cnt * ((bucket * 2654435761) % 2001 - 1000)) AS lm,
+         |    SUM(cnt) AS n_terms
+         |  FROM b GROUP BY doc_id),
+         |lg AS (SELECT doc_id, CASE WHEN lm >= 0
+         |    THEN (2 * lm * 1000 + n_terms) // (2 * n_terms)
+         |    ELSE -((2 * (-lm) * 1000 + n_terms) // (2 * n_terms)) END
+         |    AS lg_micro FROM sc),
+         |tk AS (SELECT doc_id, source,
+         |    string_split_regex(trim(text), '\\s+') AS tk FROM documents),
+         |st AS (SELECT doc_id, source, len(tk) AS n,
+         |    list_max(list_transform(list_distinct(tk),
+         |      t -> len(list_filter(tk, x -> x = t)))) AS topc,
+         |    CASE WHEN len(tk) >= 2 THEN (len(tk) - 1) -
+         |      len(list_distinct(list_transform(range(1, len(tk)),
+         |        i -> tk[i] || ' ' || tk[i + 1]))) ELSE 0 END AS dupbg,
+         |    CASE WHEN len(tk) >= 2 THEN len(tk) - 1 ELSE 0 END AS nbg
+         |  FROM tk),
+         |j AS (SELECT st.doc_id, st.source,
+         |    (topc * 10 <= n AND dupbg * 100 <= 3 * nbg) AS ja,
+         |    lg.lg_micro >= 0 AS jb
+         |  FROM st JOIN lg ON lg.doc_id = st.doc_id),
+         |c AS (SELECT source, COUNT(*) AS n,
+         |    SUM(CASE WHEN ja AND jb THEN 1 ELSE 0 END) AS yy,
+         |    SUM(CASE WHEN ja AND NOT jb THEN 1 ELSE 0 END) AS yn,
+         |    SUM(CASE WHEN NOT ja AND jb THEN 1 ELSE 0 END) AS ny,
+         |    SUM(CASE WHEN NOT ja AND NOT jb THEN 1 ELSE 0 END) AS nn
+         |  FROM j GROUP BY source),
+         |x AS (SELECT *,
+         |    (yy + yn)::HUGEINT * (yy + ny) +
+         |      (ny + nn)::HUGEINT * (yn + nn) AS xnum,
+         |    (yy + nn)::HUGEINT * n AS onum,
+         |    n::HUGEINT * n AS n2 FROM c)
+         |SELECT source, CAST(n AS BIGINT) AS n, CAST(yy AS BIGINT) AS yy,
+         |  CAST(yn AS BIGINT) AS yn, CAST(ny AS BIGINT) AS ny,
+         |  CAST(nn AS BIGINT) AS nn,
+         |  CAST(CAST((2 * (yy + nn) * 1000000 + n) // (2 * n) AS BIGINT)
+         |    AS DOUBLE) / 1000000.0 AS agree,
+         |  CASE WHEN n2 = xnum THEN NULL
+         |    WHEN onum >= xnum THEN CAST(CAST(
+         |      (2 * (onum - xnum) * 1000000 + (n2 - xnum)) //
+         |      (2 * (n2 - xnum)) AS BIGINT) AS DOUBLE) / 1000000.0
+         |    ELSE -CAST(CAST(
+         |      (2 * (xnum - onum) * 1000000 + (n2 - xnum)) //
+         |      (2 * (n2 - xnum)) AS BIGINT) AS DOUBLE) / 1000000.0 END
+         |    AS kappa
+         |FROM x ORDER BY source""".stripMargin
   )
 }

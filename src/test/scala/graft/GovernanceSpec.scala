@@ -623,6 +623,27 @@ class GovernanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(base == 0.857143)
   }
 
+  test("q238 kappa: closed-form contingencies — 1.0, chance 0.0, -1.0, both-constant NULL") {
+    val ss = spark; import ss.implicits._
+    import operators.CorpusQueries.judgeAgreement
+    def run(rows: (Long, String, Boolean, Boolean)*) = judgeAgreement(
+      rows.toSeq.map(r => (r._1, r._2, r._3)).toDF("doc_id", "source", "ja"),
+      rows.toSeq.map(r => (r._1, r._4)).toDF("doc_id", "jb"))
+      .collect().head
+    // perfect agreement -> kappa exactly 1
+    assert(run((1L, "s", true, true), (2L, "s", false, false))
+      .getDouble(7) == 1.0)
+    // one judge constant -> chance-corrected to exactly 0 (raw
+    // agreement would read an inflated 0.5)
+    val const = run((1L, "s", true, true), (2L, "s", false, true))
+    assert(const.getDouble(6) == 0.5 && const.getDouble(7) == 0.0)
+    // perfect disagreement -> exactly -1
+    assert(run((1L, "s", true, false), (2L, "s", false, true))
+      .getDouble(7) == -1.0)
+    // BOTH judges constant: pe = 1, kappa undefined -> NULL, not 0
+    assert(run((1L, "s", true, true), (2L, "s", true, true)).isNullAt(7))
+  }
+
   test("q235 unseen mass: hapax-only 1.0, no-hapax 0.0, hand case on the ppm half-grid") {
     val ss = spark; import ss.implicits._
     import operators.CorpusQueries.unseenMass
