@@ -865,6 +865,24 @@ class LlmSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("PcaMoments: one planted row reproduces exact moments; overflow RAISES, never corrupts") {
+    import graft.functions.VectorAggregators.PcaMoments
+    val agg = new PcaMoments(2)
+    val buf = agg.reduce(agg.reduce(agg.zero, Seq(2L, 3L)), Seq(5L, 7L))
+    assert(buf.n == 2)
+    assert(buf.m.toSeq == Seq(7L, 10L)) // 2+5, 3+7
+    // outer products: [4+25, 6+35, 6+35, 9+49]
+    assert(buf.sp.toSeq == Seq(29L, 41L, 41L, 58L))
+    val merged = agg.merge(agg.reduce(agg.zero, Seq(1L, 0L)), buf)
+    assert(merged.n == 3 && merged.sp(0) == 30L && merged.m(0) == 8L)
+    // the documented contract: past the long range the fold THROWS
+    // (addExact/multiplyExact) instead of silently wrapping — a
+    // corrupted covariance would pass downstream undetected
+    intercept[ArithmeticException] {
+      agg.reduce(agg.zero, Seq(Long.MaxValue / 2, Long.MaxValue / 2))
+    }
+  }
+
   test("q230 MMR: planted line geometry — relevance round 1, diversity round 2, exact ties") {
     // 1-D points 0, 1, 10, 9 (ids 0..3): sum 20, n 4 -> centroid 5.
     // d2q = 25, 16, 25, 16. Round 1 is pure relevance: min d2q ties
