@@ -2146,8 +2146,46 @@ object CorpusQueries extends QueryModule {
         classifierScores(d).select(col("doc_id"),
           (col("lg_micro") >= 0).as("jb")))
         .orderBy(col("source"))
+    }),
+
+    // --- cross-source duplicate-leakage matrix (q239): the "who
+    // copies whom" readout — q34's near-dup pairs mapped to their
+    // endpoints' sources and aggregated per UNORDERED source pair
+    // (count + max Jaccard + the cross-source flag). Off-diagonal mass
+    // is the license-leakage / mirrored-content indicator that a
+    // per-source dedup cannot see (it also quantifies how much a
+    // source-partitioned dedup would MISS). Scale: the source map is
+    // a doc-keyed hash join on the pairs frame (pairs-bounded), the
+    // matrix is sources²-bounded; the q34 chain is the cost, as in
+    // q163/q188/q221.
+    "q239_cross_source_dups" -> ((s, dir) => {
+      val src = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"))
+      // the planted near-dup copies (doc_id + 10000, the q34 corpus
+      // construction) inherit their original's source
+      val universe = src.unionByName(
+        src.select((col("doc_id") + 10000).as("doc_id"), col("source")))
+      crossSourceDups(LlmQueries.ngramJaccardPairs(s, dir), universe)
+        .orderBy(col("src_a"), col("src_b"))
     })
   )
+
+  /** q239's engine over a (doc_a, doc_b, jac) pair frame and a
+    * (doc_id, source) map — factored so the spec can plant the
+    * source-mapping cases (unordered pair canonicalization, the
+    * cross-source flag, max-jac per cell). */
+  private[graft] def crossSourceDups(pairs: DataFrame,
+      docSources: DataFrame): DataFrame =
+    pairs
+      .join(docSources.select(col("doc_id").as("doc_a"),
+        col("source").as("s1")), Seq("doc_a"))
+      .join(docSources.select(col("doc_id").as("doc_b"),
+        col("source").as("s2")), Seq("doc_b"))
+      .select(least(col("s1"), col("s2")).as("src_a"),
+        greatest(col("s1"), col("s2")).as("src_b"), col("jac"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_pairs"), max(col("jac")).as("max_jac"))
+      .withColumn("cross_source", col("src_a") =!= col("src_b"))
 
   /** q238's engine over (doc_id, source, ja) x (doc_id, jb) frames —
     * factored so the spec can plant the closed-form contingency cases
@@ -4599,6 +4637,42 @@ object CorpusQueries extends QueryModule {
          |      (2 * (xnum - onum) * 1000000 + (n2 - xnum)) //
          |      (2 * (n2 - xnum)) AS BIGINT) AS DOUBLE) / 1000000.0 END
          |    AS kappa
-         |FROM x ORDER BY source""".stripMargin
+         |FROM x ORDER BY source""".stripMargin,
+
+    // q34's pair chain (planted corpus, df-cap replicated), endpoint
+    // sources via the same +10000 construction, unordered-pair rollup.
+    "q239_cross_source_dups" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000,
+        |    array_to_string(string_split_regex(trim(text), '\s+')[1:greatest(
+        |      len(string_split_regex(trim(text), '\s+')) - 5, 1)], ' ')
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(tk) >= 3 THEN
+        |    list_transform(range(1, len(tk) - 1),
+        |      i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])
+        |    ELSE [] END) AS sh
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+        |        FROM corpus)),
+        |ex AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS s FROM sh),
+        |exd AS (SELECT doc_id, sz, s,
+        |          COUNT(*) OVER (PARTITION BY s) AS df FROM ex),
+        |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    COUNT(*) / (a.sz + b.sz - COUNT(*)) AS jac
+        |  FROM exd a JOIN exd b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id, a.sz, b.sz
+        |  HAVING COUNT(*) / (a.sz + b.sz - COUNT(*)) >= 0.5
+        |    AND MIN(a.df) <= 256),
+        |u AS (SELECT doc_id, source FROM documents
+        |  UNION ALL SELECT doc_id + 10000, source FROM documents),
+        |m AS (SELECT LEAST(ua.source, ub.source) AS src_a,
+        |    GREATEST(ua.source, ub.source) AS src_b, pr.jac
+        |  FROM pr JOIN u ua ON ua.doc_id = pr.doc_a
+        |    JOIN u ub ON ub.doc_id = pr.doc_b)
+        |SELECT src_a, src_b, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  MAX(jac) AS max_jac, src_a <> src_b AS cross_source
+        |FROM m GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin
   )
 }

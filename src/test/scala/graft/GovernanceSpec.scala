@@ -707,4 +707,21 @@ class GovernanceSpec extends AnyFunSuite with BeforeAndAfterAll {
       (3L, "a", 4L), (4L, "a", 6L)))
     assert(ragged.map(_._3).distinct.size == ragged.size, "slots unique")
   }
+
+  test("q239 leakage matrix: unordered pair canonicalization, cross flag, per-cell max") {
+    val ss = spark; import ss.implicits._
+    import operators.CorpusQueries.crossSourceDups
+    // pair (1,2) straddles a/b -> canonical (a, b), cross; pairs (1,3)
+    // and (3,4) stay inside a -> one (a, a) cell with max jac 0.8
+    val got = crossSourceDups(
+      Seq((1L, 2L, 0.9), (1L, 3L, 0.8), (3L, 4L, 0.6))
+        .toDF("doc_a", "doc_b", "jac"),
+      Seq((1L, "a"), (2L, "b"), (3L, "a"), (4L, "a"))
+        .toDF("doc_id", "source"))
+      .orderBy(col("src_a"), col("src_b")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4))).toSeq
+    assert(got == Seq(
+      ("a", "a", 2L, 0.8, false), ("a", "b", 1L, 0.9, true)))
+  }
 }
