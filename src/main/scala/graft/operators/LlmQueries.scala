@@ -680,6 +680,37 @@ object LlmQueries extends QueryModule {
   private[graft] def ngramJaccardPairs(s: SparkSession, dir: String): DataFrame =
     jaccardPairsCapped(shingleSets(s, dir), ShingleDfCap, 0.5)
 
+  /** q240's engine: classify each candidate pair's RELATION from its
+    * exact overlap — containment (inter over the smaller set, the
+    * quote/subset signal Jaccard dilutes when sizes differ) versus
+    * resemblance. `contained` (≥0.9 of the smaller side) takes
+    * precedence over `near_copy` (jac ≥ 0.8): exact copies are
+    * mutually contained. Factored so the spec can plant closed-form
+    * set geometries. */
+  private[graft] def dupRelations(docsets: DataFrame, cand: DataFrame): DataFrame = {
+    val a = docsets.select(col("doc_id").as("doc_a"), col("sz").as("sz_a"),
+      col("hs").as("hs_a"))
+    val b = docsets.select(col("doc_id").as("doc_b"), col("sz").as("sz_b"),
+      col("hs").as("hs_b"))
+    cand.select(col("doc_a"), col("doc_b"))
+      .join(a, Seq("doc_a")).join(b, Seq("doc_b"))
+      .withColumn("inter",
+        size(array_intersect(col("hs_a"), col("hs_b"))).cast("long"))
+      .withColumn("jac",
+        col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
+      .withColumn("cont_ppm", expr(
+        "(2 * inter * 1000000 + least(sz_a, sz_b)) DIV (2 * least(sz_a, sz_b))"))
+      .withColumn("relation",
+        when(col("cont_ppm") >= 900000, "contained")
+          .when(col("jac") >= 0.8, "near_copy")
+          .otherwise("partial_overlap"))
+      .select(col("doc_a"), col("doc_b"),
+        col("sz_a").cast("long").as("sz_a"),
+        col("sz_b").cast("long").as("sz_b"), col("inter"), col("jac"),
+        (col("cont_ppm").cast("double") / 1e6).as("containment"),
+        col("relation"))
+  }
+
   /** Same, over an already-materialized [[shingleSets]] frame — q35 runs
     * the exact truth AND this pipeline over ONE localCheckpointed stage
     * instead of materializing the tokenize->shingle scan twice. */
@@ -2411,7 +2442,23 @@ object LlmQueries extends QueryModule {
         .select(col("vec_id"), expr(
           "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 65536.0D) AS BIGINT))")
           .as("f")), k = 8)
-        .orderBy(col("rnk")))
+        .orderBy(col("rnk"))),
+
+    // --- duplicate-relation classification (q240): the triage step
+    // after pair discovery — is the pair a CONTAINMENT (one document
+    // quotes/subsumes the other: inter ≥ 0.9 of the smaller shingle
+    // set, the signal Jaccard dilutes whenever sizes differ) or mere
+    // resemblance (near_copy at jac ≥ 0.8, else partial_overlap)?
+    // Deduplication keeps one of a near-copy pair but usually KEEPS
+    // both of a quote pair — the relation decides the policy. One
+    // shingle build (the q35 single-materialization pattern), the q34
+    // candidate generator, then two doc-keyed hash joins and row-local
+    // exact set math; containment on the half-up ppm grid.
+    "q240_dup_relation" -> ((s, dir) => {
+      val ds = shingleSets(s, dir)
+      dupRelations(ds, jaccardPairsCapped(ds, ShingleDfCap, 0.5))
+        .orderBy(col("doc_a"), col("doc_b"))
+    })
   )
 
   /** q230's engine (factored so LlmSpec can drive planted geometries):
@@ -4069,6 +4116,45 @@ object LlmQueries extends QueryModule {
          |$rounds
          |SELECT rnk, vec_id, d2q, dmin, mmr FROM ch8 ORDER BY rnk"""
         .stripMargin
-    }
+    },
+
+    // q34's chain keeping sizes and the exact intersection count, then
+    // the containment grid division and the precedence CASE.
+    "q240_dup_relation" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000,
+        |    array_to_string(string_split_regex(trim(text), '\s+')[1:greatest(
+        |      len(string_split_regex(trim(text), '\s+')) - 5, 1)], ' ')
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(tk) >= 3 THEN
+        |    list_transform(range(1, len(tk) - 1),
+        |      i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])
+        |    ELSE [] END) AS sh
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+        |        FROM corpus)),
+        |ex AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS s FROM sh),
+        |exd AS (SELECT doc_id, sz, s,
+        |          COUNT(*) OVER (PARTITION BY s) AS df FROM ex),
+        |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    a.sz AS sz_a, b.sz AS sz_b, COUNT(*) AS inter,
+        |    COUNT(*) / (a.sz + b.sz - COUNT(*)) AS jac
+        |  FROM exd a JOIN exd b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id, a.sz, b.sz
+        |  HAVING COUNT(*) / (a.sz + b.sz - COUNT(*)) >= 0.5
+        |    AND MIN(a.df) <= 256)
+        |SELECT doc_a, doc_b, CAST(sz_a AS BIGINT) AS sz_a,
+        |  CAST(sz_b AS BIGINT) AS sz_b, CAST(inter AS BIGINT) AS inter,
+        |  jac,
+        |  CAST(CAST((2 * inter * 1000000 + LEAST(sz_a, sz_b)) //
+        |    (2 * LEAST(sz_a, sz_b)) AS BIGINT) AS DOUBLE) / 1000000.0
+        |    AS containment,
+        |  CASE WHEN (2 * inter * 1000000 + LEAST(sz_a, sz_b)) //
+        |      (2 * LEAST(sz_a, sz_b)) >= 900000 THEN 'contained'
+        |    WHEN jac >= 0.8 THEN 'near_copy'
+        |    ELSE 'partial_overlap' END AS relation
+        |FROM pr ORDER BY doc_a, doc_b""".stripMargin
   )
 }

@@ -883,6 +883,27 @@ class LlmSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q240 relations: planted sets — containment beats near_copy, overlap exact") {
+    val ss = spark; import ss.implicits._
+    import graft.operators.LlmQueries.dupRelations
+    val ds = Seq(
+        (1L, 4, Seq(1L, 2L, 3L, 4L)), (2L, 2, Seq(1L, 2L)),
+        (3L, 4, Seq(1L, 2L, 3L, 5L)), (4L, 4, Seq(1L, 2L, 3L, 4L)))
+      .toDF("doc_id", "sz", "hs")
+    val got = dupRelations(ds,
+        Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("doc_a", "doc_b"))
+      .orderBy(col("doc_b")).collect()
+      .map(r => (r.getLong(1), r.getLong(4), r.getDouble(5),
+        r.getDouble(6), r.getString(7))).toSeq
+    assert(got == Seq(
+      // (1,2): the small set is fully inside -> contained though jac 0.5
+      (2L, 2L, 0.5, 1.0, "contained"),
+      // (1,3): 3 of 5 union shared -> neither contained nor near copy
+      (3L, 3L, 0.6, 0.75, "partial_overlap"),
+      // (1,4): exact copy -> mutually contained; containment wins the CASE
+      (4L, 4L, 1.0, 1.0, "contained")))
+  }
+
   test("q230 MMR: planted line geometry — relevance round 1, diversity round 2, exact ties") {
     // 1-D points 0, 1, 10, 9 (ids 0..3): sum 20, n 4 -> centroid 5.
     // d2q = 25, 16, 25, 16. Round 1 is pure relevance: min d2q ties
