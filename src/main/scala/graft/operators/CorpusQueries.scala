@@ -2167,8 +2167,59 @@ object CorpusQueries extends QueryModule {
         src.select((col("doc_id") + 10000).as("doc_id"), col("source")))
       crossSourceDups(LlmQueries.ngramJaccardPairs(s, dir), universe)
         .orderBy(col("src_a"), col("src_b"))
-    })
+    }),
+
+    // --- Kolmogorov-Smirnov length drift (q241): the two-sample KS
+    // statistic between content-hash snapshot halves of each source's
+    // token-length distribution — the classic shape-sensitive drift
+    // test complementing q136's TVD on the categorical mix (KS sees a
+    // length shift TVD-on-lengths would dilute across many values).
+    // Exactly rational: D = max_k |F1(k) − F2(k)| cross-multiplies to
+    // max |f1·n2 − f2·n1| over (source, length) cumulative counts —
+    // the windows run over the sources × distinct-lengths bounded
+    // frame, never rows, and the statistic lands on the half-up ppm
+    // grid. Halves by content hash (the q136 convention — doc_id
+    // parity is correlated with source on the harness corpus).
+    "q241_ks_drift" -> ((s, dir) =>
+      ksDrift(Tables(s, dir, "documents")
+        .select(col("source"),
+          expr("CAST(conv(substring(md5(text), 1, 2), 16, 10) AS INT) % 2 = 0")
+            .as("ev"),
+          size(expr(toksSql)).cast("long").as("len")))
+        .orderBy(col("source")))
   )
+
+  /** q241's engine over a (source, ev: boolean half, len) frame —
+    * factored so the spec can plant closed-form distributions
+    * (identical halves -> 0.0, disjoint supports -> 1.0, a hand case
+    * at exactly 0.5). Sources with an empty half are excluded (KS
+    * undefined), mirroring q226's both-classes-present rule. */
+  private[graft] def ksDrift(rows: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cnt = rows.groupBy(col("source"), col("len"))
+      .agg(sum(when(col("ev"), 1L).otherwise(0L)).as("c1"),
+        sum(when(!col("ev"), 1L).otherwise(0L)).as("c2"))
+    val cum = Window.partitionBy(col("source")).orderBy(col("len"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = Window.partitionBy(col("source"))
+    cnt
+      .withColumn("f1", sum(col("c1")).over(cum))
+      .withColumn("f2", sum(col("c2")).over(cum))
+      .withColumn("n1", sum(col("c1")).over(tot))
+      .withColumn("n2", sum(col("c2")).over(tot))
+      .withColumn("dev", expr(
+        "abs(CAST(f1 AS DECIMAL(38,0)) * n2 - CAST(f2 AS DECIMAL(38,0)) * n1)"))
+      .groupBy(col("source"))
+      .agg(max(col("n1")).as("n1x"), max(col("n2")).as("n2x"),
+        max(col("dev")).as("dmax"))
+      .filter(col("n1x") > 0 && col("n2x") > 0)
+      .withColumn("ks_ppm", expr(
+        "CAST((2 * dmax * 1000000 + CAST(n1x AS DECIMAL(38,0)) * n2x) " +
+          "DIV (2 * CAST(n1x AS DECIMAL(38,0)) * n2x) AS BIGINT)"))
+      .select(col("source"), col("n1x").cast("long").as("n_even"),
+        col("n2x").cast("long").as("n_odd"),
+        (col("ks_ppm").cast("double") / 1e6).as("ks"))
+  }
 
   /** q239's engine over a (doc_a, doc_b, jac) pair frame and a
     * (doc_id, source) map — factored so the spec can plant the
@@ -4673,6 +4724,35 @@ object CorpusQueries extends QueryModule {
         |    JOIN u ub ON ub.doc_id = pr.doc_b)
         |SELECT src_a, src_b, CAST(COUNT(*) AS BIGINT) AS n_pairs,
         |  MAX(jac) AS max_jac, src_a <> src_b AS cross_source
-        |FROM m GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin
+        |FROM m GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin,
+
+    // content-hash halves, per-(source, length) cumulative counts, the
+    // cross-multiplied KS max, half-up ppm.
+    "q241_ks_drift" ->
+      """WITH r AS (SELECT source,
+        |    CAST('0x' || substring(md5(text), 1, 2) AS INT) % 2 = 0 AS ev,
+        |    len(string_split_regex(trim(text), '\s+')) AS len
+        |  FROM documents),
+        |c AS (SELECT source, len,
+        |    SUM(CASE WHEN ev THEN 1 ELSE 0 END) AS c1,
+        |    SUM(CASE WHEN NOT ev THEN 1 ELSE 0 END) AS c2
+        |  FROM r GROUP BY 1, 2),
+        |f AS (SELECT source, len,
+        |    SUM(c1) OVER (PARTITION BY source ORDER BY len
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f1,
+        |    SUM(c2) OVER (PARTITION BY source ORDER BY len
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f2,
+        |    SUM(c1) OVER (PARTITION BY source) AS n1,
+        |    SUM(c2) OVER (PARTITION BY source) AS n2
+        |  FROM c),
+        |a AS (SELECT source, CAST(MAX(n1) AS BIGINT) AS n_even,
+        |    CAST(MAX(n2) AS BIGINT) AS n_odd,
+        |    MAX(abs(f1::HUGEINT * n2 - f2::HUGEINT * n1)) AS dmax
+        |  FROM f GROUP BY source)
+        |SELECT source, n_even, n_odd,
+        |  CAST(CAST((2 * dmax * 1000000 + n_even::HUGEINT * n_odd) //
+        |    (2 * n_even::HUGEINT * n_odd) AS BIGINT) AS DOUBLE)
+        |    / 1000000.0 AS ks
+        |FROM a WHERE n_even > 0 AND n_odd > 0 ORDER BY source""".stripMargin
   )
 }

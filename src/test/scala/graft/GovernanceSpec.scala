@@ -724,4 +724,20 @@ class GovernanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Seq(
       ("a", "a", 2L, 0.8, false), ("a", "b", 1L, 0.9, true)))
   }
+
+  test("q241 KS: identical halves 0, disjoint supports 1, hand case exactly 0.5") {
+    val ss = spark; import ss.implicits._
+    import operators.CorpusQueries.ksDrift
+    def ks(rows: (String, Boolean, Long)*) =
+      ksDrift(rows.toSeq.toDF("source", "ev", "len"))
+        .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(ks(("s", true, 5L), ("s", false, 5L), ("s", true, 9L),
+      ("s", false, 9L))("s") == 0.0)
+    assert(ks(("s", true, 1L), ("s", false, 100L))("s") == 1.0)
+    // evens at {1, 3}, odds at {2}: F diffs are 1/2, 1/2, 0 -> D = 0.5
+    assert(ks(("s", true, 1L), ("s", true, 3L), ("s", false, 2L))("s")
+      == 0.5)
+    // a source with an empty half is excluded (KS undefined there)
+    assert(!ks(("t", true, 1L), ("t", true, 2L)).contains("t"))
+  }
 }
