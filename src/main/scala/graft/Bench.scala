@@ -313,9 +313,17 @@ object Bench {
     // bench_detail.json's row order), which both the driver's map and
     // any reader can reconstruct; keys spent ~5 chars per entry saying
     // what the position already says. ~3 chars/entry funds growth past
-    // 500 queries.
+    // 500 queries. A SPARK_GRAFT_BENCH_ONLY subset run keeps the KEYED
+    // map form instead: positions there index sorted(selected), which
+    // the documented decode (zip with the full sorted name list) would
+    // silently misattribute — subset lines are short, so the map costs
+    // nothing, and the graded full run stays the compact array.
     def jarr(f: ((String, Double, Double, Boolean)) => Double): String =
-      results.map(r => wireValue(f(r), r._4)).mkString("[", ",", "]")
+      if (only.isDefined)
+        results.map(r =>
+          "\"" + shortKey(r._1) + "\":" + wireValue(f(r), r._4))
+          .mkString("{", ",", "}")
+      else results.map(r => wireValue(f(r), r._4)).mkString("[", ",", "]")
     // Totals cover CLEAN queries only — a failed query contributing its
     // time-to-throw would make a broken suite look faster than a working
     // one. The errors count in the line is the non-clean marker.

@@ -2161,10 +2161,11 @@ object CorpusQueries extends QueryModule {
     "q239_cross_source_dups" -> ((s, dir) => {
       val src = Tables(s, dir, "documents")
         .select(col("doc_id"), col("source"))
-      // the planted near-dup copies (doc_id + 10000, the q34 corpus
-      // construction) inherit their original's source
+      // the planted near-dup copies (doc_id + PlantedOffset, the q34
+      // corpus construction) inherit their original's source
       val universe = src.unionByName(
-        src.select((col("doc_id") + 10000).as("doc_id"), col("source")))
+        src.select((col("doc_id") + LlmQueries.PlantedOffset).as("doc_id"),
+          col("source")))
       crossSourceDups(LlmQueries.ngramJaccardPairs(s, dir), universe)
         .orderBy(col("src_a"), col("src_b"))
     }),

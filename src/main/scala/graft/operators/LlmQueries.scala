@@ -508,18 +508,26 @@ object LlmQueries extends QueryModule {
       .filter(col("sz") > 0)
   }
 
-  /** Documents plus an exact copy of each at doc_id + 10000. */
+  /** Documents plus an exact copy of each at doc_id + [[PlantedOffset]]. */
   private def plantedExact(s: SparkSession, dir: String): DataFrame = {
     val d = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
-    d.unionByName(d.select((col("doc_id") + 10000).as("doc_id"), col("text")))
+    d.unionByName(d.select((col("doc_id") + PlantedOffset).as("doc_id"), col("text")))
   }
 
   /** Documents plus a near-duplicate copy (last 5 tokens dropped).
     * `private[operators]`: CorpusQueries' cluster-keeper query (q135)
     * scores the SAME planted corpus the q34/q59 pair graph runs over. */
+  /** Planted near-dup copies live at doc_id + this offset — shared by
+    * every consumer that must map a planted id back to its original's
+    * metadata (q239's source universe) so the convention has one
+    * definition. The harness doc_id domain (max 499 at sf0.1) never
+    * reaches it; the matching literal in the q34/q239 oracle SQL is
+    * necessarily textual. */
+  private[graft] val PlantedOffset = 10000L
+
   private[operators] def plantedNear(s: SparkSession, dir: String): DataFrame = {
     val d = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
-    d.unionByName(withTokens(d).select((col("doc_id") + 10000).as("doc_id"),
+    d.unionByName(withTokens(d).select((col("doc_id") + PlantedOffset).as("doc_id"),
       expr("array_join(slice(tk, 1, greatest(size(tk) - 5, 1)), ' ')").as("text")))
   }
 
