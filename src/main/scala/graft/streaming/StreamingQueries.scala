@@ -521,8 +521,74 @@ object StreamingQueries extends QueryModule {
       val ev = Tables(s, dir, "events")
       seasonalAlerts(ev, seasonalBaseline(ev))
         .orderBy(col("window_start"), col("event_type"))
+    }),
+
+    // --- streaming KS drift monitor (q242): the q241 statistic ON the
+    // stream — per 6h window, the two-sample Kolmogorov-Smirnov max
+    // between the window's VALUE distribution and a broadcast static
+    // baseline CDF, over q186's fixed 16-bin histogram. Shape-sensitive
+    // where q172's TVD-on-categories is not: a value-distribution
+    // SHIFT concentrates in one cumulative gap KS sees at full
+    // strength. State per open window = 16 conditional-count columns
+    // (the q186 discipline — constant width, mergeable across
+    // micro-batches); the CDF fold, cross-multiplied max, and half-up
+    // ppm all run row-locally AFTER the window closes. Batch parity
+    // here; the MemoryStream run is in StreamingSpec.
+    "q242_stream_ks_drift" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+      windowKsDrift(ev, valueBaseline(ev))
+        .orderBy(col("window_start"))
     })
   )
+
+  /** q242's static baseline: the 16-bin value histogram of the full
+    * table as ONE row of cumulative counts (grid restored — absent
+    * bins hold their running value, the q209 lesson) + the total. */
+  def valueBaseline(events: DataFrame): DataFrame =
+    events.filter(col("value").isNotNull)
+      .withColumn("vb", least(lit(15), floor(col("value") / 40)).cast("int"))
+      .groupBy(col("vb")).agg(count(lit(1)).as("c"))
+      .agg(expr("map_from_entries(collect_list(struct(vb, c)))").as("m"))
+      .withColumn("bvals", expr(
+        "transform(sequence(0, 15), b -> coalesce(element_at(m, b), 0L))"))
+      .withColumn("bcum", expr(
+        "transform(sequence(0, 15), i -> " +
+          "aggregate(slice(bvals, 1, i + 1), 0L, (a, x) -> a + x))"))
+      .withColumn("nb", expr("element_at(bcum, 16)"))
+      .select(col("bcum"), col("nb"))
+
+  /** q242's engine: windowed 16-bin conditional counts (constant-width
+    * state, q186's shape), then a row-local fold computing
+    * D = max_b |cumW(b)·nb − bcum(b)·nW| — the aggregate()'s struct
+    * accumulator carries the running window CDF so the 16-step fold
+    * binds each cumulative once; ks on the half-up ppm grid. */
+  def windowKsDrift(events: DataFrame, baseline: DataFrame): DataFrame = {
+    val bins = 0 until 16
+    val aggs = bins.map(b =>
+      sum(when(col("vb") === b, 1L).otherwise(0L)).as(s"c_$b"))
+    val w = events.filter(col("value").isNotNull)
+      .withColumn("vb", least(lit(15), floor(col("value") / 40)).cast("int"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "6 hours"))
+      .agg(aggs.head, aggs.tail: _*)
+    val wc = bins.map(b => s"c_$b").mkString("array(", ", ", ")")
+    w.crossJoin(broadcast(baseline))
+      .withColumn("n_events", expr(bins.map(b => s"c_$b").mkString(" + ")))
+      .withColumn("dmax", expr(
+        s"""aggregate(sequence(0, 15),
+           |  named_struct('cw', CAST(0 AS BIGINT), 'mx', CAST(0 AS DECIMAL(38,0))),
+           |  (acc, i) -> named_struct(
+           |    'cw', acc.cw + element_at($wc, i + 1),
+           |    'mx', greatest(acc.mx, abs(
+           |      CAST(acc.cw + element_at($wc, i + 1) AS DECIMAL(38,0)) * nb -
+           |      CAST(element_at(bcum, i + 1) AS DECIMAL(38,0)) * n_events))),
+           |  acc -> acc.mx)""".stripMargin))
+      .withColumn("ks_ppm", expr(
+        "CAST((2 * dmax * 1000000 + CAST(n_events AS DECIMAL(38,0)) * nb) " +
+          "DIV (2 * CAST(n_events AS DECIMAL(38,0)) * nb) AS BIGINT)"))
+      .select(col("window.start").as("window_start"), col("n_events"),
+        (col("ks_ppm").cast("double") / 1e6).as("ks"))
+  }
 
   /** q168's builder: probe a (doc_id, text, ts) delta frame — batch OR
     * streaming — against a static corpus for near-duplicates at bigram
@@ -843,7 +909,41 @@ object StreamingQueries extends QueryModule {
         |FROM win w JOIN base b
         |  ON b.how = ((w.slot % 168) + 168) % 168
         | AND b.event_type = w.event_type
-        |ORDER BY w.window_start, w.event_type""".stripMargin
+        |ORDER BY w.window_start, w.event_type""".stripMargin,
+
+    // Epoch-aligned 6h windows, 16-bin cumulative CDFs window-side and
+    // baseline-side (grids restored), cross-multiplied KS max, half-up
+    // ppm — the q241 statistic re-derived per window.
+    "q242_stream_ks_drift" ->
+      """WITH b AS (
+        |  SELECT make_timestamp((epoch_us(ts) // 21600000000) * 21600000000)
+        |      AS window_start,
+        |    LEAST(15, CAST(floor(value / 40) AS INT)) AS vb
+        |  FROM events WHERE value IS NOT NULL),
+        |base AS (SELECT vb, COUNT(*) AS c FROM b GROUP BY 1),
+        |bg AS (SELECT g.b AS vb, COALESCE(base.c, 0) AS c
+        |  FROM range(0, 16) g(b) LEFT JOIN base ON base.vb = g.b),
+        |bc AS (SELECT vb, SUM(c) OVER (ORDER BY vb) AS bcum,
+        |    SUM(c) OVER () AS nb FROM bg),
+        |wc0 AS (SELECT window_start, vb, COUNT(*) AS c FROM b GROUP BY 1, 2),
+        |wins AS (SELECT DISTINCT window_start FROM b),
+        |grid AS (SELECT w.window_start, g.b AS vb, COALESCE(wc0.c, 0) AS c
+        |  FROM wins w CROSS JOIN range(0, 16) g(b)
+        |  LEFT JOIN wc0 ON wc0.window_start = w.window_start
+        |    AND wc0.vb = g.b),
+        |wcum AS (SELECT window_start, vb,
+        |    SUM(c) OVER (PARTITION BY window_start ORDER BY vb) AS cw,
+        |    SUM(c) OVER (PARTITION BY window_start) AS n_events FROM grid),
+        |j AS (SELECT w.window_start, w.n_events, bc.nb,
+        |    abs(w.cw::HUGEINT * bc.nb - bc.bcum::HUGEINT * w.n_events)
+        |      AS dev
+        |  FROM wcum w JOIN bc ON bc.vb = w.vb)
+        |SELECT window_start, CAST(MAX(n_events) AS BIGINT) AS n_events,
+        |  CAST(CAST((2 * MAX(dev) * 1000000 +
+        |      MAX(n_events)::HUGEINT * MAX(nb)) //
+        |    (2 * MAX(n_events)::HUGEINT * MAX(nb)) AS BIGINT) AS DOUBLE)
+        |    / 1000000.0 AS ks
+        |FROM j GROUP BY window_start ORDER BY window_start""".stripMargin
   )
 }
 

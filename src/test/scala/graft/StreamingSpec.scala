@@ -421,6 +421,40 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("KS drift builder (q242): windowed CDF max vs static baseline, stream matches batch") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    // baseline: one value in bin 0, one in bin 1 -> bcum [1,2,2,...],
+    // nb = 2. Window 0 repeats the mix exactly -> KS 0. Window 1 puts
+    // both values in bin 11 -> its CDF is 0 through bin 10 while the
+    // baseline is already complete -> KS exactly 1.
+    val base = StreamingQueries.valueBaseline(Seq(
+      Ev(ts("2024-01-01T00:01:00Z"), 1L, 10.0),
+      Ev(ts("2024-01-01T00:02:00Z"), 2L, 50.0)).toDF())
+    val rows = Seq(
+      Ev(ts("2024-01-01T01:00:00Z"), 3L, 10.0),
+      Ev(ts("2024-01-01T02:00:00Z"), 4L, 50.0),
+      Ev(ts("2024-01-01T06:30:00Z"), 5L, 450.0),
+      Ev(ts("2024-01-01T07:30:00Z"), 6L, 470.0))
+    val mem = MemoryStream[Ev]
+    val q = StreamingQueries.windowKsDrift(mem.toDF(), base)
+      .writeStream.format("memory").queryName("ks242")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      def shape(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2))).toSet
+      val streamed = shape(sp.table("ks242"))
+      val batch = shape(StreamingQueries.windowKsDrift(rows.toDF(), base))
+      assert(streamed == batch)
+      assert(streamed == Set(
+        (ts("2024-01-01T00:00:00Z"), 2L, 0.0),
+        (ts("2024-01-01T06:00:00Z"), 2L, 1.0)))
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState: zero-or-more alerts per user as thresholds are crossed") {
     // Unlike mapGroupsWithState (exactly one row per key per batch),
     // flatMapGroupsWithState emits an ITERATOR — here one alert per
