@@ -75,6 +75,27 @@ object Bench {
     * "0-9a-zA-Z", most-significant first. bench_detail.json always
     * carries full names. BenchFormatSpec pins uniqueness and the tail
     * budget. */
+  /** Wire form of the per-query values — THE PARSER CONTRACT (wire
+    * compaction #7). A FULL run emits a position-keyed ARRAY: element i
+    * is query i in SORTED full-name order, so the decode rule is
+    * `zip(values, sorted(allQueryNames))` — exactly bench_detail.json's
+    * row order. A SUBSET run (SPARK_GRAFT_BENCH_ONLY) keeps the KEYED
+    * map form: positions there would index sorted(selected), which the
+    * full-list decode would silently misattribute, and subset lines are
+    * short enough that keys cost nothing. Results MUST arrive here in
+    * sorted-name order (the run loop sorts); BenchFormatSpec asserts
+    * both the ordering dependency and the two shapes. */
+  def wireQueries(results: Seq[(String, Double, Double, Boolean)],
+                  subset: Boolean,
+                  f: ((String, Double, Double, Boolean)) => Double): String = {
+    require(results.map(_._1) == results.map(_._1).sorted,
+      "wireQueries requires sorted-name order — the array decode depends on it")
+    if (subset)
+      results.map(r => "\"" + wireKey(r._1) + "\":" + wireValue(f(r), r._4))
+        .mkString("{", ",", "}")
+    else results.map(r => wireValue(f(r), r._4)).mkString("[", ",", "]")
+  }
+
   private val B62 =
     "0123456789abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
   def wireKey(name: String): String = {
@@ -319,11 +340,7 @@ object Bench {
     // silently misattribute — subset lines are short, so the map costs
     // nothing, and the graded full run stays the compact array.
     def jarr(f: ((String, Double, Double, Boolean)) => Double): String =
-      if (only.isDefined)
-        results.map(r =>
-          "\"" + shortKey(r._1) + "\":" + wireValue(f(r), r._4))
-          .mkString("{", ",", "}")
-      else results.map(r => wireValue(f(r), r._4)).mkString("[", ",", "]")
+      Bench.wireQueries(results, subset = only.isDefined, f)
     // Totals cover CLEAN queries only — a failed query contributing its
     // time-to-throw would make a broken suite look faster than a working
     // one. The errors count in the line is the non-clean marker.
@@ -346,15 +363,17 @@ object Bench {
     // the wire line would miss. Queries whose min exceeds the clamp get
     // their exact value in an over_clamp tail object (empty object when
     // nothing saturates, so the line shape is stable for parsing;
-    // bounded to the 2 worst at 999.999 max so a pathological all-slow
-    // suite cannot overflow the tail buffer — BenchFormatSpec budgets
-    // exactly that; bench_detail.json always has every exact value).
-    // (bounded to the single worst at 999.999 max — the round-10 query
-    // growth reclaimed the second slot's budget; bench_detail.json
-    // always has every exact value).
-    val overClamp = results
-      .filter(r => r._4 && r._3 > 9.9)
-      .sortBy(-_._3).take(1)
+    // bounded to the 2 worst at 99.99 display max so a pathological
+    // all-slow suite cannot overflow the tail buffer — BenchFormatSpec
+    // budgets exactly that; bench_detail.json always has every exact
+    // value). Round 11 restored the second slot (the round-10 cut left
+    // two of the driver run's THREE saturated queries invisible — the
+    // exact r8 failure mode this field exists to prevent) and added a
+    // "sat" count so the wire always says how many queries saturate even
+    // when >2 do; the per-query array's 99-valued entries name them.
+    val saturated = results.filter(r => r._4 && r._3 > 9.9)
+    val overClamp = saturated
+      .sortBy(-_._3).take(2)
       .map(r => "\"" + shortKey(r._1) + "\":" +
         String.format(java.util.Locale.ROOT, "%.2f",
           Double.box(math.min(r._3, 99.99))))
@@ -406,7 +425,7 @@ object Bench {
     System.err.println(s"[bench] first-run total: ${r1(firstTotal)} s, " +
       s"dispersion: ${r1(maxOverMin)}, load1: ${r1(load1)}, " +
       s"steal_pct: ${r1(stealPct)}")
-    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${jarr(_._3)},"e":${failed.size},"ov":$overClamp,"cp":$cpuRatio,"ca":${r3(calib)},"sf":"$sfName"}"""
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${jarr(_._3)},"e":${failed.size},"ov":$overClamp,"sat":${saturated.size},"cp":$cpuRatio,"ca":${r3(calib)},"sf":"$sfName"}"""
     // A failed query's "min" is time-to-throw, not a timing — the detail
     // file records -1 there (ok:false already flags it; the sentinel
     // keeps non-timings out of anything that aggregates the min column).

@@ -34,7 +34,10 @@ object ScaleProbe {
     val queries = if (args.length > 1) args(1).split(",").toSeq
                   else Seq("q34_ngram_jaccard", "q46_ann_ivf")
     val src = "/root/testdata/sf0.1"
-    val out = s"/root/repo/target/scaleprobe/x$reps"
+    // v2: round-11 stride fix (o_custkey/user_id aligned to c_custkey's
+    // r*1e8) — versioned dir so stale pre-fix amplified data with
+    // orphaned customer joins is never silently reused.
+    val out = s"/root/repo/target/scaleprobe/v2/x$reps"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -71,8 +74,12 @@ object ScaleProbe {
     // pre-existing amplified dirs from earlier sessions lack events.
     if (!new java.io.File(s"$out/events.parquet").exists()) {
       val rep = spark.range(0, reps).select(col("id").as("r"))
+      // user_id stride matches customer's c_custkey stride (r*1e8, see
+      // below) so the stream-static enrichment join (StreamingQueries
+      // events.user_id = customer.c_custkey) stays structure-preserving
+      // at amplified scale (ADVICE r10).
       spark.read.parquet(s"$src/events.parquet").crossJoin(rep)
-        .withColumn("user_id", col("user_id") + col("r") * 1000000L)
+        .withColumn("user_id", col("user_id") + col("r") * 100000000L)
         .withColumn("event_id", col("event_id") + col("r") * 100000000L)
         .drop("r")
         .repartition(32)
@@ -91,8 +98,14 @@ object ScaleProbe {
         .drop("r")
         .repartition(32)
         .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+      // o_custkey shifts by the SAME r*1e8 stride as customer's
+      // c_custkey below (ADVICE r10): without it, replica r>0 customers
+      // were orphaned from orders and any customer-orders join probed at
+      // amplified scale ran on non-structure-preserving data,
+      // contradicting the referential-integrity claim above.
       spark.read.parquet(s"$src/orders.parquet").crossJoin(rep)
         .withColumn("o_orderkey", col("o_orderkey") + col("r") * 100000000L)
+        .withColumn("o_custkey", col("o_custkey") + col("r") * 100000000L)
         .drop("r")
         .repartition(32)
         .write.mode("overwrite").parquet(s"$out/orders.parquet")

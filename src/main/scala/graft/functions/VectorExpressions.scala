@@ -84,12 +84,13 @@ object VecDot {
   * Precondition: both arrays sorted ascending with distinct elements
   * (array_sort(array_distinct(...)) upstream) — under it the count
   * equals |set(a) ∩ set(b)| exactly. Null ARRAY -> null. Null ELEMENTS
-  * are detected only if the merge scan reaches them before one side is
-  * exhausted — array_sort places nulls LAST, exactly where the scan
-  * stops, so unlike [[VecDot]] (which scans every element) the
-  * null-element -> null promise is position-dependent and NOT a
-  * contract here. Callers feed hash outputs (fnv64 over non-null
-  * strings), which are never null; pass containsNull=false arrays.
+  * -> null is a FULL contract under the sort precondition (ADVICE r10
+  * close): array_sort places nulls LAST, so an O(1) last-element check
+  * at entry detects any null element even when the merge scan would
+  * exit early with one side exhausted; the in-loop check covers any
+  * null a caller smuggles in out of order AND reached by the scan. An
+  * unsorted input with an unreached interior null violates the
+  * precondition and is the caller's bug, same as unsorted values.
   */
 case class SortedIntersectCount(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -130,6 +131,12 @@ object SortedIntersectCount {
   def compute(a: ArrayData, b: ArrayData): java.lang.Long = {
     val na = a.numElements()
     val nb = b.numElements()
+    // array_sort places nulls last, so the last element being non-null
+    // proves the whole (sorted) array is null-free — the merge scan can
+    // then exit early without forfeiting the null-element -> null
+    // contract (see the class doc).
+    if (na > 0 && a.isNullAt(na - 1)) return null
+    if (nb > 0 && b.isNullAt(nb - 1)) return null
     var i = 0
     var j = 0
     var n = 0L

@@ -361,9 +361,15 @@ object EventAnalytics extends QueryModule {
     "q222_ndcg_eval" -> ((s, dir) => {
       val wArr = Window.partitionBy(col("user_id"))
         .orderBy(col("ts").asc, col("event_id").asc)
+      // rel clamps at 0 (mirrored in the oracle): the grid DIV below is
+      // only engine-portable for nonnegative dcg — Spark DIV truncates
+      // toward zero, DuckDB // floors, so a negative `value` vintage
+      // would diverge by 1 ppm. The clamp makes the nonnegativity
+      // assumption explicit instead of data-dependent (ADVICE r10);
+      // standard graded relevance is nonnegative anyway.
       val top5 = Tables(s, dir, "events")
         .select(col("user_id"), col("ts"), col("event_id"),
-          floor(col("value")).cast("long").as("rel"))
+          greatest(floor(col("value")).cast("long"), lit(0L)).as("rel"))
         .withColumn("rn", row_number().over(wArr))
         .filter(col("rn") <= 5)
       val discount = "CASE %s WHEN 1 THEN 1000000 WHEN 2 THEN 630930 " +
@@ -703,7 +709,7 @@ object EventAnalytics extends QueryModule {
 
     "q222_ndcg_eval" ->
       """WITH e AS (
-        |  SELECT user_id, CAST(floor(value) AS BIGINT) AS rel,
+        |  SELECT user_id, greatest(CAST(floor(value) AS BIGINT), 0) AS rel,
         |    ROW_NUMBER() OVER (PARTITION BY user_id
         |      ORDER BY ts ASC, event_id ASC) AS rn
         |  FROM events),

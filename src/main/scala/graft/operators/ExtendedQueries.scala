@@ -333,8 +333,14 @@ object ExtendedQueries extends QueryModule {
         .agg(percentile(expr("CAST(round(l_extendedprice * 100) AS BIGINT)"),
             lit(0.5)).as("medc"),
           percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("apx"))
+        // CAST ... AS DOUBLE before the /100.0: Spark's `100.0` literal is
+        // DECIMAL, so a bare division would produce decimal(27,6) while the
+        // DuckDB oracle's `/ 100.0` is DOUBLE — numerically identical but a
+        // different stringified repr ("52840.440000" vs "52840.44"), which
+        // fails the driver's hash gate. The cent value is ≤ 2^36, so the
+        // double division by 100.0 is the same exact IEEE op DuckDB does.
         .withColumn("exact_med",
-          expr("((CAST(medc * 2 AS BIGINT) + 1) DIV 2) / 100.0"))
+          expr("CAST(((CAST(medc * 2 AS BIGINT) + 1) DIV 2) AS DOUBLE) / 100.0"))
         .select(col("l_returnflag"), col("exact_med"),
           (abs(col("apx") - col("exact_med")) / col("exact_med") <= lit(0.02))
             .as("apx_ok"))

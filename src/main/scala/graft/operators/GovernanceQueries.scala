@@ -343,11 +343,15 @@ object GovernanceQueries extends QueryModule {
           count(when(col("arm") === 1, 1)).as("arm1_users"),
           sum(when(col("arm") === 1, col("conv")).otherwise(0L))
             .cast("long").as("arm1_conv"))
+        // greatest(..., 1) mirrors the oracle's zero guard (ADVICE r10):
+        // an empty arm (degenerate but possible on tiny/filtered inputs)
+        // must read 0, not NULL — the chi2 denominator below already
+        // guards the same way.
         .withColumn("rate0",
-          expr(gridDiv("arm0_conv", "arm0_users")).cast("long")
+          expr(gridDiv("arm0_conv", "greatest(arm0_users, 1)")).cast("long")
             .cast("double") / 1e6)
         .withColumn("rate1",
-          expr(gridDiv("arm1_conv", "arm1_users")).cast("long")
+          expr(gridDiv("arm1_conv", "greatest(arm1_users, 1)")).cast("long")
             .cast("double") / 1e6)
         .withColumn("chi2", expr(
           """CAST((2 * (arm0_users + arm1_users) *
@@ -1203,7 +1207,7 @@ object GovernanceQueries extends QueryModule {
          |  CAST(CAST((2 * n_intra::HUGEINT * 1000000 + greatest(n_pairs, 1)) //
          |    (2 * greatest(n_pairs, 1)::HUGEINT) AS BIGINT) AS DOUBLE)
          |    / 1000000.0 AS intra_share,
-         |  0.03125 AS expected_share,
+         |  CAST(0.03125 AS DOUBLE) AS expected_share,
          |  n_intra * 32 > n_pairs * 2 AS colocated_risk
          |FROM agg""".stripMargin
     },

@@ -3336,7 +3336,8 @@ object LlmQueries extends QueryModule {
         |    SELECT doc_a AS doc, jac FROM pairs
         |    UNION ALL SELECT doc_b, jac FROM pairs)
         |  GROUP BY 1),
-        |t(threshold) AS (VALUES (0.5), (0.6), (0.7), (0.8)),
+        |t(threshold) AS (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.6 AS DOUBLE)),
+        |  (CAST(0.7 AS DOUBLE)), (CAST(0.8 AS DOUBLE))),
         |curve AS (
         |  SELECT t.threshold,
         |    (SELECT CAST(SUM(CASE WHEN jac >= t.threshold THEN 1 ELSE 0 END)

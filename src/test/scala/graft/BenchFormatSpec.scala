@@ -29,14 +29,14 @@ class BenchFormatSpec extends AnyFunSuite {
     // visible from the wire line) at 99.99 display max. Tail-field
     // names are single/double-char (e/ov/cp/ca) since compaction #5 —
     // the longer names overflowed at 159, 163, and 201 queries.
-    val overClamp = short.sortBy(-_.length).take(1)
+    val overClamp = short.sortBy(-_.length).take(2)
       .map(n => "\"" + n + "\":99.99").mkString("{", ",", "}")
     // cp: the slowest clean query's executor cpu/run ratio (9.99
     // display clamp) — the host-steal discriminator the r9 judge needed
     // the gitignored detail file for.
     val cpuRatio = short.sortBy(-_.length).take(1)
       .map(n => "\"" + n + "\":9.99").mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":99999.999,"unit":"sec","queries":$entries,"e":999,"ov":$overClamp,"cp":$cpuRatio,"ca":99.999,"sf":"sf0.1"}"""
+    val line = s"""{"metric":"total","value":99999.999,"unit":"sec","queries":$entries,"e":999,"ov":$overClamp,"sat":999,"cp":$cpuRatio,"ca":99.999,"sf":"sf0.1"}"""
     // 2000-char tail minus what actually FOLLOWS the line in the
     // capture: the tail truncates from the FRONT, so only post-line
     // content eats budget — measured, that is sbt's single
@@ -44,6 +44,27 @@ class BenchFormatSpec extends AnyFunSuite {
     // stderr/bench prints come BEFORE the line and cost nothing.
     assert(line.length < 1912,
       s"bench line would be ${line.length} chars; trim the format or query names")
+  }
+
+  test("queries wire shape: full run = positional array in sorted-name order, subset = keyed map") {
+    // Wire compaction #7's decode rule, asserted here as ADVICE r10
+    // requested (not only documented in BENCH_NOTES): a full run's
+    // `queries` array element i is query i in SORTED full-name order —
+    // the same order the run loop produces and bench_detail.json rows
+    // use — while a SPARK_GRAFT_BENCH_ONLY subset keeps the keyed map
+    // (positions in a subset would index sorted(selected) and the
+    // full-list decode would silently misattribute timings).
+    val rs = Seq(("q01_a", 0.2, 0.1, true), ("q02_b", 0.5, 0.4, true),
+      ("q10_c", 1.0, 0.9, false))
+    assert(Bench.wireQueries(rs, subset = false, _._3) == "[1,4,-1]")
+    assert(Bench.wireQueries(rs, subset = true, _._3) ==
+      """{"1":1,"2":4,"a":-1}""")
+    // the array decode DEPENDS on sorted order — unsorted input must be
+    // rejected loudly, never encoded
+    val unsorted = Seq(("q02_b", 0.5, 0.4, true), ("q01_a", 0.2, 0.1, true))
+    intercept[IllegalArgumentException] {
+      Bench.wireQueries(unsorted, subset = false, _._3)
+    }
   }
 
   test("a query that throws is reported as an error, never as a timing") {

@@ -35,6 +35,22 @@ class ExtendedSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"${r.getString(0)}: HLL++ estimate outside 3x rsd of exact")
   }
 
+  test("q104 exact_med is DoubleType (not decimal) — driver hash-gate repr pin") {
+    // Round-10 red row: Spark's bare `... / 100.0` literal is DECIMAL, so
+    // the division produced decimal(27,6) while the DuckDB oracle's
+    // `/ 100.0` is DOUBLE — values equal, stringified reprs differ
+    // ("52840.440000" vs "52840.44"), driver hash failed. The engine now
+    // casts to DOUBLE before dividing; pin the output schema so a future
+    // rewrite can't regress the repr.
+    import org.apache.spark.sql.types.{BooleanType, DecimalType, DoubleType}
+    val schema = SparkEntry.queries("q104_approx_percentile")(spark, dir).schema
+    assert(schema("exact_med").dataType == DoubleType,
+      s"exact_med must be DOUBLE to match the oracle repr, got ${schema("exact_med").dataType}")
+    assert(schema("apx_ok").dataType == BooleanType)
+    assert(!schema.exists(_.dataType.isInstanceOf[DecimalType]),
+      "no q104 output column may be decimal-typed")
+  }
+
   test("cube emits all four grouping combinations") {
     val rows = SparkEntry.queries("q42_cube")(spark, dir).collect()
     val hasGrandTotal = rows.exists(r => r.isNullAt(0) && r.isNullAt(1))

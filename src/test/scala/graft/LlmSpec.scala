@@ -657,6 +657,27 @@ class LlmSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bad == 0)
   }
 
+  test("sorted_intersect_count: null element -> null even when the merge scan exits early") {
+    // ADVICE r10: the scan used to exit once one side was exhausted, so a
+    // TRAILING null (exactly where array_sort puts nulls) could be
+    // skipped and a non-null count returned. The O(1) last-element check
+    // makes null-element -> null a full contract under the sort
+    // precondition.
+    graft.functions.GraftFunctions.register(spark)
+    val rows = Seq(
+      Row(Seq[java.lang.Long](1L, 2L, null), Seq[java.lang.Long](1L)),   // trailing null, left longer
+      Row(Seq[java.lang.Long](1L), Seq[java.lang.Long](1L, 9L, null)),   // trailing null, right longer
+      Row(Seq[java.lang.Long](null), Seq[java.lang.Long]()),             // all-null vs empty
+      Row(Seq[java.lang.Long](1L, 2L), Seq[java.lang.Long](1L, 2L)))     // control: null-free
+    val df = spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      StructType(Seq(StructField("a", ArrayType(LongType, containsNull = true)),
+        StructField("b", ArrayType(LongType, containsNull = true)))))
+    val got = df.selectExpr("sorted_intersect_count(a, b) AS c").collect().map(r =>
+      if (r.isNullAt(0)) null else java.lang.Long.valueOf(r.getLong(0)))
+    assert(got.toSeq == Seq(null, null, null, java.lang.Long.valueOf(2L)))
+  }
+
   test("prefix-filter join: exactly the brute-force pair set (completeness)") {
     val docs = prefixCorpus()
     val got = graft.operators.LlmQueries.prefixFilterPairs(prefixSets(docs), 6)

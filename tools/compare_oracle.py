@@ -9,11 +9,13 @@ sorts columns by name and rows by all columns, and compares values
 exactly. Mirrors the driver's sort-columns-then-hash compare so oracle
 mismatches are caught before the round runs.
 """
+import glob
 import json
 import sys
 
 import duckdb
 import pandas as pd
+import pyarrow.parquet as pq
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
@@ -32,6 +34,53 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns)).reset_index(drop=True)
 
 
+def decimal_cols(schema) -> dict:
+    """name -> (precision, scale) for every decimal column in an arrow schema."""
+    import pyarrow as pa
+    out = {}
+    for f in schema:
+        if pa.types.is_decimal(f.type):
+            out[f.name] = (f.type.precision, f.type.scale)
+    return out
+
+
+def type_drift(name: str, out_dir: str, rel) -> str:
+    """Detect decimal-vs-double drift that pandas `.df()` coercion masks.
+
+    Round-10 lesson (q104): the engine emitted decimal(27,6) where the
+    oracle's DuckDB `/ 100.0` is DOUBLE. Values matched, but the driver
+    hashes stringified values ("52840.440000" vs "52840.44") so the row
+    was red — while this tool's `.df()` read coerced the engine decimal
+    to float64 BEFORE astype(str) and printed PASS. Compare arrow-level
+    decimal-ness (and scale) on both sides before any pandas coercion:
+    a column that is decimal on exactly one side, or decimal with a
+    different scale, stringifies differently under the driver's hash.
+    Returns an error string, or "" if clean.
+    """
+    files = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
+    if not files:
+        return ""
+    eng = decimal_cols(pq.read_schema(files[0]))
+    # rel.types is the bound schema — no re-execution of the oracle SQL.
+    ora = {}
+    for c, t in zip(rel.columns, rel.types):
+        ts = str(t)
+        if ts.startswith("DECIMAL"):
+            p, sc = ts[ts.index("(") + 1:ts.index(")")].split(",")
+            ora[c] = (int(p), int(sc))
+    for c in sorted(set(eng) | set(ora)):
+        if c in eng and c not in ora:
+            return (f"type drift: engine column {c} is decimal{eng[c]} "
+                    f"but oracle is not decimal")
+        if c in ora and c not in eng:
+            return (f"type drift: oracle column {c} is decimal{ora[c]} "
+                    f"but engine is not decimal")
+        if eng[c][1] != ora[c][1]:
+            return (f"type drift: column {c} decimal scale "
+                    f"{eng[c][1]} (engine) vs {ora[c][1]} (oracle)")
+    return ""
+
+
 def main() -> int:
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     out = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/.verify-out"
@@ -44,9 +93,15 @@ def main() -> int:
     for name in sorted(oracle):
         try:
             got = con.sql(f"SELECT * FROM parquet_scan('{out}/{name}/*.parquet')").df()
-            want = con.sql(oracle[name]).df()
+            rel = con.sql(oracle[name])
+            drift = type_drift(name, out, rel)
+            want = rel.df()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: {e}")
+            fails.append(name)
+            continue
+        if drift:
+            print(f"FAIL {name}: {drift}")
             fails.append(name)
             continue
         g, w = canon(got), canon(want)

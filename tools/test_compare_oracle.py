@@ -1,0 +1,96 @@
+#!/usr/bin/env python3
+"""Regression test: compare_oracle.py must FAIL on decimal-vs-double drift.
+
+Round-10 q104 class: engine dump column decimal(27,6), oracle DOUBLE,
+values numerically identical. The old tool read the dump through
+DuckDB's `.df()`, which coerced DECIMAL -> float64 before astype(str),
+printing PASS while the driver's stringified-value hash failed
+("52840.440000" vs "52840.44"). This test synthesizes exactly that
+situation and asserts the hardened tool reports type drift.
+
+Run: python3 tools/test_compare_oracle.py
+"""
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+from decimal import Decimal
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+
+def write_dump(out_dir: str, name: str, table: pa.Table) -> None:
+    d = os.path.join(out_dir, name)
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(table, os.path.join(d, "part-0.parquet"))
+
+
+def run_tool(sf_dir: str, out_dir: str) -> subprocess.CompletedProcess:
+    return subprocess.run(
+        [sys.executable, os.path.join(HERE, "compare_oracle.py"), sf_dir, out_dir],
+        capture_output=True, text=True, check=False)
+
+
+def main() -> int:
+    tmp = tempfile.mkdtemp(prefix="cmporacle-test-")
+    try:
+        # Minimal source table dir (the tool creates views over all TABLES;
+        # parquet_scan of a missing file only errors if a query touches it,
+        # so materialize each as a one-column stub).
+        sf = os.path.join(tmp, "sf")
+        os.makedirs(sf)
+        for t in ["region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "events", "documents", "embeddings"]:
+            pq.write_table(pa.table({"x": pa.array([1], pa.int64())}),
+                           os.path.join(sf, f"{t}.parquet"))
+
+        out = os.path.join(tmp, "verify-out")
+        os.makedirs(out)
+
+        # Case 1 (must FAIL): engine decimal(27,6) vs oracle DOUBLE,
+        # numerically identical values — the q104 masking class.
+        write_dump(out, "q_drift", pa.table({
+            "k": pa.array(["A"], pa.string()),
+            "v": pa.array([Decimal("52840.440000")], pa.decimal128(27, 6)),
+        }))
+        # Case 2 (must PASS): both sides double, same value.
+        write_dump(out, "q_clean", pa.table({
+            "k": pa.array(["A"], pa.string()),
+            "v": pa.array([52840.44], pa.float64()),
+        }))
+        with open(os.path.join(out, "oracle_sql.json"), "w") as f:
+            json.dump({
+                "q_drift": "SELECT 'A' AS k, CAST(52840.44 AS DOUBLE) AS v",
+                "q_clean": "SELECT 'A' AS k, CAST(52840.44 AS DOUBLE) AS v",
+            }, f)
+
+        r = run_tool(sf, out)
+        ok = True
+        if r.returncode == 0:
+            print("EXPECTED nonzero exit (drift present), got 0")
+            ok = False
+        if "FAIL q_drift: type drift" not in r.stdout:
+            print("EXPECTED 'FAIL q_drift: type drift' in output")
+            ok = False
+        if "PASS q_clean" not in r.stdout:
+            print("EXPECTED 'PASS q_clean' in output")
+            ok = False
+        if not ok:
+            print("--- tool stdout ---")
+            print(r.stdout)
+            print(r.stderr[-2000:])
+            return 1
+        print("PASS test_compare_oracle: decimal-vs-double drift is caught, "
+              "clean double column still passes")
+        return 0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
