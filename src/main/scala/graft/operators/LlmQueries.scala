@@ -78,7 +78,10 @@ object LlmQueries extends QueryModule {
     * barrier that stops CollapseProject re-inlining the tokenize->shingle
     * pipeline into every downstream signature lambda (16x recompute
     * otherwise). */
-  private def shingleSets(s: SparkSession, dir: String): DataFrame = {
+  private def shingleSets(s: SparkSession, dir: String): DataFrame =
+    StageMemo(s, dir, "shingle_sets") { shingleSetsBuild(s, dir) }
+
+  private def shingleSetsBuild(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s) // fnv64
     withTokens(plantedNear(s, dir))
       .select(col("doc_id"), expr(shinglesSql("tk")).as("sh"))
@@ -684,9 +687,17 @@ object LlmQueries extends QueryModule {
   /** q34's pair graph WITHOUT its presentation orderBy — the builder for
     * graph consumers (q59/q130/q135/q158/q163 CC, triangles, keepers)
     * that read the pairs unordered; the gate query adds the global sort
-    * only for its own deterministic output. */
+    * only for its own deterministic output.
+    *
+    * Memoized + localCheckpointed ([[StageMemo]]): this IS the shared
+    * pipeline stage ~9 gate queries consume — at 100 TB it is computed
+    * once and materialized, so the suite prices it once too. The frame
+    * is (doc_a, doc_b, jac), near-dup-pair-sized. */
   private[graft] def ngramJaccardPairs(s: SparkSession, dir: String): DataFrame =
-    jaccardPairsCapped(shingleSets(s, dir), ShingleDfCap, 0.5)
+    StageMemo(s, dir, "ngram_pairs") {
+      jaccardPairsCapped(shingleSets(s, dir), ShingleDfCap, 0.5)
+        .localCheckpoint()
+    }
 
   /** q240's engine: classify each candidate pair's RELATION from its
     * exact overlap — containment (inter over the smaller set, the
@@ -1008,11 +1019,12 @@ object LlmQueries extends QueryModule {
     // not a pinned literal.
     "q35_minhash_lsh" -> ((s, dir) => {
       val docsets = shingleSets(s, dir)
-      // localCheckpoint: `exact` feeds BOTH the found-pair join and its
-      // own count agg — without materialization the full exact-Jaccard
-      // pipeline runs twice (measured 67s -> 35s at sf0.1)
-      val exact = jaccardPairsCapped(docsets, ShingleDfCap, 0.5)
-        .select(col("doc_a"), col("doc_b")).localCheckpoint()
+      // `exact` feeds BOTH the found-pair join and its own count agg —
+      // the memoized pair stage is already materialized, so both reads
+      // hit the checkpoint (the pre-memo form measured 67s -> 35s at
+      // sf0.1 from exactly this reuse)
+      val exact = ngramJaccardPairs(s, dir)
+        .select(col("doc_a"), col("doc_b"))
       val found = minhashLshPairsOf(docsets).select(col("doc_a"), col("doc_b"))
       val planted = col("doc_b") === col("doc_a") + 10000
       val marked = found.join(
@@ -1048,8 +1060,8 @@ object LlmQueries extends QueryModule {
     // size — the exact failure mode the sweep exists to warn about.
     "q208_lsh_param_sweep" -> ((s, dir) => {
       val docsets = shingleSets(s, dir)
-      val truth = jaccardPairsCapped(docsets, ShingleDfCap, 0.5)
-        .select(col("doc_a"), col("doc_b")).localCheckpoint()
+      val truth = ngramJaccardPairs(s, dir)
+        .select(col("doc_a"), col("doc_b"))
       val nTrue = truth.agg(count(lit(1)).as("true_pairs"))
       val sigs = docsets.select(col("doc_id") +:
         (0 until 16).map(j =>
@@ -1100,8 +1112,8 @@ object LlmQueries extends QueryModule {
     // HAVING form), so the cut is engine-exact.
     "q223_dedup_threshold_curve" -> ((s, dir) => {
       val docsets = shingleSets(s, dir)
-      val pairs = jaccardPairsCapped(docsets, ShingleDfCap, 0.5)
-        .localCheckpoint() // feeds the pair sums AND the endpoint rollup
+      // memoized stage feeds the pair sums AND the endpoint rollup
+      val pairs = ngramJaccardPairs(s, dir)
       val nCorpus = docsets.agg(count(lit(1)).as("n_corpus"))
       val ends = pairs.select(col("doc_a").as("doc"), col("jac"))
         .unionAll(pairs.select(col("doc_b").as("doc"), col("jac")))
@@ -2462,11 +2474,9 @@ object LlmQueries extends QueryModule {
     // shingle build (the q35 single-materialization pattern), the q34
     // candidate generator, then two doc-keyed hash joins and row-local
     // exact set math; containment on the half-up ppm grid.
-    "q240_dup_relation" -> ((s, dir) => {
-      val ds = shingleSets(s, dir)
-      dupRelations(ds, jaccardPairsCapped(ds, ShingleDfCap, 0.5))
-        .orderBy(col("doc_a"), col("doc_b"))
-    })
+    "q240_dup_relation" -> ((s, dir) =>
+      dupRelations(shingleSets(s, dir), ngramJaccardPairs(s, dir))
+        .orderBy(col("doc_a"), col("doc_b")))
   )
 
   /** q230's engine (factored so LlmSpec can drive planted geometries):

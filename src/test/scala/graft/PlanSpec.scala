@@ -96,10 +96,24 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("q34 df-capped dedup: fast path on clean corpora, broadcast anti-join when capped") {
-    // harness corpora have no hot shingle, so q34 takes the direct
-    // path: hashed self-join (no sort of the exploded index), no
-    // anti-join machinery paid for nothing
-    val p = plan("q34_ngram_jaccard")
+    // Since round 11 the q34 GATE plan sits on the memoized pair stage
+    // (StageMemo): a materialized RDD scan + presentation sort, nothing
+    // recomputed — pin exactly that.
+    val gate = plan("q34_ngram_jaccard")
+    assert(gate.contains("Scan ExistingRDD"), gate)
+    assert(!gate.contains("Join"), gate)
+    // The stage BUILD itself (pre-memo plan shape): harness corpora have
+    // no hot shingle, so it takes the direct path — hashed self-join (no
+    // sort of the exploded index), no anti-join machinery paid for
+    // nothing. Drive the builder on an inline clean corpus so the memo
+    // cannot mask the shape.
+    import org.apache.spark.sql.functions.{array, col, lit}
+    val clean = spark.range(0, 50)
+      .select(col("id").as("doc_id"), lit(3).as("sz"),
+        array(col("id") * 10 + 1000, col("id") * 10 + 1001,
+          col("id") * 10 + 1002).as("hs"))
+    val p = graft.operators.LlmQueries.jaccardPairsCapped(clean, 256, 0.5)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
     assert(p.contains("ShuffledHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
     assert(!p.contains("CartesianProduct"), p)

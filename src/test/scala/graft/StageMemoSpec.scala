@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.StageMemo
+
+/** The shared-stage memo contract (round 11): the q34 pair-graph stage
+  * materializes ONCE per (context, dir) and every later consumer reuses
+  * the SAME frame — the documented exemption from the bench's per-query
+  * cold-cache protocol. A wrong memo key would either alias scale
+  * factors (correctness) or silently rebuild per query (the r10 ~80 s
+  * regression class).
+  */
+class StageMemoSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  @transient var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("stagememo-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("same (dir, stage) returns the SAME frame; build runs once") {
+    StageMemo.reset()
+    var builds = 0
+    def get() = StageMemo(spark, "/tmp/dirA", "s1") {
+      builds += 1
+      spark.range(0, 10).toDF("id").localCheckpoint()
+    }
+    val a = get()
+    val b = get()
+    assert(builds == 1, "second consumer must reuse, not rebuild")
+    assert(a eq b, "memo must hand back the identical materialized frame")
+    assert(a.count() == 10)
+  }
+
+  test("a different dir or stage never aliases") {
+    StageMemo.reset()
+    val a = StageMemo(spark, "/tmp/dirA", "s1") {
+      spark.range(0, 1).toDF("id").localCheckpoint()
+    }
+    val b = StageMemo(spark, "/tmp/dirB", "s1") {
+      spark.range(0, 2).toDF("id").localCheckpoint()
+    }
+    val c = StageMemo(spark, "/tmp/dirA", "s2") {
+      spark.range(0, 3).toDF("id").localCheckpoint()
+    }
+    assert(a.count() == 1 && b.count() == 2 && c.count() == 3)
+    assert(StageMemo.size == 3)
+  }
+
+  test("the pair-graph consumers share one materialized stage end-to-end") {
+    // q59 (clusters) then q188 (health): both sit on the memoized pairs
+    // + clusters; after the first the memo holds the stage and the
+    // second must not rebuild (observable: the memo size is stable and
+    // results agree with the first run).
+    StageMemo.reset()
+    val dir = "/root/testdata/sf0.001"
+    val c1 = SparkEntry.queries("q59_dedup_clusters")(spark, dir).count()
+    val sizeAfterFirst = StageMemo.size
+    val c2 = SparkEntry.queries("q59_dedup_clusters")(spark, dir).count()
+    assert(c1 == c2)
+    assert(StageMemo.size == sizeAfterFirst,
+      "re-running a consumer must not add memo entries")
+    assert(sizeAfterFirst >= 2, "pairs + clusters stages expected in the memo")
+  }
+}
