@@ -95,6 +95,113 @@ object CorpusQueries extends QueryModule {
     * join's volume is Σ outdeg² ≤ m^1.5 instead of the naive Σ deg²
     * which the hub makes quadratic. `orientedEdges` is exposed for the
     * structural proof. */
+  /** Number of byte-pair merges the q243 BPE trainer learns. Bounded and
+    * small on purpose: each round is one vocabulary-sized pair count +
+    * a 1-row argmax + a map-side merge apply, and the DuckDB oracle
+    * unrolls exactly this many rounds. */
+  private[graft] val BpeRounds = 8
+
+  /** TRUE byte-pair-encoding training (q243) — the merge-learning loop
+    * q165's MaxMatch stood in for (round-10 verdict item 7). Classic
+    * BPE on the WORD DICTIONARY (Sennrich et al., "Neural Machine
+    * Translation of Rare Words with Subword Units"): collapse the
+    * corpus to (word, freq) — the standard trick that makes training
+    * corpus-size-independent — represent each word as space-joined
+    * character symbols (" a b c "), then [[BpeRounds]] times: count
+    * adjacent symbol pairs weighted by word freq, take the most
+    * frequent pair (ties: lexicographic (lhs, rhs) — total order,
+    * binary-identical in both engines), and merge it everywhere via
+    * literal string replace of " lhs rhs " -> " lhsrhs ".
+    *
+    * Run convention (documented divergence from Sennrich's regex
+    * apply): the pattern consumes BOTH boundary spaces, so in a run of
+    * the same symbol only every OTHER occurrence merges per pass —
+    * " a a a a " under (a,a) becomes " aa a a " (the shared boundary
+    * space is gone), and the remaining occurrences merge in later
+    * rounds when (a,a) tops the counts again. Both engines' replace()
+    * are leftmost-non-overlapping with identical scan-resume semantics,
+    * so the loop is deterministic and oracle-replicable — which is the
+    * gate's requirement; word dictionaries rarely contain same-symbol
+    * runs, and the loop converges to the same final segmentation over
+    * extra rounds. BpeSpec pins the run geometry and tie-breaks.
+    *
+    * Scale: the dictionary collapse is one word-keyed exchange; each
+    * round exchanges vocab×word-length pair rows (never corpus rows),
+    * the argmax is TakeOrderedAndProject over that bounded frame, and
+    * the merge apply is map-side against a broadcast 1-row best. The
+    * merge table (the artifact a real tokenizer ships) is what
+    * downstream encoding consumes — [[bpeEncodedVocab]] applies it as
+    * [[BpeRounds]] chained map-side replaces, zero extra exchanges.
+    *
+    * Memoized ([[StageMemo]], key "bpe_merges"): q243 and q244 share
+    * one training run, the way a pipeline trains once and ships the
+    * merge table. Returns (round, lhs, rhs, merged, pair_freq). */
+  private[graft] def bpeMerges(s: SparkSession, dir: String): DataFrame =
+    StageMemo(s, dir, "bpe_merges") {
+      bpeTrainOn(Tables(s, dir, "documents")
+        .select(explode(expr(toksSql)).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("freq")))
+    }
+
+  /** The training loop itself over a (word, freq) dictionary — factored
+    * so BpeSpec can drive planted dictionaries (overlap and tie-break
+    * geometry) against hand-computed merge tables. */
+  private[graft] def bpeTrainOn(words: DataFrame): DataFrame = {
+      var seqs = words.withColumn("seq",
+          concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 ")))
+        .localCheckpoint()
+      val bests = (1 to BpeRounds).map { r =>
+        val pairs = seqs
+          .withColumn("parts", split(col("seq"), " "))
+          .select(col("freq"), explode(expr(
+            "zip_with(slice(parts, 2, size(parts) - 3)," +
+              " slice(parts, 3, size(parts) - 3)," +
+              " (x, y) -> struct(x AS lhs, y AS rhs))")).as("p"))
+          .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+          .agg(sum(col("freq")).cast("long").as("pair_freq"))
+        val best = pairs
+          .orderBy(col("pair_freq").desc, col("lhs").asc, col("rhs").asc)
+          .limit(1).localCheckpoint()
+        // 1-row guard frame even when no pairs remain: the ''-pattern
+        // ("   ") can never match a single-spaced seq, so the apply
+        // below is a no-op instead of emptying the dictionary
+        val bestG = best.agg(coalesce(max(col("lhs")), lit("")).as("bl"),
+          coalesce(max(col("rhs")), lit("")).as("br"))
+        seqs = seqs.crossJoin(broadcast(bestG))
+          .withColumn("seq", expr(
+            "replace(seq, concat(' ', bl, ' ', br, ' '), concat(' ', bl, br, ' '))"))
+          .select(col("word"), col("freq"), col("seq"))
+          .localCheckpoint()
+        best.select(lit(r).as("round"), col("lhs"), col("rhs"),
+          concat(col("lhs"), col("rhs")).as("merged"), col("pair_freq"))
+      }
+      bests.reduce(_ unionAll _).localCheckpoint()
+    }
+
+  /** (word, freq, n_sym): the word dictionary encoded with the q243
+    * merge table — [[BpeRounds]] chained literal replaces against the
+    * broadcast 1-row wide merge frame (missing rounds coalesce to the
+    * unmatchable ''-pattern), then symbols = spaces - 1. Map-side per
+    * word; the only exchange is the dictionary collapse itself. */
+  private[graft] def bpeEncodedVocab(s: SparkSession, dir: String): DataFrame = {
+    val wideCols = (1 to BpeRounds).flatMap(r => Seq(
+      coalesce(max(when(col("round") === r, col("lhs"))), lit("")).as(s"l$r"),
+      coalesce(max(when(col("round") === r, col("rhs"))), lit("")).as(s"r$r")))
+    val wide = bpeMerges(s, dir).agg(wideCols.head, wideCols.tail: _*)
+    val words = Tables(s, dir, "documents")
+      .select(explode(expr(toksSql)).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    val encoded = (1 to BpeRounds).foldLeft(
+      words.crossJoin(broadcast(wide)).withColumn("seq",
+        concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 ")))) {
+      (df, r) => df.withColumn("seq", expr(
+        s"replace(seq, concat(' ', l$r, ' ', r$r, ' '), concat(' ', l$r, r$r, ' '))"))
+    }
+    encoded.select(col("word"), col("freq"),
+      (length(col("seq")) - length(regexp_replace(col("seq"), " ", "")) - 1)
+        .cast("long").as("n_sym"))
+  }
+
   /** The q59 near-dup component labeling as a memoized SHARED STAGE
     * ([[StageMemo]]): q59/q135/q163/q188 all consume the same
     * (doc_id, cluster) frame — at 100 TB the cluster map is a
@@ -1321,6 +1428,39 @@ object CorpusQueries extends QueryModule {
           (col("fert").cast("double") / lit(1000000.0)).as("fertility"),
           (col("cpt").cast("double") / lit(1000000.0)).as("chars_per_subtok"))
         .orderBy(col("lang"))),
+
+    // --- TRUE BPE merge learning (q243): the merge table itself —
+    // round, pair, merged symbol, weighted pair frequency — learned by
+    // the classic dictionary-collapsed loop (see [[bpeMerges]]). The
+    // DuckDB oracle re-derives all [[BpeRounds]] rounds from scratch
+    // (unrolled MATERIALIZED CTEs, same split/argmax/replace
+    // primitives), so the learned merges hash-gate row-level: a
+    // tie-break, replace-semantics, or pair-count divergence anywhere
+    // in the loop flips the gate.
+    "q243_bpe_merges" -> ((s, dir) =>
+      bpeMerges(s, dir).orderBy(col("round"))),
+
+    // --- BPE encoding audit (q244): the corpus re-encoded with the
+    // q243 merge table — per source: words, BPE tokens, and fertility
+    // (tokens per word, half-up 1e-6 grid). Encoding is [[BpeRounds]]
+    // chained map-side replaces over the word DICTIONARY (the
+    // dictionary-collapse means encode cost is vocab-sized, and the
+    // corpus pass is one word-keyed join the optimizer broadcasts when
+    // the vocab is small). The oracle replays training AND encoding.
+    "q244_bpe_encode" -> ((s, dir) => {
+      val enc = bpeEncodedVocab(s, dir)
+      Tables(s, dir, "documents")
+        .select(col("source"), explode(expr(toksSql)).as("word"))
+        .join(enc.select(col("word"), col("n_sym")), Seq("word"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("n_sym")).cast("long").as("n_bpe"))
+        .withColumn("fert",
+          expr("(2 * n_bpe * 1000000 + n_words) DIV (2 * n_words)"))
+        .select(col("source"), col("n_words"), col("n_bpe"),
+          (col("fert").cast("double") / lit(1000000.0)).as("fertility"))
+        .orderBy(col("source"))
+    }),
 
     // --- Count-Min sketch token-frequency estimation (q176): the
     // mergeable fixed-size frequency summary (Cormode & Muthukrishnan
@@ -2911,7 +3051,67 @@ object CorpusQueries extends QueryModule {
       |WHERE g2.doc_id % 5 <> 0
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** The q243/q244 oracle's BPE training chain: [[BpeRounds]] unrolled
+    * rounds, every CTE MATERIALIZED (s_r is read by p_{r+1} AND s_{r+1};
+    * DuckDB inlines un-hinted CTEs per reference — the q230 exponential-
+    * plan lesson). Primitives mirror the engine 1:1: string_split pair
+    * zip, (pair_freq DESC, lhs, rhs) argmax, ''-guarded literal replace. */
+  private def bpeOracleCtes: String = {
+    val head =
+      """w AS MATERIALIZED (
+        |  SELECT w AS word, COUNT(*) AS freq FROM (
+        |    SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+        |    FROM documents) GROUP BY 1),
+        |s0 AS MATERIALIZED (
+        |  SELECT word, freq, ' ' || regexp_replace(word, '(.)', '\1 ', 'g') AS seq
+        |  FROM w)""".stripMargin
+    val rounds = (1 to BpeRounds).map { r =>
+      s"""p$r AS MATERIALIZED (
+         |  SELECT lhs, rhs, CAST(SUM(freq) AS BIGINT) AS pair_freq FROM (
+         |    SELECT freq,
+         |      unnest(parts[2:length(parts)-2]) AS lhs,
+         |      unnest(parts[3:length(parts)-1]) AS rhs
+         |    FROM (SELECT freq, string_split(seq, ' ') AS parts FROM s${r - 1}))
+         |  GROUP BY 1, 2),
+         |b$r AS MATERIALIZED (
+         |  SELECT lhs, rhs, pair_freq FROM p$r
+         |  ORDER BY pair_freq DESC, lhs, rhs LIMIT 1),
+         |g$r AS MATERIALIZED (
+         |  SELECT coalesce(max(lhs), '') AS bl, coalesce(max(rhs), '') AS br
+         |  FROM b$r),
+         |s$r AS MATERIALIZED (
+         |  SELECT word, freq,
+         |    replace(seq, ' ' || bl || ' ' || br || ' ',
+         |            ' ' || bl || br || ' ') AS seq
+         |  FROM s${r - 1} CROSS JOIN g$r)""".stripMargin
+    }
+    (head +: rounds).mkString(",\n")
+  }
+
   def oracles: Map[String, String] = Map(
+    "q243_bpe_merges" -> {
+      val union = (1 to BpeRounds).map(r =>
+        s"SELECT $r AS round, lhs, rhs, lhs || rhs AS merged, pair_freq FROM b$r")
+        .mkString("\nUNION ALL\n")
+      s"WITH $bpeOracleCtes\n$union\nORDER BY round"
+    },
+    "q244_bpe_encode" ->
+      s"""WITH $bpeOracleCtes,
+         |enc AS MATERIALIZED (
+         |  SELECT word,
+         |    CAST(length(seq) - length(replace(seq, ' ', '')) - 1 AS BIGINT)
+         |      AS n_sym
+         |  FROM s$BpeRounds),
+         |t AS (
+         |  SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS word
+         |  FROM documents)
+         |SELECT source, COUNT(*) AS n_words,
+         |  CAST(SUM(n_sym) AS BIGINT) AS n_bpe,
+         |  CAST(CAST((2 * SUM(n_sym)::HUGEINT * 1000000 + COUNT(*))
+         |    // (2 * COUNT(*)::HUGEINT) AS BIGINT) AS DOUBLE) / 1000000.0
+         |    AS fertility
+         |FROM t JOIN enc USING (word)
+         |GROUP BY 1 ORDER BY source""".stripMargin,
     "q113_decontaminate_bloom" -> decontaminateOracleSql,
     // naive a<b<c triple join (each triangle's three ordered edges
     // (a,b),(b,c),(a,c) matched exactly once) — the oracle can afford

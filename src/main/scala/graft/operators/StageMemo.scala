@@ -49,7 +49,21 @@ private[graft] object StageMemo {
     while (it.hasNext) if (it.next().getValue.sc.isStopped) it.remove()
     val sc = s.sparkContext
     val key = sc.applicationId + "|" + dir + "|" + stage
-    cache.computeIfAbsent(key, _ => Entry(sc, build)).df
+    // NOT computeIfAbsent: stage builds NEST (pair_clusters builds on
+    // the ngram_pairs memo), and a nested computeIfAbsent on the same
+    // map throws "Recursive update". A reentrant lock serializes
+    // builds; the fast path stays lock-free.
+    val hit = cache.get(key)
+    if (hit != null) return hit.df
+    this.synchronized {
+      val again = cache.get(key)
+      if (again != null) again.df
+      else {
+        val df = build
+        cache.put(key, Entry(sc, df))
+        df
+      }
+    }
   }
 
   /** Test hook: drop everything (forces rebuilds). */

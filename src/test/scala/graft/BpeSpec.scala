@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q243 BPE trainer semantics on PLANTED dictionaries — the geometry the
+  * corpus may never exercise but the algorithm's determinism contract
+  * depends on: overlap handling of the merge replace (leftmost
+  * non-overlapping, the greedy BPE convention, identical in Spark and
+  * DuckDB replace()) and the (pair_freq DESC, lhs, rhs) tie-break.
+  */
+class BpeSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  @transient var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("bpe-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def train(words: (String, Long)*) = {
+    val s = spark
+    import s.implicits._
+    graft.operators.CorpusQueries.bpeTrainOn(words.toDF("word", "freq"))
+      .orderBy(col("round"))
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+  }
+
+  test("same-symbol run: boundary-consuming replace merges every OTHER occurrence per pass") {
+    // The documented run convention (see bpeMerges): the ' a a '
+    // pattern consumes both boundary spaces, so ' a a a a ' -> round 1
+    // ' aa a a ' ((a,a) counted 3), round 2 merges the surviving (a,a)
+    // (ties with (aa,a) at count 1, (a,a) wins lexicographically) ->
+    // ' aa aa ', round 3 merges (aa,aa) -> ' aaaa '. Rounds 4+ have no
+    // pairs left: the ''-guard keeps the dictionary intact and emits no
+    // merge rows.
+    val m = train(("aaaa", 1L))
+    assert(m.length == 3, s"expected exactly 3 merges, got ${m.toSeq}")
+    assert(m(0) == (1, "a", "a", "aa", 3L))
+    assert(m(1) == (2, "a", "a", "aa", 1L))
+    assert(m(2) == (3, "aa", "aa", "aaaa", 1L))
+  }
+
+  test("odd-length run: aaa -> aa a -> aaa") {
+    // ' a a a ' under (a,a): leftmost match consumes positions 0-4 and
+    // the shared space, scan resumes after -> ' aa a '; round 2 merges
+    // (aa,a).
+    val m = train(("aaa", 1L))
+    assert(m(0) == (1, "a", "a", "aa", 2L))
+    assert(m(1) == (2, "aa", "a", "aaa", 1L))
+  }
+
+  test("equal-frequency pairs break ties lexicographically on (lhs, rhs)") {
+    // 'ba' and 'ab' each contribute one pair: (b,a) and (a,b), both
+    // freq 1 -> (a,b) wins round 1 by lhs order.
+    val m = train(("ba", 1L), ("ab", 1L))
+    assert((m(0)._2, m(0)._3) == ("a", "b"), s"tie-break drifted: ${m(0)}")
+  }
+
+  test("frequency weighting: the dictionary freq multiplies pair counts") {
+    // 'xy' freq 5 vs 'zz' freq 3: (x,y) count 5 beats (z,z) count 3.
+    val m = train(("xy", 5L), ("zz", 3L))
+    assert(m(0) == (1, "x", "y", "xy", 5L))
+    assert(m(1) == (2, "z", "z", "zz", 3L))
+  }
+}
