@@ -619,12 +619,24 @@ object LlmQueries extends QueryModule {
   }
 
   private def knnGraphEdges(s: SparkSession, e: DataFrame,
-      cells: DataFrame): DataFrame = {
-    val scored = e.crossJoin(broadcast(cells))
+      cells: DataFrame): DataFrame = knnGraphEdgesOn(s, e, e, cells)
+
+  /** Two-sided core of [[knnGraphEdges]]: `build` supplies the
+    * candidate/neighbor population (each vector argmax-assigned to ONE
+    * cell), `probe` the query side (top-2 cells each). The symmetric
+    * all-corpus graph is `build == probe`; the INCREMENTAL form (q246)
+    * probes a new batch against the frozen index without touching the
+    * existing graph's edges. Each side scores against the broadcast
+    * cell table independently — the lazy `scored` frame of the
+    * one-sided original was recomputed per consuming branch anyway, so
+    * the split costs nothing. */
+  private def knnGraphEdgesOn(s: SparkSession, build: DataFrame,
+      probe: DataFrame, cells: DataFrame): DataFrame = {
+    def scoredOn(e: DataFrame) = e.crossJoin(broadcast(cells))
       .withColumn("cell_score",
         expr("vec_dot(v, cv)") / (col("nrm") * col("cnrm")))
     // corpus side: each vector lives in exactly ONE cell (q46 argmax)
-    val withCell = scored.groupBy(col("vec_id"))
+    val withCell = scoredOn(build).groupBy(col("vec_id"))
       .agg(max(struct(col("cell_score"), (-col("cell")).as("negc"),
         col("v"), col("nrm"))).as("m"))
       .select(col("vec_id").as("nbr_id"), (-col("m.negc")).as("cell"),
@@ -635,7 +647,7 @@ object LlmQueries extends QueryModule {
       org.apache.spark.sql.Encoders.tuple(
         org.apache.spark.sql.Encoders.scalaDouble,
         org.apache.spark.sql.Encoders.scalaLong))
-    val probes = scored.groupBy(col("vec_id"))
+    val probes = scoredOn(probe).groupBy(col("vec_id"))
       .agg(top2(col("cell_score"), col("cell").cast("long")).as("top"),
         first(col("v")).as("av"), first(col("nrm")).as("anrm"))
       .select(col("vec_id").as("src_id"), col("av"), col("anrm"),
@@ -2145,6 +2157,141 @@ object LlmQueries extends QueryModule {
           Seq("vec_id"), "left")
         .select(col("vec_id"), col("cell"), col("pr").isNull.as("keep"))
         .orderBy(col("vec_id"))
+    }),
+
+    // --- INCREMENTAL SemDeDup (q245): the ingestion-path counterpart
+    // of q166 — the r10 verdict's last stretch item. A production
+    // pipeline trains the cell structure ONCE on the indexed corpus and
+    // then admits each arriving batch against the FROZEN index: assign
+    // new vectors to the frozen centroids (one broadcast E-step), score
+    // them only against existing members of the touched cells plus
+    // earlier vectors of the same batch (smaller-id-first, the q135/
+    // q166 keeper rule), and never rebuild. Incremental cost is
+    // O(|batch| x C) for assignment + Σ_cells_touched |batch∩cell| x
+    // |cell| for verification — proportional to the batch, not the
+    // corpus, and certainly not corpus².
+    //
+    // Delta convention (q129's playbook in vector space): the batch is
+    // 2x-scaled copies of vec_id%3==0 (exact-cosine dups — must be
+    // pruned; scaling by a power of two L2-normalizes bit-identically,
+    // so copy and original share the argmin cell STRUCTURALLY) plus
+    // reversed vectors of vec_id%3==1 (novel content — admitted unless
+    // a reversal happens to collide, which the 0.99 grid decides
+    // identically in both engines) plus 4x second-generation copies of
+    // vec_id%6==0 at +400000, which duplicate BOTH the indexed original
+    // and the earlier +200000 batch member — so ex_hits and new_hits
+    // are each non-trivially exercised. Output is the ADMISSION RECORD for
+    // the batch only: assigned cell, how many indexed vectors it
+    // duplicated (ex_hits), how many earlier batch members (new_hits),
+    // and the keep verdict. All-integer evidence columns — hash-safe.
+    //
+    // Scale: the frozen centroid table is C ~ √n rows (broadcast); the
+    // batch assignment is map-side; the verify join shuffles only cells
+    // the batch touched (shuffle_hash — uniform cell keys, probe side
+    // batch-sized). Training on the existing side replays here because
+    // the gate is stateless, but it is the SAME stage q166 prices; a
+    // deployment reads it from the index store.
+    "q245_incremental_semdedup" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s) // vec_dot
+      val base = Tables(s, dir, "embeddings")
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      def normed(df: DataFrame): DataFrame = df
+        .withColumn("nv", expr(s"transform(v, x -> x / ${normSqlOf("v")})"))
+        .select(col("vec_id"), col("nv"))
+      val ex = normed(base)
+      val nw = normed(
+        base.filter(col("vec_id") % 3 === 0)
+          .select((col("vec_id") + 200000).as("vec_id"),
+            expr("transform(v, x -> x * 2.0D)").as("v"))
+        .unionByName(base.filter(col("vec_id") % 3 === 1)
+          .select((col("vec_id") + 200000).as("vec_id"),
+            reverse(col("v")).as("v")))
+        // second-generation copies: dup of BOTH the indexed original
+        // (ex_hit) and the earlier +200000 batch member (new_hit) —
+        // evidences the batch-internal smaller-id-first path
+        .unionByName(base.filter(col("vec_id") % 6 === 0)
+          .select((col("vec_id") + 400000).as("vec_id"),
+            expr("transform(v, x -> x * 4.0D)").as("v"))))
+      // ---- frozen index: q166's train loop on the EXISTING side only
+      val n = ex.count()
+      val c = math.max(8, math.ceil(math.sqrt(n.toDouble)).toInt)
+      val seeds = ex.orderBy(col("vec_id")).limit(c)
+        .select(col("vec_id").cast("int").as("cid"), col("nv").as("cv"))
+        .localCheckpoint()
+      def d2(v: String, cc: String) = expr(s"vec_dot($v, $v)") -
+        lit(2.0) * expr(s"vec_dot($v, $cc)") + expr(s"vec_dot($cc, $cc)")
+      val assigned1 = ex.crossJoin(broadcast(seeds))
+        .withColumn("d2", d2("nv", "cv"))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("d2"), col("cid"), col("nv"))).as("m"))
+        .select(col("m.cid").as("cid"), col("m.nv").as("nv"))
+      val centroid = udaf(new graft.functions.VectorAggregators.CentroidFixed(64))
+      val cells = assigned1.groupBy(col("cid"))
+        .agg(centroid(col("nv")).as("cv"))
+        .localCheckpoint()
+      def assign(df: DataFrame): DataFrame = df.crossJoin(broadcast(cells))
+        .withColumn("d2", d2("nv", "cv"))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("d2"), col("cid"), col("nv"))).as("m"))
+        .select(col("vec_id"), col("m.cid").as("cell"), col("m.nv").as("av"))
+        .withColumn("anrm", expr(normSqlOf("av")))
+      // the indexed members' cell residency — at 100 TB this frame IS
+      // the index store, read not recomputed
+      val exAsg = assign(ex).localCheckpoint()
+      val nwAsg = assign(nw).localCheckpoint()
+      def hits(members: DataFrame, name: String): DataFrame = nwAsg
+        .select(col("cell"), col("vec_id"), col("av").as("bv"),
+          col("anrm").as("bnrm"))
+        .join(members.hint("shuffle_hash"), Seq("cell"))
+        .filter(col("mbr") < col("vec_id"))
+        .withColumn("score", round(expr(dotSql) / (col("anrm") * col("bnrm")), 4))
+        .filter(col("score") >= 0.99)
+        .groupBy(col("vec_id")).agg(count(lit(1)).as(name))
+      val exHits = hits(exAsg.select(col("cell"), col("vec_id").as("mbr"),
+        col("av"), col("anrm")), "ex_hits")
+      val nwHits = hits(nwAsg.select(col("cell"), col("vec_id").as("mbr"),
+        col("av"), col("anrm")), "new_hits")
+      nwAsg.select(col("vec_id"), col("cell"))
+        .join(exHits.hint("shuffle_hash"), Seq("vec_id"), "left")
+        .join(nwHits.hint("shuffle_hash"), Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cell"),
+          coalesce(col("ex_hits"), lit(0L)).as("ex_hits"),
+          coalesce(col("new_hits"), lit(0L)).as("new_hits"))
+        .withColumn("keep", (col("ex_hits") + col("new_hits")) === 0)
+        .orderBy(col("vec_id"))
+    }),
+
+    // --- INCREMENTAL kNN-graph extension (q246): q146's other half of
+    // the r10 stretch item. A new batch joins an already-indexed corpus:
+    // the label-stratified cell table is FROZEN (built on the indexed
+    // side), existing vectors keep their one argmax cell residency (the
+    // index store at 100 TB — recomputed here only because the gate is
+    // stateless), and each batch vector probes its top-2 frozen cells
+    // and ranks 5-NN against the EXISTING members it meets — the graph
+    // gains |batch| x 5 edges with zero existing edges recomputed.
+    // Incremental cost: |batch| x C broadcast scoring + the blocked
+    // candidate join over touched cells only. Batch = 2x copies of
+    // vec_id%4==1 (planted: the copy's top-1 must be its original at
+    // score 1.0 — structural, the q166 power-of-two argument) plus
+    // reversed vectors of vec_id%4==2 (novel probes). Full edge list
+    // compared row-level (the q169 precedent).
+    "q246_incremental_knn" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s) // vec_dot
+      val base = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      val ex = base.withColumn("nrm", expr(normSqlOf("v")))
+      val cells = stratifiedCells(s, ex) // frozen on the indexed corpus
+      val batch = base.filter(col("vec_id") % 4 === 1)
+        .select((col("vec_id") + 300000).as("vec_id"),
+          expr("transform(v, x -> x * 2.0D)").as("v"))
+        .unionByName(base.filter(col("vec_id") % 4 === 2)
+          .select((col("vec_id") + 300000).as("vec_id"),
+            reverse(col("v")).as("v")))
+        .withColumn("nrm", expr(normSqlOf("v")))
+      knnGraphEdgesOn(s, ex, batch, cells)
+        .orderBy(col("src_id"), col("rnk"))
     }),
 
     // --- histogram quantiles: per-source length profile (p50/p90) from a
@@ -3756,6 +3903,137 @@ object LlmQueries extends QueryModule {
         |SELECT g.vec_id, g.cell, pr.vec_id IS NULL AS keep
         |FROM asg2 g LEFT JOIN pruned pr ON pr.vec_id = g.vec_id
         |ORDER BY g.vec_id""".stripMargin,
+
+    // q166's train chain on the EXISTING side only, then the frozen-
+    // index admission of the delta batch. MATERIALIZED on every
+    // multi-consumer CTE (the q230 exponential-inline lesson).
+    "q245_incremental_semdedup" ->
+      """WITH base AS MATERIALIZED (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |newb AS (
+        |  SELECT vec_id + 200000 AS vec_id, list_transform(v, x -> x * 2.0) AS v
+        |  FROM base WHERE vec_id % 3 = 0
+        |  UNION ALL
+        |  SELECT vec_id + 200000, list_reverse(v) FROM base WHERE vec_id % 3 = 1
+        |  UNION ALL
+        |  SELECT vec_id + 400000, list_transform(v, x -> x * 4.0)
+        |  FROM base WHERE vec_id % 6 = 0),
+        |nex AS MATERIALIZED (
+        |  SELECT vec_id,
+        |    list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv
+        |  FROM base),
+        |nnw AS MATERIALIZED (
+        |  SELECT vec_id,
+        |    list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv
+        |  FROM newb),
+        |p AS (SELECT greatest(8, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS c
+        |      FROM nex),
+        |seeds AS MATERIALIZED (
+        |  SELECT vec_id AS cid, nv AS cv FROM nex
+        |  ORDER BY vec_id LIMIT (SELECT c FROM p)),
+        |d1 AS (SELECT n.vec_id, s.cid, n.nv,
+        |         list_dot_product(n.nv, n.nv) - 2 * list_dot_product(n.nv, s.cv)
+        |           + list_dot_product(s.cv, s.cv) AS d2
+        |       FROM nex n CROSS JOIN seeds s),
+        |a1 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |         ORDER BY d2 ASC, cid ASC) AS rnk FROM d1),
+        |asg1 AS (SELECT vec_id, cid, nv FROM a1 WHERE rnk = 1),
+        |idx AS (SELECT unnest(range(1, 65)) AS i),
+        |comp AS (SELECT cid, i, CAST(floor(nv[i] * 4294967296.0) AS BIGINT) AS fx
+        |         FROM asg1 CROSS JOIN idx),
+        |cent AS (SELECT cid, i, sum(fx) AS sm, count(*) AS n
+        |         FROM comp GROUP BY cid, i),
+        |cells AS MATERIALIZED (
+        |  SELECT cid, list(CAST(sm AS DOUBLE) / 4294967296.0 / n ORDER BY i) AS cv
+        |  FROM cent GROUP BY cid),
+        |dex AS (SELECT n.vec_id, k.cid, n.nv,
+        |          list_dot_product(n.nv, n.nv) - 2 * list_dot_product(n.nv, k.cv)
+        |            + list_dot_product(k.cv, k.cv) AS d2
+        |        FROM nex n CROSS JOIN cells k),
+        |aex AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |          ORDER BY d2 ASC, cid ASC) AS rnk FROM dex),
+        |exa AS MATERIALIZED (
+        |  SELECT vec_id, cid AS cell, nv FROM aex WHERE rnk = 1),
+        |dnw AS (SELECT n.vec_id, k.cid, n.nv,
+        |          list_dot_product(n.nv, n.nv) - 2 * list_dot_product(n.nv, k.cv)
+        |            + list_dot_product(k.cv, k.cv) AS d2
+        |        FROM nnw n CROSS JOIN cells k),
+        |anw AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |          ORDER BY d2 ASC, cid ASC) AS rnk FROM dnw),
+        |nwa AS MATERIALIZED (
+        |  SELECT vec_id, cid AS cell, nv FROM anw WHERE rnk = 1),
+        |exh AS (
+        |  SELECT b.vec_id, count(*) AS ex_hits
+        |  FROM nwa b JOIN exa a ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |  WHERE round(list_dot_product(a.nv, b.nv) /
+        |    (sqrt(list_dot_product(a.nv, a.nv)) *
+        |     sqrt(list_dot_product(b.nv, b.nv))), 4) >= 0.99
+        |  GROUP BY 1),
+        |nwh AS (
+        |  SELECT b.vec_id, count(*) AS new_hits
+        |  FROM nwa b JOIN nwa a ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |  WHERE round(list_dot_product(a.nv, b.nv) /
+        |    (sqrt(list_dot_product(a.nv, a.nv)) *
+        |     sqrt(list_dot_product(b.nv, b.nv))), 4) >= 0.99
+        |  GROUP BY 1)
+        |SELECT g.vec_id, g.cell,
+        |  coalesce(e.ex_hits, 0) AS ex_hits,
+        |  coalesce(w.new_hits, 0) AS new_hits,
+        |  coalesce(e.ex_hits, 0) + coalesce(w.new_hits, 0) = 0 AS keep
+        |FROM nwa g
+        |LEFT JOIN exh e ON e.vec_id = g.vec_id
+        |LEFT JOIN nwh w ON w.vec_id = g.vec_id
+        |ORDER BY g.vec_id""".stripMargin,
+
+    // q146's full-replication chain with the two sides split: cells and
+    // the one-cell residency come from the EXISTING corpus only, probes
+    // from the batch. Tie orders mirror the engine exactly (assignment:
+    // s DESC, cell ASC; ranking: score DESC, nbr_id ASC).
+    "q246_incremental_knn" ->
+      """WITH base AS MATERIALIZED (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |e AS MATERIALIZED (
+        |  SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm
+        |  FROM base),
+        |nb AS (
+        |  SELECT vec_id + 300000 AS vec_id, list_transform(v, x -> x * 2.0) AS v
+        |  FROM base WHERE vec_id % 4 = 1
+        |  UNION ALL
+        |  SELECT vec_id + 300000, list_reverse(v) FROM base WHERE vec_id % 4 = 2),
+        |nbn AS MATERIALIZED (
+        |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM nb),
+        |p AS (SELECT CAST(greatest(1,
+        |        ceil(sqrt(count(*)) / count(DISTINCT label))) AS BIGINT) AS q
+        |      FROM e),
+        |cells AS MATERIALIZED (
+        |  SELECT vec_id AS cell, v AS cv, nrm AS cnrm FROM e
+        |  QUALIFY row_number() OVER (PARTITION BY label
+        |    ORDER BY vec_id) <= (SELECT q FROM p)),
+        |scb AS (SELECT e.vec_id, c.cell, e.v, e.nrm,
+        |          list_dot_product(e.v, c.cv) / (e.nrm * c.cnrm) AS s
+        |        FROM e CROSS JOIN cells c),
+        |wc AS MATERIALIZED (
+        |  SELECT vec_id AS nbr_id, cell, v AS bv, nrm AS bnrm FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |      ORDER BY s DESC, cell ASC) AS rnk FROM scb) WHERE rnk = 1),
+        |scp AS (SELECT n.vec_id, c.cell, n.v, n.nrm,
+        |          list_dot_product(n.v, c.cv) / (n.nrm * c.cnrm) AS s
+        |        FROM nbn n CROSS JOIN cells c),
+        |pr AS MATERIALIZED (
+        |  SELECT vec_id AS src_id, cell, v AS av, nrm AS anrm FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |      ORDER BY s DESC, cell ASC) AS rnk FROM scp) WHERE rnk <= 2),
+        |cand AS (SELECT pr.src_id, wc.nbr_id,
+        |           round(list_dot_product(pr.av, wc.bv)
+        |             / (pr.anrm * wc.bnrm), 4) AS score
+        |         FROM pr JOIN wc ON wc.cell = pr.cell
+        |           AND wc.nbr_id <> pr.src_id)
+        |SELECT src_id, nbr_id, score, rnk FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY src_id
+        |    ORDER BY score DESC, nbr_id ASC) AS rnk FROM cand)
+        |WHERE rnk <= 5
+        |ORDER BY src_id, rnk""".stripMargin,
 
     "q145_ann_ivfpq" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v

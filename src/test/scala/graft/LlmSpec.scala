@@ -797,6 +797,47 @@ class LlmSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(originals.forall(r => cellOf(r.getLong(0) + 100000L) == r.getInt(1)))
   }
 
+  test("q245 incremental semdedup: copies pruned against the frozen index, novels admitted, second-gen hits both paths") {
+    // Admission record schema: (vec_id, cell, ex_hits, new_hits, keep).
+    // 500-vector index; batch = 167 2x copies (+200000, src%3==0),
+    // 167 reversed novels (+200000, src%3==1), 84 4x second-generation
+    // copies (+400000, src%6==0). On this corpus (no natural vector
+    // near-dups) the hit counts are EXACT: a first-gen copy matches
+    // only its original, a second-gen copy matches its original AND its
+    // first-gen sibling, a reversal matches nothing.
+    val rows = q("q245_incremental_semdedup").collect()
+    assert(rows.length == 418)
+    val (secondGen, firstGen) = rows.partition(_.getLong(0) >= 400000L)
+    assert(secondGen.length == 84)
+    assert(secondGen.forall(r =>
+      r.getLong(2) == 1L && r.getLong(3) == 1L && !r.getBoolean(4)),
+      "second-gen copies must hit the index once and the batch once")
+    val (copies, novels) =
+      firstGen.partition(r => (r.getLong(0) - 200000L) % 3 == 0)
+    assert(copies.length == 167 && copies.forall(r =>
+      r.getLong(2) == 1L && r.getLong(3) == 0L && !r.getBoolean(4)),
+      "first-gen copies must hit exactly their indexed original")
+    assert(novels.length == 167 && novels.forall(r =>
+      r.getLong(2) == 0L && r.getLong(3) == 0L && r.getBoolean(4)),
+      "no reversed vector may collide on this corpus")
+  }
+
+  test("q246 incremental knn: 5 edges per batch node against the index only; copies recall their original at top-1") {
+    val rows = q("q246_incremental_knn").collect()
+    assert(rows.length == 1250) // 250 probes x 5
+    assert(rows.forall(_.getLong(0) >= 300000L), "edges only for batch nodes")
+    assert(rows.forall(_.getLong(1) < 300000L),
+      "neighbors only from the indexed corpus — existing edges untouched")
+    // the 2x copy normalizes bit-identically, so its argmax cell houses
+    // the original and the exact top-1 is (original, 1.0) — structural
+    val copyTop1 = rows.filter(r =>
+      (r.getLong(0) - 300000L) % 4 == 1 && r.getInt(3) == 1)
+    assert(copyTop1.length == 125)
+    assert(copyTop1.forall(r =>
+      r.getLong(1) == r.getLong(0) - 300000L && r.getDouble(2) == 1.0),
+      "every planted copy must recall its original at rank 1, score 1.0")
+  }
+
   test("MaxMatch fold: longest piece wins, matched spans are consumed, fallback is single-char") {
     // The exact production expression (CorpusQueries.maxMatchCountSql)
     // over hand-built vocab rows:

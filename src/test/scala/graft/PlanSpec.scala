@@ -545,6 +545,39 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q245 incremental semdedup: admission joins hash-based on cell, no window, no sort-merge") {
+    // The frozen-index training (E-steps, M-step) sits behind the
+    // assignment frames' localCheckpoints; the visible incremental plan
+    // is the admission itself — batch-vs-index and batch-vs-batch
+    // verify joins meeting on uniform cell keys, then vec_id-keyed
+    // hit-count left joins. All must hash: sort-merge would sort
+    // 64-double member payloads per touched cell.
+    val p = plan("q245_incremental_semdedup")
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("hashpartitioning(cell"), p) // verify joins meet on cell
+  }
+
+  test("q246 incremental knn: frozen-cell probe keeps q146's discipline — broadcast centroids, cell-keyed hash join, partial-agged ranking") {
+    // Same invariants as q146 with the probe side now batch-sized: the
+    // only nested-loop join is centroid scoring against the broadcast
+    // cell table, candidates meet probes in the salted cell-keyed
+    // shuffle join, and both the index-side argmax and the per-probe
+    // top-5 are partial aggregates — a window would sort each touched
+    // cell's pair stream in one task.
+    val p = plan("q246_incremental_knn")
+    assert(p.contains("BroadcastNestedLoopJoin"), p) // centroid scoring only
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("ObjectHashAggregate"), p) // TopK bounded heaps
+    assert(p.contains("hashpartitioning(cell"), p) // candidate-probe join
+    assert(p.contains("hashpartitioning(src_id"), p) // per-probe top-5
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("q132 PQ: codebook joins broadcast, encode/probe window-free, no cartesian") {
     val p = plan("q132_ann_pq")
     // encode + reconstruct join the 80-row codebook by broadcast; the
