@@ -546,6 +546,74 @@ object LlmQueries extends QueryModule {
       expr("transform(v, x -> x * 2.0D)").as("v")))
   }
 
+  /** The FROZEN semantic index over the raw embeddings table, shared by
+    * the batch admission gate (q245) and the streaming admission
+    * builder (q247 in `graft.streaming`): q166's train loop on the
+    * indexed corpus only — L2-normalize, √n seed cells by smallest
+    * vec_id, one Lloyd round (E-step argmin (d2, cid) + exact
+    * fixed-point CentroidFixed M-step), then every indexed vector's
+    * one-cell residency. Returns (cells (cid, cv), members (vec_id,
+    * cell, av, anrm)). Memoized ([[StageMemo]] keys "sem_cells" /
+    * "sem_members"): a pipeline trains the index ONCE and every
+    * admission path reads it — at 100 TB the members frame IS the index
+    * store. */
+  private[graft] def semIndex(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    graft.functions.GraftFunctions.register(s) // vec_dot
+    def d2(v: String, cc: String) = expr(s"vec_dot($v, $v)") -
+      lit(2.0) * expr(s"vec_dot($v, $cc)") + expr(s"vec_dot($cc, $cc)")
+    lazy val ex = Tables(s, dir, "embeddings")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("nv", expr(s"transform(v, x -> x / ${normSqlOf("v")})"))
+      .select(col("vec_id"), col("nv"))
+    val cells = StageMemo(s, dir, "sem_cells") {
+      val n = ex.count()
+      val c = math.max(8, math.ceil(math.sqrt(n.toDouble)).toInt)
+      val seeds = ex.orderBy(col("vec_id")).limit(c)
+        .select(col("vec_id").cast("int").as("cid"), col("nv").as("cv"))
+        .localCheckpoint()
+      val assigned1 = ex.crossJoin(broadcast(seeds))
+        .withColumn("d2", d2("nv", "cv"))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("d2"), col("cid"), col("nv"))).as("m"))
+        .select(col("m.cid").as("cid"), col("m.nv").as("nv"))
+      val centroid = udaf(new graft.functions.VectorAggregators.CentroidFixed(64))
+      assigned1.groupBy(col("cid"))
+        .agg(centroid(col("nv")).as("cv"))
+        .localCheckpoint()
+    }
+    val members = StageMemo(s, dir, "sem_members") {
+      ex.crossJoin(broadcast(cells))
+        .withColumn("d2", d2("nv", "cv"))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("d2"), col("cid"), col("nv"))).as("m"))
+        .select(col("vec_id"), col("m.cid").as("cell"), col("m.nv").as("av"))
+        .withColumn("anrm", expr(normSqlOf("av")))
+        .localCheckpoint()
+    }
+    (cells, members)
+  }
+
+  /** q245/q247's arriving batch over the embeddings table (vec_id, v):
+    * 2x copies of vec_id%3==0 at +200000 (exact-cosine dups of the
+    * index), reversed vectors of vec_id%3==1 at +200000 (novel), and 4x
+    * second-generation copies of vec_id%6==0 at +400000 (dup of BOTH
+    * the indexed original and the earlier +200000 batch member). */
+  private[graft] def admissionDelta(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables(s, dir, "embeddings")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    base.filter(col("vec_id") % 3 === 0)
+      .select((col("vec_id") + 200000).as("vec_id"),
+        expr("transform(v, x -> x * 2.0D)").as("v"))
+      .unionByName(base.filter(col("vec_id") % 3 === 1)
+        .select((col("vec_id") + 200000).as("vec_id"),
+          reverse(col("v")).as("v")))
+      .unionByName(base.filter(col("vec_id") % 6 === 0)
+        .select((col("vec_id") + 400000).as("vec_id"),
+          expr("transform(v, x -> x * 4.0D)").as("v")))
+  }
+
   /** Shared kNN-graph core (k = 5) for q146/q155: blocked all-corpus
     * 5-NN over `e` (vec_id, v, nrm) using `cells` (cell, cv, cnrm;
     * caller localCheckpoints it — it is broadcast into both aggregate
@@ -2188,58 +2256,23 @@ object LlmQueries extends QueryModule {
     // Scale: the frozen centroid table is C ~ √n rows (broadcast); the
     // batch assignment is map-side; the verify join shuffles only cells
     // the batch touched (shuffle_hash — uniform cell keys, probe side
-    // batch-sized). Training on the existing side replays here because
-    // the gate is stateless, but it is the SAME stage q166 prices; a
-    // deployment reads it from the index store.
+    // batch-sized). The frozen index itself is [[semIndex]] — trained
+    // once, memoized, shared with the streaming admission path (q247).
     "q245_incremental_semdedup" -> ((s, dir) => {
       graft.functions.GraftFunctions.register(s) // vec_dot
-      val base = Tables(s, dir, "embeddings")
-        .select(col("vec_id"),
-          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-      def normed(df: DataFrame): DataFrame = df
-        .withColumn("nv", expr(s"transform(v, x -> x / ${normSqlOf("v")})"))
-        .select(col("vec_id"), col("nv"))
-      val ex = normed(base)
-      val nw = normed(
-        base.filter(col("vec_id") % 3 === 0)
-          .select((col("vec_id") + 200000).as("vec_id"),
-            expr("transform(v, x -> x * 2.0D)").as("v"))
-        .unionByName(base.filter(col("vec_id") % 3 === 1)
-          .select((col("vec_id") + 200000).as("vec_id"),
-            reverse(col("v")).as("v")))
-        // second-generation copies: dup of BOTH the indexed original
-        // (ex_hit) and the earlier +200000 batch member (new_hit) —
-        // evidences the batch-internal smaller-id-first path
-        .unionByName(base.filter(col("vec_id") % 6 === 0)
-          .select((col("vec_id") + 400000).as("vec_id"),
-            expr("transform(v, x -> x * 4.0D)").as("v"))))
-      // ---- frozen index: q166's train loop on the EXISTING side only
-      val n = ex.count()
-      val c = math.max(8, math.ceil(math.sqrt(n.toDouble)).toInt)
-      val seeds = ex.orderBy(col("vec_id")).limit(c)
-        .select(col("vec_id").cast("int").as("cid"), col("nv").as("cv"))
-        .localCheckpoint()
+      val (cells, exAsg) = semIndex(s, dir)
       def d2(v: String, cc: String) = expr(s"vec_dot($v, $v)") -
         lit(2.0) * expr(s"vec_dot($v, $cc)") + expr(s"vec_dot($cc, $cc)")
-      val assigned1 = ex.crossJoin(broadcast(seeds))
-        .withColumn("d2", d2("nv", "cv"))
-        .groupBy(col("vec_id"))
-        .agg(min(struct(col("d2"), col("cid"), col("nv"))).as("m"))
-        .select(col("m.cid").as("cid"), col("m.nv").as("nv"))
-      val centroid = udaf(new graft.functions.VectorAggregators.CentroidFixed(64))
-      val cells = assigned1.groupBy(col("cid"))
-        .agg(centroid(col("nv")).as("cv"))
-        .localCheckpoint()
-      def assign(df: DataFrame): DataFrame = df.crossJoin(broadcast(cells))
+      val nw = admissionDelta(s, dir)
+        .withColumn("nv", expr(s"transform(v, x -> x / ${normSqlOf("v")})"))
+        .select(col("vec_id"), col("nv"))
+      val nwAsg = nw.crossJoin(broadcast(cells))
         .withColumn("d2", d2("nv", "cv"))
         .groupBy(col("vec_id"))
         .agg(min(struct(col("d2"), col("cid"), col("nv"))).as("m"))
         .select(col("vec_id"), col("m.cid").as("cell"), col("m.nv").as("av"))
         .withColumn("anrm", expr(normSqlOf("av")))
-      // the indexed members' cell residency — at 100 TB this frame IS
-      // the index store, read not recomputed
-      val exAsg = assign(ex).localCheckpoint()
-      val nwAsg = assign(nw).localCheckpoint()
+        .localCheckpoint()
       def hits(members: DataFrame, name: String): DataFrame = nwAsg
         .select(col("cell"), col("vec_id"), col("av").as("bv"),
           col("anrm").as("bnrm"))
@@ -3029,6 +3062,67 @@ object LlmQueries extends QueryModule {
     s"""WITH $simhashChainCtes
        |SELECT doc_a, doc_b, hamming FROM found
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** The q245/q247 oracle's shared chain: [[semIndex]]'s train loop
+    * replicated (normalize → √n seeds → E1 → fixed-point M → frozen
+    * cells → existing residency `exa`) plus [[admissionDelta]] and its
+    * frozen-cell assignment `nwa`. MATERIALIZED on every multi-consumer
+    * CTE (the q230 exponential-inline lesson). */
+  private[graft] val semAdmissionOracleCtes: String =
+    """base AS MATERIALIZED (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |newb AS (
+      |  SELECT vec_id + 200000 AS vec_id, list_transform(v, x -> x * 2.0) AS v
+      |  FROM base WHERE vec_id % 3 = 0
+      |  UNION ALL
+      |  SELECT vec_id + 200000, list_reverse(v) FROM base WHERE vec_id % 3 = 1
+      |  UNION ALL
+      |  SELECT vec_id + 400000, list_transform(v, x -> x * 4.0)
+      |  FROM base WHERE vec_id % 6 = 0),
+      |nex AS MATERIALIZED (
+      |  SELECT vec_id,
+      |    list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv
+      |  FROM base),
+      |nnw AS MATERIALIZED (
+      |  SELECT vec_id,
+      |    list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv
+      |  FROM newb),
+      |p AS (SELECT greatest(8, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS c
+      |      FROM nex),
+      |seeds AS MATERIALIZED (
+      |  SELECT vec_id AS cid, nv AS cv FROM nex
+      |  ORDER BY vec_id LIMIT (SELECT c FROM p)),
+      |d1 AS (SELECT n.vec_id, s.cid, n.nv,
+      |         list_dot_product(n.nv, n.nv) - 2 * list_dot_product(n.nv, s.cv)
+      |           + list_dot_product(s.cv, s.cv) AS d2
+      |       FROM nex n CROSS JOIN seeds s),
+      |a1 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+      |         ORDER BY d2 ASC, cid ASC) AS rnk FROM d1),
+      |asg1 AS (SELECT vec_id, cid, nv FROM a1 WHERE rnk = 1),
+      |idx AS (SELECT unnest(range(1, 65)) AS i),
+      |comp AS (SELECT cid, i, CAST(floor(nv[i] * 4294967296.0) AS BIGINT) AS fx
+      |         FROM asg1 CROSS JOIN idx),
+      |cent AS (SELECT cid, i, sum(fx) AS sm, count(*) AS n
+      |         FROM comp GROUP BY cid, i),
+      |cells AS MATERIALIZED (
+      |  SELECT cid, list(CAST(sm AS DOUBLE) / 4294967296.0 / n ORDER BY i) AS cv
+      |  FROM cent GROUP BY cid),
+      |dex AS (SELECT n.vec_id, k.cid, n.nv,
+      |          list_dot_product(n.nv, n.nv) - 2 * list_dot_product(n.nv, k.cv)
+      |            + list_dot_product(k.cv, k.cv) AS d2
+      |        FROM nex n CROSS JOIN cells k),
+      |aex AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+      |          ORDER BY d2 ASC, cid ASC) AS rnk FROM dex),
+      |exa AS MATERIALIZED (
+      |  SELECT vec_id, cid AS cell, nv FROM aex WHERE rnk = 1),
+      |dnw AS (SELECT n.vec_id, k.cid, n.nv,
+      |          list_dot_product(n.nv, n.nv) - 2 * list_dot_product(n.nv, k.cv)
+      |            + list_dot_product(k.cv, k.cv) AS d2
+      |        FROM nnw n CROSS JOIN cells k),
+      |anw AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+      |          ORDER BY d2 ASC, cid ASC) AS rnk FROM dnw),
+      |nwa AS MATERIALIZED (
+      |  SELECT vec_id, cid AS cell, nv FROM anw WHERE rnk = 1)""".stripMargin
 
   def oracles: Map[String, String] = Map(
     "q30_text_stats" ->
@@ -3905,63 +3999,10 @@ object LlmQueries extends QueryModule {
         |ORDER BY g.vec_id""".stripMargin,
 
     // q166's train chain on the EXISTING side only, then the frozen-
-    // index admission of the delta batch. MATERIALIZED on every
-    // multi-consumer CTE (the q230 exponential-inline lesson).
+    // index admission of the delta batch (the chain itself is
+    // [[semAdmissionOracleCtes]], shared with q247's oracle).
     "q245_incremental_semdedup" ->
-      """WITH base AS MATERIALIZED (
-        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |newb AS (
-        |  SELECT vec_id + 200000 AS vec_id, list_transform(v, x -> x * 2.0) AS v
-        |  FROM base WHERE vec_id % 3 = 0
-        |  UNION ALL
-        |  SELECT vec_id + 200000, list_reverse(v) FROM base WHERE vec_id % 3 = 1
-        |  UNION ALL
-        |  SELECT vec_id + 400000, list_transform(v, x -> x * 4.0)
-        |  FROM base WHERE vec_id % 6 = 0),
-        |nex AS MATERIALIZED (
-        |  SELECT vec_id,
-        |    list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv
-        |  FROM base),
-        |nnw AS MATERIALIZED (
-        |  SELECT vec_id,
-        |    list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv
-        |  FROM newb),
-        |p AS (SELECT greatest(8, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS c
-        |      FROM nex),
-        |seeds AS MATERIALIZED (
-        |  SELECT vec_id AS cid, nv AS cv FROM nex
-        |  ORDER BY vec_id LIMIT (SELECT c FROM p)),
-        |d1 AS (SELECT n.vec_id, s.cid, n.nv,
-        |         list_dot_product(n.nv, n.nv) - 2 * list_dot_product(n.nv, s.cv)
-        |           + list_dot_product(s.cv, s.cv) AS d2
-        |       FROM nex n CROSS JOIN seeds s),
-        |a1 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-        |         ORDER BY d2 ASC, cid ASC) AS rnk FROM d1),
-        |asg1 AS (SELECT vec_id, cid, nv FROM a1 WHERE rnk = 1),
-        |idx AS (SELECT unnest(range(1, 65)) AS i),
-        |comp AS (SELECT cid, i, CAST(floor(nv[i] * 4294967296.0) AS BIGINT) AS fx
-        |         FROM asg1 CROSS JOIN idx),
-        |cent AS (SELECT cid, i, sum(fx) AS sm, count(*) AS n
-        |         FROM comp GROUP BY cid, i),
-        |cells AS MATERIALIZED (
-        |  SELECT cid, list(CAST(sm AS DOUBLE) / 4294967296.0 / n ORDER BY i) AS cv
-        |  FROM cent GROUP BY cid),
-        |dex AS (SELECT n.vec_id, k.cid, n.nv,
-        |          list_dot_product(n.nv, n.nv) - 2 * list_dot_product(n.nv, k.cv)
-        |            + list_dot_product(k.cv, k.cv) AS d2
-        |        FROM nex n CROSS JOIN cells k),
-        |aex AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-        |          ORDER BY d2 ASC, cid ASC) AS rnk FROM dex),
-        |exa AS MATERIALIZED (
-        |  SELECT vec_id, cid AS cell, nv FROM aex WHERE rnk = 1),
-        |dnw AS (SELECT n.vec_id, k.cid, n.nv,
-        |          list_dot_product(n.nv, n.nv) - 2 * list_dot_product(n.nv, k.cv)
-        |            + list_dot_product(k.cv, k.cv) AS d2
-        |        FROM nnw n CROSS JOIN cells k),
-        |anw AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-        |          ORDER BY d2 ASC, cid ASC) AS rnk FROM dnw),
-        |nwa AS MATERIALIZED (
-        |  SELECT vec_id, cid AS cell, nv FROM anw WHERE rnk = 1),
+      s"""WITH $semAdmissionOracleCtes,
         |exh AS (
         |  SELECT b.vec_id, count(*) AS ex_hits
         |  FROM nwa b JOIN exa a ON a.cell = b.cell AND a.vec_id < b.vec_id

@@ -538,6 +538,30 @@ object StreamingQueries extends QueryModule {
       val ev = Tables(s, dir, "events")
       windowKsDrift(ev, valueBaseline(ev))
         .orderBy(col("window_start"))
+    }),
+
+    // --- streaming vector admission (q247): q245's frozen-index
+    // SemDeDup admission ON the ingestion stream — the vector-space
+    // analogue of q168. Each arriving embedding is assigned to its
+    // frozen cell by a per-row fold (stateless — see [[vectorAdmission]])
+    // and verified against indexed members via one stream-static join;
+    // the output is the match list a sink folds into keep/prune
+    // decisions. Batch-internal near-dups are deliberately OUT of the
+    // streaming contract (they'd need unbounded cross-stream state);
+    // a production pipeline folds admitted vectors into the index on
+    // the rebuild schedule, exactly like q168's corpus index era.
+    // Batch parity here (same builder over the q245 delta); the
+    // MemoryStream run with two arrival waves is in StreamingSpec. The
+    // oracle replays training + assignment + pair scoring (the shared
+    // q245 CTE chain).
+    "q247_stream_vector_admission" -> ((s, dir) => {
+      val (cells, members) = graft.operators.LlmQueries.semIndex(s, dir)
+      val delta = graft.operators.LlmQueries.admissionDelta(s, dir)
+        .withColumn("ts",
+          lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      vectorAdmission(s, delta, cells, members)
+        .select(col("vec_id"), col("cell"), col("mbr"), col("score"))
+        .orderBy(col("vec_id"), col("mbr"))
     })
   )
 
@@ -590,6 +614,53 @@ object StreamingQueries extends QueryModule {
         (col("ks_ppm").cast("double") / 1e6).as("ks"))
   }
 
+  /** q247's builder: admit a (vec_id, v, ts) delta frame — batch OR
+    * streaming — against the FROZEN semantic index (see
+    * [[graft.operators.LlmQueries.semIndex]]: cells (cid, cv), members
+    * (vec_id→mbr, cell, av, anrm)). The cell assignment is STATELESS by
+    * construction: instead of a groupBy argmin (a stateful aggregate on
+    * an unbounded stream), each arriving row folds over the broadcast
+    * SORTED cell array with `aggregate()` — strict `<` keeps the
+    * earliest (lowest-cid) cell on d2 ties, exactly the batch argmin's
+    * (d2 ASC, cid ASC) order — so admission is per-row map work plus
+    * ONE stream-static equi-join on cell against the indexed members
+    * (cosine >= 0.99 on the 4-dp grid). Output is the MATCH LIST
+    * (vec_id, cell, mbr, score): a sink treats a vector with no rows as
+    * admitted. The only stateful operator in streaming mode is the
+    * watermark-bounded output dedup keyed by the (vec_id, mbr) pair —
+    * exactly-once across micro-batch replays, the q162/q168 discipline.
+    * Scale: C ~ √n centroids ride one broadcast row; per-row assignment
+    * is O(C·d) compute with ZERO exchange; the verify join touches only
+    * cells the stream hits. */
+  def vectorAdmission(s: SparkSession, newVecs: DataFrame,
+      cells: DataFrame, members: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(s) // vec_dot
+    val cellsRow = cells
+      .agg(expr("sort_array(collect_list(struct(cid, cv)))").as("cs"))
+    val d2 = "vec_dot(nv, nv) - 2.0D * vec_dot(nv, c.cv) + vec_dot(c.cv, c.cv)"
+    val assigned = newVecs
+      .withColumn("nv", expr("transform(v, x -> x / sqrt(vec_dot(v, v)))"))
+      .crossJoin(broadcast(cellsRow))
+      .withColumn("m", expr(
+        s"""aggregate(cs,
+           |  named_struct('d2', CAST('Infinity' AS DOUBLE), 'cid', -1),
+           |  (acc, c) -> IF($d2 < acc.d2,
+           |    named_struct('d2', $d2, 'cid', c.cid), acc))""".stripMargin))
+      .select(col("vec_id"), col("m.cid").as("cell"), col("nv"), col("ts"),
+        expr("sqrt(vec_dot(nv, nv))").as("bnrm"))
+    val pairs = assigned
+      .join(members.select(col("cell"), col("vec_id").as("mbr"),
+        col("av"), col("anrm")), Seq("cell"))
+      .withColumn("score",
+        round(expr("vec_dot(av, nv)") / (col("anrm") * col("bnrm")), 4))
+      .filter(col("score") >= 0.99)
+      .select(col("vec_id"), col("cell"), col("mbr"), col("score"), col("ts"))
+    if (newVecs.isStreaming)
+      pairs.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("vec_id", "mbr")
+    else pairs
+  }
+
   /** q168's builder: probe a (doc_id, text, ts) delta frame — batch OR
     * streaming — against a static corpus for near-duplicates at bigram
     * Jaccard >= 0.8. The corpus side tokenizes + prefix-indexes ONCE
@@ -617,6 +688,22 @@ object StreamingQueries extends QueryModule {
   }
 
   def oracles: Map[String, String] = Map(
+    // the shared q245 train/assign chain, then the raw match list (the
+    // per-pair form of q245's ex_hits path — scores included). The
+    // fold-argmin engine assignment and the chain's ROW_NUMBER argmin
+    // agree exactly: same d2 arithmetic, and strict-< over the
+    // cid-sorted array IS (d2 ASC, cid ASC).
+    "q247_stream_vector_admission" ->
+      s"""WITH ${graft.operators.LlmQueries.semAdmissionOracleCtes}
+        |SELECT * FROM (
+        |  SELECT b.vec_id, b.cell, a.vec_id AS mbr,
+        |    round(list_dot_product(a.nv, b.nv) /
+        |      (sqrt(list_dot_product(a.nv, a.nv)) *
+        |       sqrt(list_dot_product(b.nv, b.nv))), 4) AS score
+        |  FROM nwa b JOIN exa a ON a.cell = b.cell)
+        |WHERE score >= 0.99
+        |ORDER BY vec_id, mbr""".stripMargin,
+
     "q50_stream_tumbling" ->
       """SELECT date_trunc('hour', ts) AS window_start, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value

@@ -17,6 +17,7 @@ case class Purchase(p_user: Long, p_ts: Timestamp)
 case class Alert(user_id: Long, crossed: Long)
 case class Doc(lang: String, text: String)
 case class NewDoc(doc_id: Long, text: String, ts: Timestamp)
+case class NewVec(vec_id: Long, v: Seq[Double], ts: Timestamp)
 case class IdEv(event_id: Long, ts: Timestamp)
 case class TypedEv(ts: Timestamp, event_type: String)
 case class Tok(shard: Int, token: String)
@@ -709,6 +710,43 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(streamed.nonEmpty)
       // candidate multiplicity collapsed: one output row per pair
       assert(sp.table("ppd").count() == streamed.size)
+    } finally q.stop()
+  }
+
+  test("q247 vector admission: streamed delta across micro-batches matches the batch gate") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val (cells, members) = graft.operators.LlmQueries.semIndex(sp, dir)
+    // the gate's delta, materialized so it can ARRIVE as a stream in
+    // two waves (the per-row fold assignment must not depend on which
+    // micro-batch a vector rides in)
+    val delta = graft.operators.LlmQueries.admissionDelta(sp, dir)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val (half1, half2) = delta.partition(_._1 % 2 == 0)
+    val mem = MemoryStream[NewVec]
+    val q = StreamingQueries.vectorAdmission(sp, mem.toDF(), cells, members)
+      .writeStream.format("memory").queryName("vadm")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(half1.map(d =>
+        NewVec(d._1, d._2, ts("2024-01-01T00:00:00Z"))): _*)
+      q.processAllAvailable()
+      mem.addData(half2.map(d =>
+        NewVec(d._1, d._2, ts("2024-01-01T00:30:00Z"))): _*)
+      q.processAllAvailable()
+      val streamed = sp.table("vadm")
+        .select("vec_id", "cell", "mbr", "score")
+        .collect().map(r =>
+          (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+      val batch = SparkEntry.queries("q247_stream_vector_admission")(sp, dir)
+        .collect().map(r =>
+          (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(streamed == batch, "streamed match list must equal the batch gate's")
+      assert(streamed.nonEmpty)
+      // exactly-once: one output row per (vec_id, mbr) pair
+      assert(sp.table("vadm").count() == streamed.size)
     } finally q.stop()
   }
 
