@@ -183,15 +183,24 @@ object CorpusQueries extends QueryModule {
     * broadcast 1-row wide merge frame (missing rounds coalesce to the
     * unmatchable ''-pattern), then symbols = spaces - 1. Map-side per
     * word; the only exchange is the dictionary collapse itself. */
-  private[graft] def bpeEncodedVocab(s: SparkSession, dir: String): DataFrame = {
-    val wideCols = (1 to BpeRounds).flatMap(r => Seq(
+  private[graft] def bpeEncodedVocab(s: SparkSession, dir: String): DataFrame =
+    bpeEncodedVocabAt(s, dir, BpeRounds)
+
+  /** [[bpeEncodedVocab]] truncated to the FIRST `rounds` merges — the
+    * q248 vocabulary-size sweep encodes the same dictionary under each
+    * merge-budget prefix (a merge table is prefix-closed: the first r
+    * merges of an 8-round table ARE the r-round table, because each
+    * round's argmax depends only on earlier merges). */
+  private[graft] def bpeEncodedVocabAt(s: SparkSession, dir: String,
+      rounds: Int): DataFrame = {
+    val wideCols = (1 to rounds).flatMap(r => Seq(
       coalesce(max(when(col("round") === r, col("lhs"))), lit("")).as(s"l$r"),
       coalesce(max(when(col("round") === r, col("rhs"))), lit("")).as(s"r$r")))
     val wide = bpeMerges(s, dir).agg(wideCols.head, wideCols.tail: _*)
     val words = Tables(s, dir, "documents")
       .select(explode(expr(toksSql)).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
-    val encoded = (1 to BpeRounds).foldLeft(
+    val encoded = (1 to rounds).foldLeft(
       words.crossJoin(broadcast(wide)).withColumn("seq",
         concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 ")))) {
       (df, r) => df.withColumn("seq", expr(
@@ -214,6 +223,95 @@ object CorpusQueries extends QueryModule {
         LlmQueries.ngramJaccardPairs(s, dir).select(col("doc_a"), col("doc_b")),
         propagationCap = 30).localCheckpoint()
     }
+
+  /** INCREMENTAL cluster-map maintenance (q249's engine): admit a
+    * delta batch into the q59 component labeling WITHOUT rebuilding the
+    * pair graph. The stored index is the memoized shingle-key frame
+    * ([[LlmQueries.shingleSets]]) plus the memoized cluster map
+    * ([[pairClusters]]) — at 100 TB both are materialized stage
+    * outputs, read not recomputed. Each delta doc probes the df-capped
+    * inverted index (the q129 path: only cold keys generate candidates,
+    * completeness for jac >= 0.5 within the cap's documented contract),
+    * verified pairs CONTRACT matched corpus docs to their stored
+    * cluster labels, and component resolution runs on the contracted
+    * bipartite graph (new docs ∪ touched clusters — delta-sized, never
+    * corpus-sized): a delta doc matching two clusters MERGES them, and
+    * the merged component takes the min label exactly as a full rebuild
+    * would. New-new delta edges are out of contract (the q129/q247
+    * ingestion discipline); docs matching nothing become singletons. */
+  private[graft] def incrementalClusters(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s) // fnv64
+    val idx = LlmQueries.shingleSets(s, dir)
+    val clusters = pairClusters(s, dir)
+    val base = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+    val tkOf = (df: DataFrame) => LlmQueries.withTokens(df)
+    val delta0 = base.filter(col("doc_id") % 10 === 4)
+      .select((col("doc_id") + 20000).as("doc_id"), col("text"))
+      .unionByName(tkOf(base.filter(col("doc_id") % 10 === 7))
+        .select((col("doc_id") + 20000).as("doc_id"),
+          expr("array_join(slice(tk, 1, greatest(size(tk) - 5, 1)), ' ')")
+            .as("text")))
+      .unionByName(tkOf(base.filter(col("doc_id") % 10 === 1))
+        .select((col("doc_id") + 20000).as("doc_id"),
+          expr("array_join(reverse(tk), ' ')").as("text")))
+    val dsets = tkOf(delta0)
+      .select(col("doc_id").as("new_id"),
+        expr(LlmQueries.shinglesSql("tk")).as("sh"))
+      .select(col("new_id"), size(col("sh")).as("dsz"),
+        expr("transform(sh, x -> fnv64(x))").as("dhs"))
+      .localCheckpoint() // probe + verify + final frame
+    // the df-capped inverted index, memoized: at 100 TB this is the
+    // STORED probe artifact a pipeline keeps between batches (the q129
+    // scaladoc's "materialized index"), not per-batch work — without
+    // the memo the x10 probe measured 14.9 s/run re-exploding and
+    // re-df-counting the corpus on every admission
+    val cidx = StageMemo(s, dir, "shingle_index") {
+      val raw = idx.select(col("doc_id").as("corpus_id"),
+        explode(col("hs")).as("h"))
+      val cold = raw.groupBy(col("h")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= LlmQueries.ShingleDfCap).select(col("h"))
+      raw.join(cold, Seq("h"), "left_semi").localCheckpoint()
+    }
+    val cand = dsets.select(col("new_id"), explode(col("dhs")).as("h"))
+      .join(cidx, Seq("h"))
+      .select(col("new_id"), col("corpus_id")).distinct()
+    val links = cand
+      .join(dsets, Seq("new_id"))
+      .join(idx.select(col("doc_id").as("corpus_id"), col("sz"), col("hs")),
+        Seq("corpus_id"))
+      .withColumn("inter", size(array_intersect(col("dhs"), col("hs"))))
+      .filter(col("inter") / (col("dsz") + col("sz") - col("inter")) >= 0.5)
+      .join(clusters.select(col("doc_id").as("corpus_id"), col("cluster")),
+        Seq("corpus_id"), "left")
+      .select(col("new_id"), col("corpus_id"),
+        coalesce(col("cluster"), col("corpus_id")).as("c"))
+      .localCheckpoint() // contracted CC + the per-doc evidence counts
+    resolveAdmissions(dsets.select(col("new_id").as("doc_id")), links)
+  }
+
+  /** q249's contracted resolution, factored so the spec can drive a
+    * PLANTED bridge (the corpus may never produce one): CC over the
+    * bipartite (new_id, touched-cluster) edges — merges propagate
+    * TRANSITIVELY through bridging delta docs — then the per-doc
+    * evidence counts and the singleton fallback. `deltaIds` is one
+    * (doc_id) row per arriving doc; `links` is (new_id, corpus_id, c). */
+  private[graft] def resolveAdmissions(deltaIds: DataFrame,
+      links: DataFrame): DataFrame = {
+    val contracted = connectedComponents(
+      links.select(col("new_id").as("doc_a"), col("c").as("doc_b")).distinct(),
+      propagationCap = 30)
+    val perDoc = links.groupBy(col("new_id"))
+      .agg(count(lit(1)).as("n_links"),
+        countDistinct(col("c")).as("n_clusters"))
+    deltaIds
+      .join(contracted, Seq("doc_id"), "left")
+      .join(perDoc.withColumnRenamed("new_id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster"), col("doc_id")).as("cluster"),
+        coalesce(col("n_links"), lit(0L)).as("n_links"),
+        coalesce(col("n_clusters"), lit(0L)).as("n_clusters"))
+      .withColumn("bridges", col("n_clusters") >= 2)
+  }
 
   private[graft] def orientedEdges(pairs: DataFrame): DataFrame = {
     val deg = pairs.select(col("doc_a").as("n"))
@@ -271,6 +369,20 @@ object CorpusQueries extends QueryModule {
     // per-round count() is a tiny agg action, not a collect.
     "q59_dedup_clusters" -> ((s, dir) =>
       pairClusters(s, dir).orderBy(col("doc_id"))),
+
+    // --- INCREMENTAL component maintenance (q249): the text-side
+    // closing piece of the ingestion story (q129 decides keep/dup,
+    // q245-q247 cover vectors; THIS maintains the cluster map itself).
+    // See [[incrementalClusters]]: delta probes the stored df-capped
+    // index, matched docs contract to stored cluster labels, and CC
+    // runs on the delta-sized contracted graph — a delta doc matching
+    // two clusters merges them exactly as a full rebuild would, with
+    // zero existing edges recomputed. Output per delta doc: final
+    // cluster, match count, distinct clusters touched, bridge flag.
+    // The oracle replays the stored state (q59's recursive-CTE truth)
+    // plus the probe and the contracted closure from scratch.
+    "q249_incremental_components" -> ((s, dir) =>
+      incrementalClusters(s, dir).orderBy(col("doc_id"))),
 
     // --- leakage-safe train/valid/test split: the split is assigned per
     // DUPLICATE CLUSTER, not per document, so near-duplicates can never
@@ -1460,6 +1572,31 @@ object CorpusQueries extends QueryModule {
         .select(col("source"), col("n_words"), col("n_bpe"),
           (col("fert").cast("double") / lit(1000000.0)).as("fertility"))
         .orderBy(col("source"))
+    }),
+
+    // --- BPE vocabulary-size curve (q248): corpus token count and
+    // fertility under each merge-budget prefix (2, 4, 8 merges) of the
+    // q243 table — the tokenizer-budget audit behind "how many merges
+    // buy how much compression". Prefix-closure makes this exact: the
+    // first r merges of the 8-round table ARE the r-round training
+    // run, so one shared training ([[bpeMerges]], memoized) prices the
+    // whole curve; each point is a map-side re-encode of the word
+    // DICTIONARY (corpus-denominated via freq weights — no corpus
+    // re-scan at all). The oracle reads its own s2/s4/s8 intermediate
+    // states, which are materialized anyway.
+    "q248_bpe_vocab_curve" -> ((s, dir) => {
+      val pts = Seq(2, 4, 8).map { r =>
+        bpeEncodedVocabAt(s, dir, r)
+          .agg(sum(col("freq")).cast("long").as("n_words"),
+            sum(col("n_sym") * col("freq")).cast("long").as("n_bpe"))
+          .select(lit(r).as("n_merges"), col("n_words"), col("n_bpe"))
+      }
+      pts.reduce(_ unionAll _)
+        .withColumn("fert",
+          expr("(2 * n_bpe * 1000000 + n_words) DIV (2 * n_words)"))
+        .select(col("n_merges"), col("n_words"), col("n_bpe"),
+          (col("fert").cast("double") / lit(1000000.0)).as("fertility"))
+        .orderBy(col("n_merges"))
     }),
 
     // --- Count-Min sketch token-frequency estimation (q176): the
@@ -3089,6 +3226,21 @@ object CorpusQueries extends QueryModule {
   }
 
   def oracles: Map[String, String] = Map(
+    "q248_bpe_vocab_curve" -> {
+      val pts = Seq(2, 4, 8).map(r =>
+        s"""SELECT $r AS n_merges, CAST(SUM(freq) AS BIGINT) AS n_words,
+           |  CAST(SUM(freq * (length(seq) - length(replace(seq, ' ', '')) - 1))
+           |    AS BIGINT) AS n_bpe
+           |FROM s$r""".stripMargin)
+        .mkString("\nUNION ALL\n")
+      s"""WITH $bpeOracleCtes,
+         |pts AS ($pts)
+         |SELECT n_merges, n_words, n_bpe,
+         |  CAST(CAST((2 * n_bpe::HUGEINT * 1000000 + n_words)
+         |    // (2 * n_words::HUGEINT) AS BIGINT) AS DOUBLE) / 1000000.0
+         |    AS fertility
+         |FROM pts ORDER BY n_merges""".stripMargin
+    },
     "q243_bpe_merges" -> {
       val union = (1 to BpeRounds).map(r =>
         s"SELECT $r AS round, lhs, rhs, lhs || rhs AS merged, pair_freq FROM b$r")
@@ -3187,6 +3339,104 @@ object CorpusQueries extends QueryModule {
         |  SELECT e.src, r.r FROM edges e JOIN reach r ON r.node = e.dst)
         |SELECT node AS doc_id, MIN(r) AS cluster
         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+    // q59's stored state (recursive-CTE cluster truth over the planted
+    // corpus) + the q129-style delta probe (string shingles — jaccard
+    // over distinct shingles equals jaccard over their fnv64 keys, the
+    // chain-wide no-collision contract) + the contracted closure: a
+    // SECOND recursive CTE over (new_id, touched-cluster) edges. Merge
+    // semantics land row-level: a bridging delta doc pulls both
+    // clusters' labels into one component and MIN picks the survivor.
+    "q249_incremental_components" ->
+      """WITH RECURSIVE corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000,
+        |    array_to_string(string_split_regex(trim(text), '\s+')[1:greatest(
+        |      len(string_split_regex(trim(text), '\s+')) - 5, 1)], ' ')
+        |  FROM documents),
+        |sh AS MATERIALIZED (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(tk) >= 3 THEN
+        |    list_transform(range(1, len(tk) - 1),
+        |      i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])
+        |    ELSE [] END) AS sh
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM corpus)),
+        |ex AS MATERIALIZED (
+        |  SELECT doc_id, len(sh) AS sz, unnest(sh) AS s FROM sh
+        |  WHERE len(sh) > 0),
+        |exd AS (SELECT doc_id, sz, s,
+        |          COUNT(*) OVER (PARTITION BY s) AS df FROM ex),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM exd a JOIN exd b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id, a.sz, b.sz
+        |  HAVING COUNT(*) / (a.sz + b.sz - COUNT(*)) >= 0.5
+        |    AND MIN(a.df) <= 256),
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs),
+        |reach(node, r) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, r.r FROM edges e JOIN reach r ON r.node = e.dst),
+        |clus AS MATERIALIZED (
+        |  SELECT node AS doc_id, MIN(r) AS cluster FROM reach GROUP BY node),
+        |dbase AS (SELECT doc_id, text,
+        |    string_split_regex(trim(text), '\s+') AS tk FROM documents),
+        |delta0 AS (
+        |  SELECT doc_id + 20000 AS doc_id, text FROM dbase WHERE doc_id % 10 = 4
+        |  UNION ALL
+        |  SELECT doc_id + 20000,
+        |    array_to_string(tk[1:greatest(len(tk) - 5, 1)], ' ')
+        |  FROM dbase WHERE doc_id % 10 = 7
+        |  UNION ALL
+        |  SELECT doc_id + 20000, array_to_string(list_reverse(tk), ' ')
+        |  FROM dbase WHERE doc_id % 10 = 1),
+        |dsh AS MATERIALIZED (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(tk) >= 3 THEN
+        |    list_transform(range(1, len(tk) - 1),
+        |      i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])
+        |    ELSE [] END) AS sh
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+        |        FROM delta0)),
+        |cdf AS (SELECT s, COUNT(*) AS df FROM ex GROUP BY s),
+        |dex AS (SELECT doc_id, unnest(sh) AS s FROM dsh),
+        |cand AS (
+        |  SELECT DISTINCT dex.doc_id AS new_id, ex.doc_id AS corpus_id
+        |  FROM dex JOIN ex ON dex.s = ex.s
+        |  JOIN cdf ON cdf.s = dex.s
+        |  WHERE cdf.df <= 256),
+        |links AS MATERIALIZED (
+        |  SELECT c.new_id, c.corpus_id,
+        |    coalesce(cl.cluster, c.corpus_id) AS c
+        |  FROM cand c
+        |  JOIN dsh d ON d.doc_id = c.new_id
+        |  JOIN sh s2 ON s2.doc_id = c.corpus_id
+        |  LEFT JOIN clus cl ON cl.doc_id = c.corpus_id
+        |  WHERE len(list_intersect(d.sh, s2.sh)) / (len(d.sh) + len(s2.sh)
+        |    - len(list_intersect(d.sh, s2.sh))) >= 0.5),
+        |cedges AS (
+        |  SELECT DISTINCT new_id AS src, c AS dst FROM links
+        |  UNION
+        |  SELECT DISTINCT c, new_id FROM links),
+        |reach2(node, r) AS (
+        |  SELECT DISTINCT src, src FROM cedges
+        |  UNION
+        |  SELECT e.src, r.r FROM cedges e JOIN reach2 r ON r.node = e.dst),
+        |fin AS (SELECT node AS doc_id, MIN(r) AS cluster
+        |        FROM reach2 GROUP BY node),
+        |per AS (SELECT new_id, COUNT(*) AS n_links,
+        |          COUNT(DISTINCT c) AS n_clusters
+        |        FROM links GROUP BY 1)
+        |SELECT d.doc_id,
+        |  coalesce(f.cluster, d.doc_id) AS cluster,
+        |  coalesce(p.n_links, 0) AS n_links,
+        |  coalesce(p.n_clusters, 0) AS n_clusters,
+        |  coalesce(p.n_clusters, 0) >= 2 AS bridges
+        |FROM delta0 d
+        |LEFT JOIN fin f ON f.doc_id = d.doc_id
+        |LEFT JOIN per p ON p.new_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
     // q59's recursive-CTE cluster truth, left-joined back onto the full
     // corpus (singletons cluster with themselves), then the SAME fnv64
     // of the cluster id as text and the same 80/10/10 bucket mapping —

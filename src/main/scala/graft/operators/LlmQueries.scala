@@ -34,7 +34,7 @@ object LlmQueries extends QueryModule {
     * document; measured 49s -> 2s at sf0.1 when materialized once). Project
     * it to a `tk` column first via [[withTokens]]. */
   private[graft] val toksSql = "split(trim(text), '\\\\s+')"
-  private def withTokens(df: DataFrame): DataFrame =
+  private[operators] def withTokens(df: DataFrame): DataFrame =
     df.withColumn("tk", expr(toksSql))
 
   /** q31's marker-stopword language predictor, factored so the q236
@@ -78,7 +78,7 @@ object LlmQueries extends QueryModule {
     * barrier that stops CollapseProject re-inlining the tokenize->shingle
     * pipeline into every downstream signature lambda (16x recompute
     * otherwise). */
-  private def shingleSets(s: SparkSession, dir: String): DataFrame =
+  private[operators] def shingleSets(s: SparkSession, dir: String): DataFrame =
     StageMemo(s, dir, "shingle_sets") { shingleSetsBuild(s, dir) }
 
   private def shingleSetsBuild(s: SparkSession, dir: String): DataFrame = {

@@ -74,4 +74,22 @@ class BpeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m(0) == (1, "x", "y", "xy", 5L))
     assert(m(1) == (2, "z", "z", "zz", 3L))
   }
+
+  test("q248 curve: fertility is non-increasing in the merge budget and word mass is constant") {
+    // Prefix-closure (the q248 argument): encoding under the first r
+    // merges can only shrink or keep each word's symbol count as r
+    // grows — any increase means the truncated wide-frame apply drifted
+    // from the training states s_r.
+    val dir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("q248_bpe_vocab_curve")(spark, dir)
+      .collect().map(r =>
+        (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.map(_._1).toSeq == Seq(2, 4, 8))
+    assert(rows.map(_._2).distinct.length == 1,
+      "the word denominator must not depend on the merge budget")
+    assert(rows.sliding(2).forall(p => p(1)._3 <= p(0)._3),
+      s"n_bpe must be non-increasing in merges: ${rows.toSeq}")
+    assert(rows.sliding(2).forall(p => p(1)._4 <= p(0)._4),
+      s"fertility must be non-increasing in merges: ${rows.toSeq}")
+  }
 }

@@ -548,6 +548,34 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs.head.getInt(2) == 2)
   }
 
+  test("q249 contracted resolution: a bridging delta doc merges clusters transitively") {
+    import graft.operators.CorpusQueries
+    import scala.jdk.CollectionConverters._
+    // Planted bridge geometry the corpus may never produce: doc 20001
+    // matches members of clusters 1 AND 7 (the bridge — both clusters
+    // must merge under min label 1), doc 20002 matches cluster 7 ONLY
+    // but must STILL land in cluster 1 through 20001's merge
+    // (transitivity through the contracted graph, not just the direct
+    // link), and doc 20003 matches nothing (singleton = own id).
+    val linkSchema = StructType(Seq(StructField("new_id", LongType),
+      StructField("corpus_id", LongType), StructField("c", LongType)))
+    val links = spark.createDataFrame(Seq(
+      Row(20001L, 5L, 1L), Row(20001L, 9L, 7L),
+      Row(20002L, 11L, 7L)).asJava, linkSchema)
+    val ids = spark.createDataFrame(
+      Seq(Row(20001L), Row(20002L), Row(20003L)).asJava,
+      StructType(Seq(StructField("doc_id", LongType))))
+    val got = CorpusQueries.resolveAdmissions(ids, links)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(got(20001L) == ((1L, 2L, 2L, true)),
+      s"bridge doc must merge into min label with bridges=true: $got")
+    assert(got(20002L) == ((1L, 1L, 1L, false)),
+      s"merge must propagate transitively to single-cluster docs: $got")
+    assert(got(20003L) == ((20003L, 0L, 0L, false)),
+      s"unmatched doc must become its own singleton: $got")
+  }
+
   test("deep duplicate chains: star escalation converges where propagation caps out") {
     import graft.operators.{CorpusQueries, GraphOps}
     import scala.jdk.CollectionConverters._
