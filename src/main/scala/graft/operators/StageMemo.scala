@@ -27,12 +27,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * genuinely per-query (the consumers' own joins/aggregates) still runs
   * cold every time.
   *
+  * Round-11 stages beyond the pair graph, same rationale (2+ gate
+  * consumers each, artifact-shaped at 100 TB): the frozen semantic
+  * index (sem_cells/sem_members — q245/q247), the BPE merge table
+  * (bpe_merges — q243/q244/q248), the per-doc subword statistic
+  * (subword_counts — q165/q167/q173), the simhash signature table
+  * (simhash_docs — q36/q152), and the df-capped probe index
+  * (shingle_index — q249's stored admission artifact).
+  *
   * Correctness: inputs are immutable parquet dirs, every memoized stage
   * is deterministic (fnv64 keys, integer grids), and the memo key is
   * (SparkContext, dir, stage) — a different scale factor or a fresh
   * session never aliases. Entries from stopped contexts are purged on
-  * every access; frames are pair-graph-sized (docs + near-dup pairs),
-  * not corpus-sized, so retention is bounded and small.
+  * every access; frames are stage-output-sized (docs, pairs, signatures,
+  * vocab), never raw-corpus-row multiples, with the one documented
+  * exception of shingle_index (exploded key rows — the probe artifact
+  * itself), so retention is bounded.
   */
 private[graft] object StageMemo {
   private final case class Entry(sc: SparkContext, df: DataFrame)

@@ -796,7 +796,12 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("q165 subword counting: vocab top-N is TakeOrdered, encode is windowless map work") {
-    val p = plan("q165_subword_tokens")
+    // The stage is memoized (round 11: subword_counts is a shared
+    // artifact of q165/q167/q173), so the GATE plan only shows the
+    // post-memo consumer; the vocab/encode invariants are pinned on the
+    // BUILD plan directly.
+    val p = graft.operators.CorpusQueries.subwordCountsBuild(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
     // the three vocab selections are global top-N over partially
     // aggregated gram counts — never a full sort of the gram stream
     assert(p.contains("TakeOrderedAndProject"), p)
@@ -808,6 +813,10 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct"), p)
     // gram counts and the per-doc rollup partial-aggregate map-side
     assert(p.toLowerCase.contains("partial"), p)
+    // and the gate consumer stays a windowless read of the stage
+    val g = plan("q165_subword_tokens")
+    assert(!g.contains("Window"), g)
+    assert(!g.contains("CartesianProduct"), g)
   }
 
   test("q166 semdedup: pair + keep joins hash-based, no window, no sort-merge") {
@@ -870,13 +879,12 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
 
-  test("q173 tokenizer fertility: vocab top-N is TakeOrdered, per-lang agg partial") {
+  test("q173 tokenizer fertility: per-lang agg partial over the memoized stage") {
+    // vocab top-N invariants live in the q165 test (the shared BUILD
+    // plan); here the consumer must stay one partial-agged lang rollup
     val p = plan("q173_tokenizer_fertility")
     assert(!p.contains("Window"), p)
     assert(!p.contains("CartesianProduct"), p)
-    // the three vocab top-Ns keep TakeOrderedAndProject (exchange =
-    // distinct grams, never positions)
-    assert(p.contains("TakeOrderedAndProject"), p)
     // the lang-keyed fertility aggregate partial-aggregates map-side
     assert(p.toLowerCase.contains("partial"), p)
   }
