@@ -151,9 +151,20 @@ object Pq2Json {
             "codec is available to Spark (the reference reads brotli via the " +
             "Rust parquet crate); re-encode with snappy/zstd/gzip")
       }
+      // footer verdict on raw-u64 columns: Spark's schema shows them as
+      // Decimal(20,0) (indistinguishable from a true decimal), but the
+      // reference renders raw u64 as a bare unsigned JSON number
+      // (`converter.rs:296-302`) — the sampled footers carry the
+      // distinction into the render options. Unreadable footers are
+      // skipped like the codec pre-check.
+      val u64Paths = sampleFiles(new java.io.File(a.input)).flatMap { p =>
+        scala.util.Try(ParquetMetadata.unsignedInt64Paths(p))
+          .getOrElse(Set.empty[String])
+      }.toSet
+      val opts = a.opts.copy(unsignedPaths = u64Paths)
       val df = spark.read.parquet(a.input)
       val rendered =
-        if (a.csv) KustoRender.toKustoCsv(df, a.columns, a.opts)
+        if (a.csv) KustoRender.toKustoCsv(df, a.columns, opts)
         else {
           // JSON path ignores requested-but-missing columns
           // (`converter.rs:81-84` only CSV emits null slots).
@@ -163,7 +174,7 @@ object Pq2Json {
               df.select(cols.filter(present.contains).map(df.col): _*)
             case None => df
           }
-          KustoRender.toKustoJson(projected, a.opts)
+          KustoRender.toKustoJson(projected, opts)
         }
       // CSV lines already end in \r, so "\n" completes the reference's
       // \r\n record terminator; JSON lines get plain \n (writeln!).

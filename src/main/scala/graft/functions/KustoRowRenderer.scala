@@ -34,7 +34,14 @@ final case class KustoRenderOptions(
     omitEmptyBags: Boolean = false,
     omitEmptyLists: Boolean = false,
     convertTypes: Boolean = false,
-    timestampMode: TimestampMode = TimestampMode.IsoStr) {
+    timestampMode: TimestampMode = TimestampMode.IsoStr,
+    // dotted paths of parquet UINT64 columns (from the file FOOTER —
+    // ParquetMetadata.unsignedInt64Paths): Spark surfaces u64 as
+    // Decimal(20,0), schema-indistinguishable from a true decimal, but
+    // the reference renders raw u64 as a bare unsigned JSON NUMBER
+    // (`converter.rs:296-302`). Empty when no footer is available (the
+    // engine-API path), which keeps the decimal-string rendering.
+    unsignedPaths: Set[String] = Set.empty) {
   def pruned: KustoRenderOptions =
     copy(omitNulls = true, omitEmptyBags = true, omitEmptyLists = true)
 }
@@ -62,15 +69,16 @@ final case class KustoRenderOptions(
   * per-row hot loop does no type dispatch — analogous to how the reference
   * pays `element_to_value!` dispatch per value but we hoist it.
   */
-final class KustoRowRenderer(schema: StructType, opts: KustoRenderOptions)
-    extends Serializable {
+final class KustoRowRenderer(schema: StructType, opts: KustoRenderOptions,
+    pathPrefix: String = "") extends Serializable {
 
   import KustoRowRenderer._
 
   private type FieldRender = (org.apache.spark.sql.catalyst.expressions.SpecializedGetters, Int) => KValue
 
   private val fieldNames: Array[String] = schema.fields.map(_.name)
-  private val fieldRenders: Array[FieldRender] = schema.fields.map(f => renderOf(f.dataType))
+  private val fieldRenders: Array[FieldRender] =
+    schema.fields.map(f => renderOf(f.dataType, pathPrefix + f.name))
   /** Field indices in sorted-name order, precomputed once per schema so
     * per-row object building inserts keys already sorted (see [[KObj]]).
     * Sorted by UTF-8 bytes, not UTF-16 code units: serde_json's BTreeMap
@@ -102,7 +110,7 @@ final class KustoRowRenderer(schema: StructType, opts: KustoRenderOptions)
     if (opts.omitEmptyBags && m.isEmpty) KNull else KObj(m)
   }
 
-  private def renderOf(dt: DataType): FieldRender = dt match {
+  private def renderOf(dt: DataType, path: String): FieldRender = dt match {
     case NullType => (_, _) => KNull
     case BooleanType => (g, i) => KBool(g.getBoolean(i))
     case ByteType => (g, i) => KNum(g.getByte(i).toString)
@@ -115,12 +123,18 @@ final class KustoRowRenderer(schema: StructType, opts: KustoRenderOptions)
       // Spark surfaces parquet UINT64 as Decimal(20,0); under
       // --convert-types the reference reinterprets u64 as i64
       // (`converter.rs:297-303`) and renders a NUMBER. BigInteger.longValue
-      // is exactly the two's-complement wrap. (Without convert-types a true
-      // DECIMAL(20,0) column is indistinguishable from u64 at the Spark
-      // schema level and renders as a decimal string — documented
-      // divergence from the reference's number rendering of raw u64.)
+      // is exactly the two's-complement wrap.
       (g, i) => KNum(g.getDecimal(i, d.precision, d.scale)
         .toJavaBigDecimal.toBigInteger.longValue().toString)
+    case d: DecimalType if d.precision == 20 && d.scale == 0 &&
+        opts.unsignedPaths.contains(path) =>
+      // raw u64 WITHOUT --convert-types: the reference renders the
+      // UNSIGNED value as a bare JSON number (`converter.rs:296-302`,
+      // `l.into()` — full u64 range). The footer (unsignedPaths) is what
+      // distinguishes this column from a true DECIMAL(20,0), which Spark's
+      // schema alone cannot.
+      (g, i) => KNum(g.getDecimal(i, d.precision, d.scale)
+        .toJavaBigDecimal.toBigInteger.toString)
     case d: DecimalType =>
       (g, i) => KStr(g.getDecimal(i, d.precision, d.scale).toJavaBigDecimal.toPlainString)
     case StringType => (g, i) => KStr(g.getUTF8String(i).toString)
@@ -130,10 +144,12 @@ final class KustoRowRenderer(schema: StructType, opts: KustoRenderOptions)
       val mode = opts.timestampMode
       (g, i) => timestampValue(g.getLong(i), mode)
     case st: StructType =>
-      val nested = new KustoRowRenderer(st, opts)
+      val nested = new KustoRowRenderer(st, opts, path + ".")
       (g, i) => nested.renderStruct(g.getStruct(i, st.size))
     case ArrayType(et, _) =>
-      val elem = renderOf(et)
+      // list/map element paths never enter unsignedPaths (repeated
+      // parquet groups are excluded there), so the element path is moot
+      val elem = renderOf(et, path + ".element")
       (g, i) => {
         val arr = g.getArray(i)
         val out = new mutable.ArrayBuffer[KValue](arr.numElements())
@@ -146,7 +162,7 @@ final class KustoRowRenderer(schema: StructType, opts: KustoRenderOptions)
       }
     case MapType(kt, vt, _) =>
       val keyRender = mapKeyRenderOf(kt)
-      val valRender = renderOf(vt)
+      val valRender = renderOf(vt, path + ".value")
       (g, i) => mapValue(g.getMap(i), keyRender, valRender)
     case other =>
       throw new IllegalArgumentException(s"Kusto render: unsupported type $other")

@@ -113,6 +113,38 @@ object ParquetMetadata {
       CslColumn(f.name, t)
     }
 
+  /** Dotted paths of UINT64 columns (INT64 + unsigned 64-bit IntType
+    * annotation), footer read only. Spark surfaces parquet UINT64 as
+    * Decimal(20,0) — indistinguishable at the Spark schema level from a
+    * true decimal column — but the reference renders raw u64 as a bare
+    * JSON NUMBER (`converter.rs:296-302`, the no-convert-types branch of
+    * `ulong_to_value`), so the render layer needs the footer's verdict.
+    * Paths cover primitives reachable through plain (non-REPEATED)
+    * groups — the struct-nesting case; u64 inside lists/maps keeps the
+    * decimal-string rendering (documented, exotic for raw-u64 files). */
+  def unsignedInt64Paths(path: String): Set[String] = {
+    val (meta, _) = footer(path)
+    import org.apache.parquet.schema.PrimitiveType.{PrimitiveTypeName => PTN}
+    def isU64(p: PrimitiveType): Boolean =
+      p.getPrimitiveTypeName == PTN.INT64 &&
+        (p.getLogicalTypeAnnotation match {
+          case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation =>
+            i.getBitWidth == 64 && !i.isSigned
+          case _ => false
+        })
+    def walk(t: PType, prefix: String): Seq[String] = t match {
+      case p: PrimitiveType =>
+        if (isU64(p) && !p.isRepetition(PType.Repetition.REPEATED))
+          Seq(prefix + p.getName)
+        else Seq.empty
+      case g: GroupType if g.isRepetition(PType.Repetition.REPEATED) => Seq.empty
+      case g: GroupType if g.getLogicalTypeAnnotation != null => Seq.empty // LIST/MAP wrappers
+      case g: GroupType =>
+        g.getFields.asScala.toSeq.flatMap(walk(_, prefix + g.getName + "."))
+    }
+    meta.getSchema.getFields.asScala.toSeq.flatMap(walk(_, "")).toSet
+  }
+
   /** Distinct compression codec names used by any column chunk (footer
     * read only). Used to fail fast with a clear message on codecs Spark
     * has no decompressor for (brotli — the reference reads it via the

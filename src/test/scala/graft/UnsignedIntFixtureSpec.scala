@@ -89,11 +89,31 @@ class UnsignedIntFixtureSpec extends AnyFunSuite with BeforeAndAfterAll {
       """{"u32":4294967295,"u64":-1}""",
       """{"u32":7,"u64":-9223372036854775808}""",
       """{"u32":0,"u64":42}"""))
-    // without -r the Spark-level Decimal(20,0) renders as a decimal string
-    // — documented divergence from the reference's bare-number u64
-    // (KustoRowRenderer.scala convertTypes note)
+  }
+
+  test("Pq2Json on a uint64 file WITHOUT -r: bare UNSIGNED numbers (converter.rs:296-302)") {
+    // round 11 closes the former documented divergence: the footer's
+    // INTEGER(64,false) annotation (ParquetMetadata.unsignedInt64Paths)
+    // distinguishes raw u64 from a true DECIMAL(20,0), and the renderer
+    // emits the reference's bare unsigned JSON number — full u64 range,
+    // unquoted, beyond i64.
     val raw = capture(Array(uintFile)).toSet
-    assert(raw.contains("""{"u32":4294967295,"u64":"18446744073709551615"}"""))
+    assert(raw == Set(
+      """{"u32":4294967295,"u64":18446744073709551615}""",
+      """{"u32":7,"u64":9223372036854775808}""",
+      """{"u32":0,"u64":42}"""))
+    // a TRUE decimal(20,0) column (no footer uint annotation) keeps the
+    // decimal-string rendering — the verdict must come from the footer,
+    // never from the Spark-level type alone
+    val dir = java.nio.file.Files.createTempDirectory("dec20-data").toString
+    spark.createDataFrame(
+      java.util.List.of(Row(java.math.BigDecimal.valueOf(42L).setScale(0))),
+      StructType(Seq(StructField("d", DecimalType(20, 0)))))
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    assert(capture(Array(dir)).toSet == Set("""{"d":"42"}"""))
+    // and the footer walker reports exactly the u64 column
+    assert(graft.sources.ParquetMetadata.unsignedInt64Paths(uintFile)
+      == Set("u64"))
   }
 
   test("--cslschema on a real uint file: unsigned ints hit the long/int arms (schema.rs:96,101)") {
