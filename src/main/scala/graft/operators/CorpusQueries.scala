@@ -239,27 +239,53 @@ object CorpusQueries extends QueryModule {
     * the merged component takes the min label exactly as a full rebuild
     * would. New-new delta edges are out of contract (the q129/q247
     * ingestion discipline); docs matching nothing become singletons. */
-  private[graft] def incrementalClusters(s: SparkSession, dir: String): DataFrame = {
+  /** The q249/q250 arriving batch's shingle-key frame (new_id, dsz,
+    * dhs), memoized ("delta_sets" — a batch is materialized once, then
+    * admitted AND audited): four slices at +20000 — exact copies
+    * (%10==4), trimmed near-dups (%10==7), reversed novels (%10==1) —
+    * plus the DEBT PLANT at +40000: trimmed REVERSALS of %10==1, which
+    * near-dup their +20000 sibling but match nothing indexed — exactly
+    * the intra-batch pair the admission contract defers (q250's
+    * subject). */
+  private[graft] def admissionDeltaSets(s: SparkSession, dir: String): DataFrame =
+    StageMemo(s, dir, "delta_sets") {
+      graft.functions.GraftFunctions.register(s) // fnv64
+      val base = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+      val tkOf = (df: DataFrame) => LlmQueries.withTokens(df)
+      val delta0 = base.filter(col("doc_id") % 10 === 4)
+        .select((col("doc_id") + 20000).as("doc_id"), col("text"))
+        .unionByName(tkOf(base.filter(col("doc_id") % 10 === 7))
+          .select((col("doc_id") + 20000).as("doc_id"),
+            expr("array_join(slice(tk, 1, greatest(size(tk) - 5, 1)), ' ')")
+              .as("text")))
+        .unionByName(tkOf(base.filter(col("doc_id") % 10 === 1))
+          .select((col("doc_id") + 20000).as("doc_id"),
+            expr("array_join(reverse(tk), ' ')").as("text")))
+        .unionByName(tkOf(base.filter(col("doc_id") % 10 === 1))
+          .select((col("doc_id") + 40000).as("doc_id"),
+            expr("array_join(slice(reverse(tk), 1, greatest(size(tk) - 5, 1)), ' ')")
+              .as("text")))
+      tkOf(delta0)
+        .select(col("doc_id").as("new_id"),
+          expr(LlmQueries.shinglesSql("tk")).as("sh"))
+        .select(col("new_id"), size(col("sh")).as("dsz"),
+          expr("transform(sh, x -> fnv64(x))").as("dhs"))
+        .localCheckpoint()
+    }
+
+  /** Memoized ("incr_admission"): the admission RECORD is what a
+    * pipeline writes per batch — q249 ships it and q250 audits it, so
+    * the two gate consumers share one materialized admission. */
+  private[graft] def incrementalClusters(s: SparkSession, dir: String): DataFrame =
+    StageMemo(s, dir, "incr_admission") {
+      incrementalClustersBuild(s, dir).localCheckpoint()
+    }
+
+  private[graft] def incrementalClustersBuild(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s) // fnv64
     val idx = LlmQueries.shingleSets(s, dir)
     val clusters = pairClusters(s, dir)
-    val base = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
-    val tkOf = (df: DataFrame) => LlmQueries.withTokens(df)
-    val delta0 = base.filter(col("doc_id") % 10 === 4)
-      .select((col("doc_id") + 20000).as("doc_id"), col("text"))
-      .unionByName(tkOf(base.filter(col("doc_id") % 10 === 7))
-        .select((col("doc_id") + 20000).as("doc_id"),
-          expr("array_join(slice(tk, 1, greatest(size(tk) - 5, 1)), ' ')")
-            .as("text")))
-      .unionByName(tkOf(base.filter(col("doc_id") % 10 === 1))
-        .select((col("doc_id") + 20000).as("doc_id"),
-          expr("array_join(reverse(tk), ' ')").as("text")))
-    val dsets = tkOf(delta0)
-      .select(col("doc_id").as("new_id"),
-        expr(LlmQueries.shinglesSql("tk")).as("sh"))
-      .select(col("new_id"), size(col("sh")).as("dsz"),
-        expr("transform(sh, x -> fnv64(x))").as("dhs"))
-      .localCheckpoint() // probe + verify + final frame
+    val dsets = admissionDeltaSets(s, dir)
     // the df-capped inverted index, memoized: at 100 TB this is the
     // STORED probe artifact a pipeline keeps between batches (the q129
     // scaladoc's "materialized index"), not per-batch work — without
@@ -383,6 +409,47 @@ object CorpusQueries extends QueryModule {
     // plus the probe and the contracted closure from scratch.
     "q249_incremental_components" -> ((s, dir) =>
       incrementalClusters(s, dir).orderBy(col("doc_id"))),
+
+    // --- admission-debt audit (q250): the HONESTY metric for the q249
+    // contract. Incremental admission deliberately skips new-new edges
+    // (the q129/q247 ingestion discipline), so intra-batch near-dup
+    // pairs whose endpoints did not co-cluster through the index are
+    // DEFERRED MERGES — the debt a scheduled rebuild repays. This query
+    // surfaces every such pair: delta-vs-delta near-dups (df-capped
+    // self-probe of the batch's own shingle frame, exact-jaccard
+    // verify) flagged by whether the shipped admission already
+    // co-clustered them. The planted +40000 reversed-trim slice makes
+    // the debt structurally non-empty (it near-dups its +20000 sibling,
+    // both match nothing indexed). Scale: everything is batch-sized —
+    // the batch's own index, the a<b self-join, and two joins against
+    // the batch-sized admission record.
+    "q250_admission_debt" -> ((s, dir) => {
+      val adm = incrementalClusters(s, dir)
+      val dsets = admissionDeltaSets(s, dir)
+      val didx = dsets.select(col("new_id"), explode(col("dhs")).as("h"))
+      val cold = didx.groupBy(col("h")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= LlmQueries.ShingleDfCap).select(col("h"))
+      val hot = didx.join(cold, Seq("h"), "left_semi")
+      val cand = hot.select(col("new_id").as("doc_a"), col("h"))
+        .join(hot.select(col("new_id").as("doc_b"), col("h")), Seq("h"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b")).distinct()
+      cand
+        .join(dsets.select(col("new_id").as("doc_a"), col("dsz").as("sza"),
+          col("dhs").as("ha")), Seq("doc_a"))
+        .join(dsets.select(col("new_id").as("doc_b"), col("dsz").as("szb"),
+          col("dhs").as("hb")), Seq("doc_b"))
+        .withColumn("inter", size(array_intersect(col("ha"), col("hb"))))
+        .withColumn("jac", col("inter") / (col("sza") + col("szb") - col("inter")))
+        .filter(col("jac") >= 0.5)
+        .join(adm.select(col("doc_id").as("doc_a"), col("cluster").as("ca")),
+          Seq("doc_a"))
+        .join(adm.select(col("doc_id").as("doc_b"), col("cluster").as("cb")),
+          Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("jac"),
+          (col("ca") === col("cb")).as("co_clustered"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
 
     // --- leakage-safe train/valid/test split: the split is assigned per
     // DUPLICATE CLUSTER, not per document, so near-duplicates can never
@@ -3236,6 +3303,97 @@ object CorpusQueries extends QueryModule {
     (head +: rounds).mkString(",\n")
   }
 
+  /** The q249/q250 oracle's shared chain (body of a WITH RECURSIVE):
+    * q59's stored cluster truth over the planted corpus, the
+    * [[admissionDeltaSets]] four-slice delta, the df-capped probe, the
+    * contracted closure (`fin`), and the per-doc evidence counts. */
+  private val incrAdmissionOracleCtes: String =
+    """corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000,
+      |    array_to_string(string_split_regex(trim(text), '\s+')[1:greatest(
+      |      len(string_split_regex(trim(text), '\s+')) - 5, 1)], ' ')
+      |  FROM documents),
+      |sh AS MATERIALIZED (
+      |  SELECT doc_id, list_distinct(CASE WHEN len(tk) >= 3 THEN
+      |    list_transform(range(1, len(tk) - 1),
+      |      i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])
+      |    ELSE [] END) AS sh
+      |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM corpus)),
+      |ex AS MATERIALIZED (
+      |  SELECT doc_id, len(sh) AS sz, unnest(sh) AS s FROM sh
+      |  WHERE len(sh) > 0),
+      |exd AS (SELECT doc_id, sz, s,
+      |          COUNT(*) OVER (PARTITION BY s) AS df FROM ex),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM exd a JOIN exd b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id, a.sz, b.sz
+      |  HAVING COUNT(*) / (a.sz + b.sz - COUNT(*)) >= 0.5
+      |    AND MIN(a.df) <= 256),
+      |edges AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |  UNION SELECT doc_b, doc_a FROM pairs),
+      |reach(node, r) AS (
+      |  SELECT DISTINCT src, src FROM edges
+      |  UNION
+      |  SELECT e.src, r.r FROM edges e JOIN reach r ON r.node = e.dst),
+      |clus AS MATERIALIZED (
+      |  SELECT node AS doc_id, MIN(r) AS cluster FROM reach GROUP BY node),
+      |dbase AS (SELECT doc_id, text,
+      |    string_split_regex(trim(text), '\s+') AS tk FROM documents),
+      |delta0 AS (
+      |  SELECT doc_id + 20000 AS doc_id, text FROM dbase WHERE doc_id % 10 = 4
+      |  UNION ALL
+      |  SELECT doc_id + 20000,
+      |    array_to_string(tk[1:greatest(len(tk) - 5, 1)], ' ')
+      |  FROM dbase WHERE doc_id % 10 = 7
+      |  UNION ALL
+      |  SELECT doc_id + 20000, array_to_string(list_reverse(tk), ' ')
+      |  FROM dbase WHERE doc_id % 10 = 1
+      |  UNION ALL
+      |  SELECT doc_id + 40000,
+      |    array_to_string(list_reverse(tk)[1:greatest(len(tk) - 5, 1)], ' ')
+      |  FROM dbase WHERE doc_id % 10 = 1),
+      |dsh AS MATERIALIZED (
+      |  SELECT doc_id, list_distinct(CASE WHEN len(tk) >= 3 THEN
+      |    list_transform(range(1, len(tk) - 1),
+      |      i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])
+      |    ELSE [] END) AS sh
+      |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+      |        FROM delta0)),
+      |cdf AS (SELECT s, COUNT(*) AS df FROM ex GROUP BY s),
+      |dex AS MATERIALIZED (SELECT doc_id, unnest(sh) AS s FROM dsh),
+      |cand AS (
+      |  SELECT DISTINCT dex.doc_id AS new_id, ex.doc_id AS corpus_id
+      |  FROM dex JOIN ex ON dex.s = ex.s
+      |  JOIN cdf ON cdf.s = dex.s
+      |  WHERE cdf.df <= 256),
+      |links AS MATERIALIZED (
+      |  SELECT c.new_id, c.corpus_id,
+      |    coalesce(cl.cluster, c.corpus_id) AS c
+      |  FROM cand c
+      |  JOIN dsh d ON d.doc_id = c.new_id
+      |  JOIN sh s2 ON s2.doc_id = c.corpus_id
+      |  LEFT JOIN clus cl ON cl.doc_id = c.corpus_id
+      |  WHERE len(list_intersect(d.sh, s2.sh)) / (len(d.sh) + len(s2.sh)
+      |    - len(list_intersect(d.sh, s2.sh))) >= 0.5),
+      |cedges AS (
+      |  SELECT DISTINCT new_id AS src, c AS dst FROM links
+      |  UNION
+      |  SELECT DISTINCT c, new_id FROM links),
+      |reach2(node, r) AS (
+      |  SELECT DISTINCT src, src FROM cedges
+      |  UNION
+      |  SELECT e.src, r.r FROM cedges e JOIN reach2 r ON r.node = e.dst),
+      |fin AS MATERIALIZED (
+      |  SELECT node AS doc_id, MIN(r) AS cluster
+      |  FROM reach2 GROUP BY node),
+      |per AS (SELECT new_id, COUNT(*) AS n_links,
+      |          COUNT(DISTINCT c) AS n_clusters
+      |        FROM links GROUP BY 1)""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "q248_bpe_vocab_curve" -> {
       val pts = Seq(2, 4, 8).map(r =>
@@ -3357,87 +3515,10 @@ object CorpusQueries extends QueryModule {
     // SECOND recursive CTE over (new_id, touched-cluster) edges. Merge
     // semantics land row-level: a bridging delta doc pulls both
     // clusters' labels into one component and MIN picks the survivor.
+    // The chain itself is [[incrAdmissionOracleCtes]], shared with
+    // q250's debt audit.
     "q249_incremental_components" ->
-      """WITH RECURSIVE corpus AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 10000,
-        |    array_to_string(string_split_regex(trim(text), '\s+')[1:greatest(
-        |      len(string_split_regex(trim(text), '\s+')) - 5, 1)], ' ')
-        |  FROM documents),
-        |sh AS MATERIALIZED (
-        |  SELECT doc_id, list_distinct(CASE WHEN len(tk) >= 3 THEN
-        |    list_transform(range(1, len(tk) - 1),
-        |      i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])
-        |    ELSE [] END) AS sh
-        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM corpus)),
-        |ex AS MATERIALIZED (
-        |  SELECT doc_id, len(sh) AS sz, unnest(sh) AS s FROM sh
-        |  WHERE len(sh) > 0),
-        |exd AS (SELECT doc_id, sz, s,
-        |          COUNT(*) OVER (PARTITION BY s) AS df FROM ex),
-        |pairs AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM exd a JOIN exd b ON a.s = b.s AND a.doc_id < b.doc_id
-        |  GROUP BY a.doc_id, b.doc_id, a.sz, b.sz
-        |  HAVING COUNT(*) / (a.sz + b.sz - COUNT(*)) >= 0.5
-        |    AND MIN(a.df) <= 256),
-        |edges AS (
-        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-        |  UNION SELECT doc_b, doc_a FROM pairs),
-        |reach(node, r) AS (
-        |  SELECT DISTINCT src, src FROM edges
-        |  UNION
-        |  SELECT e.src, r.r FROM edges e JOIN reach r ON r.node = e.dst),
-        |clus AS MATERIALIZED (
-        |  SELECT node AS doc_id, MIN(r) AS cluster FROM reach GROUP BY node),
-        |dbase AS (SELECT doc_id, text,
-        |    string_split_regex(trim(text), '\s+') AS tk FROM documents),
-        |delta0 AS (
-        |  SELECT doc_id + 20000 AS doc_id, text FROM dbase WHERE doc_id % 10 = 4
-        |  UNION ALL
-        |  SELECT doc_id + 20000,
-        |    array_to_string(tk[1:greatest(len(tk) - 5, 1)], ' ')
-        |  FROM dbase WHERE doc_id % 10 = 7
-        |  UNION ALL
-        |  SELECT doc_id + 20000, array_to_string(list_reverse(tk), ' ')
-        |  FROM dbase WHERE doc_id % 10 = 1),
-        |dsh AS MATERIALIZED (
-        |  SELECT doc_id, list_distinct(CASE WHEN len(tk) >= 3 THEN
-        |    list_transform(range(1, len(tk) - 1),
-        |      i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])
-        |    ELSE [] END) AS sh
-        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
-        |        FROM delta0)),
-        |cdf AS (SELECT s, COUNT(*) AS df FROM ex GROUP BY s),
-        |dex AS (SELECT doc_id, unnest(sh) AS s FROM dsh),
-        |cand AS (
-        |  SELECT DISTINCT dex.doc_id AS new_id, ex.doc_id AS corpus_id
-        |  FROM dex JOIN ex ON dex.s = ex.s
-        |  JOIN cdf ON cdf.s = dex.s
-        |  WHERE cdf.df <= 256),
-        |links AS MATERIALIZED (
-        |  SELECT c.new_id, c.corpus_id,
-        |    coalesce(cl.cluster, c.corpus_id) AS c
-        |  FROM cand c
-        |  JOIN dsh d ON d.doc_id = c.new_id
-        |  JOIN sh s2 ON s2.doc_id = c.corpus_id
-        |  LEFT JOIN clus cl ON cl.doc_id = c.corpus_id
-        |  WHERE len(list_intersect(d.sh, s2.sh)) / (len(d.sh) + len(s2.sh)
-        |    - len(list_intersect(d.sh, s2.sh))) >= 0.5),
-        |cedges AS (
-        |  SELECT DISTINCT new_id AS src, c AS dst FROM links
-        |  UNION
-        |  SELECT DISTINCT c, new_id FROM links),
-        |reach2(node, r) AS (
-        |  SELECT DISTINCT src, src FROM cedges
-        |  UNION
-        |  SELECT e.src, r.r FROM cedges e JOIN reach2 r ON r.node = e.dst),
-        |fin AS (SELECT node AS doc_id, MIN(r) AS cluster
-        |        FROM reach2 GROUP BY node),
-        |per AS (SELECT new_id, COUNT(*) AS n_links,
-        |          COUNT(DISTINCT c) AS n_clusters
-        |        FROM links GROUP BY 1)
+      s"""WITH RECURSIVE $incrAdmissionOracleCtes
         |SELECT d.doc_id,
         |  coalesce(f.cluster, d.doc_id) AS cluster,
         |  coalesce(p.n_links, 0) AS n_links,
@@ -3447,6 +3528,34 @@ object CorpusQueries extends QueryModule {
         |LEFT JOIN fin f ON f.doc_id = d.doc_id
         |LEFT JOIN per p ON p.new_id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    // the same chain, then the batch's own df-capped self-probe and the
+    // deferred-merge flag against the shipped admission's final labels.
+    "q250_admission_debt" ->
+      s"""WITH RECURSIVE $incrAdmissionOracleCtes,
+        |adm AS MATERIALIZED (
+        |  SELECT d.doc_id, coalesce(f.cluster, d.doc_id) AS cluster
+        |  FROM delta0 d LEFT JOIN fin f ON f.doc_id = d.doc_id),
+        |ddf AS (SELECT s, COUNT(*) AS df FROM dex GROUP BY s),
+        |dhot AS (SELECT dex.doc_id, dex.s
+        |         FROM dex JOIN ddf ON ddf.s = dex.s WHERE ddf.df <= 256),
+        |dcand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM dhot a JOIN dhot b ON a.s = b.s AND a.doc_id < b.doc_id),
+        |dver AS (
+        |  SELECT c.doc_a, c.doc_b,
+        |    len(list_intersect(x.sh, y.sh)) / (len(x.sh) + len(y.sh)
+        |      - len(list_intersect(x.sh, y.sh))) AS jac
+        |  FROM dcand c
+        |  JOIN dsh x ON x.doc_id = c.doc_a
+        |  JOIN dsh y ON y.doc_id = c.doc_b)
+        |SELECT v.doc_a, v.doc_b, v.jac,
+        |  a1.cluster = a2.cluster AS co_clustered
+        |FROM dver v
+        |JOIN adm a1 ON a1.doc_id = v.doc_a
+        |JOIN adm a2 ON a2.doc_id = v.doc_b
+        |WHERE v.jac >= 0.5
+        |ORDER BY v.doc_a, v.doc_b""".stripMargin,
 
     // q59's recursive-CTE cluster truth, left-joined back onto the full
     // corpus (singletons cluster with themselves), then the SAME fnv64
