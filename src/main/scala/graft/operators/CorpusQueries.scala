@@ -554,6 +554,46 @@ object CorpusQueries extends QueryModule {
         .orderBy(col("doc_id"), col("rnk"))
     }),
 
+    // --- BM25 ranked retrieval (q251): the standard lexical ranking
+    // function (Robertson/Sparck Jones, k1=1.2 b=0.75) over a
+    // deterministic corpus-derived query (terms ranked 51-58 by corpus
+    // frequency — mid-frequency, so idf is neither ~0 nor hapax-noisy).
+    // Determinism discipline: the per-(doc, term) contribution — the
+    // only place ln() appears — is computed from ONE formula string
+    // parsed by BOTH engines ([[bm25MicroSql]], the q151 one-source-of-
+    // truth trick), quantized half-up to an integer micro grid, and the
+    // per-doc score is then a SUM of longs — order-free, so the
+    // floating sum-order trap never opens. ln itself follows the q61
+    // precedent (JVM vs libm agree through the grid at these
+    // magnitudes; the tri-scale sweep is the net).
+    // Scale: tf/dl are two map-side-combined groupBys; the 8-term query
+    // and its df counts broadcast; top-20 is TakeOrderedAndProject —
+    // one corpus-sized exchange on (doc_id, w), nothing corpus².
+    "q251_bm25" -> ((s, dir) => {
+      val t = Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(expr(toksSql)).as("w"))
+      val tf = t.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      val dl = t.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      val st = dl.agg(count(lit(1)).as("n_docs"),
+        sum(col("dl")).cast("long").as("tot_dl"))
+      val top58 = t.groupBy(col("w")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("w").asc).limit(58)
+        .localCheckpoint() // rank slice below re-sorts the tiny frame
+      val qt = top58.orderBy(col("c").asc, col("w").desc).limit(8)
+        .select(col("w"))
+      val dfreq = tf.join(broadcast(qt), Seq("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("df"))
+      tf.join(broadcast(dfreq), Seq("w"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(st))
+        .withColumn("micro", expr(bm25MicroSql))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("micro")).as("m"))
+        .orderBy(col("m").desc, col("doc_id").asc).limit(20)
+        .select(col("doc_id"),
+          (col("m").cast("double") / lit(1000000.0)).as("bm25"))
+    }),
+
     // --- bigram counts (language-model-style n-gram statistics): the
     // bigram array is built from fused slices (one pass per row — see
     // LlmQueries.shinglesSql on why not positional lambdas), exploded,
@@ -3303,6 +3343,19 @@ object CorpusQueries extends QueryModule {
     (head +: rounds).mkString(",\n")
   }
 
+  /** q251's per-(doc, term) BM25 contribution on the half-up micro
+    * grid — ONE formula string parsed by BOTH engines (ln, floor, CAST
+    * and the operator precedence are identical in Spark SQL and
+    * DuckDB), over columns (tf, df, dl, n_docs, tot_dl) present in both
+    * frames. k1=1.2, b=0.75; idf is the Robertson-Sparck Jones
+    * ln((N - df + 0.5) / (df + 0.5)). floor(x + 0.5) rather than
+    * round(): identical half-up for the possibly-negative contribution
+    * in both engines. */
+  private val bm25MicroSql: String =
+    "CAST(floor((ln((n_docs - df + 0.5) / (df + 0.5))" +
+      " * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl" +
+      " / (CAST(tot_dl AS DOUBLE) / n_docs)))) * 1000000 + 0.5) AS BIGINT)"
+
   /** The q249/q250 oracle's shared chain (body of a WITH RECURSIVE):
     * q59's stored cluster truth over the planted corpus, the
     * [[admissionDeltaSets]] four-slice delta, the df-capped probe, the
@@ -3395,6 +3448,32 @@ object CorpusQueries extends QueryModule {
       |        FROM links GROUP BY 1)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q251_bm25" ->
+      s"""WITH t AS MATERIALIZED (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+        |  FROM documents),
+        |tf AS MATERIALIZED (
+        |  SELECT doc_id, w, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+        |dl AS MATERIALIZED (
+        |  SELECT doc_id, COUNT(*) AS dl FROM t GROUP BY 1),
+        |st AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS tot_dl
+        |       FROM dl),
+        |top58 AS MATERIALIZED (
+        |  SELECT w, COUNT(*) AS c FROM t GROUP BY 1
+        |  ORDER BY c DESC, w LIMIT 58),
+        |qt AS MATERIALIZED (
+        |  SELECT w FROM top58 ORDER BY c ASC, w DESC LIMIT 8),
+        |dfreq AS MATERIALIZED (
+        |  SELECT tf.w, COUNT(*) AS df FROM tf JOIN qt USING (w) GROUP BY 1),
+        |contrib AS (
+        |  SELECT tf.doc_id, $bm25MicroSql AS micro
+        |  FROM tf JOIN dfreq ON dfreq.w = tf.w
+        |  JOIN dl ON dl.doc_id = tf.doc_id
+        |  CROSS JOIN st),
+        |sc AS (SELECT doc_id, SUM(micro) AS m FROM contrib GROUP BY 1)
+        |SELECT doc_id, CAST(m AS DOUBLE) / 1000000.0 AS bm25
+        |FROM sc ORDER BY m DESC, doc_id LIMIT 20""".stripMargin,
+
     "q248_bpe_vocab_curve" -> {
       val pts = Seq(2, 4, 8).map(r =>
         s"""SELECT $r AS n_merges, CAST(SUM(freq) AS BIGINT) AS n_words,
