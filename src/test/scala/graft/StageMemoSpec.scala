@@ -58,6 +58,34 @@ class StageMemoSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(StageMemo.size == 3)
   }
 
+  test("nested stage builds do not deadlock or throw (the computeIfAbsent reentrancy class)") {
+    // Real stages NEST: pair_clusters builds on the ngram_pairs memo,
+    // incr_admission on delta_sets + shingle_index, sem_members on
+    // sem_cells. The original computeIfAbsent implementation threw
+    // java.lang.IllegalStateException("Recursive update") on exactly
+    // this shape; the double-checked reentrant-lock path must build
+    // both stages, once each.
+    StageMemo.reset()
+    var inner, outer = 0
+    val got = StageMemo(spark, "/tmp/dirN", "outer") {
+      outer += 1
+      val base = StageMemo(spark, "/tmp/dirN", "inner") {
+        inner += 1
+        spark.range(0, 4).toDF("id").localCheckpoint()
+      }
+      base.filter(org.apache.spark.sql.functions.col("id") < 2).localCheckpoint()
+    }
+    assert(got.count() == 2)
+    assert(outer == 1 && inner == 1)
+    assert(StageMemo.size == 2)
+    // and the inner stage is independently reusable afterwards
+    val again = StageMemo(spark, "/tmp/dirN", "inner") {
+      inner += 1
+      spark.range(0, 99).toDF("id").localCheckpoint()
+    }
+    assert(again.count() == 4 && inner == 1)
+  }
+
   test("the pair-graph consumers share one materialized stage end-to-end") {
     // q59 (clusters) then q188 (health): both sit on the memoized pairs
     // + clusters; after the first the memo holds the stage and the
