@@ -192,14 +192,27 @@ object CorpusQueries extends QueryModule {
     * merges of an 8-round table ARE the r-round table, because each
     * round's argmax depends only on earlier merges). */
   private[graft] def bpeEncodedVocabAt(s: SparkSession, dir: String,
-      rounds: Int): DataFrame = {
+      rounds: Int): DataFrame =
+    bpeEncodeDict(s, dir, corpusWordDict(s, dir), rounds)
+
+  /** The corpus word dictionary (word, freq) — the collapse that makes
+    * every BPE op corpus-size-independent downstream. */
+  private def corpusWordDict(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(explode(expr(toksSql)).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+
+  /** Encode an arbitrary (word, freq) dictionary with the FROZEN q243
+    * merge table truncated to `rounds` — the artifact-application path
+    * (q244/q248 on the training dictionary, q252 on a drift cohort):
+    * chained map-side literal replaces against the broadcast 1-row wide
+    * merge frame, then symbols = spaces - 1. */
+  private[graft] def bpeEncodeDict(s: SparkSession, dir: String,
+      words: DataFrame, rounds: Int): DataFrame = {
     val wideCols = (1 to rounds).flatMap(r => Seq(
       coalesce(max(when(col("round") === r, col("lhs"))), lit("")).as(s"l$r"),
       coalesce(max(when(col("round") === r, col("rhs"))), lit("")).as(s"r$r")))
     val wide = bpeMerges(s, dir).agg(wideCols.head, wideCols.tail: _*)
-    val words = Tables(s, dir, "documents")
-      .select(explode(expr(toksSql)).as("word"))
-      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
     val encoded = (1 to rounds).foldLeft(
       words.crossJoin(broadcast(wide)).withColumn("seq",
         concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 ")))) {
@@ -1704,6 +1717,39 @@ object CorpusQueries extends QueryModule {
         .select(col("n_merges"), col("n_words"), col("n_bpe"),
           (col("fert").cast("double") / lit(1000000.0)).as("fertility"))
         .orderBy(col("n_merges"))
+    }),
+
+    // --- tokenizer drift audit (q252): the FROZEN-merge-table side of
+    // the incremental story — every other stored artifact (index,
+    // cluster map, cells, kNN graph) has an admission-path query; this
+    // one asks what happens when the q243 merge table, trained on the
+    // corpus, meets a NOVEL-DOMAIN cohort. The drift cohort is the
+    // corpus dictionary with every word CHAR-reversed (same length/
+    // freq mass, alien character order — the deterministic stand-in
+    // for a domain shift), encoded with the frozen merges: its
+    // fertility reads strictly worse than the corpus's because the
+    // learned merges assume forward character co-occurrence. Output:
+    // one row per cohort (n_words mass equal by construction — the
+    // control; n_bpe and fertility diverge). All map-side over the
+    // vocab against the broadcast merge frame; the oracle replays
+    // training once and both encodes.
+    "q252_bpe_drift" -> ((s, dir) => {
+      val cw = corpusWordDict(s, dir)
+      // char-reversal can collide (palindromes, mutual reversals) —
+      // re-collapse so the cohort is a well-formed dictionary
+      val rw = cw.select(reverse(col("word")).as("word"), col("freq"))
+        .groupBy(col("word")).agg(sum(col("freq")).as("freq"))
+      def cohort(name: String, words: DataFrame): DataFrame =
+        bpeEncodeDict(s, dir, words, BpeRounds)
+          .agg(sum(col("freq")).cast("long").as("n_words"),
+            sum(col("n_sym") * col("freq")).cast("long").as("n_bpe"))
+          .select(lit(name).as("cohort"), col("n_words"), col("n_bpe"))
+      cohort("corpus", cw).unionAll(cohort("reversed", rw))
+        .withColumn("fert",
+          expr("(2 * n_bpe * 1000000 + n_words) DIV (2 * n_words)"))
+        .select(col("cohort"), col("n_words"), col("n_bpe"),
+          (col("fert").cast("double") / lit(1000000.0)).as("fertility"))
+        .orderBy(col("cohort"))
     }),
 
     // --- Count-Min sketch token-frequency estimation (q176): the
@@ -3448,6 +3494,36 @@ object CorpusQueries extends QueryModule {
       |        FROM links GROUP BY 1)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q252_bpe_drift" -> {
+      val revRounds = (1 to BpeRounds).map { r =>
+        s"""r$r AS (SELECT word, freq,
+           |  replace(seq, ' ' || bl || ' ' || br || ' ',
+           |          ' ' || bl || br || ' ') AS seq
+           |FROM r${r - 1} CROSS JOIN g$r)""".stripMargin
+      }.mkString(",\n")
+      def pt(name: String, src: String) =
+        s"""SELECT '$name' AS cohort, CAST(SUM(freq) AS BIGINT) AS n_words,
+           |  CAST(SUM(freq * (length(seq) - length(replace(seq, ' ', '')) - 1))
+           |    AS BIGINT) AS n_bpe
+           |FROM $src""".stripMargin
+      s"""WITH $bpeOracleCtes,
+         |rw AS MATERIALIZED (
+         |  SELECT reverse(word) AS word, CAST(SUM(freq) AS BIGINT) AS freq
+         |  FROM w GROUP BY 1),
+         |r0 AS (SELECT word, freq,
+         |         ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS seq
+         |       FROM rw),
+         |$revRounds,
+         |pts AS (${pt("corpus", s"s$BpeRounds")}
+         |UNION ALL
+         |${pt("reversed", s"r$BpeRounds")})
+         |SELECT cohort, n_words, n_bpe,
+         |  CAST(CAST((2 * n_bpe::HUGEINT * 1000000 + n_words)
+         |    // (2 * n_words::HUGEINT) AS BIGINT) AS DOUBLE) / 1000000.0
+         |    AS fertility
+         |FROM pts ORDER BY cohort""".stripMargin
+    },
+
     "q251_bm25" ->
       s"""WITH t AS MATERIALIZED (
         |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
