@@ -96,6 +96,16 @@ object Bench {
     else results.map(r => wireValue(f(r), r._4)).mkString("[", ",", "]")
   }
 
+  /** The StageMemo stage inventory (grep `StageMemo(s, dir, "` for the
+    * source of truth) — BenchFormatSpec budgets the `st` wire field at
+    * this width, and main() warns loudly when a run builds a stage not
+    * listed here (the drift signal to update both). */
+  val KnownStages: Seq[String] = Seq(
+    "ngram_pairs", "pair_clusters", "shingle_sets", "shingle_index",
+    "delta_sets", "incr_admission", "sem_cells", "sem_members",
+    "bpe_merges", "subword_counts", "simhash_docs", "simhash_pairs",
+    "bm25_postings", "bm25_doclen")
+
   private val B62 =
     "0123456789abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
   def wireKey(name: String): String = {
@@ -278,6 +288,17 @@ object Bench {
       t
     }
     val jvmMetrics = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    // Stage pricing (r11 verdict item 1): StageMemo's cross-run memo +
+    // the min-of-runs protocol meant a memoized stage's build cost
+    // landed in the graded total ZERO times (the first consumer's
+    // FIRST run builds it; its MIN run reads the memo). Each build is
+    // now timed explicitly (exclusive of nested builds) and summed into
+    // the reported value as stage rows — every artifact priced exactly
+    // ONCE, which is what a 100 TB deployment pays too. The snapshot
+    // below attributes each build to the query whose first run paid it
+    // (bench_detail.json's `built` field).
+    graft.operators.StageMemo.resetBuildTimes()
+    val builtBy = scala.collection.mutable.Map.empty[String, Seq[String]]
     val results = SparkEntry.queries.keys.toSeq.filter(selected).sorted.map { name =>
       // Per-query isolation: drop caches a previous QUERY left behind
       // (carrying them over would both under-report the next query's
@@ -309,10 +330,14 @@ object Bench {
       System.gc()
       val m0 = tml.snap()
       val j0 = jitMs()
+      val st0 = graft.operators.StageMemo.buildTimes.map(_._1).toSet
       val (first, best, ok) = protocol(name,
         sink(() => SparkEntry.queries(name)(spark, sfDir)))
       metrics(name) = tml.snap().zip(m0).map { case (a, b) => a - b }
       jvmMetrics(name) = (jitMs() - j0, codeHeapUsed())
+      val built = graft.operators.StageMemo.buildTimes.map(_._1)
+        .filterNot(st0)
+      if (built.nonEmpty) builtBy(name) = built
       (name, first, best, ok)
     }
     // The former q35op/q36op bench-only operator rows are gone: the
@@ -360,7 +385,19 @@ object Bench {
     val failed = results.filterNot(_._4).map(_._1)
     if (failed.nonEmpty)
       System.err.println(s"[bench] NOT CLEAN: ${failed.size} queries failed: ${failed.mkString(", ")}")
-    val total = clean.map(_._3).sum
+    // The graded total = Σ per-query marginal mins + Σ stage builds:
+    // each memoized artifact's build priced exactly once (see the
+    // stage-pricing comment above). The stage list rides the wire as
+    // `st` (unclamped integer deciseconds — builds can exceed the
+    // per-query 9.9 s clamp) so the builds are never invisible.
+    val stages = graft.operators.StageMemo.buildTimes
+    stages.map(_._1).filterNot(KnownStages.contains).foreach(n =>
+      System.err.println(s"[bench] WARNING: stage '$n' missing from Bench.KnownStages — add it (wire budget)"))
+    val stageTotal = stages.map(_._2).sum
+    val stField = stages
+      .map { case (n, v) => "\"" + n + "\":" + math.round(v * 10) }
+      .mkString("{", ",", "}")
+    val total = clean.map(_._3).sum + stageTotal
     val firstTotal = clean.map(_._2).sum
     // Dispersion: the largest first/min ratio across queries. A high value
     // with a low min-total is pure warm-up (JIT/codegen on first touch); a
@@ -437,19 +474,27 @@ object Bench {
     System.err.println(s"[bench] first-run total: ${r1(firstTotal)} s, " +
       s"dispersion: ${r1(maxOverMin)}, load1: ${r1(load1)}, " +
       s"steal_pct: ${r1(stealPct)}")
-    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${jarr(_._3)},"e":${failed.size},"ov":$overClamp,"sat":${saturated.size},"cp":$cpuRatio,"ca":${r3(calib)},"sf":"$sfName"}"""
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${jarr(_._3)},"e":${failed.size},"ov":$overClamp,"sat":${saturated.size},"st":$stField,"cp":$cpuRatio,"ca":${r3(calib)},"sf":"$sfName"}"""
     // A failed query's "min" is time-to-throw, not a timing — the detail
     // file records -1 there (ok:false already flags it; the sentinel
     // keeps non-timings out of anything that aggregates the min column).
     // Each row also carries the query's task-metric deltas (all runs
     // combined): run_ms/gc_ms/fetch_ms/spill_b/sread_b/swrite_b/tasks.
     val mkeys = Seq("run_ms", "cpu_ms", "gc_ms", "fetch_ms", "spill_b", "sread_b", "swrite_b", "tasks")
-    val detail = results.map { r =>
+    // Each query row carries `built`: the stages whose build its first
+    // run paid (empty for memo readers) — with the trailing `stages`
+    // record (exact per-stage build seconds), per-query numbers stay
+    // interpretable under cross-query stage reuse (ADVICE r11 item 1).
+    val stageRow = s"""{"stages":{${stages.map { case (n, v) =>
+      "\"" + n + "\":" + v }.mkString(",")}}}"""
+    val detail = (results.map { r =>
       val ms = metrics.getOrElse(r._1, Seq.fill(mkeys.size)(-1L))
       val (jit, cheap) = jvmMetrics.getOrElse(r._1, (-1L, -1L))
       val mjson = mkeys.zip(ms).map { case (k, v) => s""""$k":$v""" }.mkString(",")
-      s"""{"query":"${r._1}","first":${r._2},"min":${if (r._4) r._3 else -1},"ok":${r._4},$mjson,"jit_ms":$jit,"codeheap_b":$cheap}"""
-    }.mkString("[", ",", "]")
+      val built = builtBy.getOrElse(r._1, Nil)
+        .map("\"" + _ + "\"").mkString("[", ",", "]")
+      s"""{"query":"${r._1}","first":${r._2},"min":${if (r._4) r._3 else -1},"ok":${r._4},$mjson,"jit_ms":$jit,"codeheap_b":$cheap,"built":$built}"""
+    } :+ stageRow).mkString("[", ",", "]")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
         "/root/repo/bench_detail.json")),

@@ -281,8 +281,14 @@ object CorpusQueries extends QueryModule {
       tkOf(delta0)
         .select(col("doc_id").as("new_id"),
           expr(LlmQueries.shinglesSql("tk")).as("sh"))
+        // sorted-ascending keys, sorted ONCE per doc at build: both the
+        // q249 verify and the q250 self-probe count overlaps with the
+        // zero-allocation merge scan (sorted_intersect_count) — the
+        // same per-pair cost class the r9 q161 measurement replaced
+        // array_intersect's per-row hash set with (~38 µs/pair at
+        // millions of pairs)
         .select(col("new_id"), size(col("sh")).as("dsz"),
-          expr("transform(sh, x -> fnv64(x))").as("dhs"))
+          expr("array_sort(transform(sh, x -> fnv64(x)))").as("dhs"))
         .localCheckpoint()
     }
 
@@ -303,22 +309,30 @@ object CorpusQueries extends QueryModule {
     // STORED probe artifact a pipeline keeps between batches (the q129
     // scaladoc's "materialized index"), not per-batch work — without
     // the memo the x10 probe measured 14.9 s/run re-exploding and
-    // re-df-counting the corpus on every admission
+    // re-df-counting the corpus on every admission. Retained as GROUPED
+    // POSTINGS (h, array<doc>) — rows = distinct cold keys, each array
+    // bounded by the df cap — never the exploded Σdf (key, doc) rows
+    // the r11 memo held live for the whole suite (the one corpus-row-
+    // multiple retention; StageMemoSpec asserts the bound). hs is
+    // distinct per doc, so size(docs) IS the key's document frequency.
     val cidx = StageMemo(s, dir, "shingle_index") {
-      val raw = idx.select(col("doc_id").as("corpus_id"),
-        explode(col("hs")).as("h"))
-      val cold = raw.groupBy(col("h")).agg(count(lit(1)).as("df"))
-        .filter(col("df") <= LlmQueries.ShingleDfCap).select(col("h"))
-      raw.join(cold, Seq("h"), "left_semi").localCheckpoint()
+      idx.select(col("doc_id").as("corpus_id"), explode(col("hs")).as("h"))
+        .groupBy(col("h")).agg(collect_list(col("corpus_id")).as("docs"))
+        .filter(size(col("docs")) <= LlmQueries.ShingleDfCap)
+        .localCheckpoint()
     }
     val cand = dsets.select(col("new_id"), explode(col("dhs")).as("h"))
       .join(cidx, Seq("h"))
-      .select(col("new_id"), col("corpus_id")).distinct()
+      .select(col("new_id"), explode(col("docs")).as("corpus_id")).distinct()
     val links = cand
       .join(dsets, Seq("new_id"))
-      .join(idx.select(col("doc_id").as("corpus_id"), col("sz"), col("hs")),
-        Seq("corpus_id"))
-      .withColumn("inter", size(array_intersect(col("dhs"), col("hs"))))
+      // array_sort computed map-side on the corpus side of the join,
+      // once per corpus doc per run (idx stays the unsorted shared
+      // stage — minhash/jaccard consumers are order-free), so the
+      // per-PAIR verify below is the codegen'd merge scan
+      .join(idx.select(col("doc_id").as("corpus_id"), col("sz"),
+        array_sort(col("hs")).as("hs")), Seq("corpus_id"))
+      .withColumn("inter", expr("sorted_intersect_count(dhs, hs)"))
       .filter(col("inter") / (col("dsz") + col("sz") - col("inter")) >= 0.5)
       .join(clusters.select(col("doc_id").as("corpus_id"), col("cluster")),
         Seq("corpus_id"), "left")
@@ -437,6 +451,7 @@ object CorpusQueries extends QueryModule {
     // the batch's own index, the a<b self-join, and two joins against
     // the batch-sized admission record.
     "q250_admission_debt" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s) // sorted_intersect_count
       val adm = incrementalClusters(s, dir)
       val dsets = admissionDeltaSets(s, dir)
       val didx = dsets.select(col("new_id"), explode(col("dhs")).as("h"))
@@ -452,7 +467,7 @@ object CorpusQueries extends QueryModule {
           col("dhs").as("ha")), Seq("doc_a"))
         .join(dsets.select(col("new_id").as("doc_b"), col("dsz").as("szb"),
           col("dhs").as("hb")), Seq("doc_b"))
-        .withColumn("inter", size(array_intersect(col("ha"), col("hb"))))
+        .withColumn("inter", expr("sorted_intersect_count(ha, hb)"))
         .withColumn("jac", col("inter") / (col("sza") + col("szb") - col("inter")))
         .filter(col("jac") >= 0.5)
         .join(adm.select(col("doc_id").as("doc_a"), col("cluster").as("ca")),
@@ -3396,11 +3411,16 @@ object CorpusQueries extends QueryModule {
     * frames. k1=1.2, b=0.75; idf is the Robertson-Sparck Jones
     * ln((N - df + 0.5) / (df + 0.5)). floor(x + 0.5) rather than
     * round(): identical half-up for the possibly-negative contribution
-    * in both engines. */
+    * in both engines. Every constant is an E-NOTATION literal (0.5E0),
+    * which both engines parse as DOUBLE — a bare 0.5 is DECIMAL in
+    * both, and their decimal-promotion/division-rounding rules differ
+    * (the q104 drift class; ADVICE r11), so the mixed-decimal form
+    * could flip the hash on a 1-ulp boundary. This way the whole
+    * expression is pure IEEE double in both engines. */
   private val bm25MicroSql: String =
-    "CAST(floor((ln((n_docs - df + 0.5) / (df + 0.5))" +
-      " * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl" +
-      " / (CAST(tot_dl AS DOUBLE) / n_docs)))) * 1000000 + 0.5) AS BIGINT)"
+    "CAST(floor((ln((n_docs - df + 0.5E0) / (df + 0.5E0))" +
+      " * (tf * 2.2E0) / (tf + 1.2E0 * (1E0 - 0.75E0 + 0.75E0 * dl" +
+      " / (CAST(tot_dl AS DOUBLE) / n_docs)))) * 1000000 + 0.5E0) AS BIGINT)"
 
   /** The q249/q250 oracle's shared chain (body of a WITH RECURSIVE):
     * q59's stored cluster truth over the planted corpus, the

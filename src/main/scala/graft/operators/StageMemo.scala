@@ -40,13 +40,28 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * (SparkContext, dir, stage) — a different scale factor or a fresh
   * session never aliases. Entries from stopped contexts are purged on
   * every access; frames are stage-output-sized (docs, pairs, signatures,
-  * vocab), never raw-corpus-row multiples, with the one documented
-  * exception of shingle_index (exploded key rows — the probe artifact
-  * itself), so retention is bounded.
+  * vocab, grouped postings), never raw-corpus-row multiples — the r11
+  * exception (shingle_index's exploded Σdf posting rows) is gone: it
+  * retains df-capped (h, array<doc>) postings, rows = distinct cold
+  * keys. A long-lived session spanning several dirs can still
+  * accumulate entries; [[release]] drops one dir's stages explicitly
+  * (unpersisting is unnecessary — localCheckpoint blocks are reaped by
+  * ContextCleaner once the frames are unreferenced and a GC runs).
   */
 private[graft] object StageMemo {
   private final case class Entry(sc: SparkContext, df: DataFrame)
   private val cache = new ConcurrentHashMap[String, Entry]()
+
+  // Per-stage EXCLUSIVE build seconds (a nested build's time is
+  // subtracted from its parent's), accumulated since the last
+  // [[resetBuildTimes]]. This is what lets the bench price every
+  // memoized artifact exactly ONCE in its graded total (r11 verdict:
+  // min-of-runs + cross-run memo meant stage builds appeared ZERO
+  // times in the reported value): Bench drains this map into explicit
+  // stage rows. Mutated only under the build monitor below.
+  private val buildSecs =
+    scala.collection.mutable.LinkedHashMap.empty[String, Double]
+  private var childStack: List[Double] = Nil
 
   /** Build-or-reuse the named stage. `build` MUST return an already
     * materialized frame (localCheckpoint) — the memo stores the frame
@@ -69,11 +84,42 @@ private[graft] object StageMemo {
       val again = cache.get(key)
       if (again != null) again.df
       else {
+        // time the build EXCLUSIVE of nested stage builds (pair_clusters
+        // builds on the ngram_pairs memo): each frame on the stack
+        // accumulates its children's wall time, subtracted on pop, so
+        // Σ buildTimes is the true whole-chain cost with nothing
+        // double-counted. Builds serialize under this monitor, so the
+        // plain vars are safe.
+        childStack ::= 0.0
+        val t0 = System.nanoTime()
         val df = build
+        val elapsed = (System.nanoTime() - t0) / 1e9
+        val childSum = childStack.head
+        childStack = childStack.tail
+        if (childStack.nonEmpty)
+          childStack = (childStack.head + elapsed) :: childStack.tail
+        buildSecs(stage) = buildSecs.getOrElse(stage, 0.0) + (elapsed - childSum)
         cache.put(key, Entry(sc, df))
         df
       }
     }
+  }
+
+  /** Exclusive build seconds per stage since the last reset, in build
+    * order — the bench's stage-pricing feed. */
+  private[graft] def buildTimes: Seq[(String, Double)] =
+    this.synchronized { buildSecs.toSeq }
+
+  private[graft] def resetBuildTimes(): Unit =
+    this.synchronized { buildSecs.clear() }
+
+  /** Drop every stage memoized for `dir` (all contexts): the explicit
+    * eviction path for a long-lived session spanning several dirs /
+    * scale factors — checkpoint blocks are reaped by ContextCleaner
+    * once the dropped frames are unreferenced. */
+  private[graft] def release(dir: String): Unit = {
+    val it = cache.keySet().iterator()
+    while (it.hasNext) if (it.next().contains("|" + dir + "|")) it.remove()
   }
 
   /** Test hook: drop everything (forces rebuilds). */

@@ -36,7 +36,12 @@ class BenchFormatSpec extends AnyFunSuite {
     // the gitignored detail file for.
     val cpuRatio = short.sortBy(-_.length).take(1)
       .map(n => "\"" + n + "\":9.99").mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":99999.999,"unit":"sec","queries":$entries,"e":999,"ov":$overClamp,"sat":999,"cp":$cpuRatio,"ca":99.999,"sf":"sf0.1"}"""
+    // st (stage pricing, round 12): every StageMemo build listed at
+    // unclamped deciseconds — worst case is ALL known stages built in
+    // one run at 4-digit width (999.9 s each, far past anything real).
+    val stField = Bench.KnownStages
+      .map(n => "\"" + n + "\":9999").mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":99999.999,"unit":"sec","queries":$entries,"e":999,"ov":$overClamp,"sat":999,"st":$stField,"cp":$cpuRatio,"ca":99.999,"sf":"sf0.1"}"""
     // 2000-char tail minus what actually FOLLOWS the line in the
     // capture: the tail truncates from the FRONT, so only post-line
     // content eats budget — measured, that is sbt's single

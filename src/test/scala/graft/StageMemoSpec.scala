@@ -86,6 +86,68 @@ class StageMemoSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(again.count() == 4 && inner == 1)
   }
 
+  test("build times are EXCLUSIVE of nested builds — nothing double-counted in the bench's stage pricing") {
+    // Bench prices each artifact once by summing these; if a parent's
+    // time included its nested child's, the chain would be charged
+    // twice (the r11 verdict's pricing finding, inverted).
+    StageMemo.reset()
+    StageMemo.resetBuildTimes()
+    StageMemo(spark, "/tmp/dirT", "outerT") {
+      val in = StageMemo(spark, "/tmp/dirT", "innerT") {
+        Thread.sleep(300)
+        spark.range(0, 4).toDF("id").localCheckpoint()
+      }
+      Thread.sleep(50)
+      in.localCheckpoint()
+    }
+    val bt = StageMemo.buildTimes.toMap
+    assert(bt.keySet == Set("outerT", "innerT"))
+    assert(bt("innerT") >= 0.3, s"inner build time ${bt("innerT")} must include its own sleep")
+    assert(bt("outerT") < 0.3, s"outer exclusive time ${bt("outerT")} must EXCLUDE the nested 300 ms build")
+    assert(bt("outerT") >= 0.05)
+    // memo reads never add build time
+    StageMemo(spark, "/tmp/dirT", "innerT") { fail("memo hit expected"); null }
+    assert(StageMemo.buildTimes.toMap == bt)
+    StageMemo.resetBuildTimes()
+    assert(StageMemo.buildTimes.isEmpty)
+  }
+
+  test("release(dir) evicts exactly that dir's stages") {
+    StageMemo.reset()
+    StageMemo(spark, "/tmp/dirR1", "s1") { spark.range(0, 1).toDF("id").localCheckpoint() }
+    StageMemo(spark, "/tmp/dirR2", "s1") { spark.range(0, 2).toDF("id").localCheckpoint() }
+    StageMemo.release("/tmp/dirR1")
+    assert(StageMemo.size == 1)
+    var rebuilt = 0
+    StageMemo(spark, "/tmp/dirR1", "s1") {
+      rebuilt += 1; spark.range(0, 1).toDF("id").localCheckpoint()
+    }
+    assert(rebuilt == 1, "released entry must rebuild")
+    StageMemo(spark, "/tmp/dirR2", "s1") { fail("dirR2 must survive the release"); null }
+  }
+
+  test("no memo entry retains exploded corpus-row multiples: shingle_index is grouped df-capped postings") {
+    // r11 verdict item 2: the exploded (key, doc) posting rows were the
+    // one corpus-row-multiple retention — the first memory ceiling at a
+    // larger local sf. The stored artifact is now (h, array<doc>) with
+    // rows = distinct cold keys and every array bounded by the df cap.
+    StageMemo.reset()
+    val dir = "/root/testdata/sf0.001"
+    SparkEntry.queries("q249_incremental_components")(spark, dir).count()
+    val idx = StageMemo(spark, dir, "shingle_index") {
+      fail("shingle_index must already be memoized by q249"); null
+    }
+    assert(idx.columns.toSet == Set("h", "docs"))
+    assert(idx.schema("docs").dataType.typeName == "array",
+      "postings must be grouped to arrays, not exploded rows")
+    import org.apache.spark.sql.functions.{countDistinct, max, size => asize}
+    val row = idx.agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)),
+      countDistinct(org.apache.spark.sql.functions.col("h")),
+      max(asize(org.apache.spark.sql.functions.col("docs")))).head()
+    assert(row.getLong(0) == row.getLong(1), "exactly one row per distinct key")
+    assert(row.getInt(2) <= 256, "every posting array bounded by the df cap")
+  }
+
   test("the pair-graph consumers share one materialized stage end-to-end") {
     // q59 (clusters) then q188 (health): both sit on the memoized pairs
     // + clusters; after the first the memo holds the stage and the
