@@ -157,10 +157,23 @@ object Pq2Json {
       // (`converter.rs:296-302`) — the sampled footers carry the
       // distinction into the render options. Unreadable footers are
       // skipped like the codec pre-check.
-      val u64Paths = sampleFiles(new java.io.File(a.input)).flatMap { p =>
-        scala.util.Try(ParquetMetadata.unsignedInt64Paths(p))
-          .getOrElse(Set.empty[String])
-      }.toSet
+      val u64Sampled = sampleFiles(new java.io.File(a.input)).flatMap { p =>
+        scala.util.Try(ParquetMetadata.unsignedInt64Paths(p)).toOption
+          .map(p -> _)
+      }
+      val u64Paths = u64Sampled.flatMap(_._2).toSet
+      // The verdict is a single column-path set applied to the WHOLE
+      // directory; a dump mixing files where the same path is UINT64 in
+      // one and plain INT64/true decimal in another would render ALL
+      // rows unsigned. Homogeneous dumps (one writer config) are the
+      // contract — but footer DISAGREEMENT is observable for free here,
+      // so warn instead of silently unioning (ADVICE r11).
+      for {
+        path <- u64Paths
+        (file, set) <- u64Sampled if !set.contains(path)
+      } System.err.println(s"WARNING: column path '$path' is UINT64 in " +
+        s"some sampled footers but not in $file; rendering it unsigned " +
+        "for ALL rows — re-encode the dump with one writer config")
       val opts = a.opts.copy(unsignedPaths = u64Paths)
       val df = spark.read.parquet(a.input)
       val rendered =

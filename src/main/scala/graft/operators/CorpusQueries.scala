@@ -207,12 +207,21 @@ object CorpusQueries extends QueryModule {
     * (q244/q248 on the training dictionary, q252 on a drift cohort):
     * chained map-side literal replaces against the broadcast 1-row wide
     * merge frame, then symbols = spaces - 1. */
-  private[graft] def bpeEncodeDict(s: SparkSession, dir: String,
-      words: DataFrame, rounds: Int): DataFrame = {
+  /** The frozen merge table as ONE wide row (l1/r1..lN/rN, missing
+    * rounds as the unmatchable ''-pattern) — the broadcast-able form
+    * every encode path rides: [[bpeEncodeDict]] here, and q255's
+    * streaming cold-path encode of vocabulary-miss words. */
+  private[graft] def bpeWideMerges(s: SparkSession, dir: String,
+      rounds: Int = BpeRounds): DataFrame = {
     val wideCols = (1 to rounds).flatMap(r => Seq(
       coalesce(max(when(col("round") === r, col("lhs"))), lit("")).as(s"l$r"),
       coalesce(max(when(col("round") === r, col("rhs"))), lit("")).as(s"r$r")))
-    val wide = bpeMerges(s, dir).agg(wideCols.head, wideCols.tail: _*)
+    bpeMerges(s, dir).agg(wideCols.head, wideCols.tail: _*)
+  }
+
+  private[graft] def bpeEncodeDict(s: SparkSession, dir: String,
+      words: DataFrame, rounds: Int): DataFrame = {
+    val wide = bpeWideMerges(s, dir, rounds)
     val encoded = (1 to rounds).foldLeft(
       words.crossJoin(broadcast(wide)).withColumn("seq",
         concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 ")))) {
@@ -223,6 +232,50 @@ object CorpusQueries extends QueryModule {
       (length(col("seq")) - length(regexp_replace(col("seq"), " ", "")) - 1)
         .cast("long").as("n_sym"))
   }
+
+  /** The stored LEXICAL-INDEX artifact (q251 ranks against it, q254
+    * folds a delta batch into it): grouped term postings
+    * (w, df, cf, posting array<struct<d, t>>) — rows = distinct terms,
+    * df = documents containing w (posting length), cf = total corpus
+    * occurrences. Grouped arrays per the StageMemo retention policy
+    * (no exploded corpus-row multiples live across the suite); readers
+    * explode map-side. At 100 TB this is the posting-list table every
+    * retrieval system keeps between batches — built once per index
+    * era, read per query/batch. */
+  private[graft] def bm25Postings(s: SparkSession, dir: String): DataFrame =
+    StageMemo(s, dir, "bm25_postings") {
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(expr(toksSql)).as("w"))
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+        .groupBy(col("w")).agg(
+          count(lit(1)).as("df"),
+          sum(col("tf")).cast("long").as("cf"),
+          collect_list(struct(col("doc_id").as("d"), col("tf").as("t")))
+            .as("posting"))
+        .localCheckpoint()
+    }
+
+  /** The artifact's doc-length side (doc_id, dl) — derived from the
+    * postings memo (no second corpus scan), docs-sized. */
+  private[graft] def bm25DocLens(s: SparkSession, dir: String): DataFrame =
+    StageMemo(s, dir, "bm25_doclen") {
+      bm25Postings(s, dir)
+        .select(explode(col("posting")).as("e"))
+        .groupBy(col("e.d").as("doc_id"))
+        .agg(sum(col("e.t")).cast("long").as("dl"))
+        .localCheckpoint()
+    }
+
+  /** The frozen 8-term query derived from the BASE index (terms ranked
+    * 51-58 by corpus frequency — q251's derivation, read off the
+    * postings artifact's cf column instead of a corpus re-scan). */
+  private[graft] def bm25QueryTerms(s: SparkSession, dir: String): DataFrame =
+    bm25Postings(s, dir)
+      .select(col("w"), col("cf").as("c"))
+      .orderBy(col("c").desc, col("w").asc).limit(58)
+      .localCheckpoint() // rank slice below re-sorts the tiny frame
+      .orderBy(col("c").asc, col("w").desc).limit(8)
+      .select(col("w"))
 
   /** The q59 near-dup component labeling as a memoized SHARED STAGE
     * ([[StageMemo]]): q59/q135/q163/q188 all consume the same
@@ -479,6 +532,61 @@ object CorpusQueries extends QueryModule {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // --- EXACT-SUBSTRING dedup at suffix granularity (q253): the
+    // published dedup tier between q116 (strip EVERY duplicated 8-gram
+    // position) and q195 (CDC chunk granularity) — Lee et al. 2022
+    // ("Deduplicating Training Data Makes Language Models Better")
+    // removes only substrings of >= L tokens that occur twice anywhere
+    // in the corpus, which their suffix array finds as maximal repeated
+    // extents. The distributed stand-in: duplicated-8-gram RUN
+    // extension — a length-L repeated substring is exactly a run of
+    // L-7 consecutive duplicated 8-gram starts, so per doc the covered
+    // positions of duplicated grams merge gaps-and-islands style
+    // (pos - row_number() over the per-doc position order) into
+    // maximal spans, and only spans >= L=30 tokens are reported as
+    // removable. Planted truth: for each %10==6 doc, an excerpt doc
+    // (+60000) shares the source's first 40 tokens and then diverges
+    // into 5 doc-unique tokens — both sides must report the 40-token
+    // span; natural short-boilerplate runs stay under L and are NOT
+    // stripped (the precision q116 gives up). Scale: occurrence-keyed
+    // like q116 (a df-heavy gram costs df cover rows, never df²); the
+    // island window partitions by doc_id — state bounded by doc
+    // length, never corpus-sized; the hot-gram table shuffles on gram.
+    "q253_exact_substring_spans" -> ((s, dir) => {
+      val base = Tables(s, dir, "documents")
+        .select(col("doc_id"), expr(toksSql).as("tk"))
+      val planted = base.filter(col("doc_id") % 10 === 6)
+        .select((col("doc_id") + 60000).as("doc_id"),
+          concat(expr("slice(tk, 1, 40)"),
+            expr("transform(sequence(1, 5), i -> concat('uq', " +
+              "CAST(doc_id + 60000 AS STRING), '_', CAST(i AS STRING)))"))
+            .as("tk"))
+      val corpus = base.unionByName(planted)
+      val grams = corpus
+        .select(col("doc_id"),
+          posexplode(expr(gramsSql("tk", 8, distinct = false)))
+            .as(Seq("p0", "gram")))
+        .select(col("doc_id"), (col("p0") + 1).as("start"), col("gram"))
+      val hot = grams.groupBy(col("gram")).agg(count(lit(1)).as("n_occ"))
+        .filter(col("n_occ") > 1).select(col("gram"))
+      val cover = grams.join(hot, Seq("gram"), "left_semi")
+        .select(col("doc_id"),
+          explode(sequence(col("start"), col("start") + 7)).as("pos"))
+        .distinct()
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      cover
+        .withColumn("grp", col("pos") - row_number().over(w))
+        .groupBy(col("doc_id"), col("grp"))
+        .agg(min(col("pos")).as("span_start"), max(col("pos")).as("span_end"))
+        .withColumn("span_len", col("span_end") - col("span_start") + 1)
+        .filter(col("span_len") >= 30)
+        .select(col("doc_id"),
+          col("span_start").cast("long").as("span_start"),
+          col("span_end").cast("long").as("span_end"),
+          col("span_len").cast("long").as("span_len"))
+        .orderBy(col("doc_id"), col("span_start"))
+    }),
+
     // --- leakage-safe train/valid/test split: the split is assigned per
     // DUPLICATE CLUSTER, not per document, so near-duplicates can never
     // straddle a split boundary (the classic eval-contamination leak:
@@ -594,25 +702,88 @@ object CorpusQueries extends QueryModule {
     // floating sum-order trap never opens. ln itself follows the q61
     // precedent (JVM vs libm agree through the grid at these
     // magnitudes; the tri-scale sweep is the net).
-    // Scale: tf/dl are two map-side-combined groupBys; the 8-term query
-    // and its df counts broadcast; top-20 is TakeOrderedAndProject —
-    // one corpus-sized exchange on (doc_id, w), nothing corpus².
+    // Scale: the tf/dl index build is the memoized [[bm25Postings]] /
+    // [[bm25DocLens]] stage (one corpus-sized exchange on (doc_id, w),
+    // priced once as the stored artifact); the query itself touches
+    // only the 8 broadcast terms' postings; top-20 is
+    // TakeOrderedAndProject — nothing corpus².
     "q251_bm25" -> ((s, dir) => {
-      val t = Tables(s, dir, "documents")
-        .select(col("doc_id"), explode(expr(toksSql)).as("w"))
-      val tf = t.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
-      val dl = t.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      // Round 12: ranks against the memoized [[bm25Postings]] artifact
+      // (+ [[bm25DocLens]]) instead of re-tokenizing the corpus — the
+      // index is a stored stage output at 100 TB (q254 maintains it),
+      // so the per-query cost is: broadcast the 8 query terms, explode
+      // only THEIR postings (8×df rows), one doc-keyed join, top-20.
+      val post = bm25Postings(s, dir)
+      val dl = bm25DocLens(s, dir)
       val st = dl.agg(count(lit(1)).as("n_docs"),
         sum(col("dl")).cast("long").as("tot_dl"))
-      val top58 = t.groupBy(col("w")).agg(count(lit(1)).as("c"))
-        .orderBy(col("c").desc, col("w").asc).limit(58)
-        .localCheckpoint() // rank slice below re-sorts the tiny frame
-      val qt = top58.orderBy(col("c").asc, col("w").desc).limit(8)
-        .select(col("w"))
-      val dfreq = tf.join(broadcast(qt), Seq("w"))
-        .groupBy(col("w")).agg(count(lit(1)).as("df"))
-      tf.join(broadcast(dfreq), Seq("w"))
-        .join(dl, Seq("doc_id"))
+      val qt = bm25QueryTerms(s, dir)
+      val tf = post.join(broadcast(qt), Seq("w"))
+        .select(col("w"), col("df"), explode(col("posting")).as("e"))
+        .select(col("w"), col("df"),
+          col("e.d").as("doc_id"), col("e.t").as("tf"))
+      tf.join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(st))
+        .withColumn("micro", expr(bm25MicroSql))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("micro")).as("m"))
+        .orderBy(col("m").desc, col("doc_id").asc).limit(20)
+        .select(col("doc_id"),
+          (col("m").cast("double") / lit(1000000.0)).as("bm25"))
+    }),
+
+    // --- INCREMENTAL BM25 index maintenance (q254): the lexical
+    // artifact's admission path — the q249 discipline applied to the
+    // q251 index. A delta batch arrives; the STORED stats (postings,
+    // doc lengths, collection totals) are never rebuilt: the batch is
+    // tokenized once (O(batch)), its df/dl/n_docs/tot_dl deltas FOLD
+    // into the stored values by the stats' own combine algebra
+    // (df: +, tot_dl: +, n_docs: + — the q206 merge shape), and the
+    // merged ranking scores base docs from stored posting rows + delta
+    // docs from batch rows under the folded globals. The DuckDB oracle
+    // is a FULL RECOMPUTE over base ∪ delta (query terms frozen from
+    // the BASE index — the artifact decides the vocabulary), so the
+    // hash gate IS the proof that merged-stats ranking ≡ full
+    // recompute (the q206 proof shape, lifted to ranking). Scale:
+    // nothing corpus-sized moves — base work is 8 posting-array reads;
+    // delta work is one batch-sized exchange; the contribution join
+    // shuffles 8×df(merged) rows.
+    "q254_incremental_bm25" -> ((s, dir) => {
+      val post = bm25Postings(s, dir)
+      val dl = bm25DocLens(s, dir)
+      // arriving batch: %10==3 docs trimmed by 3 tokens, ids +50000
+      // (disjoint from the corpus and every other planted slice)
+      val delta = Tables(s, dir, "documents")
+        .filter(col("doc_id") % 10 === 3)
+        .select((col("doc_id") + 50000).as("doc_id"), expr(toksSql).as("tk0"))
+        .select(col("doc_id"),
+          expr("slice(tk0, 1, greatest(size(tk0) - 3, 1))").as("tk"))
+      val dtok = delta.select(col("doc_id"), explode(col("tk")).as("w"))
+      val dtf = dtok.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+        .localCheckpoint() // consumed by ddf + the merged tf union
+      val ddl = dtok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+        .localCheckpoint() // consumed by dstat + the merged dl union
+      // folded collection stats: stored totals + batch deltas
+      val st = dl.agg(count(lit(1)).as("n0"), sum(col("dl")).cast("long").as("t0"))
+        .crossJoin(ddl.agg(count(lit(1)).as("dn"),
+          sum(col("dl")).cast("long").as("dt")))
+        .select((col("n0") + col("dn")).as("n_docs"),
+          (col("t0") + col("dt")).as("tot_dl"))
+      val qt = bm25QueryTerms(s, dir) // FROZEN from the base artifact
+      val qpost = post.join(broadcast(qt), Seq("w")).localCheckpoint()
+      // folded per-term df: stored posting length + delta doc count
+      val mdf = qpost.select(col("w"), col("df").as("bdf"))
+        .join(dtf.join(broadcast(qt), Seq("w"))
+          .groupBy(col("w")).agg(count(lit(1)).as("ddf")), Seq("w"), "left")
+        .select(col("w"),
+          (col("bdf") + coalesce(col("ddf"), lit(0L))).as("df"))
+      val mtf = qpost
+        .select(col("w"), explode(col("posting")).as("e"))
+        .select(col("w"), col("e.d").as("doc_id"), col("e.t").as("tf"))
+        .unionByName(dtf.join(broadcast(qt), Seq("w"))
+          .select(col("w"), col("doc_id"), col("tf")))
+      mtf.join(broadcast(mdf), Seq("w"))
+        .join(dl.unionByName(ddl), Seq("doc_id"))
         .crossJoin(broadcast(st))
         .withColumn("micro", expr(bm25MicroSql))
         .groupBy(col("doc_id"))
@@ -3372,7 +3543,7 @@ object CorpusQueries extends QueryModule {
     * DuckDB inlines un-hinted CTEs per reference — the q230 exponential-
     * plan lesson). Primitives mirror the engine 1:1: string_split pair
     * zip, (pair_freq DESC, lhs, rhs) argmax, ''-guarded literal replace. */
-  private def bpeOracleCtes: String = {
+  private[graft] def bpeOracleCtes: String = {
     val head =
       """w AS MATERIALIZED (
         |  SELECT w AS word, COUNT(*) AS freq FROM (
@@ -3556,6 +3727,79 @@ object CorpusQueries extends QueryModule {
         |       FROM dl),
         |top58 AS MATERIALIZED (
         |  SELECT w, COUNT(*) AS c FROM t GROUP BY 1
+        |  ORDER BY c DESC, w LIMIT 58),
+        |qt AS MATERIALIZED (
+        |  SELECT w FROM top58 ORDER BY c ASC, w DESC LIMIT 8),
+        |dfreq AS MATERIALIZED (
+        |  SELECT tf.w, COUNT(*) AS df FROM tf JOIN qt USING (w) GROUP BY 1),
+        |contrib AS (
+        |  SELECT tf.doc_id, $bm25MicroSql AS micro
+        |  FROM tf JOIN dfreq ON dfreq.w = tf.w
+        |  JOIN dl ON dl.doc_id = tf.doc_id
+        |  CROSS JOIN st),
+        |sc AS (SELECT doc_id, SUM(micro) AS m FROM contrib GROUP BY 1)
+        |SELECT doc_id, CAST(m AS DOUBLE) / 1000000.0 AS bm25
+        |FROM sc ORDER BY m DESC, doc_id LIMIT 20""".stripMargin,
+
+    // row-level re-derivation of the planted-excerpt corpus, the
+    // duplicated-8-gram cover, and the gaps-and-islands span merge
+    "q253_exact_substring_spans" ->
+      """WITH tk AS MATERIALIZED (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents),
+        |corpus AS (
+        |  SELECT doc_id, t FROM tk
+        |  UNION ALL
+        |  SELECT doc_id + 60000,
+        |    t[1:40] || list_transform(range(1, 6),
+        |      i -> concat('uq', doc_id + 60000, '_', i))
+        |  FROM tk WHERE doc_id % 10 = 6),
+        |grams AS MATERIALIZED (
+        |  SELECT doc_id, i AS start, array_to_string(t[i : i + 7], ' ') AS g
+        |  FROM corpus, UNNEST(generate_series(1, len(t) - 7)) AS u(i)
+        |  WHERE len(t) >= 8),
+        |hot AS (SELECT g FROM grams GROUP BY g HAVING COUNT(*) > 1),
+        |cover AS (
+        |  SELECT DISTINCT doc_id, start + o AS pos
+        |  FROM grams JOIN hot USING (g),
+        |    UNNEST(generate_series(0, 7)) AS v(o)),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |  FROM cover),
+        |spans AS (
+        |  SELECT doc_id, MIN(pos) AS span_start, MAX(pos) AS span_end,
+        |    MAX(pos) - MIN(pos) + 1 AS span_len
+        |  FROM isl GROUP BY doc_id, grp)
+        |SELECT doc_id, CAST(span_start AS BIGINT) AS span_start,
+        |  CAST(span_end AS BIGINT) AS span_end,
+        |  CAST(span_len AS BIGINT) AS span_len
+        |FROM spans WHERE span_len >= 30
+        |ORDER BY doc_id, span_start""".stripMargin,
+
+    // FULL RECOMPUTE over base ∪ delta with the query terms frozen
+    // from the BASE corpus — matching the engine's folded-stats path
+    // hash-for-hash is the merged≡recomputed proof (q206 shape).
+    "q254_incremental_bm25" ->
+      s"""WITH bt AS MATERIALIZED (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+        |  FROM documents),
+        |delta AS (
+        |  SELECT doc_id + 50000 AS doc_id,
+        |    tk[1:greatest(len(tk) - 3, 1)] AS tk
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
+        |        FROM documents WHERE doc_id % 10 = 3)),
+        |t AS MATERIALIZED (
+        |  SELECT * FROM bt
+        |  UNION ALL SELECT doc_id, unnest(tk) AS w FROM delta),
+        |tf AS MATERIALIZED (
+        |  SELECT doc_id, w, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+        |dl AS MATERIALIZED (
+        |  SELECT doc_id, COUNT(*) AS dl FROM t GROUP BY 1),
+        |st AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS tot_dl
+        |       FROM dl),
+        |top58 AS MATERIALIZED (
+        |  SELECT w, COUNT(*) AS c FROM bt GROUP BY 1
         |  ORDER BY c DESC, w LIMIT 58),
         |qt AS MATERIALIZED (
         |  SELECT w FROM top58 ORDER BY c ASC, w DESC LIMIT 8),

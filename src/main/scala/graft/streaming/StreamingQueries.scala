@@ -562,6 +562,34 @@ object StreamingQueries extends QueryModule {
       vectorAdmission(s, delta, cells, members)
         .select(col("vec_id"), col("cell"), col("mbr"), col("score"))
         .orderBy(col("vec_id"), col("mbr"))
+    }),
+
+    // --- streaming BPE drift monitor (q255): q252's frozen-merge-table
+    // drift audit moved to WHERE it alerts first — the ingestion
+    // stream. Per 1-hour event-time window of arriving docs: word
+    // count, BPE token count under the FROZEN q243 merges, fertility
+    // (half-up micro grid), and drift = fertility − the frozen
+    // training-corpus baseline — a domain shift in the feed reads as a
+    // sustained positive drift within one window (q242's discipline
+    // over the q244 encode). Arrival time is doc_id minutes past a
+    // fixed epoch (deterministic stand-in for ingestion time). Batch
+    // parity here; the MemoryStream run (two waves + a vocabulary-miss
+    // word driving the cold path) is in StreamingSpec.
+    "q255_stream_bpe_drift" -> ((s, dir) => {
+      import graft.operators.CorpusQueries
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          expr("timestampadd(MINUTE, CAST(doc_id AS INT), " +
+            "TIMESTAMP'2024-01-01 00:00:00')").as("ts"))
+      val enc = CorpusQueries.bpeEncodedVocab(s, dir)
+        .select(col("word"), col("n_sym")).localCheckpoint()
+      val baseline = CorpusQueries.bpeEncodedVocab(s, dir)
+        .agg(sum(col("freq")).cast("long").as("bw"),
+          sum(col("n_sym") * col("freq")).cast("long").as("bb"))
+        .select(expr("(2 * bb * 1000000 + bw) DIV (2 * bw)").as("base_micro"))
+      bpeDriftWindows(docs, enc,
+          CorpusQueries.bpeWideMerges(s, dir), baseline)
+        .orderBy(col("window_start"))
     })
   )
 
@@ -612,6 +640,46 @@ object StreamingQueries extends QueryModule {
           "DIV (2 * CAST(n_events AS DECIMAL(38,0)) * nb) AS BIGINT)"))
       .select(col("window.start").as("window_start"), col("n_events"),
         (col("ks_ppm").cast("double") / 1e6).as("ks"))
+  }
+
+  /** q255's builder over a (text, ts, …) doc frame — batch OR
+    * streaming. Per-word subword counts come from a stream-static LEFT
+    * join against the frozen ENCODED VOCABULARY (the deployed
+    * tokenizer's lookup table — broadcast, stateless), and words the
+    * vocabulary has never seen fall through to a COLD-PATH encode: the
+    * full chained-replace replay against the broadcast 1-row merge
+    * frame, per-row map work (this is what makes it a DRIFT monitor —
+    * novel-domain words are exactly the ones that miss the cache, and
+    * they are encoded, not dropped). The only stateful operator is the
+    * windowed aggregation (two long counters per open window); the
+    * baseline comparison joins AFTER the window closes against a
+    * broadcast 1-row frame. At 100 TB/day of feed: vocab and merges
+    * are index-era artifacts re-broadcast per micro-batch, window state
+    * is open-windows-bounded, nothing corpus-sized ever shuffles. */
+  def bpeDriftWindows(docs: DataFrame, enc: DataFrame, wide: DataFrame,
+      baseline: DataFrame): DataFrame = {
+    val rounds = graft.operators.CorpusQueries.BpeRounds
+    // " a b c " — regexp_replace already leaves a trailing space, so
+    // symbols = spaces − 1 (exactly bpeEncodeDict's convention)
+    val seq0 = "concat(' ', regexp_replace(word, '(.)', '$1 '))"
+    val seqN = (1 to rounds).foldLeft(seq0)((acc, r) =>
+      s"replace($acc, concat(' ', l$r, ' ', r$r, ' '), concat(' ', l$r, r$r, ' '))")
+    val cold = s"CAST(length($seqN) - length(replace($seqN, ' ', '')) - 1 AS BIGINT)"
+    docs
+      .select(col("ts"), explode(expr(graft.operators.LlmQueries.toksSql)).as("word"))
+      .join(broadcast(enc), Seq("word"), "left")
+      .crossJoin(broadcast(wide))
+      .withColumn("sym", coalesce(col("n_sym"), expr(cold)))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n_words"), sum(col("sym")).cast("long").as("n_bpe"))
+      .crossJoin(broadcast(baseline))
+      .withColumn("fm", expr("(2 * n_bpe * 1000000 + n_words) DIV (2 * n_words)"))
+      .select(col("window.start").as("window_start"), col("n_words"),
+        col("n_bpe"),
+        (col("fm").cast("double") / lit(1000000.0)).as("fertility"),
+        ((col("fm") - col("base_micro")).cast("double") / lit(1000000.0))
+          .as("drift"))
   }
 
   /** q247's builder: admit a (vec_id, v, ts) delta frame — batch OR
@@ -1030,7 +1098,45 @@ object StreamingQueries extends QueryModule {
         |      MAX(n_events)::HUGEINT * MAX(nb)) //
         |    (2 * MAX(n_events)::HUGEINT * MAX(nb)) AS BIGINT) AS DOUBLE)
         |    / 1000000.0 AS ks
-        |FROM j GROUP BY window_start ORDER BY window_start""".stripMargin
+        |FROM j GROUP BY window_start ORDER BY window_start""".stripMargin,
+
+    // replays BPE training (the shared CTE chain), encodes the corpus
+    // dictionary once (s8 per-word states), then re-derives the
+    // per-window word/token counts, the micro-grid fertility, and the
+    // drift against the corpus-wide baseline
+    "q255_stream_bpe_drift" -> {
+      import graft.operators.CorpusQueries.{bpeOracleCtes, BpeRounds}
+      s"""WITH $bpeOracleCtes,
+        |nsym AS MATERIALIZED (
+        |  SELECT word,
+        |    CAST(length(seq) - length(replace(seq, ' ', '')) - 1 AS BIGINT)
+        |      AS n_sym
+        |  FROM s$BpeRounds),
+        |basef AS (
+        |  SELECT CAST((2 * SUM(freq * n_sym)::HUGEINT * 1000000 + SUM(freq))
+        |    // (2 * SUM(freq)::HUGEINT) AS BIGINT) AS base_micro
+        |  FROM w JOIN nsym USING (word)),
+        |docw AS (
+        |  SELECT date_trunc('hour',
+        |      TIMESTAMP '2024-01-01 00:00:00' + to_minutes(doc_id))
+        |      AS window_start,
+        |    unnest(string_split_regex(trim(text), '\\s+')) AS word
+        |  FROM documents),
+        |wstat AS (
+        |  SELECT window_start, COUNT(*) AS n_words,
+        |    CAST(SUM(n_sym) AS BIGINT) AS n_bpe
+        |  FROM docw JOIN nsym USING (word) GROUP BY 1),
+        |fm AS (
+        |  SELECT window_start, n_words, n_bpe,
+        |    CAST((2 * n_bpe::HUGEINT * 1000000 + n_words)
+        |      // (2 * n_words::HUGEINT) AS BIGINT) AS fm
+        |  FROM wstat)
+        |SELECT window_start, n_words, n_bpe,
+        |  CAST(fm AS DOUBLE) / 1000000.0 AS fertility,
+        |  CAST(fm - base_micro AS DOUBLE) / 1000000.0 AS drift
+        |FROM fm CROSS JOIN basef
+        |ORDER BY window_start""".stripMargin
+    }
   )
 }
 

@@ -750,6 +750,70 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("q255 BPE drift monitor: streamed docs across micro-batches match the batch gate; vocab-miss words take the cold path") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    import graft.operators.CorpusQueries
+    val enc = CorpusQueries.bpeEncodedVocab(sp, dir)
+      .select(col("word"), col("n_sym")).localCheckpoint()
+    val wide = CorpusQueries.bpeWideMerges(sp, dir)
+    val baseline = CorpusQueries.bpeEncodedVocab(sp, dir)
+      .agg(org.apache.spark.sql.functions.sum(col("freq")).cast("long").as("bw"),
+        org.apache.spark.sql.functions.sum(expr("n_sym * freq")).cast("long").as("bb"))
+      .select(expr("(2 * bb * 1000000 + bw) DIV (2 * bw)").as("base_micro"))
+      .localCheckpoint()
+    // the gate's docs with the gate's derived arrival time, split into
+    // two waves by doc parity so every window MERGES counts across
+    // micro-batches (the stateful-agg path under test)
+    val base = ts("2024-01-01T00:00:00Z").getTime
+    val docs = Tables(sp, dir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => NewDoc(r.getLong(0), r.getString(1),
+        new Timestamp(base + r.getLong(0) * 60000L)))
+    val (half1, half2) = docs.partition(_.doc_id % 2 == 0)
+    val mem = MemoryStream[NewDoc]
+    val q = StreamingQueries.bpeDriftWindows(mem.toDF(), enc, wide, baseline)
+      .writeStream.format("memory").queryName("bpedrift")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      mem.addData(half1: _*)
+      q.processAllAvailable()
+      mem.addData(half2: _*)
+      q.processAllAvailable()
+      def shape(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+        (r.getTimestamp(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3), r.getDouble(4))).toSet
+      val streamed = shape(sp.table("bpedrift"))
+      val batch = shape(SparkEntry.queries("q255_stream_bpe_drift")(sp, dir))
+      assert(streamed == batch, "streamed window stats must equal the batch gate's")
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+    // COLD PATH: a word the frozen vocabulary has never seen must be
+    // ENCODED via the chained-replace replay (per-row map work), never
+    // dropped by the vocab join — that is what makes it a drift monitor.
+    val novel = "zqxjkwv"
+    assert(enc.filter(col("word") === novel).isEmpty,
+      "test word must miss the vocabulary")
+    val expected = CorpusQueries.bpeEncodeDict(sp, dir,
+        Seq((novel, 1L)).toDF("word", "freq"), CorpusQueries.BpeRounds)
+      .select(col("n_sym")).head().getLong(0)
+    val mem2 = MemoryStream[NewDoc]
+    val q2 = StreamingQueries.bpeDriftWindows(mem2.toDF(), enc, wide, baseline)
+      .writeStream.format("memory").queryName("bpedrift2")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      mem2.addData(NewDoc(1L, novel, ts("2024-01-01T05:00:00Z")))
+      q2.processAllAvailable()
+      val row = sp.table("bpedrift2").collect()
+      assert(row.length == 1)
+      assert(row(0).getLong(1) == 1L, "one word arrived")
+      assert(row(0).getLong(2) == expected,
+        s"cold-path encode must equal the dictionary replay ($expected)")
+    } finally q2.stop()
+  }
+
   test("mapGroupsWithState: custom running state per key across batches") {
     val sp = spark
     import sp.implicits._

@@ -60,7 +60,19 @@ def type_drift(name: str, out_dir: str, rel) -> str:
     files = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
     if not files:
         return ""
+    # Union decimal columns across ALL files of the dump (ADVICE r11):
+    # reading only files[0] would pass a multi-file dump whose later
+    # parts carry a drifted decimal schema. Footer reads are cheap, and
+    # per-file disagreement on a column's decimal-ness/scale is itself
+    # drift (the driver hashes every file's stringified rows).
     eng = decimal_cols(pq.read_schema(files[0]))
+    for f in files[1:]:
+        other = decimal_cols(pq.read_schema(f))
+        for c in set(eng) | set(other):
+            if eng.get(c, other.get(c)) != other.get(c, eng.get(c)):
+                return (f"type drift: column {c} is decimal{eng.get(c)} in "
+                        f"{files[0]} but decimal{other.get(c)} in {f}")
+        eng.update(other)
     # rel.types is the bound schema — no re-execution of the oracle SQL.
     ora = {}
     for c, t in zip(rel.columns, rel.types):

@@ -63,10 +63,23 @@ def main() -> int:
             "k": pa.array(["A"], pa.string()),
             "v": pa.array([52840.44], pa.float64()),
         }))
+        # Case 3 (must FAIL): MULTI-FILE dump where only the SECOND part
+        # carries the drifted decimal schema (ADVICE r11: a files[0]-only
+        # footer read passes this while the driver hash fails).
+        write_dump(out, "q_multifile", pa.table({
+            "k": pa.array(["A"], pa.string()),
+            "v": pa.array([1.25], pa.float64()),
+        }))
+        pq.write_table(pa.table({
+            "k": pa.array(["B"], pa.string()),
+            "v": pa.array([Decimal("2.250000")], pa.decimal128(27, 6)),
+        }), os.path.join(out, "q_multifile", "part-1.parquet"))
         with open(os.path.join(out, "oracle_sql.json"), "w") as f:
             json.dump({
                 "q_drift": "SELECT 'A' AS k, CAST(52840.44 AS DOUBLE) AS v",
                 "q_clean": "SELECT 'A' AS k, CAST(52840.44 AS DOUBLE) AS v",
+                "q_multifile": "SELECT 'A' AS k, CAST(1.25 AS DOUBLE) AS v "
+                               "UNION ALL SELECT 'B', CAST(2.25 AS DOUBLE)",
             }, f)
 
         r = run_tool(sf, out)
@@ -79,6 +92,10 @@ def main() -> int:
             ok = False
         if "PASS q_clean" not in r.stdout:
             print("EXPECTED 'PASS q_clean' in output")
+            ok = False
+        if "FAIL q_multifile: type drift" not in r.stdout:
+            print("EXPECTED 'FAIL q_multifile: type drift' (second-part "
+                  "schema drift must not hide behind files[0])")
             ok = False
         if not ok:
             print("--- tool stdout ---")
