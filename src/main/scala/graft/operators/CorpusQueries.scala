@@ -553,6 +553,7 @@ object CorpusQueries extends QueryModule {
     // island window partitions by doc_id — state bounded by doc
     // length, never corpus-sized; the hot-gram table shuffles on gram.
     "q253_exact_substring_spans" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s) // fnv64
       val base = Tables(s, dir, "documents")
         .select(col("doc_id"), expr(toksSql).as("tk"))
       val planted = base.filter(col("doc_id") % 10 === 6)
@@ -562,14 +563,20 @@ object CorpusQueries extends QueryModule {
               "CAST(doc_id + 60000 AS STRING), '_', CAST(i AS STRING)))"))
             .as("tk"))
       val corpus = base.unionByName(planted)
+      // grams FINGERPRINT to 64-bit keys map-side, BEFORE any exchange
+      // (Lee et al. hash too): the duplicate test only needs equality,
+      // and shuffling 8-byte keys instead of 8-word strings cuts the
+      // dominant exchange ~8x — the hot/cover shuffles both reuse the
+      // same keyed exchange. fnv64 so the oracle re-derives the keys.
       val grams = corpus
         .select(col("doc_id"),
           posexplode(expr(gramsSql("tk", 8, distinct = false)))
             .as(Seq("p0", "gram")))
-        .select(col("doc_id"), (col("p0") + 1).as("start"), col("gram"))
-      val hot = grams.groupBy(col("gram")).agg(count(lit(1)).as("n_occ"))
-        .filter(col("n_occ") > 1).select(col("gram"))
-      val cover = grams.join(hot, Seq("gram"), "left_semi")
+        .select(col("doc_id"), (col("p0") + 1).as("start"),
+          expr("fnv64(gram)").as("g"))
+      val hot = grams.groupBy(col("g")).agg(count(lit(1)).as("n_occ"))
+        .filter(col("n_occ") > 1).select(col("g"))
+      val cover = grams.join(hot, Seq("g"), "left_semi")
         .select(col("doc_id"),
           explode(sequence(col("start"), col("start") + 7)).as("pos"))
         .distinct()
@@ -3744,8 +3751,8 @@ object CorpusQueries extends QueryModule {
     // row-level re-derivation of the planted-excerpt corpus, the
     // duplicated-8-gram cover, and the gaps-and-islands span merge
     "q253_exact_substring_spans" ->
-      """WITH tk AS MATERIALIZED (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      s"""WITH tk AS MATERIALIZED (
+        |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
         |  FROM documents),
         |corpus AS (
         |  SELECT doc_id, t FROM tk
@@ -3755,9 +3762,11 @@ object CorpusQueries extends QueryModule {
         |      i -> concat('uq', doc_id + 60000, '_', i))
         |  FROM tk WHERE doc_id % 10 = 6),
         |grams AS MATERIALIZED (
-        |  SELECT doc_id, i AS start, array_to_string(t[i : i + 7], ' ') AS g
-        |  FROM corpus, UNNEST(generate_series(1, len(t) - 7)) AS u(i)
-        |  WHERE len(t) >= 8),
+        |  SELECT doc_id, start, ${LlmQueries.fnvSqlOf("gram")} AS g
+        |  FROM (
+        |    SELECT doc_id, i AS start, array_to_string(t[i : i + 7], ' ') AS gram
+        |    FROM corpus, UNNEST(generate_series(1, len(t) - 7)) AS u(i)
+        |    WHERE len(t) >= 8)),
         |hot AS (SELECT g FROM grams GROUP BY g HAVING COUNT(*) > 1),
         |cover AS (
         |  SELECT DISTINCT doc_id, start + o AS pos
