@@ -568,6 +568,13 @@ object CorpusQueries extends QueryModule {
       // and shuffling 8-byte keys instead of 8-word strings cuts the
       // dominant exchange ~8x — the hot/cover shuffles both reuse the
       // same keyed exchange. fnv64 so the oracle re-derives the keys.
+      // NOT materialized despite 2 consumers (hot census + cover
+      // probe): measured, the checkpoint write+read of the gram stream
+      // costs MORE than recomputing the map-side tokenize→gram→hash
+      // pipeline (x10 probe: 3.6 s recompute vs 6.0 s checkpointed) —
+      // the two consumers shuffle on the same key anyway, so at scale
+      // ReusedExchange dedupes the heavy exchange whenever the hot
+      // side is not broadcast.
       val grams = corpus
         .select(col("doc_id"),
           posexplode(expr(gramsSql("tk", 8, distinct = false)))

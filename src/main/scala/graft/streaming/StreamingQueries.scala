@@ -581,9 +581,11 @@ object StreamingQueries extends QueryModule {
         .select(col("doc_id"), col("text"),
           expr("timestampadd(MINUTE, CAST(doc_id AS INT), " +
             "TIMESTAMP'2024-01-01 00:00:00')").as("ts"))
-      val enc = CorpusQueries.bpeEncodedVocab(s, dir)
-        .select(col("word"), col("n_sym")).localCheckpoint()
-      val baseline = CorpusQueries.bpeEncodedVocab(s, dir)
+      // the encoded vocabulary materializes ONCE; the lookup cache and
+      // the corpus-fertility baseline both derive from it
+      val enc0 = CorpusQueries.bpeEncodedVocab(s, dir).localCheckpoint()
+      val enc = enc0.select(col("word"), col("n_sym"))
+      val baseline = enc0
         .agg(sum(col("freq")).cast("long").as("bw"),
           sum(col("n_sym") * col("freq")).cast("long").as("bb"))
         .select(expr("(2 * bb * 1000000 + bw) DIV (2 * bw)").as("base_micro"))

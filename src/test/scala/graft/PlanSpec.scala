@@ -1000,6 +1000,40 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("BroadcastHashJoin"), p.take(4000))
   }
 
+  test("q253 substring spans: occurrence-keyed (no pair join), island window partitioned by doc") {
+    val p = plan("q253_exact_substring_spans")
+    // duplicate detection is a census + semi-join on the 64-bit gram
+    // key — never a doc-pair join, never a cartesian
+    assert(!p.contains("CartesianProduct"), p.take(4000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(4000))
+    // the gaps-and-islands window must be per-doc (bounded by doc
+    // length), never a global sort of the cover stream
+    assert(p.contains("hashpartitioning(doc_id"), p.take(4000))
+    assert(p.contains("Window"), p.take(4000))
+  }
+
+  test("q254 incremental BM25: stored-artifact reads + broadcast folds, top-20 bounded") {
+    val p = plan("q254_incremental_bm25")
+    // merged ranking: query terms / folded df / folded totals all ride
+    // broadcasts; the only exchanges are the batch tokenize and the
+    // final per-doc agg — nothing sort-merges, top-20 never global-sorts
+    assert(p.contains("TakeOrderedAndProject"), p.take(4000))
+    assert(p.contains("BroadcastHashJoin"), p.take(4000))
+    assert(!p.contains("SortMergeJoin"), p.take(4000))
+    assert(!p.contains("CartesianProduct"), p.take(4000))
+  }
+
+  test("q255 BPE drift: vocab lookup broadcast, one windowed agg, no sort-merge") {
+    val p = plan("q255_stream_bpe_drift")
+    // the streaming-safe shape: stream side is scan->explode->broadcast
+    // left join (vocab cache)->map-side encode; the only stateful
+    // operator is the windowed aggregation
+    assert(p.contains("BroadcastHashJoin LeftOuter"), p.take(4000))
+    assert(!p.contains("SortMergeJoin"), p.take(4000))
+    assert(!p.contains("CartesianProduct"), p.take(4000))
+    assert(p.contains("hashpartitioning(window"), p.take(4000))
+  }
+
   test("q234 SQ8 / q235 unseen mass: stats broadcast, no window, map-side combine") {
     val p = plan("q234_sq8_audit")
     assert(p.contains("BroadcastHashJoin"), p.take(4000))
