@@ -807,6 +807,54 @@ object CorpusQueries extends QueryModule {
           (col("m").cast("double") / lit(1000000.0)).as("bm25"))
     }),
 
+    // --- DECREMENTAL BM25 index maintenance (q256): the RTBF side of
+    // q254 — a right-to-be-forgotten batch (q216's governance shape)
+    // must leave the STORED index as if the deleted docs had never
+    // been ingested, without a rebuild. The stored stats UN-fold by
+    // the same combine algebra (n_docs/tot_dl subtract the deleted
+    // docs' STORED doc lengths; per-term df and posting rows drop via
+    // one anti-join on the 8 query terms' postings only), and the
+    // ranking runs under the folded-down globals. The oracle is a full
+    // recompute over the surviving corpus with the query terms frozen
+    // from the PRE-DELETION artifact (the deployed query workload does
+    // not change because docs were erased), so the hash gate proves
+    // deletion-folded ranking ≡ rebuild-without-them — together with
+    // q254 the artifact is FULLY DYNAMIC. Scale: deletion keys are one
+    // batch-sized frame; base work is 8 posting-array reads + one
+    // anti-join; nothing corpus-sized recomputes. A term whose posting
+    // empties simply contributes no rows (df never divides by zero —
+    // the +0.5 smoothing is in the shared formula).
+    "q256_decremental_bm25" -> ((s, dir) => {
+      val post = bm25Postings(s, dir)
+      val dl = bm25DocLens(s, dir)
+      val del = Tables(s, dir, "documents")
+        .filter(col("doc_id") % 10 === 9).select(col("doc_id"))
+        .localCheckpoint() // consumed by the stats fold + the anti-join
+      // folded globals: subtract the deleted docs' STORED lengths
+      val st = dl.agg(count(lit(1)).as("n0"),
+          sum(col("dl")).cast("long").as("t0"))
+        .crossJoin(dl.join(del, Seq("doc_id"), "left_semi")
+          .agg(count(lit(1)).as("dn"), sum(col("dl")).cast("long").as("dt")))
+        .select((col("n0") - col("dn")).as("n_docs"),
+          (col("t0") - col("dt")).as("tot_dl"))
+      val qt = bm25QueryTerms(s, dir) // FROZEN from the pre-deletion index
+      val tf = post.join(broadcast(qt), Seq("w"))
+        .select(col("w"), explode(col("posting")).as("e"))
+        .select(col("w"), col("e.d").as("doc_id"), col("e.t").as("tf"))
+        .join(del, Seq("doc_id"), "left_anti") // the erasure itself
+        .localCheckpoint() // consumed by the df re-count + the scoring
+      val mdf = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      tf.join(broadcast(mdf), Seq("w"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(st))
+        .withColumn("micro", expr(bm25MicroSql))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("micro")).as("m"))
+        .orderBy(col("m").desc, col("doc_id").asc).limit(20)
+        .select(col("doc_id"),
+          (col("m").cast("double") / lit(1000000.0)).as("bm25"))
+    }),
+
     // --- bigram counts (language-model-style n-gram statistics): the
     // bigram array is built from fused slices (one pass per row — see
     // LlmQueries.shinglesSql on why not positional lambdas), exploded,
@@ -3792,6 +3840,36 @@ object CorpusQueries extends QueryModule {
         |  CAST(span_len AS BIGINT) AS span_len
         |FROM spans WHERE span_len >= 30
         |ORDER BY doc_id, span_start""".stripMargin,
+
+    // FULL RECOMPUTE over the surviving corpus with query terms frozen
+    // from the pre-deletion corpus — matching the engine's
+    // deletion-folded path proves erasure ≡ rebuild-without-them.
+    "q256_decremental_bm25" ->
+      s"""WITH bt AS MATERIALIZED (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+        |  FROM documents),
+        |t AS MATERIALIZED (SELECT * FROM bt WHERE doc_id % 10 <> 9),
+        |tf AS MATERIALIZED (
+        |  SELECT doc_id, w, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+        |dl AS MATERIALIZED (
+        |  SELECT doc_id, COUNT(*) AS dl FROM t GROUP BY 1),
+        |st AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS tot_dl
+        |       FROM dl),
+        |top58 AS MATERIALIZED (
+        |  SELECT w, COUNT(*) AS c FROM bt GROUP BY 1
+        |  ORDER BY c DESC, w LIMIT 58),
+        |qt AS MATERIALIZED (
+        |  SELECT w FROM top58 ORDER BY c ASC, w DESC LIMIT 8),
+        |dfreq AS MATERIALIZED (
+        |  SELECT tf.w, COUNT(*) AS df FROM tf JOIN qt USING (w) GROUP BY 1),
+        |contrib AS (
+        |  SELECT tf.doc_id, $bm25MicroSql AS micro
+        |  FROM tf JOIN dfreq ON dfreq.w = tf.w
+        |  JOIN dl ON dl.doc_id = tf.doc_id
+        |  CROSS JOIN st),
+        |sc AS (SELECT doc_id, SUM(micro) AS m FROM contrib GROUP BY 1)
+        |SELECT doc_id, CAST(m AS DOUBLE) / 1000000.0 AS bm25
+        |FROM sc ORDER BY m DESC, doc_id LIMIT 20""".stripMargin,
 
     // FULL RECOMPUTE over base ∪ delta with the query terms frozen
     // from the BASE corpus — matching the engine's folded-stats path
