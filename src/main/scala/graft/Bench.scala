@@ -104,7 +104,7 @@ object Bench {
     "ngram_pairs", "pair_clusters", "shingle_sets", "shingle_index",
     "delta_sets", "incr_admission", "sem_cells", "sem_members",
     "bpe_merges", "subword_counts", "simhash_docs", "simhash_pairs",
-    "bm25_postings", "bm25_doclen")
+    "bm25_postings", "bm25_termstats", "bm25_doclen")
 
   private val B62 =
     "0123456789abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"

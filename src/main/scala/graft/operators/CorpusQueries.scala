@@ -233,13 +233,26 @@ object CorpusQueries extends QueryModule {
         .cast("long").as("n_sym"))
   }
 
+  /** Posting-block stride: every stored posting row holds at most one
+    * doc-id stride's worth of entries, so a stop word's posting (df ≈
+    * corpus size at 100 TB) becomes df/8192 BOUNDED rows instead of one
+    * corpus-sized array — the row-size skew bomb a (w, full-array)
+    * layout plants in the stored artifact (same failure class as the
+    * uncapped shingle index, row bytes instead of pair count). Blocking
+    * by `doc_id DIV stride` (not a window rank) needs NO per-term
+    * ordering — the groupBy stays one partial-agged exchange — and
+    * keeps each block's doc ids clustered, which is what segment-local
+    * delta/erasure maintenance wants. */
+  private[graft] val Bm25BlockStride = 8192L
+
   /** The stored LEXICAL-INDEX artifact (q251 ranks against it, q254
-    * folds a delta batch into it): grouped term postings
-    * (w, df, cf, posting array<struct<d, t>>) — rows = distinct terms,
-    * df = documents containing w (posting length), cf = total corpus
-    * occurrences. Grouped arrays per the StageMemo retention policy
+    * folds a delta batch into it, q256 erases from it): BLOCKED term
+    * postings (w, blk, posting array<struct<d, t>>) — rows = term ×
+    * touched-block pairs, every array ≤ [[Bm25BlockStride]] entries by
+    * construction. Grouped arrays per the StageMemo retention policy
     * (no exploded corpus-row multiples live across the suite); readers
-    * explode map-side. At 100 TB this is the posting-list table every
+    * explode map-side — a join on w picks up all of a term's blocks.
+    * At 100 TB this is the segmented posting-list table every
     * retrieval system keeps between batches — built once per index
     * era, read per query/batch. */
   private[graft] def bm25Postings(s: SparkSession, dir: String): DataFrame =
@@ -247,11 +260,23 @@ object CorpusQueries extends QueryModule {
       Tables(s, dir, "documents")
         .select(col("doc_id"), explode(expr(toksSql)).as("w"))
         .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+        .groupBy(col("w"), expr(s"doc_id DIV $Bm25BlockStride").as("blk"))
+        .agg(collect_list(struct(col("doc_id").as("d"), col("tf").as("t")))
+          .as("posting"))
+        .localCheckpoint()
+    }
+
+  /** The artifact's per-term collection statistics (w, df, cf) — rows =
+    * distinct terms, derived from the blocked postings by one light
+    * terms×blocks aggregation (never a corpus re-scan). df = documents
+    * containing w, cf = total corpus occurrences. */
+  private[graft] def bm25TermStats(s: SparkSession, dir: String): DataFrame =
+    StageMemo(s, dir, "bm25_termstats") {
+      bm25Postings(s, dir)
         .groupBy(col("w")).agg(
-          count(lit(1)).as("df"),
-          sum(col("tf")).cast("long").as("cf"),
-          collect_list(struct(col("doc_id").as("d"), col("tf").as("t")))
-            .as("posting"))
+          sum(size(col("posting"))).cast("long").as("df"),
+          sum(expr("aggregate(posting, 0L, (a, e) -> a + e.t)"))
+            .cast("long").as("cf"))
         .localCheckpoint()
     }
 
@@ -268,9 +293,9 @@ object CorpusQueries extends QueryModule {
 
   /** The frozen 8-term query derived from the BASE index (terms ranked
     * 51-58 by corpus frequency — q251's derivation, read off the
-    * postings artifact's cf column instead of a corpus re-scan). */
+    * term-stats artifact instead of a corpus re-scan). */
   private[graft] def bm25QueryTerms(s: SparkSession, dir: String): DataFrame =
-    bm25Postings(s, dir)
+    bm25TermStats(s, dir)
       .select(col("w"), col("cf").as("c"))
       .orderBy(col("c").desc, col("w").asc).limit(58)
       .localCheckpoint() // rank slice below re-sorts the tiny frame
@@ -732,10 +757,12 @@ object CorpusQueries extends QueryModule {
       val st = dl.agg(count(lit(1)).as("n_docs"),
         sum(col("dl")).cast("long").as("tot_dl"))
       val qt = bm25QueryTerms(s, dir)
+      val qdf = bm25TermStats(s, dir).join(broadcast(qt), Seq("w"))
+        .select(col("w"), col("df"))
       val tf = post.join(broadcast(qt), Seq("w"))
-        .select(col("w"), col("df"), explode(col("posting")).as("e"))
-        .select(col("w"), col("df"),
-          col("e.d").as("doc_id"), col("e.t").as("tf"))
+        .select(col("w"), explode(col("posting")).as("e"))
+        .select(col("w"), col("e.d").as("doc_id"), col("e.t").as("tf"))
+        .join(broadcast(qdf), Seq("w"))
       tf.join(dl, Seq("doc_id"))
         .crossJoin(broadcast(st))
         .withColumn("micro", expr(bm25MicroSql))
@@ -785,8 +812,9 @@ object CorpusQueries extends QueryModule {
           (col("t0") + col("dt")).as("tot_dl"))
       val qt = bm25QueryTerms(s, dir) // FROZEN from the base artifact
       val qpost = post.join(broadcast(qt), Seq("w")).localCheckpoint()
-      // folded per-term df: stored posting length + delta doc count
-      val mdf = qpost.select(col("w"), col("df").as("bdf"))
+      // folded per-term df: stored term stat + delta doc count
+      val mdf = bm25TermStats(s, dir).join(broadcast(qt), Seq("w"))
+        .select(col("w"), col("df").as("bdf"))
         .join(dtf.join(broadcast(qt), Seq("w"))
           .groupBy(col("w")).agg(count(lit(1)).as("ddf")), Seq("w"), "left")
         .select(col("w"),

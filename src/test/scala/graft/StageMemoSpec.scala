@@ -148,6 +148,26 @@ class StageMemoSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(row.getInt(2) <= 256, "every posting array bounded by the df cap")
   }
 
+  test("bm25_postings rows are BLOCKED: no term stores one unbounded array") {
+    // A stop word's posting is corpus-sized at scale; the stored
+    // artifact blocks by doc-id stride so every row is bounded by
+    // construction (the row-size analogue of the shingle df cap).
+    StageMemo.reset()
+    val dir = "/root/testdata/sf0.001"
+    SparkEntry.queries("q251_bm25")(spark, dir).count()
+    val post = StageMemo(spark, dir, "bm25_postings") {
+      fail("bm25_postings must already be memoized by q251"); null
+    }
+    assert(post.columns.toSet == Set("w", "blk", "posting"))
+    import org.apache.spark.sql.functions.{col, expr, max, size => asize}
+    val row = post.agg(max(asize(col("posting"))),
+      max(expr("aggregate(posting, 0L, (a, e) -> " +
+        s"a + IF(e.d DIV ${graft.operators.CorpusQueries.Bm25BlockStride} = blk, 0L, 1L))"))).head()
+    assert(row.getInt(0) <= graft.operators.CorpusQueries.Bm25BlockStride,
+      "every posting block bounded by the stride")
+    assert(row.getLong(1) == 0L, "every entry lives in its own doc-id block")
+  }
+
   test("the pair-graph consumers share one materialized stage end-to-end") {
     // q59 (clusters) then q188 (health): both sit on the memoized pairs
     // + clusters; after the first the memo holds the stage and the
