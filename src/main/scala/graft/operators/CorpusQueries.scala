@@ -578,7 +578,6 @@ object CorpusQueries extends QueryModule {
     // island window partitions by doc_id — state bounded by doc
     // length, never corpus-sized; the hot-gram table shuffles on gram.
     "q253_exact_substring_spans" -> ((s, dir) => {
-      graft.functions.GraftFunctions.register(s) // fnv64
       val base = Tables(s, dir, "documents")
         .select(col("doc_id"), expr(toksSql).as("tk"))
       val planted = base.filter(col("doc_id") % 10 === 6)
@@ -587,42 +586,7 @@ object CorpusQueries extends QueryModule {
             expr("transform(sequence(1, 5), i -> concat('uq', " +
               "CAST(doc_id + 60000 AS STRING), '_', CAST(i AS STRING)))"))
             .as("tk"))
-      val corpus = base.unionByName(planted)
-      // grams FINGERPRINT to 64-bit keys map-side, BEFORE any exchange
-      // (Lee et al. hash too): the duplicate test only needs equality,
-      // and shuffling 8-byte keys instead of 8-word strings cuts the
-      // dominant exchange ~8x — the hot/cover shuffles both reuse the
-      // same keyed exchange. fnv64 so the oracle re-derives the keys.
-      // NOT materialized despite 2 consumers (hot census + cover
-      // probe): measured, the checkpoint write+read of the gram stream
-      // costs MORE than recomputing the map-side tokenize→gram→hash
-      // pipeline (x10 probe: 3.6 s recompute vs 6.0 s checkpointed) —
-      // the two consumers shuffle on the same key anyway, so at scale
-      // ReusedExchange dedupes the heavy exchange whenever the hot
-      // side is not broadcast.
-      val grams = corpus
-        .select(col("doc_id"),
-          posexplode(expr(gramsSql("tk", 8, distinct = false)))
-            .as(Seq("p0", "gram")))
-        .select(col("doc_id"), (col("p0") + 1).as("start"),
-          expr("fnv64(gram)").as("g"))
-      val hot = grams.groupBy(col("g")).agg(count(lit(1)).as("n_occ"))
-        .filter(col("n_occ") > 1).select(col("g"))
-      val cover = grams.join(hot, Seq("g"), "left_semi")
-        .select(col("doc_id"),
-          explode(sequence(col("start"), col("start") + 7)).as("pos"))
-        .distinct()
-      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      cover
-        .withColumn("grp", col("pos") - row_number().over(w))
-        .groupBy(col("doc_id"), col("grp"))
-        .agg(min(col("pos")).as("span_start"), max(col("pos")).as("span_end"))
-        .withColumn("span_len", col("span_end") - col("span_start") + 1)
-        .filter(col("span_len") >= 30)
-        .select(col("doc_id"),
-          col("span_start").cast("long").as("span_start"),
-          col("span_end").cast("long").as("span_end"),
-          col("span_len").cast("long").as("span_len"))
+      substringSpans(s, base.unionByName(planted), minLen = 30)
         .orderBy(col("doc_id"), col("span_start"))
     }),
 
@@ -3503,6 +3467,47 @@ object CorpusQueries extends QueryModule {
         expr("array_join(filter(tk, (x, i) -> NOT array_contains(cps, i)), ' ')"))
       .select(col("doc_id"), col("n_tok"), col("dup_tok"),
         col("dup_frac"), col("clean_text"))
+  }
+
+  /** q253's engine over a (doc_id, tk) frame, factored so ScaleSpec can
+    * drive planted span geometries: every token position covered by a
+    * duplicated 8-gram (>= 2 occurrences anywhere in the corpus, WITHIN
+    * a doc included) merges gaps-and-islands into maximal per-doc
+    * spans; spans of >= minLen tokens are the removable substrings.
+    * Grams fingerprint to fnv64 BEFORE the exchange (equality is all
+    * the census needs; 8-byte keys, not 8-word strings). NOT
+    * materialized despite the gram stream's 2 consumers (hot census +
+    * cover probe): measured, the checkpoint write+read costs MORE than
+    * recomputing the map-side tokenize→gram→hash pipeline (x10 probe:
+    * 3.6 s recompute vs 6.0 s checkpointed), and both consumers shuffle
+    * on the same key, so ReusedExchange dedupes the heavy exchange
+    * whenever the hot side is not broadcast. */
+  private[graft] def substringSpans(s: SparkSession, corpus: DataFrame,
+      minLen: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(s) // fnv64
+    val grams = corpus
+      .select(col("doc_id"),
+        posexplode(expr(gramsSql("tk", 8, distinct = false)))
+          .as(Seq("p0", "gram")))
+      .select(col("doc_id"), (col("p0") + 1).as("start"),
+        expr("fnv64(gram)").as("g"))
+    val hot = grams.groupBy(col("g")).agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") > 1).select(col("g"))
+    val cover = grams.join(hot, Seq("g"), "left_semi")
+      .select(col("doc_id"),
+        explode(sequence(col("start"), col("start") + 7)).as("pos"))
+      .distinct()
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    cover
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("span_start"), max(col("pos")).as("span_end"))
+      .withColumn("span_len", col("span_end") - col("span_start") + 1)
+      .filter(col("span_len") >= minLen)
+      .select(col("doc_id"),
+        col("span_start").cast("long").as("span_start"),
+        col("span_end").cast("long").as("span_end"),
+        col("span_len").cast("long").as("span_len"))
   }
 
   /** q75's candidate join, pre-residual — factored so ScaleSpec can

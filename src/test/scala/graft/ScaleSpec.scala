@@ -394,6 +394,39 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cand == 9985L, s"candidate count $cand != 9985")
   }
 
+  test("q253 substring spans: the L threshold admits exactly the >=L passages; within-doc repeats count; positions exact") {
+    import graft.operators.CorpusQueries
+    // Planted geometry on disjoint token namespaces (no accidental
+    // 8-gram collisions): docs 1/2 share a 37-token passage at
+    // DIFFERENT offsets (span start must track each doc's own
+    // positions), docs 3/4 share a 29-token passage (one below the
+    // L=30 threshold), doc 5 repeats a 15-token phrase WITHIN itself
+    // (Lee et al. count same-doc occurrences as duplicates too).
+    def toks(p: String, n: Int) = (1 to n).map(i => s"$p$i")
+    val sh = toks("s", 37); val t29 = toks("t", 29); val p15 = toks("p", 15)
+    val sp = spark
+    import sp.implicits._
+    val d = Seq(
+      (1L, (sh ++ toks("a", 5)).mkString(" ")),
+      (2L, (toks("b", 5) ++ sh).mkString(" ")),
+      (3L, (t29 ++ toks("c", 5)).mkString(" ")),
+      (4L, (toks("d", 5) ++ t29).mkString(" ")),
+      (5L, (p15 ++ toks("e", 10) ++ p15).mkString(" ")))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), expr("split(trim(text), '\\\\s+')").as("tk"))
+    def spans(minLen: Int) = CorpusQueries.substringSpans(spark, d, minLen)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(spans(30) == Set((1L, 1L, 37L, 37L), (2L, 6L, 42L, 37L)),
+      "only the 37-token passage clears L=30, at each doc's own offsets")
+    assert(spans(10) == Set(
+      (1L, 1L, 37L, 37L), (2L, 6L, 42L, 37L),
+      (3L, 1L, 29L, 29L), (4L, 6L, 34L, 29L),
+      (5L, 1L, 15L, 15L), (5L, 26L, 40L, 15L)),
+      "at L=10 the 29-token pair AND both within-doc repeats surface")
+  }
+
   test("q116 span-strip: every-doc boilerplate costs linear cover, strips exactly") {
     import graft.operators.CorpusQueries
     // 2000 docs, each = one corpus-wide 8-token boilerplate prefix + a
