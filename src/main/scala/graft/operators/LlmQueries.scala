@@ -482,9 +482,14 @@ object LlmQueries extends QueryModule {
     // one-row-per-doc stage, or the tokenize->bigram->hash pipeline
     // runs three times (same rationale as [[shingleSets]]; the prefix
     // self-join's two sides dedupe via ReusedExchange on their own).
-    // localCheckpoint per the repo convention: blocks are reaped by
-    // ContextCleaner with the frame instead of outliving the query in
-    // the CacheManager (the r7 leak class).
+    // NOT StageMemo'd (considered and rejected, round 12): q161 is this
+    // frame's ONLY gate consumer (q168's probe indexes the RAW corpus,
+    // not the planted one), and the memo policy requires 2+ consumers —
+    // a single-consumer memo would only move q161's build off its
+    // reported min, the self-granted-exemption class ADVICE r11 warned
+    // about. localCheckpoint per the repo convention: blocks are reaped
+    // by ContextCleaner with the frame instead of outliving the query
+    // in the CacheManager (the r7 leak class).
     tokenSetsOf(s, plantedNear(s, dir)
         .repartition(s.sparkContext.defaultParallelism))
       .localCheckpoint()
