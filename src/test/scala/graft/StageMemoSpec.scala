@@ -168,6 +168,26 @@ class StageMemoSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(row.getLong(1) == 0L, "every entry lives in its own doc-id block")
   }
 
+  test("the gate's stage inventory matches Bench.KnownStages exactly (wire-budget tripwire)") {
+    // BenchFormatSpec budgets the `st` wire field at KnownStages' width
+    // and Bench warns at runtime on unknown names; this test makes the
+    // drift a FAILURE: running one representative consumer per stage
+    // family must build exactly the known inventory — a new StageMemo
+    // call site (or a renamed stage) fails here before it can overflow
+    // the wire tail or ship unpriced.
+    StageMemo.reset()
+    StageMemo.resetBuildTimes()
+    val dir = "/root/testdata/sf0.001"
+    for (q <- Seq("q59_dedup_clusters", "q243_bpe_merges",
+        "q245_incremental_semdedup", "q249_incremental_components",
+        "q152_simhash_pairs", "q165_subword_tokens", "q251_bm25"))
+      SparkEntry.queries(q)(spark, dir).count()
+    val built = StageMemo.buildTimes.map(_._1).toSet
+    assert(built == Bench.KnownStages.toSet,
+      s"stage inventory drift — built-but-unknown: ${(built -- Bench.KnownStages).toSeq.sorted}; " +
+        s"known-but-unbuilt: ${(Bench.KnownStages.toSet -- built).toSeq.sorted}")
+  }
+
   test("the pair-graph consumers share one materialized stage end-to-end") {
     // q59 (clusters) then q188 (health): both sit on the memoized pairs
     // + clusters; after the first the memo holds the stage and the
