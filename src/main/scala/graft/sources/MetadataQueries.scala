@@ -46,9 +46,9 @@ object MetadataQueries extends QueryModule {
         |  ('lineitem', 'l_tax', 'real'),
         |  ('lineitem', 'l_returnflag', 'string'),
         |  ('lineitem', 'l_linestatus', 'string'),
-        |  ('lineitem', 'l_shipdate', 'datetime'),
+        |  ('lineitem', 'l_shipdate', 'long'),
         |  ('events', 'event_id', 'long'),
-        |  ('events', 'ts', 'datetime'),
+        |  ('events', 'ts', 'long'),
         |  ('events', 'user_id', 'long'),
         |  ('events', 'event_type', 'string'),
         |  ('events', 'value', 'real'),

@@ -48,12 +48,16 @@ object ParquetMetadata {
     * INT32/INT64-backed DECIMAL -> `real` while BYTE_ARRAY/FIXED-backed
     * DECIMAL -> `decimal`, and any group (nested) type -> `dynamic`.
     *
-    * Documented divergence: the reference's parquet crate only sees legacy
-    * ConvertedTypes, for which naive (isAdjustedToUTC=false) and NANOS
-    * timestamps have no representation — it reports those INT64 columns as
-    * `long`. We read the modern LogicalTypeAnnotation and map every
-    * Timestamp annotation to `datetime`, which is the CSL-correct
-    * projection the `schema.rs:99` case expresses.
+    * Timestamp fidelity (divergence CLOSED, round 12): the reference's
+    * parquet crate sees only legacy ConvertedTypes, for which naive
+    * (isAdjustedToUTC=false) and NANOS timestamps have no representation —
+    * it reports those INT64 columns as `long` (`schema.rs:99-101` matches
+    * TIMESTAMP_MILLIS|TIMESTAMP_MICROS, everything else falls to `long`).
+    * parquet-mr synthesizes `Timestamp(isAdjustedToUTC=true, MILLIS|MICROS)`
+    * from exactly those two ConvertedTypes when reading legacy files, so
+    * requiring adjusted-UTC MILLIS/MICROS here reproduces the reference's
+    * visibility rule bug-for-bug on both legacy and modern files: a naive
+    * or NANOS timestamp column maps to `long`.
     */
   def cslSchema(path: String): Seq[CslColumn] = {
     val (meta, _) = footer(path)
@@ -84,9 +88,16 @@ object ParquetMetadata {
           else if (is(classOf[LogicalTypeAnnotation.DecimalLogicalTypeAnnotation])) "real" // :95
           else "int" // :96
         case PTN.INT64 =>
-          if (is(classOf[LogicalTypeAnnotation.TimestampLogicalTypeAnnotation])) "datetime" // :99
-          else if (is(classOf[LogicalTypeAnnotation.DecimalLogicalTypeAnnotation])) "real" // :100
-          else "long" // :101
+          ann match {
+            // :99 — only the two legacy-visible ConvertedTypes
+            case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
+                if ts.isAdjustedToUTC &&
+                  ts.getUnit != LogicalTypeAnnotation.TimeUnit.NANOS =>
+              "datetime"
+            case _: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
+              "real" // :100
+            case _ => "long" // :101 — incl. naive/NANOS timestamps
+          }
         case PTN.INT96 => "datetime" // :103
         case _ => "dynamic"
       }
@@ -105,7 +116,11 @@ object ParquetMetadata {
         case StringType => "string"
         case d: DecimalType => if (d.precision <= 18) "real" else "decimal"
         case FloatType | DoubleType => "real"
-        case DateType | TimestampType | TimestampNTZType => "datetime"
+        // TimestampNTZType writes naive (isAdjustedToUTC=false) micros —
+        // legacy-invisible, so the reference reports `long` (see
+        // [[fieldCslType]]'s INT64 arm)
+        case DateType | TimestampType => "datetime"
+        case TimestampNTZType => "long"
         case ByteType | ShortType | IntegerType => "int"
         case LongType => "long"
         case _ => "dynamic" // nested, binary, anything else — schema.rs:86,107
