@@ -103,7 +103,7 @@ object Bench {
   val KnownStages: Seq[String] = Seq(
     "ngram_pairs", "pair_clusters", "shingle_sets", "shingle_index",
     "delta_sets", "incr_admission", "sem_cells", "sem_members",
-    "bpe_merges", "subword_counts", "simhash_docs", "simhash_pairs",
+    "bpe_merges", "bpe_vocab", "subword_counts", "simhash_docs", "simhash_pairs",
     "bm25_postings", "bm25_termstats", "bm25_doclen")
 
   private val B62 =

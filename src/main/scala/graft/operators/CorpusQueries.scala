@@ -182,18 +182,27 @@ object CorpusQueries extends QueryModule {
     * merge table — [[BpeRounds]] chained literal replaces against the
     * broadcast 1-row wide merge frame (missing rounds coalesce to the
     * unmatchable ''-pattern), then symbols = spaces - 1. Map-side per
-    * word; the only exchange is the dictionary collapse itself. */
+    * word; the only exchange is the dictionary collapse itself.
+    * Memoized ("bpe_vocab", round 12): 2+ gate consumers (q244's
+    * encoding audit, q255's lookup cache + baseline) read the SAME
+    * full-rounds encoded dictionary — at 100 TB it is the deployed
+    * tokenizer's vocab table, stored once per index era. */
   private[graft] def bpeEncodedVocab(s: SparkSession, dir: String): DataFrame =
-    bpeEncodedVocabAt(s, dir, BpeRounds)
+    StageMemo(s, dir, "bpe_vocab") {
+      bpeEncodeDict(s, dir, corpusWordDict(s, dir), BpeRounds)
+        .localCheckpoint()
+    }
 
   /** [[bpeEncodedVocab]] truncated to the FIRST `rounds` merges — the
     * q248 vocabulary-size sweep encodes the same dictionary under each
     * merge-budget prefix (a merge table is prefix-closed: the first r
     * merges of an 8-round table ARE the r-round table, because each
-    * round's argmax depends only on earlier merges). */
+    * round's argmax depends only on earlier merges). The full-rounds
+    * point reads the shared memo. */
   private[graft] def bpeEncodedVocabAt(s: SparkSession, dir: String,
       rounds: Int): DataFrame =
-    bpeEncodeDict(s, dir, corpusWordDict(s, dir), rounds)
+    if (rounds == BpeRounds) bpeEncodedVocab(s, dir)
+    else bpeEncodeDict(s, dir, corpusWordDict(s, dir), rounds)
 
   /** The corpus word dictionary (word, freq) — the collapse that makes
     * every BPE op corpus-size-independent downstream. */
@@ -290,6 +299,22 @@ object CorpusQueries extends QueryModule {
         .agg(sum(col("e.t")).cast("long").as("dl"))
         .localCheckpoint()
     }
+
+  /** The shared BM25 scoring tail (q251/q254/q256 — build/admit/erase
+    * all rank the same way): (w, doc_id, tf, df) contribution rows ×
+    * doc lengths × the 1-row collection stats → per-(doc, term) micro
+    * contributions ([[bm25MicroSql]]) summed order-free per doc, top-20
+    * via TakeOrderedAndProject. One definition so a formula or
+    * tie-break change can never fork the three paths. */
+  private def bm25Rank(tf: DataFrame, dl: DataFrame, st: DataFrame): DataFrame =
+    tf.join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(st))
+      .withColumn("micro", expr(bm25MicroSql))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("micro")).as("m"))
+      .orderBy(col("m").desc, col("doc_id").asc).limit(20)
+      .select(col("doc_id"),
+        (col("m").cast("double") / lit(1000000.0)).as("bm25"))
 
   /** The frozen 8-term query derived from the BASE index (terms ranked
     * 51-58 by corpus frequency — q251's derivation, read off the
@@ -727,14 +752,7 @@ object CorpusQueries extends QueryModule {
         .select(col("w"), explode(col("posting")).as("e"))
         .select(col("w"), col("e.d").as("doc_id"), col("e.t").as("tf"))
         .join(broadcast(qdf), Seq("w"))
-      tf.join(dl, Seq("doc_id"))
-        .crossJoin(broadcast(st))
-        .withColumn("micro", expr(bm25MicroSql))
-        .groupBy(col("doc_id"))
-        .agg(sum(col("micro")).as("m"))
-        .orderBy(col("m").desc, col("doc_id").asc).limit(20)
-        .select(col("doc_id"),
-          (col("m").cast("double") / lit(1000000.0)).as("bm25"))
+      bm25Rank(tf, dl, st)
     }),
 
     // --- INCREMENTAL BM25 index maintenance (q254): the lexical
@@ -771,7 +789,9 @@ object CorpusQueries extends QueryModule {
       // folded collection stats: stored totals + batch deltas
       val st = dl.agg(count(lit(1)).as("n0"), sum(col("dl")).cast("long").as("t0"))
         .crossJoin(ddl.agg(count(lit(1)).as("dn"),
-          sum(col("dl")).cast("long").as("dt")))
+          // coalesce: an EMPTY batch sums to NULL, which would poison
+          // tot_dl (and every micro contribution) — zero rows fold as 0
+          coalesce(sum(col("dl")), lit(0L)).cast("long").as("dt")))
         .select((col("n0") + col("dn")).as("n_docs"),
           (col("t0") + col("dt")).as("tot_dl"))
       val qt = bm25QueryTerms(s, dir) // FROZEN from the base artifact
@@ -788,15 +808,7 @@ object CorpusQueries extends QueryModule {
         .select(col("w"), col("e.d").as("doc_id"), col("e.t").as("tf"))
         .unionByName(dtf.join(broadcast(qt), Seq("w"))
           .select(col("w"), col("doc_id"), col("tf")))
-      mtf.join(broadcast(mdf), Seq("w"))
-        .join(dl.unionByName(ddl), Seq("doc_id"))
-        .crossJoin(broadcast(st))
-        .withColumn("micro", expr(bm25MicroSql))
-        .groupBy(col("doc_id"))
-        .agg(sum(col("micro")).as("m"))
-        .orderBy(col("m").desc, col("doc_id").asc).limit(20)
-        .select(col("doc_id"),
-          (col("m").cast("double") / lit(1000000.0)).as("bm25"))
+      bm25Rank(mtf.join(broadcast(mdf), Seq("w")), dl.unionByName(ddl), st)
     }),
 
     // --- DECREMENTAL BM25 index maintenance (q256): the RTBF side of
@@ -826,7 +838,9 @@ object CorpusQueries extends QueryModule {
       val st = dl.agg(count(lit(1)).as("n0"),
           sum(col("dl")).cast("long").as("t0"))
         .crossJoin(dl.join(del, Seq("doc_id"), "left_semi")
-          .agg(count(lit(1)).as("dn"), sum(col("dl")).cast("long").as("dt")))
+          .agg(count(lit(1)).as("dn"),
+            // coalesce: an EMPTY deletion set must fold as 0, not NULL
+            coalesce(sum(col("dl")), lit(0L)).cast("long").as("dt")))
         .select((col("n0") - col("dn")).as("n_docs"),
           (col("t0") - col("dt")).as("tot_dl"))
       val qt = bm25QueryTerms(s, dir) // FROZEN from the pre-deletion index
@@ -836,15 +850,7 @@ object CorpusQueries extends QueryModule {
         .join(del, Seq("doc_id"), "left_anti") // the erasure itself
         .localCheckpoint() // consumed by the df re-count + the scoring
       val mdf = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
-      tf.join(broadcast(mdf), Seq("w"))
-        .join(dl, Seq("doc_id"))
-        .crossJoin(broadcast(st))
-        .withColumn("micro", expr(bm25MicroSql))
-        .groupBy(col("doc_id"))
-        .agg(sum(col("micro")).as("m"))
-        .orderBy(col("m").desc, col("doc_id").asc).limit(20)
-        .select(col("doc_id"),
-          (col("m").cast("double") / lit(1000000.0)).as("bm25"))
+      bm25Rank(tf.join(broadcast(mdf), Seq("w")), dl, st)
     }),
 
     // --- bigram counts (language-model-style n-gram statistics): the
@@ -1892,9 +1898,9 @@ object CorpusQueries extends QueryModule {
           sum(col("n_subtok")).cast("long").as("n_subtok"),
           sum(col("n_wchars")).cast("long").as("n_wchars"))
         .withColumn("fert",
-          expr("(2 * n_subtok * 1000000 + n_words) DIV (2 * n_words)"))
+          expr("(2 * CAST(n_subtok AS DECIMAL(38,0)) * 1000000 + n_words) DIV (2 * CAST(n_words AS DECIMAL(38,0)))"))
         .withColumn("cpt",
-          expr("(2 * n_wchars * 1000000 + n_subtok) DIV (2 * n_subtok)"))
+          expr("(2 * CAST(n_wchars AS DECIMAL(38,0)) * 1000000 + n_subtok) DIV (2 * CAST(n_subtok AS DECIMAL(38,0)))"))
         .select(col("lang"), col("n_docs"), col("n_words"), col("n_subtok"),
           col("n_wchars"),
           (col("fert").cast("double") / lit(1000000.0)).as("fertility"),
@@ -1928,7 +1934,7 @@ object CorpusQueries extends QueryModule {
         .agg(count(lit(1)).as("n_words"),
           sum(col("n_sym")).cast("long").as("n_bpe"))
         .withColumn("fert",
-          expr("(2 * n_bpe * 1000000 + n_words) DIV (2 * n_words)"))
+          expr("(2 * CAST(n_bpe AS DECIMAL(38,0)) * 1000000 + n_words) DIV (2 * CAST(n_words AS DECIMAL(38,0)))"))
         .select(col("source"), col("n_words"), col("n_bpe"),
           (col("fert").cast("double") / lit(1000000.0)).as("fertility"))
         .orderBy(col("source"))
@@ -1953,7 +1959,7 @@ object CorpusQueries extends QueryModule {
       }
       pts.reduce(_ unionAll _)
         .withColumn("fert",
-          expr("(2 * n_bpe * 1000000 + n_words) DIV (2 * n_words)"))
+          expr("(2 * CAST(n_bpe AS DECIMAL(38,0)) * 1000000 + n_words) DIV (2 * CAST(n_words AS DECIMAL(38,0)))"))
         .select(col("n_merges"), col("n_words"), col("n_bpe"),
           (col("fert").cast("double") / lit(1000000.0)).as("fertility"))
         .orderBy(col("n_merges"))
@@ -1986,7 +1992,7 @@ object CorpusQueries extends QueryModule {
           .select(lit(name).as("cohort"), col("n_words"), col("n_bpe"))
       cohort("corpus", cw).unionAll(cohort("reversed", rw))
         .withColumn("fert",
-          expr("(2 * n_bpe * 1000000 + n_words) DIV (2 * n_words)"))
+          expr("(2 * CAST(n_bpe AS DECIMAL(38,0)) * 1000000 + n_words) DIV (2 * CAST(n_words AS DECIMAL(38,0)))"))
         .select(col("cohort"), col("n_words"), col("n_bpe"),
           (col("fert").cast("double") / lit(1000000.0)).as("fertility"))
         .orderBy(col("cohort"))
@@ -3779,6 +3785,29 @@ object CorpusQueries extends QueryModule {
       |          COUNT(DISTINCT c) AS n_clusters
       |        FROM links GROUP BY 1)""".stripMargin
 
+  /** Shared oracle suffix for the three BM25 gates: tf/dl/st over the
+    * query's own corpus CTEs, query terms ranked from `qtSrc` (the
+    * frozen-artifact corpus), per-(doc, term) micro contributions, and
+    * the top-20 — one definition mirroring [[bm25Rank]]. */
+  private def bm25OracleTail(qtSrc: String): String =
+    s"""st AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS tot_dl
+      |       FROM dl),
+      |top58 AS MATERIALIZED (
+      |  SELECT w, COUNT(*) AS c FROM $qtSrc GROUP BY 1
+      |  ORDER BY c DESC, w LIMIT 58),
+      |qt AS MATERIALIZED (
+      |  SELECT w FROM top58 ORDER BY c ASC, w DESC LIMIT 8),
+      |dfreq AS MATERIALIZED (
+      |  SELECT tf.w, COUNT(*) AS df FROM tf JOIN qt USING (w) GROUP BY 1),
+      |contrib AS (
+      |  SELECT tf.doc_id, $bm25MicroSql AS micro
+      |  FROM tf JOIN dfreq ON dfreq.w = tf.w
+      |  JOIN dl ON dl.doc_id = tf.doc_id
+      |  CROSS JOIN st),
+      |sc AS (SELECT doc_id, SUM(micro) AS m FROM contrib GROUP BY 1)
+      |SELECT doc_id, CAST(m AS DOUBLE) / 1000000.0 AS bm25
+      |FROM sc ORDER BY m DESC, doc_id LIMIT 20""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "q252_bpe_drift" -> {
       val revRounds = (1 to BpeRounds).map { r =>
@@ -3818,23 +3847,7 @@ object CorpusQueries extends QueryModule {
         |  SELECT doc_id, w, COUNT(*) AS tf FROM t GROUP BY 1, 2),
         |dl AS MATERIALIZED (
         |  SELECT doc_id, COUNT(*) AS dl FROM t GROUP BY 1),
-        |st AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS tot_dl
-        |       FROM dl),
-        |top58 AS MATERIALIZED (
-        |  SELECT w, COUNT(*) AS c FROM t GROUP BY 1
-        |  ORDER BY c DESC, w LIMIT 58),
-        |qt AS MATERIALIZED (
-        |  SELECT w FROM top58 ORDER BY c ASC, w DESC LIMIT 8),
-        |dfreq AS MATERIALIZED (
-        |  SELECT tf.w, COUNT(*) AS df FROM tf JOIN qt USING (w) GROUP BY 1),
-        |contrib AS (
-        |  SELECT tf.doc_id, $bm25MicroSql AS micro
-        |  FROM tf JOIN dfreq ON dfreq.w = tf.w
-        |  JOIN dl ON dl.doc_id = tf.doc_id
-        |  CROSS JOIN st),
-        |sc AS (SELECT doc_id, SUM(micro) AS m FROM contrib GROUP BY 1)
-        |SELECT doc_id, CAST(m AS DOUBLE) / 1000000.0 AS bm25
-        |FROM sc ORDER BY m DESC, doc_id LIMIT 20""".stripMargin,
+        |${bm25OracleTail("t")}""".stripMargin,
 
     // row-level re-derivation of the planted-excerpt corpus, the
     // duplicated-8-gram cover, and the gaps-and-islands span merge
@@ -3886,23 +3899,7 @@ object CorpusQueries extends QueryModule {
         |  SELECT doc_id, w, COUNT(*) AS tf FROM t GROUP BY 1, 2),
         |dl AS MATERIALIZED (
         |  SELECT doc_id, COUNT(*) AS dl FROM t GROUP BY 1),
-        |st AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS tot_dl
-        |       FROM dl),
-        |top58 AS MATERIALIZED (
-        |  SELECT w, COUNT(*) AS c FROM bt GROUP BY 1
-        |  ORDER BY c DESC, w LIMIT 58),
-        |qt AS MATERIALIZED (
-        |  SELECT w FROM top58 ORDER BY c ASC, w DESC LIMIT 8),
-        |dfreq AS MATERIALIZED (
-        |  SELECT tf.w, COUNT(*) AS df FROM tf JOIN qt USING (w) GROUP BY 1),
-        |contrib AS (
-        |  SELECT tf.doc_id, $bm25MicroSql AS micro
-        |  FROM tf JOIN dfreq ON dfreq.w = tf.w
-        |  JOIN dl ON dl.doc_id = tf.doc_id
-        |  CROSS JOIN st),
-        |sc AS (SELECT doc_id, SUM(micro) AS m FROM contrib GROUP BY 1)
-        |SELECT doc_id, CAST(m AS DOUBLE) / 1000000.0 AS bm25
-        |FROM sc ORDER BY m DESC, doc_id LIMIT 20""".stripMargin,
+        |${bm25OracleTail("bt")}""".stripMargin,
 
     // FULL RECOMPUTE over base ∪ delta with the query terms frozen
     // from the BASE corpus — matching the engine's folded-stats path
@@ -3923,23 +3920,7 @@ object CorpusQueries extends QueryModule {
         |  SELECT doc_id, w, COUNT(*) AS tf FROM t GROUP BY 1, 2),
         |dl AS MATERIALIZED (
         |  SELECT doc_id, COUNT(*) AS dl FROM t GROUP BY 1),
-        |st AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS tot_dl
-        |       FROM dl),
-        |top58 AS MATERIALIZED (
-        |  SELECT w, COUNT(*) AS c FROM bt GROUP BY 1
-        |  ORDER BY c DESC, w LIMIT 58),
-        |qt AS MATERIALIZED (
-        |  SELECT w FROM top58 ORDER BY c ASC, w DESC LIMIT 8),
-        |dfreq AS MATERIALIZED (
-        |  SELECT tf.w, COUNT(*) AS df FROM tf JOIN qt USING (w) GROUP BY 1),
-        |contrib AS (
-        |  SELECT tf.doc_id, $bm25MicroSql AS micro
-        |  FROM tf JOIN dfreq ON dfreq.w = tf.w
-        |  JOIN dl ON dl.doc_id = tf.doc_id
-        |  CROSS JOIN st),
-        |sc AS (SELECT doc_id, SUM(micro) AS m FROM contrib GROUP BY 1)
-        |SELECT doc_id, CAST(m AS DOUBLE) / 1000000.0 AS bm25
-        |FROM sc ORDER BY m DESC, doc_id LIMIT 20""".stripMargin,
+        |${bm25OracleTail("bt")}""".stripMargin,
 
     "q248_bpe_vocab_curve" -> {
       val pts = Seq(2, 4, 8).map(r =>

@@ -11,8 +11,11 @@ object MetadataQueries extends QueryModule {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- `--cslschema` (schema.rs:43-109) over two physically distinct
-    // tables: lineitem (INT64/INT32/DOUBLE/BYTE_ARRAY-UTF8/TIMESTAMP_MILLIS)
-    // and events (TIMESTAMP_NANOS annotation on INT64 -> datetime).
+    // tables. Both carry NAIVE-micros timestamps (isAdjustedToUTC=false,
+    // no legacy ConvertedType in the footer) — `ts` and `l_shipdate`
+    // therefore map to `long`, the reference's legacy-visibility rule
+    // (only adjusted-UTC MILLIS/MICROS are `datetime`; closed
+    // bug-for-bug in round 12, see ParquetMetadata.fieldCslType).
     "q23_cslschema" -> ((s, dir) => {
       import s.implicits._
       val rows = Seq("lineitem", "events").flatMap { t =>

@@ -581,14 +581,15 @@ object StreamingQueries extends QueryModule {
         .select(col("doc_id"), col("text"),
           expr("timestampadd(MINUTE, CAST(doc_id AS INT), " +
             "TIMESTAMP'2024-01-01 00:00:00')").as("ts"))
-      // the encoded vocabulary materializes ONCE; the lookup cache and
-      // the corpus-fertility baseline both derive from it
-      val enc0 = CorpusQueries.bpeEncodedVocab(s, dir).localCheckpoint()
+      // the encoded vocabulary is the memoized "bpe_vocab" stage; the
+      // lookup cache and the corpus-fertility baseline both derive
+      // from the one materialized frame
+      val enc0 = CorpusQueries.bpeEncodedVocab(s, dir)
       val enc = enc0.select(col("word"), col("n_sym"))
       val baseline = enc0
         .agg(sum(col("freq")).cast("long").as("bw"),
           sum(col("n_sym") * col("freq")).cast("long").as("bb"))
-        .select(expr("(2 * bb * 1000000 + bw) DIV (2 * bw)").as("base_micro"))
+        .select(expr("(2 * CAST(bb AS DECIMAL(38,0)) * 1000000 + bw) DIV (2 * CAST(bw AS DECIMAL(38,0)))").as("base_micro"))
       bpeDriftWindows(docs, enc,
           CorpusQueries.bpeWideMerges(s, dir), baseline)
         .orderBy(col("window_start"))
@@ -676,7 +677,7 @@ object StreamingQueries extends QueryModule {
       .groupBy(window(col("ts"), "1 hour"))
       .agg(count(lit(1)).as("n_words"), sum(col("sym")).cast("long").as("n_bpe"))
       .crossJoin(broadcast(baseline))
-      .withColumn("fm", expr("(2 * n_bpe * 1000000 + n_words) DIV (2 * n_words)"))
+      .withColumn("fm", expr("(2 * CAST(n_bpe AS DECIMAL(38,0)) * 1000000 + n_words) DIV (2 * CAST(n_words AS DECIMAL(38,0)))"))
       .select(col("window.start").as("window_start"), col("n_words"),
         col("n_bpe"),
         (col("fm").cast("double") / lit(1000000.0)).as("fertility"),

@@ -178,7 +178,7 @@ class StageMemoSpec extends AnyFunSuite with BeforeAndAfterAll {
     StageMemo.reset()
     StageMemo.resetBuildTimes()
     val dir = "/root/testdata/sf0.001"
-    for (q <- Seq("q59_dedup_clusters", "q243_bpe_merges",
+    for (q <- Seq("q59_dedup_clusters", "q243_bpe_merges", "q244_bpe_encode",
         "q245_incremental_semdedup", "q249_incremental_components",
         "q152_simhash_pairs", "q165_subword_tokens", "q251_bm25"))
       SparkEntry.queries(q)(spark, dir).count()

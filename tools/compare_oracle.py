@@ -69,10 +69,13 @@ def type_drift(name: str, out_dir: str, rel) -> str:
     for f in files[1:]:
         other = decimal_cols(pq.read_schema(f))
         for c in set(eng) | set(other):
-            if eng.get(c, other.get(c)) != other.get(c, eng.get(c)):
+            # None-vs-(p,s) means the column is decimal in one part and
+            # not the other — per-file disagreement IS drift (the driver
+            # hashes every file's stringified rows), and unioning it
+            # away would let the decimal side mask the double side.
+            if eng.get(c) != other.get(c):
                 return (f"type drift: column {c} is decimal{eng.get(c)} in "
-                        f"{files[0]} but decimal{other.get(c)} in {f}")
-        eng.update(other)
+                        f"earlier parts but decimal{other.get(c)} in {f}")
     # rel.types is the bound schema — no re-execution of the oracle SQL.
     ora = {}
     for c, t in zip(rel.columns, rel.types):

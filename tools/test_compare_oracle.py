@@ -74,12 +74,27 @@ def main() -> int:
             "k": pa.array(["B"], pa.string()),
             "v": pa.array([Decimal("2.250000")], pa.decimal128(27, 6)),
         }), os.path.join(out, "q_multifile", "part-1.parquet"))
+        # Case 4 (must FAIL): the MASKING variant — the oracle IS decimal
+        # and the dump's second part agrees with it, but part-0 is
+        # double. A union of per-file decimal maps would match the
+        # oracle and print PASS while the driver hash fails on part-0's
+        # rows; per-file disagreement must be flagged directly.
+        write_dump(out, "q_masked", pa.table({
+            "k": pa.array(["A"], pa.string()),
+            "v": pa.array([1.25], pa.float64()),
+        }))
+        pq.write_table(pa.table({
+            "k": pa.array(["B"], pa.string()),
+            "v": pa.array([Decimal("2.250000")], pa.decimal128(27, 6)),
+        }), os.path.join(out, "q_masked", "part-1.parquet"))
         with open(os.path.join(out, "oracle_sql.json"), "w") as f:
             json.dump({
                 "q_drift": "SELECT 'A' AS k, CAST(52840.44 AS DOUBLE) AS v",
                 "q_clean": "SELECT 'A' AS k, CAST(52840.44 AS DOUBLE) AS v",
                 "q_multifile": "SELECT 'A' AS k, CAST(1.25 AS DOUBLE) AS v "
                                "UNION ALL SELECT 'B', CAST(2.25 AS DOUBLE)",
+                "q_masked": "SELECT 'A' AS k, CAST(1.25 AS DECIMAL(27,6)) AS v "
+                            "UNION ALL SELECT 'B', CAST(2.25 AS DECIMAL(27,6))",
             }, f)
 
         r = run_tool(sf, out)
@@ -96,6 +111,11 @@ def main() -> int:
         if "FAIL q_multifile: type drift" not in r.stdout:
             print("EXPECTED 'FAIL q_multifile: type drift' (second-part "
                   "schema drift must not hide behind files[0])")
+            ok = False
+        if "FAIL q_masked: type drift" not in r.stdout:
+            print("EXPECTED 'FAIL q_masked: type drift' (a decimal part "
+                  "agreeing with a decimal oracle must not mask a double "
+                  "part via map union)")
             ok = False
         if not ok:
             print("--- tool stdout ---")
