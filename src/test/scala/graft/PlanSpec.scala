@@ -1034,6 +1034,18 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("hashpartitioning(window"), p.take(4000))
   }
 
+  test("q257 index compaction: tombstone rewrite is broadcast anti-joins, no sort-merge, no lambda filter") {
+    val p = plan("q257_index_compaction")
+    // the erasure must be the codegen'd hash anti-join path, never an
+    // in-array lambda (interpreted per element — measured 4.5x slower)
+    // and never a corpus-side sort-merge
+    assert(p.contains("BroadcastHashJoin LeftAnti"), p.take(4000))
+    assert(p.contains("BroadcastHashJoin LeftSemi"), p.take(4000))
+    assert(!p.contains("SortMergeJoin"), p.take(4000))
+    assert(!p.contains("CartesianProduct"), p.take(4000))
+    assert(!p.toLowerCase.contains("arrayfilter"), p.take(4000))
+  }
+
   test("q234 SQ8 / q235 unseen mass: stats broadcast, no window, map-side combine") {
     val p = plan("q234_sq8_audit")
     assert(p.contains("BroadcastHashJoin"), p.take(4000))
