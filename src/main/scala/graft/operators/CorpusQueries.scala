@@ -300,6 +300,31 @@ object CorpusQueries extends QueryModule {
         .localCheckpoint()
     }
 
+  /** q257's engine over a blocked (w, blk, posting) frame and a
+    * (doc_id) tombstone set, factored so ScaleSpec can drive MULTI-
+    * block geometries (the gated corpora all fit one 8192-stride, so
+    * the untouched branch never fires there). Untouched strides pass
+    * through WHOLE (sorted for the output contract); only blocks whose
+    * stride contains tombstones pay the rewrite — and that rewrite is
+    * explode → codegen'd broadcast hash anti-join → regroup, NOT an
+    * in-array lambda: Spark's HOF filter evaluates interpreted per
+    * element, and array_contains against the tombstone list made it
+    * O(entries × tombstones) boxed compares (measured 3.2 s vs 0.6 s
+    * for this form). Emptied rows drop (the regroup emits nothing). */
+  private[graft] def compactPostings(post: DataFrame, del: DataFrame): DataFrame = {
+    val delBlk = del
+      .select(expr(s"doc_id DIV $Bm25BlockStride").as("blk")).distinct()
+    val untouched = post.join(broadcast(delBlk), Seq("blk"), "left_anti")
+      .select(col("w"), col("blk"), sort_array(col("posting")).as("posting"))
+    val rewritten = post.join(broadcast(delBlk), Seq("blk"), "left_semi")
+      .select(col("w"), col("blk"), explode(col("posting")).as("e"))
+      .join(broadcast(del.select(col("doc_id").as("d"))),
+        col("e.d") === col("d"), "left_anti")
+      .groupBy(col("w"), col("blk"))
+      .agg(sort_array(collect_list(col("e"))).as("posting"))
+    untouched.unionByName(rewritten)
+  }
+
   /** The shared BM25 scoring tail (q251/q254/q256 — build/admit/erase
     * all rank the same way): (w, doc_id, tf, df) contribution rows ×
     * doc lengths × the 1-row collection stats → per-(doc, term) micro
@@ -868,29 +893,10 @@ object CorpusQueries extends QueryModule {
     // gate proves compacted ≡ rebuilt row-level, nested arrays
     // included (both sides sort postings by doc id for determinism).
     "q257_index_compaction" -> ((s, dir) => {
-      val post = bm25Postings(s, dir)
       val del = Tables(s, dir, "documents")
         .filter(col("doc_id") % 10 === 9).select(col("doc_id"))
         .localCheckpoint() // consumed by the block census + the anti-join
-      val delBlk = del
-        .groupBy(expr(s"doc_id DIV $Bm25BlockStride").as("blk"))
-        .agg(count(lit(1)).as("n_gone"))
-      // untouched strides pass through WHOLE (sorted for the output
-      // contract); only blocks whose stride contains tombstones pay the
-      // rewrite — and that rewrite is explode → codegen'd broadcast
-      // hash anti-join → regroup, NOT an in-array lambda: Spark's HOF
-      // filter evaluates interpreted per element, and array_contains
-      // against the tombstone list made it O(entries × tombstones)
-      // boxed compares (measured 3.2 s vs 0.6 s for this form).
-      val untouched = post.join(broadcast(delBlk), Seq("blk"), "left_anti")
-        .select(col("w"), col("blk"), sort_array(col("posting")).as("posting"))
-      val rewritten = post.join(broadcast(delBlk), Seq("blk"), "left_semi")
-        .select(col("w"), col("blk"), explode(col("posting")).as("e"))
-        .join(broadcast(del.select(col("doc_id").as("d"))),
-          col("e.d") === col("d"), "left_anti")
-        .groupBy(col("w"), col("blk"))
-        .agg(sort_array(collect_list(col("e"))).as("posting"))
-      untouched.unionByName(rewritten)
+      compactPostings(bm25Postings(s, dir), del)
         .orderBy(col("w"), col("blk"))
     }),
 
@@ -1939,9 +1945,9 @@ object CorpusQueries extends QueryModule {
           sum(col("n_subtok")).cast("long").as("n_subtok"),
           sum(col("n_wchars")).cast("long").as("n_wchars"))
         .withColumn("fert",
-          expr("(2 * CAST(n_subtok AS DECIMAL(38,0)) * 1000000 + n_words) DIV (2 * CAST(n_words AS DECIMAL(38,0)))"))
+          expr(GovernanceQueries.gridDiv("n_subtok", "n_words")))
         .withColumn("cpt",
-          expr("(2 * CAST(n_wchars AS DECIMAL(38,0)) * 1000000 + n_subtok) DIV (2 * CAST(n_subtok AS DECIMAL(38,0)))"))
+          expr(GovernanceQueries.gridDiv("n_wchars", "n_subtok")))
         .select(col("lang"), col("n_docs"), col("n_words"), col("n_subtok"),
           col("n_wchars"),
           (col("fert").cast("double") / lit(1000000.0)).as("fertility"),
@@ -1975,7 +1981,7 @@ object CorpusQueries extends QueryModule {
         .agg(count(lit(1)).as("n_words"),
           sum(col("n_sym")).cast("long").as("n_bpe"))
         .withColumn("fert",
-          expr("(2 * CAST(n_bpe AS DECIMAL(38,0)) * 1000000 + n_words) DIV (2 * CAST(n_words AS DECIMAL(38,0)))"))
+          expr(GovernanceQueries.gridDiv("n_bpe", "n_words")))
         .select(col("source"), col("n_words"), col("n_bpe"),
           (col("fert").cast("double") / lit(1000000.0)).as("fertility"))
         .orderBy(col("source"))
@@ -2000,7 +2006,7 @@ object CorpusQueries extends QueryModule {
       }
       pts.reduce(_ unionAll _)
         .withColumn("fert",
-          expr("(2 * CAST(n_bpe AS DECIMAL(38,0)) * 1000000 + n_words) DIV (2 * CAST(n_words AS DECIMAL(38,0)))"))
+          expr(GovernanceQueries.gridDiv("n_bpe", "n_words")))
         .select(col("n_merges"), col("n_words"), col("n_bpe"),
           (col("fert").cast("double") / lit(1000000.0)).as("fertility"))
         .orderBy(col("n_merges"))
@@ -2021,19 +2027,23 @@ object CorpusQueries extends QueryModule {
     // vocab against the broadcast merge frame; the oracle replays
     // training once and both encodes.
     "q252_bpe_drift" -> ((s, dir) => {
-      val cw = corpusWordDict(s, dir)
-      // char-reversal can collide (palindromes, mutual reversals) —
-      // re-collapse so the cohort is a well-formed dictionary
-      val rw = cw.select(reverse(col("word")).as("word"), col("freq"))
-        .groupBy(col("word")).agg(sum(col("freq")).as("freq"))
-      def cohort(name: String, words: DataFrame): DataFrame =
-        bpeEncodeDict(s, dir, words, BpeRounds)
+      def stats(name: String, encoded: DataFrame): DataFrame =
+        encoded
           .agg(sum(col("freq")).cast("long").as("n_words"),
             sum(col("n_sym") * col("freq")).cast("long").as("n_bpe"))
           .select(lit(name).as("cohort"), col("n_words"), col("n_bpe"))
-      cohort("corpus", cw).unionAll(cohort("reversed", rw))
+      // the CORPUS cohort reads the memoized encoded vocabulary (the
+      // bpe_vocab stage q244/q255 also consume) — only the drift
+      // cohort pays an encode. Char-reversal can collide (palindromes,
+      // mutual reversals) — re-collapse so it is a well-formed
+      // dictionary.
+      val rw = corpusWordDict(s, dir)
+        .select(reverse(col("word")).as("word"), col("freq"))
+        .groupBy(col("word")).agg(sum(col("freq")).as("freq"))
+      stats("corpus", bpeEncodedVocab(s, dir))
+        .unionAll(stats("reversed", bpeEncodeDict(s, dir, rw, BpeRounds)))
         .withColumn("fert",
-          expr("(2 * CAST(n_bpe AS DECIMAL(38,0)) * 1000000 + n_words) DIV (2 * CAST(n_words AS DECIMAL(38,0)))"))
+          expr(GovernanceQueries.gridDiv("n_bpe", "n_words")))
         .select(col("cohort"), col("n_words"), col("n_bpe"),
           (col("fert").cast("double") / lit(1000000.0)).as("fertility"))
         .orderBy(col("cohort"))

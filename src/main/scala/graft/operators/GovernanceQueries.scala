@@ -25,8 +25,13 @@ object GovernanceQueries extends QueryModule {
   private val Micro = 1000000L
 
   /** Half-up a/b onto the 1e-6 grid, nonnegative operands, as a SQL
-    * fragment over DECIMAL(38,0) columns: (2a*1e6 + b) DIV (2b). */
-  private def gridDiv(num: String, den: String): String =
+    * fragment over DECIMAL(38,0) columns: (2a*1e6 + b) DIV (2b).
+    * private[graft]: the one definition of the overflow-safe micro
+    * grid — the BPE fertility family (CorpusQueries, StreamingQueries
+    * q255) shares it, so a rounding-rule change can never fork the
+    * engine sites (the oracles' HUGEINT arithmetic is the other
+    * half of the contract). */
+  private[graft] def gridDiv(num: String, den: String): String =
     s"(2 * CAST($num AS DECIMAL(38,0)) * $Micro + $den) DIV (2 * CAST($den AS DECIMAL(38,0)))"
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -589,7 +589,7 @@ object StreamingQueries extends QueryModule {
       val baseline = enc0
         .agg(sum(col("freq")).cast("long").as("bw"),
           sum(col("n_sym") * col("freq")).cast("long").as("bb"))
-        .select(expr("(2 * CAST(bb AS DECIMAL(38,0)) * 1000000 + bw) DIV (2 * CAST(bw AS DECIMAL(38,0)))").as("base_micro"))
+        .select(expr(graft.operators.GovernanceQueries.gridDiv("bb", "bw")).as("base_micro"))
       bpeDriftWindows(docs, enc,
           CorpusQueries.bpeWideMerges(s, dir), baseline)
         .orderBy(col("window_start"))
@@ -677,7 +677,7 @@ object StreamingQueries extends QueryModule {
       .groupBy(window(col("ts"), "1 hour"))
       .agg(count(lit(1)).as("n_words"), sum(col("sym")).cast("long").as("n_bpe"))
       .crossJoin(broadcast(baseline))
-      .withColumn("fm", expr("(2 * CAST(n_bpe AS DECIMAL(38,0)) * 1000000 + n_words) DIV (2 * CAST(n_words AS DECIMAL(38,0)))"))
+      .withColumn("fm", expr(graft.operators.GovernanceQueries.gridDiv("n_bpe", "n_words")))
       .select(col("window.start").as("window_start"), col("n_words"),
         col("n_bpe"),
         (col("fm").cast("double") / lit(1000000.0)).as("fertility"),

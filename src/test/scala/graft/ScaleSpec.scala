@@ -427,6 +427,38 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
       "at L=10 the 29-token pair AND both within-doc repeats surface")
   }
 
+  test("q257 compaction: untouched strides pass through whole; tombstoned strides rewrite; emptied rows drop") {
+    import graft.operators.CorpusQueries
+    // The gated corpora fit ONE 8192-stride, so the gate never
+    // exercises the untouched branch — this planted geometry does:
+    // three blocks (0 / 1 / 2), tombstones only in blocks 1 and 2.
+    val sp = spark
+    import sp.implicits._
+    val B = CorpusQueries.Bm25BlockStride
+    def e(d: Long, t: Long) = (d, t)
+    val post = Seq(
+      // block 0: untouched — must pass through whole, SORTED
+      ("alpha", 0L, Seq(e(7L, 2L), e(3L, 1L))),
+      // block 1: partial deletion — entry (B+1) erased, rest sorted
+      ("alpha", 1L, Seq(e(B + 5L, 4L), e(B + 1L, 9L))),
+      // block 2: full deletion — the row must DROP
+      ("beta", 2L, Seq(e(2 * B + 3L, 1L)))
+    ).toDF("w", "blk", "pe")
+      .select(col("w"), col("blk"),
+        expr("transform(pe, x -> struct(x._1 AS d, x._2 AS t))").as("posting"))
+    val del = Seq(B + 1L, 2 * B + 3L).toDF("doc_id")
+    val got = CorpusQueries.compactPostings(post, del)
+      .select(col("w"), col("blk"),
+        expr("transform(posting, x -> concat(x.d, ':', x.t))").as("p"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getSeq[String](2).toList))
+      .toSet
+    assert(got == Set(
+      ("alpha", 0L, List("3:1", "7:2")),      // untouched, sorted
+      ("alpha", 1L, List(s"${B + 5}:4"))),    // rewritten, survivor only
+      s"got $got")
+  }
+
   test("q116 span-strip: every-doc boilerplate costs linear cover, strips exactly") {
     import graft.operators.CorpusQueries
     // 2000 docs, each = one corpus-wide 8-token boilerplate prefix + a

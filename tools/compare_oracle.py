@@ -74,8 +74,10 @@ def type_drift(name: str, out_dir: str, rel) -> str:
             # hashes every file's stringified rows), and unioning it
             # away would let the decimal side mask the double side.
             if eng.get(c) != other.get(c):
-                return (f"type drift: column {c} is decimal{eng.get(c)} in "
-                        f"earlier parts but decimal{other.get(c)} in {f}")
+                def d(v):
+                    return f"decimal{v}" if v else "not decimal"
+                return (f"type drift: column {c} is {d(eng.get(c))} in "
+                        f"{files[0]} but {d(other.get(c))} in {f}")
     # rel.types is the bound schema — no re-execution of the oracle SQL.
     ora = {}
     for c, t in zip(rel.columns, rel.types):
