@@ -158,8 +158,9 @@ object Pq2Json {
       // distinction into the render options. Unreadable footers are
       // skipped like the codec pre-check.
       val u64Sampled = sampleFiles(new java.io.File(a.input)).flatMap { p =>
-        scala.util.Try(ParquetMetadata.unsignedInt64Paths(p)).toOption
-          .map(p -> _)
+        scala.util.Try((ParquetMetadata.unsignedInt64Paths(p),
+          ParquetMetadata.primitivePaths(p))).toOption
+          .map { case (u64, all) => (p, u64, all) }
       }
       val u64Paths = u64Sampled.flatMap(_._2).toSet
       // The verdict is a single column-path set applied to the WHOLE
@@ -167,13 +168,21 @@ object Pq2Json {
       // one and plain INT64/true decimal in another would render ALL
       // rows unsigned. Homogeneous dumps (one writer config) are the
       // contract — but footer DISAGREEMENT is observable for free here,
-      // so warn instead of silently unioning (ADVICE r11).
-      for {
-        path <- u64Paths
-        (file, set) <- u64Sampled if !set.contains(path)
-      } System.err.println(s"WARNING: column path '$path' is UINT64 in " +
-        s"some sampled footers but not in $file; rendering it unsigned " +
-        "for ALL rows — re-encode the dump with one writer config")
+      // so warn instead of silently unioning (ADVICE r11). Only files
+      // whose footer actually CONTAINS the path count as disagreeing (a
+      // partial-schema dump is not a signedness conflict), and the
+      // warning aggregates to ONE line per path naming the disagreeing
+      // files — not a line per (path, file) pair (ADVICE r12).
+      for (path <- u64Paths.toSeq.sorted) {
+        val signedIn = u64Sampled.collect {
+          case (file, u64, all) if all.contains(path) && !u64.contains(path) => file
+        }
+        if (signedIn.nonEmpty)
+          System.err.println(s"WARNING: column path '$path' is UINT64 in " +
+            s"some sampled footers but signed in ${signedIn.mkString(", ")}; " +
+            "rendering it unsigned for ALL rows — re-encode the dump with " +
+            "one writer config")
+      }
       val opts = a.opts.copy(unsignedPaths = u64Paths)
       val df = spark.read.parquet(a.input)
       val rendered =

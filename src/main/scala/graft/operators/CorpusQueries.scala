@@ -254,6 +254,32 @@ object CorpusQueries extends QueryModule {
     * delta/erasure maintenance wants. */
   private[graft] val Bm25BlockStride = 8192L
 
+  // Cached per (app, dir): the corpus's max doc_id, read ONCE by
+  // [[assertPlantedOffset]] — a 1-row agg over the pruned doc_id column
+  // (the reviewed .head() class: 1-row aggregate reads only).
+  private val maxDocIdCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Planted-slice aliasing guard (ADVICE r12): the planted-corpus
+    * queries derive synthetic doc ids as `real_id + OFFSET`, and the
+    * oracle applies IDENTICAL arithmetic — so if a scale factor's corpus
+    * ever grows past the offset, the hash gate stays green while the
+    * "disjoint planted slice" premise (q253's span truth, q254's dl
+    * union, q250's debt pairing) silently degrades. Fail loudly at query
+    * BUILD time instead, naming the violated bound, the first time a
+    * larger corpus is gated. */
+  private[graft] def assertPlantedOffset(s: SparkSession, dir: String,
+                                         offset: Long): Unit = {
+    val key = s.sparkContext.applicationId + "|" + dir
+    val mx = maxDocIdCache.computeIfAbsent(key, _ =>
+      Tables(s, dir, "documents").agg(max(col("doc_id")).as("m"))
+        .head().getLong(0))
+    require(mx < offset,
+      s"planted-slice offset $offset aliases real doc_ids (max doc_id " +
+        s"in $dir is $mx): raise the offset AND its oracle mirror before " +
+        "gating this scale factor")
+  }
+
   /** The stored LEXICAL-INDEX artifact (q251 ranks against it, q254
     * folds a delta batch into it, q256 erases from it): BLOCKED term
     * postings (w, blk, posting array<struct<d, t>>) — rows = term ×
@@ -390,6 +416,7 @@ object CorpusQueries extends QueryModule {
     * subject). */
   private[graft] def admissionDeltaSets(s: SparkSession, dir: String): DataFrame =
     StageMemo(s, dir, "delta_sets") {
+      assertPlantedOffset(s, dir, 20000) // binds the +20000/+40000 slices
       graft.functions.GraftFunctions.register(s) // fnv64
       val base = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
       val tkOf = (df: DataFrame) => LlmQueries.withTokens(df)
@@ -454,12 +481,11 @@ object CorpusQueries extends QueryModule {
       .select(col("new_id"), explode(col("docs")).as("corpus_id")).distinct()
     val links = cand
       .join(dsets, Seq("new_id"))
-      // array_sort computed map-side on the corpus side of the join,
-      // once per corpus doc per run (idx stays the unsorted shared
-      // stage — minhash/jaccard consumers are order-free), so the
-      // per-PAIR verify below is the codegen'd merge scan
+      // hs is sorted-ascending AT BUILD since r13 (the shared docsets
+      // contract — LlmQueries.shingleSetsBuild), so the per-PAIR verify
+      // below is the codegen'd merge scan with no per-run re-sort
       .join(idx.select(col("doc_id").as("corpus_id"), col("sz"),
-        array_sort(col("hs")).as("hs")), Seq("corpus_id"))
+        col("hs")), Seq("corpus_id"))
       .withColumn("inter", expr("sorted_intersect_count(dhs, hs)"))
       .filter(col("inter") / (col("dsz") + col("sz") - col("inter")) >= 0.5)
       .join(clusters.select(col("doc_id").as("corpus_id"), col("cluster")),
@@ -628,6 +654,7 @@ object CorpusQueries extends QueryModule {
     // island window partitions by doc_id — state bounded by doc
     // length, never corpus-sized; the hot-gram table shuffles on gram.
     "q253_exact_substring_spans" -> ((s, dir) => {
+      assertPlantedOffset(s, dir, 60000)
       val base = Tables(s, dir, "documents")
         .select(col("doc_id"), expr(toksSql).as("tk"))
       val planted = base.filter(col("doc_id") % 10 === 6)
@@ -797,6 +824,7 @@ object CorpusQueries extends QueryModule {
     // delta work is one batch-sized exchange; the contribution join
     // shuffles 8×df(merged) rows.
     "q254_incremental_bm25" -> ((s, dir) => {
+      assertPlantedOffset(s, dir, 50000)
       val post = bm25Postings(s, dir)
       val dl = bm25DocLens(s, dir)
       // arriving batch: %10==3 docs trimmed by 3 tokens, ids +50000
@@ -890,14 +918,21 @@ object CorpusQueries extends QueryModule {
     // (at 100 TB: only segments with tombstones rewrite, the rest move
     // as opaque bytes). Emptied rows drop. The oracle REBUILDS the
     // postings from the surviving corpus from scratch, so the hash
-    // gate proves compacted ≡ rebuilt row-level, nested arrays
-    // included (both sides sort postings by doc id for determinism).
+    // gate proves compacted ≡ rebuilt row-level. The GATE OUTPUT
+    // explodes the compacted blocks to scalar (w, blk, d, t) rows —
+    // gated queries never emit container-typed columns (the round-3
+    // q56 lesson, re-learned at the r12 driver gate: pandas cannot
+    // sort raw array cells); the nested artifact form stays internal
+    // ([[compactPostings]]) and keeps its geometry pins in ScaleSpec.
     "q257_index_compaction" -> ((s, dir) => {
       val del = Tables(s, dir, "documents")
         .filter(col("doc_id") % 10 === 9).select(col("doc_id"))
         .localCheckpoint() // consumed by the block census + the anti-join
       compactPostings(bm25Postings(s, dir), del)
-        .orderBy(col("w"), col("blk"))
+        .select(col("w"), col("blk"), explode(col("posting")).as("e"))
+        .select(col("w"), col("blk"), col("e.d").as("d"),
+          col("e.t").as("t"))
+        .orderBy(col("w"), col("blk"), col("d"))
     }),
 
     // --- bigram counts (language-model-style n-gram statistics): the
@@ -3938,18 +3973,19 @@ object CorpusQueries extends QueryModule {
         |FROM spans WHERE span_len >= 30
         |ORDER BY doc_id, span_start""".stripMargin,
 
-    // from-scratch rebuild of the BLOCKED postings over the surviving
-    // corpus — matching the engine's segment-local compaction proves
-    // compacted ≡ rebuilt, nested posting arrays included
+    // from-scratch rebuild of the postings over the surviving corpus,
+    // rendered as scalar (w, blk, d, t) rows to match the engine's
+    // exploded gate output — matching the segment-local compaction
+    // proves compacted ≡ rebuilt entry-level (the blk column keeps the
+    // block geometry in the proof; emptied blocks drop on both sides)
     "q257_index_compaction" ->
       s"""WITH t AS MATERIALIZED (
         |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
-        |  FROM documents WHERE doc_id % 10 <> 9),
-        |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM t GROUP BY 1, 2)
+        |  FROM documents WHERE doc_id % 10 <> 9)
         |SELECT w, CAST(doc_id // $Bm25BlockStride AS BIGINT) AS blk,
-        |  list_sort(list(struct_pack(d := doc_id, t := tf))) AS posting
-        |FROM tf GROUP BY 1, 2
-        |ORDER BY w, blk""".stripMargin,
+        |  doc_id AS d, COUNT(*) AS t
+        |FROM t GROUP BY 1, 2, 3
+        |ORDER BY w, blk, d""".stripMargin,
 
     // FULL RECOMPUTE over the surviving corpus with query terms frozen
     // from the pre-deletion corpus — matching the engine's

@@ -91,8 +91,12 @@ object LlmQueries extends QueryModule {
       // recompute the very same 64-bit keys (q151's full row-level
       // oracle needs the minhash inputs, not just intersection counts)
       // and results stay stable across Spark versions
+      // array_sort: hs is SORTED ASCENDING once per doc at build — the
+      // [[exactJaccardOf]]/[[dupRelations]] merge-scan verify contract
+      // (sorted_intersect_count), so no per-pair hash set is ever built.
+      // Everything else reading hs is order-free (explode, array_min).
       .select(col("doc_id"), size(col("sh")).as("sz"),
-        expr("transform(sh, x -> fnv64(x))").as("hs"))
+        expr("array_sort(transform(sh, x -> fnv64(x)))").as("hs"))
       // the harness tables are single-file scans (one input partition);
       // without this the MATERIALIZED layout is one partition and every
       // downstream explode/join starts single-threaded
@@ -261,8 +265,9 @@ object LlmQueries extends QueryModule {
     * docs contain it), giving the upper-bound prune
     * `(inter_capped + min(nhot)) * (1+m) >= m * (sz_a + sz_b)`;
     * (2) the few surviving near-threshold pairs get their true Jaccard
-    * from array_intersect over the full per-doc arrays (hot shingles
-    * included), so reported scores are exact regardless of the cap. */
+    * from the merge scan over the full per-doc sorted arrays (hot
+    * shingles included), so reported scores are exact regardless of the
+    * cap. */
   private[graft] def jaccardPairsCapped(docsets: DataFrame, cap: Int,
       minJac: Double): DataFrame = {
     val idx = docsets.select(col("doc_id"), col("sz"), explode(col("hs")).as("h"))
@@ -302,8 +307,12 @@ object LlmQueries extends QueryModule {
   /** Exact Jaccard >= `minJac` for a BLOCKED candidate-pair frame (LSH
     * band collisions, upper-bound survivors): two hash joins of the
     * candidate set against the one-row-per-doc shingle cache,
-    * intersection via array_intersect. Hashes are of DISTINCT shingles,
-    * so |array_intersect| IS the shingle-overlap count — scores are
+    * intersection via the codegen'd zero-allocation merge scan
+    * (sorted_intersect_count — q161's measurement: 38 µs/pair for
+    * array_intersect's per-row hash set vs a linear two-pointer walk).
+    * CONTRACT: `hs` must be DISTINCT and SORTED ASCENDING — every
+    * builder sorts once per doc at build ([[shingleSetsBuild]]), so
+    * |intersection| IS the shingle-overlap count and scores are
     * exact regardless of how candidates were generated. The joins are
     * NOT broadcast-hinted: blocked is not small — a df-capped candidate
     * stream is linear in corpus size (× cap) and a dupe-heavy 100 TB
@@ -313,12 +322,13 @@ object LlmQueries extends QueryModule {
     * candidate set actually is small (every harness corpus). */
   private[graft] def exactJaccardOf(docsets: DataFrame, cand: DataFrame,
       minJac: Double): DataFrame = {
+    graft.functions.GraftFunctions.register(docsets.sparkSession)
     val a = docsets.select(col("doc_id").as("doc_a"), col("sz").as("sz_a"),
       col("hs").as("hs_a"))
     val b = docsets.select(col("doc_id").as("doc_b"), col("sz").as("sz_b"),
       col("hs").as("hs_b"))
     cand.join(a, Seq("doc_a")).join(b, Seq("doc_b"))
-      .withColumn("inter", size(array_intersect(col("hs_a"), col("hs_b"))))
+      .withColumn("inter", expr("sorted_intersect_count(hs_a, hs_b)"))
       .withColumn("jac", col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
       .filter(col("jac") >= minJac)
       .select(col("doc_a"), col("doc_b"), col("jac"))
@@ -354,8 +364,8 @@ object LlmQueries extends QueryModule {
     *
     * In: (doc_id, hk: array<long> distinct token keys, sz = size(hk)).
     * Out: (doc_a, doc_b, n_shared, jac) for jac >= t10/10; overlap is
-    * exact via array_intersect on the full key arrays (same verify shape
-    * as [[exactJaccardOf]]), and the threshold gate is the integer
+    * exact on the full key arrays (same verify shape as
+    * [[exactJaccardOf]]), and the threshold gate is the integer
     * cross-multiplication 10*inter >= t10*union — no float compare
     * decides a boundary pair. */
   private[graft] def prefixIndex(sets: DataFrame, t10: Int): DataFrame = {
@@ -756,8 +766,8 @@ object LlmQueries extends QueryModule {
     * mix64(h ^ seed_j) over FNV-hashed shingles — both halves
     * DuckDB-replicable, see [[MinhashSeeds]], so q151 gates this pair
     * list row-by-row), 4 bands of 4, band-bucket join
-    * for candidates, then exact Jaccard >= 0.5 for candidates via
-    * array_intersect on the cached per-doc shingle-hash arrays.
+    * for candidates, then exact Jaccard >= 0.5 for candidates via the
+    * merge scan on the cached per-doc sorted shingle-hash arrays.
     * Signatures are array_min over the array form — zero shuffles before
     * the band join — and verification is two hash joins of the tiny
     * candidate set against the one-row-per-doc cache, replacing the
@@ -792,14 +802,16 @@ object LlmQueries extends QueryModule {
     * mutually contained. Factored so the spec can plant closed-form
     * set geometries. */
   private[graft] def dupRelations(docsets: DataFrame, cand: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docsets.sparkSession)
     val a = docsets.select(col("doc_id").as("doc_a"), col("sz").as("sz_a"),
       col("hs").as("hs_a"))
     val b = docsets.select(col("doc_id").as("doc_b"), col("sz").as("sz_b"),
       col("hs").as("hs_b"))
     cand.select(col("doc_a"), col("doc_b"))
       .join(a, Seq("doc_a")).join(b, Seq("doc_b"))
-      .withColumn("inter",
-        size(array_intersect(col("hs_a"), col("hs_b"))).cast("long"))
+      // merge scan, not array_intersect's per-row hash set — hs is
+      // sorted-ascending by the docsets contract ([[exactJaccardOf]])
+      .withColumn("inter", expr("sorted_intersect_count(hs_a, hs_b)"))
       .withColumn("jac",
         col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
       .withColumn("cont_ppm", expr(
@@ -2476,11 +2488,13 @@ object LlmQueries extends QueryModule {
     // never pays corpus², and the corpus index is exactly what a
     // production pipeline keeps materialized between batches.
     "q129_incremental_dedup" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s) // sorted_intersect_count
       val base = withTokens(
         Tables(s, dir, "documents").select(col("doc_id"), col("text")))
       val corpus = base
         .select(col("doc_id").as("corpus_id"), md5(col("text")).as("eh"),
-          expr("transform(" + shinglesSql("tk") + ", x -> xxhash64(x))").as("chs"))
+          // sorted once per doc at build: the merge-scan verify contract
+          expr("array_sort(transform(" + shinglesSql("tk") + ", x -> xxhash64(x)))").as("chs"))
         .withColumn("csz", size(col("chs")))
         // the materialized index a production pipeline keeps between
         // batches (hash + shingle arrays); three consumers below
@@ -2496,7 +2510,7 @@ object LlmQueries extends QueryModule {
           .select((col("doc_id") + 20000).as("doc_id"),
             expr("array_join(reverse(tk), ' ')").as("text"))))
         .select(col("doc_id"), md5(col("text")).as("eh"),
-          expr("transform(" + shinglesSql("tk") + ", x -> xxhash64(x))").as("dhs"))
+          expr("array_sort(transform(" + shinglesSql("tk") + ", x -> xxhash64(x)))").as("dhs"))
         .withColumn("dsz", size(col("dhs")))
         .localCheckpoint() // feeds exact join, near probe, and final frame
       // exact: min corpus id per content hash, equi-joined to the delta
@@ -2515,7 +2529,7 @@ object LlmQueries extends QueryModule {
       val best = cand
         .join(delta.select(col("doc_id"), col("dsz"), col("dhs")), Seq("doc_id"))
         .join(corpus.select(col("corpus_id"), col("csz"), col("chs")), Seq("corpus_id"))
-        .withColumn("inter", size(array_intersect(col("dhs"), col("chs"))))
+        .withColumn("inter", expr("sorted_intersect_count(dhs, chs)"))
         .withColumn("jac", col("inter") / (col("dsz") + col("csz") - col("inter")))
         .filter(col("jac") >= 0.5)
         .groupBy(col("doc_id"))

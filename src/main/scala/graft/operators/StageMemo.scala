@@ -90,17 +90,31 @@ private[graft] object StageMemo {
         // Σ buildTimes is the true whole-chain cost with nothing
         // double-counted. Builds serialize under this monitor, so the
         // plain vars are safe.
+        // try/finally: a FAILED build must still pop its frame (else the
+        // stack leaks a stale frame for the process lifetime) and still
+        // propagate its wall time to the parent — a parent that catches
+        // a nested failure and continues would otherwise be charged the
+        // failed child's time as its own exclusive cost (ADVICE r12).
         childStack ::= 0.0
         val t0 = System.nanoTime()
-        val df = build
-        val elapsed = (System.nanoTime() - t0) / 1e9
-        val childSum = childStack.head
-        childStack = childStack.tail
-        if (childStack.nonEmpty)
-          childStack = (childStack.head + elapsed) :: childStack.tail
-        buildSecs(stage) = buildSecs.getOrElse(stage, 0.0) + (elapsed - childSum)
-        cache.put(key, Entry(sc, df))
-        df
+        var failed = true
+        try {
+          val df = build
+          failed = false
+          cache.put(key, Entry(sc, df))
+          df
+        } finally {
+          val elapsed = (System.nanoTime() - t0) / 1e9
+          val childSum = childStack.head
+          childStack = childStack.tail
+          if (childStack.nonEmpty)
+            childStack = (childStack.head + elapsed) :: childStack.tail
+          // a failed build's partial time is deliberately NOT added to
+          // buildSecs (nothing was produced to price), but it IS charged
+          // to the parent's child-sum above so the parent stays exclusive.
+          if (!failed)
+            buildSecs(stage) = buildSecs.getOrElse(stage, 0.0) + (elapsed - childSum)
+        }
       }
     }
   }

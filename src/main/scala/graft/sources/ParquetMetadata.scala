@@ -137,19 +137,31 @@ object ParquetMetadata {
     * Paths cover primitives reachable through plain (non-REPEATED)
     * groups — the struct-nesting case; u64 inside lists/maps keeps the
     * decimal-string rendering (documented, exotic for raw-u64 files). */
-  def unsignedInt64Paths(path: String): Set[String] = {
-    val (meta, _) = footer(path)
-    import org.apache.parquet.schema.PrimitiveType.{PrimitiveTypeName => PTN}
-    def isU64(p: PrimitiveType): Boolean =
+  def unsignedInt64Paths(path: String): Set[String] =
+    walkPrimitivePaths(path) { p =>
+      import org.apache.parquet.schema.PrimitiveType.{PrimitiveTypeName => PTN}
       p.getPrimitiveTypeName == PTN.INT64 &&
         (p.getLogicalTypeAnnotation match {
           case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation =>
             i.getBitWidth == 64 && !i.isSigned
           case _ => false
         })
+    }
+
+  /** Dotted paths of ALL primitive columns reachable through plain
+    * (non-REPEATED, non-LIST/MAP) groups — the same path universe as
+    * [[unsignedInt64Paths]]. Lets the u64 footer-disagreement check tell
+    * "path absent from this footer's schema" (a partial-schema dump, not
+    * a disagreement) apart from "path present but signed" (ADVICE r12). */
+  def primitivePaths(path: String): Set[String] =
+    walkPrimitivePaths(path)(_ => true)
+
+  private def walkPrimitivePaths(path: String)
+                                (pred: PrimitiveType => Boolean): Set[String] = {
+    val (meta, _) = footer(path)
     def walk(t: PType, prefix: String): Seq[String] = t match {
       case p: PrimitiveType =>
-        if (isU64(p) && !p.isRepetition(PType.Repetition.REPEATED))
+        if (pred(p) && !p.isRepetition(PType.Repetition.REPEATED))
           Seq(prefix + p.getName)
         else Seq.empty
       case g: GroupType if g.isRepetition(PType.Repetition.REPEATED) => Seq.empty

@@ -45,6 +45,36 @@ class WindowAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     n
   }
 
+  /** One pass over every gate query (building a query executes its
+    * localCheckpoints, so this loop is the expensive part — both audits
+    * share it): unpartitioned-window counts AND container-typed output
+    * columns, plus any construction failures. */
+  private def auditAll(): (Map[String, Int], Map[String, Seq[String]], Seq[String]) = {
+    val windows = scala.collection.mutable.Map.empty[String, Int]
+    val containers = scala.collection.mutable.Map.empty[String, Seq[String]]
+    val failed = scala.collection.mutable.ListBuffer.empty[String]
+    SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+      try {
+        val df = SparkEntry.queries(name)(spark, dir)
+        val n = unpartitionedWindows(df.queryExecution.analyzed)
+        if (n > 0) windows(name) = n
+        val nested = df.schema.fields.collect {
+          case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]
+            || f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType]
+            || f.dataType.isInstanceOf[org.apache.spark.sql.types.StructType] =>
+            s"${f.name}: ${f.dataType.simpleString}"
+        }.toSeq
+        if (nested.nonEmpty) containers(name) = nested
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          failed += s"$name: ${e.getMessage}"
+      }
+    }
+    (windows.toMap, containers.toMap, failed.toSeq)
+  }
+
+  private lazy val (gotWindows, gotContainers, buildFailures) = auditAll()
+
   test("unpartitioned windows appear ONLY at reviewed bounded-frame sites") {
     // query -> number of unpartitioned-window sites, each reviewed as
     // sitting on a bounded frame (the bound is the comment).
@@ -56,23 +86,26 @@ class WindowAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       "q203_sample_apportionment" -> 1, // |strata| rows
       "q207_exact_quantiles" -> 1,     // histogram rows = price domain / 4096
       "q229_pareto_frontier" -> 1)     // score-domain-collapsed rows (run-min)
-    val got = scala.collection.mutable.Map.empty[String, Int]
-    val failed = scala.collection.mutable.ListBuffer.empty[String]
-    SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
-      try {
-        val df = SparkEntry.queries(name)(spark, dir)
-        val n = unpartitionedWindows(df.queryExecution.analyzed)
-        if (n > 0) got(name) = n
-      } catch {
-        case scala.util.control.NonFatal(e) =>
-          failed += s"$name: ${e.getMessage}"
-      }
-    }
-    assert(failed.isEmpty, s"query construction failed: ${failed.mkString("; ")}")
-    assert(got.toMap == allowed,
-      s"unpartitioned-window sites drifted.\n  now:     ${got.toSeq.sorted}\n" +
+    assert(buildFailures.isEmpty,
+      s"query construction failed: ${buildFailures.mkString("; ")}")
+    assert(gotWindows == allowed,
+      s"unpartitioned-window sites drifted.\n  now:     ${gotWindows.toSeq.sorted}\n" +
         s"  allowed: ${allowed.toSeq.sorted}\n" +
         "A new site means a window moves ALL rows to one task — prove its " +
         "frame is bounded by construction, then add it here with the bound.")
+  }
+
+  test("no gate query emits a container-typed output column") {
+    // The driver comparator sorts RAW cells before stringifying; an
+    // array/struct/map cell is unsortable in pandas and errors the row
+    // (round 12, q257: 'unhashable type: numpy.ndarray' — the round-3
+    // q56 class re-learned). Gated outputs must be scalar columns only:
+    // render containers with to_json(...) or explode to rows. There is
+    // deliberately NO allowlist here.
+    assert(gotContainers.isEmpty,
+      s"container-typed gate outputs (driver comparator cannot sort these):\n" +
+        gotContainers.toSeq.sortBy(_._1).map { case (q, cols) =>
+          s"  $q -> ${cols.mkString(", ")}"
+        }.mkString("\n"))
   }
 }

@@ -34,6 +34,34 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns)).reset_index(drop=True)
 
 
+def container_check(name: str, out_dir: str, rel) -> str:
+    """Reject container-typed (list/struct/map) output columns on EITHER side.
+
+    Round-12 lesson (q257): the DRIVER sorts raw cells before stringifying,
+    and a list/struct cell is unsortable in pandas ('unhashable type:
+    numpy.ndarray') — while this tool's `canon` stringifies FIRST, so a
+    container column passed locally and errored at the gate. Reproduce the
+    driver's failure mode loudly instead: no gated query may emit a
+    container column; render with to_json(...) or explode to scalar rows.
+    Returns an error string, or "" if clean.
+    """
+    import pyarrow as pa
+    for f in sorted(glob.glob(f"{out_dir}/{name}/*.parquet")):
+        for fld in pq.read_schema(f):
+            if pa.types.is_nested(fld.type):
+                return (f"container-typed engine column {fld.name} "
+                        f"({fld.type}) in {f} — the driver sorts raw cells "
+                        f"and cannot sort array/struct/map (r12 q257); "
+                        f"to_json(...) it or explode to scalar rows")
+    for c, t in zip(rel.columns, rel.types):
+        ts = str(t)
+        if ts.endswith("[]") or ts.split("(")[0] in ("STRUCT", "MAP", "LIST", "UNION"):
+            return (f"container-typed oracle column {c} ({ts}) — the driver "
+                    f"sorts raw cells and cannot sort array/struct/map "
+                    f"(r12 q257); render it scalar in the oracle SQL")
+    return ""
+
+
 def decimal_cols(schema) -> dict:
     """name -> (precision, scale) for every decimal column in an arrow schema."""
     import pyarrow as pa
@@ -111,7 +139,7 @@ def main() -> int:
         try:
             got = con.sql(f"SELECT * FROM parquet_scan('{out}/{name}/*.parquet')").df()
             rel = con.sql(oracle[name])
-            drift = type_drift(name, out, rel)
+            drift = container_check(name, out, rel) or type_drift(name, out, rel)
             want = rel.df()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: {e}")

@@ -87,6 +87,22 @@ def main() -> int:
             "k": pa.array(["B"], pa.string()),
             "v": pa.array([Decimal("2.250000")], pa.decimal128(27, 6)),
         }), os.path.join(out, "q_masked", "part-1.parquet"))
+        # Case 5 (must FAIL): engine emits a container-typed column — the
+        # r12 q257 class. The local tool used to stringify-then-sort and
+        # print PASS; the driver sorts RAW cells and errors ('unhashable
+        # type: numpy.ndarray'). Values here even match the oracle's
+        # stringification — the rejection must fire on the TYPE alone.
+        write_dump(out, "q_container_engine", pa.table({
+            "k": pa.array(["A"], pa.string()),
+            "v": pa.array([[{"d": 1, "t": 2}]],
+                          pa.list_(pa.struct([("d", pa.int64()),
+                                              ("t", pa.int64())]))),
+        }))
+        # Case 6 (must FAIL): the ORACLE side emits a LIST column.
+        write_dump(out, "q_container_oracle", pa.table({
+            "k": pa.array(["A"], pa.string()),
+            "v": pa.array(["[1, 2]"], pa.string()),
+        }))
         with open(os.path.join(out, "oracle_sql.json"), "w") as f:
             json.dump({
                 "q_drift": "SELECT 'A' AS k, CAST(52840.44 AS DOUBLE) AS v",
@@ -95,6 +111,9 @@ def main() -> int:
                                "UNION ALL SELECT 'B', CAST(2.25 AS DOUBLE)",
                 "q_masked": "SELECT 'A' AS k, CAST(1.25 AS DECIMAL(27,6)) AS v "
                             "UNION ALL SELECT 'B', CAST(2.25 AS DECIMAL(27,6))",
+                "q_container_engine":
+                    "SELECT 'A' AS k, '[{''d'': 1, ''t'': 2}]' AS v",
+                "q_container_oracle": "SELECT 'A' AS k, [1, 2] AS v",
             }, f)
 
         r = run_tool(sf, out)
@@ -117,13 +136,23 @@ def main() -> int:
                   "agreeing with a decimal oracle must not mask a double "
                   "part via map union)")
             ok = False
+        if "FAIL q_container_engine: container-typed engine column" not in r.stdout:
+            print("EXPECTED 'FAIL q_container_engine: container-typed "
+                  "engine column' (r12 q257: the driver cannot sort raw "
+                  "array cells; local stringify-first must not mask it)")
+            ok = False
+        if "FAIL q_container_oracle: container-typed oracle column" not in r.stdout:
+            print("EXPECTED 'FAIL q_container_oracle: container-typed "
+                  "oracle column'")
+            ok = False
         if not ok:
             print("--- tool stdout ---")
             print(r.stdout)
             print(r.stderr[-2000:])
             return 1
-        print("PASS test_compare_oracle: decimal-vs-double drift is caught, "
-              "clean double column still passes")
+        print("PASS test_compare_oracle: decimal-vs-double drift and "
+              "container-typed columns are caught, clean double column "
+              "still passes")
         return 0
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
