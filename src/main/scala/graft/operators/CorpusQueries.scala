@@ -653,18 +653,43 @@ object CorpusQueries extends QueryModule {
     // like q116 (a df-heavy gram costs df cover rows, never df²); the
     // island window partitions by doc_id — state bounded by doc
     // length, never corpus-sized; the hot-gram table shuffles on gram.
-    "q253_exact_substring_spans" -> ((s, dir) => {
-      assertPlantedOffset(s, dir, 60000)
-      val base = Tables(s, dir, "documents")
-        .select(col("doc_id"), expr(toksSql).as("tk"))
-      val planted = base.filter(col("doc_id") % 10 === 6)
-        .select((col("doc_id") + 60000).as("doc_id"),
-          concat(expr("slice(tk, 1, 40)"),
-            expr("transform(sequence(1, 5), i -> concat('uq', " +
-              "CAST(doc_id + 60000 AS STRING), '_', CAST(i AS STRING)))"))
-            .as("tk"))
-      substringSpans(s, base.unionByName(planted), minLen = 30)
-        .orderBy(col("doc_id"), col("span_start"))
+    "q253_exact_substring_spans" -> ((s, dir) =>
+      substringSpans(s, plantedExcerptCorpus(s, dir), minLen = 30)
+        .orderBy(col("doc_id"), col("span_start"))),
+
+    // --- exact-substring REWRITE (q260): q253 reports the removable
+    // spans; this is the deployment step — the documents with those
+    // spans STRIPPED (the q116/q120 strip precedent lifted to the
+    // Lee-et-al. suffix granularity). Token positions anti-join the
+    // covered span positions (codegen'd hash anti-join — the q257
+    // lesson: never an in-array lambda on the corpus stream), and each
+    // doc reassembles in position order inside one doc-keyed
+    // aggregation (state bounded by doc length, never corpus-sized).
+    // The gate row is the md5 FINGERPRINT of the rewritten text plus
+    // the surviving token count — the oracle re-derives the spans, the
+    // strip, and the reassembly from scratch, so a fingerprint match
+    // proves the rewritten corpora are byte-identical. Docs whose every
+    // token is covered drop on both sides (nothing left to emit).
+    // Scale: the span engine is q253's occurrence-keyed chain; the
+    // rewrite adds one linear token-stream anti-join and one doc-keyed
+    // exchange — no pair joins, no windows over the corpus.
+    "q260_span_rewrite" -> ((s, dir) => {
+      val corpus = plantedExcerptCorpus(s, dir)
+        .localCheckpoint() // consumed by the span chain AND the strip
+      val covered = substringSpans(s, corpus, minLen = 30)
+        .select(col("doc_id"),
+          explode(sequence(col("span_start"), col("span_end"))).as("pos"))
+      corpus
+        .select(col("doc_id"), posexplode(col("tk")).as(Seq("p0", "tok")))
+        .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
+          col("tok"))
+        .join(covered, Seq("doc_id", "pos"), "left_anti")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_kept"),
+          md5(concat_ws(" ",
+            expr("transform(sort_array(collect_list(struct(pos, tok)))," +
+              " x -> x.tok)"))).as("fp"))
+        .orderBy(col("doc_id"))
     }),
 
     // --- leakage-safe train/valid/test split: the split is assigned per
@@ -933,6 +958,91 @@ object CorpusQueries extends QueryModule {
         .select(col("w"), col("blk"), col("e.d").as("d"),
           col("e.t").as("t"))
         .orderBy(col("w"), col("blk"), col("d"))
+    }),
+
+    // --- CROSS-ARTIFACT consistency audit (q261): the engine now
+    // maintains five stored artifacts (BM25 postings/doclen/termstats,
+    // the q59 cluster map, the pair graph, the sem index, the BPE
+    // merges/vocab); this is the operational health check a 100 TB
+    // deployment schedules after every maintenance batch — one query
+    // asserting their MUTUAL invariants, every boolean COMPUTED from
+    // the artifacts (never pinned): postings doc ids ⊆ corpus; doclen
+    // and termstats re-fold exactly from the postings; cluster labels
+    // cover every pair-graph doc and each label is a member of its own
+    // cluster; the sem index holds exactly one residency per indexed
+    // vector, every residency in a live cell; the BPE vocab covers the
+    // corpus dictionary exactly (count AND frequency mass); the merge
+    // table has all rounds. The oracle recomputes every observed value
+    // from ITS OWN re-derivations of the artifacts (the q59 recursive
+    // CC, the sem train chain, the BPE CTE chain, a fresh postings
+    // derivation), so the gate proves the STORED artifacts agree with
+    // from-scratch rebuilds on every invariant. Scale: each check is a
+    // tiny agg or anti-join over artifact-sized frames — the audit
+    // never re-scans the corpus beyond one token pass for the vocab
+    // mass check.
+    "q261_artifact_consistency" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      def chk(name: String, observed: DataFrame): DataFrame =
+        observed.select(lit(name).as("chk"),
+          col("observed").cast("long").as("observed"),
+          (col("observed") === 0L).as("ok"))
+      val docs = Tables(s, dir, "documents").select(col("doc_id"))
+      val entries = bm25Postings(s, dir)
+        .select(col("w"), explode(col("posting")).as("e"))
+        .select(col("w"), col("e.d").as("doc_id"), col("e.t").as("tf"))
+        .localCheckpoint() // 3 consumers: orphan scan, dl refold, ts refold
+      val c1 = chk("bm25_postings_docs_in_corpus",
+        entries.join(docs, Seq("doc_id"), "left_anti")
+          .agg(count(lit(1)).as("observed")))
+      val c2 = chk("bm25_doclen_refold",
+        bm25DocLens(s, dir)
+          .join(entries.groupBy(col("doc_id"))
+            .agg(sum(col("tf")).cast("long").as("dl2")), Seq("doc_id"), "full")
+          .filter(!(col("dl") <=> col("dl2")))
+          .agg(count(lit(1)).as("observed")))
+      val c3 = chk("bm25_termstats_refold",
+        bm25TermStats(s, dir)
+          .join(entries.groupBy(col("w"))
+            .agg(count(lit(1)).as("df2"), sum(col("tf")).cast("long").as("cf2")),
+            Seq("w"), "full")
+          .filter(!(col("df") <=> col("df2")) || !(col("cf") <=> col("cf2")))
+          .agg(count(lit(1)).as("observed")))
+      val pairs = LlmQueries.ngramJaccardPairs(s, dir)
+      val cl = pairClusters(s, dir)
+      val c4 = chk("cluster_covers_pair_graph",
+        pairs.select(col("doc_a").as("doc_id"))
+          .unionByName(pairs.select(col("doc_b").as("doc_id"))).distinct()
+          .join(cl, Seq("doc_id"), "left_anti")
+          .agg(count(lit(1)).as("observed")))
+      val c5 = chk("cluster_label_in_own_cluster",
+        cl.select(col("cluster")).distinct()
+          .join(cl.filter(col("doc_id") === col("cluster"))
+            .select(col("cluster")), Seq("cluster"), "left_anti")
+          .agg(count(lit(1)).as("observed")))
+      val (cells, members) = LlmQueries.semIndex(s, dir)
+      val c6 = chk("sem_one_residency_per_vector",
+        members.agg(count(lit(1)).as("nm"))
+          .crossJoin(Tables(s, dir, "embeddings").select(col("vec_id"))
+            .agg(count(lit(1)).as("ne")))
+          .select(abs(col("nm") - col("ne")).as("observed")))
+      val c7 = chk("sem_residency_cell_exists",
+        members.select(col("cell"))
+          .join(cells.select(col("cid").as("cell")), Seq("cell"), "left_anti")
+          .agg(count(lit(1)).as("observed")))
+      val c8 = chk("bpe_vocab_covers_dictionary",
+        bpeEncodedVocab(s, dir)
+          .agg(count(lit(1)).as("nv"), sum(col("freq")).cast("long").as("fv"))
+          .crossJoin(Tables(s, dir, "documents")
+            .select(explode(expr(toksSql)).as("word"))
+            .agg(countDistinct(col("word")).as("nw"),
+              count(lit(1)).cast("long").as("fw")))
+          .select((abs(col("nv") - col("nw")) + abs(col("fv") - col("fw")))
+            .as("observed")))
+      val c9 = chk("bpe_merges_all_rounds",
+        bpeMerges(s, dir).agg(countDistinct(col("round")).as("nr"))
+          .select((lit(BpeRounds.toLong) - col("nr")).as("observed")))
+      Seq(c1, c2, c3, c4, c5, c6, c7, c8, c9)
+        .reduce(_.unionByName(_)).orderBy(col("chk"))
     }),
 
     // --- bigram counts (language-model-style n-gram statistics): the
@@ -3574,6 +3684,24 @@ object CorpusQueries extends QueryModule {
     * 3.6 s recompute vs 6.0 s checkpointed), and both consumers shuffle
     * on the same key, so ReusedExchange dedupes the heavy exchange
     * whenever the hot side is not broadcast. */
+  /** q253/q260's shared planted corpus: the documents plus, for each
+    * %10==6 doc, an excerpt doc (+60000) sharing the source's first 40
+    * tokens then diverging into 5 doc-unique tokens — both consumers
+    * must see the identical corpus or the span truth and the rewrite
+    * fingerprints fork. Offset guarded ([[assertPlantedOffset]]). */
+  private[graft] def plantedExcerptCorpus(s: SparkSession, dir: String): DataFrame = {
+    assertPlantedOffset(s, dir, 60000)
+    val base = Tables(s, dir, "documents")
+      .select(col("doc_id"), expr(toksSql).as("tk"))
+    val planted = base.filter(col("doc_id") % 10 === 6)
+      .select((col("doc_id") + 60000).as("doc_id"),
+        concat(expr("slice(tk, 1, 40)"),
+          expr("transform(sequence(1, 5), i -> concat('uq', " +
+            "CAST(doc_id + 60000 AS STRING), '_', CAST(i AS STRING)))"))
+          .as("tk"))
+    base.unionByName(planted)
+  }
+
   private[graft] def substringSpans(s: SparkSession, corpus: DataFrame,
       minLen: Int): DataFrame = {
     graft.functions.GraftFunctions.register(s) // fnv64
@@ -3780,6 +3908,42 @@ object CorpusQueries extends QueryModule {
       " * (tf * 2.2E0) / (tf + 1.2E0 * (1E0 - 0.75E0 + 0.75E0 * dl" +
       " / (CAST(tot_dl AS DOUBLE) / n_docs)))) * 1000000 + 0.5E0) AS BIGINT)"
 
+  /** q59's recursive cluster-truth chain (body of a WITH RECURSIVE):
+    * planted corpus → distinct shingles → df-capped pair graph →
+    * symmetric edges → transitive reach. Shared by the q59 oracle and
+    * the q261 consistency audit (which re-derives the cluster map from
+    * scratch to check the STORED one's invariants against). */
+  private val clusterOracleCtes: String =
+    """corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000,
+      |    array_to_string(string_split_regex(trim(text), '\s+')[1:greatest(
+      |      len(string_split_regex(trim(text), '\s+')) - 5, 1)], ' ')
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, list_distinct(CASE WHEN len(tk) >= 3 THEN
+      |    list_transform(range(1, len(tk) - 1),
+      |      i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])
+      |    ELSE [] END) AS sh
+      |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM corpus)),
+      |ex AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS s FROM sh),
+      |exd AS (SELECT doc_id, sz, s,
+      |          COUNT(*) OVER (PARTITION BY s) AS df FROM ex),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM exd a JOIN exd b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id, a.sz, b.sz
+      |  HAVING COUNT(*) / (a.sz + b.sz - COUNT(*)) >= 0.5
+      |    AND MIN(a.df) <= 256), -- engine's shingle df-cap
+      |edges AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |  UNION SELECT doc_b, doc_a FROM pairs),
+      |reach(node, r) AS (
+      |  SELECT DISTINCT src, src FROM edges
+      |  UNION
+      |  SELECT e.src, r.r FROM edges e JOIN reach r ON r.node = e.dst)""".stripMargin
+
   /** The q249/q250 oracle's shared chain (body of a WITH RECURSIVE):
     * q59's stored cluster truth over the planted corpus, the
     * [[admissionDeltaSets]] four-slice delta, the df-capped probe, the
@@ -3973,6 +4137,128 @@ object CorpusQueries extends QueryModule {
         |FROM spans WHERE span_len >= 30
         |ORDER BY doc_id, span_start""".stripMargin,
 
+    // q261: every observed value recomputed from the oracle's OWN
+    // re-derivations — a fresh postings derivation (two independent
+    // doclen/termstat paths), the q59 recursive CC, the sem train
+    // chain, and the BPE chain — so the gate proves the engine's
+    // STORED artifacts satisfy every invariant a from-scratch rebuild
+    // satisfies.
+    "q261_artifact_consistency" ->
+      s"""WITH RECURSIVE $clusterOracleCtes,
+        |${LlmQueries.semAdmissionOracleCtes},
+        |$bpeOracleCtes,
+        |tbm AS MATERIALIZED (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+        |  FROM documents),
+        |tfbm AS MATERIALIZED (
+        |  SELECT doc_id, w, COUNT(*) AS tf FROM tbm GROUP BY 1, 2),
+        |clus AS MATERIALIZED (
+        |  SELECT node AS doc_id, MIN(r) AS cluster FROM reach GROUP BY node)
+        |SELECT * FROM (
+        |SELECT 'bm25_postings_docs_in_corpus' AS chk,
+        |  CAST((SELECT COUNT(*) FROM tfbm ANTI JOIN documents USING (doc_id))
+        |    AS BIGINT) AS observed,
+        |  (SELECT COUNT(*) FROM tfbm ANTI JOIN documents USING (doc_id)) = 0 AS ok
+        |UNION ALL
+        |SELECT 'bm25_doclen_refold', CAST(x.n AS BIGINT), x.n = 0 FROM (
+        |  SELECT COUNT(*) AS n FROM
+        |    (SELECT doc_id, COUNT(*) AS dla FROM tbm GROUP BY 1) a
+        |    FULL JOIN
+        |    (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dlb FROM tfbm GROUP BY 1) b
+        |    USING (doc_id)
+        |  WHERE a.dla IS DISTINCT FROM b.dlb) x
+        |UNION ALL
+        |SELECT 'bm25_termstats_refold', CAST(x.n AS BIGINT), x.n = 0 FROM (
+        |  SELECT COUNT(*) AS n FROM
+        |    (SELECT w, COUNT(DISTINCT doc_id) AS dfa, COUNT(*) AS cfa
+        |     FROM tbm GROUP BY 1) a
+        |    FULL JOIN
+        |    (SELECT w, COUNT(*) AS dfb, CAST(SUM(tf) AS BIGINT) AS cfb
+        |     FROM tfbm GROUP BY 1) b
+        |    USING (w)
+        |  WHERE a.dfa IS DISTINCT FROM b.dfb
+        |     OR a.cfa IS DISTINCT FROM b.cfb) x
+        |UNION ALL
+        |SELECT 'cluster_covers_pair_graph', CAST(x.n AS BIGINT), x.n = 0 FROM (
+        |  SELECT COUNT(*) AS n FROM
+        |    (SELECT doc_a AS doc_id FROM pairs
+        |     UNION SELECT doc_b FROM pairs) pd
+        |    ANTI JOIN clus USING (doc_id)) x
+        |UNION ALL
+        |SELECT 'cluster_label_in_own_cluster', CAST(x.n AS BIGINT), x.n = 0 FROM (
+        |  SELECT COUNT(*) AS n FROM
+        |    (SELECT DISTINCT cluster FROM clus) c
+        |    ANTI JOIN (SELECT doc_id FROM clus WHERE doc_id = cluster) m
+        |    ON c.cluster = m.doc_id) x
+        |UNION ALL
+        |SELECT 'sem_one_residency_per_vector',
+        |  CAST(abs((SELECT COUNT(*) FROM exa) -
+        |           (SELECT COUNT(*) FROM embeddings)) AS BIGINT),
+        |  (SELECT COUNT(*) FROM exa) = (SELECT COUNT(*) FROM embeddings)
+        |UNION ALL
+        |SELECT 'sem_residency_cell_exists', CAST(x.n AS BIGINT), x.n = 0 FROM (
+        |  SELECT COUNT(*) AS n FROM exa
+        |  ANTI JOIN cells ON exa.cell = cells.cid) x
+        |UNION ALL
+        |SELECT 'bpe_vocab_covers_dictionary',
+        |  CAST(abs((SELECT COUNT(*) FROM w) -
+        |           (SELECT COUNT(DISTINCT w) FROM tbm)) +
+        |       abs((SELECT CAST(SUM(freq) AS BIGINT) FROM w) -
+        |           (SELECT COUNT(*) FROM tbm)) AS BIGINT),
+        |  (SELECT COUNT(*) FROM w) = (SELECT COUNT(DISTINCT w) FROM tbm)
+        |    AND (SELECT CAST(SUM(freq) AS BIGINT) FROM w) =
+        |        (SELECT COUNT(*) FROM tbm)
+        |UNION ALL
+        |SELECT 'bpe_merges_all_rounds', CAST(8 - x.n AS BIGINT), x.n = 8 FROM (
+        |  SELECT COUNT(*) AS n FROM (
+        |    ${(1 to 8).map(r => s"SELECT lhs FROM b$r").mkString("\n        |    UNION ALL ")}) u) x
+        |) ORDER BY chk""".stripMargin,
+
+    // q260: the q253 span chain re-derived, then the strip and the
+    // position-ordered reassembly — fingerprint equality proves the
+    // rewritten corpora are byte-identical
+    "q260_span_rewrite" ->
+      s"""WITH tk AS MATERIALIZED (
+        |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+        |  FROM documents),
+        |corpus AS MATERIALIZED (
+        |  SELECT doc_id, t FROM tk
+        |  UNION ALL
+        |  SELECT doc_id + 60000,
+        |    t[1:40] || list_transform(range(1, 6),
+        |      i -> concat('uq', doc_id + 60000, '_', i))
+        |  FROM tk WHERE doc_id % 10 = 6),
+        |grams AS MATERIALIZED (
+        |  SELECT doc_id, start, ${LlmQueries.fnvSqlOf("gram")} AS g
+        |  FROM (
+        |    SELECT doc_id, i AS start, array_to_string(t[i : i + 7], ' ') AS gram
+        |    FROM corpus, UNNEST(generate_series(1, len(t) - 7)) AS u(i)
+        |    WHERE len(t) >= 8)),
+        |hot AS (SELECT g FROM grams GROUP BY g HAVING COUNT(*) > 1),
+        |cover AS (
+        |  SELECT DISTINCT doc_id, start + o AS pos
+        |  FROM grams JOIN hot USING (g),
+        |    UNNEST(generate_series(0, 7)) AS v(o)),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |  FROM cover),
+        |spans AS (
+        |  SELECT doc_id, MIN(pos) AS span_start, MAX(pos) AS span_end
+        |  FROM isl GROUP BY doc_id, grp
+        |  HAVING MAX(pos) - MIN(pos) + 1 >= 30),
+        |covered AS (
+        |  SELECT DISTINCT doc_id, CAST(u.p AS BIGINT) AS pos
+        |  FROM spans, UNNEST(generate_series(span_start, span_end)) AS u(p)),
+        |toks AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS pos, t[i] AS tok
+        |  FROM corpus, UNNEST(generate_series(1, len(t))) AS u(i)),
+        |kept AS (SELECT doc_id, pos, tok FROM toks
+        |         ANTI JOIN covered USING (doc_id, pos))
+        |SELECT doc_id, count(*) AS n_kept,
+        |  md5(string_agg(tok, ' ' ORDER BY pos)) AS fp
+        |FROM kept GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
     // from-scratch rebuild of the postings over the surviving corpus,
     // rendered as scalar (w, blk, d, t) rows to match the engine's
     // exploded gate output — matching the segment-local compaction
@@ -4104,35 +4390,7 @@ object CorpusQueries extends QueryModule {
         |      // (2 * n_wedges) AS BIGINT) / 1000000.0 END AS closure
         |FROM agg""".stripMargin,
     "q59_dedup_clusters" ->
-      """WITH RECURSIVE corpus AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 10000,
-        |    array_to_string(string_split_regex(trim(text), '\s+')[1:greatest(
-        |      len(string_split_regex(trim(text), '\s+')) - 5, 1)], ' ')
-        |  FROM documents),
-        |sh AS (
-        |  SELECT doc_id, list_distinct(CASE WHEN len(tk) >= 3 THEN
-        |    list_transform(range(1, len(tk) - 1),
-        |      i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])
-        |    ELSE [] END) AS sh
-        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM corpus)),
-        |ex AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS s FROM sh),
-        |exd AS (SELECT doc_id, sz, s,
-        |          COUNT(*) OVER (PARTITION BY s) AS df FROM ex),
-        |pairs AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM exd a JOIN exd b ON a.s = b.s AND a.doc_id < b.doc_id
-        |  GROUP BY a.doc_id, b.doc_id, a.sz, b.sz
-        |  HAVING COUNT(*) / (a.sz + b.sz - COUNT(*)) >= 0.5
-        |    AND MIN(a.df) <= 256), -- engine's shingle df-cap
-        |edges AS (
-        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-        |  UNION SELECT doc_b, doc_a FROM pairs),
-        |reach(node, r) AS (
-        |  SELECT DISTINCT src, src FROM edges
-        |  UNION
-        |  SELECT e.src, r.r FROM edges e JOIN reach r ON r.node = e.dst)
+      s"""WITH RECURSIVE $clusterOracleCtes
         |SELECT node AS doc_id, MIN(r) AS cluster
         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
     // q59's stored state (recursive-CTE cluster truth over the planted

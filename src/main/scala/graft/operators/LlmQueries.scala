@@ -609,6 +609,70 @@ object LlmQueries extends QueryModule {
     (cells, members)
   }
 
+  /** q245/q258's shared admission engine over a caller-chosen EXISTING-
+    * members frame (vec_id, cell, av, anrm) — q245 passes the full
+    * stored artifact, q258 the erased (anti-joined) one. ONE definition
+    * so the scoring/keep rule can never fork between the live and the
+    * post-erasure path. Assign the standard [[admissionDelta]] batch to
+    * the frozen centroids (broadcast E-step), count ≥0.99-cosine hits
+    * against existing members of the touched cells (ex_hits) and
+    * earlier batch members (new_hits), keep iff neither. */
+  private[graft] def semAdmissionRecord(s: SparkSession, dir: String,
+      exMembers: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(s) // vec_dot
+    val (cells, _) = semIndex(s, dir)
+    def d2(v: String, cc: String) = expr(s"vec_dot($v, $v)") -
+      lit(2.0) * expr(s"vec_dot($v, $cc)") + expr(s"vec_dot($cc, $cc)")
+    val nw = admissionDelta(s, dir)
+      .withColumn("nv", expr(s"transform(v, x -> x / ${normSqlOf("v")})"))
+      .select(col("vec_id"), col("nv"))
+    val nwAsg = nw.crossJoin(broadcast(cells))
+      .withColumn("d2", d2("nv", "cv"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d2"), col("cid"), col("nv"))).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cell"), col("m.nv").as("av"))
+      .withColumn("anrm", expr(normSqlOf("av")))
+      .localCheckpoint()
+    def hits(members: DataFrame, name: String): DataFrame = nwAsg
+      .select(col("cell"), col("vec_id"), col("av").as("bv"),
+        col("anrm").as("bnrm"))
+      .join(members.hint("shuffle_hash"), Seq("cell"))
+      .filter(col("mbr") < col("vec_id"))
+      .withColumn("score", round(expr(dotSql) / (col("anrm") * col("bnrm")), 4))
+      .filter(col("score") >= 0.99)
+      .groupBy(col("vec_id")).agg(count(lit(1)).as(name))
+    val exHits = hits(exMembers.select(col("cell"), col("vec_id").as("mbr"),
+      col("av"), col("anrm")), "ex_hits")
+    val nwHits = hits(nwAsg.select(col("cell"), col("vec_id").as("mbr"),
+      col("av"), col("anrm")), "new_hits")
+    nwAsg.select(col("vec_id"), col("cell"))
+      .join(exHits.hint("shuffle_hash"), Seq("vec_id"), "left")
+      .join(nwHits.hint("shuffle_hash"), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("ex_hits"), lit(0L)).as("ex_hits"),
+        coalesce(col("new_hits"), lit(0L)).as("new_hits"))
+      .withColumn("keep", (col("ex_hits") + col("new_hits")) === 0)
+      .orderBy(col("vec_id"))
+  }
+
+  /** q259's engine over the stored members frame (vec_id, cell, av,
+    * anrm) and a (vec_id) tombstone set, factored so ScaleSpec can
+    * drive multi-cell geometries. Touched cells come from the erased
+    * vectors' STORED residencies (members is keyed by vec_id — the
+    * lookup is one batch-sized semi-join, never a members scan);
+    * untouched cells pass through whole, only touched cells pay the
+    * anti-join. Projected to scalar (vec_id, cell) for the gate. */
+  private[graft] def compactMembers(members: DataFrame, del: DataFrame): DataFrame = {
+    val delCells = members.join(del, Seq("vec_id"), "left_semi")
+      .select(col("cell")).distinct()
+    val untouched = members.join(broadcast(delCells), Seq("cell"), "left_anti")
+      .select(col("vec_id"), col("cell"))
+    val rewritten = members.join(broadcast(delCells), Seq("cell"), "left_semi")
+      .join(broadcast(del), Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cell"))
+    untouched.unionByName(rewritten)
+  }
+
   /** q245/q247's arriving batch over the embeddings table (vec_id, v):
     * 2x copies of vec_id%3==0 at +200000 (exact-cosine dups of the
     * index), reversed vectors of vec_id%3==1 at +200000 (novel), and 4x
@@ -2291,41 +2355,52 @@ object LlmQueries extends QueryModule {
     // the batch touched (shuffle_hash — uniform cell keys, probe side
     // batch-sized). The frozen index itself is [[semIndex]] — trained
     // once, memoized, shared with the streaming admission path (q247).
-    "q245_incremental_semdedup" -> ((s, dir) => {
-      graft.functions.GraftFunctions.register(s) // vec_dot
-      val (cells, exAsg) = semIndex(s, dir)
-      def d2(v: String, cc: String) = expr(s"vec_dot($v, $v)") -
-        lit(2.0) * expr(s"vec_dot($v, $cc)") + expr(s"vec_dot($cc, $cc)")
-      val nw = admissionDelta(s, dir)
-        .withColumn("nv", expr(s"transform(v, x -> x / ${normSqlOf("v")})"))
-        .select(col("vec_id"), col("nv"))
-      val nwAsg = nw.crossJoin(broadcast(cells))
-        .withColumn("d2", d2("nv", "cv"))
-        .groupBy(col("vec_id"))
-        .agg(min(struct(col("d2"), col("cid"), col("nv"))).as("m"))
-        .select(col("vec_id"), col("m.cid").as("cell"), col("m.nv").as("av"))
-        .withColumn("anrm", expr(normSqlOf("av")))
-        .localCheckpoint()
-      def hits(members: DataFrame, name: String): DataFrame = nwAsg
-        .select(col("cell"), col("vec_id"), col("av").as("bv"),
-          col("anrm").as("bnrm"))
-        .join(members.hint("shuffle_hash"), Seq("cell"))
-        .filter(col("mbr") < col("vec_id"))
-        .withColumn("score", round(expr(dotSql) / (col("anrm") * col("bnrm")), 4))
-        .filter(col("score") >= 0.99)
-        .groupBy(col("vec_id")).agg(count(lit(1)).as(name))
-      val exHits = hits(exAsg.select(col("cell"), col("vec_id").as("mbr"),
-        col("av"), col("anrm")), "ex_hits")
-      val nwHits = hits(nwAsg.select(col("cell"), col("vec_id").as("mbr"),
-        col("av"), col("anrm")), "new_hits")
-      nwAsg.select(col("vec_id"), col("cell"))
-        .join(exHits.hint("shuffle_hash"), Seq("vec_id"), "left")
-        .join(nwHits.hint("shuffle_hash"), Seq("vec_id"), "left")
-        .select(col("vec_id"), col("cell"),
-          coalesce(col("ex_hits"), lit(0L)).as("ex_hits"),
-          coalesce(col("new_hits"), lit(0L)).as("new_hits"))
-        .withColumn("keep", (col("ex_hits") + col("new_hits")) === 0)
-        .orderBy(col("vec_id"))
+    "q245_incremental_semdedup" -> ((s, dir) =>
+      semAdmissionRecord(s, dir, semIndex(s, dir)._2)),
+
+    // --- DECREMENTAL SemDeDup membership erasure (q258): the RTBF side
+    // of q245, completing the semantic index's lifecycle parity with
+    // the lexical one (q251 build / q254+q245 admit / q256+q258 erase /
+    // q257+q259 compact — r12 verdict item 5). A right-to-be-forgotten
+    // batch (indexed vectors, vec_id%5==2) UN-FOLDS from the stored
+    // members artifact by one anti-join — the cell structure stays
+    // FROZEN (erasing members does not retrain centroids; retraining is
+    // the scheduled q166-rebuild path) — and the standard admission
+    // batch is then gated against the reduced index. The oracle runs
+    // the full q245 re-derivation with the erased members excluded from
+    // the ex-hit join, so the hash gate proves erased members witness
+    // NOTHING: batch duplicates whose only indexed original was erased
+    // flip to keep=true exactly as a rebuild-without-them would decide
+    // (vec_id≡12 mod 15 originals make the flip set non-empty). Scale:
+    // the erase is one batch-keyed anti-join against the stored frame;
+    // everything else is q245's O(batch) admission.
+    "q258_decremental_semdedup" -> ((s, dir) => {
+      val del = Tables(s, dir, "embeddings")
+        .filter(col("vec_id") % 5 === 2).select(col("vec_id"))
+      semAdmissionRecord(s, dir,
+        semIndex(s, dir)._2.join(del, Seq("vec_id"), "left_anti"))
+    }),
+
+    // --- semantic-index COMPACTION (q259): the artifact-rewrite side
+    // of q258 (the q257 shape in vector space) — the anti-join answers
+    // admissions correctly forever, but a real RTBF pipeline must
+    // eventually REWRITE the stored members so erased vectors are gone,
+    // not masked. TOUCHED-CELL-ONLY by construction: the tombstones'
+    // stored residencies name the touched cells (an index lookup, never
+    // a members scan), those cells broadcast, and only member rows in a
+    // touched cell pay the anti-join — untouched cells pass through
+    // whole (at 100 TB: only cells holding tombstones rewrite; the
+    // rest of the members store moves as opaque bytes). The oracle
+    // REASSIGNS the surviving vectors to the frozen centroids from
+    // scratch, so the hash gate proves compacted ≡ rebuilt row-level
+    // (assignment is per-vector under frozen cells, which is what makes
+    // segment-local compaction exact). Gate output is scalar (vec_id,
+    // cell) rows — the container-output rule.
+    "q259_sem_index_compaction" -> ((s, dir) => {
+      val (_, members) = semIndex(s, dir)
+      val del = Tables(s, dir, "embeddings")
+        .filter(col("vec_id") % 5 === 2).select(col("vec_id"))
+      compactMembers(members, del).orderBy(col("vec_id"))
     }),
 
     // --- INCREMENTAL kNN-graph extension (q246): q146's other half of
@@ -4036,6 +4111,43 @@ object LlmQueries extends QueryModule {
     // q166's train chain on the EXISTING side only, then the frozen-
     // index admission of the delta batch (the chain itself is
     // [[semAdmissionOracleCtes]], shared with q247's oracle).
+    // q258: identical re-derivation, with the erased members (vec_id%5==2)
+    // excluded from the ex-hit join only — cells and survivor assignments
+    // stay frozen, proving erased members witness nothing.
+    "q258_decremental_semdedup" ->
+      s"""WITH $semAdmissionOracleCtes,
+        |exh AS (
+        |  SELECT b.vec_id, count(*) AS ex_hits
+        |  FROM nwa b JOIN exa a ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |  WHERE a.vec_id % 5 <> 2
+        |    AND round(list_dot_product(a.nv, b.nv) /
+        |    (sqrt(list_dot_product(a.nv, a.nv)) *
+        |     sqrt(list_dot_product(b.nv, b.nv))), 4) >= 0.99
+        |  GROUP BY 1),
+        |nwh AS (
+        |  SELECT b.vec_id, count(*) AS new_hits
+        |  FROM nwa b JOIN nwa a ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |  WHERE round(list_dot_product(a.nv, b.nv) /
+        |    (sqrt(list_dot_product(a.nv, a.nv)) *
+        |     sqrt(list_dot_product(b.nv, b.nv))), 4) >= 0.99
+        |  GROUP BY 1)
+        |SELECT g.vec_id, g.cell,
+        |  coalesce(e.ex_hits, 0) AS ex_hits,
+        |  coalesce(w.new_hits, 0) AS new_hits,
+        |  coalesce(e.ex_hits, 0) + coalesce(w.new_hits, 0) = 0 AS keep
+        |FROM nwa g
+        |LEFT JOIN exh e ON e.vec_id = g.vec_id
+        |LEFT JOIN nwh w ON w.vec_id = g.vec_id
+        |ORDER BY g.vec_id""".stripMargin,
+
+    // q259: from-scratch reassignment of the SURVIVING vectors to the
+    // frozen centroids — matching the engine's touched-cell-only
+    // rewrite of the stored members artifact proves compacted ≡ rebuilt.
+    "q259_sem_index_compaction" ->
+      s"""WITH $semAdmissionOracleCtes
+        |SELECT vec_id, cell FROM exa WHERE vec_id % 5 <> 2
+        |ORDER BY vec_id""".stripMargin,
+
     "q245_incremental_semdedup" ->
       s"""WITH $semAdmissionOracleCtes,
         |exh AS (

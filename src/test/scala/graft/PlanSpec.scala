@@ -1046,6 +1046,24 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.toLowerCase.contains("arrayfilter"), p.take(4000))
   }
 
+  test("q259 sem compaction: touched cells broadcast, members never sort-merge") {
+    val p = plan("q259_sem_index_compaction")
+    // the touched-cell split and the tombstone erase must both be
+    // broadcast hash joins against batch-sized frames; the stored
+    // members frame is corpus-sized and must never sort
+    assert(p.contains("BroadcastHashJoin LeftAnti"), p.take(4000))
+    assert(p.contains("BroadcastHashJoin LeftSemi"), p.take(4000))
+    assert(!p.contains("SortMergeJoin"), p.take(4000))
+    assert(!p.contains("CartesianProduct"), p.take(4000))
+  }
+
+  test("q258 decremental semdedup: erase is one anti-join; admission joins stay hash-based") {
+    val p = plan("q258_decremental_semdedup")
+    assert(p.contains("LeftAnti"), p.take(4000))
+    assert(!p.contains("SortMergeJoin"), p.take(4000))
+    assert(!p.contains("CartesianProduct"), p.take(4000))
+  }
+
   test("q234 SQ8 / q235 unseen mass: stats broadcast, no window, map-side combine") {
     val p = plan("q234_sq8_audit")
     assert(p.contains("BroadcastHashJoin"), p.take(4000))

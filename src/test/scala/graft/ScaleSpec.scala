@@ -459,6 +459,26 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"got $got")
   }
 
+  test("q259 member compaction: untouched cells pass through whole; touched cells erase only tombstones") {
+    import graft.operators.LlmQueries
+    // The gated corpus erases %5==2 ids, which touches most cells — this
+    // planted geometry drives the untouched branch explicitly: three
+    // cells, tombstones resident only in cell 2 (one vector) and cell 3
+    // (ALL vectors — the cell must empty).
+    val sp = spark
+    import sp.implicits._
+    val members = Seq(
+      (1L, 1, Seq(0.5), 1.0), (2L, 1, Seq(0.5), 1.0), // cell 1: untouched
+      (3L, 2, Seq(0.5), 1.0), (4L, 2, Seq(0.5), 1.0), // cell 2: erase id 3
+      (5L, 3, Seq(0.5), 1.0)                          // cell 3: empties
+    ).toDF("vec_id", "cell", "av", "anrm")
+    val del = Seq(3L, 5L).toDF("vec_id")
+    val got = LlmQueries.compactMembers(members, del)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(got == Set((1L, 1), (2L, 1), (4L, 2)),
+      s"cell 1 whole, cell 2 keeps only the survivor, cell 3 gone: $got")
+  }
+
   test("q116 span-strip: every-doc boilerplate costs linear cover, strips exactly") {
     import graft.operators.CorpusQueries
     // 2000 docs, each = one corpus-wide 8-token boilerplate prefix + a
