@@ -455,27 +455,34 @@ object CorpusQueries extends QueryModule {
       incrementalClustersBuild(s, dir).localCheckpoint()
     }
 
+  /** The df-capped inverted shingle index over the planted corpus —
+    * the STORED probe artifact a pipeline keeps between batches (the
+    * q129 scaladoc's "materialized index"). Grouped postings
+    * (h, array<doc>): rows = distinct cold keys, each array bounded by
+    * [[LlmQueries.ShingleDfCap]] (StageMemoSpec asserts the bound);
+    * hs is distinct per doc, so size(docs) IS the key's document
+    * frequency. Factored out of [[incrementalClustersBuild]] in r13 so
+    * the q261 consistency audit can check the stored artifact's cap
+    * invariant directly. */
+  private[graft] def shingleIndex(s: SparkSession, dir: String): DataFrame =
+    StageMemo(s, dir, "shingle_index") {
+      LlmQueries.shingleSets(s, dir)
+        .select(col("doc_id").as("corpus_id"), explode(col("hs")).as("h"))
+        .groupBy(col("h")).agg(collect_list(col("corpus_id")).as("docs"))
+        .filter(size(col("docs")) <= LlmQueries.ShingleDfCap)
+        .localCheckpoint()
+    }
+
   private[graft] def incrementalClustersBuild(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s) // fnv64
     val idx = LlmQueries.shingleSets(s, dir)
     val clusters = pairClusters(s, dir)
     val dsets = admissionDeltaSets(s, dir)
-    // the df-capped inverted index, memoized: at 100 TB this is the
-    // STORED probe artifact a pipeline keeps between batches (the q129
-    // scaladoc's "materialized index"), not per-batch work — without
-    // the memo the x10 probe measured 14.9 s/run re-exploding and
-    // re-df-counting the corpus on every admission. Retained as GROUPED
-    // POSTINGS (h, array<doc>) — rows = distinct cold keys, each array
-    // bounded by the df cap — never the exploded Σdf (key, doc) rows
-    // the r11 memo held live for the whole suite (the one corpus-row-
-    // multiple retention; StageMemoSpec asserts the bound). hs is
-    // distinct per doc, so size(docs) IS the key's document frequency.
-    val cidx = StageMemo(s, dir, "shingle_index") {
-      idx.select(col("doc_id").as("corpus_id"), explode(col("hs")).as("h"))
-        .groupBy(col("h")).agg(collect_list(col("corpus_id")).as("docs"))
-        .filter(size(col("docs")) <= LlmQueries.ShingleDfCap)
-        .localCheckpoint()
-    }
+    // the df-capped inverted index, memoized ([[shingleIndex]]): not
+    // per-batch work — without the memo the x10 probe measured
+    // 14.9 s/run re-exploding and re-df-counting the corpus on every
+    // admission.
+    val cidx = shingleIndex(s, dir)
     val cand = dsets.select(col("new_id"), explode(col("dhs")).as("h"))
       .join(cidx, Seq("h"))
       .select(col("new_id"), explode(col("docs")).as("corpus_id")).distinct()
@@ -961,9 +968,10 @@ object CorpusQueries extends QueryModule {
     }),
 
     // --- CROSS-ARTIFACT consistency audit (q261): the engine now
-    // maintains five stored artifacts (BM25 postings/doclen/termstats,
-    // the q59 cluster map, the pair graph, the sem index, the BPE
-    // merges/vocab); this is the operational health check a 100 TB
+    // maintains six stored artifact families (BM25 postings/doclen/
+    // termstats, the q59 cluster map, the pair graph, the sem index,
+    // the BPE merges/vocab, the df-capped shingle index); this is the
+    // operational health check a 100 TB
     // deployment schedules after every maintenance batch — one query
     // asserting their MUTUAL invariants, every boolean COMPUTED from
     // the artifacts (never pinned): postings doc ids ⊆ corpus; doclen
@@ -972,7 +980,8 @@ object CorpusQueries extends QueryModule {
     // cluster; the sem index holds exactly one residency per indexed
     // vector, every residency in a live cell; the BPE vocab covers the
     // corpus dictionary exactly (count AND frequency mass); the merge
-    // table has all rounds. The oracle recomputes every observed value
+    // table has all rounds; every stored shingle-index posting honors
+    // the df cap. The oracle recomputes every observed value
     // from ITS OWN re-derivations of the artifacts (the q59 recursive
     // CC, the sem train chain, the BPE CTE chain, a fresh postings
     // derivation), so the gate proves the STORED artifacts agree with
@@ -1041,7 +1050,11 @@ object CorpusQueries extends QueryModule {
       val c9 = chk("bpe_merges_all_rounds",
         bpeMerges(s, dir).agg(countDistinct(col("round")).as("nr"))
           .select((lit(BpeRounds.toLong) - col("nr")).as("observed")))
-      Seq(c1, c2, c3, c4, c5, c6, c7, c8, c9)
+      val c10 = chk("shingle_index_df_cap",
+        shingleIndex(s, dir)
+          .filter(size(col("docs")) > LlmQueries.ShingleDfCap)
+          .agg(count(lit(1)).as("observed")))
+      Seq(c1, c2, c3, c4, c5, c6, c7, c8, c9, c10)
         .reduce(_.unionByName(_)).orderBy(col("chk"))
     }),
 
@@ -4212,6 +4225,12 @@ object CorpusQueries extends QueryModule {
         |SELECT 'bpe_merges_all_rounds', CAST(8 - x.n AS BIGINT), x.n = 8 FROM (
         |  SELECT COUNT(*) AS n FROM (
         |    ${(1 to 8).map(r => s"SELECT lhs FROM b$r").mkString("\n        |    UNION ALL ")}) u) x
+        |UNION ALL
+        |SELECT 'shingle_index_df_cap', CAST(x.n AS BIGINT), x.n = 0 FROM (
+        |  SELECT COUNT(*) AS n FROM (
+        |    SELECT s, COUNT(DISTINCT doc_id) AS df FROM ex
+        |    GROUP BY s HAVING COUNT(DISTINCT doc_id) <= 256) cidx
+        |  WHERE cidx.df > 256) x
         |) ORDER BY chk""".stripMargin,
 
     // q260: the q253 span chain re-derived, then the strip and the

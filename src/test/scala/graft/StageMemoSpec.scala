@@ -112,6 +112,42 @@ class StageMemoSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(StageMemo.buildTimes.isEmpty)
   }
 
+  test("a FAILED build pops its timing frame and is never priced; the parent stays exclusive") {
+    // ADVICE r12: without try/finally a throwing build leaked its stack
+    // frame for the process lifetime, and a parent that caught a nested
+    // failure was charged the failed child's wall time as its own
+    // exclusive cost. The failed child must (a) not appear in
+    // buildTimes (nothing produced to price), (b) still propagate its
+    // wall time to the parent's child-sum, and (c) leave the stack
+    // balanced so later builds time correctly.
+    StageMemo.reset()
+    StageMemo.resetBuildTimes()
+    StageMemo(spark, "/tmp/dirF", "parentF") {
+      try {
+        StageMemo(spark, "/tmp/dirF", "childF") {
+          Thread.sleep(200)
+          throw new RuntimeException("planted build failure")
+        }
+      } catch { case _: RuntimeException => () } // parent continues
+      Thread.sleep(50)
+      spark.range(0, 2).toDF("id").localCheckpoint()
+    }
+    val bt = StageMemo.buildTimes.toMap
+    assert(!bt.contains("childF"), s"failed build must not be priced: $bt")
+    assert(bt("parentF") < 0.2,
+      s"parent exclusive time ${bt("parentF")} must EXCLUDE the failed child's 200 ms")
+    assert(bt("parentF") >= 0.05)
+    // the failed key stays unmemoized — a retry rebuilds (and the stack
+    // is balanced: this top-level build times normally)
+    var retried = 0
+    StageMemo(spark, "/tmp/dirF", "childF") {
+      retried += 1; spark.range(0, 1).toDF("id").localCheckpoint()
+    }
+    assert(retried == 1, "failed build must not poison the memo")
+    assert(StageMemo.buildTimes.toMap.contains("childF"))
+    StageMemo.resetBuildTimes()
+  }
+
   test("release(dir) evicts exactly that dir's stages") {
     StageMemo.reset()
     StageMemo(spark, "/tmp/dirR1", "s1") { spark.range(0, 1).toDF("id").localCheckpoint() }
