@@ -100,6 +100,32 @@ object Pq2Json {
     sb.toString
   }
 
+  /** The u64 footer-disagreement warnings over the sampled footers —
+    * `(file, u64Paths, allPrimitivePaths)` per sampled file. The render
+    * verdict is a single column-path set applied to the WHOLE directory;
+    * a dump mixing files where the same path is UINT64 in one and plain
+    * INT64/true decimal in another would render ALL rows unsigned.
+    * Homogeneous dumps (one writer config) are the contract — but footer
+    * DISAGREEMENT is observable for free here, so warn instead of
+    * silently unioning (ADVICE r11). Only files whose footer actually
+    * CONTAINS the path count as disagreeing (a partial-schema dump is
+    * not a signedness conflict), and warnings aggregate to ONE line per
+    * path naming the disagreeing files — never a line per (path, file)
+    * pair (ADVICE r12). Factored pure for Pq2JsonSpec. */
+  private[graft] def u64FooterWarnings(
+      sampled: Seq[(String, Set[String], Set[String])]): Seq[String] = {
+    val u64Paths = sampled.flatMap(_._2).toSet
+    u64Paths.toSeq.sorted.flatMap { path =>
+      val signedIn = sampled.collect {
+        case (file, u64, all) if all.contains(path) && !u64.contains(path) => file
+      }
+      if (signedIn.isEmpty) None
+      else Some(s"WARNING: column path '$path' is UINT64 in some sampled " +
+        s"footers but signed in ${signedIn.mkString(", ")}; rendering it " +
+        "unsigned for ALL rows — re-encode the dump with one writer config")
+    }
+  }
+
   def run(spark: SparkSession, a: Args, out: java.io.PrintStream): Unit = {
     if (a.schema) {
       out.println("\n\nParquet metadata")
@@ -163,26 +189,7 @@ object Pq2Json {
           .map { case (u64, all) => (p, u64, all) }
       }
       val u64Paths = u64Sampled.flatMap(_._2).toSet
-      // The verdict is a single column-path set applied to the WHOLE
-      // directory; a dump mixing files where the same path is UINT64 in
-      // one and plain INT64/true decimal in another would render ALL
-      // rows unsigned. Homogeneous dumps (one writer config) are the
-      // contract — but footer DISAGREEMENT is observable for free here,
-      // so warn instead of silently unioning (ADVICE r11). Only files
-      // whose footer actually CONTAINS the path count as disagreeing (a
-      // partial-schema dump is not a signedness conflict), and the
-      // warning aggregates to ONE line per path naming the disagreeing
-      // files — not a line per (path, file) pair (ADVICE r12).
-      for (path <- u64Paths.toSeq.sorted) {
-        val signedIn = u64Sampled.collect {
-          case (file, u64, all) if all.contains(path) && !u64.contains(path) => file
-        }
-        if (signedIn.nonEmpty)
-          System.err.println(s"WARNING: column path '$path' is UINT64 in " +
-            s"some sampled footers but signed in ${signedIn.mkString(", ")}; " +
-            "rendering it unsigned for ALL rows — re-encode the dump with " +
-            "one writer config")
-      }
+      u64FooterWarnings(u64Sampled).foreach(System.err.println)
       val opts = a.opts.copy(unsignedPaths = u64Paths)
       val df = spark.read.parquet(a.input)
       val rendered =

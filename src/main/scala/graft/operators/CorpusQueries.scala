@@ -680,24 +680,11 @@ object CorpusQueries extends QueryModule {
     // Scale: the span engine is q253's occurrence-keyed chain; the
     // rewrite adds one linear token-stream anti-join and one doc-keyed
     // exchange — no pair joins, no windows over the corpus.
-    "q260_span_rewrite" -> ((s, dir) => {
-      val corpus = plantedExcerptCorpus(s, dir)
-        .localCheckpoint() // consumed by the span chain AND the strip
-      val covered = substringSpans(s, corpus, minLen = 30)
-        .select(col("doc_id"),
-          explode(sequence(col("span_start"), col("span_end"))).as("pos"))
-      corpus
-        .select(col("doc_id"), posexplode(col("tk")).as(Seq("p0", "tok")))
-        .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
-          col("tok"))
-        .join(covered, Seq("doc_id", "pos"), "left_anti")
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_kept"),
-          md5(concat_ws(" ",
-            expr("transform(sort_array(collect_list(struct(pos, tok)))," +
-              " x -> x.tok)"))).as("fp"))
-        .orderBy(col("doc_id"))
-    }),
+    "q260_span_rewrite" -> ((s, dir) =>
+      spanRewrite(s, plantedExcerptCorpus(s, dir)
+        .localCheckpoint(), // consumed by the span chain AND the strip
+        minLen = 30)
+        .orderBy(col("doc_id"))),
 
     // --- leakage-safe train/valid/test split: the split is assigned per
     // DUPLICATE CLUSTER, not per document, so near-duplicates can never
@@ -3713,6 +3700,28 @@ object CorpusQueries extends QueryModule {
             "CAST(doc_id + 60000 AS STRING), '_', CAST(i AS STRING)))"))
           .as("tk"))
     base.unionByName(planted)
+  }
+
+  /** q260's engine over a (doc_id, tk) corpus: strip every
+    * [[substringSpans]]-removable span and fingerprint the rewritten
+    * text — factored so ScaleSpec can drive the q253 planted span
+    * geometry through the rewrite and assert exact fingerprints. Docs
+    * whose every token is covered emit nothing (both engines). */
+  private[graft] def spanRewrite(s: SparkSession, corpus: DataFrame,
+      minLen: Int): DataFrame = {
+    val covered = substringSpans(s, corpus, minLen)
+      .select(col("doc_id"),
+        explode(sequence(col("span_start"), col("span_end"))).as("pos"))
+    corpus
+      .select(col("doc_id"), posexplode(col("tk")).as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
+        col("tok"))
+      .join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        md5(concat_ws(" ",
+          expr("transform(sort_array(collect_list(struct(pos, tok)))," +
+            " x -> x.tok)"))).as("fp"))
   }
 
   private[graft] def substringSpans(s: SparkSession, corpus: DataFrame,

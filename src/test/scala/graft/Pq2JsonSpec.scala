@@ -157,4 +157,31 @@ class Pq2JsonSpec extends AnyFunSuite with BeforeAndAfterAll {
     val s = capture(Array("--schema", s"$dir/region.parquet"))
     assert(s.contains("r_regionkey") && s.contains("Parquet metadata"))
   }
+
+  test("u64 footer-disagreement warnings: absent path is NOT a conflict; one line per path names the signed files") {
+    // ADVICE r12: the old check treated "file lacks the column path"
+    // the same as "path present but signed", and printed one line per
+    // (path, file) pair. Pinned here on the pure function.
+    def f(name: String, u64: Set[String], all: Set[String]) = (name, u64, all)
+    // partial-schema dump: fileB simply lacks 'k' — no conflict
+    assert(Pq2Json.u64FooterWarnings(Seq(
+      f("a.parquet", Set("k"), Set("k", "x")),
+      f("b.parquet", Set(), Set("x")))).isEmpty)
+    // real disagreement: ONE aggregated line naming both signed files
+    val w = Pq2Json.u64FooterWarnings(Seq(
+      f("a.parquet", Set("k"), Set("k")),
+      f("b.parquet", Set(), Set("k")),
+      f("c.parquet", Set(), Set("k"))))
+    assert(w.size == 1, w)
+    assert(w.head.contains("'k'") && w.head.contains("b.parquet, c.parquet"), w)
+    // two conflicted paths -> two lines, sorted by path, never per-file
+    val w2 = Pq2Json.u64FooterWarnings(Seq(
+      f("a.parquet", Set("k1", "k2"), Set("k1", "k2")),
+      f("b.parquet", Set(), Set("k1", "k2"))))
+    assert(w2.size == 2 && w2(0).contains("'k1'") && w2(1).contains("'k2'"), w2)
+    // agreement (both unsigned): silent
+    assert(Pq2Json.u64FooterWarnings(Seq(
+      f("a.parquet", Set("k"), Set("k")),
+      f("b.parquet", Set("k"), Set("k")))).isEmpty)
+  }
 }

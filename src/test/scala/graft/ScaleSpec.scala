@@ -427,6 +427,39 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
       "at L=10 the 29-token pair AND both within-doc repeats surface")
   }
 
+  test("q260 span rewrite: removable passages strip exactly; untouched docs fingerprint as their full text") {
+    import graft.operators.CorpusQueries
+    // The q253 planted geometry driven through the REWRITE: docs 1/2
+    // lose their shared 37-token passage (>= L=30) and keep only their
+    // unique tails; docs 3/4 (29-token passage, below L) and doc 5
+    // (15-token within-doc repeat) pass through UNSTRIPPED — the
+    // precision the Lee et al. threshold buys. Fingerprints are
+    // asserted against md5 computed independently here, not by Spark.
+    def toks(p: String, n: Int) = (1 to n).map(i => s"$p$i")
+    val sh = toks("s", 37); val t29 = toks("t", 29); val p15 = toks("p", 15)
+    val docs = Seq(
+      1L -> (sh ++ toks("a", 5)), 2L -> (toks("b", 5) ++ sh),
+      3L -> (t29 ++ toks("c", 5)), 4L -> (toks("d", 5) ++ t29),
+      5L -> (p15 ++ toks("e", 10) ++ p15))
+    val sp = spark
+    import sp.implicits._
+    val d = docs.map { case (id, tk) => (id, tk.mkString(" ")) }
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), expr("split(trim(text), '\\\\s+')").as("tk"))
+    def md5Of(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(
+        s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val got = CorpusQueries.spanRewrite(spark, d, minLen = 30)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val full = docs.toMap
+    assert(got == Set(
+      (1L, 5L, md5Of(toks("a", 5).mkString(" "))),
+      (2L, 5L, md5Of(toks("b", 5).mkString(" "))),
+      (3L, 34L, md5Of(full(3L).mkString(" "))),
+      (4L, 34L, md5Of(full(4L).mkString(" "))),
+      (5L, 40L, md5Of(full(5L).mkString(" ")))), s"got $got")
+  }
+
   test("q257 compaction: untouched strides pass through whole; tombstoned strides rewrite; emptied rows drop") {
     import graft.operators.CorpusQueries
     // The gated corpora fit ONE 8192-stride, so the gate never
