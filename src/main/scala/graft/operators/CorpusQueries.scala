@@ -987,20 +987,25 @@ object CorpusQueries extends QueryModule {
         .select(col("w"), explode(col("posting")).as("e"))
         .select(col("w"), col("e.d").as("doc_id"), col("e.t").as("tf"))
         .localCheckpoint() // 3 consumers: orphan scan, dl refold, ts refold
+      // shuffle_hash on every artifact-keyed join below: the keys
+      // (doc_id, w, cluster, cell) are uniform by construction, the
+      // frames are artifact-sized, and the default sort-merge would
+      // sort both sides of ten joins for one-pass existence checks.
       val c1 = chk("bm25_postings_docs_in_corpus",
-        entries.join(docs, Seq("doc_id"), "left_anti")
+        entries.join(docs.hint("shuffle_hash"), Seq("doc_id"), "left_anti")
           .agg(count(lit(1)).as("observed")))
       val c2 = chk("bm25_doclen_refold",
         bm25DocLens(s, dir)
           .join(entries.groupBy(col("doc_id"))
-            .agg(sum(col("tf")).cast("long").as("dl2")), Seq("doc_id"), "full")
+            .agg(sum(col("tf")).cast("long").as("dl2"))
+            .hint("shuffle_hash"), Seq("doc_id"), "full")
           .filter(!(col("dl") <=> col("dl2")))
           .agg(count(lit(1)).as("observed")))
       val c3 = chk("bm25_termstats_refold",
         bm25TermStats(s, dir)
           .join(entries.groupBy(col("w"))
-            .agg(count(lit(1)).as("df2"), sum(col("tf")).cast("long").as("cf2")),
-            Seq("w"), "full")
+            .agg(count(lit(1)).as("df2"), sum(col("tf")).cast("long").as("cf2"))
+            .hint("shuffle_hash"), Seq("w"), "full")
           .filter(!(col("df") <=> col("df2")) || !(col("cf") <=> col("cf2")))
           .agg(count(lit(1)).as("observed")))
       val pairs = LlmQueries.ngramJaccardPairs(s, dir)
@@ -1008,12 +1013,13 @@ object CorpusQueries extends QueryModule {
       val c4 = chk("cluster_covers_pair_graph",
         pairs.select(col("doc_a").as("doc_id"))
           .unionByName(pairs.select(col("doc_b").as("doc_id"))).distinct()
-          .join(cl, Seq("doc_id"), "left_anti")
+          .join(cl.hint("shuffle_hash"), Seq("doc_id"), "left_anti")
           .agg(count(lit(1)).as("observed")))
       val c5 = chk("cluster_label_in_own_cluster",
         cl.select(col("cluster")).distinct()
           .join(cl.filter(col("doc_id") === col("cluster"))
-            .select(col("cluster")), Seq("cluster"), "left_anti")
+            .select(col("cluster")).hint("shuffle_hash"),
+            Seq("cluster"), "left_anti")
           .agg(count(lit(1)).as("observed")))
       val (cells, members) = LlmQueries.semIndex(s, dir)
       val c6 = chk("sem_one_residency_per_vector",
@@ -1023,7 +1029,8 @@ object CorpusQueries extends QueryModule {
           .select(abs(col("nm") - col("ne")).as("observed")))
       val c7 = chk("sem_residency_cell_exists",
         members.select(col("cell"))
-          .join(cells.select(col("cid").as("cell")), Seq("cell"), "left_anti")
+          .join(broadcast(cells.select(col("cid").as("cell"))),
+            Seq("cell"), "left_anti") // cells ~ √n rows: always broadcast
           .agg(count(lit(1)).as("observed")))
       val c8 = chk("bpe_vocab_covers_dictionary",
         bpeEncodedVocab(s, dir)

@@ -1064,6 +1064,19 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct"), p.take(4000))
   }
 
+  test("q260 span rewrite / q261 audit: every join hash-based — ten audit joins never sort") {
+    // q260's token-stream anti-join is a plain equi-join (AQE broadcasts
+    // the covered side when it is measured small, shuffles otherwise);
+    // q261's artifact-keyed refold/existence joins are shuffle_hash by
+    // hint — uniform keys, one-pass checks, sorting both sides of ten
+    // joins would be pure waste.
+    for (q <- Seq("q260_span_rewrite", "q261_artifact_consistency")) {
+      val p = plan(q)
+      assert(!p.contains("SortMergeJoin"), s"$q: ${p.take(4000)}")
+      assert(!p.contains("CartesianProduct"), s"$q: ${p.take(4000)}")
+    }
+  }
+
   test("q234 SQ8 / q235 unseen mass: stats broadcast, no window, map-side combine") {
     val p = plan("q234_sq8_audit")
     assert(p.contains("BroadcastHashJoin"), p.take(4000))
