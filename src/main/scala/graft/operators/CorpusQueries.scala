@@ -1052,6 +1052,69 @@ object CorpusQueries extends QueryModule {
         .reduce(_.unionByName(_)).orderBy(col("chk"))
     }),
 
+    // --- POST-MAINTENANCE audit (q262): q261 checks the LIVE
+    // artifacts; this is the other half of the operational story — the
+    // health check run on MAINTENANCE OUTPUTS before they replace the
+    // live artifacts (the validate-then-swap step of every index
+    // deployment). Five invariants over the q257-compacted postings
+    // and the q259-compacted sem members, each against the corpus the
+    // compaction claims to represent: no erased doc survives in the
+    // compacted postings (RTBF at the artifact level, the q256 proof
+    // lifted from query results to stored bytes); the compacted doc
+    // universe is exactly the surviving tokenized corpus; the block
+    // geometry is preserved entry-level (blk = d DIV stride — a
+    // corrupted regroup would break queries that join on blk); no
+    // erased vector survives in the compacted members; the compacted
+    // membership count is exactly the surviving vector count. All
+    // booleans computed; the oracle re-derives every observed value
+    // from the surviving corpus directly. Scale: both compactions are
+    // the audited segment-local engines; the checks add artifact-sized
+    // aggs and batch-keyed semi-joins only.
+    "q262_post_maintenance_audit" -> ((s, dir) => {
+      def chk(name: String, observed: DataFrame): DataFrame =
+        observed.select(lit(name).as("chk"),
+          col("observed").cast("long").as("observed"),
+          (col("observed") === 0L).as("ok"))
+      val del = Tables(s, dir, "documents")
+        .filter(col("doc_id") % 10 === 9).select(col("doc_id"))
+        .localCheckpoint() // consumed by compaction + two checks
+      val centries = compactPostings(bm25Postings(s, dir), del)
+        .select(col("blk"), explode(col("posting")).as("e"))
+        .select(col("blk"), col("e.d").as("doc_id"))
+        .localCheckpoint() // 3 consumers: erased scan, universe, geometry
+      val c1 = chk("compacted_postings_no_erased",
+        centries.join(broadcast(del), Seq("doc_id"), "left_semi")
+          .agg(count(lit(1)).as("observed")))
+      val c2 = chk("compacted_postings_doc_universe",
+        centries.select(col("doc_id")).distinct()
+          .agg(count(lit(1)).as("na"))
+          .crossJoin(Tables(s, dir, "documents")
+            .filter(col("doc_id") % 10 =!= 9)
+            .filter(size(expr(toksSql)) > 0).select(col("doc_id"))
+            .agg(count(lit(1)).as("nb")))
+          .select(abs(col("na") - col("nb")).as("observed")))
+      val c3 = chk("compacted_postings_block_geometry",
+        centries.filter(expr(s"doc_id DIV $Bm25BlockStride") =!= col("blk"))
+          .agg(count(lit(1)).as("observed")))
+      val delV = Tables(s, dir, "embeddings")
+        .filter(col("vec_id") % 5 === 2).select(col("vec_id"))
+        .localCheckpoint() // consumed by compaction + two checks
+      val cmem = LlmQueries.compactMembers(
+        LlmQueries.semIndex(s, dir)._2, delV)
+        .localCheckpoint() // 2 consumers: erased scan, census
+      val c4 = chk("compacted_members_no_erased",
+        cmem.join(broadcast(delV), Seq("vec_id"), "left_semi")
+          .agg(count(lit(1)).as("observed")))
+      val c5 = chk("compacted_members_census",
+        cmem.agg(count(lit(1)).as("na"))
+          .crossJoin(Tables(s, dir, "embeddings")
+            .filter(col("vec_id") % 5 =!= 2)
+            .agg(count(lit(1)).as("nb")))
+          .select(abs(col("na") - col("nb")).as("observed")))
+      Seq(c1, c2, c3, c4, c5)
+        .reduce(_.unionByName(_)).orderBy(col("chk"))
+    }),
+
     // --- bigram counts (language-model-style n-gram statistics): the
     // bigram array is built from fused slices (one pass per row — see
     // LlmQueries.shinglesSql on why not positional lambdas), exploded,
@@ -4247,6 +4310,46 @@ object CorpusQueries extends QueryModule {
         |    SELECT s, COUNT(DISTINCT doc_id) AS df FROM ex
         |    GROUP BY s HAVING COUNT(DISTINCT doc_id) <= 256) cidx
         |  WHERE cidx.df > 256) x
+        |) ORDER BY chk""".stripMargin,
+
+    // q262: every observed value re-derived from the surviving corpus
+    // directly (a rebuilt surviving posting set, surviving doc/vector
+    // censuses, the stride arithmetic) — matching the engine's checks
+    // over its ACTUAL compaction outputs proves the maintenance step
+    // produced artifacts a from-scratch rebuild would accept.
+    "q262_post_maintenance_audit" ->
+      s"""WITH t AS MATERIALIZED (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+        |  FROM documents WHERE doc_id % 10 <> 9),
+        |rebuilt AS MATERIALIZED (
+        |  SELECT doc_id, doc_id // $Bm25BlockStride AS blk, w, COUNT(*) AS tf
+        |  FROM t GROUP BY 1, 2, 3),
+        |erased AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 9),
+        |verased AS (SELECT vec_id FROM embeddings WHERE vec_id % 5 = 2)
+        |SELECT * FROM (
+        |SELECT 'compacted_members_census' AS chk, CAST(x.n AS BIGINT) AS observed,
+        |  x.n = 0 AS ok
+        |FROM (SELECT abs((SELECT COUNT(*) FROM embeddings WHERE vec_id % 5 <> 2)
+        |            - ((SELECT COUNT(*) FROM embeddings)
+        |               - (SELECT COUNT(*) FROM verased))) AS n) x
+        |UNION ALL
+        |SELECT 'compacted_members_no_erased', CAST(x.n AS BIGINT), x.n = 0
+        |FROM (SELECT COUNT(*) AS n
+        |      FROM (SELECT vec_id FROM embeddings WHERE vec_id % 5 <> 2) vs
+        |      SEMI JOIN verased USING (vec_id)) x
+        |UNION ALL
+        |SELECT 'compacted_postings_block_geometry', CAST(x.n AS BIGINT), x.n = 0
+        |FROM (SELECT COUNT(*) AS n FROM rebuilt
+        |      WHERE doc_id // $Bm25BlockStride <> blk) x
+        |UNION ALL
+        |SELECT 'compacted_postings_doc_universe', CAST(x.n AS BIGINT), x.n = 0
+        |FROM (SELECT abs((SELECT COUNT(DISTINCT doc_id) FROM rebuilt)
+        |            - (SELECT COUNT(*) FROM documents WHERE doc_id % 10 <> 9
+        |               AND len(string_split_regex(trim(text), '\\s+')) > 0)) AS n) x
+        |UNION ALL
+        |SELECT 'compacted_postings_no_erased', CAST(x.n AS BIGINT), x.n = 0
+        |FROM (SELECT COUNT(*) AS n FROM rebuilt
+        |      SEMI JOIN erased USING (doc_id)) x
         |) ORDER BY chk""".stripMargin,
 
     // q260: the q253 span chain re-derived, then the strip and the

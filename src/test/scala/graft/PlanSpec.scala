@@ -1070,7 +1070,8 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // q261's artifact-keyed refold/existence joins are shuffle_hash by
     // hint — uniform keys, one-pass checks, sorting both sides of ten
     // joins would be pure waste.
-    for (q <- Seq("q260_span_rewrite", "q261_artifact_consistency")) {
+    for (q <- Seq("q260_span_rewrite", "q261_artifact_consistency",
+        "q262_post_maintenance_audit")) {
       val p = plan(q)
       assert(!p.contains("SortMergeJoin"), s"$q: ${p.take(4000)}")
       assert(!p.contains("CartesianProduct"), s"$q: ${p.take(4000)}")
