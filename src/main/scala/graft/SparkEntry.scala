@@ -38,4 +38,17 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     modules.flatMap(_.oracles).toMap
+
+  /** Container-typed (array/struct/map) columns of a gate output schema
+    * — the r12 q257 postmortem's contract: the correctness driver sorts
+    * RAW cells and cannot sort containers, so gated queries must emit
+    * scalars only (to_json or explode). ONE definition shared by the
+    * Verify dump guard and the WindowAuditSpec schema audit. */
+  def containerCols(schema: org.apache.spark.sql.types.StructType): Seq[String] =
+    schema.fields.collect {
+      case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]
+        || f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType]
+        || f.dataType.isInstanceOf[org.apache.spark.sql.types.StructType] =>
+        s"${f.name}: ${f.dataType.simpleString}"
+    }.toSeq
 }

@@ -25,9 +25,21 @@ object Verify {
       // and the dump continues, but a fatal VM error (OOM) means the
       // JVM may be corrupted — dumping the remaining queries on it
       // could write garbage parquet presented as results.
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case scala.util.control.NonFatal(e) =>
+      try {
+        val df = fn(spark, sfDir)
+        // Container-output guard (r12 q257 postmortem): the driver's
+        // comparator sorts RAW cells and cannot sort array/struct/map —
+        // a container column would error its row with an opaque pandas
+        // TypeError. Refuse to dump it and say WHY instead, so the
+        // failure names the contract at the source. Mirrored by the
+        // WindowAuditSpec schema audit and compare_oracle.py.
+        val nested = SparkEntry.containerCols(df.schema)
+        if (nested.nonEmpty)
+          System.err.println(s"[verify] $name REFUSED: container-typed " +
+            s"output column(s) ${nested.mkString(", ")} — gated queries " +
+            "must emit scalars (to_json or explode; see the q257 lesson)")
+        else df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

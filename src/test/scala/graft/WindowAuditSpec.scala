@@ -58,12 +58,7 @@ class WindowAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
         val df = SparkEntry.queries(name)(spark, dir)
         val n = unpartitionedWindows(df.queryExecution.analyzed)
         if (n > 0) windows(name) = n
-        val nested = df.schema.fields.collect {
-          case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]
-            || f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType]
-            || f.dataType.isInstanceOf[org.apache.spark.sql.types.StructType] =>
-            s"${f.name}: ${f.dataType.simpleString}"
-        }.toSeq
+        val nested = SparkEntry.containerCols(df.schema)
         if (nested.nonEmpty) containers(name) = nested
       } catch {
         case scala.util.control.NonFatal(e) =>
