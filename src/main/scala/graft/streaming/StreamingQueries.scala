@@ -593,8 +593,65 @@ object StreamingQueries extends QueryModule {
       bpeDriftWindows(docs, enc,
           CorpusQueries.bpeWideMerges(s, dir), baseline)
         .orderBy(col("window_start"))
+    }),
+
+    // --- streaming tombstone ledger (q263): the ERASURE side's
+    // streaming column, completing the lifecycle × streaming matrix
+    // (admission streams via q247/q168/q255; deletion feeds — RTBF
+    // requests — are just as much a stream in production). Each
+    // arriving tombstone is joined against the STORED index artifacts
+    // to emit its per-doc maintenance record: the doc's stored length
+    // (the dl/tot un-fold the q256 algebra applies), the number of
+    // posting rows it must be erased from, and the block its entries
+    // live in (segment routing for the q257 compactor). Stateless by
+    // construction — two stream-static equi-joins on doc_id against
+    // artifact-derived frames, no stream-side aggregation; the only
+    // stateful operator in streaming mode is the watermark-bounded
+    // output dedup keyed by doc_id (exactly-once across micro-batch
+    // replays, the q162/q168 discipline). Batch parity here (the q256
+    // deletion set with a fixed ts); the MemoryStream two-wave run is
+    // in StreamingSpec. The oracle re-derives each doc's length, term
+    // count, and block from the corpus directly.
+    "q263_stream_tombstone_ledger" -> ((s, dir) => {
+      import graft.operators.CorpusQueries
+      val dels = Tables(s, dir, "documents")
+        .filter(col("doc_id") % 10 === 9)
+        .select(col("doc_id"),
+          lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")).as("ts"))
+      tombstoneLedger(s, dels, CorpusQueries.bm25Postings(s, dir),
+          CorpusQueries.bm25DocLens(s, dir))
+        .select(col("doc_id"), col("dl_removed"), col("n_posting_rows"),
+          col("blk"))
+        .orderBy(col("doc_id"))
     })
   )
+
+  /** q263's builder: join a (doc_id, ts) tombstone frame — batch OR
+    * streaming — against the stored BM25 artifacts to emit per-doc
+    * erase records. The per-doc touch census (how many posting rows
+    * hold the doc, and in which block) derives from the postings
+    * artifact ONCE per index era (static side, localCheckpointed);
+    * the stream side is pure join work. A tombstone for a doc the
+    * index never held emits nothing (inner joins) — the sink's signal
+    * that the request needs no index maintenance. */
+  def tombstoneLedger(s: SparkSession, dels: DataFrame,
+      postings: DataFrame, doclen: DataFrame): DataFrame = {
+    val touch = postings
+      .select(col("blk"), explode(col("posting")).as("e"))
+      .select(col("blk"), col("e.d").as("doc_id"))
+      .groupBy(col("doc_id"), col("blk"))
+      .agg(count(lit(1)).as("n_posting_rows"))
+      .localCheckpoint() // the index era's static census
+    val recs = dels
+      .join(touch, Seq("doc_id"))
+      .join(doclen.withColumnRenamed("dl", "dl_removed"), Seq("doc_id"))
+      .select(col("doc_id"), col("dl_removed"), col("n_posting_rows"),
+        col("blk"), col("ts"))
+    if (dels.isStreaming)
+      recs.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("doc_id")
+    else recs
+  }
 
   /** q242's static baseline: the 16-bin value histogram of the full
     * table as ONE row of cumulative counts (grid restored — absent
@@ -774,6 +831,22 @@ object StreamingQueries extends QueryModule {
         |  FROM nwa b JOIN exa a ON a.cell = b.cell)
         |WHERE score >= 0.99
         |ORDER BY vec_id, mbr""".stripMargin,
+
+    // q263: each tombstoned doc's stored length, distinct-term touch
+    // count, and block re-derived from the corpus directly — matching
+    // the engine's artifact-joined ledger proves the stored census
+    // agrees with a rebuild.
+    "q263_stream_tombstone_ledger" ->
+      s"""WITH t AS MATERIALIZED (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+        |  FROM documents),
+        |per AS (SELECT doc_id, COUNT(*) AS dl, COUNT(DISTINCT w) AS nt
+        |        FROM t GROUP BY 1)
+        |SELECT doc_id, CAST(dl AS BIGINT) AS dl_removed,
+        |  CAST(nt AS BIGINT) AS n_posting_rows,
+        |  CAST(doc_id // ${graft.operators.CorpusQueries.Bm25BlockStride}
+        |       AS BIGINT) AS blk
+        |FROM per WHERE doc_id % 10 = 9 ORDER BY doc_id""".stripMargin,
 
     "q50_stream_tumbling" ->
       """SELECT date_trunc('hour', ts) AS window_start, COUNT(*) AS n_events,

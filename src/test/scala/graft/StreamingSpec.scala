@@ -18,6 +18,7 @@ case class Alert(user_id: Long, crossed: Long)
 case class Doc(lang: String, text: String)
 case class NewDoc(doc_id: Long, text: String, ts: Timestamp)
 case class NewVec(vec_id: Long, v: Seq[Double], ts: Timestamp)
+case class Tombstone(doc_id: Long, ts: Timestamp)
 case class IdEv(event_id: Long, ts: Timestamp)
 case class TypedEv(ts: Timestamp, event_type: String)
 case class Tok(shard: Int, token: String)
@@ -747,6 +748,45 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(streamed.nonEmpty)
       // exactly-once: one output row per (vec_id, mbr) pair
       assert(sp.table("vadm").count() == streamed.size)
+    } finally q.stop()
+  }
+
+  test("q263 tombstone ledger: streamed deletion feed matches the batch gate; replayed tombstones dedup") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    import graft.operators.CorpusQueries
+    val postings = CorpusQueries.bm25Postings(sp, dir)
+    val doclen = CorpusQueries.bm25DocLens(sp, dir)
+    val delIds = Tables(sp, dir, "documents")
+      .filter(col("doc_id") % 10 === 9)
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    val (half1, half2) = delIds.partition(_ % 20 == 9)
+    val mem = MemoryStream[Tombstone]
+    val q = StreamingQueries.tombstoneLedger(sp, mem.toDF(), postings, doclen)
+      .writeStream.format("memory").queryName("tled")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(half1.map(d => Tombstone(d, ts("2024-01-01T00:00:00Z"))): _*)
+      q.processAllAvailable()
+      // second wave REPLAYS one first-wave tombstone (an at-least-once
+      // feed re-delivering an RTBF request) — the watermark dedup must
+      // keep the ledger exactly-once per doc
+      mem.addData((half2 ++ half1.take(1)).map(d =>
+        Tombstone(d, ts("2024-01-01T00:30:00Z"))): _*)
+      q.processAllAvailable()
+      val streamed = sp.table("tled")
+        .select("doc_id", "dl_removed", "n_posting_rows", "blk")
+        .collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val batch = SparkEntry.queries("q263_stream_tombstone_ledger")(sp, dir)
+        .collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(streamed == batch, "streamed ledger must equal the batch gate's")
+      assert(streamed.nonEmpty)
+      assert(sp.table("tled").count() == streamed.size,
+        "a replayed tombstone must not double-emit its erase record")
     } finally q.stop()
   }
 
