@@ -19,12 +19,35 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // WindowExec's "No Partition Defined" warning is a false alarm for
+    // this suite — every unpartitioned-window site is reviewed and
+    // construction-bounded (WindowAuditSpec's allowlist is the guard
+    // that keeps this suppression safe) — and the flood saturated the
+    // driver's stderr tail, hiding any REAL diagnostic (r13 verdict
+    // item 2). Scoped to the window package; WARN stays on elsewhere.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window",
+      org.apache.logging.log4j.Level.ERROR)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.filter(kv => selected(kv._1)).foreach { case (name, fn) =>
       // NonFatal only (the Bench.timedRun rule): a broken query prints
       // and the dump continues, but a fatal VM error (OOM) means the
       // JVM may be corrupted — dumping the remaining queries on it
       // could write garbage parquet presented as results.
+      // Stale-dump guard (ADVICE r13): a REFUSED or failed query must
+      // not leave a previous run's parquet at $outDir/$name — a reused
+      // out dir would silently present stale results to the comparator
+      // instead of surfacing the refusal. Delete first; only a
+      // successful dump recreates it.
+      def dropStale(): Unit = {
+        val d = new java.io.File(s"$outDir/$name")
+        if (d.exists()) {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+          }
+          rm(d)
+        }
+      }
       try {
         val df = fn(spark, sfDir)
         // Container-output guard (r12 q257 postmortem): the driver's
@@ -34,12 +57,14 @@ object Verify {
         // failure names the contract at the source. Mirrored by the
         // WindowAuditSpec schema audit and compare_oracle.py.
         val nested = SparkEntry.containerCols(df.schema)
-        if (nested.nonEmpty)
+        if (nested.nonEmpty) {
+          dropStale()
           System.err.println(s"[verify] $name REFUSED: container-typed " +
             s"output column(s) ${nested.mkString(", ")} — gated queries " +
             "must emit scalars (to_json or explode; see the q257 lesson)")
-        else df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        } else df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       } catch { case scala.util.control.NonFatal(e) =>
+        dropStale()
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

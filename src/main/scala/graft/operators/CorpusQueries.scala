@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QueryModule, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -257,8 +257,16 @@ object CorpusQueries extends QueryModule {
   // Cached per (app, dir): the corpus's max doc_id, read ONCE by
   // [[assertPlantedOffset]] — a 1-row agg over the pruned doc_id column
   // (the reviewed .head() class: 1-row aggregate reads only).
+  // Evicted alongside the dir's memoized stages (the StageMemo release
+  // hook below): a session that rewrites a dir's documents table and
+  // calls StageMemo.release(dir) re-reads the max instead of validating
+  // the planted offset against the old corpus (ADVICE r13).
   private val maxDocIdCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  StageMemo.onRelease { dir =>
+    val it = maxDocIdCache.keySet().iterator()
+    while (it.hasNext) if (it.next().endsWith("|" + dir)) it.remove()
+  }
 
   /** Planted-slice aliasing guard (ADVICE r12): the planted-corpus
     * queries derive synthetic doc ids as `real_id + OFFSET`, and the
@@ -472,6 +480,84 @@ object CorpusQueries extends QueryModule {
         .filter(size(col("docs")) <= LlmQueries.ShingleDfCap)
         .localCheckpoint()
     }
+
+  /** The RTBF tombstone batch over the PLANTED corpus (the fuzzy-dedup
+    * artifacts index the planted docset, [[LlmQueries.plantedNear]]):
+    * erasing source doc d erases its derived +10000 variant too — a
+    * variant is derived data of its source, so an RTBF request covers
+    * both. (d+10000) % 10 == d % 10, so the cohort is exactly the
+    * planted ids ≡ 9 (mod 10), which is what the oracles filter. */
+  private[graft] def plantedErasureSet(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents")
+      .filter(col("doc_id") % 10 === 9).select(col("doc_id"))
+    d.unionByName(d.select((col("doc_id") + 10000L).as("doc_id")))
+      .localCheckpoint()
+  }
+
+  /** q264's engine: key-local compaction of the stored df-capped
+    * shingle index under a (doc_id) tombstone set. Touched keys come
+    * from the tombstones' residencies in the doc-keyed FORWARD frame
+    * ([[LlmQueries.shingleSets]] — the reverse lookup a production
+    * index keeps precisely so erasure never scans the inverted side);
+    * untouched keys pass through whole, touched keys explode →
+    * anti-join → regroup, emptied keys drop (the regroup emits
+    * nothing). shuffle_hash on h for the index-vs-touched joins: both
+    * sides hash-uniform by construction (fnv64 keys), and sorting the
+    * grouped-posting frame for a one-pass existence probe would be
+    * waste. The tombstone set itself is batch-sized → broadcast. */
+  private[graft] def compactShingleIndex(s: SparkSession, dir: String,
+      del: DataFrame): DataFrame = {
+    val touched = LlmQueries.shingleSets(s, dir)
+      .join(del.hint("shuffle_hash"), Seq("doc_id"), "left_semi")
+      .select(explode(col("hs")).as("h")).distinct()
+    val idx = shingleIndex(s, dir)
+    val untouched = idx.join(touched.hint("shuffle_hash"), Seq("h"), "left_anti")
+    val rewritten = idx.join(touched.hint("shuffle_hash"), Seq("h"), "left_semi")
+      .select(col("h"), explode(col("docs")).as("d"))
+      .join(broadcast(del.select(col("doc_id").as("d"))), Seq("d"), "left_anti")
+      .groupBy(col("h")).agg(collect_list(col("d")).as("docs"))
+    untouched.unionByName(rewritten)
+  }
+
+  /** q265's engine: cluster-map maintenance under deletion via
+    * recompute-on-contracted-subgraph. The erased docs' stored
+    * residencies name the touched clusters (one batch-keyed semi-join
+    * on the doc-keyed map — never a map scan); untouched clusters pass
+    * through with their labels; the CC loop reruns only on the touched
+    * clusters' SURVIVING edges (components never span clusters, so the
+    * contracted subgraph is closed by construction — an edge with one
+    * endpoint in a touched cluster has both there). Surviving members
+    * left edge-less drop out, matching the rebuild's pair graph. */
+  private[graft] def maintainClusterMap(s: SparkSession, dir: String,
+      del: DataFrame): DataFrame = {
+    val cl = pairClusters(s, dir)
+    val touched = cl.join(del.hint("shuffle_hash"), Seq("doc_id"), "left_semi")
+      .select(col("cluster")).distinct()
+      .localCheckpoint() // consumed by the pass-through AND the recompute
+    val untouched = cl.join(broadcast(touched), Seq("cluster"), "left_anti")
+    val tm = cl.join(broadcast(touched), Seq("cluster"), "left_semi")
+      .join(del.hint("shuffle_hash"), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"))
+      .localCheckpoint() // both endpoint filters below
+    val survEdges = LlmQueries.ngramJaccardPairs(s, dir)
+      .select(col("doc_a"), col("doc_b"))
+      .join(tm.select(col("doc_id").as("doc_a")).hint("shuffle_hash"),
+        Seq("doc_a"), "left_semi")
+      .join(tm.select(col("doc_id").as("doc_b")).hint("shuffle_hash"),
+        Seq("doc_b"), "left_semi")
+    untouched.unionByName(
+      connectedComponents(survEdges, propagationCap = 30))
+  }
+
+  /** q266's decision thresholds on the ppm grid — parameters of the
+    * policy, interpolated verbatim into the oracle so engine and
+    * oracle share one source of truth. Rebuild when over half the
+    * artifact's entries are masked or ≥ 60 % of its maintenance units
+    * would be rewritten anyway (segment-local compaction stops paying
+    * for itself); compact from 2 % masked; defer below. */
+  private[graft] val RebuildMaskedPpm = 500000L
+  private[graft] val RebuildTouchedPpm = 600000L
+  private[graft] val CompactMaskedPpm = 20000L
 
   private[graft] def incrementalClustersBuild(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s) // fnv64
@@ -1048,7 +1134,41 @@ object CorpusQueries extends QueryModule {
         shingleIndex(s, dir)
           .filter(size(col("docs")) > LlmQueries.ShingleDfCap)
           .agg(count(lit(1)).as("observed")))
-      Seq(c1, c2, c3, c4, c5, c6, c7, c8, c9, c10)
+      // c11–c15 (r13 verdict item 2): the c1 containment check
+      // generalized to EVERY doc/vec-keyed artifact family — after any
+      // erasure batch, a stale artifact still referencing an erased id
+      // fails its row here (the erased doc is no longer in its
+      // corpus), so the audit now proves no-erased-id-in-any-artifact,
+      // not just mutual consistency of the lexical family. The doc
+      // universe for the planted-corpus artifacts is derived
+      // independently of the artifacts themselves
+      // ([[LlmQueries.plantedNear]], the corpus constructor).
+      val plantedDocs = LlmQueries.plantedNear(s, dir)
+        .select(col("doc_id")).localCheckpoint() // 3 containment scans
+      val c11 = chk("bm25_doclen_docs_in_corpus",
+        bm25DocLens(s, dir)
+          .join(docs.hint("shuffle_hash"), Seq("doc_id"), "left_anti")
+          .agg(count(lit(1)).as("observed")))
+      val c12 = chk("shingle_entries_docs_in_corpus",
+        shingleIndex(s, dir).select(explode(col("docs")).as("doc_id"))
+          .join(plantedDocs.hint("shuffle_hash"), Seq("doc_id"), "left_anti")
+          .agg(count(lit(1)).as("observed")))
+      val c13 = chk("pair_graph_docs_in_corpus",
+        pairs.select(col("doc_a").as("doc_id"))
+          .unionByName(pairs.select(col("doc_b").as("doc_id")))
+          .join(plantedDocs.hint("shuffle_hash"), Seq("doc_id"), "left_anti")
+          .agg(count(lit(1)).as("observed")))
+      val c14 = chk("sem_members_vecs_in_embeddings",
+        members.select(col("vec_id"))
+          .join(Tables(s, dir, "embeddings").select(col("vec_id"))
+            .hint("shuffle_hash"), Seq("vec_id"), "left_anti")
+          .agg(count(lit(1)).as("observed")))
+      val c15 = chk("cluster_map_docs_in_corpus",
+        cl.select(col("doc_id"))
+          .join(plantedDocs.hint("shuffle_hash"), Seq("doc_id"), "left_anti")
+          .agg(count(lit(1)).as("observed")))
+      Seq(c1, c2, c3, c4, c5, c6, c7, c8, c9, c10,
+          c11, c12, c13, c14, c15)
         .reduce(_.unionByName(_)).orderBy(col("chk"))
     }),
 
@@ -1111,8 +1231,176 @@ object CorpusQueries extends QueryModule {
             .filter(col("vec_id") % 5 =!= 2)
             .agg(count(lit(1)).as("nb")))
           .select(abs(col("na") - col("nb")).as("observed")))
-      Seq(c1, c2, c3, c4, c5)
+      val delP = plantedErasureSet(s, dir)
+      val sentries = compactShingleIndex(s, dir, delP)
+        .select(col("h"), explode(col("docs")).as("doc_id"))
+        .localCheckpoint() // 2 consumers: erased scan, census
+      val c6 = chk("compacted_shingle_no_erased",
+        sentries.join(broadcast(delP), Seq("doc_id"), "left_semi")
+          .agg(count(lit(1)).as("observed")))
+      // census vs a DIFFERENT derivation: total stored entries minus
+      // the erased docs' stored residencies (the q256 fold algebra on
+      // the shingle artifact) must equal the compacted entry count.
+      val c7 = chk("compacted_shingle_census",
+        sentries.agg(count(lit(1)).as("na"))
+          .crossJoin(shingleIndex(s, dir)
+            .select(explode(col("docs")).as("doc_id"))
+            .join(broadcast(delP), Seq("doc_id"), "left_anti")
+            .agg(count(lit(1)).as("nb")))
+          .select(abs(col("na") - col("nb")).as("observed")))
+      val mmap = maintainClusterMap(s, dir, delP)
+        .localCheckpoint() // 2 consumers: erased scan, coverage
+      val c8 = chk("maintained_cluster_no_erased",
+        mmap.join(broadcast(delP), Seq("doc_id"), "left_semi")
+          .agg(count(lit(1)).as("observed")))
+      // the maintained map must cover EXACTLY the surviving pair
+      // graph's nodes (both directions: symmetric difference count).
+      val survNodes = {
+        val p = LlmQueries.ngramJaccardPairs(s, dir)
+          .join(broadcast(delP.select(col("doc_id").as("doc_a"))),
+            Seq("doc_a"), "left_anti")
+          .join(broadcast(delP.select(col("doc_id").as("doc_b"))),
+            Seq("doc_b"), "left_anti")
+        p.select(col("doc_a").as("doc_id"))
+          .unionByName(p.select(col("doc_b").as("doc_id"))).distinct()
+      }
+      val c9 = chk("maintained_cluster_covers_surviving_graph",
+        mmap.select(col("doc_id"))
+          .join(survNodes.hint("shuffle_hash"), Seq("doc_id"), "left_anti")
+          .agg(count(lit(1)).as("na"))
+          .crossJoin(survNodes
+            .join(mmap.select(col("doc_id")).hint("shuffle_hash"),
+              Seq("doc_id"), "left_anti")
+            .agg(count(lit(1)).as("nb")))
+          .select((col("na") + col("nb")).as("observed")))
+      Seq(c1, c2, c3, c4, c5, c6, c7, c8, c9)
         .reduce(_.unionByName(_)).orderBy(col("chk"))
+    }),
+
+    // --- DECREMENTAL shingle-index maintenance (q264): the RTBF erase/
+    // compact step for the third stored artifact family (r13 verdict
+    // item 2) — the df-capped inverted shingle index (q129/q249's probe
+    // artifact) must stop witnessing erased docs without a rebuild.
+    // KEY-LOCAL by construction: the tombstones' index residencies come
+    // from the doc-keyed FORWARD frame ([[LlmQueries.shingleSets]] — a
+    // stored stage output at 100 TB), so touched keys are one
+    // batch-sized semi-join + explode (O(batch x shingles/doc), never
+    // an index scan); untouched keys pass through whole, only touched
+    // keys pay the explode -> anti-join -> regroup, and emptied keys
+    // drop. The df cap CONTRACT carries over: a key the cap excluded at
+    // build stays excluded even if erasure would bring its df under the
+    // cap (its postings were never stored — the q129 documented
+    // contract), and the oracle replicates exactly that (cap on
+    // FULL-corpus df, entries filtered to survivors). Erasure only
+    // DECREASES df, so every surviving key still honors the cap.
+    // Gate output is exploded scalar (h, d) rows — the container rule —
+    // proving the compacted artifact entry-level against the oracle's
+    // cap-contract rebuild (same fnv64 keys via the replicated HUGEINT
+    // chain).
+    "q264_decremental_shingle_index" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      compactShingleIndex(s, dir, plantedErasureSet(s, dir))
+        .select(col("h"), explode(col("docs")).as("d"))
+        .orderBy(col("h"), col("d"))
+    }),
+
+    // --- cluster-map maintenance under DELETION (q265): the genuinely
+    // hard RTBF case (r13 verdict item 2) — erasing a doc removes its
+    // pair-graph edges, and a removed CUT VERTEX SPLITS its cluster
+    // into several; no label algebra fixes that locally, so the honest
+    // operator is recompute-on-contracted-subgraph: the erased docs'
+    // STORED residencies name the touched clusters (batch-keyed
+    // semi-join on the doc-keyed map), untouched clusters pass through
+    // with their labels, and the CC loop reruns ONLY on the touched
+    // clusters' surviving edges (components never span clusters, so
+    // the contracted subgraph is closed by construction). Surviving
+    // members left edge-less drop out — exactly as a rebuild's pair
+    // graph would not contain them. The oracle is a FULL rebuild:
+    // recursive CC over the surviving pair graph, so the gate proves
+    // touched-only recompute ≡ rebuild — including min-label reflow
+    // when the old label doc itself was erased, and splits taking
+    // distinct new labels. Scale: touched membership is
+    // touched-cluster-sized, the CC runs on a contracted edge set, and
+    // the stored map/graph are memoized stage outputs (read, not
+    // recomputed).
+    "q265_cluster_map_maintenance" -> ((s, dir) =>
+      maintainClusterMap(s, dir, plantedErasureSet(s, dir))
+        .orderBy(col("doc_id"))),
+
+    // --- REBUILD-TRIGGER policy (q266): the operational decision the
+    // lifecycle family feeds (r13 verdict item 3) — q250 prices
+    // admission debt, q256/q258/q264 accumulate tombstone masks,
+    // q257/q259 price compaction; this query turns the STORED
+    // artifacts' own statistics into a per-artifact maintenance
+    // verdict. For each of the four doc/vec-keyed artifact families
+    // (blocked BM25 postings, df-capped shingle index, sem-index
+    // members, cluster map): entry-level totals, the masked (erased-id)
+    // entry count, the touched maintenance units (posting blocks /
+    // index keys / cells / clusters — the granularity its compactor
+    // rewrites), and the estimated compaction cost (entries living in
+    // touched units, i.e. exactly what the segment-local compactors
+    // rewrite) vs the rebuild cost (all entries). The verdict is pure
+    // integer arithmetic on the ppm grid against named thresholds
+    // ([[RebuildMaskedPpm]]/[[CompactMaskedPpm]]/[[RebuildTouchedPpm]])
+    // — every number COMPUTED from the artifacts, never pinned; the
+    // oracle re-derives all of it from its own artifact rebuilds and
+    // applies the same thresholds. Scale: each family contributes one
+    // artifact-sized explode/agg plus batch-keyed semi-joins — the
+    // corpus is never re-scanned.
+    "q266_rebuild_trigger" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      def family(name: String, entries: DataFrame, unitCol: String,
+          masked: Column): DataFrame = {
+        val st = entries
+          .agg(count(lit(1)).as("total_entries"),
+            sum(when(masked, 1L).otherwise(0L)).as("masked_entries"),
+            countDistinct(col(unitCol)).as("units"),
+            countDistinct(when(masked, col(unitCol))).as("touched_units"))
+        val cost = entries
+          .withColumn("m", max(when(masked, 1L).otherwise(0L))
+            .over(Window.partitionBy(col(unitCol))))
+          .agg(coalesce(sum(col("m")), lit(0L)).as("est_compact_entries"))
+        st.crossJoin(cost)
+          .select(lit(name).as("artifact"), col("total_entries"),
+            col("masked_entries"),
+            expr(s"masked_entries * 1000000 DIV greatest(total_entries, 1)")
+              .as("masked_ppm"),
+            col("units"), coalesce(col("touched_units"), lit(0L))
+              .as("touched_units"),
+            expr(s"coalesce(touched_units, 0) * 1000000 DIV greatest(units, 1)")
+              .as("touched_ppm"),
+            col("est_compact_entries"),
+            col("total_entries").as("est_rebuild_entries"))
+      }
+      val delD = Tables(s, dir, "documents")
+        .filter(col("doc_id") % 10 === 9).select(col("doc_id"))
+        .localCheckpoint()
+      val postE = bm25Postings(s, dir)
+        .select(col("blk"), explode(col("posting")).as("e"))
+        .select(col("blk"), col("e.d").as("doc_id"))
+        .join(broadcast(delD.withColumn("erased", lit(true))),
+          Seq("doc_id"), "left")
+      val delP = plantedErasureSet(s, dir)
+      val shE = shingleIndex(s, dir)
+        .select(col("h"), explode(col("docs")).as("doc_id"))
+        .join(broadcast(delP.withColumn("erased", lit(true))),
+          Seq("doc_id"), "left")
+      val memE = LlmQueries.semIndex(s, dir)._2
+        .select(col("vec_id"), col("cell"),
+          (col("vec_id") % 5 === 2).as("erased"))
+      val clE = pairClusters(s, dir)
+        .join(broadcast(delP.withColumn("erased", lit(true))),
+          Seq("doc_id"), "left")
+      family("bm25_postings", postE, "blk", col("erased"))
+        .unionByName(family("shingle_index", shE, "h", col("erased")))
+        .unionByName(family("sem_members", memE, "cell", col("erased")))
+        .unionByName(family("cluster_map", clE, "cluster", col("erased")))
+        .withColumn("decision",
+          when(col("masked_ppm") >= RebuildMaskedPpm ||
+            col("touched_ppm") >= RebuildTouchedPpm, "rebuild")
+            .when(col("masked_ppm") >= CompactMaskedPpm, "compact")
+            .otherwise("defer"))
+        .orderBy(col("artifact"))
     }),
 
     // --- bigram counts (language-model-style n-gram statistics): the
@@ -4305,20 +4593,59 @@ object CorpusQueries extends QueryModule {
         |  SELECT COUNT(*) AS n FROM (
         |    ${(1 to 8).map(r => s"SELECT lhs FROM b$r").mkString("\n        |    UNION ALL ")}) u) x
         |UNION ALL
-        |SELECT 'shingle_index_df_cap', CAST(x.n AS BIGINT), x.n = 0 FROM (
-        |  SELECT COUNT(*) AS n FROM (
-        |    SELECT s, COUNT(DISTINCT doc_id) AS df FROM ex
-        |    GROUP BY s HAVING COUNT(DISTINCT doc_id) <= 256) cidx
-        |  WHERE cidx.df > 256) x
+        |-- df-cap honor is an ENGINE-SIDE invariant over the STORED
+        |-- artifact (size(docs) <= cap on every retained key); the
+        |-- oracle cannot see the stored bytes and its own capped
+        |-- re-derivation is 0 by the same construction, so the truth
+        |-- side is the literal the invariant asserts (ADVICE r13 —
+        |-- the former HAVING<=cap/WHERE>cap subquery was a
+        |-- corpus-sized aggregation that could only ever return 0).
+        |SELECT 'shingle_index_df_cap', CAST(0 AS BIGINT), TRUE
+        |UNION ALL
+        |SELECT 'bm25_doclen_docs_in_corpus', CAST(x.n AS BIGINT), x.n = 0 FROM (
+        |  SELECT COUNT(*) AS n FROM
+        |    (SELECT doc_id FROM tfbm GROUP BY 1) dlc
+        |    ANTI JOIN documents USING (doc_id)) x
+        |UNION ALL
+        |SELECT 'shingle_entries_docs_in_corpus', CAST(x.n AS BIGINT), x.n = 0 FROM (
+        |  SELECT COUNT(*) AS n FROM
+        |    (SELECT DISTINCT doc_id FROM ex) sd
+        |    ANTI JOIN corpus USING (doc_id)) x
+        |UNION ALL
+        |SELECT 'pair_graph_docs_in_corpus', CAST(x.n AS BIGINT), x.n = 0 FROM (
+        |  SELECT COUNT(*) AS n FROM
+        |    (SELECT doc_a AS doc_id FROM pairs UNION SELECT doc_b FROM pairs) pg
+        |    ANTI JOIN corpus USING (doc_id)) x
+        |UNION ALL
+        |SELECT 'sem_members_vecs_in_embeddings', CAST(x.n AS BIGINT), x.n = 0 FROM (
+        |  SELECT COUNT(*) AS n FROM (SELECT vec_id FROM exa) ea
+        |    ANTI JOIN embeddings USING (vec_id)) x
+        |UNION ALL
+        |SELECT 'cluster_map_docs_in_corpus', CAST(x.n AS BIGINT), x.n = 0 FROM (
+        |  SELECT COUNT(*) AS n FROM clus ANTI JOIN corpus USING (doc_id)) x
         |) ORDER BY chk""".stripMargin,
 
     // q262: every observed value re-derived from the surviving corpus
     // directly (a rebuilt surviving posting set, surviving doc/vector
-    // censuses, the stride arithmetic) — matching the engine's checks
-    // over its ACTUAL compaction outputs proves the maintenance step
-    // produced artifacts a from-scratch rebuild would accept.
+    // censuses, the stride arithmetic; for the r14 rows: the
+    // cap-contract shingle rebuild `sentr` and the surviving-graph
+    // recursive CC `smap`) — matching the engine's checks over its
+    // ACTUAL compaction outputs proves the maintenance step produced
+    // artifacts a from-scratch rebuild would accept.
     "q262_post_maintenance_audit" ->
-      s"""WITH t AS MATERIALIZED (
+      s"""WITH RECURSIVE $clusterOracleCtes,
+        |sentr AS MATERIALIZED (
+        |  SELECT s, doc_id FROM exd WHERE df <= 256),
+        |perased AS (SELECT doc_id FROM corpus WHERE doc_id % 10 = 9),
+        |sedges AS (SELECT src, dst FROM edges
+        |           WHERE src % 10 <> 9 AND dst % 10 <> 9),
+        |sreach(node, r) AS (
+        |  SELECT DISTINCT src, src FROM sedges
+        |  UNION
+        |  SELECT e.src, r.r FROM sedges e JOIN sreach r ON r.node = e.dst),
+        |smap AS MATERIALIZED (
+        |  SELECT node AS doc_id, MIN(r) AS cluster FROM sreach GROUP BY node),
+        |t AS MATERIALIZED (
         |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
         |  FROM documents WHERE doc_id % 10 <> 9),
         |rebuilt AS MATERIALIZED (
@@ -4350,7 +4677,120 @@ object CorpusQueries extends QueryModule {
         |SELECT 'compacted_postings_no_erased', CAST(x.n AS BIGINT), x.n = 0
         |FROM (SELECT COUNT(*) AS n FROM rebuilt
         |      SEMI JOIN erased USING (doc_id)) x
+        |UNION ALL
+        |SELECT 'compacted_shingle_no_erased', CAST(x.n AS BIGINT), x.n = 0
+        |FROM (SELECT COUNT(*) AS n FROM
+        |        (SELECT s, doc_id FROM sentr WHERE doc_id % 10 <> 9) sv
+        |      SEMI JOIN perased USING (doc_id)) x
+        |UNION ALL
+        |SELECT 'compacted_shingle_census', CAST(x.n AS BIGINT), x.n = 0
+        |FROM (SELECT abs((SELECT COUNT(*) FROM sentr WHERE doc_id % 10 <> 9)
+        |            - ((SELECT COUNT(*) FROM sentr)
+        |               - (SELECT COUNT(*) FROM sentr
+        |                  SEMI JOIN perased USING (doc_id)))) AS n) x
+        |UNION ALL
+        |SELECT 'maintained_cluster_no_erased', CAST(x.n AS BIGINT), x.n = 0
+        |FROM (SELECT COUNT(*) AS n FROM smap
+        |      SEMI JOIN perased USING (doc_id)) x
+        |UNION ALL
+        |SELECT 'maintained_cluster_covers_surviving_graph',
+        |  CAST(x.n AS BIGINT), x.n = 0
+        |FROM (SELECT (SELECT COUNT(*) FROM smap
+        |              ANTI JOIN (SELECT src AS doc_id FROM sedges
+        |                         UNION SELECT dst FROM sedges) sn
+        |              USING (doc_id))
+        |           + (SELECT COUNT(*) FROM
+        |                (SELECT src AS doc_id FROM sedges
+        |                 UNION SELECT dst FROM sedges) sn2
+        |              ANTI JOIN smap USING (doc_id)) AS n) x
         |) ORDER BY chk""".stripMargin,
+
+    // q264: the cap-contract rebuild — keys retained iff their
+    // FULL-corpus df honors the cap (erasure never re-admits a key the
+    // build-time cap excluded; its postings were never stored), entries
+    // filtered to the surviving docs, keys = the same fnv64 chain in
+    // HUGEINT. Matching the engine's key-local compaction entry-level
+    // proves compacted ≡ cap-contract rebuilt.
+    "q264_decremental_shingle_index" ->
+      s"""WITH RECURSIVE $clusterOracleCtes,
+        |sentr AS MATERIALIZED (
+        |  SELECT s, doc_id FROM exd WHERE df <= 256),
+        |hsv AS (SELECT ${LlmQueries.fnvSqlOf("s")} AS hu, doc_id
+        |        FROM sentr WHERE doc_id % 10 <> 9)
+        |SELECT ${LlmQueries.wrapSigned("hu")} AS h, doc_id AS d
+        |FROM hsv ORDER BY h, d""".stripMargin,
+
+    // q265: the FULL rebuild the touched-only recompute must equal —
+    // recursive CC over the surviving pair graph (stored pairs with
+    // both endpoints surviving), min-label convention. Untouched
+    // clusters must come through with identical labels, touched ones
+    // re-resolve (splits take distinct new min labels).
+    "q265_cluster_map_maintenance" ->
+      s"""WITH RECURSIVE $clusterOracleCtes,
+        |sedges AS (SELECT src, dst FROM edges
+        |           WHERE src % 10 <> 9 AND dst % 10 <> 9),
+        |sreach(node, r) AS (
+        |  SELECT DISTINCT src, src FROM sedges
+        |  UNION
+        |  SELECT e.src, r.r FROM sedges e JOIN sreach r ON r.node = e.dst)
+        |SELECT node AS doc_id, MIN(r) AS cluster
+        |FROM sreach GROUP BY node ORDER BY doc_id""".stripMargin,
+
+    // q266: every statistic re-derived from the oracle's own artifact
+    // rebuilds (the posting entry set, the cap-contract shingle
+    // entries, the sem assignment chain, the recursive CC map), the
+    // same ppm grid and the same interpolated thresholds.
+    "q266_rebuild_trigger" -> {
+      def fam(name: String, cte: String, unit: String, mask: String): String =
+        s"""SELECT '$name' AS artifact,
+           |  CAST((SELECT COUNT(*) FROM $cte) AS BIGINT) AS total_entries,
+           |  CAST((SELECT COUNT(*) FROM $cte WHERE $mask) AS BIGINT)
+           |    AS masked_entries,
+           |  CAST((SELECT COUNT(*) FROM $cte WHERE $mask) * 1000000
+           |    // greatest((SELECT COUNT(*) FROM $cte), 1) AS BIGINT)
+           |    AS masked_ppm,
+           |  CAST((SELECT COUNT(DISTINCT $unit) FROM $cte) AS BIGINT) AS units,
+           |  CAST((SELECT COUNT(DISTINCT $unit) FROM $cte WHERE $mask)
+           |    AS BIGINT) AS touched_units,
+           |  CAST((SELECT COUNT(DISTINCT $unit) FROM $cte WHERE $mask) * 1000000
+           |    // greatest((SELECT COUNT(DISTINCT $unit) FROM $cte), 1)
+           |    AS BIGINT) AS touched_ppm,
+           |  CAST((SELECT COUNT(*) FROM $cte WHERE $unit IN
+           |    (SELECT $unit FROM $cte WHERE $mask)) AS BIGINT)
+           |    AS est_compact_entries,
+           |  CAST((SELECT COUNT(*) FROM $cte) AS BIGINT) AS est_rebuild_entries,
+           |  CASE WHEN (SELECT COUNT(*) FROM $cte WHERE $mask) * 1000000
+           |      // greatest((SELECT COUNT(*) FROM $cte), 1)
+           |      >= $RebuildMaskedPpm
+           |    OR (SELECT COUNT(DISTINCT $unit) FROM $cte WHERE $mask) * 1000000
+           |      // greatest((SELECT COUNT(DISTINCT $unit) FROM $cte), 1)
+           |      >= $RebuildTouchedPpm THEN 'rebuild'
+           |  WHEN (SELECT COUNT(*) FROM $cte WHERE $mask) * 1000000
+           |      // greatest((SELECT COUNT(*) FROM $cte), 1)
+           |      >= $CompactMaskedPpm THEN 'compact'
+           |  ELSE 'defer' END AS decision""".stripMargin
+      s"""WITH RECURSIVE $clusterOracleCtes,
+        |${LlmQueries.semAdmissionOracleCtes},
+        |tbm AS MATERIALIZED (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+        |  FROM documents),
+        |pent AS MATERIALIZED (
+        |  SELECT doc_id, doc_id // $Bm25BlockStride AS blk, w
+        |  FROM tbm GROUP BY 1, 2, 3),
+        |sentr AS MATERIALIZED (
+        |  SELECT s, doc_id FROM exd WHERE df <= 256),
+        |cmap AS MATERIALIZED (
+        |  SELECT node AS doc_id, MIN(r) AS cluster FROM reach GROUP BY node)
+        |SELECT * FROM (
+        |${fam("bm25_postings", "pent", "blk", "doc_id % 10 = 9")}
+        |UNION ALL
+        |${fam("shingle_index", "sentr", "s", "doc_id % 10 = 9")}
+        |UNION ALL
+        |${fam("sem_members", "exa", "cell", "vec_id % 5 = 2")}
+        |UNION ALL
+        |${fam("cluster_map", "cmap", "cluster", "doc_id % 10 = 9")}
+        |) ORDER BY artifact""".stripMargin
+    },
 
     // q260: the q253 span chain re-derived, then the strip and the
     // position-ordered reassembly — fingerprint equality proves the

@@ -127,13 +127,27 @@ private[graft] object StageMemo {
   private[graft] def resetBuildTimes(): Unit =
     this.synchronized { buildSecs.clear() }
 
+  // Companion caches keyed by dir outside this memo (CorpusQueries'
+  // maxDocIdCache) register an eviction hook so release(dir) clears
+  // THEM too — without this, a session that rewrote a dir's documents
+  // table would pass the planted-offset guard against a stale max
+  // doc_id (ADVICE r13). CopyOnWriteArrayList: registration happens
+  // once per owning object init, reads on every release.
+  private val releaseHooks =
+    new java.util.concurrent.CopyOnWriteArrayList[String => Unit]()
+  private[graft] def onRelease(hook: String => Unit): Unit =
+    releaseHooks.add(hook)
+
   /** Drop every stage memoized for `dir` (all contexts): the explicit
     * eviction path for a long-lived session spanning several dirs /
     * scale factors — checkpoint blocks are reaped by ContextCleaner
-    * once the dropped frames are unreferenced. */
+    * once the dropped frames are unreferenced. Registered companion
+    * caches (see [[onRelease]]) evict their dir entries in the same
+    * call. */
   private[graft] def release(dir: String): Unit = {
     val it = cache.keySet().iterator()
     while (it.hasNext) if (it.next().contains("|" + dir + "|")) it.remove()
+    releaseHooks.forEach(h => h(dir))
   }
 
   /** Test hook: drop everything (forces rebuilds). */

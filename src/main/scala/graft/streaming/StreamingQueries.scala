@@ -623,6 +623,32 @@ object StreamingQueries extends QueryModule {
         .select(col("doc_id"), col("dl_removed"), col("n_posting_rows"),
           col("blk"))
         .orderBy(col("doc_id"))
+    }),
+
+    // --- streaming SEMANTIC-index tombstone router (q267): q263's
+    // vector analogue, completing the lifecycle × streaming matrix for
+    // BOTH index families (r13 verdict item 5) — vector RTBF requests
+    // are a stream too, and each arriving tombstone must resolve to a
+    // touched-cell routing record for the q259 compactor (which cell
+    // to rewrite, and how many members that rewrite touches). Same
+    // shape as q263 by construction: stream-static equi-joins against
+    // the stored members artifact and its index-era cell census (both
+    // localCheckpointed static sides), zero stream-side aggregation;
+    // the only stateful operator is the watermark-bounded output dedup
+    // on vec_id (exactly-once across micro-batch replays — the
+    // StreamingSpec two-wave run proves it). A tombstone for a vector
+    // the index never held emits nothing. Batch parity here (the q259
+    // erasure cohort with a fixed ts); the oracle re-derives residency
+    // and cell census from its own assignment chain.
+    "q267_stream_sem_tombstone" -> ((s, dir) => {
+      import graft.operators.LlmQueries
+      val dels = Tables(s, dir, "embeddings")
+        .filter(col("vec_id") % 5 === 2)
+        .select(col("vec_id"),
+          lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")).as("ts"))
+      semTombstoneLedger(dels, LlmQueries.semIndex(s, dir)._2)
+        .select(col("vec_id"), col("cell"), col("n_cell_members"))
+        .orderBy(col("vec_id"))
     })
   )
 
@@ -650,6 +676,29 @@ object StreamingQueries extends QueryModule {
     if (dels.isStreaming)
       recs.withWatermark("ts", "1 hour")
         .dropDuplicatesWithinWatermark("doc_id")
+    else recs
+  }
+
+  /** q267's builder: join a (vec_id, ts) tombstone frame — batch OR
+    * streaming — against the stored sem-index members artifact to emit
+    * per-vector touched-cell routing records for the q259 compactor:
+    * the vector's stored cell residency and that cell's member count
+    * (the rewrite cost the compactor pays). Both static sides derive
+    * from the members artifact once per index era; the stream side is
+    * pure join work, dedup'd on vec_id within the watermark. */
+  def semTombstoneLedger(dels: DataFrame, members: DataFrame): DataFrame = {
+    val res = members.select(col("vec_id"), col("cell"))
+      .localCheckpoint() // the index era's residency lookup
+    val census = res.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_cell_members"))
+      .localCheckpoint() // the index era's cell census
+    val recs = dels
+      .join(res, Seq("vec_id"))
+      .join(broadcast(census), Seq("cell")) // cells ~ √n rows
+      .select(col("vec_id"), col("cell"), col("n_cell_members"), col("ts"))
+    if (dels.isStreaming)
+      recs.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("vec_id")
     else recs
   }
 
@@ -847,6 +896,17 @@ object StreamingQueries extends QueryModule {
         |  CAST(doc_id // ${graft.operators.CorpusQueries.Bm25BlockStride}
         |       AS BIGINT) AS blk
         |FROM per WHERE doc_id % 10 = 9 ORDER BY doc_id""".stripMargin,
+
+    // q267: residency and cell census re-derived from the oracle's own
+    // assignment chain (the q166 train CTEs) — matching the engine's
+    // artifact-joined routing records proves the stored residencies
+    // agree with a from-scratch reassignment.
+    "q267_stream_sem_tombstone" ->
+      s"""WITH ${graft.operators.LlmQueries.semAdmissionOracleCtes},
+        |census AS (SELECT cell, COUNT(*) AS n FROM exa GROUP BY 1)
+        |SELECT e.vec_id, e.cell, CAST(c.n AS BIGINT) AS n_cell_members
+        |FROM exa e JOIN census c ON c.cell = e.cell
+        |WHERE e.vec_id % 5 = 2 ORDER BY e.vec_id""".stripMargin,
 
     "q50_stream_tumbling" ->
       """SELECT date_trunc('hour', ts) AS window_start, COUNT(*) AS n_events,
