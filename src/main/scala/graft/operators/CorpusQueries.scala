@@ -506,11 +506,19 @@ object CorpusQueries extends QueryModule {
     * grouped-posting frame for a one-pass existence probe would be
     * waste. The tombstone set itself is batch-sized → broadcast. */
   private[graft] def compactShingleIndex(s: SparkSession, dir: String,
-      del: DataFrame): DataFrame = {
-    val touched = LlmQueries.shingleSets(s, dir)
+      del: DataFrame): DataFrame =
+    compactShingleIndexFrames(LlmQueries.shingleSets(s, dir),
+      shingleIndex(s, dir), del)
+
+  /** Core of [[compactShingleIndex]] over explicit forward
+    * (doc_id, hs) / index (h, docs) / tombstone (doc_id) frames,
+    * factored so the spec can drive planted geometries (touched vs
+    * untouched keys, emptied-key drop). */
+  private[graft] def compactShingleIndexFrames(forward: DataFrame,
+      idx: DataFrame, del: DataFrame): DataFrame = {
+    val touched = forward
       .join(del.hint("shuffle_hash"), Seq("doc_id"), "left_semi")
       .select(explode(col("hs")).as("h")).distinct()
-    val idx = shingleIndex(s, dir)
     val untouched = idx.join(touched.hint("shuffle_hash"), Seq("h"), "left_anti")
     val rewritten = idx.join(touched.hint("shuffle_hash"), Seq("h"), "left_semi")
       .select(col("h"), explode(col("docs")).as("d"))
@@ -529,8 +537,18 @@ object CorpusQueries extends QueryModule {
     * endpoint in a touched cluster has both there). Surviving members
     * left edge-less drop out, matching the rebuild's pair graph. */
   private[graft] def maintainClusterMap(s: SparkSession, dir: String,
-      del: DataFrame): DataFrame = {
-    val cl = pairClusters(s, dir)
+      del: DataFrame): DataFrame =
+    maintainClusterMapFrames(pairClusters(s, dir),
+      LlmQueries.ngramJaccardPairs(s, dir).select(col("doc_a"), col("doc_b")),
+      del)
+
+  /** Core of [[maintainClusterMap]] over explicit (doc_id, cluster) /
+    * (doc_a, doc_b) / (doc_id) frames, factored so the spec can drive
+    * PLANTED geometries — in particular the deletion-induced SPLIT (a
+    * removed cut vertex leaving two surviving components), which the
+    * harness corpora may never produce at the gate SF. */
+  private[graft] def maintainClusterMapFrames(cl: DataFrame,
+      pairs: DataFrame, del: DataFrame): DataFrame = {
     val touched = cl.join(del.hint("shuffle_hash"), Seq("doc_id"), "left_semi")
       .select(col("cluster")).distinct()
       .localCheckpoint() // consumed by the pass-through AND the recompute
@@ -539,14 +557,16 @@ object CorpusQueries extends QueryModule {
       .join(del.hint("shuffle_hash"), Seq("doc_id"), "left_anti")
       .select(col("doc_id"))
       .localCheckpoint() // both endpoint filters below
-    val survEdges = LlmQueries.ngramJaccardPairs(s, dir)
-      .select(col("doc_a"), col("doc_b"))
+    val survEdges = pairs
       .join(tm.select(col("doc_id").as("doc_a")).hint("shuffle_hash"),
         Seq("doc_a"), "left_semi")
       .join(tm.select(col("doc_id").as("doc_b")).hint("shuffle_hash"),
         Seq("doc_b"), "left_semi")
-    untouched.unionByName(
-      connectedComponents(survEdges, propagationCap = 30))
+    // explicit select: the using-column anti-join above reorders
+    // untouched to (cluster, doc_id) — pin the (doc_id, cluster)
+    // contract positionally, not just by name
+    untouched.select(col("doc_id"), col("cluster"))
+      .unionByName(connectedComponents(survEdges, propagationCap = 30))
   }
 
   /** q266's decision thresholds on the ppm grid — parameters of the

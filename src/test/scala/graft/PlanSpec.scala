@@ -1078,6 +1078,24 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q264-q267 lifecycle maintenance: hash joins only, never a sort or cartesian") {
+    // q264/q265: artifact-keyed semi/anti joins are shuffle_hash by
+    // hint (uniform fnv64 / doc keys; sorting grouped-posting frames
+    // for one-pass existence checks would be waste), tombstone sides
+    // broadcast; q266's only window partitions by the maintenance
+    // unit; q267 is two stream-static equi-joins. The only cross joins
+    // anywhere are 1-row-aggregate x 1-row-aggregate (q266's per-family
+    // stat assembly), which plan as BroadcastNestedLoopJoin, never
+    // CartesianProduct.
+    for (q <- Seq("q264_decremental_shingle_index",
+        "q265_cluster_map_maintenance", "q266_rebuild_trigger",
+        "q267_stream_sem_tombstone")) {
+      val p = plan(q)
+      assert(!p.contains("SortMergeJoin"), s"$q: ${p.take(4000)}")
+      assert(!p.contains("CartesianProduct"), s"$q: ${p.take(4000)}")
+    }
+  }
+
   test("q234 SQ8 / q235 unseen mass: stats broadcast, no window, map-side combine") {
     val p = plan("q234_sq8_audit")
     assert(p.contains("BroadcastHashJoin"), p.take(4000))

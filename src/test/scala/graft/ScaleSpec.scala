@@ -512,6 +512,59 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"cell 1 whole, cell 2 keeps only the survivor, cell 3 gone: $got")
   }
 
+  test("q264 shingle compaction: untouched keys pass whole; touched keys erase; emptied keys drop") {
+    import graft.operators.CorpusQueries
+    // The touched-key set must come from the ERASED docs' forward
+    // residencies (doc-keyed lookup, never an index scan): key 400
+    // belongs only to a surviving doc and must pass through untouched;
+    // keys 100/200 are touched via erased doc 2, key 300 empties when
+    // its only doc (4) is erased.
+    val sp = spark
+    import sp.implicits._
+    val forward = Seq(
+      (1L, Seq(100L)), (2L, Seq(100L, 200L)), (3L, Seq(200L)),
+      (4L, Seq(300L)), (5L, Seq(400L))
+    ).toDF("doc_id", "hs")
+    val idx = Seq(
+      (100L, Seq(1L, 2L)), (200L, Seq(2L, 3L)),
+      (300L, Seq(4L)), (400L, Seq(5L))
+    ).toDF("h", "docs")
+    val del = Seq(2L, 4L).toDF("doc_id")
+    val got = CorpusQueries.compactShingleIndexFrames(forward, idx, del)
+      .select(col("h"), expr("array_sort(docs)").as("docs"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toList)).toMap
+    assert(got == Map(100L -> List(1L), 200L -> List(3L),
+      400L -> List(5L)), s"got $got")
+  }
+
+  test("q265 cluster maintenance: a deleted cut vertex SPLITS its cluster; labels reflow; edge-less survivors drop; untouched clusters keep labels") {
+    import graft.operators.CorpusQueries
+    // Four planted clusters exercise the four hard cases the gate
+    // corpus may never produce:
+    //  - chain 1-2-3-4-5 loses its middle (3): SPLITS into {1,2}
+    //    (label 1 kept) and {4,5} (NEW min label 4)
+    //  - {10,11} untouched: passes through with label 10
+    //  - {20,21} loses 21: survivor 20 has no surviving edge -> drops
+    //    (a rebuild's pair graph would not contain it)
+    //  - {30,31,32} loses its LABEL doc (30): survivors relabel to 31
+    val sp = spark
+    import sp.implicits._
+    val cl = Seq(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L,
+      30L -> 30L, 31L -> 30L, 32L -> 30L
+    ).toDF("doc_id", "cluster")
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (20L, 21L), (30L, 31L), (31L, 32L)
+    ).toDF("doc_a", "doc_b")
+    val del = Seq(3L, 21L, 30L).toDF("doc_id")
+    val got = CorpusQueries.maintainClusterMapFrames(cl, pairs, del)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 4L -> 4L, 5L -> 4L,
+      10L -> 10L, 11L -> 10L, 31L -> 31L, 32L -> 31L), s"got $got")
+  }
+
   test("q116 span-strip: every-doc boilerplate costs linear cover, strips exactly") {
     import graft.operators.CorpusQueries
     // 2000 docs, each = one corpus-wide 8-token boilerplate prefix + a

@@ -162,6 +162,47 @@ class StageMemoSpec extends AnyFunSuite with BeforeAndAfterAll {
     StageMemo(spark, "/tmp/dirR2", "s1") { fail("dirR2 must survive the release"); null }
   }
 
+  test("release(dir) fires registered companion-cache hooks for that dir") {
+    val seen = scala.collection.mutable.ArrayBuffer.empty[String]
+    StageMemo.onRelease(d => { seen += d; () })
+    StageMemo.release("/tmp/dirHook")
+    assert(seen.toList == List("/tmp/dirHook"),
+      "a release must reach every registered companion cache")
+  }
+
+  test("planted-offset guard FIRES on an oversized corpus, and release(dir) evicts its cached max (ADVICE r13)") {
+    // r13 verdict item 7: the require() message documented the guard;
+    // this drives it. A corpus whose max doc_id reaches the planted
+    // offset must fail loudly at query build time — and after the dir's
+    // documents table is REWRITTEN, release(dir) must force the guard
+    // to re-read the max instead of validating against the stale cache.
+    import graft.operators.CorpusQueries
+    val sp = spark
+    import sp.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-offset").toString
+    try {
+      // small corpus: guard passes (and caches max=5)
+      Seq(5L).toDF("doc_id").write.mode("overwrite")
+        .parquet(s"$dir/documents.parquet")
+      CorpusQueries.assertPlantedOffset(sp, dir, 20000L)
+      // rewrite the SAME dir with an oversized corpus: the stale cached
+      // max keeps the guard green (the documented hazard) ...
+      Seq(5L, 20001L).toDF("doc_id").write.mode("overwrite")
+        .parquet(s"$dir/documents.parquet")
+      CorpusQueries.assertPlantedOffset(sp, dir, 20000L)
+      // ... until release(dir) evicts it — then the guard must fire
+      StageMemo.release(dir)
+      val e = intercept[IllegalArgumentException] {
+        CorpusQueries.assertPlantedOffset(sp, dir, 20000L)
+      }
+      assert(e.getMessage.contains("aliases real doc_ids"), e.getMessage)
+    } finally {
+      StageMemo.release(dir)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      ()
+    }
+  }
+
   test("no memo entry retains exploded corpus-row multiples: shingle_index is grouped df-capped postings") {
     // r11 verdict item 2: the exploded (key, doc) posting rows were the
     // one corpus-row-multiple retention — the first memory ceiling at a

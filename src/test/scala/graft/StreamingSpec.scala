@@ -19,6 +19,7 @@ case class Doc(lang: String, text: String)
 case class NewDoc(doc_id: Long, text: String, ts: Timestamp)
 case class NewVec(vec_id: Long, v: Seq[Double], ts: Timestamp)
 case class Tombstone(doc_id: Long, ts: Timestamp)
+case class VecTombstone(vec_id: Long, ts: Timestamp)
 case class IdEv(event_id: Long, ts: Timestamp)
 case class TypedEv(ts: Timestamp, event_type: String)
 case class Tok(shard: Int, token: String)
@@ -787,6 +788,42 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(streamed.nonEmpty)
       assert(sp.table("tled").count() == streamed.size,
         "a replayed tombstone must not double-emit its erase record")
+    } finally q.stop()
+  }
+
+  test("q267 sem tombstone router: streamed vector deletion feed matches the batch gate; replayed tombstones dedup") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val members = graft.operators.LlmQueries.semIndex(sp, dir)._2
+    val delIds = Tables(sp, dir, "embeddings")
+      .filter(col("vec_id") % 5 === 2)
+      .select(col("vec_id")).collect().map(_.getLong(0))
+    val (half1, half2) = delIds.partition(_ % 10 == 2)
+    val mem = MemoryStream[VecTombstone]
+    val q = StreamingQueries.semTombstoneLedger(mem.toDF(), members)
+      .writeStream.format("memory").queryName("vtled")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(half1.map(v =>
+        VecTombstone(v, ts("2024-01-01T00:00:00Z"))): _*)
+      q.processAllAvailable()
+      // second wave REPLAYS one first-wave tombstone — the watermark
+      // dedup must keep the routing feed exactly-once per vector
+      mem.addData((half2 ++ half1.take(1)).map(v =>
+        VecTombstone(v, ts("2024-01-01T00:30:00Z"))): _*)
+      q.processAllAvailable()
+      val cols = Seq("vec_id", "cell", "n_cell_members")
+      val streamed = sp.table("vtled").selectExpr(cols: _*)
+        .collect().map(_.toSeq.toList).toSet
+      val batch = SparkEntry.queries("q267_stream_sem_tombstone")(sp, dir)
+        .selectExpr(cols: _*).collect().map(_.toSeq.toList).toSet
+      assert(streamed == batch,
+        "streamed routing records must equal the batch gate's")
+      assert(streamed.nonEmpty)
+      assert(sp.table("vtled").count() == streamed.size,
+        "a replayed tombstone must not double-emit its routing record")
     } finally q.stop()
   }
 
