@@ -579,6 +579,14 @@ object CorpusQueries extends QueryModule {
   private[graft] val RebuildTouchedPpm = 600000L
   private[graft] val CompactMaskedPpm = 20000L
 
+  /** q268's rebuild thresholds: retrain the frozen tokenizer when
+    * erasure moves surviving-corpus fertility by ≥ 0.02 symbols/word
+    * (20000 on the micro grid) or kills ≥ 10 % of the vocabulary's
+    * entries (100000 ppm dead dictionary weight). Interpolated
+    * verbatim into the oracle. */
+  private[graft] val TokenizerDriftMicro = 20000L
+  private[graft] val DeadVocabPpm = 100000L
+
   private[graft] def incrementalClustersBuild(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s) // fnv64
     val idx = LlmQueries.shingleSets(s, dir)
@@ -1421,6 +1429,61 @@ object CorpusQueries extends QueryModule {
             .when(col("masked_ppm") >= CompactMaskedPpm, "compact")
             .otherwise("defer"))
         .orderBy(col("artifact"))
+    }),
+
+    // --- tokenizer ERASURE-DEBT audit (q268): the BPE family's
+    // erasure story, completing the per-artifact matrix q264/q265
+    // close for the doc-keyed families. A frozen tokenizer is not
+    // compactable — its merge table is an aggregate of the whole
+    // training corpus, and industry practice is to keep it frozen and
+    // schedule retraining — so the honest erasure operator is the
+    // MEASUREMENT a rebuild decision needs: fold the erased docs'
+    // word mass out of the stored encoded-vocab artifact (one
+    // batch-sized pushed-down scan of the erased slice + one
+    // vocab-keyed join — the corpus is never re-scanned), compare the
+    // frozen tokenizer's fertility on the surviving corpus against
+    // its training-time baseline on the shared micro grid, count the
+    // vocabulary entries whose entire frequency mass was erased (dead
+    // dictionary weight the frozen tokenizer still carries), and fold
+    // both into a rebuild/keep verdict against named thresholds
+    // ([[TokenizerDriftMicro]]/[[DeadVocabPpm]]) the oracle
+    // interpolates verbatim. Every number computed from the stored
+    // artifact + the erased slice; the oracle re-derives the vocab by
+    // re-running the full BPE chain and the erased mass from the
+    // corpus directly.
+    "q268_tokenizer_erasure_debt" -> ((s, dir) => {
+      val ew = Tables(s, dir, "documents")
+        .filter(col("doc_id") % 10 === 9)
+        .select(explode(expr(toksSql)).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("efreq"))
+      bpeEncodedVocab(s, dir)
+        .join(ew.hint("shuffle_hash"), Seq("word"), "left")
+        .select(col("freq"), col("n_sym"),
+          coalesce(col("efreq"), lit(0L)).as("efreq"))
+        .agg(
+          sum(col("freq")).cast("long").as("bw"),
+          sum(col("n_sym") * col("freq")).cast("long").as("bb"),
+          sum(col("freq") - col("efreq")).cast("long").as("pw"),
+          sum(col("n_sym") * (col("freq") - col("efreq"))).cast("long")
+            .as("pb"),
+          count(lit(1)).as("vocab_words"),
+          sum(when(col("freq") === col("efreq"), 1L).otherwise(0L))
+            .as("dead_vocab_words"))
+        .select(
+          expr(GovernanceQueries.gridDiv("bb", "bw")).cast("long")
+            .as("base_micro"),
+          expr(GovernanceQueries.gridDiv("pb", "pw")).cast("long")
+            .as("post_micro"),
+          col("vocab_words"), col("dead_vocab_words"),
+          expr("dead_vocab_words * 1000000 DIV vocab_words").as("dead_ppm"))
+        .withColumn("drift_micro", col("post_micro") - col("base_micro"))
+        .withColumn("decision",
+          when(abs(col("drift_micro")) >= TokenizerDriftMicro ||
+            col("dead_ppm") >= DeadVocabPpm, "rebuild")
+            .otherwise("keep"))
+        .select(col("base_micro"), col("post_micro"), col("drift_micro"),
+          col("vocab_words"), col("dead_vocab_words"), col("dead_ppm"),
+          col("decision"))
     }),
 
     // --- bigram counts (language-model-style n-gram statistics): the
@@ -4811,6 +4874,43 @@ object CorpusQueries extends QueryModule {
         |${fam("cluster_map", "cmap", "cluster", "doc_id % 10 = 9")}
         |) ORDER BY artifact""".stripMargin
     },
+
+    // q268: the vocab re-derived by re-running the full BPE training
+    // chain, the erased word mass from the corpus directly, the same
+    // half-up micro grid and the same interpolated thresholds.
+    "q268_tokenizer_erasure_debt" ->
+      s"""WITH $bpeOracleCtes,
+        |enc AS MATERIALIZED (
+        |  SELECT word, freq,
+        |    length(seq) - length(replace(seq, ' ', '')) - 1 AS n_sym
+        |  FROM s$BpeRounds),
+        |ew AS (SELECT w AS word, COUNT(*) AS efreq FROM (
+        |    SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+        |    FROM documents WHERE doc_id % 10 = 9) GROUP BY 1),
+        |j AS (SELECT e.freq, e.n_sym, coalesce(ew.efreq, 0) AS efreq
+        |      FROM enc e LEFT JOIN ew USING (word)),
+        |agg AS (SELECT
+        |    CAST(SUM(freq) AS BIGINT) AS bw,
+        |    CAST(SUM(n_sym * freq) AS BIGINT) AS bb,
+        |    CAST(SUM(freq - efreq) AS BIGINT) AS pw,
+        |    CAST(SUM(n_sym * (freq - efreq)) AS BIGINT) AS pb,
+        |    CAST(COUNT(*) AS BIGINT) AS nv,
+        |    CAST(SUM(CASE WHEN freq = efreq THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS dv
+        |  FROM j),
+        |g AS (SELECT
+        |    CAST((2 * bb * 1000000 + bw) // (2 * bw) AS BIGINT) AS base_micro,
+        |    CAST((2 * pb * 1000000 + pw) // (2 * pw) AS BIGINT) AS post_micro,
+        |    nv AS vocab_words, dv AS dead_vocab_words,
+        |    CAST(dv * 1000000 // nv AS BIGINT) AS dead_ppm
+        |  FROM agg)
+        |SELECT base_micro, post_micro,
+        |  post_micro - base_micro AS drift_micro,
+        |  vocab_words, dead_vocab_words, dead_ppm,
+        |  CASE WHEN abs(post_micro - base_micro) >= $TokenizerDriftMicro
+        |    OR dead_ppm >= $DeadVocabPpm THEN 'rebuild'
+        |  ELSE 'keep' END AS decision
+        |FROM g""".stripMargin,
 
     // q260: the q253 span chain re-derived, then the strip and the
     // position-ordered reassembly — fingerprint equality proves the

@@ -1089,7 +1089,7 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // CartesianProduct.
     for (q <- Seq("q264_decremental_shingle_index",
         "q265_cluster_map_maintenance", "q266_rebuild_trigger",
-        "q267_stream_sem_tombstone")) {
+        "q267_stream_sem_tombstone", "q268_tokenizer_erasure_debt")) {
       val p = plan(q)
       assert(!p.contains("SortMergeJoin"), s"$q: ${p.take(4000)}")
       assert(!p.contains("CartesianProduct"), s"$q: ${p.take(4000)}")
