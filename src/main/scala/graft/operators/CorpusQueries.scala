@@ -1384,10 +1384,14 @@ object CorpusQueries extends QueryModule {
             sum(when(masked, 1L).otherwise(0L)).as("masked_entries"),
             countDistinct(col(unitCol)).as("units"),
             countDistinct(when(masked, col(unitCol))).as("touched_units"))
+        // entries living in touched units = what the segment-local
+        // compactor rewrites. Semi-join against the batch-bounded
+        // touched-unit set, NOT a partitioned window max — a window
+        // would sort every unit's entries just to broadcast one flag.
         val cost = entries
-          .withColumn("m", max(when(masked, 1L).otherwise(0L))
-            .over(Window.partitionBy(col(unitCol))))
-          .agg(coalesce(sum(col("m")), lit(0L)).as("est_compact_entries"))
+          .join(entries.filter(masked).select(col(unitCol)).distinct()
+            .hint("shuffle_hash"), Seq(unitCol), "left_semi")
+          .agg(count(lit(1)).as("est_compact_entries"))
         st.crossJoin(cost)
           .select(lit(name).as("artifact"), col("total_entries"),
             col("masked_entries"),
