@@ -519,6 +519,9 @@ object CorpusQueries extends QueryModule {
     val touched = forward
       .join(del.hint("shuffle_hash"), Seq("doc_id"), "left_semi")
       .select(explode(col("hs")).as("h")).distinct()
+      .localCheckpoint() // consumed by BOTH branches below — the plan
+                         // otherwise recomputes the forward semi-join
+                         // once per union arm (read in the r14 review)
     val untouched = idx.join(touched.hint("shuffle_hash"), Seq("h"), "left_anti")
     val rewritten = idx.join(touched.hint("shuffle_hash"), Seq("h"), "left_semi")
       .select(col("h"), explode(col("docs")).as("d"))
