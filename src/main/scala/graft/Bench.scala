@@ -164,16 +164,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // WindowExec's "No Partition Defined" warning flood saturated the
-    // harness's 2000-char stderr tail (BENCH_r13's tail was nothing
-    // else), hiding any real diagnostic. Every unpartitioned-window
-    // site is reviewed and construction-bounded — WindowAuditSpec's
-    // allowlist is the guard that keeps this suppression safe — so the
-    // logger is scoped to the window package only; WARN stays on
-    // everywhere else (r13 verdict item 2).
-    org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.sql.execution.window",
-      org.apache.logging.log4j.Level.ERROR)
+    LogScopes.quietWindowExec() // see the helper's doc (r13 item 2)
 
     def sink(df: () => org.apache.spark.sql.DataFrame): () => Unit =
       () => df().write.format("noop").mode("overwrite").save()

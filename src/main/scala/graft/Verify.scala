@@ -19,15 +19,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // WindowExec's "No Partition Defined" warning is a false alarm for
-    // this suite — every unpartitioned-window site is reviewed and
-    // construction-bounded (WindowAuditSpec's allowlist is the guard
-    // that keeps this suppression safe) — and the flood saturated the
-    // driver's stderr tail, hiding any REAL diagnostic (r13 verdict
-    // item 2). Scoped to the window package; WARN stays on elsewhere.
-    org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.sql.execution.window",
-      org.apache.logging.log4j.Level.ERROR)
+    LogScopes.quietWindowExec() // see the helper's doc (r13 item 2)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.filter(kv => selected(kv._1)).foreach { case (name, fn) =>
       // NonFatal only (the Bench.timedRun rule): a broken query prints
@@ -46,6 +38,13 @@ object Verify {
             Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
           }
           rm(d)
+          // a stale dump that SURVIVES deletion would be silently
+          // compared as this run's result — exactly what the guard
+          // exists to prevent, so say it loudly (r14 review)
+          if (d.exists())
+            System.err.println(s"[verify] $name WARNING: stale result " +
+              s"dir $d could not be deleted — the comparator may read a " +
+              "PREVIOUS run's output for this query")
         }
       }
       try {

@@ -263,9 +263,17 @@ object CorpusQueries extends QueryModule {
   // the planted offset against the old corpus (ADVICE r13).
   private val maxDocIdCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
-  StageMemo.onRelease { dir =>
-    val it = maxDocIdCache.keySet().iterator()
-    while (it.hasNext) if (it.next().endsWith("|" + dir)) it.remove()
+  // "" = reset-everything (the StageMemo.reset contract); the thunk is
+  // deliberately dropped — this registration lives for the process.
+  locally {
+    StageMemo.onRelease { dir =>
+      if (dir.isEmpty) maxDocIdCache.clear()
+      else {
+        val it = maxDocIdCache.keySet().iterator()
+        while (it.hasNext) if (it.next().endsWith("|" + dir)) it.remove()
+      }
+    }
+    ()
   }
 
   /** Planted-slice aliasing guard (ADVICE r12): the planted-corpus
@@ -488,9 +496,17 @@ object CorpusQueries extends QueryModule {
     * both. (d+10000) % 10 == d % 10, so the cohort is exactly the
     * planted ids ≡ 9 (mod 10), which is what the oracles filter. */
   private[graft] def plantedErasureSet(s: SparkSession, dir: String): DataFrame = {
+    // the ≡9 (mod 10) cohort identity the oracles' `WHERE doc_id % 10
+    // = 9` filter relies on needs the offset to be a multiple of 10 —
+    // assert it here so a future offset change fails loudly instead of
+    // silently shrinking the erasure cohort (r14 review)
+    require(LlmQueries.PlantedOffset % 10 == 0,
+      s"PlantedOffset ${LlmQueries.PlantedOffset} must be a multiple of " +
+        "10 or the mod-10 erasure cohort no longer covers derived variants")
     val d = Tables(s, dir, "documents")
       .filter(col("doc_id") % 10 === 9).select(col("doc_id"))
-    d.unionByName(d.select((col("doc_id") + 10000L).as("doc_id")))
+    d.unionByName(d.select((col("doc_id") + LlmQueries.PlantedOffset)
+        .as("doc_id")))
       .localCheckpoint()
   }
 
@@ -517,7 +533,7 @@ object CorpusQueries extends QueryModule {
   private[graft] def compactShingleIndexFrames(forward: DataFrame,
       idx: DataFrame, del: DataFrame): DataFrame = {
     val touched = forward
-      .join(del.hint("shuffle_hash"), Seq("doc_id"), "left_semi")
+      .join(broadcast(del), Seq("doc_id"), "left_semi")
       .select(explode(col("hs")).as("h")).distinct()
       .localCheckpoint() // consumed by BOTH branches below — the plan
                          // otherwise recomputes the forward semi-join
@@ -552,12 +568,15 @@ object CorpusQueries extends QueryModule {
     * harness corpora may never produce at the gate SF. */
   private[graft] def maintainClusterMapFrames(cl: DataFrame,
       pairs: DataFrame, del: DataFrame): DataFrame = {
-    val touched = cl.join(del.hint("shuffle_hash"), Seq("doc_id"), "left_semi")
+    // the tombstone batch broadcasts into the doc-keyed map lookups —
+    // shuffling the corpus-scale map by doc_id for a batch-sized probe
+    // would waste the exchange (r14 review; the q256/q257 del idiom)
+    val touched = cl.join(broadcast(del), Seq("doc_id"), "left_semi")
       .select(col("cluster")).distinct()
       .localCheckpoint() // consumed by the pass-through AND the recompute
     val untouched = cl.join(broadcast(touched), Seq("cluster"), "left_anti")
     val tm = cl.join(broadcast(touched), Seq("cluster"), "left_semi")
-      .join(del.hint("shuffle_hash"), Seq("doc_id"), "left_anti")
+      .join(broadcast(del), Seq("doc_id"), "left_anti")
       .select(col("doc_id"))
       .localCheckpoint() // both endpoint filters below
     val survEdges = pairs

@@ -131,12 +131,18 @@ private[graft] object StageMemo {
   // maxDocIdCache) register an eviction hook so release(dir) clears
   // THEM too — without this, a session that rewrote a dir's documents
   // table would pass the planted-offset guard against a stale max
-  // doc_id (ADVICE r13). CopyOnWriteArrayList: registration happens
-  // once per owning object init, reads on every release.
+  // doc_id (ADVICE r13). Contract: the hook receives the released dir,
+  // or "" meaning EVERYTHING (fired by [[reset]] — which must evict
+  // companions just as release does, r14 review). CopyOnWriteArrayList:
+  // registration happens once per owning object init, reads on every
+  // release. Returns a deregistration thunk so test-installed hooks
+  // don't accumulate for the process lifetime.
   private val releaseHooks =
     new java.util.concurrent.CopyOnWriteArrayList[String => Unit]()
-  private[graft] def onRelease(hook: String => Unit): Unit =
+  private[graft] def onRelease(hook: String => Unit): () => Unit = {
     releaseHooks.add(hook)
+    () => { releaseHooks.remove(hook); () }
+  }
 
   /** Drop every stage memoized for `dir` (all contexts): the explicit
     * eviction path for a long-lived session spanning several dirs /
@@ -150,8 +156,14 @@ private[graft] object StageMemo {
     releaseHooks.forEach(h => h(dir))
   }
 
-  /** Test hook: drop everything (forces rebuilds). */
-  private[graft] def reset(): Unit = cache.clear()
+  /** Test hook: drop everything (forces rebuilds). Fires the release
+    * hooks with "" (= all dirs) so companion caches drop too — a reset
+    * that left a stale max-doc-id cached would re-open the exact
+    * aliasing hazard release(dir) closes. */
+  private[graft] def reset(): Unit = {
+    cache.clear()
+    releaseHooks.forEach(h => h(""))
+  }
 
   /** Test hook: number of live memoized stages. */
   private[graft] def size: Int = cache.size()

@@ -1078,12 +1078,13 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
-  test("q264-q267 lifecycle maintenance: hash joins only, never a sort or cartesian") {
-    // q264/q265: artifact-keyed semi/anti joins are shuffle_hash by
-    // hint (uniform fnv64 / doc keys; sorting grouped-posting frames
-    // for one-pass existence checks would be waste), tombstone sides
-    // broadcast; q266's only window partitions by the maintenance
-    // unit; q267 is two stream-static equi-joins. The only cross joins
+  test("q264-q268 lifecycle maintenance: hash joins only, never a sort or cartesian") {
+    // q264/q265: tombstone batches broadcast into the doc-keyed
+    // lookups, index-keyed existence joins are shuffle_hash by hint
+    // (uniform fnv64 keys; sorting grouped-posting frames for one-pass
+    // checks would be waste); q266 computes its compaction cost by
+    // semi-join (no window at all); q267 is two stream-static
+    // equi-joins; q268 is one vocab-keyed join. The only cross joins
     // anywhere are 1-row-aggregate x 1-row-aggregate (q266's per-family
     // stat assembly), which plan as BroadcastNestedLoopJoin, never
     // CartesianProduct.

@@ -162,12 +162,21 @@ class StageMemoSpec extends AnyFunSuite with BeforeAndAfterAll {
     StageMemo(spark, "/tmp/dirR2", "s1") { fail("dirR2 must survive the release"); null }
   }
 
-  test("release(dir) fires registered companion-cache hooks for that dir") {
+  test("release(dir) and reset() fire registered companion-cache hooks") {
     val seen = scala.collection.mutable.ArrayBuffer.empty[String]
-    StageMemo.onRelease(d => { seen += d; () })
-    StageMemo.release("/tmp/dirHook")
-    assert(seen.toList == List("/tmp/dirHook"),
-      "a release must reach every registered companion cache")
+    val dereg = StageMemo.onRelease(d => { seen += d; () })
+    try {
+      StageMemo.release("/tmp/dirHook")
+      assert(seen.toList == List("/tmp/dirHook"),
+        "a release must reach every registered companion cache")
+      // reset() must evict companions too — "" means everything (the
+      // r14 review's reset-gap finding)
+      StageMemo.reset()
+      assert(seen.toList == List("/tmp/dirHook", ""),
+        "reset must fire hooks with the clear-everything sentinel")
+    } finally dereg()
+    StageMemo.release("/tmp/dirHook2")
+    assert(seen.size == 2, "a deregistered hook must not fire again")
   }
 
   test("planted-offset guard FIRES on an oversized corpus, and release(dir) evicts its cached max (ADVICE r13)") {
