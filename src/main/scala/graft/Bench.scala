@@ -104,7 +104,12 @@ object Bench {
     "ngram_pairs", "pair_clusters", "shingle_sets", "shingle_index",
     "delta_sets", "incr_admission", "sem_cells", "sem_members",
     "bpe_merges", "bpe_vocab", "subword_counts", "simhash_docs", "simhash_pairs",
-    "bm25_postings", "bm25_termstats", "bm25_doclen")
+    "bm25_postings", "bm25_termstats", "bm25_doclen",
+    // r14: the four maintenance OUTPUTS (post-swap artifacts) — each
+    // shipped by its compaction/maintenance query and read again by
+    // the q262 validate-then-swap audit
+    "compacted_postings", "compacted_members", "compacted_shingle",
+    "maintained_clusters")
 
   private val B62 =
     "0123456789abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"

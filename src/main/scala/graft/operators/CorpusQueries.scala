@@ -591,6 +591,35 @@ object CorpusQueries extends QueryModule {
       .unionByName(connectedComponents(survEdges, propagationCap = 30))
   }
 
+  /** The four maintenance OUTPUTS as memoized stages — the post-swap
+    * index era a production pipeline materializes once per RTBF batch:
+    * the compaction/maintenance query ships it, and the q262
+    * validate-then-swap audit reads the SAME stored frame (before this
+    * memo the suite priced each compaction twice — once in its own
+    * gate query and again inside the audit — which is not how the
+    * deployment runs it). Frames are artifact-sized per the StageMemo
+    * retention policy (grouped postings / grouped key arrays /
+    * node-sized map). */
+  private[graft] def compactedPostings(s: SparkSession, dir: String): DataFrame =
+    StageMemo(s, dir, "compacted_postings") {
+      val del = Tables(s, dir, "documents")
+        .filter(col("doc_id") % 10 === 9).select(col("doc_id"))
+        .localCheckpoint() // block census + anti-join
+      compactPostings(bm25Postings(s, dir), del).localCheckpoint()
+    }
+
+  private[graft] def compactedShingleIndex(s: SparkSession, dir: String): DataFrame =
+    StageMemo(s, dir, "compacted_shingle") {
+      compactShingleIndex(s, dir, plantedErasureSet(s, dir))
+        .localCheckpoint()
+    }
+
+  private[graft] def maintainedClusterMap(s: SparkSession, dir: String): DataFrame =
+    StageMemo(s, dir, "maintained_clusters") {
+      maintainClusterMap(s, dir, plantedErasureSet(s, dir))
+        .localCheckpoint()
+    }
+
   /** q266's decision thresholds on the ppm grid — parameters of the
     * policy, interpolated verbatim into the oracle so engine and
     * oracle share one source of truth. Rebuild when over half the
@@ -1080,10 +1109,7 @@ object CorpusQueries extends QueryModule {
     // sort raw array cells); the nested artifact form stays internal
     // ([[compactPostings]]) and keeps its geometry pins in ScaleSpec.
     "q257_index_compaction" -> ((s, dir) => {
-      val del = Tables(s, dir, "documents")
-        .filter(col("doc_id") % 10 === 9).select(col("doc_id"))
-        .localCheckpoint() // consumed by the block census + the anti-join
-      compactPostings(bm25Postings(s, dir), del)
+      compactedPostings(s, dir)
         .select(col("w"), col("blk"), explode(col("posting")).as("e"))
         .select(col("w"), col("blk"), col("e.d").as("d"),
           col("e.t").as("t"))
@@ -1245,10 +1271,16 @@ object CorpusQueries extends QueryModule {
         observed.select(lit(name).as("chk"),
           col("observed").cast("long").as("observed"),
           (col("observed") === 0L).as("ok"))
+      // every audited frame below is the MEMOIZED maintenance output
+      // (compactedPostings/compactedMembers/compactedShingleIndex/
+      // maintainedClusterMap) — the audit reads the same stored
+      // artifact its shipping query produced, exactly as the
+      // validate-then-swap step runs in production (and the suite
+      // prices each compaction once, in the `st` stage rows).
       val del = Tables(s, dir, "documents")
         .filter(col("doc_id") % 10 === 9).select(col("doc_id"))
-        .localCheckpoint() // consumed by compaction + two checks
-      val centries = compactPostings(bm25Postings(s, dir), del)
+        .localCheckpoint() // consumed by two checks
+      val centries = compactedPostings(s, dir)
         .select(col("blk"), explode(col("posting")).as("e"))
         .select(col("blk"), col("e.d").as("doc_id"))
         .localCheckpoint() // 3 consumers: erased scan, universe, geometry
@@ -1268,10 +1300,8 @@ object CorpusQueries extends QueryModule {
           .agg(count(lit(1)).as("observed")))
       val delV = Tables(s, dir, "embeddings")
         .filter(col("vec_id") % 5 === 2).select(col("vec_id"))
-        .localCheckpoint() // consumed by compaction + two checks
-      val cmem = LlmQueries.compactMembers(
-        LlmQueries.semIndex(s, dir)._2, delV)
-        .localCheckpoint() // 2 consumers: erased scan, census
+        .localCheckpoint() // consumed by the erased scan
+      val cmem = LlmQueries.compactedMembers(s, dir)
       val c4 = chk("compacted_members_no_erased",
         cmem.join(broadcast(delV), Seq("vec_id"), "left_semi")
           .agg(count(lit(1)).as("observed")))
@@ -1282,7 +1312,7 @@ object CorpusQueries extends QueryModule {
             .agg(count(lit(1)).as("nb")))
           .select(abs(col("na") - col("nb")).as("observed")))
       val delP = plantedErasureSet(s, dir)
-      val sentries = compactShingleIndex(s, dir, delP)
+      val sentries = compactedShingleIndex(s, dir)
         .select(col("h"), explode(col("docs")).as("doc_id"))
         .localCheckpoint() // 2 consumers: erased scan, census
       val c6 = chk("compacted_shingle_no_erased",
@@ -1298,8 +1328,7 @@ object CorpusQueries extends QueryModule {
             .join(broadcast(delP), Seq("doc_id"), "left_anti")
             .agg(count(lit(1)).as("nb")))
           .select(abs(col("na") - col("nb")).as("observed")))
-      val mmap = maintainClusterMap(s, dir, delP)
-        .localCheckpoint() // 2 consumers: erased scan, coverage
+      val mmap = maintainedClusterMap(s, dir)
       val c8 = chk("maintained_cluster_no_erased",
         mmap.join(broadcast(delP), Seq("doc_id"), "left_semi")
           .agg(count(lit(1)).as("observed")))
@@ -1349,7 +1378,7 @@ object CorpusQueries extends QueryModule {
     // chain).
     "q264_decremental_shingle_index" -> ((s, dir) => {
       graft.functions.GraftFunctions.register(s)
-      compactShingleIndex(s, dir, plantedErasureSet(s, dir))
+      compactedShingleIndex(s, dir)
         .select(col("h"), explode(col("docs")).as("d"))
         .orderBy(col("h"), col("d"))
     }),
@@ -1374,8 +1403,7 @@ object CorpusQueries extends QueryModule {
     // the stored map/graph are memoized stage outputs (read, not
     // recomputed).
     "q265_cluster_map_maintenance" -> ((s, dir) =>
-      maintainClusterMap(s, dir, plantedErasureSet(s, dir))
-        .orderBy(col("doc_id"))),
+      maintainedClusterMap(s, dir).orderBy(col("doc_id"))),
 
     // --- REBUILD-TRIGGER policy (q266): the operational decision the
     // lifecycle family feeds (r13 verdict item 3) — q250 prices

@@ -662,6 +662,17 @@ object LlmQueries extends QueryModule {
     * lookup is one batch-sized semi-join, never a members scan);
     * untouched cells pass through whole, only touched cells pay the
     * anti-join. Projected to scalar (vec_id, cell) for the gate. */
+  /** The q259-compacted members as a memoized stage
+    * ("compacted_members"): the post-swap sem-index era — q259 ships
+    * it, the q262 validate-then-swap audit reads the same stored frame
+    * (see [[CorpusQueries.compactedPostings]]'s rationale). */
+  private[graft] def compactedMembers(s: SparkSession, dir: String): DataFrame =
+    graft.operators.StageMemo(s, dir, "compacted_members") {
+      val del = Tables(s, dir, "embeddings")
+        .filter(col("vec_id") % 5 === 2).select(col("vec_id"))
+      compactMembers(semIndex(s, dir)._2, del).localCheckpoint()
+    }
+
   private[graft] def compactMembers(members: DataFrame, del: DataFrame): DataFrame = {
     val delCells = members.join(del, Seq("vec_id"), "left_semi")
       .select(col("cell")).distinct()
@@ -2396,12 +2407,8 @@ object LlmQueries extends QueryModule {
     // (assignment is per-vector under frozen cells, which is what makes
     // segment-local compaction exact). Gate output is scalar (vec_id,
     // cell) rows — the container-output rule.
-    "q259_sem_index_compaction" -> ((s, dir) => {
-      val (_, members) = semIndex(s, dir)
-      val del = Tables(s, dir, "embeddings")
-        .filter(col("vec_id") % 5 === 2).select(col("vec_id"))
-      compactMembers(members, del).orderBy(col("vec_id"))
-    }),
+    "q259_sem_index_compaction" -> ((s, dir) =>
+      compactedMembers(s, dir).orderBy(col("vec_id"))),
 
     // --- INCREMENTAL kNN-graph extension (q246): q146's other half of
     // the r10 stretch item. A new batch joins an already-indexed corpus:

@@ -1035,7 +1035,15 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("q257 index compaction: tombstone rewrite is broadcast anti-joins, no sort-merge, no lambda filter") {
-    val p = plan("q257_index_compaction")
+    // inspect the BUILDER's plan — the gate query reads the memoized
+    // post-swap artifact (r14), so its own plan is a checkpoint scan
+    import graft.operators.CorpusQueries
+    import org.apache.spark.sql.functions.col
+    val del = Tables(spark, dir, "documents")
+      .filter(col("doc_id") % 10 === 9).select(col("doc_id"))
+    val p = CorpusQueries
+      .compactPostings(CorpusQueries.bm25Postings(spark, dir), del)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
     // the erasure must be the codegen'd hash anti-join path, never an
     // in-array lambda (interpreted per element — measured 4.5x slower)
     // and never a corpus-side sort-merge
@@ -1047,7 +1055,14 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("q259 sem compaction: touched cells broadcast, members never sort-merge") {
-    val p = plan("q259_sem_index_compaction")
+    // the builder's plan, for the same reason as the q257 pin above
+    import graft.operators.LlmQueries
+    import org.apache.spark.sql.functions.col
+    val delV = Tables(spark, dir, "embeddings")
+      .filter(col("vec_id") % 5 === 2).select(col("vec_id"))
+    val p = LlmQueries
+      .compactMembers(LlmQueries.semIndex(spark, dir)._2, delV)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
     // the touched-cell split and the tombstone erase must both be
     // broadcast hash joins against batch-sized frames; the stored
     // members frame is corpus-sized and must never sort

@@ -266,7 +266,9 @@ class StageMemoSpec extends AnyFunSuite with BeforeAndAfterAll {
     val dir = "/root/testdata/sf0.001"
     for (q <- Seq("q59_dedup_clusters", "q243_bpe_merges", "q244_bpe_encode",
         "q245_incremental_semdedup", "q249_incremental_components",
-        "q152_simhash_pairs", "q165_subword_tokens", "q251_bm25"))
+        "q152_simhash_pairs", "q165_subword_tokens", "q251_bm25",
+        "q257_index_compaction", "q259_sem_index_compaction",
+        "q264_decremental_shingle_index", "q265_cluster_map_maintenance"))
       SparkEntry.queries(q)(spark, dir).count()
     val built = StageMemo.buildTimes.map(_._1).toSet
     assert(built == Bench.KnownStages.toSet,
