@@ -521,9 +521,13 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     // its only doc (4) is erased.
     val sp = spark
     import sp.implicits._
+    // key 500 was CAP-EXCLUDED at build (in the forward frames, absent
+    // from the stored index): erasing doc 2 brings its df under the
+    // cap, but its postings were never stored — the documented cap
+    // CONTRACT says compaction must not resurrect it.
     val forward = Seq(
-      (1L, Seq(100L)), (2L, Seq(100L, 200L)), (3L, Seq(200L)),
-      (4L, Seq(300L)), (5L, Seq(400L))
+      (1L, Seq(100L, 500L)), (2L, Seq(100L, 200L, 500L)),
+      (3L, Seq(200L)), (4L, Seq(300L)), (5L, Seq(400L))
     ).toDF("doc_id", "hs")
     val idx = Seq(
       (100L, Seq(1L, 2L)), (200L, Seq(2L, 3L)),
@@ -534,7 +538,8 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select(col("h"), expr("array_sort(docs)").as("docs"))
       .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toList)).toMap
     assert(got == Map(100L -> List(1L), 200L -> List(3L),
-      400L -> List(5L)), s"got $got")
+      400L -> List(5L)),
+      s"cap-excluded key 500 must stay out; emptied 300 drops: $got")
   }
 
   test("q265 cluster maintenance: a deleted cut vertex SPLITS its cluster; labels reflow; edge-less survivors drop; untouched clusters keep labels") {
