@@ -791,6 +791,68 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("q263 ledger state survives a query RESTART: checkpointed file-source waves; a tombstone replayed after the restart stays deduped") {
+    // Stronger than the two-wave MemoryStream replay above: that proves
+    // exactly-once WITHIN one query run; this proves it ACROSS a stop/
+    // restart — the state store (the dedup's seen-set) and the file
+    // source's processed-file log both recover from the checkpoint,
+    // which is the guarantee a production RTBF feed actually leans on
+    // when the job is redeployed mid-stream.
+    val sp = spark
+    import sp.implicits._
+    val dir = "/root/testdata/sf0.001"
+    import graft.operators.CorpusQueries
+    val postings = CorpusQueries.bm25Postings(sp, dir)
+    val doclen = CorpusQueries.bm25DocLens(sp, dir)
+    val indexed = doclen.select("doc_id").as[Long].collect().toSet
+    val delIds = Tables(sp, dir, "documents")
+      .filter(col("doc_id") % 10 === 9)
+      .select(col("doc_id")).as[Long].collect().filter(indexed)
+    val (w1, w2) = delIds.partition(_ % 20 == 9)
+    assert(w1.nonEmpty && w2.nonEmpty)
+    val root = java.nio.file.Files.createTempDirectory("graft-restart")
+    val srcDir = s"$root/src"; val ckpt = s"$root/ckpt"
+    val outDir = s"$root/out"
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", "long").add("ts", "timestamp")
+    // parquet sink, not memory: the memory sink refuses checkpoint
+    // recovery by design — the file sink commits through the same
+    // checkpoint the state store recovers from, which is the
+    // production shape anyway
+    def start() = StreamingQueries.tombstoneLedger(sp,
+        sp.readStream.schema(schema).parquet(srcDir), postings, doclen)
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).start()
+    def emitted(): Seq[Long] =
+      sp.read.parquet(outDir).select("doc_id").as[Long].collect().toSeq
+    try {
+      w1.map(d => (d, ts("2024-01-01T00:00:00Z"))).toSeq
+        .toDF("doc_id", "ts").coalesce(1)
+        .write.mode("append").parquet(srcDir)
+      val q1 = start()
+      try { q1.processAllAvailable() } finally q1.stop()
+      assert(emitted().toSet == w1.toSet,
+        "wave 1 must emit every indexed tombstone once")
+      // wave 2 lands AFTER the stop: new tombstones plus a REPLAY of a
+      // wave-1 doc (at-least-once redelivery straddling the restart)
+      (w2 :+ w1.head).map(d => (d, ts("2024-01-01T00:30:00Z"))).toSeq
+        .toDF("doc_id", "ts").coalesce(1)
+        .write.mode("append").parquet(srcDir)
+      val q2 = start()
+      try { q2.processAllAvailable() } finally q2.stop()
+      val all = emitted()
+      assert(all.size == all.distinct.size,
+        s"recovered dedup state must drop the replayed ${w1.head}: " +
+          s"duplicates in ${all.diff(all.distinct)}")
+      assert(all.toSet == (w1 ++ w2).toSet,
+        "every distinct tombstone emits exactly once across the restart")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(root.toFile)
+      ()
+    }
+  }
+
   test("q267 sem tombstone router: streamed vector deletion feed matches the batch gate; replayed tombstones dedup") {
     val sp = spark
     import sp.implicits._
