@@ -99,6 +99,24 @@ object StreamingQueries extends QueryModule {
         expr("c_user = p_user AND p_ts > c_ts AND p_ts <= c_ts + INTERVAL 1 HOUR"))
       .select(col("c_user").as("user_id"), col("c_ts"), col("p_ts"))
 
+  /** q269's builder: the LEFT-OUTER form of [[clickPurchaseJoin]] — the
+    * attribution query that must also report UNCONVERTED clicks. The
+    * outer stream-stream join is the subtle primitive: a null-padded
+    * row for an unmatched click can only be emitted once both
+    * watermarks prove no matching purchase can still arrive (the
+    * click has left the join-state window), so outer results trail
+    * the inner join's by up to watermark + interval — the price of a
+    * provably-FINAL null, which is exactly what an attribution
+    * pipeline needs before it writes "unconverted" anywhere. Batch
+    * run = a plain left outer interval join (watermarks are no-ops),
+    * which equals the stream's post-watermark final table. */
+  def clickPurchaseOuter(clicks: DataFrame, purchases: DataFrame): DataFrame =
+    clicks.withWatermark("c_ts", "1 hour")
+      .join(purchases.withWatermark("p_ts", "1 hour"),
+        expr("c_user = p_user AND p_ts > c_ts AND p_ts <= c_ts + INTERVAL 1 HOUR"),
+        "left_outer")
+      .select(col("c_user").as("user_id"), col("c_ts"), col("p_ts"))
+
   /** Stream-static enrichment: an unbounded event stream joined against a
     * bounded dimension, then windowed per enriched key. The static side
     * is re-read per micro-batch (Spark's stream-static contract) and
@@ -649,6 +667,28 @@ object StreamingQueries extends QueryModule {
       semTombstoneLedger(dels, LlmQueries.semIndex(s, dir)._2)
         .select(col("vec_id"), col("cell"), col("n_cell_members"))
         .orderBy(col("vec_id"))
+    }),
+
+    // --- stream-stream LEFT OUTER interval join (q269): q147's
+    // attribution join with the unconverted side reported — per user,
+    // how many click→purchase pairs attribute within the hour AND how
+    // many clicks provably never convert. In streaming the null
+    // padding is watermark-gated (see [[clickPurchaseOuter]]); the
+    // batch gate compares the final table. An unmatched click
+    // contributes exactly one null-purchase row, so n_unconverted is
+    // a plain conditional count over the join output.
+    "q269_stream_outer_attribution" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      clickPurchaseOuter(clicks, purchases)
+        .groupBy(col("user_id"))
+        .agg(count(col("p_ts")).as("n_attr_pairs"),
+          sum(when(col("p_ts").isNull, 1L).otherwise(0L))
+            .as("n_unconverted"))
+        .orderBy(col("user_id"))
     })
   )
 
@@ -941,6 +981,22 @@ object StreamingQueries extends QueryModule {
         |  MIN(epoch_us(p.p_ts) - epoch_us(c.c_ts)) AS min_lead_us,
         |  MAX(epoch_us(p.p_ts) - epoch_us(c.c_ts)) AS max_lead_us
         |FROM c JOIN p ON p.user_id = c.user_id
+        |  AND p.p_ts > c.c_ts AND p.p_ts <= c.c_ts + INTERVAL 1 HOUR
+        |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin,
+
+    // q269: the left-outer form — unmatched clicks count once via
+    // their single null-purchase row, matching the engine's
+    // conditional count over the outer join output.
+    "q269_stream_outer_attribution" ->
+      """WITH c AS (SELECT user_id, ts AS c_ts FROM events
+        |           WHERE event_type = 'click'),
+        |     p AS (SELECT user_id AS p_user, ts AS p_ts FROM events
+        |           WHERE event_type = 'purchase')
+        |SELECT c.user_id,
+        |  CAST(COUNT(p.p_ts) AS BIGINT) AS n_attr_pairs,
+        |  CAST(SUM(CASE WHEN p.p_ts IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_unconverted
+        |FROM c LEFT JOIN p ON p.p_user = c.user_id
         |  AND p.p_ts > c.c_ts AND p.p_ts <= c.c_ts + INTERVAL 1 HOUR
         |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin,
 

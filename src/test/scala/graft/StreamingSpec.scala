@@ -791,6 +791,46 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("q269 outer attribution: unmatched clicks emit their null row only after BOTH watermarks prove finality") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val mc = MemoryStream[Click]
+    val mp = MemoryStream[Purchase]
+    val joined = StreamingQueries.clickPurchaseOuter(mc.toDF(), mp.toDF())
+    val q = joined.writeStream.format("memory").queryName("soj")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mc.addData(
+        Click(1, ts("2024-01-01T10:00:00Z")),  // will match
+        Click(1, ts("2024-01-01T12:00:00Z")))  // will NOT match
+      mp.addData(Purchase(1, ts("2024-01-01T10:30:00Z")))
+      q.processAllAvailable()
+      def rows() = sp.table("soj").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1),
+          Option(r.getTimestamp(2)))).toSet
+      // the matched pair may emit immediately; the unmatched click's
+      // null row MUST NOT — no watermark has passed its join window yet
+      assert(!rows().exists(_._3.isEmpty),
+        "a null row before watermark finality would be retractable")
+      // advance both watermarks far past 12:00 + 1h, plus the
+      // one-batch delay watermark updates take to apply
+      mc.addData(Click(2, ts("2024-01-02T12:00:00Z")))
+      mp.addData(Purchase(2, ts("2024-01-02T12:00:00Z")))
+      q.processAllAvailable()
+      mc.addData(Click(3, ts("2024-01-02T12:00:01Z")))
+      q.processAllAvailable()
+      mp.addData(Purchase(3, ts("2024-01-02T12:00:02Z")))
+      q.processAllAvailable()
+      assert(rows().contains(
+        (1L, ts("2024-01-01T12:00:00Z"), None)),
+        s"the expired unmatched click must surface null-padded: ${rows()}")
+      assert(rows().contains(
+        (1L, ts("2024-01-01T10:00:00Z"),
+          Some(ts("2024-01-01T10:30:00Z")))), s"${rows()}")
+    } finally q.stop()
+  }
+
   test("q263 ledger state survives a query RESTART: checkpointed file-source waves; a tombstone replayed after the restart stays deduped") {
     // Stronger than the two-wave MemoryStream replay above: that proves
     // exactly-once WITHIN one query run; this proves it ACROSS a stop/
