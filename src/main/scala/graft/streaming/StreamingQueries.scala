@@ -94,9 +94,27 @@ object StreamingQueries extends QueryModule {
     * user_id and the per-user time filter runs inside the joined
     * partition (the batch form is exactly q27's range-join shape). */
   def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame): DataFrame =
+    attributionJoin(clicks, purchases, "inner")
+
+  /** ONE definition of the attribution interval join (r14 review: the
+    * condition and watermarks existed twice) — the inner and outer
+    * forms differ ONLY in join type, so the interval/watermark can
+    * never fork between them. */
+  /** The q147/q269 gate inputs, shared (r14 review). */
+  private def clickPurchaseFrames(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val ev = Tables(s, dir, "events")
+    (ev.filter(col("event_type") === "click")
+       .select(col("user_id").as("c_user"), col("ts").as("c_ts")),
+     ev.filter(col("event_type") === "purchase")
+       .select(col("user_id").as("p_user"), col("ts").as("p_ts")))
+  }
+
+  private def attributionJoin(clicks: DataFrame, purchases: DataFrame,
+      joinType: String): DataFrame =
     clicks.withWatermark("c_ts", "1 hour")
       .join(purchases.withWatermark("p_ts", "1 hour"),
-        expr("c_user = p_user AND p_ts > c_ts AND p_ts <= c_ts + INTERVAL 1 HOUR"))
+        expr("c_user = p_user AND p_ts > c_ts AND p_ts <= c_ts + INTERVAL 1 HOUR"),
+        joinType)
       .select(col("c_user").as("user_id"), col("c_ts"), col("p_ts"))
 
   /** q269's builder: the LEFT-OUTER form of [[clickPurchaseJoin]] — the
@@ -111,11 +129,7 @@ object StreamingQueries extends QueryModule {
     * run = a plain left outer interval join (watermarks are no-ops),
     * which equals the stream's post-watermark final table. */
   def clickPurchaseOuter(clicks: DataFrame, purchases: DataFrame): DataFrame =
-    clicks.withWatermark("c_ts", "1 hour")
-      .join(purchases.withWatermark("p_ts", "1 hour"),
-        expr("c_user = p_user AND p_ts > c_ts AND p_ts <= c_ts + INTERVAL 1 HOUR"),
-        "left_outer")
-      .select(col("c_user").as("user_id"), col("c_ts"), col("p_ts"))
+    attributionJoin(clicks, purchases, "left_outer")
 
   /** Stream-static enrichment: an unbounded event stream joined against a
     * bounded dimension, then windowed per enriched key. The static side
@@ -136,6 +150,22 @@ object StreamingQueries extends QueryModule {
 
   private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
 
+  /** The shared 16-bin value-histogram geometry (q186 quantiles, q242
+    * KS drift, and the q242 static baseline): bin = clamp(floor(value
+    * / [[BinWidth]]), 0, [[NumBins]]-1), nulls dropped. The LOWER
+    * clamp mirrors the upper one — without it a negative value fell
+    * out of the engine's conditional bin counts entirely while the
+    * oracle bucketed it at a negative bin (r14 review; latent on the
+    * harness data, whose values are all ≥ 0). One definition for the
+    * three engine derivation sites; the oracles carry the mirrored
+    * LEAST/GREATEST form. */
+  private[streaming] val NumBins = 16
+  private[streaming] val BinWidth = 40
+  private def withValueBin(events: DataFrame): DataFrame =
+    events.filter(col("value").isNotNull)
+      .withColumn("vb", least(lit(NumBins - 1),
+        greatest(lit(0), floor(col("value") / BinWidth))).cast("int"))
+
   /** Streaming distribution-drift monitor (q172): per 6-hour event-time
     * window, the total-variation distance between the window's
     * event_type mix and a static baseline distribution — the
@@ -155,7 +185,14 @@ object StreamingQueries extends QueryModule {
   def driftVsBaseline(events: DataFrame, baseline: DataFrame): DataFrame = {
     val aggs = eventTypes.map(t =>
       sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"c_$t"))
-    val w = events.withWatermark("ts", "1 hour")
+    // explicit alphabet guard (r14 review): the fixed per-type columns
+    // only cover eventTypes, so rows OUTSIDE the alphabet must leave
+    // the stream before nw/nb are formed — without this filter an
+    // unknown type inflated the baseline's nb (count(*)) while
+    // contributing to no c_t/cb_t column, skewing every TV term.
+    // Mirrored by the oracle's WHERE event_type IN (...) clauses.
+    val w = events.filter(col("event_type").isin(eventTypes: _*))
+      .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "6 hours"))
       .agg(aggs.head, aggs.tail: _*)
       .select(col("window.start").as("window_start") +:
@@ -234,7 +271,8 @@ object StreamingQueries extends QueryModule {
     val aggs = eventTypes.map(t =>
       sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"cb_$t")) :+
       count(lit(1)).as("nb")
-    events.groupBy().agg(aggs.head, aggs.tail: _*)
+    events.filter(col("event_type").isin(eventTypes: _*))
+      .groupBy().agg(aggs.head, aggs.tail: _*)
   }
 
   /** In-session funnel conversion (q185): per (user, session window),
@@ -276,8 +314,7 @@ object StreamingQueries extends QueryModule {
     val bins = 0 until 16
     val aggs = bins.map(b =>
       sum(when(col("vb") === b, 1L).otherwise(0L)).as(s"c_$b"))
-    val w = events.filter(col("value").isNotNull)
-      .withColumn("vb", least(lit(15), floor(col("value") / 40)).cast("int"))
+    val w = withValueBin(events)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "6 hours"))
       .agg(aggs.head, aggs.tail: _*)
@@ -400,11 +437,7 @@ object StreamingQueries extends QueryModule {
     // click -> purchase attribution within 1 hour, aggregated to exact
     // per-user pair counts and min/max lead times in integral micros.
     "q147_stream_interval_join" -> ((s, dir) => {
-      val ev = Tables(s, dir, "events")
-      val clicks = ev.filter(col("event_type") === "click")
-        .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
-      val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      val (clicks, purchases) = clickPurchaseFrames(s, dir)
       clickPurchaseJoin(clicks, purchases)
         .select(col("user_id"),
           (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("lead_us"))
@@ -426,7 +459,12 @@ object StreamingQueries extends QueryModule {
     "q58_stateful_alerts" -> ((s, dir) => {
       import s.implicits._
       import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+      // null guard (r14 review): the tuple Encoder's primitive fields
+      // throw on a null user_id/value; drop such rows instead, which
+      // is also what the oracle's SUM/GROUP BY semantics do after its
+      // mirrored WHERE.
       Tables(s, dir, "events")
+        .filter(col("user_id").isNotNull && col("value").isNotNull)
         .select(col("user_id"), col("value")).as[(Long, Double)]
         .groupByKey(_._1)
         .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
@@ -678,11 +716,7 @@ object StreamingQueries extends QueryModule {
     // contributes exactly one null-purchase row, so n_unconverted is
     // a plain conditional count over the join output.
     "q269_stream_outer_attribution" -> ((s, dir) => {
-      val ev = Tables(s, dir, "events")
-      val clicks = ev.filter(col("event_type") === "click")
-        .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
-      val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      val (clicks, purchases) = clickPurchaseFrames(s, dir)
       clickPurchaseOuter(clicks, purchases)
         .groupBy(col("user_id"))
         .agg(count(col("p_ts")).as("n_attr_pairs"),
@@ -695,9 +729,12 @@ object StreamingQueries extends QueryModule {
   /** q263's builder: join a (doc_id, ts) tombstone frame — batch OR
     * streaming — against the stored BM25 artifacts to emit per-doc
     * erase records. The per-doc touch census (how many posting rows
-    * hold the doc, and in which block) derives from the postings
-    * artifact ONCE per index era (static side, localCheckpointed);
-    * the stream side is pure join work. A tombstone for a doc the
+    * hold the doc, and in which block) derives from the MEMOIZED
+    * postings artifact and is localCheckpointed per builder call so a
+    * streaming run's micro-batches never re-derive it (per index era
+    * a production job would persist it durably; here the derivation
+    * is one explode + partial-agg over the already-materialized
+    * postings frame); the stream side is pure join work. A tombstone for a doc the
     * index never held emits nothing (inner joins) — the sink's signal
     * that the request needs no index maintenance. */
   def tombstoneLedger(s: SparkSession, dels: DataFrame,
@@ -723,9 +760,11 @@ object StreamingQueries extends QueryModule {
     * streaming — against the stored sem-index members artifact to emit
     * per-vector touched-cell routing records for the q259 compactor:
     * the vector's stored cell residency and that cell's member count
-    * (the rewrite cost the compactor pays). Both static sides derive
-    * from the members artifact once per index era; the stream side is
-    * pure join work, dedup'd on vec_id within the watermark. */
+    * (the rewrite cost the compactor pays). Both static sides are
+    * cheap projections/aggs of the MEMOIZED members artifact,
+    * localCheckpointed per builder call so streaming micro-batches
+    * reuse them; the stream side is pure join work, dedup'd on vec_id
+    * within the watermark. */
   def semTombstoneLedger(dels: DataFrame, members: DataFrame): DataFrame = {
     val res = members.select(col("vec_id"), col("cell"))
       .localCheckpoint() // the index era's residency lookup
@@ -746,8 +785,7 @@ object StreamingQueries extends QueryModule {
     * table as ONE row of cumulative counts (grid restored — absent
     * bins hold their running value, the q209 lesson) + the total. */
   def valueBaseline(events: DataFrame): DataFrame =
-    events.filter(col("value").isNotNull)
-      .withColumn("vb", least(lit(15), floor(col("value") / 40)).cast("int"))
+    withValueBin(events)
       .groupBy(col("vb")).agg(count(lit(1)).as("c"))
       .agg(expr("map_from_entries(collect_list(struct(vb, c)))").as("m"))
       .withColumn("bvals", expr(
@@ -767,8 +805,7 @@ object StreamingQueries extends QueryModule {
     val bins = 0 until 16
     val aggs = bins.map(b =>
       sum(when(col("vb") === b, 1L).otherwise(0L)).as(s"c_$b"))
-    val w = events.filter(col("value").isNotNull)
-      .withColumn("vb", least(lit(15), floor(col("value") / 40)).cast("int"))
+    val w = withValueBin(events)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "6 hours"))
       .agg(aggs.head, aggs.tail: _*)
@@ -968,7 +1005,9 @@ object StreamingQueries extends QueryModule {
     "q58_stateful_alerts" ->
       """WITH t AS (
         |  SELECT user_id, SUM(CAST(value AS DECIMAL(38,6))) AS total
-        |  FROM events GROUP BY user_id)
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY user_id)
         |SELECT user_id,
         |  100 * unnest(generate_series(1, CAST(floor(total / 100) AS BIGINT))) AS crossed
         |FROM t ORDER BY user_id, crossed""".stripMargin,
@@ -1091,7 +1130,9 @@ object StreamingQueries extends QueryModule {
         |    COUNT(*) FILTER (WHERE event_type = 'signup') AS c_signup,
         |    COUNT(*) FILTER (WHERE event_type = 'view') AS c_view,
         |    COUNT(*) AS nw
-        |  FROM events GROUP BY 1),
+        |  FROM events
+        |  WHERE event_type IN ('click','error','purchase','signup','view')
+        |  GROUP BY 1),
         |b AS (
         |  SELECT COUNT(*) FILTER (WHERE event_type = 'click') AS cb_click,
         |    COUNT(*) FILTER (WHERE event_type = 'error') AS cb_error,
@@ -1099,7 +1140,8 @@ object StreamingQueries extends QueryModule {
         |    COUNT(*) FILTER (WHERE event_type = 'signup') AS cb_signup,
         |    COUNT(*) FILTER (WHERE event_type = 'view') AS cb_view,
         |    COUNT(*) AS nb
-        |  FROM events)
+        |  FROM events
+        |  WHERE event_type IN ('click','error','purchase','signup','view'))
         |SELECT window_start, nw AS n_events,
         |  CAST(CAST((2 * (abs(c_click::HUGEINT * nb - cb_click::HUGEINT * nw)
         |      + abs(c_error::HUGEINT * nb - cb_error::HUGEINT * nw)
@@ -1140,7 +1182,7 @@ object StreamingQueries extends QueryModule {
       """WITH b AS (
         |  SELECT make_timestamp((epoch_us(ts) // 21600000000) * 21600000000)
         |      AS window_start,
-        |    LEAST(15, CAST(floor(value / 40) AS INT)) AS vb
+        |    LEAST(15, GREATEST(0, CAST(floor(value / 40) AS INT))) AS vb
         |  FROM events WHERE value IS NOT NULL),
         |h AS (SELECT window_start, vb, COUNT(*) AS cnt FROM b GROUP BY 1, 2),
         |t AS (SELECT window_start, CAST(SUM(cnt) AS BIGINT) AS n_events
@@ -1265,7 +1307,7 @@ object StreamingQueries extends QueryModule {
       """WITH b AS (
         |  SELECT make_timestamp((epoch_us(ts) // 21600000000) * 21600000000)
         |      AS window_start,
-        |    LEAST(15, CAST(floor(value / 40) AS INT)) AS vb
+        |    LEAST(15, GREATEST(0, CAST(floor(value / 40) AS INT))) AS vb
         |  FROM events WHERE value IS NOT NULL),
         |base AS (SELECT vb, COUNT(*) AS c FROM b GROUP BY 1),
         |bg AS (SELECT g.b AS vb, COALESCE(base.c, 0) AS c
