@@ -34,6 +34,28 @@ object GovernanceQueries extends QueryModule {
   private[graft] def gridDiv(num: String, den: String): String =
     s"(2 * CAST($num AS DECIMAL(38,0)) * $Micro + $den) DIV (2 * CAST($den AS DECIMAL(38,0)))"
 
+  /** Bucket the event stream to a (bucket, event_type) count grid with
+    * ABSENT cells restored as 0 (the q209 lesson: a silent hour counts
+    * toward the baseline mean) — the shared shape of q209/q214/q220,
+    * one definition so the restore semantics (checkpoint policy, the
+    * broadcast alphabet cross, the coalesce) can never fork between
+    * them (r14 review: this ~10-line pipeline existed three times).
+    * Returns (bucket, event_type, c), localCheckpointed (bounded by
+    * time-span × alphabet). */
+  private def restoredGrid(s: SparkSession, dir: String,
+      bucketSeconds: Long, bucketName: String): DataFrame = {
+    val obs = Tables(s, dir, "events")
+      .select((unix_timestamp(col("ts")) / bucketSeconds).cast("long")
+        .as(bucketName), col("event_type"))
+      .groupBy(col(bucketName), col("event_type"))
+      .agg(count(lit(1)).as("c")).localCheckpoint()
+    obs.select(col(bucketName)).distinct()
+      .crossJoin(broadcast(obs.select(col("event_type")).distinct()))
+      .join(obs, Seq(bucketName, "event_type"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+      .localCheckpoint()
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // --- k-anonymity audit (q204): equivalence-class sizes over a
@@ -123,8 +145,13 @@ object GovernanceQueries extends QueryModule {
       import s.implicits._
       val cents = Tables(s, dir, "lineitem")
         .select(floor(col("l_extendedprice") * 100 + 0.5).as("cents"))
+      // materialized (localCheckpoint): cum AND tot both read it — the
+      // unmaterialized form re-ran the full cents scan for each,
+      // making phase 1 two corpus passes instead of the one the design
+      // comment promises (r14 review); the frame is ~domain/4096 rows
       val hist = cents.groupBy((col("cents") / 4096).cast("long").as("bin"))
         .agg(count(lit(1)).as("cnt"))
+        .localCheckpoint()
       // bins-bounded frame: the single-partition cumulative window runs
       // over ~domain/4096 rows regardless of corpus size
       val cum = hist.withColumn("cum",
@@ -162,22 +189,8 @@ object GovernanceQueries extends QueryModule {
     // (dev, type, slot) tie order. Deviation = |obs - T/nh| half-up on
     // the 1e-6 grid via integer cross-multiplication.
     "q209_seasonal_anomaly" -> ((s, dir) => {
-      val ev = Tables(s, dir, "events")
-        .select((unix_timestamp(col("ts")) / 3600L).cast("long").as("slot"),
-          col("event_type"))
-      val obs = ev.groupBy(col("slot"), col("event_type"))
-        .agg(count(lit(1)).as("c")).localCheckpoint()
-      val slots = obs.select(col("slot")).distinct()
-      val types = obs.select(col("event_type")).distinct()
-      // the grid is slots x alphabet — bounded by time span, so the
-      // checkpoint materializes a tiny frame and the baseline join
-      // below broadcasts instead of re-deriving (and sort-merging
-      // against) the same subplan
-      val grid = slots.crossJoin(broadcast(types))
-        .join(obs, Seq("slot", "event_type"), "left")
-        .withColumn("c", coalesce(col("c"), lit(0L)))
+      val grid = restoredGrid(s, dir, 3600L, "slot")
         .withColumn("how", pmod(col("slot"), lit(168L)))
-        .localCheckpoint()
       val base = grid.groupBy(col("how"), col("event_type"))
         .agg(sum(col("c")).cast("long").as("t"), count(lit(1)).as("nh"))
       grid.join(broadcast(base), Seq("how", "event_type"))
@@ -243,10 +256,15 @@ object GovernanceQueries extends QueryModule {
     "q211_conservation_check" -> ((s, dir) => {
       graft.functions.GraftFunctions.register(s)
       val P = 2305843009213693951L // 2^61 - 1
+      // materialized: both checksum paths read the same per-doc
+      // fingerprints — the audit's independence lives in the two
+      // AGGREGATION paths (direct vs via-shard merge), not in
+      // re-hashing the corpus twice (r14 review); one row per doc
       val d = Tables(s, dir, "documents")
         .select(col("source"),
           pmod(expr("fnv64(CAST(doc_id AS STRING))"), lit(32L)).as("shard"),
           expr("fnv64(concat(CAST(doc_id AS STRING), ':', md5(text)))").as("fp"))
+        .localCheckpoint()
       def checksum(df: DataFrame, keys: Seq[String]): DataFrame =
         df.groupBy(keys.map(col): _*)
           .agg(count(lit(1)).as("n"), sum(col("fp").cast(DecimalType(38, 0))).as("cs"))
@@ -331,8 +349,13 @@ object GovernanceQueries extends QueryModule {
     // (r1 r2 c1 c2), so the whole read-out lands exactly on the 1e-6
     // grid with no sqrt. Shape: one users-keyed partial-agg pass, then
     // a single-row aggregate; nothing beyond the user exchange.
-    // DECIMAL(38) bounds the determinant product to ~1e9-user
-    // experiments — past that, scale counts to rates first.
+    // Envelope (corrected r14 review): det ≤ N²/4 and den ≤ N⁴/16, so
+    // det²·2N·1e6 ≤ N⁵·1e6/8 must stay under 10³⁸ — exact up to
+    // ~2·10⁶ users per experiment cell; past that, scale counts to
+    // rates first (Spark's non-ANSI decimal returns NULL on overflow
+    // where DuckDB HUGEINT errors, so the failure modes differ too).
+    // The det factors cast BEFORE multiplying — the int64 product
+    // would wrap silently at ~9.2e18 ahead of any decimal bound.
     "q213_ab_test" -> ((s, dir) => {
       graft.functions.GraftFunctions.register(s)
       val users = Tables(s, dir, "events")
@@ -360,10 +383,10 @@ object GovernanceQueries extends QueryModule {
             .cast("double") / 1e6)
         .withColumn("chi2", expr(
           """CAST((2 * (arm0_users + arm1_users) *
-            |  CAST(arm0_conv * (arm1_users - arm1_conv) -
-            |       arm1_conv * (arm0_users - arm0_conv) AS DECIMAL(38,0)) *
-            |  CAST(arm0_conv * (arm1_users - arm1_conv) -
-            |       arm1_conv * (arm0_users - arm0_conv) AS DECIMAL(38,0)) * 1000000
+            |  (CAST(arm0_conv AS DECIMAL(38,0)) * (arm1_users - arm1_conv) -
+            |       CAST(arm1_conv AS DECIMAL(38,0)) * (arm0_users - arm0_conv)) *
+            |  (CAST(arm0_conv AS DECIMAL(38,0)) * (arm1_users - arm1_conv) -
+            |       CAST(arm1_conv AS DECIMAL(38,0)) * (arm0_users - arm0_conv)) * 1000000
             |  + greatest(CAST(arm0_users AS DECIMAL(38,0)) * arm1_users *
             |      (arm0_conv + arm1_conv) *
             |      (arm0_users + arm1_users - arm0_conv - arm1_conv), 1))
@@ -386,17 +409,7 @@ object GovernanceQueries extends QueryModule {
     // is RESTORED first (q209's absence lesson: a silent day IS a
     // negative deviation). Exchange bounded by days x alphabet.
     "q214_cusum_changepoint" -> ((s, dir) => {
-      val ev = Tables(s, dir, "events")
-        .select((unix_timestamp(col("ts")) / 86400L).cast("long").as("day"),
-          col("event_type"))
-      val obs = ev.groupBy(col("day"), col("event_type"))
-        .agg(count(lit(1)).as("c")).localCheckpoint()
-      val days = obs.select(col("day")).distinct()
-      val types = obs.select(col("event_type")).distinct()
-      val grid = days.crossJoin(broadcast(types))
-        .join(obs, Seq("day", "event_type"), "left")
-        .withColumn("c", coalesce(col("c"), lit(0L)))
-        .localCheckpoint()
+      val grid = restoredGrid(s, dir, 86400L, "day")
       val base = grid.groupBy(col("event_type"))
         .agg(sum(col("c")).cast("long").as("t"), count(lit(1)).as("d"))
       val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
@@ -446,8 +459,11 @@ object GovernanceQueries extends QueryModule {
         .withColumn("pos", row_number().over(Window.partitionBy(col("source"))
           .orderBy(col("hk").asc, col("doc_id").asc)))
         .withColumn("split",
-          when(col("pos") * 10 <= col("n") * 8, "train")
-            .when(col("pos") * 10 <= col("n") * 9, "valid")
+          // pos is IntegerType (row_number): the long cast keeps a
+          // >214M-doc stratum from wrapping pos*10 negative (r14
+          // review) — the oracle's ROW_NUMBER is already BIGINT
+          when(col("pos").cast("long") * 10 <= col("n") * 8, "train")
+            .when(col("pos").cast("long") * 10 <= col("n") * 9, "valid")
             .otherwise("test"))
       pos.groupBy(col("source"))
         .agg(max(col("n")).as("n_docs"),
@@ -579,17 +595,7 @@ object GovernanceQueries extends QueryModule {
     // grid (half-up on |num|, sign reapplied — Spark DIV truncates
     // toward zero, DuckDB // floors; see the verify-skill rule).
     "q220_theil_sen" -> ((s, dir) => {
-      val ev = Tables(s, dir, "events")
-        .select((unix_timestamp(col("ts")) / 86400L).cast("long").as("day"),
-          col("event_type"))
-      val obs = ev.groupBy(col("day"), col("event_type"))
-        .agg(count(lit(1)).as("c")).localCheckpoint()
-      val days = obs.select(col("day")).distinct()
-      val types = obs.select(col("event_type")).distinct()
-      val grid = days.crossJoin(broadcast(types))
-        .join(obs, Seq("day", "event_type"), "left")
-        .withColumn("c", coalesce(col("c"), lit(0L)))
-        .localCheckpoint()
+      val grid = restoredGrid(s, dir, 86400L, "day")
       val a = grid.select(col("event_type"), col("day").as("di"), col("c").as("ci"))
       val b = grid.select(col("event_type"), col("day").as("dj"), col("c").as("cj"))
       val pairs = a.join(b, Seq("event_type")).filter(col("di") < col("dj"))
@@ -691,8 +697,10 @@ object GovernanceQueries extends QueryModule {
     val tot = cm.groupBy(col("lang"))
       .agg(sum(col("n_docs")).cast("long").as("n_lang"))
     cm.join(broadcast(tot), Seq("lang"))
-      .withColumn("share_ppm", expr(
-        "(2 * n_docs * 1000000 + n_lang) DIV (2 * n_lang)"))
+      // gridDiv, not a re-pasted plain-BIGINT division: the one
+      // overflow-safe micro-grid definition (r14 review — this was
+      // the single site the d0bd95e consolidation missed)
+      .withColumn("share_ppm", expr(gridDiv("n_docs", "n_lang")))
       .select(col("lang"), col("guess"), col("n_docs"), col("n_lang"),
         (col("share_ppm").cast("double") / 1e6).as("share"))
   }
@@ -1306,8 +1314,8 @@ object GovernanceQueries extends QueryModule {
         |  FROM cm GROUP BY 1)
         |SELECT cm.lang, cm.guess, CAST(cm.n_docs AS BIGINT) AS n_docs,
         |  tot.n_lang,
-        |  CAST((2 * cm.n_docs * 1000000 + tot.n_lang) //
-        |    (2 * tot.n_lang) AS DOUBLE) / 1000000.0 AS share
+        |  CAST(CAST((2 * cm.n_docs::HUGEINT * 1000000 + tot.n_lang) //
+        |    (2 * tot.n_lang::HUGEINT) AS BIGINT) AS DOUBLE) / 1000000.0 AS share
         |FROM cm JOIN tot USING (lang) ORDER BY lang, guess""".stripMargin
   )
 }
