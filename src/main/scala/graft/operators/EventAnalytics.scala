@@ -223,7 +223,9 @@ object EventAnalytics extends QueryModule {
     // naive epoch-micros x would overflow even HUGEINT at Σx²), y is the
     // repo's DECIMAL(38,6) micro-units convention. The slope is signed,
     // and signed integer division DIVERGES between engines (Spark DIV
-    // truncates toward zero, DuckDB // floors), so the half-up grid
+    // truncates toward zero; DuckDB //'s negative behavior is
+    // version-dependent — the shipped 1.0.0 truncates too, other
+    // releases floor, probed r14), so the half-up grid
     // division runs on |numerator| with the sign reapplied — the one
     // subtlety the positive-only grid rule never hits. Map-side partial
     // agg; the only exchange carries one row per user.
@@ -254,8 +256,8 @@ object EventAnalytics extends QueryModule {
         // row-total per source state: a window over the 25-row aggregate,
         // not the event stream — alphabet-bounded, cost-free
         .withColumn("tot", sum(col("n")).over(pw))
-        .withColumn("pm", // DECIMAL: 2e6·n overflows long at ~5e12 events
-          expr("(2 * CAST(n AS DECIMAL(38,0)) * 1000000 + tot) DIV (2 * tot)"))
+        .withColumn("pm", // gridDiv: the one overflow-safe micro grid
+          expr(GovernanceQueries.gridDiv("n", "tot")))
         .select(col("prev_type"), col("next_type"), col("n"),
           (col("pm").cast("double") / lit(1000000.0)).as("p"))
         .orderBy(col("prev_type"), col("next_type"))
@@ -327,22 +329,21 @@ object EventAnalytics extends QueryModule {
       val perKey = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n"))
       val top = perKey.orderBy(col("n").desc, col("user_id")).limit(10)
         .agg(max(col("n")).as("top1_n"), sum(col("n")).as("top10_n"))
-      val keys = perKey.agg(count(lit(1)).as("n_keys"))
+      // n_rows folds into the keys aggregate (r14 review): a separate
+      // ev.agg(count) was a third full scan of the largest table
+      val keys = perKey.agg(count(lit(1)).as("n_keys"),
+        sum(col("n")).cast("long").as("n_rows"))
       val buckets = ev
         .select(pmod(expr("fnv64(CAST(user_id AS STRING))"), lit(32L)).as("b"))
         .groupBy(col("b")).agg(count(lit(1)).as("bn"))
         .agg(max(col("bn")).as("max_bucket"))
-      ev.agg(count(lit(1)).as("n_rows"))
-        .crossJoin(keys).crossJoin(top).crossJoin(buckets)
-        .withColumn("top1_ppm", expr(
-          "CAST((2 * CAST(top1_n AS DECIMAL(38,0)) * 1000000 + n_rows)" +
-            " DIV (2 * n_rows) AS BIGINT)"))
-        .withColumn("top10_ppm", expr(
-          "CAST((2 * CAST(top10_n AS DECIMAL(38,0)) * 1000000 + n_rows)" +
-            " DIV (2 * n_rows) AS BIGINT)"))
-        .withColumn("imbalance_ppm", expr(
-          "CAST((2 * CAST(max_bucket AS DECIMAL(38,0)) * 32 * 1000000 + n_rows)" +
-            " DIV (2 * n_rows) AS BIGINT)"))
+      keys.crossJoin(top).crossJoin(buckets)
+        .withColumn("top1_ppm",
+          expr(s"CAST(${GovernanceQueries.gridDiv("top1_n", "n_rows")} AS BIGINT)"))
+        .withColumn("top10_ppm",
+          expr(s"CAST(${GovernanceQueries.gridDiv("top10_n", "n_rows")} AS BIGINT)"))
+        .withColumn("imbalance_ppm",
+          expr(s"CAST(${GovernanceQueries.gridDiv("max_bucket * 32", "n_rows")} AS BIGINT)"))
         .select(col("n_rows"), col("n_keys"), col("top1_ppm"),
           col("top10_ppm"), col("imbalance_ppm"))
     }),
@@ -361,13 +362,15 @@ object EventAnalytics extends QueryModule {
     "q222_ndcg_eval" -> ((s, dir) => {
       val wArr = Window.partitionBy(col("user_id"))
         .orderBy(col("ts").asc, col("event_id").asc)
-      // rel clamps at 0 (mirrored in the oracle): the grid DIV below is
-      // only engine-portable for nonnegative dcg — Spark DIV truncates
-      // toward zero, DuckDB // floors, so a negative `value` vintage
-      // would diverge by 1 ppm. The clamp makes the nonnegativity
-      // assumption explicit instead of data-dependent (ADVICE r10);
-      // standard graded relevance is nonnegative anyway.
-      val top5 = Tables(s, dir, "events")
+      // rel clamps at 0 (mirrored in the oracle): integer-division
+      // semantics on negatives are VERSION-dependent in DuckDB (the
+      // shipped 1.0.0's // truncates toward zero exactly like Spark
+      // DIV — probed r14 — but the documented floor-division semantic
+      // exists in other releases), so the grid DIV below is only
+      // portable for nonnegative dcg. The clamp makes the
+      // nonnegativity assumption explicit instead of data-dependent
+      // (ADVICE r10); standard graded relevance is nonnegative anyway.
+      val top5 = events(s, dir)
         .select(col("user_id"), col("ts"), col("event_id"),
           greatest(floor(col("value")).cast("long"), lit(0L)).as("rel"))
         .withColumn("rn", row_number().over(wArr))
@@ -379,12 +382,16 @@ object EventAnalytics extends QueryModule {
           .orderBy(col("rel").desc, col("rn").asc)))
       ranked.groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_ranked"),
-          sum(expr("rel * " + discount.format("rn"))).cast("long").as("dcg"),
-          sum(expr("rel * " + discount.format("irn"))).cast("long").as("idcg"))
+          // decimal BEFORE the discount multiply (r14 review): an
+          // extreme rel (floor of an unbounded double) could wrap the
+          // long product where the oracle's HUGEINT is exact
+          sum(expr("CAST(rel AS DECIMAL(38,0)) * " + discount.format("rn")))
+            .cast("long").as("dcg"),
+          sum(expr("CAST(rel AS DECIMAL(38,0)) * " + discount.format("irn")))
+            .cast("long").as("idcg"))
         .withColumn("ndcg", expr(
-          """CASE WHEN idcg = 0 THEN CAST(1000000 AS BIGINT)
-            |ELSE CAST((2 * CAST(dcg AS DECIMAL(38,0)) * 1000000 + idcg)
-            |  DIV (2 * CAST(idcg AS DECIMAL(38,0))) AS BIGINT) END"""
+          s"""CASE WHEN idcg = 0 THEN CAST(1000000 AS BIGINT)
+            |ELSE CAST(${GovernanceQueries.gridDiv("dcg", "idcg")} AS BIGINT) END"""
             .stripMargin).cast("double") / 1e6)
         .select(col("user_id"), col("n_ranked"), col("dcg"), col("idcg"),
           col("ndcg"))
@@ -435,8 +442,13 @@ object EventAnalytics extends QueryModule {
         count(lit(1)).as("n"),
         sum(col("x").cast(DecimalType(38, 0))).as("sx"),
         sum(col("ym").cast(DecimalType(38, 0))).as("sy"),
-        sum((col("x") * col("ym")).cast(DecimalType(38, 0))).as("sxy"),
-        sum((col("x") * col("x")).cast(DecimalType(38, 0))).as("sxx"))
+        // cast BEFORE the multiply (r14 review): x*ym in LongType
+        // wraps at ~9.2e18 (value 1e7 a month after the origin) ahead
+        // of the decimal sum — the oracle multiplies in HUGEINT
+        sum(col("x").cast(DecimalType(38, 0)) *
+          col("ym").cast(DecimalType(38, 0))).as("sxy"),
+        sum(col("x").cast(DecimalType(38, 0)) *
+          col("x").cast(DecimalType(38, 0))).as("sxx"))
       .withColumn("num", col("n") * col("sxy") - col("sx") * col("sy"))
       .withColumn("den", col("n") * col("sxx") - col("sx") * col("sx"))
       .select(col("user_id"), col("n"),
@@ -623,7 +635,8 @@ object EventAnalytics extends QueryModule {
         |      WHERE prev_type IS NOT NULL GROUP BY 1, 2),
         |s AS (SELECT *, SUM(n) OVER (PARTITION BY prev_type) AS tot FROM c)
         |SELECT prev_type, next_type, n,
-        |  CAST((2 * n * 1000000 + tot) // (2 * tot) AS BIGINT) / 1000000.0 AS p
+        |  CAST((2 * n::HUGEINT * 1000000 + tot) // (2 * tot::HUGEINT)
+        |    AS BIGINT) / 1000000.0 AS p
         |FROM s ORDER BY prev_type, next_type""".stripMargin,
 
     // Same lead-window version intervals, snapshot interval test, and

@@ -593,7 +593,9 @@ object GovernanceQueries extends QueryModule {
     // both engines, used ONLY to order) with a (num, den, day) total
     // tie-break, and the selected slope lands on the SIGNED half-up
     // grid (half-up on |num|, sign reapplied — Spark DIV truncates
-    // toward zero, DuckDB // floors; see the verify-skill rule).
+    // toward zero; DuckDB //'s negative behavior is version-dependent
+    // — 1.0.0 truncates too, other releases floor (probed r14) — the
+    // abs/sign form is correct under EITHER; see the verify-skill rule).
     "q220_theil_sen" -> ((s, dir) => {
       val grid = restoredGrid(s, dir, 86400L, "day")
       val a = grid.select(col("event_type"), col("day").as("di"), col("c").as("ci"))

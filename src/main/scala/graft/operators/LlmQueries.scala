@@ -2728,7 +2728,8 @@ object LlmQueries extends QueryModule {
     // quantize once to a 2^16 integer grid, so moments/covariance are
     // EXACT integers (DECIMAL(38,0) / HUGEINT); the covariance and
     // every iterate renormalize onto a 1e6 integer grid via the
-    // sign-safe truncating division (DIV truncates, DuckDB // floors —
+    // sign-safe division (DIV truncates; DuckDB //'s negative behavior
+    // is version-dependent, 1.0.0 truncates, others floor —
     // abs-then-reapply-sign makes them agree); the Rayleigh quotient
     // lands on the same grid. Fixed iteration count, fixed all-ones
     // start: the traversal is deterministic whether or not it has

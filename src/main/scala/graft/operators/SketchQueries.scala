@@ -359,7 +359,8 @@ object SketchQueries extends QueryModule {
     // Σfx², then S² = Σ_d (Σfx)² and Q = Σ_d Σfx² close the identity.
     // Exchange: labels × 64 rows at ANY corpus size. The pair mean is
     // SIGNED: the half-up grid division runs on |num| with the sign
-    // reapplied (Spark DIV truncates, DuckDB // floors — the signed
+    // reapplied (Spark DIV truncates; DuckDB // is version-dependent
+    // on negatives, 1.0.0 truncates, others floor — the signed
     // rule from the verify notes, applied identically in the oracle).
     "q202_embedding_diversity" -> ((s, dir) => {
       val e = Tables(s, dir, "embeddings")
@@ -722,7 +723,8 @@ object SketchQueries extends QueryModule {
         |FROM agg ORDER BY label""".stripMargin,
 
     // Same identity over the same fixed-point grid; signed half-up on
-    // abs(num) with the sign reapplied (// floors, DIV truncates —
+    // abs(num) with the sign reapplied (// is version-dependent on
+    // negatives, DIV truncates —
     // only the abs form agrees on negative half-grid values).
     "q202_embedding_diversity" ->
       """WITH fx AS (
