@@ -265,7 +265,12 @@ object SketchQueries extends QueryModule {
           .agg(max(struct(col("dmin"), (-col("vec_id")).as("nid"),
             col("v"))).as("m"))
           .select(lit(r).as("round"), (-col("m.nid")).as("seed_id"),
-            round(sqrt(col("m.dmin")), 6).as("radius"), col("m.v").as("c"))
+            // greatest(.,0): d2's float cancellation can go slightly
+            // negative for a vector ~identical to a seed — DuckDB
+            // errors on sqrt(negative) where Spark returns NaN (the
+            // q94 guard, r14 review; oracle mirrored)
+            round(sqrt(greatest(col("m.dmin"), lit(0.0))), 6).as("radius"),
+            col("m.v").as("c"))
           .localCheckpoint()
         out = if (out == null) pick.drop("c")
               else out.unionByName(pick.drop("c"))
@@ -296,6 +301,9 @@ object SketchQueries extends QueryModule {
       val centroid = udaf(new graft.functions.VectorAggregators.CentroidFixed(64))
       val cents = e.groupBy(col("label")).agg(centroid(col("v")).as("c"))
         .withColumn("nrm", expr("sqrt(vec_dot(c, c))"))
+        .localCheckpoint() // probe AND broadcast sides both read it —
+                           // unmaterialized, the corpus centroid agg
+                           // ran twice (r14 review; the q231 pattern)
       val a = cents.select(col("label").as("label_a"), col("c").as("ca"),
         col("nrm").as("na"))
       val b = cents.select(col("label").as("label_b"), col("c").as("cb"),
@@ -331,6 +339,9 @@ object SketchQueries extends QueryModule {
           posexplode(col("fx")).as(Seq("d", "x")))
         .groupBy(col("label"), col("half"), col("d"))
         .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+        .localCheckpoint() // both half-filters below read it — the
+                           // unmaterialized form ran the corpus
+                           // posexplode+agg twice (r14 review)
       val ev = sums.filter(col("half") === 0).select(col("label"), col("d"),
         col("sx").as("se"), col("n").as("ne"))
       val od = sums.filter(col("half") === 1).select(col("label"), col("d"),
@@ -340,9 +351,12 @@ object SketchQueries extends QueryModule {
         .groupBy(col("label"))
         .agg(max(col("ne")).as("n_even"), max(col("no")).as("n_odd"),
           sum(col("num")).as("numsum"))
+        // the 2^32·n_even·n_odd terms cast to DECIMAL before
+        // multiplying: pure-BIGINT they wrapped at ~32k vectors per
+        // half per label (r14 review; the oracle is HUGEINT)
         .withColumn("drift_micro", expr(
-          "(2 * numsum * 1000000 + 4294967296 * n_even * n_odd)" +
-            " DIV (2 * 4294967296 * n_even * n_odd)"))
+          "(2 * numsum * 1000000 + 4294967296 * CAST(n_even AS DECIMAL(38,0)) * n_odd)" +
+            " DIV (2 * 4294967296 * CAST(n_even AS DECIMAL(38,0)) * n_odd)"))
         .select(col("label"), col("n_even"), col("n_odd"),
           (col("drift_micro").cast("double") / 1000000.0).as("drift_l1"))
         .orderBy(col("label"))
@@ -364,6 +378,7 @@ object SketchQueries extends QueryModule {
     // rule from the verify notes, applied identically in the oracle).
     "q202_embedding_diversity" -> ((s, dir) => {
       val e = Tables(s, dir, "embeddings")
+        .filter(col("embedding").isNotNull) // same rule as q231
         .select(col("label"), posexplode(expr(
           "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)" +
             " * 1048576.0) AS DECIMAL(38,0)))")))
@@ -375,8 +390,8 @@ object SketchQueries extends QueryModule {
         .agg(sum(expr("sd * sd")).as("s2"), sum(col("qd")).as("q"),
           max(col("nv")).as("n"))
         .withColumn("self_micro", expr(
-          "(2 * q * 1000000 + n * 1099511627776) DIV " +
-            "(2 * n * 1099511627776)"))
+          "(2 * q * 1000000 + CAST(n AS DECIMAL(38,0)) * 1099511627776) DIV " +
+            "(2 * CAST(n AS DECIMAL(38,0)) * 1099511627776)"))
         .withColumn("pnum", expr("s2 - q"))
         .withColumn("pden", expr(
           "CAST(n AS DECIMAL(38,0)) * (n - 1) * 1099511627776"))
@@ -421,7 +436,12 @@ object SketchQueries extends QueryModule {
     // fisher = between/within on the 1e-6 grid. DECIMAL(38,0)
     // everywhere a product of two corpus-scale integers appears.
     "q231_class_separation" -> ((s, dir) =>
+      // explicit NULL-row filter, mirrored by the oracle's WHERE: the
+      // engine dropped NULL embeddings only incidentally (posexplode
+      // of transform(NULL) emits nothing) while the oracle's CROSS
+      // JOIN counted them (r14 review; latent — testdata is clean)
       classSeparation(Tables(s, dir, "embeddings")
+        .filter(col("embedding").isNotNull)
         .select(col("label"), expr(
           "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 65536.0D) AS BIGINT))")
           .as("f")))
@@ -440,6 +460,7 @@ object SketchQueries extends QueryModule {
     // map-side-combined — nothing scales super-linearly.
     "q234_sq8_audit" -> ((s, dir) =>
       sq8Audit(Tables(s, dir, "embeddings")
+        .filter(col("embedding").isNotNull) // same rule as q231
         .select(expr(
           "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 65536.0D) AS BIGINT))")
           .as("f")))
@@ -543,7 +564,7 @@ object SketchQueries extends QueryModule {
             "(2 * CAST(1099511627776 AS DECIMAL(38,0))) AS BIGINT)")
           .cast("double") / 1e6)
         .withColumn("mean_norm2", expr(
-          "CAST((2 * sum_q2 * 1000000 + n_vecs * 1099511627776) DIV " +
+          "CAST((2 * sum_q2 * 1000000 + CAST(n_vecs AS DECIMAL(38,0)) * 1099511627776) DIV " +
             "(2 * CAST(n_vecs AS DECIMAL(38,0)) * 1099511627776) AS BIGINT)")
           .cast("double") / 1e6)
         .select(col("label"), col("n_vecs"), col("n_null"), col("n_nan"),
@@ -671,11 +692,11 @@ object SketchQueries extends QueryModule {
         |       FROM s3 CROSS JOIN p3),
         |p4 AS (SELECT vec_id, v, dmin FROM s4
         |       ORDER BY dmin DESC, vec_id ASC LIMIT 1)
-        |SELECT 1 AS round, vec_id AS seed_id, round(sqrt(dmin), 6) AS radius
+        |SELECT 1 AS round, vec_id AS seed_id, round(sqrt(greatest(dmin, 0)), 6) AS radius
         |FROM p1
-        |UNION ALL SELECT 2, vec_id, round(sqrt(dmin), 6) FROM p2
-        |UNION ALL SELECT 3, vec_id, round(sqrt(dmin), 6) FROM p3
-        |UNION ALL SELECT 4, vec_id, round(sqrt(dmin), 6) FROM p4
+        |UNION ALL SELECT 2, vec_id, round(sqrt(greatest(dmin, 0)), 6) FROM p2
+        |UNION ALL SELECT 3, vec_id, round(sqrt(greatest(dmin, 0)), 6) FROM p3
+        |UNION ALL SELECT 4, vec_id, round(sqrt(greatest(dmin, 0)), 6) FROM p4
         |ORDER BY round""".stripMargin,
     // q46's fixed-point centroid replication, then the same pairwise
     // cosine op sequence the engine runs on the tiny centroid table
@@ -731,7 +752,8 @@ object SketchQueries extends QueryModule {
         |  SELECT e.label, r.i AS dim,
         |    CAST(floor(CAST(e.embedding[r.i + 1] AS DOUBLE) * 1048576.0)
         |      AS HUGEINT) AS fx
-        |  FROM embeddings e CROSS JOIN range(64) r(i)),
+        |  FROM embeddings e CROSS JOIN range(64) r(i)
+        |  WHERE e.embedding IS NOT NULL),
         |dims AS (SELECT label, dim, SUM(fx) AS sd, SUM(fx * fx) AS qd,
         |    COUNT(*) AS nv
         |  FROM fx GROUP BY 1, 2),
@@ -796,7 +818,7 @@ object SketchQueries extends QueryModule {
       """WITH e AS (SELECT label,
         |    list_transform(CAST(embedding AS DOUBLE[]),
         |      x -> CAST(floor(x * 65536.0) AS BIGINT)) AS f
-        |  FROM embeddings),
+        |  FROM embeddings WHERE embedding IS NOT NULL),
         |mom AS (SELECT label, t.i AS i, COUNT(*) AS nc,
         |    CAST(SUM(e.f[t.i]) AS HUGEINT) AS s,
         |    SUM(e.f[t.i]::HUGEINT * e.f[t.i]) AS q
@@ -826,7 +848,7 @@ object SketchQueries extends QueryModule {
     "q234_sq8_audit" ->
       """WITH e AS (SELECT list_transform(CAST(embedding AS DOUBLE[]),
         |    x -> CAST(floor(x * 65536.0) AS BIGINT)) AS f
-        |  FROM embeddings),
+        |  FROM embeddings WHERE embedding IS NOT NULL),
         |el AS (SELECT t.i AS i, e.f[t.i] AS x FROM e, range(1, 65) t(i)),
         |st AS (SELECT i, MIN(x) AS mn, MAX(x) AS mx, COUNT(*) AS n
         |  FROM el GROUP BY i),
