@@ -64,7 +64,7 @@ object MultimodalOps {
         y += 1
       }
       val n = w.toLong * h
-      ImagePixels(id, probe(id, bytes).format, w, h,
+      ImagePixels(id, imageFormatLabel(bytes), w, h,
         img.getColorModel.getNumComponents,
         r.toDouble / n, g.toDouble / n, b.toDouble / n)
     }
@@ -156,7 +156,10 @@ object MultimodalOps {
     if (b.length < 12 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' ||
         b(3) != 'F' || b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E')
       return ""
-    val energies = Seq.newBuilder[Long]
+    // Array, not Seq (List) — the bit-emission loop below indexes by
+    // position, and List's linear apply made it O(n_frames²): a 50 MB
+    // WAV (~410k frames) hung the task for hours (r14 review)
+    val energies = Array.newBuilder[Long]
     var i = 12L
     var bits = 0
     while (i + 8 <= b.length) {
@@ -238,6 +241,19 @@ object MultimodalOps {
     *
     * Only pixel/sample decoding remains stubbed in [[extractFeatures]].
     */
+  /** Sniff-only container label for decoded pixels (r14 review):
+    * [[probe]] covers png/jpeg/wav/mp4 only, so a decodable BMP/GIF
+    * was labeled "unknown" despite real pixels — and every image paid
+    * probe's full JPEG-segment/atom walk just for the string. Magic
+    * bytes only; ImageIO already proved decodability. */
+  private def imageFormatLabel(b: Array[Byte]): String =
+    if (b.length >= 4 && (b(0) & 0xff) == 0x89 && b(1) == 'P' &&
+      b(2) == 'N' && b(3) == 'G') "png"
+    else if (b.length >= 2 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) "jpeg"
+    else if (b.length >= 2 && b(0) == 'B' && b(1) == 'M') "bmp"
+    else if (b.length >= 6 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F') "gif"
+    else "unknown"
+
   final case class MediaProbe(
       doc_id: Long, format: String, width: Int, height: Int, channels: Int,
       n_bytes: Long)
@@ -273,8 +289,23 @@ object MultimodalOps {
       out
     } else if (b.length >= 28 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
         b(3) == 'F' && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E') {
-      // "width" carries the sample rate for audio; height is meaningless
-      MediaProbe(id, "wav", u32le(24), 0, u16le(22), b.length.toLong)
+      // chunk-walk to 'fmt ' (r14 review): a JUNK/LIST chunk before it
+      // is legal RIFF, and the former hardcoded 22/24 offsets read that
+      // chunk's payload as rate/channels — deterministic garbage
+      // instead of the documented zeroed degrade. Long cursor, same
+      // hostile-size discipline as decodeAudio; unfound fmt -> zeros.
+      // "width" carries the sample rate for audio; height meaningless.
+      var i = 12L; var rate = 0; var ch = 0; var found = false
+      while (i + 8 <= b.length && !found) {
+        val at = i.toInt
+        val name = new String(b, at, 4, "US-ASCII")
+        val len = u32le(at + 4).toLong & 0xffffffffL
+        if (name == "fmt " && i + 16 <= b.length) {
+          ch = u16le(at + 10); rate = u32le(at + 12); found = true
+        }
+        i += 8 + len + (len & 1L)
+      }
+      MediaProbe(id, "wav", rate, 0, ch, b.length.toLong)
     } else if (b.length >= 12 && b(4) == 'f' && b(5) == 't' &&
         b(6) == 'y' && b(7) == 'p') {
       // ISO-BMFF: real dims via the atom walk; moov-less bytes still
@@ -398,6 +429,14 @@ object MultimodalOps {
       s"mvhd v0 timescale out of u32 range: $timescale")
     require(durationTicks >= 0L && durationTicks <= 0xFFFFFFFFL,
       s"mvhd v0 duration out of u32 range: $durationTicks")
+    // tkhd stores dims as 16.16 fixed point: the integer part is u16,
+    // so width/height past 65535 (or negative) would silently wrap in
+    // `<< 16` — same refuse-loudly contract as the u32 fields above
+    // (r14 review)
+    require(width >= 0 && width <= 0xFFFF,
+      s"tkhd 16.16 width out of u16 range: $width")
+    require(height >= 0 && height <= 0xFFFF,
+      s"tkhd 16.16 height out of u16 range: $height")
     val bb = java.nio.ByteBuffer.allocate(16 + 8 + 108 + 8 + 92)
       .order(java.nio.ByteOrder.BIG_ENDIAN)
     bb.putInt(16).put("ftypisom".getBytes("US-ASCII")).putInt(0)
@@ -489,6 +528,8 @@ object MultimodalOps {
       }
     }
     val all = frames.result()
+    val nFrames = all.size.toLong // hoisted: .size on the built Seq is
+                                  // O(n), and it was read per frame
     all.zipWithIndex.collect { case ((off, len), idx) if idx % everyK == 0 =>
       // ImageIO.read returns null for unrecognized bytes but THROWS for
       // recognized-then-corrupt payloads (truncated JPEG scan) — both are
@@ -510,7 +551,7 @@ object MultimodalOps {
           }
           y += 1
         }
-        Some(VideoFrame(id, idx.toLong, all.size.toLong, w, h,
+        Some(VideoFrame(id, idx.toLong, nFrames, w, h,
           luma / (w.toLong * h)))
       }
     }.flatten
@@ -566,6 +607,12 @@ object MultimodalOps {
     * ingestion pipeline (and the pooling core of aHash, exposed here as
     * the actual resized pixels rather than threshold bits). */
   def resizeBox(bytes: Array[Byte], n: Int): Array[Int] = {
+    // caller-parameter guard (r14 review): n > 16 made block = 0 and
+    // the mean divide threw /0 — a task-killing exception this file's
+    // never-kill-a-task discipline forbids; n must divide 16 or the
+    // last source rows/columns silently vanish from the pool
+    require(n > 0 && 16 % n == 0,
+      s"resize grid $n must be a positive divisor of 16")
     val img = readImageOrNull(bytes)
     if (img == null || img.getWidth != 16 || img.getHeight != 16) return Array.empty
     val r = img.getRaster
