@@ -887,7 +887,7 @@ object CorpusQueries extends QueryModule {
     "q164_corpus_datasheet" -> ((s, dir) => {
       Tables(s, dir, "documents")
         .select(col("source"), col("lang"),
-          md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))).as("fp"),
+          md5(lower(trim(regexp_replace(col("text"), "[ \\t\\n\\f\\r]+", " ")))).as("fp"),
           size(expr("split(trim(text), '\\\\s+')")).cast("long").as("n_toks"))
         .rollup(col("source"), col("lang"))
         .agg(count(lit(1)).as("n_docs"),

@@ -50,7 +50,10 @@ object ExtendedQueries extends QueryModule {
       Tables(s, dir, "events")
         .select(col("event_id"), try_parse_json(col("props")).as("v"))
         .select(col("event_id"),
-          variant_get(col("v"), "$.k", "int").as("k"))
+          // try_variant_get (r14 review): the strict form throws on a
+          // wrong-typed k — the same task-killer class try_parse_json
+          // above exists to prevent, just one step later
+          try_variant_get(col("v"), "$.k", "int").as("k"))
         .filter(col("k") > 90)
         .orderBy(col("event_id"))
     }),
@@ -66,7 +69,10 @@ object ExtendedQueries extends QueryModule {
 
     // --- lag/lead event-time deltas per user (windowed navigation).
     "q43_lag_lead" -> ((s, dir) => {
-      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      // event_id tiebreak (r14 review): ts alone leaves tied rows in
+      // engine-dependent order — the q90/q106/q54 determinism rule
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
       Tables(s, dir, "events")
         .filter(col("user_id") < 10)
         .select(col("user_id"), col("ts"),
@@ -79,7 +85,8 @@ object ExtendedQueries extends QueryModule {
     // --- explode / Generator: flatten token arrays, top-20 vocabulary.
     "q44_explode_tokens" -> ((s, dir) => {
       Tables(s, dir, "documents")
-        .select(explode(expr("split(trim(text), '\\\\s+')")).as("token"))
+        .select(explode(expr(
+          s"split(trim(text), '${LlmQueries.WsClass}+')")).as("token"))
         .groupBy(col("token"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("token").asc)
@@ -293,8 +300,16 @@ object ExtendedQueries extends QueryModule {
           round(sum(when(hi, col("o_totalprice"))
             .cast(DecimalType(38, 6))).cast("double"), 2).as("sum_hi"),
           countDistinct(when(urgent, col("o_custkey"))).as("d_cust_urgent"),
-          round((sum(when(hi, col("o_totalprice")).cast(DecimalType(38, 6)))
-            .cast("double") / count(when(hi, lit(1)))), 4).as("avg_hi"),
+          // half-up 1e-4 grid, not round(double, 4): the dyadic
+          // divide produced trailing-5 quotients that the two engines
+          // round differently (the q104 class; r14 review). sum_e6 is
+          // the exact decimal sum in micro-dollars.
+          (expr("CAST((2 * CAST(sum(CASE WHEN o_totalprice > 200000.0D " +
+            "THEN CAST(o_totalprice AS DECIMAL(38,6)) END) * 1000000 " +
+            "AS DECIMAL(38,0)) + 100 * count(CASE WHEN o_totalprice > " +
+            "200000.0D THEN 1 END)) DIV (2 * 100 * count(CASE WHEN " +
+            "o_totalprice > 200000.0D THEN 1 END)) AS BIGINT)")
+            .cast("double") / 1e4).as("avg_hi"),
           bit_or(col("o_orderkey")).as("keys_or"),
           bit_and(col("o_orderkey")).as("keys_and"),
           bit_xor(col("o_orderkey")).as("keys_xor"))
@@ -305,8 +320,13 @@ object ExtendedQueries extends QueryModule {
     "q48_percentile" -> ((s, dir) => {
       Tables(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
-        .agg(percentile(col("l_quantity"), lit(0.5)).as("med"),
-          percentile(col("l_quantity"), lit(0.9)).as("p90"))
+        // round(., 3): quantity is integral and the interpolation
+        // fraction is a tenth, so true values are exact tenths — the
+        // 1e-3 grid absorbs the two engines' different (up-to-1-ulp)
+        // interpolation formulas without ever landing on a half-grid
+        // (r14 review; unrounded doubles were hash-compared raw)
+        .agg(round(percentile(col("l_quantity"), lit(0.5)), 3).as("med"),
+          round(percentile(col("l_quantity"), lit(0.9)), 3).as("p90"))
         .orderBy(col("l_returnflag"))
     }),
 
@@ -441,23 +461,26 @@ object ExtendedQueries extends QueryModule {
         |    THEN CAST(o_totalprice AS DECIMAL(38,6)) END) AS DOUBLE), 2) AS sum_hi,
         |  COUNT(DISTINCT CASE WHEN o_orderpriority = '1-URGENT'
         |    THEN o_custkey END) AS d_cust_urgent,
-        |  round(CAST(SUM(CASE WHEN o_totalprice > 200000.0
-        |    THEN CAST(o_totalprice AS DECIMAL(38,6)) END) AS DOUBLE)
-        |    / COUNT(CASE WHEN o_totalprice > 200000.0 THEN 1 END), 4) AS avg_hi,
+        |  CAST(CAST((2 * CAST(SUM(CASE WHEN o_totalprice > 200000.0
+        |      THEN CAST(o_totalprice AS DECIMAL(38,6)) END) * 1000000
+        |      AS HUGEINT)
+        |    + 100 * COUNT(CASE WHEN o_totalprice > 200000.0 THEN 1 END))
+        |    // (2 * 100 * COUNT(CASE WHEN o_totalprice > 200000.0 THEN 1 END))
+        |    AS BIGINT) AS DOUBLE) / 10000.0 AS avg_hi,
         |  BIT_OR(o_orderkey) AS keys_or,
         |  BIT_AND(o_orderkey) AS keys_and,
         |  BIT_XOR(o_orderkey) AS keys_xor
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q41_dynamic_json" ->
       """SELECT event_type, COUNT(*) AS n,
-        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
-        |  MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
-        |  MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+        |  CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+        |  MIN(TRY_CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+        |  MAX(TRY_CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q28_variant_json" ->
-      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+      """SELECT event_id, TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k
         |FROM events
-        |WHERE CAST(json_extract_string(props, '$.k') AS INT) > 90
+        |WHERE TRY_CAST(json_extract_string(props, '$.k') AS INT) > 90
         |ORDER BY event_id""".stripMargin,
     "q42_cube" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
@@ -467,8 +490,10 @@ object ExtendedQueries extends QueryModule {
       """SELECT user_id, ts,
         |  epoch_ms(date_trunc('millisecond', ts)) -
         |    epoch_ms(date_trunc('millisecond',
-        |      lag(ts) OVER (PARTITION BY user_id ORDER BY ts))) AS ms_since_prev,
-        |  lead(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS next_type
+        |      lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)))
+        |    AS ms_since_prev,
+        |  lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    AS next_type
         |FROM events WHERE user_id < 10 ORDER BY user_id, ts""".stripMargin,
     "q44_explode_tokens" ->
       """SELECT token, COUNT(*) AS n FROM (
@@ -523,8 +548,8 @@ object ExtendedQueries extends QueryModule {
         |SELECT o_orderkey, 'key_as_double', CAST(o_orderkey AS DOUBLE) FROM orders
         |ORDER BY o_orderkey, metric""".stripMargin,
     "q48_percentile" ->
-      """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS med,
-        |  quantile_cont(l_quantity, 0.9) AS p90
+      """SELECT l_returnflag, round(quantile_cont(l_quantity, 0.5), 3) AS med,
+        |  round(quantile_cont(l_quantity, 0.9), 3) AS p90
         |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
     "q49_stats" ->
       """SELECT l_returnflag, round(stddev_samp(l_quantity), 4) AS sd_qty,

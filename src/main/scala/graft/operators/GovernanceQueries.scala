@@ -31,6 +31,13 @@ object GovernanceQueries extends QueryModule {
     * q255) shares it, so a rounding-rule change can never fork the
     * engine sites (the oracles' HUGEINT arithmetic is the other
     * half of the contract). */
+  /** Exact order-insensitive double sum: route through DECIMAL(38,6)
+    * then back to double — ONE definition (r14 review: it existed as
+    * module-private copies in Relational/Streaming/Extended). See the
+    * RelationalQueries scaladoc for why raw double SUM hash-drifts. */
+  private[graft] def dsum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    sum(c.cast(DecimalType(38, 6))).cast("double")
+
   private[graft] def gridDiv(num: String, den: String): String =
     s"(2 * CAST($num AS DECIMAL(38,0)) * $Micro + $den) DIV (2 * CAST($den AS DECIMAL(38,0)))"
 

@@ -28,12 +28,25 @@ object LlmQueries extends QueryModule {
   // ---- shared text fragments (kept in sync with the DuckDB oracles) ------
 
   /** whitespace-normalized lowercase text */
-  private[operators] val normSql = "lower(trim(regexp_replace(text, '\\\\s+', ' ')))"
+  /** Whitespace class for every engine-side tokenizer/normalizer,
+    * written as the EXPLICIT character class equal to RE2's \s: Java's
+    * \s additionally matches vertical tab \x0B, so a VT in a document
+    * tokenized differently on the engine than in the DuckDB (RE2)
+    * oracles' string_split_regex('\s+') — r14 review; latent on the
+    * synthetic corpus, which carries no VT. The engine adopts RE2's
+    * class so the two sides are equal by construction. */
+  // doubly escaped: the SQL string-literal layer unescapes once
+  // (leaving \t \n \f \r as REGEX escapes for the Java engine) — a
+  // singly-escaped class had its \f/\r eaten by the SQL unescape,
+  // silently making 'f' and 'r' whitespace (caught at the q44 gate)
+  private[graft] val WsClass = "[ \\\\t\\\\n\\\\f\\\\r]"
+  private[operators] val normSql =
+    s"lower(trim(regexp_replace(text, '$WsClass+', ' ')))"
   /** whitespace tokens. IMPORTANT: never inline this inside an array
     * lambda — the regex split would re-run per element (O(tokens²) per
     * document; measured 49s -> 2s at sf0.1 when materialized once). Project
     * it to a `tk` column first via [[withTokens]]. */
-  private[graft] val toksSql = "split(trim(text), '\\\\s+')"
+  private[graft] val toksSql = s"split(trim(text), '$WsClass+')"
   private[operators] def withTokens(df: DataFrame): DataFrame =
     df.withColumn("tk", expr(toksSql))
 
@@ -1138,8 +1151,11 @@ object LlmQueries extends QueryModule {
         .select(col("doc_id"),
           length(col("text")).as("len_chars"),
           expr("size(tk)").as("n_words"),
-          size(regexp_extract_all(col("text"), lit("\\w+|[^\\w\\s]"), lit(0))).as("n_bpe_tokens"),
-          size(regexp_extract_all(col("text"), lit("[^\\w\\s]"), lit(0))).as("n_punct"),
+          // \s spelled as the RE2-equal class (see WsClass)
+          size(regexp_extract_all(col("text"),
+            lit("\\w+|[^\\w \\t\\n\\f\\r]"), lit(0))).as("n_bpe_tokens"),
+          size(regexp_extract_all(col("text"),
+            lit("[^\\w \\t\\n\\f\\r]"), lit(0))).as("n_punct"),
           expr("size(filter(tk, t -> t IN ('the', 'a', 'and', 'of')))").as("n_stop"))
         .withColumn("quality",
           when(col("n_words").between(20, 1000) &&

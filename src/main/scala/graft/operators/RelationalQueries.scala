@@ -27,7 +27,8 @@ import org.apache.spark.sql.types._
 object RelationalQueries extends QueryModule {
 
   /** Exact, order-insensitive sum of a double expression (see class doc). */
-  private def dsum(c: Column): Column = sum(c.cast(DecimalType(38, 6))).cast(DoubleType)
+  private def dsum(c: Column): Column =
+    graft.operators.GovernanceQueries.dsum(c) // the one shared definition
   private def dsumSql(e: String): String = s"CAST(SUM(CAST($e AS DECIMAL(38,6))) AS DOUBLE)"
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

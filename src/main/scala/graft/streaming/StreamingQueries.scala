@@ -22,7 +22,8 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
 object StreamingQueries extends QueryModule {
 
   /** Exact order-insensitive double sum (see RelationalQueries doc). */
-  private def dsum(c: Column): Column = sum(c.cast(DecimalType(38, 6))).cast(DoubleType)
+  private def dsum(c: Column): Column =
+    graft.operators.GovernanceQueries.dsum(c) // the one shared definition
 
   /** q201 token-bucket parameters: one event per 8 h sustained
     * (credit refills 1 s/s, an event costs 28800 s) with a 2-event
@@ -57,7 +58,7 @@ object StreamingQueries extends QueryModule {
     * GROUP BY lang exactly. */
   def dedupCounts(docs: DataFrame): DataFrame =
     docs.select(col("lang"),
-        md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))).as("fp"))
+        md5(lower(trim(regexp_replace(col("text"), "[ \\t\\n\\f\\r]+", " ")))).as("fp"))
       .dropDuplicates("lang", "fp")
       .groupBy(col("lang")).agg(count(lit(1)).as("n_unique"))
 

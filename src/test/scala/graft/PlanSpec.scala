@@ -435,11 +435,25 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // (ObjectHashAggregate, map-side partials); the k x k cosine join
     // runs broadcast over the k-row centroid table — no SortMergeJoin,
     // no Window, one label-keyed exchange.
+    // r14: the centroid stage is materialized (both join sides read
+    // it), so the gate plan is broadcast-pairwise over a checkpoint
+    // scan; the aggregate shape is pinned on the stage builder itself
     val p = plan("q143_centroid_confusion")
-    assert(p.contains("ObjectHashAggregate"), p)
     assert(!p.contains("SortMergeJoin"), p)
     assert(!p.contains("Window"), p)
-    assert(p.contains("hashpartitioning(label"), p)
+    assert(p.contains("Scan ExistingRDD"), p) // the materialized stage
+    import org.apache.spark.sql.functions.{col, expr, udaf}
+    val centroid =
+      udaf(new graft.functions.VectorAggregators.CentroidFixed(64))
+    val cents = Tables(spark, dir, "embeddings")
+      .select(col("label"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .groupBy(col("label"))
+      .agg(centroid(col("v")).as("c"))
+    val pb = cents.queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    assert(pb.contains("ObjectHashAggregate"), pb)
+    assert(pb.contains("hashpartitioning(label"), pb)
   }
 
   test("q142 normalized dedup: map-side normalize, fingerprint aggs only — no joins, no windows") {
