@@ -179,10 +179,14 @@ object LlmQueries extends QueryModule {
     * query sharing the JVM). Per-doc metadata (sz, hot-shingle count)
     * rides IN the exploded index rows, not via a per-doc broadcast —
     * at 100 TB the per-doc frame is corpus-sized. */
-  private[graft] def cappedPairCounts(docsets: DataFrame, cap: Int): DataFrame = {
+  private[graft] def cappedPairCounts(docsets: DataFrame, cap: Int,
+      hotPre: Option[DataFrame] = None): DataFrame = {
     val idx = docsets.select(col("doc_id"), explode(col("hs")).as("h"))
-    val hot = idx.groupBy(col("h")).agg(count(lit(1)).as("df"))
-      .filter(col("df") > cap).select(col("h"))
+    // reuse the caller's already-derived hot set when provided — the
+    // capped path otherwise re-ran the full corpus df aggregation it
+    // had just built for the probe (r14 review)
+    val hot = hotPre.getOrElse(idx.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > cap).select(col("h")))
     // how many of each doc's shingles the cap removed — the slack term
     // of the exact upper bound in [[jaccardPairsCapped]]
     val hotCnt = idx.join(hot, Seq("h"), "left_semi")
@@ -309,7 +313,8 @@ object LlmQueries extends QueryModule {
         .filter(col("jac") >= minJac)
         .select(col("doc_a"), col("doc_b"), col("jac"))
     } else {
-      val survivors = cappedPairCounts(docsets, cap)
+      val survivors = cappedPairCounts(docsets, cap,
+          Some(hot.localCheckpoint())) // df agg priced once on this path
         .filter((col("inter_capped") + least(col("nhot_a"), col("nhot_b")))
           * lit(1.0 + minJac) >= lit(minJac) * (col("sz_a") + col("sz_b")))
         .select(col("doc_a"), col("doc_b"))
@@ -585,10 +590,16 @@ object LlmQueries extends QueryModule {
     * "sem_members"): a pipeline trains the index ONCE and every
     * admission path reads it — at 100 TB the members frame IS the index
     * store. */
+  /** Squared Euclidean distance in the EXACT op order the DuckDB
+    * oracles replicate (dot(v,v) - 2·dot(v,cc) + dot(cc,cc)) — ONE
+    * definition for the train / admission / rebuild E-steps (r14
+    * review: three hand copies could silently fork the assignment). */
+  private def d2Expr(v: String, cc: String) = expr(s"vec_dot($v, $v)") -
+    lit(2.0) * expr(s"vec_dot($v, $cc)") + expr(s"vec_dot($cc, $cc)")
+
   private[graft] def semIndex(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     graft.functions.GraftFunctions.register(s) // vec_dot
-    def d2(v: String, cc: String) = expr(s"vec_dot($v, $v)") -
-      lit(2.0) * expr(s"vec_dot($v, $cc)") + expr(s"vec_dot($cc, $cc)")
+    def d2(v: String, cc: String) = d2Expr(v, cc)
     lazy val ex = Tables(s, dir, "embeddings")
       .select(col("vec_id"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
@@ -634,8 +645,7 @@ object LlmQueries extends QueryModule {
       exMembers: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(s) // vec_dot
     val (cells, _) = semIndex(s, dir)
-    def d2(v: String, cc: String) = expr(s"vec_dot($v, $v)") -
-      lit(2.0) * expr(s"vec_dot($v, $cc)") + expr(s"vec_dot($cc, $cc)")
+    def d2(v: String, cc: String) = d2Expr(v, cc)
     val nw = admissionDelta(s, dir)
       .withColumn("nv", expr(s"transform(v, x -> x / ${normSqlOf("v")})"))
       .select(col("vec_id"), col("nv"))
@@ -686,6 +696,12 @@ object LlmQueries extends QueryModule {
       compactMembers(semIndex(s, dir)._2, del).localCheckpoint()
     }
 
+  // Tombstone-batch broadcast contract (r14 review note): RTBF batches
+  // are BOUNDED in production (a legal request queue, not a corpus
+  // fraction — the harness's %5 cohort is a test-data artifact), which
+  // is why del broadcasts here and in the q256/q257/q264 siblings; a
+  // deployment facing corpus-scale deletion runs the scheduled rebuild
+  // instead of compaction (the q266 trigger's 'rebuild' arm).
   private[graft] def compactMembers(members: DataFrame, del: DataFrame): DataFrame = {
     val delCells = members.join(del, Seq("vec_id"), "left_semi")
       .select(col("cell")).distinct()
@@ -902,8 +918,8 @@ object LlmQueries extends QueryModule {
       .withColumn("inter", expr("sorted_intersect_count(hs_a, hs_b)"))
       .withColumn("jac",
         col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
-      .withColumn("cont_ppm", expr(
-        "(2 * inter * 1000000 + least(sz_a, sz_b)) DIV (2 * least(sz_a, sz_b))"))
+      .withColumn("cont_ppm", expr( // gridDiv: guarded micro grid (r14)
+        graft.operators.GovernanceQueries.gridDiv("inter", "least(sz_a, sz_b)")))
       .withColumn("relation",
         when(col("cont_ppm") >= 900000, "contained")
           .when(col("jac") >= 0.8, "near_copy")
@@ -1230,7 +1246,7 @@ object LlmQueries extends QueryModule {
       val exact = ngramJaccardPairs(s, dir)
         .select(col("doc_a"), col("doc_b"))
       val found = minhashLshPairsOf(docsets).select(col("doc_a"), col("doc_b"))
-      val planted = col("doc_b") === col("doc_a") + 10000
+      val planted = col("doc_b") === col("doc_a") + PlantedOffset
       val marked = found.join(
         exact.withColumn("in_exact", lit(1)), Seq("doc_a", "doc_b"), "left")
       val f = marked.agg(
@@ -1362,7 +1378,7 @@ object LlmQueries extends QueryModule {
       val docs = simhashDocs(s, dir)
       val found = simhashPairsStage(s, dir).select(col("doc_a"), col("doc_b"))
       val plantedPairs = docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-        .join(docs.select((col("doc_id") - 10000).as("doc_a"),
+        .join(docs.select((col("doc_id") - PlantedOffset).as("doc_a"),
           col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_a"))
         .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       val marked = plantedPairs.join(
@@ -1719,8 +1735,7 @@ object LlmQueries extends QueryModule {
           }
         }.toDF("doc_id", "n_frames", "n_shots", "first_ahash")
         .withColumn("mean_shot_len", expr(
-          "CAST((2 * n_frames * 1000000 + n_shots) DIV (2 * n_shots) " +
-            "AS DOUBLE) / 1000000.0"))
+          s"CAST(${graft.operators.GovernanceQueries.gridDiv("n_frames", "n_shots")} AS DOUBLE) / 1000000.0"))
         .select(col("doc_id"), col("n_frames"), col("n_shots"),
           col("mean_shot_len"), col("first_ahash"))
         .orderBy(col("doc_id"))
@@ -2308,8 +2323,7 @@ object LlmQueries extends QueryModule {
       val seeds = e.orderBy(col("vec_id")).limit(c)
         .select(col("vec_id").cast("int").as("cid"), col("nv").as("cv"))
         .localCheckpoint()
-      def d2(v: String, cc: String) = expr(s"vec_dot($v, $v)") -
-        lit(2.0) * expr(s"vec_dot($v, $cc)") + expr(s"vec_dot($cc, $cc)")
+      def d2(v: String, cc: String) = d2Expr(v, cc)
       // E-step 1 against the raw seeds; (d2, cid) is unique per vector
       // so the min-struct never compares the payload (q138's argument)
       val assigned1 = e.crossJoin(broadcast(seeds))
@@ -2669,8 +2683,8 @@ object LlmQueries extends QueryModule {
       exact.groupBy(col("query_id")).agg(count(lit(1)).as("k"))
         .join(hits, Seq("query_id"), "left")
         .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
-        .withColumn("rc",
-          expr("(2 * n_hit * 1000000 + k) DIV (2 * k)"))
+        .withColumn("rc", // gridDiv: the one guarded micro grid (r14)
+          expr(graft.operators.GovernanceQueries.gridDiv("n_hit", "k")))
         .select(col("query_id"), col("k"), col("n_hit"),
           (col("rc").cast("double") / lit(1000000.0)).as("recall"))
         .orderBy(col("query_id"))
@@ -3382,13 +3396,15 @@ object LlmQueries extends QueryModule {
         |       FROM p WHERE nlabel <> qlabel),
         |hp AS (SELECT query_id, nbr_id, score, ROW_NUMBER() OVER (
         |         PARTITION BY query_id ORDER BY score ASC, nbr_id ASC) AS rk
-        |       FROM p WHERE nlabel = qlabel)
-        |SELECT hn.query_id, hn.qlabel AS label,
+        |       FROM p WHERE nlabel = qlabel),
+        |a AS (SELECT DISTINCT query_id, qlabel FROM p)
+        |SELECT a.query_id, a.qlabel AS label,
         |  hn.nbr_id AS hard_neg_id, hn.score AS hard_neg_score,
         |  hp.nbr_id AS hard_pos_id, hp.score AS hard_pos_score
-        |FROM hn JOIN hp ON hn.query_id = hp.query_id
-        |WHERE hn.rk = 1 AND hp.rk = 1
-        |ORDER BY hn.query_id""".stripMargin,
+        |FROM a
+        |LEFT JOIN hn ON hn.query_id = a.query_id AND hn.rk = 1
+        |LEFT JOIN hp ON hp.query_id = a.query_id AND hp.rk = 1
+        |ORDER BY a.query_id""".stripMargin,
     "q129_incremental_dedup" ->
       """WITH base AS (SELECT doc_id, text,
         |    string_split_regex(trim(text), '\s+') AS tk FROM documents),
