@@ -546,6 +546,21 @@ object CorpusQueries extends QueryModule {
     untouched.unionByName(rewritten)
   }
 
+  /** Row cap under which an erasure/touched set gets an explicit
+    * `broadcast()` hint. 2M single-long rows ≈ 32 MB serialized —
+    * comfortably inside executor broadcast budgets at any SF, while a
+    * cohort-scale set (the planted ~20% slice at sweep SFs) falls back
+    * to `shuffle_hash`, which stays a hash join and cannot OOM the
+    * driver. */
+  private[graft] val BroadcastRowCap = 2000000L
+
+  /** Size-gated join-side hint for tombstone/touched frames: broadcast
+    * when genuinely batch-sized, shuffle_hash otherwise. Callers pass
+    * localCheckpointed (or tiny literal) frames so the count probe is
+    * a cached-block read, not a recompute. */
+  private[graft] def batchHint(df: DataFrame): DataFrame =
+    if (df.count() <= BroadcastRowCap) broadcast(df) else df.hint("shuffle_hash")
+
   /** q265's engine: cluster-map maintenance under deletion via
     * recompute-on-contracted-subgraph. The erased docs' stored
     * residencies name the touched clusters (one batch-keyed semi-join
@@ -568,15 +583,27 @@ object CorpusQueries extends QueryModule {
     * harness corpora may never produce at the gate SF. */
   private[graft] def maintainClusterMapFrames(cl: DataFrame,
       pairs: DataFrame, del: DataFrame): DataFrame = {
-    // the tombstone batch broadcasts into the doc-keyed map lookups —
-    // shuffling the corpus-scale map by doc_id for a batch-sized probe
-    // would waste the exchange (r14 review; the q256/q257 del idiom)
-    val touched = cl.join(broadcast(del), Seq("doc_id"), "left_semi")
+    // a genuinely batch-sized tombstone set broadcasts into the
+    // doc-keyed map lookups — shuffling the corpus-scale map by doc_id
+    // for a batch-sized probe would waste the exchange (r14 review;
+    // the q256/q257 del idiom). But the hint is GATED on a row-count
+    // probe (r14 ADVICE): the production del here can be the planted
+    // ~20% erasure cohort, which grows with the corpus — an
+    // unconditional explicit broadcast of it would hit the driver /
+    // 8 GB broadcast cap at sweep scale. Cohort-scale sets fall back
+    // to shuffle_hash (still a hash join on uniform keys, still no
+    // sort). The probes are O(checkpoint-read): del is
+    // localCheckpointed by every production caller and tiny in the
+    // spec geometries; touched/tm are checkpointed here anyway for
+    // multi-arm consumption.
+    val delH = batchHint(del)
+    val touched = cl.join(delH, Seq("doc_id"), "left_semi")
       .select(col("cluster")).distinct()
       .localCheckpoint() // consumed by the pass-through AND the recompute
-    val untouched = cl.join(broadcast(touched), Seq("cluster"), "left_anti")
-    val tm = cl.join(broadcast(touched), Seq("cluster"), "left_semi")
-      .join(broadcast(del), Seq("doc_id"), "left_anti")
+    val touchedH = batchHint(touched)
+    val untouched = cl.join(touchedH, Seq("cluster"), "left_anti")
+    val tm = cl.join(touchedH, Seq("cluster"), "left_semi")
+      .join(delH, Seq("doc_id"), "left_anti")
       .select(col("doc_id"))
       .localCheckpoint() // both endpoint filters below
     val survEdges = pairs
@@ -1445,12 +1472,17 @@ object CorpusQueries extends QueryModule {
         st.crossJoin(cost)
           .select(lit(name).as("artifact"), col("total_entries"),
             col("masked_entries"),
-            expr(s"masked_entries * 1000000 DIV greatest(total_entries, 1)")
-              .as("masked_ppm"),
+            // cast-before-multiply: raw BIGINT * 1e6 wraps silently
+            // past ~9.2e12 entries under non-ANSI Spark while the
+            // DuckDB oracle errors (the q213/q215 divergence class) —
+            // route the numerator through DECIMAL(38,0) first; DIV
+            // (IntegralDivide) returns BIGINT either way
+            expr("CAST(masked_entries AS DECIMAL(38,0)) * 1000000" +
+              " DIV greatest(total_entries, 1)").as("masked_ppm"),
             col("units"), coalesce(col("touched_units"), lit(0L))
               .as("touched_units"),
-            expr(s"coalesce(touched_units, 0) * 1000000 DIV greatest(units, 1)")
-              .as("touched_ppm"),
+            expr("CAST(coalesce(touched_units, 0) AS DECIMAL(38,0))" +
+              " * 1000000 DIV greatest(units, 1)").as("touched_ppm"),
             col("est_compact_entries"),
             col("total_entries").as("est_rebuild_entries"))
       }
@@ -4883,26 +4915,31 @@ object CorpusQueries extends QueryModule {
            |  CAST((SELECT COUNT(*) FROM $cte) AS BIGINT) AS total_entries,
            |  CAST((SELECT COUNT(*) FROM $cte WHERE $mask) AS BIGINT)
            |    AS masked_entries,
-           |  CAST((SELECT COUNT(*) FROM $cte WHERE $mask) * 1000000
+           |  CAST(CAST((SELECT COUNT(*) FROM $cte WHERE $mask) AS HUGEINT)
+           |    * 1000000
            |    // greatest((SELECT COUNT(*) FROM $cte), 1) AS BIGINT)
            |    AS masked_ppm,
            |  CAST((SELECT COUNT(DISTINCT $unit) FROM $cte) AS BIGINT) AS units,
            |  CAST((SELECT COUNT(DISTINCT $unit) FROM $cte WHERE $mask)
            |    AS BIGINT) AS touched_units,
-           |  CAST((SELECT COUNT(DISTINCT $unit) FROM $cte WHERE $mask) * 1000000
+           |  CAST(CAST((SELECT COUNT(DISTINCT $unit) FROM $cte WHERE $mask)
+           |      AS HUGEINT) * 1000000
            |    // greatest((SELECT COUNT(DISTINCT $unit) FROM $cte), 1)
            |    AS BIGINT) AS touched_ppm,
            |  CAST((SELECT COUNT(*) FROM $cte WHERE $unit IN
            |    (SELECT $unit FROM $cte WHERE $mask)) AS BIGINT)
            |    AS est_compact_entries,
            |  CAST((SELECT COUNT(*) FROM $cte) AS BIGINT) AS est_rebuild_entries,
-           |  CASE WHEN (SELECT COUNT(*) FROM $cte WHERE $mask) * 1000000
+           |  CASE WHEN CAST((SELECT COUNT(*) FROM $cte WHERE $mask)
+           |        AS HUGEINT) * 1000000
            |      // greatest((SELECT COUNT(*) FROM $cte), 1)
            |      >= $RebuildMaskedPpm
-           |    OR (SELECT COUNT(DISTINCT $unit) FROM $cte WHERE $mask) * 1000000
+           |    OR CAST((SELECT COUNT(DISTINCT $unit) FROM $cte WHERE $mask)
+           |        AS HUGEINT) * 1000000
            |      // greatest((SELECT COUNT(DISTINCT $unit) FROM $cte), 1)
            |      >= $RebuildTouchedPpm THEN 'rebuild'
-           |  WHEN (SELECT COUNT(*) FROM $cte WHERE $mask) * 1000000
+           |  WHEN CAST((SELECT COUNT(*) FROM $cte WHERE $mask)
+           |        AS HUGEINT) * 1000000
            |      // greatest((SELECT COUNT(*) FROM $cte), 1)
            |      >= $CompactMaskedPpm THEN 'compact'
            |  ELSE 'defer' END AS decision""".stripMargin

@@ -14,6 +14,12 @@ import org.apache.spark.sql.types.DecimalType
   */
 object ExtendedQueries extends QueryModule {
 
+  /** q95's "high-value order" threshold, interpolated into the Column
+    * predicate, the engine's string-SQL aggregate, AND the oracle SQL
+    * (r14 ADVICE: the literal was forked across four string copies —
+    * editing one silently desynchronized avg_hi from sum_hi). */
+  private[graft] val HiPrice = "200000.0"
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // --- Kusto `dynamic` access: the events.props JSON column queried via
@@ -292,7 +298,7 @@ object ExtendedQueries extends QueryModule {
     // both count_distinct and avg, which is exactly Kusto's *if contract.
     "q95_conditional_aggs" -> ((s, dir) => {
       val urgent = col("o_orderpriority") === "1-URGENT"
-      val hi = col("o_totalprice") > 200000.0
+      val hi = col("o_totalprice") > HiPrice.toDouble
       Tables(s, dir, "orders")
         .groupBy(col("o_orderstatus"))
         .agg(
@@ -304,11 +310,11 @@ object ExtendedQueries extends QueryModule {
           // divide produced trailing-5 quotients that the two engines
           // round differently (the q104 class; r14 review). sum_e6 is
           // the exact decimal sum in micro-dollars.
-          (expr("CAST((2 * CAST(sum(CASE WHEN o_totalprice > 200000.0D " +
+          (expr(s"CAST((2 * CAST(sum(CASE WHEN o_totalprice > ${HiPrice}D " +
             "THEN CAST(o_totalprice AS DECIMAL(38,6)) END) * 1000000 " +
-            "AS DECIMAL(38,0)) + 100 * count(CASE WHEN o_totalprice > " +
-            "200000.0D THEN 1 END)) DIV (2 * 100 * count(CASE WHEN " +
-            "o_totalprice > 200000.0D THEN 1 END)) AS BIGINT)")
+            s"AS DECIMAL(38,0)) + 100 * count(CASE WHEN o_totalprice > " +
+            s"${HiPrice}D THEN 1 END)) DIV (2 * 100 * count(CASE WHEN " +
+            s"o_totalprice > ${HiPrice}D THEN 1 END)) AS BIGINT)")
             .cast("double") / 1e4).as("avg_hi"),
           bit_or(col("o_orderkey")).as("keys_or"),
           bit_and(col("o_orderkey")).as("keys_and"),
@@ -455,17 +461,17 @@ object ExtendedQueries extends QueryModule {
         |FROM orders WHERE o_orderkey < 400
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q95_conditional_aggs" ->
-      """SELECT o_orderstatus,
+      s"""SELECT o_orderstatus,
         |  COUNT(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS n_urgent,
-        |  round(CAST(SUM(CASE WHEN o_totalprice > 200000.0
+        |  round(CAST(SUM(CASE WHEN o_totalprice > $HiPrice
         |    THEN CAST(o_totalprice AS DECIMAL(38,6)) END) AS DOUBLE), 2) AS sum_hi,
         |  COUNT(DISTINCT CASE WHEN o_orderpriority = '1-URGENT'
         |    THEN o_custkey END) AS d_cust_urgent,
-        |  CAST(CAST((2 * CAST(SUM(CASE WHEN o_totalprice > 200000.0
+        |  CAST(CAST((2 * CAST(SUM(CASE WHEN o_totalprice > $HiPrice
         |      THEN CAST(o_totalprice AS DECIMAL(38,6)) END) * 1000000
         |      AS HUGEINT)
-        |    + 100 * COUNT(CASE WHEN o_totalprice > 200000.0 THEN 1 END))
-        |    // (2 * 100 * COUNT(CASE WHEN o_totalprice > 200000.0 THEN 1 END))
+        |    + 100 * COUNT(CASE WHEN o_totalprice > $HiPrice THEN 1 END))
+        |    // (2 * 100 * COUNT(CASE WHEN o_totalprice > $HiPrice THEN 1 END))
         |    AS BIGINT) AS DOUBLE) / 10000.0 AS avg_hi,
         |  BIT_OR(o_orderkey) AS keys_or,
         |  BIT_AND(o_orderkey) AS keys_and,

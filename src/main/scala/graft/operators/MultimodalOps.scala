@@ -300,7 +300,12 @@ object MultimodalOps {
         val at = i.toInt
         val name = new String(b, at, 4, "US-ASCII")
         val len = u32le(at + 4).toLong & 0xffffffffL
-        if (name == "fmt " && i + 16 <= b.length) {
+        // the chunk's own declared length must cover a canonical fmt
+        // body (16 bytes) too, not just the buffer bound — a
+        // legal-but-short fmt chunk would otherwise read the NEXT
+        // chunk's header bytes as rate/channels (r14 ADVICE); short
+        // fmt falls through to the zeroed degrade like unfound fmt
+        if (name == "fmt " && len >= 16 && i + 16 <= b.length) {
           ch = u16le(at + 10); rate = u32le(at + 12); found = true
         }
         i += 8 + len + (len & 1L)
