@@ -140,10 +140,10 @@ object Pq2Json {
         .map(r => s"""{"numberOfRows":"${r.numberOfRows}","totalByteSize":"${r.totalByteSize}"}""")
         .mkString("[", ",", "]"))
     } else {
-      // Fail fast on brotli-compressed inputs with a message that names
-      // the codec: the reference reads brotli (Cargo.toml:9) but Spark's
-      // parquet reader maps it to a nonexistent hadoop BrotliCodec class,
-      // which would otherwise surface as a mid-scan ClassNotFoundException.
+      // Brotli inputs: the reference reads brotli (Cargo.toml:9). When
+      // the native decoder is loadable we now do too (see the gate
+      // below); otherwise fail fast with a message that names the codec
+      // instead of surfacing a mid-scan error from the codec lookup.
       // Footer-only ops (--schema/--cslschema/--rowgroups) stay available.
       // Local paths only — remote filesystems skip the pre-check and get
       // Spark's own error.
@@ -169,14 +169,24 @@ object Pq2Json {
             kids.filter(_.isDirectory).sortBy(_.getName)
               .flatMap(sampleFiles(_, depth + 1))
         } else Seq.empty
-      sampleFiles(new java.io.File(a.input)).find { p =>
-        scala.util.Try(ParquetMetadata.codecs(p).contains("BROTLI")).getOrElse(false)
-      }.foreach { p =>
-        throw new IllegalArgumentException(
-          s"unsupported compression codec BROTLI in $p: no brotli parquet " +
-            "codec is available to Spark (the reference reads brotli via the " +
-            "Rust parquet crate); re-encode with snappy/zstd/gzip")
-      }
+      // When the host provides libbrotlidec (+ a C compiler for the JNI
+      // shim), graft.sources.BrotliNative backs the
+      // org.apache.hadoop.io.compress.BrotliCodec we ship under the
+      // name parquet-java resolves, and brotli inputs convert like any
+      // other codec — matching the reference, which reads brotli out of
+      // the box. The fail-fast below is the degrade for hosts where the
+      // native decoder cannot load.
+      if (!graft.sources.BrotliNative.usable)
+        sampleFiles(new java.io.File(a.input)).find { p =>
+          scala.util.Try(ParquetMetadata.codecs(p).contains("BROTLI")).getOrElse(false)
+        }.foreach { p =>
+          throw new IllegalArgumentException(
+            s"unsupported compression codec BROTLI in $p: no brotli parquet " +
+              "codec is available to Spark on this host (" +
+              graft.sources.BrotliNative.unavailableReason + "; the " +
+              "reference reads brotli via the Rust parquet crate); " +
+              "re-encode with snappy/zstd/gzip")
+        }
       // footer verdict on raw-u64 columns: Spark's schema shows them as
       // Decimal(20,0) (indistinguishable from a true decimal), but the
       // reference renders raw u64 as a bare unsigned JSON number

@@ -173,11 +173,14 @@ object ParquetMetadata {
   }
 
   /** Distinct compression codec names used by any column chunk (footer
-    * read only). Used to fail fast with a clear message on codecs Spark
-    * has no decompressor for (brotli — the reference reads it via the
-    * Rust parquet crate, `/root/reference/pq2json/Cargo.toml:9`; Spark's
-    * parquet-hadoop maps it to a hadoop BrotliCodec class that does not
-    * exist on any stock classpath). */
+    * read only). Used by the brotli gate: the reference reads brotli via
+    * the Rust parquet crate (`/root/reference/pq2json/Cargo.toml:9`);
+    * Spark's parquet-hadoop maps it to an
+    * org.apache.hadoop.io.compress.BrotliCodec class that exists on no
+    * stock classpath, so WE ship one (backed by the machine's
+    * libbrotlidec through [[graft.sources.BrotliNative]]) and fail fast
+    * with a clear message only on hosts where that native path cannot
+    * load. */
   def codecs(path: String): Set[String] = {
     val (_, blocks) = footer(path)
     blocks.getBlocks.asScala

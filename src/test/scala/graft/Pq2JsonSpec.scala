@@ -80,17 +80,29 @@ class Pq2JsonSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(unixms(1) == """{"id":2,"t":18446744073708551}""")
   }
 
-  test("brotli input: conversion fails with ERROR naming the codec; footer ops still work") {
+  test("brotli input: real conversion when the native decoder loads; named ERROR degrade stays pinned") {
     // committed fixture (pyarrow, compression='brotli'): reference reads
-    // brotli (Cargo.toml:9); Spark has no codec for it
+    // brotli (Cargo.toml:9). Since r15 we do too when the host carries
+    // libbrotlidec (BrotliNative); the decoder-less degrade is pinned
+    // through the disable hook so it stays tested on capable hosts.
     val brotli = getClass.getResource("/fixtures/brotli.parquet").getPath
-    val e = intercept[IllegalArgumentException](capture(Array(brotli)))
-    assert(e.getMessage.contains("BROTLI"))
-    // metadata entry points never touch data pages -> unaffected
+    System.setProperty("graft.brotli.disable", "true")
+    try {
+      val e = intercept[IllegalArgumentException](capture(Array(brotli)))
+      assert(e.getMessage.contains("BROTLI"))
+    } finally System.clearProperty("graft.brotli.disable")
+    // metadata entry points never touch data pages -> unaffected either way
     val csl = graft.sources.ParquetMetadata.cslSchema(brotli)
     assert(csl.map(c => c.name -> c.cslType) == Seq("a" -> "long", "s" -> "string"))
     assert(graft.sources.ParquetMetadata.rowGroups(brotli).head.numberOfRows == "3")
     assert(graft.sources.ParquetMetadata.codecs(brotli) == Set("BROTLI"))
+    // capable-host path: decode is REAL, not a skip — this machine's
+    // gate runs it (cancels only on hosts with no lib and no compiler)
+    assume(graft.sources.BrotliNative.usable,
+      graft.sources.BrotliNative.unavailableReason)
+    val out = capture(Array(brotli)).split("\n").toSeq.filter(_.nonEmpty)
+    assert(out == Seq("""{"a":1,"s":"x"}""", """{"a":2,"s":"y"}""",
+      """{"a":3,"s":"z"}"""))
   }
 
   test("--rowgroups reports one entry per row group on a multi-group file") {
@@ -118,8 +130,11 @@ class Pq2JsonSpec extends AnyFunSuite with BeforeAndAfterAll {
       sub.resolve("part-00000.parquet"))
     // marker files must not trip the footer sampling
     java.nio.file.Files.write(root.resolve("_SUCCESS"), Array.empty[Byte])
-    val e = intercept[IllegalArgumentException](capture(Array(root.toString)))
-    assert(e.getMessage.contains("BROTLI"))
+    System.setProperty("graft.brotli.disable", "true")
+    try {
+      val e = intercept[IllegalArgumentException](capture(Array(root.toString)))
+      assert(e.getMessage.contains("BROTLI"))
+    } finally System.clearProperty("graft.brotli.disable")
   }
 
   test("--columns is a real JSON parse: commas and escapes inside names survive") {
