@@ -221,16 +221,27 @@ object CorpusQueries extends QueryModule {
     * every encode path rides: [[bpeEncodeDict]] here, and q255's
     * streaming cold-path encode of vocabulary-miss words. */
   private[graft] def bpeWideMerges(s: SparkSession, dir: String,
-      rounds: Int = BpeRounds): DataFrame = {
+      rounds: Int = BpeRounds): DataFrame =
+    bpeWideMergesOf(bpeMerges(s, dir), rounds)
+
+  /** [[bpeWideMerges]] over an EXPLICIT merge table — q273's retrained
+    * table rides the same broadcast-1-row encode path as the frozen
+    * one, so the two applications cannot fork. */
+  private[graft] def bpeWideMergesOf(merges: DataFrame,
+      rounds: Int): DataFrame = {
     val wideCols = (1 to rounds).flatMap(r => Seq(
       coalesce(max(when(col("round") === r, col("lhs"))), lit("")).as(s"l$r"),
       coalesce(max(when(col("round") === r, col("rhs"))), lit("")).as(s"r$r")))
-    bpeMerges(s, dir).agg(wideCols.head, wideCols.tail: _*)
+    merges.agg(wideCols.head, wideCols.tail: _*)
   }
 
   private[graft] def bpeEncodeDict(s: SparkSession, dir: String,
+      words: DataFrame, rounds: Int): DataFrame =
+    bpeEncodeDictWith(bpeWideMerges(s, dir, rounds), words, rounds)
+
+  /** [[bpeEncodeDict]] against an explicit wide merge row. */
+  private[graft] def bpeEncodeDictWith(wide: DataFrame,
       words: DataFrame, rounds: Int): DataFrame = {
-    val wide = bpeWideMerges(s, dir, rounds)
     val encoded = (1 to rounds).foldLeft(
       words.crossJoin(broadcast(wide)).withColumn("seq",
         concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 ")))) {
@@ -495,16 +506,26 @@ object CorpusQueries extends QueryModule {
     * variant is derived data of its source, so an RTBF request covers
     * both. (d+10000) % 10 == d % 10, so the cohort is exactly the
     * planted ids ≡ 9 (mod 10), which is what the oracles filter. */
-  private[graft] def plantedErasureSet(s: SparkSession, dir: String): DataFrame = {
-    // the ≡9 (mod 10) cohort identity the oracles' `WHERE doc_id % 10
-    // = 9` filter relies on needs the offset to be a multiple of 10 —
-    // assert it here so a future offset change fails loudly instead of
-    // silently shrinking the erasure cohort (r14 review)
+  private[graft] def plantedErasureSet(s: SparkSession, dir: String): DataFrame =
+    plantedErasureCohort(s, dir, 9)
+
+  /** A second/alternate RTBF batch over the planted corpus: the
+    * residue-(mod 10) cohort plus its derived +offset variants (the
+    * [[plantedErasureSet]] construction, parameterized so the era-
+    * composition gates q270/q271 can chain a DISJOINT second batch
+    * after the standing residue-9 one). */
+  private[graft] def plantedErasureCohort(s: SparkSession, dir: String,
+      residue: Int): DataFrame = {
+    // the ≡residue (mod 10) cohort identity the oracles' `WHERE doc_id
+    // % 10 = residue` filter relies on needs the offset to be a
+    // multiple of 10 — assert it here so a future offset change fails
+    // loudly instead of silently shrinking the erasure cohort (r14
+    // review)
     require(LlmQueries.PlantedOffset % 10 == 0,
       s"PlantedOffset ${LlmQueries.PlantedOffset} must be a multiple of " +
         "10 or the mod-10 erasure cohort no longer covers derived variants")
     val d = Tables(s, dir, "documents")
-      .filter(col("doc_id") % 10 === 9).select(col("doc_id"))
+      .filter(col("doc_id") % 10 === residue).select(col("doc_id"))
     d.unionByName(d.select((col("doc_id") + LlmQueries.PlantedOffset)
         .as("doc_id")))
       .localCheckpoint()
@@ -569,7 +590,16 @@ object CorpusQueries extends QueryModule {
     * clusters' SURVIVING edges (components never span clusters, so the
     * contracted subgraph is closed by construction — an edge with one
     * endpoint in a touched cluster has both there). Surviving members
-    * left edge-less drop out, matching the rebuild's pair graph. */
+    * left edge-less drop out, matching the rebuild's pair graph.
+    *
+    * ERA COMPOSITION (the q270/q271 law for this family): composes
+    * trivially and needs no chained gate — q265 proves each era's
+    * output ≡ the full rebuild on that era's surviving graph, so
+    * chaining era₂ on era₁'s output is rebuild∘rebuild, i.e. one
+    * rebuild on the graph minus d₁ ∪ d₂ by q265's own certificate.
+    * The compactors q270/q271 DO gate need chained proof because their
+    * outputs are incremental rewrites, not rebuild-equal by a single-
+    * era certificate over arbitrary inputs. */
   private[graft] def maintainClusterMap(s: SparkSession, dir: String,
       del: DataFrame): DataFrame =
     maintainClusterMapFrames(pairClusters(s, dir),
@@ -644,6 +674,27 @@ object CorpusQueries extends QueryModule {
   private[graft] def maintainedClusterMap(s: SparkSession, dir: String): DataFrame =
     StageMemo(s, dir, "maintained_clusters") {
       maintainClusterMap(s, dir, plantedErasureSet(s, dir))
+        .localCheckpoint()
+    }
+
+  /** The compacted PAIR GRAPH as a shipped maintenance output (q272;
+    * r14 verdict "what's missing" #2) — before this memo the post-RTBF
+    * pair graph existed only inside q265's plan. Compaction for an
+    * edge list is edge-local: drop every edge with a tombstoned
+    * endpoint (two batch-keyed anti-joins — size-gated broadcast per
+    * [[batchHint]]); no regroup, no explode, nothing else changes.
+    * Edge-count-sized frame per the StageMemo retention policy; q262
+    * audits it against the erased set and the fold algebra before the
+    * swap. */
+  private[graft] def maintainedPairs(s: SparkSession, dir: String): DataFrame =
+    StageMemo(s, dir, "maintained_pairs") {
+      val del = plantedErasureSet(s, dir)
+      LlmQueries.ngramJaccardPairs(s, dir)
+        .select(col("doc_a"), col("doc_b"))
+        .join(batchHint(del.select(col("doc_id").as("doc_a"))),
+          Seq("doc_a"), "left_anti")
+        .join(batchHint(del.select(col("doc_id").as("doc_b"))),
+          Seq("doc_b"), "left_anti")
         .localCheckpoint()
     }
 
@@ -750,7 +801,14 @@ object CorpusQueries extends QueryModule {
       .join(oriented.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"))
       .agg(count(lit(1)).as("n_triangles"))
     val stats = deg.agg(count(lit(1)).as("n_nodes"),
-      sum(expr("d * (d - 1) DIV 2")).cast("long").as("n_wedges"))
+      // cast-before-multiply (r15 review): d*(d-1) in raw long wraps at
+      // hub degree ~3e9 and a long SUM of per-node wedge counts wraps at
+      // ~9.2e18 — scales a power-law dup graph's hubs can reach — while
+      // the DuckDB oracle computes the same sum exactly (HUGEINT) and
+      // errors at the cast. Exact in DECIMAL(38,0) end-to-end; emitted
+      // on the BIGINT envelope like every gate scalar.
+      expr("CAST(sum(CAST(d AS DECIMAL(38,0)) * (d - 1)) DIV 2 AS BIGINT)")
+        .as("n_wedges"))
     val edges = pairs.agg(count(lit(1)).as("n_edges"))
     stats.crossJoin(edges).crossJoin(tri)
       .withColumn("closure", when(col("n_wedges") === 0, lit(0.0)).otherwise(
@@ -1279,8 +1337,9 @@ object CorpusQueries extends QueryModule {
     // artifacts; this is the other half of the operational story — the
     // health check run on MAINTENANCE OUTPUTS before they replace the
     // live artifacts (the validate-then-swap step of every index
-    // deployment). Five invariants over the q257-compacted postings
-    // and the q259-compacted sem members, each against the corpus the
+    // deployment). Eleven invariants over the five shipped maintenance
+    // outputs (q257 postings, q259 sem members, q264 shingle index,
+    // q265 cluster map, q272 pair graph), each against the corpus the
     // compaction claims to represent: no erased doc survives in the
     // compacted postings (RTBF at the artifact level, the q256 proof
     // lifted from query results to stored bytes); the compacted doc
@@ -1379,7 +1438,37 @@ object CorpusQueries extends QueryModule {
               Seq("doc_id"), "left_anti")
             .agg(count(lit(1)).as("nb")))
           .select((col("na") + col("nb")).as("observed")))
-      Seq(c1, c2, c3, c4, c5, c6, c7, c8, c9)
+      // the q272 pair-graph output: no surviving edge touches an
+      // erased endpoint, and its census agrees with the fold algebra
+      // on the LIVE graph (total edges minus edges with a tombstoned
+      // endpoint — a different derivation than the compactor's own
+      // two anti-joins).
+      val mpairs = maintainedPairs(s, dir)
+      val c10 = chk("maintained_pairs_no_erased_endpoint",
+        mpairs.select(col("doc_a").as("doc_id"))
+          .unionByName(mpairs.select(col("doc_b").as("doc_id")))
+          .join(broadcast(delP), Seq("doc_id"), "left_semi")
+          .agg(count(lit(1)).as("observed")))
+      val c11 = chk("maintained_pairs_census",
+        mpairs.agg(count(lit(1)).as("na"))
+          .crossJoin {
+            val live = LlmQueries.ngramJaccardPairs(s, dir)
+              .select(col("doc_a"), col("doc_b")).localCheckpoint()
+            live.agg(count(lit(1)).as("nt"))
+              .crossJoin(live
+                .join(broadcast(delP.select(col("doc_id").as("doc_a"))),
+                  Seq("doc_a"), "left_semi")
+                .agg(count(lit(1)).as("nea")))
+              .crossJoin(live
+                .join(broadcast(delP.select(col("doc_id").as("doc_a"))),
+                  Seq("doc_a"), "left_anti")
+                .join(broadcast(delP.select(col("doc_id").as("doc_b"))),
+                  Seq("doc_b"), "left_semi")
+                .agg(count(lit(1)).as("neb")))
+              .select((col("nt") - col("nea") - col("neb")).as("nb"))
+          }
+          .select(abs(col("na") - col("nb")).as("observed")))
+      Seq(c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11)
         .reduce(_.unionByName(_)).orderBy(col("chk"))
     }),
 
@@ -1517,6 +1606,137 @@ object CorpusQueries extends QueryModule {
         .orderBy(col("artifact"))
     }),
 
+    // --- ERA COMPOSITION, postings family (q270; r14 verdict item 2):
+    // every lifecycle operator so far is certified for ONE batch
+    // against ONE stored era, but a production pipeline runs batch₂
+    // against the POST-swap artifact of batch₁ — so the property that
+    // actually matters is compact(compact(A, d₁), d₂) ≡
+    // rebuild(A, d₁ ∪ d₂). Engine: the second compaction runs on the
+    // MEMOIZED era-1 output ([[compactedPostings]] — the same stored
+    // frame q257 ships and q262 audits, priced once), with a second
+    // DISJOINT tombstone batch (the ≡4 (mod 10) cohort). Oracle: one
+    // rebuild from the union tombstone set (corpus minus BOTH
+    // cohorts) — matching it entry-level proves the composition closes
+    // with no residue (no resurrected entry, no over-erased entry, no
+    // stale block skipped because era 1 already rewrote it). Scale:
+    // era 2 pays O(batch₂'s touched blocks) exactly like era 1 —
+    // composition adds no term.
+    "q270_postings_era_composition" -> ((s, dir) => {
+      val d2 = Tables(s, dir, "documents")
+        .filter(col("doc_id") % 10 === 4).select(col("doc_id"))
+        .localCheckpoint()
+      compactPostings(compactedPostings(s, dir), d2)
+        .select(col("w"), col("blk"), explode(col("posting")).as("e"))
+        .select(col("w"), col("blk"), col("e.d").as("d"),
+          col("e.t").as("t"))
+        .orderBy(col("w"), col("blk"), col("d"))
+    }),
+
+    // --- ERA COMPOSITION, shingle-index family (q271): the q270
+    // property for the second key-local compactor. Era 2 runs
+    // [[compactShingleIndexFrames]] on the MEMOIZED era-1 index
+    // ([[compactedShingleIndex]]) with the disjoint ≡4 (mod 10)
+    // planted cohort. The forward frame is the PRE-erasure one — valid
+    // because the cohorts are disjoint (an era-2 tombstone was never
+    // erased in era 1, so its residencies are identical in both
+    // frames); a deployment maintaining the forward frame per era
+    // reads the same rows. The df-cap contract composes: the cap
+    // excluded keys at BUILD on full-corpus df, era 1 dropped emptied
+    // keys, era 2 only ever shrinks surviving postings — the oracle
+    // re-derives exactly that (cap on full-corpus df, entries filtered
+    // to survivors of the UNION cohort).
+    "q271_shingle_era_composition" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      compactShingleIndexFrames(LlmQueries.shingleSets(s, dir),
+        compactedShingleIndex(s, dir), plantedErasureCohort(s, dir, 4))
+        .select(col("h"), explode(col("docs")).as("d"))
+        .orderBy(col("h"), col("d"))
+    }),
+
+    // --- PAIR-GRAPH compaction as a SHIPPED artifact (q272; r14
+    // verdict "what's missing" #2): q265 recomputes surviving edges
+    // inside its own plan and q261 c13 checks live endpoints ⊆ corpus,
+    // but the post-RTBF pair graph itself had no erase/compact query —
+    // it existed only as an intermediate. This gate ships the memoized
+    // [[maintainedPairs]] output (edge-local compaction: drop edges
+    // with a tombstoned endpoint — two batch-keyed anti-joins, nothing
+    // regroups) and q262 audits it pre-swap. The oracle re-derives the
+    // surviving edge set from ITS OWN recursive pair-graph rebuild
+    // filtered by the union of the cohort and its variants, so the
+    // stored artifact is proven edge-level, not count-level.
+    "q272_pair_graph_compaction" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      maintainedPairs(s, dir)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // --- TOKENIZER REBUILD (q273; r14 verdict item 4): the closing
+    // operator of the BPE story — q268 MEASURES erasure debt and
+    // issues a rebuild/keep verdict; this operator IS the rebuild plus
+    // the compatibility diff a serving system needs before swapping
+    // tokenizers. Retrain: [[bpeTrainOn]] over the SURVIVING corpus's
+    // word dictionary (same collapse-to-dict trick — training stays
+    // corpus-size-independent after one token pass). Diff, one frame:
+    //   merge_r rows — old vs new merge (symbol + pair freq) per
+    //     round: which learned merges CHANGE under retraining;
+    //   enc_<source> rows — the re-encode delta per source: total BPE
+    //     symbols of each source's surviving text under frozen vs
+    //     retrained merges (what re-encoding that source costs/saves);
+    //   fert_<source> rows — fertility before/after on the shared
+    //     half-up micro grid ([[GovernanceQueries.gridDiv]]).
+    // Both encodes ride the same broadcast-1-row-wide-merges path
+    // ([[bpeEncodeDictWith]]) so frozen and retrained application
+    // cannot fork; each distinct word encodes ONCE per tokenizer and
+    // per-source stats fold freqs over the word-keyed join. freq ×
+    // n_sym stays in BIGINT by construction: n_sym is bounded by word
+    // length, never corpus-scale, so the sum is ≤ ~64 × corpus words.
+    // The oracle re-runs BOTH training chains (prefixed CTEs) and both
+    // encodes from scratch.
+    "q273_tokenizer_rebuild" -> ((s, dir) => {
+      val srcDict = Tables(s, dir, "documents")
+        .filter(col("doc_id") % 10 =!= 9)
+        .select(col("source"), explode(expr(toksSql)).as("word"))
+        .groupBy(col("source"), col("word"))
+        .agg(count(lit(1)).as("freq"))
+        .localCheckpoint() // global dict + the per-source fold
+      val survDict = srcDict.groupBy(col("word"))
+        .agg(sum(col("freq")).cast("long").as("freq"))
+        .localCheckpoint() // trainer (multi-round) + encode input
+      val newMerges = bpeTrainOn(survDict)
+      val mergeDiff = bpeMerges(s, dir)
+        .select(col("round"), col("merged").as("old_sym"),
+          col("pair_freq").as("old_val"))
+        .join(newMerges.select(col("round"), col("merged").as("new_sym"),
+          col("pair_freq").as("new_val")), Seq("round"))
+        .select(concat(lit("merge_"), col("round")).as("item"),
+          col("old_sym"), col("new_sym"), col("old_val"), col("new_val"))
+      val words = survDict.select(col("word"), lit(1L).as("freq"))
+      val encOld = bpeEncodeDict(s, dir, words, BpeRounds)
+        .select(col("word"), col("n_sym").as("o_sym"))
+      val encNew = bpeEncodeDictWith(
+        bpeWideMergesOf(newMerges, BpeRounds), words, BpeRounds)
+        .select(col("word"), col("n_sym").as("n_sym2"))
+      val perSrc = srcDict
+        .join(encOld.hint("shuffle_hash"), Seq("word"))
+        .join(encNew.hint("shuffle_hash"), Seq("word"))
+        .groupBy(col("source"))
+        .agg(sum(col("freq")).cast("long").as("n_words"),
+          sum(col("freq") * col("o_sym")).cast("long").as("old_bpe"),
+          sum(col("freq") * col("n_sym2")).cast("long").as("new_bpe"))
+        .localCheckpoint() // enc rows + fert rows
+      val encRows = perSrc.select(
+        concat(lit("enc_"), col("source")).as("item"),
+        lit("").as("old_sym"), lit("").as("new_sym"),
+        col("old_bpe").as("old_val"), col("new_bpe").as("new_val"))
+      val fertRows = perSrc.select(
+        concat(lit("fert_"), col("source")).as("item"),
+        lit("").as("old_sym"), lit("").as("new_sym"),
+        expr(GovernanceQueries.gridDiv("old_bpe", "n_words")).as("old_val"),
+        expr(GovernanceQueries.gridDiv("new_bpe", "n_words")).as("new_val"))
+      mergeDiff.unionByName(encRows).unionByName(fertRows)
+        .orderBy(col("item"))
+    }),
+
     // --- tokenizer ERASURE-DEBT audit (q268): the BPE family's
     // erasure story, completing the per-artifact matrix q264/q265
     // close for the doc-keyed families. A frozen tokenizer is not
@@ -1561,7 +1781,10 @@ object CorpusQueries extends QueryModule {
           expr(GovernanceQueries.gridDiv("pb", "pw")).cast("long")
             .as("post_micro"),
           col("vocab_words"), col("dead_vocab_words"),
-          expr("dead_vocab_words * 1000000 DIV vocab_words").as("dead_ppm"))
+          // cast-before-multiply (r15 review; the q266 rule): exact in
+          // DECIMAL even if the dictionary ever reached wrap scale
+          expr("CAST(dead_vocab_words AS DECIMAL(38,0)) * 1000000" +
+            " DIV vocab_words").as("dead_ppm"))
         .withColumn("drift_micro", col("post_micro") - col("base_micro"))
         .withColumn("decision",
           when(abs(col("drift_micro")) >= TokenizerDriftMicro ||
@@ -1986,7 +2209,13 @@ object CorpusQueries extends QueryModule {
       val minCnt = counts.agg(min(col("n_src")).as("m"))
       docs.join(broadcast(counts), "source")
         .crossJoin(broadcast(minCnt))
-        .filter(expr(s"$uhashSql * n_src * 2 < m * 4294967296"))
+        // cast-before-multiply (r15 review): u32-hash × per-source
+        // count × 2 wraps a long past ~1.07e9 docs per source (and
+        // m × 2^32 past ~2.1e9) — corpus scales the query's own
+        // scaladoc claims — while the DuckDB oracle errors; DECIMAL/
+        // HUGEINT on both sides keeps the keep-predicate exact
+        .filter(expr(s"CAST($uhashSql AS DECIMAL(38,0)) * n_src * 2" +
+          " < CAST(m AS DECIMAL(38,0)) * 4294967296"))
         .select(col("doc_id"), col("lang"), col("source"))
         .orderBy(col("doc_id"))
     }),
@@ -2258,7 +2487,13 @@ object CorpusQueries extends QueryModule {
       for (_ <- 1 to 3) {
         val sums = edgesDeg.join(ranks, col("src") === col("node"))
           .select(col("dst"), expr("r div deg").as("contrib"))
-          .groupBy(col("dst")).agg(sum(col("contrib")).as("sc"))
+          // DECIMAL(38,0) sum (r15 review): a hub's incoming contrib
+          // sum is in-degree × up-to-1e10 — a long sum wraps around
+          // 1e9 in-edges while the oracle's SUM is HUGEINT-exact; the
+          // 85×damping then multiplies the exact decimal, and only the
+          // final rank lands on the BIGINT envelope
+          .groupBy(col("dst"))
+          .agg(sum(expr("CAST(contrib AS DECIMAL(38,0))")).as("sc"))
         ranks = ranks.select(col("node"))
           .join(sums, col("node") === col("dst"), "left")
           .select(col("node"), (lit(1500000000L) +
@@ -4407,34 +4642,41 @@ object CorpusQueries extends QueryModule {
     * DuckDB inlines un-hinted CTEs per reference — the q230 exponential-
     * plan lesson). Primitives mirror the engine 1:1: string_split pair
     * zip, (pair_freq DESC, lhs, rhs) argmax, ''-guarded literal replace. */
-  private[graft] def bpeOracleCtes: String = {
+  private[graft] def bpeOracleCtes: String = bpeOracleCtesFor("", "")
+
+  /** The training chain with PREFIXED CTE names and an optional corpus
+    * WHERE filter — q273 runs TWO chains (frozen full-corpus + retrain
+    * on survivors) in one oracle query, so the names must not clash
+    * and the dictionary source must be parameterizable. */
+  private[graft] def bpeOracleCtesFor(px: String, where: String): String = {
+    val wh = if (where.isEmpty) "" else s" WHERE $where"
     val head =
-      """w AS MATERIALIZED (
+      s"""${px}w AS MATERIALIZED (
         |  SELECT w AS word, COUNT(*) AS freq FROM (
-        |    SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
-        |    FROM documents) GROUP BY 1),
-        |s0 AS MATERIALIZED (
-        |  SELECT word, freq, ' ' || regexp_replace(word, '(.)', '\1 ', 'g') AS seq
-        |  FROM w)""".stripMargin
+        |    SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+        |    FROM documents$wh) GROUP BY 1),
+        |${px}s0 AS MATERIALIZED (
+        |  SELECT word, freq, ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS seq
+        |  FROM ${px}w)""".stripMargin
     val rounds = (1 to BpeRounds).map { r =>
-      s"""p$r AS MATERIALIZED (
+      s"""${px}p$r AS MATERIALIZED (
          |  SELECT lhs, rhs, CAST(SUM(freq) AS BIGINT) AS pair_freq FROM (
          |    SELECT freq,
          |      unnest(parts[2:length(parts)-2]) AS lhs,
          |      unnest(parts[3:length(parts)-1]) AS rhs
-         |    FROM (SELECT freq, string_split(seq, ' ') AS parts FROM s${r - 1}))
+         |    FROM (SELECT freq, string_split(seq, ' ') AS parts FROM ${px}s${r - 1}))
          |  GROUP BY 1, 2),
-         |b$r AS MATERIALIZED (
-         |  SELECT lhs, rhs, pair_freq FROM p$r
+         |${px}b$r AS MATERIALIZED (
+         |  SELECT lhs, rhs, pair_freq FROM ${px}p$r
          |  ORDER BY pair_freq DESC, lhs, rhs LIMIT 1),
-         |g$r AS MATERIALIZED (
+         |${px}g$r AS MATERIALIZED (
          |  SELECT coalesce(max(lhs), '') AS bl, coalesce(max(rhs), '') AS br
-         |  FROM b$r),
-         |s$r AS MATERIALIZED (
+         |  FROM ${px}b$r),
+         |${px}s$r AS MATERIALIZED (
          |  SELECT word, freq,
          |    replace(seq, ' ' || bl || ' ' || br || ' ',
          |            ' ' || bl || br || ' ') AS seq
-         |  FROM s${r - 1} CROSS JOIN g$r)""".stripMargin
+         |  FROM ${px}s${r - 1} CROSS JOIN ${px}g$r)""".stripMargin
     }
     (head +: rounds).mkString(",\n")
   }
@@ -4872,6 +5114,25 @@ object CorpusQueries extends QueryModule {
         |                (SELECT src AS doc_id FROM sedges
         |                 UNION SELECT dst FROM sedges) sn2
         |              ANTI JOIN smap USING (doc_id)) AS n) x
+        |UNION ALL
+        |SELECT 'maintained_pairs_no_erased_endpoint', CAST(x.n AS BIGINT),
+        |  x.n = 0
+        |FROM (SELECT COUNT(*) AS n FROM (
+        |        SELECT doc_a AS doc_id FROM pairs
+        |        WHERE doc_a % 10 <> 9 AND doc_b % 10 <> 9
+        |        UNION ALL
+        |        SELECT doc_b FROM pairs
+        |        WHERE doc_a % 10 <> 9 AND doc_b % 10 <> 9) se
+        |      SEMI JOIN perased USING (doc_id)) x
+        |UNION ALL
+        |SELECT 'maintained_pairs_census', CAST(x.n AS BIGINT), x.n = 0
+        |FROM (SELECT abs(
+        |        (SELECT COUNT(*) FROM pairs
+        |         WHERE doc_a % 10 <> 9 AND doc_b % 10 <> 9)
+        |        - ((SELECT COUNT(*) FROM pairs)
+        |           - (SELECT COUNT(*) FROM pairs WHERE doc_a % 10 = 9)
+        |           - (SELECT COUNT(*) FROM pairs
+        |              WHERE doc_a % 10 <> 9 AND doc_b % 10 = 9))) AS n) x
         |) ORDER BY chk""".stripMargin,
 
     // q264: the cap-contract rebuild — keys retained iff their
@@ -4888,6 +5149,88 @@ object CorpusQueries extends QueryModule {
         |        FROM sentr WHERE doc_id % 10 <> 9)
         |SELECT ${LlmQueries.wrapSigned("hu")} AS h, doc_id AS d
         |FROM hsv ORDER BY h, d""".stripMargin,
+
+    // q270: ONE rebuild from the union tombstone set — the composition
+    // law's right-hand side. Era chaining on the engine side must land
+    // exactly on the postings a single rebuild-without-both-cohorts
+    // produces.
+    "q270_postings_era_composition" ->
+      s"""WITH t AS MATERIALIZED (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+        |  FROM documents WHERE doc_id % 10 <> 9 AND doc_id % 10 <> 4)
+        |SELECT w, CAST(doc_id // $Bm25BlockStride AS BIGINT) AS blk,
+        |  doc_id AS d, COUNT(*) AS t
+        |FROM t GROUP BY 1, 2, 3
+        |ORDER BY w, blk, d""".stripMargin,
+
+    // q271: the q264 cap-contract rebuild with the UNION cohort
+    // removed — cap on FULL-corpus df (build-time contract), entries
+    // filtered to survivors of both eras.
+    "q271_shingle_era_composition" ->
+      s"""WITH RECURSIVE $clusterOracleCtes,
+        |sentr AS MATERIALIZED (
+        |  SELECT s, doc_id FROM exd WHERE df <= 256),
+        |hsv AS (SELECT ${LlmQueries.fnvSqlOf("s")} AS hu, doc_id
+        |        FROM sentr WHERE doc_id % 10 <> 9 AND doc_id % 10 <> 4)
+        |SELECT ${LlmQueries.wrapSigned("hu")} AS h, doc_id AS d
+        |FROM hsv ORDER BY h, d""".stripMargin,
+
+    // q272: the oracle's OWN pair-graph rebuild filtered to surviving
+    // endpoints — edge-level agreement with the stored compacted
+    // artifact.
+    "q272_pair_graph_compaction" ->
+      s"""WITH RECURSIVE $clusterOracleCtes
+        |SELECT doc_a, doc_b FROM pairs
+        |WHERE doc_a % 10 <> 9 AND doc_b % 10 <> 9
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // q273: BOTH training chains re-run from scratch (frozen on the
+    // full corpus, retrained on survivors — prefixed CTEs), both
+    // encodes of the surviving word set, per-source folds, and the
+    // same half-up micro grid. The frozen chain's s8 already encodes
+    // every surviving word (surviving words ⊆ full dictionary).
+    "q273_tokenizer_rebuild" -> {
+      val mergeRows = (1 to BpeRounds).map { r =>
+        s"""SELECT 'merge_$r' AS item,
+           |  (SELECT lhs || rhs FROM b$r) AS old_sym,
+           |  (SELECT lhs || rhs FROM nb$r) AS new_sym,
+           |  (SELECT pair_freq FROM b$r) AS old_val,
+           |  (SELECT pair_freq FROM nb$r) AS new_val""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH ${bpeOracleCtesFor("", "")},
+        |${bpeOracleCtesFor("n", "doc_id % 10 <> 9")},
+        |srcd AS MATERIALIZED (
+        |  SELECT source, w AS word, COUNT(*) AS freq FROM (
+        |    SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS w
+        |    FROM documents WHERE doc_id % 10 <> 9) GROUP BY 1, 2),
+        |eo AS MATERIALIZED (
+        |  SELECT word,
+        |    length(seq) - length(replace(seq, ' ', '')) - 1 AS o_sym
+        |  FROM s$BpeRounds),
+        |en AS MATERIALIZED (
+        |  SELECT word,
+        |    length(seq) - length(replace(seq, ' ', '')) - 1 AS n_sym2
+        |  FROM ns$BpeRounds),
+        |ps AS MATERIALIZED (
+        |  SELECT source,
+        |    CAST(SUM(freq) AS BIGINT) AS n_words,
+        |    CAST(SUM(freq * o_sym) AS BIGINT) AS old_bpe,
+        |    CAST(SUM(freq * n_sym2) AS BIGINT) AS new_bpe
+        |  FROM srcd JOIN eo USING (word) JOIN en USING (word)
+        |  GROUP BY source)
+        |SELECT * FROM (
+        |$mergeRows
+        |UNION ALL
+        |SELECT 'enc_' || source, '', '', old_bpe, new_bpe FROM ps
+        |UNION ALL
+        |SELECT 'fert_' || source, '', '',
+        |  CAST((2 * CAST(old_bpe AS HUGEINT) * 1000000 + n_words)
+        |    // (2 * n_words) AS BIGINT),
+        |  CAST((2 * CAST(new_bpe AS HUGEINT) * 1000000 + n_words)
+        |    // (2 * n_words) AS BIGINT)
+        |FROM ps
+        |) ORDER BY item""".stripMargin
+    },
 
     // q265: the FULL rebuild the touched-only recompute must equal —
     // recursive CC over the surviving pair graph (stored pairs with
@@ -4990,10 +5333,12 @@ object CorpusQueries extends QueryModule {
         |      AS dv
         |  FROM j),
         |g AS (SELECT
-        |    CAST((2 * bb * 1000000 + bw) // (2 * bw) AS BIGINT) AS base_micro,
-        |    CAST((2 * pb * 1000000 + pw) // (2 * pw) AS BIGINT) AS post_micro,
+        |    CAST((2 * CAST(bb AS HUGEINT) * 1000000 + bw) // (2 * bw)
+        |      AS BIGINT) AS base_micro,
+        |    CAST((2 * CAST(pb AS HUGEINT) * 1000000 + pw) // (2 * pw)
+        |      AS BIGINT) AS post_micro,
         |    nv AS vocab_words, dv AS dead_vocab_words,
-        |    CAST(dv * 1000000 // nv AS BIGINT) AS dead_ppm
+        |    CAST(CAST(dv AS HUGEINT) * 1000000 // nv AS BIGINT) AS dead_ppm
         |  FROM agg)
         |SELECT base_micro, post_micro,
         |  post_micro - base_micro AS drift_micro,
@@ -5168,7 +5513,8 @@ object CorpusQueries extends QueryModule {
         |agg AS (SELECT
         |  (SELECT COUNT(*) FROM deg) AS n_nodes,
         |  (SELECT COUNT(*) FROM pr) AS n_edges,
-        |  (SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) FROM deg) AS n_wedges,
+        |  (SELECT CAST(SUM(CAST(d AS HUGEINT) * (d - 1)) // 2 AS BIGINT)
+        |   FROM deg) AS n_wedges,
         |  (SELECT COUNT(*) FROM pr e1
         |   JOIN pr e2 ON e2.doc_a = e1.doc_b
         |   JOIN pr e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b)
@@ -5716,8 +6062,9 @@ object CorpusQueries extends QueryModule {
         |m AS (SELECT MIN(n_src) AS m FROM c)
         |SELECT doc_id, lang, source
         |FROM documents JOIN c USING (source) CROSS JOIN m
-        |WHERE CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT)
-        |      * n_src * 2 < m * 4294967296
+        |WHERE CAST(CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT)
+        |        AS HUGEINT)
+        |      * n_src * 2 < CAST(m AS HUGEINT) * 4294967296
         |ORDER BY doc_id""".stripMargin,
     "q116_dup_span_strip" ->
       """WITH tk AS (

@@ -19,6 +19,13 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   * key, session windows shuffle on (user, session) with Spark's built-in
   * session merge.
   */
+/** q274's event/state/output rows (top-level so the implicit product
+  * encoders resolve for flatMapGroupsWithState in both modes). */
+case class IngestEv(doc_id: Long, kind: String, dl: Long,
+    ts: java.sql.Timestamp)
+case class IngestState(erased: Boolean, pending: List[Long])
+case class IngestOut(doc_id: Long, action: String, dl: Long)
+
 object StreamingQueries extends QueryModule {
 
   /** Exact order-insensitive double sum (see RelationalQueries doc). */
@@ -724,6 +731,34 @@ object StreamingQueries extends QueryModule {
           sum(when(col("p_ts").isNull, 1L).otherwise(0L))
             .as("n_unconverted"))
         .orderBy(col("user_id"))
+    }),
+
+    // --- INTERLEAVED admission + erasure in ONE stream (q274; r14
+    // verdict item 5): q168/q247 admit and q263/q267 erase on separate
+    // feeds, but a real ingestion stream carries BOTH event kinds, and
+    // the contract only a unified operator can state is cross-kind
+    // ordering: within the quarantine horizon ERASE DOMINATES
+    // regardless of arrival order — in particular, a tombstone
+    // arriving BEFORE its doc's admission must not let the later
+    // admission resurrect the doc. See [[interleavedIngest]]. The gate
+    // runs the batch arm over a deterministic interleave (the ≡3 mod 7
+    // admission cohort × the ≡9 mod 10 RTBF cohort — the overlap ids
+    // are genuine suppressions); StreamingSpec drives the
+    // flatMapGroupsWithState arm through a two-wave MemoryStream whose
+    // second wave carries both kinds, and pins stream ≡ batch.
+    "q274_stream_interleaved_lifecycle" -> ((s, dir) => {
+      val t0 = lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
+      val docs = Tables(s, dir, "documents")
+      val admits = docs.filter(col("doc_id") % 7 === 3)
+        .select(col("doc_id"), lit("admit").as("kind"),
+          size(expr(graft.operators.LlmQueries.toksSql)).cast("long")
+            .as("dl"),
+          t0.as("ts"))
+      val erases = docs.filter(col("doc_id") % 10 === 9)
+        .select(col("doc_id"), lit("erase").as("kind"), lit(0L).as("dl"),
+          t0.as("ts"))
+      interleavedIngest(admits.unionByName(erases))
+        .orderBy(col("doc_id"), col("action"))
     })
   )
 
@@ -738,6 +773,93 @@ object StreamingQueries extends QueryModule {
     * postings frame); the stream side is pure join work. A tombstone for a doc the
     * index never held emits nothing (inner joins) — the sink's signal
     * that the request needs no index maintenance. */
+  /** q274's builder over a unified (doc_id, kind ∈ admit|erase, dl, ts)
+    * event frame — batch OR streaming.
+    *
+    * Contract: within the 1-hour quarantine horizon, erase dominates
+    * admission REGARDLESS of arrival order. Output rows are
+    * (doc_id, action, dl) with action ∈ {admit, suppressed, erase}:
+    * one 'erase' per tombstoned id, 'suppressed' for every admission
+    * killed by a tombstone, 'admit' only for admissions the horizon
+    * proves clean.
+    *
+    * Streaming arm: flatMapGroupsWithState keyed by doc_id with an
+    * EVENT-TIME timeout — tombstones emit their 'erase' immediately
+    * (once; the erased flag dedups replays of the logical kind),
+    * admissions QUARANTINE in state and emit 'admit' only when the
+    * watermark passes their event time + horizon, proving no
+    * in-horizon tombstone can still arrive; a tombstone reaching a
+    * quarantined admission (either order) flips it to 'suppressed' at
+    * once. State per key is O(pending admissions) and the timeout
+    * evicts it, so state is bounded by arrival-rate × horizon — never
+    * stream length. Documented horizon trade (the
+    * dropDuplicatesWithinWatermark precedent): a tombstone more than
+    * one horizon AFTER an admission no longer suppresses it — by then
+    * the admission is admitted and the erasure flows through the q263
+    * ledger/compactor path like any post-admission RTBF.
+    *
+    * Batch arm: the same final table relationally — admissions
+    * anti-join tombstones ('admit'), semi-join ('suppressed'),
+    * distinct tombstones ('erase'); all events of a finite input are
+    * within one horizon, which is exactly the streaming fixpoint.
+    * StreamingSpec pins stream ≡ batch on an interleaved two-wave
+    * geometry including the tombstone-before-admit resurrection case. */
+  def interleavedIngest(ev: DataFrame): DataFrame = {
+    val sess = ev.sparkSession
+    import sess.implicits._
+    if (ev.isStreaming) {
+      import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+      ev.withWatermark("ts", "1 hour")
+        .select(col("doc_id"), col("kind"), col("dl"), col("ts"))
+        .as[IngestEv]
+        .groupByKey(_.doc_id)
+        .flatMapGroupsWithState[IngestState, IngestOut](
+          OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+          (id, evs, state) =>
+            if (state.hasTimedOut) {
+              // watermark passed every pending admission's ts + horizon
+              // with no tombstone seen: they are provably clean
+              val pend = state.get.pending
+              state.remove()
+              pend.map(dl => IngestOut(id, "admit", dl)).iterator
+            } else {
+              val st = state.getOption.getOrElse(IngestState(false, Nil))
+              var erased = st.erased
+              var pending = st.pending
+              var maxTs = Long.MinValue
+              val out = List.newBuilder[IngestOut]
+              evs.foreach { e =>
+                maxTs = math.max(maxTs, e.ts.getTime)
+                if (e.kind == "erase") {
+                  if (!erased) { erased = true; out += IngestOut(id, "erase", 0L) }
+                  pending.foreach(dl => out += IngestOut(id, "suppressed", dl))
+                  pending = Nil
+                } else {
+                  if (erased) out += IngestOut(id, "suppressed", e.dl)
+                  else pending = pending :+ e.dl
+                }
+              }
+              state.update(IngestState(erased, pending))
+              // hold the key (pending admissions OR the erased flag)
+              // for one horizon past its newest event
+              state.setTimeoutTimestamp(maxTs + 3600L * 1000L)
+              out.result().iterator
+            }
+        }.toDF()
+    } else {
+      val er = ev.filter(col("kind") === "erase")
+        .select(col("doc_id")).distinct()
+        .localCheckpoint() // three consumers below
+      val ad = ev.filter(col("kind") === "admit")
+      ad.join(broadcast(er), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), lit("admit").as("action"), col("dl"))
+        .unionByName(ad.join(broadcast(er), Seq("doc_id"), "left_semi")
+          .select(col("doc_id"), lit("suppressed").as("action"), col("dl")))
+        .unionByName(er.select(col("doc_id"), lit("erase").as("action"),
+          lit(0L).as("dl")))
+    }
+  }
+
   def tombstoneLedger(s: SparkSession, dels: DataFrame,
       postings: DataFrame, doclen: DataFrame): DataFrame = {
     val touch = postings
@@ -1039,6 +1161,23 @@ object StreamingQueries extends QueryModule {
         |FROM c LEFT JOIN p ON p.p_user = c.user_id
         |  AND p.p_ts > c.c_ts AND p.p_ts <= c.c_ts + INTERVAL 1 HOUR
         |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin,
+
+    // q274: erase dominates within the (finite-input) horizon — admits
+    // anti/semi-joined against the tombstone cohort, one erase row per
+    // tombstoned id, dl re-derived from the text directly.
+    "q274_stream_interleaved_lifecycle" ->
+      """WITH a AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS dl
+        |  FROM documents WHERE doc_id % 7 = 3),
+        |e AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 9)
+        |SELECT * FROM (
+        |SELECT doc_id, 'admit' AS action, dl FROM a ANTI JOIN e USING (doc_id)
+        |UNION ALL
+        |SELECT doc_id, 'suppressed', dl FROM a SEMI JOIN e USING (doc_id)
+        |UNION ALL
+        |SELECT doc_id, 'erase', CAST(0 AS BIGINT) FROM e
+        |) ORDER BY doc_id, action""".stripMargin,
 
     "q64_stream_dedup" ->
       """WITH corpus AS (

@@ -1119,7 +1119,15 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // CartesianProduct.
     for (q <- Seq("q264_decremental_shingle_index",
         "q265_cluster_map_maintenance", "q266_rebuild_trigger",
-        "q267_stream_sem_tombstone", "q268_tokenizer_erasure_debt")) {
+        "q267_stream_sem_tombstone", "q268_tokenizer_erasure_debt",
+        // r15 growth: era composition (q270/q271) re-runs the same
+        // compactors on memoized era-1 outputs; q272 is two anti-joins;
+        // q273's only cross joins are broadcast 1-row merge frames;
+        // q274's batch arm is broadcast anti/semi against the distinct
+        // tombstone set
+        "q270_postings_era_composition", "q271_shingle_era_composition",
+        "q272_pair_graph_compaction", "q273_tokenizer_rebuild",
+        "q274_stream_interleaved_lifecycle")) {
       val p = plan(q)
       assert(!p.contains("SortMergeJoin"), s"$q: ${p.take(4000)}")
       assert(!p.contains("CartesianProduct"), s"$q: ${p.take(4000)}")

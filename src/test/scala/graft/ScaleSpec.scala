@@ -542,6 +542,64 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"cap-excluded key 500 must stay out; emptied 300 drops: $got")
   }
 
+  test("q270/q271 era composition on planted frames: compact∘compact ≡ compact with the union tombstone set") {
+    import graft.operators.CorpusQueries
+    val sp = spark
+    import sp.implicits._
+    val B = CorpusQueries.Bm25BlockStride
+    // postings: era 1 erases in block 1 (rewrites it), era 2 erases in
+    // block 0 (untouched by era 1) AND AGAIN in block 1 (already
+    // rewritten once — the geometry that catches a compactor that
+    // skips era-1 output blocks); block 2 stays untouched both eras
+    val post = Seq(
+      ("alpha", 0L, Seq((7L, 2L), (3L, 1L))),
+      ("alpha", 1L, Seq((B + 5L, 4L), (B + 1L, 9L), (B + 2L, 3L))),
+      ("beta", 2L, Seq((2 * B + 3L, 1L)))
+    ).toDF("w", "blk", "pe")
+      .select(col("w"), col("blk"),
+        expr("transform(pe, x -> struct(x._1 AS d, x._2 AS t))").as("posting"))
+    val d1 = Seq(B + 1L).toDF("doc_id")
+    val d2 = Seq(3L, B + 2L).toDF("doc_id")
+    def flat(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("w"), col("blk"),
+        expr("transform(posting, x -> concat(x.d, ':', x.t))").as("p"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getSeq[String](2).toList))
+      .toSet
+    val chained = flat(CorpusQueries.compactPostings(
+      CorpusQueries.compactPostings(post, d1), d2))
+    val union = flat(CorpusQueries.compactPostings(post,
+      d1.unionByName(d2)))
+    assert(chained == union, s"chained $chained vs union $union")
+    assert(chained == Set(
+      ("alpha", 0L, List("7:2")),
+      ("alpha", 1L, List(s"${B + 5}:4")),
+      ("beta", 2L, List(s"${2 * B + 3}:1"))), s"got $chained")
+    // shingle index: era 2 touches a key era 1 already rewrote (100),
+    // empties a key era 1 left whole (200), and leaves 400 untouched;
+    // the pre-era forward frame serves both eras (disjoint cohorts —
+    // the q271 scaladoc contract)
+    val forward = Seq(
+      (1L, Seq(100L)), (2L, Seq(100L, 200L)),
+      (3L, Seq(200L)), (5L, Seq(400L))
+    ).toDF("doc_id", "hs")
+    val idx = Seq(
+      (100L, Seq(1L, 2L)), (200L, Seq(2L, 3L)), (400L, Seq(5L))
+    ).toDF("h", "docs")
+    val sd1 = Seq(2L).toDF("doc_id")
+    val sd2 = Seq(3L).toDF("doc_id")
+    def sflat(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("h"), expr("array_sort(docs)").as("docs"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toList)).toMap
+    val sChained = sflat(CorpusQueries.compactShingleIndexFrames(forward,
+      CorpusQueries.compactShingleIndexFrames(forward, idx, sd1), sd2))
+    val sUnion = sflat(CorpusQueries.compactShingleIndexFrames(forward,
+      idx, sd1.unionByName(sd2)))
+    assert(sChained == sUnion, s"chained $sChained vs union $sUnion")
+    assert(sChained == Map(100L -> List(1L), 400L -> List(5L)),
+      s"200 must empty across eras: $sChained")
+  }
+
   test("q265 cluster maintenance: a deleted cut vertex SPLITS its cluster; labels reflow; edge-less survivors drop; untouched clusters keep labels") {
     import graft.operators.CorpusQueries
     // Four planted clusters exercise the four hard cases the gate

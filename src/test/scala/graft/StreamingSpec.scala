@@ -519,6 +519,74 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("q274 interleaved ingest: tombstone-before-admit cannot resurrect; stream ≡ batch") {
+    import graft.streaming.IngestEv
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val mem = MemoryStream[IngestEv]
+    val q = StreamingQueries.interleavedIngest(mem.toDF())
+      .writeStream.format("memory").queryName("interleave")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // wave 1: admit 1 (quarantined), erase 2 (its admission never
+      // arrives), admit 3 (quarantined)
+      mem.addData(
+        IngestEv(1L, "admit", 10L, ts("2024-01-01T10:00:00Z")),
+        IngestEv(2L, "erase", 0L, ts("2024-01-01T10:00:00Z")),
+        IngestEv(3L, "admit", 7L, ts("2024-01-01T10:05:00Z")))
+      q.processAllAvailable()
+      // wave 2 carries BOTH kinds in one micro-batch: erase 3 kills the
+      // quarantined admission; id 4 gets tombstone THEN admission — the
+      // resurrection geometry the contract forbids (and the per-key
+      // logic is arrival-order-insensitive inside a batch, so either
+      // iterator order lands on erase+suppressed); admit 5 late enough
+      // to advance the watermark
+      mem.addData(
+        IngestEv(3L, "erase", 0L, ts("2024-01-01T10:10:00Z")),
+        IngestEv(4L, "erase", 0L, ts("2024-01-01T10:20:00Z")),
+        IngestEv(4L, "admit", 9L, ts("2024-01-01T10:30:00Z")),
+        IngestEv(5L, "admit", 5L, ts("2024-01-01T13:00:00Z")))
+      q.processAllAvailable()
+      // watermark advances at end-of-batch, and the no-data micro-batch
+      // Spark appends when the watermark moves fires the event-time
+      // timeouts right away — so each tick here matures every
+      // quarantine whose ts + 1h the new watermark passed: wave 2
+      // (wm 12:00) matures ids 1/3/4's state, 6's tick (wm 15:00)
+      // matures 5, 7's tick (wm 18:00) nothing, 8's tick (wm 21:00)
+      // matures 7; 8 itself (timeout 23:00) stays quarantined
+      mem.addData(IngestEv(6L, "admit", 1L, ts("2024-01-01T16:00:00Z")))
+      q.processAllAvailable()
+      mem.addData(IngestEv(7L, "admit", 2L, ts("2024-01-01T19:00:00Z")))
+      q.processAllAvailable()
+      mem.addData(IngestEv(8L, "admit", 3L, ts("2024-01-01T22:00:00Z")))
+      q.processAllAvailable()
+      val streamed = sp.table("interleave").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(streamed == Set(
+        (1L, "admit", 10L), (2L, "erase", 0L),
+        (3L, "erase", 0L), (3L, "suppressed", 7L),
+        (4L, "erase", 0L), (4L, "suppressed", 9L),
+        (5L, "admit", 5L), (6L, "admit", 1L), (7L, "admit", 2L)))
+      // stream ≡ batch on the matured prefix (ids 1-7; 8 is still in
+      // quarantine when the run stops — the batch arm of the SAME
+      // builder over the same events produces exactly the stream's set)
+      val matured = Seq(
+        IngestEv(1L, "admit", 10L, ts("2024-01-01T10:00:00Z")),
+        IngestEv(2L, "erase", 0L, ts("2024-01-01T10:00:00Z")),
+        IngestEv(3L, "admit", 7L, ts("2024-01-01T10:05:00Z")),
+        IngestEv(3L, "erase", 0L, ts("2024-01-01T10:10:00Z")),
+        IngestEv(4L, "erase", 0L, ts("2024-01-01T10:20:00Z")),
+        IngestEv(4L, "admit", 9L, ts("2024-01-01T10:30:00Z")),
+        IngestEv(5L, "admit", 5L, ts("2024-01-01T13:00:00Z")),
+        IngestEv(6L, "admit", 1L, ts("2024-01-01T16:00:00Z")),
+        IngestEv(7L, "admit", 2L, ts("2024-01-01T19:00:00Z")))
+      val batched = StreamingQueries.interleavedIngest(matured.toDF())
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(batched == streamed)
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark: suppressed in-horizon, re-admitted after eviction") {
     val sp = spark
     import sp.implicits._
