@@ -2096,7 +2096,10 @@ object CorpusQueries extends QueryModule {
     "q108_weighted_sample" -> ((s, dir) => {
       Tables(s, dir, "documents")
         .withColumn("u", expr(uhashSql))
-        .filter(col("u") * lit(2000L) < col("n_chars") * lit(4294967296L))
+        // n_chars rides DECIMAL (r15 review; the q266 rule): a multi-GB
+        // document's n_chars × 2^32 would wrap a long where the oracle
+        // errors — the u × 2000 side stays long (≤ 8.6e12 always)
+        .filter(expr("u * 2000 < CAST(n_chars AS DECIMAL(38,0)) * 4294967296"))
         .select(col("doc_id"), col("n_chars"))
         .orderBy(col("doc_id"))
     }),
@@ -5887,7 +5890,7 @@ object CorpusQueries extends QueryModule {
     "q108_weighted_sample" ->
       """SELECT doc_id, n_chars FROM documents
         |WHERE CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) * 2000
-        |      < n_chars * 4294967296
+        |      < CAST(n_chars AS HUGEINT) * 4294967296
         |ORDER BY doc_id""".stripMargin,
     "q103_top_nested_others" ->
       """WITH c AS (SELECT lang, source, COUNT(*) AS n

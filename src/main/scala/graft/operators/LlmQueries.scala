@@ -200,8 +200,10 @@ object LlmQueries extends QueryModule {
     // shuffle_hash: both sides are large and uniformly keyed (the df cap
     // is exactly what makes the key distribution uniform), so hashing
     // beats sort-merge — no sort of the exploded index (measured
-    // 9.4s->5.1s at sf0.1 on the uncapped ancestor of this join).
-    val capped = idx2.join(hot, Seq("h"), "left_anti").hint("shuffle_hash")
+    // 9.4s->5.1s at sf0.1 on the uncapped ancestor of this join) —
+    // gated on the per-task build budget like the uncapped sibling
+    val capped = gatedShuffleHash(
+      idx2.join(hot, Seq("h"), "left_anti"), shingleRowCount(docsets))
     val a = capped.select(col("doc_id").as("doc_a"), col("sz").as("sz_a"),
       col("nhot").as("nhot_a"), col("h"))
     val b = capped.select(col("doc_id").as("doc_b"), col("sz").as("sz_b"),
@@ -285,6 +287,35 @@ object LlmQueries extends QueryModule {
     * from the merge scan over the full per-doc sorted arrays (hot
     * shingles included), so reported scores are exact regardless of the
     * cap. */
+  /** Force shuffle_hash ONLY while every task's hash build fits the
+    * execution-memory budget. The hint removes Spark's sort-merge
+    * fallback, and the exploded-index self-join's build side grows
+    * linearly with the corpus at a fixed shuffle-partition count — the
+    * round-15 ×100 probe broke exactly here ("Can't acquire 67108864
+    * bytes memory to build hash relation" inside q265's pair-graph
+    * stage build). Under the cap the measured ~2× win over sort-merge
+    * stands (the r9 9.4→5.1 s measurement); over it the un-hinted join
+    * plans sort-merge, which sorts-and-spills gracefully at any scale
+    * — and on a real cluster AQE still picks broadcast/skew handling
+    * where the runtime stats allow. ~48 bytes/row covers the
+    * unsafe-row (doc_id, sz[, nhot], h) build payload; the 32 MB/task
+    * budget sits well inside the per-task execution slice at local[32]
+    * and any sane executor sizing. */
+  private def gatedShuffleHash(df: DataFrame, buildRows: Long): DataFrame = {
+    val parts = math.max(scala.util.Try(
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
+      .getOrElse(200), 1)
+    if (buildRows / parts * 48L <= 32L * 1024 * 1024) df.hint("shuffle_hash")
+    else df
+  }
+
+  /** Total exploded-shingle rows of a docsets frame = the self-join's
+    * build-side cardinality. One tiny agg over the (checkpointed)
+    * per-doc frame — never an exploded-index scan. */
+  private def shingleRowCount(docsets: DataFrame): Long =
+    Option(docsets.agg(sum(col("sz")).cast("long")).head.get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+
   private[graft] def jaccardPairsCapped(docsets: DataFrame, cap: Int,
       minJac: Double): DataFrame = {
     val idx = docsets.select(col("doc_id"), col("sz"), explode(col("hs")).as("h"))
@@ -303,7 +334,7 @@ object LlmQueries extends QueryModule {
       s"[graft] shingle df-cap $cap ACTIVE: capped candidate path engaged " +
         "(oracle replicates the cap, parity preserved)")
     if (!anyHot) {
-      val i2 = idx.hint("shuffle_hash")
+      val i2 = gatedShuffleHash(idx, shingleRowCount(docsets))
       val a = i2.select(col("doc_id").as("doc_a"), col("sz").as("sz_a"), col("h"))
       val b = i2.select(col("doc_id").as("doc_b"), col("sz").as("sz_b"), col("h"))
       a.join(b, Seq("h")).filter(col("doc_a") < col("doc_b"))
@@ -702,6 +733,14 @@ object LlmQueries extends QueryModule {
   // is why del broadcasts here and in the q256/q257/q264 siblings; a
   // deployment facing corpus-scale deletion runs the scheduled rebuild
   // instead of compaction (the q266 trigger's 'rebuild' arm).
+  // ERA COMPOSITION (the q270/q271 law for this family): composes by
+  // construction and needs no chained gate — member compaction is a
+  // pure row filter (anti-join on vec_id, no regroup, no cap), so
+  // compact(compact(M, d₁), d₂) and compact(M, d₁ ∪ d₂) are the same
+  // relational expression; the pair-graph artifact (q272) composes
+  // identically. The postings/shingle compactors DO need the chained
+  // proof (q270/q271) because their untouched-branch routing and
+  // emptied-key drops are era-dependent.
   private[graft] def compactMembers(members: DataFrame, del: DataFrame): DataFrame = {
     val delCells = members.join(del, Seq("vec_id"), "left_semi")
       .select(col("cell")).distinct()
