@@ -899,6 +899,68 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("q274 quarantine state survives a query RESTART: pending admissions recover, a post-restart tombstone still kills them, timeouts still mature them") {
+    // The q263 restart discipline applied to the interleaved-lifecycle
+    // operator, whose state is RICHER than a dedup seen-set: the
+    // flatMapGroupsWithState store holds quarantined admissions (a
+    // pending list + an event-time timeout) and erased flags, and ALL
+    // of it must recover from the checkpoint for the erase-dominates
+    // contract to hold across a redeploy. Geometry: ids 1 and 3 are
+    // in-quarantine when the query stops; after the restart a
+    // tombstone for 3 must still suppress it (recovered pending list)
+    // and the watermark must still mature 1 into an admit (recovered
+    // timeout), with id 4's later admission maturing in a third run.
+    val sp = spark
+    import sp.implicits._
+    import graft.streaming.IngestEv
+    val root = java.nio.file.Files.createTempDirectory("graft-q274-restart")
+    val srcDir = s"$root/src"; val ckpt = s"$root/ckpt"
+    val outDir = s"$root/out"
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", "long").add("kind", "string")
+      .add("dl", "long").add("ts", "timestamp")
+    def start() = StreamingQueries.interleavedIngest(
+        sp.readStream.schema(schema).parquet(srcDir))
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).start()
+    def emitted(): Set[(Long, String, Long)] =
+      sp.read.parquet(outDir).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    def emit(evs: IngestEv*): Unit =
+      evs.toSeq.toDF().coalesce(1).write.mode("append").parquet(srcDir)
+    try {
+      emit(IngestEv(1L, "admit", 10L, ts("2024-01-01T10:00:00Z")),
+        IngestEv(2L, "erase", 0L, ts("2024-01-01T10:00:00Z")),
+        IngestEv(3L, "admit", 7L, ts("2024-01-01T10:05:00Z")))
+      val q1 = start()
+      try { q1.processAllAvailable() } finally q1.stop()
+      assert(emitted() == Set((2L, "erase", 0L)),
+        "ids 1 and 3 must still be in quarantine at the stop")
+      // post-restart: the tombstone for quarantined 3, and a late admit
+      // that advances the watermark past 1's maturity
+      emit(IngestEv(3L, "erase", 0L, ts("2024-01-01T10:10:00Z")),
+        IngestEv(4L, "admit", 9L, ts("2024-01-01T13:00:00Z")))
+      val q2 = start()
+      try { q2.processAllAvailable() } finally q2.stop()
+      assert(emitted() == Set((2L, "erase", 0L), (3L, "erase", 0L),
+        (3L, "suppressed", 7L), (1L, "admit", 10L)),
+        s"recovered state must suppress 3 and mature 1: ${emitted()}")
+      // third run matures 4 (wm 15:00 > 14:00)
+      emit(IngestEv(5L, "admit", 1L, ts("2024-01-01T16:00:00Z")))
+      val q3 = start()
+      try { q3.processAllAvailable() } finally q3.stop()
+      assert(emitted() == Set((2L, "erase", 0L), (3L, "erase", 0L),
+        (3L, "suppressed", 7L), (1L, "admit", 10L), (4L, "admit", 9L)),
+        s"4 must mature across the second restart: ${emitted()}")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(root.toFile)
+    }
+  }
+
   test("q263 ledger state survives a query RESTART: checkpointed file-source waves; a tombstone replayed after the restart stays deduped") {
     // Stronger than the two-wave MemoryStream replay above: that proves
     // exactly-once WITHIN one query run; this proves it ACROSS a stop/
