@@ -109,7 +109,9 @@ object Bench {
     // shipped by its compaction/maintenance query and read again by
     // the q262 validate-then-swap audit
     "compacted_postings", "compacted_members", "compacted_shingle",
-    "maintained_clusters")
+    "maintained_clusters",
+    // r15: the fifth maintenance output (q272's compacted pair graph)
+    "maintained_pairs")
 
   private val B62 =
     "0123456789abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"

@@ -268,7 +268,8 @@ class StageMemoSpec extends AnyFunSuite with BeforeAndAfterAll {
         "q245_incremental_semdedup", "q249_incremental_components",
         "q152_simhash_pairs", "q165_subword_tokens", "q251_bm25",
         "q257_index_compaction", "q259_sem_index_compaction",
-        "q264_decremental_shingle_index", "q265_cluster_map_maintenance"))
+        "q264_decremental_shingle_index", "q265_cluster_map_maintenance",
+        "q272_pair_graph_compaction"))
       SparkEntry.queries(q)(spark, dir).count()
     val built = StageMemo.buildTimes.map(_._1).toSet
     assert(built == Bench.KnownStages.toSet,
