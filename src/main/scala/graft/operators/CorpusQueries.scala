@@ -153,9 +153,14 @@ object CorpusQueries extends QueryModule {
       val bests = (1 to BpeRounds).map { r =>
         val pairs = seqs
           .withColumn("parts", split(col("seq"), " "))
+          // greatest(..., 0): the EMPTY word (a whitespace-only doc
+          // tokenizes to "") yields seq " " → 2 parts → length -3 = -1,
+          // which Spark's slice REJECTS while DuckDB's list slice
+          // degrades to [] — r15 hostile-corpus finding (eight BPE
+          // queries crashed); clamped, both engines see zero pairs
           .select(col("freq"), explode(expr(
-            "zip_with(slice(parts, 2, size(parts) - 3)," +
-              " slice(parts, 3, size(parts) - 3)," +
+            "zip_with(slice(parts, 2, greatest(size(parts) - 3, 0))," +
+              " slice(parts, 3, greatest(size(parts) - 3, 0))," +
               " (x, y) -> struct(x AS lhs, y AS rhs))")).as("p"))
           .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
           .agg(sum(col("freq")).cast("long").as("pair_freq"))

@@ -3560,14 +3560,23 @@ object LlmQueries extends QueryModule {
         |WHERE round(list_dot_product(a.v, b.v) /
         |  (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.99
         |ORDER BY vec_a, vec_b""".stripMargin,
+    // BYTE-level head, not codepoints (r15 hostile-corpus finding):
+    // the engine reads the first 8 raw UTF-8 bytes; ascii(substr(..))
+    // returned CODEPOINTS (wrong values and counts on multi-byte
+    // chars) and CAST(text AS BLOB) errors on non-ascii where
+    // encode() is the defined STRING→UTF-8-bytes conversion. Short
+    // docs emit exactly their byte count, empty docs ''.
     "q40_multimodal" ->
-      """SELECT doc_id,
-        |  octet_length(CAST(text AS BLOB)) AS n_bytes,
-        |  array_to_string(list_transform(range(1, 9),
-        |    i -> ascii(substr(text, CAST(i AS INT), 1))), ',') AS head_bytes,
-        |  octet_length(CAST(text AS BLOB)) % 640 AS fake_width,
+      """WITH b AS (SELECT doc_id, encode(text) AS bb FROM documents)
+        |SELECT doc_id,
+        |  octet_length(bb) AS n_bytes,
+        |  coalesce(array_to_string(list_transform(
+        |    range(1, CAST(least(octet_length(bb), 8) AS BIGINT) + 1),
+        |    i -> CAST(('0x' || substr(hex(bb), CAST(2*i-1 AS INT), 2))
+        |           AS INT)), ','), '') AS head_bytes,
+        |  octet_length(bb) % 640 AS fake_width,
         |  3 AS fake_channels
-        |FROM documents ORDER BY doc_id""".stripMargin,
+        |FROM b ORDER BY doc_id""".stripMargin,
     // Round-trip contract for the ISO-BMFF walk: the engine built the
     // container from these exact formulas, so the oracle recomputes the
     // parse result independently; any byte-layout bug in mkMp4 OR

@@ -37,6 +37,22 @@ class BpeSpec extends AnyFunSuite with BeforeAndAfterAll {
         r.getString(3), r.getLong(4)))
   }
 
+  test("the EMPTY word trains without crashing and contributes zero pairs") {
+    // A whitespace-only document tokenizes to "" (split('', ws) is ['']
+    // in both engines), so the empty word reaches every dictionary.
+    // Its seq " " has 2 split parts -> pair-slice length -1, which
+    // Spark's slice REJECTS while DuckDB's list slice degrades to [] —
+    // the r15 hostile-corpus crash that took down all eight BPE
+    // queries; the greatest(...,0) clamp restores the DuckDB-parity
+    // zero-pairs degrade. The merges must be exactly those of the same
+    // dictionary WITHOUT the empty word.
+    val withEmpty = train("" -> 100L, "ab" -> 3L, "abab" -> 2L)
+    val without = train("ab" -> 3L, "abab" -> 2L)
+    assert(withEmpty.toSeq == without.toSeq,
+      s"empty word must be pair-neutral: $withEmpty vs $without")
+    assert(withEmpty.head._2 == "a" && withEmpty.head._3 == "b")
+  }
+
   test("same-symbol run: boundary-consuming replace merges every OTHER occurrence per pass") {
     // The documented run convention (see bpeMerges): the ' a a '
     // pattern consumes both boundary spaces, so ' a a a a ' -> round 1
