@@ -35,9 +35,27 @@ object SparkEntry {
     modules.flatMap(_.queries).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    *
+    * Every `FROM embeddings` is uniformly rewritten to read through the
+    * vector-validation predicate ([[operators.LlmQueries.VecValidDuckSql]])
+    * — the oracle mirror of the engine's
+    * [[operators.LlmQueries.vecTable]] ingestion tier, applied in ONE
+    * place so no individual oracle can fork the admitted population
+    * (r15 hostile-corpus sweep). On clean corpora the predicate keeps
+    * every row, so no clean-data hash moves. */
   def oracleSql: Map[String, String] =
-    modules.flatMap(_.oracles).toMap
+    modules.flatMap(_.oracles).toMap.map { case (k, sql) =>
+      k -> sql
+        .replace("FROM embeddings",
+          "FROM (SELECT * FROM embeddings WHERE " +
+            operators.LlmQueries.VecValidDuckSql + ") embeddings")
+        // anonymous subquery (no re-alias) so `FROM events e ...` sites
+        // keep their own alias; the predicate text parses in both
+        // engines, see Tables.EventsValidSql
+        .replace("FROM events",
+          "FROM (SELECT * FROM events WHERE " + Tables.EventsValidSql + ")")
+    }
 
   /** Container-typed (array/struct/map) columns of a gate output schema
     * — the r12 q257 postmortem's contract: the correctness driver sorts

@@ -21,6 +21,27 @@ object Tables {
     else spark.read.parquet(path)
   }
 
+  /** The VALIDATED events surface every analytics query reads — the
+    * ingestion-validation tier for the metric column (the r15
+    * hostile-corpus finding, the events sibling of
+    * `LlmQueries.vecTable`): a NaN/Inf value would fail every
+    * DECIMAL(38,6) exact-sum cast under ANSI, and a |value| beyond 1e12
+    * overflows the micro-grid BIGINT casts the trend/quantile queries
+    * run on (engine CAST_OVERFLOW throws where DuckDB's behavior
+    * differs per site). NULL value stays admitted — a missing metric is
+    * legitimate and every aggregate already skips it. The oracle side
+    * applies the identical predicate via SparkEntry's uniform `FROM
+    * events` rewrite, so the two engines share one population; on
+    * clean corpora the filter keeps every row. Pushed-down map-side
+    * filter — no exchange. */
+  def events(spark: SparkSession, dir: String): DataFrame =
+    apply(spark, dir, "events").filter(expr(EventsValidSql))
+
+  /** The validity predicate — identical text parses in Spark SQL and
+    * DuckDB, so ONE string serves both engines. */
+  val EventsValidSql: String =
+    "value IS NULL OR (NOT isnan(value) AND abs(value) <= 1000000000000.0)"
+
   /** events.ts has shipped as two different physical types across testdata
     * generations: parquet TIMESTAMP(NANOS) — which Spark's vectorized
     * reader rejects outright unless spark.sql.legacy.parquet.nanosAsLong

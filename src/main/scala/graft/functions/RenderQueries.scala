@@ -36,7 +36,7 @@ object RenderQueries extends QueryModule {
     // --- TIMESTAMP(NANOS) ingestion (events): nanos -> micros -> millis
     // truncation chain + ISO/date render (converter.rs:114-120,334-343).
     "q20_render_events" -> ((s, dir) => {
-      Tables(s, dir, "events")
+      Tables.events(s, dir)
         .select(
           col("event_id"),
           timestampIso(col("ts")).as("iso_ts"),

@@ -1276,7 +1276,7 @@ object CorpusQueries extends QueryModule {
       val (cells, members) = LlmQueries.semIndex(s, dir)
       val c6 = chk("sem_one_residency_per_vector",
         members.agg(count(lit(1)).as("nm"))
-          .crossJoin(Tables(s, dir, "embeddings").select(col("vec_id"))
+          .crossJoin(LlmQueries.vecTable(s, dir).select(col("vec_id"))
             .agg(count(lit(1)).as("ne")))
           .select(abs(col("nm") - col("ne")).as("observed")))
       val c7 = chk("sem_residency_cell_exists",
@@ -1326,7 +1326,7 @@ object CorpusQueries extends QueryModule {
           .agg(count(lit(1)).as("observed")))
       val c14 = chk("sem_members_vecs_in_embeddings",
         members.select(col("vec_id"))
-          .join(Tables(s, dir, "embeddings").select(col("vec_id"))
+          .join(LlmQueries.vecTable(s, dir).select(col("vec_id"))
             .hint("shuffle_hash"), Seq("vec_id"), "left_anti")
           .agg(count(lit(1)).as("observed")))
       val c15 = chk("cluster_map_docs_in_corpus",
@@ -1389,7 +1389,7 @@ object CorpusQueries extends QueryModule {
       val c3 = chk("compacted_postings_block_geometry",
         centries.filter(expr(s"doc_id DIV $Bm25BlockStride") =!= col("blk"))
           .agg(count(lit(1)).as("observed")))
-      val delV = Tables(s, dir, "embeddings")
+      val delV = LlmQueries.vecTable(s, dir)
         .filter(col("vec_id") % 5 === 2).select(col("vec_id"))
         .localCheckpoint() // consumed by the erased scan
       val cmem = LlmQueries.compactedMembers(s, dir)
@@ -1398,7 +1398,7 @@ object CorpusQueries extends QueryModule {
           .agg(count(lit(1)).as("observed")))
       val c5 = chk("compacted_members_census",
         cmem.agg(count(lit(1)).as("na"))
-          .crossJoin(Tables(s, dir, "embeddings")
+          .crossJoin(LlmQueries.vecTable(s, dir)
             .filter(col("vec_id") % 5 =!= 2)
             .agg(count(lit(1)).as("nb")))
           .select(abs(col("na") - col("nb")).as("observed")))
@@ -5038,7 +5038,8 @@ object CorpusQueries extends QueryModule {
         |UNION ALL
         |SELECT 'sem_members_vecs_in_embeddings', CAST(x.n AS BIGINT), x.n = 0 FROM (
         |  SELECT COUNT(*) AS n FROM (SELECT vec_id FROM exa) ea
-        |    ANTI JOIN embeddings USING (vec_id)) x
+        |    ANTI JOIN (SELECT vec_id FROM embeddings) embeddings
+        |    USING (vec_id)) x
         |UNION ALL
         |SELECT 'cluster_map_docs_in_corpus', CAST(x.n AS BIGINT), x.n = 0 FROM (
         |  SELECT COUNT(*) AS n FROM clus ANTI JOIN corpus USING (doc_id)) x

@@ -17,7 +17,7 @@ import org.apache.spark.sql.types.DecimalType
 object EventAnalytics extends QueryModule {
 
   private def events(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "events")
+    Tables.events(s, dir)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 

@@ -30,7 +30,7 @@ object ExtendedQueries extends QueryModule {
     // happens inside codegen, and the multi-second first-call warm-up the
     // path-based accessor pays never happens.
     "q41_dynamic_json" -> ((s, dir) => {
-      Tables(s, dir, "events")
+      Tables.events(s, dir)
         .select(col("event_type"),
           from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
             org.apache.spark.sql.types.StructField("k",
@@ -53,7 +53,7 @@ object ExtendedQueries extends QueryModule {
       // lenient the same way), not throw mid-query — the same
       // task-killer class the media fuzz caught in ImageIO. Identical
       // results on well-formed input.
-      Tables(s, dir, "events")
+      Tables.events(s, dir)
         .select(col("event_id"), try_parse_json(col("props")).as("v"))
         .select(col("event_id"),
           // try_variant_get (r14 review): the strict form throws on a
@@ -79,7 +79,7 @@ object ExtendedQueries extends QueryModule {
       // engine-dependent order — the q90/q106/q54 determinism rule
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("ts"), col("event_id"))
-      Tables(s, dir, "events")
+      Tables.events(s, dir)
         .filter(col("user_id") < 10)
         .select(col("user_id"), col("ts"),
           (unix_millis(col("ts")) - unix_millis(lag(col("ts"), 1).over(w)))
@@ -125,7 +125,7 @@ object ExtendedQueries extends QueryModule {
 
     // --- pivot: event-type columns per day (conditional-agg reshaping).
     "q47_pivot" -> ((s, dir) => {
-      Tables(s, dir, "events")
+      Tables.events(s, dir)
         .groupBy(date_trunc("day", col("ts")).as("day"))
         .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
         .agg(count(lit(1)))
@@ -479,14 +479,14 @@ object ExtendedQueries extends QueryModule {
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q41_dynamic_json" ->
       """SELECT event_type, COUNT(*) AS n,
-        |  CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
-        |  MIN(TRY_CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
-        |  MAX(TRY_CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+        |  CAST(SUM(TRY_CAST(json_extract_string(CASE WHEN json_valid(props) THEN props END, '$.k') AS INT)) AS BIGINT) AS sum_k,
+        |  MIN(TRY_CAST(json_extract_string(CASE WHEN json_valid(props) THEN props END, '$.k') AS INT)) AS min_k,
+        |  MAX(TRY_CAST(json_extract_string(CASE WHEN json_valid(props) THEN props END, '$.k') AS INT)) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q28_variant_json" ->
-      """SELECT event_id, TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k
+      """SELECT event_id, TRY_CAST(json_extract_string(CASE WHEN json_valid(props) THEN props END, '$.k') AS INT) AS k
         |FROM events
-        |WHERE TRY_CAST(json_extract_string(props, '$.k') AS INT) > 90
+        |WHERE TRY_CAST(json_extract_string(CASE WHEN json_valid(props) THEN props END, '$.k') AS INT) > 90
         |ORDER BY event_id""".stripMargin,
     "q42_cube" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n

@@ -51,7 +51,7 @@ object GovernanceQueries extends QueryModule {
     * time-span × alphabet). */
   private def restoredGrid(s: SparkSession, dir: String,
       bucketSeconds: Long, bucketName: String): DataFrame = {
-    val obs = Tables(s, dir, "events")
+    val obs = Tables.events(s, dir)
       .select((unix_timestamp(col("ts")) / bucketSeconds).cast("long")
         .as(bucketName), col("event_type"))
       .groupBy(col(bucketName), col("event_type"))
@@ -111,7 +111,7 @@ object GovernanceQueries extends QueryModule {
     // a stateless gate query) but the merge path is the one under test.
     "q206_incremental_agg" -> ((s, dir) => {
       val cutoff = lit("2024-01-24 00:00:00").cast("timestamp")
-      val ev = Tables(s, dir, "events")
+      val ev = Tables.events(s, dir)
         .select(col("user_id"), col("ts"),
           col("value").cast(DecimalType(38, 6)).as("v"))
       def state(df: DataFrame): DataFrame =
@@ -305,7 +305,7 @@ object GovernanceQueries extends QueryModule {
     // delta plus one over the (already profiled) base.
     "q212_profile_diff" -> ((s, dir) => {
       val cut = lit("2024-01-24 00:00:00").cast("timestamp")
-      val ev = Tables(s, dir, "events")
+      val ev = Tables.events(s, dir)
       val b = col("ts") < cut
       def side(p: org.apache.spark.sql.Column, tag: String) = Seq(
         count(when(p, 1)).as(s"n_$tag"),
@@ -365,7 +365,13 @@ object GovernanceQueries extends QueryModule {
     // would wrap silently at ~9.2e18 ahead of any decimal bound.
     "q213_ab_test" -> ((s, dir) => {
       graft.functions.GraftFunctions.register(s)
-      val users = Tables(s, dir, "events")
+      val users = Tables.events(s, dir)
+        // an experiment unit REQUIRES an identity: a NULL user_id row
+        // cannot be assigned an arm (its hash is NULL in the engine and
+        // engine-dependent in SQL dialects) — excluded on both sides
+        // (r15 hostile-corpus finding: the null-user group silently
+        // shifted one oracle arm census)
+        .filter(col("user_id").isNotNull)
         .groupBy(col("user_id"))
         .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
           .as("conv"))
@@ -495,7 +501,7 @@ object GovernanceQueries extends QueryModule {
     // (purged + retained == total).
     "q216_deletion_audit" -> ((s, dir) => {
       graft.functions.GraftFunctions.register(s)
-      val ev = Tables(s, dir, "events")
+      val ev = Tables.events(s, dir)
       val del = ev.select(col("user_id")).distinct()
         .filter(pmod(expr("fnv64(CAST(user_id AS STRING))"), lit(13L)) === 0)
         .localCheckpoint()
@@ -590,7 +596,7 @@ object GovernanceQueries extends QueryModule {
     // multiplications only. The planted-bot proof lives in
     // GovernanceSpec via [[botStats]].
     "q219_bot_detection" -> ((s, dir) =>
-      botStats(Tables(s, dir, "events")).orderBy(col("user_id"))),
+      botStats(Tables.events(s, dir)).orderBy(col("user_id"))),
 
     // --- Theil-Sen robust trend (q220): the median of pairwise slopes
     // over each type's daily counts — the estimator that shrugs off the
@@ -962,7 +968,7 @@ object GovernanceQueries extends QueryModule {
       s"""WITH u AS (
          |  SELECT user_id,
          |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
-         |  FROM events GROUP BY 1),
+         |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
          |arms AS (
          |  SELECT (($h % 2) + 2) % 2 AS arm, conv FROM u),
          |t AS (

@@ -598,12 +598,47 @@ object LlmQueries extends QueryModule {
       expr("array_join(slice(tk, 1, greatest(size(tk) - 5, 1)), ' ')").as("text")))
   }
 
+  /** The VALIDATED embeddings surface every vector query reads — the
+    * ingestion-validation tier a production pipeline runs before any
+    * similarity math. A row is valid iff its label is non-null (label
+    * IS the cell-assignment attribute of the whole label-stratified
+    * ANN family — an unlabeled vector cannot be trained or coded, and
+    * a NULL cell id silently falls out of every equi-join at a
+    * different stage per query), its embedding is non-null,
+    * every component is non-null, finite, and within the documented
+    * |x| ≤ 1e6 value domain, and at least one component is non-zero
+    * (positive norm). The r15 hostile-corpus sweep is why this tier
+    * exists: ONE zero-norm vector turned every cosine denominator to
+    * 0 (Spark ANSI throws where DuckDB emits inf — ~30 queries died),
+    * a NULL embedding broke both engines differently, and a 1e30
+    * component overflowed the fixed-point micro grids whose design
+    * assumes O(1) embedding values. Exclusion is the deliberate,
+    * DOCUMENTED contract (junk vectors can never be "similar" to
+    * anything); the oracle side applies the identical predicate via
+    * [[graft.SparkEntry]]'s uniform rewrite, so engine and oracle see
+    * one population. On clean corpora the filter keeps every row and
+    * every hash is unchanged. Scale: a pushed-down map-side filter on
+    * the scan — no exchange. */
+  private[graft] def vecTable(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "embeddings").filter(expr(
+      "label IS NOT NULL AND embedding IS NOT NULL AND size(filter(embedding," +
+        " x -> x IS NULL OR isnan(x) OR abs(x) > 1000000)) = 0" +
+        " AND size(filter(embedding, x -> x <> 0)) > 0"))
+
+  /** The same validity predicate in DuckDB SQL — interpolated around
+    * every oracle's `FROM embeddings` by SparkEntry so the two engines
+    * can never disagree on the admitted population. */
+  private[graft] val VecValidDuckSql: String =
+    "label IS NOT NULL AND embedding IS NOT NULL AND len(list_filter(embedding," +
+      " x -> x IS NULL OR isnan(x) OR abs(x) > 1000000)) = 0" +
+      " AND len(list_filter(embedding, x -> x <> 0)) > 0"
+
   /** Embeddings as double[] plus a 2x-scaled copy at vec_id + 100000.
     * Scaling by a power of two is exact in IEEE arithmetic, so the copy's
     * cosine against the original is exactly 1.0 and its normalized
     * components are bit-identical — deterministic planted near-dups. */
   private def plantedVecs(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables(s, dir, "embeddings")
+    val e = vecTable(s, dir)
       .select(col("vec_id"), col("label"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
     e.unionByName(e.select((col("vec_id") + 100000).as("vec_id"), col("label"),
@@ -631,7 +666,7 @@ object LlmQueries extends QueryModule {
   private[graft] def semIndex(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     graft.functions.GraftFunctions.register(s) // vec_dot
     def d2(v: String, cc: String) = d2Expr(v, cc)
-    lazy val ex = Tables(s, dir, "embeddings")
+    lazy val ex = vecTable(s, dir)
       .select(col("vec_id"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
       .withColumn("nv", expr(s"transform(v, x -> x / ${normSqlOf("v")})"))
@@ -722,7 +757,7 @@ object LlmQueries extends QueryModule {
     * (see [[CorpusQueries.compactedPostings]]'s rationale). */
   private[graft] def compactedMembers(s: SparkSession, dir: String): DataFrame =
     graft.operators.StageMemo(s, dir, "compacted_members") {
-      val del = Tables(s, dir, "embeddings")
+      val del = vecTable(s, dir)
         .filter(col("vec_id") % 5 === 2).select(col("vec_id"))
       compactMembers(semIndex(s, dir)._2, del).localCheckpoint()
     }
@@ -758,7 +793,7 @@ object LlmQueries extends QueryModule {
     * second-generation copies of vec_id%6==0 at +400000 (dup of BOTH
     * the indexed original and the earlier +200000 batch member). */
   private[graft] def admissionDelta(s: SparkSession, dir: String): DataFrame = {
-    val base = Tables(s, dir, "embeddings")
+    val base = vecTable(s, dir)
       .select(col("vec_id"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
     base.filter(col("vec_id") % 3 === 0)
@@ -1077,7 +1112,7 @@ object LlmQueries extends QueryModule {
     * exchange carries M=8 rows per vector. */
   private[graft] def pqEncode(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     graft.functions.GraftFunctions.register(s) // vec_dot
-    val e = Tables(s, dir, "embeddings")
+    val e = vecTable(s, dir)
       .select(col("vec_id"), col("label"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
     val centroid = udaf(new graft.functions.VectorAggregators.CentroidFixed(64))
@@ -1112,7 +1147,7 @@ object LlmQueries extends QueryModule {
     def cp(df: DataFrame): DataFrame =
       if (checkpoint) df.localCheckpoint() else df
       graft.functions.GraftFunctions.register(s) // vec_dot
-      val e = Tables(s, dir, "embeddings")
+      val e = vecTable(s, dir)
         .select(col("vec_id"), col("label"),
           expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
         .withColumn("nrm", expr(normSqlOf("v")))
@@ -1464,7 +1499,7 @@ object LlmQueries extends QueryModule {
     // half score (plus nbr_id) so both engines order identically.
     "q89_matryoshka" -> ((s, dir) => {
       graft.functions.GraftFunctions.register(s) // vec_dot
-      val e = Tables(s, dir, "embeddings")
+      val e = vecTable(s, dir)
         .select(col("vec_id"),
           expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
         .withColumn("h", expr("slice(v, 1, size(v) div 2)"))
@@ -1516,7 +1551,7 @@ object LlmQueries extends QueryModule {
       // stream through one sort task at 100 TB, while the heap keeps k
       // pairs per partial buffer and the exchange carries O(anchors x k).
       // Identical semantics: beats() is exactly (score DESC, nbr_id ASC).
-      val e = Tables(s, dir, "embeddings")
+      val e = vecTable(s, dir)
         .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
         .withColumn("nrm", expr(normSqlOf("v")))
       val q = e.filter(col("vec_id") < 10)
@@ -1550,7 +1585,7 @@ object LlmQueries extends QueryModule {
       // multiply fold the zip_with HOF ran, just compiled); top-k is the
       // q107 bounded-heap aggregate — see q37 for why a query_id window
       // does not survive 100 TB.
-      val e = Tables(s, dir, "embeddings")
+      val e = vecTable(s, dir)
         .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
         .withColumn("mx", expr("aggregate(v, 0.0D, (acc, x) -> greatest(acc, abs(x)))"))
         .filter(col("mx") > 0)
@@ -1618,7 +1653,7 @@ object LlmQueries extends QueryModule {
           lit(if (((x >>> 33) & 1L) == 1L) 1.0 else -1.0)
         }: _*)
       }: _*)
-      val e = Tables(s, dir, "embeddings")
+      val e = vecTable(s, dir)
         .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
         .withColumn("planes", planes)
         .select(col("vec_id"), col("v"), explode(expr(
@@ -1850,7 +1885,7 @@ object LlmQueries extends QueryModule {
     // never shuffled (a window or max+join-back would shuffle it all).
     "q127_semantic_decontam" -> ((s, dir) => {
       graft.functions.GraftFunctions.register(s) // vec_dot
-      val e = Tables(s, dir, "embeddings")
+      val e = vecTable(s, dir)
         .select(col("vec_id"),
           expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
       val eval = e.filter(col("vec_id") % 10 === 0)
@@ -1887,7 +1922,7 @@ object LlmQueries extends QueryModule {
     // training loop; the anchor side is a batch (bounded), broadcast.
     "q128_hard_negatives" -> ((s, dir) => {
       graft.functions.GraftFunctions.register(s) // vec_dot
-      val e = Tables(s, dir, "embeddings")
+      val e = vecTable(s, dir)
         .select(col("vec_id"), col("label"),
           expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
         .withColumn("nrm", expr(normSqlOf("v")))
@@ -1921,7 +1956,7 @@ object LlmQueries extends QueryModule {
     "q46_ann_ivf" -> ((s, dir) => {
       graft.functions.GraftFunctions.register(s) // vec_dot
       import s.implicits._
-      val e = Tables(s, dir, "embeddings")
+      val e = vecTable(s, dir)
         .select(col("vec_id"), col("label"),
           expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
         .withColumn("nrm", expr(normSqlOf("v"))) // once per vector
@@ -1984,7 +2019,7 @@ object LlmQueries extends QueryModule {
     // the bounded heap. Zero windows, zero pair-stream exchanges.
     "q131_ann_ivf_multiprobe" -> ((s, dir) => {
       graft.functions.GraftFunctions.register(s) // vec_dot
-      val e = Tables(s, dir, "embeddings")
+      val e = vecTable(s, dir)
         .select(col("vec_id"), col("label"),
           expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
         .withColumn("nrm", expr(normSqlOf("v")))
@@ -2048,7 +2083,7 @@ object LlmQueries extends QueryModule {
     // so the argmin and the rounded output agree bit-for-bit.
     "q132_ann_pq" -> ((s, dir) => {
       val (codebook, enc) = pqEncode(s, dir)
-      val e = Tables(s, dir, "embeddings")
+      val e = vecTable(s, dir)
         .select(col("vec_id"),
           expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
       // what PQ serving stores is (vec_id, 8 codes); the reconstruction
@@ -2152,7 +2187,7 @@ object LlmQueries extends QueryModule {
         .agg(top20(col("ls_e12").cast("double"), col("doc_id")).as("top"))
         .select(posexplode(col("top")))
         .select(col("col._2").as("doc_id"), (col("pos") + 1).as("l_rank"))
-      val e = Tables(s, dir, "embeddings")
+      val e = vecTable(s, dir)
         .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
         .withColumn("nrm", expr(normSqlOf("v")))
       val qv = e.filter(col("vec_id") === 0)
@@ -2455,7 +2490,7 @@ object LlmQueries extends QueryModule {
     // the erase is one batch-keyed anti-join against the stored frame;
     // everything else is q245's O(batch) admission.
     "q258_decremental_semdedup" -> ((s, dir) => {
-      val del = Tables(s, dir, "embeddings")
+      val del = vecTable(s, dir)
         .filter(col("vec_id") % 5 === 2).select(col("vec_id"))
       semAdmissionRecord(s, dir,
         semIndex(s, dir)._2.join(del, Seq("vec_id"), "left_anti"))
@@ -2495,7 +2530,7 @@ object LlmQueries extends QueryModule {
     // compared row-level (the q169 precedent).
     "q246_incremental_knn" -> ((s, dir) => {
       graft.functions.GraftFunctions.register(s) // vec_dot
-      val base = Tables(s, dir, "embeddings")
+      val base = vecTable(s, dir)
         .select(col("vec_id"), col("label"),
           expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
       val ex = base.withColumn("nrm", expr(normSqlOf("v")))
@@ -2743,7 +2778,7 @@ object LlmQueries extends QueryModule {
     // shuffle, nothing corpus²; the quantized corpus materializes once
     // (localCheckpoint) and each round's state is k rows.
     "q174_kcenter_coreset" -> ((s, dir) =>
-      kcenterChosen(Tables(s, dir, "embeddings")
+      kcenterChosen(vecTable(s, dir)
         .select(col("vec_id"), expr(
           "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 65536.0D) AS BIGINT))")
           .as("f")), k = 8)
@@ -2765,7 +2800,7 @@ object LlmQueries extends QueryModule {
     // rank-1, mutual join) with the engine's exact tie order.
     "q175_mutual_knn" -> ((s, dir) => {
       graft.functions.GraftFunctions.register(s) // vec_dot
-      val e = Tables(s, dir, "embeddings")
+      val e = vecTable(s, dir)
         .select(col("vec_id"), col("label"),
           expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
         .withColumn("nrm", expr(normSqlOf("v")))
@@ -2804,7 +2839,7 @@ object LlmQueries extends QueryModule {
     // start: the traversal is deterministic whether or not it has
     // converged, and the oracle re-derives all 20 rounds unrolled.
     "q171_embedding_pca" -> ((s, dir) =>
-      pcaTopComponent(Tables(s, dir, "embeddings")
+      pcaTopComponent(vecTable(s, dir)
         .select(expr(
           "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 65536.0D) AS BIGINT))")
           .as("f")))
@@ -2825,7 +2860,7 @@ object LlmQueries extends QueryModule {
     // broadcast chosen set + ONE max(struct) argmax partial agg — no
     // window, no global sort, the corpus localCheckpointed once.
     "q230_mmr_select" -> ((s, dir) =>
-      mmrChosen(Tables(s, dir, "embeddings")
+      mmrChosen(vecTable(s, dir)
         .select(col("vec_id"), expr(
           "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 65536.0D) AS BIGINT))")
           .as("f")), k = 8)

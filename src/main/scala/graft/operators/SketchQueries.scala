@@ -83,7 +83,7 @@ object SketchQueries extends QueryModule {
     // changes at 100 TB. Integer micros arithmetic until the one final
     // division keeps both engines' inputs to exp() bit-identical.
     "q93_time_decay" -> ((s, dir) => {
-      val ev = Tables(s, dir, "events")
+      val ev = Tables.events(s, dir)
       val anchor = ev.agg(max(unix_micros(col("ts"))).as("amax"))
       ev.crossJoin(anchor)
         .withColumn("w",
@@ -131,7 +131,7 @@ object SketchQueries extends QueryModule {
     // checked against exact counts in-query (the q45 contract pattern),
     // so the output is deterministic and hash-oracled.
     "q97_hll_rollup" -> ((s, dir) => {
-      val ev = Tables(s, dir, "events")
+      val ev = Tables.events(s, dir)
       val sk = ev.groupBy(col("event_type")).agg(
         hll_sketch_agg(col("user_id")).as("sk"),
         countDistinct(col("user_id")).as("exact_users"))
@@ -159,7 +159,7 @@ object SketchQueries extends QueryModule {
       graft.functions.GraftFunctions.register(s)
       // codegen'd VecDot, bit-identical to the HOF fold it replaced
       val dot = "vec_dot(%s, %s)"
-      val e = Tables(s, dir, "embeddings")
+      val e = LlmQueries.vecTable(s, dir)
         .select(col("vec_id"),
           expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
       val cents = e.filter(col("vec_id") < 8)
@@ -204,7 +204,7 @@ object SketchQueries extends QueryModule {
     "q138_kmeans_lloyd" -> ((s, dir) => {
       graft.functions.GraftFunctions.register(s)
       val dot = "vec_dot(%s, %s)"
-      val e = Tables(s, dir, "embeddings")
+      val e = LlmQueries.vecTable(s, dir)
         .select(col("vec_id"),
           expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
       val seeds = e.filter(col("vec_id") < 8)
@@ -249,7 +249,7 @@ object SketchQueries extends QueryModule {
       def d2(v: String, c: String) =
         expr(dot.format(v, v)) - lit(2.0) * expr(dot.format(v, c)) +
           expr(dot.format(c, c))
-      val e = Tables(s, dir, "embeddings")
+      val e = LlmQueries.vecTable(s, dir)
         .select(col("vec_id"),
           expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
       val anchor = e.filter(col("vec_id") === 0).select(col("v").as("c"))
@@ -295,7 +295,7 @@ object SketchQueries extends QueryModule {
     // is the k-means-scale analogue of q134's source-pair sketch matrix.
     "q143_centroid_confusion" -> ((s, dir) => {
       graft.functions.GraftFunctions.register(s)
-      val e = Tables(s, dir, "embeddings")
+      val e = LlmQueries.vecTable(s, dir)
         .select(col("label"),
           expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
       val centroid = udaf(new graft.functions.VectorAggregators.CentroidFixed(64))
@@ -329,7 +329,7 @@ object SketchQueries extends QueryModule {
     // whose exchange is labels x 2 x 64 rows at ANY corpus size; the
     // halves join and the per-label reduce touch only that table.
     "q156_centroid_drift" -> ((s, dir) => {
-      val e = Tables(s, dir, "embeddings")
+      val e = LlmQueries.vecTable(s, dir)
         .select(col("label"),
           expr("CAST(conv(substring(md5(CAST(vec_id AS STRING)), 1, 2)," +
             " 16, 10) AS INT) % 2").as("half"),
@@ -377,7 +377,7 @@ object SketchQueries extends QueryModule {
     // on negatives, 1.0.0 truncates, others floor — the signed
     // rule from the verify notes, applied identically in the oracle).
     "q202_embedding_diversity" -> ((s, dir) => {
-      val e = Tables(s, dir, "embeddings")
+      val e = LlmQueries.vecTable(s, dir)
         .filter(col("embedding").isNotNull) // same rule as q231
         .select(col("label"), posexplode(expr(
           "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)" +
@@ -418,7 +418,7 @@ object SketchQueries extends QueryModule {
     // bounded aggregate. Norms are reported as norm² on the 1e-6 grid
     // (no sqrt — engine-exact beats prettier units).
     "q224_embedding_health" -> ((s, dir) =>
-      embeddingHealth(Tables(s, dir, "embeddings"))),
+      embeddingHealth(LlmQueries.vecTable(s, dir))),
 
     // --- class-separation audit (q231): the Fisher discriminant ratio
     // per embedding dimension — between-class scatter over within-class
@@ -440,7 +440,7 @@ object SketchQueries extends QueryModule {
       // engine dropped NULL embeddings only incidentally (posexplode
       // of transform(NULL) emits nothing) while the oracle's CROSS
       // JOIN counted them (r14 review; latent — testdata is clean)
-      classSeparation(Tables(s, dir, "embeddings")
+      classSeparation(LlmQueries.vecTable(s, dir)
         .filter(col("embedding").isNotNull)
         .select(col("label"), expr(
           "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 65536.0D) AS BIGINT))")
@@ -459,7 +459,7 @@ object SketchQueries extends QueryModule {
     // and the error rollup is dim-bounded. Two corpus passes, both
     // map-side-combined — nothing scales super-linearly.
     "q234_sq8_audit" -> ((s, dir) =>
-      sq8Audit(Tables(s, dir, "embeddings")
+      sq8Audit(LlmQueries.vecTable(s, dir)
         .filter(col("embedding").isNotNull) // same rule as q231
         .select(expr(
           "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 65536.0D) AS BIGINT))")
@@ -749,11 +749,11 @@ object SketchQueries extends QueryModule {
     // only the abs form agrees on negative half-grid values).
     "q202_embedding_diversity" ->
       """WITH fx AS (
-        |  SELECT e.label, r.i AS dim,
-        |    CAST(floor(CAST(e.embedding[r.i + 1] AS DOUBLE) * 1048576.0)
-        |      AS HUGEINT) AS fx
-        |  FROM embeddings e CROSS JOIN range(64) r(i)
-        |  WHERE e.embedding IS NOT NULL),
+        |  SELECT embeddings.label, r.i AS dim,
+        |    CAST(floor(CAST(embeddings.embedding[r.i + 1] AS DOUBLE)
+        |      * 1048576.0) AS HUGEINT) AS fx
+        |  FROM embeddings CROSS JOIN range(64) r(i)
+        |  WHERE embeddings.embedding IS NOT NULL),
         |dims AS (SELECT label, dim, SUM(fx) AS sd, SUM(fx * fx) AS qd,
         |    COUNT(*) AS nv
         |  FROM fx GROUP BY 1, 2),

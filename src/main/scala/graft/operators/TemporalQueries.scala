@@ -29,7 +29,7 @@ object TemporalQueries extends QueryModule {
     // deterministic on both engines; equal timestamps sort
     // click-before-purchase to get `<=` semantics (DuckDB ASOF parity).
     "q26_asof_join" -> ((s, dir) => {
-      val ev = Tables(s, dir, "events")
+      val ev = Tables.events(s, dir)
       val clicks = ev.filter(col("event_type") === "click")
         .groupBy(col("user_id"), col("ts"))
         .agg(max(col("event_id")).as("click_id"))
@@ -49,7 +49,7 @@ object TemporalQueries extends QueryModule {
     // blow-up; at 100 TB the time axis would additionally be bucketed
     // (join on (user, hour-bucket)) to cap skew.
     "q27_range_join" -> ((s, dir) => {
-      val ev = Tables(s, dir, "events")
+      val ev = Tables.events(s, dir)
       val clicks = ev.filter(col("event_type") === "click")
         .select(col("user_id"), col("ts").as("c_ts"))
       val purchases = ev.filter(col("event_type") === "purchase")

@@ -110,7 +110,7 @@ object StreamingQueries extends QueryModule {
     * never fork between them. */
   /** The q147/q269 gate inputs, shared (r14 review). */
   private def clickPurchaseFrames(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val ev = Tables(s, dir, "events")
+    val ev = Tables.events(s, dir)
     (ev.filter(col("event_type") === "click")
        .select(col("user_id").as("c_user"), col("ts").as("c_ts")),
      ev.filter(col("event_type") === "purchase")
@@ -426,11 +426,11 @@ object StreamingQueries extends QueryModule {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_stream_tumbling" -> ((s, dir) =>
-      tumbling(Tables(s, dir, "events")).orderBy(col("window_start"))),
+      tumbling(Tables.events(s, dir)).orderBy(col("window_start"))),
     "q51_stream_sliding" -> ((s, dir) =>
-      sliding(Tables(s, dir, "events")).orderBy(col("window_start"))),
+      sliding(Tables.events(s, dir)).orderBy(col("window_start"))),
     "q52_stream_session" -> ((s, dir) =>
-      sessions(Tables(s, dir, "events")).orderBy(col("user_id"), col("session_start"))),
+      sessions(Tables.events(s, dir)).orderBy(col("user_id"), col("session_start"))),
 
     // --- streaming dedup in the correctness gate (batch parity; the
     // cross-micro-batch state run is in StreamingSpec). The corpus is
@@ -471,7 +471,7 @@ object StreamingQueries extends QueryModule {
       // throw on a null user_id/value; drop such rows instead, which
       // is also what the oracle's SUM/GROUP BY semantics do after its
       // mirrored WHERE.
-      Tables(s, dir, "events")
+      Tables.events(s, dir)
         .filter(col("user_id").isNotNull && col("value").isNotNull)
         .select(col("user_id"), col("value")).as[(Long, Double)]
         .groupByKey(_._1)
@@ -499,7 +499,7 @@ object StreamingQueries extends QueryModule {
     "q154_stream_enrich" -> ((s, dir) => {
       val dims = Tables(s, dir, "customer")
         .select(col("c_custkey"), col("c_mktsegment").as("segment"))
-      enrich(Tables(s, dir, "events"), dims)
+      enrich(Tables.events(s, dir), dims)
         .orderBy(col("window_start"), col("segment"))
     }),
 
@@ -511,7 +511,7 @@ object StreamingQueries extends QueryModule {
     // survived — arbitrary in batch dropDuplicates — cannot reach the
     // output. Oracle = plain aggregates over the original events.
     "q162_stream_dedup_watermark" -> ((s, dir) => {
-      val ev = Tables(s, dir, "events")
+      val ev = Tables.events(s, dir)
         .select(col("event_id"), col("user_id"), col("ts"), col("value"))
       val doubled = ev.unionAll(
         ev.withColumn("ts", col("ts") + expr("INTERVAL 10 MINUTES")))
@@ -556,25 +556,25 @@ object StreamingQueries extends QueryModule {
     // distance against it is then a pure measure of that window's mix
     // skew.
     "q172_stream_drift" -> ((s, dir) => {
-      val ev = Tables(s, dir, "events")
+      val ev = Tables.events(s, dir)
       driftVsBaseline(ev, typeBaseline(ev))
         .orderBy(col("window_start"))
     }),
 
     "q185_stream_session_funnel" -> ((s, dir) =>
-      sessionFunnel(Tables(s, dir, "events"))
+      sessionFunnel(Tables.events(s, dir))
         .orderBy(col("user_id"), col("session_start"))),
 
     "q186_stream_value_quantiles" -> ((s, dir) =>
-      windowValueQuantiles(Tables(s, dir, "events"))
+      windowValueQuantiles(Tables.events(s, dir))
         .orderBy(col("window_start"))),
 
     "q196_stream_kmv_users" -> ((s, dir) =>
-      windowKmvDistinct(Tables(s, dir, "events"))
+      windowKmvDistinct(Tables.events(s, dir))
         .orderBy(col("window_start"))),
 
     "q201_rate_limit" -> ((s, dir) =>
-      rateLimitCounts(Tables(s, dir, "events"))
+      rateLimitCounts(Tables.events(s, dir))
         .orderBy(col("user_id"))),
 
     // --- seasonal alerting in the correctness gate (batch parity; the
@@ -582,7 +582,7 @@ object StreamingQueries extends QueryModule {
     // static table's own hour-of-week profile, as a production monitor
     // bootstraps from history.
     "q218_stream_seasonal_alert" -> ((s, dir) => {
-      val ev = Tables(s, dir, "events")
+      val ev = Tables.events(s, dir)
       seasonalAlerts(ev, seasonalBaseline(ev))
         .orderBy(col("window_start"), col("event_type"))
     }),
@@ -599,7 +599,7 @@ object StreamingQueries extends QueryModule {
     // ppm all run row-locally AFTER the window closes. Batch parity
     // here; the MemoryStream run is in StreamingSpec.
     "q242_stream_ks_drift" -> ((s, dir) => {
-      val ev = Tables(s, dir, "events")
+      val ev = Tables.events(s, dir)
       windowKsDrift(ev, valueBaseline(ev))
         .orderBy(col("window_start"))
     }),
@@ -706,7 +706,7 @@ object StreamingQueries extends QueryModule {
     // and cell census from its own assignment chain.
     "q267_stream_sem_tombstone" -> ((s, dir) => {
       import graft.operators.LlmQueries
-      val dels = Tables(s, dir, "embeddings")
+      val dels = LlmQueries.vecTable(s, dir)
         .filter(col("vec_id") % 5 === 2)
         .select(col("vec_id"),
           lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")).as("ts"))

@@ -50,9 +50,53 @@ def main() -> None:
     import os
     os.makedirs(OUT, exist_ok=True)
     for t in ["region", "nation", "customer", "supplier", "part",
-              "orders", "lineitem", "events", "embeddings"]:
+              "orders", "lineitem"]:
         shutil.copy(f"{SRC}/{t}.parquet", f"{OUT}/{t}.parquet")
     con = duckdb.connect()
+    # embeddings: zero-norm (cosine x/0), float-extreme, tiny-denormal,
+    # exact-duplicate, sign-mirrored, NULL embedding, NULL label. Ids
+    # 9000+ stay under every planted offset (+100000/+200000/+400000);
+    # 9002 lands in the %5==2 erasure cohort.
+    con.sql(f"""
+    COPY (
+      SELECT vec_id, embedding, label
+      FROM read_parquet('{SRC}/embeddings.parquet')
+      UNION ALL SELECT 9000,
+        CAST(list_transform(range(64), i -> 0.0) AS FLOAT[]), 0
+      UNION ALL SELECT 9002,
+        CAST(list_transform(range(64), i -> 1e-30) AS FLOAT[]), 1
+      UNION ALL SELECT 9005,
+        CAST(list_transform(range(64), i -> 1e30) AS FLOAT[]), 2
+      UNION ALL SELECT 9010,
+        (SELECT embedding FROM read_parquet('{SRC}/embeddings.parquet')
+         WHERE vec_id = 0), 0
+      UNION ALL SELECT 9015,
+        (SELECT CAST(list_transform(embedding, x -> -x) AS FLOAT[])
+         FROM read_parquet('{SRC}/embeddings.parquet')
+         WHERE vec_id = 1), 1
+      UNION ALL SELECT 9020, NULL, 0
+      UNION ALL SELECT 9025,
+        CAST(list_transform(range(64), i -> 0.25) AS FLOAT[]), NULL
+      ORDER BY vec_id
+    ) TO '{OUT}/embeddings.parquet' (FORMAT PARQUET)
+    """)
+    # events: NULL user/value/props, NULL and empty event_type,
+    # malformed JSON props, an extreme negative value.
+    con.sql(f"""
+    COPY (
+      SELECT event_id, ts, user_id, event_type, value, props
+      FROM read_parquet('{SRC}/events.parquet')
+      UNION ALL SELECT 9000, TIMESTAMP '2024-01-01 05:00:00', NULL,
+        'click', 5.0, '{{"k": 1}}'
+      UNION ALL SELECT 9001, TIMESTAMP '2024-01-01 05:01:00', 7,
+        NULL, NULL, NULL
+      UNION ALL SELECT 9002, TIMESTAMP '2024-01-01 05:02:00', 7,
+        'unknown_kind', -1e18, '{{"k": '
+      UNION ALL SELECT 9003, TIMESTAMP '2024-01-01 05:03:00', 7,
+        '', 0.0, '{{}}'
+      ORDER BY event_id
+    ) TO '{OUT}/events.parquet' (FORMAT PARQUET)
+    """)
     rows = ",".join(
         "(%d, '%s', '%s', '%s')" % (i, t.replace("'", "''"), l, s)
         for i, t, l, s in HOSTILE)
