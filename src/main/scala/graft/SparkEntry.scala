@@ -55,6 +55,8 @@ object SparkEntry {
         // engines, see Tables.EventsValidSql
         .replace("FROM events",
           "FROM (SELECT * FROM events WHERE " + Tables.EventsValidSql + ")")
+        .replace("FROM documents",
+          "FROM (SELECT * FROM documents WHERE " + Tables.DocsValidSql + ")")
     }
 
   /** Container-typed (array/struct/map) columns of a gate output schema

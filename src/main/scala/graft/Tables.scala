@@ -38,9 +38,32 @@ object Tables {
     apply(spark, dir, "events").filter(expr(EventsValidSql))
 
   /** The validity predicate — identical text parses in Spark SQL and
-    * DuckDB, so ONE string serves both engines. */
+    * DuckDB, so ONE string serves both engines. `ts IS NOT NULL` is
+    * part of the contract: an event-TIME engine cannot place a
+    * timeless event in any window, session, watermark, or as-of
+    * order — the second hostile round showed the two engines
+    * defaulting differently at ~20 sites (Spark's window generation
+    * drops the row, SQL GROUP BY keeps a NULL bucket). */
   val EventsValidSql: String =
-    "value IS NULL OR (NOT isnan(value) AND abs(value) <= 1000000000000.0)"
+    "ts IS NOT NULL AND" +
+      " (value IS NULL OR (NOT isnan(value) AND abs(value) <= 1000000000000.0))"
+
+  /** The VALIDATED documents surface (the corpus sibling of the events
+    * and vector tiers): a text corpus row without text cannot be
+    * tokenized, hashed, deduplicated, or rendered — NULL text made the
+    * engines diverge at every md5/split call site (and NPE'd the
+    * byte-level decode). source is REQUIRED too — provenance is the
+    * attribute every curation/governance operator keys on (mixing,
+    * caps, per-source quality, licensing), and an unattributed doc
+    * has no place in any of them (the two engines also default
+    * differently when a NULL source meets a per-source join vs a
+    * GROUP BY). lang stays nullable: unknown language is a legitimate
+    * state the lang-id operators exist to resolve. Same
+    * uniform-oracle-rewrite contract as the other tiers. */
+  def documents(spark: SparkSession, dir: String): DataFrame =
+    apply(spark, dir, "documents").filter(expr(DocsValidSql))
+
+  val DocsValidSql: String = "text IS NOT NULL AND source IS NOT NULL"
 
   /** events.ts has shipped as two different physical types across testdata
     * generations: parquet TIMESTAMP(NANOS) — which Spark's vectorized

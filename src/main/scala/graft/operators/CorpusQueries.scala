@@ -138,7 +138,7 @@ object CorpusQueries extends QueryModule {
     * merge table. Returns (round, lhs, rhs, merged, pair_freq). */
   private[graft] def bpeMerges(s: SparkSession, dir: String): DataFrame =
     StageMemo(s, dir, "bpe_merges") {
-      bpeTrainOn(Tables(s, dir, "documents")
+      bpeTrainOn(Tables.documents(s, dir)
         .select(explode(expr(toksSql)).as("word"))
         .groupBy(col("word")).agg(count(lit(1)).as("freq")))
     }
@@ -212,7 +212,7 @@ object CorpusQueries extends QueryModule {
   /** The corpus word dictionary (word, freq) — the collapse that makes
     * every BPE op corpus-size-independent downstream. */
   private def corpusWordDict(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "documents")
+    Tables.documents(s, dir)
       .select(explode(expr(toksSql)).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
 
@@ -304,6 +304,11 @@ object CorpusQueries extends QueryModule {
                                          offset: Long): Unit = {
     val key = s.sparkContext.applicationId + "|" + dir
     val mx = maxDocIdCache.computeIfAbsent(key, _ =>
+      // RAW read on purpose: this is an ID-RANGE guard over whatever is
+      // physically in the table — an invalid row's doc_id can still
+      // alias a planted slice, so the validation tier must not narrow
+      // the scan here (also keeps the guard schema-independent for the
+      // spec's doc_id-only fixtures)
       Tables(s, dir, "documents").agg(max(col("doc_id")).as("m"))
         .head().getLong(0))
     require(mx < offset,
@@ -324,7 +329,7 @@ object CorpusQueries extends QueryModule {
     * era, read per query/batch. */
   private[graft] def bm25Postings(s: SparkSession, dir: String): DataFrame =
     StageMemo(s, dir, "bm25_postings") {
-      Tables(s, dir, "documents")
+      Tables.documents(s, dir)
         .select(col("doc_id"), explode(expr(toksSql)).as("w"))
         .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
         .groupBy(col("w"), expr(s"doc_id DIV $Bm25BlockStride").as("blk"))
@@ -450,7 +455,7 @@ object CorpusQueries extends QueryModule {
     StageMemo(s, dir, "delta_sets") {
       assertPlantedOffset(s, dir, 20000) // binds the +20000/+40000 slices
       graft.functions.GraftFunctions.register(s) // fnv64
-      val base = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+      val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       val tkOf = (df: DataFrame) => LlmQueries.withTokens(df)
       val delta0 = base.filter(col("doc_id") % 10 === 4)
         .select((col("doc_id") + 20000).as("doc_id"), col("text"))
@@ -529,7 +534,7 @@ object CorpusQueries extends QueryModule {
     require(LlmQueries.PlantedOffset % 10 == 0,
       s"PlantedOffset ${LlmQueries.PlantedOffset} must be a multiple of " +
         "10 or the mod-10 erasure cohort no longer covers derived variants")
-    val d = Tables(s, dir, "documents")
+    val d = Tables.documents(s, dir)
       .filter(col("doc_id") % 10 === residue).select(col("doc_id"))
     d.unionByName(d.select((col("doc_id") + LlmQueries.PlantedOffset)
         .as("doc_id")))
@@ -664,7 +669,7 @@ object CorpusQueries extends QueryModule {
     * node-sized map). */
   private[graft] def compactedPostings(s: SparkSession, dir: String): DataFrame =
     StageMemo(s, dir, "compacted_postings") {
-      val del = Tables(s, dir, "documents")
+      val del = Tables.documents(s, dir)
         .filter(col("doc_id") % 10 === 9).select(col("doc_id"))
         .localCheckpoint() // block census + anti-join
       compactPostings(bm25Postings(s, dir), del).localCheckpoint()
@@ -975,7 +980,7 @@ object CorpusQueries extends QueryModule {
     // per distinct fingerprint per level — the intrinsic cost of an
     // exact dup census, same key space q33 already shuffles.
     "q164_corpus_datasheet" -> ((s, dir) => {
-      Tables(s, dir, "documents")
+      Tables.documents(s, dir)
         .select(col("source"), col("lang"),
           md5(lower(trim(regexp_replace(col("text"), "[ \\t\\n\\f\\r]+", " ")))).as("fp"),
           size(expr("split(trim(text), '\\\\s+')")).cast("long").as("n_toks"))
@@ -1013,7 +1018,7 @@ object CorpusQueries extends QueryModule {
     // language, keep the rest at a higher rate. Pure map-side filter.
     "q60_stratified_sample" -> ((s, dir) => {
       val bucket = substring(md5(col("text")), 1, 1)
-      Tables(s, dir, "documents")
+      Tables.documents(s, dir)
         .filter(when(col("lang") === "en", bucket.isin("0", "1", "2", "3"))
           .otherwise(bucket.isin("0", "1", "2", "3", "4", "5", "6", "7")))
         .select(col("doc_id"), col("lang"))
@@ -1029,7 +1034,7 @@ object CorpusQueries extends QueryModule {
     // runtime whenever the measured vocabulary actually is small. Only
     // the one-row corpus count is unconditionally broadcast.
     "q61_tfidf" -> ((s, dir) => {
-      val docs = Tables(s, dir, "documents")
+      val docs = Tables.documents(s, dir)
       val t = docs.select(col("doc_id"), explode(expr(toksSql)).as("term"))
       val tf = t.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
       val dfreq = t.distinct().groupBy(col("term")).agg(count(lit(1)).as("df"))
@@ -1103,7 +1108,7 @@ object CorpusQueries extends QueryModule {
       val dl = bm25DocLens(s, dir)
       // arriving batch: %10==3 docs trimmed by 3 tokens, ids +50000
       // (disjoint from the corpus and every other planted slice)
-      val delta = Tables(s, dir, "documents")
+      val delta = Tables.documents(s, dir)
         .filter(col("doc_id") % 10 === 3)
         .select((col("doc_id") + 50000).as("doc_id"), expr(toksSql).as("tk0"))
         .select(col("doc_id"),
@@ -1158,7 +1163,7 @@ object CorpusQueries extends QueryModule {
     "q256_decremental_bm25" -> ((s, dir) => {
       val post = bm25Postings(s, dir)
       val dl = bm25DocLens(s, dir)
-      val del = Tables(s, dir, "documents")
+      val del = Tables.documents(s, dir)
         .filter(col("doc_id") % 10 === 9).select(col("doc_id"))
         .localCheckpoint() // consumed by the stats fold + the anti-join
       // folded globals: subtract the deleted docs' STORED lengths
@@ -1234,7 +1239,7 @@ object CorpusQueries extends QueryModule {
         observed.select(lit(name).as("chk"),
           col("observed").cast("long").as("observed"),
           (col("observed") === 0L).as("ok"))
-      val docs = Tables(s, dir, "documents").select(col("doc_id"))
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
       val entries = bm25Postings(s, dir)
         .select(col("w"), explode(col("posting")).as("e"))
         .select(col("w"), col("e.d").as("doc_id"), col("e.t").as("tf"))
@@ -1287,7 +1292,7 @@ object CorpusQueries extends QueryModule {
       val c8 = chk("bpe_vocab_covers_dictionary",
         bpeEncodedVocab(s, dir)
           .agg(count(lit(1)).as("nv"), sum(col("freq")).cast("long").as("fv"))
-          .crossJoin(Tables(s, dir, "documents")
+          .crossJoin(Tables.documents(s, dir)
             .select(explode(expr(toksSql)).as("word"))
             .agg(countDistinct(col("word")).as("nw"),
               count(lit(1)).cast("long").as("fw")))
@@ -1368,7 +1373,7 @@ object CorpusQueries extends QueryModule {
       // artifact its shipping query produced, exactly as the
       // validate-then-swap step runs in production (and the suite
       // prices each compaction once, in the `st` stage rows).
-      val del = Tables(s, dir, "documents")
+      val del = Tables.documents(s, dir)
         .filter(col("doc_id") % 10 === 9).select(col("doc_id"))
         .localCheckpoint() // consumed by two checks
       val centries = compactedPostings(s, dir)
@@ -1381,7 +1386,7 @@ object CorpusQueries extends QueryModule {
       val c2 = chk("compacted_postings_doc_universe",
         centries.select(col("doc_id")).distinct()
           .agg(count(lit(1)).as("na"))
-          .crossJoin(Tables(s, dir, "documents")
+          .crossJoin(Tables.documents(s, dir)
             .filter(col("doc_id") % 10 =!= 9)
             .filter(size(expr(toksSql)) > 0).select(col("doc_id"))
             .agg(count(lit(1)).as("nb")))
@@ -1580,7 +1585,7 @@ object CorpusQueries extends QueryModule {
             col("est_compact_entries"),
             col("total_entries").as("est_rebuild_entries"))
       }
-      val delD = Tables(s, dir, "documents")
+      val delD = Tables.documents(s, dir)
         .filter(col("doc_id") % 10 === 9).select(col("doc_id"))
         .localCheckpoint()
       val postE = bm25Postings(s, dir)
@@ -1627,7 +1632,7 @@ object CorpusQueries extends QueryModule {
     // era 2 pays O(batch₂'s touched blocks) exactly like era 1 —
     // composition adds no term.
     "q270_postings_era_composition" -> ((s, dir) => {
-      val d2 = Tables(s, dir, "documents")
+      val d2 = Tables.documents(s, dir)
         .filter(col("doc_id") % 10 === 4).select(col("doc_id"))
         .localCheckpoint()
       compactPostings(compactedPostings(s, dir), d2)
@@ -1698,7 +1703,7 @@ object CorpusQueries extends QueryModule {
     // The oracle re-runs BOTH training chains (prefixed CTEs) and both
     // encodes from scratch.
     "q273_tokenizer_rebuild" -> ((s, dir) => {
-      val srcDict = Tables(s, dir, "documents")
+      val srcDict = Tables.documents(s, dir)
         .filter(col("doc_id") % 10 =!= 9)
         .select(col("source"), explode(expr(toksSql)).as("word"))
         .groupBy(col("source"), col("word"))
@@ -1763,7 +1768,7 @@ object CorpusQueries extends QueryModule {
     // re-running the full BPE chain and the erased mass from the
     // corpus directly.
     "q268_tokenizer_erasure_debt" -> ((s, dir) => {
-      val ew = Tables(s, dir, "documents")
+      val ew = Tables.documents(s, dir)
         .filter(col("doc_id") % 10 === 9)
         .select(explode(expr(toksSql)).as("word"))
         .groupBy(col("word")).agg(count(lit(1)).as("efreq"))
@@ -1805,7 +1810,7 @@ object CorpusQueries extends QueryModule {
     // LlmQueries.shinglesSql on why not positional lambdas), exploded,
     // hash-aggregated with map-side combine, then global top-20.
     "q62_bigrams" -> ((s, dir) => {
-      Tables(s, dir, "documents")
+      Tables.documents(s, dir)
         .select(expr(toksSql).as("tk"))
         .select(explode(expr(gramsSql("tk", 2, distinct = false)))
           .as("bigram"))
@@ -1827,7 +1832,7 @@ object CorpusQueries extends QueryModule {
     // 100 TB the dict is a provided table and the derivation scan
     // disappears, leaving one explode + broadcast join + doc-keyed agg.
     "q205_phrase_blocklist" -> ((s, dir) => {
-      val bi = Tables(s, dir, "documents")
+      val bi = Tables.documents(s, dir)
         .select(col("doc_id"), expr(toksSql).as("tk"))
         .select(col("doc_id"),
           explode(expr(gramsSql("tk", 2))).as("phrase"))
@@ -1851,7 +1856,7 @@ object CorpusQueries extends QueryModule {
     // Both engines implement classic Levenshtein, making this dedup
     // stage exactly oracle-able, unlike the hash families.
     "q75_edit_distance" -> ((s, dir) => {
-      val d = Tables(s, dir, "documents")
+      val d = Tables.documents(s, dir)
         .select(col("doc_id"), col("lang"), col("source"),
           col("n_chars"), col("text"))
       // the checkpoint is a PUSHDOWN BARRIER, not just caching: without
@@ -1895,7 +1900,7 @@ object CorpusQueries extends QueryModule {
         col("hex").isin("0", "1", "2", "3", "4", "5", "6", "7"))
         .otherwise(col("hex").isin("0", "1", "2", "3", "4", "5", "6", "7",
           "8", "9", "a", "b"))
-      Tables(s, dir, "documents")
+      Tables.documents(s, dir)
         .filter(size(expr(toksSql)).between(20, 1000))
         .withColumn("fp", md5(expr(norm)))
         .withColumn("hex", hex)
@@ -1920,7 +1925,7 @@ object CorpusQueries extends QueryModule {
     "q76_top_nested" -> ((s, dir) => {
       val w = Window.partitionBy(col("lang"))
         .orderBy(col("n").desc, col("source").asc)
-      Tables(s, dir, "documents")
+      Tables.documents(s, dir)
         .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("n"))
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= 2)
@@ -1936,7 +1941,7 @@ object CorpusQueries extends QueryModule {
     "q103_top_nested_others" -> ((s, dir) => {
       val w = Window.partitionBy(col("lang"))
         .orderBy(col("n").desc, col("source").asc)
-      Tables(s, dir, "documents")
+      Tables.documents(s, dir)
         .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("n"))
         .withColumn("rnk", row_number().over(w))
         .withColumn("bucket",
@@ -1977,7 +1982,7 @@ object CorpusQueries extends QueryModule {
     // zip-fused slice shape as the 3-shingles (see gramsSql) so the
     // tokenizer runs O(n) per row, not per gram.
     "q80_decontaminate" -> ((s, dir) => {
-      val docs = Tables(s, dir, "documents")
+      val docs = Tables.documents(s, dir)
         .withColumn("tk", expr(toksSql))
       def grams(df: DataFrame): DataFrame =
         df.select(col("doc_id"), explode(expr(gramsSql("tk", 8))).as("g"))
@@ -2000,7 +2005,7 @@ object CorpusQueries extends QueryModule {
     // positives, so the result equals q80 row-for-row (same oracle).
     "q113_decontaminate_bloom" -> ((s, dir) => {
       graft.functions.GraftFunctions.register(s)
-      Tables(s, dir, "documents").withColumn("tk", expr(toksSql))
+      Tables.documents(s, dir).withColumn("tk", expr(toksSql))
         .createOrReplaceTempView("docs_q113")
       s.sql(
         s"""WITH grams AS (
@@ -2029,7 +2034,7 @@ object CorpusQueries extends QueryModule {
     "q81_pack_sequences" -> ((s, dir) => {
       val win = Window.partitionBy(col("lang"), col("source"))
         .orderBy(col("doc_id"))
-      Tables(s, dir, "documents")
+      Tables.documents(s, dir)
         .select(col("lang"), col("source"), col("doc_id"),
           size(expr(toksSql)).cast("long").as("n_tokens"))
         .withColumn("cum", sum(col("n_tokens")).over(win))
@@ -2045,7 +2050,7 @@ object CorpusQueries extends QueryModule {
     // for a map-side normalized column. The percentile agg reduces to
     // |groups| rows; the corpus itself is never shuffled.
     "q112_robust_scale" -> ((s, dir) => {
-      val docs = Tables(s, dir, "documents")
+      val docs = Tables.documents(s, dir)
       val stats = docs.groupBy(col("lang")).agg(
         percentile(col("n_chars"), lit(0.5)).as("med"),
         (percentile(col("n_chars"), lit(0.75)) -
@@ -2064,7 +2069,7 @@ object CorpusQueries extends QueryModule {
     // downstream features. Two partial-agg'd groupBys, integer counts
     // exact, one sqrt at the end.
     "q110_feature_hashing" -> ((s, dir) => {
-      Tables(s, dir, "documents")
+      Tables.documents(s, dir)
         .select(col("doc_id"), explode(expr(toksSql)).as("term"))
         .withColumn("bucket",
           expr("CAST(conv(substring(md5(term), 1, 4), 16, 10) AS INT) % 256"))
@@ -2082,7 +2087,7 @@ object CorpusQueries extends QueryModule {
     // inside ONE doc doesn't inflate its cross-doc count; shuffle keys
     // are gram strings, aggregated map-side before the exchange.
     "q111_common_ngrams" -> ((s, dir) => {
-      Tables(s, dir, "documents")
+      Tables.documents(s, dir)
         .select(col("doc_id"), expr(toksSql).as("tk"))
         .select(col("doc_id"), explode(expr(gramsSql("tk", 8))).as("gram"))
         .groupBy(col("gram")).agg(count(lit(1)).as("n_docs"))
@@ -2099,7 +2104,7 @@ object CorpusQueries extends QueryModule {
     // n_chars/2000 samples each doc with probability min(1, len/2000).
     // Pure map-side filter: no shuffle at any corpus size.
     "q108_weighted_sample" -> ((s, dir) => {
-      Tables(s, dir, "documents")
+      Tables.documents(s, dir)
         .withColumn("u", expr(uhashSql))
         // n_chars rides DECIMAL (r15 review; the q266 rule): a multi-GB
         // document's n_chars × 2^32 would wrap a long where the oracle
@@ -2123,7 +2128,7 @@ object CorpusQueries extends QueryModule {
     // and AQE converts to broadcast at runtime when the measured band
     // actually is small.
     "q101_inverted_index" -> ((s, dir) => {
-      val pairs = Tables(s, dir, "documents")
+      val pairs = Tables.documents(s, dir)
         .select(col("doc_id"), explode(expr(toksSql)).as("term"))
         .distinct()
       val vocab = pairs.groupBy(col("term"))
@@ -2143,7 +2148,7 @@ object CorpusQueries extends QueryModule {
     // shuffle, output rows ∝ Σ ceil(tokens/stride); the md5 chunk
     // fingerprint is what a downstream chunk-level dedup would key on.
     "q99_chunk_windows" -> ((s, dir) => {
-      Tables(s, dir, "documents")
+      Tables.documents(s, dir)
         .select(col("doc_id"), expr(toksSql).as("tk"))
         .filter(size(col("tk")) >= 1)
         .select(col("doc_id"), col("tk"),
@@ -2168,7 +2173,7 @@ object CorpusQueries extends QueryModule {
       // so realistic addresses are masked whole, not in fragments; the
       // class syntax is identical in Java regex and DuckDB's RE2
       val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
-      Tables(s, dir, "documents")
+      Tables.documents(s, dir)
         .withColumn("aug", expr(
           "concat(text, ' contact user', CAST(doc_id AS STRING), " +
             "'@mail.example or call 555-', CAST(doc_id AS STRING))"))
@@ -2189,7 +2194,7 @@ object CorpusQueries extends QueryModule {
     // the whole score is a map-side scan->project with no explode and no
     // shuffle beyond the output sort; 100 TB cost is linear in bytes.
     "q84_repetition" -> ((s, dir) => {
-      Tables(s, dir, "documents")
+      Tables.documents(s, dir)
         .withColumn("tk", expr(toksSql))
         .filter(size(col("tk")) >= 3)
         .withColumn("gs", expr(gramsSql("tk", 3, distinct = false)))
@@ -2212,7 +2217,7 @@ object CorpusQueries extends QueryModule {
     // engines, retries, and partitionings. The corpus itself is scanned
     // once and never shuffled.
     "q85_source_mix" -> ((s, dir) => {
-      val docs = Tables(s, dir, "documents")
+      val docs = Tables.documents(s, dir)
       val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_src"))
       val minCnt = counts.agg(min(col("n_src")).as("m"))
       docs.join(broadcast(counts), "source")
@@ -2235,7 +2240,7 @@ object CorpusQueries extends QueryModule {
     // n-grams) and q84 (within-doc repetition score) — this one
     // rewrites the text. Engine + scale notes: [[dupSpanStrip]].
     "q116_dup_span_strip" -> ((s, dir) =>
-      dupSpanStrip(Tables(s, dir, "documents")).orderBy(col("doc_id"))),
+      dupSpanStrip(Tables.documents(s, dir)).orderBy(col("doc_id"))),
 
     // --- statistical LM quality scoring (the model-based filter slot in
     // CCNet-style pipelines, built from corpus statistics instead of an
@@ -2250,7 +2255,7 @@ object CorpusQueries extends QueryModule {
     // on their keys, never broadcast; only the 1-row vocabulary count
     // broadcasts.
     "q117_bigram_lm_score" -> ((s, dir) => {
-      val docs = Tables(s, dir, "documents")
+      val docs = Tables.documents(s, dir)
       val bi = docs.select(col("doc_id"), expr(toksSql).as("tk"))
         .select(col("doc_id"),
           explode(expr(gramsSql("tk", 2, distinct = false))).as("bg"))
@@ -2301,7 +2306,7 @@ object CorpusQueries extends QueryModule {
     // shuffle.
     "q118_dsir_importance" -> ((s, dir) => {
       val target = Seq("src0", "src1", "src2", "src3", "src4")
-      val occ = Tables(s, dir, "documents")
+      val occ = Tables.documents(s, dir)
         .select(col("doc_id"), col("source"), expr(toksSql).as("tk"))
         .select(col("doc_id"), col("source"),
           explode(expr(gramsSql("tk", 2, distinct = false))).as("bg"))
@@ -2341,7 +2346,7 @@ object CorpusQueries extends QueryModule {
     // IEEE division of exact ints rounded to a 6-decimal grid, so the
     // rank order (ttr desc, doc_id) is engine-independent.
     "q119_token_budget_select" -> ((s, dir) => {
-      val d = Tables(s, dir, "documents")
+      val d = Tables.documents(s, dir)
         .select(col("doc_id"), expr(toksSql).as("tk"))
         .select(col("doc_id"), size(col("tk")).cast("long").as("n_tok"),
           expr("round(size(array_distinct(tk)) / CAST(size(tk) AS DOUBLE), 6)")
@@ -2384,7 +2389,7 @@ object CorpusQueries extends QueryModule {
     // one partition). Everything is linear: explode segments, one
     // bounded agg, one hash equi-join back, one per-doc rebuild.
     "q120_segment_dedup" -> ((s, dir) =>
-      segmentDedup(Tables(s, dir, "documents")).orderBy(col("doc_id"))),
+      segmentDedup(Tables.documents(s, dir)).orderBy(col("doc_id"))),
 
     // --- temperature-based source mixing (the multilingual/source
     // α-sampling of mT5/XLM-R, α = 0.5): target share of source s is
@@ -2402,7 +2407,7 @@ object CorpusQueries extends QueryModule {
     // partitionings. Scale: two bounded aggregates (per-source counts)
     // broadcast onto a single corpus scan; no shuffle of the corpus.
     "q121_temperature_mix" -> ((s, dir) => {
-      val docs = Tables(s, dir, "documents")
+      val docs = Tables.documents(s, dir)
       val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_src"))
         .withColumn("d",
           expr("CAST(round(sqrt(CAST(n_src AS DOUBLE)), 6) AS DECIMAL(18,6))"))
@@ -2428,7 +2433,7 @@ object CorpusQueries extends QueryModule {
     // corpus-sized shuffles and they carry (source, gram) pairs —
     // bounded by vocabulary × sources, never doc-sized state.
     "q122_ngram_diversity" -> ((s, dir) => {
-      val docs = Tables(s, dir, "documents")
+      val docs = Tables.documents(s, dir)
         .select(col("source"), expr(toksSql).as("tk"))
       val uni = docs.select(col("source"), explode(col("tk")).as("g"))
       val bi = docs.select(col("source"),
@@ -2462,7 +2467,7 @@ object CorpusQueries extends QueryModule {
     // — 10⁵-ish shards); 64 here is the harness default, which the
     // DuckDB oracle mirrors.
     "q126_shard_shuffle" -> ((s, dir) =>
-      shardShuffle(Tables(s, dir, "documents"), nShards = 64)
+      shardShuffle(Tables.documents(s, dir), nShards = 64)
         .orderBy(col("shard"), col("pos"))),
 
     // --- duplicate-graph centrality (PageRank, 3 rounds): rank the
@@ -2573,7 +2578,7 @@ object CorpusQueries extends QueryModule {
       // parity: the harness assigns doc_id round-robin across sources, so
       // parity is perfectly correlated with source and the "halves" would
       // be degenerate (all-even or all-odd per source)
-      Tables(s, dir, "documents")
+      Tables.documents(s, dir)
         .select(col("source"), col("lang"), expr(
           "CAST(conv(substring(md5(text), 1, 2), 16, 10) AS INT) % 2 = 0").as("ev"))
         .groupBy(col("source"), col("lang"))
@@ -2606,7 +2611,7 @@ object CorpusQueries extends QueryModule {
     // one (doc, bucket) map-side-combined groupBy → one doc-keyed
     // aggregate; pure linear pipeline, no joins, no windows.
     "q137_quality_classifier" -> ((s, dir) => {
-      classifierScores(Tables(s, dir, "documents"))
+      classifierScores(Tables.documents(s, dir))
         .select(col("doc_id"), col("nnz"),
           (col("lg_micro").cast("double") / lit(1000000.0)).as("logit"),
           (col("lm") > 0).as("keep"))
@@ -2626,7 +2631,7 @@ object CorpusQueries extends QueryModule {
     // score desc on the negated hash; ties (md5-prefix collisions) break
     // toward the smaller doc_id in both engines.
     "q139_source_cap" -> ((s, dir) =>
-      sourceCap(Tables(s, dir, "documents"), k = 20)),
+      sourceCap(Tables.documents(s, dir), k = 20)),
 
     // --- graded contamination scoring: q80 flags docs with ANY eval
     // 8-gram overlap; production decontamination instead grades each doc
@@ -2641,7 +2646,7 @@ object CorpusQueries extends QueryModule {
     // decision can never straddle a float-rounding boundary between
     // engines; frac itself is one IEEE division of exact ints + round.
     "q140_contamination_frac" -> ((s, dir) => {
-      val docs = Tables(s, dir, "documents").withColumn("tk", expr(toksSql))
+      val docs = Tables.documents(s, dir).withColumn("tk", expr(toksSql))
       val bench = docs.filter(col("doc_id") % 5 === 0)
         .select(explode(expr(gramsSql("tk", 8))).as("g")).distinct()
         .withColumn("hit", lit(1L))
@@ -2673,7 +2678,7 @@ object CorpusQueries extends QueryModule {
     // Cluster output is keeper + counts, never a member list — a
     // boilerplate normal form with 10⁶ members stays one row.
     "q142_normalized_dedup" -> ((s, dir) => {
-      val d = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       val planted = d
         .unionByName(d.select((col("doc_id") + 20000).as("doc_id"),
           upper(col("text")).as("text")))
@@ -2732,7 +2737,7 @@ object CorpusQueries extends QueryModule {
     // pins the rewrite byte-for-byte cross-engine; the OOV rate lands
     // on the 1e-6 grid.
     "q160_vocab_prune" -> ((s, dir) => {
-      val toks = Tables(s, dir, "documents")
+      val toks = Tables.documents(s, dir)
         .select(col("doc_id"), expr(toksSql).as("tk"))
         .select(col("doc_id"), posexplode(col("tk")).as(Seq("pos", "t")))
       val kept = toks.groupBy(col("t")).agg(count(lit(1)).as("df"))
@@ -2768,7 +2773,7 @@ object CorpusQueries extends QueryModule {
     // the singleton-bigram PMI explosion) and bounds nothing — it is a
     // map-side filter after the count.
     "q153_pmi_collocations" -> ((s, dir) => {
-      val docs = Tables(s, dir, "documents")
+      val docs = Tables.documents(s, dir)
       val bi = docs.select(expr(toksSql).as("tk"))
         .select(explode(expr(gramsSql("tk", 2, distinct = false))).as("bigram"))
       val biCnt = bi.groupBy(col("bigram")).agg(count(lit(1)).as("n_pair"))
@@ -2889,7 +2894,7 @@ object CorpusQueries extends QueryModule {
     // the vocab is small). The oracle replays training AND encoding.
     "q244_bpe_encode" -> ((s, dir) => {
       val enc = bpeEncodedVocab(s, dir)
-      Tables(s, dir, "documents")
+      Tables.documents(s, dir)
         .select(col("source"), explode(expr(toksSql)).as("word"))
         .join(enc.select(col("word"), col("n_sym")), Seq("word"))
         .groupBy(col("source"))
@@ -2980,7 +2985,7 @@ object CorpusQueries extends QueryModule {
     // top-20 is TakeOrdered.
     "q176_countmin_sketch" -> ((s, dir) => {
       graft.functions.GraftFunctions.register(s) // fnv64
-      val exact = Tables(s, dir, "documents")
+      val exact = Tables.documents(s, dir)
         .select(explode(expr(toksSql)).as("term"))
         .groupBy(col("term")).agg(count(lit(1)).as("exact"))
         .localCheckpoint() // feeds sketch build + top-20 probe
@@ -3024,7 +3029,7 @@ object CorpusQueries extends QueryModule {
       // branch (m = k) forever untested; shingle spaces are hundreds
       // per source, so the gate exercises both the exact-fallback and
       // the (k-1)*2^64/h_(k) estimate (sf0.001 hits both across rows)
-      Tables(s, dir, "documents")
+      Tables.documents(s, dir)
         .select(col("source"), expr(toksSql).as("tk"))
         .select(col("source"),
           explode(expr(LlmQueries.shinglesSql("tk"))).as("term"))
@@ -3060,7 +3065,7 @@ object CorpusQueries extends QueryModule {
     // rand(seed) is partitioning-dependent).
     "q182_target_mix_sample" -> ((s, dir) => {
       graft.functions.GraftFunctions.register(s) // fnv64
-      val d = Tables(s, dir, "documents")
+      val d = Tables.documents(s, dir)
       val counts = d.groupBy(col("source")).agg(count(lit(1)).as("n_orig"))
       val minc = counts.agg(min(col("n_orig")).as("m"))
       val rated = counts.crossJoin(broadcast(minc))
@@ -3097,7 +3102,7 @@ object CorpusQueries extends QueryModule {
     "q184_bradley_terry" -> ((s, dir) => {
       graft.functions.GraftFunctions.register(s) // fnv64
       val w = Window.partitionBy(col("lang"), col("b")).orderBy(col("doc_id"))
-      val seq0 = Tables(s, dir, "documents")
+      val seq0 = Tables.documents(s, dir)
         .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
         .withColumn("b", pmod(expr("fnv64(CAST(doc_id AS STRING))"), lit(16L)))
         .withColumn("pd", lag(col("doc_id"), 1).over(w))
@@ -3126,7 +3131,7 @@ object CorpusQueries extends QueryModule {
     // 1e-6 grid.
     "q187_split_balance" -> ((s, dir) => {
       graft.functions.GraftFunctions.register(s) // fnv64
-      val d = Tables(s, dir, "documents")
+      val d = Tables.documents(s, dir)
         .select(col("doc_id"), col("source"))
         .withColumn("bucket",
           pmod(expr("fnv64(CAST(doc_id AS STRING))"), lit(10L)))
@@ -3217,7 +3222,7 @@ object CorpusQueries extends QueryModule {
       val means = (0 until B).map(b =>
         s"IF(w$b = 0, CAST(0 AS DECIMAL(38,0)), (2 * wx$b * 1000000 + w$b) DIV (2 * w$b))")
         .mkString("sort_array(array(", ", ", "))")
-      Tables(s, dir, "documents")
+      Tables.documents(s, dir)
         .select(col("doc_id"), col("source"), col("n_chars"))
         .groupBy(col("source"))
         .agg(aggs.head, aggs.tail: _*)
@@ -3248,7 +3253,7 @@ object CorpusQueries extends QueryModule {
       graft.functions.GraftFunctions.register(s) // fnv64
       val kmv = udaf(new graft.functions.KmvAggregator.KMinLongs(64),
         org.apache.spark.sql.Encoders.scalaLong)
-      val sk = Tables(s, dir, "documents")
+      val sk = Tables.documents(s, dir)
         .select(col("source"), expr(toksSql).as("tk"))
         .select(col("source"),
           explode(expr(LlmQueries.shinglesSql("tk"))).as("term"))
@@ -3301,7 +3306,7 @@ object CorpusQueries extends QueryModule {
     // Scale: zero shuffles touch tokens; the only exchange is the
     // |sources|-row partial agg. Means land half-up on the 1e-6 grid.
     "q192_repetition_rules" -> ((s, dir) => {
-      repetitionStats(Tables(s, dir, "documents"))
+      repetitionStats(Tables.documents(s, dir))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("top_ppm")).as("stp"),
@@ -3335,7 +3340,7 @@ object CorpusQueries extends QueryModule {
     // bucket spine. Novelty share on the half-up 1e-6 grid.
     "q193_novelty_curve" -> ((s, dir) => {
       graft.functions.GraftFunctions.register(s) // fnv64
-      val d = Tables(s, dir, "documents")
+      val d = Tables.documents(s, dir)
       val mx = d.agg(max(col("doc_id")).as("mx"))
       val inc = d.select(col("doc_id"), expr(toksSql).as("tk"))
         .select(col("doc_id"),
@@ -3378,7 +3383,7 @@ object CorpusQueries extends QueryModule {
     // construction; corpus rows never see a window). Floor level:
     // slack < |unfunded| tokens stays unallocated, deterministically.
     "q194_budget_waterfill" -> ((s, dir) =>
-      waterfill(Tables(s, dir, "documents")
+      waterfill(Tables.documents(s, dir)
         .select(col("source"), expr(s"size($toksSql)").as("nt"))
         .groupBy(col("source"))
         .agg(sum(col("nt")).as("n_tokens")), 9, 10)
@@ -3400,7 +3405,7 @@ object CorpusQueries extends QueryModule {
     // (both partial-agged hash exchanges on longs), then a
     // |sources|-row rollup of duplicated-token share.
     "q195_cdc_chunk_dedup" -> ((s, dir) => {
-      val occ = cdcChunkOccurrences(Tables(s, dir, "documents"))
+      val occ = cdcChunkOccurrences(Tables.documents(s, dir))
         .localCheckpoint()
       val dup = occ.groupBy(col("ch"))
         .agg(count(lit(1)).as("occs"))
@@ -3437,7 +3442,7 @@ object CorpusQueries extends QueryModule {
     // partial-agged shuffle; the rarity join runs on that collapsed
     // frame (vocab x sources), and everything after is |sources| rows.
     "q197_doremi_mixture" -> ((s, dir) => {
-      val st = Tables(s, dir, "documents")
+      val st = Tables.documents(s, dir)
         .select(col("source"), explode(expr(toksSql)).as("t"))
         .groupBy(col("source"), col("t"))
         .agg(count(lit(1)).as("c"))
@@ -3491,7 +3496,7 @@ object CorpusQueries extends QueryModule {
     // map-side CASE — no histogram pass, no rank window, nothing
     // data-dependent to drift between engines.
     "q199_ccnet_buckets" -> ((s, dir) => {
-      val st = Tables(s, dir, "documents")
+      val st = Tables.documents(s, dir)
         .select(col("doc_id"), col("source"), explode(expr(toksSql)).as("t"))
         .groupBy(col("doc_id"), col("source"), col("t"))
         .agg(count(lit(1)).as("c"))
@@ -3528,7 +3533,7 @@ object CorpusQueries extends QueryModule {
     // shuffles beyond its scan, and only chunk fingerprints. The
     // composite lives on the 1e-6 grid end-to-end.
     "q200_curation_scorecard" -> ((s, dir) => {
-      val d = Tables(s, dir, "documents")
+      val d = Tables.documents(s, dir)
       val exact = d
         .select(col("source"), expr(LlmQueries.normSql).as("nt"))
         .groupBy(col("source"))
@@ -3586,7 +3591,7 @@ object CorpusQueries extends QueryModule {
     // row.
     "q203_sample_apportionment" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val cells = Tables(s, dir, "documents")
+      val cells = Tables.documents(s, dir)
         .groupBy(col("source"), col("lang"))
         .agg(count(lit(1)).as("n_docs"))
       val base = cells.crossJoin(broadcast(
@@ -3622,7 +3627,7 @@ object CorpusQueries extends QueryModule {
     // are excluded (AUC is undefined there), deterministically in both
     // engines.
     "q226_auc_rank" -> ((s, dir) => {
-      val d = Tables(s, dir, "documents")
+      val d = Tables.documents(s, dir)
       val sc = classifierScores(d).select(col("doc_id"), col("lg_micro"))
       val lbl = repetitionStats(d).select(col("doc_id"), col("source"),
         (col("pass_top") && col("pass_dup")).as("pos"))
@@ -3645,7 +3650,7 @@ object CorpusQueries extends QueryModule {
     // q209's seasonal grid, where absence itself deviates) restoring
     // empty bins would add nothing — both engines drop the same ones.
     "q227_calibration_ece" -> ((s, dir) => {
-      val d = Tables(s, dir, "documents")
+      val d = Tables.documents(s, dir)
       val sc = classifierScores(d).select(col("doc_id"), col("lg_micro"))
       val lbl = repetitionStats(d).select(col("doc_id"),
         (col("pass_top") && col("pass_dup")).as("pos"))
@@ -3692,7 +3697,7 @@ object CorpusQueries extends QueryModule {
     // integer; the frontier is by construction strictly monotone
     // (score desc => toks desc after dedup... asserted in spec).
     "q229_pareto_frontier" -> ((s, dir) => {
-      val d = Tables(s, dir, "documents")
+      val d = Tables.documents(s, dir)
       paretoFrontier(classifierScores(d)
           .select(col("doc_id"), col("lg_micro"), col("n_terms").as("n_toks")))
         .join(d.select(col("doc_id"), col("source")), Seq("doc_id"))
@@ -3713,7 +3718,7 @@ object CorpusQueries extends QueryModule {
     // term); the ranking window partitions by source over the
     // vocab-bounded join, and only top-5 survive.
     "q232_tfidf_keywords" -> ((s, dir) =>
-      distinctiveTerms(Tables(s, dir, "documents"))
+      distinctiveTerms(Tables.documents(s, dir))
         .orderBy(col("source"), col("rnk"))),
 
     // --- source distance matrix (q233): pairwise distribution
@@ -3731,7 +3736,7 @@ object CorpusQueries extends QueryModule {
     // domain, never the corpus; the only corpus-sized exchange is the
     // (source, term) tf aggregation, partial-agged map-side.
     "q233_source_distance" -> ((s, dir) =>
-      sourceDistance(Tables(s, dir, "documents"))
+      sourceDistance(Tables.documents(s, dir))
         .orderBy(col("src_a"), col("src_b"))),
 
     // --- unseen-mass estimate (q235): Good's 1953 estimator — the
@@ -3745,7 +3750,7 @@ object CorpusQueries extends QueryModule {
     // tf aggregation (map-side combined) and the sources-bounded
     // rollup; the estimate lands on the ppm grid.
     "q235_unseen_mass" -> ((s, dir) =>
-      unseenMass(Tables(s, dir, "documents"))
+      unseenMass(Tables.documents(s, dir))
         .orderBy(col("source"))),
 
     // --- interleaved curriculum schedule (q237): the deterministic
@@ -3763,7 +3768,7 @@ object CorpusQueries extends QueryModule {
     // row_number. Output keyed (band DESC, slot): the total order any
     // consumer can stream without materializing a global rank.
     "q237_curriculum_order" -> ((s, dir) => {
-      val d = Tables(s, dir, "documents")
+      val d = Tables.documents(s, dir)
       val banded = classifierScores(d)
         .withColumn("band", least(lit(9L),
           expr("(((lg_micro + 1000000) DIV 2) * 10) DIV 1000000")))
@@ -3786,7 +3791,7 @@ object CorpusQueries extends QueryModule {
     // NULL. Scale: both judge chains are map-side scoring + doc-keyed
     // join; the contingency is one sources-bounded partial agg.
     "q238_judge_agreement" -> ((s, dir) => {
-      val d = Tables(s, dir, "documents")
+      val d = Tables.documents(s, dir)
       judgeAgreement(
         repetitionStats(d).select(col("doc_id"), col("source"),
           (col("pass_top") && col("pass_dup")).as("ja")),
@@ -3806,7 +3811,7 @@ object CorpusQueries extends QueryModule {
     // matrix is sources²-bounded; the q34 chain is the cost, as in
     // q163/q188/q221.
     "q239_cross_source_dups" -> ((s, dir) => {
-      val src = Tables(s, dir, "documents")
+      val src = Tables.documents(s, dir)
         .select(col("doc_id"), col("source"))
       // the planted near-dup copies (doc_id + PlantedOffset, the q34
       // corpus construction) inherit their original's source
@@ -3829,7 +3834,7 @@ object CorpusQueries extends QueryModule {
     // grid. Halves by content hash (the q136 convention — doc_id
     // parity is correlated with source on the harness corpus).
     "q241_ks_drift" -> ((s, dir) =>
-      ksDrift(Tables(s, dir, "documents")
+      ksDrift(Tables.documents(s, dir)
         .select(col("source"),
           expr("CAST(conv(substring(md5(text), 1, 2), 16, 10) AS INT) % 2 = 0")
             .as("ev"),
@@ -4284,7 +4289,7 @@ object CorpusQueries extends QueryModule {
     }
 
   private[graft] def subwordCountsBuild(s: SparkSession, dir: String): DataFrame = {
-    val words = Tables(s, dir, "documents")
+    val words = Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"), col("source"),
         explode(expr(toksSql)).as("w"))
       .filter(length(col("w")) > 0)
@@ -4461,7 +4466,7 @@ object CorpusQueries extends QueryModule {
     * fingerprints fork. Offset guarded ([[assertPlantedOffset]]). */
   private[graft] def plantedExcerptCorpus(s: SparkSession, dir: String): DataFrame = {
     assertPlantedOffset(s, dir, 60000)
-    val base = Tables(s, dir, "documents")
+    val base = Tables.documents(s, dir)
       .select(col("doc_id"), expr(toksSql).as("tk"))
     val planted = base.filter(col("doc_id") % 10 === 6)
       .select((col("doc_id") + 60000).as("doc_id"),
@@ -4562,7 +4567,7 @@ object CorpusQueries extends QueryModule {
     * with cum/tot exact longs so callers can threshold in integer
     * arithmetic. */
   private def rankedTermCumsum(s: SparkSession, dir: String): DataFrame = {
-    val freq = Tables(s, dir, "documents")
+    val freq = Tables.documents(s, dir)
       .select(explode(expr(toksSql)).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("n"))
     val bucketed = freq

@@ -90,7 +90,7 @@ object ExtendedQueries extends QueryModule {
 
     // --- explode / Generator: flatten token arrays, top-20 vocabulary.
     "q44_explode_tokens" -> ((s, dir) => {
-      Tables(s, dir, "documents")
+      Tables.documents(s, dir)
         .select(explode(expr(
           s"split(trim(text), '${LlmQueries.WsClass}+')")).as("token"))
         .groupBy(col("token"))

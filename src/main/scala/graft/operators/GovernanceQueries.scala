@@ -225,7 +225,7 @@ object GovernanceQueries extends QueryModule {
     // any permutation of their rank run), exact integers until the one
     // half-up grid division.
     "q210_token_gini" -> ((s, dir) => {
-      val tf = Tables(s, dir, "documents")
+      val tf = Tables.documents(s, dir)
         .select(col("source"), explode(expr(LlmQueries.toksSql)).as("tok"))
         .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("f"))
       val ranked = tf.withColumn("i", row_number().over(
@@ -267,7 +267,7 @@ object GovernanceQueries extends QueryModule {
       // fingerprints — the audit's independence lives in the two
       // AGGREGATION paths (direct vs via-shard merge), not in
       // re-hashing the corpus twice (r14 review); one row per doc
-      val d = Tables(s, dir, "documents")
+      val d = Tables.documents(s, dir)
         .select(col("source"),
           pmod(expr("fnv64(CAST(doc_id AS STRING))"), lit(32L)).as("shard"),
           expr("fnv64(concat(CAST(doc_id AS STRING), ':', md5(text)))").as("fp"))
@@ -464,7 +464,7 @@ object GovernanceQueries extends QueryModule {
     // the hash split when they need only be unbiased.
     "q215_exact_stratified_split" -> ((s, dir) => {
       graft.functions.GraftFunctions.register(s)
-      val d = Tables(s, dir, "documents")
+      val d = Tables.documents(s, dir)
         .select(col("source"), col("doc_id"),
           expr("fnv64(CAST(doc_id AS STRING))").as("hk"))
       val n = d.groupBy(col("source")).agg(count(lit(1)).as("n"))
@@ -535,7 +535,7 @@ object GovernanceQueries extends QueryModule {
     // The curation read: effective ≈ 1 is a monolingual source,
     // effective ≈ n_langs is a uniform mix.
     "q225_lang_diversity" -> ((s, dir) => {
-      val sl = Tables(s, dir, "documents")
+      val sl = Tables.documents(s, dir)
         .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("c"))
       sl.groupBy(col("source"))
         .agg(sum(col("c")).cast("long").as("n_docs"),
@@ -564,7 +564,7 @@ object GovernanceQueries extends QueryModule {
     // loop. Pairs with q183: that audits the skew of an EXISTING key,
     // this plans the assignment that avoids it.
     "q217_shard_packing" -> ((s, dir) => {
-      val sizes = Tables(s, dir, "documents")
+      val sizes = Tables.documents(s, dir)
         .groupBy(col("source")).agg(sum(col("n_chars")).cast("long").as("sz"))
       sizes.agg(sort_array(collect_list(
           struct((-col("sz")).as("negsz"), col("source"), col("sz")))).as("xs"))
@@ -698,7 +698,7 @@ object GovernanceQueries extends QueryModule {
     // exchanges are the (lang, guess)-bounded confusion agg and the
     // langs-bounded totals, joined broadcast. Share on the ppm grid.
     "q236_lang_confusion" -> ((s, dir) =>
-      langConfusion(Tables(s, dir, "documents"))
+      langConfusion(Tables.documents(s, dir))
         .orderBy(col("lang"), col("guess")))
   )
 

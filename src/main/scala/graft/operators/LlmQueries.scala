@@ -577,7 +577,7 @@ object LlmQueries extends QueryModule {
 
   /** Documents plus an exact copy of each at doc_id + [[PlantedOffset]]. */
   private def plantedExact(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
     d.unionByName(d.select((col("doc_id") + PlantedOffset).as("doc_id"), col("text")))
   }
 
@@ -593,7 +593,7 @@ object LlmQueries extends QueryModule {
   private[graft] val PlantedOffset = 10000L
 
   private[operators] def plantedNear(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
     d.unionByName(withTokens(d).select((col("doc_id") + PlantedOffset).as("doc_id"),
       expr("array_join(slice(tk, 1, greatest(size(tk) - 5, 1)), ' ')").as("text")))
   }
@@ -1237,7 +1237,7 @@ object LlmQueries extends QueryModule {
     // --- text analysis: token counting (whitespace + BPE-ish regex),
     // punctuation/stopword profile, quality bucket. Narrow scan->project.
     "q30_text_stats" -> ((s, dir) => {
-      withTokens(Tables(s, dir, "documents"))
+      withTokens(Tables.documents(s, dir))
         .select(col("doc_id"),
           length(col("text")).as("len_chars"),
           expr("size(tk)").as("n_words"),
@@ -1257,7 +1257,7 @@ object LlmQueries extends QueryModule {
     // variant; the content is synthetic so the score, not accuracy, is the
     // verified artifact).
     "q31_lang_id" -> ((s, dir) => {
-      langGuess(Tables(s, dir, "documents"))
+      langGuess(Tables.documents(s, dir))
         .select(col("doc_id"), col("lang"), col("guess"),
           (col("guess") === col("lang")).as("hit"))
         .orderBy(col("doc_id"))
@@ -1267,7 +1267,7 @@ object LlmQueries extends QueryModule {
     // The rolling-hash variant is the RollingHash64 expression (unit-tested;
     // not DuckDB-expressible).
     "q32_fingerprint" -> ((s, dir) => {
-      Tables(s, dir, "documents")
+      Tables.documents(s, dir)
         .select(col("doc_id"), md5(expr(normSql)).as("fp"))
         .orderBy(col("doc_id"))
     }),
@@ -1697,7 +1697,7 @@ object LlmQueries extends QueryModule {
     // runs per-partition (the real image/audio libs are absent by design).
     "q40_multimodal" -> ((s, dir) =>
       MultimodalOps.extractFeatures(
-        Tables(s, dir, "documents").select(col("doc_id"),
+        Tables.documents(s, dir).select(col("doc_id"),
           col("text").cast(BinaryType).as("blob")))
         .orderBy(col("doc_id"))),
 
@@ -1711,7 +1711,7 @@ object LlmQueries extends QueryModule {
     // cost), parallelism = input splits.
     "q115_mp4_probe" -> ((s, dir) => {
       import s.implicits._
-      Tables(s, dir, "documents").select(col("doc_id")).as[Long]
+      Tables.documents(s, dir).select(col("doc_id")).as[Long]
         .mapPartitions(_.map { id =>
           val w = 320 + (id % 64).toInt * 16
           val h = 240 + (id % 36).toInt * 16
@@ -1742,7 +1742,7 @@ object LlmQueries extends QueryModule {
       // the ContextCleaner reclaims when the frame is unreferenced,
       // unlike persist() entries that would pile up in the CacheManager
       // across a 127-query session
-      val hashed = Tables(s, dir, "documents").select(col("doc_id")).as[Long]
+      val hashed = Tables.documents(s, dir).select(col("doc_id")).as[Long]
         .repartition(s.sparkContext.defaultParallelism)
         .mapPartitions { it =>
           javax.imageio.ImageIO.setUseCache(false)
@@ -1769,7 +1769,7 @@ object LlmQueries extends QueryModule {
     // nothing shuffles but the final order for the gate.
     "q148_image_resize" -> ((s, dir) => {
       import s.implicits._
-      Tables(s, dir, "documents").select(col("doc_id")).as[Long]
+      Tables.documents(s, dir).select(col("doc_id")).as[Long]
         .repartition(s.sparkContext.defaultParallelism)
         .mapPartitions { it =>
           javax.imageio.ImageIO.setUseCache(false)
@@ -1796,7 +1796,7 @@ object LlmQueries extends QueryModule {
     // final sort.
     "q198_shot_boundaries" -> ((s, dir) => {
       import s.implicits._
-      Tables(s, dir, "documents").select(col("doc_id")).as[Long]
+      Tables.documents(s, dir).select(col("doc_id")).as[Long]
         .repartition(s.sparkContext.defaultParallelism)
         .mapPartitions { it =>
           javax.imageio.ImageIO.setUseCache(false)
@@ -1833,7 +1833,7 @@ object LlmQueries extends QueryModule {
     // session end like a persist() entry would.
     "q124_image_neardup" -> ((s, dir) => {
       import s.implicits._
-      val hashed = Tables(s, dir, "documents").select(col("doc_id")).as[Long]
+      val hashed = Tables.documents(s, dir).select(col("doc_id")).as[Long]
         .repartition(s.sparkContext.defaultParallelism)
         .mapPartitions { it =>
           javax.imageio.ImageIO.setUseCache(false)
@@ -1857,7 +1857,7 @@ object LlmQueries extends QueryModule {
     // the one shuffle carries fingerprint keys, state is (min, count).
     "q125_audio_fp_dedup" -> ((s, dir) => {
       import s.implicits._
-      val fp = Tables(s, dir, "documents").select(col("doc_id")).as[Long]
+      val fp = Tables.documents(s, dir).select(col("doc_id")).as[Long]
         .repartition(s.sparkContext.defaultParallelism)
         .mapPartitions(_.map(id => (id, MultimodalOps.audioFingerprint(
           MultimodalOps.mkWav16(id % 30, (id % 4).toInt * 7, 4096)))))
@@ -2152,7 +2152,7 @@ object LlmQueries extends QueryModule {
     "q150_hybrid_retrieval" -> ((s, dir) => {
       graft.functions.GraftFunctions.register(s) // vec_dot
       val terms = Seq("join", "filter", "hash")
-      val toks = withTokens(Tables(s, dir, "documents").select(col("doc_id"), col("text")))
+      val toks = withTokens(Tables.documents(s, dir).select(col("doc_id"), col("text")))
         .select(col("doc_id") +: expr("CAST(size(tk) AS BIGINT)").as("dl") +:
           terms.map(t =>
             expr(s"CAST(size(filter(tk, x -> x = '$t')) AS BIGINT)").as(s"tf_$t")): _*)
@@ -2554,7 +2554,7 @@ object LlmQueries extends QueryModule {
     // over the document stream, no percentile_approx sketch needed when
     // the consumer only wants bucketed quantiles.
     "q133_length_quantiles" -> ((s, dir) => {
-      val d = Tables(s, dir, "documents")
+      val d = Tables.documents(s, dir)
         .withColumn("b", least(lit(15), floor(col("n_chars") / 64)).cast("int"))
       val h = d.groupBy(col("source"), col("b")).agg(count(lit(1)).as("cnt"))
       def loAt(q: String): Column = expr(
@@ -2591,7 +2591,7 @@ object LlmQueries extends QueryModule {
         "zip_with(zip_with(slice(tk, 1, size(tk) - 2), slice(tk, 2, size(tk) - 2), " +
         "(x, y) -> concat(x, ' ', y)), slice(tk, 3, size(tk) - 2), " +
         "(xy, z) -> concat(xy, ' ', z)) ELSE array() END"
-      val sh = withTokens(Tables(s, dir, "documents"))
+      val sh = withTokens(Tables.documents(s, dir))
         .select(col("source"), explode(expr(rawShingles)).as("sh"))
       // 16 min-aggregate COLUMNS in one codegen'd pass — not a 16x row
       // explode: the perm fan-out stays inside the aggregate buffer, so
@@ -2633,7 +2633,7 @@ object LlmQueries extends QueryModule {
     // DECIMAL(38,0) — exact at any corpus size.
     "q157_source_containment" -> ((s, dir) => {
       graft.functions.GraftFunctions.register(s) // fnv64
-      val sh = Tables(s, dir, "documents")
+      val sh = Tables.documents(s, dir)
         .select(col("source"), expr(toksSql).as("tk"))
         .select(col("source"), explode(expr(shinglesSql("tk"))).as("g"))
         .select(col("source"), expr("fnv64(g)").as("h"))
@@ -2676,7 +2676,7 @@ object LlmQueries extends QueryModule {
     "q129_incremental_dedup" -> ((s, dir) => {
       graft.functions.GraftFunctions.register(s) // sorted_intersect_count
       val base = withTokens(
-        Tables(s, dir, "documents").select(col("doc_id"), col("text")))
+        Tables.documents(s, dir).select(col("doc_id"), col("text")))
       val corpus = base
         .select(col("doc_id").as("corpus_id"), md5(col("text")).as("eh"),
           // sorted once per doc at build: the merge-scan verify contract

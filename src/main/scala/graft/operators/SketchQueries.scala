@@ -62,7 +62,7 @@ object SketchQueries extends QueryModule {
       val k = 100
       val mg = udaf(new graft.functions.FrequentItems.MisraGries(k),
         org.apache.spark.sql.Encoders.STRING)
-      val toks = Tables(s, dir, "documents")
+      val toks = Tables.documents(s, dir)
         .select(explode(expr(LlmQueries.toksSql)).as("token"))
       // sketch and stream length ride ONE corpus pass (same aggregation)
       val cand = toks.agg(mg(col("token")).as("cand"),

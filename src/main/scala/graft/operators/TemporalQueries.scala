@@ -69,7 +69,7 @@ object TemporalQueries extends QueryModule {
     // 1 -> valid, rest -> train. Pure map-side; one tiny final agg.
     "q29_train_split" -> ((s, dir) => {
       val bucket = ascii(substring(md5(col("text")), 32, 1))
-      Tables(s, dir, "documents")
+      Tables.documents(s, dir)
         .withColumn("split",
           when(bucket === ascii(lit("0")), "test")
             .when(bucket === ascii(lit("1")), "valid")

@@ -436,7 +436,7 @@ object StreamingQueries extends QueryModule {
     // cross-micro-batch state run is in StreamingSpec). The corpus is
     // doubled so the dedup provably drops rows.
     "q64_stream_dedup" -> ((s, dir) => {
-      val d = Tables(s, dir, "documents").select(col("lang"), col("text"))
+      val d = Tables.documents(s, dir).select(col("lang"), col("text"))
       dedupCounts(d.unionByName(d)).orderBy(col("lang"))
     }),
 
@@ -537,7 +537,7 @@ object StreamingQueries extends QueryModule {
     // the verify exact, so the operator's output IS the brute-force
     // answer.
     "q168_stream_prefix_dedup" -> ((s, dir) => {
-      val d = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       val delta = d.filter(col("doc_id") % 10 === 7)
         .withColumn("tk", expr(graft.operators.LlmQueries.toksSql))
         .select((col("doc_id") + 20000).as("doc_id"),
@@ -641,7 +641,7 @@ object StreamingQueries extends QueryModule {
     // word driving the cold path) is in StreamingSpec.
     "q255_stream_bpe_drift" -> ((s, dir) => {
       import graft.operators.CorpusQueries
-      val docs = Tables(s, dir, "documents")
+      val docs = Tables.documents(s, dir)
         .select(col("doc_id"), col("text"),
           expr("timestampadd(MINUTE, CAST(doc_id AS INT), " +
             "TIMESTAMP'2024-01-01 00:00:00')").as("ts"))
@@ -678,7 +678,7 @@ object StreamingQueries extends QueryModule {
     // count, and block from the corpus directly.
     "q263_stream_tombstone_ledger" -> ((s, dir) => {
       import graft.operators.CorpusQueries
-      val dels = Tables(s, dir, "documents")
+      val dels = Tables.documents(s, dir)
         .filter(col("doc_id") % 10 === 9)
         .select(col("doc_id"),
           lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")).as("ts"))
@@ -748,7 +748,7 @@ object StreamingQueries extends QueryModule {
     // second wave carries both kinds, and pins stream ≡ batch.
     "q274_stream_interleaved_lifecycle" -> ((s, dir) => {
       val t0 = lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
-      val docs = Tables(s, dir, "documents")
+      val docs = Tables.documents(s, dir)
       val admits = docs.filter(col("doc_id") % 7 === 3)
         .select(col("doc_id"), lit("admit").as("kind"),
           size(expr(graft.operators.LlmQueries.toksSql)).cast("long")

@@ -49,17 +49,33 @@ class ValidationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kept == Set(1L), s"only the clean row survives: $kept")
   }
 
-  test("events validity: NULL value admitted, NaN/Inf/|v|>1e12 rejected") {
+  test("events validity: NULL value admitted, NULL ts / NaN / Inf / |v|>1e12 rejected") {
     val sp = spark
     import sp.implicits._
+    val t0 = Some(java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
     val df = Seq(
-      (1L, Some(5.0)), (2L, None), (3L, Some(Double.NaN)),
-      (4L, Some(-1e18)), (5L, Some(Double.PositiveInfinity)),
-      (6L, Some(1e12)), (7L, Some(-1e12 - 1)))
-      .toDF("event_id", "value")
+      (1L, t0, Some(5.0)), (2L, t0, None), (3L, t0, Some(Double.NaN)),
+      (4L, t0, Some(-1e18)), (5L, t0, Some(Double.PositiveInfinity)),
+      (6L, t0, Some(1e12)), (7L, t0, Some(-1e12 - 1)),
+      (8L, None, Some(5.0))) // timeless event: no window can place it
+      .toDF("event_id", "ts", "value")
     val kept = df.filter(expr(Tables.EventsValidSql))
       .select("event_id").collect().map(_.getLong(0)).toSet
     assert(kept == Set(1L, 2L, 6L), s"got $kept")
+  }
+
+  test("documents validity: NULL text/source rejected; NULL lang admitted") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq(
+      (1L, Some("hello"), Some("en"), Some("src0")),
+      (2L, None, Some("en"), Some("src0")),         // no text
+      (3L, Some(""), None, Some("src1")),           // empty text, no lang: ok
+      (4L, Some("x"), Some("en"), None))            // no provenance
+      .toDF("doc_id", "text", "lang", "source")
+    val kept = df.filter(expr(Tables.DocsValidSql))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L), s"got $kept")
   }
 
   test("every oracle reads embeddings and events through the validated subquery") {
@@ -76,10 +92,17 @@ class ValidationSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
       var j = sql.indexOf("FROM events")
       while (j >= 0) {
-        assert(sql.regionMatches(j, "FROM events WHERE value IS NULL",
-          0, "FROM events WHERE value IS NULL".length),
+        assert(sql.regionMatches(j, "FROM events WHERE ts IS NOT NULL",
+          0, "FROM events WHERE ts IS NOT NULL".length),
           s"$name reads events outside the validation tier at char $j")
         j = sql.indexOf("FROM events", j + 1)
+      }
+      var d = sql.indexOf("FROM documents")
+      while (d >= 0) {
+        assert(sql.regionMatches(d, "FROM documents WHERE text IS NOT NULL",
+          0, "FROM documents WHERE text IS NOT NULL".length),
+          s"$name reads documents outside the validation tier at char $d")
+        d = sql.indexOf("FROM documents", d + 1)
       }
     }
   }

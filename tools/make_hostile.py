@@ -43,6 +43,8 @@ HOSTILE = [
     (9924, "overlap text for id 9924", "fr", "src19"),
     (9908, "duplicate payload of doc 9911", "en", "src0"),
     (9911, "duplicate payload of doc 9911", "en", "src1"),  # exact dup pair
+    (9912, None, "en", "src3"),                             # NULL text
+    (9913, "null metadata row", None, None),                # NULL lang+source
 ]
 
 
@@ -94,11 +96,15 @@ def main() -> None:
         'unknown_kind', -1e18, '{{"k": '
       UNION ALL SELECT 9003, TIMESTAMP '2024-01-01 05:03:00', 7,
         '', 0.0, '{{}}'
+      UNION ALL SELECT 9004, NULL, 7, 'click', 1.0, '{{"k": 2}}'
       ORDER BY event_id
     ) TO '{OUT}/events.parquet' (FORMAT PARQUET)
     """)
+    def lit(v):
+        return "NULL" if v is None else "'" + v.replace("'", "''") + "'"
+
     rows = ",".join(
-        "(%d, '%s', '%s', '%s')" % (i, t.replace("'", "''"), l, s)
+        "(%d, %s, %s, %s)" % (i, lit(t), lit(l), lit(s))
         for i, t, l, s in HOSTILE)
     con.sql(f"""
     COPY (
