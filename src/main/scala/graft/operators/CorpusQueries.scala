@@ -375,13 +375,19 @@ object CorpusQueries extends QueryModule {
     * O(entries × tombstones) boxed compares (measured 3.2 s vs 0.6 s
     * for this form). Emptied rows drop (the regroup emits nothing). */
   private[graft] def compactPostings(post: DataFrame, del: DataFrame): DataFrame = {
+    // size-gated hints ([[batchHint]] ladder): del is batch-sized in
+    // production (broadcast tier) but the sweep corpora pass the ~20%
+    // planted cohort, which grows with the corpus — distinct blocks
+    // are bounded by del's rows, so one memoized probe gates both
+    val nDel = probeCount(del)
     val delBlk = del
       .select(expr(s"doc_id DIV $Bm25BlockStride").as("blk")).distinct()
-    val untouched = post.join(broadcast(delBlk), Seq("blk"), "left_anti")
+    val delBlkH = batchHint(delBlk, nDel)
+    val untouched = post.join(delBlkH, Seq("blk"), "left_anti")
       .select(col("w"), col("blk"), sort_array(col("posting")).as("posting"))
-    val rewritten = post.join(broadcast(delBlk), Seq("blk"), "left_semi")
+    val rewritten = post.join(delBlkH, Seq("blk"), "left_semi")
       .select(col("w"), col("blk"), explode(col("posting")).as("e"))
-      .join(broadcast(del.select(col("doc_id").as("d"))),
+      .join(batchHint(del.select(col("doc_id").as("d")), nDel),
         col("e.d") === col("d"), "left_anti")
       .groupBy(col("w"), col("blk"))
       .agg(sort_array(collect_list(col("e"))).as("posting"))
@@ -548,10 +554,12 @@ object CorpusQueries extends QueryModule {
     * index keeps precisely so erasure never scans the inverted side);
     * untouched keys pass through whole, touched keys explode →
     * anti-join → regroup, emptied keys drop (the regroup emits
-    * nothing). shuffle_hash on h for the index-vs-touched joins: both
-    * sides hash-uniform by construction (fnv64 keys), and sorting the
-    * grouped-posting frame for a one-pass existence probe would be
-    * waste. The tombstone set itself is batch-sized → broadcast. */
+    * nothing). The index-vs-touched joins prefer hash over sort-merge
+    * (both sides hash-uniform by construction — fnv64 keys — and
+    * sorting the grouped-posting frame for a one-pass existence probe
+    * would be waste), but every hint rides the size-gated
+    * [[batchHint]] ladder: the tombstone set broadcasts only while
+    * genuinely batch-sized. */
   private[graft] def compactShingleIndex(s: SparkSession, dir: String,
       del: DataFrame): DataFrame =
     compactShingleIndexFrames(LlmQueries.shingleSets(s, dir),
@@ -563,16 +571,24 @@ object CorpusQueries extends QueryModule {
     * untouched keys, emptied-key drop). */
   private[graft] def compactShingleIndexFrames(forward: DataFrame,
       idx: DataFrame, del: DataFrame): DataFrame = {
+    // every forced strategy rides the [[batchHint]] ladder (r15
+    // verdict item 1): del broadcasts while batch-sized but the sweep
+    // corpora pass the cohort-scale planted erasure set; touched is
+    // O(batch × shingles/doc) and checkpointed, so its probe is a
+    // cached-block read
+    val nDel = probeCount(del)
     val touched = forward
-      .join(broadcast(del), Seq("doc_id"), "left_semi")
+      .join(batchHint(del, nDel), Seq("doc_id"), "left_semi")
       .select(explode(col("hs")).as("h")).distinct()
       .localCheckpoint() // consumed by BOTH branches below — the plan
                          // otherwise recomputes the forward semi-join
                          // once per union arm (read in the r14 review)
-    val untouched = idx.join(touched.hint("shuffle_hash"), Seq("h"), "left_anti")
-    val rewritten = idx.join(touched.hint("shuffle_hash"), Seq("h"), "left_semi")
+    val touchedH = batchHint(touched)
+    val untouched = idx.join(touchedH, Seq("h"), "left_anti")
+    val rewritten = idx.join(touchedH, Seq("h"), "left_semi")
       .select(col("h"), explode(col("docs")).as("d"))
-      .join(broadcast(del.select(col("doc_id").as("d"))), Seq("d"), "left_anti")
+      .join(batchHint(del.select(col("doc_id").as("d")), nDel),
+        Seq("d"), "left_anti")
       .groupBy(col("h")).agg(collect_list(col("d")).as("docs"))
     untouched.unionByName(rewritten)
   }
@@ -585,12 +601,54 @@ object CorpusQueries extends QueryModule {
     * driver. */
   private[graft] val BroadcastRowCap = 2000000L
 
-  /** Size-gated join-side hint for tombstone/touched frames: broadcast
-    * when genuinely batch-sized, shuffle_hash otherwise. Callers pass
-    * localCheckpointed (or tiny literal) frames so the count probe is
-    * a cached-block read, not a recompute. */
+  // Memo of probe counts keyed by the probed frame's analyzed logical
+  // plan (r15 verdict item 7: batchHint ran one count() Spark job PER
+  // CALL — ~16 gated sites probing the same checkpointed tombstone
+  // frame would have paid the job 16 times). Plan equality is
+  // structural, so re-probing the SAME frame object — or a plan-equal
+  // read of the same immutable parquet dir — is a map hit, zero jobs.
+  // Checkpointed frames (every production tombstone/touched frame)
+  // key on their LogicalRDD, whose captured RDD compares by identity:
+  // two different checkpoints never alias. WeakHashMap: entries die
+  // with their frames, so a long sweep session cannot accumulate.
+  private val probeCounts = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      java.lang.Long]())
+
+  /** The memoized `count()` behind every size gate below: one Spark
+    * job per distinct frame per session, cached-block-cheap when the
+    * frame is localCheckpointed (which every production caller does),
+    * free on every re-probe. */
+  private[graft] def probeCount(df: DataFrame): Long = {
+    val k = df.queryExecution.analyzed
+    val hit = probeCounts.get(k)
+    if (hit != null) hit.longValue()
+    else { val c = df.count(); probeCounts.put(k, c); c }
+  }
+
+  /** Test hook: drop the memo (forces fresh count jobs). */
+  private[graft] def resetProbeCounts(): Unit = probeCounts.clear()
+
+  /** Size-gated join-side hint for tombstone/touched frames — the
+    * three-tier ladder every forced strategy on a corpus-growing side
+    * must ride (the rule the r15 ×100 q265 probe proved necessary):
+    * broadcast while genuinely batch-sized; shuffle_hash while every
+    * task's hash build still fits the execution-memory budget
+    * ([[LlmQueries.gatedShuffleHash]] — still a hash join on uniform
+    * keys, no driver collect, no sort); above that, NO hint — the
+    * un-hinted join plans sort-merge, which spills gracefully at any
+    * scale and lets AQE re-pick on runtime stats. Callers pass
+    * localCheckpointed (or tiny literal) frames so the [[probeCount]]
+    * probe is a cached-block read, not a recompute; derived frames
+    * (selects/renames of a probed parent) pass the parent's count as
+    * an explicit upper bound instead of paying a second job. */
   private[graft] def batchHint(df: DataFrame): DataFrame =
-    if (df.count() <= BroadcastRowCap) broadcast(df) else df.hint("shuffle_hash")
+    batchHint(df, probeCount(df))
+
+  private[graft] def batchHint(df: DataFrame, rows: Long): DataFrame =
+    if (rows <= BroadcastRowCap) broadcast(df)
+    else LlmQueries.gatedShuffleHash(df, rows)
 
   /** q265's engine: cluster-map maintenance under deletion via
     * recompute-on-contracted-subgraph. The erased docs' stored
@@ -632,7 +690,9 @@ object CorpusQueries extends QueryModule {
     // unconditional explicit broadcast of it would hit the driver /
     // 8 GB broadcast cap at sweep scale. Cohort-scale sets fall back
     // to shuffle_hash (still a hash join on uniform keys, still no
-    // sort). The probes are O(checkpoint-read): del is
+    // sort) while the per-task build fits, then to un-hinted
+    // sort-merge — the full [[batchHint]] ladder. The probes are
+    // O(checkpoint-read): del is
     // localCheckpointed by every production caller and tiny in the
     // spec geometries; touched/tm are checkpointed here anyway for
     // multi-arm consumption.
@@ -646,10 +706,14 @@ object CorpusQueries extends QueryModule {
       .join(delH, Seq("doc_id"), "left_anti")
       .select(col("doc_id"))
       .localCheckpoint() // both endpoint filters below
+    // tm (surviving members of touched clusters) grows with the
+    // cohort, not the batch — its endpoint filters ride the same
+    // ladder as del/touched (one cached-block probe gates both sides)
+    val nTm = probeCount(tm)
     val survEdges = pairs
-      .join(tm.select(col("doc_id").as("doc_a")).hint("shuffle_hash"),
+      .join(batchHint(tm.select(col("doc_id").as("doc_a")), nTm),
         Seq("doc_a"), "left_semi")
-      .join(tm.select(col("doc_id").as("doc_b")).hint("shuffle_hash"),
+      .join(batchHint(tm.select(col("doc_id").as("doc_b")), nTm),
         Seq("doc_b"), "left_semi")
     // explicit select: the using-column anti-join above reorders
     // untouched to (cluster, doc_id) — pin the (doc_id, cluster)
@@ -1240,49 +1304,58 @@ object CorpusQueries extends QueryModule {
           col("observed").cast("long").as("observed"),
           (col("observed") === 0L).as("ok"))
       val docs = Tables.documents(s, dir).select(col("doc_id"))
+        .localCheckpoint() // c1 + c11 containment scans + the gate probe
       val entries = bm25Postings(s, dir)
         .select(col("w"), explode(col("posting")).as("e"))
         .select(col("w"), col("e.d").as("doc_id"), col("e.t").as("tf"))
         .localCheckpoint() // 3 consumers: orphan scan, dl refold, ts refold
-      // shuffle_hash on every artifact-keyed join below: the keys
-      // (doc_id, w, cluster, cell) are uniform by construction, the
-      // frames are artifact-sized, and the default sort-merge would
-      // sort both sides of ten joins for one-pass existence checks.
+      // every artifact-keyed join below prefers hash over sort-merge
+      // (uniform doc_id/w/cluster/cell keys; sorting both sides of ten
+      // joins for one-pass existence checks would be waste) — but the
+      // build sides are CORPUS-GROWING (full doc list, cluster map,
+      // refold aggregates), so each rides a size gate: the
+      // [[batchHint]] ladder where the join kind allows a broadcast
+      // tier, [[LlmQueries.gatedShuffleHash]] alone for the full-outer
+      // refolds (full joins cannot broadcast-hash). Bounds come from
+      // checkpointed parents — zero extra probe jobs per memo.
+      val nEntries = probeCount(entries)
       val c1 = chk("bm25_postings_docs_in_corpus",
-        entries.join(docs.hint("shuffle_hash"), Seq("doc_id"), "left_anti")
+        entries.join(batchHint(docs), Seq("doc_id"), "left_anti")
           .agg(count(lit(1)).as("observed")))
       val c2 = chk("bm25_doclen_refold",
         bm25DocLens(s, dir)
-          .join(entries.groupBy(col("doc_id"))
-            .agg(sum(col("tf")).cast("long").as("dl2"))
-            .hint("shuffle_hash"), Seq("doc_id"), "full")
+          .join(LlmQueries.gatedShuffleHash(entries.groupBy(col("doc_id"))
+            .agg(sum(col("tf")).cast("long").as("dl2")), nEntries),
+            Seq("doc_id"), "full")
           .filter(!(col("dl") <=> col("dl2")))
           .agg(count(lit(1)).as("observed")))
       val c3 = chk("bm25_termstats_refold",
         bm25TermStats(s, dir)
-          .join(entries.groupBy(col("w"))
-            .agg(count(lit(1)).as("df2"), sum(col("tf")).cast("long").as("cf2"))
-            .hint("shuffle_hash"), Seq("w"), "full")
+          .join(LlmQueries.gatedShuffleHash(entries.groupBy(col("w"))
+            .agg(count(lit(1)).as("df2"), sum(col("tf")).cast("long").as("cf2")),
+            nEntries), Seq("w"), "full")
           .filter(!(col("df") <=> col("df2")) || !(col("cf") <=> col("cf2")))
           .agg(count(lit(1)).as("observed")))
       val pairs = LlmQueries.ngramJaccardPairs(s, dir)
       val cl = pairClusters(s, dir)
+      val nCl = probeCount(cl)
       val c4 = chk("cluster_covers_pair_graph",
         pairs.select(col("doc_a").as("doc_id"))
           .unionByName(pairs.select(col("doc_b").as("doc_id"))).distinct()
-          .join(cl.hint("shuffle_hash"), Seq("doc_id"), "left_anti")
+          .join(batchHint(cl, nCl), Seq("doc_id"), "left_anti")
           .agg(count(lit(1)).as("observed")))
       val c5 = chk("cluster_label_in_own_cluster",
         cl.select(col("cluster")).distinct()
-          .join(cl.filter(col("doc_id") === col("cluster"))
-            .select(col("cluster")).hint("shuffle_hash"),
+          .join(batchHint(cl.filter(col("doc_id") === col("cluster"))
+            .select(col("cluster")), nCl),
             Seq("cluster"), "left_anti")
           .agg(count(lit(1)).as("observed")))
       val (cells, members) = LlmQueries.semIndex(s, dir)
+      val vecs = LlmQueries.vecTable(s, dir).select(col("vec_id"))
+        .localCheckpoint() // c6 census + c14 containment + gate probe
       val c6 = chk("sem_one_residency_per_vector",
         members.agg(count(lit(1)).as("nm"))
-          .crossJoin(LlmQueries.vecTable(s, dir).select(col("vec_id"))
-            .agg(count(lit(1)).as("ne")))
+          .crossJoin(vecs.agg(count(lit(1)).as("ne")))
           .select(abs(col("nm") - col("ne")).as("observed")))
       val c7 = chk("sem_residency_cell_exists",
         members.select(col("cell"))
@@ -1316,27 +1389,27 @@ object CorpusQueries extends QueryModule {
       // ([[LlmQueries.plantedNear]], the corpus constructor).
       val plantedDocs = LlmQueries.plantedNear(s, dir)
         .select(col("doc_id")).localCheckpoint() // 3 containment scans
+      val nPd = probeCount(plantedDocs)
       val c11 = chk("bm25_doclen_docs_in_corpus",
         bm25DocLens(s, dir)
-          .join(docs.hint("shuffle_hash"), Seq("doc_id"), "left_anti")
+          .join(batchHint(docs), Seq("doc_id"), "left_anti")
           .agg(count(lit(1)).as("observed")))
       val c12 = chk("shingle_entries_docs_in_corpus",
         shingleIndex(s, dir).select(explode(col("docs")).as("doc_id"))
-          .join(plantedDocs.hint("shuffle_hash"), Seq("doc_id"), "left_anti")
+          .join(batchHint(plantedDocs, nPd), Seq("doc_id"), "left_anti")
           .agg(count(lit(1)).as("observed")))
       val c13 = chk("pair_graph_docs_in_corpus",
         pairs.select(col("doc_a").as("doc_id"))
           .unionByName(pairs.select(col("doc_b").as("doc_id")))
-          .join(plantedDocs.hint("shuffle_hash"), Seq("doc_id"), "left_anti")
+          .join(batchHint(plantedDocs, nPd), Seq("doc_id"), "left_anti")
           .agg(count(lit(1)).as("observed")))
       val c14 = chk("sem_members_vecs_in_embeddings",
         members.select(col("vec_id"))
-          .join(LlmQueries.vecTable(s, dir).select(col("vec_id"))
-            .hint("shuffle_hash"), Seq("vec_id"), "left_anti")
+          .join(batchHint(vecs), Seq("vec_id"), "left_anti")
           .agg(count(lit(1)).as("observed")))
       val c15 = chk("cluster_map_docs_in_corpus",
         cl.select(col("doc_id"))
-          .join(plantedDocs.hint("shuffle_hash"), Seq("doc_id"), "left_anti")
+          .join(batchHint(plantedDocs, nPd), Seq("doc_id"), "left_anti")
           .agg(count(lit(1)).as("observed")))
       Seq(c1, c2, c3, c4, c5, c6, c7, c8, c9, c10,
           c11, c12, c13, c14, c15)
@@ -1380,8 +1453,11 @@ object CorpusQueries extends QueryModule {
         .select(col("blk"), explode(col("posting")).as("e"))
         .select(col("blk"), col("e.d").as("doc_id"))
         .localCheckpoint() // 3 consumers: erased scan, universe, geometry
+      // tombstone/artifact probes below ride the [[batchHint]] ladder
+      // (r15 verdict item 1): del/delV/delP are checkpointed, so each
+      // gate probe is one cached-block count, memoized across sites
       val c1 = chk("compacted_postings_no_erased",
-        centries.join(broadcast(del), Seq("doc_id"), "left_semi")
+        centries.join(batchHint(del), Seq("doc_id"), "left_semi")
           .agg(count(lit(1)).as("observed")))
       val c2 = chk("compacted_postings_doc_universe",
         centries.select(col("doc_id")).distinct()
@@ -1399,7 +1475,7 @@ object CorpusQueries extends QueryModule {
         .localCheckpoint() // consumed by the erased scan
       val cmem = LlmQueries.compactedMembers(s, dir)
       val c4 = chk("compacted_members_no_erased",
-        cmem.join(broadcast(delV), Seq("vec_id"), "left_semi")
+        cmem.join(batchHint(delV), Seq("vec_id"), "left_semi")
           .agg(count(lit(1)).as("observed")))
       val c5 = chk("compacted_members_census",
         cmem.agg(count(lit(1)).as("na"))
@@ -1408,11 +1484,13 @@ object CorpusQueries extends QueryModule {
             .agg(count(lit(1)).as("nb")))
           .select(abs(col("na") - col("nb")).as("observed")))
       val delP = plantedErasureSet(s, dir)
+      val nDelP = probeCount(delP)
+      val delPH = batchHint(delP, nDelP)
       val sentries = compactedShingleIndex(s, dir)
         .select(col("h"), explode(col("docs")).as("doc_id"))
         .localCheckpoint() // 2 consumers: erased scan, census
       val c6 = chk("compacted_shingle_no_erased",
-        sentries.join(broadcast(delP), Seq("doc_id"), "left_semi")
+        sentries.join(delPH, Seq("doc_id"), "left_semi")
           .agg(count(lit(1)).as("observed")))
       // census vs a DIFFERENT derivation: total stored entries minus
       // the erased docs' stored residencies (the q256 fold algebra on
@@ -1421,30 +1499,31 @@ object CorpusQueries extends QueryModule {
         sentries.agg(count(lit(1)).as("na"))
           .crossJoin(shingleIndex(s, dir)
             .select(explode(col("docs")).as("doc_id"))
-            .join(broadcast(delP), Seq("doc_id"), "left_anti")
+            .join(delPH, Seq("doc_id"), "left_anti")
             .agg(count(lit(1)).as("nb")))
           .select(abs(col("na") - col("nb")).as("observed")))
       val mmap = maintainedClusterMap(s, dir)
       val c8 = chk("maintained_cluster_no_erased",
-        mmap.join(broadcast(delP), Seq("doc_id"), "left_semi")
+        mmap.join(delPH, Seq("doc_id"), "left_semi")
           .agg(count(lit(1)).as("observed")))
       // the maintained map must cover EXACTLY the surviving pair
       // graph's nodes (both directions: symmetric difference count).
       val survNodes = {
         val p = LlmQueries.ngramJaccardPairs(s, dir)
-          .join(broadcast(delP.select(col("doc_id").as("doc_a"))),
+          .join(batchHint(delP.select(col("doc_id").as("doc_a")), nDelP),
             Seq("doc_a"), "left_anti")
-          .join(broadcast(delP.select(col("doc_id").as("doc_b"))),
+          .join(batchHint(delP.select(col("doc_id").as("doc_b")), nDelP),
             Seq("doc_b"), "left_anti")
         p.select(col("doc_a").as("doc_id"))
           .unionByName(p.select(col("doc_b").as("doc_id"))).distinct()
+          .localCheckpoint() // both c9 directions + the gate probe
       }
       val c9 = chk("maintained_cluster_covers_surviving_graph",
         mmap.select(col("doc_id"))
-          .join(survNodes.hint("shuffle_hash"), Seq("doc_id"), "left_anti")
+          .join(batchHint(survNodes), Seq("doc_id"), "left_anti")
           .agg(count(lit(1)).as("na"))
           .crossJoin(survNodes
-            .join(mmap.select(col("doc_id")).hint("shuffle_hash"),
+            .join(batchHint(mmap.select(col("doc_id")), probeCount(mmap)),
               Seq("doc_id"), "left_anti")
             .agg(count(lit(1)).as("nb")))
           .select((col("na") + col("nb")).as("observed")))
@@ -1457,7 +1536,7 @@ object CorpusQueries extends QueryModule {
       val c10 = chk("maintained_pairs_no_erased_endpoint",
         mpairs.select(col("doc_a").as("doc_id"))
           .unionByName(mpairs.select(col("doc_b").as("doc_id")))
-          .join(broadcast(delP), Seq("doc_id"), "left_semi")
+          .join(delPH, Seq("doc_id"), "left_semi")
           .agg(count(lit(1)).as("observed")))
       val c11 = chk("maintained_pairs_census",
         mpairs.agg(count(lit(1)).as("na"))
@@ -1466,13 +1545,13 @@ object CorpusQueries extends QueryModule {
               .select(col("doc_a"), col("doc_b")).localCheckpoint()
             live.agg(count(lit(1)).as("nt"))
               .crossJoin(live
-                .join(broadcast(delP.select(col("doc_id").as("doc_a"))),
+                .join(batchHint(delP.select(col("doc_id").as("doc_a")), nDelP),
                   Seq("doc_a"), "left_semi")
                 .agg(count(lit(1)).as("nea")))
               .crossJoin(live
-                .join(broadcast(delP.select(col("doc_id").as("doc_a"))),
+                .join(batchHint(delP.select(col("doc_id").as("doc_a")), nDelP),
                   Seq("doc_a"), "left_anti")
-                .join(broadcast(delP.select(col("doc_id").as("doc_b"))),
+                .join(batchHint(delP.select(col("doc_id").as("doc_b")), nDelP),
                   Seq("doc_b"), "left_semi")
                 .agg(count(lit(1)).as("neb")))
               .select((col("nt") - col("nea") - col("neb")).as("nb"))
@@ -1561,12 +1640,14 @@ object CorpusQueries extends QueryModule {
             countDistinct(col(unitCol)).as("units"),
             countDistinct(when(masked, col(unitCol))).as("touched_units"))
         // entries living in touched units = what the segment-local
-        // compactor rewrites. Semi-join against the batch-bounded
-        // touched-unit set, NOT a partitioned window max — a window
-        // would sort every unit's entries just to broadcast one flag.
+        // compactor rewrites. Semi-join against the touched-unit set,
+        // NOT a partitioned window max — a window would sort every
+        // unit's entries just to broadcast one flag. The set is
+        // checkpointed (unit-count-sized) and rides the [[batchHint]]
+        // ladder: touched units grow with the cohort, not the batch.
         val cost = entries
-          .join(entries.filter(masked).select(col(unitCol)).distinct()
-            .hint("shuffle_hash"), Seq(unitCol), "left_semi")
+          .join(batchHint(entries.filter(masked).select(col(unitCol))
+            .distinct().localCheckpoint()), Seq(unitCol), "left_semi")
           .agg(count(lit(1)).as("est_compact_entries"))
         st.crossJoin(cost)
           .select(lit(name).as("artifact"), col("total_entries"),
@@ -1588,21 +1669,26 @@ object CorpusQueries extends QueryModule {
       val delD = Tables.documents(s, dir)
         .filter(col("doc_id") % 10 === 9).select(col("doc_id"))
         .localCheckpoint()
+      // erased-flag marks ride the ladder too (delD is batch-shaped
+      // but delP is the cohort-scale planted erasure set — the exact
+      // ungated-broadcast class the r15 ×100 probe flagged); the
+      // withColumn frames inherit their checkpointed parent's count
       val postE = bm25Postings(s, dir)
         .select(col("blk"), explode(col("posting")).as("e"))
         .select(col("blk"), col("e.d").as("doc_id"))
-        .join(broadcast(delD.withColumn("erased", lit(true))),
-          Seq("doc_id"), "left")
+        .join(batchHint(delD.withColumn("erased", lit(true)),
+          probeCount(delD)), Seq("doc_id"), "left")
       val delP = plantedErasureSet(s, dir)
+      val nDelP = probeCount(delP)
       val shE = shingleIndex(s, dir)
         .select(col("h"), explode(col("docs")).as("doc_id"))
-        .join(broadcast(delP.withColumn("erased", lit(true))),
+        .join(batchHint(delP.withColumn("erased", lit(true)), nDelP),
           Seq("doc_id"), "left")
       val memE = LlmQueries.semIndex(s, dir)._2
         .select(col("vec_id"), col("cell"),
           (col("vec_id") % 5 === 2).as("erased"))
       val clE = pairClusters(s, dir)
-        .join(broadcast(delP.withColumn("erased", lit(true))),
+        .join(batchHint(delP.withColumn("erased", lit(true)), nDelP),
           Seq("doc_id"), "left")
       family("bm25_postings", postE, "blk", col("erased"))
         .unionByName(family("shingle_index", shE, "h", col("erased")))
@@ -1726,9 +1812,14 @@ object CorpusQueries extends QueryModule {
       val encNew = bpeEncodeDictWith(
         bpeWideMergesOf(newMerges, BpeRounds), words, BpeRounds)
         .select(col("word"), col("n_sym").as("n_sym2"))
+      // both encodes are vocab-sized (one row per distinct surviving
+      // word — bounded by the checkpointed survDict), and the dict
+      // joins prefer hash over sorting the corpus-vocab frames; the
+      // ladder gates them on that bound with zero extra probe jobs
+      val nVocab = probeCount(survDict)
       val perSrc = srcDict
-        .join(encOld.hint("shuffle_hash"), Seq("word"))
-        .join(encNew.hint("shuffle_hash"), Seq("word"))
+        .join(batchHint(encOld, nVocab), Seq("word"))
+        .join(batchHint(encNew, nVocab), Seq("word"))
         .groupBy(col("source"))
         .agg(sum(col("freq")).cast("long").as("n_words"),
           sum(col("freq") * col("o_sym")).cast("long").as("old_bpe"),
@@ -1768,12 +1859,16 @@ object CorpusQueries extends QueryModule {
     // re-running the full BPE chain and the erased mass from the
     // corpus directly.
     "q268_tokenizer_erasure_debt" -> ((s, dir) => {
+      // erased-slice vocab: grows with the corpus dictionary, so its
+      // left-join build side rides the ladder (checkpointed — the
+      // probe is a cached-block count, and the explode/agg runs once)
       val ew = Tables.documents(s, dir)
         .filter(col("doc_id") % 10 === 9)
         .select(explode(expr(toksSql)).as("word"))
         .groupBy(col("word")).agg(count(lit(1)).as("efreq"))
+        .localCheckpoint()
       bpeEncodedVocab(s, dir)
-        .join(ew.hint("shuffle_hash"), Seq("word"), "left")
+        .join(batchHint(ew), Seq("word"), "left")
         .select(col("freq"), col("n_sym"),
           coalesce(col("efreq"), lit(0L)).as("efreq"))
         .agg(

@@ -493,9 +493,10 @@ object GovernanceQueries extends QueryModule {
     // --- right-to-be-forgotten audit (q216): the deletion-propagation
     // check a privacy pipeline runs after a purge — the deletion set
     // (here: users whose id hashes to 0 mod 13, a stand-in for the
-    // request table), the purge itself as a BROADCAST anti-join (the
-    // deletion list is always tiny relative to the corpus; the fact
-    // table never shuffles), and the audit: residual rows matching the
+    // request table), the purge itself as a size-gated anti-join
+    // (broadcast while the deletion list stays tiny relative to the
+    // corpus — then the fact table never shuffles — with the hash/
+    // sort-merge fallbacks above that), and the audit: residual rows matching the
     // deletion set after the purge (must be 0, re-derived by a second
     // independent semi-join, not assumed) plus per-type conservation
     // (purged + retained == total).
@@ -505,10 +506,19 @@ object GovernanceQueries extends QueryModule {
       val del = ev.select(col("user_id")).distinct()
         .filter(pmod(expr("fnv64(CAST(user_id AS STRING))"), lit(13L)) === 0)
         .localCheckpoint()
+      // the deletion list is ~1/13 of the USER UNIVERSE — it grows
+      // with the corpus, so the purge hints ride the size-gated
+      // [[CorpusQueries.batchHint]] ladder (broadcast while genuinely
+      // small, hash-join under the per-task budget, sort-merge above);
+      // del is checkpointed so the gate probe is one cached-block read
+      val nDel = CorpusQueries.probeCount(del)
       val marked = ev.join(
-        broadcast(del.withColumn("todel", lit(1))), Seq("user_id"), "left")
-      val retained = ev.join(broadcast(del), Seq("user_id"), "left_anti")
-      val residual = retained.join(broadcast(del), Seq("user_id"), "left_semi")
+        CorpusQueries.batchHint(del.withColumn("todel", lit(1)), nDel),
+        Seq("user_id"), "left")
+      val retained = ev.join(CorpusQueries.batchHint(del, nDel),
+        Seq("user_id"), "left_anti")
+      val residual = retained.join(CorpusQueries.batchHint(del, nDel),
+        Seq("user_id"), "left_semi")
         .groupBy(col("event_type")).agg(count(lit(1)).as("res"))
       marked.groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_total"),

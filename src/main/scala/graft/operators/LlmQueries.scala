@@ -301,13 +301,22 @@ object LlmQueries extends QueryModule {
     * unsafe-row (doc_id, sz[, nhot], h) build payload; the 32 MB/task
     * budget sits well inside the per-task execution slice at local[32]
     * and any sane executor sizing. */
-  private def gatedShuffleHash(df: DataFrame, buildRows: Long): DataFrame = {
+  private[graft] def gatedShuffleHash(df: DataFrame, buildRows: Long,
+      bytesPerRow: Long = 48L): DataFrame = {
     val parts = math.max(scala.util.Try(
       df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
       .getOrElse(200), 1)
-    if (buildRows / parts * 48L <= 32L * 1024 * 1024) df.hint("shuffle_hash")
+    if (buildRows / parts * bytesPerRow <= 32L * 1024 * 1024)
+      df.hint("shuffle_hash")
     else df
   }
+
+  /** Unsafe-row estimate for the vector-payload build sides (64 double
+    * components + norm + ids + array headers ≈ 600 B): a 2M-row
+    * "batch" of embeddings is ~1.2 GB — NOT broadcastable — so vector
+    * frames skip [[CorpusQueries.batchHint]]'s broadcast tier and gate
+    * straight on the per-task hash-build budget with this row width. */
+  private[graft] val VecRowBytes = 600L
 
   /** Total exploded-shingle rows of a docsets frame = the self-join's
     * build-side cardinality. One tiny agg over the (checkpointed)
@@ -722,21 +731,30 @@ object LlmQueries extends QueryModule {
       .select(col("vec_id"), col("m.cid").as("cell"), col("m.nv").as("av"))
       .withColumn("anrm", expr(normSqlOf("av")))
       .localCheckpoint()
-    def hits(members: DataFrame, name: String): DataFrame = nwAsg
+    // the member build sides carry full vectors and GROW WITH THE
+    // CORPUS (exMembers is the stored artifact) — the shuffle_hash
+    // preference is gated on the per-task build budget at the vector
+    // row width (r15 verdict item 1's rule applied to this family);
+    // bounds: the stored members artifact for exMembers (its erased
+    // subset in the q258 path only shrinks it), the checkpointed batch
+    // for nwAsg. Over budget the joins fall back to sort-merge.
+    val nMembers = graft.operators.CorpusQueries.probeCount(semIndex(s, dir)._2)
+    val nBatch = graft.operators.CorpusQueries.probeCount(nwAsg)
+    def hits(members: DataFrame, bound: Long, name: String): DataFrame = nwAsg
       .select(col("cell"), col("vec_id"), col("av").as("bv"),
         col("anrm").as("bnrm"))
-      .join(members.hint("shuffle_hash"), Seq("cell"))
+      .join(gatedShuffleHash(members, bound, VecRowBytes), Seq("cell"))
       .filter(col("mbr") < col("vec_id"))
       .withColumn("score", round(expr(dotSql) / (col("anrm") * col("bnrm")), 4))
       .filter(col("score") >= 0.99)
       .groupBy(col("vec_id")).agg(count(lit(1)).as(name))
     val exHits = hits(exMembers.select(col("cell"), col("vec_id").as("mbr"),
-      col("av"), col("anrm")), "ex_hits")
+      col("av"), col("anrm")), nMembers, "ex_hits")
     val nwHits = hits(nwAsg.select(col("cell"), col("vec_id").as("mbr"),
-      col("av"), col("anrm")), "new_hits")
+      col("av"), col("anrm")), nBatch, "new_hits")
     nwAsg.select(col("vec_id"), col("cell"))
-      .join(exHits.hint("shuffle_hash"), Seq("vec_id"), "left")
-      .join(nwHits.hint("shuffle_hash"), Seq("vec_id"), "left")
+      .join(gatedShuffleHash(exHits, nBatch), Seq("vec_id"), "left")
+      .join(gatedShuffleHash(nwHits, nBatch), Seq("vec_id"), "left")
       .select(col("vec_id"), col("cell"),
         coalesce(col("ex_hits"), lit(0L)).as("ex_hits"),
         coalesce(col("new_hits"), lit(0L)).as("new_hits"))
@@ -759,6 +777,7 @@ object LlmQueries extends QueryModule {
     graft.operators.StageMemo(s, dir, "compacted_members") {
       val del = vecTable(s, dir)
         .filter(col("vec_id") % 5 === 2).select(col("vec_id"))
+        .localCheckpoint() // gate probe + both compactMembers branches
       compactMembers(semIndex(s, dir)._2, del).localCheckpoint()
     }
 
@@ -777,12 +796,19 @@ object LlmQueries extends QueryModule {
   // proof (q270/q271) because their untouched-branch routing and
   // emptied-key drops are era-dependent.
   private[graft] def compactMembers(members: DataFrame, del: DataFrame): DataFrame = {
-    val delCells = members.join(del, Seq("vec_id"), "left_semi")
+    // size-gated hints ([[CorpusQueries.batchHint]] ladder, r15
+    // verdict item 1): del is batch-sized in production but the sweep
+    // corpora pass cohort-scale sets; delCells is checkpointed
+    // (cell-count-sized) so both branch probes are cached-block reads
+    val delH = CorpusQueries.batchHint(del)
+    val delCells = members.join(delH, Seq("vec_id"), "left_semi")
       .select(col("cell")).distinct()
-    val untouched = members.join(broadcast(delCells), Seq("cell"), "left_anti")
+      .localCheckpoint() // both branches below + the gate probe
+    val delCellsH = CorpusQueries.batchHint(delCells)
+    val untouched = members.join(delCellsH, Seq("cell"), "left_anti")
       .select(col("vec_id"), col("cell"))
-    val rewritten = members.join(broadcast(delCells), Seq("cell"), "left_semi")
-      .join(broadcast(del), Seq("vec_id"), "left_anti")
+    val rewritten = members.join(delCellsH, Seq("cell"), "left_semi")
+      .join(delH, Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col("cell"))
     untouched.unionByName(rewritten)
   }
@@ -823,9 +849,10 @@ object LlmQueries extends QueryModule {
     * replicate xR, pairs meet exactly once (each dst lives in ONE salt
     * bucket); R = cores/|cells| from a tiny count over the dim table —
     * a production layout with cells ~ sqrt(n) >> cores (q155's rule)
-    * gets R = 1 and pays zero replication. shuffle_hash because the
-    * (cell, salt) keys are uniform by construction and sort-merge would
-    * sort millions of 2x64-double pair-precursor rows per side. */
+    * gets R = 1 and pays zero replication. shuffle_hash (size-gated on
+    * the per-task build budget) because the (cell, salt) keys are
+    * uniform by construction and sort-merge would sort millions of
+    * 2x64-double pair-precursor rows per side. */
   /** q146's label-stratified scale-adaptive cell table, shared with the
     * NN-descent refinement (q169): each label contributes a quota of
     * ⌈√n / |labels|⌉ seed vectors (its smallest vec_ids, picked by the
@@ -838,7 +865,7 @@ object LlmQueries extends QueryModule {
     * counted for the salt fanout — without the cut each consumer
     * re-runs the seed selection (3 corpus scans). */
   private def stratifiedCells(s: SparkSession, e: DataFrame): DataFrame = {
-    val n = e.count()
+    val n = CorpusQueries.probeCount(e) // memo-shared with the edge gates
     val nLab = math.max(1L,
       e.agg(countDistinct(col("label"))).head().getLong(0))
     val quota = math.max(1,
@@ -926,7 +953,13 @@ object LlmQueries extends QueryModule {
       pmod(xxhash64(col("nbr_id")), lit(fanout)).cast("int"))
     val probesR = probes.withColumn("salt",
       explode(expr(s"sequence(0, ${fanout - 1})")))
-    salted.join(probesR.hint("shuffle_hash"), Seq("cell", "salt"))
+    // the probe build side is 2·fanout rows per probe node WITH the
+    // vector payload — corpus-growing when probe == build, so the
+    // hash preference is gated on the per-task budget at the vector
+    // row width (over it the join sort-merges; see gatedShuffleHash)
+    val nProbe = CorpusQueries.probeCount(probe)
+    salted.join(gatedShuffleHash(probesR, nProbe * 2L * fanout, VecRowBytes),
+      Seq("cell", "salt"))
       .filter(col("src_id") =!= col("nbr_id"))
       .withColumn("score",
         round(expr("vec_dot(av, bv)") / (col("anrm") * col("bnrm")), 4))
@@ -2340,8 +2373,15 @@ object LlmQueries extends QueryModule {
       val edges = knnGraphEdges(s, e, stratifiedCells(s, e))
         .localCheckpoint()
       val und = descentAdjacency(edges)
+      // the adjacency (≤ 2× the checkpointed edge list, narrow) and
+      // the two vector fetches (n rows at the vector row width) all
+      // grow with the corpus — each hash preference is gated on the
+      // per-task build budget; bounds come from the edge checkpoint
+      // and the memoized corpus count (zero extra probe jobs)
+      val nEdges = CorpusQueries.probeCount(edges)
+      val nVecs = CorpusQueries.probeCount(e) // memo hit (stratifiedCells)
       val twoHop = und.as("x")
-        .join(und.as("y").hint("shuffle_hash"),
+        .join(gatedShuffleHash(und.as("y"), 2L * nEdges),
           col("x.nbr_id") === col("y.src_id"))
         .select(col("x.src_id").as("src_id"), col("y.nbr_id").as("cand_id"))
       val cand = twoHop
@@ -2356,8 +2396,8 @@ object LlmQueries extends QueryModule {
         org.apache.spark.sql.Encoders.tuple(
           org.apache.spark.sql.Encoders.scalaDouble,
           org.apache.spark.sql.Encoders.scalaLong))
-      cand.join(va.hint("shuffle_hash"), Seq("src_id"))
-        .join(vb.hint("shuffle_hash"), Seq("cand_id"))
+      cand.join(gatedShuffleHash(va, nVecs, VecRowBytes), Seq("src_id"))
+        .join(gatedShuffleHash(vb, nVecs, VecRowBytes), Seq("cand_id"))
         .withColumn("score", round(expr(dotSql) / (col("anrm") * col("bnrm")), 4))
         .groupBy(col("src_id"))
         .agg(topk(col("score"), col("cand_id")).as("top"))
@@ -2422,18 +2462,23 @@ object LlmQueries extends QueryModule {
         .localCheckpoint()
       val bSide = assigned2.select(col("cell"), col("vec_id"),
         col("av").as("bv"), col("anrm").as("bnrm"))
+      // assigned2 is corpus-sized WITH vector payload: the intra-cell
+      // pair join's hash preference is gated on the per-task budget
+      // at the vector row width (n is already counted above)
       val pruned = bSide
-        .join(assigned2.select(col("cell"), col("vec_id").as("nbr"),
-          col("av"), col("anrm")).hint("shuffle_hash"), Seq("cell"))
+        .join(gatedShuffleHash(assigned2.select(col("cell"),
+          col("vec_id").as("nbr"), col("av"), col("anrm")), n, VecRowBytes),
+          Seq("cell"))
         .filter(col("nbr") < col("vec_id"))
         .withColumn("score", round(expr(dotSql) / (col("anrm") * col("bnrm")), 4))
         .filter(col("score") >= 0.99)
         .select(col("vec_id")).distinct()
-      // shuffle_hash: the keep-join keys are uniform vec_ids and the
-      // pruned side is output-sized; sort-merge would sort the full
-      // corpus assignment for a probe of duplicates
+      // shuffle_hash (gated — pruned ≤ n narrow rows): the keep-join
+      // keys are uniform vec_ids and the pruned side is output-sized;
+      // sort-merge would sort the full corpus assignment for a probe
+      // of duplicates
       assigned2
-        .join(pruned.withColumn("pr", lit(1)).hint("shuffle_hash"),
+        .join(gatedShuffleHash(pruned.withColumn("pr", lit(1)), n),
           Seq("vec_id"), "left")
         .select(col("vec_id"), col("cell"), col("pr").isNull.as("keep"))
         .orderBy(col("vec_id"))
