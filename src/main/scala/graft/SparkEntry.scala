@@ -23,6 +23,7 @@ object SparkEntry {
     operators.EventAnalytics,
     operators.SketchQueries,
     operators.GovernanceQueries,
+    operators.IngestQueries,
     streaming.StreamingQueries
   )
 

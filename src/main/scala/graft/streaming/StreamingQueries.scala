@@ -849,11 +849,16 @@ object StreamingQueries extends QueryModule {
     } else {
       val er = ev.filter(col("kind") === "erase")
         .select(col("doc_id")).distinct()
-        .localCheckpoint() // three consumers below
+        .localCheckpoint() // three consumers below + the gate probe
+      // size-gated ([[graft.operators.CorpusQueries.batchHint]]): the
+      // gate corpus's tombstone arm is the cohort-scale RTBF slice,
+      // which grows with the corpus — the exact ungated-broadcast
+      // class the r15 ×100 probe flagged
+      val erH = graft.operators.CorpusQueries.batchHint(er)
       val ad = ev.filter(col("kind") === "admit")
-      ad.join(broadcast(er), Seq("doc_id"), "left_anti")
+      ad.join(erH, Seq("doc_id"), "left_anti")
         .select(col("doc_id"), lit("admit").as("action"), col("dl"))
-        .unionByName(ad.join(broadcast(er), Seq("doc_id"), "left_semi")
+        .unionByName(ad.join(erH, Seq("doc_id"), "left_semi")
           .select(col("doc_id"), lit("suppressed").as("action"), col("dl")))
         .unionByName(er.select(col("doc_id"), lit("erase").as("action"),
           lit(0L).as("dl")))

@@ -1,0 +1,159 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Planted geometries for the raw-web ingest operators (q275 HTML
+  * boilerplate extraction, q276 mojibake repair): the block classifier
+  * on nav-only / article / link-heavy pages, hostile HTML (unclosed
+  * tags, entity round-trips, embedded newlines), and the repair chain's
+  * exact inverses plus its documented replacement order.
+  */
+class IngestSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  @transient var spark: SparkSession = _
+  val dir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("ingest-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def pages(rows: (Long, String)*) = {
+    val sp = spark
+    import sp.implicits._
+    rows.toDF("doc_id", "html")
+  }
+
+  private def stats(rows: (Long, String)*) =
+    operators.IngestQueries.htmlBlockStats(pages(rows: _*))
+      .orderBy(col("doc_id"), col("blk")).collect()
+
+  test("q275 planted geometries: nav dropped, article kept, ad dropped") {
+    val article = "An actual paragraph of content that easily clears " +
+      "the thirty character floor."
+    val r = stats(
+      1L -> ("<section><a href=\"/a\">Home</a> <a href=\"/b\">About</a>" +
+        "</section>" +
+        s"<section><p>$article</p> <a href=\"/s\">Share</a></section>" +
+        "<section><a href=\"/buy\">Buy now</a></section>"))
+    assert(r.length == 3)
+    // nav: all text except inter-link spaces is link text → density
+    // far above the threshold → dropped
+    assert(!r(0).getBoolean(r(0).fieldIndex("keep")))
+    assert(r(0).getLong(r(0).fieldIndex("ld_pct")) == 90L)
+    // article: long text, one short link → kept, content extracted
+    assert(r(1).getBoolean(r(1).fieldIndex("keep")))
+    assert(r(1).getString(r(1).fieldIndex("main_text")) ==
+      s"$article Share")
+    // ad: pure link → dropped, main_text empty
+    assert(!r(2).getBoolean(r(2).fieldIndex("keep")))
+    assert(r(2).getString(r(2).fieldIndex("main_text")).isEmpty)
+  }
+
+  test("q275 short text is boilerplate even without links") {
+    val r = stats(1L -> "<section><p>too short</p></section>")
+    assert(r.length == 1)
+    assert(r(0).getLong(r(0).fieldIndex("ld_pct")) == 0L)
+    assert(!r(0).getBoolean(r(0).fieldIndex("keep")))
+  }
+
+  test("q275 hostile HTML: unclosed section degrades to zero blocks, not a crash") {
+    val r = stats(
+      1L -> "<section><p>an unclosed block never terminates",
+      2L -> ("<section>closed before " +
+        "<section>a nested opener</section>"))
+    // doc 1: no match at all; doc 2: lazy body closes at the first
+    // </section> (one block) — both degrade, neither throws
+    assert(r.count(_.getLong(0) == 1L) == 0)
+    assert(r.count(_.getLong(0) == 2L) == 1)
+  }
+
+  test("q275 entity round-trip and embedded newlines") {
+    val txt = "A < B & B > C with enough padding to clear the floor."
+    val esc = txt.replace("&", "&amp;").replace("<", "&lt;")
+      .replace(">", "&gt;")
+    val r = stats(1L -> s"<section><p>line one\nline two $esc</p></section>")
+    assert(r.length == 1, "(?s) must let the block span the newline")
+    assert(r(0).getBoolean(r(0).fieldIndex("keep")))
+    assert(r(0).getString(r(0).fieldIndex("main_text")) ==
+      s"line one line two $txt")
+  }
+
+  test("q275 density arithmetic is the half-up integer grid") {
+    // text_len 40, link_len 13 → (2·1300 + 40) DIV 80 = 33 → kept at
+    // the boundary; one more link char → (2·1400 + 41) DIV 82 = 34 →
+    // dropped
+    val pad = "x" * 26 // 26 + 1 space + 13 link chars = 40 chars
+    val r = stats(
+      1L -> s"<section>$pad <a href=\"/l\">thirteen chxr</a></section>",
+      2L -> s"<section>$pad <a href=\"/l\">fourteen chxrs</a></section>")
+    assert(r(0).getLong(r(0).fieldIndex("text_len")) == 40L)
+    assert(r(0).getLong(r(0).fieldIndex("ld_pct")) == 33L)
+    assert(r(0).getBoolean(r(0).fieldIndex("keep")))
+    assert(r(1).getLong(r(1).fieldIndex("ld_pct")) == 34L)
+    assert(!r(1).getBoolean(r(1).fieldIndex("keep")))
+  }
+
+  private def repair(s0: String): String = {
+    val sp = spark
+    import sp.implicits._
+    Seq(s0).toDF("c")
+      .select(expr(operators.IngestQueries.mojiRepairSqlOf("c")).as("r"))
+      .head().getString(0)
+  }
+
+  test("q276 repair chain inverts the planted CP1252 double-encoding exactly") {
+    assert(repair(operators.IngestQueries.MojiSuffix) ==
+      operators.IngestQueries.MojiCleanSuffix)
+    // clean text is a fixed point — repair never corrupts correct UTF-8
+    assert(repair(operators.IngestQueries.MojiCleanSuffix) ==
+      operators.IngestQueries.MojiCleanSuffix)
+  }
+
+  test("q276 replacement order: 'â€“' resolves before 'â€œ' can feed it") {
+    // 'â€' + '“' IS the en-dash mojibake (0x93 renders as '“'): the
+    // chain must repair it to '–' — and because 'â€“' runs first, the
+    // 'â€œ'→'“' rule can never synthesize a new match afterwards
+    assert(repair("aâ€“b") == "a–b")
+  }
+
+  test("q276 planted pairs merge under the repaired fingerprint, not raw") {
+    val out = SparkEntry.queries("q276_mojibake_repair")(spark, dir)
+      .limit(50).collect()
+    assert(out.nonEmpty)
+    for (r <- out) {
+      assert(!r.getBoolean(r.fieldIndex("merged_raw")),
+        "raw twins must differ")
+      assert(r.getBoolean(r.fieldIndex("merged")),
+        "repaired twins must merge")
+      assert(r.getLong(r.fieldIndex("markers")) >= 7L,
+        "all seven planted sequences must be counted")
+    }
+  }
+
+  test("q275 end-to-end on the corpus: main article kept for every long doc") {
+    val out = SparkEntry.queries("q275_html_extract")(spark, dir)
+    val perDoc = out.groupBy(col("doc_id"))
+      .agg(sum(when(col("keep"), 1).otherwise(0)).as("n_kept"),
+        count(lit(1)).as("n_blocks"))
+      .collect()
+    assert(perDoc.nonEmpty)
+    for (r <- perDoc) {
+      val blocks = r.getLong(r.fieldIndex("n_blocks"))
+      assert(blocks == 3L || blocks == 4L) // ad section on doc_id ≡ 3 (mod 7)
+      assert(r.getLong(r.fieldIndex("n_kept")) <= 1L,
+        "nav/ad/footer must never be kept")
+    }
+  }
+}

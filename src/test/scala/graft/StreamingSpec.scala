@@ -1239,4 +1239,95 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       case None => sp.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
   }
+
+  test("q274 x q270: two compaction eras driven by the STREAM's tombstones compose to the union rebuild; an erased id stays dead across eras") {
+    // r15 verdict item 5: q274 proves one interleaved stream with
+    // restart, q270 proves compact∘compact ≡ rebuild(union) with BATCH
+    // tombstone frames — this pin chains the two. Three waves: wave 1's
+    // tombstones feed the era-1 compaction swap; wave 2's tombstones
+    // (arriving strictly after that swap) compact the ERA-1 output;
+    // wave 3 tries to re-admit an id erased in era 1. Pinned: the era-2
+    // artifact is entry-identical to one rebuild from the UNION of the
+    // stream's emitted tombstones (the q270 law, with the tombstone
+    // frames taken from the stream's own output rather than planted
+    // batch cohorts), and the late admission is suppressed by stream
+    // state — the erased doc can re-enter neither the stream nor the
+    // artifact.
+    import graft.streaming.IngestEv
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    // planted two-block postings artifact (stride 8192): docs 1/9/19 in
+    // blk 0, docs 8193/8194/8202 in blk 1 — each era touches both blocks
+    val post = Seq(
+      ("alpha", 0L, Seq((1L, 2L), (9L, 1L), (19L, 3L))),
+      ("alpha", 1L, Seq((8193L, 1L), (8202L, 2L))),
+      ("beta", 0L, Seq((9L, 4L), (19L, 1L))),
+      ("beta", 1L, Seq((8193L, 2L), (8194L, 5L))))
+      .toDF("w", "blk", "p")
+      .withColumn("posting",
+        expr("transform(p, x -> struct(x._1 AS d, x._2 AS t))"))
+      .select(col("w"), col("blk"), col("posting"))
+      .localCheckpoint()
+    def entries(df: org.apache.spark.sql.DataFrame): Set[(String, Long, Long, Long)] =
+      df.select(col("w"), col("blk"),
+        explode(col("posting")).as("e"))
+        .select(col("w"), col("blk"), col("e.d"), col("e.t"))
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          r.getLong(2), r.getLong(3))).toSet
+    val mem = MemoryStream[IngestEv]
+    val q = StreamingQueries.interleavedIngest(mem.toDF())
+      .writeStream.format("memory").queryName("era_chain")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      def erasedSoFar(): org.apache.spark.sql.DataFrame =
+        sp.table("era_chain").filter(col("action") === "erase")
+          .select(col("doc_id")).localCheckpoint()
+      // wave 1: tombstones for 9 and 8193 (plus an unrelated admit)
+      mem.addData(
+        IngestEv(9L, "erase", 0L, ts("2024-01-01T10:00:00Z")),
+        IngestEv(8193L, "erase", 0L, ts("2024-01-01T10:00:00Z")),
+        IngestEv(50L, "admit", 5L, ts("2024-01-01T10:00:00Z")))
+      q.processAllAvailable()
+      val d1 = erasedSoFar()
+      assert(d1.collect().map(_.getLong(0)).toSet == Set(9L, 8193L))
+      // era-1 swap: compact the live artifact with the stream's wave-1
+      // tombstones
+      val era1 = operators.CorpusQueries.compactPostings(post, d1)
+        .localCheckpoint()
+      assert(!entries(era1).exists(e => e._3 == 9L || e._3 == 8193L))
+      // wave 2, strictly after the swap: tombstones for 19 and 8194
+      // (11:30 keeps the post-wave watermark at 10:30 — doc 9's erased
+      // state, timeout 11:00, must still be alive when wave 3 probes it)
+      mem.addData(
+        IngestEv(19L, "erase", 0L, ts("2024-01-01T11:30:00Z")),
+        IngestEv(8194L, "erase", 0L, ts("2024-01-01T11:30:00Z")))
+      q.processAllAvailable()
+      // rebuild d2 as a fresh local frame: except(d1) aliases d1's
+      // attribute ids, and a later union of the two frames trips
+      // Catalyst's union-constraint rewrite on the duplicate ids
+      val d2ids = sp.table("era_chain").filter(col("action") === "erase")
+        .select(col("doc_id")).except(d1)
+        .collect().map(_.getLong(0)).toSet
+      assert(d2ids == Set(19L, 8194L))
+      val d2 = d2ids.toSeq.toDF("doc_id").localCheckpoint()
+      // era 2 compacts the ERA-1 output; the q270 law: it must equal
+      // ONE rebuild from the union tombstone set
+      val era2 = operators.CorpusQueries.compactPostings(era1, d2)
+      val union = operators.CorpusQueries.compactPostings(
+        post, d1.unionByName(d2).localCheckpoint())
+      assert(entries(era2) == entries(union))
+      assert(entries(era2) == Set(
+        ("alpha", 0L, 1L, 2L), ("alpha", 1L, 8202L, 2L)),
+        "only docs 1 and 8202 survive both eras")
+      // wave 3: a late admission of era-1-erased doc 9 — stream state
+      // suppresses it (erase dominates in-horizon), so no path can
+      // resurrect the doc into a post-swap artifact
+      mem.addData(IngestEv(9L, "admit", 7L, ts("2024-01-01T12:30:00Z")))
+      q.processAllAvailable()
+      val nine = sp.table("era_chain").filter(col("doc_id") === 9L)
+        .select(col("action")).collect().map(_.getString(0)).toSet
+      assert(nine == Set("erase", "suppressed"), nine)
+    } finally q.stop()
+  }
 }
