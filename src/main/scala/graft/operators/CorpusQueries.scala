@@ -763,11 +763,12 @@ object CorpusQueries extends QueryModule {
   private[graft] def maintainedPairs(s: SparkSession, dir: String): DataFrame =
     StageMemo(s, dir, "maintained_pairs") {
       val del = plantedErasureSet(s, dir)
+      val nDel = probeCount(del) // one cached-block probe gates both sides
       LlmQueries.ngramJaccardPairs(s, dir)
         .select(col("doc_a"), col("doc_b"))
-        .join(batchHint(del.select(col("doc_id").as("doc_a"))),
+        .join(batchHint(del.select(col("doc_id").as("doc_a")), nDel),
           Seq("doc_a"), "left_anti")
-        .join(batchHint(del.select(col("doc_id").as("doc_b"))),
+        .join(batchHint(del.select(col("doc_id").as("doc_b")), nDel),
           Seq("doc_b"), "left_anti")
         .localCheckpoint()
     }
