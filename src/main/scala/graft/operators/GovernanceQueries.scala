@@ -709,8 +709,51 @@ object GovernanceQueries extends QueryModule {
     // langs-bounded totals, joined broadcast. Share on the ppm grid.
     "q236_lang_confusion" -> ((s, dir) =>
       langConfusion(Tables.documents(s, dir))
-        .orderBy(col("lang"), col("guess")))
+        .orderBy(col("lang"), col("guess"))),
+
+    // --- contribution-bounded noisy release (q279): the DP-SQL shape
+    // of publishing usage statistics from a 100 TB event log — (1)
+    // bound each user's contribution per output cell (≤ DpCellCap
+    // events per user per (event_type, hour) cell — the per-partition
+    // contribution bounding of differentially-private SQL engines),
+    // (2) add bounded integer noise per cell, (3) suppress cells whose
+    // noisy count falls below the release threshold. The shipped noise
+    // source is DETERMINISTIC (a keyed md5 draw mapped onto
+    // [-DpNoiseB, +DpNoiseB]) so the release is replayable and
+    // oracle-able; a production deployment swaps in true randomness —
+    // the mechanism (cap → noise → threshold) is the operator. NULL
+    // users carry no identity to bound, so their rows are excluded
+    // from a user-level release (mirrored in the oracle WHERE).
+    // Scale: two hash aggregations — (user, type, hr) with map-side
+    // partial agg, then the cell grid (≤ types × 24 rows). No join,
+    // no window, no per-user sort; skew-immune because the first
+    // key set is high-cardinality and the cap bounds any one user's
+    // weight.
+    "q279_dp_event_release" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .filter(col("user_id").isNotNull)
+        .groupBy(col("user_id"), col("event_type"),
+          hour(col("ts")).cast("long").as("hr"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("event_type"), col("hr"))
+        .agg(sum(least(col("c"), lit(DpCellCap))).as("c"))
+        .withColumn("noise", expr(
+          "CAST(conv(substr(md5('dpn1|' || event_type || '|' || " +
+            s"CAST(hr AS STRING)), 1, 12), 16, 10) AS BIGINT) % ${2 * DpNoiseB + 1} - $DpNoiseB"))
+        .filter(col("c") + col("noise") >= DpReleaseTau)
+        .select(col("event_type"), col("hr"),
+          (col("c") + col("noise")).as("released"))
+        .orderBy(col("event_type"), col("hr")))
   )
+
+  /** q279 mechanism constants — shared with the oracle text. Cap 2
+    * binds on real sf0.01 cells (322 user-cells exceed it), B=10 keeps
+    * noise within ±12.5% of typical cell counts, τ=80 suppresses ~half
+    * the sf0.01 grid so both branches stay exercised at the gate
+    * scale. */
+  private[graft] val DpCellCap = 2L
+  private[graft] val DpNoiseB = 10
+  private[graft] val DpReleaseTau = 80
 
   /** q236's engine over a (lang, text) frame — factored so the spec
     * can plant mislabeled docs and pin the off-diagonal cell and the
@@ -1341,6 +1384,24 @@ object GovernanceQueries extends QueryModule {
         |  tot.n_lang,
         |  CAST(CAST((2 * cm.n_docs::HUGEINT * 1000000 + tot.n_lang) //
         |    (2 * tot.n_lang::HUGEINT) AS BIGINT) AS DOUBLE) / 1000000.0 AS share
-        |FROM cm JOIN tot USING (lang) ORDER BY lang, guess""".stripMargin
+        |FROM cm JOIN tot USING (lang) ORDER BY lang, guess""".stripMargin,
+
+    // q279: identical cap → deterministic noise → threshold chain; the
+    // md5-prefix draw is the same 48-bit integer in both engines.
+    "q279_dp_event_release" ->
+      s"""WITH ev AS (SELECT * FROM events WHERE user_id IS NOT NULL),
+         |uc AS (SELECT user_id, event_type, CAST(hour(ts) AS BIGINT) AS hr,
+         |  count(*) AS c FROM ev GROUP BY 1, 2, 3),
+         |grid AS (SELECT event_type, hr,
+         |  CAST(sum(least(c, $DpCellCap)) AS BIGINT) AS c
+         |  FROM uc GROUP BY 1, 2),
+         |noi AS (SELECT event_type, hr, c,
+         |  CAST(CAST('0x' || substr(md5('dpn1|' || event_type || '|' ||
+         |    CAST(hr AS STRING)), 1, 12) AS UBIGINT) AS BIGINT)
+         |    % ${2 * DpNoiseB + 1} - $DpNoiseB AS noise
+         |  FROM grid)
+         |SELECT event_type, hr, c + noise AS released
+         |FROM noi WHERE c + noise >= $DpReleaseTau
+         |ORDER BY event_type, hr""".stripMargin
   )
 }

@@ -22,12 +22,35 @@ import org.apache.spark.sql.functions._
   *    repaired text merges with its clean twin under the q142
   *    normalization fingerprint.
   *
+  * Round 16 adds the URL stage that runs BESIDE the text stages in the
+  * same pipelines (C4/CCNet/RefinedWeb all dedup and cap by URL before
+  * ever looking at text):
+  *
+  *  - q277: URL canonicalization + exact URL dedup — lowercase
+  *    scheme/host, strip the `www.` prefix, default ports, fragments
+  *    and trailing slashes, drop tracking parameters (`utm_*`,
+  *    `fbclid`, `gclid`), sort the surviving query parameters — then
+  *    keep-first per canonical URL. The harness corpus has no URL
+  *    column, so raw URLs are synthesized DETERMINISTICALLY from
+  *    doc_id (the q275 page discipline): four raw spellings per page
+  *    that must merge, plus a breakaway-path variant that must NOT.
+  *  - q278: registrable-domain extraction (public-suffix-style: known
+  *    two-level suffixes take three labels, everything else two) and
+  *    per-domain document caps — the crawl-frontier fairness rule.
+  *    Selection inside a domain is by deterministic hash order via the
+  *    bounded-heap [[graft.functions.TopKAggregator]], so the shuffle
+  *    carries O(domains × K) rows no matter how large the biggest
+  *    domain is — the window row_number form (which the oracle uses)
+  *    would sort every domain's full row set.
+  *
   * The reference (a file converter, `/root/reference/pq2json/src/
-  * converter.rs`) has neither; both are Spark-first: one corpus scan,
-  * every operation map-side (string expressions inside whole-stage
-  * codegen), the only exchange the output sort. At 100 TB each is an
-  * embarrassingly parallel projection — no join, no agg, no skew
-  * surface.
+  * converter.rs`) has none of these; q275/q276 are Spark-first: one
+  * corpus scan, every operation map-side (string expressions inside
+  * whole-stage codegen), the only exchange the output sort. At 100 TB
+  * each is an embarrassingly parallel projection — no join, no agg, no
+  * skew surface. q277/q278 add exactly one hash-partitioned aggregation
+  * each (by canonical URL / by domain), both with map-side partial
+  * aggregation and group counts far below the corpus row count.
   */
 object IngestQueries extends QueryModule {
 
@@ -159,6 +182,121 @@ object IngestQueries extends QueryModule {
   private def mojiFpDuckOf(c: String): String =
     s"lower(trim(regexp_replace(${mojiRepairSqlOf(c)}, '\\s+', ' ', 'g')))"
 
+  // ----------------------------------------------------------- q277/q278
+
+  /** Page id: four consecutive doc_ids share one logical page. Spelled
+    * without integer division so the same text parses in both engines
+    * (Spark `DIV` vs DuckDB `//`); doc_id ≥ 0 makes the subtraction
+    * form exact. */
+  private val PidSql = "(doc_id - (doc_id % 4))"
+
+  /** Registrable host of a page (shared synthesis SQL): 7 rotating site
+    * names over 4 suffixes — two of them two-level public suffixes so
+    * the q278 suffix rule has real work — plus a deliberately tiny
+    * `rare.com` cohort (pid ≡ 0 mod 1024) that stays UNDER the q278
+    * cap. */
+  private[graft] val HostSql: String =
+    s"(CASE WHEN $PidSql % 1024 = 0 THEN 'rare' " +
+      s"ELSE 'site' || CAST(($PidSql % 28) AS STRING) END) || " +
+      s"(CASE ($PidSql % 16) WHEN 0 THEN '.com' WHEN 4 THEN '.org' " +
+      "WHEN 8 THEN '.co.uk' ELSE '.com.au' END)"
+
+  private val SchemeSql =
+    s"(CASE WHEN $PidSql % 8 = 0 THEN 'https' ELSE 'http' END)"
+  private val PathSql = s"'/article/' || CAST($PidSql AS STRING)"
+  private val PidStr = s"CAST($PidSql AS STRING)"
+
+  /** The synthesized raw URL per document — deterministic from doc_id,
+    * same text interpolated into engine and oracle (the [[RawHtmlSql]]
+    * discipline). The four members of a page spell the SAME logical
+    * URL four hostile ways: (0) already canonical; (1) uppercase
+    * scheme+host, `WWW.` prefix, explicit default port, reordered
+    * params, fragment; (2) `www.` prefix, trailing slash, `utm_*`
+    * tracking params; (3) `fbclid` tracking param, reordered params,
+    * fragment — EXCEPT that on every third page (pid ≡ 8 mod 12)
+    * member 3 points at a genuinely different path, the negative
+    * control proving canonicalization never over-merges. */
+  private[graft] val RawUrlSql: String =
+    "CASE (doc_id % 4) " +
+      s"WHEN 0 THEN $SchemeSql || '://' || $HostSql || $PathSql || " +
+      s"'?id=' || $PidStr || '&lang=en' " +
+      s"WHEN 1 THEN upper($SchemeSql) || '://WWW.' || upper($HostSql) || " +
+      s"(CASE WHEN $PidSql % 8 = 0 THEN ':443' ELSE ':80' END) || " +
+      s"$PathSql || '?lang=en&id=' || $PidStr || '#top' " +
+      s"WHEN 2 THEN $SchemeSql || '://www.' || $HostSql || $PathSql || " +
+      s"'/' || '?id=' || $PidStr || '&utm_source=feed&utm_campaign=w12&lang=en' " +
+      s"ELSE $SchemeSql || '://' || $HostSql || " +
+      s"(CASE WHEN $PidSql % 12 = 8 THEN '/other/' || CAST(doc_id AS STRING) " +
+      s"ELSE $PathSql END) || " +
+      s"'?fbclid=x9&lang=en&id=' || $PidStr || '#s2' END"
+
+  /** Tracking-parameter rule, ONE definition: a query parameter is
+    * dropped iff its name starts with `utm_` or is exactly `fbclid` /
+    * `gclid`. The oracle spells the identical rule with list_filter. */
+  private val KeepParamPred =
+    "x -> x <> '' AND substr(x, 1, 4) <> 'utm_' " +
+      "AND NOT (regexp_extract(x, '^([^=]*)', 1) IN ('fbclid', 'gclid'))"
+
+  /** q277's canonicalizer over an explicit (doc_id, url) frame —
+    * factored so the spec can drive planted URLs (non-default ports
+    * that must be KEPT, http/https staying distinct, schemeless and
+    * empty hostile strings degrading deterministically) without the
+    * synthesized corpus. Pure map-side regexp/array expressions; a
+    * string regexp_extract never throws, so a malformed URL yields ''
+    * components and a degenerate-but-deterministic canonical form,
+    * never a crash (hostile-input contract, spec-pinned). */
+  private[graft] def canonicalized(raw: DataFrame): DataFrame =
+    raw
+      .withColumn("sch", lower(regexp_extract(col("url"),
+        "^([A-Za-z][A-Za-z0-9+.-]*)://", 1)))
+      .withColumn("hostport", regexp_extract(col("url"),
+        "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+      .withColumn("path0", regexp_extract(col("url"),
+        "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1))
+      .withColumn("q", regexp_extract(col("url"), "^[^#]*[?]([^#]*)", 1))
+      .withColumn("host", regexp_replace(
+        lower(regexp_extract(col("hostport"), "^([^:]*)", 1)), "^www\\.", ""))
+      .withColumn("port", regexp_extract(col("hostport"), ":([0-9]+)$", 1))
+      .withColumn("portn", expr(
+        "CASE WHEN port = '' OR (sch = 'http' AND port = '80') " +
+          "OR (sch = 'https' AND port = '443') THEN '' " +
+          "ELSE ':' || port END"))
+      .withColumn("pathn", expr(
+        "CASE WHEN regexp_replace(path0, '/+$', '') = '' THEN '/' " +
+          "ELSE regexp_replace(path0, '/+$', '') END"))
+      .withColumn("ps", expr(
+        s"array_join(array_sort(filter(split(q, '&'), $KeepParamPred)), '&')"))
+      .withColumn("canon_url", expr(
+        "sch || '://' || host || portn || pathn || " +
+          "(CASE WHEN ps = '' THEN '' ELSE '?' || ps END)"))
+      .select(raw.columns.toIndexedSeq.map(col) :+ col("canon_url"): _*)
+
+  /** Two-level public suffixes the engine recognizes (a deliberately
+    * small built-in set — the operator's contract is the RULE, not a
+    * frozen copy of the full public-suffix list). Shared with the
+    * oracle. */
+  private[graft] val TwoLevelSuffixes =
+    Seq("co.uk", "com.au", "ac.uk", "gov.uk", "org.uk")
+
+  /** Registrable domain of a lowercase host column: last three labels
+    * when the trailing two form a known two-level suffix (and a third
+    * exists), else last two. Factored for the spec (bare two-label
+    * hosts, the suffix itself as a host, deep subdomains). */
+  private[graft] def withRegistrableDomain(df: DataFrame): DataFrame = {
+    val sfx = TwoLevelSuffixes.map(s => s"'$s'").mkString(", ")
+    df.withColumn("lb", split(col("host"), "[.]"))
+      .withColumn("dom", expr(
+        "CASE WHEN size(lb) >= 3 AND " +
+          s"element_at(lb, -2) || '.' || element_at(lb, -1) IN ($sfx) " +
+          "THEN element_at(lb, -3) || '.' || element_at(lb, -2) || '.' || " +
+          "element_at(lb, -1) " +
+          "ELSE element_at(lb, -2) || '.' || element_at(lb, -1) END"))
+      .drop("lb")
+  }
+
+  /** Per-domain document cap. */
+  private[graft] val DomainCap = 10
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // --- HTML boilerplate extraction (q275): the first stage of every
@@ -195,6 +333,57 @@ object IngestQueries extends QueryModule {
             md5(expr(mojiFpSqlOf("moji")))).as("merged"),
           md5(expr(mojiFpSqlOf("clean"))).as("fp"))
         .orderBy(col("doc_id"))
+    }),
+
+    // --- URL canonicalization + exact URL dedup (q277): group by the
+    // canonical form, keep-first. Canonicalization is map-side codegen
+    // (regexp/array expressions); the ONLY exchange is the hash
+    // aggregation on canon_url — group count ≈ pages, far below docs.
+    // Row-level oracle: DuckDB rebuilds the identical raw URLs and
+    // replicates the canonicalizer (same regexes, same parameter rule,
+    // same sort). dups=4 groups prove the four spellings merge;
+    // dups=3 + singleton groups (the breakaway path) prove no
+    // over-merge.
+    "q277_url_canonical_dedup" -> ((s, dir) => {
+      val raw = Tables.documents(s, dir)
+        .select(col("doc_id"), expr(RawUrlSql).as("url"))
+      canonicalized(raw)
+        .groupBy(col("canon_url"))
+        .agg(min(col("doc_id")).as("keep_doc"),
+          count(lit(1)).as("dups"),
+          countDistinct(col("url")).as("raw_variants"))
+        .orderBy(col("canon_url"))
+    }),
+
+    // --- registrable-domain caps (q278): extract the registrable
+    // domain (public-suffix rule), then keep at most DomainCap docs
+    // per domain by deterministic md5 order. The bounded-heap TopK
+    // partial-aggregates map-side, so the exchange carries
+    // O(domains × K) — the scalable form of the oracle's window
+    // row_number, proven equal to it row-level. kept_sum (sum of the
+    // kept doc_ids) pins the SELECTION, not just the counts.
+    "q278_domain_caps" -> ((s, dir) => {
+      val topk = udaf(new graft.functions.TopKAggregator.TopK(DomainCap),
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaDouble,
+          org.apache.spark.sql.Encoders.scalaLong))
+      val hosts = Tables.documents(s, dir)
+        .select(col("doc_id"), expr(HostSql).as("host"))
+      withRegistrableDomain(hosts)
+        // 48-bit md5 prefix: exact in a Double, so the heap's ordering
+        // is identical to the oracle's BIGINT ORDER BY
+        .withColumn("score", expr(
+          "CAST(conv(substr(md5('dcap|' || CAST(doc_id AS STRING)), 1, 12), " +
+            "16, 10) AS BIGINT)"))
+        .groupBy(col("dom"))
+        .agg(count(lit(1)).as("n_docs"),
+          topk(col("score").cast("double"), col("doc_id")).as("tk"))
+        .select(col("dom"), col("n_docs"),
+          least(col("n_docs"), lit(DomainCap.toLong)).as("n_kept"),
+          (col("n_docs") - least(col("n_docs"), lit(DomainCap.toLong)))
+            .as("n_dropped"),
+          expr("aggregate(tk, 0L, (a, x) -> a + x._2)").as("kept_sum"))
+        .orderBy(col("dom"))
     })
   )
 
@@ -243,6 +432,62 @@ object IngestQueries extends QueryModule {
          |  (md5(${mojiFpDuckOf("clean")}) = md5(${mojiFpDuckOf("moji")}))
          |    AS merged,
          |  md5(${mojiFpDuckOf("clean")}) AS fp
-         |FROM d ORDER BY doc_id""".stripMargin
+         |FROM d ORDER BY doc_id""".stripMargin,
+
+    "q277_url_canonical_dedup" ->
+      s"""WITH raw AS (SELECT doc_id, $RawUrlSql AS url FROM documents),
+         |p AS (SELECT doc_id, url,
+         |  lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS sch,
+         |  regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS hostport,
+         |  regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path0,
+         |  regexp_extract(url, '^[^#]*[?]([^#]*)', 1) AS q
+         |  FROM raw),
+         |h AS (SELECT *,
+         |  regexp_replace(lower(regexp_extract(hostport, '^([^:]*)', 1)),
+         |    '^www\\.', '') AS host,
+         |  regexp_extract(hostport, ':([0-9]+)$$', 1) AS port FROM p),
+         |n AS (SELECT *,
+         |  CASE WHEN port = '' OR (sch = 'http' AND port = '80')
+         |    OR (sch = 'https' AND port = '443') THEN ''
+         |    ELSE ':' || port END AS portn,
+         |  CASE WHEN regexp_replace(path0, '/+$$', '') = '' THEN '/'
+         |    ELSE regexp_replace(path0, '/+$$', '') END AS pathn,
+         |  array_to_string(list_sort(list_filter(string_split(q, '&'),
+         |    x -> x <> '' AND substr(x, 1, 4) <> 'utm_'
+         |      AND NOT list_contains(['fbclid', 'gclid'],
+         |        regexp_extract(x, '^([^=]*)', 1)))), '&') AS ps
+         |  FROM h),
+         |c AS (SELECT doc_id, url,
+         |  sch || '://' || host || portn || pathn ||
+         |    (CASE WHEN ps = '' THEN '' ELSE '?' || ps END) AS canon_url
+         |  FROM n)
+         |SELECT canon_url, CAST(min(doc_id) AS BIGINT) AS keep_doc,
+         |  CAST(count(*) AS BIGINT) AS dups,
+         |  CAST(count(DISTINCT url) AS BIGINT) AS raw_variants
+         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q278_domain_caps" -> {
+      val sfx = TwoLevelSuffixes.map(s => s"'$s'").mkString(", ")
+      s"""WITH raw AS (SELECT doc_id, $HostSql AS host FROM documents),
+         |d AS (SELECT doc_id, host, string_split(host, '.') AS lb FROM raw),
+         |r AS (SELECT doc_id,
+         |  CASE WHEN len(lb) >= 3 AND list_contains([$sfx],
+         |      lb[-2] || '.' || lb[-1])
+         |    THEN lb[-3] || '.' || lb[-2] || '.' || lb[-1]
+         |    ELSE lb[-2] || '.' || lb[-1] END AS dom
+         |  FROM d),
+         |s AS (SELECT doc_id, dom,
+         |  CAST(CAST('0x' || substr(md5('dcap|' || CAST(doc_id AS STRING)),
+         |    1, 12) AS UBIGINT) AS BIGINT) AS score
+         |  FROM r),
+         |w AS (SELECT *, row_number() OVER (PARTITION BY dom
+         |    ORDER BY score DESC, doc_id) AS rn FROM s)
+         |SELECT dom, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(*) FILTER (rn <= $DomainCap) AS BIGINT) AS n_kept,
+         |  CAST(count(*) FILTER (rn > $DomainCap) AS BIGINT) AS n_dropped,
+         |  CAST(coalesce(sum(doc_id) FILTER (rn <= $DomainCap), 0)
+         |    AS BIGINT) AS kept_sum
+         |FROM w GROUP BY 1 ORDER BY 1""".stripMargin
+    }
   )
 }

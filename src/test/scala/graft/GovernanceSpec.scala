@@ -740,4 +740,41 @@ class GovernanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     // a source with an empty half is excluded (KS undefined there)
     assert(!ks(("t", true, 1L), ("t", true, 2L)).contains("t"))
   }
+
+  test("q279: released cells clear the threshold; release is bounded by the capped census and deterministic") {
+    import operators.GovernanceQueries.{DpCellCap, DpNoiseB, DpReleaseTau}
+    // sf0.01: the release threshold is an ABSOLUTE policy constant, and
+    // sf0.01 (the driver's gate scale) is where it splits the grid —
+    // at sf0.001 every cell is suppressed (release is empty, still
+    // deterministic), at sf0.1 every cell clears it.
+    val d = "/root/testdata/sf0.01"
+    val out = SparkEntry.queries("q279_dp_event_release")(spark, d)
+      .collect()
+    assert(out.nonEmpty, "some cells must clear the threshold at spec scale")
+    // exact capped census, independently recomputed
+    val capped = Tables.events(spark, d)
+      .filter(col("user_id").isNotNull)
+      .groupBy(col("user_id"), col("event_type"),
+        hour(col("ts")).cast("long").as("hr"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("event_type"), col("hr"))
+      .agg(sum(least(col("c"), lit(DpCellCap))).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    for (r <- out) {
+      val key = (r.getString(0), r.getLong(1))
+      val released = r.getLong(r.fieldIndex("released"))
+      assert(released >= DpReleaseTau.toLong)
+      // the release never strays more than the noise bound from the
+      // true capped count — the mechanism's accuracy contract
+      assert(math.abs(released - capped(key)) <= DpNoiseB.toLong)
+    }
+    // suppression must actually fire: some true cells are absent
+    assert(out.length < capped.size,
+      "at spec scale some cells must be suppressed")
+    // deterministic replay (seeded noise): an identical second run
+    val again = SparkEntry.queries("q279_dp_event_release")(spark, d)
+      .collect()
+    assert(out.toSeq == again.toSeq)
+  }
 }

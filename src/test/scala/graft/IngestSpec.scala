@@ -156,4 +156,88 @@ class IngestSpec extends AnyFunSuite with BeforeAndAfterAll {
         "nav/ad/footer must never be kept")
     }
   }
+
+  // ------------------------------------------------------------- q277
+
+  private def canon(urls: String*): Seq[String] = {
+    val sp = spark
+    import sp.implicits._
+    val raw = urls.zipWithIndex.map { case (u, i) => (i.toLong, u) }
+      .toDF("doc_id", "url")
+    operators.IngestQueries.canonicalized(raw)
+      .orderBy(col("doc_id")).collect()
+      .map(_.getString(2)).toSeq // (doc_id, url, canon_url)
+  }
+
+  test("q277 canonicalizer: the four raw spellings of one page merge") {
+    val c = canon(
+      "http://site4.org/article/4?id=4&lang=en",
+      "HTTP://WWW.SITE4.ORG:80/article/4?lang=en&id=4#top",
+      "http://www.site4.org/article/4/?id=4&utm_source=feed&utm_campaign=w12&lang=en",
+      "http://site4.org/article/4?fbclid=x9&lang=en&id=4#s2")
+    assert(c.distinct == Seq("http://site4.org/article/4?id=4&lang=en"))
+  }
+
+  test("q277 canonicalizer keeps what must be kept") {
+    // non-default port survives; http vs https never merge; a non-utm
+    // param whose VALUE mentions utm survives the name rule
+    val c = canon(
+      "http://a.com:8080/x?b=1",
+      "http://a.com/x?b=1",
+      "https://a.com/x?b=1",
+      "http://a.com/x?ref=utm_test&b=1")
+    assert(c(0) == "http://a.com:8080/x?b=1")
+    assert(c(1) == "http://a.com/x?b=1")
+    assert(c(2) == "https://a.com/x?b=1")
+    assert(c(3) == "http://a.com/x?b=1&ref=utm_test")
+    assert(c.distinct.size == 4)
+  }
+
+  test("q277 canonicalizer: root path, empty query, bare host") {
+    val c = canon(
+      "http://a.com",
+      "http://a.com/",
+      "http://a.com/?utm_source=x",
+      "http://a.com/#frag")
+    assert(c.distinct == Seq("http://a.com/"))
+  }
+
+  test("q277 hostile URLs degrade deterministically, never crash") {
+    // schemeless / empty / junk inputs: every regexp_extract yields ''
+    // and the canonical form is degenerate but stable
+    val c = canon("not a url", "", "://", "http//missing.colon/x")
+    assert(c.forall(_ == ":///"))
+    // and a second run produces the same strings (pure expressions)
+    assert(canon("not a url") == Seq(":///"))
+  }
+
+  test("q278 registrable domain: suffix rule with its guards") {
+    val sp = spark
+    import sp.implicits._
+    val hosts = Seq(
+      (1L, "site4.co.uk"), (2L, "a.b.site4.co.uk"), (3L, "site4.com"),
+      (4L, "deep.sub.site4.com"), (5L, "co.uk"), (6L, "x.org.uk"))
+      .toDF("doc_id", "host")
+    val out = operators.IngestQueries.withRegistrableDomain(hosts)
+      .orderBy(col("doc_id")).collect().map(_.getString(2)).toSeq
+    assert(out == Seq("site4.co.uk", "site4.co.uk", "site4.com",
+      "site4.com", "co.uk", "x.org.uk"))
+  }
+
+  test("q278 end-to-end: cap binds above DomainCap, rare.com stays whole") {
+    val out = SparkEntry.queries("q278_domain_caps")(spark, dir).collect()
+    val byDom = out.map(r => r.getString(0) -> r).toMap
+    assert(byDom.contains("rare.com"))
+    val rare = byDom("rare.com")
+    assert(rare.getLong(rare.fieldIndex("n_dropped")) == 0L,
+      "the under-cap cohort must keep every doc")
+    for (r <- out) {
+      val kept = r.getLong(r.fieldIndex("n_kept"))
+      val docs = r.getLong(r.fieldIndex("n_docs"))
+      assert(kept == math.min(docs, operators.IngestQueries.DomainCap.toLong))
+      assert(kept + r.getLong(r.fieldIndex("n_dropped")) == docs)
+    }
+    assert(out.exists(r => r.getLong(r.fieldIndex("n_dropped")) > 0L),
+      "the cap must bind somewhere at gate scale")
+  }
 }
