@@ -297,6 +297,39 @@ object IngestQueries extends QueryModule {
   /** Per-domain document cap. */
   private[graft] val DomainCap = 10
 
+  /** The oracle's spelling of [[canonicalized]] over the synthesized
+    * corpus, as a WITH-chain ending in `c(doc_id, url, canon_url)` —
+    * ONE definition shared by the q277 oracle and the q280 streaming
+    * frontier's batch-parity oracle, so the canonicalizer can never
+    * fork between them. */
+  private[graft] val DuckCanonChain: String =
+    s"""raw AS (SELECT doc_id, $RawUrlSql AS url FROM documents),
+       |p AS (SELECT doc_id, url,
+       |  lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS sch,
+       |  regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS hostport,
+       |  regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path0,
+       |  regexp_extract(url, '^[^#]*[?]([^#]*)', 1) AS q
+       |  FROM raw),
+       |h AS (SELECT *,
+       |  regexp_replace(lower(regexp_extract(hostport, '^([^:]*)', 1)),
+       |    '^www\\.', '') AS host,
+       |  regexp_extract(hostport, ':([0-9]+)$$', 1) AS port FROM p),
+       |n AS (SELECT *,
+       |  CASE WHEN port = '' OR (sch = 'http' AND port = '80')
+       |    OR (sch = 'https' AND port = '443') THEN ''
+       |    ELSE ':' || port END AS portn,
+       |  CASE WHEN regexp_replace(path0, '/+$$', '') = '' THEN '/'
+       |    ELSE regexp_replace(path0, '/+$$', '') END AS pathn,
+       |  array_to_string(list_sort(list_filter(string_split(q, '&'),
+       |    x -> x <> '' AND substr(x, 1, 4) <> 'utm_'
+       |      AND NOT list_contains(['fbclid', 'gclid'],
+       |        regexp_extract(x, '^([^=]*)', 1)))), '&') AS ps
+       |  FROM h),
+       |c AS (SELECT doc_id, url,
+       |  sch || '://' || host || portn || pathn ||
+       |    (CASE WHEN ps = '' THEN '' ELSE '?' || ps END) AS canon_url
+       |  FROM n)""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // --- HTML boilerplate extraction (q275): the first stage of every
@@ -435,32 +468,7 @@ object IngestQueries extends QueryModule {
          |FROM d ORDER BY doc_id""".stripMargin,
 
     "q277_url_canonical_dedup" ->
-      s"""WITH raw AS (SELECT doc_id, $RawUrlSql AS url FROM documents),
-         |p AS (SELECT doc_id, url,
-         |  lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS sch,
-         |  regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS hostport,
-         |  regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path0,
-         |  regexp_extract(url, '^[^#]*[?]([^#]*)', 1) AS q
-         |  FROM raw),
-         |h AS (SELECT *,
-         |  regexp_replace(lower(regexp_extract(hostport, '^([^:]*)', 1)),
-         |    '^www\\.', '') AS host,
-         |  regexp_extract(hostport, ':([0-9]+)$$', 1) AS port FROM p),
-         |n AS (SELECT *,
-         |  CASE WHEN port = '' OR (sch = 'http' AND port = '80')
-         |    OR (sch = 'https' AND port = '443') THEN ''
-         |    ELSE ':' || port END AS portn,
-         |  CASE WHEN regexp_replace(path0, '/+$$', '') = '' THEN '/'
-         |    ELSE regexp_replace(path0, '/+$$', '') END AS pathn,
-         |  array_to_string(list_sort(list_filter(string_split(q, '&'),
-         |    x -> x <> '' AND substr(x, 1, 4) <> 'utm_'
-         |      AND NOT list_contains(['fbclid', 'gclid'],
-         |        regexp_extract(x, '^([^=]*)', 1)))), '&') AS ps
-         |  FROM h),
-         |c AS (SELECT doc_id, url,
-         |  sch || '://' || host || portn || pathn ||
-         |    (CASE WHEN ps = '' THEN '' ELSE '?' || ps END) AS canon_url
-         |  FROM n)
+      s"""WITH $DuckCanonChain
          |SELECT canon_url, CAST(min(doc_id) AS BIGINT) AS keep_doc,
          |  CAST(count(*) AS BIGINT) AS dups,
          |  CAST(count(DISTINCT url) AS BIGINT) AS raw_variants

@@ -26,6 +26,14 @@ case class IngestEv(doc_id: Long, kind: String, dl: Long,
 case class IngestState(erased: Boolean, pending: List[Long])
 case class IngestOut(doc_id: Long, action: String, dl: Long)
 
+/** q280's event/state/output rows (top-level for the same encoder
+  * reason as [[IngestEv]]). State: the current winner (earliest
+  * (event-time, doc_id) seen) plus every displaced arrival, held until
+  * the horizon proves no earlier event can still arrive. */
+case class UrlEv(canon_url: String, doc_id: Long, ts: java.sql.Timestamp)
+case class UrlState(bestTs: Long, bestId: Long, others: List[Long])
+case class UrlOut(doc_id: Long, action: String, canon_url: String)
+
 object StreamingQueries extends QueryModule {
 
   /** Exact order-insensitive double sum (see RelationalQueries doc). */
@@ -759,8 +767,103 @@ object StreamingQueries extends QueryModule {
           t0.as("ts"))
       interleavedIngest(admits.unionByName(erases))
         .orderBy(col("doc_id"), col("action"))
+    }),
+
+    // --- streaming URL frontier (q280): the crawl-side twin of the
+    // q277 batch dedup — a "URL already seen?" admission filter over a
+    // live fetch stream, keyed by the SAME canonicalizer. Winner per
+    // canonical URL is the earliest (event-time, doc_id), decided only
+    // when the watermark proves no earlier fetch can still arrive —
+    // out-of-order arrival order can never flip the verdict. The gate
+    // runs the batch arm over the synthesized corpus with a
+    // deterministic fetch-time skew ((doc_id*7) mod 11 seconds, so the
+    // event-time winner routinely differs from the min-doc_id winner
+    // q277 keeps); StreamingSpec drives the flatMapGroupsWithState arm
+    // and pins stream ≡ batch plus the documented horizon trade.
+    "q280_stream_url_frontier" -> ((s, dir) => {
+      val raw = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          expr(graft.operators.IngestQueries.RawUrlSql).as("url"),
+          expr("timestampadd(SECOND, CAST((doc_id * 7) % 11 AS INT), " +
+            "timestamp'2024-01-01 00:00:00')").as("ts"))
+      urlFrontier(graft.operators.IngestQueries.canonicalized(raw)
+        .select(col("canon_url"), col("doc_id"), col("ts")))
+        .orderBy(col("doc_id"))
     })
   )
+
+  /** q280's builder over a (canon_url, doc_id, ts) event frame — batch
+    * OR streaming.
+    *
+    * Contract: per canonical URL the single 'admit' goes to the
+    * earliest (event-time, doc_id) arrival; every other fetch of the
+    * same canonical URL is 'dup'. In the streaming arm the verdict is
+    * emitted only once the event-time watermark passes the key's
+    * newest event + the 1-hour horizon — until then every arrival is
+    * quarantined, so a LATER-arriving fetch with an EARLIER event time
+    * still wins (StreamingSpec pins exactly that geometry). State per
+    * key is the winner plus displaced arrivals since the last
+    * decision, bounded by arrival-rate × horizon, and the event-time
+    * timeout evicts it. Documented horizon trade (the q274 /
+    * dropDuplicatesWithinWatermark precedent): a re-fetch more than a
+    * horizon after the key went quiet re-enters fresh — the DURABLE
+    * seen-set is the q277 batch artifact this stream feeds.
+    *
+    * Batch arm: the same verdict relationally — a skew-safe
+    * min-of-struct aggregate picks each URL's winner (partial-agged
+    * map-side, so a hot URL never funnels one task: the q120
+    * first-occurrence shape), then one equi-join scores every row.
+    * No window: row_number over a hot canonical URL would sort that
+    * URL's full fetch history inside one partition. A finite input is
+    * one horizon's fixpoint, which is exactly the streaming result. */
+  def urlFrontier(ev: DataFrame): DataFrame = {
+    val sess = ev.sparkSession
+    import sess.implicits._
+    if (ev.isStreaming) {
+      import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+      ev.withWatermark("ts", "1 hour")
+        .as[UrlEv]
+        .groupByKey(_.canon_url)
+        .flatMapGroupsWithState[UrlState, UrlOut](
+          OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+          (url, evs, state) =>
+            if (state.hasTimedOut) {
+              // no event within a horizon of the newest seen, so the
+              // watermark proves no EARLIER event can still arrive:
+              // the quarantined winner is final
+              val st = state.get
+              state.remove()
+              (UrlOut(st.bestId, "admit", url) ::
+                st.others.map(UrlOut(_, "dup", url))).iterator
+            } else {
+              var st = state.getOption.orNull
+              var maxTs = Long.MinValue
+              evs.foreach { e =>
+                val t = e.ts.getTime
+                maxTs = math.max(maxTs, t)
+                st =
+                  if (st == null) UrlState(t, e.doc_id, Nil)
+                  else if (t < st.bestTs ||
+                    (t == st.bestTs && e.doc_id < st.bestId))
+                    UrlState(t, e.doc_id, st.bestId :: st.others)
+                  else UrlState(st.bestTs, st.bestId, e.doc_id :: st.others)
+              }
+              state.update(st)
+              state.setTimeoutTimestamp(maxTs + 3600L * 1000L)
+              Iterator.empty
+            }
+        }.toDF()
+    } else {
+      val win = ev.groupBy(col("canon_url"))
+        .agg(min(struct(col("ts"), col("doc_id"))).as("w"))
+        .select(col("canon_url"), col("w.doc_id").as("win_doc"))
+      ev.join(win, Seq("canon_url"))
+        .select(col("doc_id"),
+          when(col("doc_id") === col("win_doc"), lit("admit"))
+            .otherwise(lit("dup")).as("action"),
+          col("canon_url"))
+    }
+  }
 
   /** q263's builder: join a (doc_id, ts) tombstone frame — batch OR
     * streaming — against the stored BM25 artifacts to emit per-doc
@@ -1183,6 +1286,21 @@ object StreamingQueries extends QueryModule {
         |UNION ALL
         |SELECT doc_id, 'erase', CAST(0 AS BIGINT) FROM e
         |) ORDER BY doc_id, action""".stripMargin,
+
+    // q280: the q277 canonicalizer chain verbatim (shared constant),
+    // winner per canonical URL by (event time, doc_id) — event time is
+    // the synthesized t0 + (doc_id*7) mod 11 seconds, so ordering by
+    // the integer offset is ordering by ts.
+    "q280_stream_url_frontier" ->
+      s"""WITH ${graft.operators.IngestQueries.DuckCanonChain},
+         |w AS (SELECT doc_id, canon_url, row_number() OVER (
+         |    PARTITION BY canon_url
+         |    ORDER BY (doc_id * 7) % 11, doc_id) AS rn
+         |  FROM c)
+         |SELECT doc_id,
+         |  CASE WHEN rn = 1 THEN 'admit' ELSE 'dup' END AS action,
+         |  canon_url
+         |FROM w ORDER BY doc_id""".stripMargin,
 
     "q64_stream_dedup" ->
       """WITH corpus AS (

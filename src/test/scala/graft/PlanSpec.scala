@@ -1212,4 +1212,36 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p235.contains("Window"), p235.take(4000))
     assert(p235.toLowerCase.contains("partial"), p235.take(4000))
   }
+
+  test("q277/q278/q279: the URL/DP family is window-free with map-side partial aggregation") {
+    // q277: canonicalization is pure projection; ONE hash aggregation
+    // on canon_url with a partial phase, no join, no window
+    val p277 = plan("q277_url_canonical_dedup")
+    assert(!p277.contains("Join"), p277.take(4000))
+    assert(!p277.contains("Window"), p277.take(4000))
+    assert(p277.toLowerCase.contains("partial"), p277.take(4000))
+    // q278: the bounded-heap TopK replaces the window form — a Window
+    // here would mean every domain's full row set gets sorted
+    val p278 = plan("q278_domain_caps")
+    assert(!p278.contains("Window"), p278.take(4000))
+    assert(!p278.contains("Join"), p278.take(4000))
+    // q279: two hash aggregations, both with partial phases; no join,
+    // no window, no sort before the output ordering
+    val p279 = plan("q279_dp_event_release")
+    assert(!p279.contains("Join"), p279.take(4000))
+    assert(!p279.contains("Window"), p279.take(4000))
+    assert(p279.toLowerCase.contains("partial"), p279.take(4000))
+  }
+
+  test("q280 batch arm: min-of-struct winner, no window") {
+    val p = plan("q280_stream_url_frontier")
+    // the whole point of the min-struct shape: no per-URL sort. The
+    // winner-set rejoin is deliberately UN-hinted — the winner side
+    // grows with the corpus, so strategy is left to size-based
+    // planning (AQE may broadcast it at spec scale; at 100 TB it
+    // exceeds the threshold and falls to a shuffle join — both
+    // correct, neither forced).
+    assert(!p.contains("Window"), p.take(4000))
+    assert(p.toLowerCase.contains("partial"), p.take(4000))
+  }
 }

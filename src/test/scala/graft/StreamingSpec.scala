@@ -1330,4 +1330,56 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(nine == Set("erase", "suppressed"), nine)
     } finally q.stop()
   }
+
+  test("q280 stream: out-of-order arrival cannot flip the admit; stream ≡ batch; horizon trade") {
+    import graft.streaming.{UrlEv, StreamingQueries}
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val mem = MemoryStream[UrlEv]
+    val q = StreamingQueries.urlFrontier(mem.toDF())
+      .writeStream.format("memory").queryName("url_frontier")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // wave 1: doc 1 ARRIVES first but with the LATER event time;
+      // doc 2 arrives second with the earlier time and must win; doc 3
+      // is a singleton URL
+      val w1 = Seq(
+        UrlEv("http://a.com/x", 1L, ts("2024-01-01T10:00:30Z")),
+        UrlEv("http://a.com/x", 2L, ts("2024-01-01T10:00:10Z")),
+        UrlEv("http://b.com/y", 3L, ts("2024-01-01T10:00:00Z")))
+      mem.addData(w1: _*)
+      q.processAllAvailable()
+      // quarantined: nothing decided before the horizon proves finality
+      assert(sp.table("url_frontier").count() == 0)
+      // watermark push to 11:30 — past both keys' horizon
+      mem.addData(UrlEv("http://c.com/z", 9L, ts("2024-01-01T12:30:00Z")))
+      q.processAllAvailable()
+      val out = sp.table("url_frontier").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      assert(out == Set(
+        (2L, "admit", "http://a.com/x"),
+        (1L, "dup", "http://a.com/x"),
+        (3L, "admit", "http://b.com/y")), out)
+      // batch arm on the same finite wave-1 events: identical verdicts
+      val batch = StreamingQueries.urlFrontier(
+        w1.map(e => (e.canon_url, e.doc_id, e.ts))
+          .toDF("canon_url", "doc_id", "ts"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+        .toSet
+      assert(batch == out)
+      // documented horizon trade: a re-fetch a full horizon after the
+      // key went quiet re-enters fresh (the DURABLE seen-set is the
+      // q277 batch artifact) — doc 4 becomes a fresh admit once its
+      // own horizon closes
+      mem.addData(UrlEv("http://a.com/x", 4L, ts("2024-01-01T12:40:00Z")))
+      q.processAllAvailable()
+      mem.addData(UrlEv("http://d.com/w", 5L, ts("2024-01-01T15:00:00Z")))
+      q.processAllAvailable()
+      val late = sp.table("url_frontier")
+        .filter(col("doc_id") === 4L).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSet
+      assert(late == Set(("admit", "http://a.com/x")), late)
+    } finally q.stop()
+  }
 }
