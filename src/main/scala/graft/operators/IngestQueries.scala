@@ -297,6 +297,108 @@ object IngestQueries extends QueryModule {
   /** Per-domain document cap. */
   private[graft] val DomainCap = 10
 
+  // ----------------------------------------------------------------- q281
+
+  /** Bloom-filter words in the gate configuration. 62 usable bits per
+    * long (bits 62/63 never set, so no sign games in either engine);
+    * 1024 words ≈ 63 kbits — a CONSTANT-size artifact no matter the
+    * corpus, which is the whole point: at 100 TB the frontier
+    * pre-filter ships to every executor as a broadcast measured in
+    * kilobytes while the exact seen-set artifact (q277) stays in
+    * storage. k = 4 index draws from one md5 (16 bits each). */
+  private[graft] val BloomWords = 1024
+
+  /** (word, bit) index pairs for a url column, as an exploded frame —
+    * the four draws are the first four 16-bit chunks of
+    * md5('ubf|' || url), reduced mod the bit-space. Deterministic and
+    * engine-replicable (the q278 md5-prefix discipline). */
+  private def bloomIdx(df: DataFrame, urlCol: String, words: Int): DataFrame = {
+    val m = words * 62
+    df.withColumn("kk", expr(
+      s"transform(sequence(0, 3), i -> " +
+        s"CAST(conv(substr(md5('ubf|' || $urlCol), i * 4 + 1, 4), 16, 10) " +
+        s"AS BIGINT) % $m)"))
+      .select(col("*"), explode(col("kk")).as("idx")).drop("kk")
+      .withColumn("w", expr("idx DIV 62"))
+      .withColumn("bit", expr("idx % 62"))
+      .drop("idx")
+  }
+
+  /** Build the Bloom bitmap artifact over a (url) frame: ≤ `words`
+    * rows of (w, bits). One exploded projection + one partial-agged
+    * bit_or aggregation — the exchange is bounded by the BITMAP size,
+    * never the corpus. */
+  private[graft] def urlBloomBitmap(urls: DataFrame, urlCol: String,
+      words: Int = BloomWords): DataFrame =
+    bloomIdx(urls, urlCol, words)
+      .groupBy(col("w"))
+      .agg(expr("bit_or(shiftleft(1L, CAST(bit AS INT)))").as("bits"))
+
+  /** Probe a (probe_url) frame against the bitmap: a probe hits iff
+    * all four of its bits are set. The bitmap side is broadcast — a
+    * LEGITIMATE forced broadcast, because its size is the constant
+    * `words`, not corpus-growing (the scale-gate rule distinguishes
+    * exactly this). A probe index whose word row is absent has no set
+    * bits at all (coalesce 0). */
+  private[graft] def bloomProbe(probes: DataFrame, bitmap: DataFrame,
+      urlCol: String, words: Int = BloomWords): DataFrame =
+    bloomIdx(probes, urlCol, words)
+      .join(broadcast(bitmap), Seq("w"), "left")
+      .withColumn("hit", expr(
+        "(coalesce(bits, 0L) & shiftleft(1L, CAST(bit AS INT))) <> 0L"))
+      .drop("w", "bit", "bits")
+      .groupBy(probes.columns.toIndexedSeq.map(col): _*)
+      .agg(min(col("hit")).as("bloom_hit"))
+
+  // ----------------------------------------------------------------- q282
+
+  /** The synthesized crawl-policy rule set — ONE Scala value renders
+    * both the engine frame and the oracle's VALUES list. Every domain
+    * gets the default-allow root and a deny on the breakaway `/other/`
+    * paths; the even-name domains add a deny on `/article/` with a
+    * LONGER allow override (`/article/1`) and an equal-length
+    * allow/deny pair (`/article/2` twice) — the two precedence cases
+    * the robots.txt rule is about: longest match wins, and a tie goes
+    * to allow. */
+  private[graft] val RobotRules: Seq[(String, String, Int)] = {
+    val doms = (for {
+      n <- Seq(0, 4, 8, 12, 16, 20, 24)
+      s <- Seq(".com", ".org", ".co.uk", ".com.au")
+    } yield s"site$n$s") :+ "rare.com"
+    val even = doms.filter(d =>
+      Seq("site0.", "site8.", "site16.", "site24.", "rare.")
+        .exists(d.startsWith))
+    doms.flatMap(d => Seq((d, "/", 1), (d, "/other/", 0))) ++
+      even.flatMap(d => Seq((d, "/article/", 0), (d, "/article/1", 1),
+        (d, "/article/2", 1), (d, "/article/2", 0)))
+  }
+
+  /** Apply the policy to a (doc_id, host, path) frame: per URL the
+    * winning rule is the longest matching prefix, allow beating deny
+    * on an exact length tie — picked by one max-of-struct aggregate
+    * (len, allow, pfx), no window. The rules side is broadcast —
+    * bounded by the POLICY size, not the corpus. */
+  private[graft] def robotVerdicts(urls: DataFrame): DataFrame = {
+    val s = urls.sparkSession
+    import s.implicits._
+    val rules = RobotRules.toDF("dom", "pfx", "allow")
+    urls.join(broadcast(rules), col("host") === col("dom"))
+      .filter(expr("substr(path, 1, length(pfx)) = pfx"))
+      .groupBy(col("doc_id"), col("host"))
+      .agg(max(struct(length(col("pfx")).as("l"), col("allow").as("a"),
+        col("pfx").as("p"))).as("w"))
+      .select(col("doc_id"), col("host"),
+        when(col("w.a") === 1, lit("allow")).otherwise(lit("deny"))
+          .as("verdict"),
+        col("w.p").as("rule_pfx"))
+  }
+
+  /** The q281 absent-probe URL: canonical-shaped by construction
+    * (lowercase scheme/host, no params) on a path the corpus never
+    * produces. Shared synthesis SQL. */
+  private[graft] val AbsentUrlSql: String =
+    s"$SchemeSql || '://' || $HostSql || '/absent/' || $PidStr"
+
   /** The oracle's spelling of [[canonicalized]] over the synthesized
     * corpus, as a WITH-chain ending in `c(doc_id, url, canon_url)` —
     * ONE definition shared by the q277 oracle and the q280 streaming
@@ -417,6 +519,52 @@ object IngestQueries extends QueryModule {
             .as("n_dropped"),
           expr("aggregate(tk, 0L, (a, x) -> a + x._2)").as("kept_sum"))
         .orderBy(col("dom"))
+    }),
+
+    // --- Bloom-filter URL-seen pre-filter (q281): the constant-size
+    // companion artifact to the q277 exact seen-set — at 100 TB the
+    // frontier asks "definitely new?" against a kilobyte bitmap on
+    // every executor before ever touching the stored artifact. Build:
+    // one exploded projection + one bit_or aggregation bounded by the
+    // bitmap, never the corpus. Probe: the k index draws against the
+    // BROADCAST bitmap (legitimately forced — the size is the constant
+    // BloomWords). The gate probes a present cohort (must ALL hit —
+    // the Bloom guarantee) and a synthesized absent cohort (misses up
+    // to deterministic false positives, which the md5 chain makes
+    // engine-identical). IngestSpec proves the guarantee and drives a
+    // deliberately tiny bitmap to exercise real false positives.
+    "q281_url_bloom_prefilter" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val canon = canonicalized(
+        docs.select(col("doc_id"), expr(RawUrlSql).as("url")))
+        .select(col("doc_id"), col("canon_url"))
+      val bitmap = urlBloomBitmap(
+        canon.select(col("canon_url").as("url")).distinct(), "url")
+      val probes = canon.filter(col("doc_id") % 8 === 1)
+        .select(col("canon_url").as("probe_url"), lit(true).as("expected"))
+        .unionByName(docs.filter(col("doc_id") % 8 === 1)
+          .select(expr(AbsentUrlSql).as("probe_url"),
+            lit(false).as("expected")))
+      bloomProbe(probes, bitmap, "probe_url")
+        .orderBy(col("probe_url"))
+    }),
+
+    // --- crawl-policy application (q282): robots.txt precedence over
+    // the canonical URLs — longest matching path-prefix rule wins, an
+    // exact-length tie goes to allow. The rule table is policy-sized
+    // (broadcast); the verdict is one max-of-struct aggregate per URL,
+    // so no window and nothing corpus-sized funnels anywhere. The
+    // synthesized rules exercise both precedence cases (the /article/1
+    // longer-allow override and the /article/2 equal-length tie) on
+    // the even-name domains.
+    "q282_crawl_policy" -> ((s, dir) => {
+      val canon = canonicalized(Tables.documents(s, dir)
+        .select(col("doc_id"), expr(RawUrlSql).as("url")))
+        .select(col("doc_id"),
+          regexp_extract(col("canon_url"), "://([^/:?#]*)", 1).as("host"),
+          regexp_extract(col("canon_url"), "://[^/?#]*([^?#]*)", 1)
+            .as("path"))
+      robotVerdicts(canon).orderBy(col("doc_id"))
     })
   )
 
@@ -496,6 +644,59 @@ object IngestQueries extends QueryModule {
          |  CAST(coalesce(sum(doc_id) FILTER (rn <= $DomainCap), 0)
          |    AS BIGINT) AS kept_sum
          |FROM w GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+    // q281: the identical md5-chunk index chain and 62-bit words in
+    // HUGEINT-free integer SQL; bool_and is the oracle spelling of the
+    // engine's min(hit).
+    "q281_url_bloom_prefilter" -> {
+      val m = BloomWords * 62
+      s"""WITH $DuckCanonChain,
+         |built AS (SELECT DISTINCT canon_url AS url FROM c),
+         |bx AS (SELECT url,
+         |    CAST(CAST('0x' || substr(md5('ubf|' || url), i * 4 + 1, 4)
+         |      AS UBIGINT) AS BIGINT) % $m AS idx
+         |  FROM built, (SELECT unnest([0, 1, 2, 3]) AS i)),
+         |bm AS (SELECT idx // 62 AS w,
+         |    bit_or(CAST(1 AS BIGINT) << CAST(idx % 62 AS INT)) AS bits
+         |  FROM bx GROUP BY 1),
+         |pr AS (SELECT canon_url AS probe_url, true AS expected
+         |    FROM c WHERE doc_id % 8 = 1
+         |  UNION ALL
+         |  SELECT $AbsentUrlSql, false FROM documents WHERE doc_id % 8 = 1),
+         |px AS (SELECT probe_url, expected,
+         |    CAST(CAST('0x' || substr(md5('ubf|' || probe_url), i * 4 + 1, 4)
+         |      AS UBIGINT) AS BIGINT) % $m AS idx
+         |  FROM pr, (SELECT unnest([0, 1, 2, 3]) AS i)),
+         |pj AS (SELECT probe_url, expected,
+         |    (coalesce(bits, 0) & (CAST(1 AS BIGINT) << CAST(idx % 62 AS INT)))
+         |      <> 0 AS hit
+         |  FROM px LEFT JOIN bm ON px.idx // 62 = bm.w)
+         |SELECT probe_url, expected, bool_and(hit) AS bloom_hit
+         |FROM pj GROUP BY 1, 2 ORDER BY probe_url""".stripMargin
+    },
+
+    // q282: the same rule list (rendered from the ONE Scala constant)
+    // and the same (length, allow, pfx) precedence, spelled as a
+    // window for the oracle.
+    "q282_crawl_policy" -> {
+      val values = RobotRules
+        .map { case (d, p, a) => s"('$d', '$p', $a)" }.mkString(", ")
+      s"""WITH $DuckCanonChain,
+         |u AS (SELECT doc_id,
+         |    regexp_extract(canon_url, '://([^/:?#]*)', 1) AS host,
+         |    regexp_extract(canon_url, '://[^/?#]*([^?#]*)', 1) AS path
+         |  FROM c),
+         |r(dom, pfx, allow) AS (SELECT * FROM (VALUES $values)),
+         |m AS (SELECT doc_id, host, pfx, allow,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY length(pfx) DESC, allow DESC, pfx DESC) AS rn
+         |  FROM u JOIN r ON u.host = r.dom
+         |  WHERE substr(path, 1, length(pfx)) = pfx)
+         |SELECT doc_id, host,
+         |  CASE WHEN allow = 1 THEN 'allow' ELSE 'deny' END AS verdict,
+         |  pfx AS rule_pfx
+         |FROM m WHERE rn = 1 ORDER BY doc_id""".stripMargin
     }
   )
 }

@@ -240,4 +240,61 @@ class IngestSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.exists(r => r.getLong(r.fieldIndex("n_dropped")) > 0L),
       "the cap must bind somewhere at gate scale")
   }
+
+  test("q281 Bloom guarantee: every inserted URL hits, at any bitmap size") {
+    val sp = spark
+    import sp.implicits._
+    val urls = (1 to 50).map(i => s"http://u$i.com/p").toDF("url")
+    for (words <- Seq(2, operators.IngestQueries.BloomWords)) {
+      val bm = operators.IngestQueries.urlBloomBitmap(urls, "url", words)
+      val probes = urls.select(col("url").as("probe_url"))
+      val hits = operators.IngestQueries
+        .bloomProbe(probes, bm, "probe_url", words)
+        .collect().map(_.getBoolean(1))
+      assert(hits.length == 50 && hits.forall(identity),
+        s"words=$words: an inserted URL must NEVER miss")
+    }
+  }
+
+  test("q281 false positives exist at a saturated bitmap and never at the gate size") {
+    val sp = spark
+    import sp.implicits._
+    val urls = (1 to 50).map(i => s"http://u$i.com/p").toDF("url")
+    val absent = (1 to 50).map(i => s"http://v$i.org/q").toDF("probe_url")
+    // 124 bits, 50 urls x 4 draws: essentially every bit set -> the
+    // absent probes MUST collide (the fp mechanism is real)
+    val tiny = operators.IngestQueries.urlBloomBitmap(urls, "url", 2)
+    val fpTiny = operators.IngestQueries.bloomProbe(absent, tiny, "probe_url", 2)
+      .collect().count(_.getBoolean(1))
+    assert(fpTiny > 0, "a saturated bitmap must produce false positives")
+    // gate size: 63k bits at load 50x4 -> fp probability per probe
+    // ~(200/63488)^4 < 1e-10; all 50 absent probes miss
+    val big = operators.IngestQueries.urlBloomBitmap(
+      urls, "url", operators.IngestQueries.BloomWords)
+    val fpBig = operators.IngestQueries.bloomProbe(absent, big, "probe_url")
+      .collect().count(_.getBoolean(1))
+    assert(fpBig == 0)
+  }
+
+  test("q282 precedence: longest prefix wins; an equal-length tie goes to allow") {
+    val sp = spark
+    import sp.implicits._
+    val urls = Seq(
+      (1L, "site0.com", "/article/140"), // /article/1 override beats /article/
+      (2L, "site0.com", "/article/28"), // /article/2 tie -> allow
+      (3L, "site0.com", "/article/364"), // /article/ deny
+      (4L, "site0.com", "/other/7"), // /other/ deny everywhere
+      (5L, "site4.com", "/article/364"), // odd-name domain: only '/' -> allow
+      (6L, "rare.com", "/article/300")) // rare is in the even set -> deny
+      .toDF("doc_id", "host", "path")
+    val out = operators.IngestQueries.robotVerdicts(urls)
+      .orderBy(col("doc_id")).collect()
+      .map(r => r.getLong(0) -> (r.getString(2), r.getString(3))).toMap
+    assert(out(1L) == ("allow", "/article/1"))
+    assert(out(2L) == ("allow", "/article/2"))
+    assert(out(3L) == ("deny", "/article/"))
+    assert(out(4L) == ("deny", "/other/"))
+    assert(out(5L) == ("allow", "/"))
+    assert(out(6L) == ("deny", "/article/"))
+  }
 }
