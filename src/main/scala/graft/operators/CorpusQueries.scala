@@ -894,7 +894,80 @@ object CorpusQueries extends QueryModule {
         col("n_triangles"), col("closure"))
   }
 
+  /** q283's engine over a (w, occ, L) word-frequency frame — factored
+    * so BpeSpec can replay the whole chain against an independent
+    * in-memory reimplementation. Returns (word, occ, seg_cost,
+    * n_pieces), unordered. See the q283 entry comment for the design.
+    */
+  private[graft] def unigramSegmentOn(wordsIn: DataFrame): DataFrame = {
+    val big = 1000000000000L // unreachable cell (invalid/absent piece)
+    val words = wordsIn.localCheckpoint() // candidates + grid
+    val ik = words
+      .select(col("w"), col("occ"), col("L"),
+        explode(expr("sequence(1, 18)")).as("i"))
+      .filter(col("i") <= col("L"))
+      .select(col("w"), col("occ"), col("L"), col("i"),
+        explode(expr("sequence(1, 6)")).as("k"))
+    val cand = ik.filter(expr("i + k - 1 <= L"))
+      .select(expr("substr(w, i, k)").as("piece"), col("occ"))
+      .groupBy(col("piece")).agg(sum(col("occ")).as("freq"))
+      .localCheckpoint() // tot0 + the prune filter
+    val tot0 = cand.agg(sum(col("freq")).as("t0"))
+    val vocab = cand.crossJoin(broadcast(tot0))
+      .filter(col("freq") * 10000 >= col("t0") || length(col("piece")) === 1)
+      .select(col("piece"), col("freq"))
+      .localCheckpoint() // tot1 + the cost projection
+    val tot1 = vocab.agg(sum(col("freq")).as("t1"))
+    val vc = vocab.crossJoin(broadcast(tot1))
+      .select(col("piece"), expr(
+        "length(bin(greatest(1L, t1 DIV freq))) * 64L + 1L").as("enc"))
+    // complete (i, k) grid — invalid cells carry the unreachable
+    // cost so the flat index (i-1)*6 + k is position-stable
+    val gc = ik
+      .withColumn("piece", expr(
+        "CASE WHEN i + k - 1 <= L THEN substr(w, i, k) END"))
+      .join(vc, Seq("piece"), "left")
+      .groupBy(col("w"), col("occ"), col("L"))
+      .agg(expr(
+        s"transform(array_sort(collect_list(struct(i, k, " +
+          s"coalesce(enc, ${big}L) AS e))), x -> x.e)").as("cl"))
+    gc.withColumn("v", expr(
+      "element_at(aggregate(sequence(1, L), array(0L), (acc, i) -> " +
+        "array_append(acc, aggregate(sequence(greatest(0, i - 6), i - 1), " +
+        "1000000000000000L, (m, j) -> least(m, element_at(acc, j + 1) + " +
+        "element_at(cl, j * 6 + (i - j))))), acc -> acc), -1)"))
+      .select(col("w").as("word"), col("occ"),
+        expr("v DIV 64").as("seg_cost"), expr("v % 64").as("n_pieces"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // --- unigram/MDL optimal segmentation (q283): the third tokenizer
+    // family the engine ships — BPE trains by greedy merges (q243),
+    // MaxMatch segments greedily (q165); the SentencePiece-unigram
+    // family instead segments each word OPTIMALLY against a piece
+    // vocabulary by Viterbi DP. Everything lives on the integer grid
+    // so DuckDB replicates it bit-for-bit: candidate pieces are all
+    // substrings of length 1..6 of the (≤18-char) corpus words; the
+    // vocabulary keeps pieces with ≥ 0.01% of candidate mass (plus
+    // all single chars, the closure that makes every word segmentable);
+    // a piece's cost is its MDL code length 1 + ⌊log2(total/freq)⌋
+    // spelled length(bin(total DIV freq)) — bin() agrees across
+    // engines where log2 would not. The DP minimizes the ENCODED value
+    // cost·64 + pieces, so one integer min is simultaneously the
+    // optimal cost and, among optima, the fewest pieces — a
+    // deterministic tie-break with no second pass. Scale: the corpus
+    // contributes ONE vocabulary-bounded token count; candidates,
+    // costs, and the per-word DP (an array-local fold over ≤108 cells)
+    // are all dictionary-sized. The oracle runs the identical DP as a
+    // recursive CTE.
+    "q283_unigram_segmentation" -> ((s, dir) =>
+      unigramSegmentOn(Tables.documents(s, dir)
+        .select(explode(expr(toksSql)).as("w"))
+        .filter(col("w") =!= "" && length(col("w")) <= 18)
+        .groupBy(col("w")).agg(count(lit(1)).as("occ"))
+        .withColumn("L", length(col("w"))))
+        .orderBy(col("word"))),
 
     // --- duplicate-CLUSTER resolution: pair lists (q34) undercount reality
     // — near-duplication is transitive (A~B, B~C but A!~C), so keeper
@@ -4959,6 +5032,53 @@ object CorpusQueries extends QueryModule {
       |FROM sc ORDER BY m DESC, doc_id LIMIT 20""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    // q283: the identical integer DP as a recursive CTE — same grid
+    // flattening, same 0.01% prune, same bin()-spelled MDL costs, same
+    // cost·64+pieces encoding.
+    "q283_unigram_segmentation" ->
+      raw"""WITH RECURSIVE tk AS (
+           |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+           |  FROM documents),
+           |words AS (
+           |  SELECT w, CAST(count(*) AS BIGINT) AS occ, length(w) AS L
+           |  FROM tk WHERE w <> '' AND length(w) <= 18 GROUP BY 1),
+           |cand AS (
+           |  SELECT substr(w, i, k) AS piece, sum(occ) AS freq
+           |  FROM words, generate_series(1, 18) g(i), generate_series(1, 6) h(k)
+           |  WHERE i <= L AND i + k - 1 <= L
+           |  GROUP BY 1),
+           |tot0 AS (SELECT sum(freq) AS t0 FROM cand),
+           |vocab AS (
+           |  SELECT piece, freq FROM cand, tot0
+           |  WHERE freq * 10000 >= t0 OR length(piece) = 1),
+           |tot1 AS (SELECT sum(freq) AS t1 FROM vocab),
+           |vc AS (SELECT piece,
+           |    CAST(length(bin(greatest(1, CAST(t1 // freq AS BIGINT)))) * 64 + 1
+           |      AS BIGINT) AS enc
+           |  FROM vocab, tot1),
+           |grid AS (
+           |  SELECT w, L, occ, i, k,
+           |    CASE WHEN i + k - 1 <= L THEN substr(w, i, k) END AS piece
+           |  FROM words, generate_series(1, 18) g(i), generate_series(1, 6) h(k)
+           |  WHERE i <= L),
+           |gc AS (
+           |  SELECT g.w, g.L, g.occ,
+           |    list(coalesce(vc.enc, 1000000000000) ORDER BY g.i, g.k) AS cl
+           |  FROM grid g LEFT JOIN vc ON g.piece = vc.piece
+           |  GROUP BY 1, 2, 3),
+           |rec AS (
+           |  SELECT w, L, occ, cl, 0 AS i, [CAST(0 AS BIGINT)] AS best FROM gc
+           |  UNION ALL
+           |  SELECT w, L, occ, cl, i + 1,
+           |    list_append(best, list_min(list_transform(
+           |      range(greatest(0, i + 1 - 6), i + 1),
+           |      j -> best[j + 1] + cl[j * 6 + (i + 1 - j)])))
+           |  FROM rec WHERE i < L)
+           |SELECT w AS word, occ,
+           |  CAST(best[L + 1] // 64 AS BIGINT) AS seg_cost,
+           |  CAST(best[L + 1] % 64 AS BIGINT) AS n_pieces
+           |FROM rec WHERE i = L ORDER BY word""".stripMargin,
+
     "q252_bpe_drift" -> {
       val revRounds = (1 to BpeRounds).map { r =>
         s"""r$r AS (SELECT word, freq,

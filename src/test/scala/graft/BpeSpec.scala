@@ -108,4 +108,50 @@ class BpeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.sliding(2).forall(p => p(1)._4 <= p(0)._4),
       s"fertility must be non-increasing in merges: ${rows.toSeq}")
   }
+
+  test("q283 unigram segmentation equals an independent in-memory replay of the whole chain") {
+    val dir = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("q283_unigram_segmentation")(spark, dir)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // --- independent replay (plain Scala, no Spark expressions):
+    // corpus stays in the BMP, so String.length/substring agree with
+    // the SQL character semantics
+    val toks = graft.Tables.documents(spark, dir)
+      .select(org.apache.spark.sql.functions.expr(
+        graft.operators.LlmQueries.toksSql).as("tk"))
+      .collect().flatMap(_.getSeq[String](0))
+      .filter(w => w.nonEmpty && w.length <= 18)
+    val occ = toks.groupBy(identity).map { case (w, l) => w -> l.length.toLong }
+    val cand = scala.collection.mutable.Map[String, Long]()
+      .withDefaultValue(0L)
+    for ((w, o) <- occ; i <- 0 until w.length; k <- 1 to 6
+         if i + k <= w.length)
+      cand(w.substring(i, i + k)) += o
+    val t0 = cand.values.sum
+    val vocab = cand.filter { case (p, f) => f * 10000 >= t0 || p.length == 1 }
+    val t1 = vocab.values.sum
+    val big = 1000000000000L
+    def enc(p: String): Long = vocab.get(p)
+      .map(f => java.lang.Long.toBinaryString(math.max(1L, t1 / f))
+        .length.toLong * 64L + 1L)
+      .getOrElse(big)
+    val expect = occ.map { case (w, o) =>
+      val best = Array.fill(w.length + 1)(Long.MaxValue / 2)
+      best(0) = 0L
+      for (i <- 1 to w.length; j <- math.max(0, i - 6) until i)
+        best(i) = math.min(best(i), best(j) + enc(w.substring(j, i)))
+      w -> (o, best(w.length) / 64, best(w.length) % 64)
+    }
+    assert(out.keySet == expect.keySet)
+    for ((w, e) <- expect)
+      assert(out(w) == e, s"word '$w': engine ${out(w)} vs replay $e")
+    // and the optimum is never worse than all-single-chars
+    for ((w, (_, cost, pieces)) <- expect) {
+      val singles = w.map(c => enc(c.toString)).sum
+      assert(cost * 64 + pieces <= singles,
+        s"'$w' must not cost more than its single-char segmentation")
+    }
+  }
 }
