@@ -31,5 +31,17 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Heap + collector for the forked local-mode JVM (driver == executor):
+  // at -Xmx8g the unified memory region was 4.6 GiB shared by 32 task
+  // threads plus the StageMemo checkpoint blocks, and G1 stalled the
+  // late-suite queries in GC (measured r16: q262 26.4 s task-attributed
+  // GC on a 6.5 s query, q130 11.3 s — cpu/run 0.13–0.49). 24g keeps
+  // compressed oops (a 32g probe LOST them and ran 30% slower) and
+  // ParallelGC trades pause latency — irrelevant in batch — for
+  // throughput: the GC-stalled set dropped 2–4x (q130 10.0->2.7 s,
+  // q262 6.5->2.6, q223 2.2->0.8, q124 3.7->1.6; full sweep in
+  // OPTIMIZATION_r16.md). SPARK_DRIVER_MEM still overrides the size;
+  // cluster deployments size executors via spark-submit, not this.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  "-XX:+UseParallelGC",
 )

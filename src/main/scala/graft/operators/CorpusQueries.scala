@@ -2256,7 +2256,11 @@ object CorpusQueries extends QueryModule {
     // inside ONE doc doesn't inflate its cross-doc count; shuffle keys
     // are gram strings, aggregated map-side before the exchange.
     "q111_common_ngrams" -> ((s, dir) => {
+      // repartition before tokenize + 8-gram explode: the whole
+      // gram-census map side ran inside the single-file scan task.
       Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"))
+        .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"), expr(toksSql).as("tk"))
         .select(col("doc_id"), explode(expr(gramsSql("tk", 8))).as("gram"))
         .groupBy(col("gram")).agg(count(lit(1)).as("n_docs"))
@@ -2409,7 +2413,14 @@ object CorpusQueries extends QueryModule {
     // n-grams) and q84 (within-doc repetition score) — this one
     // rewrites the text. Engine + scale notes: [[dupSpanStrip]].
     "q116_dup_span_strip" -> ((s, dir) =>
-      dupSpanStrip(Tables.documents(s, dir)).orderBy(col("doc_id"))),
+      // repartition before the strip engine: its tokenize + 8-gram
+      // posexplode stream is built twice (hot census + cover probe, the
+      // measured-cheaper-than-checkpoint decision in substringSpans'
+      // doc) and both builds ran inside the single-file scan task.
+      dupSpanStrip(Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"))
+        .repartition(s.sparkContext.defaultParallelism))
+        .orderBy(col("doc_id"))),
 
     // --- statistical LM quality scoring (the model-based filter slot in
     // CCNet-style pipelines, built from corpus statistics instead of an
@@ -3574,7 +3585,15 @@ object CorpusQueries extends QueryModule {
     // (both partial-agged hash exchanges on longs), then a
     // |sources|-row rollup of duplicated-token share.
     "q195_cdc_chunk_dedup" -> ((s, dir) => {
-      val occ = cdcChunkOccurrences(Tables.documents(s, dir))
+      // repartition before the chunker: the CDC pipeline (4-gram
+      // zip_with chain + boundary scan + per-chunk fnv64) is the
+      // heaviest per-row projection in the corpus family, and on the
+      // single-file scan it ran in ONE task. The narrow 3-column
+      // exchange spreads it across every core (the tokenSets
+      // convention; at 100 TB the scan has natural splits).
+      val occ = cdcChunkOccurrences(Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"), col("text"))
+          .repartition(s.sparkContext.defaultParallelism))
         .localCheckpoint()
       val dup = occ.groupBy(col("ch"))
         .agg(count(lit(1)).as("occs"))
@@ -3702,7 +3721,21 @@ object CorpusQueries extends QueryModule {
     // shuffles beyond its scan, and only chunk fingerprints. The
     // composite lives on the 1e-6 grid end-to-end.
     "q200_curation_scorecard" -> ((s, dir) => {
+      // ONE narrow repartitioned materialization feeds all three
+      // branches: each branch's per-doc work (normalization, the
+      // repetition array fold, CDC chunking) previously ran inside the
+      // single-file scan task — three serial single-thread passes over
+      // the corpus (measured 4.9 s wall at cpu/run 0.96). The
+      // round-robin exchange spreads the heavy projections across
+      // every core, and the localCheckpoint keeps the spread corpus
+      // from being re-shuffled per branch (the tokenSets convention).
+      // At 100 TB the scan has natural splits, the exchange carries
+      // only the three needed columns, and the stage output is read
+      // three times instead of the raw table.
       val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("text"))
+        .repartition(s.sparkContext.defaultParallelism)
+        .localCheckpoint()
       val exact = d
         .select(col("source"), expr(LlmQueries.normSql).as("nt"))
         .groupBy(col("source"))
@@ -4459,29 +4492,68 @@ object CorpusQueries extends QueryModule {
 
   private[graft] def subwordCountsBuild(s: SparkSession, dir: String): DataFrame = {
     val words = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+      // spread the DOCUMENTS, then tokenize (r16): the explode used to
+      // sit below the repartition, so the tokenize ran inside the
+      // single-file scan task and the exchange carried the exploded
+      // word list (corpus-token-sized) instead of the raw docs. Now the
+      // narrow doc exchange comes first and the tokenize+explode runs
+      // on every core (the tokenSets convention); localCheckpoint (repo
+      // convention) so the exploded word list is built once, not once
+      // per consumer below.
+      .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), col("lang"), col("source"),
         explode(expr(toksSql)).as("w"))
       .filter(length(col("w")) > 0)
-      // single-file scan -> spread BEFORE the 4 consumers below;
-      // localCheckpoint (repo convention) so the exploded word list
-      // is built once, not once per vocab size + once for encode
-      .repartition(s.sparkContext.defaultParallelism)
       .localCheckpoint()
-    def topGrams(k: Int, n: Int): DataFrame = words
-      .select(explode(expr(
-        s"CASE WHEN char_length(w) >= $k THEN " +
-          s"transform(sequence(1, char_length(w) - ${k - 1}), " +
-          s"i -> substring(w, i, $k)) ELSE array() END")).as("g"))
+    // ONE gram pass instead of three (r16 optimization): the 2/3/4-gram
+    // censuses used to run as three separate jobs, each re-reading the
+    // checkpointed word list and paying its own explode + partial agg +
+    // exchange. A gram's own char_length IS its k, so one explode of all
+    // three granularities feeds one aggregation; the per-k top-N (count
+    // DESC, gram ASC — the engine-independent total order, unchanged)
+    // then runs as a row_number window over the AGGREGATED distinct-gram
+    // frame (vocabulary-sized, never corpus-sized). Same vocabulary,
+    // one corpus pass instead of three.
+    val gramsAll = words.select(explode(expr(
+        "flatten(transform(array(2, 3, 4), k -> " +
+          "CASE WHEN char_length(w) >= k THEN " +
+          "transform(sequence(1, char_length(w) - k + 1), " +
+          "i -> substring(w, i, k)) ELSE array() END))")).as("g"))
       .groupBy(col("g")).agg(count(lit(1)).as("c"))
-      // count DESC, gram ASC: a total order, so the top-N boundary is
-      // engine-independent even under count ties
-      .orderBy(col("c").desc, col("g").asc).limit(n)
-      .agg(sort_array(collect_list(col("g"))).as(s"v$k"))
-    words
-      .crossJoin(broadcast(topGrams(2, 128)))
-      .crossJoin(broadcast(topGrams(3, 64)))
-      .crossJoin(broadcast(topGrams(4, 32)))
-      .withColumn("n_sub", expr(maxMatchCountSql))
+      .withColumn("k", length(col("g")))
+    val wTop = Window.partitionBy(col("k"))
+      .orderBy(col("c").desc, col("g").asc)
+    val vocab = gramsAll
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= when(col("k") === 2, 128)
+        .when(col("k") === 3, 64).otherwise(32))
+      .agg(
+        sort_array(collect_list(when(col("k") === 2, col("g")))).as("v2"),
+        sort_array(collect_list(when(col("k") === 3, col("g")))).as("v3"),
+        sort_array(collect_list(when(col("k") === 4, col("g")))).as("v4"))
+    // Encode each DISTINCT word once, not each occurrence (r16): the
+    // MaxMatch fold is the build's hottest expression (per char
+    // position, three array_contains probes over 128/64/32-entry
+    // vocabs), and words repeat — the distinct-word table is
+    // vocabulary-shaped (Heaps' law) while occurrences are corpus-
+    // shaped. The per-word counts then re-attach map-side through the
+    // broadcast hash join. Gate (the batchHint discipline): when the
+    // distinct-word table outgrows the broadcast cap, fall back to the
+    // original occurrence-local encode — still map-side, no new
+    // corpus-sized exchange appears at any scale.
+    val dw = words.select(col("w")).distinct().localCheckpoint()
+    val nDw = probeCount(dw)
+    val encoded =
+      if (nDw <= BroadcastRowCap)
+        words.join(
+          broadcast(dw.crossJoin(broadcast(vocab))
+            .withColumn("n_sub", expr(maxMatchCountSql))
+            .select(col("w"), col("n_sub"))),
+          Seq("w"))
+      else words.crossJoin(broadcast(vocab))
+        .withColumn("n_sub", expr(maxMatchCountSql))
+    encoded
       .groupBy(col("doc_id"), col("lang"), col("source"))
       .agg(count(lit(1)).as("n_words"),
         sum(col("n_sub")).cast("long").as("n_subtok"),
@@ -4635,7 +4707,14 @@ object CorpusQueries extends QueryModule {
     * fingerprints fork. Offset guarded ([[assertPlantedOffset]]). */
   private[graft] def plantedExcerptCorpus(s: SparkSession, dir: String): DataFrame = {
     assertPlantedOffset(s, dir, 60000)
+    // repartition the raw docs BEFORE tokenizing (r16): both consumers
+    // (q253's span chain streams the corpus twice by design, q260 adds
+    // the strip pass) tokenize through this frame, and on a single-file
+    // scan the tokenize ran in one task. Narrow 2-column exchange; the
+    // gram pipelines above it then run on every core.
     val base = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))
+      .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), expr(toksSql).as("tk"))
     val planted = base.filter(col("doc_id") % 10 === 6)
       .select((col("doc_id") + 60000).as("doc_id"),

@@ -535,9 +535,17 @@ object IngestQueries extends QueryModule {
     // deliberately tiny bitmap to exercise real false positives.
     "q281_url_bloom_prefilter" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
+      // repartition before the synthesis+canonicalizer regexp chain and
+      // checkpoint it: the chain is ~10 regexp/array expressions per
+      // row, it used to run inside the single-file scan task, and BOTH
+      // consumers below (bitmap build, present-probe side) re-ran it
+      // (measured 4.0 s wall at cpu/run 0.87). One narrow doc_id
+      // exchange spreads it; the checkpoint runs it once.
       val canon = canonicalized(
-        docs.select(col("doc_id"), expr(RawUrlSql).as("url")))
+        docs.select(col("doc_id"), expr(RawUrlSql).as("url"))
+          .repartition(s.sparkContext.defaultParallelism))
         .select(col("doc_id"), col("canon_url"))
+        .localCheckpoint()
       val bitmap = urlBloomBitmap(
         canon.select(col("canon_url").as("url")).distinct(), "url")
       val probes = canon.filter(col("doc_id") % 8 === 1)
@@ -558,8 +566,11 @@ object IngestQueries extends QueryModule {
     // longer-allow override and the /article/2 equal-length tie) on
     // the even-name domains.
     "q282_crawl_policy" -> ((s, dir) => {
+      // same repartition-before-the-regexp-chain shape as q281 (one
+      // consumer here, so no checkpoint needed)
       val canon = canonicalized(Tables.documents(s, dir)
-        .select(col("doc_id"), expr(RawUrlSql).as("url")))
+        .select(col("doc_id"), expr(RawUrlSql).as("url"))
+        .repartition(s.sparkContext.defaultParallelism))
         .select(col("doc_id"),
           regexp_extract(col("canon_url"), "://([^/:?#]*)", 1).as("host"),
           regexp_extract(col("canon_url"), "://[^/?#]*([^?#]*)", 1)
