@@ -9,9 +9,9 @@ import org.apache.spark.sql.SparkSession
   * shuffle.partitions = cpus) so the captured plan is the one the bench
   * actually runs — except spark.ui/noise settings irrelevant to plan
   * shape. Usage:
-  *   runMain graft.PlanDump <sfDir> <outDir> <tag> <q1,q2,...>
+  *   runMain graft.PlanCapture <sfDir> <outDir> <tag> <q1,q2,...>
   */
-object PlanDump {
+object PlanCapture {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir, tag, names) = args.take(4)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -35,7 +35,7 @@ object PlanDump {
       java.nio.file.Files.write(
         java.nio.file.Paths.get(outDir, s"${name}_$tag.txt"),
         plan.getBytes("UTF-8"))
-      println(s"[plandump] wrote $name ($tag)")
+      println(s"[plancapture] wrote $name ($tag)")
     }
     spark.stop()
   }

@@ -63,6 +63,11 @@ object GraftFunctions {
         " merge scan (the prefix-filter join's verify loop)") {
       args => SortedIntersectCount(args.head, args(1))
     },
+    fn("sorted_intersect_atleast",
+      "sorted_intersect_count(a, b) when it can reach m, else -1 —" +
+        " early-exit verify for threshold filters (exact for passing rows)") {
+      args => SortedIntersectAtLeast(args.head, args(1), args(2))
+    },
     fn("divide_unsigned",
       "64-bit unsigned long division (u64 reinterpret, /0 -> null)") {
       args => DivideUnsigned(args.head, args(1))

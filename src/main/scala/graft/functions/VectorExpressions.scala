@@ -126,7 +126,84 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** [[SortedIntersectCount]] with a reachability lower bound (r16): the
+  * prefix-filter verify loop runs on MILLIONS of candidate pairs of
+  * which only a fraction pass the threshold `inter >= m`, and for a
+  * failing pair most of the merge scan is spent proving a count that
+  * will be discarded. This form early-exits the moment the running
+  * count plus the shorter remaining side can no longer reach `m` and
+  * returns -1 — a sentinel strictly below any m >= 0, so the caller's
+  * threshold filter drops the row exactly as it would have with the
+  * exact (sub-m) count. For pairs that CAN reach m the scan completes
+  * and the result is the exact overlap (bit-identical to the 2-arg
+  * form) — surviving rows' emitted n_shared/jac never change, which is
+  * what keeps the oracle hash gates green. Null/sortedness contract
+  * identical to [[SortedIntersectCount]]; null m -> null.
+  */
+case class SortedIntersectAtLeast(first: Expression, second: Expression,
+    third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _), LongType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "sorted_intersect_atleast requires (array<bigint>, array<bigint>," +
+          s" bigint), got (${first.dataType.catalogString}," +
+          s" ${second.dataType.catalogString}," +
+          s" ${third.dataType.catalogString})")
+    }
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def eval(input: InternalRow): Any = {
+    val l = first.eval(input)
+    if (l == null) return null
+    val r = second.eval(input)
+    if (r == null) return null
+    val m = third.eval(input)
+    if (m == null) return null
+    SortedIntersectCount.computeAtLeast(
+      l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData],
+      m.asInstanceOf[Long])
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, m) => {
+      val c = ctx.freshName("sial")
+      s"""
+        java.lang.Long $c = graft.functions.SortedIntersectCount.computeAtLeast($a, $b, $m);
+        if ($c == null) { ${ev.isNull} = true; }
+        else { ${ev.value} = $c.longValue(); }
+      """
+    })
+  override protected def withNewChildrenInternal(f: Expression,
+      s: Expression, t: Expression): SortedIntersectAtLeast =
+    copy(first = f, second = s, third = t)
+}
+
 object SortedIntersectCount {
+  /** [[SortedIntersectAtLeast]]'s loop: exact overlap when it can reach
+    * `m`, -1 on early exit (count provably below m), null contract as
+    * [[compute]]. Static so generated code calls it directly. */
+  def computeAtLeast(a: ArrayData, b: ArrayData, m: Long): java.lang.Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    if (na > 0 && a.isNullAt(na - 1)) return null
+    if (nb > 0 && b.isNullAt(nb - 1)) return null
+    var i = 0
+    var j = 0
+    var n = 0L
+    while (i < na && j < nb) {
+      if (n + math.min(na - i, nb - j) < m) return java.lang.Long.valueOf(-1L)
+      if (a.isNullAt(i) || b.isNullAt(j)) return null
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { n += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    java.lang.Long.valueOf(n)
+  }
+
   /** Static so generated code calls it directly (see [[VecDot.compute]]). */
   def compute(a: ArrayData, b: ArrayData): java.lang.Long = {
     val na = a.numElements()

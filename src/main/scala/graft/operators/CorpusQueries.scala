@@ -4464,6 +4464,10 @@ object CorpusQueries extends QueryModule {
         .select(col("i"),
           greatest(expr("(praw * 1000000) DIV p0"),
             lit(1).cast("decimal(38,0)")).as("p"))
+        // examined r16, kept EAGER: a lazy checkpoint (eager=false)
+        // fused the ten rounds into one job but measured 2.65 -> 4.0 s
+        // (the two consumers race to materialize the block inside the
+        // job); the ten tiny construction jobs are cheaper.
         .localCheckpoint()
     }
     wins.join(p, Seq("i"))

@@ -112,6 +112,10 @@ object ExtendedQueries extends QueryModule {
     // exact-distinct leg, not the sketch, dominating at scale. A
     // production approx-only query keeps the single-shuffle shape.
     "q45_approx_distinct" -> ((s, dir) => {
+      // examined r16, left alone: the repartition-before-agg shape that
+      // helped q179/q104 made THIS query worse (2.3 -> 3.4 s, cpu/run
+      // 0.97 -> 0.26) — the HLL partials are object-hash aggregates and
+      // the extra exchange costs more than the single-task partial.
       Tables(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx"),
@@ -354,7 +358,12 @@ object ExtendedQueries extends QueryModule {
     // integer (s+1) DIV 2, and the final /100.0 is an exact IEEE
     // division — no round() of a near-half anywhere.
     "q104_approx_percentile" -> ((s, dir) => {
+      // project-then-repartition (r16): the exact-percentile partial
+      // (sort-based) and the KLL sketch ran inside the single-file scan
+      // task. Same shape as q45.
       Tables(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_extendedprice"))
+        .repartition(s.sparkContext.defaultParallelism)
         .groupBy(col("l_returnflag"))
         .agg(percentile(expr("CAST(round(l_extendedprice * 100) AS BIGINT)"),
             lit(0.5)).as("medc"),

@@ -96,7 +96,14 @@ object LlmQueries extends QueryModule {
 
   private def shingleSetsBuild(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s) // fnv64
-    withTokens(plantedNear(s, dir))
+    // repartition BEFORE the tokenize/shingle/hash/sort projection
+    // (r16, the tokenSets convention): the exchange used to sit at the
+    // END of the build — it fixed the materialized layout but left the
+    // whole heavy projection running inside the single-file scan task.
+    // Moving it first spreads the compute AND yields the same spread
+    // checkpoint layout (narrow projections preserve partitioning).
+    withTokens(plantedNear(s, dir)
+        .repartition(s.sparkContext.defaultParallelism))
       .select(col("doc_id"), expr(shinglesSql("tk")).as("sh"))
       .filter(size(col("sh")) > 0)
       // fnv64 (the engine's own codegen'd FNV-1a), NOT Spark's xxhash64:
@@ -110,10 +117,8 @@ object LlmQueries extends QueryModule {
       // Everything else reading hs is order-free (explode, array_min).
       .select(col("doc_id"), size(col("sh")).as("sz"),
         expr("array_sort(transform(sh, x -> fnv64(x)))").as("hs"))
-      // the harness tables are single-file scans (one input partition);
-      // without this the MATERIALIZED layout is one partition and every
-      // downstream explode/join starts single-threaded
-      .repartition(s.sparkContext.defaultParallelism)
+      // (the repartition now sits ABOVE the projection — see the build
+      // head; the materialized layout is spread either way)
       // localCheckpoint, not persist: the blocks die with the frame via
       // ContextCleaner instead of sitting in the CacheManager for the
       // session's lifetime (the r7 in-suite poisoning mechanism). The
@@ -318,6 +323,21 @@ object LlmQueries extends QueryModule {
     * straight on the per-task hash-build budget with this row width. */
   private[graft] val VecRowBytes = 600L
 
+  /** The [[CorpusQueries.batchHint]] ladder for VECTOR-payload build
+    * sides (r16): batchHint's 2M-ROW broadcast tier assumes narrow
+    * tombstone rows — 2M embedding rows are ~1.2 GB and must never
+    * broadcast — so this gate goes by BYTES: broadcast while the
+    * estimated build (rows × bytesPerRow) fits 64 MB (a dimension-
+    * table-sized relation on any sane executor), else fall to the
+    * per-task-budget shuffle-hash tier, else un-hinted sort-merge.
+    * Broadcasting the vector side leaves the PROBE side (candidate
+    * lists that grow faster than the corpus — e.g. q169's 2-hop
+    * frame) entirely un-shuffled, which is the point. */
+  private[graft] def vecBatchHint(df: DataFrame, rows: Long,
+      bytesPerRow: Long = VecRowBytes): DataFrame =
+    if (rows * bytesPerRow <= 64L * 1024 * 1024) broadcast(df)
+    else gatedShuffleHash(df, rows, bytesPerRow)
+
   /** Total exploded-shingle rows of a docsets frame = the self-join's
     * build-side cardinality. One tiny agg over the (checkpointed)
     * per-doc frame — never an exploded-index scan. */
@@ -439,7 +459,14 @@ object LlmQueries extends QueryModule {
   }
 
   private[graft] def prefixFilterPairs(sets: DataFrame, t10: Int): DataFrame = {
-    val pref = prefixIndex(sets, t10)
+    // localCheckpoint (r16): the self-join's two sides each rebuilt the
+    // whole index chain (explode -> df agg -> rank window) from the
+    // checkpointed sets — ReusedExchange does NOT fire across the
+    // aliased sides here (plans/r16/q161_*_before.txt shows the chain
+    // twice, ops 1-20 and 21-40). The index is narrow (4 columns,
+    // prefix-entry rows ≈ 0.2x token occurrences), so materializing it
+    // once costs less than the second build at any scale.
+    val pref = prefixIndex(sets, t10).localCheckpoint()
     // Positional filter (the "PP" in PPJoin), applied PER MATCH ROW
     // inside the join: a shared token at ranks (rn_a, rn_b) bounds the
     // pair's overlap by min(sz_a - rn_a, sz_b - rn_b) + 1 ONLY when it
@@ -471,8 +498,17 @@ object LlmQueries extends QueryModule {
     // overlap via the codegen'd merge scan (arrays sorted upstream);
     // array_intersect's per-row hash set was the dominant cost at
     // millions of candidates
+    // early-exit verify (r16): most candidates fail the threshold, and
+    // the full merge scan spends its time proving sub-threshold counts
+    // that the filter then discards. The 3-arg form exits with -1 as
+    // soon as the running count plus the shorter remaining side cannot
+    // reach alpha = ceil(t10*(sz_a+sz_b)/(10+t10)); n >= alpha is
+    // algebraically identical to the 10*n >= t10*(union) gate kept
+    // below, so passing rows complete the scan and emit the exact
+    // n_shared/jac — output unchanged, failing rows ~5-10x cheaper.
     cand.join(x, Seq("doc_a")).join(y, Seq("doc_b"))
-      .withColumn("n_shared", expr("sorted_intersect_count(hk_a, hk_b)"))
+      .withColumn("n_shared", expr("sorted_intersect_atleast(hk_a, hk_b, " +
+        s"($t10 * (sz_a + sz_b) + ${10 + t10} - 1) DIV ${10 + t10})"))
       .filter(col("n_shared") * 10 >=
         (col("sz_a") + col("sz_b") - col("n_shared")) * t10)
       .select(col("doc_a"), col("doc_b"), col("n_shared"),
@@ -521,7 +557,10 @@ object LlmQueries extends QueryModule {
           col("sz_b") - col("rn") + 1 >= expr(alpha))
       .join(corpusSets.select(col("doc_id").as("doc_b"), col("hk").as("hk_b")),
         Seq("doc_b"))
-      .withColumn("n_shared", expr("sorted_intersect_count(hk_a, hk_b)"))
+      // same early-exit verify as [[prefixFilterPairs]] (r16): exact
+      // for every row the threshold keeps, -1 below it
+      .withColumn("n_shared", expr("sorted_intersect_atleast(hk_a, hk_b, " +
+        s"($t10 * (sz_a + sz_b) + ${10 + t10} - 1) DIV ${10 + t10})"))
       .filter(col("n_shared") * 10 >=
         (col("sz_a") + col("sz_b") - col("n_shared")) * t10)
       .select(col("doc_a") +: col("doc_b") +: col("n_shared") +:
@@ -1074,7 +1113,11 @@ object LlmQueries extends QueryModule {
     // pair list) each re-ran tokenize+simhash over the corpus under the
     // bench's per-query cold cache
     StageMemo(s, dir, "simhash_docs") {
-      withTokens(plantedNear(s, dir))
+      // repartition before tokenize+simhash (r16, the tokenSets
+      // convention): the per-doc signature fold ran inside the
+      // single-file scan task.
+      withTokens(plantedNear(s, dir)
+          .repartition(s.sparkContext.defaultParallelism))
         .select(col("doc_id"),
           graft.functions.TextFunctions.simhash64(col("tk")).as("sh"))
         .localCheckpoint()
@@ -2380,8 +2423,12 @@ object LlmQueries extends QueryModule {
       // and the memoized corpus count (zero extra probe jobs)
       val nEdges = CorpusQueries.probeCount(edges)
       val nVecs = CorpusQueries.probeCount(e) // memo hit (stratifiedCells)
+      // batchHint ladder (r16): the adjacency is narrow and batch-shaped
+      // at harness scale — broadcast under the row cap leaves the 1-hop
+      // side un-shuffled; the shuffle-hash/sort-merge tiers take over as
+      // the edge list grows (same gate as before, one tier richer).
       val twoHop = und.as("x")
-        .join(gatedShuffleHash(und.as("y"), 2L * nEdges),
+        .join(CorpusQueries.batchHint(und.as("y"), 2L * nEdges),
           col("x.nbr_id") === col("y.src_id"))
         .select(col("x.src_id").as("src_id"), col("y.nbr_id").as("cand_id"))
       val cand = twoHop
@@ -2396,8 +2443,14 @@ object LlmQueries extends QueryModule {
         org.apache.spark.sql.Encoders.tuple(
           org.apache.spark.sql.Encoders.scalaDouble,
           org.apache.spark.sql.Encoders.scalaLong))
-      cand.join(gatedShuffleHash(va, nVecs, VecRowBytes), Seq("src_id"))
-        .join(gatedShuffleHash(vb, nVecs, VecRowBytes), Seq("cand_id"))
+      // vecBatchHint (r16): broadcasting the two vector fetches (bytes-
+      // gated — see the helper) leaves the 2-hop candidate list, which
+      // grows FASTER than the corpus, entirely un-shuffled before its
+      // partial-agged top-k; above the byte cap the old shuffle-hash
+      // tier re-engages unchanged (measured 94 MB of candidate shuffle
+      // at sf0.1 for a 6 MB vector side).
+      cand.join(vecBatchHint(va, nVecs), Seq("src_id"))
+        .join(vecBatchHint(vb, nVecs), Seq("cand_id"))
         .withColumn("score", round(expr(dotSql) / (col("anrm") * col("bnrm")), 4))
         .groupBy(col("src_id"))
         .agg(topk(col("score"), col("cand_id")).as("top"))

@@ -786,7 +786,12 @@ object StreamingQueries extends QueryModule {
           expr(graft.operators.IngestQueries.RawUrlSql).as("url"),
           expr("timestampadd(SECOND, CAST((doc_id * 7) % 11 AS INT), " +
             "timestamp'2024-01-01 00:00:00')").as("ts"))
-      urlFrontier(graft.operators.IngestQueries.canonicalized(raw)
+      // repartition before the canonicalizer (r16, the q281/q282 shape):
+      // the regexp chain ran in the single-file scan task, and the batch
+      // arm consumes the canonical frame twice (winner agg + scoring
+      // join) — spread it once; the exchange carries 3 narrow columns.
+      urlFrontier(graft.operators.IngestQueries.canonicalized(
+        raw.repartition(s.sparkContext.defaultParallelism))
         .select(col("canon_url"), col("doc_id"), col("ts")))
         .orderBy(col("doc_id"))
     })

@@ -678,6 +678,45 @@ class LlmSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.toSeq == Seq(null, null, null, java.lang.Long.valueOf(2L)))
   }
 
+  test("sorted_intersect_atleast: exact at/above m, below-m rows filter identically") {
+    // r16 early-exit verify: the 3-arg form must (a) equal the exact
+    // count whenever that count reaches m — those are the rows a
+    // threshold filter KEEPS, so their emitted value may never change —
+    // and (b) return something strictly below m otherwise (the exact
+    // sub-m count or the -1 early-exit sentinel), so (got >= m) is
+    // bit-identical to (exact >= m) for every m.
+    graft.functions.GraftFunctions.register(spark)
+    val r = new scala.util.Random(23)
+    val rows = (1 to 200).flatMap { _ =>
+      val a = Seq.fill(r.nextInt(30))(r.nextInt(40).toLong).distinct.sorted
+      val b = Seq.fill(r.nextInt(30))(r.nextInt(40).toLong).distinct.sorted
+      (0L to math.min(a.size, b.size).toLong + 1L).map(m => Row(a, b, m))
+    }
+    val df = spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      StructType(Seq(StructField("a", ArrayType(LongType, containsNull = false)),
+        StructField("b", ArrayType(LongType, containsNull = false)),
+        StructField("m", LongType))))
+      .selectExpr("m", "sorted_intersect_atleast(a, b, m) AS got",
+        "sorted_intersect_count(a, b) AS exact")
+    assert(df.filter(col("exact") >= col("m") &&
+      col("got") =!= col("exact")).count() == 0)
+    assert(df.filter(col("exact") < col("m") &&
+      col("got") >= col("m")).count() == 0)
+    // null contract matches the 2-arg form (entry check on sorted input)
+    val nulls = spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(Seq(
+        Row(Seq[java.lang.Long](1L, 2L, null), Seq[java.lang.Long](1L), 0L),
+        Row(null, Seq[java.lang.Long](1L), 0L),
+        Row(Seq[java.lang.Long](1L, 2L), Seq[java.lang.Long](1L, 2L), 2L))).asJava),
+      StructType(Seq(StructField("a", ArrayType(LongType, containsNull = true)),
+        StructField("b", ArrayType(LongType, containsNull = true)),
+        StructField("m", LongType))))
+    val got = nulls.selectExpr("sorted_intersect_atleast(a, b, m) AS c")
+      .collect().map(r => if (r.isNullAt(0)) null else java.lang.Long.valueOf(r.getLong(0)))
+    assert(got.toSeq == Seq(null, null, java.lang.Long.valueOf(2L)))
+  }
+
   test("prefix-filter join: exactly the brute-force pair set (completeness)") {
     val docs = prefixCorpus()
     val got = graft.operators.LlmQueries.prefixFilterPairs(prefixSets(docs), 6)

@@ -802,11 +802,17 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     val p = plan("q161_prefix_filter_join")
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
-    // the one Window is the per-doc rarity rank — partitioned by doc_id
-    // (group size bounded by doc length, never corpus-sized); the final
-    // orderBy is the only range exchange
-    assert(p.contains("row_number()"), p)
-    assert(p.toLowerCase.contains("windowspecdefinition(doc_id"), p.take(2000))
+    // r16: the prefix index is localCheckpointed (its chain was built
+    // twice across the self-join's sides — see prefixFilterPairs), so
+    // the rank window now sits in the BUILD plan; pin it there. Still
+    // the one Window, partitioned by doc_id (group size bounded by doc
+    // length, never corpus-sized).
+    val sets = graft.operators.LlmQueries.tokenSets(spark, dir)
+    val b = graft.operators.LlmQueries.prefixIndex(sets, 8)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(b.contains("row_number()"), b)
+    assert(b.toLowerCase.contains("windowspecdefinition(doc_id"), b.take(2000))
+    assert(!p.contains("Window"), p) // the gate plan reads the checkpoint
   }
 
   test("q165 subword counting: vocab top-N is TakeOrdered, encode is windowless map work") {
@@ -816,10 +822,12 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // BUILD plan directly.
     val p = graft.operators.CorpusQueries.subwordCountsBuild(spark, dir)
       .queryExecution.explainString(ExplainMode.fromString("formatted"))
-    // the three vocab selections are global top-N over partially
-    // aggregated gram counts — never a full sort of the gram stream
-    assert(p.contains("TakeOrderedAndProject"), p)
-    assert(!p.contains("Window"), p)
+    // r16: the vocab is ONE tagged gram pass — the per-k top-N runs as
+    // a row_number window over the AGGREGATED distinct-gram census
+    // (vocabulary-sized, never the raw gram stream), partitioned by the
+    // gram length k
+    assert(p.contains("row_number()"), p)
+    assert(p.toLowerCase.contains("windowspecdefinition(k"), p.take(3000))
     // constant-size vocab rows reach the encode as broadcasts; the
     // corpus itself is never broadcast or cartesian-joined against
     // anything its own size
@@ -850,14 +858,18 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("q169 NN-descent: expand + fetch joins hash-based, ranking is the bounded-heap agg") {
     // The blocked build runs at the edge list's localCheckpoint; the
-    // visible refinement plan must be: hash joins on uniform node keys
+    // visible refinement plan must be: HASH joins on uniform node keys
     // (2-hop expand + two vector fetches — sort-merge would sort
     // 64-double payloads), candidate ranking as the TopK partial agg
-    // (ObjectHashAggregate), no window, nothing cartesian.
+    // (ObjectHashAggregate), no window, nothing cartesian. r16: the
+    // vector fetches ride the bytes-gated vecBatchHint ladder, so at
+    // gate scale they are BROADCAST hash joins (the candidate list is
+    // never shuffled); above the byte cap the shuffle-hash tier
+    // re-engages — either way never sort-merge.
     val p = plan("q169_knn_descent")
     assert(!p.contains("Window"), p)
     assert(!p.contains("CartesianProduct"), p)
-    assert(p.contains("ShuffledHashJoin"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
     assert(p.contains("ObjectHashAggregate"), p)
   }
