@@ -42,6 +42,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // q262 6.5->2.6, q223 2.2->0.8, q124 3.7->1.6; full sweep in
   // OPTIMIZATION_r16.md). SPARK_DRIVER_MEM still overrides the size;
   // cluster deployments size executors via spark-submit, not this.
+  // NOTE: the 24g default assumes >=32 GiB of host RAM (ADVICE r16);
+  // on smaller dev machines set SPARK_DRIVER_MEM=8g. The collector is
+  // likewise overridable via SPARK_GC (e.g. SPARK_GC=G1GC) — the r17
+  // A/B re-measured ParallelGC vs G1 at 24g on the full suite before
+  // keeping the default below.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
-  "-XX:+UseParallelGC",
+  s"-XX:+Use${sys.env.getOrElse("SPARK_GC", "ParallelGC")}",
 )

@@ -113,6 +113,19 @@ object Bench {
     // r15: the fifth maintenance output (q272's compacted pair graph)
     "maintained_pairs")
 
+  /** 8-hex FNV-1a fingerprint of the sorted full name list — the wire
+    * `nh` field (see main()). Pure and order-normalizing so any reader
+    * with a name list can recompute it. */
+  def namesHash(names: Seq[String]): String = {
+    var h = 0xcbf29ce484222325L
+    names.sorted.foreach { n =>
+      var i = 0
+      while (i < n.length) { h ^= n.charAt(i).toLong; h *= 0x100000001b3L; i += 1 }
+      h ^= ','.toLong; h *= 0x100000001b3L
+    }
+    f"${h & 0xffffffffL}%08x"
+  }
+
   private val B62 =
     "0123456789abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
   def wireKey(name: String): String = {
@@ -489,7 +502,15 @@ object Bench {
     System.err.println(s"[bench] first-run total: ${r1(firstTotal)} s, " +
       s"dispersion: ${r1(maxOverMin)}, load1: ${r1(load1)}, " +
       s"steal_pct: ${r1(stealPct)}")
-    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${jarr(_._3)},"e":${failed.size},"ov":$overClamp,"sat":${saturated.size},"st":$stField,"cp":$cpuRatio,"ca":${r3(calib)},"sf":"$sfName"}"""
+    // nh (r17, r16 verdict item 9): a hash of the SORTED full query-name
+    // list, so a cross-round comparator can detect that two positional
+    // `queries` arrays index DIFFERENT name lists instead of silently
+    // zipping 274-vs-283 arrays into garbage (the r16 PERF comparison
+    // produced n_common=0 exactly this way — new names insert
+    // lexicographically between old ones, so positions shift). Decode:
+    // recompute [[namesHash]] over your known sorted name list; a
+    // mismatch means realign via bench_detail.json before comparing.
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${jarr(_._3)},"e":${failed.size},"ov":$overClamp,"sat":${saturated.size},"st":$stField,"cp":$cpuRatio,"ca":${r3(calib)},"nh":"${namesHash(SparkEntry.queries.keys.toSeq)}","sf":"$sfName"}"""
     // A failed query's "min" is time-to-throw, not a timing — the detail
     // file records -1 there (ok:false already flags it; the sentinel
     // keeps non-timings out of anything that aggregates the min column).

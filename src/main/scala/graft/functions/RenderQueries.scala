@@ -104,14 +104,14 @@ object RenderQueries extends QueryModule {
     // --- CSV encode (entry point 2, converter.rs:145-188): ryu float text
     // with trailing-zero strip, raw strings, trailing \r terminator.
     "q22_render_csv" -> ((s, dir) => {
-      // repartition before the render: the per-row CSV encode (ryu
-      // float render + escaping) ran inside the single-file scan task
-      // (measured 3.1 s wall, cpu/run 0.86). The narrow 3-column
-      // exchange spreads the render across every core; at 100 TB the
-      // scan has natural splits and the exchange stays one narrow pass.
-      val o = Tables(s, dir, "orders")
-        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
-        .repartition(s.sparkContext.defaultParallelism)
+      // spread before the render: the per-row CSV encode (ryu float
+      // render + escaping) ran inside the single-file scan task
+      // (measured 3.1 s wall, cpu/run 0.86). Scan-split-gated (r17):
+      // the narrow 3-column exchange only exists while the scan is a
+      // single split — at 100 TB the natural splits spread the render
+      // and no exchange is planned.
+      val o = graft.operators.CorpusQueries.spreadScan(Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice")))
       toKustoCsv(o).withColumn("o_orderkey",
           split(col("line"), ",").getItem(0).cast("long"))
         .select(col("o_orderkey"), col("line"))

@@ -193,8 +193,13 @@ object SortedIntersectCount {
     var j = 0
     var n = 0L
     while (i < na && j < nb) {
-      if (n + math.min(na - i, nb - j) < m) return java.lang.Long.valueOf(-1L)
+      // null backstop BEFORE the early exit (ADVICE r16): on
+      // contract-violating input (a null mid-array under a non-null
+      // tail, i.e. unsorted) the 2-arg form returns null at the first
+      // null element — exiting -1 first would diverge from that
+      // documented identical null contract
       if (a.isNullAt(i) || b.isNullAt(j)) return null
+      if (n + math.min(na - i, nb - j) < m) return java.lang.Long.valueOf(-1L)
       val x = a.getLong(i)
       val y = b.getLong(j)
       if (x == y) { n += 1; i += 1; j += 1 }

@@ -358,12 +358,16 @@ object ExtendedQueries extends QueryModule {
     // integer (s+1) DIV 2, and the final /100.0 is an exact IEEE
     // division — no round() of a near-half anywhere.
     "q104_approx_percentile" -> ((s, dir) => {
-      // project-then-repartition (r16): the exact-percentile partial
-      // (sort-based) and the KLL sketch ran inside the single-file scan
-      // task. Same shape as q45.
-      Tables(s, dir, "lineitem")
-        .select(col("l_returnflag"), col("l_extendedprice"))
-        .repartition(s.sparkContext.defaultParallelism)
+      // project-then-spread (r16, scan-split-gated r17): the exact-
+      // percentile partial (sort-based) and the KLL sketch ran inside
+      // the single-file scan task. NOTE (ADVICE r16): the exchange
+      // changes the partition merge order feeding percentile_approx,
+      // whose sketch value is partition-layout-dependent — `apx` must
+      // stay tolerance-gated (only the 2% `apx_ok` boolean is emitted,
+      // never the raw sketch), or the hash gate breaks under ANY
+      // repartitioning change here.
+      graft.operators.CorpusQueries.spreadScan(Tables(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_extendedprice")))
         .groupBy(col("l_returnflag"))
         .agg(percentile(expr("CAST(round(l_extendedprice * 100) AS BIGINT)"),
             lit(0.5)).as("medc"),

@@ -541,9 +541,8 @@ object IngestQueries extends QueryModule {
       // consumers below (bitmap build, present-probe side) re-ran it
       // (measured 4.0 s wall at cpu/run 0.87). One narrow doc_id
       // exchange spreads it; the checkpoint runs it once.
-      val canon = canonicalized(
-        docs.select(col("doc_id"), expr(RawUrlSql).as("url"))
-          .repartition(s.sparkContext.defaultParallelism))
+      val canon = canonicalized(graft.operators.CorpusQueries.spreadScan(
+        docs.select(col("doc_id"), expr(RawUrlSql).as("url"))))
         .select(col("doc_id"), col("canon_url"))
         .localCheckpoint()
       val bitmap = urlBloomBitmap(
@@ -568,9 +567,9 @@ object IngestQueries extends QueryModule {
     "q282_crawl_policy" -> ((s, dir) => {
       // same repartition-before-the-regexp-chain shape as q281 (one
       // consumer here, so no checkpoint needed)
-      val canon = canonicalized(Tables.documents(s, dir)
-        .select(col("doc_id"), expr(RawUrlSql).as("url"))
-        .repartition(s.sparkContext.defaultParallelism))
+      val canon = canonicalized(graft.operators.CorpusQueries.spreadScan(
+        Tables.documents(s, dir)
+          .select(col("doc_id"), expr(RawUrlSql).as("url"))))
         .select(col("doc_id"),
           regexp_extract(col("canon_url"), "://([^/:?#]*)", 1).as("host"),
           regexp_extract(col("canon_url"), "://[^/?#]*([^?#]*)", 1)

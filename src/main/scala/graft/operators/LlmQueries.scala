@@ -96,14 +96,14 @@ object LlmQueries extends QueryModule {
 
   private def shingleSetsBuild(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s) // fnv64
-    // repartition BEFORE the tokenize/shingle/hash/sort projection
+    // spread BEFORE the tokenize/shingle/hash/sort projection
     // (r16, the tokenSets convention): the exchange used to sit at the
     // END of the build — it fixed the materialized layout but left the
     // whole heavy projection running inside the single-file scan task.
     // Moving it first spreads the compute AND yields the same spread
     // checkpoint layout (narrow projections preserve partitioning).
-    withTokens(plantedNear(s, dir)
-        .repartition(s.sparkContext.defaultParallelism))
+    // Scan-split-gated (r17): no exchange once the source has splits.
+    withTokens(CorpusQueries.spreadScan(plantedNear(s, dir)))
       .select(col("doc_id"), expr(shinglesSql("tk")).as("sh"))
       .filter(size(col("sh")) > 0)
       // fnv64 (the engine's own codegen'd FNV-1a), NOT Spark's xxhash64:
@@ -483,14 +483,37 @@ object LlmQueries extends QueryModule {
     // shuffle (measured at sf0.1: 5.5M grouped pairs pruned to 2.4M,
     // candidates 25x output without the filter).
     val alpha = s"($t10 * (a.sz + b.sz) + ${10 + t10} - 1) DIV ${10 + t10}"
+    // Group-level suffix bound (r17, the PPJoin+ refinement): the match
+    // rows surviving the per-row filter above are a pair's FIRST k
+    // common prefix tokens (the bound shrinks monotonically along the
+    // co-monotone rank sequence, so survivors are a prefix of it), and
+    // max(rn) over them on BOTH sides lands on the same k-th token v_k.
+    // Every other shared token u — unmatched or filter-dropped — comes
+    // AFTER v_k in the shared global order (u before v_k and shared
+    // would put u inside both prefixes, i.e. a surviving match), hence
+    // rn_a(u) > rn_a(v_k) and rn_b(u) > rn_b(v_k), giving the bound
+    //   overlap <= k + min(sz_a - rn_a(v_k), sz_b - rn_b(v_k)).
+    // The bound is exact-complete: it upper-bounds the true overlap, so
+    // every pair the verify keeps (overlap >= alpha) passes — output
+    // identical, sub-threshold candidates die BEFORE the verify join
+    // ships any hk array. The groupBy replaces the old distinct() (same
+    // exchange, same keys); the three counters are map-side partials.
+    val alphaG = s"($t10 * (sz_a + sz_b) + ${10 + t10} - 1) DIV ${10 + t10}"
     val cand = pref.as("a").join(pref.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
           col("a.sz") * 10 >= col("b.sz") * t10 &&
           col("b.sz") * 10 >= col("a.sz") * t10 &&
           least(col("a.sz") - col("a.rn"), col("b.sz") - col("b.rn")) + 1 >=
             expr(alpha))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sz").as("sz_a"), col("b.sz").as("sz_b"),
+        col("a.rn").as("rn_a"), col("b.rn").as("rn_b"))
+      .groupBy(col("doc_a"), col("doc_b"), col("sz_a"), col("sz_b"))
+      .agg(count(lit(1)).as("k"),
+        max(col("rn_a")).as("ra"), max(col("rn_b")).as("rb"))
+      .filter(col("k") + least(col("sz_a") - col("ra"),
+        col("sz_b") - col("rb")) >= expr(alphaG))
+      .select(col("doc_a"), col("doc_b"))
     val x = sets.select(col("doc_id").as("doc_a"), col("sz").as("sz_a"),
       col("hk").as("hk_a"))
     val y = sets.select(col("doc_id").as("doc_b"), col("sz").as("sz_b"),
@@ -597,8 +620,7 @@ object LlmQueries extends QueryModule {
     // about. localCheckpoint per the repo convention: blocks are reaped
     // by ContextCleaner with the frame instead of outliving the query
     // in the CacheManager (the r7 leak class).
-    tokenSetsOf(s, plantedNear(s, dir)
-        .repartition(s.sparkContext.defaultParallelism))
+    tokenSetsOf(s, CorpusQueries.spreadScan(plantedNear(s, dir)))
       .localCheckpoint()
 
   /** The bigram-key projection of [[tokenSets]] over an ARBITRARY
@@ -993,11 +1015,15 @@ object LlmQueries extends QueryModule {
     val probesR = probes.withColumn("salt",
       explode(expr(s"sequence(0, ${fanout - 1})")))
     // the probe build side is 2·fanout rows per probe node WITH the
-    // vector payload — corpus-growing when probe == build, so the
-    // hash preference is gated on the per-task budget at the vector
-    // row width (over it the join sort-merges; see gatedShuffleHash)
+    // vector payload — corpus-growing when probe == build, so the hint
+    // rides the BYTES-gated vecBatchHint ladder (r17, verdict item 7):
+    // while the exploded probe side fits 64 MB it broadcasts, which
+    // leaves the corpus-side cell assignment entirely UN-shuffled (the
+    // (cell, salt) exchange of every vector payload disappears); past
+    // the byte cap the old per-task-budget shuffle-hash tier and the
+    // sort-merge fallback re-engage unchanged.
     val nProbe = CorpusQueries.probeCount(probe)
-    salted.join(gatedShuffleHash(probesR, nProbe * 2L * fanout, VecRowBytes),
+    salted.join(vecBatchHint(probesR, nProbe * 2L * fanout),
       Seq("cell", "salt"))
       .filter(col("src_id") =!= col("nbr_id"))
       .withColumn("score",
@@ -1113,11 +1139,10 @@ object LlmQueries extends QueryModule {
     // pair list) each re-ran tokenize+simhash over the corpus under the
     // bench's per-query cold cache
     StageMemo(s, dir, "simhash_docs") {
-      // repartition before tokenize+simhash (r16, the tokenSets
+      // spread before tokenize+simhash (r16, the tokenSets
       // convention): the per-doc signature fold ran inside the
-      // single-file scan task.
-      withTokens(plantedNear(s, dir)
-          .repartition(s.sparkContext.defaultParallelism))
+      // single-file scan task. Scan-split-gated (r17).
+      withTokens(CorpusQueries.spreadScan(plantedNear(s, dir)))
         .select(col("doc_id"),
           graft.functions.TextFunctions.simhash64(col("tk")).as("sh"))
         .localCheckpoint()
@@ -1818,8 +1843,8 @@ object LlmQueries extends QueryModule {
       // the ContextCleaner reclaims when the frame is unreferenced,
       // unlike persist() entries that would pile up in the CacheManager
       // across a 127-query session
-      val hashed = Tables.documents(s, dir).select(col("doc_id")).as[Long]
-        .repartition(s.sparkContext.defaultParallelism)
+      val hashed = CorpusQueries.spreadScan(
+          Tables.documents(s, dir).select(col("doc_id")).as[Long])
         .mapPartitions { it =>
           javax.imageio.ImageIO.setUseCache(false)
           it.map(id =>
@@ -1845,8 +1870,8 @@ object LlmQueries extends QueryModule {
     // nothing shuffles but the final order for the gate.
     "q148_image_resize" -> ((s, dir) => {
       import s.implicits._
-      Tables.documents(s, dir).select(col("doc_id")).as[Long]
-        .repartition(s.sparkContext.defaultParallelism)
+      CorpusQueries.spreadScan(
+          Tables.documents(s, dir).select(col("doc_id")).as[Long])
         .mapPartitions { it =>
           javax.imageio.ImageIO.setUseCache(false)
           it.map { id =>
@@ -1872,14 +1897,35 @@ object LlmQueries extends QueryModule {
     // final sort.
     "q198_shot_boundaries" -> ((s, dir) => {
       import s.implicits._
-      Tables.documents(s, dir).select(col("doc_id")).as[Long]
-        .repartition(s.sparkContext.defaultParallelism)
+      CorpusQueries.spreadScan(
+          Tables.documents(s, dir).select(col("doc_id")).as[Long])
         .mapPartitions { it =>
           javax.imageio.ImageIO.setUseCache(false)
+          // Per-task decode memo (r17, guide §1.2 per-task work): the
+          // clip generator produces frame f from seed (id%40) +
+          // 97*(f/shotLen), so a task re-encodes and re-decodes the
+          // SAME frame image thousands of times — the per-frame
+          // BufferedImage/PNG-buffer churn was 7.6 s of task GC at
+          // sf0.1. Hashing per DISTINCT frame seed is the exact
+          // dedup-identical-frames-before-decode step of a real video
+          // pipeline (and the same distinct-before-expensive-work move
+          // subwordCountsBuild makes for MaxMatch): the memo holds one
+          // 64-char string per distinct frame (bounded by the
+          // generator's seed space per task), and every emitted row is
+          // the same pure function of id as before.
+          val memo = new java.util.HashMap[Long, String]()
+          def hashOf(seed: Long): String = {
+            val hit = memo.get(seed)
+            if (hit != null) hit
+            else {
+              val h = MultimodalOps.aHash(MultimodalOps.mkGrayPng(seed))
+              memo.put(seed, h)
+              h
+            }
+          }
           it.map { id =>
             val shotLen = 3 + (id % 3).toInt
-            val hs = (0 until 12).map(f => MultimodalOps.aHash(
-              MultimodalOps.mkGrayPng((id % 40) + 97L * (f / shotLen))))
+            val hs = (0 until 12).map(f => hashOf((id % 40) + 97L * (f / shotLen)))
             val nShots = 1L + (1 until 12).count(f => hs(f) != hs(f - 1))
             (id, 12L, nShots, hs.head)
           }
@@ -1909,8 +1955,8 @@ object LlmQueries extends QueryModule {
     // session end like a persist() entry would.
     "q124_image_neardup" -> ((s, dir) => {
       import s.implicits._
-      val hashed = Tables.documents(s, dir).select(col("doc_id")).as[Long]
-        .repartition(s.sparkContext.defaultParallelism)
+      val hashed = CorpusQueries.spreadScan(
+          Tables.documents(s, dir).select(col("doc_id")).as[Long])
         .mapPartitions { it =>
           javax.imageio.ImageIO.setUseCache(false)
           it.map(id => (id, MultimodalOps.aHash(
@@ -1933,8 +1979,8 @@ object LlmQueries extends QueryModule {
     // the one shuffle carries fingerprint keys, state is (min, count).
     "q125_audio_fp_dedup" -> ((s, dir) => {
       import s.implicits._
-      val fp = Tables.documents(s, dir).select(col("doc_id")).as[Long]
-        .repartition(s.sparkContext.defaultParallelism)
+      val fp = CorpusQueries.spreadScan(
+          Tables.documents(s, dir).select(col("doc_id")).as[Long])
         .mapPartitions(_.map(id => (id, MultimodalOps.audioFingerprint(
           MultimodalOps.mkWav16(id % 30, (id % 4).toInt * 7, 4096)))))
         .toDF("doc_id", "fp").localCheckpoint()

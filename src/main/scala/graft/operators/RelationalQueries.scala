@@ -292,11 +292,10 @@ object RelationalQueries extends QueryModule {
       // hash agg all ran in ONE task (measured 5.9 s wall at cpu/run
       // 0.97 — pure single-thread compute). The narrow 4-column
       // exchange costs ~3 MB; the Expand and both aggregate passes then
-      // spread across every core. At 100 TB the scan has natural splits
-      // and the round-robin exchange stays one narrow pass over the
-      // projected columns.
-      val l = Tables(s, dir, "lineitem").select(cols.map(col): _*)
-        .repartition(s.sparkContext.defaultParallelism)
+      // spread across every core. Scan-split-gated (r17): at 100 TB the
+      // natural splits spread the Expand and no exchange is planned.
+      val l = graft.operators.CorpusQueries.spreadScan(
+        Tables(s, dir, "lineitem").select(cols.map(col): _*))
       val measures = count(lit(1)).as("n") +: cols.flatMap(c => Seq(
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
         countDistinct(col(c)).as(s"nd_$c"),

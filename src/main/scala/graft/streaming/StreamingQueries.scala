@@ -786,12 +786,12 @@ object StreamingQueries extends QueryModule {
           expr(graft.operators.IngestQueries.RawUrlSql).as("url"),
           expr("timestampadd(SECOND, CAST((doc_id * 7) % 11 AS INT), " +
             "timestamp'2024-01-01 00:00:00')").as("ts"))
-      // repartition before the canonicalizer (r16, the q281/q282 shape):
+      // spread before the canonicalizer (r16, the q281/q282 shape):
       // the regexp chain ran in the single-file scan task, and the batch
       // arm consumes the canonical frame twice (winner agg + scoring
-      // join) — spread it once; the exchange carries 3 narrow columns.
+      // join) — spread it once; scan-split-gated (r17).
       urlFrontier(graft.operators.IngestQueries.canonicalized(
-        raw.repartition(s.sparkContext.defaultParallelism))
+        graft.operators.CorpusQueries.spreadScan(raw))
         .select(col("canon_url"), col("doc_id"), col("ts")))
         .orderBy(col("doc_id"))
     })
@@ -1164,7 +1164,7 @@ object StreamingQueries extends QueryModule {
   def prefixProbeDedup(s: SparkSession, newDocs: DataFrame,
       corpus: DataFrame): DataFrame = {
     val corpusSets = graft.operators.LlmQueries
-      .tokenSetsOf(s, corpus.repartition(s.sparkContext.defaultParallelism))
+      .tokenSetsOf(s, graft.operators.CorpusQueries.spreadScan(corpus))
       .localCheckpoint()
     val probeSets = graft.operators.LlmQueries.tokenSetsOf(s, newDocs)
     val pairs = graft.operators.LlmQueries

@@ -41,7 +41,11 @@ class BenchFormatSpec extends AnyFunSuite {
     // one run at 4-digit width (999.9 s each, far past anything real).
     val stField = Bench.KnownStages
       .map(n => "\"" + n + "\":9999").mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":99999.999,"unit":"sec","queries":$entries,"e":999,"ov":$overClamp,"sat":999,"st":$stField,"cp":$cpuRatio,"ca":99.999,"sf":"sf0.1"}"""
+    // nh (r17): 8-hex names-list fingerprint — fixed width by construction
+    val nh = Bench.namesHash(names)
+    assert(nh.length == 8 && nh.forall(c => c.isDigit || ('a' to 'f').contains(c)),
+      s"names hash must be 8 lowercase hex chars, got '$nh'")
+    val line = s"""{"metric":"total","value":99999.999,"unit":"sec","queries":$entries,"e":999,"ov":$overClamp,"sat":999,"st":$stField,"cp":$cpuRatio,"ca":99.999,"nh":"$nh","sf":"sf0.1"}"""
     // 2000-char tail minus what actually FOLLOWS the line in the
     // capture: the tail truncates from the FRONT, so only post-line
     // content eats budget — measured, that is sbt's single

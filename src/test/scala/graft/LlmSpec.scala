@@ -731,6 +731,25 @@ class LlmSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == want)        // prefix filter missed none, invented none
   }
 
+  test("prefix-filter join: brute-force equality at the gate threshold t=0.8 (group bound drops no survivor)") {
+    // r17's group-level positional bound (k + min(sz - rn_k) >= alpha)
+    // prunes candidates BEFORE the verify join; this pins that at the
+    // gate's own threshold the output is still exactly the brute-force
+    // pair set — the bound upper-bounds the true overlap, so it may
+    // only drop pairs the verify would have discarded.
+    val docs = prefixCorpus()
+    val got = graft.operators.LlmQueries.prefixFilterPairs(prefixSets(docs), 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val hsets = docs.map { case (id, tk) => (id, tk.map(Fnv64.hash(_)).toSet) }
+    val want = (for {
+      (a, sa) <- hsets; (b, sb) <- hsets if a < b
+      inter = (sa & sb).size
+      if inter * 10 >= (sa.size + sb.size - inter) * 8
+    } yield (a, b, inter.toLong)).toSet
+    assert(want.nonEmpty)
+    assert(got == want)
+  }
+
   test("prefix-filter join: an identical-doc clique emits exactly its C(n,2) pairs") {
     // the adversarial dupe-group shape: every pair of the 20 identical
     // docs is a TRUE duplicate, so candidates == output == C(20,2) is

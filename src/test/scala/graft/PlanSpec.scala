@@ -535,27 +535,29 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("hashpartitioning(user_id"), p)
   }
 
-  test("q146 kNN graph: corpus-sized probe side shuffles by cell, ranking partial-agged, no window") {
+  test("q146 kNN graph: probe side bytes-gated broadcast, corpus side unshuffled, ranking partial-agged, no window") {
     // The all-nodes graph build must keep q46's discipline with a probe
-    // table that is now corpus-sized: centroids broadcast (the only
-    // nested-loop join), candidates meet probes in a cell-keyed SHUFFLE
-    // join (broadcasting a corpus-sized probe table would OOM at scale —
-    // pin that no plain cross join materializes instead), and both the
-    // cell argmax and the per-node top-5 are partial aggregates — a
-    // window here would sort each cell's full pair stream in one task.
+    // table that is now corpus-sized: centroids broadcast via the only
+    // nested-loop join; the candidate-probe join rides the vecBatchHint
+    // BYTES ladder (r17) — at gate scale the exploded probe side fits
+    // the 64 MB estimate and BROADCASTS, which leaves the corpus-side
+    // cell assignment entirely un-shuffled (no (cell, salt) exchange of
+    // vector payloads); past the byte cap the code's shuffle-hash tier
+    // and sort-merge fallback re-engage, so a corpus-sized probe can
+    // never broadcast-OOM. Both the cell argmax and the per-node top-5
+    // stay partial aggregates — a window here would sort each cell's
+    // full pair stream in one task.
     val p = plan("q146_knn_graph")
     assert(p.contains("BroadcastNestedLoopJoin"), p) // centroid scoring only
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("Window"), p)
     assert(p.contains("ObjectHashAggregate"), p) // TopK bounded heaps
     assert(p.contains("hashpartitioning(vec_id"), p) // argmax + probe aggs
-    assert(p.contains("hashpartitioning(cell"), p) // the candidate-probe join
+    assert(p.contains("BroadcastHashJoin"), p) // candidate-probe join (gated)
+    assert(!p.contains("hashpartitioning(cell"), p) // corpus side unshuffled
     assert(p.contains("hashpartitioning(src_id"), p) // per-node top-5
-    // the pair join must HASH, not sort-merge: SMJ sorts millions of
-    // 2x64-double pair-precursor rows per side (measured 6.3 -> 3.9 s
-    // at sf0.1 switching to shuffle_hash on the by-construction-uniform
-    // salted keys)
-    assert(p.contains("ShuffledHashJoin"), p)
+    // never sort-merge on vector payloads: SMJ sorts millions of
+    // 2x64-double pair-precursor rows per side
     assert(!p.contains("SortMergeJoin"), p)
   }
 
@@ -574,21 +576,22 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("hashpartitioning(cell"), p) // verify joins meet on cell
   }
 
-  test("q246 incremental knn: frozen-cell probe keeps q146's discipline — broadcast centroids, cell-keyed hash join, partial-agged ranking") {
+  test("q246 incremental knn: frozen-cell probe keeps q146's discipline — broadcast centroids, bytes-gated probe broadcast, partial-agged ranking") {
     // Same invariants as q146 with the probe side now batch-sized: the
     // only nested-loop join is centroid scoring against the broadcast
-    // cell table, candidates meet probes in the salted cell-keyed
-    // shuffle join, and both the index-side argmax and the per-probe
-    // top-5 are partial aggregates — a window would sort each touched
-    // cell's pair stream in one task.
+    // cell table; the batch-sized probe side sits well under the
+    // vecBatchHint byte gate, so it broadcasts and the frozen index
+    // side is never shuffled; both the index-side argmax and the
+    // per-probe top-5 are partial aggregates — a window would sort
+    // each touched cell's pair stream in one task.
     val p = plan("q246_incremental_knn")
     assert(p.contains("BroadcastNestedLoopJoin"), p) // centroid scoring only
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("Window"), p)
     assert(p.contains("ObjectHashAggregate"), p) // TopK bounded heaps
-    assert(p.contains("hashpartitioning(cell"), p) // candidate-probe join
+    assert(p.contains("BroadcastHashJoin"), p) // candidate-probe join (gated)
+    assert(!p.contains("hashpartitioning(cell"), p) // index side unshuffled
     assert(p.contains("hashpartitioning(src_id"), p) // per-probe top-5
-    assert(p.contains("ShuffledHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
 
@@ -762,14 +765,16 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("Exchange rangepartitioning"), p)
   }
 
-  test("q155 sqrt-cells kNN graph: cells broadcast, probe side shuffle-joined, no window") {
+  test("q155 sqrt-cells kNN graph: cells broadcast, probe side bytes-gated broadcast, no window") {
     val p = plan("q155_knn_graph_sqrtcells")
     assert(!p.contains("Window"), p)
     assert(!p.contains("CartesianProduct"), p)
-    // the corpus-sized probe/candidate join is a shuffle hash join on
-    // (cell, salt) — never sort-merge (would sort 64-double payload
-    // rows), never broadcast (both sides corpus-sized)
-    assert(p.contains("ShuffledHashJoin"), p)
+    // the probe/candidate join rides the vecBatchHint BYTES ladder
+    // (r17): at gate scale the probe side fits 64 MB and broadcasts —
+    // the corpus-side assignment is never shuffled by (cell, salt) —
+    // while past the gate the shuffle-hash tier re-engages; never
+    // sort-merge (would sort 64-double payload rows)
+    assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
     // the scored assignment/probe reductions are ObjectHashAggregate
     // partial aggs (TopK heap + max(struct)), not windows
@@ -815,7 +820,7 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("Window"), p) // the gate plan reads the checkpoint
   }
 
-  test("q165 subword counting: vocab top-N is TakeOrdered, encode is windowless map work") {
+  test("q165 subword counting: one-pass tagged-gram census, per-k top-N window over the vocab frame only") {
     // The stage is memoized (round 11: subword_counts is a shared
     // artifact of q165/q167/q173), so the GATE plan only shows the
     // post-memo consumer; the vocab/encode invariants are pinned on the
