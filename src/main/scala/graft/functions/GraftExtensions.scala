@@ -89,6 +89,11 @@ object GraftFunctions {
         " the MinHash family is mix64(key ^ seed_j))") {
       args => Mix64(args.head)
     },
+    fn("bigram_keys",
+      "array<string> tokens -> sorted distinct fnv64 keys of adjacent" +
+        " bigrams \"x y\" — fused, no bigram string materialized") {
+      args => BigramKeys(args.head)
+    },
     // Spark ships BloomFilterAggregate/BloomFilterMightContain for its own
     // runtime-filter injection but does not expose them in the public
     // FunctionRegistry. Registering them makes the semi-join-reduction

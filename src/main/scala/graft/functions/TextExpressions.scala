@@ -117,6 +117,83 @@ case class Fnv64Expr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Fused bigram-key projection (r17): array<string> tokens ->
+  * SORTED DISTINCT array<bigint> of FNV-1a keys of the adjacent-token
+  * bigrams "x y" — bit-identical to
+  * `array_sort(array_distinct(transform(zip_with(slice(tk,1,n-1),
+  * slice(tk,2,n-1), (x,y) -> concat(x,' ',y)), h -> fnv64(h))))` (the
+  * tokenSetsOf chain), computed WITHOUT materializing any bigram
+  * string: the FNV fold runs over x's bytes, one 0x20 space byte, then
+  * y's bytes, which is exactly the byte stream of concat(x,' ',y). The
+  * old chain allocated ~n UTF8String concats plus three intermediate
+  * arrays per row — measured 1.9 s of the q161 tokenSets build at
+  * sf0.1 in one scan pass. Null contract mirrors the chain: a null
+  * token makes its bigram's key null (concat -> null, fnv64 -> null);
+  * distinct keeps one null and array_sort places it last. A null or
+  * sub-2-token array yields the same empty/dropped result the CASE
+  * yielded (callers filter size > 0 either way).
+  */
+case class BigramKeys(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"bigram_keys requires array<string>, got ${t.catalogString}")
+    }
+  override protected def nullSafeEval(input: Any): Any =
+    BigramKeys.compute(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.BigramKeys.compute($c)")
+  override protected def withNewChildInternal(newChild: Expression): BigramKeys =
+    copy(child = newChild)
+}
+
+object BigramKeys {
+  /** Static so generated code calls it directly. */
+  def compute(arr: org.apache.spark.sql.catalyst.util.ArrayData)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = arr.numElements()
+    if (n < 2)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Any])
+    val keys = new Array[Long](n - 1)
+    var m = 0
+    var hasNull = false
+    var i = 0
+    while (i < n - 1) {
+      if (arr.isNullAt(i) || arr.isNullAt(i + 1)) hasNull = true
+      else {
+        val a = arr.getUTF8String(i).getBytes
+        val b = arr.getUTF8String(i + 1).getBytes
+        var h = Fnv64.Offset
+        var j = 0
+        while (j < a.length) { h = (h ^ (a(j) & 0xffL)) * Fnv64.Prime; j += 1 }
+        h = (h ^ 0x20L) * Fnv64.Prime // the ' ' separator byte
+        j = 0
+        while (j < b.length) { h = (h ^ (b(j) & 0xffL)) * Fnv64.Prime; j += 1 }
+        keys(m) = h
+        m += 1
+      }
+      i += 1
+    }
+    java.util.Arrays.sort(keys, 0, m)
+    var w = 0
+    var r = 0
+    while (r < m) { // in-place dedup of the sorted run
+      if (w == 0 || keys(r) != keys(w - 1)) { keys(w) = keys(r); w += 1 }
+      r += 1
+    }
+    val out = new Array[Any](w + (if (hasNull) 1 else 0))
+    var k = 0
+    while (k < w) { out(k) = keys(k); k += 1 }
+    // a trailing slot (if any bigram had a null member) stays null —
+    // exactly where array_sort places the single distinct null
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 /** Murmur3's 64-bit finalizer (fmix64, public domain — Appleby's
   * MurmurHash3 / splitmix64 mixer): full-avalanche bijection on 64 bits.
   * Composes the MinHash family `mix64(h ^ seed_j)` — FNV alone mixes too

@@ -1410,12 +1410,52 @@ object CorpusQueries extends QueryModule {
         observed.select(lit(name).as("chk"),
           col("observed").cast("long").as("observed"),
           (col("observed") === 0L).as("ok"))
-      val docs = Tables.documents(s, dir).select(col("doc_id"))
-        .localCheckpoint() // c1 + c11 containment scans + the gate probe
-      val entries = bm25Postings(s, dir)
-        .select(col("w"), explode(col("posting")).as("e"))
-        .select(col("w"), col("e.d").as("doc_id"), col("e.t").as("tf"))
-        .localCheckpoint() // 3 consumers: orphan scan, dl refold, ts refold
+      // §2.6 OVERLAP (r17, the q262 shape): the audit's eager
+      // constructions (checkpoints, count probes, first-run memo
+      // builds) are mutually independent small jobs that ran serially
+      // at cpu/run 0.12 — a 4-thread pool submits them concurrently so
+      // each job's tail is back-filled. Frames and checks unchanged.
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      val (docs, entries, cl, nCl, semPair, vecs, plantedDocs, nPd) =
+        try {
+          val fDocs = Future {
+            val d = Tables.documents(s, dir).select(col("doc_id"))
+              .localCheckpoint() // c1 + c11 containment scans + gate probe
+            probeCount(d)
+            d
+          }
+          val fEntries = Future {
+            bm25Postings(s, dir)
+              .select(col("w"), explode(col("posting")).as("e"))
+              .select(col("w"), col("e.d").as("doc_id"), col("e.t").as("tf"))
+              .localCheckpoint() // 3 consumers: orphan, dl refold, ts refold
+          }
+          val fCl = Future {
+            val c = pairClusters(s, dir)
+            (c, probeCount(c))
+          }
+          val fSem = Future { LlmQueries.semIndex(s, dir) }
+          val fVecs = Future {
+            val v = LlmQueries.vecTable(s, dir).select(col("vec_id"))
+              .localCheckpoint() // c6 census + c14 containment + gate probe
+            probeCount(v)
+            v
+          }
+          val fPd = Future {
+            val p = LlmQueries.plantedNear(s, dir)
+              .select(col("doc_id")).localCheckpoint() // 3 containment scans
+            (p, probeCount(p))
+          }
+          val (c0, n0) = Await.result(fCl, Duration.Inf)
+          val (p0, np0) = Await.result(fPd, Duration.Inf)
+          (Await.result(fDocs, Duration.Inf),
+            Await.result(fEntries, Duration.Inf), c0, n0,
+            Await.result(fSem, Duration.Inf),
+            Await.result(fVecs, Duration.Inf), p0, np0)
+        } finally pool.shutdown()
       // every artifact-keyed join below prefers hash over sort-merge
       // (uniform doc_id/w/cluster/cell keys; sorting both sides of ten
       // joins for one-pass existence checks would be waste) — but the
@@ -1444,8 +1484,6 @@ object CorpusQueries extends QueryModule {
           .filter(!(col("df") <=> col("df2")) || !(col("cf") <=> col("cf2")))
           .agg(count(lit(1)).as("observed")))
       val pairs = LlmQueries.ngramJaccardPairs(s, dir)
-      val cl = pairClusters(s, dir)
-      val nCl = probeCount(cl)
       val c4 = chk("cluster_covers_pair_graph",
         pairs.select(col("doc_a").as("doc_id"))
           .unionByName(pairs.select(col("doc_b").as("doc_id"))).distinct()
@@ -1457,9 +1495,7 @@ object CorpusQueries extends QueryModule {
             .select(col("cluster")), nCl),
             Seq("cluster"), "left_anti")
           .agg(count(lit(1)).as("observed")))
-      val (cells, members) = LlmQueries.semIndex(s, dir)
-      val vecs = LlmQueries.vecTable(s, dir).select(col("vec_id"))
-        .localCheckpoint() // c6 census + c14 containment + gate probe
+      val (cells, members) = semPair
       val c6 = chk("sem_one_residency_per_vector",
         members.agg(count(lit(1)).as("nm"))
           .crossJoin(vecs.agg(count(lit(1)).as("ne")))
@@ -1494,9 +1530,6 @@ object CorpusQueries extends QueryModule {
       // universe for the planted-corpus artifacts is derived
       // independently of the artifacts themselves
       // ([[LlmQueries.plantedNear]], the corpus constructor).
-      val plantedDocs = LlmQueries.plantedNear(s, dir)
-        .select(col("doc_id")).localCheckpoint() // 3 containment scans
-      val nPd = probeCount(plantedDocs)
       val c11 = chk("bm25_doclen_docs_in_corpus",
         bm25DocLens(s, dir)
           .join(batchHint(docs), Seq("doc_id"), "left_anti")
@@ -1825,34 +1858,59 @@ object CorpusQueries extends QueryModule {
             col("est_compact_entries"),
             col("total_entries").as("est_rebuild_entries"))
       }
-      val delD = Tables.documents(s, dir)
-        .filter(col("doc_id") % 10 === 9).select(col("doc_id"))
-        .localCheckpoint()
-      // erased-flag marks ride the ladder too (delD is batch-shaped
-      // but delP is the cohort-scale planted erasure set — the exact
-      // ungated-broadcast class the r15 ×100 probe flagged); the
-      // withColumn frames inherit their checkpointed parent's count
-      val postE = bm25Postings(s, dir)
-        .select(col("blk"), explode(col("posting")).as("e"))
-        .select(col("blk"), col("e.d").as("doc_id"))
-        .join(batchHint(delD.withColumn("erased", lit(true)),
-          probeCount(delD)), Seq("doc_id"), "left")
-      val delP = plantedErasureSet(s, dir)
-      val nDelP = probeCount(delP)
-      val shE = shingleIndex(s, dir)
-        .select(col("h"), explode(col("docs")).as("doc_id"))
-        .join(batchHint(delP.withColumn("erased", lit(true)), nDelP),
-          Seq("doc_id"), "left")
-      val memE = LlmQueries.semIndex(s, dir)._2
-        .select(col("vec_id"), col("cell"),
-          (col("vec_id") % 5 === 2).as("erased"))
-      val clE = pairClusters(s, dir)
-        .join(batchHint(delP.withColumn("erased", lit(true)), nDelP),
-          Seq("doc_id"), "left")
-      family("bm25_postings", postE, "blk", col("erased"))
-        .unionByName(family("shingle_index", shE, "h", col("erased")))
-        .unionByName(family("sem_members", memE, "cell", col("erased")))
-        .unionByName(family("cluster_map", clE, "cluster", col("erased")))
+      // §2.6 OVERLAP (r17, the q262 shape): each family() call above
+      // eagerly checkpoints + count-probes its touched-unit set, and
+      // the four families plus the two tombstone checkpoints ran as
+      // ~10 serial small jobs (cpu/run 0.40 at 2.3 s wall). The
+      // tombstones build concurrently, then the four family
+      // constructions; frames and numbers unchanged.
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      val famRows =
+        try {
+          val fDelD = Future {
+            val d = Tables.documents(s, dir)
+              .filter(col("doc_id") % 10 === 9).select(col("doc_id"))
+              .localCheckpoint()
+            (d, probeCount(d))
+          }
+          val fDelP = Future {
+            val d = plantedErasureSet(s, dir)
+            (d, probeCount(d))
+          }
+          // erased-flag marks ride the ladder too (delD is batch-shaped
+          // but delP is the cohort-scale planted erasure set — the exact
+          // ungated-broadcast class the r15 ×100 probe flagged); the
+          // withColumn frames inherit their checkpointed parent's count
+          val fPost = fDelD.map { case (delD, nDelD) =>
+            family("bm25_postings", bm25Postings(s, dir)
+              .select(col("blk"), explode(col("posting")).as("e"))
+              .select(col("blk"), col("e.d").as("doc_id"))
+              .join(batchHint(delD.withColumn("erased", lit(true)), nDelD),
+                Seq("doc_id"), "left"), "blk", col("erased"))
+          }
+          val fSh = fDelP.map { case (delP, nDelP) =>
+            family("shingle_index", shingleIndex(s, dir)
+              .select(col("h"), explode(col("docs")).as("doc_id"))
+              .join(batchHint(delP.withColumn("erased", lit(true)), nDelP),
+                Seq("doc_id"), "left"), "h", col("erased"))
+          }
+          val fMem = Future {
+            family("sem_members", LlmQueries.semIndex(s, dir)._2
+              .select(col("vec_id"), col("cell"),
+                (col("vec_id") % 5 === 2).as("erased")), "cell",
+              col("erased"))
+          }
+          val fCl = fDelP.map { case (delP, nDelP) =>
+            family("cluster_map", pairClusters(s, dir)
+              .join(batchHint(delP.withColumn("erased", lit(true)), nDelP),
+                Seq("doc_id"), "left"), "cluster", col("erased"))
+          }
+          Seq(fPost, fSh, fMem, fCl).map(Await.result(_, Duration.Inf))
+        } finally pool.shutdown()
+      famRows.reduce(_.unionByName(_))
         .withColumn("decision",
           when(col("masked_ppm") >= RebuildMaskedPpm ||
             col("touched_ppm") >= RebuildTouchedPpm, "rebuild")

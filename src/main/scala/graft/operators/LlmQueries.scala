@@ -483,37 +483,24 @@ object LlmQueries extends QueryModule {
     // shuffle (measured at sf0.1: 5.5M grouped pairs pruned to 2.4M,
     // candidates 25x output without the filter).
     val alpha = s"($t10 * (a.sz + b.sz) + ${10 + t10} - 1) DIV ${10 + t10}"
-    // Group-level suffix bound (r17, the PPJoin+ refinement): the match
-    // rows surviving the per-row filter above are a pair's FIRST k
-    // common prefix tokens (the bound shrinks monotonically along the
-    // co-monotone rank sequence, so survivors are a prefix of it), and
-    // max(rn) over them on BOTH sides lands on the same k-th token v_k.
-    // Every other shared token u — unmatched or filter-dropped — comes
-    // AFTER v_k in the shared global order (u before v_k and shared
-    // would put u inside both prefixes, i.e. a surviving match), hence
-    // rn_a(u) > rn_a(v_k) and rn_b(u) > rn_b(v_k), giving the bound
-    //   overlap <= k + min(sz_a - rn_a(v_k), sz_b - rn_b(v_k)).
-    // The bound is exact-complete: it upper-bounds the true overlap, so
-    // every pair the verify keeps (overlap >= alpha) passes — output
-    // identical, sub-threshold candidates die BEFORE the verify join
-    // ships any hk array. The groupBy replaces the old distinct() (same
-    // exchange, same keys); the three counters are map-side partials.
-    val alphaG = s"($t10 * (sz_a + sz_b) + ${10 + t10} - 1) DIV ${10 + t10}"
+    // Negative result, documented (r17): a PPJoin+-style GROUP-level
+    // suffix bound (k surviving matches + min(sz - rn) at the LAST
+    // match >= alpha) was implemented and measured — it kept all
+    // 2,433,564 of 2,433,564 sf0.1 candidates, a zero cut, because it
+    // is IMPLIED by the per-row positional filter already in the join
+    // condition: ranks rise by >= 1 per match on both co-monotone
+    // sides, so the k-th surviving row's own bound (1 + min(sz - rn_k)
+    // >= alpha) forces the group bound (k + min(sz - rn_k)) to pass.
+    // Reverted; the candidate cut has to come from real suffix probes,
+    // which at this plan shape (verify = broadcast lookups + early-exit
+    // merge scan) would just duplicate the verify.
     val cand = pref.as("a").join(pref.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
           col("a.sz") * 10 >= col("b.sz") * t10 &&
           col("b.sz") * 10 >= col("a.sz") * t10 &&
           least(col("a.sz") - col("a.rn"), col("b.sz") - col("b.rn")) + 1 >=
             expr(alpha))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.sz").as("sz_a"), col("b.sz").as("sz_b"),
-        col("a.rn").as("rn_a"), col("b.rn").as("rn_b"))
-      .groupBy(col("doc_a"), col("doc_b"), col("sz_a"), col("sz_b"))
-      .agg(count(lit(1)).as("k"),
-        max(col("rn_a")).as("ra"), max(col("rn_b")).as("rb"))
-      .filter(col("k") + least(col("sz_a") - col("ra"),
-        col("sz_b") - col("rb")) >= expr(alphaG))
-      .select(col("doc_a"), col("doc_b"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
     val x = sets.select(col("doc_id").as("doc_a"), col("sz").as("sz_a"),
       col("hk").as("hk_a"))
     val y = sets.select(col("doc_id").as("doc_b"), col("sz").as("sz_b"),
@@ -529,6 +516,15 @@ object LlmQueries extends QueryModule {
     // algebraically identical to the 10*n >= t10*(union) gate kept
     // below, so passing rows complete the scan and emit the exact
     // n_shared/jac — output unchanged, failing rows ~5-10x cheaper.
+    // Dedup AFTER the verify, not before (r17, the prefixProbePairs
+    // shape): the old pre-verify distinct() exchanged all 2.43 M
+    // candidate pairs (the query's largest shuffle) just so the verify
+    // would run once per pair; verifying every match row instead is
+    // map-side work over the attached arrays (+17% scans at sf0.1 —
+    // match rows are 2.85 M — each early-exited), and the exchange
+    // that remains carries only the SURVIVORS (~10 k rows, output-
+    // sized). n_shared/jac are functions of the pair, so the 4-column
+    // distinct collapses duplicates to the identical row set.
     cand.join(x, Seq("doc_a")).join(y, Seq("doc_b"))
       .withColumn("n_shared", expr("sorted_intersect_atleast(hk_a, hk_b, " +
         s"($t10 * (sz_a + sz_b) + ${10 + t10} - 1) DIV ${10 + t10})"))
@@ -537,6 +533,7 @@ object LlmQueries extends QueryModule {
       .select(col("doc_a"), col("doc_b"), col("n_shared"),
         (col("n_shared") / (col("sz_a") + col("sz_b") - col("n_shared")))
           .as("jac"))
+      .distinct()
   }
 
   /** One-sided prefix-filtered PROBE join: find every corpus document
@@ -629,18 +626,20 @@ object LlmQueries extends QueryModule {
     * an unbounded delta stream through it; no window, no shuffle). The
     * caller decides materialization. */
   private[graft] def tokenSetsOf(s: SparkSession, docs: DataFrame): DataFrame = {
-    graft.functions.GraftFunctions.register(s) // fnv64
-    val bigrams = "CASE WHEN size(tk) >= 2 THEN " +
-      "zip_with(slice(tk, 1, size(tk) - 1), slice(tk, 2, size(tk) - 1), " +
-      "(x, y) -> concat(x, ' ', y)) ELSE array() END"
+    graft.functions.GraftFunctions.register(s) // bigram_keys
     // sorted-ascending distinct keys: sorting once per DOC here is what
     // lets the verify stage count overlaps with the zero-allocation
     // merge scan (sorted_intersect_count) per candidate PAIR.
+    // bigram_keys (r17) fuses the former zip_with-concat -> fnv64 ->
+    // array_distinct -> array_sort chain into one codegen'd pass that
+    // never materializes a bigram string (bit-identical output —
+    // LlmSpec pins equality against the unfused chain); the chain's
+    // ~n UTF8String concats + three intermediate arrays per row were
+    // the largest slice of the q161/q168 index builds.
     withTokens(docs)
       .select(col("doc_id") +: docs.columns.filter(c =>
           c != "doc_id" && c != "text" && c != "tk").map(col).toSeq :+
-        expr(s"array_sort(array_distinct(transform($bigrams, x -> fnv64(x))))")
-          .as("hk"): _*)
+        expr("bigram_keys(tk)").as("hk"): _*)
       .withColumn("sz", size(col("hk")))
       .filter(col("sz") > 0)
   }

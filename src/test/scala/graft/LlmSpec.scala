@@ -717,6 +717,36 @@ class LlmSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.toSeq == Seq(null, null, java.lang.Long.valueOf(2L)))
   }
 
+  test("bigram_keys == the unfused array_sort(array_distinct(transform(fnv64))) chain") {
+    // r17 fusion: tokenSetsOf's key projection must stay bit-identical
+    // to the SQL chain it replaced — same keys, same order, same null
+    // placement — on random token arrays including empties, repeats
+    // (hash-dedup), multi-byte UTF-8, and null elements.
+    graft.functions.GraftFunctions.register(spark)
+    val r = new scala.util.Random(31)
+    val vocab = Seq("a", "bb", "ccc", "déjà", "零", "t1", "t2", "x y")
+    val rows = (1 to 300).map { _ =>
+      val n = r.nextInt(8)
+      Row(Seq.fill(n)(if (r.nextInt(20) == 0) null
+        else vocab(r.nextInt(vocab.length))))
+    } :+ Row(null) :+ Row(Seq[String]()) :+ Row(Seq("solo"))
+    val df = spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      StructType(Seq(StructField("tk", ArrayType(StringType, containsNull = true)))))
+    val chain = "CASE WHEN size(tk) >= 2 THEN " +
+      "zip_with(slice(tk, 1, size(tk) - 1), slice(tk, 2, size(tk) - 1), " +
+      "(x, y) -> concat(x, ' ', y)) ELSE array() END"
+    val bad = df.selectExpr("bigram_keys(tk) AS got",
+        s"array_sort(array_distinct(transform($chain, x -> fnv64(x)))) AS want",
+        "tk")
+      // both are null/empty exactly together for null/sub-2 inputs
+      // (null input: fused -> null, chain -> array(); callers filter
+      // size > 0, under which the two are indistinguishable)
+      .filter("size(tk) >= 2")
+      .filter("NOT (got <=> want)").count()
+    assert(bad == 0)
+  }
+
   test("prefix-filter join: exactly the brute-force pair set (completeness)") {
     val docs = prefixCorpus()
     val got = graft.operators.LlmQueries.prefixFilterPairs(prefixSets(docs), 6)
